@@ -1,0 +1,148 @@
+"""Fluent accessor — the user-facing analog of ``df.swifter``.
+
+``swift(df)`` wraps a pyspark DataFrame in a :class:`SwiftFrame`
+exposing the reference's surface (SURVEY.md §2.1 signatures):
+``apply`` / ``applymap`` / ``groupby().apply`` / ``rolling().apply`` /
+``resample().apply`` plus the chainable config knobs
+(`/root/reference/swifter/swifter.py:99-138`). Knobs that only made
+sense for the dask/ray backends (``set_dask_threshold``,
+``set_dask_scheduler``, ``allow_dask_on_strings``) are retained as
+documented no-ops for API compatibility; ``force_parallel`` maps to
+"skip the native-expression route"; ``set_npartitions`` maps to
+``repartition``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import types as T
+
+from sparkswift.operators import apply as _apply
+from sparkswift.operators import groupby as _groupby
+from sparkswift.operators import resample as _resample
+from sparkswift.operators import rolling as _rolling
+
+
+class SwiftFrame:
+    def __init__(self, df: DataFrame):
+        self._df = df
+        self._force_udf = False
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    # ---- config surface (reference swifter.py:99-138, base.py:55-64) ----
+    def set_npartitions(self, n: int | None = None) -> "SwiftFrame":
+        if n:
+            self._df = self._df.repartition(n)
+        return self
+
+    def force_parallel(self, enable: bool = True) -> "SwiftFrame":
+        """Skip the native-expression attempt (reference :131-138)."""
+        self._force_udf = enable
+        return self
+
+    def set_dask_threshold(self, seconds: float = 1) -> "SwiftFrame":
+        return self  # obsolete: Catalyst+AQE plan adaptively (SURVEY §4 R3)
+
+    def set_dask_scheduler(self, scheduler: str = "processes") -> "SwiftFrame":
+        return self  # obsolete: deploy-mode concern, not per-query (R5)
+
+    def allow_dask_on_strings(self, enable: bool = True) -> "SwiftFrame":
+        return self  # obsolete: Arrow handles strings (R4)
+
+    def progress_bar(self, enable: bool = True, desc: str | None = None) -> "SwiftFrame":
+        return self  # progress surfaces through the Spark UI / listeners
+
+    # ---- operators ----
+    def apply(
+        self,
+        func: Callable,
+        axis: int = 0,
+        col: str | None = None,
+        **kw,
+    ) -> DataFrame:
+        """O1 (``col`` given or single-column frame) / O2 (``axis=1``)."""
+        if axis == 1:
+            return _apply.apply_rows(self._df, func, **kw)
+        target = col or (self._df.columns[0] if len(self._df.columns) == 1 else None)
+        if target is None:
+            raise ValueError("column-wise apply needs col= or a 1-column frame")
+        return _apply.apply_series(self._df, target, func, force_udf=self._force_udf, **kw)
+
+    def applymap(self, func: Callable, **kw) -> DataFrame:
+        return _apply.applymap(self._df, func, force_udf=self._force_udf, **kw)
+
+    def groupby(self, *keys: str, subset: list[str] | None = None) -> "SwiftGroupBy":
+        return SwiftGroupBy(self._df, list(keys), subset)
+
+    def rolling(
+        self,
+        window: int | str,
+        on: str,
+        partition_by: list[str] | None = None,
+        center: bool = False,
+        min_periods: int | None = None,
+    ) -> "SwiftRolling":
+        return SwiftRolling(self._df, window, on, partition_by, center, min_periods)
+
+    def resample(self, rule: str, on: str, extra_keys: list[str] | None = None) -> "SwiftResampler":
+        return SwiftResampler(self._df, rule, on, extra_keys)
+
+
+class SwiftGroupBy:
+    def __init__(self, df: DataFrame, keys: list[str], subset: list[str] | None):
+        self._df, self._keys, self._subset = df, keys, subset
+
+    def __getitem__(self, cols) -> "SwiftGroupBy":
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        return SwiftGroupBy(self._df, self._keys, cols)
+
+    def apply(self, func: Callable, schema=None, **kw) -> DataFrame:
+        return _groupby.groupby_apply(
+            self._df, self._keys, func, schema=schema, subset=self._subset, **kw
+        )
+
+    def agg_udf(self, agg_funcs, **kw) -> DataFrame:
+        return _groupby.groupby_agg_udf(self._df, self._keys, agg_funcs, **kw)
+
+
+class SwiftRolling:
+    def __init__(self, df, window, on, partition_by, center, min_periods):
+        self._df, self._window, self._on = df, window, on
+        self._partition_by, self._center, self._min_periods = partition_by, center, min_periods
+
+    def apply(self, func, order_by: str, **kw) -> DataFrame:
+        """Built-in name (str) → native window agg; callable → UDF path."""
+        if isinstance(func, str):
+            return _rolling.rolling_agg(
+                self._df, order_by, self._window, func, self._on,
+                partition_by=self._partition_by, center=self._center,
+                min_periods=self._min_periods, **kw,
+            )
+        return _rolling.rolling_apply_udf(
+            self._df, order_by, self._window, func, self._on,
+            partition_by=self._partition_by, min_periods=self._min_periods, **kw,
+        )
+
+
+class SwiftResampler:
+    def __init__(self, df, rule, on, extra_keys):
+        self._df, self._rule, self._on, self._extra_keys = df, rule, on, extra_keys
+
+    def agg(self, aggs, **kw) -> DataFrame:
+        return _resample.resample_agg(
+            self._df, self._on, self._rule, aggs, extra_keys=self._extra_keys, **kw
+        )
+
+    def apply(self, func, schema, **kw) -> DataFrame:
+        return _resample.resample_apply_udf(
+            self._df, self._on, self._rule, func, schema, extra_keys=self._extra_keys, **kw
+        )
+
+
+def swift(df: DataFrame) -> SwiftFrame:
+    return SwiftFrame(df)

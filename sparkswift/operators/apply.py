@@ -1,0 +1,213 @@
+"""The apply family — O1/O2/O3 of the reference surface.
+
+Reference semantics (SURVEY.md §2.1):
+
+* O1 ``Series.swifter.apply``   (/root/reference/swifter/swifter.py:287-329)
+* O2 ``DataFrame.swifter.apply`` (axis=0/1, result_type)   (…:400-437)
+* O3 ``DataFrame.swifter.applymap``                        (…:483-521)
+
+The reference's *adaptive chooser* (try vectorized on a sample, else
+time the sample, else dask) becomes a **compile-time route choice**:
+
+1. **Native route** — try calling the UDF with a ``pyspark.sql.Column``.
+   Plain-arithmetic lambdas (``lambda x: x**2 + 1``) build a Column
+   expression directly, which Catalyst folds into whole-stage codegen —
+   the Spark analog of swifter's numpy vectorized fast path
+   (swifter.py:309-317). Optionally validated against the pandas
+   result on a bounded sample, mirroring swifter's equivalence gate
+   (swifter.py:313-316).
+2. **Arrow route** — otherwise wrap as a scalar ``pandas_udf`` (Arrow
+   batches, JVM<->Python columnar transfer) with the output type
+   inferred by sample execution (plans/inference.py).
+
+Scale notes: the native route is pure Catalyst (100 TB-safe by
+construction: pushdown, pruning, codegen all apply). The Arrow route is
+embarrassingly parallel — no shuffle, no skew sensitivity; batch size
+bounded by spark.sql.execution.arrow.maxRecordsPerBatch.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sparkswift.plans.inference import (
+    infer_rows_schema,
+    infer_series_return_type,
+    sample_pandas,
+    spark_type_for_dtype,
+)
+
+
+def _try_native_column(func: Callable, col: Column) -> Column | None:
+    """Attempt to build a native Column expression by calling ``func``
+    on a Column. Returns None when the UDF is not expressible that way
+    (raises, or returns a non-Column)."""
+    try:
+        out = func(col)
+    except Exception:
+        return None
+    return out if isinstance(out, Column) else None
+
+
+def _validate_native_on_sample(
+    df: DataFrame, col: str, expr: Column, func: Callable
+) -> bool:
+    """Spark analog of swifter's vectorized-vs-apply equivalence check
+    (swifter/swifter.py:313-316): evaluate the native expression and the
+    pandas elementwise apply on the same bounded sample and compare."""
+    sample_df = df.select(col).limit(100)
+    try:
+        native = sample_df.select(expr.alias("v")).toPandas()["v"]
+        via_pandas = sample_df.toPandas()[col].apply(func)
+    except Exception:
+        return False
+    try:
+        pd.testing.assert_series_equal(
+            native.reset_index(drop=True).rename("v"),
+            via_pandas.reset_index(drop=True).rename("v").astype(native.dtype),
+            check_dtype=False,
+            rtol=1e-10,
+        )
+        return True
+    except AssertionError:
+        return False
+
+
+def apply_series(
+    df: DataFrame,
+    col: str,
+    func: Callable,
+    output_col: str | None = None,
+    returns: T.DataType | str | None = None,
+    force_udf: bool = False,
+    validate: bool = False,
+    args: tuple = (),
+    **kwds,
+) -> DataFrame:
+    """O1 — elementwise apply over one column.
+
+    ``force_udf`` mirrors ``force_parallel``
+    (swifter/swifter.py:131-138): skip the native-expression attempt.
+    ``validate`` adds the sample equivalence gate before trusting the
+    native route.
+    """
+    out_name = output_col or col
+    if args or kwds:
+        base = func
+        func = lambda x, _b=base: _b(x, *args, **kwds)  # noqa: E731
+
+    if not force_udf:
+        expr = _try_native_column(func, F.col(col))
+        if expr is not None and (not validate or _validate_native_on_sample(df, col, expr, func)):
+            return df.withColumn(out_name, expr)
+
+    rtype = returns or infer_series_return_type(df, col, func)
+
+    @F.pandas_udf(rtype)
+    def _elementwise(s: pd.Series) -> pd.Series:
+        return s.apply(func)
+
+    return df.withColumn(out_name, _elementwise(F.col(col)))
+
+
+def apply_rows(
+    df: DataFrame,
+    func: Callable,
+    schema: T.StructType | str | None = None,
+    result_type: str | None = None,
+    keep_cols: bool = True,
+    output_col: str = "result",
+    args: tuple = (),
+    **kwds,
+) -> DataFrame:
+    """O2 — row-wise apply (pandas ``axis=1``) via ``mapInPandas``.
+
+    Each Arrow batch is a pandas DataFrame; we run the same
+    ``pdf.apply(func, axis=1, result_type=...)`` a pandas user would,
+    preserving ``result_type=None|'expand'|'reduce'|'broadcast'``
+    passthrough semantics (reference: swifter/swifter.py:352-365,
+    docs/documentation.md:103-108 there).
+
+    Scalar-result UDFs append ``output_col``; Series-result UDFs expand
+    into one column per output key. ``keep_cols`` keeps the input
+    columns alongside (pandas returns only the result; keeping inputs
+    is the useful engine behavior and costs nothing — Arrow is
+    columnar).
+
+    Scale: pure map-side (no shuffle); batches stream through Python
+    workers, memory bounded per batch.
+    """
+    inferred, scalar_result = infer_rows_schema(df, func, result_type, args, kwds)
+    if schema is not None:
+        out_schema = schema if isinstance(schema, T.StructType) else T.StructType.fromDDL(schema)
+        scalar_result = len(out_schema.fields) == 1 and out_schema.fields[0].name == output_col
+    else:
+        out_schema = inferred
+        if scalar_result and output_col != "result":
+            out_schema = T.StructType([T.StructField(output_col, out_schema["result"].dataType, True)])
+
+    if keep_cols:
+        existing = [f for f in df.schema.fields if f.name not in {x.name for x in out_schema.fields}]
+        full_schema = T.StructType(existing + list(out_schema.fields))
+    else:
+        full_schema = out_schema
+    result_names = [f.name for f in out_schema.fields]
+    full_names = [f.name for f in full_schema.fields]
+
+    def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.apply(func, axis=1, result_type=result_type, args=args, **kwds)
+            if isinstance(out, pd.DataFrame):
+                res = out
+                res.columns = [str(c) for c in res.columns]
+            else:
+                res = out.to_frame(result_names[0])
+            if keep_cols:
+                for c in full_names:
+                    if c not in res.columns:
+                        res[c] = pdf[c]
+            yield res[full_names]
+
+    return df.mapInPandas(_batch, full_schema)
+
+
+def applymap(
+    df: DataFrame,
+    func: Callable,
+    cols: list[str] | None = None,
+    force_udf: bool = False,
+) -> DataFrame:
+    """O3 — the same scalar UDF applied to every cell of every column
+    (reference: swifter/swifter.py:483-521).
+
+    Native route when the UDF builds a Column expression; otherwise one
+    scalar pandas_udf instantiated per column dtype. All map-side, no
+    shuffle.
+    """
+    targets = cols or df.columns
+    exprs: list[Column] = []
+    udf_cache: dict[str, Callable] = {}
+    for c in df.columns:
+        if c not in targets:
+            exprs.append(F.col(c))
+            continue
+        native = None if force_udf else _try_native_column(func, F.col(c))
+        if native is not None:
+            exprs.append(native.alias(c))
+            continue
+        rtype = infer_series_return_type(df, c, func)
+        key = rtype.simpleString()
+        if key not in udf_cache:
+
+            @F.pandas_udf(rtype)
+            def _cellwise(s: pd.Series) -> pd.Series:
+                return s.apply(func)
+
+            udf_cache[key] = _cellwise
+        exprs.append(udf_cache[key](F.col(c)).alias(c))
+    return df.select(*exprs)

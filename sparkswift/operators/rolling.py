@@ -1,0 +1,161 @@
+"""O5 — rolling-window applies (reference ``swifter.rolling(...).apply``).
+
+Reference: factory `/root/reference/swifter/swifter.py:140-172`, class
+:710-763 — count-based (``rolling(10)``) or time-based
+(``rolling("1d")``) trailing windows, ``center``/``min_periods``
+options, arbitrary Series→scalar UDFs.
+
+Spark mapping (SURVEY.md §2.1 O5):
+
+* count window  -> ``Window.orderBy(key).rowsBetween(-(w-1), 0)``
+* time window   -> ``Window.orderBy(epoch_us).rangeBetween(-w_us+1, 0)``
+  (pandas time windows are right-closed: ``(t-w, t]``)
+* ``center=True`` -> frame shifted right by ``w//2`` (pandas shifts the
+  result by ``w//2``; equivalent frame algebra)
+* built-in reducers (sum/mean/min/max/count/std/var) stay native —
+  whole-stage codegen, no Python
+* arbitrary UDF -> per-entity ``applyInPandas`` running the *real*
+  ``pdf.rolling(...).apply(func)`` per group (scale path), or
+  ``collect_list`` over the frame + pandas_udf for un-keyed data.
+
+Scale note: an **unpartitioned** ordered window forces a single-task
+sort — fine for one entity's series, wrong for 100 TB. Callers must
+pass ``partition_by`` (entity key) for large data; we warn otherwise.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_BUILTIN = {
+    "sum": F.sum,
+    "mean": F.avg,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "std": F.stddev_samp,
+    "var": F.var_samp,
+}
+
+
+def _parse_duration_us(window: str) -> int:
+    """'1 day' / '30 minutes' / '10 seconds' → microseconds."""
+    qty, unit = window.strip().split()
+    mult = {
+        "microsecond": 1,
+        "millisecond": 1_000,
+        "second": 1_000_000,
+        "minute": 60_000_000,
+        "hour": 3_600_000_000,
+        "day": 86_400_000_000,
+        "week": 7 * 86_400_000_000,
+    }[unit.rstrip("s")]
+    return int(float(qty) * mult)
+
+
+def _frame(order_col, window, center, partition_by):
+    if partition_by:
+        base = Window.partitionBy(*partition_by)
+    else:
+        warnings.warn(
+            "rolling without partition_by sorts in a single task; "
+            "pass an entity key for large data",
+            stacklevel=3,
+        )
+        base = Window.partitionBy()
+    if isinstance(window, int):
+        w = base.orderBy(order_col)
+        if center:
+            return w.rowsBetween(-(window - 1) + window // 2, window // 2), window
+        return w.rowsBetween(-(window - 1), 0), window
+    us = _parse_duration_us(window)
+    epoch = (F.col(order_col).cast("double") * 1_000_000).cast("long") if isinstance(order_col, str) else order_col
+    w = base.orderBy(epoch)
+    return w.rangeBetween(-(us - 1), 0), None
+
+
+def rolling_agg(
+    df: DataFrame,
+    order_by: str,
+    window: int | str,
+    agg: str,
+    on: str,
+    output_col: str | None = None,
+    partition_by: list[str] | None = None,
+    center: bool = False,
+    min_periods: int | None = None,
+) -> DataFrame:
+    """Built-in reducer over a rolling frame — the native fast path.
+
+    ``min_periods`` mirrors pandas: for count windows the default is
+    the window size (leading rows yield null); for time windows it is 1.
+    """
+    frame, count_window = _frame(order_by, window, center, partition_by)
+    out_name = output_col or f"{on}_roll_{agg}"
+    expr = _BUILTIN[agg](F.col(on)).over(frame)
+    mp = min_periods if min_periods is not None else (count_window or 1)
+    if mp > 1:
+        cnt = F.count(F.col(on)).over(frame)
+        expr = F.when(cnt >= F.lit(mp), expr)
+    return df.withColumn(out_name, expr)
+
+
+def rolling_apply_udf(
+    df: DataFrame,
+    order_by: str,
+    window: int | str,
+    func: Callable,
+    on: str,
+    output_col: str | None = None,
+    partition_by: list[str] | None = None,
+    returns: T.DataType | str = "double",
+    min_periods: int | None = None,
+) -> DataFrame:
+    """Arbitrary Series→scalar UDF over rolling windows.
+
+    With ``partition_by``: per-entity ``applyInPandas`` that runs real
+    ``pandas.rolling(...).apply(func)`` inside each group — semantics
+    identical to the reference, parallel across entities (the 100 TB
+    path: one entity's history fits one task).
+
+    Without ``partition_by``: ``collect_list`` over the window frame +
+    a pandas_udf mapping each frame-array to a scalar. O(n·w) transfer —
+    only for small/medium windows.
+    """
+    out_name = output_col or f"{on}_roll_udf"
+    if partition_by:
+        schema = T.StructType(
+            list(df.schema.fields) + [T.StructField(out_name, T.DoubleType(), True)]
+        )
+        is_time = isinstance(window, str)
+        win = window if not is_time else window.replace("minutes", "min").replace("minute", "min")
+
+        def _per_entity(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(order_by)
+            if is_time:
+                ser = pdf.set_index(pd.DatetimeIndex(pdf[order_by]))[on]
+                kwargs = {} if min_periods is None else {"min_periods": min_periods}
+                pdf[out_name] = ser.rolling(win, **kwargs).apply(func, raw=False).to_numpy()
+            else:
+                kwargs = {} if min_periods is None else {"min_periods": min_periods}
+                pdf[out_name] = pdf[on].rolling(window, **kwargs).apply(func, raw=False).to_numpy()
+            return pdf
+
+        return df.groupBy(*partition_by).applyInPandas(_per_entity, schema)
+
+    frame, _ = _frame(order_by, window, False, None)
+    arr = F.collect_list(F.col(on)).over(frame)
+
+    @F.pandas_udf(returns)
+    def _reduce(frames: pd.Series) -> pd.Series:
+        mp = min_periods if min_periods is not None else (window if isinstance(window, int) else 1)
+        return frames.apply(lambda xs: func(pd.Series(xs)) if len(xs) >= mp else None)
+
+    return df.withColumn(out_name, _reduce(arr))

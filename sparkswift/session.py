@@ -1,0 +1,59 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs on ``local[N]`` but every knob here is chosen so the
+same plan shape survives a 1000-executor cluster at 100 TB:
+
+* AQE on (runtime coalescing, skew-join splitting, dynamic join
+  strategy switch) — replaces the reference's sample-timing cost model
+  (`/root/reference/swifter/swifter.py:319-326`).
+* Arrow on for every pandas interchange (the reference's dask/ray
+  serialization boundary becomes Arrow batches).
+* ``spark.sql.session.timeZone=UTC`` so timestamp semantics match the
+  DuckDB oracle regardless of host TZ.
+* ``spark.sql.legacy.parquet.nanosAsLong=true`` — the events fixture
+  stores TIMESTAMP(NANOS) which Spark's parquet reader otherwise
+  rejects; the loader converts ns-longs back to timestamps
+  (see sources/loaders.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(app_name: str = "sparkswift", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``spark.sql.shuffle.partitions`` is set to the core count for local
+    runs; on a real cluster leave it high and let AQE coalesce — the
+    configs below are safe in both modes.
+    """
+    n = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+    )
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,62 @@
+"""Parquet loaders for the TESTDATA star schema.
+
+The reference has zero I/O code of its own (SURVEY.md §2.2 — notebooks
+call ``pd.read_csv`` outside the library); here scans are first-class:
+``spark.read.parquet`` gives Catalyst predicate pushdown + column
+pruning for free, which is what makes a 100 TB scan viable (only the
+columns/row-groups a query touches are read).
+
+Scale note: at 100 TB each "table" is a directory of many parquet
+files, ideally partitioned by a high-level key (e.g. date). These
+loaders accept either a single file or a directory, so the same code
+path works unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# The events fixture stores TIMESTAMP(NANOS); with
+# spark.sql.legacy.parquet.nanosAsLong=true (set in session.py) it scans
+# as a long, converted here to a proper TimestampType column (micro
+# precision — same visible values as DuckDB's TIMESTAMP view of it).
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(
+                col, F.timestamp_micros((F.col(col) / F.lit(1000)).cast("long"))
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view so ``spark.sql`` works too."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

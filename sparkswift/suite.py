@@ -1,0 +1,265 @@
+"""The operator showcase suite — every implemented operator exposed as
+a (spark, sf_dir) -> DataFrame callable plus, where SQL-expressible, a
+DuckDB oracle string. This is what `__spark_entry__.queries()` /
+`oracle_sql()` serve to the driver (CORRECTNESS gate) and what
+`bench.py` times.
+
+Float determinism policy (cross-engine hash safety):
+* money sums  -> CAST to DECIMAL(18,4) before SUM (exact, associative,
+  partition-order independent), final CAST to DOUBLE — bit-identical
+  in Spark and DuckDB.
+* means/ratios -> derived from exact sums / counts (double ÷ long is
+  deterministic given identical inputs).
+* genuinely float-accumulated stats (variance, UDF results) -> ROUND
+  to 6 decimals on BOTH sides.
+* counts -> BIGINT on both sides.
+Aliases match exactly between Spark and SQL (driver sorts columns by
+name before hashing).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkswift.accessor import swift
+from sparkswift.operators.apply import apply_rows, apply_series, applymap
+from sparkswift.operators.groupby import groupby_apply
+from sparkswift.sources import load_table
+
+# each entry: name -> (query_fn, oracle_sql | None)
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def oracles() -> dict[str, str]:
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+D = "DECIMAL(18,4)"
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-style pricing summary. Exercises the vectorized
+# fast path (native Column arithmetic — the engine analog of swifter's
+# vectorized route, reference swifter.py:309-317) feeding a hash
+# aggregate with map-side partial aggregation.
+# Scale: scan-pruned to 7 columns, single shuffle on a 4-value key.
+# ---------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS {D})) AS DOUBLE)      AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS {D})) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS {D}) * (1 - CAST(l_discount AS {D}))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS {D})) AS DOUBLE) / COUNT(*)      AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS {D})) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_d = F.col("l_quantity").cast(D)
+    price_d = F.col("l_extendedprice").cast(D)
+    disc_price = price_d * (F.lit(1) - F.col("l_discount").cast(D))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty_d).cast("double").alias("sum_qty"),
+            F.sum(price_d).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            (F.sum(qty_d).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(price_d).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).cast("bigint").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1 — elementwise apply, native route: the UDF is Column-expressible,
+# so it compiles to a Catalyst expression (zero Python at runtime).
+# ---------------------------------------------------------------------------
+@register(
+    "o1_apply_native",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    """,
+)
+def o1_apply_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    out = apply_series(
+        li.withColumn("__disc", F.col("l_discount")),
+        "l_extendedprice",
+        lambda x: x * (1 - F.col("__disc")),
+        output_col="revenue",
+    )
+    return out.select("l_orderkey", "l_linenumber", "revenue")
+
+
+# ---------------------------------------------------------------------------
+# O1 — elementwise apply, forced Arrow route: same semantics through a
+# scalar pandas_udf (the reference's force_parallel knob,
+# swifter.py:131-138). Oracle is identical SQL — route equivalence is
+# exactly what swifter's sample gate asserts (swifter.py:313-316).
+# ---------------------------------------------------------------------------
+@register(
+    "o1_apply_udf",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_quantity * 2.0 + 1.0 AS qty2
+    FROM lineitem
+    """,
+)
+def o1_apply_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    out = apply_series(
+        li, "l_quantity", lambda x: x * 2.0 + 1.0, output_col="qty2", force_udf=True
+    )
+    return out.select("l_orderkey", "l_linenumber", "qty2")
+
+
+# ---------------------------------------------------------------------------
+# O2 — row-wise apply (axis=1) via mapInPandas; scalar result column.
+# ---------------------------------------------------------------------------
+@register(
+    "o2_apply_rows",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / l_quantity AS unit_price
+    FROM lineitem
+    """,
+)
+def o2_apply_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+    )
+    out = apply_rows(
+        li,
+        lambda row: row["l_extendedprice"] / row["l_quantity"],
+        output_col="unit_price",
+    )
+    return out.select("l_orderkey", "l_linenumber", "unit_price")
+
+
+# ---------------------------------------------------------------------------
+# O2 — result_type='expand': row UDF returns a Series -> multiple
+# output columns (reference passthrough swifter.py:352-365).
+# ---------------------------------------------------------------------------
+@register(
+    "o2_apply_rows_expand",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS gross
+    FROM lineitem
+    """,
+)
+def o2_apply_rows_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
+    )
+
+    def net_gross(row):
+        net = row["l_extendedprice"] * (1 - row["l_discount"])
+        return pd.Series({"net": net, "gross": net * (1 + row["l_tax"])})
+
+    out = apply_rows(li, net_gross)
+    return out.select("l_orderkey", "l_linenumber", "net", "gross")
+
+
+# ---------------------------------------------------------------------------
+# O3 — applymap: one scalar function over every cell (native route
+# compiles per-column expressions).
+# ---------------------------------------------------------------------------
+@register(
+    "o3_applymap",
+    """
+    SELECT l_quantity * l_quantity AS l_quantity,
+           l_discount * l_discount AS l_discount,
+           l_tax * l_tax          AS l_tax,
+           l_orderkey, l_linenumber
+    FROM lineitem
+    """,
+)
+def o3_applymap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_tax", "l_orderkey", "l_linenumber"
+    )
+    return applymap(li, lambda x: x * x, cols=["l_quantity", "l_discount", "l_tax"])
+
+
+# ---------------------------------------------------------------------------
+# O4 — groupby().apply via applyInPandas: per-group pandas UDF
+# producing one row per group (mean/min computed inside pandas).
+# Rounded on both sides: the UDF result is float-accumulated.
+# ---------------------------------------------------------------------------
+@register(
+    "o4_groupby_apply",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6)
+               AS mean_qty,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def o4_groupby_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        q = g["l_quantity"]
+        import decimal
+
+        exact = sum(decimal.Decimal(str(round(v, 4))) for v in q)
+        return pd.DataFrame(
+            {
+                "mean_qty": [round(float(exact) / len(q), 6)],
+                "min_qty": [float(q.min())],
+                "max_qty": [float(q.max())],
+                "n": [int(len(q))],
+            }
+        )
+
+    return groupby_apply(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        stats,
+        subset=["l_quantity"],
+        schema=(
+            "l_returnflag string, l_linestatus string, mean_qty double, "
+            "min_qty double, max_qty double, n bigint"
+        ),
+    )
+
+
+def get(name: str):
+    return _REGISTRY[name]

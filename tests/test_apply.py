@@ -1,0 +1,101 @@
+"""O1/O2/O3 route tests — the Spark analog of the reference's
+vectorized-vs-apply equivalence checks (swifter_tests.py:394-480)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sparkswift.accessor import swift
+from sparkswift.operators.apply import apply_rows, apply_series, applymap
+from sparkswift.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def li(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+def test_o1_native_route_equals_udf_route(li):
+    """Same UDF through both routes must agree (reference gate
+    swifter.py:313-316)."""
+    f = lambda x: x * 2 + 1  # noqa: E731
+    native = apply_series(li, "l_quantity", f, output_col="v")
+    udf = apply_series(li, "l_quantity", f, output_col="v", force_udf=True)
+    a = native.select("l_orderkey", "l_linenumber", "v").toPandas().sort_values(
+        ["l_orderkey", "l_linenumber"]
+    )
+    b = udf.select("l_orderkey", "l_linenumber", "v").toPandas().sort_values(
+        ["l_orderkey", "l_linenumber"]
+    )
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_o1_native_route_is_native(li):
+    """The fast path must not contain a Python UDF in the plan."""
+    out = apply_series(li, "l_quantity", lambda x: x * 2 + 1, output_col="v")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_o1_udf_fallback_for_opaque_function(li):
+    """A genuinely un-vectorizable UDF (string branching) takes the
+    Arrow route and still yields correct values."""
+
+    def weird(x):
+        return float(len(str(int(x)))) if x > 10 else -1.0
+
+    out = apply_series(li, "l_quantity", weird, output_col="v")
+    pdf = out.select("l_quantity", "v").toPandas()
+    expected = pdf["l_quantity"].apply(weird)
+    pd.testing.assert_series_equal(pdf["v"], expected, check_names=False)
+
+
+def test_o2_apply_rows_scalar(li):
+    out = apply_rows(
+        li, lambda r: r["l_extendedprice"] / r["l_quantity"], output_col="unit"
+    )
+    pdf = out.toPandas()
+    expected = pdf["l_extendedprice"] / pdf["l_quantity"]
+    pd.testing.assert_series_equal(pdf["unit"], expected, check_names=False)
+
+
+def test_o2_apply_rows_expand(li):
+    def two(r):
+        return pd.Series({"a": r["l_quantity"] + 1, "b": r["l_quantity"] * 2})
+
+    out = apply_rows(li, two)
+    pdf = out.toPandas()
+    assert {"a", "b"}.issubset(pdf.columns)
+    pd.testing.assert_series_equal(pdf["a"], pdf["l_quantity"] + 1, check_names=False)
+
+
+def test_o3_applymap(li):
+    out = applymap(
+        li.select("l_quantity", "l_extendedprice"), lambda x: x * x
+    )
+    pdf = out.toPandas()
+    src = li.select("l_quantity", "l_extendedprice").toPandas()
+    pd.testing.assert_series_equal(
+        pdf["l_quantity"].sort_values().reset_index(drop=True),
+        (src["l_quantity"] ** 2).sort_values().reset_index(drop=True),
+        check_names=False,
+    )
+
+
+def test_accessor_surface(li):
+    sf = swift(li)
+    out = sf.set_npartitions(4).progress_bar(True).set_dask_threshold(2).apply(
+        lambda x: x + 1, col="l_quantity", output_col="v"
+    )
+    assert "v" in out.columns
+
+
+def test_empty_input(spark, li):
+    """Empty in → empty out with correct schema (reference
+    swifter.py:292-294)."""
+    empty = li.filter(F.lit(False))
+    out = apply_series(empty, "l_quantity", lambda x: x * 2, output_col="v", force_udf=True)
+    assert out.count() == 0
+    assert "v" in out.columns
