@@ -71,12 +71,16 @@ def _frame(order_col, window, center, partition_by):
         )
         base = Window.partitionBy()
     if isinstance(window, int):
-        w = base.orderBy(order_col)
+        # accept a list for tie-breaking: ROWS frames over non-unique
+        # keys are nondeterministic, so order by (ts, unique_id)
+        w = base.orderBy(*order_col) if isinstance(order_col, list) else base.orderBy(order_col)
         if center:
             return w.rowsBetween(-(window - 1) + window // 2, window // 2), window
         return w.rowsBetween(-(window - 1), 0), window
     us = _parse_duration_us(window)
-    epoch = (F.col(order_col).cast("double") * 1_000_000).cast("long") if isinstance(order_col, str) else order_col
+    # unix_micros is exact (long); casting the timestamp through double
+    # would lose sub-ms precision on modern epochs
+    epoch = F.unix_micros(F.col(order_col)) if isinstance(order_col, str) else order_col
     w = base.orderBy(epoch)
     return w.rangeBetween(-(us - 1), 0), None
 
@@ -130,15 +134,17 @@ def rolling_apply_udf(
     only for small/medium windows.
     """
     out_name = output_col or f"{on}_roll_udf"
+    ord_cols = [order_by] if isinstance(order_by, str) else list(order_by)
     if partition_by:
         schema = T.StructType(
             list(df.schema.fields) + [T.StructField(out_name, T.DoubleType(), True)]
         )
         is_time = isinstance(window, str)
         win = window if not is_time else window.replace("minutes", "min").replace("minute", "min")
+        order_by = ord_cols[0]
 
         def _per_entity(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values(order_by)
+            pdf = pdf.sort_values(ord_cols)
             if is_time:
                 ser = pdf.set_index(pd.DatetimeIndex(pdf[order_by]))[on]
                 kwargs = {} if min_periods is None else {"min_periods": min_periods}
@@ -150,7 +156,7 @@ def rolling_apply_udf(
 
         return df.groupBy(*partition_by).applyInPandas(_per_entity, schema)
 
-    frame, _ = _frame(order_by, window, False, None)
+    frame, _ = _frame(ord_cols if isinstance(window, int) else ord_cols[0], window, False, None)
     arr = F.collect_list(F.col(on)).over(frame)
 
     @F.pandas_udf(returns)

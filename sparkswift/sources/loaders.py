@@ -44,9 +44,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     for col in _NANOS_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
-            df = df.withColumn(
-                col, F.timestamp_micros((F.col(col) / F.lit(1000)).cast("long"))
-            )
+            # integer div — ns longs exceed double's 53-bit mantissa, so
+            # float division here would corrupt microseconds
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     return df
 
 

@@ -263,3 +263,217 @@ def o4_groupby_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def get(name: str):
     return _REGISTRY[name]
+
+
+# ---------------------------------------------------------------------------
+# O4 — scalar-per-group reducer through GROUPED_AGG pandas_udf (the
+# cheap path for group→scalar shapes: partial agg machinery, tiny
+# result). Exact decimal accumulation inside the UDF so the value is
+# partition-order independent and matches the decimal-sum oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "o4_groupby_agg_udf",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value) AS mean_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def o4_groupby_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def mean_exact(s: pd.Series) -> float:
+        import decimal
+
+        tot = sum(decimal.Decimal(str(round(v, 4))) for v in s)
+        return float(tot) / len(s)
+
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with native
+    # aggregates in one agg — both reducers go through pandas here.
+    mean_udf = F.pandas_udf(mean_exact, "double", functionType=F.PandasUDFType.GROUPED_AGG)
+    n_udf = F.pandas_udf(lambda s: len(s), "long", functionType=F.PandasUDFType.GROUPED_AGG)
+    return ev.groupBy("event_type").agg(
+        mean_udf(F.col("value")).alias("mean_value"),
+        n_udf(F.col("value")).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O5 — rolling count-window with a built-in reducer: pure native
+# Window frame (whole-stage codegen, zero Python). Partitioned by
+# entity (user_id) — the 100 TB-safe shape: the sort is per-user, the
+# shuffle is one hash exchange. Decimal cast makes the sliding sum
+# algorithm-independent (Spark recomputes frames; DuckDB uses segment
+# trees — float low bits would differ).
+# min_periods follows pandas (= window): first 4 rows per user -> NULL.
+# ---------------------------------------------------------------------------
+@register(
+    "o5_rolling_sum_rows",
+    """
+    SELECT event_id, user_id,
+           CASE WHEN COUNT(value) OVER w >= 5
+                THEN CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+           END AS roll_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def o5_rolling_sum_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.rolling import rolling_agg
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast(D)
+    )
+    out = rolling_agg(
+        ev,
+        order_by=["ts", "event_id"],
+        window=5,
+        agg="sum",
+        on="value_dec",
+        output_col="roll_sum_dec",
+        partition_by=["user_id"],
+    )
+    return out.select(
+        "event_id", "user_id", F.col("roll_sum_dec").cast("double").alias("roll_sum")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O5 — rolling time-window (pandas rolling("1h") analog): RANGE frame
+# over exact epoch-microseconds, right-closed (t-1h, t]. Range frames
+# include all peers, so ties in ts are deterministic by construction.
+# ---------------------------------------------------------------------------
+@register(
+    "o5_rolling_sum_time",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS roll_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+    """,
+)
+def o5_rolling_sum_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.rolling import rolling_agg
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast(D)
+    )
+    out = rolling_agg(
+        ev,
+        order_by="ts",
+        window="1 hour",
+        agg="sum",
+        on="value_dec",
+        output_col="roll_dec",
+        partition_by=["user_id"],
+        min_periods=1,
+    )
+    return out.select(
+        "event_id", "user_id", F.col("roll_dec").cast("double").alias("roll_1h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O5 — arbitrary rolling UDF (range = max-min: exact, no float
+# accumulation) via per-entity applyInPandas running real
+# pandas.rolling — semantics identical to the reference's
+# rolling().apply (swifter.py:710-763), parallel across users.
+# ---------------------------------------------------------------------------
+@register(
+    "o5_rolling_udf",
+    """
+    SELECT event_id, user_id,
+           CAST(MAX(value) OVER w - MIN(value) OVER w AS DOUBLE) AS roll_range
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """,
+)
+def o5_rolling_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.rolling import rolling_apply_udf
+
+    ev = load_table(spark, sf_dir, "events")
+    out = rolling_apply_udf(
+        ev,
+        order_by=["ts", "event_id"],
+        window=10,
+        func=lambda s: s.max() - s.min(),
+        on="value",
+        output_col="roll_range",
+        partition_by=["user_id"],
+        min_periods=1,
+    )
+    return out.select("event_id", "user_id", "roll_range")
+
+
+# ---------------------------------------------------------------------------
+# O6 — resample (tumbling window) with native reducers:
+# groupBy(F.window(ts, '1 hour')) == pandas resample('1h').agg.
+# Bucket key = window.start (pandas label='left'); 1-hour buckets align
+# with date_trunc in any engine. Shuffle volume = O(buckets×types).
+# ---------------------------------------------------------------------------
+@register(
+    "o6_resample_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def o6_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.resample import resample_agg
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast(D)
+    )
+    out = resample_agg(
+        ev,
+        ts_col="ts",
+        rule="1 hour",
+        aggs={
+            "sum_value": F.sum("value_dec").cast("double"),
+            "n": F.count(F.lit(1)).cast("bigint"),
+        },
+        extra_keys=["event_type"],
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# O6 — resample with an arbitrary per-bucket pandas UDF (median:
+# exact order statistic, no accumulation → cross-engine safe).
+# applyInPandas per (bucket): each bucket is one task's pandas frame.
+# ---------------------------------------------------------------------------
+@register(
+    "o6_resample_udf_median",
+    """
+    SELECT date_trunc('hour', ts) AS bucket_ts,
+           CAST(MEDIAN(value) AS DOUBLE) AS med,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def o6_resample_udf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.resample import resample_apply_udf
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def bucket_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"med": [float(pdf["value"].median())], "n": [int(len(pdf))]}
+        )
+
+    return resample_apply_udf(
+        ev.select("ts", "value"),
+        ts_col="ts",
+        rule="1 hour",
+        func=bucket_stats,
+        schema="bucket_ts timestamp, med double, n bigint",
+    )

@@ -1,0 +1,98 @@
+"""O4/O5/O6 semantics vs pandas as oracle (the reference's own test
+technique — differential testing, swifter_tests.py:95-105)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sparkswift.operators.groupby import groupby_apply
+from sparkswift.operators.resample import resample_agg
+from sparkswift.operators.rolling import rolling_agg, rolling_apply_udf
+from sparkswift.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def ev(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_rolling_rows_matches_pandas(ev):
+    out = rolling_agg(
+        ev, order_by=["ts", "event_id"], window=3, agg="sum", on="value",
+        output_col="rs", partition_by=["user_id"],
+    ).toPandas().sort_values("event_id").reset_index(drop=True)
+    pdf = ev.toPandas().sort_values(["user_id", "ts", "event_id"])
+    expected = (
+        pdf.groupby("user_id")["value"].rolling(3).sum().reset_index(level=0, drop=True)
+    )
+    pdf["rs"] = expected
+    pdf = pdf.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_series_equal(out["rs"], pdf["rs"], check_names=False)
+
+
+def test_rolling_time_matches_pandas(ev):
+    out = rolling_agg(
+        ev, order_by="ts", window="30 minutes", agg="mean", on="value",
+        output_col="rm", partition_by=["user_id"], min_periods=1,
+    ).toPandas().sort_values("event_id").reset_index(drop=True)
+    pdf = ev.toPandas().sort_values(["user_id", "ts"])
+
+    def per_user(g):
+        return g.rolling("30min", on="ts")["value"].mean()
+
+    pdf["rm"] = pdf.groupby("user_id", group_keys=False).apply(per_user)
+    pdf = pdf.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_series_equal(out["rm"], pdf["rm"], check_names=False, rtol=1e-9)
+
+
+def test_rolling_udf_matches_pandas(ev):
+    out = rolling_apply_udf(
+        ev, order_by=["ts", "event_id"], window=4,
+        func=lambda s: s.max() - s.min(), on="value",
+        output_col="rr", partition_by=["user_id"], min_periods=2,
+    ).toPandas().sort_values("event_id").reset_index(drop=True)
+    pdf = ev.toPandas().sort_values(["user_id", "ts", "event_id"])
+    pdf["rr"] = (
+        pdf.groupby("user_id")["value"]
+        .rolling(4, min_periods=2)
+        .apply(lambda s: s.max() - s.min(), raw=False)
+        .reset_index(level=0, drop=True)
+    )
+    pdf = pdf.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_series_equal(out["rr"], pdf["rr"], check_names=False)
+
+
+def test_resample_matches_pandas(ev):
+    out = (
+        resample_agg(
+            ev, ts_col="ts", rule="1 hour",
+            aggs={"s": F.sum("value"), "n": F.count(F.lit(1)).cast("bigint")},
+        )
+        .toPandas()
+        .sort_values("bucket_ts")
+        .reset_index(drop=True)
+    )
+    pdf = ev.toPandas().set_index("ts").resample("1h")["value"].agg(["sum", "count"])
+    pdf = pdf[pdf["count"] > 0]  # Spark emits no row for empty buckets
+    assert len(out) == len(pdf)
+    pd.testing.assert_series_equal(
+        out["s"], pdf["sum"].reset_index(drop=True), check_names=False, rtol=1e-9
+    )
+
+
+def test_groupby_apply_frame_result(ev):
+    """Group→frame UDF: returns top-2 rows per group (frame-shaped)."""
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nlargest(2, "value")[["event_id", "value"]]
+
+    out = groupby_apply(
+        ev, "event_type", top2,
+        schema="event_type string, event_id bigint, value double",
+    ).toPandas()
+    n_types = ev.select("event_type").distinct().count()
+    assert len(out) == 2 * n_types
+    pdf = ev.toPandas()
+    for et, g in pdf.groupby("event_type"):
+        got = set(out[out.event_type == et]["event_id"])
+        want = set(g.nlargest(2, "value")["event_id"])
+        assert got == want
