@@ -1,0 +1,291 @@
+"""Deduplication operators — exact and near-dup — for LLM data
+pipelines (north-star extension; fixtures: documents.parquet).
+
+Scale design (the point of each algorithm):
+
+* **exact**: one hash-shuffle on a 128-bit content fingerprint.
+  At 100 TB this is the cheapest possible dedup — shuffle volume is
+  O(rows × 16 bytes), never the payload (min-id selection via
+  min_by keeps only one id per fingerprint in flight).
+* **n-gram Jaccard (exact near-dup)**: explode shingles → self-join on
+  shingle → per-pair intersection counts. Quadratic only *within* a
+  shingle's posting list — the classic inverted-index bound. Hot
+  shingles are skew: cap posting lists (drop shingles shared by > P
+  docs — they carry no discrimination) exactly like search engines
+  drop stop-shingles.
+* **MinHash + LSH**: signatures via k independent hash slots
+  (xxhash64 with per-slot salt — deterministic, no RNG state), banded
+  into b bands of r rows; candidate pairs = docs sharing a band
+  bucket. Turns O(n²) into O(candidates). The 100 TB path: bands are
+  a groupBy key — pure shuffle, no driver state.
+* **SimHash**: 64-bit weighted bit-vote fingerprint; near-dups =
+  fingerprints within Hamming distance d, found by pigeonhole band
+  join (split 64 bits into d+1 blocks; any pair within distance d
+  shares ≥1 exact block).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sparkswift.operators.text import fingerprint
+
+
+def dedup_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: str = "min",
+) -> DataFrame:
+    """Exact dedup on normalized-content fingerprint; keeps the min
+    (or max) id per group and counts collapsed copies."""
+    fp = fingerprint(df, text_col, "__fp")
+    keep_fn = F.min if keep == "min" else F.max
+    return (
+        fp.groupBy("__fp")
+        .agg(
+            keep_fn(F.col(id_col)).alias(id_col),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        )
+        .drop("__fp")
+        .select(id_col, "n_copies")
+    )
+
+
+def word_shingles(col: str | Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (space-joined) of a text column."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != F.lit(""))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+    # a doc shorter than k words contributes its whole text as one shingle
+    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", toks))))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_posting: int | None = None,
+) -> DataFrame:
+    """Exact near-dup pairs by k-word-shingle Jaccard ≥ threshold.
+
+    The threshold test is done in *integer* cross-multiplied form
+    (inter/union ≥ t  ⇔  inter·den ≥ num·union for t = num/den), so
+    candidate selection is float-free; the reported ``jaccard`` is one
+    exact integer division — deterministic across engines.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")
+    ).withColumn("n_sh", F.size("sh").cast("bigint"))
+    posting = sh.select("id", "n_sh", F.explode("sh").alias("s"))
+    if max_posting is not None:
+        # drop stop-shingles: posting lists longer than max_posting are
+        # skew without discrimination (documented recall caveat)
+        hot = posting.groupBy("s").count().filter(F.col("count") > max_posting)
+        posting = posting.join(hot.select("s"), "s", "left_anti")
+    a = posting.select(
+        F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "s"
+    )
+    b = posting.select(
+        F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "s"
+    )
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    num, den = int(round(threshold * 10000)), 10000
+    union = F.col("n_a") + F.col("n_b") - F.col("inter")
+    return (
+        inter.filter(F.col("inter") * den >= num * union)
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter").cast("double") / union.cast("double")).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(shingle_arr: Column, num_hashes: int = 64) -> Column:
+    """num_hashes-slot MinHash signature: slot i = min over shingles of
+    xxhash64(shingle, salt=i). Deterministic (no RNG), computed per row
+    with zero shuffle."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_arr, lambda s: F.xxhash64(s, F.lit(i)))
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    verify_threshold: float | None = 0.8,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash LSH, optionally
+    verified with exact shingle Jaccard.
+
+    bands=16 × rows=4 over 64 hashes → candidate probability
+    ≈ 1-(1-j⁴)¹⁶ (≈0.99 at j=0.8). Band buckets are a groupBy key —
+    the shuffle is O(rows × bands), and no executor ever holds more
+    than one bucket's ids.
+    """
+    rows_per_band = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    banded = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(F.col("sig"), b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = banded.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bucket"
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bucket"
+    )
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if verify_threshold is None:
+        return cand.select("id_a", "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    union = (
+        F.size("sh_a").cast("bigint") + F.size("sh_b").cast("bigint") - inter
+    )
+    num, den = int(round(verify_threshold * 10000)), 10000
+    return (
+        cand.withColumn("inter", inter)
+        .withColumn("union_", union)
+        .filter(F.col("inter") * den >= num * F.col("union_"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter").cast("double") / F.col("union_").cast("double")).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(hashes_col: str) -> Column:
+    """64-bit SimHash from a precomputed array<long> of token hashes:
+    bit-vote per position, sign of the vote is the fingerprint bit.
+
+    One SQL higher-order expression (PySpark's shiftright wrapper only
+    takes literal counts, but the SQL `>>` form accepts expressions):
+    votes accumulate into an array<long>[64], then fold to the 64-bit
+    fingerprint. Expression-only — no UDF, no shuffle.
+    """
+    return F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            aggregate(
+              {hashes_col},
+              array_repeat(cast(0 as bigint), 64),
+              (acc, h) -> transform(acc, (v, i) ->
+                 v + IF(((h >> i) & 1) = 1, 1, -1))
+            ),
+            sequence(0, 63),
+            (v, i) -> IF(v > 0, shiftleft(cast(1 as bigint), i), cast(0 as bigint))
+          ),
+          cast(0 as bigint),
+          (acc, b) -> acc | b
+        )
+        """
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ max_hamming via
+    pigeonhole band join: 64 bits split into max_hamming+1 blocks; any
+    qualifying pair matches exactly on ≥1 block. Join key =
+    (block_idx, block_bits) — again a pure shuffle join."""
+    from sparkswift.operators.text import tokens
+
+    blocks = max_hamming + 1
+    bits = 64 // blocks
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("__hashes"),
+    ).select("id", simhash64("__hashes").alias("sim"))
+    banded = sh.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("sim"), i * bits)
+                        .bitwiseAND(F.lit((1 << bits) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sim", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
+    l = banded.select(F.col("id").alias("id_a"), F.col("sim").alias("sim_a"), "blk", "key")
+    r = banded.select(F.col("id").alias("id_b"), F.col("sim").alias("sim_b"), "blk", "key")
+    cand = (
+        l.join(r, ["blk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.withColumn("hamming", ham.cast("int")).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

@@ -1,0 +1,186 @@
+"""Embedding similarity search (north-star extension; fixture:
+embeddings.parquet, array<float> dim 64).
+
+Determinism design: embeddings are quantized to integer grids
+(round(x·10⁶) as long) so dot products and norms are *exact integer
+arithmetic* — associative, partition-order independent, identical in
+any engine. The final cosine is a single double expression over those
+integers. This removes every float-summation-order hazard from the
+correctness path at zero cost (the quantization error ~1e-6 is far
+below any meaningful similarity resolution).
+
+Scale design:
+* brute-force top-k: broadcast the (small) query set; one pass over
+  the corpus, per-partition top-k via window rank — never a global
+  sort of n×q pairs.
+* LSH-bucketed: sign-random-projection signatures (deterministic
+  hash-derived hyperplanes) → band join, the same shuffle-only shape
+  as MinHash; probes only same-bucket candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 1_000_000
+
+
+def quantize(col: str | Column, scale: int = QUANT) -> Column:
+    """array<float> → array<long> on a 1/scale grid (exact integer
+    domain for all downstream arithmetic)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: F.round(x.cast("double") * scale).cast("long"))
+
+
+def dot_long(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two array<long> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def norm2_long(a: Column) -> Column:
+    return dot_long(a, a)
+
+
+def cosine(dot: Column, n2a: Column, n2b: Column) -> Column:
+    """cos = dot / (‖a‖·‖b‖) as one double expression over exact ints."""
+    return dot.cast("double") / (
+        F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double"))
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: for each query vector, the k
+    most similar corpus vectors (excluding itself).
+
+    Plan shape: corpus quantized once; queries quantized and
+    **broadcast**; a single map-side nested-loop join computes all
+    pairs; rank window partitioned by query id takes top-k. At 100 TB
+    corpus × small query set this is one scan, no corpus shuffle
+    before the (tiny) rank exchange.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), quantize(vec_col).alias("cv")
+    ).withColumn("cn", norm2_long(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv")
+    ).withColumn("qn", norm2_long(F.col("qv")))
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("corpus_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "corpus_id",
+        cosine(dot_long(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("corpus_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "rnk", "cos_sim")
+    )
+
+
+def srp_signature(vec: Column, bits: int = 16, dim: int = 64) -> Column:
+    """Sign-random-projection signature: bit j = sign(v · h_j) where
+    hyperplane h_j components are deterministic pseudo-random ±1
+    derived from xxhash64(j, i) — no RNG state, reproducible on any
+    cluster."""
+    def bit(j: int) -> Column:
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, i: F.when(
+                    F.xxhash64(F.lit(j), i).bitwiseAND(F.lit(1)) == 1, x
+                ).otherwise(-x),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        sig = sig.bitwiseXOR(bit(j))
+    return sig
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Approximate top-k: candidates = pairs sharing ≥1 signature band
+    (bits/bands bits each), then exact integer cosine on candidates
+    only. Same output schema as cosine_topk; recall < 1 by design —
+    benchmarked against the exact operator in tests."""
+    bb = bits // bands
+
+    def banded(df: DataFrame, prefix: str) -> DataFrame:
+        qcol = quantize(vec_col)
+        base = df.select(
+            F.col(id_col).alias(f"{prefix}_id"), qcol.alias(f"{prefix}v")
+        ).withColumn(f"{prefix}n", norm2_long(F.col(f"{prefix}v"))).withColumn(
+            "sig", srp_signature(F.col(f"{prefix}v"), bits)
+        )
+        return base.select(
+            f"{prefix}_id",
+            f"{prefix}v",
+            f"{prefix}n",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright(F.col("sig"), b * bb)
+                            .bitwiseAND(F.lit((1 << bb) - 1))
+                            .alias("key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(
+            f"{prefix}_id", f"{prefix}v", f"{prefix}n",
+            F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+        )
+
+    c = banded(corpus, "corpus")
+    q = banded(queries, "query")
+    cand = (
+        c.join(q, ["band", "key"])
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "corpus_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "corpus_id",
+        cosine(
+            dot_long(F.col("queryv"), F.col("corpusv")), F.col("queryn"), F.col("corpusn")
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("corpus_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "rnk", "cos_sim")
+    )

@@ -1,0 +1,117 @@
+"""Text-analysis operators for LLM data pipelines (north-star
+extension — absent from the reference, mandated by BASELINE.json).
+
+All hot-path operators are pure Catalyst expressions (split/filter/
+transform/regexp on JVM side, whole-stage codegen) — at 100 TB there
+is no Python in the loop. Ratios are single double divisions of exact
+integer counts, so results are bit-deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the heuristic lang-id vote;
+# deliberately small so the same literal lists can be inlined into the
+# DuckDB oracle
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "la", "los", "de", "que", "es"),
+    "fr": ("le", "la", "les", "et", "est", "un"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization (regex split, empty tokens dropped)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != F.lit(""))
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def char_count(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c).cast("bigint")
+
+
+def stopword_count(col: str | Column, stopwords: tuple[str, ...]) -> Column:
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(tokens(col), lambda x: F.array_contains(sw, x))).cast("bigint")
+
+
+def non_alpha_space_count(col: str | Column) -> Column:
+    """Characters outside [a-z0-9 ] after lowercasing — punctuation-ish."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.length(c) - F.length(F.regexp_replace(F.lower(c), "[^a-z0-9 ]", ""))).cast(
+        "bigint"
+    )
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / token / punctuation / stopword quality metrics — the
+    standard pre-training filter features (C4/Gopher-style rules),
+    computed natively."""
+    n_tok = token_count(text_col)
+    n_char = char_count(text_col)
+    return df.withColumns(
+        {
+            "n_chars_m": n_char,
+            "n_tokens": n_tok,
+            "avg_token_len": (
+                (n_char - n_tok + 1).cast("double") / n_tok.cast("double")
+            ),
+            "punct_ratio": non_alpha_space_count(text_col).cast("double")
+            / n_char.cast("double"),
+            "stopword_ratio": stopword_count(text_col, STOPWORDS["en"]).cast("double")
+            / n_tok.cast("double"),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite 0-100 score: full marks for mid-length, low-punct,
+    stopword-bearing text. Integer-arithmetic conditions + one double
+    combination — deterministic."""
+    m = quality_metrics(df, text_col)
+    score = (
+        F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 10000), F.lit(40.0)).otherwise(F.lit(0.0))
+        + F.when(F.col("punct_ratio") <= 0.1, F.lit(30.0)).otherwise(F.lit(0.0))
+        + F.when(F.col("stopword_ratio") >= 0.01, F.lit(30.0)).otherwise(F.lit(0.0))
+    )
+    return m.withColumn("quality_score", score.cast("double"))
+
+
+def lang_id(df: DataFrame, text_col: str = "text", output_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: per-language stopword vote, argmax with
+    deterministic tie-break (vote desc, lang asc); 'und' when no
+    stopword hits. Pure expression — no UDF, no shuffle."""
+    votes = [
+        F.struct(
+            stopword_count(text_col, sw).alias("v"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, sw in sorted(STOPWORDS.items())
+    ]
+    # fold in sorted-lang order; strict > keeps the first (smallest
+    # lang) on vote ties — deterministic argmax
+    arr = F.array(*votes)
+    best = F.aggregate(
+        arr,
+        F.struct(F.lit(-1).cast("bigint").alias("v"), F.lit("").alias("lang")),
+        lambda acc, x: F.when(x["v"] > acc["v"], x).otherwise(acc),
+    )
+    return df.withColumn(
+        output_col, F.when(best["v"] > 0, best["lang"]).otherwise(F.lit("und"))
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", output_col: str = "fp") -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized, lowercased
+    text — the exact-dedup key. md5 is identical across engines."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(output_col, F.md5(norm))

@@ -477,3 +477,9 @@ def o6_resample_udf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         func=bucket_stats,
         schema="bucket_ts timestamp, med double, n bigint",
     )
+
+
+# sub-suites register themselves on import (bottom import is deliberate:
+# they need `register` defined above)
+from sparkswift import suite_relational  # noqa: E402,F401
+from sparkswift import suite_llm  # noqa: E402,F401

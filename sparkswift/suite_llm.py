@@ -1,0 +1,248 @@
+"""LLM-data-pipeline operator queries (north-star extensions):
+text analysis, fingerprinting, dedup (exact / exact-Jaccard /
+MinHash-LSH / SimHash), embedding similarity (exact + LSH), and
+multimodal decode plumbing.
+
+Where the algorithm is hash-based (MinHash, SimHash, SRP-LSH) the
+engines can't share an oracle — those entries are rows-only checks,
+with recall measured against the exact operator in tests/.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkswift.operators import dedup as dd
+from sparkswift.operators import multimodal as mm
+from sparkswift.operators import similarity as sim
+from sparkswift.operators import text as tx
+from sparkswift.sources import load_table
+from sparkswift.suite import register
+
+_SW_EN = "'the','a','of','and','to','in','is'"
+_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------------
+# Text quality metrics + composite score — all native expressions.
+# ---------------------------------------------------------------------------
+@register(
+    "t1_text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks, CAST(LENGTH(text) AS BIGINT) AS n_chars_m
+      FROM documents
+    )
+    SELECT doc_id,
+           n_chars_m,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(n_chars_m - len(toks) + 1 AS DOUBLE) / len(toks) AS avg_token_len,
+           CAST(n_chars_m - LENGTH(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+               / n_chars_m AS punct_ratio,
+           CAST(len(list_filter(toks, x -> x IN ({_SW_EN}))) AS DOUBLE) / len(toks)
+               AS stopword_ratio,
+           CAST( (CASE WHEN len(toks) BETWEEN 10 AND 10000 THEN 40.0 ELSE 0.0 END)
+               + (CASE WHEN CAST(n_chars_m - LENGTH(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / n_chars_m <= 0.1 THEN 30.0 ELSE 0.0 END)
+               + (CASE WHEN CAST(len(list_filter(toks, x -> x IN ({_SW_EN}))) AS DOUBLE) / len(toks) >= 0.01 THEN 30.0 ELSE 0.0 END)
+             AS DOUBLE) AS quality_score
+    FROM t
+    """,
+)
+def t1_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = tx.quality_score(docs, "text")
+    return out.select(
+        "doc_id", "n_chars_m", "n_tokens", "avg_token_len", "punct_ratio",
+        "stopword_ratio", "quality_score",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heuristic language ID — stopword vote argmax, pure expression.
+# ---------------------------------------------------------------------------
+def _lang_vote_sql(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in tx.STOPWORDS[lang])
+    return f"CAST(len(list_filter(toks, x -> x IN ({words}))) AS BIGINT)"
+
+
+@register(
+    "t2_lang_id",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    v AS (SELECT doc_id,
+                 {_lang_vote_sql('de')} AS v_de, {_lang_vote_sql('en')} AS v_en,
+                 {_lang_vote_sql('es')} AS v_es, {_lang_vote_sql('fr')} AS v_fr,
+                 {_lang_vote_sql('zh')} AS v_zh
+          FROM t),
+    m AS (SELECT *, greatest(v_de, v_en, v_es, v_fr, v_zh) AS mx FROM v)
+    SELECT doc_id,
+           CASE WHEN mx <= 0 THEN 'und'
+                WHEN v_de = mx THEN 'de'
+                WHEN v_en = mx THEN 'en'
+                WHEN v_es = mx THEN 'es'
+                WHEN v_fr = mx THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM m
+    """,
+)
+def t2_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.lang_id(docs, "text").select("doc_id", "lang_pred")
+
+
+# ---------------------------------------------------------------------------
+# Content fingerprint (md5 of normalized text).
+# ---------------------------------------------------------------------------
+@register(
+    "t3_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def t3_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.fingerprint(docs, "text", "fp").select("doc_id", "fp")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup — input deliberately doubled (the fixture has no exact
+# dups), so the operator must collapse every text to one survivor with
+# n_copies=2.
+# ---------------------------------------------------------------------------
+@register(
+    "d1_dedup_exact",
+    r"""
+    WITH u AS (SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 100000, text FROM documents),
+    f AS (SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          FROM u)
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM f GROUP BY fp
+    """,
+)
+def d1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+    )
+    return dd.dedup_exact(doubled, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Exact near-dup: 3-word-shingle Jaccard ≥ 0.8 via inverted-index
+# join; integer cross-multiplied threshold (float-free candidate set).
+# ---------------------------------------------------------------------------
+@register(
+    "d2_ngram_jaccard",
+    r"""
+    WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+               FROM documents),
+    s AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                      THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                      ELSE [array_to_string(toks, ' ')] END AS sh
+          FROM t),
+    e AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, unnest(sh) AS s FROM s),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+                 CAST(COUNT(*) AS BIGINT) AS inter
+          FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / (n_a + n_b - inter) AS jaccard
+    FROM p
+    WHERE inter * 10000 >= 8000 * (n_a + n_b - inter)
+    """,
+)
+def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# MinHash+LSH near-dup (hash family differs per engine → rows-only;
+# recall vs d2 asserted in tests/test_llm_ops.py).
+# ---------------------------------------------------------------------------
+@register("d3_minhash_lsh", None)
+def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", k=3, num_hashes=64, bands=16, verify_threshold=0.8
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup (rows-only).
+# ---------------------------------------------------------------------------
+@register("d4_simhash", None)
+def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Exact cosine top-k: label-0 vectors as queries against the whole
+# corpus. Integer-quantized arithmetic keeps every partial sum below
+# 2^53 → bit-identical in both engines (see operators/similarity.py).
+# ---------------------------------------------------------------------------
+@register(
+    "e1_cosine_topk",
+    """
+    WITH v AS (SELECT vec_id, label,
+                      list_transform(embedding,
+                                     x -> round(CAST(x AS DOUBLE) * 1000000)) AS q
+               FROM embeddings),
+    n AS (SELECT vec_id, label, q, list_inner_product(q, q) AS n2 FROM v),
+    p AS (SELECT qv.vec_id AS query_id, cv.vec_id AS corpus_id,
+                 list_inner_product(qv.q, cv.q) / (sqrt(qv.n2) * sqrt(cv.n2)) AS cos_sim
+          FROM n qv JOIN n cv ON cv.vec_id <> qv.vec_id
+          WHERE qv.label = 0),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, corpus_id) AS rnk
+          FROM p)
+    SELECT query_id, corpus_id, CAST(rnk AS BIGINT) AS rnk, cos_sim
+    FROM r WHERE rnk <= 5
+    """,
+)
+def e1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0)
+    return sim.cosine_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed cosine top-k (approximate; rows-only — recall vs e1
+# asserted in tests).
+# ---------------------------------------------------------------------------
+@register("e2_cosine_topk_lsh", None)
+def e2_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0)
+    return sim.cosine_topk_lsh(emb, queries, k=5, bits=32, bands=8)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal decode plumbing: synthesized binary payloads → Arrow-
+# batched pseudo-decode. byte_len and sha256 are oracle-checkable.
+# ---------------------------------------------------------------------------
+@register(
+    "mm1_decode",
+    """
+    SELECT doc_id AS id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def mm1_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = mm.attach_payload(docs, "text")
+    return mm.decode_image(with_payload, "doc_id", "payload").select(
+        "id", "byte_len", "sha256"
+    )

@@ -1,0 +1,253 @@
+"""Relational coverage — joins, sorts/top-k, set ops, distinct and
+grouped-set aggregates, ranking windows.
+
+The reference delegates ALL of this to pandas (SURVEY.md §2.2 — zero
+join/sort/set-op code of its own); these queries demonstrate the
+engine's native coverage with 100 TB-aware plans:
+
+* small dims (region/nation/customer/supplier) are **broadcast** —
+  no shuffle of the fact table for star joins;
+* the only shuffles are the final aggregations on low-cardinality keys;
+* top-k uses orderBy+limit which Spark executes as TakeOrdered
+  (per-partition heap + driver merge of k rows, never a full sort).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkswift.sources import load_table
+from sparkswift.suite import D, register
+
+
+# ---------------------------------------------------------------------------
+# Star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region (TPC-H
+# Q5 shape). Dim tables broadcast; fact table never shuffles until the
+# 25-key aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "j1_revenue_by_nation",
+    f"""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS {D}) * (1 - CAST(l_discount AS {D}))) AS DOUBLE)
+               AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY n_name
+    """,
+)
+def j1_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice").cast(D) * (F.lit(1) - F.col("l_discount").cast(D))
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi join — EXISTS: orders having at least one large-quantity item.
+# left_semi never materializes the right side's columns, and Spark
+# broadcasts the smaller side; at 100 TB this is the shape for
+# "filter fact by fact" predicates.
+# ---------------------------------------------------------------------------
+@register(
+    "j2_semi_join",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+    """,
+)
+def j2_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    big = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    return orders.join(
+        big, orders.o_orderkey == big.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# Anti join — NOT EXISTS: customers with no urgent orders (every
+# customer has *some* order in the fixture, so the plain variant would
+# be an empty — weak — check).
+# ---------------------------------------------------------------------------
+@register(
+    "j3_anti_join",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    """,
+)
+def j3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Top-k: orderBy+limit → TakeOrderedAndProject (per-partition heaps,
+# k-row driver merge — no global sort at any scale). Unique tiebreak
+# key keeps the result set deterministic under ties.
+# ---------------------------------------------------------------------------
+@register(
+    "s1_topk_orders",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def s1_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops: UNION / INTERSECT / EXCEPT on key sets.
+# ---------------------------------------------------------------------------
+@register(
+    "set1_union_except",
+    """
+    WITH urgent AS (SELECT DISTINCT o_custkey AS k FROM orders
+                    WHERE o_orderpriority = '1-URGENT'),
+         rich   AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
+         open_o AS (SELECT DISTINCT o_custkey AS k FROM orders
+                    WHERE o_orderstatus = 'O')
+    SELECT k FROM (
+      SELECT k FROM urgent UNION SELECT k FROM rich
+      EXCEPT SELECT k FROM open_o
+    ) t
+    """,
+)
+def set1_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    rich = cust.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("k"))
+    open_o = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    return urgent.union(rich).distinct().exceptAll(open_o).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregate: exact count(distinct) per group (shuffle-dedup
+# then count; Spark expands distinct aggs into a two-phase plan).
+# ---------------------------------------------------------------------------
+@register(
+    "agg1_count_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS distinct_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg1_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").cast("bigint").alias("distinct_supps"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct (HyperLogLog++). Sketch internals differ across
+# engines, so no SQL oracle — the driver records a rows-only check;
+# the companion test asserts the estimate is within rsd of the exact
+# count.
+# ---------------------------------------------------------------------------
+@register("agg2_approx_distinct", None)
+def agg2_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").cast("bigint").alias("exact_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets: ROLLUP over (returnflag, linestatus) — subtotals and
+# grand total; null-marker rows must match the oracle's.
+# ---------------------------------------------------------------------------
+@register(
+    "agg3_rollup",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS {D})) AS DOUBLE) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg3_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(D)).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ranking/analytic windows: rank (tie-stable) and lag (tie-broken
+# ordering) — built-in extras beyond the reference's rolling-only
+# window surface (SURVEY.md §2.2).
+# ---------------------------------------------------------------------------
+@register(
+    "w1_rank_lag",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+                AS BIGINT) AS price_rank,
+           LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS prev_price
+    FROM orders
+    """,
+)
+def w1_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    by_price = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    by_date = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(by_price).cast("bigint").alias("price_rank"),
+        F.lag("o_totalprice").over(by_date).alias("prev_price"),
+    )

@@ -1,0 +1,86 @@
+"""LLM-pipeline extension ops: recall of approximate algorithms vs
+their exact counterparts, plus multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkswift.operators import dedup as dd
+from sparkswift.operators import multimodal as mm
+from sparkswift.operators import similarity as sim
+from sparkswift.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b) for r in df.collect()}
+
+
+def test_minhash_recall_vs_exact(docs):
+    exact = _pairs(dd.ngram_jaccard_pairs(docs, threshold=0.8))
+    approx = _pairs(dd.minhash_lsh_pairs(docs, verify_threshold=0.8))
+    # verification step guarantees precision == 1; recall is the LSH
+    # tuning question (16 bands × 4 rows ⇒ ~0.99 at j=0.8)
+    assert approx <= exact
+    if exact:
+        assert len(approx & exact) / len(exact) >= 0.8
+
+
+def test_simhash_finds_near_dups(docs):
+    out = dd.simhash_pairs(docs, max_hamming=3)
+    got = out.collect()
+    assert all(r.hamming <= 3 for r in got)
+    # symmetric dedup: no (b,a) duplicates, no self-pairs
+    ids = {(r.id_a, r.id_b) for r in got}
+    assert all(a < b for a, b in ids)
+
+
+def test_dedup_exact_idempotent(docs):
+    once = dd.dedup_exact(docs.select("doc_id", "text"))
+    assert once.count() == docs.select("text").distinct().count()
+    assert once.agg(F.max("n_copies")).first()[0] == 1
+
+
+def test_lsh_topk_recall_vs_exact(emb):
+    queries = emb.filter(F.col("label") == 0)
+    exact = {
+        (r.query_id, r.corpus_id)
+        for r in sim.cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.corpus_id)
+        for r in sim.cosine_topk_lsh(emb, queries, k=5, bits=32, bands=8).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.5  # LSH recall floor
+
+
+def test_cosine_topk_self_excluded_and_ranked(emb):
+    queries = emb.filter(F.col("label") == 0).limit(3)
+    out = sim.cosine_topk(emb, queries, k=4).toPandas()
+    assert (out.query_id != out.corpus_id).all()
+    for _, g in out.groupby("query_id"):
+        assert list(g.sort_values("rnk")["cos_sim"]) == sorted(g["cos_sim"], reverse=True)
+        assert len(g) == 4
+
+
+def test_multimodal_decode_stub_paths(docs):
+    wp = mm.attach_payload(docs.limit(20), "text")
+    out = mm.decode_image(wp).toPandas()
+    assert len(out) == 20
+    assert (out.byte_len > 0).all()
+    assert out.sha256.str.len().eq(64).all()
+    assert out.feat.map(len).eq(8).all()
+    # non-fake path must raise cleanly (real codecs absent by design)
+    with pytest.raises(Exception) as ei:
+        mm.decode_image(wp, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
