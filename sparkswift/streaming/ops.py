@@ -1,0 +1,152 @@
+"""Structured Streaming variants of the window operators (M4 of
+SURVEY.md §7 — pure addition; the reference is batch-only, its
+resample/rolling live at swifter/swifter.py:710-824).
+
+Design: the SAME bucket semantics as operators/resample.py, on an
+unbounded source. ``withWatermark`` bounds state (late data beyond
+the delay is dropped); ``F.window``/``F.session_window`` give
+tumbling/sliding/session windows. ``applyInPandasWithState`` hosts
+arbitrary per-key running state.
+
+Scale notes: streaming aggregation state is partitioned by group key
+across executors (RocksDB state store in production); watermark delay
+× key cardinality bounds the state size. availableNow triggers batch
+back-fills through the identical code path — one definition for
+batch + streaming is the point.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture. Schema comes from a
+    batch peek (file streams need an explicit schema); the ns-long ts
+    is converted exactly as in the batch loader."""
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the file source wants a directory; glob-filter to the one table
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return src
+
+
+def stream_resample(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    rule: str = "1 hour",
+    watermark: str = "2 hours",
+    extra_keys: list[str] | None = None,
+    aggs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Streaming tumbling-window aggregation — the streaming twin of
+    resample_agg (same window fn → identical buckets)."""
+    aggs = aggs or {"n": F.count(F.lit(1)).cast("bigint")}
+    keys = [F.window(F.col(ts_col), rule)] + [F.col(k) for k in (extra_keys or [])]
+    out = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+    )
+    return out.select(
+        F.col("window.start").alias("bucket_ts"), *(extra_keys or []), *aggs.keys()
+    )
+
+
+def run_stream_to_batch(streaming_df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Execute a streaming aggregation to completion (AvailableNow)
+    into a memory sink and return the materialized result — the bridge
+    that lets the driver's batch-oracle check a genuine streaming
+    plan. Complete mode emits every window regardless of watermark
+    (append would withhold windows newer than the final watermark)."""
+    name = f"ss_{uuid.uuid4().hex[:12]}"
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = streaming_df.sparkSession
+    return spark.table(name)
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "10 minutes",
+    keys: list[str] | None = None,
+    aggs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Session windows (gap-merged): works identically on batch and
+    streaming inputs (F.session_window). Emits session_start/end per
+    key. State per open session on streams; bounded by watermark."""
+    keys = keys or ["user_id"]
+    aggs = aggs or {"n": F.count(F.lit(1)).cast("bigint")}
+    out = df.groupBy(F.session_window(F.col(ts_col), gap), *keys).agg(
+        *[c.alias(n) for n, c in aggs.items()]
+    )
+    return out.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *keys,
+        *aggs.keys(),
+    )
+
+
+_STATE_SCHEMA = "cnt long, total_q long"
+_OUT_SCHEMA = "user_id bigint, events_seen bigint, value_total double"
+
+
+def stateful_running_totals(stream: DataFrame, key: str = "user_id") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key
+    running event count + value total, persisted across micro-batches
+    (the streaming analog of an accumulating groupby-apply).
+
+    State is one (count, total) pair per key — O(keys), not O(rows).
+    The total accumulates on a 1e-4 integer grid (exact, order
+    independent — same policy as the batch suite); the emitted double
+    is one division at read-out.
+    """
+    import numpy as np
+
+    def update(
+        key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cnt, total_q = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            total_q += int(
+                np.round(pdf["value"].to_numpy() * 10000).astype("int64").sum()
+            )
+        state.update((cnt, total_q))
+        yield pd.DataFrame(
+            {
+                "user_id": [key_tuple[0]],
+                "events_seen": [cnt],
+                "value_total": [total_q / 10000.0],
+            }
+        )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

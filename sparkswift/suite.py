@@ -483,3 +483,4 @@ def o6_resample_udf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 # they need `register` defined above)
 from sparkswift import suite_relational  # noqa: E402,F401
 from sparkswift import suite_llm  # noqa: E402,F401
+from sparkswift import suite_streaming  # noqa: E402,F401

@@ -1,0 +1,125 @@
+"""Streaming suite — genuine Structured Streaming plans executed to
+completion (AvailableNow → memory sink) so the DuckDB batch oracle
+can check them: the strongest possible stream/batch-parity statement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkswift.sources import load_table
+from sparkswift.streaming.ops import (
+    events_stream,
+    run_stream_to_batch,
+    sessionize,
+    stream_resample,
+)
+from sparkswift.suite import D, register
+
+
+# ---------------------------------------------------------------------------
+# Streaming tumbling-window resample, run through a real streaming
+# plan (StateStore + watermark) and materialized. Oracle = plain
+# GROUP BY date_trunc: stream output must equal the batch answer.
+# ---------------------------------------------------------------------------
+@register(
+    "st1_stream_resample",
+    f"""
+    SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+           CAST(SUM(CAST(value AS {D})) AS DOUBLE) AS sum_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def st1_stream_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = events_stream(spark, sf_dir)
+    agg = stream_resample(
+        src,
+        ts_col="ts",
+        rule="1 hour",
+        watermark="2 hours",
+        extra_keys=["event_type"],
+        aggs={
+            "sum_value": F.sum(F.col("value").cast(D)).cast("double"),
+            "n": F.count(F.lit(1)).cast("bigint"),
+        },
+    )
+    return run_stream_to_batch(agg, mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# Session windows (10-minute gap) per user — batch form of the same
+# session_window operator the streaming path uses. Oracle: classic
+# gaps-and-islands (lag + cumulative break-sum) in exact microsecond
+# arithmetic. Spark merges events with diff < gap; ties share a
+# bucket either way.
+# ---------------------------------------------------------------------------
+@register(
+    "sw1_session_window",
+    f"""
+    WITH x AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= 600000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events),
+    y AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM x)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS {D})) AS DOUBLE) AS sum_value
+    FROM y GROUP BY user_id, sid
+    """,
+)
+def sw1_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(
+        ev,
+        ts_col="ts",
+        gap="10 minutes",
+        keys=["user_id"],
+        aggs={
+            "n": F.count(F.lit(1)).cast("bigint"),
+            "sum_value": F.sum(F.col("value").cast(D)).cast("double"),
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful streaming operator (applyInPandasWithState): per-user
+# running totals. After a full AvailableNow pass the final state equals
+# a plain GROUP BY — which is the oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "st2_stateful_totals",
+    f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS events_seen,
+           CAST(SUM(CAST(value AS {D})) AS DOUBLE) AS value_total
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def st2_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.streaming.ops import stateful_running_totals
+
+    src = events_stream(spark, sf_dir)
+    out = stateful_running_totals(src, "user_id")
+    res = run_stream_to_batch(out, mode="update")
+    # update mode re-emits a row per key per micro-batch; the final
+    # state per key is the max events_seen row
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("events_seen").desc())
+    return (
+        res.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
