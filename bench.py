@@ -48,6 +48,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = suite.queries()
 
+    # warm the JVM / codegen / parquet footer cache so per-query times
+    # measure steady-state plan cost, not first-query startup
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    spark.range(1_000_000).selectExpr("sum(id * 2)").collect()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]

@@ -32,6 +32,16 @@ from pyspark.sql import functions as F
 from sparkswift.operators.text import fingerprint
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to the session's parallelism before compute-heavy
+    per-row expression work. Small/single-file inputs otherwise arrive
+    as ONE partition (one row group -> one task) and the whole shingle/
+    signature computation runs on a single core; at real scale inputs
+    already have many partitions and AQE coalesces any excess."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par)
+
+
 def dedup_exact(
     df: DataFrame,
     text_col: str = "text",
@@ -81,8 +91,8 @@ def ngram_jaccard_pairs(
     candidate selection is float-free; the reported ``jaccard`` is one
     exact integer division — deterministic across engines.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")
+    sh = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id", word_shingles(text_col, k).alias("sh")
     ).withColumn("n_sh", F.size("sh").cast("bigint"))
     posting = sh.select("id", "n_sh", F.explode("sh").alias("s"))
     if max_posting is not None:
@@ -150,12 +160,14 @@ def minhash_lsh_pairs(
     than one bucket's ids.
     """
     rows_per_band = num_hashes // bands
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")
+    sh = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id", word_shingles(text_col, k).alias("sh")
     ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    # band join and pair-dedup on BARE IDS — the shingle arrays would
+    # otherwise ride through the shuffle `bands` times; they re-attach
+    # once per surviving pair below
     banded = sh.select(
         "id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -175,22 +187,22 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    left = banded.select(
-        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bucket"
-    )
-    right = banded.select(
-        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bucket"
-    )
-    cand = (
+    left = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    right = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    cand_ids = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     if verify_threshold is None:
-        return cand.select("id_a", "id_b")
+        return cand_ids
+    shmap = sh.select("id", "sh")
+    cand = cand_ids.join(
+        shmap.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(shmap.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
     union = (
         F.size("sh_a").cast("bigint") + F.size("sh_b").cast("bigint") - inter
@@ -257,8 +269,8 @@ def simhash_pairs(
 
     blocks = max_hamming + 1
     bits = 64 // blocks
-    sh = df.select(
-        F.col(id_col).alias("id"),
+    sh = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id",
         F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("__hashes"),
     ).select("id", simhash64("__hashes").alias("sim"))
     banded = sh.select(

@@ -135,6 +135,26 @@ def rolling_apply_udf(
     """
     out_name = output_col or f"{on}_roll_udf"
     ord_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+
+    # swifter-style adaptive route (reference swifter.py:309-317): if
+    # the UDF gives identical results on a raw ndarray window, use
+    # raw=True inside pandas.rolling — C-loop dispatch instead of a
+    # Series construction per window. Validated on a driver-side
+    # sample, exactly like the reference's vectorize-try gate.
+    use_raw = False
+    if isinstance(window, int):
+        try:
+            import numpy as np
+
+            sample = (
+                df.select(on).limit(max(window * 5, 50)).toPandas()[on]
+            )
+            a = sample.rolling(window, min_periods=1).apply(func, raw=False)
+            b = sample.rolling(window, min_periods=1).apply(func, raw=True)
+            use_raw = bool(np.allclose(a.to_numpy(), b.to_numpy(), equal_nan=True))
+        except Exception:
+            use_raw = False
+
     if partition_by:
         schema = T.StructType(
             list(df.schema.fields) + [T.StructField(out_name, T.DoubleType(), True)]
@@ -145,13 +165,14 @@ def rolling_apply_udf(
 
         def _per_entity(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(ord_cols)
+            kwargs = {} if min_periods is None else {"min_periods": min_periods}
             if is_time:
                 ser = pdf.set_index(pd.DatetimeIndex(pdf[order_by]))[on]
-                kwargs = {} if min_periods is None else {"min_periods": min_periods}
                 pdf[out_name] = ser.rolling(win, **kwargs).apply(func, raw=False).to_numpy()
             else:
-                kwargs = {} if min_periods is None else {"min_periods": min_periods}
-                pdf[out_name] = pdf[on].rolling(window, **kwargs).apply(func, raw=False).to_numpy()
+                pdf[out_name] = (
+                    pdf[on].rolling(window, **kwargs).apply(func, raw=use_raw).to_numpy()
+                )
             return pdf
 
         return df.groupBy(*partition_by).applyInPandas(_per_entity, schema)

@@ -26,6 +26,14 @@ from pyspark.sql import functions as F
 QUANT = 1_000_000
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition the corpus before per-row signature/dot-product
+    work — single-row-group parquet otherwise pins everything to one
+    task (see dedup._spread)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par)
+
+
 def quantize(col: str | Column, scale: int = QUANT) -> Column:
     """array<float> → array<long> on a 1/scale grid (exact integer
     domain for all downstream arithmetic)."""
@@ -67,7 +75,7 @@ def cosine_topk(
     corpus × small query set this is one scan, no corpus shuffle
     before the (tiny) rank exchange.
     """
-    c = corpus.select(
+    c = _spread(corpus.select(F.col(id_col), F.col(vec_col))).select(
         F.col(id_col).alias("corpus_id"), quantize(vec_col).alias("cv")
     ).withColumn("cn", norm2_long(F.col("cv")))
     q = queries.select(
@@ -133,17 +141,17 @@ def cosine_topk_lsh(
     benchmarked against the exact operator in tests."""
     bb = bits // bands
 
-    def banded(df: DataFrame, prefix: str) -> DataFrame:
-        qcol = quantize(vec_col)
-        base = df.select(
-            F.col(id_col).alias(f"{prefix}_id"), qcol.alias(f"{prefix}v")
+    def sigs(df: DataFrame, prefix: str) -> DataFrame:
+        return _spread(df.select(F.col(id_col), F.col(vec_col))).select(
+            F.col(id_col).alias(f"{prefix}_id"), quantize(vec_col).alias(f"{prefix}v")
         ).withColumn(f"{prefix}n", norm2_long(F.col(f"{prefix}v"))).withColumn(
             "sig", srp_signature(F.col(f"{prefix}v"), bits)
         )
+
+    def banded(base: DataFrame, prefix: str) -> DataFrame:
+        # band join + pair dedup on BARE IDS; vectors re-attach after
         return base.select(
             f"{prefix}_id",
-            f"{prefix}v",
-            f"{prefix}n",
             F.explode(
                 F.array(
                     *[
@@ -158,17 +166,20 @@ def cosine_topk_lsh(
                 )
             ).alias("bk"),
         ).select(
-            f"{prefix}_id", f"{prefix}v", f"{prefix}n",
-            F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+            f"{prefix}_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
         )
 
-    c = banded(corpus, "corpus")
-    q = banded(queries, "query")
-    cand = (
-        c.join(q, ["band", "key"])
+    cs, qemb = sigs(corpus, "corpus"), sigs(queries, "query")
+    cand_ids = (
+        banded(cs, "corpus")
+        .join(banded(qemb, "query"), ["band", "key"])
         .filter(F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id")
         .dropDuplicates(["query_id", "corpus_id"])
     )
+    cand = cand_ids.join(
+        qemb.select("query_id", "queryv", "queryn"), "query_id"
+    ).join(cs.select("corpus_id", "corpusv", "corpusn"), "corpus_id")
     scored = cand.select(
         "query_id",
         "corpus_id",

@@ -49,6 +49,15 @@ def get_spark(app_name: str = "sparkswift", cpus: int | None = None) -> SparkSes
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # InferFiltersFromGenerate duplicates the generator's input
+        # expression into a pushed-down size()>0 filter; for expensive
+        # array builders (shingling, signatures) that doubles the work
+        # and drags it below the compute repartition. Our exploded
+        # arrays are never empty — the rule is pure overhead here.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     return builder.getOrCreate()
 
