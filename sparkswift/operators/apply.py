@@ -211,3 +211,25 @@ def applymap(
             udf_cache[key] = _cellwise
         exprs.append(udf_cache[key](F.col(c)).alias(c))
     return df.select(*exprs)
+
+
+def apply_columns(
+    df: DataFrame,
+    func: Callable,
+    cols: list[str] | None = None,
+    returns: T.DataType | str = "double",
+) -> DataFrame:
+    """O2 ``axis=0`` — column-wise apply: the UDF reduces each column
+    (a Series) to one value; result is a single row with one field per
+    input column (pandas ``df.apply(func, axis=0)`` shape).
+
+    The reference could never parallelize this (dask path requires
+    axis==1, swifter.py:434, SURVEY §2.3 R5); here each column reduces
+    through a GROUPED_AGG pandas_udf over the whole frame — partial
+    aggregation per partition, one tiny final merge. Note Spark's
+    grouped-agg UDF ships each column's values to Python per
+    partition; for built-in reductions prefer df.agg(...) directly.
+    """
+    targets = cols or df.columns
+    u = F.pandas_udf(func, returns, functionType=F.PandasUDFType.GROUPED_AGG)
+    return df.agg(*[u(F.col(c)).alias(c) for c in targets])

@@ -484,3 +484,36 @@ def o6_resample_udf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 from sparkswift import suite_relational  # noqa: E402,F401
 from sparkswift import suite_llm  # noqa: E402,F401
 from sparkswift import suite_streaming  # noqa: E402,F401
+
+
+# ---------------------------------------------------------------------------
+# O2 axis=0 — column-wise reduction (the route the reference could
+# never parallelize: dask requires axis==1, swifter.py:434). Exact
+# integer-grid accumulation for cross-engine determinism.
+# ---------------------------------------------------------------------------
+@register(
+    "o2_apply_columns",
+    """
+    SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+               AS l_quantity,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+               AS l_discount,
+           CAST(SUM(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+               AS l_tax
+    FROM lineitem
+    """,
+)
+def o2_apply_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.apply import apply_columns
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_tax"
+    )
+
+    def mean_exact(s: pd.Series) -> float:
+        import numpy as np
+
+        total_q = int(np.round(s.to_numpy() * 10000).astype("int64").sum())
+        return (total_q / 10000.0) / len(s)
+
+    return apply_columns(li, mean_exact)
