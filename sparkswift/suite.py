@@ -517,3 +517,28 @@ def o2_apply_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (total_q / 10000.0) / len(s)
 
     return apply_columns(li, mean_exact)
+
+
+# ---------------------------------------------------------------------------
+# O7 — distributed-pandas passthrough (reference: modin accessor,
+# parallel_accessor.py:81-168). pandas API on Spark plays modin's
+# role; ps_apply vectorize-tries the UDF over the whole object then
+# falls back to elementwise apply. x*2+1 stays IEEE-exact per row, so
+# the oracle compares exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "o7_ps_apply",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity * 2 + 1 AS qx
+    FROM lineitem
+    """,
+)
+def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.pandas_api import ps_apply
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    psdf = li.pandas_api()
+    psdf["qx"] = ps_apply(psdf["l_quantity"], lambda s: s * 2 + 1)
+    return psdf.to_spark().select("l_orderkey", "l_linenumber", "qx")

@@ -112,6 +112,41 @@ def j3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# As-of join: for each click, the latest prior purchase by the same
+# user. Spark has no ASOF JOIN; sparkswift.operators.joins.asof_join
+# does it with ONE shuffle (union + last-non-null window) — no range
+# explosion, sort-merge-join cost at any scale. DuckDB's native ASOF
+# JOIN is the oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "j4_asof_join",
+    """
+    SELECT l.event_id, l.user_id, l.ts, r.value AS last_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def j4_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["value"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Top-k: orderBy+limit → TakeOrderedAndProject (per-partition heaps,
 # k-row driver merge — no global sort at any scale). Unique tiebreak
 # key keeps the result set deterministic under ties.

@@ -1,0 +1,91 @@
+"""asof_join vs pandas merge_asof as oracle (differential testing per
+SURVEY.md §5), plus the O7 pandas-on-Spark passthrough."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sparkswift.operators.joins import asof_join
+from sparkswift.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def ev(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def _pandas_asof(ev_pdf, tolerance=None):
+    left = (
+        ev_pdf[ev_pdf.event_type == "click"][["event_id", "user_id", "ts"]]
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    right = (
+        ev_pdf[ev_pdf.event_type == "purchase"][["user_id", "ts", "value"]]
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    kw = {"tolerance": pd.Timedelta(tolerance)} if tolerance else {}
+    return pd.merge_asof(
+        left, right, on="ts", by="user_id", direction="backward", **kw
+    )
+
+
+def _spark_asof(ev, tolerance=None):
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["value"], tolerance=tolerance,
+    )
+
+
+def test_asof_join_matches_merge_asof(ev):
+    got = (
+        _spark_asof(ev).toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    want = _pandas_asof(ev.toPandas()).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["event_id", "user_id", "value"]], want[["event_id", "user_id", "value"]]
+    )
+
+
+def test_asof_join_tolerance(ev):
+    got = (
+        _spark_asof(ev, tolerance="30 minutes")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        _pandas_asof(ev.toPandas(), tolerance="30 minutes")
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["event_id", "user_id", "value"]], want[["event_id", "user_id", "value"]]
+    )
+    # the tolerance must actually null something out
+    full = _spark_asof(ev).toPandas()
+    assert got["value"].isna().sum() > full["value"].isna().sum()
+
+
+def test_ps_apply_vectorized_and_fallback(spark, sf_dir):
+    from sparkswift.operators.pandas_api import ps_apply
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity").limit(100)
+    psser = li.pandas_api()["l_quantity"]
+
+    vec = ps_apply(psser, lambda s: s * 2 + 1).to_pandas().reset_index(drop=True)
+
+    def scalar_only(x):
+        if hasattr(x, "__len__"):  # reject whole-series call → fallback route
+            raise TypeError("scalar only")
+        return x * 2 + 1
+
+    fb = ps_apply(psser, scalar_only).to_pandas().reset_index(drop=True)
+    pd.testing.assert_series_equal(vec, fb, check_names=False)
