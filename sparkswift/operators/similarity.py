@@ -99,6 +99,103 @@ def cosine_topk(
     )
 
 
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup: every pair (id_a < id_b) with
+    cosine ≥ threshold, over the integer-quantized grid (engine-exact).
+
+    O(n²) pairs — this is the correctness baseline and oracle twin.
+    The 100 TB path is :func:`cosine_neardup_lsh`, which prunes the
+    pair space to same-LSH-bucket candidates first.
+    """
+    base = (
+        _spread(df.select(F.col(id_col), F.col(vec_col)))
+        .select(F.col(id_col).alias("id"), quantize(vec_col).alias("v"))
+        .withColumn("n2", norm2_long(F.col("v")))
+    )
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n2").alias("na")
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n2").alias("nb")
+    )
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        cosine(dot_long(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")).alias(
+            "cos_sim"
+        ),
+    ).filter(F.col("cos_sim") >= threshold)
+
+
+def _band_keys(sig: Column, bits: int, bands: int) -> Column:
+    """Explodeable array of (band, key) structs from a packed signature."""
+    bb = bits // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(sig, b * bb).bitwiseAND(F.lit((1 << bb) - 1)).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def cosine_neardup_lsh(
+    df: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Approximate embedding-cosine near-dup: candidates = pairs
+    sharing ≥1 SRP signature band (same shuffle-only shape as MinHash
+    LSH — a groupBy-key join, no driver state, no n² blowup), then the
+    exact integer cosine filter. Recall < 1 by design; measured against
+    :func:`cosine_neardup_pairs` in tests."""
+    base = (
+        _spread(df.select(F.col(id_col), F.col(vec_col)))
+        .select(F.col(id_col).alias("id"), quantize(vec_col).alias("v"))
+        .withColumn("n2", norm2_long(F.col("v")))
+        .withColumn("sig", srp_signature(F.col("v"), bits))
+    )
+    banded = base.select(
+        "id", F.explode(_band_keys(F.col("sig"), bits, bands)).alias("bk")
+    ).select("id", "bk.band", "bk.key")
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n2").alias("na")
+    )
+    vb = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n2").alias("nb")
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine(dot_long(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def srp_signature(vec: Column, bits: int = 16, dim: int = 64) -> Column:
     """Sign-random-projection signature: bit j = sign(v · h_j) where
     hyperplane h_j components are deterministic pseudo-random ±1

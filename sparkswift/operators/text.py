@@ -34,6 +34,19 @@ def token_count(col: str | Column) -> Column:
     return F.size(tokens(col)).cast("bigint")
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-space
+# symbols — the GPT-2-style split minus the lookahead pieces, kept to
+# the regex subset Java (Spark) and RE2 (DuckDB) treat identically.
+BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def bpe_token_count(col: str | Column) -> Column:
+    """Token count under the BPE-ish regex pre-tokenizer — the usual
+    first-order estimate of LLM token cost (≈ tokens before merges)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0)).cast("bigint")
+
+
 def char_count(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.length(c).cast("bigint")

@@ -109,6 +109,30 @@ def t3_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Token counting: whitespace tokens + BPE-ish regex tokens (letter
+# runs / digit runs / single symbols) — both pure regexp expressions.
+# ---------------------------------------------------------------------------
+@register(
+    "t4_token_count",
+    r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+                AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+                AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def t4_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count("text").alias("ws_tokens"),
+        tx.bpe_token_count("text").alias("bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact dedup — input deliberately doubled (the fixture has no exact
 # dups), so the operator must collapse every text to one survivor with
 # n_copies=2.
@@ -184,6 +208,65 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dd.simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+def _perturbed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ∪ perturbed copies: the fixture has no natural near-dups
+    (max pairwise cosine ≈ 0.51), so synthesize them — even ids get a
+    +0.05 nudge on component 0 (cos ≈ 0.9989, a near-dup), odd ids get
+    +2.0 (cos ≤ 0.66, not one). All-IEEE-exact ops, so the DuckDB
+    oracle reproduces it bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = F.col("embedding").cast("array<double>")
+    delta = F.when(F.col("vec_id") % 2 == 0, F.lit(0.05)).otherwise(F.lit(2.0))
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(e, 1) + delta), F.slice(e, 2, 63)
+        ).alias("embedding"),
+    )
+    return emb.select("vec_id", e.alias("embedding")).unionByName(pert)
+
+
+_NEARDUP_ORACLE = """
+    WITH u AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_prepend(CAST(embedding[1] AS DOUBLE)
+                            + (CASE WHEN vec_id % 2 = 0 THEN 0.05 ELSE 2.0 END),
+                          CAST(embedding[2:] AS DOUBLE[]))
+      FROM embeddings
+    ),
+    v AS (SELECT vec_id, list_transform(e, x -> round(x * 1000000)) AS q FROM u),
+    n AS (SELECT vec_id, q, list_inner_product(q, q) AS n2 FROM v),
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_inner_product(a.q, b.q) / (sqrt(a.n2) * sqrt(b.n2)) AS cos_sim
+          FROM n a JOIN n b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.99
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup, exact all-pairs (oracle-checked): the
+# brute-force baseline for the LSH variant below.
+# ---------------------------------------------------------------------------
+@register("d5_embedding_neardup", _NEARDUP_ORACLE)
+def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.cosine_neardup_pairs(
+        _perturbed_embeddings(spark, sf_dir), threshold=0.99
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup via SRP-LSH band-join candidates (the
+# 100 TB path — rows-only; recall vs d5 asserted in tests).
+# ---------------------------------------------------------------------------
+@register("d6_embedding_neardup_lsh", None)
+def d6_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.cosine_neardup_lsh(
+        _perturbed_embeddings(spark, sf_dir), threshold=0.99, bits=32, bands=8
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -84,3 +84,15 @@ def test_multimodal_decode_stub_paths(docs):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_embedding_neardup_lsh_recall_vs_exact(spark, sf_dir):
+    from sparkswift.suite_llm import _perturbed_embeddings
+
+    pert = _perturbed_embeddings(spark, sf_dir)
+    exact = _pairs(sim.cosine_neardup_pairs(pert, threshold=0.99))
+    approx = _pairs(sim.cosine_neardup_lsh(pert, threshold=0.99))
+    assert exact, "fixture must contain synthesized near-dups"
+    # exact-cosine verification step guarantees precision == 1
+    assert approx <= exact
+    assert len(approx & exact) / len(exact) >= 0.9
