@@ -48,6 +48,8 @@ def get_spark(app_name: str = "sparkswift", cpus: int | None = None) -> SparkSes
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep catalog tables (bucketed sinks) out of the repo tree
+        .config("spark.sql.warehouse.dir", "/tmp/sparkswift-warehouse")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         # InferFiltersFromGenerate duplicates the generator's input
         # expression into a pushed-down size()>0 filter; for expensive

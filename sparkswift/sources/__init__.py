@@ -1,3 +1,12 @@
 from sparkswift.sources.loaders import TABLES, load_table, load_tables, register_views
+from sparkswift.sources.writers import read_table, write_bucketed, write_table
 
-__all__ = ["TABLES", "load_table", "load_tables", "register_views"]
+__all__ = [
+    "TABLES",
+    "load_table",
+    "load_tables",
+    "register_views",
+    "read_table",
+    "write_bucketed",
+    "write_table",
+]

@@ -1,0 +1,90 @@
+"""Sinks — parquet/csv/json/orc writers with the partitioning and
+bucketing controls that matter at 100 TB.
+
+The reference has zero sink code (SURVEY.md §2.2 — users call pandas
+``to_*`` outside the library); here sinks are first-class because at
+scale HOW you lay data down decides every later scan:
+
+* ``partition_by`` → hive-style directory partitioning: later reads
+  with a filter on the partition column do partition PRUNING (skip
+  whole directories, no file listing cost for them).
+* ``bucket_by`` → pre-shuffled, sorted-by-key table: later equi-joins
+  and groupBys on the bucket key skip their shuffle entirely
+  (bucketed tables require ``saveAsTable`` — Spark keeps bucket
+  metadata in the catalog, not the files).
+* ``max_records_per_file`` caps file size so a 100 TB write produces
+  a healthy file count instead of multi-GB stragglers.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+FORMATS = ("parquet", "csv", "json", "orc")
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    **options,
+) -> None:
+    """Path-based sink. CSV defaults to header=true so a csv roundtrip
+    preserves column names."""
+    if format not in FORMATS:
+        raise ValueError(f"format must be one of {FORMATS}")
+    if format == "csv":
+        options.setdefault("header", "true")
+    w = df.write.mode(mode).format(format).options(**options)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    format: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Catalog-based bucketed sink: rows are hash-distributed into
+    ``num_buckets`` files per partition by ``bucket_cols`` (and sorted
+    within each bucket by ``sort_cols``). A join or aggregate on the
+    bucket key then reads shuffle-free — the write pays the shuffle
+    once, every downstream query skips it."""
+    w = (
+        df.write.mode(mode)
+        .format(format)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def read_table(
+    spark: SparkSession, path: str, format: str = "parquet", schema=None, **options
+) -> DataFrame:
+    """Path-based source for any supported format. CSV/JSON take an
+    explicit schema when given — schema inference costs a full extra
+    pass over the data, unacceptable at scale."""
+    if format == "csv":
+        options.setdefault("header", "true")
+    r = spark.read.format(format).options(**options)
+    if schema is not None:
+        r = r.schema(schema)
+    elif format == "csv":
+        options.setdefault("inferSchema", "true")
+        r = r.options(inferSchema="true")
+    return r.load(path)

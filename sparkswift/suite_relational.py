@@ -147,6 +147,51 @@ def j4_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Range (interval) join: orders banded by price against a tiny band
+# dimension on a BETWEEN predicate. Spark executes non-equi joins
+# against a broadcast side as BroadcastNestedLoopJoin — with a
+# handful of bands that is a map-side O(rows × bands) scan, no
+# shuffle of the fact table at any scale. (For two LARGE range sides
+# the play is bucketize-then-equi-join on overlapping bucket ids —
+# the same explode-to-buckets shape as the LSH band joins.)
+# ---------------------------------------------------------------------------
+@register(
+    "j5_range_join",
+    """
+    WITH bands(band, lo, hi) AS (
+      VALUES ('low', 0.0, 50000.0),
+             ('mid', 50000.0, 150000.0),
+             ('high', 150000.0, 1000000000.0)
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM orders JOIN bands
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def j5_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0),
+         ("high", 150000.0, 1000000000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(D)).cast("double").alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Top-k: orderBy+limit → TakeOrderedAndProject (per-partition heaps,
 # k-row driver merge — no global sort at any scale). Unique tiebreak
 # key keeps the result set deterministic under ties.

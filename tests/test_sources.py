@@ -1,0 +1,57 @@
+"""Sink/source roundtrips + the scale properties they exist for:
+partition pruning on partitioned writes, shuffle-free joins on
+bucketed tables."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sparkswift.sources import load_table, read_table, write_bucketed, write_table
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders")
+
+
+def _sorted_pdf(df):
+    pdf = df.toPandas()
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
+def test_roundtrip_formats(spark, orders, tmp_path_factory, fmt):
+    path = str(tmp_path_factory.mktemp("sink") / f"orders_{fmt}")
+    df = orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    write_table(df, path, format=fmt)
+    back = read_table(spark, path, format=fmt, schema=df.schema)
+    pd.testing.assert_frame_equal(_sorted_pdf(back), _sorted_pdf(df))
+
+
+def test_partitioned_write_prunes(spark, orders, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("sink") / "orders_part")
+    write_table(orders, path, partition_by=["o_orderstatus"])
+    back = read_table(spark, path).filter(F.col("o_orderstatus") == "F")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # partition filter must reach the scan, not survive as a row filter
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+    assert back.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_bucketed_join_skips_shuffle(spark, orders):
+    # warehouse dir is set to /tmp/sparkswift-warehouse in session.py
+    # (static config — can't be changed per-test)
+    try:
+        write_bucketed(
+            orders, "orders_bkt", bucket_cols=["o_custkey"], num_buckets=8,
+            sort_cols=["o_custkey"],
+        )
+        t = spark.table("orders_bkt")
+        agg = t.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed groupBy must not shuffle"
+        # values still correct
+        want = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s"))
+        assert _sorted_pdf(agg).shape == _sorted_pdf(want).shape
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
