@@ -52,11 +52,17 @@ def stream_resample(
     watermark: str = "2 hours",
     extra_keys: list[str] | None = None,
     aggs: dict[str, Column] | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
     """Streaming tumbling-window aggregation — the streaming twin of
-    resample_agg (same window fn → identical buckets)."""
+    resample_agg (same window fn → identical buckets). ``slide``
+    shorter than ``rule`` makes the windows sliding/overlapping (each
+    event lands in rule/slide windows; state grows by that factor)."""
     aggs = aggs or {"n": F.count(F.lit(1)).cast("bigint")}
-    keys = [F.window(F.col(ts_col), rule)] + [F.col(k) for k in (extra_keys or [])]
+    win = (
+        F.window(F.col(ts_col), rule, slide) if slide else F.window(F.col(ts_col), rule)
+    )
+    keys = [win] + [F.col(k) for k in (extra_keys or [])]
     out = (
         stream.withWatermark(ts_col, watermark)
         .groupBy(*keys)

@@ -304,6 +304,29 @@ def agg3_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Grouping sets: CUBE over (orderstatus, orderpriority) — all four
+# grouping combinations in one pass (Spark expands to an Expand node
+# feeding a single hash aggregate).
+# ---------------------------------------------------------------------------
+@register(
+    "agg4_cube",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS {D})) AS DOUBLE) AS total_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg4_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.sum(F.col("o_totalprice").cast(D)).cast("double").alias("total_price"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Ranking/analytic windows: rank (tie-stable) and lag (tie-broken
 # ordering) — built-in extras beyond the reference's rolling-only
 # window surface (SURVEY.md §2.2).

@@ -50,6 +50,48 @@ def st1_stream_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming SLIDING window (1 h length, 30 min slide): every event
+# lands in exactly two windows. Oracle: union of the two tumbling
+# bucket assignments each event can have — exact µs integer floor
+# arithmetic on both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "st3_stream_sliding",
+    f"""
+    WITH w AS (
+      SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000)
+                 AS window_start, value
+      FROM events
+      UNION ALL
+      SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 - 1800000000),
+             value
+      FROM events
+    )
+    SELECT window_start,
+           CAST(SUM(CAST(value AS {D})) AS DOUBLE) AS sum_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM w GROUP BY window_start
+    """,
+)
+def st3_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = events_stream(spark, sf_dir)
+    agg = stream_resample(
+        src,
+        ts_col="ts",
+        rule="1 hour",
+        slide="30 minutes",
+        watermark="2 hours",
+        aggs={
+            "sum_value": F.sum(F.col("value").cast(D)).cast("double"),
+            "n": F.count(F.lit(1)).cast("bigint"),
+        },
+    )
+    return run_stream_to_batch(agg, mode="complete").withColumnRenamed(
+        "bucket_ts", "window_start"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Session windows (10-minute gap) per user — batch form of the same
 # session_window operator the streaming path uses. Oracle: classic
 # gaps-and-islands (lag + cumulative break-sum) in exact microsecond

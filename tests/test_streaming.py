@@ -84,3 +84,63 @@ def test_sessionize_gap_semantics(spark):
     assert len(out[out.user_id == 2]) == 1
     s1 = out[(out.user_id == 1)].sort_values("session_start").iloc[0]
     assert str(s1.session_end) == "2024-01-01 00:15:00"  # last ts + gap
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode watermark semantics across micro-batches: a row
+    older than the watermark established by the previous batch is
+    dropped; closed windows emit, open ones are withheld."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "stream"
+    d.mkdir()
+
+    def write(path, ts_list):
+        t = pa.table(
+            {
+                "ts": pa.array(pd.to_datetime(ts_list), type=pa.timestamp("us")),
+                "v": pa.array([1.0] * len(ts_list)),
+            }
+        )
+        pq.write_table(t, path)
+
+    p1, p2, p3 = str(d / "0.parquet"), str(d / "1.parquet"), str(d / "2.parquet")
+    # batch 0 → max event time 11:00, so the watermark becomes 10:50
+    write(p1, ["2024-01-01 10:00", "2024-01-01 10:05", "2024-01-01 11:00"])
+    # batch 1 runs WITH watermark 10:50 → window [10:00,10:10) is
+    # emitted and its state evicted; watermark advances to 11:50
+    write(p2, ["2024-01-01 12:00"])
+    # batch 2: 10:03 targets an already-evicted window — the
+    # guaranteed drop path (append mode can never re-emit a window)
+    write(p3, ["2024-01-01 10:03"])
+    os.utime(p1, (1000, 1000))
+    os.utime(p2, (2000, 2000))
+    os.utime(p3, (3000, 3000))
+
+    schema = spark.read.parquet(str(d)).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+        # parquet ts without tz scans as TIMESTAMP_NTZ; event time
+        # (watermark) requires TIMESTAMP — session tz is UTC so the
+        # cast is value-preserving
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("window.start", "HH:mm").alias("ws"),
+            F.col("n").cast("int").alias("n"),
+        )
+    )
+    out = run_stream_to_batch(agg, mode="append")
+    got = {(r.ws, r.n) for r in out.collect()}
+    # late 10:03 dropped (its window was closed); [12:00,12:10) still
+    # open at the final watermark, so append withholds it
+    assert got == {("10:00", 2), ("11:00", 1)}
