@@ -311,6 +311,17 @@ def e2_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF cosine top-k: k-means inverted lists, nprobe search (rows-only;
+# recall vs e1 asserted in tests).
+# ---------------------------------------------------------------------------
+@register("e3_cosine_topk_ivf", None)
+def e3_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0)
+    return sim.cosine_topk_ivf(emb, queries, k=5, nlist=16, nprobe=8)
+
+
+# ---------------------------------------------------------------------------
 # Multimodal decode plumbing: synthesized binary payloads → Arrow-
 # batched pseudo-decode. byte_len and sha256 are oracle-checkable.
 # ---------------------------------------------------------------------------

@@ -96,3 +96,13 @@ def test_embedding_neardup_lsh_recall_vs_exact(spark, sf_dir):
     # exact-cosine verification step guarantees precision == 1
     assert approx <= exact
     assert len(approx & exact) / len(exact) >= 0.9
+
+
+def test_ivf_topk_recall_vs_exact(emb):
+    q = emb.filter(F.col("label") == 0)
+    exact = {(r.query_id, r.corpus_id) for r in sim.cosine_topk(emb, q, k=5).collect()}
+    approx = {
+        (r.query_id, r.corpus_id)
+        for r in sim.cosine_topk_ivf(emb, q, k=5, nlist=16, nprobe=8).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.8
