@@ -224,7 +224,7 @@ def apply_columns(
     input column (pandas ``df.apply(func, axis=0)`` shape).
 
     The reference could never parallelize this (dask path requires
-    axis==1, swifter.py:434, SURVEY §2.3 R5); here each column reduces
+    axis==1, swifter.py:434, SURVEY §2.4 R5); here each column reduces
     through a GROUPED_AGG pandas_udf over the whole frame — partial
     aggregation per partition, one tiny final merge. Note Spark's
     grouped-agg UDF ships each column's values to Python per

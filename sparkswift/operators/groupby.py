@@ -10,7 +10,7 @@ chunk shipped to a Ray task that runs ``chunk.groupby(by).apply(func)``
 Spark subsumes the whole mechanism: ``df.groupBy(keys).applyInPandas``
 hash-shuffles rows by **all** keys (strictly better than the
 reference's first-key-only chunking, which is skew-prone — SURVEY.md
-§2.3), runs the UDF per group on executors, and leaves the result
+§2.4), runs the UDF per group on executors, and leaves the result
 distributed (no driver concat — the scalability win).
 
 Scalar-per-group reducers (the reference's tests mostly return one
