@@ -29,11 +29,15 @@ HEADLINE = [
     "o5_rolling_udf",        # O5 per-entity pandas rolling
     "o6_resample_hourly",    # O6 window groupBy
     "j1_revenue_by_nation",  # broadcast star join
+    "j4_asof_join",          # as-of join (union + window)
+    "j5_range_join",         # interval join vs broadcast bands
     "w1_rank_lag",           # ranking windows
     "t1_text_quality",       # text metrics (native exprs)
+    "t4_token_count",        # ws + BPE-ish token counting
     "d1_dedup_exact",        # exact dedup
     "d2_ngram_jaccard",      # inverted-index near-dup
     "d3_minhash_lsh",        # MinHash LSH
+    "d5_embedding_neardup",  # embedding-cosine near-dup
     "e1_cosine_topk",        # brute-force cosine top-k
     "e2_cosine_topk_lsh",    # LSH cosine top-k
     "st1_stream_resample",   # streaming resample (availableNow)
