@@ -172,6 +172,63 @@ def cosine_neardup_pairs(
     ).filter(F.col("cos_sim") >= threshold)
 
 
+def cosine_neardup_blocked(
+    df: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup as a blocked GEMM: one side is
+    broadcast as a dense numpy matrix; each corpus partition computes
+    its (batch × corpus) similarity block in a single BLAS matmul and
+    emits only the pairs above threshold.
+
+    Bit-identical to :func:`cosine_neardup_pairs`: on the 1e-6
+    quantized grid every dot product and norm is < 2^53, so float64
+    GEMM is EXACT integer arithmetic, and the final cosine is the same
+    one-division double expression the SQL oracle computes.
+
+    Scale envelope: the broadcast side must fit executor memory
+    (same constraint as any broadcast join — ~1e6 vectors × 64 dims ×
+    8 B = 0.5 GB). Beyond that, block the right side too (a grid of
+    block-pairs via crossJoin of block ids) or switch to
+    :func:`cosine_neardup_lsh`.
+    """
+    import pyspark.sql.types as T
+
+    base = _spread(df.select(F.col(id_col), F.col(vec_col))).select(
+        F.col(id_col).alias("id"), quantize(vec_col).alias("v")
+    )
+    rows = base.collect()  # driver-side broadcast build (see envelope)
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    m = np.array([r["v"] for r in rows], dtype=np.float64)
+    norms = np.sqrt((m * m).sum(axis=1))
+    sc = df.sparkSession.sparkContext
+    b = sc.broadcast((ids, m, norms))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def block(batches):
+        r_ids, r_m, r_norms = b.value
+        for pdf in batches:
+            l_ids = pdf["id"].to_numpy(dtype=np.int64)
+            l_m = np.array(pdf["v"].tolist(), dtype=np.float64)
+            l_norms = np.sqrt((l_m * l_m).sum(axis=1))
+            cos = (l_m @ r_m.T) / (l_norms[:, None] * r_norms[None, :])
+            ii, jj = np.nonzero((cos >= threshold) & (l_ids[:, None] < r_ids[None, :]))
+            yield pd.DataFrame(
+                {"id_a": l_ids[ii], "id_b": r_ids[jj], "cos_sim": cos[ii, jj]}
+            )
+
+    return base.mapInPandas(block, out_schema)
+
+
 def _band_keys(sig: Column, bits: int, bands: int) -> Column:
     """Explodeable array of (band, key) structs from a packed signature."""
     bb = bits // bands

@@ -253,7 +253,7 @@ _NEARDUP_ORACLE = """
 # ---------------------------------------------------------------------------
 @register("d5_embedding_neardup", _NEARDUP_ORACLE)
 def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sim.cosine_neardup_pairs(
+    return sim.cosine_neardup_blocked(
         _perturbed_embeddings(spark, sf_dir), threshold=0.99
     )
 

@@ -106,3 +106,16 @@ def test_ivf_topk_recall_vs_exact(emb):
         for r in sim.cosine_topk_ivf(emb, q, k=5, nlist=16, nprobe=8).collect()
     }
     assert len(exact & approx) / len(exact) >= 0.8
+
+
+def test_blocked_neardup_equals_expression_variant(spark, sf_dir):
+    from sparkswift.suite_llm import _perturbed_embeddings
+
+    pert = _perturbed_embeddings(spark, sf_dir)
+    a = sim.cosine_neardup_pairs(pert, threshold=0.99).toPandas()
+    b = sim.cosine_neardup_blocked(pert, threshold=0.99).toPandas()
+    a = a.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    b = b.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    import pandas as pd_
+
+    pd_.testing.assert_frame_equal(a, b)  # bit-identical, not just close
