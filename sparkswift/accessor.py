@@ -55,7 +55,11 @@ class SwiftFrame:
         return self  # obsolete: Arrow handles strings (R4)
 
     def progress_bar(self, enable: bool = True, desc: str | None = None) -> "SwiftFrame":
-        return self  # progress surfaces through the Spark UI / listeners
+        """Reference knob (swifter.py:115-121). Spark is lazy — there
+        is no progress until an action runs; wrap the action in
+        ``sparkswift.progress.progress(spark, desc)`` (statusTracker
+        poller) for the live bar. Chainable no-op here for API compat."""
+        return self
 
     # ---- operators ----
     def apply(
