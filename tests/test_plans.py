@@ -1,0 +1,66 @@
+"""Physical-plan assertions: the scale properties each operator is
+designed around must survive refactors. These are the Spark analog of
+the reference's route-forcing tests (SURVEY.md §5 technique 5) — but
+asserted on the optimized plan instead of wall-clock.
+"""
+
+import pytest
+
+from sparkswift import suite
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    qs = suite.queries()
+
+    def plan_of(name: str) -> str:
+        return qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+    return plan_of
+
+
+def test_q1_scan_prunes_columns(plans):
+    # 7-column read out of 16 lineitem columns — pruning reached parquet
+    p = plans("q1_pricing_summary")
+    assert "l_returnflag" in p and "l_comment" not in p
+
+
+def test_star_join_broadcasts_dims(plans):
+    p = plans("j1_revenue_by_nation")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p, "fact table must not shuffle for dims"
+
+
+def test_semi_anti_joins_stay_semi(plans):
+    assert "LeftSemi" in plans("j2_semi_join")
+    assert "LeftAnti" in plans("j3_anti_join")
+
+
+def test_topk_never_global_sorts(plans):
+    p = plans("s1_topk_orders")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_native_apply_has_no_python(plans):
+    p = plans("o1_apply_native")
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # '*(n)' prefixes mark whole-stage-codegen spans in executedPlan
+    assert "*(1)" in p
+
+
+def test_udf_apply_uses_arrow_not_rowwise(plans):
+    p = plans("o1_apply_udf")
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p, "row-at-a-time Python in the hot path"
+
+
+def test_asof_join_single_shuffle(plans):
+    p = plans("j4_asof_join")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "PushedFilters: [IsNotNull(event_type)" in p
+
+
+def test_filter_pushdown_reaches_scan(plans):
+    p = plans("j2_semi_join")
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,48" in p
