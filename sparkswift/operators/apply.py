@@ -233,3 +233,38 @@ def apply_columns(
     targets = cols or df.columns
     u = F.pandas_udf(func, returns, functionType=F.PandasUDFType.GROUPED_AGG)
     return df.agg(*[u(F.col(c)).alias(c) for c in targets])
+
+
+def apply_partitions(
+    df: DataFrame,
+    func: Callable,
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """O1's per-partition route — the exact analog of the reference's
+    ``dd.map_partitions`` path (swifter.py:239-244): ``func`` receives
+    a whole partition as a pandas DataFrame and returns a DataFrame.
+
+    Schema comes from running ``func`` on a driver-side sample when
+    not given (the reference's dask ``meta`` trick, swifter.py:260).
+    Embarrassingly parallel: no shuffle, Arrow batches in and out.
+    """
+    if schema is None:
+        sample = sample_pandas(df)
+        out = func(sample)
+        schema = T.StructType(
+            [
+                T.StructField(str(c), spark_type_for_dtype(out[c].dtype))
+                for c in out.columns
+            ]
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # concatenate the partition's Arrow batches so ``func`` sees
+        # the WHOLE partition (dask map_partitions semantics — matters
+        # for funcs with intra-partition state, e.g. cumulative ops);
+        # memory cost = one partition, same envelope as dask
+        parts = list(batches)
+        if parts:
+            yield func(pd.concat(parts, ignore_index=True))
+
+    return df.mapInPandas(run, schema)

@@ -80,3 +80,34 @@ def asof_join(
     else:
         proj = [F.col(f"__f_{c}").alias(c) for c in right_cols]
     return filled.select(*lcols, *proj)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Skew-salted equi-join: the manual remedy for a hot key that a
+    single task can't hold (the case AQE's skew-join splitting can't
+    fix when the right side must also shuffle).
+
+    The large/skewed ``left`` gets a deterministic salt derived by
+    hashing its whole row (xxhash64 — stable across runs/executors,
+    no RNG state); the smaller ``right`` is exploded ``salt`` ways so
+    every (key, salt) bucket can still match. The hot key's rows then
+    spread over ``salt`` tasks instead of one. Shuffle volume cost:
+    right side × salt — keep ``right`` the smaller input.
+    """
+    l_salted = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    )
+    r_salted = right.withColumn(
+        "__salt",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.lit(salt - 1).cast("bigint"))
+        ),
+    )
+    out = l_salted.join(r_salted, [key, "__salt"], how)
+    return out.drop("__salt")

@@ -520,6 +520,34 @@ def o2_apply_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# O1 per-partition route — dd.map_partitions analog (swifter.py:
+# 239-244): the UDF sees each whole partition as one pandas frame.
+# Row-local func, so the oracle is plain SQL.
+# ---------------------------------------------------------------------------
+@register(
+    "o1_apply_partitions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS disc_price
+    FROM lineitem
+    """,
+)
+def o1_apply_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.apply import apply_partitions
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+
+    def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[["l_orderkey", "l_linenumber"]].copy()
+        out["disc_price"] = pdf["l_extendedprice"] * (1 - pdf["l_discount"])
+        return out
+
+    return apply_partitions(li, per_partition)
+
+
+# ---------------------------------------------------------------------------
 # O7 — distributed-pandas passthrough (reference: modin accessor,
 # parallel_accessor.py:81-168). pandas API on Spark plays modin's
 # role; ps_apply vectorize-tries the UDF over the whole object then

@@ -99,3 +99,20 @@ def test_empty_input(spark, li):
     out = apply_series(empty, "l_quantity", lambda x: x * 2, output_col="v", force_udf=True)
     assert out.count() == 0
     assert "v" in out.columns
+
+
+def test_apply_partitions_whole_partition_semantics(spark, sf_dir):
+    from sparkswift.operators.apply import apply_partitions
+    from sparkswift.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    n_parts = li.rdd.getNumPartitions()
+
+    # a func that NEEDS the whole partition: emits one row per partition
+    def summarize(pdf):
+        return pd.DataFrame({"rows": [len(pdf)]})
+
+    out = apply_partitions(li, summarize, schema="rows long")
+    rows = out.toPandas()
+    assert len(rows) == n_parts
+    assert rows["rows"].sum() == li.count()

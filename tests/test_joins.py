@@ -89,3 +89,17 @@ def test_ps_apply_vectorized_and_fallback(spark, sf_dir):
 
     fb = ps_apply(psser, scalar_only).to_pandas().reset_index(drop=True)
     pd.testing.assert_series_equal(vec, fb, check_names=False)
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from sparkswift.operators.joins import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    plain = li.join(orders, "o_orderkey").groupBy("o_orderkey").count()
+    salted = salted_join(li, orders, "o_orderkey", salt=4).groupBy("o_orderkey").count()
+    a = plain.toPandas().sort_values("o_orderkey").reset_index(drop=True)
+    b = salted.toPandas().sort_values("o_orderkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
