@@ -95,3 +95,122 @@ def decode_image(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         batches, FEATURE_SCHEMA
     )
+
+
+FRAME_SCHEMA = "id bigint, frame_idx bigint, frame_sig string"
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    stride: int = 2,
+    fake: bool = True,
+) -> DataFrame:
+    """Video frame-sampling plumbing: one input row explodes to its
+    sampled frame rows (the UDTF shape) via mapInPandas — map-side
+    only, output row count = Σ ceil(n_frames/stride).
+
+    fake=True derives n_frames from payload length (1 + len % 5) and
+    each frame's signature as md5(payload + '#' + idx) — deterministic
+    and reproducible in SQL, so the driver oracle covers the explode
+    plumbing end-to-end. fake=False is where ffmpeg frame extraction
+    goes.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "real frame extraction requires ffmpeg — not in this container"
+                )
+            ids, idxs, sigs = [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                bb = bytes(b)
+                n = 1 + len(bb) % 5
+                for fi in range(0, n, stride):
+                    ids.append(int(i))
+                    idxs.append(fi)
+                    sigs.append(
+                        hashlib.md5(bb + b"#" + str(fi).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_sig": pd.Series(sigs, dtype="object"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, FRAME_SCHEMA
+    )
+
+
+def resize_image(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    meta_col: str = "media_meta",
+    fake: bool = True,
+) -> DataFrame:
+    """Resize plumbing: payload→payload transform + metadata update.
+    fake=True replaces the payload with a deterministic digest-derived
+    stand-in (so schema/lineage are real); fake=False is the PIL call
+    site. Metadata width/height are updated natively — a query that
+    only reads dimensions never touches payload bytes."""
+
+    @F.pandas_udf("binary")
+    def fake_resize(s: pd.Series) -> pd.Series:
+        if not fake:
+            raise NotImplementedError("real resize requires PIL")
+        return s.map(
+            lambda b: hashlib.sha256(
+                bytes(b) + f"@{width}x{height}".encode()
+            ).digest()
+        )
+
+    return df.withColumn(payload_col, fake_resize(F.col(payload_col))).withColumn(
+        meta_col,
+        F.col(meta_col).withField("width", F.lit(width)).withField(
+            "height", F.lit(height)
+        ),
+    )
+
+
+AUDIO_SCHEMA = "id bigint, duration_s double, mfcc array<double>"
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    sample_rate: int = 16000,
+    n_mfcc: int = 13,
+    fake: bool = True,
+) -> DataFrame:
+    """Audio feature plumbing (duration + MFCC-shaped vector) via
+    mapInPandas. fake=True: duration = byte_len/sample_rate and a
+    digest-derived fixed-dim vector; fake=False is the librosa/
+    torchaudio call site."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError("real audio decode not in container")
+            out = pd.DataFrame()
+            out["id"] = pdf[id_col].astype("int64")
+            payloads = pdf[payload_col].map(bytes)
+            out["duration_s"] = payloads.map(len) / float(sample_rate)
+            out["mfcc"] = payloads.map(
+                lambda b: [
+                    x / 255.0
+                    for x in hashlib.sha256(b).digest()[:n_mfcc]
+                ]
+            )
+            yield out
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, AUDIO_SCHEMA
+    )

@@ -340,3 +340,30 @@ def mm1_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_image(with_payload, "doc_id", "payload").select(
         "id", "byte_len", "sha256"
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal frame sampling: 1 row → n frame rows (UDTF explode shape
+# through mapInPandas). The fake decode is byte-deterministic, so the
+# oracle reproduces it with generate_series + md5 over the same bytes.
+# ---------------------------------------------------------------------------
+@register(
+    "mm2_frame_sample",
+    """
+    WITH base AS (SELECT doc_id, text,
+                         octet_length(encode(text)) AS blen
+                  FROM documents),
+    f AS (SELECT doc_id, text, 1 + blen % 5 AS n_frames FROM base),
+    e AS (SELECT doc_id, text,
+                 unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx
+          FROM f)
+    SELECT doc_id AS id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           md5(concat(text, '#', frame_idx)) AS frame_sig
+    FROM e
+    """,
+)
+def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = mm.attach_payload(docs, "text")
+    return mm.sample_frames(with_payload, "doc_id", "payload", stride=2)
