@@ -16,8 +16,15 @@ analysis, multimodal columns) designed for 100 TB scale.
 """
 
 from sparkswift.session import get_spark, stop_spark
-from sparkswift.accessor import swift, SwiftFrame
+from sparkswift.accessor import set_defaults, swift, SwiftFrame
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "stop_spark", "swift", "SwiftFrame", "__version__"]
+__all__ = [
+    "get_spark",
+    "stop_spark",
+    "set_defaults",
+    "swift",
+    "SwiftFrame",
+    "__version__",
+]

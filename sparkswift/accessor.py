@@ -25,10 +25,27 @@ from sparkswift.operators import resample as _resample
 from sparkswift.operators import rolling as _rolling
 
 
+# module-level defaults — the analog of ``swifter.set_defaults``
+# (reference swifter.py:34-70, which monkey-patches accessor __init__
+# kwargs globally); new SwiftFrames start from these
+_DEFAULTS: dict = {"npartitions": None, "force_parallel": False}
+
+
+def set_defaults(npartitions: int | None = None, force_parallel: bool = False) -> None:
+    """Global defaults for every subsequently-built SwiftFrame.
+    Reference knobs without a Spark meaning (progress_bar desc,
+    dask threshold/scheduler, allow_dask_on_strings) are accepted by
+    the per-frame setters as no-ops instead."""
+    _DEFAULTS["npartitions"] = npartitions
+    _DEFAULTS["force_parallel"] = force_parallel
+
+
 class SwiftFrame:
     def __init__(self, df: DataFrame):
         self._df = df
-        self._force_udf = False
+        self._force_udf = bool(_DEFAULTS["force_parallel"])
+        if _DEFAULTS["npartitions"]:
+            self._df = self._df.repartition(_DEFAULTS["npartitions"])
 
     @property
     def df(self) -> DataFrame:

@@ -60,7 +60,18 @@ def _parse_duration_us(window: str) -> int:
     return int(float(qty) * mult)
 
 
-def _frame(order_col, window, center, partition_by):
+# pandas ``closed=`` → rangeBetween bounds for a width-w window ending
+# at t, in exact µs offsets: right=(t-w, t] (pandas default), left=
+# [t-w, t), both=[t-w, t], neither=(t-w, t)
+_CLOSED_BOUNDS = {
+    "right": lambda us: (-(us - 1), 0),
+    "left": lambda us: (-us, -1),
+    "both": lambda us: (-us, 0),
+    "neither": lambda us: (-(us - 1), -1),
+}
+
+
+def _frame(order_col, window, center, partition_by, closed="right"):
     if partition_by:
         base = Window.partitionBy(*partition_by)
     else:
@@ -82,7 +93,8 @@ def _frame(order_col, window, center, partition_by):
     # would lose sub-ms precision on modern epochs
     epoch = F.unix_micros(F.col(order_col)) if isinstance(order_col, str) else order_col
     w = base.orderBy(epoch)
-    return w.rangeBetween(-(us - 1), 0), None
+    lo, hi = _CLOSED_BOUNDS[closed](us)
+    return w.rangeBetween(lo, hi), None
 
 
 def rolling_agg(
@@ -95,13 +107,16 @@ def rolling_agg(
     partition_by: list[str] | None = None,
     center: bool = False,
     min_periods: int | None = None,
+    closed: str = "right",
 ) -> DataFrame:
     """Built-in reducer over a rolling frame — the native fast path.
 
     ``min_periods`` mirrors pandas: for count windows the default is
     the window size (leading rows yield null); for time windows it is 1.
+    ``closed`` (time windows): right/left/both/neither boundary
+    inclusion, pandas semantics — exact µs frame-bound arithmetic.
     """
-    frame, count_window = _frame(order_by, window, center, partition_by)
+    frame, count_window = _frame(order_by, window, center, partition_by, closed)
     out_name = output_col or f"{on}_roll_{agg}"
     expr = _BUILTIN[agg](F.col(on)).over(frame)
     mp = min_periods if min_periods is not None else (count_window or 1)

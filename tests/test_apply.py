@@ -116,3 +116,19 @@ def test_apply_partitions_whole_partition_semantics(spark, sf_dir):
     rows = out.toPandas()
     assert len(rows) == n_parts
     assert rows["rows"].sum() == li.count()
+
+
+def test_set_defaults_applies_to_new_frames(spark, sf_dir):
+    import sparkswift
+    from sparkswift.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    try:
+        sparkswift.set_defaults(npartitions=7, force_parallel=True)
+        sf = sparkswift.swift(li)
+        assert sf.df.rdd.getNumPartitions() == 7
+        assert sf._force_udf is True
+    finally:
+        sparkswift.set_defaults()  # reset
+    sf2 = sparkswift.swift(li)
+    assert sf2._force_udf is False

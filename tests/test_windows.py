@@ -96,3 +96,31 @@ def test_groupby_apply_frame_result(ev):
         got = set(out[out.event_type == et]["event_id"])
         want = set(g.nlargest(2, "value")["event_id"])
         assert got == want
+
+
+@pytest.mark.parametrize("closed", ["right", "left", "both", "neither"])
+def test_rolling_time_closed_semantics(ev, closed):
+    out = (
+        rolling_agg(
+            ev, order_by="ts", window="30 minutes", agg="sum", on="value",
+            output_col="rs", partition_by=["user_id"], min_periods=1,
+            closed=closed,
+        )
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pdf = ev.toPandas().sort_values(["user_id", "ts"])
+
+    def per_user(g):
+        s = g.set_index(pd.DatetimeIndex(g["ts"]))["value"]
+        return s.rolling("30min", min_periods=1, closed=closed).sum().to_numpy()
+
+    vals = []
+    for _, g in pdf.groupby("user_id"):
+        vals.extend(per_user(g))
+    pdf["rs"] = vals
+    pdf = pdf.sort_values("event_id").reset_index(drop=True)
+    got = out["rs"].fillna(-1).to_numpy()
+    want = pdf["rs"].fillna(-1).to_numpy()
+    assert (abs(got - want) < 1e-9).all()
