@@ -132,3 +132,41 @@ def test_set_defaults_applies_to_new_frames(spark, sf_dir):
         sparkswift.set_defaults()  # reset
     sf2 = sparkswift.swift(li)
     assert sf2._force_udf is False
+
+
+@pytest.mark.parametrize("result_type", ["reduce", "broadcast"])
+def test_apply_rows_result_type_corners(spark, sf_dir, result_type):
+    """result_type='reduce'/'broadcast' passthrough must match what
+    plain pandas produces (reference docs/documentation.md:103-108)."""
+    from sparkswift.operators.apply import apply_rows
+    from sparkswift.sources import load_table
+
+    # broadcast requires len(result) == n_columns: use a 2-col frame
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_quantity", "l_discount")
+        .limit(500)
+    )
+
+    def two_vals(row):
+        return [row["l_quantity"] + 1.0, row["l_discount"] * 2.0]
+
+    sort_keys = ["l_quantity", "l_discount"]
+    got = (
+        apply_rows(li, two_vals, result_type=result_type)
+        .toPandas()
+        .sort_values(sort_keys)
+        .reset_index(drop=True)
+    )
+    pdf = li.toPandas()
+    want_obj = pdf.apply(two_vals, axis=1, result_type=result_type)
+    if result_type == "broadcast":
+        want = want_obj.sort_values(sort_keys).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[want.columns.tolist()], want, check_dtype=False
+        )
+    else:  # reduce → one object column of lists
+        want = pdf.assign(result=want_obj).sort_values(sort_keys).reset_index(
+            drop=True
+        )
+        assert [list(x) for x in got["result"]] == [list(x) for x in want["result"]]
