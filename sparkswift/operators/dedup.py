@@ -346,3 +346,81 @@ def simhash_pairs(
     return cand.withColumn("hamming", ham.cast("int")).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Hash-Min connected components over near-dup pairs: every node
+    converges to the minimum id reachable in its component — the step
+    that turns pairwise matches into dedup CLUSTERS.
+
+    Label propagation: each round every node takes min(own label,
+    neighbors' labels); converges in O(component diameter) rounds —
+    near-dup graphs have tiny diameters, so a handful of shuffles.
+    Each round is one join + one groupBy (hash shuffles on node id);
+    ``localCheckpoint`` truncates lineage so plans stay flat. At
+    extreme scale swap the loop body for large-star/small-star
+    (Kiveris et al.) — same API, fewer rounds on adversarial graphs.
+
+    Returns (id, component) with component = min id in the component.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("component")), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+            .select(F.col("src").alias("id"), "nbr_min")
+        )
+        new_labels = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+            ).alias("component"),
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """End-to-end near-dedup: pairs → components → one survivor (min
+    id) per cluster; docs in no pair survive as their own cluster.
+    Output: (doc_id, component, is_survivor)."""
+    comp = connected_components(pairs, id_a, id_b)
+    out = df.select(F.col(id_col)).join(
+        comp.select(F.col("id").alias(id_col), "component"), id_col, "left"
+    )
+    out = out.withColumn("component", F.coalesce("component", F.col(id_col)))
+    return out.withColumn("is_survivor", F.col(id_col) == F.col("component"))

@@ -190,6 +190,51 @@ def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Pairs → clusters: Hash-Min connected components over the exact
+# Jaccard pairs, one survivor per cluster. Oracle: recursive CTE
+# transitive closure (tiny components, so the recursion is cheap).
+# ---------------------------------------------------------------------------
+@register(
+    "d7_dedup_clusters",
+    r"""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+    s AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                      THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                      ELSE [array_to_string(toks, ' ')] END AS sh
+          FROM t),
+    e AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, unnest(sh) AS s FROM s),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+                 CAST(COUNT(*) AS BIGINT) AS inter
+          FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+    pair AS (SELECT id_a, id_b FROM p
+             WHERE inter * 10000 >= 8000 * (n_a + n_b - inter)),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pair
+              UNION SELECT id_b, id_a FROM pair),
+    reach(node, other) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.node, e2.dst FROM reach r JOIN edges e2 ON r.other = e2.src
+    ),
+    comp AS (SELECT node, least(node, min(other)) AS component
+             FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS component,
+           COALESCE(c.component, d.doc_id) = d.doc_id AS is_survivor
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+)
+def d7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.8)
+    return dd.near_dedup(docs, pairs, "doc_id")
+
+
+# ---------------------------------------------------------------------------
 # MinHash+LSH near-dup (hash family differs per engine → rows-only;
 # recall vs d2 asserted in tests/test_llm_ops.py).
 # ---------------------------------------------------------------------------

@@ -161,3 +161,54 @@ def test_unstubbed_paths_raise(docs):
         mm.sample_frames(wp, fake=False).collect()
     with _pytest.raises(Exception, match="NotImplementedError|PIL"):
         mm.resize_image(wp, 64, 64, fake=False).select("payload").collect()
+
+
+def test_connected_components_vs_union_find(spark):
+    import random
+
+    rng = random.Random(7)
+    # random graph with known components via driver-side union-find
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    parent = list(range(200))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for a, b in edges:
+        for n in (a, b):
+            want[n] = find(n)
+    # canonical: min node id per component
+    comp_min = {}
+    for n, r in want.items():
+        comp_min.setdefault(r, n)
+        comp_min[r] = min(comp_min[r], n)
+    want = {n: comp_min[r] for n, r in want.items()}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long").filter(
+        "id_a != id_b"
+    )
+    got = {
+        r.id: r.component for r in dd.connected_components(pairs).collect()
+    }
+    for n, c in got.items():
+        assert want[n] == c
+
+
+def test_near_dedup_survivors(docs):
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.8)
+    out = dd.near_dedup(docs, pairs, "doc_id")
+    pdf = out.toPandas()
+    # every component's survivor is its min doc_id, exactly one per component
+    grp = pdf.groupby("component")
+    assert (grp["doc_id"].min() == grp.apply(
+        lambda g: g.loc[g.is_survivor, "doc_id"].iloc[0], include_groups=False
+    )).all()
+    assert pdf.groupby("component")["is_survivor"].sum().eq(1).all()
