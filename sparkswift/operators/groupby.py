@@ -46,6 +46,7 @@ def groupby_apply(
     schema: T.StructType | str | None = None,
     subset: list[str] | None = None,
     sort_output: bool = True,
+    dropna: bool = True,
     args: tuple = (),
     **kwds,
 ) -> DataFrame:
@@ -63,6 +64,11 @@ def groupby_apply(
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     work = df.select(*keys, *subset) if subset else df
+    if dropna:
+        # pandas groupby(dropna=True) default: null keys form no group;
+        # Spark's groupBy keeps them, so filter to match
+        for k in keys:
+            work = work.filter(F.col(k).isNotNull())
 
     if args or kwds:
         base = func

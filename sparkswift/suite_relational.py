@@ -327,6 +327,58 @@ def agg4_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact quantiles: Spark's percentile() and DuckDB's quantile_cont use
+# the same linear interpolation — bit-identical on doubles. (The
+# approximate path, approx_percentile/KLL, is sketch-based and engine-
+# specific — agg2 already covers the approx-vs-exact pattern.)
+# ---------------------------------------------------------------------------
+@register(
+    "agg5_quantiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.95) AS p95,
+           quantile_cont(l_extendedprice, 0.99) AS price_p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg5_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.95)").alias("p95"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("price_p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot: wide conditional aggregation (one pass; Spark rewrites pivot
+# into CASE-filtered aggregates over the fixed value list — give the
+# list explicitly at scale or it costs an extra distinct pass).
+# ---------------------------------------------------------------------------
+@register(
+    "agg6_pivot",
+    f"""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS {D}) ) FILTER (WHERE l_linestatus = 'F')
+                AS DOUBLE) AS F,
+           CAST(SUM(CAST(l_quantity AS {D}) ) FILTER (WHERE l_linestatus = 'O')
+                AS DOUBLE) AS O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg6_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast(D)).cast("double"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Ranking/analytic windows: rank (tie-stable) and lag (tie-broken
 # ordering) — built-in extras beyond the reference's rolling-only
 # window surface (SURVEY.md §2.2).

@@ -124,3 +124,29 @@ def test_rolling_time_closed_semantics(ev, closed):
     got = out["rs"].fillna(-1).to_numpy()
     want = pdf["rs"].fillna(-1).to_numpy()
     assert (abs(got - want) < 1e-9).all()
+
+
+def test_groupby_dropna_matches_pandas(spark):
+    pdf = pd.DataFrame(
+        {"g": ["a", None, "b", "a", None], "x": [1.0, 2.0, 3.0, 4.0, 5.0]}
+    )
+    df = spark.createDataFrame(pdf)
+
+    def total(g):
+        return pd.DataFrame({"s": [g["x"].sum()]})
+
+    got = groupby_apply(df, "g", total, schema="g string, s double").toPandas()
+    want = (
+        pdf.groupby("g", dropna=True)
+        .apply(total, include_groups=False)
+        .reset_index(level=0)
+        .reset_index(drop=True)
+    )
+    got = got.sort_values("g").reset_index(drop=True)
+    want = want.sort_values("g").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # dropna=False keeps the null-key group
+    kept = groupby_apply(
+        df, "g", total, schema="g string, s double", dropna=False
+    ).toPandas()
+    assert len(kept) == 3 and kept["s"].sum() == 15.0
