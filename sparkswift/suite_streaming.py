@@ -135,6 +135,56 @@ def sw1_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Stream-stream inner join: clicks ⋈ purchases on user within a 1-hour
+# event-time interval. Both sides carry watermarks + the time-range
+# predicate, which is what lets Spark EVICT join state (without the
+# bound, state grows forever). Oracle: the identical batch interval
+# join.
+# ---------------------------------------------------------------------------
+@register(
+    "st4_stream_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id, p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def st4_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = events_stream(spark, sf_dir)
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    out = run_stream_to_batch(joined, mode="append")
+    return out.select("click_id", "purchase_id", "user_id", "purchase_value")
+
+
+# ---------------------------------------------------------------------------
 # Custom stateful streaming operator (applyInPandasWithState): per-user
 # running totals. After a full AvailableNow pass the final state equals
 # a plain GROUP BY — which is the oracle.
