@@ -38,6 +38,7 @@ HEADLINE = [
     "d2_ngram_jaccard",      # inverted-index near-dup
     "d3_minhash_lsh",        # MinHash LSH
     "d5_embedding_neardup",  # embedding-cosine near-dup
+    "d7_dedup_clusters",     # pairs -> connected components -> survivors
     "e1_cosine_topk",        # brute-force cosine top-k
     "e2_cosine_topk_lsh",    # LSH cosine top-k
     "st1_stream_resample",   # streaming resample (availableNow)

@@ -107,8 +107,11 @@ class SwiftFrame:
         partition_by: list[str] | None = None,
         center: bool = False,
         min_periods: int | None = None,
+        closed: str = "right",
     ) -> "SwiftRolling":
-        return SwiftRolling(self._df, window, on, partition_by, center, min_periods)
+        return SwiftRolling(
+            self._df, window, on, partition_by, center, min_periods, closed
+        )
 
     def resample(self, rule: str, on: str, extra_keys: list[str] | None = None) -> "SwiftResampler":
         return SwiftResampler(self._df, rule, on, extra_keys)
@@ -132,9 +135,10 @@ class SwiftGroupBy:
 
 
 class SwiftRolling:
-    def __init__(self, df, window, on, partition_by, center, min_periods):
+    def __init__(self, df, window, on, partition_by, center, min_periods, closed="right"):
         self._df, self._window, self._on = df, window, on
         self._partition_by, self._center, self._min_periods = partition_by, center, min_periods
+        self._closed = closed
 
     def apply(self, func, order_by: str, **kw) -> DataFrame:
         """Built-in name (str) → native window agg; callable → UDF path."""
@@ -142,7 +146,7 @@ class SwiftRolling:
             return _rolling.rolling_agg(
                 self._df, order_by, self._window, func, self._on,
                 partition_by=self._partition_by, center=self._center,
-                min_periods=self._min_periods, **kw,
+                min_periods=self._min_periods, closed=self._closed, **kw,
             )
         return _rolling.rolling_apply_udf(
             self._df, order_by, self._window, func, self._on,

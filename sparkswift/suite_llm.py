@@ -235,6 +235,19 @@ def d7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The full 100 TB dedup pipeline: MinHash-LSH candidates (verified by
+# exact Jaccard) → connected components → survivors. Hash-based
+# candidate step → rows-only; d7 is the oracle-checked twin on exact
+# pairs.
+# ---------------------------------------------------------------------------
+@register("d8_neardup_pipeline", None)
+def d8_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, "text", "doc_id", verify_threshold=0.8)
+    return dd.near_dedup(docs, pairs, "doc_id")
+
+
+# ---------------------------------------------------------------------------
 # MinHash+LSH near-dup (hash family differs per engine → rows-only;
 # recall vs d2 asserted in tests/test_llm_ops.py).
 # ---------------------------------------------------------------------------
