@@ -86,6 +86,7 @@ def apply_series(
     returns: T.DataType | str | None = None,
     force_udf: bool = False,
     validate: bool = False,
+    fallback: bool = False,
     args: tuple = (),
     **kwds,
 ) -> DataFrame:
@@ -94,7 +95,10 @@ def apply_series(
     ``force_udf`` mirrors ``force_parallel``
     (swifter/swifter.py:131-138): skip the native-expression attempt.
     ``validate`` adds the sample equivalence gate before trusting the
-    native route.
+    native route. ``fallback`` enables the R6 chain (SURVEY §4): run
+    the Arrow route eagerly on a bounded sample and drop to a pickled
+    row-wise udf when the payload is Arrow-incompatible (nested mixed
+    dicts, sets, …) — lazy-plan cost: one tiny sample job.
     """
     out_name = output_col or col
     if args or kwds:
@@ -106,13 +110,50 @@ def apply_series(
         if expr is not None and (not validate or _validate_native_on_sample(df, col, expr, func)):
             return df.withColumn(out_name, expr)
 
-    rtype = returns or infer_series_return_type(df, col, func)
+    rtype = None
+    try:
+        rtype = returns or infer_series_return_type(df, col, func)
+    except Exception:
+        pass  # un-inferable payload → pickled fallback below
 
-    @F.pandas_udf(rtype)
-    def _elementwise(s: pd.Series) -> pd.Series:
-        return s.apply(func)
+    if rtype is not None:
+        @F.pandas_udf(rtype)
+        def _elementwise(s: pd.Series) -> pd.Series:
+            return s.apply(func)
 
-    return df.withColumn(out_name, _elementwise(F.col(col)))
+        arrow_out = df.withColumn(out_name, _elementwise(F.col(col)))
+        if not fallback:
+            return arrow_out
+        try:
+            # execute the REAL Arrow path on a bounded sample — the
+            # analog of the reference's validated fallback chain
+            # (map_partitions → dask apply → pandas, swifter.py:257-285)
+            arrow_out.select(out_name).limit(20).collect()
+            return arrow_out
+        except Exception:
+            pass  # Arrow-incompatible at runtime → pickled route
+
+    return _pickled_apply(df, col, func, out_name)
+
+
+def _pickled_apply(df: DataFrame, col: str, func: Callable, out_name: str) -> DataFrame:
+    """R6 last resort: row-at-a-time pickled udf. The return type comes
+    from Spark's own inference over one sample output (createDataFrame
+    — public API); payloads even that can't type are stringified, the
+    terminal link of the chain."""
+    sample = sample_pandas(df.select(col), n=20)[col]
+    v = None
+    for x in sample:
+        if x is not None:
+            v = func(x)
+            if v is not None:
+                break
+    try:
+        rt = df.sparkSession.createDataFrame([(v,)], ["v"]).schema[0].dataType
+        return df.withColumn(out_name, F.udf(func, rt)(F.col(col)))
+    except Exception:
+        wrapped = lambda x, _f=func: str(_f(x))  # noqa: E731
+        return df.withColumn(out_name, F.udf(wrapped, T.StringType())(F.col(col)))
 
 
 def apply_rows(

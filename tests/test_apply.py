@@ -170,3 +170,27 @@ def test_apply_rows_result_type_corners(spark, sf_dir, result_type):
             drop=True
         )
         assert [list(x) for x in got["result"]] == [list(x) for x in want["result"]]
+
+
+def test_fallback_chain_arrow_incompatible_payloads(spark, sf_dir):
+    """R6: payloads Arrow can't serialize drop to the pickled-udf
+    route instead of failing (reference fallback chain analog)."""
+    from sparkswift.operators.apply import apply_series
+    from sparkswift.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity").limit(100)
+
+    # homogeneous dict — Arrow MapType handles it (no fallback needed)
+    out1 = apply_series(
+        li, "l_quantity", lambda x: {"v": float(x)}, output_col="m", fallback=True
+    )
+    rows = out1.select("m").collect()
+    assert all(abs(r.m["v"]) >= 0 for r in rows)
+
+    # set payload — not Arrow-typable, not createDataFrame-typable:
+    # must land on the stringified terminal link, not raise
+    out2 = apply_series(
+        li, "l_quantity", lambda x: {("a", x)}, output_col="s", fallback=True
+    )
+    vals = out2.select("s").collect()
+    assert all(isinstance(r.s, str) and r.s.startswith("{") for r in vals)
