@@ -411,6 +411,48 @@ def o5_rolling_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# O5 — weighted rolling window (`rolling(5, win_type='triang').mean()`,
+# the win_type leg of the reference signature swifter.py:140-172).
+# Spark-first: the weighted sum unrolls to 5 lag terms — one native
+# per-row expression in whole-stage codegen, zero Python. The oracle
+# shares the SAME weight doubles as literals, and per-row IEEE
+# arithmetic in identical association order is bit-identical across
+# engines, so this hash-matches without rounding.
+# ---------------------------------------------------------------------------
+def _triang5_oracle() -> str:
+    from sparkswift.operators.rolling import window_weights
+
+    w = window_weights("triang", 5)
+    terms = " + ".join(
+        (f"LAG(value, {4 - i}) OVER w" if i < 4 else "value") + f" * {float(w[i])!r}"
+        for i in range(5)
+    )
+    return f"""
+    SELECT event_id, user_id, ({terms}) / {float(w.sum())!r} AS wroll
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@register("o5_rolling_weighted", _triang5_oracle())
+def o5_rolling_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.rolling import rolling_weighted
+
+    ev = load_table(spark, sf_dir, "events")
+    out = rolling_weighted(
+        ev,
+        order_by=["ts", "event_id"],
+        window=5,
+        on="value",
+        win_type="triang",
+        agg="mean",
+        partition_by=["user_id"],
+        output_col="wroll",
+    )
+    return out.select("event_id", "user_id", "wroll")
+
+
+# ---------------------------------------------------------------------------
 # O6 — resample (tumbling window) with native reducers:
 # groupBy(F.window(ts, '1 hour')) == pandas resample('1h').agg.
 # Bucket key = window.start (pandas label='left'); 1-hour buckets align

@@ -150,3 +150,77 @@ def test_groupby_dropna_matches_pandas(spark):
         df, "g", total, schema="g string, s double", dropna=False
     ).toPandas()
     assert len(kept) == 3 and kept["s"].sum() == 15.0
+
+
+def test_window_weights_tapers():
+    """Weight vectors match the scipy symmetric-window formulas pandas
+    would use (scipy absent in this container, generated via numpy)."""
+    import numpy as np
+
+    from sparkswift.operators.rolling import window_weights
+
+    np.testing.assert_allclose(
+        window_weights("triang", 5), [1 / 3, 2 / 3, 1.0, 2 / 3, 1 / 3]
+    )
+    np.testing.assert_allclose(window_weights("triang", 4), [0.25, 0.75, 0.75, 0.25])
+    assert window_weights("boxcar", 3).tolist() == [1.0, 1.0, 1.0]
+    g = window_weights("gaussian", 5, std=1.0)
+    assert g[2] == 1.0 and np.all(np.diff(g[:3]) > 0)
+    for wt in ("hamming", "hann", "blackman", "bartlett"):
+        w = window_weights(wt, 7)
+        np.testing.assert_allclose(w, w[::-1])  # symmetric
+    with pytest.raises(ValueError):
+        window_weights("nope", 5)
+
+
+def test_rolling_weighted_matches_manual(ev):
+    """Weighted mean/sum vs a hand-rolled pandas computation (pandas'
+    own win_type path needs scipy, so the oracle is the formula)."""
+    import numpy as np
+
+    from sparkswift.operators.rolling import rolling_weighted, window_weights
+
+    w = window_weights("triang", 3)
+    out = (
+        rolling_weighted(
+            ev, order_by=["ts", "event_id"], window=3, on="value",
+            win_type="triang", agg="sum", partition_by=["user_id"],
+            output_col="ws",
+        )
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    pdf = ev.toPandas().sort_values(["user_id", "ts", "event_id"])
+
+    def wsum(g):
+        v = g.to_numpy()
+        res = np.full(len(v), np.nan)
+        for i in range(2, len(v)):
+            res[i] = v[i - 2] * w[0] + v[i - 1] * w[1] + v[i] * w[2]
+        return pd.Series(res, index=g.index)
+
+    pdf["ws"] = pdf.groupby("user_id")["value"].transform(wsum)
+    pdf = pdf.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_series_equal(out["ws"], pdf["ws"], check_names=False, rtol=1e-12)
+
+
+def test_rolling_weighted_center_and_explicit_weights(ev):
+    """center=True shifts the frame symmetrically; explicit weights
+    override win_type."""
+    from sparkswift.operators.rolling import rolling_weighted
+
+    out = (
+        rolling_weighted(
+            ev, order_by=["ts", "event_id"], window=3, on="value",
+            weights=[1.0, 1.0, 1.0], agg="mean", center=True,
+            partition_by=["user_id"], output_col="cm",
+        )
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    pdf = ev.toPandas().sort_values(["user_id", "ts", "event_id"])
+    pdf["cm"] = (
+        pdf.groupby("user_id")["value"]
+        .rolling(3, center=True).mean()
+        .reset_index(level=0, drop=True)
+    )
+    pdf = pdf.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_series_equal(out["cm"], pdf["cm"], check_names=False, rtol=1e-12)
