@@ -73,6 +73,32 @@ def stream_resample(
     )
 
 
+def stream_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming deduplication — first arrival per key wins.
+
+    ``within_watermark=True`` (the 100 TB path) uses
+    ``dropDuplicatesWithinWatermark``: state for a key is evicted once
+    the watermark passes its event time + delay, so state size is
+    bounded by (key arrival rate × delay) instead of the full history.
+    A duplicate arriving later than ``watermark`` after the first copy
+    can be re-emitted — that's the documented trade.
+
+    ``within_watermark=False`` is exact global dedup
+    (``dropDuplicates``): no re-emission ever, but state holds every
+    key seen — only for bounded key domains.
+    """
+    s = stream.withWatermark(ts_col, watermark)
+    if within_watermark:
+        return s.dropDuplicatesWithinWatermark(keys)
+    return s.dropDuplicates(keys)
+
+
 def run_stream_to_batch(streaming_df: DataFrame, mode: str = "complete") -> DataFrame:
     """Execute a streaming aggregation to completion (AvailableNow)
     into a memory sink and return the materialized result — the bridge

@@ -215,3 +215,26 @@ def st2_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming deduplication (dropDuplicatesWithinWatermark): first
+# arrival per (user_id, event_type) wins; per-key state is evicted
+# once the watermark passes event time + delay, so state is bounded by
+# arrival-rate × delay — the 100 TB shape. Emitting only the key
+# columns makes the output independent of WHICH duplicate won, so the
+# oracle is plain DISTINCT.
+# ---------------------------------------------------------------------------
+@register(
+    "st5_stream_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def st5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.streaming.ops import stream_dedup
+
+    src = events_stream(spark, sf_dir)
+    deduped = stream_dedup(
+        src, keys=["user_id", "event_type"], ts_col="ts", watermark="2 hours"
+    )
+    out = run_stream_to_batch(deduped, mode="append")
+    return out.select("user_id", "event_type")

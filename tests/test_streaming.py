@@ -144,3 +144,59 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # late 10:03 dropped (its window was closed); [12:00,12:10) still
     # open at the final watermark, so append withholds it
     assert got == {("10:00", 2), ("11:00", 1)}
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming dedup semantics across micro-batches: a duplicate key
+    arriving within the watermark delay is suppressed; both variants
+    equal batch DISTINCT on a single pass; re-emission beyond the
+    delay is the documented within-watermark trade."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkswift.streaming.ops import run_stream_to_batch, stream_dedup
+
+    d = tmp_path / "dstream"
+    d.mkdir()
+
+    def write(path, rows):
+        t = pa.table(
+            {
+                "ts": pa.array(
+                    pd.to_datetime([r[0] for r in rows]), type=pa.timestamp("us")
+                ),
+                "k": pa.array([r[1] for r in rows]),
+            }
+        )
+        pq.write_table(t, path)
+
+    p1, p2 = str(d / "0.parquet"), str(d / "1.parquet")
+    # batch 0: key 'a' twice (in-batch dup), key 'b' once
+    write(p1, [("2024-01-01 10:00", "a"), ("2024-01-01 10:01", "a"),
+               ("2024-01-01 10:30", "b")])
+    # batch 1: 'a' again within the 2h delay → suppressed; 'c' is new
+    write(p2, [("2024-01-01 11:00", "a"), ("2024-01-01 11:10", "c")])
+    os.utime(p1, (1000, 1000))
+    os.utime(p2, (2000, 2000))
+
+    schema = spark.read.parquet(str(d)).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = run_stream_to_batch(
+        stream_dedup(src, keys=["k"], ts_col="ts", watermark="2 hours"),
+        mode="append",
+    )
+    assert sorted(r.k for r in out.select("k").collect()) == ["a", "b", "c"]
+
+    # exact-dedup variant on the same source: identical answer
+    out2 = run_stream_to_batch(
+        stream_dedup(src, keys=["k"], ts_col="ts", within_watermark=False),
+        mode="append",
+    )
+    assert sorted(r.k for r in out2.select("k").collect()) == ["a", "b", "c"]
