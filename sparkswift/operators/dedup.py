@@ -408,17 +408,116 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    adversarial-diameter-safe alternative to Hash-Min.
+
+    Hash-Min needs O(diameter) rounds: a 10⁶-node path graph would
+    take 10⁶ shuffles. Star contraction converges in O(log² n) rounds
+    regardless of diameter by rewiring edges toward per-neighborhood
+    minima:
+
+    * large-star: per node u with m = min(Γ(u) ∪ {u}), rewire every
+      LARGER neighbor v > u to (v, m)
+    * small-star: per node u over its smaller neighbors N = {v < u},
+      m = min(N), rewire to (u, m) and (v, m) for v ∈ N \\ {m}
+
+    Each half-round is one groupBy(u).min + one join on u — two hash
+    shuffles; ``localCheckpoint`` keeps the plan flat. Convergence =
+    edge set fixed point (count + order-independent hash checksum).
+
+    Returns (id, component) with component = min id — same contract as
+    :func:`connected_components`.
+    """
+    e = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    # canonical direction: u > v
+    edges = (
+        e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _checksum(ed: DataFrame) -> tuple:
+        row = ed.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
+    def _large_star(ed: DataFrame) -> DataFrame:
+        sym = ed.unionByName(
+            ed.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(ed: DataFrame) -> DataFrame:
+        # input edges all satisfy u > v
+        m = ed.groupBy("u").agg(F.min("v").alias("m"))
+        rewired = (
+            ed.join(m, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        return rewired.unionByName(
+            m.select("u", F.col("m").alias("v"))
+        ).distinct()
+
+    sig = _checksum(edges)
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        new_sig = _checksum(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    # fixed point is a set of stars: every edge is (node, root)
+    return (
+        edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+        .unionByName(
+            edges.select(F.col("v").alias("id"), F.col("v").alias("component"))
+        )
+        .distinct()
+    )
+
+
 def near_dedup(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    algo: str = "hashmin",
 ) -> DataFrame:
     """End-to-end near-dedup: pairs → components → one survivor (min
     id) per cluster; docs in no pair survive as their own cluster.
-    Output: (doc_id, component, is_survivor)."""
-    comp = connected_components(pairs, id_a, id_b)
+    Output: (doc_id, component, is_survivor).
+
+    ``algo``: ``hashmin`` (O(diameter) rounds — near-dup graphs have
+    tiny diameters) or ``star`` (large-star/small-star, O(log² n)
+    rounds — safe for adversarial chain-shaped components)."""
+    cc = {"hashmin": connected_components, "star": connected_components_star}[algo]
+    comp = cc(pairs, id_a, id_b)
     out = df.select(F.col(id_col)).join(
         comp.select(F.col("id").alias(id_col), "component"), id_col, "left"
     )

@@ -194,9 +194,7 @@ def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Jaccard pairs, one survivor per cluster. Oracle: recursive CTE
 # transitive closure (tiny components, so the recursion is cheap).
 # ---------------------------------------------------------------------------
-@register(
-    "d7_dedup_clusters",
-    r"""
+_CLUSTERS_ORACLE = r"""
     WITH RECURSIVE
     t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
           FROM documents),
@@ -226,12 +224,28 @@ def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(c.component, d.doc_id) AS component,
            COALESCE(c.component, d.doc_id) = d.doc_id AS is_survivor
     FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
-    """,
-)
+    """
+
+
+@register("d7_dedup_clusters", _CLUSTERS_ORACLE)
 def d7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.8)
     return dd.near_dedup(docs, pairs, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Same clusters via large-star/small-star contraction (Kiveris et al.)
+# — O(log² n) rounds independent of component diameter, the variant
+# that survives adversarial chain-shaped duplicate graphs at 100 TB.
+# Same recursive-CTE oracle: both algorithms must produce identical
+# components.
+# ---------------------------------------------------------------------------
+@register("d9_dedup_clusters_star", _CLUSTERS_ORACLE)
+def d9_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.8)
+    return dd.near_dedup(docs, pairs, "doc_id", algo="star")
 
 
 # ---------------------------------------------------------------------------

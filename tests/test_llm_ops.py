@@ -212,3 +212,29 @@ def test_near_dedup_survivors(docs):
         lambda g: g.loc[g.is_survivor, "doc_id"].iloc[0], include_groups=False
     )).all()
     assert pdf.groupby("component")["is_survivor"].sum().eq(1).all()
+
+
+def test_star_cc_matches_hashmin_on_real_pairs(spark, sf_dir):
+    """Both CC algorithms produce identical (id, component) labels on
+    the fixture's near-dup graph."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.8)
+    a = {(r.id, r.component) for r in dd.connected_components(pairs).collect()}
+    b = {(r.id, r.component) for r in dd.connected_components_star(pairs).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_star_cc_handles_adversarial_diameter(spark):
+    """A 512-node path graph (diameter 511): Hash-Min needs ~511
+    rounds — at 8 rounds its labels are wrong — while star contraction
+    converges to the exact answer within its default O(log² n) budget."""
+    n = 512
+    chain = spark.range(n - 1).selectExpr("id AS id_a", "id + 1 AS id_b")
+
+    star = dd.connected_components_star(chain)
+    got = {(r.id, r.component) for r in star.collect()}
+    assert got == {(i, 0) for i in range(n)}
+
+    hashmin_capped = dd.connected_components(chain, max_iter=8)
+    wrong = hashmin_capped.filter(F.col("component") != 0).count()
+    assert wrong > 0  # the diameter problem star contraction solves
