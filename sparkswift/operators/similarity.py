@@ -370,6 +370,122 @@ def cosine_topk_ivf(
     )
 
 
+def ivf_build(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    seed: int = 42,
+) -> None:
+    """Persist an IVF index: k-means coarse quantizer, then the corpus
+    — quantized vectors + norms precomputed — written hive-partitioned
+    by ``list_id`` (`<path>/corpus/list_id=N/…`), centers to
+    `<path>/centers`.
+
+    The scale story: the k-means fit + assignment + quantization pass
+    runs ONCE; every later search scans only the probed ``list_id``
+    directories (partition pruning — the directories for unprobed
+    lists are never listed or opened), with vectors already in
+    integer-cosine form. This is the batch analog of loading a FAISS
+    IVF index instead of re-indexing per query set.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from sparkswift.sources.writers import write_table
+
+    c = _spread(corpus.select(F.col(id_col), F.col(vec_col))).withColumn(
+        "fv", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(k=nlist, seed=seed, featuresCol="fv", predictionCol="list_id").fit(c)
+    assigned = (
+        model.transform(c)
+        .select(
+            F.col(id_col).alias("corpus_id"),
+            quantize(vec_col).alias("cv"),
+            F.col("list_id"),
+        )
+        .withColumn("cn", norm2_long(F.col("cv")))
+    )
+    write_table(assigned, f"{path}/corpus", partition_by=["list_id"])
+
+    centers = model.clusterCenters()
+    spark = corpus.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(centers)],
+        "list_id int, center array<double>",
+    )
+    write_table(cdf.coalesce(1), f"{path}/centers")
+
+
+def ivf_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+) -> DataFrame:
+    """Search a persisted IVF index (:func:`ivf_build`).
+
+    Probe assignment happens driver-side-cheap: centers are a tiny
+    table, the per-query nearest-``nprobe`` lists come from one
+    vectorized pandas_udf pass over the queries. The union of probed
+    lists becomes a static ``isin`` filter on the corpus scan —
+    Catalyst turns it into PartitionFilters, so unprobed ``list_id=N``
+    directories are skipped at file-listing time. Per-query matching
+    stays an equi-join on ``list_id``.
+    """
+    import numpy as np
+
+    rows = spark.read.parquet(f"{path}/centers").orderBy("list_id").collect()
+    centers = np.asarray([r.center for r in rows], dtype=np.float64)
+    nprobe = min(nprobe, len(centers))
+
+    @F.pandas_udf("array<int>")
+    def probe_lists(s: pd.Series) -> pd.Series:
+        m = np.asarray(s.tolist(), dtype=np.float64)
+        d2 = ((m[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        idx = np.argsort(d2, axis=1)[:, :nprobe]
+        return pd.Series(list(idx.astype(np.int32)))
+
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            quantize(vec_col).alias("qv"),
+            probe_lists(F.col(vec_col)).alias("probes"),
+        )
+        .withColumn("qn", norm2_long(F.col("qv")))
+        .localCheckpoint()  # probes computed once, reused below
+    )
+    probed_lists = sorted(
+        r.l for r in q.select(F.explode("probes").alias("l")).distinct().collect()
+    )
+    probed = q.select("query_id", "qv", "qn", F.explode("probes").alias("list_id"))
+
+    assigned = spark.read.parquet(f"{path}/corpus").filter(
+        F.col("list_id").isin(probed_lists)
+    )
+    cand = assigned.join(probed, "list_id").filter(
+        F.col("corpus_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "corpus_id",
+        cosine(dot_long(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("corpus_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "rnk", "cos_sim")
+    )
+
+
 def srp_signature(vec: Column, bits: int = 16, dim: int = 64) -> Column:
     """Sign-random-projection signature: bit j = sign(v · h_j) where
     hyperplane h_j components are deterministic pseudo-random ±1

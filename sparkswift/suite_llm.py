@@ -394,6 +394,28 @@ def e3_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Persisted IVF index: build once (k-means + hive-partitioned corpus
+# by list_id), search many. The corpus scan carries PartitionFilters
+# on the probed lists — unprobed directories are never opened. Same
+# ANN contract as e3 → rows-only; recall + pruning asserted in tests.
+# ---------------------------------------------------------------------------
+@register("e4_cosine_topk_ivf_persisted", None)
+def e4_cosine_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0)
+    idx = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "..", ".cache", f"ivf_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    idx = os.path.normpath(idx)
+    if not os.path.isdir(os.path.join(idx, "corpus")):
+        sim.ivf_build(emb, idx, nlist=16)
+    return sim.ivf_search(spark, idx, queries, k=5, nprobe=8)
+
+
+# ---------------------------------------------------------------------------
 # Multimodal decode plumbing: synthesized binary payloads → Arrow-
 # batched pseudo-decode. byte_len and sha256 are oracle-checkable.
 # ---------------------------------------------------------------------------

@@ -238,3 +238,25 @@ def test_star_cc_handles_adversarial_diameter(spark):
     hashmin_capped = dd.connected_components(chain, max_iter=8)
     wrong = hashmin_capped.filter(F.col("component") != 0).count()
     assert wrong > 0  # the diameter problem star contraction solves
+
+
+def test_ivf_persisted_matches_inmemory_and_prunes(spark, sf_dir, tmp_path, emb):
+    """ivf_build + ivf_search ≡ cosine_topk_ivf (same quantizer seed,
+    same probes), and the corpus scan prunes to the probed list_id
+    partitions (PartitionFilters on the hive layout)."""
+    q = emb.filter(F.col("label") == 0)
+    idx = str(tmp_path / "ivf")
+    sim.ivf_build(emb, idx, nlist=16)
+    searched = sim.ivf_search(spark, idx, q, k=5, nprobe=8)
+    inmem = sim.cosine_topk_ivf(emb, q, k=5, nlist=16, nprobe=8)
+    a = {(r.query_id, r.corpus_id, r.rnk) for r in searched.collect()}
+    b = {(r.query_id, r.corpus_id, r.rnk) for r in inmem.collect()}
+    assert a == b and len(a) > 0
+
+    # narrow probe set → the scan must show partition pruning
+    one_q = q.limit(1)
+    plan = (
+        sim.ivf_search(spark, idx, one_q, k=5, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "list_id" in plan
