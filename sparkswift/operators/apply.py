@@ -163,6 +163,7 @@ def apply_rows(
     result_type: str | None = None,
     keep_cols: bool = True,
     output_col: str = "result",
+    force_udf: bool = False,
     args: tuple = (),
     **kwds,
 ) -> DataFrame:
@@ -182,8 +183,36 @@ def apply_rows(
 
     Scale: pure map-side (no shuffle); batches stream through Python
     workers, memory bounded per batch.
+
+    Adaptive vectorization (the reference's vectorize-try,
+    swifter/swifter.py:417-425): when calling ``func`` on a whole
+    pandas DataFrame gives the SAME result as the per-row apply on a
+    bounded sample, each Arrow batch runs ``func(pdf)`` once —
+    columnar pandas arithmetic instead of a Python loop per row
+    (~100×). ``force_udf=True`` (force_parallel analog) disables the
+    attempt.
     """
     inferred, scalar_result = infer_rows_schema(df, func, result_type, args, kwds)
+    vectorize = False
+    if not force_udf and result_type is None and not args and not kwds:
+        try:
+            import numpy as np
+
+            sample = sample_pandas(df, n=50)
+            slow = sample.apply(func, axis=1)
+            fast = func(sample)
+            vectorize = (
+                isinstance(slow, pd.Series)
+                and isinstance(fast, pd.Series)
+                and len(fast) == len(slow)
+                and bool(
+                    np.array_equal(
+                        slow.to_numpy(), fast.to_numpy(), equal_nan=True
+                    )
+                )
+            )
+        except Exception:
+            vectorize = False
     if schema is not None:
         out_schema = schema if isinstance(schema, T.StructType) else T.StructType.fromDDL(schema)
         scalar_result = len(out_schema.fields) == 1 and out_schema.fields[0].name == output_col
@@ -202,7 +231,10 @@ def apply_rows(
 
     def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = pdf.apply(func, axis=1, result_type=result_type, args=args, **kwds)
+            if vectorize:
+                out = func(pdf)
+            else:
+                out = pdf.apply(func, axis=1, result_type=result_type, args=args, **kwds)
             if isinstance(out, pd.DataFrame):
                 res = out
                 res.columns = [str(c) for c in res.columns]

@@ -149,42 +149,49 @@ def minhash_signature(shingle_arr: Column, num_hashes: int = 64) -> Column:
 def minhash_signature_batched(
     shingles: Column, num_hashes: int = 64, seed: int = 0
 ) -> Column:
-    """MinHash signature as one vectorized kernel per Arrow batch:
-    each shingle gets a strong 64-bit base hash (blake2b), then all
-    ``num_hashes`` slots come from one (shingles x hashes) universal
-    multiply-add in uint64 wrap-around arithmetic, min-reduced.
+    """MinHash signature as one vectorized kernel per Arrow batch.
+
+    Division of labor chosen for the 100 TB path: the per-shingle base
+    hash runs JVM-side (``xxhash64`` inside whole-stage codegen), so
+    Arrow ships compact int64 arrays — not shingle STRINGS — to
+    Python; the Python side is a single flattened
+    (total_shingles × num_hashes) uint64 multiply-add with a
+    segment-min (``minimum.reduceat``), no per-row Python work at all.
 
     Replaces the expression variant in the hot path for the same
     reason as similarity.srp_signature_batched: 64 array_min/transform
-    expressions per row is a codegen-compile hazard, and the batch
-    kernel is ~5x faster. Fixed-seed multipliers -> identical
-    signatures on every executor and every run."""
+    expressions per row is a codegen-compile hazard. Fixed-seed
+    multipliers -> identical signatures on every executor and run."""
+    return _minhash_from_hashes(
+        F.transform(shingles, lambda x: F.xxhash64(x)), num_hashes, seed
+    )
+
+
+def _minhash_from_hashes(hashes: Column, num_hashes: int, seed: int) -> Column:
     rng = np.random.Generator(np.random.PCG64(seed))
     a = rng.integers(1, np.iinfo(np.int64).max, size=num_hashes).astype(np.uint64) | np.uint64(1)
     b = rng.integers(0, np.iinfo(np.int64).max, size=num_hashes).astype(np.uint64)
 
     @F.pandas_udf("array<long>")
     def sig(s: pd.Series) -> pd.Series:
-        out = []
-        for shs in s:
-            if shs is None or len(shs) == 0:
-                out.append(np.zeros(num_hashes, dtype=np.int64))
-                continue
-            base = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.blake2b(x.encode(), digest_size=8).digest(), "little"
-                    )
-                    for x in shs
-                ),
-                dtype=np.uint64,
-                count=len(shs),
-            )
-            m = base[:, None] * a[None, :] + b[None, :]  # uint64 wraps: the scheme
-            out.append(m.min(axis=0).astype(np.int64))
-        return pd.Series(out)
+        n = len(s)
+        arrs = [
+            np.asarray(x, dtype=np.int64) if x is not None else np.empty(0, np.int64)
+            for x in s
+        ]
+        lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=n)
+        out = np.zeros((n, num_hashes), dtype=np.uint64)
+        nz = lens > 0
+        if nz.any():
+            flat = np.concatenate([x for x in arrs if len(x)]).view(np.uint64)
+            prod = flat[:, None] * a[None, :] + b[None, :]  # uint64 wraps: the scheme
+            nz_lens = lens[nz]
+            starts = np.zeros(len(nz_lens), dtype=np.int64)
+            starts[1:] = np.cumsum(nz_lens)[:-1]
+            out[nz] = np.minimum.reduceat(prod, starts, axis=0)
+        return pd.Series(list(out.astype(np.int64)))
 
-    return sig(shingles)
+    return sig(hashes)
 
 
 def minhash_lsh_pairs(
@@ -203,11 +210,23 @@ def minhash_lsh_pairs(
     ≈ 1-(1-j⁴)¹⁶ (≈0.99 at j=0.8). Band buckets are a groupBy key —
     the shuffle is O(rows × bands), and no executor ever holds more
     than one bucket's ids.
+
+    Shingle strings are hashed to int64 ONCE (JVM-side xxhash64) and
+    dropped; signatures, the band join, and the Jaccard verification
+    all run over the hashed sets (|A∩B| on 64-bit hashes ≡ exact up to
+    ~2⁻⁶⁴ collisions). The (id, hashed-shingles, signature) frame is
+    checkpointed so the text → shingle pass runs exactly once.
     """
     rows_per_band = num_hashes // bands
-    sh = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
-        "id", word_shingles(text_col, k).alias("sh")
-    ).withColumn("sig", minhash_signature_batched(F.col("sh"), num_hashes))
+    sh = (
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", word_shingles(text_col, k).alias("sh"))
+        .select(
+            "id", F.transform("sh", lambda x: F.xxhash64(x)).alias("hsh")
+        )
+        .withColumn("sig", _minhash_from_hashes(F.col("hsh"), num_hashes, 0))
+        .localCheckpoint()
+    )
     # band join and pair-dedup on BARE IDS — the shingle arrays would
     # otherwise ride through the shuffle `bands` times; they re-attach
     # once per surviving pair below
@@ -244,10 +263,10 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cand_ids
-    shmap = sh.select("id", "sh")
+    shmap = sh.select("id", "hsh")
     cand = cand_ids.join(
-        shmap.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
-    ).join(shmap.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        shmap.select(F.col("id").alias("id_a"), F.col("hsh").alias("sh_a")), "id_a"
+    ).join(shmap.select(F.col("id").alias("id_b"), F.col("hsh").alias("sh_b")), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
     union = (
         F.size("sh_a").cast("bigint") + F.size("sh_b").cast("bigint") - inter

@@ -194,3 +194,39 @@ def test_fallback_chain_arrow_incompatible_payloads(spark, sf_dir):
     )
     vals = out2.select("s").collect()
     assert all(isinstance(r.s, str) and r.s.startswith("{") for r in vals)
+
+
+def test_apply_rows_vectorize_gate_equivalence(spark, sf_dir):
+    """The vectorize-try (reference swifter.py:417-425 analog) must
+    produce byte-identical results to the forced row-at-a-time path."""
+    from sparkswift.operators.apply import apply_rows
+    from sparkswift.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+    ).limit(500)
+    f = lambda row: row["l_extendedprice"] / row["l_quantity"]  # noqa: E731
+    fast = apply_rows(li, f, output_col="u").select("l_orderkey", "l_linenumber", "u")
+    slow = apply_rows(li, f, output_col="u", force_udf=True).select(
+        "l_orderkey", "l_linenumber", "u"
+    )
+    a = fast.toPandas().sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+    b = slow.toPandas().sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_apply_rows_vectorize_gate_rejects_row_scalar(spark, sf_dir):
+    """A UDF whose whole-frame call returns the WRONG shape (row.sum()
+    over a DataFrame reduces columns, not rows) must stay row-wise."""
+    from sparkswift.operators.apply import apply_rows
+    from sparkswift.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount"
+    ).limit(100)
+    out = apply_rows(li, lambda row: row.sum(), output_col="s")
+    got = out.select("s").toPandas()["s"]
+    want = (
+        li.toPandas().apply(lambda row: row.sum(), axis=1)
+    )
+    assert sorted(got.round(9)) == sorted(want.round(9))

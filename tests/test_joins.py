@@ -103,3 +103,48 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     a = plain.toPandas().sort_values("o_orderkey").reset_index(drop=True)
     b = salted.toPandas().sort_values("o_orderkey").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_aqe_skew_join_splits_hot_key(spark):
+    """The AQE leg of the skew story (salted_join is the manual leg):
+    with skew thresholds scaled to fixture size, a 90%-hot-key join
+    gets its straggler partition split at runtime (SMJ marked
+    skew=true) and still returns exact results."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("pl"),
+        )
+        right = spark.range(1_000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        j = left.join(right, "k")
+        n = j.count()
+        assert n == 180_000 + 100  # hot key 0 matches + distinct keys %10==0 under 1000
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
