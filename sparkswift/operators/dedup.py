@@ -427,6 +427,42 @@ def connected_components(
     return labels
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any
+    k-word shingle with an eval/benchmark corpus (the n-gram-overlap
+    rule used by large-corpus pipelines before training).
+
+    Scale shape: the benchmark shingle set is small (benchmarks are
+    thousands of docs, not billions) → ``broadcast`` semi-join; the
+    corpus side streams map-side with NO shuffle of the corpus. At
+    extreme benchmark sizes swap the broadcast for a bloom filter
+    built from the same set.
+
+    Returns ``docs`` + boolean ``contaminated``.
+    """
+    bench_sh = (
+        benchmark.select(F.explode(word_shingles(text_col, k)).alias("s")).distinct()
+    )
+    doc_sh = docs.select(
+        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("s")
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "s")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return docs.join(hits, id_col, "left").withColumn(
+        "contaminated", F.coalesce("contaminated", F.lit(False))
+    )
+
+
 def connected_components_star(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -128,3 +128,66 @@ def fingerprint(df: DataFrame, text_col: str = "text", output_col: str = "fp") -
     text — the exact-dedup key. md5 is identical across engines."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn(output_col, F.md5(norm))
+
+
+def word_ngrams_all(col: str | Column, k: int = 2) -> Column:
+    """ALL k-word n-grams (duplicates kept — unlike
+    dedup.word_shingles, which dedups for set-Jaccard)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    ng = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return F.when(n >= k, ng).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", k: int = 2
+) -> DataFrame:
+    """Gopher-style repetition signal: fraction of duplicate k-grams
+    per document (`1 - distinct/total`). High values mark boilerplate
+    and degenerate text that quality filters drop before training.
+
+    Pure array expressions — per-row, no shuffle, whole-stage codegen;
+    the ratio is one exact long/long division (deterministic across
+    engines)."""
+    ng = word_ngrams_all(text_col, k)
+    total = F.size(ng).cast("bigint")
+    distinct = F.size(F.array_distinct(ng)).cast("bigint")
+    return (
+        df.withColumn("ngrams_total", total)
+        .withColumn("ngrams_distinct", distinct)
+        .withColumn(
+            "dup_ngram_frac",
+            (F.col("ngrams_total") - F.col("ngrams_distinct")).cast("double")
+            / F.col("ngrams_total").cast("double"),
+        )
+    )
+
+
+# PII patterns kept to the regex subset Java (Spark) and RE2 (DuckDB)
+# treat identically — no lookarounds, no backrefs.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\d{3}-\d{3,4}-\d{4}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    output_col: str | None = None,
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Redact PII spans (emails, phone numbers, IPs by default) with
+    typed placeholders — the standard scrub pass before a corpus
+    becomes training data. A chain of native ``regexp_replace``
+    expressions: per-row, no Python, no shuffle."""
+    pats = patterns or {
+        "[EMAIL]": EMAIL_RE,
+        "[PHONE]": PHONE_RE,
+        "[IP]": IPV4_RE,
+    }
+    c = F.col(text_col)
+    for repl, pat in pats.items():
+        c = F.regexp_replace(c, pat, repl)
+    return df.withColumn(output_col or text_col, c)

@@ -461,3 +461,134 @@ def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     with_payload = mm.attach_payload(docs, "text")
     return mm.sample_frames(with_payload, "doc_id", "payload", stride=2)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline ops: deterministic sampling / splitting / decontamination.
+# All md5-hash-bucket based — reproducible on any engine, any
+# partitioning, any corpus growth; pure codegen expressions that push
+# down to the scan. md5 hex is identical in Spark and DuckDB, so the
+# oracles are exact.
+# ---------------------------------------------------------------------------
+from sparkswift.operators import sampling as sp  # noqa: E402
+
+
+@register(
+    "p1_deterministic_sample",
+    f"""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    WHERE substr(md5(concat_ws(':', '0', CAST(doc_id AS VARCHAR))), 1, 8)
+          < '{sp.hex_threshold(0.1)}'
+    """,
+)
+def p1_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sp.deterministic_sample(docs, "doc_id", rate=0.1, seed=0)
+
+
+@register(
+    "p2_hash_split",
+    f"""
+    SELECT doc_id, {sp.split_sql_case('doc_id')} AS split FROM documents
+    """,
+)
+def p2_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sp.hash_split(docs, "doc_id").select("doc_id", "split")
+
+
+_BENCH_THR = sp.hex_threshold(0.0625)
+
+
+@register(
+    "p3_decontaminate",
+    rf"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '') AS toks
+               FROM documents),
+    s AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                      THEN list_distinct(list_transform(
+                               generate_series(1, len(toks) - 2),
+                               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                      ELSE [array_to_string(toks, ' ')] END AS sh
+          FROM t),
+    b AS (SELECT doc_id FROM documents
+          WHERE substr(md5(concat_ws(':', '1', CAST(doc_id AS VARCHAR))), 1, 8)
+                < '{_BENCH_THR}'),
+    bs AS (SELECT DISTINCT unnest(s.sh) AS sg FROM s JOIN b USING (doc_id)),
+    e AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+    hits AS (SELECT DISTINCT e.doc_id FROM e JOIN bs USING (sg))
+    SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE substr(md5(concat_ws(':', '1', CAST(d.doc_id AS VARCHAR))), 1, 8)
+          >= '{_BENCH_THR}'
+    """,
+)
+def p3_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = sp.hash_bucket_hex("doc_id", seed=1)
+    bench = docs.filter(bucket < F.lit(_BENCH_THR))
+    train = docs.filter(bucket >= F.lit(_BENCH_THR))
+    out = dd.decontaminate(train, bench, "text", "doc_id", k=3)
+    return out.select("doc_id", "contaminated")
+
+
+# ---------------------------------------------------------------------------
+# Repetition (duplicate-bigram fraction, the Gopher quality rule) and
+# PII redaction — per-row native expressions; exact oracles.
+# ---------------------------------------------------------------------------
+@register(
+    "t5_repetition",
+    r"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '') AS toks
+               FROM documents),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 2
+                      THEN list_transform(generate_series(1, len(toks) - 1),
+                                          i -> concat_ws(' ', toks[i], toks[i+1]))
+                      ELSE [array_to_string(toks, ' ')] END AS ng
+          FROM t)
+    SELECT doc_id,
+           CAST(len(ng) AS BIGINT) AS ngrams_total,
+           CAST(len(list_distinct(ng)) AS BIGINT) AS ngrams_distinct,
+           CAST(len(ng) - len(list_distinct(ng)) AS DOUBLE)
+               / CAST(len(ng) AS DOUBLE) AS dup_ngram_frac
+    FROM g
+    """,
+)
+def t5_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = tx.repetition_metrics(docs, "text", k=2)
+    return out.select("doc_id", "ngrams_total", "ngrams_distinct", "dup_ngram_frac")
+
+
+@register(
+    "t6_pii_redact",
+    rf"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+               concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                      '@example.com or 555-123-4567 at 10.0.0.', CAST(doc_id % 256 AS VARCHAR)),
+               '{tx.EMAIL_RE}', '[EMAIL]', 'g'),
+               '{tx.PHONE_RE}', '[PHONE]', 'g'),
+               '{tx.IPV4_RE}', '[IP]', 'g') AS clean
+    FROM documents
+    """,
+)
+def t6_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "aug",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567 at 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ),
+    )
+    out = tx.pii_redact(docs, "aug", output_col="clean")
+    return out.select("doc_id", "clean")

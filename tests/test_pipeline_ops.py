@@ -1,0 +1,107 @@
+"""Deterministic sampling/splitting, decontamination, repetition,
+and PII redaction — the pipeline ops a training-data run needs."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sparkswift.operators import sampling as sp
+from sparkswift.operators import text as tx
+from sparkswift.operators.dedup import decontaminate
+from sparkswift.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_sample_deterministic_and_partition_invariant(docs):
+    a = {r.doc_id for r in sp.deterministic_sample(docs, "doc_id", 0.2).collect()}
+    b = {
+        r.doc_id
+        for r in sp.deterministic_sample(
+            docs.repartition(13), "doc_id", 0.2
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+    # nested: a 10% sample is a subset of the 20% sample (same seed) —
+    # the property that lets you grow a sample without resampling
+    c = {r.doc_id for r in sp.deterministic_sample(docs, "doc_id", 0.1).collect()}
+    assert c <= a
+
+
+def test_sample_rate_accuracy(spark):
+    n = 100_000
+    ids = spark.range(n).withColumnRenamed("id", "k")
+    got = sp.deterministic_sample(ids, "k", 0.25).count()
+    assert abs(got / n - 0.25) < 0.01
+
+
+def test_hash_split_disjoint_exhaustive_stable(docs):
+    out = sp.hash_split(docs, "doc_id").select("doc_id", "split").toPandas()
+    assert set(out["split"]) <= {"train", "val", "test"}
+    assert len(out) == out["doc_id"].nunique()  # one split per doc
+    # growing the corpus must not move existing assignments
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    sub = sp.hash_split(half, "doc_id").select("doc_id", "split").toPandas()
+    merged = sub.merge(out, on="doc_id", suffixes=("_sub", "_full"))
+    assert (merged["split_sub"] == merged["split_full"]).all()
+
+
+def test_hash_split_proportions(spark):
+    ids = spark.range(100_000).withColumnRenamed("id", "k")
+    counts = {
+        r.split: r["count"]
+        for r in sp.hash_split(ids, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split")
+        .count()
+        .collect()
+    }
+    assert abs(counts["train"] / 100_000 - 0.8) < 0.01
+    assert abs(counts["val"] / 100_000 - 0.1) < 0.01
+
+
+def test_decontaminate_flags_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words here nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "we ask about the quick brown fox in this benchmark")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.contaminated for r in decontaminate(train, bench).collect()}
+    assert out == {1: True, 2: False}
+
+
+def test_decontaminate_broadcasts_benchmark(docs, spark):
+    bench = docs.limit(20)
+    plan = (
+        decontaminate(docs, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan  # corpus side must not shuffle
+
+
+def test_repetition_metrics(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam"), (2, "all words are unique here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in tx.repetition_metrics(df, "text", k=2).collect()}
+    assert out[1].ngrams_total == 4 and out[1].ngrams_distinct == 1
+    assert out[1].dup_ngram_frac == 0.75
+    assert out[2].dup_ngram_frac == 0.0
+
+
+def test_pii_redact(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.io or call 555-123-4567 from 10.1.2.3 now")],
+        "doc_id long, text string",
+    )
+    got = tx.pii_redact(df, "text").collect()[0].text
+    assert got == "mail [EMAIL] or call [PHONE] from [IP] now"
