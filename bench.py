@@ -42,6 +42,10 @@ HEADLINE = [
     "e1_cosine_topk",        # brute-force cosine top-k
     "e2_cosine_topk_lsh",    # LSH cosine top-k
     "st1_stream_resample",   # streaming resample (availableNow)
+    "o5_rolling_weighted",   # O5 win_type taper (native lag-sum)
+    "t5_repetition",         # dup-ngram fraction (native arrays)
+    "p2_hash_split",         # deterministic split (md5 bucket exprs)
+    "p3_decontaminate",      # benchmark ngram broadcast semi-join
 ]
 
 

@@ -60,3 +60,43 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def load_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    modality: str = "image",
+    mime: str = "application/octet-stream",
+) -> DataFrame:
+    """Multimodal ingestion source: read raw media files as rows via
+    Spark's ``binaryFile`` format — (path, modificationTime, length,
+    content) — and shape them into the engine's multimodal contract
+    (``payload`` binary + typed ``media_meta`` struct) that
+    operators/multimodal.py consumes.
+
+    Scale notes: binaryFile parallelizes over files (one row per file,
+    splittable listing); filters on ``path``/``length`` prune at the
+    file-listing level before any byte is read. Set
+    ``spark.sql.files.maxPartitionBytes`` so a partition of large
+    media files still fits executor memory.
+    """
+    from pyspark.sql import functions as F
+
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    raw = r.load(path)
+    return raw.select(
+        F.col("path"),
+        F.col("length").cast("bigint").alias("byte_len"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.lit(modality).alias("modality"),
+            F.lit(mime).alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("media_meta"),
+    )

@@ -64,3 +64,25 @@ def test_asof_join_single_shuffle(plans):
 def test_filter_pushdown_reaches_scan(plans):
     p = plans("j2_semi_join")
     assert "PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,48" in p
+
+
+def test_weighted_rolling_single_exchange(plans):
+    # lag-sum unroll: one hash exchange on user_id, one Window, no UDF
+    p = plans("o5_rolling_weighted")
+    assert p.count("Exchange") == 1
+    assert "Window" in p and "pythonUDF" not in p.lower().replace("python udf", "pythonudf")
+
+
+def test_pipeline_exprs_have_no_shuffle(plans):
+    # sampling / split / repetition are per-row codegen — zero exchanges
+    for q in ("p1_deterministic_sample", "p2_hash_split", "t5_repetition"):
+        p = plans(q)
+        assert "Exchange" not in p, f"{q} must not shuffle"
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
+            f"{q} must not call Python"
+        )
+
+
+def test_decontaminate_corpus_side_never_shuffles(plans):
+    p = plans("p3_decontaminate")
+    assert "BroadcastHashJoin" in p

@@ -55,3 +55,34 @@ def test_bucketed_join_skips_shuffle(spark, orders):
         assert _sorted_pdf(agg).shape == _sorted_pdf(want).shape
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_bkt")
+
+
+def test_binary_file_source_feeds_multimodal(spark, tmp_path_factory):
+    """binaryFile ingestion → multimodal contract → decode plumbing:
+    the end-to-end path real media files would take."""
+    from sparkswift.operators.multimodal import decode_image
+    from sparkswift.sources.loaders import load_binary_files
+
+    d = tmp_path_factory.mktemp("media")
+    payloads = {f"img_{i}.bin": bytes([i]) * (10 + i) for i in range(5)}
+    for name, data in payloads.items():
+        (d / name).write_bytes(data)
+    (d / "ignore.txt").write_text("not media")
+
+    df = load_binary_files(spark, str(d), glob="*.bin", modality="image")
+    rows = df.collect()
+    assert len(rows) == 5  # glob pruned the .txt at listing time
+    got = {r.path.rsplit("/", 1)[-1]: bytes(r.payload) for r in rows}
+    assert got == payloads
+    assert all(r.byte_len == len(bytes(r.payload)) for r in rows)
+    assert rows[0].media_meta.modality == "image"
+
+    decoded = decode_image(
+        df.withColumn("doc_id", F.monotonically_increasing_id()), "doc_id", "payload"
+    )
+    out = decoded.collect()
+    assert len(out) == 5
+    by_len = {r.byte_len: r.sha256 for r in out}
+    import hashlib
+
+    assert by_len[10] == hashlib.sha256(bytes([0]) * 10).hexdigest()
