@@ -79,6 +79,27 @@ def hash_split(
     return df.withColumn(output_col, expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """``sampleBy`` analog with deterministic hash decisions: keep a
+    per-stratum fraction of rows (e.g. downsample web text, keep all
+    code). Same reproducibility guarantees as
+    :func:`deterministic_sample`; one codegen CASE, no shuffle."""
+    bucket = hash_bucket_hex(id_col, seed)
+    thr = F.lit(hex_threshold(default_rate))
+    for value, rate in rates.items():
+        thr = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(hex_threshold(rate))
+        ).otherwise(thr)
+    return df.filter(bucket < thr)
+
+
 def split_sql_case(
     id_sql: str, weights: dict[str, float] | None = None, seed: int = 0
 ) -> str:

@@ -592,3 +592,24 @@ def t6_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = tx.pii_redact(docs, "aug", output_col="clean")
     return out.select("doc_id", "clean")
+
+
+_P4_RATES = {"src0": 0.5, "src1": 0.2}
+
+
+@register(
+    "p4_stratified_sample",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE substr(md5(concat_ws(':', '0', CAST(doc_id AS VARCHAR))), 1, 8)
+          < CASE WHEN source = 'src0' THEN '{sp.hex_threshold(0.5)}'
+                 WHEN source = 'src1' THEN '{sp.hex_threshold(0.2)}'
+                 ELSE '{sp.hex_threshold(0.05)}' END
+    """,
+)
+def p4_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = sp.stratified_sample(
+        docs, "doc_id", "source", rates=_P4_RATES, default_rate=0.05, seed=0
+    )
+    return out.select("doc_id", "source")

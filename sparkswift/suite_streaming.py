@@ -98,9 +98,7 @@ def st3_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # arithmetic. Spark merges events with diff < gap; ties share a
 # bucket either way.
 # ---------------------------------------------------------------------------
-@register(
-    "sw1_session_window",
-    f"""
+_SESSIONS_ORACLE = f"""
     WITH x AS (
       SELECT user_id, ts, value,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
@@ -118,8 +116,10 @@ def st3_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(value AS {D})) AS DOUBLE) AS sum_value
     FROM y GROUP BY user_id, sid
-    """,
-)
+    """
+
+
+@register("sw1_session_window", _SESSIONS_ORACLE)
 def sw1_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return sessionize(
@@ -238,3 +238,45 @@ def st5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_stream_to_batch(deduped, mode="append")
     return out.select("user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# STREAMING session windows: the same sessionize() operator on an
+# unbounded source — session state merges as events arrive, the
+# watermark bounds how long an open session can wait for a merge.
+# Session aggregations support APPEND mode only: a session is emitted
+# once the watermark passes its end. After an availableNow pass the
+# watermark sits at max(ts) - delay, so sessions ending within the
+# delay of the stream tail are (correctly) still open/withheld. Both
+# engine and oracle therefore restrict to sessions ending a safe
+# margin before that watermark — the subset append-mode GUARANTEES.
+# ---------------------------------------------------------------------------
+@register(
+    "st6_stream_sessions",
+    _SESSIONS_ORACLE.replace(
+        "FROM y GROUP BY user_id, sid",
+        """FROM y GROUP BY user_id, sid
+    HAVING MAX(ts) + INTERVAL 10 MINUTE
+           <= (SELECT MAX(ts) FROM events) - INTERVAL 2 HOUR - INTERVAL 1 MINUTE""",
+    ),
+)
+def st6_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    bound = (
+        load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+        - datetime.timedelta(hours=2, minutes=1)
+    )
+    src = events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    sess = sessionize(
+        src,
+        ts_col="ts",
+        gap="10 minutes",
+        keys=["user_id"],
+        aggs={
+            "n": F.count(F.lit(1)).cast("bigint"),
+            "sum_value": F.sum(F.col("value").cast(D)).cast("double"),
+        },
+    )
+    out = run_stream_to_batch(sess, mode="append")
+    return out.filter(F.col("session_end") <= F.lit(bound))

@@ -105,3 +105,16 @@ def test_pii_redact(spark):
     )
     got = tx.pii_redact(df, "text").collect()[0].text
     assert got == "mail [EMAIL] or call [PHONE] from [IP] now"
+
+
+def test_stratified_sample_rates(spark):
+    ids = spark.range(60_000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    out = sp.stratified_sample(
+        ids, "k", "g", rates={"0": 0.5, "1": 0.1}, default_rate=0.0
+    )
+    counts = {r.g: r["count"] for r in out.groupBy("g").count().collect()}
+    assert abs(counts["0"] / 20_000 - 0.5) < 0.02
+    assert abs(counts["1"] / 20_000 - 0.1) < 0.02
+    assert "2" not in counts  # default_rate=0 drops the stratum
