@@ -86,7 +86,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.8,
-    max_posting: int | None = None,
+    max_posting: int | None = 256,
 ) -> DataFrame:
     """Exact near-dup pairs by k-word-shingle Jaccard ≥ threshold.
 
@@ -94,6 +94,15 @@ def ngram_jaccard_pairs(
     (inter/union ≥ t  ⇔  inter·den ≥ num·union for t = num/den), so
     candidate selection is float-free; the reported ``jaccard`` is one
     exact integer division — deterministic across engines.
+
+    ``max_posting`` (default 256) drops stop-shingles whose posting
+    list exceeds the cap: one "of the and" shared by 10⁶ docs would
+    otherwise explode into 10¹² pairs inside a single join key. The
+    recall trade: a true near-dup pair connected ONLY through capped
+    shingles is missed — for k≥3 word shingles such pairs are
+    boilerplate, not duplicates (and the fixture's max posting is 25
+    at sf0.1, so the default binds nothing at test scale). Pass
+    ``None`` for the uncapped exact semantics.
     """
     sh = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
         "id", word_shingles(text_col, k).alias("sh")

@@ -99,7 +99,21 @@ def salted_join(
     every (key, salt) bucket can still match. The hot key's rows then
     spread over ``salt`` tasks instead of one. Shuffle volume cost:
     right side × salt — keep ``right`` the smaller input.
+
+    ``how`` is restricted to left-preserving joins: with the right side
+    exploded ``salt`` ways, an UNMATCHED right row would survive a
+    right/full outer join once per salt bucket (``salt`` phantom
+    rows). Swap the inputs (and the join direction) to salt the other
+    side.
     """
+    allowed = ("inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti")
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports left-preserving joins {allowed}; "
+            f"got how={how!r} — unmatched right rows would be duplicated "
+            f"{salt}×. Swap the inputs to salt the other side."
+        )
     l_salted = left.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
     )

@@ -27,7 +27,79 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from sparkswift.operators.rolling import _BUILTIN
+from sparkswift.operators.rolling import _BUILTIN, _parse_duration_us
+
+
+def _origin_shift_us(
+    df: DataFrame,
+    ts_col: str,
+    rule_us: int,
+    origin,
+    offset: str | None,
+    base: int,
+    rule: str,
+) -> int:
+    """pandas resample alignment knobs → one window phase shift in µs.
+
+    ``origin``: 'epoch' (default), 'start' (first ts), 'start_day'
+    (midnight of first ts's day — both cost ONE tiny min() job), or an
+    explicit timestamp. ``offset``: duration string added on top.
+    ``base`` (legacy pandas): shift by ``base`` units of the rule's own
+    unit ('1 hour', base=1 → 1 hour — pandas deprecated it in favor of
+    ``offset``; kept for reference parity, swifter.py:174-220).
+    """
+    import datetime
+
+    shift = 0
+    if origin in (None, "epoch"):
+        pass
+    elif origin in ("start", "start_day"):
+        first = df.agg(F.min(F.col(ts_col)).alias("m")).collect()[0].m
+        if origin == "start_day":
+            first = first.replace(hour=0, minute=0, second=0, microsecond=0)
+        shift += int(first.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+    else:
+        ts = pd.Timestamp(origin)
+        shift += int(ts.value // 1000)  # ns → µs
+    if base:
+        unit = rule.strip().split()[1]
+        shift += base * _parse_duration_us(f"1 {unit}")
+    if offset:
+        shift += _parse_duration_us(offset)
+    return shift % rule_us
+
+
+def bucket_window(
+    df: DataFrame,
+    ts_col: str,
+    rule: str,
+    closed: str = "left",
+    origin=None,
+    offset: str | None = None,
+    base: int = 0,
+) -> Column:
+    """The tumbling bucket as a native ``F.window`` Column, with pandas
+    edge rules applied:
+
+    * ``closed='left'`` (pandas fixed-freq default): [t0, t0+w) —
+      plain ``F.window``.
+    * ``closed='right'``: (t0, t0+w] — the event time is nudged back
+      1 µs before windowing (timestamps are µs-precision, so this is
+      exact: a boundary event lands in the earlier bucket, everything
+      else is unchanged).
+    * ``origin``/``offset``/``base`` become the window's ``startTime``
+      phase — pure alignment, zero extra shuffle.
+    """
+    if closed not in ("left", "right"):
+        raise ValueError("closed must be 'left' or 'right'")
+    rule_us = _parse_duration_us(rule)
+    shift = _origin_shift_us(df, ts_col, rule_us, origin, offset, base, rule)
+    t = F.col(ts_col)
+    if closed == "right":
+        t = t - F.expr("INTERVAL 1 MICROSECOND")
+    if shift:
+        return F.window(t, rule, rule, f"{shift} microseconds")
+    return F.window(t, rule)
 
 
 def resample_agg(
@@ -38,6 +110,11 @@ def resample_agg(
     label: str = "left",
     bucket_col: str = "bucket_ts",
     extra_keys: list[str] | None = None,
+    closed: str = "left",
+    origin=None,
+    offset: str | None = None,
+    base: int = 0,
+    convention: str = "start",
 ) -> DataFrame:
     """Tumbling-window aggregation with native reducers.
 
@@ -45,8 +122,17 @@ def resample_agg(
     Column. ``rule`` is a Spark duration string ('1 hour', '3 minutes').
     ``extra_keys`` adds grouping keys alongside the time bucket
     (per-entity resample).
+
+    Edge rules (reference swifter.py:174-220 forwards these to pandas):
+    ``closed``/``origin``/``offset``/``base`` — see
+    :func:`bucket_window`. ``label='left'|'right'`` emits the bucket's
+    start vs end. ``convention`` only affects pandas PERIOD resampling
+    (upsampling of PeriodIndex) — accepted for signature parity,
+    validated, and a no-op for timestamp buckets exactly as in pandas.
     """
-    win = F.window(F.col(ts_col), rule)
+    if convention not in ("start", "end"):
+        raise ValueError("convention must be 'start' or 'end'")
+    win = bucket_window(df, ts_col, rule, closed, origin, offset, base)
     keys = [win] + [F.col(k) for k in (extra_keys or [])]
     agg_cols = []
     for out_name, spec in aggs.items():
@@ -73,17 +159,22 @@ def resample_apply_udf(
     label: str = "left",
     bucket_col: str = "bucket_ts",
     extra_keys: list[str] | None = None,
+    closed: str = "left",
+    origin=None,
+    offset: str | None = None,
+    base: int = 0,
 ) -> DataFrame:
     """Arbitrary per-bucket pandas UDF: the bucket's rows arrive as a
     pandas DataFrame; the UDF returns a DataFrame. Spark shuffles by
     (bucket, extra_keys) — each bucket fits one task at any total scale
-    as long as rule × entity granularity keeps buckets bounded."""
+    as long as rule × entity granularity keeps buckets bounded.
+    Edge rules as in :func:`resample_agg`."""
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     edge = "start" if label == "left" else "end"
     keys = (extra_keys or [])
     bucketed = (
-        df.withColumn("__w", F.window(F.col(ts_col), rule))
+        df.withColumn("__w", bucket_window(df, ts_col, rule, closed, origin, offset, base))
         .withColumn(bucket_col, F.col(f"__w.{edge}"))
         .drop("__w")
     )

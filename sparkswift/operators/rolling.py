@@ -70,6 +70,17 @@ _CLOSED_BOUNDS = {
     "neither": lambda us: (-(us - 1), -1),
 }
 
+# pandas ``closed=`` for COUNT windows (verified against pandas 2.2:
+# size-w window ending at row i) → ROWS frame offsets. Note 'both'
+# spans w+1 rows and 'neither' w-1 — that's pandas' definition (the
+# window is the interval (i-w, i] with endpoint inclusion toggled).
+_CLOSED_ROWS = {
+    "right": lambda w: (-(w - 1), 0),
+    "left": lambda w: (-w, -1),
+    "both": lambda w: (-w, 0),
+    "neither": lambda w: (-(w - 1), -1),
+}
+
 
 def _frame(order_col, window, center, partition_by, closed="right"):
     if partition_by:
@@ -85,9 +96,10 @@ def _frame(order_col, window, center, partition_by, closed="right"):
         # accept a list for tie-breaking: ROWS frames over non-unique
         # keys are nondeterministic, so order by (ts, unique_id)
         w = base.orderBy(*order_col) if isinstance(order_col, list) else base.orderBy(order_col)
+        lo, hi = _CLOSED_ROWS[closed](window)
         if center:
-            return w.rowsBetween(-(window - 1) + window // 2, window // 2), window
-        return w.rowsBetween(-(window - 1), 0), window
+            lo, hi = lo + window // 2, hi + window // 2
+        return w.rowsBetween(lo, hi), window
     us = _parse_duration_us(window)
     # unix_micros is exact (long); casting the timestamp through double
     # would lose sub-ms precision on modern epochs
@@ -113,8 +125,14 @@ def rolling_agg(
 
     ``min_periods`` mirrors pandas: for count windows the default is
     the window size (leading rows yield null); for time windows it is 1.
-    ``closed`` (time windows): right/left/both/neither boundary
-    inclusion, pandas semantics — exact µs frame-bound arithmetic.
+    ``closed``: right/left/both/neither boundary inclusion for BOTH
+    window kinds, pandas semantics — exact µs range bounds for time
+    windows, ROWS-offset algebra for count windows (verified against
+    pandas 2.2 in tests/test_windows.py).
+    ``order_by`` plays the role of pandas ``rolling(on=...)``: the
+    column that defines window position (reference swifter.py:140-172
+    forwards ``on=`` to pandas; here the engine has no index, so the
+    ordering column is always explicit).
     """
     frame, count_window = _frame(order_by, window, center, partition_by, closed)
     out_name = output_col or f"{on}_roll_{agg}"
@@ -303,11 +321,27 @@ def rolling_apply_udf(
         return df.groupBy(*partition_by).applyInPandas(_per_entity, schema)
 
     frame, _ = _frame(ord_cols if isinstance(window, int) else ord_cols[0], window, False, None)
-    arr = F.collect_list(F.col(on)).over(frame)
+    # collect_list silently DROPS null elements; wrapping each value in
+    # a struct (never null itself) preserves them, so the UDF sees the
+    # same NaN-bearing window pandas rolling would — and min_periods
+    # counts non-NaN observations exactly like pandas.
+    arr = F.collect_list(F.struct(F.col(on).alias("v"))).over(frame)
 
     @F.pandas_udf(returns)
     def _reduce(frames: pd.Series) -> pd.Series:
+        import numpy as np
+
         mp = min_periods if min_periods is not None else (window if isinstance(window, int) else 1)
-        return frames.apply(lambda xs: func(pd.Series(xs)) if len(xs) >= mp else None)
+
+        def run(xs):
+            vals = pd.Series(
+                [np.nan if x is None or x["v"] is None else x["v"] for x in xs],
+                dtype="float64",
+            )
+            if int(vals.notna().sum()) < mp:
+                return None
+            return func(vals)
+
+        return frames.apply(run)
 
     return df.withColumn(out_name, _reduce(arr))

@@ -41,6 +41,25 @@ def _hyperplanes(bits: int, dim: int, seed: int) -> np.ndarray:
     return _HYPERPLANES[key]
 
 
+def _to_matrix(s: pd.Series) -> np.ndarray:
+    """Embedding payload → dense float64 matrix, with a CLEAR error on
+    null or ragged-length vectors (np.asarray would otherwise build an
+    object array and the task would die with an opaque TypeError deep
+    in BLAS)."""
+    m = np.asarray(s.tolist(), dtype=object)
+    try:
+        out = np.asarray(s.tolist(), dtype=np.float64)
+    except (TypeError, ValueError):
+        out = None
+    if out is None or out.ndim != 2:
+        lens = {None if v is None else len(v) for v in m}
+        raise ValueError(
+            f"null or ragged embedding vectors (lengths seen: {lens}); "
+            "pre-filter with df.filter(col.isNotNull() & (F.size(col) == dim))"
+        )
+    return out
+
+
 def srp_signature_batched(vec: Column, bits: int = 32, seed: int = 0) -> Column:
     """Sign-random-projection signature as ONE Arrow-batched matmul:
     sig bit j = sign(v · h_j), all bits at once via (batch × dim) @
@@ -56,7 +75,7 @@ def srp_signature_batched(vec: Column, bits: int = 32, seed: int = 0) -> Column:
 
     @F.pandas_udf("long")
     def sig(s: pd.Series) -> pd.Series:
-        m = np.asarray(s.tolist(), dtype=np.float64)
+        m = _to_matrix(s)
         h = _hyperplanes(bits, m.shape[1], seed)
         p = (m @ h.T) >= 0
         weights = 1 << np.arange(bits, dtype=np.uint64)
@@ -177,34 +196,72 @@ def cosine_neardup_blocked(
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """Exact embedding-cosine near-dup as a blocked GEMM: one side is
-    broadcast as a dense numpy matrix; each corpus partition computes
-    its (batch × corpus) similarity block in a single BLAS matmul and
-    emits only the pairs above threshold.
+    """Exact embedding-cosine near-dup as a DISTRIBUTED block-pair
+    GEMM — no driver materialization anywhere in the plan.
+
+    Shape: rows hash into ``n_blocks`` blocks; each block is packed
+    into one (ids, matrix) row via collect_list; a tiny B×B upper-
+    triangular grid of (blk_a, blk_b) ids is equi-joined back to the
+    packed blocks (two hash joins — the big side never touches the
+    driver); each of the B(B+1)/2 grid tasks computes its block-pair
+    similarity tile in a single BLAS matmul and emits only pairs above
+    threshold.
 
     Bit-identical to :func:`cosine_neardup_pairs`: on the 1e-6
     quantized grid every dot product and norm is < 2^53, so float64
     GEMM is EXACT integer arithmetic, and the final cosine is the same
     one-division double expression the SQL oracle computes.
 
-    Scale envelope: the broadcast side must fit executor memory
-    (same constraint as any broadcast join — ~1e6 vectors × 64 dims ×
-    8 B = 0.5 GB). Beyond that, block the right side too (a grid of
-    block-pairs via crossJoin of block ids) or switch to
-    :func:`cosine_neardup_lsh`.
+    Scale envelope: shuffle volume is O(B × corpus) (each block ships
+    to ~B tile tasks) and one tile (two blocks) must fit a task's
+    memory — pick B ≈ corpus_bytes / executor_task_budget. Exact
+    all-pairs is inherently O(n²) compute; beyond ~10⁷ vectors use
+    :func:`cosine_neardup_lsh` (candidate pruning) instead.
     """
     import pyspark.sql.types as T
 
+    if n_blocks is None:
+        n_blocks = min(16, df.sparkSession.sparkContext.defaultParallelism)
+
     base = _spread(df.select(F.col(id_col), F.col(vec_col))).select(
-        F.col(id_col).alias("id"), quantize(vec_col).alias("v")
+        F.col(id_col).alias("id"),
+        quantize(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
     )
-    rows = base.collect()  # driver-side broadcast build (see envelope)
-    ids = np.array([r["id"] for r in rows], dtype=np.int64)
-    m = np.array([r["v"] for r in rows], dtype=np.float64)
-    norms = np.sqrt((m * m).sum(axis=1))
-    sc = df.sparkSession.sparkContext
-    b = sc.broadcast((ids, m, norms))
+    packed = base.groupBy("blk").agg(
+        F.collect_list("id").alias("ids"), F.collect_list("v").alias("vs")
+    )
+    blks = packed.select("blk")
+    # tiny B×B upper-triangular grid (ids only), then two EQUI-joins to
+    # re-attach the packed matrices — broadcast the grid, shuffle the blocks
+    grid = (
+        blks.select(F.col("blk").alias("blk_a"))
+        .crossJoin(blks.select(F.col("blk").alias("blk_b")))
+        .filter(F.col("blk_a") <= F.col("blk_b"))
+    )
+    work = (
+        F.broadcast(grid)
+        .join(
+            packed.select(
+                F.col("blk").alias("blk_a"),
+                F.col("ids").alias("ids_a"),
+                F.col("vs").alias("vs_a"),
+            ),
+            "blk_a",
+        )
+        .join(
+            packed.select(
+                F.col("blk").alias("blk_b"),
+                F.col("ids").alias("ids_b"),
+                F.col("vs").alias("vs_b"),
+            ),
+            "blk_b",
+        )
+        # one tile per task: the GEMM below is the unit of work
+        .repartition(F.col("blk_a"), F.col("blk_b"))
+    )
 
     out_schema = T.StructType(
         [
@@ -214,19 +271,33 @@ def cosine_neardup_blocked(
         ]
     )
 
-    def block(batches):
-        r_ids, r_m, r_norms = b.value
+    def tile(batches):
         for pdf in batches:
-            l_ids = pdf["id"].to_numpy(dtype=np.int64)
-            l_m = np.array(pdf["v"].tolist(), dtype=np.float64)
-            l_norms = np.sqrt((l_m * l_m).sum(axis=1))
-            cos = (l_m @ r_m.T) / (l_norms[:, None] * r_norms[None, :])
-            ii, jj = np.nonzero((cos >= threshold) & (l_ids[:, None] < r_ids[None, :]))
-            yield pd.DataFrame(
-                {"id_a": l_ids[ii], "id_b": r_ids[jj], "cos_sim": cos[ii, jj]}
-            )
+            for row in pdf.itertuples(index=False):
+                l_ids = np.asarray(row.ids_a, dtype=np.int64)
+                r_ids = np.asarray(row.ids_b, dtype=np.int64)
+                l_m = _to_matrix(pd.Series(list(row.vs_a)))
+                r_m = _to_matrix(pd.Series(list(row.vs_b)))
+                l_norms = np.sqrt((l_m * l_m).sum(axis=1))
+                r_norms = np.sqrt((r_m * r_m).sum(axis=1))
+                cos = (l_m @ r_m.T) / (l_norms[:, None] * r_norms[None, :])
+                if row.blk_a == row.blk_b:
+                    # diagonal tile holds each pair twice ((x,y) and
+                    # (y,x)) — keep the strict upper triangle by id
+                    mask = (cos >= threshold) & (l_ids[:, None] < r_ids[None, :])
+                else:
+                    # off-diagonal tiles hold each pair once
+                    mask = cos >= threshold
+                ii, jj = np.nonzero(mask)
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.minimum(l_ids[ii], r_ids[jj]),
+                        "id_b": np.maximum(l_ids[ii], r_ids[jj]),
+                        "cos_sim": cos[ii, jj],
+                    }
+                )
 
-    return base.mapInPandas(block, out_schema)
+    return work.mapInPandas(tile, out_schema)
 
 
 def _band_keys(sig: Column, bits: int, bands: int) -> Column:
@@ -336,7 +407,7 @@ def cosine_topk_ivf(
 
     @F.pandas_udf("array<int>")
     def probe_lists(s: pd.Series) -> pd.Series:
-        m = np.asarray(s.tolist(), dtype=np.float64)
+        m = _to_matrix(s)
         # nearest centers by euclidean distance, all queries at once
         d2 = ((m[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
         idx = np.argsort(d2, axis=1)[:, :nprobe]
@@ -446,7 +517,7 @@ def ivf_search(
 
     @F.pandas_udf("array<int>")
     def probe_lists(s: pd.Series) -> pd.Series:
-        m = np.asarray(s.tolist(), dtype=np.float64)
+        m = _to_matrix(s)
         d2 = ((m[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
         idx = np.argsort(d2, axis=1)[:, :nprobe]
         return pd.Series(list(idx.astype(np.int32)))

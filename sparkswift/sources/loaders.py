@@ -33,14 +33,27 @@ TABLES = (
 )
 
 # The events fixture stores TIMESTAMP(NANOS); with
-# spark.sql.legacy.parquet.nanosAsLong=true (set in session.py) it scans
-# as a long, converted here to a proper TimestampType column (micro
-# precision — same visible values as DuckDB's TIMESTAMP view of it).
+# spark.sql.legacy.parquet.nanosAsLong=true it scans as a long,
+# converted here to a proper TimestampType column (micro precision —
+# same visible values as DuckDB's TIMESTAMP view of it).
 _NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def ensure_nanos_readable(spark: SparkSession) -> None:
+    """Make TIMESTAMP(NANOS) parquet readable on ANY session.
+
+    nanosAsLong is a runtime SQL conf, so setting it here (rather than
+    only at builder time in session.py) means callers that hand us a
+    virgin SparkSession — like the correctness driver — can still scan
+    the events fixture. Without it the scan throws PARQUET_TYPE_ILLEGAL.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if name in _NANOS_TS_COLS:
+        ensure_nanos_readable(spark)
     df = spark.read.parquet(path)
     for col in _NANOS_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":

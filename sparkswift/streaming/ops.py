@@ -32,7 +32,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     is converted exactly as in the batch loader."""
     import os
 
+    from sparkswift.sources.loaders import ensure_nanos_readable
+
     path = os.path.join(sf_dir, "events.parquet")
+    ensure_nanos_readable(spark)  # virgin (driver) sessions lack the conf
     schema = spark.read.parquet(path).schema
     # the file source wants a directory; glob-filter to the one table
     src = (

@@ -230,3 +230,41 @@ def test_apply_rows_vectorize_gate_rejects_row_scalar(spark, sf_dir):
         li.toPandas().apply(lambda row: row.sum(), axis=1)
     )
     assert sorted(got.round(9)) == sorted(want.round(9))
+
+
+def test_validate_gate_catches_python_sql_divergence(spark):
+    """Python % follows the divisor's sign, SQL % the dividend's:
+    -7 % 3 is 2 in Python but -1 in SQL. With the default
+    validate=True the sample gate must detect the divergence and route
+    to the Arrow path, where pandas semantics hold (ADVICE item;
+    reference always gates its fast path, swifter.py:313-316)."""
+    import pandas as pd
+
+    from sparkswift.operators.apply import apply_series
+
+    pdf = pd.DataFrame({"x": [-7, -4, -1, 0, 1, 4, 7]})
+    df = spark.createDataFrame(pdf)
+    out = apply_series(df, "x", lambda x: x % 3, output_col="m")
+    got = out.toPandas().sort_values("x")["m"].tolist()
+    expected = (pdf.sort_values("x")["x"] % 3).tolist()
+    assert got == expected  # [2, 2, 2, 0, 1, 1, 1] — pandas semantics
+
+
+def test_pickled_fallback_keeps_nulls_null(spark):
+    """The terminal stringified fallback must emit SQL NULL for None
+    results, not the string 'None' (ADVICE item)."""
+    from pyspark.sql import functions as F
+
+    from sparkswift.operators.apply import _pickled_apply
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "id long, s string"
+    )
+    # a set return value defeats both schema inference routes → the
+    # stringified terminal branch
+    out = _pickled_apply(
+        df, "s", lambda x: None if x is None else {x}, "o"
+    )
+    rows = {r.id: r.o for r in out.collect()}
+    assert rows[2] is None
+    assert rows[1] == "{'a'}"

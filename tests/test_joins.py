@@ -148,3 +148,16 @@ def test_aqe_skew_join_splits_hot_key(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_join_rejects_right_preserving(spark):
+    """how='right'/'full' would duplicate unmatched right rows salt
+    times (ADVICE item) — the operator must refuse."""
+    import pytest
+
+    from sparkswift.operators.joins import salted_join
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="left-preserving"):
+            salted_join(df, df, "k", how=how)

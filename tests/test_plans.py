@@ -86,3 +86,41 @@ def test_pipeline_exprs_have_no_shuffle(plans):
 def test_decontaminate_corpus_side_never_shuffles(plans):
     p = plans("p3_decontaminate")
     assert "BroadcastHashJoin" in p
+
+
+def test_d5_blocked_gemm_builds_without_driver_collect(spark, sf_dir, monkeypatch):
+    """VERDICT item: d5 previously materialized the corpus on the
+    driver (base.collect()) while BUILDING the plan. The block-pair
+    GEMM must construct lazily — no collect of the corpus — and still
+    produce the exact pairs."""
+    from pyspark.sql import DataFrame
+
+    def boom(self):
+        raise AssertionError("driver-side collect() during d5 plan build")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    df = suite.queries()["d5_embedding_neardup"](spark, sf_dir)
+    monkeypatch.undo()
+    assert df.count() > 0
+
+
+def test_blocked_gemm_matches_exact_pairs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sparkswift.operators import similarity as sim
+    from sparkswift.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    a = sorted(map(tuple, sim.cosine_neardup_pairs(emb, 0.5).collect()))
+    b = sorted(map(tuple, sim.cosine_neardup_blocked(emb, 0.5, n_blocks=5).collect()))
+    assert a == b
+
+
+def test_batched_kernels_reject_ragged_vectors():
+    import pandas as pd
+    import pytest
+
+    from sparkswift.operators.similarity import _to_matrix
+
+    with pytest.raises(ValueError, match="ragged"):
+        _to_matrix(pd.Series([[1.0, 2.0], [1.0], None]))
