@@ -62,26 +62,48 @@ def main() -> None:
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
     spark.range(1_000_000).selectExpr("sum(id * 2)").collect()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    def run_at(sf_dir: str) -> dict[str, float]:
+        t: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            t[name] = round(time.time() - t0, 3)
+        return t
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    try:
-        sf_val = float(sf)
-    except ValueError:
-        sf_val = None
+    def sf_of(path: str) -> float | None:
+        try:
+            return float(path.rstrip("/").rsplit("sf", 1)[-1])
+        except ValueError:
+            return None
+
+    timings = run_at(SF_DIR)
+
     out = {
         "metric": "headline_query_wall_time_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": sf_val,
+        "sf": sf_of(SF_DIR),
     }
+
+    # second scale factor: the per-query time ratio across a 10× data
+    # step separates real O(rows) cost from fixed job overhead — a
+    # query whose ratio ≈ 1 is overhead-dominated at this scale, and a
+    # ratio far above the data ratio is a scaling red flag. (The
+    # reference's published numbers are single-node 71M-row timings;
+    # the trend is what makes a same-scale comparison checkable.)
+    SF2_DIR = os.environ.get("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
+    if SF2_DIR and os.path.isdir(SF2_DIR) and SF2_DIR != SF_DIR:
+        timings2 = run_at(SF2_DIR)
+        out["sf2"] = sf_of(SF2_DIR)
+        out["queries_sf2"] = timings2
+        out["scaling_ratio"] = {
+            n: round(timings[n] / timings2[n], 2)
+            for n in HEADLINE
+            if timings2.get(n)
+        }
     print(json.dumps(out))
 
 

@@ -99,10 +99,18 @@ def apply_series(
     force_udf: bool = False,
     validate: bool = True,
     fallback: bool = False,
+    convert_dtype: bool = True,
     args: tuple = (),
     **kwds,
 ) -> DataFrame:
     """O1 — elementwise apply over one column.
+
+    ``convert_dtype`` (reference swifter.py:287 forwards it to pandas
+    ``Series.apply``): columnar engines have no 'object' dtype — every
+    result column carries its inferred Spark type — so ``False`` here
+    disables the tight return-type inference and emits ``string``
+    (the closest analog of pandas keeping raw objects). pandas itself
+    deprecated the kwarg in 2.x for the same reason.
 
     ``force_udf`` mirrors ``force_parallel``
     (swifter/swifter.py:131-138): skip the native-expression attempt.
@@ -123,14 +131,25 @@ def apply_series(
         base = func
         func = lambda x, _b=base: _b(x, *args, **kwds)  # noqa: E731
 
-    if not force_udf:
+    if not force_udf and convert_dtype:
         expr = _try_native_column(func, F.col(col))
         if expr is not None and (not validate or _validate_native_on_sample(df, col, expr, func)):
             return df.withColumn(out_name, expr)
 
     rtype = None
+    if not convert_dtype and returns is None:
+        rtype = T.StringType()
+
+        def func(x, _b=func):  # noqa: F811
+            v = _b(x)
+            try:
+                if v is None or pd.isna(v):  # Arrow nulls arrive as NaN
+                    return None
+            except (TypeError, ValueError):
+                pass  # pd.isna on array-likes — not a null
+            return str(v)
     try:
-        rtype = returns or infer_series_return_type(df, col, func)
+        rtype = rtype or returns or infer_series_return_type(df, col, func)
     except Exception:
         pass  # un-inferable payload → pickled fallback below
 

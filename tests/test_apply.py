@@ -268,3 +268,18 @@ def test_pickled_fallback_keeps_nulls_null(spark):
     rows = {r.id: r.o for r in out.collect()}
     assert rows[2] is None
     assert rows[1] == "{'a'}"
+
+
+def test_convert_dtype_false_emits_string(spark):
+    """convert_dtype=False (reference swifter.py:287): no tight dtype
+    inference — results come back as string, NULLs stay null."""
+    from sparkswift.operators.apply import apply_series
+
+    df = spark.createDataFrame([(1,), (2,), (None,)], "x int")
+    out = apply_series(
+        df, "x", lambda x: None if x is None else x * 2,
+        output_col="o", convert_dtype=False,
+    )
+    assert dict(out.dtypes)["o"] == "string"
+    vals = {r.x: r.o for r in out.collect()}
+    assert vals[1] == "2" and vals[None] is None
