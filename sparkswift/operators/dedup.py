@@ -472,6 +472,114 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    expected_items: int | None = None,
+    fpp: float = 0.001,
+) -> DataFrame:
+    """Bloom-filter decontamination — the variant for benchmark sets
+    too large to broadcast as an exact shingle set.
+
+    The benchmark's shingles (already xxhash64'd JVM-side) aggregate
+    into ONE bloom filter: each partition builds a partial bitmap in a
+    vectorized numpy kernel, the partials OR-merge on the driver
+    (O(partitions × filter bytes) — never shingles), and the merged
+    bitmap broadcasts to every corpus task for a map-side vectorized
+    probe (Kirsch-Mitzenheimer double hashing over a power-of-two bit
+    array). The corpus never shuffles. (Spark's own
+    ``DataFrame.stat.bloomFilter`` has this exact build shape but its
+    JVM filter object can't be probed from Arrow batches.)
+
+    Guarantees: NO false negatives (every truly contaminated doc is
+    flagged — the property that matters for decontamination); false
+    positives ≤ ~fpp per shingle probe flag extra docs. Sizing: filter
+    bits ≈ -n·ln(fpp)/ln(2)², e.g. 10⁹ shingles at 0.1% FPP ≈ 1.8 GB —
+    beyond driver-friendly broadcast of raw strings but fine as one
+    binary blob.
+
+    Returns ``docs`` + boolean ``contaminated`` (superset of the exact
+    operator's flags; equality modulo FPs asserted in tests).
+    """
+    import math
+
+    if expected_items is None:
+        # one tiny agg over the (small relative to corpus) benchmark
+        expected_items = max(
+            1024,
+            int(
+                benchmark.select(
+                    F.sum(F.size(word_shingles(text_col, k))).alias("n")
+                ).collect()[0].n
+                or 1024
+            ),
+        )
+    # power-of-two bit count → mask instead of mod, and odd step h2
+    # guarantees a full probe cycle (Kirsch-Mitzenheimer double hashing)
+    m_bits = 1 << max(13, math.ceil(
+        math.log2(-expected_items * math.log(fpp) / (math.log(2) ** 2))
+    ))
+    n_probe = max(1, round(m_bits / expected_items * math.log(2)))
+    mask = np.uint64(m_bits - 1)
+
+    def _positions(h: np.ndarray, j: int) -> np.ndarray:
+        h1 = h & mask
+        h2 = (h >> np.uint64(33)) | np.uint64(1)
+        return (h1 + np.uint64(j) * h2) & mask
+
+    bench_hash = benchmark.select(
+        F.explode(word_shingles(text_col, k)).alias("s")
+    ).select(F.xxhash64("s").alias("h"))
+
+    def build(batches):
+        bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
+        for pdf in batches:
+            h = pdf["h"].to_numpy(dtype=np.int64).view(np.uint64)
+            for j in range(n_probe):
+                pos = _positions(h, j)
+                np.bitwise_or.at(
+                    bitmap,
+                    (pos >> np.uint64(3)).astype(np.int64),
+                    (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)),
+                )
+        yield pd.DataFrame({"bm": [bitmap.tobytes()]})
+
+    # distributed build: one partial bitmap per partition, OR-merged —
+    # the merge moves O(partitions × m/8) filter bytes, never shingles
+    parts = bench_hash.mapInPandas(build, "bm binary").collect()
+    merged = np.zeros(m_bits // 8, dtype=np.uint8)
+    for r in parts:
+        merged |= np.frombuffer(r.bm, dtype=np.uint8)
+    bc = docs.sparkSession.sparkContext.broadcast(merged.tobytes())
+
+    @F.pandas_udf("boolean")
+    def probe(s: pd.Series) -> pd.Series:
+        bitmap = np.frombuffer(bc.value, dtype=np.uint8)
+        h = s.to_numpy(dtype=np.int64).view(np.uint64)
+        hit = np.ones(len(h), dtype=bool)
+        for j in range(n_probe):
+            pos = _positions(h, j)
+            bits = bitmap[(pos >> np.uint64(3)).astype(np.int64)]
+            hit &= (bits >> (pos & np.uint64(7)).astype(np.uint8)) & 1 == 1
+        return pd.Series(hit)
+
+    doc_sh = docs.select(
+        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("s")
+    ).select(id_col, F.xxhash64("s").alias("h"))
+    hits = (
+        doc_sh.filter(probe(F.col("h")))
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return docs.join(hits, id_col, "left").withColumn(
+        "contaminated", F.coalesce("contaminated", F.lit(False))
+    )
+
+
 def connected_components_star(
     pairs: DataFrame,
     id_a: str = "id_a",

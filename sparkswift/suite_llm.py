@@ -594,6 +594,23 @@ def t6_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "clean")
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination — the huge-benchmark variant of p3 (the
+# broadcast shingle set swapped for a bloom bitmap). Approximate by
+# nature (false positives possible, false negatives impossible) →
+# rows-only check; FN=0 and FP-rate asserted vs the exact operator in
+# tests/test_pipeline_ops.py.
+# ---------------------------------------------------------------------------
+@register("p5_decontaminate_bloom", None)
+def p5_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = sp.hash_bucket_hex("doc_id", seed=1)
+    bench = docs.filter(bucket < F.lit(_BENCH_THR))
+    train = docs.filter(bucket >= F.lit(_BENCH_THR))
+    out = dd.decontaminate_bloom(train, bench, "text", "doc_id", k=3)
+    return out.select("doc_id", "contaminated")
+
+
 _P4_RATES = {"src0": 0.5, "src1": 0.2}
 
 

@@ -118,3 +118,36 @@ def test_stratified_sample_rates(spark):
     assert abs(counts["0"] / 20_000 - 0.5) < 0.02
     assert abs(counts["1"] / 20_000 - 0.1) < 0.02
     assert "2" not in counts  # default_rate=0 drops the stratum
+
+
+def test_bloom_decontaminate_no_false_negatives(spark, sf_dir):
+    """Bloom variant must flag a SUPERSET of the exact operator's
+    contaminated docs (false negatives impossible — the property that
+    matters for decontamination) with a bounded FP rate."""
+    from pyspark.sql import functions as F
+
+    from sparkswift.operators import dedup as dd
+    from sparkswift.operators import sampling as sp
+    from sparkswift.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    thr = sp.hex_threshold(0.1)
+    bucket = sp.hash_bucket_hex("doc_id", seed=1)
+    bench = docs.filter(bucket < F.lit(thr))
+    train = docs.filter(bucket >= F.lit(thr))
+    exact = {
+        r.doc_id: r.contaminated
+        for r in dd.decontaminate(train, bench, "text", "doc_id").collect()
+    }
+    bloom = {
+        r.doc_id: r.contaminated
+        for r in dd.decontaminate_bloom(
+            train, bench, "text", "doc_id", fpp=0.001
+        ).collect()
+    }
+    assert set(bloom) == set(exact)
+    false_neg = [k for k, v in exact.items() if v and not bloom[k]]
+    assert false_neg == []
+    false_pos = [k for k, v in exact.items() if not v and bloom[k]]
+    clean = max(1, sum(1 for v in exact.values() if not v))
+    assert len(false_pos) / clean <= 0.05
