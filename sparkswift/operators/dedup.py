@@ -80,6 +80,19 @@ def word_shingles(col: str | Column, k: int = 3) -> Column:
     return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", toks))))
 
 
+def hashed_shingles(col: str | Column, k: int = 3) -> Column:
+    """Distinct k-word shingle IDENTITIES as int64 (chained token
+    hashes, text.word_ngram_hashes) — no shingle strings are ever
+    built. Set semantics match :func:`word_shingles` modulo ~2⁻⁶⁴
+    hash collisions; measured ~4× faster end-to-end on the
+    decontamination pipeline at sf0.1 (string building + string
+    array_distinct dominate the string route). Use wherever only
+    shingle IDENTITY matters (joins, counts, set intersections)."""
+    from sparkswift.operators.text import word_ngram_hashes
+
+    return F.array_distinct(word_ngram_hashes(col, k))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -87,8 +100,15 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     max_posting: int | None = 256,
+    hashed: bool = True,
 ) -> DataFrame:
     """Exact near-dup pairs by k-word-shingle Jaccard ≥ threshold.
+
+    ``hashed=True`` (default) runs the whole inverted index over
+    int64 shingle identities (:func:`hashed_shingles`) — identical
+    pairs/values modulo ~2⁻⁶⁴ collisions, measurably faster and an
+    8 B join key instead of a string. ``hashed=False`` keeps string
+    shingles.
 
     The threshold test is done in *integer* cross-multiplied form
     (inter/union ≥ t  ⇔  inter·den ≥ num·union for t = num/den), so
@@ -104,8 +124,9 @@ def ngram_jaccard_pairs(
     at sf0.1, so the default binds nothing at test scale). Pass
     ``None`` for the uncapped exact semantics.
     """
+    mk = hashed_shingles if hashed else word_shingles
     sh = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
-        "id", word_shingles(text_col, k).alias("sh")
+        "id", mk(text_col, k).alias("sh")
     ).withColumn("n_sh", F.size("sh").cast("bigint"))
     posting = sh.select("id", "n_sh", F.explode("sh").alias("s"))
     if max_posting is not None:
@@ -229,10 +250,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sh = (
         _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
-        .select("id", word_shingles(text_col, k).alias("sh"))
-        .select(
-            "id", F.transform("sh", lambda x: F.xxhash64(x)).alias("hsh")
-        )
+        .select("id", hashed_shingles(text_col, k).alias("hsh"))
         .withColumn("sig", _minhash_from_hashes(F.col("hsh"), num_hashes, 0))
         .localCheckpoint()
     )
@@ -442,6 +460,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    hashed: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any
     k-word shingle with an eval/benchmark corpus (the n-gram-overlap
@@ -450,16 +469,21 @@ def decontaminate(
     Scale shape: the benchmark shingle set is small (benchmarks are
     thousands of docs, not billions) → ``broadcast`` semi-join; the
     corpus side streams map-side with NO shuffle of the corpus. At
-    extreme benchmark sizes swap the broadcast for a bloom filter
-    built from the same set.
+    extreme benchmark sizes use :func:`decontaminate_bloom`.
+
+    ``hashed=True`` (default): both sides shingle into int64
+    identities (:func:`hashed_shingles`) — 4× faster at sf0.1 and an
+    8 B broadcast key per shingle; flags identical modulo ~2⁻⁶⁴
+    collisions.
 
     Returns ``docs`` + boolean ``contaminated``.
     """
+    mk = hashed_shingles if hashed else word_shingles
     bench_sh = (
-        benchmark.select(F.explode(word_shingles(text_col, k)).alias("s")).distinct()
+        benchmark.select(F.explode(mk(text_col, k)).alias("s")).distinct()
     )
     doc_sh = docs.select(
-        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("s")
+        F.col(id_col), F.explode(mk(text_col, k)).alias("s")
     )
     hits = (
         doc_sh.join(F.broadcast(bench_sh), "s")
@@ -512,7 +536,7 @@ def decontaminate_bloom(
             1024,
             int(
                 benchmark.select(
-                    F.sum(F.size(word_shingles(text_col, k))).alias("n")
+                    F.sum(F.size(hashed_shingles(text_col, k))).alias("n")
                 ).collect()[0].n
                 or 1024
             ),
@@ -531,8 +555,8 @@ def decontaminate_bloom(
         return (h1 + np.uint64(j) * h2) & mask
 
     bench_hash = benchmark.select(
-        F.explode(word_shingles(text_col, k)).alias("s")
-    ).select(F.xxhash64("s").alias("h"))
+        F.explode(hashed_shingles(text_col, k)).alias("h")
+    )
 
     def build(batches):
         bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
@@ -567,8 +591,8 @@ def decontaminate_bloom(
         return pd.Series(hit)
 
     doc_sh = docs.select(
-        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("s")
-    ).select(id_col, F.xxhash64("s").alias("h"))
+        F.col(id_col), F.explode(hashed_shingles(text_col, k)).alias("h")
+    )
     hits = (
         doc_sh.filter(probe(F.col("h")))
         .select(id_col)

@@ -43,11 +43,13 @@ def register(name: str, oracle: str | None):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {k: v[0] for k, v in _REGISTRY.items()}
+    return {n: _REGISTRY[n][0] for n in _ordered_names()}
 
 
 def oracles() -> dict[str, str]:
-    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+    return {
+        n: _REGISTRY[n][1] for n in _ordered_names() if _REGISTRY[n][1] is not None
+    }
 
 
 D = "DECIMAL(18,4)"
@@ -733,14 +735,13 @@ _WINDOW = [
 ]
 
 
-def _apply_window_order() -> None:
+def _ordered_names() -> list[str]:
+    # applied LAZILY (not at import time): a sub-suite module imported
+    # first triggers this module's import mid-way through its own —
+    # at that point its registrations haven't run yet. By the time any
+    # caller asks for queries(), every module has finished importing.
     missing = [n for n in _WINDOW if n not in _REGISTRY]
     assert not missing, f"window names not registered: {missing}"
     assert len(_WINDOW) == len(set(_WINDOW)) == 50, len(_WINDOW)
     tail = [n for n in _REGISTRY if n not in set(_WINDOW)]
-    ordered = {n: _REGISTRY[n] for n in [*_WINDOW, *tail]}
-    _REGISTRY.clear()
-    _REGISTRY.update(ordered)
-
-
-_apply_window_order()
+    return [*_WINDOW, *tail]
