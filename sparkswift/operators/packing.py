@@ -1,0 +1,102 @@
+"""Sequence packing for LLM pretraining pipelines (north-star
+extension; nothing like it exists in the reference, whose surface
+stops at per-row applies — swifter/swifter.py:287-521).
+
+The standard pretraining data layout is concat-then-chunk: documents
+are concatenated in a deterministic order and the token stream is cut
+into fixed-budget training sequences. This module computes, for every
+document, WHERE it lands in that layout — (shard, start_offset,
+chunk_id) — as pure integer window arithmetic, so the assignment is
+reproducible on any engine and any partitioning, and exactly
+SQL-oracle-able.
+
+Scale design: a single global concatenation order would mean one
+totally-ordered window — a single-task sort at 100 TB. Instead the
+corpus is hash-sharded first (``md5``-prefix shard key, the same
+cross-engine-stable trick as operators/sampling.py) and packed WITHIN
+each shard: one shard ≈ one output training file, each shard's cumsum
+is an independent window partition, and the whole job is one shuffle
+by shard. Shard count is the parallelism knob — pick ~10k shards at
+100 TB so each sort fits a task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sparkswift.operators.sampling import hash_bucket_hex
+from sparkswift.operators.text import bpe_token_count, token_count
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 2048,
+    shard_nibbles: int = 1,
+    seed: int = 0,
+    tokenizer: str = "bpe",
+) -> DataFrame:
+    """Assign every document its place in the concat-then-chunk
+    training layout.
+
+    Output columns (all exact integers / hex strings):
+
+    * ``shard``      — first ``shard_nibbles`` hex chars of
+                       ``md5(seed ':' id)``: 16**nibbles shards.
+    * ``tok_count``  — token cost of the doc (``bpe``/``ws`` tokenizer).
+    * ``start_off``  — tokens preceding this doc within its shard's
+                       concatenation order (deterministic: docs ordered
+                       by full md5 bucket, id as tiebreak).
+    * ``chunk_id``   — ``start_off div budget``: the fixed-size
+                       training sequence the doc STARTS in (docs may
+                       span chunk boundaries, as in real pretraining
+                       packing).
+
+    Properties: per-doc assignment is a pure function of (corpus
+    membership, seed, budget) — rerunning on different cluster layouts
+    or partition counts yields identical placement. Window cumsum per
+    shard = one hash shuffle + per-shard sort; no global order anywhere.
+    """
+    tok = {"bpe": bpe_token_count, "ws": token_count}[tokenizer](text_col)
+    bucket = hash_bucket_hex(id_col, seed)
+    base = df.select(
+        F.col(id_col),
+        F.substring(bucket, 1, shard_nibbles).alias("shard"),
+        bucket.alias("__ord"),
+        tok.alias("tok_count"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("__ord"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.withColumn(
+            "start_off", F.coalesce(F.sum("tok_count").over(w), F.lit(0)).cast("bigint")
+        )
+        .withColumn(
+            "chunk_id", F.expr(f"start_off div {int(budget)}").cast("bigint")
+        )
+        .select(id_col, "shard", "tok_count", "start_off", "chunk_id")
+    )
+
+
+def chunk_manifest(
+    packed: DataFrame,
+    budget: int = 2048,
+) -> DataFrame:
+    """Roll a :func:`pack_sequences` output up to one row per training
+    chunk: how many docs start in it and the token headroom of its
+    shard-tail (diagnostics for packing efficiency). Pure aggregation
+    over the packed assignment — shuffle on (shard, chunk_id) only."""
+    return (
+        packed.groupBy("shard", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs_started"),
+            F.sum("tok_count").cast("bigint").alias("tokens_started"),
+            F.min("start_off").cast("bigint").alias("first_off"),
+        )
+        .withColumn("budget", F.lit(int(budget)).cast("bigint"))
+    )

@@ -185,3 +185,68 @@ def stateful_running_totals(stream: DataFrame, key: str = "user_id") -> DataFram
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_running_totals_tws(stream: DataFrame, key: str = "user_id") -> DataFrame:
+    """The same per-key running (count, total) operator as
+    :func:`stateful_running_totals`, hosted on Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState`` (typed state variables, TTL support,
+    timers, RocksDB-backed in production). Both variants are kept: one
+    operator definition per API generation, identical semantics, so
+    the batch oracle can gate either.
+
+    State here is one ValueState (cnt, total_q) per key — O(keys);
+    the value total accumulates on the same exact 1e-4 integer grid as
+    the batch suite, emitted as one division at read-out.
+
+    Environment gate: Spark's TransformWithStateInPySpark driver
+    worker imports google.protobuf. This container doesn't ship it
+    (verified: the streaming runner crashes with ImportError), so the
+    suite registers only the applyInPandasWithState variant; this one
+    raises a clear error up front where protobuf is absent.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf in the "
+            "Python workers (Spark's StreamingPythonRunner imports it); "
+            "install protobuf or use stateful_running_totals (the "
+            "applyInPandasWithState variant, identical semantics)"
+        ) from e
+    import numpy as np
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(self, key_tuple, rows, timerValues):
+            cnt, total_q = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                cnt += len(pdf)
+                total_q += int(
+                    np.round(pdf["value"].to_numpy() * 10000).astype("int64").sum()
+                )
+            self._state.update((cnt, total_q))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key_tuple[0]],
+                    "events_seen": [cnt],
+                    "value_total": [total_q / 10000.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

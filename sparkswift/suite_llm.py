@@ -630,3 +630,82 @@ def p4_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "source", rates=_P4_RATES, default_rate=0.05, seed=0
     )
     return out.select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# tf-idf keyword extraction: top-3 distinctive terms per doc. The
+# BM25 rational idf (no log) keeps the score inside IEEE +,-,*,/ in a
+# fixed association order, so even the float score hash-matches.
+# ---------------------------------------------------------------------------
+@register(
+    "t7_tfidf_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, u.t AS term
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              x -> x <> '')) AS u(t)
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, term
+    ),
+    dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             CAST(tf.tf AS DOUBLE)
+               * ((CAST(n.n_docs - dfreq.df AS DOUBLE) + 0.5)
+                  / (CAST(dfreq.df AS DOUBLE) + 0.5)) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+                 PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def t7_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.tfidf_top_terms(docs, "text", "doc_id", top_k=3)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: every doc's (shard, start_offset, chunk) in the
+# concat-then-chunk pretraining layout — exact integer window
+# arithmetic over a deterministic md5 order, sharded so no global
+# sort exists anywhere.
+# ---------------------------------------------------------------------------
+@register(
+    "p6_pack_sequences",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             substr(md5(concat_ws(':', '0', CAST(doc_id AS VARCHAR))), 1, 1)
+               AS shard,
+             substr(md5(concat_ws(':', '0', CAST(doc_id AS VARCHAR))), 1, 8)
+               AS ord,
+             CAST(len(regexp_extract_all(text,
+                  '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS tok_count
+      FROM documents
+    )
+    SELECT doc_id, shard, tok_count,
+           CAST(COALESCE(SUM(tok_count) OVER (
+                  PARTITION BY shard ORDER BY ord, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS start_off,
+           CAST(COALESCE(SUM(tok_count) OVER (
+                  PARTITION BY shard ORDER BY ord, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // 2048 AS BIGINT) AS chunk_id
+    FROM base
+    """,
+)
+def p6_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "text", budget=2048, shard_nibbles=1)

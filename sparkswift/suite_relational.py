@@ -406,3 +406,72 @@ def w1_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(by_price).cast("bigint").alias("price_rank"),
         F.lag("o_totalprice").over(by_date).alias("prev_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Arbitrary GROUPING SETS (the general form rollup/cube specialize):
+# per-(flag,status) cells plus per-flag subtotals plus a ship-mode
+# breakdown — three set shapes one pass, Spark 4 DataFrame API.
+# ---------------------------------------------------------------------------
+@register(
+    "agg7_grouping_sets",
+    f"""
+    SELECT l_returnflag, l_linestatus, ship_year,
+           CAST(SUM(CAST(l_quantity AS {D})) AS DOUBLE) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT *, CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year
+          FROM lineitem)
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag),
+                            (ship_year))
+    """,
+)
+def agg7_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li = li.withColumn("ship_year", F.year("l_shipdate").cast("bigint"))
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["ship_year"]],
+        "l_returnflag",
+        "l_linestatus",
+        "ship_year",
+    ).agg(
+        F.sum(F.col("l_quantity").cast(D)).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Running (cumulative) aggregates — the prefix-sum window family w1
+# doesn't cover. Money prefix-sums through DECIMAL so every partial
+# is exact (float prefix sums are association-order-dependent).
+# ---------------------------------------------------------------------------
+@register(
+    "w2_running_total",
+    f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS {D})) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS spend_to_date,
+           CAST(ROW_NUMBER() OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                AS BIGINT) AS nth_order
+    FROM orders
+    """,
+)
+def w2_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(D)).over(w).cast("double").alias("spend_to_date"),
+        F.row_number().over(wn).cast("bigint").alias("nth_order"),
+    )

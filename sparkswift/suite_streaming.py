@@ -280,3 +280,11 @@ def st6_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_stream_to_batch(sess, mode="append")
     return out.filter(F.col("session_end") <= F.lit(bound))
+
+
+# NOTE: sparkswift.streaming.ops.stateful_running_totals_tws (the
+# transformWithStateInPandas successor of st2's operator) is NOT
+# registered here: Spark's TransformWithStateInPySpark driver worker
+# requires google.protobuf, which this container lacks (and installs
+# are off-limits). The operator + a protobuf-gated test exist; on a
+# real cluster it registers with st2's exact oracle.

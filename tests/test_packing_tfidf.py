@@ -1,0 +1,162 @@
+"""Tests for sequence packing, tf-idf keyword extraction, and the
+transformWithStateInPandas gate."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sparkswift.operators.packing import chunk_manifest, pack_sequences
+from sparkswift.operators.text import bpe_token_count, tfidf_top_terms
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from sparkswift.sources import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- pack_sequences ---------------------------------------------------------
+
+
+def test_packing_offsets_are_contiguous_per_shard(docs):
+    """Within a shard, sorted by start_off, each doc starts exactly
+    where the previous one ended — the concat-then-chunk invariant."""
+    out = pack_sequences(docs, budget=512).toPandas()
+    for shard, grp in out.groupby("shard"):
+        g = grp.sort_values("start_off").reset_index(drop=True)
+        expected = g["tok_count"].cumsum().shift(fill_value=0)
+        assert (g["start_off"] == expected).all(), shard
+
+
+def test_packing_chunk_id_is_start_div_budget(docs):
+    out = pack_sequences(docs, budget=512).toPandas()
+    assert (out["chunk_id"] == out["start_off"] // 512).all()
+
+
+def test_packing_deterministic_and_partition_invariant(docs):
+    a = pack_sequences(docs, budget=512).toPandas().sort_values("doc_id")
+    b = (
+        pack_sequences(docs.repartition(13), budget=512)
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_packing_assignment_stable_under_growth(docs):
+    """Adding documents never moves an existing doc to another shard
+    (shard is a pure hash of id) — the append-only corpus property."""
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    full = pack_sequences(docs, budget=512).toPandas().set_index("doc_id")
+    part = pack_sequences(half, budget=512).toPandas().set_index("doc_id")
+    assert (part["shard"] == full.loc[part.index, "shard"]).all()
+
+
+def test_chunk_manifest_totals(docs):
+    packed = pack_sequences(docs, budget=512)
+    man = chunk_manifest(packed, budget=512).toPandas()
+    out = packed.toPandas()
+    assert man["docs_started"].sum() == len(out)
+    assert man["tokens_started"].sum() == out["tok_count"].sum()
+
+
+# --- tfidf ------------------------------------------------------------------
+
+
+def test_tfidf_matches_pandas_reference(docs):
+    """Score and ranking vs a straight pandas recomputation."""
+    out = tfidf_top_terms(docs, top_k=3).toPandas()
+    pdf = docs.select("doc_id", "text").toPandas()
+    toks = (
+        pdf.assign(term=pdf["text"].str.lower().str.split())
+        .explode("term")
+        .dropna(subset=["term"])
+    )
+    toks = toks[toks["term"] != ""]
+    tf = toks.groupby(["doc_id", "term"]).size().rename("tf").reset_index()
+    dfreq = tf.groupby("term").size().rename("df").reset_index()
+    n_docs = pdf["doc_id"].nunique()
+    sc = tf.merge(dfreq, on="term")
+    sc["score"] = sc["tf"] * ((n_docs - sc["df"] + 0.5) / (sc["df"] + 0.5))
+    sc = sc.sort_values(
+        ["doc_id", "score", "term"], ascending=[True, False, True]
+    )
+    sc["rnk"] = sc.groupby("doc_id").cumcount() + 1
+    expected = sc[sc["rnk"] <= 3].reset_index(drop=True)
+    got = out.sort_values(["doc_id", "rnk"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "term", "tf", "df", "rnk"]].astype(
+            {"tf": "int64", "df": "int64", "rnk": "int64"}
+        ),
+        expected[["doc_id", "term", "tf", "df", "rnk"]].astype(
+            {"tf": "int64", "df": "int64", "rnk": "int64"}
+        ),
+    )
+
+
+def test_tfidf_rare_term_beats_common_at_equal_tf(spark):
+    df = spark.createDataFrame(
+        [(1, "common rare"), (2, "common other"), (3, "common stuff")],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(df, top_k=1).toPandas().set_index("doc_id")
+    # every doc's top term is its unique word, never the ubiquitous one
+    assert out.loc[1, "term"] == "rare"
+    assert out.loc[2, "term"] == "other"
+    assert out.loc[3, "term"] == "stuff"
+
+
+def test_tfidf_min_df_filters(spark):
+    df = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa cc")], ["doc_id", "text"]
+    )
+    out = tfidf_top_terms(df, top_k=5, min_df=2).toPandas()
+    assert set(out["term"]) == {"aa"}
+
+
+# --- transformWithStateInPandas gate ----------------------------------------
+
+
+def test_tws_operator_gate(spark, sf_dir):
+    """Where protobuf exists the tws operator must equal the plain
+    GROUP BY; where it doesn't (this container) it must raise the
+    documented ImportError, not crash mid-query."""
+    from sparkswift.streaming.ops import (
+        events_stream,
+        run_stream_to_batch,
+        stateful_running_totals_tws,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        have_protobuf = True
+    except ImportError:
+        have_protobuf = False
+
+    if not have_protobuf:
+        with pytest.raises(ImportError, match="protobuf"):
+            stateful_running_totals_tws(events_stream(spark, sf_dir))
+        return
+
+    out = run_stream_to_batch(
+        stateful_running_totals_tws(events_stream(spark, sf_dir)), mode="update"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("events_seen").desc())
+    final = (
+        out.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    )
+    from sparkswift.sources import load_table
+
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("events_seen"))
+        .toPandas()
+        .set_index("user_id")["events_seen"]
+    )
+    got = final.toPandas().set_index("user_id")["events_seen"]
+    assert (got.sort_index() == exact.sort_index()).all()
