@@ -46,21 +46,46 @@ def ensure_nanos_readable(spark: SparkSession) -> None:
     only at builder time in session.py) means callers that hand us a
     virgin SparkSession — like the correctness driver — can still scan
     the events fixture. Without it the scan throws PARQUET_TYPE_ILLEGAL.
+    Also pins the session timezone to UTC so NTZ→LTZ normalization (see
+    normalize_timestamps) preserves wall-clock values exactly as the
+    DuckDB oracle sees them.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Normalize every TIMESTAMP_NTZ column to plain TIMESTAMP (LTZ).
+
+    Parquet ``timestamp[us]`` without timezone metadata scans as
+    TIMESTAMP_NTZ on Spark 4, which (a) ``withWatermark`` rejects and
+    (b) micros/epoch functions reject. With the session timezone pinned
+    to UTC the cast is a pure re-tag — identical wall-clock values,
+    identical oracle hashes — and every downstream operator (windows,
+    watermarks, unix_micros arithmetic) works on both fixture vintages
+    (ns-long and us-NTZ).
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name in _NANOS_TS_COLS:
         ensure_nanos_readable(spark)
+    else:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for col in _NANOS_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
             # integer div — ns longs exceed double's 53-bit mantissa, so
             # float division here would corrupt microseconds
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
-    return df
+    return normalize_timestamps(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -32,7 +32,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     is converted exactly as in the batch loader."""
     import os
 
-    from sparkswift.sources.loaders import ensure_nanos_readable
+    from sparkswift.sources.loaders import ensure_nanos_readable, normalize_timestamps
 
     path = os.path.join(sf_dir, "events.parquet")
     ensure_nanos_readable(spark)  # virgin (driver) sessions lack the conf
@@ -45,7 +45,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if dict(src.dtypes).get("ts") == "bigint":
         src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return src
+    # us-NTZ fixture vintage: withWatermark requires TIMESTAMP (LTZ);
+    # with session tz pinned UTC the cast preserves wall-clock values
+    return normalize_timestamps(src)
 
 
 def stream_resample(
