@@ -94,16 +94,26 @@ def main() -> None:
     # ratio far above the data ratio is a scaling red flag. (The
     # reference's published numbers are single-node 71M-row timings;
     # the trend is what makes a same-scale comparison checkable.)
+    # The two-scale detail goes to BENCH_DETAIL.json, NOT stdout — the
+    # driver's tail capture truncated the combined line in round 2
+    # (BENCH_r02 parsed=null), so stdout carries only the compact
+    # summary as the very last line.
     SF2_DIR = os.environ.get("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
     if SF2_DIR and os.path.isdir(SF2_DIR) and SF2_DIR != SF_DIR:
         timings2 = run_at(SF2_DIR)
-        out["sf2"] = sf_of(SF2_DIR)
-        out["queries_sf2"] = timings2
-        out["scaling_ratio"] = {
+        detail = dict(out)
+        detail["sf2"] = sf_of(SF2_DIR)
+        detail["queries_sf2"] = timings2
+        detail["scaling_ratio"] = {
             n: round(timings[n] / timings2[n], 2)
             for n in HEADLINE
             if timings2.get(n)
         }
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+        ) as fh:
+            json.dump(detail, fh, indent=1)
     print(json.dumps(out))
 
 
