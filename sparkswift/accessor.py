@@ -97,7 +97,18 @@ class SwiftFrame:
     def applymap(self, func: Callable, **kw) -> DataFrame:
         return _apply.applymap(self._df, func, force_udf=self._force_udf, **kw)
 
-    def groupby(self, *keys: str, subset: list[str] | None = None) -> "SwiftGroupBy":
+    def groupby(
+        self,
+        *keys: str,
+        subset: list[str] | None = None,
+        level: list[str] | str | None = None,
+    ) -> "SwiftGroupBy":
+        """``level=`` takes index-level NAMES (the engine models a pandas
+        index as named columns — see operators/groupby.py); they are
+        appended to the positional keys."""
+        if level is not None:
+            lv = [level] if isinstance(level, str) else list(level)
+            keys = (*keys, *lv)
         return SwiftGroupBy(self._df, list(keys), subset)
 
     def rolling(

@@ -41,12 +41,15 @@ def _sample_groups_pandas(df: DataFrame, keys: list[str], n_groups: int = 20) ->
 
 def groupby_apply(
     df: DataFrame,
-    keys: list[str] | str,
-    func: Callable,
+    keys: list[str] | str | None = None,
+    func: Callable | None = None,
     schema: T.StructType | str | None = None,
     subset: list[str] | None = None,
-    sort_output: bool = True,
+    sort_output: bool = False,
     dropna: bool = True,
+    level: list[str] | str | None = None,
+    as_index: bool = True,
+    group_keys: bool = True,
     args: tuple = (),
     **kwds,
 ) -> DataFrame:
@@ -54,14 +57,48 @@ def groupby_apply(
 
     ``subset`` mirrors the reference's ``groupby(...)[cols]`` column
     selection (swifter/swifter.py:584-586): the UDF sees only
-    ``keys + subset``. ``sort_output`` mirrors the ``sort_index()``
-    output ordering (swifter/swifter.py:628).
+    ``keys + subset``. ``sort_output=True`` mirrors the reference's
+    ``sort_index()`` output ordering (swifter/swifter.py:628) — off by
+    default because it is a full extra sort of the result: at scale a
+    high-cardinality grouped apply pays a second shuffle purely for
+    cosmetic row order, and relational consumers don't need it.
+
+    ``level=`` mirrors pandas ``groupby(level=...)`` (reference route
+    swifter/swifter.py:579,592, test swifter_tests.py:802-813): the
+    engine models a pandas index as ordinary named columns (SURVEY.md
+    §2.4 — there is no implicit index in a distributed frame), so a
+    named level IS its materialized key column and grouping by level
+    == grouping by that column. String level names only; positional
+    int levels have no meaning once the index is explicit columns.
+
+    ``as_index`` / ``group_keys`` are accepted for signature parity
+    and are documented no-ops: Spark output always materializes group
+    keys as ordinary columns, which is exactly pandas
+    ``as_index=False`` shape; ``group_keys`` only affects pandas'
+    index nesting, which doesn't exist here.
 
     The UDF receives the group's pandas DataFrame and may return a
     DataFrame (group→rows), a Series, or a scalar (group→one row);
     non-frame results are normalized to a one-row frame keyed by the
     group, matching pandas ``groupby().apply`` shape rules.
     """
+    if level is not None:
+        lv = [level] if isinstance(level, str) else list(level)
+        bad = [x for x in lv if not isinstance(x, str)]
+        if bad:
+            raise TypeError(
+                "groupby_apply(level=...) takes index-level NAMES; the "
+                "distributed frame has no positional index — materialize "
+                f"the level as a named column first (got {bad!r})"
+            )
+        missing = [x for x in lv if x not in df.columns]
+        if missing:
+            raise ValueError(f"level columns not in frame: {missing}")
+        keys = lv if keys is None else ([keys] if isinstance(keys, str) else list(keys)) + lv
+    if keys is None:
+        raise TypeError("groupby_apply requires keys= or level=")
+    if func is None:
+        raise TypeError("groupby_apply requires func")
     keys = [keys] if isinstance(keys, str) else list(keys)
     work = df.select(*keys, *subset) if subset else df
     if dropna:
@@ -105,19 +142,30 @@ def groupby_agg_udf(
     keys: list[str] | str,
     agg_funcs: dict[str, tuple[str, Callable]],
     returns: T.DataType | str = "double",
-    sort_output: bool = True,
+    sort_output: bool = False,
 ) -> DataFrame:
-    """Scalar-per-group reducers via GROUPED_AGG pandas_udf.
+    """Scalar-per-group reducers via grouped-agg pandas_udf.
 
     ``agg_funcs`` maps output column name → (input column, Series→scalar
     callable). Cheaper than ``applyInPandas`` for group→scalar shapes:
     Spark's agg operator handles spill and the result set is one row per
-    group.
+    group. ``sort_output`` defaults off — same rationale as
+    :func:`groupby_apply`.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
+
+    # type-hint form (Series -> scalar == grouped agg); the wrapper
+    # carries the annotations the caller's bare callable may lack,
+    # replacing the deprecated F.PandasUDFType.GROUPED_AGG constant
+    def _annotated(fn: Callable) -> Callable:
+        def _agg(s: pd.Series) -> float:
+            return fn(s)
+
+        return _agg
+
     aggs = []
     for out_name, (in_col, fn) in agg_funcs.items():
-        u = F.pandas_udf(fn, returns, functionType=F.PandasUDFType.GROUPED_AGG)
+        u = F.pandas_udf(_annotated(fn), returns)
         aggs.append(u(F.col(in_col)).alias(out_name))
     out = df.groupBy(*keys).agg(*aggs)
     return out.orderBy(*keys) if sort_output else out

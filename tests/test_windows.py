@@ -98,6 +98,99 @@ def test_groupby_apply_frame_result(ev):
         assert got == want
 
 
+def test_groupby_level_matches_pandas(spark):
+    """pandas groupby(level=...) parity (reference swifter/swifter.py:579,592,
+    test swifter_tests.py:802-813): the distributed frame models an index
+    as named columns, so a named level IS its key column."""
+    pdf = pd.DataFrame(
+        {
+            "sector": ["a", "a", "b", "b", "b"],
+            "ticker": ["x", "y", "x", "y", "z"],
+            "px": [1.0, 2.0, 3.0, 4.0, 5.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    def total(g):
+        return pd.DataFrame({"s": [g["px"].sum()]})
+
+    got = (
+        groupby_apply(df, level="sector", func=total, schema="sector string, s double")
+        .toPandas()
+        .sort_values("sector")
+        .reset_index(drop=True)
+    )
+    want = (
+        pdf.set_index(["sector", "ticker"])
+        .groupby(level="sector")
+        .apply(total)
+        .reset_index(level=0)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+    # multi-level grouping; as_index/group_keys accepted (shape no-ops)
+    got2 = (
+        groupby_apply(
+            df,
+            level=["sector", "ticker"],
+            func=total,
+            schema="sector string, ticker string, s double",
+            as_index=False,
+            group_keys=False,
+        )
+        .toPandas()
+        .sort_values(["sector", "ticker"])
+        .reset_index(drop=True)
+    )
+    assert len(got2) == 5 and got2["s"].tolist() == [1.0, 2.0, 3.0, 4.0, 5.0]
+
+    with pytest.raises(TypeError):
+        groupby_apply(df, level=0, func=total, schema="s double")
+    with pytest.raises(ValueError):
+        groupby_apply(df, level="nope", func=total, schema="s double")
+
+
+def test_groupby_apply_default_skips_output_sort(spark, ev):
+    """Default sort_output=False: no Sort node after the grouped UDF —
+    at scale the cosmetic output order costs a full extra sort."""
+    def total(g):
+        return pd.DataFrame({"s": [g["value"].sum()]})
+
+    out = groupby_apply(ev, "event_type", total, schema="event_type string, s double")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Sort " not in plan.split("FlatMapGroupsInPandas")[0], plan
+    # opt-in still sorts
+    sorted_plan = (
+        groupby_apply(
+            ev, "event_type", total,
+            schema="event_type string, s double", sort_output=True,
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Sort " in sorted_plan.split("FlatMapGroupsInPandas")[0]
+
+
+def test_groupby_agg_udf_no_deprecation(spark, ev):
+    """Type-hint grouped-agg form (not F.PandasUDFType.GROUPED_AGG):
+    values match and no FutureWarning/DeprecationWarning fires."""
+    import warnings
+
+    from sparkswift.operators.groupby import groupby_agg_udf
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        warnings.simplefilter("error", DeprecationWarning)
+        out = groupby_agg_udf(
+            ev,
+            "event_type",
+            {"vmax": ("value", lambda s: float(s.max()))},
+        ).toPandas()
+    want = ev.toPandas().groupby("event_type")["value"].max()
+    got = out.set_index("event_type")["vmax"]
+    assert (got.sort_index() == want.sort_index()).all()
+
+
 @pytest.mark.parametrize("closed", ["right", "left", "both", "neither"])
 def test_rolling_time_closed_semantics(ev, closed):
     out = (
