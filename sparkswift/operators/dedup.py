@@ -504,17 +504,21 @@ def decontaminate_bloom(
     k: int = 3,
     expected_items: int | None = None,
     fpp: float = 0.001,
+    build_partitions: int = 32,
 ) -> DataFrame:
     """Bloom-filter decontamination — the variant for benchmark sets
     too large to broadcast as an exact shingle set.
 
     The benchmark's shingles (already xxhash64'd JVM-side) aggregate
-    into ONE bloom filter: each partition builds a partial bitmap in a
-    vectorized numpy kernel, the partials OR-merge on the driver
-    (O(partitions × filter bytes) — never shingles), and the merged
-    bitmap broadcasts to every corpus task for a map-side vectorized
-    probe (Kirsch-Mitzenheimer double hashing over a power-of-two bit
-    array). The corpus never shuffles. (Spark's own
+    into ONE bloom filter: the hashed-shingle stream is first coalesced
+    to ``build_partitions`` (≤32 by default) so exactly that many
+    partial bitmaps exist regardless of how the benchmark was
+    partitioned, each partial builds in a vectorized numpy kernel, the
+    partials OR-merge on the driver (≤ build_partitions × filter bytes
+    of driver traffic — never shingles, never one-per-input-split),
+    and the merged bitmap broadcasts to every corpus task for a
+    map-side vectorized probe (Kirsch-Mitzenheimer double hashing over
+    a power-of-two bit array). The corpus never shuffles. (Spark's own
     ``DataFrame.stat.bloomFilter`` has this exact build shape but its
     JVM filter object can't be probed from Arrow batches.)
 
@@ -571,8 +575,12 @@ def decontaminate_bloom(
                 )
         yield pd.DataFrame({"bm": [bitmap.tobytes()]})
 
-    # distributed build: one partial bitmap per partition, OR-merged —
-    # the merge moves O(partitions × m/8) filter bytes, never shingles
+    # distributed build: coalesce (no shuffle) bounds the number of
+    # partial bitmaps — a 10⁹-shingle benchmark read as hundreds of
+    # splits would otherwise ship hundreds × filter-bytes through the
+    # driver; capped, the merge moves ≤ build_partitions × m/8 bytes
+    if bench_hash.rdd.getNumPartitions() > build_partitions:
+        bench_hash = bench_hash.coalesce(build_partitions)
     parts = bench_hash.mapInPandas(build, "bm binary").collect()
     merged = np.zeros(m_bits // 8, dtype=np.uint8)
     for r in parts:

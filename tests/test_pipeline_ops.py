@@ -151,3 +151,35 @@ def test_bloom_decontaminate_no_false_negatives(spark, sf_dir):
     false_pos = [k for k, v in exact.items() if not v and bloom[k]]
     clean = max(1, sum(1 for v in exact.values() if not v))
     assert len(false_pos) / clean <= 0.05
+
+
+def test_bloom_partial_build_partition_cap(spark, monkeypatch):
+    """The partial-bitmap build is bounded: ≤ build_partitions partial
+    bitmaps reach the driver no matter how finely the benchmark side
+    is partitioned (spy on the collect to count them)."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from sparkswift.operators import dedup as dd
+
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta "), F.col("id")).alias(
+            "text"
+        ),
+    )
+    bench = docs.repartition(37).filter(F.col("doc_id") < 8)
+
+    partial_counts: list[int] = []
+    orig_collect = DataFrame.collect
+
+    def spy_collect(self):
+        rows = orig_collect(self)
+        if self.columns == ["bm"]:  # the partial-bitmap frame
+            partial_counts.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy_collect)
+    out = dd.decontaminate_bloom(docs, bench, "text", "doc_id", build_partitions=4)
+    flagged = out.filter("contaminated").count()
+    assert flagged >= 8  # bench docs flag themselves (no false negatives)
+    assert partial_counts and partial_counts[0] <= 4, partial_counts
