@@ -586,22 +586,42 @@ def srp_signature(vec: Column, bits: int = 16, dim: int = 64) -> Column:
 
 def cosine_topk_lsh(
     corpus: DataFrame,
-    queries: DataFrame,
+    queries: DataFrame | None = None,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bits: int = 32,
     bands: int = 8,
+    query_filter: Column | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = pairs sharing ≥1 signature band
     (bits/bands bits each), then exact integer cosine on candidates
     only. Same output schema as cosine_topk; recall < 1 by design —
-    benchmarked against the exact operator in tests."""
-    bb = bits // bands
+    benchmarked against the exact operator in tests.
 
-    def sigs(df: DataFrame, prefix: str) -> DataFrame:
-        return _spread(df.select(F.col(id_col), F.col(vec_col))).select(
-            F.col(id_col).alias(f"{prefix}_id"), quantize(vec_col).alias(f"{prefix}v")
+    The corpus signature frame is ``localCheckpoint``-ed: quantize +
+    norm + SRP signature run ONCE, and the four lazy consumers (band
+    explode + vector re-attach, per side) read materialized blocks
+    instead of re-deriving the projection chain — Catalyst has no
+    common-subtree reuse across join branches, so without this the
+    signature compute ran up to 4×.
+
+    ``query_filter`` covers the queries-are-a-subset-of-corpus shape
+    (e.g. score new docs against the whole collection): the query side
+    is derived from the already-materialized corpus signatures by
+    filter + rename — zero recompute — instead of passing an
+    overlapping ``queries`` frame that would re-signature the subset.
+    """
+    bb = bits // bands
+    if (queries is None) == (query_filter is None):
+        raise ValueError("pass exactly one of queries= or query_filter=")
+
+    def sigs(df: DataFrame, prefix: str, flag: Column | None = None) -> DataFrame:
+        extra = [flag.alias("__is_q")] if flag is not None else []
+        return _spread(df.select(F.col(id_col), F.col(vec_col), *extra)).select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            quantize(vec_col).alias(f"{prefix}v"),
+            *(["__is_q"] if flag is not None else []),
         ).withColumn(f"{prefix}n", norm2_long(F.col(f"{prefix}v"))).withColumn(
             "sig", srp_signature_batched(F.col(f"{prefix}v"), bits)
         )
@@ -627,7 +647,21 @@ def cosine_topk_lsh(
             f"{prefix}_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
         )
 
-    cs, qemb = sigs(corpus, "corpus"), sigs(queries, "query")
+    if query_filter is not None:
+        cs = sigs(corpus, "corpus", flag=query_filter).localCheckpoint()
+        qemb = (
+            cs.filter(F.col("__is_q"))
+            .select(
+                F.col("corpus_id").alias("query_id"),
+                F.col("corpusv").alias("queryv"),
+                F.col("corpusn").alias("queryn"),
+                "sig",
+            )
+        )
+        cs = cs.drop("__is_q")
+    else:
+        cs = sigs(corpus, "corpus").localCheckpoint()
+        qemb = sigs(queries, "query").localCheckpoint()
     cand_ids = (
         banded(cs, "corpus")
         .join(banded(qemb, "query"), ["band", "key"])

@@ -377,9 +377,12 @@ def e1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register("e2_cosine_topk_lsh", None)
 def e2_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # queries ⊂ corpus → query_filter derives the query side from the
+    # one materialized signature frame instead of re-signaturing
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("label") == 0)
-    return sim.cosine_topk_lsh(emb, queries, k=5, bits=32, bands=8)
+    return sim.cosine_topk_lsh(
+        emb, k=5, bits=32, bands=8, query_filter=(F.col("label") == 0)
+    )
 
 
 # ---------------------------------------------------------------------------

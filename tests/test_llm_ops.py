@@ -62,6 +62,27 @@ def test_lsh_topk_recall_vs_exact(emb):
     assert len(approx & exact) / len(exact) >= 0.5  # LSH recall floor
 
 
+def test_lsh_topk_query_filter_equals_explicit_queries(emb):
+    """query_filter (single materialized signature frame) must return
+    exactly what the two-frame form returns for the same subset."""
+    queries = emb.filter(F.col("label") == 0)
+    two_frame = {
+        (r.query_id, r.corpus_id, r.rnk)
+        for r in sim.cosine_topk_lsh(emb, queries, k=5, bits=32, bands=8).collect()
+    }
+    filtered = {
+        (r.query_id, r.corpus_id, r.rnk)
+        for r in sim.cosine_topk_lsh(
+            emb, k=5, bits=32, bands=8, query_filter=(F.col("label") == 0)
+        ).collect()
+    }
+    assert filtered == two_frame
+    with pytest.raises(ValueError):
+        sim.cosine_topk_lsh(emb, queries, query_filter=(F.col("label") == 0))
+    with pytest.raises(ValueError):
+        sim.cosine_topk_lsh(emb)
+
+
 def test_cosine_topk_self_excluded_and_ranked(emb):
     queries = emb.filter(F.col("label") == 0).limit(3)
     out = sim.cosine_topk(emb, queries, k=4).toPandas()
