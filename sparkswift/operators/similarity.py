@@ -370,12 +370,21 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nlist: int = 16,
-    nprobe: int = 4,
+    nprobe: int = 8,
     seed: int = 42,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse quantizer
     partitions the corpus into ``nlist`` lists; each query probes only
     its ``nprobe`` nearest lists, then exact integer cosine + rank.
+
+    ``nprobe=8`` default: smallest swept value reaching recall ≥ 0.9
+    vs the exact operator on the uniform-random fixture (nlist=16,
+    k=5 — sweep recorded in NOTES.md and asserted in
+    tests/test_llm_ops.py::test_ivf_nprobe_recall_curve; sf0.001 and
+    sf0.01 agree within 0.02). Uniform-random vectors are IVF's worst
+    case — real clustered corpora reach the same recall at smaller
+    nprobe/nlist ratios, so tune per corpus against a recall target,
+    not a fixed constant.
 
     The 100 TB shape: the index build (one k-means fit + one
     assignment pass) is amortized across all queries; the search
@@ -497,9 +506,12 @@ def ivf_search(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    nprobe: int = 4,
+    nprobe: int = 8,
 ) -> DataFrame:
     """Search a persisted IVF index (:func:`ivf_build`).
+
+    ``nprobe=8`` default justified by the same recall sweep as
+    :func:`cosine_topk_ivf` (identical probe semantics).
 
     Probe assignment happens driver-side-cheap: centers are a tiny
     table, the per-query nearest-``nprobe`` lists come from one

@@ -129,6 +129,31 @@ def test_ivf_topk_recall_vs_exact(emb):
     assert len(exact & approx) / len(exact) >= 0.8
 
 
+def test_ivf_nprobe_recall_curve(emb):
+    """The default nprobe=8 is the smallest swept value reaching
+    recall ≥ 0.9 vs exact (nlist=16, k=5, uniform-random fixture —
+    full sweep in NOTES.md). Asserts the curve is monotone, the
+    default clears 0.9, and the next value down doesn't — so a future
+    quantizer change that shifts the curve fails loudly here."""
+    q = emb.filter(F.col("label") == 0)
+    exact = {(r.query_id, r.corpus_id) for r in sim.cosine_topk(emb, q, k=5).collect()}
+
+    def recall(nprobe: int) -> float:
+        approx = {
+            (r.query_id, r.corpus_id)
+            for r in sim.cosine_topk_ivf(
+                emb, q, k=5, nlist=16, nprobe=nprobe
+            ).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    curve = {np_: recall(np_) for np_ in (4, 8, 16)}
+    assert curve[4] <= curve[8] <= curve[16]
+    assert curve[8] >= 0.9, curve
+    assert curve[4] < 0.9, curve  # default is the smallest passing value
+    assert curve[16] == 1.0  # probing every list == exact
+
+
 def test_blocked_neardup_equals_expression_variant(spark, sf_dir):
     from sparkswift.suite_llm import _perturbed_embeddings
 
