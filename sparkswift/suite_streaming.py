@@ -282,9 +282,46 @@ def st6_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("session_end") <= F.lit(bound))
 
 
-# NOTE: sparkswift.streaming.ops.stateful_running_totals_tws (the
-# transformWithStateInPandas successor of st2's operator) is NOT
-# registered here: Spark's TransformWithStateInPySpark driver worker
-# requires google.protobuf, which this container lacks (and installs
-# are off-limits). The operator + a protobuf-gated test exist; on a
-# real cluster it registers with st2's exact oracle.
+# Env-gated registration: stateful_running_totals_tws (the
+# transformWithStateInPandas successor of st2's operator) registers —
+# with st2's exact oracle — only where Spark's
+# TransformWithStateInPySpark runner can actually start, i.e.
+# google.protobuf is importable. This container lacks protobuf (and
+# installs are off-limits) so the entry is absent here; on a real
+# cluster it appears automatically and tools/check.py gates it like
+# any other oracled query.
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+if _protobuf_available():
+
+    @register(
+        "st2b_stateful_totals_tws",
+        f"""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS events_seen,
+               CAST(SUM(CAST(value AS {D})) AS DOUBLE) AS value_total
+        FROM events
+        GROUP BY user_id
+        """,
+    )
+    def st2b_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sparkswift.streaming.ops import stateful_running_totals_tws
+
+        src = events_stream(spark, sf_dir)
+        out = stateful_running_totals_tws(src, "user_id")
+        res = run_stream_to_batch(out, mode="update")
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy(F.col("events_seen").desc())
+        return (
+            res.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
