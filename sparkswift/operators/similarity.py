@@ -372,6 +372,7 @@ def cosine_topk_ivf(
     nlist: int = 16,
     nprobe: int = 8,
     seed: int = 42,
+    max_iter: int = 8,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse quantizer
     partitions the corpus into ``nlist`` lists; each query probes only
@@ -403,8 +404,11 @@ def cosine_topk_ivf(
     c = _spread(corpus.select(F.col(id_col), F.col(vec_col))).withColumn(
         "fv", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
+    # a coarse quantizer doesn't need convergence — after kmeans|| init
+    # the training cost moves <1% past ~5 iterations (A/B in NOTES.md)
+    # while each extra iteration is a full corpus pass
     model = KMeans(
-        k=nlist, seed=seed, featuresCol="fv", predictionCol="list_id"
+        k=nlist, seed=seed, maxIter=max_iter, featuresCol="fv", predictionCol="list_id"
     ).fit(c)
     assigned = model.transform(c).select(
         F.col(id_col).alias("corpus_id"),
@@ -457,6 +461,7 @@ def ivf_build(
     vec_col: str = "embedding",
     nlist: int = 16,
     seed: int = 42,
+    max_iter: int = 8,
 ) -> None:
     """Persist an IVF index: k-means coarse quantizer, then the corpus
     — quantized vectors + norms precomputed — written hive-partitioned
@@ -478,7 +483,9 @@ def ivf_build(
     c = _spread(corpus.select(F.col(id_col), F.col(vec_col))).withColumn(
         "fv", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
-    model = KMeans(k=nlist, seed=seed, featuresCol="fv", predictionCol="list_id").fit(c)
+    model = KMeans(
+        k=nlist, seed=seed, maxIter=max_iter, featuresCol="fv", predictionCol="list_id"
+    ).fit(c)
     assigned = (
         model.transform(c)
         .select(
