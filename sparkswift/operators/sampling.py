@@ -100,6 +100,58 @@ def stratified_sample(
     return df.filter(bucket < thr)
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 0,
+    output_col: str = "shuffle_pos",
+    bucket_nibbles: int = 2,
+) -> DataFrame:
+    """Globally-shuffled, reproducible training order: every row gets
+    a 0-based position in the order of ``md5(seed ':' id)`` (ties by
+    id — total order, so positions are unique and identical on every
+    run and any partitioning). This is the "shuffle the corpus once,
+    stream it in order" step before sequence packing / sharded
+    training.
+
+    Scale shape — NO global sort, NO single-task window: the hash's
+    first ``bucket_nibbles`` hex chars define 16^nibbles ordered
+    buckets (256 by default). One tiny aggregation collects per-bucket
+    counts to the driver (256 longs), cumulative offsets broadcast
+    back as a CASE expression, and positions are per-bucket
+    ``row_number() + offset`` — a hash-partitioned window, fully
+    parallel. Writing ``sortWithinPartitions(output_col)`` after
+    ``repartitionByRange`` on it yields globally-ordered shards.
+    """
+    full = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    work = df.withColumn("__h", full).withColumn(
+        "__b", F.substring(F.col("__h"), 1, bucket_nibbles)
+    )
+    counts = {
+        r["__b"]: r["n"]
+        for r in work.groupBy("__b").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    acc = 0
+    rows = []
+    for b in sorted(counts):
+        rows.append((b, acc))
+        acc += counts[b]
+    offsets = df.sparkSession.createDataFrame(rows, "__b string, __off bigint")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__b").orderBy("__h", id_col)
+    return (
+        work.join(F.broadcast(offsets), "__b")
+        .withColumn(
+            output_col,
+            (F.row_number().over(w).cast("bigint") - 1) + F.col("__off"),
+        )
+        .drop("__h", "__b", "__off")
+    )
+
+
 def split_sql_case(
     id_sql: str, weights: dict[str, float] | None = None, seed: int = 0
 ) -> str:

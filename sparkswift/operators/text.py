@@ -220,6 +220,51 @@ def pii_redact(
     return df.withColumn(output_col or text_col, c)
 
 
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    output_col: str = "clean_text",
+    min_words: int = 5,
+    bad_words: tuple[str, ...] = (),
+    require_terminal_punct: bool = False,
+    min_lines_kept: int = 1,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """C4-style line-level cleaning (the rule family from the C4/
+    RealNews corpus construction; also used by Gopher/RefinedWeb):
+    split each document into lines, keep lines that (a) have at least
+    ``min_words`` whitespace words, (b) contain none of ``bad_words``
+    as a whole word, and (c) optionally end in terminal punctuation;
+    then drop documents with fewer than ``min_lines_kept`` surviving
+    lines. Emits ``output_col`` (surviving lines re-joined) and
+    ``n_lines_kept``.
+
+    Execution shape: one chain of native split/filter/array exprs —
+    whole-stage codegen, per-row, no shuffle, no Python. At 100 TB
+    this runs fused into the parquet scan stage.
+    """
+    import re as _re
+
+    c = F.col(text_col)
+    lines = F.split(c, _re.escape(line_sep), -1)
+
+    def keep(ln: Column) -> Column:
+        words = F.filter(F.split(F.trim(ln), r"\s+"), lambda x: x != F.lit(""))
+        cond = F.size(words) >= F.lit(min_words)
+        for w in bad_words:
+            cond = cond & ~F.array_contains(words, w)
+        if require_terminal_punct:
+            cond = cond & ln.rlike(r'[.!?"]\s*$')
+        return cond
+
+    kept = F.filter(lines, keep)
+    return (
+        df.withColumn(output_col, F.array_join(kept, line_sep))
+        .withColumn("n_lines_kept", F.size(kept).cast("bigint"))
+        .filter(F.col("n_lines_kept") >= F.lit(min_lines_kept))
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",

@@ -712,3 +712,144 @@ def p6_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pack_sequences(docs, "doc_id", "text", budget=2048, shard_nibbles=1)
+
+
+# ---------------------------------------------------------------------------
+# C4-style line filtering (C4/RefinedWeb rule family): line explode →
+# keep-rules → re-aggregate, all native array exprs. The fixture text
+# is single-line, so the query first synthesizes lines by chunking
+# into fixed 8-word lines — the same deterministic chunking runs in
+# the oracle, so the filter itself is what's compared.
+# ---------------------------------------------------------------------------
+@register(
+    "t8_c4_line_filter",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS words FROM documents
+    ),
+    lined AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(
+                 range(0, CAST(ceil(len(words) / 8.0) AS INT)),
+                 i -> array_to_string(words[i*8+1 : i*8+8], ' ')
+               ), chr(10)) AS text8
+      FROM t
+    ),
+    kept AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(text8, chr(10)),
+               ln -> len(string_split(ln, ' ')) >= 8
+                     AND NOT list_contains(string_split(ln, ' '), 'slow')
+             ) AS keep_lines
+      FROM lined
+    )
+    SELECT doc_id,
+           array_to_string(keep_lines, chr(10)) AS clean_text,
+           CAST(len(keep_lines) AS BIGINT) AS n_lines_kept
+    FROM kept
+    WHERE len(keep_lines) >= 1
+    """,
+)
+def t8_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = tx.tokens("text")
+    n_lines = F.ceil(F.size(words) / F.lit(8.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+    )
+    lined = docs.select(
+        "doc_id", F.array_join(lines, "\n").alias("text8")
+    )
+    out = tx.c4_line_filter(
+        lined,
+        text_col="text8",
+        min_words=8,
+        bad_words=("slow",),
+        min_lines_kept=1,
+    )
+    return out.select("doc_id", "clean_text", "n_lines_kept")
+
+
+# ---------------------------------------------------------------------------
+# Per-language corpus report — the stats table every pipeline run
+# publishes: doc counts, token totals (both tokenizers), exact char
+# sums. Integer partial aggs → one small shuffle by lang.
+# ---------------------------------------------------------------------------
+@register(
+    "t9_corpus_stats",
+    rf"""
+    WITH t AS (
+      SELECT lang,
+             CAST(len({_TOKS}) AS BIGINT) AS ws_tokens,
+             CAST(len(regexp_extract_all(text,
+                  '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS bpe_tokens,
+             n_chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(ws_tokens) AS DOUBLE) / COUNT(*) AS avg_ws_tokens
+    FROM t
+    GROUP BY lang
+    """,
+)
+def t9_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        tx.token_count("text").alias("ws_tokens"),
+        tx.bpe_token_count("text").alias("bpe_tokens"),
+        "n_chars",
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("ws_tokens").cast("bigint").alias("total_ws_tokens"),
+        F.sum("bpe_tokens").cast("bigint").alias("total_bpe_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (F.sum("ws_tokens").cast("double") / F.count(F.lit(1))).alias("avg_ws_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe grouped split: keying the split hash on `source`
+# instead of doc_id puts EVERY doc of a source in the same split —
+# the group-aware train/test discipline that prevents near-dup
+# leakage across splits. Same md5 mechanics as p2 (deterministic,
+# growth-stable); no shuffle — the assignment is a scan-stage expr.
+# ---------------------------------------------------------------------------
+@register(
+    "p7_group_split",
+    f"""
+    SELECT doc_id, source, {sp.split_sql_case('source')} AS split FROM documents
+    """,
+)
+def p7_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sp.hash_split(docs, "source").select("doc_id", "source", "split")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle — reproducible training order without
+# a global sort: hash-prefix buckets give 256 ordered ranges,
+# per-bucket row_number + broadcast offsets give exact global
+# positions (one tiny count agg + one hash-partitioned window).
+# ---------------------------------------------------------------------------
+@register(
+    "p8_deterministic_shuffle",
+    """
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+                  ORDER BY md5(concat_ws(':', '0', CAST(doc_id AS VARCHAR))), doc_id
+                ) - 1 AS BIGINT) AS shuffle_pos
+    FROM documents
+    """,
+)
+def p8_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sp.deterministic_shuffle(docs, "doc_id").select("doc_id", "shuffle_pos")

@@ -183,3 +183,65 @@ def test_bloom_partial_build_partition_cap(spark, monkeypatch):
     flagged = out.filter("contaminated").count()
     assert flagged >= 8  # bench docs flag themselves (no false negatives)
     assert partial_counts and partial_counts[0] <= 4, partial_counts
+
+
+def test_c4_line_filter_rules(spark):
+    """Line rules bite independently: word count, bad words, terminal
+    punctuation; doc-level min_lines_kept drops hollow docs."""
+    rows = [
+        (1, "the quick brown fox jumps high today.\nshort line\n"
+            "another perfectly fine long sentence here!\nbuy cheap pills now okay then"),
+        (2, "tiny\nbits\nonly"),
+        (3, "one single acceptable sentence stands alone."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tx.c4_line_filter(
+        df,
+        min_words=5,
+        bad_words=("pills",),
+        require_terminal_punct=True,
+        min_lines_kept=1,
+    ).toPandas().set_index("doc_id")
+    # doc 1: line1 ok; 'short line' too few words; line3 ok; pills line dropped
+    assert out.loc[1, "n_lines_kept"] == 2
+    assert out.loc[1, "clean_text"].count("\n") == 1
+    # doc 2: nothing survives -> dropped entirely
+    assert 2 not in out.index
+    assert out.loc[3, "n_lines_kept"] == 1
+    # without terminal-punct rule the 5-word bad-word-free lines return
+    loose = tx.c4_line_filter(
+        df, min_words=5, bad_words=("pills",), require_terminal_punct=False
+    ).toPandas().set_index("doc_id")
+    assert loose.loc[1, "n_lines_kept"] == 2
+    assert 2 not in loose.index
+
+
+def test_deterministic_shuffle_is_total_permutation(docs):
+    out = sp.deterministic_shuffle(docs, "doc_id").select("doc_id", "shuffle_pos")
+    pdf = out.toPandas()
+    n = len(pdf)
+    assert sorted(pdf.shuffle_pos) == list(range(n))
+    # partition-invariant: identical positions on a different layout
+    again = (
+        sp.deterministic_shuffle(docs.repartition(17), "doc_id")
+        .select("doc_id", "shuffle_pos")
+        .toPandas()
+    )
+    merged = pdf.merge(again, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged.shuffle_pos_a == merged.shuffle_pos_b).all()
+    # order actually follows the md5 key (spot-check endpoints)
+    import hashlib
+
+    keyed = sorted(
+        pdf.doc_id, key=lambda i: (hashlib.md5(f"0:{i}".encode()).hexdigest(), i)
+    )
+    want = {d: p for p, d in enumerate(keyed)}
+    assert all(want[r.doc_id] == r.shuffle_pos for r in pdf.itertuples())
+
+
+def test_group_split_no_leakage(docs):
+    """Keying the split on `source` must put every doc of a source in
+    one split — the property that stops near-dup train/test leakage."""
+    out = sp.hash_split(docs, "source").select("source", "split").distinct()
+    per_source = out.groupBy("source").count().toPandas()
+    assert (per_source["count"] == 1).all()
