@@ -20,7 +20,7 @@ as single keys fit a task (salt hot keys if not).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -32,14 +32,32 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     tolerance: str | None = None,
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
-    """For each left row: columns of the latest right row with
-    ``right_ts <= left_ts`` on the same key (right must be unique per
-    (key, right_ts) for a deterministic result — pre-aggregate if not).
+    """pandas ``merge_asof`` semantics, one shuffle, no join operator:
+    for each left row, the columns of the matched right row on the
+    same key — latest ``right_ts <= left_ts`` (``backward``, default),
+    earliest ``right_ts >= left_ts`` (``forward``), or whichever is
+    closer (``nearest``, ties to backward — pandas' rule). Right must
+    be unique per (key, right_ts) for a deterministic result —
+    pre-aggregate if not.
 
-    ``tolerance`` (e.g. '7 days'): matches older than the tolerance
-    are nulled — pandas ``merge_asof(tolerance=...)`` semantics.
+    ``tolerance`` (e.g. '7 days'): matches farther than the tolerance
+    are nulled. ``allow_exact_matches=False`` makes the comparison
+    strict (< / >) — both mirroring the pandas kwargs.
+
+    Mechanics: union both sides tagged by source, one hash shuffle on
+    the key, then running ``last(ignorenulls)`` fills over a
+    timestamp-ordered window carry each left row its match — backward
+    fills over the ascending order, forward over the descending one.
+    ``nearest`` evaluates both windows over the SAME exchange (two
+    sorts, one shuffle) and picks per-row by distance. Tie order of
+    left vs right rows at equal timestamps implements
+    allow_exact_matches without any extra pass.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     keys = [key] if isinstance(key, str) else list(key)
     lcols = left.columns
 
@@ -59,26 +77,65 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
 
-    w = (
+    # at equal __t: right rows (src 0) BEFORE left rows in the fill
+    # order when exact matches count, AFTER them when they don't
+    src_tie = F.col("__src").asc() if allow_exact_matches else F.col("__src").desc()
+    w_back = (
         Window.partitionBy(*keys)
-        .orderBy("__t", "__src")
+        .orderBy(F.col("__t").asc(), src_tie)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").desc(), src_tie)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+
+    def fills(w, tag: str):
+        return [
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__{tag}_{c}")
+            for c in right_cols
+        ] + [F.last("__rt", ignorenulls=True).over(w).alias(f"__{tag}t")]
+
+    use_back = direction in ("backward", "nearest")
+    use_fwd = direction in ("forward", "nearest")
     filled = unioned.select(
         *lcols,
         "__src",
         "__t",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}") for c in right_cols],
-        F.last("__rt", ignorenulls=True).over(w).alias("__matched_ts"),
+        *(fills(w_back, "b") if use_back else []),
+        *(fills(w_fwd, "f") if use_fwd else []),
     ).filter(F.col("__src") == 1)
 
-    if tolerance is not None:
-        in_tol = F.col("__matched_ts") >= F.col("__t") - F.expr(f"INTERVAL {tolerance}")
-        proj = [
-            F.when(in_tol, F.col(f"__f_{c}")).alias(c) for c in right_cols
-        ]
+    def in_tol(ts_col: str) -> Column:
+        if tolerance is None:
+            return F.col(ts_col).isNotNull()
+        delta = F.expr(f"INTERVAL {tolerance}")
+        return (F.col(ts_col) >= F.col("__t") - delta) & (
+            F.col(ts_col) <= F.col("__t") + delta
+        )
+
+    if direction == "backward":
+        proj = [F.when(in_tol("__bt"), F.col(f"__b_{c}")).alias(c) for c in right_cols]
+    elif direction == "forward":
+        proj = [F.when(in_tol("__ft"), F.col(f"__f_{c}")).alias(c) for c in right_cols]
     else:
-        proj = [F.col(f"__f_{c}").alias(c) for c in right_cols]
+        b_ok, f_ok = in_tol("__bt"), in_tol("__ft")
+        b_dist = F.unix_micros(F.col("__t").cast("timestamp")) - F.unix_micros(
+            F.col("__bt")
+        )
+        f_dist = F.unix_micros(F.col("__ft")) - F.unix_micros(
+            F.col("__t").cast("timestamp")
+        )
+        # backward wins ties (pandas rule); a direction missing or out
+        # of tolerance cedes to the other
+        pick_b = b_ok & (~f_ok | (b_dist <= f_dist))
+        proj = [
+            F.when(pick_b, F.col(f"__b_{c}"))
+            .when(f_ok, F.col(f"__f_{c}"))
+            .alias(c)
+            for c in right_cols
+        ]
     return filled.select(*lcols, *proj)
 
 

@@ -147,6 +147,80 @@ def j4_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# As-of join, forward direction (earliest right at-or-after left) —
+# same union + window mechanics as j4 over a descending fill order.
+# DuckDB's ASOF infers direction from the inequality.
+# ---------------------------------------------------------------------------
+@register(
+    "j6_asof_forward",
+    """
+    SELECT l.event_id, l.user_id, l.ts, r.value AS next_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+)
+def j6_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["value"], direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("value").alias("next_purchase_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join, nearest direction (closer of backward/forward, ties to
+# backward — pandas merge_asof rule). One shuffle: both fill orders
+# evaluate over the same exchange. Oracle composes DuckDB's two ASOF
+# directions and picks by microsecond distance.
+# ---------------------------------------------------------------------------
+@register(
+    "j7_asof_nearest",
+    """
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+    b AS (SELECT l.event_id, r.ts AS bt, r.value AS bv
+          FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts),
+    f AS (SELECT l.event_id, r.ts AS ft, r.value AS fv
+          FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts)
+    SELECT l.event_id, l.user_id, l.ts,
+           CASE WHEN bt IS NOT NULL AND (ft IS NULL
+                     OR epoch_us(l.ts) - epoch_us(bt) <= epoch_us(ft) - epoch_us(l.ts))
+                THEN bv ELSE fv END AS nearest_purchase_value
+    FROM l JOIN b USING (event_id) JOIN f USING (event_id)
+    """,
+)
+def j7_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["value"], direction="nearest",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("value").alias("nearest_purchase_value")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Range (interval) join: orders banded by price against a tiny band
 # dimension on a BETWEEN predicate. Spark executes non-equi joins
 # against a broadcast side as BroadcastNestedLoopJoin — with a

@@ -14,7 +14,7 @@ def ev(spark, sf_dir):
     return load_table(spark, sf_dir, "events")
 
 
-def _pandas_asof(ev_pdf, tolerance=None):
+def _pandas_asof(ev_pdf, tolerance=None, direction="backward", allow_exact=True):
     left = (
         ev_pdf[ev_pdf.event_type == "click"][["event_id", "user_id", "ts"]]
         .sort_values("ts")
@@ -27,11 +27,12 @@ def _pandas_asof(ev_pdf, tolerance=None):
     )
     kw = {"tolerance": pd.Timedelta(tolerance)} if tolerance else {}
     return pd.merge_asof(
-        left, right, on="ts", by="user_id", direction="backward", **kw
+        left, right, on="ts", by="user_id", direction=direction,
+        allow_exact_matches=allow_exact, **kw
     )
 
 
-def _spark_asof(ev, tolerance=None):
+def _spark_asof(ev, tolerance=None, direction="backward", allow_exact=True):
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
@@ -40,7 +41,8 @@ def _spark_asof(ev, tolerance=None):
     )
     return asof_join(
         clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
-        right_cols=["value"], tolerance=tolerance,
+        right_cols=["value"], tolerance=tolerance, direction=direction,
+        allow_exact_matches=allow_exact,
     )
 
 
@@ -72,6 +74,42 @@ def test_asof_join_tolerance(ev):
     # the tolerance must actually null something out
     full = _spark_asof(ev).toPandas()
     assert got["value"].isna().sum() > full["value"].isna().sum()
+
+
+@pytest.mark.parametrize("direction", ["forward", "nearest"])
+@pytest.mark.parametrize("tolerance", [None, "30 minutes"])
+def test_asof_join_directions_match_merge_asof(ev, direction, tolerance):
+    got = (
+        _spark_asof(ev, tolerance=tolerance, direction=direction)
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    want = (
+        _pandas_asof(ev.toPandas(), tolerance=tolerance, direction=direction)
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["event_id", "user_id", "value"]], want[["event_id", "user_id", "value"]]
+    )
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_join_strict_inequality(ev, direction):
+    got = (
+        _spark_asof(ev, direction=direction, allow_exact=False)
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    want = (
+        _pandas_asof(ev.toPandas(), direction=direction, allow_exact=False)
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["event_id", "user_id", "value"]], want[["event_id", "user_id", "value"]]
+    )
+
+
+def test_asof_join_rejects_bad_direction(ev):
+    with pytest.raises(ValueError):
+        _spark_asof(ev, direction="sideways")
 
 
 def test_ps_apply_vectorized_and_fallback(spark, sf_dir):

@@ -58,6 +58,14 @@ def test_udf_apply_uses_arrow_not_rowwise(plans):
 def test_asof_join_single_shuffle(plans):
     p = plans("j4_asof_join")
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_nearest_single_shuffle_two_sorts(plans):
+    # both fill directions must evaluate over ONE exchange (the whole
+    # point of the union formulation) — two sorts, zero extra shuffles
+    p = plans("j7_asof_nearest")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Sort ") == 2
     assert "PushedFilters: [IsNotNull(event_type)" in p
 
 
