@@ -677,6 +677,9 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # d6, d8, e2-e4, p5). EVERY entry — window and tail — is still
 # checked vs DuckDB locally by `python tools/check.py` and by pytest;
 # the window only decides which rows the driver re-verifies.
+# Round-4 additions: the six new oracled queries (j6, j7, t8, t9, p7,
+# p8) take window slots from six three-round-green entries (t2, t6,
+# d5, e1, mm2, p4) so they earn driver rows immediately.
 # ---------------------------------------------------------------------------
 _WINDOW = [
     # §2.1 operator routes (O1-O7)
@@ -699,6 +702,8 @@ _WINDOW = [
     "j1_revenue_by_nation",
     "j4_asof_join",
     "j5_range_join",
+    "j6_asof_forward",
+    "j7_asof_nearest",
     "agg3_rollup",
     "agg4_cube",
     "agg5_quantiles",
@@ -708,23 +713,21 @@ _WINDOW = [
     "w2_running_total",
     # text / dedup / similarity / multimodal / pipeline
     "t1_text_quality",
-    "t2_lang_id",
     "t3_fingerprint",
     "t4_token_count",
     "t5_repetition",
-    "t6_pii_redact",
     "t7_tfidf_top_terms",
+    "t8_c4_line_filter",
+    "t9_corpus_stats",
     "d1_dedup_exact",
     "d2_ngram_jaccard",
     "d7_dedup_clusters",
     "d9_dedup_clusters_star",
-    "d5_embedding_neardup",
-    "e1_cosine_topk",
-    "mm2_frame_sample",
     "p1_deterministic_sample",
     "p3_decontaminate",
-    "p4_stratified_sample",
     "p6_pack_sequences",
+    "p7_group_split",
+    "p8_deterministic_shuffle",
     # streaming + batch session-window twin
     "sw1_session_window",
     "st1_stream_resample",
