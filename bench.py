@@ -46,6 +46,9 @@ HEADLINE = [
     "t5_repetition",         # dup-ngram fraction (native arrays)
     "p2_hash_split",         # deterministic split (md5 bucket exprs)
     "p3_decontaminate",      # benchmark ngram broadcast semi-join
+    "j7_asof_nearest",       # both asof fill orders, one exchange
+    "t8_c4_line_filter",     # C4 line rules (native array exprs)
+    "p8_deterministic_shuffle",  # bucketed global order, no global sort
 ]
 
 

@@ -413,3 +413,43 @@ def test_resample_origin_and_base_match_pandas(ev):
         pd.testing.assert_frame_equal(
             out, exp.astype({"n": "int64"}), check_dtype=False
         ), kwargs
+
+
+def test_rolling_resample_groupby_on_empty_input(spark, ev):
+    """Empty in → empty out with the correct schema, through every
+    window-family operator (reference swifter_tests.py:877-890,
+    499-506: empty-frame applies must not blow up)."""
+    from sparkswift.operators.resample import resample_apply_udf
+
+    empty = ev.filter(F.lit(False))
+
+    r1 = rolling_agg(
+        empty, order_by="ts", window=3, agg="sum", on="value",
+        output_col="rs", partition_by=["user_id"],
+    )
+    assert r1.count() == 0 and "rs" in r1.columns
+
+    r2 = rolling_apply_udf(
+        empty, order_by="ts", window=3, on="value",
+        func=lambda s: s.mean(), output_col="rm", partition_by=["user_id"],
+    )
+    assert r2.count() == 0 and "rm" in r2.columns
+
+    r3 = resample_agg(
+        empty, ts_col="ts", rule="1 hour", aggs={"n": F.count(F.lit(1))}
+    )
+    assert r3.count() == 0 and "n" in r3.columns
+
+    r4 = resample_apply_udf(
+        empty, ts_col="ts", rule="1 hour",
+        func=lambda g: pd.DataFrame({"med": [g["value"].median()]}),
+        schema="bucket_ts timestamp, med double",
+    )
+    assert r4.count() == 0 and "med" in r4.columns
+
+    r5 = groupby_apply(
+        empty, "user_id",
+        lambda g: pd.DataFrame({"s": [g["value"].sum()]}),
+        schema="user_id bigint, s double",
+    )
+    assert r5.count() == 0 and r5.columns == ["user_id", "s"]
