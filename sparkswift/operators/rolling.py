@@ -144,6 +144,79 @@ def rolling_agg(
     return df.withColumn(out_name, expr)
 
 
+def rolling_agg_global(
+    df: DataFrame,
+    order_by: str,
+    window: int,
+    agg: str,
+    on: str,
+    bucket_of: Column,
+    output_col: str | None = None,
+    min_periods: int | None = None,
+) -> DataFrame:
+    """Count-window rolling over a GLOBAL order, distributed.
+
+    A global ``Window.orderBy`` collapses to one task — the classic
+    Spark scale trap (and exactly what the reference's notebook does
+    with ``rolling(10)`` over 71M rows). But a k-row window only ever
+    reaches k-1 rows back, so global order doesn't need a global sort:
+
+    1. ``bucket_of`` assigns each row an integer bucket that is
+       MONOTONE in ``order_by`` (e.g. ``id div 250000`` for a dense
+       id, ``unix_micros(ts) div interval`` for time order) — the
+       order-preserving analog of a range partitioner;
+    2. each bucket's last k-1 rows are duplicated into the NEXT
+       bucket as helper rows (both branches hash-shuffle on the
+       bucket, so the exchange is shared);
+    3. one per-bucket sorted window computes the aggregate; helper
+       rows are dropped on output.
+
+    Cost: one shuffle by bucket + per-bucket sorts, all parallel.
+    Requirement: every non-first bucket must hold ≥ k-1 own rows
+    (pick the bucket width ≫ k); buckets must not be empty mid-range.
+
+    ``min_periods`` defaults to ``window`` (pandas: leading rows null).
+    """
+    k = int(window)
+    out_name = output_col or f"{on}_roll_{agg}"
+    work = df.withColumn("__bkt", bucket_of.cast("long")).withColumn(
+        "__own", F.lit(True)
+    )
+    if k > 1:
+        rk = F.row_number().over(
+            Window.partitionBy("__bkt").orderBy(F.col(order_by).desc())
+        )
+        helpers = (
+            work.withColumn("__rk", rk)
+            .filter(F.col("__rk") <= k - 1)
+            .drop("__rk")
+            .withColumn("__bkt", F.col("__bkt") + 1)
+            .withColumn("__own", F.lit(False))
+        )
+        max_bkt = work.agg(F.max("__bkt")).collect()[0][0]
+        helpers = helpers.filter(F.col("__bkt") <= F.lit(max_bkt))
+        u = work.unionByName(helpers)
+    else:
+        u = work
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(order_by)
+        .rowsBetween(-(k - 1), 0)
+    )
+    mp = min_periods if min_periods is not None else k
+    expr = _BUILTIN[agg](F.col(on)).over(w)
+    if mp > 1:
+        # helper rows make the in-bucket count == the true global
+        # window population for every own row, so the pandas
+        # leading-null rule falls out of the same count
+        expr = F.when(F.count(F.col(on)).over(w) >= F.lit(mp), expr)
+    return (
+        u.withColumn(out_name, expr)
+        .filter(F.col("__own"))
+        .drop("__bkt", "__own")
+    )
+
+
 def window_weights(win_type: str, n: int, **params):
     """Weight vector for pandas' ``rolling(win_type=...)`` windows
     (reference signature `/root/reference/swifter/swifter.py:140-172`).

@@ -459,6 +459,42 @@ def o5_rolling_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# O5 — GLOBAL-order rolling, distributed (the reference notebook's
+# rolling(10).sum over the whole frame, BASELINE.md cell 34): naive
+# Window.orderBy collapses to one task; rolling_agg_global keeps the
+# global order via monotone buckets + k-1 boundary-row handoff.
+# Oracle: plain SQL global window (DuckDB sorts single-node — fine at
+# oracle scale) with the pandas leading-null rule.
+# ---------------------------------------------------------------------------
+@register(
+    "o5b_rolling_global",
+    """
+    SELECT event_id,
+           CASE WHEN ROW_NUMBER() OVER (ORDER BY event_id) >= 10
+                THEN SUM(value) OVER (ORDER BY event_id
+                                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+           END AS rs
+    FROM events
+    """,
+)
+def o5b_rolling_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.rolling import rolling_agg_global
+
+    ev = load_table(spark, sf_dir, "events")
+    out = rolling_agg_global(
+        ev.select("event_id", "value"),
+        order_by="event_id",
+        window=10,
+        agg="sum",
+        on="value",
+        # event_id is dense → integer-div buckets are monotone ranges
+        bucket_of=F.col("event_id") / F.lit(997),
+        output_col="rs",
+    )
+    return out.select("event_id", "rs")
+
+
+# ---------------------------------------------------------------------------
 # O6 — resample (tumbling window) with native reducers:
 # groupBy(F.window(ts, '1 hour')) == pandas resample('1h').agg.
 # Bucket key = window.start (pandas label='left'); 1-hour buckets align
@@ -695,6 +731,7 @@ _WINDOW = [
     "o5_rolling_sum_time",
     "o5_rolling_udf",
     "o5_rolling_weighted",
+    "o5b_rolling_global",
     "o6_resample_hourly",
     "o6_resample_udf_median",
     "o6_resample_closed_right",
@@ -705,7 +742,6 @@ _WINDOW = [
     "j6_asof_forward",
     "j7_asof_nearest",
     "agg3_rollup",
-    "agg4_cube",
     "agg5_quantiles",
     "agg6_pivot",
     "agg7_grouping_sets",

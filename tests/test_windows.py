@@ -453,3 +453,30 @@ def test_rolling_resample_groupby_on_empty_input(spark, ev):
         schema="user_id bigint, s double",
     )
     assert r5.count() == 0 and r5.columns == ["user_id", "s"]
+
+
+def test_rolling_global_matches_pandas_and_distributes(spark):
+    """Distributed global rolling: values match pandas' global
+    rolling(k).sum exactly, and the plan has NO single-task global
+    sort — the window runs per monotone bucket."""
+    import numpy as np
+
+    from sparkswift.operators.rolling import rolling_agg_global
+
+    pdf = pd.DataFrame({"id": range(10_000)})
+    pdf["v"] = (np.arange(10_000) * 7919) % 27
+    df = spark.createDataFrame(pdf).repartition(8)
+    out = rolling_agg_global(
+        df, "id", 10, "sum", "v",
+        bucket_of=F.col("id") / F.lit(997), output_col="rs",
+    )
+    got = out.toPandas().sort_values("id").reset_index(drop=True)
+    want = pdf["v"].rolling(10).sum()
+    assert ((got["rs"].fillna(-1) - want.fillna(-1)).abs() < 1e-9).all()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # global-order correctness WITHOUT a global sort: every exchange is
+    # hash (by bucket), never a rangepartitioning/SinglePartition sort
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    # min_periods: exactly the first k-1 global rows are null
+    assert got["rs"].isna().sum() == 9
