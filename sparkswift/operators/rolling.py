@@ -144,6 +144,62 @@ def rolling_agg(
     return df.withColumn(out_name, expr)
 
 
+def rolling_agg_global_time(
+    df: DataFrame,
+    ts_col: str,
+    window: str,
+    agg: str,
+    on: str,
+    bucket_width: str | None = None,
+    output_col: str | None = None,
+    min_periods: int = 1,
+) -> DataFrame:
+    """Time-window rolling over the GLOBAL timeline, distributed.
+
+    The range twin of :func:`rolling_agg_global`: buckets are fixed
+    time slices (``bucket_width``, default = the window duration — it
+    must be ≥ the window so a row's lookback never reaches past the
+    adjacent bucket), and each bucket's trailing ``window``-duration
+    of rows is duplicated into the next bucket as helpers — a plain
+    filter, no ranking pass. One hash shuffle by bucket, per-bucket
+    range windows, exact global semantics. Ties in ``ts_col`` are
+    safe: a range frame includes the whole tie group either way.
+    """
+    win_us = _parse_duration_us(window)
+    bw_us = _parse_duration_us(bucket_width) if bucket_width else win_us
+    if bw_us < win_us:
+        raise ValueError(
+            f"bucket_width ({bucket_width}) must be >= window ({window}): "
+            "a row's lookback may only reach the adjacent bucket"
+        )
+    out_name = output_col or f"{on}_roll_{agg}"
+    epoch = F.unix_micros(F.col(ts_col))
+    work = df.withColumn("__e", epoch).withColumn(
+        "__bkt", F.floor(F.col("__e") / F.lit(bw_us))
+    ).withColumn("__own", F.lit(True))
+    # helpers: the bucket's trailing `window` microseconds of rows
+    helpers = (
+        work.filter(F.col("__e") >= (F.col("__bkt") + 1) * F.lit(bw_us) - F.lit(win_us))
+        .withColumn("__bkt", F.col("__bkt") + 1)
+        .withColumn("__own", F.lit(False))
+    )
+    max_bkt = work.agg(F.max("__bkt")).collect()[0][0]
+    u = work.unionByName(helpers.filter(F.col("__bkt") <= F.lit(max_bkt)))
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy("__e")
+        .rangeBetween(-(win_us - 1), 0)  # pandas closed='right': (t-win, t]
+    )
+    expr = _BUILTIN[agg](F.col(on)).over(w)
+    if min_periods > 1:
+        expr = F.when(F.count(F.col(on)).over(w) >= F.lit(min_periods), expr)
+    return (
+        u.withColumn(out_name, expr)
+        .filter(F.col("__own"))
+        .drop("__e", "__bkt", "__own")
+    )
+
+
 def rolling_agg_global(
     df: DataFrame,
     order_by: str,

@@ -495,6 +495,40 @@ def o5b_rolling_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# O5 — GLOBAL time-window rolling, distributed: the range twin of
+# o5b (fixed time-slice buckets + trailing-duration helper handoff —
+# a plain filter, no ranking). DECIMAL accumulation so the float sum
+# is order-independent and hash-exact vs the oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "o5c_rolling_global_time",
+    """
+    SELECT event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+                  ORDER BY ts
+                  RANGE BETWEEN INTERVAL '1799999999 microseconds' PRECEDING
+                            AND CURRENT ROW)
+                AS DOUBLE) AS rs
+    FROM events
+    """,
+)
+def o5c_rolling_global_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.rolling import rolling_agg_global_time
+
+    ev = load_table(spark, sf_dir, "events")
+    out = rolling_agg_global_time(
+        ev.select("event_id", "ts", F.col("value").cast(D).alias("value_dec")),
+        ts_col="ts",
+        window="30 minutes",
+        agg="sum",
+        on="value_dec",
+        bucket_width="2 hours",
+        output_col="rs_dec",
+    )
+    return out.select("event_id", F.col("rs_dec").cast("double").alias("rs"))
+
+
+# ---------------------------------------------------------------------------
 # O6 — resample (tumbling window) with native reducers:
 # groupBy(F.window(ts, '1 hour')) == pandas resample('1h').agg.
 # Bucket key = window.start (pandas label='left'); 1-hour buckets align

@@ -480,3 +480,29 @@ def test_rolling_global_matches_pandas_and_distributes(spark):
     assert "Exchange SinglePartition" not in plan
     # min_periods: exactly the first k-1 global rows are null
     assert got["rs"].isna().sum() == 9
+
+
+def test_rolling_global_time_matches_pandas(ev):
+    """Distributed global TIME rolling: equals pandas' global
+    rolling('30min') on the full frame, no global sort in the plan."""
+    from sparkswift.operators.rolling import rolling_agg_global_time
+
+    out = rolling_agg_global_time(
+        ev, "ts", "30 minutes", "sum", "value",
+        bucket_width="2 hours", output_col="rs",
+    )
+    got = out.toPandas().sort_values("event_id").reset_index(drop=True)
+    pdf = ev.toPandas().sort_values("ts")
+    pdf["rs"] = pdf.rolling("30min", on="ts")["value"].sum()
+    pdf = pdf.sort_values("event_id").reset_index(drop=True)
+    assert ((got["rs"] - pdf["rs"]).abs() < 1e-9).all()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    # bucket narrower than the window must be rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rolling_agg_global_time(
+            ev, "ts", "30 minutes", "sum", "value", bucket_width="10 minutes"
+        )
