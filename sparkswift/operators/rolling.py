@@ -88,7 +88,8 @@ def _frame(order_col, window, center, partition_by, closed="right"):
     else:
         warnings.warn(
             "rolling without partition_by sorts in a single task; "
-            "pass an entity key for large data",
+            "pass an entity key, or use rolling_agg_global / "
+            "rolling_agg_global_time for a distributed global order",
             stacklevel=3,
         )
         base = Window.partitionBy()
