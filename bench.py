@@ -65,6 +65,13 @@ def main() -> None:
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
     spark.range(1_000_000).selectExpr("sum(id * 2)").collect()
 
+    def drop_persistent_blocks() -> None:
+        # operators localCheckpoint intermediates (LSH signatures,
+        # CC rounds); freeing them between queries keeps each
+        # measurement independent of its predecessors' storage
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+
     def run_at(sf_dir: str) -> dict[str, float]:
         t: dict[str, float] = {}
         for name in HEADLINE:
@@ -73,6 +80,7 @@ def main() -> None:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             t[name] = round(time.time() - t0, 3)
+            drop_persistent_blocks()
         return t
 
     def sf_of(path: str) -> float | None:
