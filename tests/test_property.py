@@ -118,3 +118,82 @@ def test_apply_rows_empty_input(spark):
         df, lambda row: row["x"], output_col="y", schema="y double"
     )
     assert out.count() == 0
+
+
+# --- round-4 operators: C4 line filter + deterministic shuffle -------------
+
+words = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1,
+    max_size=8,
+)
+lines_strategy = st.lists(
+    st.lists(words, min_size=0, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _c4_reference(doc_lines, min_words, bad_words):
+    kept = []
+    for ln in doc_lines:
+        ws = [w for w in ln.split(" ") if w != ""]
+        if len(ws) < min_words:
+            continue
+        if any(b in ws for b in bad_words):
+            continue
+        kept.append(ln)
+    return kept
+
+
+@given(docs=st.lists(lines_strategy, min_size=1, max_size=5))
+@settings(**SETTINGS)
+def test_c4_line_filter_matches_pure_python(spark, docs):
+    """For arbitrary unicode line sets, the operator's surviving lines
+    equal a pure-Python application of the same rules, and docs whose
+    lines all die are dropped."""
+    from sparkswift.operators.text import c4_line_filter
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(docs)), "text": ["\n".join(d) for d in docs]}
+    )
+    df = spark.createDataFrame(pdf).repartition(4)
+    out = (
+        c4_line_filter(df, min_words=3, bad_words=("bad",), min_lines_kept=1)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    for i, d in enumerate(docs):
+        want = _c4_reference(d, 3, ("bad",))
+        if want:
+            assert out.loc[i, "clean_text"] == "\n".join(want)
+            assert out.loc[i, "n_lines_kept"] == len(want)
+        else:
+            assert i not in out.index
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=40, unique=True
+    ),
+    seed=st.integers(min_value=0, max_value=5),
+)
+@settings(**SETTINGS)
+def test_deterministic_shuffle_permutation_property(spark, ids, seed):
+    """For arbitrary unique ids and seeds: positions are exactly
+    0..n-1, and the assignment is invariant to input partitioning."""
+    from sparkswift.operators import sampling as sp
+
+    pdf = pd.DataFrame({"doc_id": ids})
+    a = (
+        sp.deterministic_shuffle(spark.createDataFrame(pdf), "doc_id", seed=seed)
+        .toPandas()
+    )
+    assert sorted(a.shuffle_pos) == list(range(len(ids)))
+    b = (
+        sp.deterministic_shuffle(
+            spark.createDataFrame(pdf).repartition(7), "doc_id", seed=seed
+        ).toPandas()
+    )
+    m = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
+    assert (m.shuffle_pos_a == m.shuffle_pos_b).all()
