@@ -776,7 +776,6 @@ _WINDOW = [
     "j6_asof_forward",
     "j7_asof_nearest",
     "agg3_rollup",
-    "agg5_quantiles",
     "agg6_pivot",
     "agg7_grouping_sets",
     "w1_rank_lag",
@@ -798,6 +797,7 @@ _WINDOW = [
     "p6_pack_sequences",
     "p7_group_split",
     "p8_deterministic_shuffle",
+    "p9_corpus_build",
     # streaming + batch session-window twin
     "sw1_session_window",
     "st1_stream_resample",

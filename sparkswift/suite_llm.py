@@ -853,3 +853,135 @@ def p7_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p8_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return sp.deterministic_shuffle(docs, "doc_id").select("doc_id", "shuffle_pos")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus build — the operators composed the way a training
+# run actually chains them: C4 line filtering → exact dedup (first
+# doc per content fingerprint survives) → benchmark decontamination
+# (contaminated docs DROPPED) → leakage-safe grouped split (keep
+# 'train') → token accounting. Every stage is the same operator the
+# standalone queries verify; the full pipeline hash-matches one
+# composed SQL oracle. Scale shape: stages are scan-fused exprs +
+# one fp shuffle (dedup) + one broadcast semi-join (decon) — no
+# stage materializes to the driver.
+# ---------------------------------------------------------------------------
+@register(
+    "p9_corpus_build",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, source, lang, {_TOKS} AS words FROM documents
+    ),
+    lined AS (
+      SELECT doc_id, source, lang,
+             array_to_string(
+               list_transform(
+                 range(0, CAST(ceil(len(words) / 8.0) AS INT)),
+                 i -> array_to_string(words[i*8+1 : i*8+8], ' ')
+               ), chr(10)) AS text8
+      FROM t
+    ),
+    c4 AS (
+      SELECT doc_id, source, lang,
+             array_to_string(keep_lines, chr(10)) AS clean_text,
+             CAST(len(keep_lines) AS BIGINT) AS n_lines_kept
+      FROM (
+        SELECT *,
+               list_filter(
+                 string_split(text8, chr(10)),
+                 ln -> len(string_split(ln, ' ')) >= 8
+                       AND NOT list_contains(string_split(ln, ' '), 'slow')
+               ) AS keep_lines
+        FROM lined
+      )
+      WHERE len(keep_lines) >= 1
+    ),
+    surv AS (
+      SELECT MIN(doc_id) AS doc_id FROM c4 GROUP BY md5(clean_text)
+    ),
+    dd AS (SELECT c4.* FROM c4 JOIN surv USING (doc_id)),
+    train AS (
+      SELECT * FROM dd
+      WHERE substr(md5(concat_ws(':', '1', CAST(doc_id AS VARCHAR))), 1, 8)
+            >= '{_BENCH_THR}'
+    ),
+    bench AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+      WHERE substr(md5(concat_ws(':', '1', CAST(doc_id AS VARCHAR))), 1, 8)
+            < '{_BENCH_THR}'
+    ),
+    bs AS (
+      SELECT DISTINCT unnest(
+        CASE WHEN len(toks) >= 3
+             THEN list_distinct(list_transform(
+                      generate_series(1, len(toks) - 2),
+                      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+             ELSE [array_to_string(toks, ' ')] END) AS sg
+      FROM bench
+    ),
+    ts AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(ctoks) >= 3
+             THEN list_distinct(list_transform(
+                      generate_series(1, len(ctoks) - 2),
+                      i -> concat_ws(' ', ctoks[i], ctoks[i+1], ctoks[i+2])))
+             ELSE [array_to_string(ctoks, ' ')] END) AS sg
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(trim(clean_text), '\s+'),
+                               x -> x <> '') AS ctoks
+            FROM train)
+    ),
+    hits AS (SELECT DISTINCT ts.doc_id FROM ts JOIN bs USING (sg))
+    SELECT tr.doc_id, tr.source, tr.lang, tr.n_lines_kept,
+           CAST(len(list_filter(string_split_regex(trim(tr.clean_text), '\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_tokens
+    FROM train tr LEFT JOIN hits h ON tr.doc_id = h.doc_id
+    WHERE h.doc_id IS NULL
+      AND ({sp.split_sql_case('tr.source')}) = 'train'
+    """,
+)
+def p9_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1. line-ify (same deterministic chunking as t8) + C4 filter
+    words = tx.tokens("text")
+    n_lines = F.ceil(F.size(words) / F.lit(8.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+    )
+    lined = docs.select(
+        "doc_id", "source", "lang", F.array_join(lines, "\n").alias("text8")
+    )
+    c4 = tx.c4_line_filter(
+        lined, text_col="text8", min_words=8, bad_words=("slow",), min_lines_kept=1
+    ).drop("text8")
+
+    # 2. exact dedup: first doc per content fingerprint survives
+    w = Window.partitionBy(F.md5("clean_text"))
+    deduped = (
+        c4.withColumn("__keep", F.col("doc_id") == F.min("doc_id").over(w))
+        .filter("__keep")
+        .drop("__keep")
+    )
+
+    # 3. decontaminate: clean train text vs the raw benchmark subset
+    bucket = sp.hash_bucket_hex("doc_id", seed=1)
+    bench = docs.filter(bucket < F.lit(_BENCH_THR)).select("doc_id", "text")
+    train = deduped.filter(bucket >= F.lit(_BENCH_THR))
+    flagged = dd.decontaminate(
+        train.withColumnRenamed("clean_text", "text"), bench, "text", "doc_id", k=3
+    )
+    kept = flagged.filter(~F.col("contaminated"))
+
+    # 4. leakage-safe split on source; keep the train split
+    split = sp.hash_split(kept, "source")
+    out = split.filter(F.col("split") == "train")
+
+    # 5. token accounting on the cleaned text
+    return out.select(
+        "doc_id", "source", "lang", "n_lines_kept",
+        tx.token_count("text").alias("n_tokens"),
+    )
