@@ -49,6 +49,9 @@ HEADLINE = [
     "j7_asof_nearest",       # both asof fill orders, one exchange
     "t8_c4_line_filter",     # C4 line rules (native array exprs)
     "p8_deterministic_shuffle",  # bucketed global order, no global sort
+    "o5b_rolling_global",    # distributed global count-window rolling
+    "o5c_rolling_global_time",  # distributed global time-window rolling
+    "p9_corpus_build",       # end-to-end corpus pipeline (composed ops)
 ]
 
 
