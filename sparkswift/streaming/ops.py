@@ -252,3 +252,47 @@ def stateful_running_totals_tws(stream: DataFrame, key: str = "user_id") -> Data
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_to_parquet(
+    streaming_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: list[str] | None = None,
+    mode: str = "append",
+    merge_fn=None,
+) -> None:
+    """Streaming sink to partitioned parquet, run to completion
+    (AvailableNow — the batch-backfill trigger).
+
+    Two shapes:
+
+    * ``merge_fn=None``: the built-in file sink — exactly-once via the
+      sink's transaction log in ``checkpoint``; restarts resume
+      without duplicates. This is the 100 TB default: append-only
+      event streams land hive-partitioned (``partition_by``) so
+      downstream scans partition-prune.
+    * ``merge_fn``: a ``foreachBatch`` hook ``(batch_df, epoch_id) ->
+      None`` for sinks the file sink can't express (upsert/merge,
+      multi-table fanout). At-least-once unless the hook is
+      idempotent on ``epoch_id`` — documented Spark semantics.
+    """
+    if merge_fn is not None:
+        q = (
+            streaming_df.writeStream.foreachBatch(merge_fn)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+    else:
+        w = (
+            streaming_df.writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", checkpoint)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+        )
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        q = w.start()
+    q.awaitTermination()

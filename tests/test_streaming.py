@@ -200,3 +200,48 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         mode="append",
     )
     assert sorted(r.k for r in out2.select("k").collect()) == ["a", "b", "c"]
+
+
+def test_stream_to_parquet_equals_batch_write(spark, sf_dir, tmp_path):
+    """File-sink streaming write lands the same rows as a batch write,
+    hive-partitioned; a restart over the same checkpoint is a no-op
+    (exactly-once via the sink log)."""
+    from sparkswift.sources import load_table
+    from sparkswift.streaming.ops import events_stream, stream_to_parquet
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src = events_stream(spark, sf_dir).select("event_id", "user_id", "event_type")
+    stream_to_parquet(src, out, ckpt, partition_by=["event_type"])
+
+    got = spark.read.parquet(out)
+    want = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    assert got.count() == want.count()
+    assert {r.event_id for r in got.collect()} == {r.event_id for r in want.collect()}
+    # partition pruning is available to downstream scans
+    import os
+
+    assert any(d.startswith("event_type=") for d in os.listdir(out))
+    # idempotent restart: no new files, no duplicate rows
+    stream_to_parquet(src, out, ckpt, partition_by=["event_type"])
+    assert spark.read.parquet(out).count() == want.count()
+
+
+def test_stream_to_parquet_foreachbatch_merge(spark, sf_dir, tmp_path):
+    """foreachBatch shape: the hook sees every micro-batch exactly
+    once under AvailableNow on a fresh checkpoint."""
+    from sparkswift.streaming.ops import events_stream, stream_to_parquet
+
+    out = str(tmp_path / "m_out")
+    ckpt = str(tmp_path / "m_ckpt")
+    seen = []
+
+    def merge(batch_df, epoch_id):
+        seen.append((epoch_id, batch_df.count()))
+        batch_df.write.mode("append").parquet(out)
+
+    src = events_stream(spark, sf_dir).select("event_id", "value")
+    stream_to_parquet(src, None, ckpt, merge_fn=merge)
+    assert seen and sum(n for _, n in seen) == spark.read.parquet(out).count()
