@@ -68,7 +68,10 @@ def _validate_native_on_sample(
     except Exception:
         return False
     try:
-        via_pandas = sample_df.select(col).toPandas()[col].apply(func)
+        from sparkswift.plans.inference import suppress_sample_output
+
+        with suppress_sample_output():
+            via_pandas = sample_df.select(col).toPandas()[col].apply(func)
     except Exception:
         # func is Column-native-only (references F.col etc. — not
         # callable on scalars): there is no pandas result to diverge

@@ -127,8 +127,11 @@ def groupby_apply(
         return res
 
     if schema is None:
+        from sparkswift.plans.inference import suppress_sample_output
+
         sample = _sample_groups_pandas(df if not subset else work, keys)
-        pieces = [_run_one(g) for _, g in sample.groupby(keys, sort=False)]
+        with suppress_sample_output():
+            pieces = [_run_one(g) for _, g in sample.groupby(keys, sort=False)]
         schema = schema_from_pandas(pd.concat(pieces, ignore_index=True))
     elif isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)

@@ -419,11 +419,14 @@ def rolling_apply_udf(
         try:
             import numpy as np
 
+            from sparkswift.plans.inference import suppress_sample_output
+
             sample = (
                 df.select(on).limit(max(window * 5, 50)).toPandas()[on]
             )
-            a = sample.rolling(window, min_periods=1).apply(func, raw=False)
-            b = sample.rolling(window, min_periods=1).apply(func, raw=True)
+            with suppress_sample_output():
+                a = sample.rolling(window, min_periods=1).apply(func, raw=False)
+                b = sample.rolling(window, min_periods=1).apply(func, raw=True)
             use_raw = bool(np.allclose(a.to_numpy(), b.to_numpy(), equal_nan=True))
         except Exception:
             use_raw = False

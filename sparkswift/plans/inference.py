@@ -19,6 +19,9 @@ nothing here scales with input rows.
 
 from __future__ import annotations
 
+import logging
+import os
+from contextlib import contextmanager, redirect_stderr, redirect_stdout
 from typing import Any, Callable
 
 import numpy as np
@@ -27,6 +30,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 SAMPLE_SIZE = 1000  # mirrors swifter/base.py:21
+
+
+@contextmanager
+def suppress_sample_output():
+    """Silence stdout/stderr/logging while a user UDF runs driver-side
+    for schema inference or route validation — the reference's
+    ``suppress_stdout_stderr_logging`` (swifter/base.py:25-39, test
+    swifter_tests.py:370-383): a printing UDF must emit output only
+    from its REAL run, never from the hidden sample applies."""
+    prev = logging.root.manager.disable
+    logging.disable(logging.CRITICAL)
+    try:
+        with open(os.devnull, "w") as fnull:
+            with redirect_stderr(fnull), redirect_stdout(fnull):
+                yield
+    finally:
+        logging.disable(prev)
 
 
 def spark_type_for_dtype(dtype: Any, sample_value: Any = None) -> T.DataType:
@@ -89,7 +109,8 @@ def infer_series_return_type(
     """Run ``func`` elementwise on a sampled column, return the Spark type
     of the result (swifter's dask-``meta`` analog for O1)."""
     sample = sample_pandas(df.select(col))[col]
-    out = sample.apply(func, args=args, **(kwds or {}))
+    with suppress_sample_output():
+        out = sample.apply(func, args=args, **(kwds or {}))
     return spark_type_for_dtype(out.dtype, _first_non_null(out))
 
 
@@ -117,7 +138,10 @@ def infer_rows_schema(
     reference passthrough at swifter/swifter.py:352-365).
     """
     sample = sample_pandas(df)
-    out = sample.apply(func, axis=1, result_type=result_type, args=args, **(kwds or {}))
+    with suppress_sample_output():
+        out = sample.apply(
+            func, axis=1, result_type=result_type, args=args, **(kwds or {})
+        )
     if isinstance(out, pd.DataFrame):
         return schema_from_pandas(out), False
     return (

@@ -283,3 +283,37 @@ def test_convert_dtype_false_emits_string(spark):
     assert dict(out.dtypes)["o"] == "string"
     vals = {r.x: r.o for r in out.collect()}
     assert vals[1] == "2" and vals[None] is None
+
+
+def test_sample_applies_suppress_stdout(spark, capsys):
+    """Hidden sample applies (schema inference, route validation, raw
+    gate) must not leak the UDF's prints to the driver's stdout —
+    reference swifter/base.py:25-39, test swifter_tests.py:370-383."""
+    from sparkswift.operators.groupby import groupby_apply
+    from sparkswift.operators.rolling import rolling_apply_udf
+
+    df = spark.createDataFrame(
+        [(i % 3, float(i)) for i in range(30)], "g long, x double"
+    )
+
+    def noisy_group(gr):
+        print("GROUP_MARKER")
+        import pandas as pd
+
+        return pd.DataFrame({"s": [gr["x"].sum()]})
+
+    # schema=None → driver-side sample inference runs noisy_group
+    groupby_apply(df, "g", noisy_group)  # plan build only, no execution
+
+    def noisy_roll(s):
+        print("ROLL_MARKER")
+        return s.mean()
+
+    rolling_apply_udf(
+        df, order_by="x", window=3, func=noisy_roll, on="x",
+        output_col="r", partition_by=["g"],
+    )
+
+    out = capsys.readouterr().out
+    assert "GROUP_MARKER" not in out
+    assert "ROLL_MARKER" not in out
