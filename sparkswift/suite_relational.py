@@ -453,6 +453,41 @@ def agg6_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Unpivot/melt — the inverse reshape of agg6 (wide → long), via the
+# native unpivot operator (an Expand node: per-row fan-out, no
+# shuffle, no Python). Oracle composes agg6's wide form then UNPIVOTs.
+# ---------------------------------------------------------------------------
+@register(
+    "agg8_unpivot",
+    f"""
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS {D})) FILTER (WHERE l_linestatus = 'F')
+                  AS DOUBLE) AS F,
+             CAST(SUM(CAST(l_quantity AS {D})) FILTER (WHERE l_linestatus = 'O')
+                  AS DOUBLE) AS O
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, l_linestatus, sum_qty
+    FROM wide UNPIVOT (sum_qty FOR l_linestatus IN (F, O))
+    """,
+)
+def agg8_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast(D)).cast("double"))
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["F", "O"],
+        variableColumnName="l_linestatus",
+        valueColumnName="sum_qty",
+    ).filter(F.col("sum_qty").isNotNull())
+
+
+# ---------------------------------------------------------------------------
 # Ranking/analytic windows: rank (tie-stable) and lag (tie-broken
 # ordering) — built-in extras beyond the reference's rolling-only
 # window surface (SURVEY.md §2.2).
