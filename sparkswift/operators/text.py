@@ -9,6 +9,7 @@ integer counts, so results are bit-deterministic across engines.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -218,6 +219,38 @@ def pii_redact(
     for repl, pat in pats.items():
         c = F.regexp_replace(c, pat, repl)
     return df.withColumn(output_col or text_col, c)
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    output_col: str | None = None,
+    form: str = "NFC",
+    lowercase: bool = True,
+    collapse_ws: bool = True,
+) -> DataFrame:
+    """Canonicalize text before fingerprinting/dedup: Unicode
+    normalization (NFC by default — é composed ≡ e+combining-acute),
+    optional lowercase, optional whitespace collapse + trim. The
+    standard pre-dedup pass: without it, byte-different but
+    visually-identical docs escape exact dedup.
+
+    The case/whitespace steps are native expressions; the Unicode
+    normalization itself has no Catalyst builtin, so it runs as an
+    Arrow-batched pandas ``str.normalize`` — the one vectorized-Python
+    step, placed last so codegen handles the rest.
+    """
+    c = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+    if collapse_ws:
+        c = F.regexp_replace(F.trim(c), r"\s+", " ")
+
+    @F.pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    return df.withColumn(output_col or text_col, nfc(c))
 
 
 def c4_line_filter(

@@ -985,3 +985,23 @@ def p9_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "lang", "n_lines_kept",
         tx.token_count("text").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Text canonicalization (NFC + lowercase + whitespace collapse) — the
+# pre-dedup pass; DuckDB's nfc_normalize is the oracle twin of the
+# Arrow-batched pandas str.normalize step.
+# ---------------------------------------------------------------------------
+@register(
+    "t10_normalize",
+    r"""
+    SELECT doc_id,
+           nfc_normalize(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+               AS norm_text
+    FROM documents
+    """,
+)
+def t10_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = tx.normalize_text(docs, "text", output_col="norm_text")
+    return out.select("doc_id", "norm_text")

@@ -245,3 +245,19 @@ def test_group_split_no_leakage(docs):
     out = sp.hash_split(docs, "source").select("source", "split").distinct()
     per_source = out.groupBy("source").count().toPandas()
     assert (per_source["count"] == 1).all()
+
+
+def test_normalize_text_unicode_forms(spark):
+    """NFC composition, casefold, and whitespace collapse against the
+    Python unicodedata reference on genuinely decomposed input."""
+    import unicodedata
+
+    decomposed = "Café  du   Monde"  # e + combining acute, runs of spaces
+    df = spark.createDataFrame([(1, decomposed)], "doc_id long, text string")
+    got = tx.normalize_text(df, "text").collect()[0].text
+    want = unicodedata.normalize("NFC", "café du monde")
+    assert got == want
+    assert "́" not in got  # composed: é is one codepoint now
+    # form passthrough: NFD re-decomposes
+    nfd = tx.normalize_text(df, "text", form="NFD").collect()[0].text
+    assert "́" in nfd
