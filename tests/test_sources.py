@@ -86,3 +86,24 @@ def test_binary_file_source_feeds_multimodal(spark, tmp_path_factory):
     import hashlib
 
     assert by_len[10] == hashlib.sha256(bytes([0]) * 10).hexdigest()
+
+
+def test_table_as_directory_of_files(spark, sf_dir, tmp_path_factory):
+    """The 100 TB layout: a 'table' is a DIRECTORY of many parquet
+    files. load_table and every operator must treat it identically to
+    the single-file fixture (same rows, multi-partition scan)."""
+    from sparkswift.sources import load_table
+
+    d = tmp_path_factory.mktemp("multi") / "events.parquet"
+    single = load_table(spark, sf_dir, "events")
+    single.repartition(8).write.mode("overwrite").parquet(str(d))
+
+    multi = load_table(spark, str(d.parent), "events")
+    assert len(list(d.glob("part-*"))) == 8
+    assert multi.count() == single.count()
+    assert dict(multi.dtypes) == dict(single.dtypes)
+    # timestamp normalization applied on this path too (no NTZ leaks)
+    assert dict(multi.dtypes)["ts"] == "timestamp"
+    a = multi.agg(F.sum(F.col("value").cast("decimal(18,4)"))).first()[0]
+    b = single.agg(F.sum(F.col("value").cast("decimal(18,4)"))).first()[0]
+    assert a == b
