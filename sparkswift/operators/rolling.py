@@ -210,6 +210,7 @@ def rolling_agg_global(
     bucket_of: Column,
     output_col: str | None = None,
     min_periods: int | None = None,
+    validate_buckets: bool = False,
 ) -> DataFrame:
     """Count-window rolling over a GLOBAL order, distributed.
 
@@ -240,6 +241,23 @@ def rolling_agg_global(
         "__own", F.lit(True)
     )
     if k > 1:
+        if validate_buckets:
+            # opt-in precondition check (one aggregate pass): every
+            # mid-range bucket must exist and hold ≥ k-1 rows, else a
+            # row's lookback could span past the adjacent bucket and
+            # silently lose window rows
+            stats = (
+                work.groupBy("__bkt").count().orderBy("__bkt").collect()
+            )
+            ids = [r["__bkt"] for r in stats]
+            missing = set(range(ids[0], ids[-1] + 1)) - set(ids)
+            thin = [r["__bkt"] for r in stats[1:] if r["count"] < k - 1]
+            if missing or thin:
+                raise ValueError(
+                    f"bucket_of violates the k-1 handoff precondition: "
+                    f"empty mid-range buckets {sorted(missing)[:5]}, "
+                    f"buckets with < k-1 rows {thin[:5]} — widen the buckets"
+                )
         rk = F.row_number().over(
             Window.partitionBy("__bkt").orderBy(F.col(order_by).desc())
         )

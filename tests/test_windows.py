@@ -506,3 +506,27 @@ def test_rolling_global_time_matches_pandas(ev):
         rolling_agg_global_time(
             ev, "ts", "30 minutes", "sum", "value", bucket_width="10 minutes"
         )
+
+
+def test_rolling_global_validate_buckets(spark):
+    """Opt-in precondition check: thin or missing mid-range buckets
+    raise instead of silently losing window rows."""
+    import numpy as np
+
+    from sparkswift.operators.rolling import rolling_agg_global
+
+    pdf = pd.DataFrame({"id": list(range(100)) + [5000]})  # gap → empty buckets
+    pdf["v"] = np.arange(len(pdf), dtype=float)
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError):
+        rolling_agg_global(
+            df, "id", 10, "sum", "v",
+            bucket_of=F.col("id") / F.lit(50), validate_buckets=True,
+        )
+    # healthy buckets validate clean and still match pandas
+    ok = rolling_agg_global(
+        spark.createDataFrame(pdf.iloc[:100]), "id", 10, "sum", "v",
+        bucket_of=F.col("id") / F.lit(50), validate_buckets=True,
+    ).toPandas().sort_values("id")
+    want = pdf.iloc[:100]["v"].rolling(10).sum()
+    assert ((ok["v_roll_sum"].fillna(-1).to_numpy() - want.fillna(-1).to_numpy()) == 0).all()
