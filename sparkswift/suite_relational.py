@@ -356,6 +356,23 @@ def agg2_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Approximate percentiles — the sketch twin of agg5's exact
+# quantiles: mergeable per-partition digests, one tiny shuffle, no
+# global sort — the 100 TB way to get quantiles. Sketch-dependent
+# values → rows-only check; accuracy vs the exact quantiles is pinned
+# in tests/test_plans.py-adjacent pytest instead.
+# ---------------------------------------------------------------------------
+@register("agg9_percentile_approx", None)
+def agg9_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", [0.5, 0.9, 0.99], 10_000
+        ).alias("approx_price_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Grouping sets: ROLLUP over (returnflag, linestatus) — subtotals and
 # grand total; null-marker rows must match the oracle's.
 # ---------------------------------------------------------------------------

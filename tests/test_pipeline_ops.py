@@ -261,3 +261,25 @@ def test_normalize_text_unicode_forms(spark):
     # form passthrough: NFD re-decomposes
     nfd = tx.normalize_text(df, "text", form="NFD").collect()[0].text
     assert "́" in nfd
+
+
+def test_percentile_approx_accuracy(spark, sf_dir):
+    """The sketch quantiles must sit within 1% relative error of the
+    exact ones at 10k accuracy on the fixture."""
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = {
+        r.l_returnflag: r.approx_price_q
+        for r in li.groupBy("l_returnflag")
+        .agg(F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10_000)
+             .alias("approx_price_q"))
+        .collect()
+    }
+    exact = {
+        r.l_returnflag: r.q
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("q"))
+        .collect()
+    }
+    for flag, aq in approx.items():
+        for a, e in zip(aq, exact[flag]):
+            assert abs(a - e) / e < 0.01, (flag, a, e)
