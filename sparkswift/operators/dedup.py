@@ -26,7 +26,6 @@ Scale design (the point of each algorithm):
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pandas as pd

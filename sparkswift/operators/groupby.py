@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from sparkswift.plans.inference import schema_from_pandas, spark_type_for_dtype
+from sparkswift.plans.inference import schema_from_pandas
 
 
 def _sample_groups_pandas(df: DataFrame, keys: list[str], n_groups: int = 20) -> pd.DataFrame:

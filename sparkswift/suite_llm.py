@@ -10,7 +10,6 @@ with recall measured against the exact operator in tests/.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
