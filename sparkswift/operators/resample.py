@@ -189,3 +189,65 @@ def resample_apply_udf(
         return out
 
     return bucketed.groupBy(bucket_col, *keys).applyInPandas(_per_bucket, schema)
+
+
+def resample_fill(
+    df: DataFrame,
+    ts_col: str,
+    rule: str,
+    values: dict[str, tuple[str, str] | Column],
+    method: str = "ffill",
+    extra_keys: list[str] | None = None,
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """Upsampling / gap-filling resample — pandas ``resample(rule)
+    .agg(...).ffill()`` semantics: EVERY bucket between each group's
+    first and last observation exists in the output, and empty buckets
+    carry the previous bucket's value forward (``ffill``), zero
+    (``zero``), or stay null (``none``).
+
+    Mechanics (all relational): per-group min/max bucket bounds → a
+    dense bucket spine via ``sequence`` + ``explode`` (generated, not
+    shuffled) → left join of the per-bucket aggregates → a
+    ``last(ignorenulls)`` fill window per group. Two shuffles total
+    (bucket agg + spine join share the group key). Spine size is
+    (span/rule) rows per group — generated data, independent of input
+    row count, the standard time-series gap-fill shape.
+    """
+    if method not in ("ffill", "zero", "none"):
+        raise ValueError("method must be ffill|zero|none")
+    keys = list(extra_keys or [])
+    agg = resample_agg(
+        df, ts_col, rule, values, bucket_col=bucket_col, extra_keys=keys or None
+    )
+    bounds = agg.groupBy(*keys).agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    spine = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr(f"INTERVAL {rule}"))
+        ).alias(bucket_col),
+    )
+    joined = spine.join(agg, on=[*keys, bucket_col], how="left")
+    if method == "none":
+        return joined
+    out_cols = list(values.keys())
+    if method == "zero":
+        return joined.select(
+            *keys,
+            bucket_col,
+            *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in out_cols],
+        )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        *keys,
+        bucket_col,
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in out_cols],
+    )

@@ -819,3 +819,58 @@ def _ordered_names() -> list[str]:
     assert len(_WINDOW) == len(set(_WINDOW)) == 50, len(_WINDOW)
     tail = [n for n in _REGISTRY if n not in set(_WINDOW)]
     return [*_WINDOW, *tail]
+
+
+# ---------------------------------------------------------------------------
+# O6 — gap-filling resample (upsample + ffill): every bucket between a
+# group's first and last observation exists, empty buckets carry the
+# previous value forward — pandas resample().agg().ffill(). Dense
+# spine generated per group (sequence+explode), not shuffled.
+# ---------------------------------------------------------------------------
+@register(
+    "o6b_resample_ffill",
+    f"""
+    WITH agg AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             CAST(SUM(CAST(value AS {D})) AS DOUBLE) AS v,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+      FROM agg GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+      FROM bounds
+    ),
+    j AS (
+      SELECT s.event_type, s.bucket_ts, a.v, a.n
+      FROM spine s LEFT JOIN agg a USING (event_type, bucket_ts)
+    )
+    SELECT event_type, bucket_ts,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+           last_value(n IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+    FROM j
+    """,
+)
+def o6b_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.resample import resample_fill
+
+    ev = load_table(spark, sf_dir, "events")
+    return resample_fill(
+        ev,
+        ts_col="ts",
+        rule="1 hour",
+        values={
+            "v": F.sum(F.col("value").cast(D)).cast("double"),
+            "n": F.count(F.lit(1)).cast("bigint"),
+        },
+        method="ffill",
+        extra_keys=["event_type"],
+    ).select("event_type", "bucket_ts", "v", "n")

@@ -530,3 +530,49 @@ def test_rolling_global_validate_buckets(spark):
     ).toPandas().sort_values("id")
     want = pdf.iloc[:100]["v"].rolling(10).sum()
     assert ((ok["v_roll_sum"].fillna(-1).to_numpy() - want.fillna(-1).to_numpy()) == 0).all()
+
+
+def test_resample_fill_matches_pandas(ev):
+    """Gap-filled resample == pandas resample().sum().ffill() per
+    entity; zero/none methods behave as named."""
+    from sparkswift.operators.resample import resample_fill
+
+    got = (
+        resample_fill(
+            ev, ts_col="ts", rule="1 hour",
+            values={"v": F.sum("value"), "n": F.count(F.lit(1)).cast("bigint")},
+            method="ffill", extra_keys=["user_id"],
+        )
+        .toPandas().sort_values(["user_id", "bucket_ts"]).reset_index(drop=True)
+    )
+    pdf = ev.toPandas()
+    pieces = []
+    for uid, g in pdf.groupby("user_id"):
+        r = g.set_index("ts").resample("1h")["value"].agg(["sum", "count"])
+        r = r.loc[r["count"].ne(0).idxmax():]  # spine starts at first obs
+        r.loc[r["count"] == 0, "sum"] = None
+        r["sum"] = r["sum"].ffill()
+        r["count"] = r["count"].replace(0, None).ffill()
+        r["user_id"] = uid
+        pieces.append(r.reset_index())
+    want = (
+        pd.concat(pieces).sort_values(["user_id", "ts"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (abs(got["v"] - want["sum"]) < 1e-6).all()
+    assert (got["n"] == want["count"].astype(int)).all()
+
+    zero = resample_fill(
+        ev, ts_col="ts", rule="1 hour",
+        values={"n": F.count(F.lit(1)).cast("bigint")},
+        method="zero", extra_keys=["user_id"],
+    ).toPandas()
+    assert (zero["n"] == 0).any() and zero["n"].notna().all()
+    none = resample_fill(
+        ev, ts_col="ts", rule="1 hour",
+        values={"n": F.count(F.lit(1)).cast("bigint")},
+        method="none", extra_keys=["user_id"],
+    ).toPandas()
+    assert none["n"].isna().any()
+    with pytest.raises(ValueError):
+        resample_fill(ev, "ts", "1 hour", {"n": F.count(F.lit(1))}, method="bogus")
