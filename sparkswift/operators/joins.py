@@ -182,3 +182,51 @@ def salted_join(
     )
     out = l_salted.join(r_salted, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def range_join_buckets(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Point-in-interval join for TWO LARGE sides — the shape where
+    Spark's only native plan is BroadcastNestedLoop (small side) or a
+    cartesian filter (both large): bucketize the value domain instead.
+
+    Each interval explodes to the buckets it overlaps
+    (floor(lo/w)..floor(hi/w)); each point lands in exactly ONE bucket
+    (floor(p/w)); the join becomes a plain hash equi-join on the
+    bucket id plus the exact BETWEEN filter. Because a point has one
+    bucket, every qualifying (point, interval) pair matches in exactly
+    one bucket — no dedup pass. Shuffle volume: points × 1 +
+    intervals × ceil(span/w); pick ``bucket_width`` near the typical
+    interval width so the explode factor stays O(1). Skewed hot
+    buckets fall to AQE skew-join handling like any equi-join.
+
+    Returns the matched pairs: all columns of ``points`` then all of
+    ``intervals`` (callers project/aggregate as needed).
+    """
+    w = float(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be positive")
+    p_b = points.withColumn("__bkt", F.floor(F.col(point_col) / F.lit(w)))
+    i_b = intervals.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(w)),
+                F.floor(F.col(hi_col) / F.lit(w)),
+            )
+        ),
+    )
+    return (
+        p_b.join(i_b, "__bkt")
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) <= F.col(hi_col))
+        )
+        .drop("__bkt")
+    )

@@ -601,3 +601,48 @@ def w2_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast(D)).over(w).cast("double").alias("spend_to_date"),
         F.row_number().over(wn).cast("bigint").alias("nth_order"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range join, LARGE × LARGE: per-customer price intervals
+# (±10% around each order's price) joined against ALL order prices as
+# points — both sides are order-cardinality, so the broadcast plan of
+# j5 is unavailable; range_join_buckets turns it into a hash
+# equi-join on value-domain buckets + exact BETWEEN filter (a point
+# has exactly one bucket → no pair dedup needed). Oracle: DuckDB's
+# native inequality join (IEJoin) on the same predicate.
+# ---------------------------------------------------------------------------
+@register(
+    "j8_range_join_large",
+    """
+    WITH iv AS (
+      SELECT o_custkey, o_orderkey,
+             o_totalprice * 0.9 AS lo, o_totalprice * 1.1 AS hi
+      FROM orders
+    ),
+    p AS (SELECT o_orderkey AS p_orderkey, o_totalprice AS price FROM orders)
+    SELECT iv.o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM p JOIN iv ON p.price >= iv.lo AND p.price <= iv.hi
+    GROUP BY iv.o_custkey
+    """,
+)
+def j8_range_join_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.joins import range_join_buckets
+
+    orders = load_table(spark, sf_dir, "orders")
+    intervals = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("o_totalprice") * 0.9).alias("lo"),
+        (F.col("o_totalprice") * 1.1).alias("hi"),
+    )
+    points = orders.select(
+        F.col("o_orderkey").alias("p_orderkey"), F.col("o_totalprice").alias("price")
+    )
+    pairs = range_join_buckets(
+        points, intervals, "price", "lo", "hi", bucket_width=25_000.0
+    )
+    return pairs.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches")
+    )

@@ -199,3 +199,32 @@ def test_salted_join_rejects_right_preserving(spark):
     for how in ("right", "full", "outer", "full_outer"):
         with pytest.raises(ValueError, match="left-preserving"):
             salted_join(df, df, "k", how=how)
+
+
+def test_range_join_buckets_equals_naive_and_avoids_nested_loop(spark):
+    """Bucketized large×large range join: pairs equal the naive
+    cross-filter on small data, and the plan is a hash equi-join —
+    no BroadcastNestedLoop, no CartesianProduct."""
+    from sparkswift.operators.joins import range_join_buckets
+
+    points = spark.range(200).select(
+        F.col("id").alias("pid"), (F.col("id") * 7.3).alias("price")
+    )
+    intervals = spark.range(50).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 31.0).alias("lo"),
+        (F.col("id") * 31.0 + 40.0).alias("hi"),
+    )
+    got = range_join_buckets(points, intervals, "price", "lo", "hi", 40.0)
+    got_pairs = {(r.pid, r.iid) for r in got.collect()}
+    naive = (
+        points.crossJoin(intervals)
+        .filter((F.col("price") >= F.col("lo")) & (F.col("price") <= F.col("hi")))
+    )
+    want_pairs = {(r.pid, r.iid) for r in naive.collect()}
+    assert got_pairs == want_pairs and want_pairs
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    with pytest.raises(ValueError):
+        range_join_buckets(points, intervals, "price", "lo", "hi", 0)
