@@ -52,6 +52,8 @@ HEADLINE = [
     "o5b_rolling_global",    # distributed global count-window rolling
     "o5c_rolling_global_time",  # distributed global time-window rolling
     "p9_corpus_build",       # end-to-end corpus pipeline (composed ops)
+    "o6b_resample_ffill",    # gap-filling resample (dense spine + ffill)
+    "j8_range_join_large",   # bucketized large-by-large range join
 ]
 
 

@@ -604,10 +604,12 @@ def w2_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Range join, LARGE × LARGE: per-customer price intervals
-# (±10% around each order's price) joined against ALL order prices as
-# points — both sides are order-cardinality, so the broadcast plan of
-# j5 is unavailable; range_join_buckets turns it into a hash
+# Range join, LARGE × LARGE: per-customer price intervals (±0.05%
+# around each order's price — tight bands keep the RESULT set linear
+# in input; wide bands make the OUTPUT quadratic at sf0.1 regardless
+# of join strategy: ±10% qualifies ~10⁹ pairs) joined against ALL order prices
+# as points — both sides are order-cardinality, so the broadcast plan
+# of j5 is unavailable; range_join_buckets turns it into a hash
 # equi-join on value-domain buckets + exact BETWEEN filter (a point
 # has exactly one bucket → no pair dedup needed). Oracle: DuckDB's
 # native inequality join (IEJoin) on the same predicate.
@@ -617,7 +619,7 @@ def w2_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH iv AS (
       SELECT o_custkey, o_orderkey,
-             o_totalprice * 0.9 AS lo, o_totalprice * 1.1 AS hi
+             o_totalprice * 0.9995 AS lo, o_totalprice * 1.0005 AS hi
       FROM orders
     ),
     p AS (SELECT o_orderkey AS p_orderkey, o_totalprice AS price FROM orders)
@@ -634,14 +636,14 @@ def j8_range_join_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     intervals = orders.select(
         "o_custkey",
         "o_orderkey",
-        (F.col("o_totalprice") * 0.9).alias("lo"),
-        (F.col("o_totalprice") * 1.1).alias("hi"),
+        (F.col("o_totalprice") * 0.9995).alias("lo"),
+        (F.col("o_totalprice") * 1.0005).alias("hi"),
     )
     points = orders.select(
         F.col("o_orderkey").alias("p_orderkey"), F.col("o_totalprice").alias("price")
     )
     pairs = range_join_buckets(
-        points, intervals, "price", "lo", "hi", bucket_width=25_000.0
+        points, intervals, "price", "lo", "hi", bucket_width=1_000.0
     )
     return pairs.groupBy("o_custkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_matches")
