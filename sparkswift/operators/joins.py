@@ -111,8 +111,15 @@ def asof_join(
         if tolerance is None:
             return F.col(ts_col).isNotNull()
         delta = F.expr(f"INTERVAL {tolerance}")
-        return (F.col(ts_col) >= F.col("__t") - delta) & (
-            F.col(ts_col) <= F.col("__t") + delta
+        # isNotNull() first: a missing match (NULL ts) must read as
+        # FALSE, not SQL NULL — otherwise `nearest`'s pick_b becomes
+        # NULL when one direction has no match and BOTH when-branches
+        # are skipped, nulling an in-tolerance one-sided match.
+        # FALSE AND NULL = FALSE makes the conjunction null-safe.
+        return (
+            F.col(ts_col).isNotNull()
+            & (F.col(ts_col) >= F.col("__t") - delta)
+            & (F.col(ts_col) <= F.col("__t") + delta)
         )
 
     if direction == "backward":

@@ -107,6 +107,42 @@ def test_asof_join_strict_inequality(ev, direction):
     )
 
 
+def test_asof_nearest_tolerance_one_sided_match(spark):
+    """Regression (ADVICE r4): direction='nearest' + tolerance with a
+    row that has an in-tolerance BACKWARD match but no forward match
+    at all. The missing forward timestamp is NULL; the tolerance
+    predicate must evaluate FALSE (not SQL NULL) or both when-branches
+    skip and the backward value is wrongly nulled."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00")],
+        "event_id int, ts string",
+    ).select("event_id", F.lit("u1").alias("user_id"), F.col("ts").cast("timestamp"))
+    # single right row BEFORE both left rows → forward match never exists
+    right = spark.createDataFrame(
+        [("u1", "2024-01-01 09:50:00", 42.0)], "user_id string, ts string, value double"
+    ).select("user_id", F.col("ts").cast("timestamp"), "value")
+    got = (
+        asof_join(
+            left, right, key="user_id", left_ts="ts", right_ts="ts",
+            right_cols=["value"], tolerance="30 minutes", direction="nearest",
+        )
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    lp = left.toPandas().sort_values("ts").reset_index(drop=True)
+    rp = right.toPandas().sort_values("ts").reset_index(drop=True)
+    want = pd.merge_asof(
+        lp, rp, on="ts", by="user_id", direction="nearest",
+        tolerance=pd.Timedelta("30 minutes"),
+    ).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["event_id", "value"]], want[["event_id", "value"]]
+    )
+    # the in-tolerance one-sided match must actually carry the value
+    assert got.loc[got.event_id == 1, "value"].iloc[0] == 42.0
+    # and the out-of-tolerance row must be null
+    assert pd.isna(got.loc[got.event_id == 2, "value"].iloc[0])
+
+
 def test_asof_join_rejects_bad_direction(ev):
     with pytest.raises(ValueError):
         _spark_asof(ev, direction="sideways")

@@ -132,3 +132,32 @@ def test_batched_kernels_reject_ragged_vectors():
 
     with pytest.raises(ValueError, match="ragged"):
         _to_matrix(pd.Series([[1.0, 2.0], [1.0], None]))
+
+
+def test_global_rolling_builds_without_driver_jobs(spark, sf_dir, monkeypatch):
+    """VERDICT r4 #2: rolling_agg_global / rolling_agg_global_time used
+    to run a full-scan max-bucket aggregate (collect) while BUILDING
+    the plan — one wasted job per call at 100 TB. Plan construction
+    must now be fully lazy (validate_buckets=False default)."""
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from sparkswift.operators.rolling import (
+        rolling_agg_global,
+        rolling_agg_global_time,
+    )
+    from sparkswift.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def boom(self):
+        raise AssertionError("driver-side collect() during plan build")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    a = rolling_agg_global(
+        ev.withColumn("__id", F.monotonically_increasing_id()),
+        "__id", 10, "sum", "value", bucket_of=F.col("__id") / F.lit(100_000),
+    )
+    b = rolling_agg_global_time(ev, "ts", "1 hour", "sum", "value")
+    monkeypatch.undo()
+    assert a.count() > 0 and b.count() > 0
