@@ -54,6 +54,9 @@ HEADLINE = [
     "p9_corpus_build",       # end-to-end corpus pipeline (composed ops)
     "o6b_resample_ffill",    # gap-filling resample (dense spine + ffill)
     "j8_range_join_large",   # bucketized large-by-large range join
+    "o2_apply_rows_raw",     # O2 raw=True ndarray rows
+    "p10_mixture_sample",    # data-mixing sampler (exact int thresholds)
+    "d10_dedup_incremental", # cross-batch dedup vs persisted fp store
 ]
 
 

@@ -88,6 +88,7 @@ class SwiftFrame:
     ) -> DataFrame:
         """O1 (``col`` given or single-column frame) / O2 (``axis=1``)."""
         if axis == 1:
+            kw.setdefault("force_udf", self._force_udf)
             return _apply.apply_rows(self._df, func, **kw)
         target = col or (self._df.columns[0] if len(self._df.columns) == 1 else None)
         if target is None:
@@ -105,10 +106,11 @@ class SwiftFrame:
     ) -> "SwiftGroupBy":
         """``level=`` takes index-level NAMES (the engine models a pandas
         index as named columns — see operators/groupby.py); they are
-        appended to the positional keys."""
+        appended to the positional keys. Validated here with the same
+        rules as groupby_apply so a pandas-style ``level=0`` fails with
+        a helpful TypeError, not a downstream analysis error."""
         if level is not None:
-            lv = [level] if isinstance(level, str) else list(level)
-            keys = (*keys, *lv)
+            keys = (*keys, *_groupby.validate_level(self._df, level))
         return SwiftGroupBy(self._df, list(keys), subset)
 
     def rolling(

@@ -59,19 +59,36 @@ def _validate_native_on_sample(
 ) -> bool:
     """Spark analog of swifter's vectorized-vs-apply equivalence check
     (swifter/swifter.py:313-316): evaluate the native expression and the
-    pandas elementwise apply on the same bounded sample and compare."""
-    # keep every column: the native expression may reference columns
-    # beyond `col` (Catalyst prunes the scan to what's used anyway)
-    sample_df = df.limit(100)
+    pandas elementwise apply on the same bounded sample and compare.
+
+    ONE bounded sample job (VERDICT r4 #3 — the old gate ran two): the
+    native expression and the raw input column collect in the same
+    100-row scan (Catalyst prunes to the columns used); the pandas
+    side then runs on the collected input driver-side, no second job.
+    """
     try:
-        native = sample_df.select(expr.alias("v")).toPandas()["v"]
+        pdf = (
+            df.limit(100)
+            .select(F.col(col).alias("__sw_in"), expr.alias("__sw_nat"))
+            .toPandas()
+        )
     except Exception:
         return False
+    native = pdf["__sw_nat"]
     try:
         from sparkswift.plans.inference import suppress_sample_output
 
+        # probe ONE element first: a Column-native-only func (captures
+        # F.col etc.) builds a JVM Column per call via py4j — applying
+        # it across the whole 100-row sample costs seconds of driver
+        # round-trips (the r4 bench anomaly). One probe classifies it.
+        if len(pdf):
+            with suppress_sample_output():
+                probe = func(pdf["__sw_in"].iloc[0])
+            if isinstance(probe, Column):
+                return True
         with suppress_sample_output():
-            via_pandas = sample_df.select(col).toPandas()[col].apply(func)
+            via_pandas = pdf["__sw_in"].apply(func)
     except Exception:
         # func is Column-native-only (references F.col etc. — not
         # callable on scalars): there is no pandas result to diverge
@@ -205,6 +222,7 @@ def apply_rows(
     func: Callable,
     schema: T.StructType | str | None = None,
     result_type: str | None = None,
+    raw: bool = False,
     keep_cols: bool = True,
     output_col: str = "result",
     force_udf: bool = False,
@@ -217,7 +235,10 @@ def apply_rows(
     ``pdf.apply(func, axis=1, result_type=...)`` a pandas user would,
     preserving ``result_type=None|'expand'|'reduce'|'broadcast'``
     passthrough semantics (reference: swifter/swifter.py:352-365,
-    docs/documentation.md:103-108 there).
+    docs/documentation.md:103-108 there). ``raw=True`` (reference
+    signature swifter/swifter.py:400) hands each row to ``func`` as a
+    bare ndarray instead of a Series — pandas' C-loop dispatch for
+    numpy-reducer UDFs, forwarded verbatim to ``pdf.apply``.
 
     Scalar-result UDFs append ``output_col``; Series-result UDFs expand
     into one column per output key. ``keep_cols`` keeps the input
@@ -236,14 +257,14 @@ def apply_rows(
     (~100×). ``force_udf=True`` (force_parallel analog) disables the
     attempt.
     """
-    inferred, scalar_result = infer_rows_schema(df, func, result_type, args, kwds)
+    inferred, scalar_result = infer_rows_schema(df, func, result_type, args, kwds, raw=raw)
     vectorize = False
     if not force_udf and result_type is None and not args and not kwds:
         try:
             import numpy as np
 
             sample = sample_pandas(df, n=50)
-            slow = sample.apply(func, axis=1)
+            slow = sample.apply(func, axis=1, raw=raw)
             fast = func(sample)
             vectorize = (
                 isinstance(slow, pd.Series)
@@ -278,7 +299,7 @@ def apply_rows(
             if vectorize:
                 out = func(pdf)
             else:
-                out = pdf.apply(func, axis=1, result_type=result_type, args=args, **kwds)
+                out = pdf.apply(func, axis=1, raw=raw, result_type=result_type, args=args, **kwds)
             if isinstance(out, pd.DataFrame):
                 res = out
                 res.columns = [str(c) for c in res.columns]
@@ -335,6 +356,7 @@ def apply_columns(
     func: Callable,
     cols: list[str] | None = None,
     returns: T.DataType | str = "double",
+    raw: bool = False,
 ) -> DataFrame:
     """O2 ``axis=0`` — column-wise apply: the UDF reduces each column
     (a Series) to one value; result is a single row with one field per
@@ -352,7 +374,9 @@ def apply_columns(
     # type-hint form (Series -> scalar marks GROUPED_AGG); the actual
     # Spark return type is `returns` — the hint only classifies the UDF
     def _reduce(s: pd.Series) -> float:
-        return func(s)
+        # raw= parity with pandas df.apply(axis=0, raw=True): the
+        # reducer sees a bare ndarray instead of a Series
+        return func(s.to_numpy()) if raw else func(s)
 
     u = F.pandas_udf(_reduce, returns)
     return df.agg(*[u(F.col(c)).alias(c) for c in targets])

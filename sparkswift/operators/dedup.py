@@ -66,6 +66,55 @@ def dedup_exact(
     )
 
 
+def dedup_incremental(
+    new_docs: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    update_store: bool = True,
+) -> DataFrame:
+    """Cross-batch exact dedup against a PERSISTED fingerprint store —
+    the "is this new crawl batch already in the corpus?" operator an
+    accreting 100 TB pipeline runs on every ingest, without rescanning
+    the corpus itself.
+
+    A row of ``new_docs`` survives when (a) its content fingerprint
+    (md5 of normalized text — same key as :func:`dedup_exact`) is NOT
+    in the store (any earlier batch), and (b) it is the first
+    occurrence within this batch (min ``id_col`` per fingerprint).
+    With ``update_store=True`` the survivors' fingerprints are
+    appended to the store IMMEDIATELY (an eager write job — this
+    operator is deliberately stateful; call with ``False`` for a
+    what-if pass). The returned frame is lazy; every operation in the
+    plan is deterministic (md5, min), so re-evaluation always matches
+    what was written.
+
+    Scale shape: the store holds one 32-char fingerprint per corpus
+    document — parquet, scanned not collected; the check is a hash
+    LEFT ANTI join on the fingerprint (AQE broadcasts it while small,
+    shuffles when the corpus outgrows that) plus the same-batch
+    groupBy. The corpus text is never touched again.
+    """
+    from sparkswift.operators.text import fingerprint
+
+    spark = new_docs.sparkSession
+    fp = fingerprint(new_docs, text_col, "__fp")
+    firsts = fp.groupBy("__fp").agg(F.min(F.col(id_col)).alias(id_col))
+    from pyspark.errors import AnalysisException
+
+    try:
+        seen = spark.read.parquet(store_path).select(F.col("fp").alias("__fp"))
+        firsts = firsts.join(seen, "__fp", "left_anti")
+    except AnalysisException:
+        pass  # no store yet — first batch
+    out = fp.join(firsts, ["__fp", id_col])
+    if update_store:
+        out.select(F.col("__fp").alias("fp")).write.mode("append").parquet(
+            store_path
+        )
+    return out.drop("__fp")
+
+
 def word_shingles(col: str | Column, k: int = 3) -> Column:
     """Distinct k-word shingles (space-joined) of a text column."""
     c = F.col(col) if isinstance(col, str) else col
@@ -509,17 +558,22 @@ def decontaminate_bloom(
     too large to broadcast as an exact shingle set.
 
     The benchmark's shingles (already xxhash64'd JVM-side) aggregate
-    into ONE bloom filter: the hashed-shingle stream is first coalesced
-    to ``build_partitions`` (≤32 by default) so exactly that many
-    partial bitmaps exist regardless of how the benchmark was
-    partitioned, each partial builds in a vectorized numpy kernel, the
-    partials OR-merge on the driver (≤ build_partitions × filter bytes
-    of driver traffic — never shingles, never one-per-input-split),
-    and the merged bitmap broadcasts to every corpus task for a
-    map-side vectorized probe (Kirsch-Mitzenheimer double hashing over
-    a power-of-two bit array). The corpus never shuffles. (Spark's own
-    ``DataFrame.stat.bloomFilter`` has this exact build shape but its
-    JVM filter object can't be probed from Arrow batches.)
+    into ONE bloom filter, built SLICE-PARTITIONED (ADVICE r4 — the
+    earlier coalesce-based build narrowed the whole hashing stage to
+    ``build_partitions`` tasks): shingle hashing and probe-position
+    expansion run at FULL input parallelism as native bitwise
+    expressions, the positions hash-shuffle by their bit-array slice
+    (``build_partitions`` power-of-two slices), each build task sets
+    bits only in the disjoint slices it owns, and the driver
+    concatenates the slices — exactly ``m/8`` bytes of driver traffic
+    total, not ``build_partitions ×`` full bitmaps, and no task ever
+    holds more than its slices. Shuffle volume: 8 bytes × shingles ×
+    n_probe — linear in the benchmark, independent of filter size.
+    The merged bitmap broadcasts to every corpus task for a map-side
+    vectorized probe (Kirsch-Mitzenheimer double hashing over a
+    power-of-two bit array). The corpus never shuffles. (Spark's own
+    ``DataFrame.stat.bloomFilter`` has the coalesce-build shape and
+    its JVM filter object can't be probed from Arrow batches.)
 
     Guarantees: NO false negatives (every truly contaminated doc is
     flagged — the property that matters for decontamination); false
@@ -561,29 +615,59 @@ def decontaminate_bloom(
         F.explode(hashed_shingles(text_col, k)).alias("h")
     )
 
-    def build(batches):
-        bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
-        for pdf in batches:
-            h = pdf["h"].to_numpy(dtype=np.int64).view(np.uint64)
-            for j in range(n_probe):
-                pos = _positions(h, j)
-                np.bitwise_or.at(
-                    bitmap,
-                    (pos >> np.uint64(3)).astype(np.int64),
-                    (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)),
-                )
-        yield pd.DataFrame({"bm": [bitmap.tobytes()]})
+    # power-of-two slice count dividing m_bits; slice_bits is a
+    # multiple of 8 (m_bits ≥ 2^13, P ≤ its /256) so slices align to
+    # whole bytes and concatenate exactly
+    P = 1 << max(0, min(
+        int(math.log2(max(1, build_partitions))), int(math.log2(m_bits)) - 8
+    ))
+    log2_slice = int(math.log2(m_bits // P))
+    slice_bits = m_bits // P
 
-    # distributed build: coalesce (no shuffle) bounds the number of
-    # partial bitmaps — a 10⁹-shingle benchmark read as hundreds of
-    # splits would otherwise ship hundreds × filter-bytes through the
-    # driver; capped, the merge moves ≤ build_partitions × m/8 bytes
-    if bench_hash.rdd.getNumPartitions() > build_partitions:
-        bench_hash = bench_hash.coalesce(build_partitions)
-    parts = bench_hash.mapInPandas(build, "bm binary").collect()
+    # probe positions as NATIVE bitwise expressions — bit-exact with
+    # the numpy _positions kernel the probe uses (logical shift via
+    # shiftrightunsigned; signed AND/OR are bit-identical to unsigned)
+    h1 = F.col("h").bitwiseAND(F.lit(m_bits - 1))
+    h2 = F.shiftrightunsigned(F.col("h"), 33).bitwiseOR(F.lit(1))
+    positions = bench_hash.select(
+        F.explode(
+            F.array(*[
+                (h1 + F.lit(j) * h2).bitwiseAND(F.lit(m_bits - 1))
+                for j in range(n_probe)
+            ])
+        ).alias("pos")
+    ).withColumn("sl", F.shiftrightunsigned("pos", log2_slice))
+
+    def build_slices(batches):
+        slices: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            pos = pdf["pos"].to_numpy(dtype=np.int64).view(np.uint64)
+            sl = pdf["sl"].to_numpy(dtype=np.int64)
+            for s in np.unique(sl):
+                bm = slices.setdefault(
+                    int(s), np.zeros(slice_bits // 8, dtype=np.uint8)
+                )
+                p = pos[sl == s] - np.uint64(int(s)) * np.uint64(slice_bits)
+                np.bitwise_or.at(
+                    bm,
+                    (p >> np.uint64(3)).astype(np.int64),
+                    (np.uint8(1) << (p & np.uint64(7)).astype(np.uint8)),
+                )
+        for s, bm in slices.items():
+            yield pd.DataFrame({"sl": [s], "bm": [bm.tobytes()]})
+
+    # one hash shuffle by slice: every slice's positions land in one
+    # partition, so each (sl, bytes) row below is unique and the
+    # driver-side concat receives exactly m/8 bytes in total
+    parts = (
+        positions.repartition(P, "sl")
+        .mapInPandas(build_slices, "sl long, bm binary")
+        .collect()
+    )
     merged = np.zeros(m_bits // 8, dtype=np.uint8)
     for r in parts:
-        merged |= np.frombuffer(r.bm, dtype=np.uint8)
+        start = r.sl * (slice_bits // 8)
+        merged[start : start + slice_bits // 8] |= np.frombuffer(r.bm, dtype=np.uint8)
     bc = docs.sparkSession.sparkContext.broadcast(merged.tobytes())
 
     @F.pandas_udf("boolean")

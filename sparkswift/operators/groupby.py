@@ -39,6 +39,26 @@ def _sample_groups_pandas(df: DataFrame, keys: list[str], n_groups: int = 20) ->
     return sampled.toPandas()
 
 
+def validate_level(df: DataFrame, level) -> list[str]:
+    """``level=`` validation shared by groupby_apply and the accessor
+    (ADVICE r4): pandas-style positional int levels have no meaning on
+    a distributed frame — reject non-string levels with a helpful
+    TypeError instead of a downstream analysis error, and verify the
+    named levels exist as columns."""
+    lv = [level] if not isinstance(level, (list, tuple)) else list(level)
+    bad = [x for x in lv if not isinstance(x, str)]
+    if bad:
+        raise TypeError(
+            "groupby(level=...) takes index-level NAMES; the "
+            "distributed frame has no positional index — materialize "
+            f"the level as a named column first (got {bad!r})"
+        )
+    missing = [x for x in lv if x not in df.columns]
+    if missing:
+        raise ValueError(f"level columns not in frame: {missing}")
+    return lv
+
+
 def groupby_apply(
     df: DataFrame,
     keys: list[str] | str | None = None,
@@ -83,17 +103,7 @@ def groupby_apply(
     group, matching pandas ``groupby().apply`` shape rules.
     """
     if level is not None:
-        lv = [level] if isinstance(level, str) else list(level)
-        bad = [x for x in lv if not isinstance(x, str)]
-        if bad:
-            raise TypeError(
-                "groupby_apply(level=...) takes index-level NAMES; the "
-                "distributed frame has no positional index — materialize "
-                f"the level as a named column first (got {bad!r})"
-            )
-        missing = [x for x in lv if x not in df.columns]
-        if missing:
-            raise ValueError(f"level columns not in frame: {missing}")
+        lv = validate_level(df, level)
         keys = lv if keys is None else ([keys] if isinstance(keys, str) else list(keys)) + lv
     if keys is None:
         raise TypeError("groupby_apply requires keys= or level=")

@@ -152,6 +152,115 @@ def deterministic_shuffle(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weights: dict[str, int],
+    seed: int = 0,
+) -> DataFrame:
+    """Sample a corpus DOWN to a target mixture (the data-mixing step
+    of every training pipeline: "60% web, 30% code, 10% books, from
+    whatever is available"): the largest output whose per-group
+    proportions match integer ``weights``, bounded by each group's
+    availability — never upsampling. Groups not in ``weights`` drop.
+
+    Exact integer arithmetic end-to-end so both engines agree on every
+    row: output size ``T = min_g floor(n_g·W / w_g)`` (W = Σw), each
+    group keeps ``w_g·T/W`` rows expected via a hash threshold of
+    ``ceil(w_g·T·16⁸ / (W·n_g))`` — no floating point anywhere, so the
+    DuckDB oracle (:func:`mixture_sql`) reproduces the exact decision
+    per row. The same md5-threshold determinism/stability guarantees
+    as :func:`deterministic_sample` apply per group.
+
+    Scale: ONE small aggregate (per-group counts, bounded by the
+    number of groups) plus a codegen CASE filter in the scan stage —
+    no shuffle of the data itself.
+    """
+    if any(w < 0 or w != int(w) for w in weights.values()):
+        raise ValueError("weights must be non-negative integers")
+    counts = {
+        r[group_col]: r["n"]
+        for r in df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    thresholds = _mixture_thresholds(counts, weights)
+    bucket = hash_bucket_hex(id_col, seed)
+    thr: Column = F.lit("0" * _NIBBLES)  # unknown group → keep nothing
+    for g, t in thresholds.items():
+        thr = F.when(F.col(group_col) == F.lit(g), F.lit(t)).otherwise(thr)
+    return df.filter(bucket < thr)
+
+
+def _mixture_thresholds(
+    counts: dict[str, int], weights: dict[str, int]
+) -> dict[str, str]:
+    """Per-group hex thresholds from exact integer arithmetic; 'g'
+    (sorts after every hex digit) encodes keep-all."""
+    W = sum(weights.values())
+    if W <= 0:
+        raise ValueError("weights must sum positive")
+    live = {g: w for g, w in weights.items() if w > 0}
+    if any(counts.get(g, 0) == 0 for g in live):
+        # a demanded group is absent: the only exact mixture is empty
+        return {g: "0" * _NIBBLES for g in live}
+    space = 16**_NIBBLES
+    T = min(counts[g] * W // w for g, w in live.items())
+    out = {}
+    for g, w in live.items():
+        p, q = w * T, W * counts[g]
+        t = (p * space + q - 1) // q  # ceil — exact
+        out[g] = "g" if t >= space else format(t, f"0{_NIBBLES}x")
+    return out
+
+
+def mixture_sql(
+    table: str,
+    id_sql: str,
+    group_sql: str,
+    weights: dict[str, int],
+    seed: int = 0,
+) -> str:
+    """DuckDB oracle for :func:`mixture_sample`: recomputes counts, T,
+    and the per-group ceil-threshold with HUGEINT arithmetic — the
+    same integers the engine derives, hence the same kept rows."""
+    W = sum(weights.values())
+    live = {g: w for g, w in weights.items() if w > 0}
+    vals = ", ".join(f"('{g}', {w})" for g, w in live.items())
+    space = 16**_NIBBLES
+    bucket = (
+        f"substr(md5(concat_ws(':', '{seed}', CAST({id_sql} AS VARCHAR))),"
+        f" 1, {_NIBBLES})"
+    )
+    return f"""
+    WITH w(grp, wt) AS (VALUES {vals}),
+    c AS (
+        SELECT w.grp, w.wt, count({table}.{group_sql}) AS n
+        FROM w LEFT JOIN {table} ON {table}.{group_sql} = w.grp
+        GROUP BY w.grp, w.wt
+    ),
+    t AS (
+        SELECT CASE WHEN min(n) = 0 THEN 0
+                    ELSE min(n * {W} // wt) END AS T
+        FROM c
+    ),
+    thr AS (
+        SELECT c.grp,
+               CASE WHEN t.T = 0 THEN '{"0" * _NIBBLES}'
+                    WHEN (CAST(c.wt AS HUGEINT) * t.T * {space}
+                          + CAST({W} AS HUGEINT) * c.n - 1)
+                         // (CAST({W} AS HUGEINT) * c.n) >= {space} THEN 'g'
+                    ELSE printf('%0{_NIBBLES}x', CAST(
+                         (CAST(c.wt AS HUGEINT) * t.T * {space}
+                          + CAST({W} AS HUGEINT) * c.n - 1)
+                         // (CAST({W} AS HUGEINT) * c.n) AS BIGINT)) END AS h
+        FROM c, t
+    )
+    SELECT {table}.*
+    FROM {table} JOIN thr ON {table}.{group_sql} = thr.grp
+    WHERE {bucket} < thr.h
+    """
+
+
 def split_sql_case(
     id_sql: str, weights: dict[str, float] | None = None, seed: int = 0
 ) -> str:

@@ -128,6 +128,7 @@ def infer_rows_schema(
     result_type: str | None = None,
     args: tuple = (),
     kwds: dict | None = None,
+    raw: bool = False,
 ) -> tuple[T.StructType, bool]:
     """Infer the output schema of a row-wise (axis=1) apply.
 
@@ -140,7 +141,7 @@ def infer_rows_schema(
     sample = sample_pandas(df)
     with suppress_sample_output():
         out = sample.apply(
-            func, axis=1, result_type=result_type, args=args, **(kwds or {})
+            func, axis=1, raw=raw, result_type=result_type, args=args, **(kwds or {})
         )
     if isinstance(out, pd.DataFrame):
         return schema_from_pandas(out), False

@@ -51,6 +51,28 @@ def ensure_nanos_readable(spark: SparkSession) -> None:
     DuckDB oracle sees them.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _pin_utc(spark)
+
+
+def _pin_utc(spark: SparkSession) -> None:
+    """Pin ``spark.sql.session.timeZone`` to UTC — a SESSION-GLOBAL
+    side effect (ADVICE r4): timestamp parsing/formatting semantics
+    change for any other code sharing the session. Required for
+    NTZ→LTZ normalization to be a pure re-tag that hash-matches the
+    DuckDB oracle. Warns once when overriding an explicit non-UTC
+    session timezone so the mutation is never silent.
+    """
+    current = spark.conf.get("spark.sql.session.timeZone", None)
+    if current not in (None, "UTC", "Etc/UTC", "GMT", "Z"):
+        import warnings
+
+        warnings.warn(
+            f"sparkswift.load_table: overriding session timezone "
+            f"{current!r} with UTC for oracle-exact timestamp "
+            f"semantics; set it back after loading if other code in "
+            f"this session depends on {current!r}",
+            stacklevel=3,
+        )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
@@ -78,7 +100,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name in _NANOS_TS_COLS:
         ensure_nanos_readable(spark)
     else:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        _pin_utc(spark)
     df = spark.read.parquet(path)
     for col in _NANOS_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":

@@ -196,6 +196,35 @@ def o2_apply_rows_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# O2 — raw=True: the row UDF receives a bare ndarray (pandas C-loop
+# dispatch; reference signature swifter.py:400). Oracle: GREATEST over
+# the same numeric columns.
+# ---------------------------------------------------------------------------
+@register(
+    "o2_apply_rows_raw",
+    """
+    SELECT l_orderkey, l_linenumber,
+           GREATEST(l_quantity, l_discount * 100.0, l_tax * 100.0) AS mx
+    FROM lineitem
+    """,
+)
+def o2_apply_rows_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        (F.col("l_discount") * 100.0).alias("d100"),
+        (F.col("l_tax") * 100.0).alias("t100"),
+    )
+
+    def row_max(a):  # a: ndarray of the 3 numeric cols (positions 2..4)
+        return float(max(a[2], a[3], a[4]))
+
+    out = apply_rows(li, row_max, raw=True, output_col="mx")
+    return out.select("l_orderkey", "l_linenumber", "mx")
+
+
+# ---------------------------------------------------------------------------
 # O3 — applymap: one scalar function over every cell (native route
 # compiles per-column expressions).
 # ---------------------------------------------------------------------------
@@ -745,7 +774,9 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registerable query has >=1 driver CORRECTNESS row across rounds.
 # EVERY entry — window and tail — is still checked vs DuckDB locally
 # by `python tools/check.py` and by pytest; the window only decides
-# which rows the driver re-verifies.
+# which rows the driver re-verifies. Tail-resident queries added this
+# round and still awaiting a driver row: o2_apply_rows_raw — rotate it
+# in next round.
 # ---------------------------------------------------------------------------
 _WINDOW = [
     # --- never-driver-verified until now (VERDICT r4 #1): the 15

@@ -1004,3 +1004,71 @@ def t10_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = tx.normalize_text(docs, "text", output_col="norm_text")
     return out.select("doc_id", "norm_text")
+
+
+# ---------------------------------------------------------------------------
+# Mixture sampling — sample the corpus DOWN to a target language mix
+# (5:2:2:1 en:de:fr:es here), bounded by availability, deterministic.
+# The oracle recomputes the exact integer thresholds in DuckDB
+# (HUGEINT arithmetic) — decisions match row-for-row.
+# ---------------------------------------------------------------------------
+_MIX_WEIGHTS = {"en": 5, "de": 2, "fr": 2, "es": 1}
+
+
+@register(
+    "p10_mixture_sample",
+    sp.mixture_sql("documents", "doc_id", "lang", _MIX_WEIGHTS),
+)
+def p10_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sp.mixture_sample(docs, "doc_id", "lang", _MIX_WEIGHTS)
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-batch) exact dedup: batch 1 = the corpus's first
+# half seeds a persisted fingerprint store; batch 2 = the second half
+# PLUS re-ingested copies of batch 1 (ids +100000 — must all hit the
+# store and drop) PLUS a second copy of the second half (ids +200000 —
+# in-batch dups, min-id wins). Survivors of batch 2 = exactly the
+# second half's first occurrences. A fresh temp store per call keeps
+# the query side-effect-free across runs.
+# ---------------------------------------------------------------------------
+@register(
+    "d10_dedup_incremental",
+    r"""
+    WITH f AS (SELECT doc_id,
+                      md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+               FROM documents),
+    mx AS (SELECT max(doc_id) AS m FROM f),
+    b1 AS (SELECT DISTINCT fp FROM f, mx WHERE doc_id <= m // 2),
+    b2 AS (SELECT f.doc_id, f.fp FROM f, mx WHERE doc_id > m // 2
+           UNION ALL
+           SELECT f.doc_id + 100000, f.fp FROM f, mx WHERE doc_id <= m // 2
+           UNION ALL
+           SELECT f.doc_id + 200000, f.fp FROM f, mx WHERE doc_id > m // 2)
+    SELECT CAST(min(b2.doc_id) AS BIGINT) AS doc_id
+    FROM b2 LEFT JOIN b1 ON b2.fp = b1.fp
+    WHERE b1.fp IS NULL
+    GROUP BY b2.fp
+    """,
+)
+def d10_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg((F.max("doc_id") / 2).cast("long").alias("m")).collect()[0].m
+    store = tempfile.mkdtemp(prefix="fp_store_") + "/fps"
+    first = docs.filter(F.col("doc_id") <= mid)
+    second = docs.filter(F.col("doc_id") > mid)
+    dd.dedup_incremental(first, store, update_store=True).count()  # seed store
+    batch2 = (
+        second.select("doc_id", "text")
+        .unionByName(
+            first.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        )
+        .unionByName(
+            second.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+        )
+    )
+    out = dd.dedup_incremental(batch2, store, update_store=False)
+    return out.select("doc_id")

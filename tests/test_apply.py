@@ -317,3 +317,73 @@ def test_sample_applies_suppress_stdout(spark, capsys):
     out = capsys.readouterr().out
     assert "GROUP_MARKER" not in out
     assert "ROLL_MARKER" not in out
+
+
+def test_apply_rows_raw_matches_pandas(spark, sf_dir):
+    """O2 raw= parity (reference swifter.py:400): the UDF receives a
+    bare ndarray per row; results must equal pandas apply(raw=True)."""
+    import numpy as np
+
+    from sparkswift.operators.apply import apply_rows
+    from sparkswift.sources import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .limit(500)
+    )
+
+    seen_types = []
+
+    def reducer(row):
+        seen_types.append(type(row))
+        return float(np.max(row))
+
+    got = (
+        apply_rows(li, reducer, raw=True, output_col="m")
+        .toPandas()
+        .sort_values(["l_orderkey", "l_linenumber"])
+        .reset_index(drop=True)
+    )
+    pdf = li.toPandas()
+    want = pdf.apply(lambda r: float(np.max(r)), axis=1, raw=True)
+    pdf["m"] = want
+    pdf = pdf.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+    assert np.allclose(got["m"].to_numpy(), pdf["m"].to_numpy())
+    # per-row calls arrive raw (the one whole-DataFrame entry is the
+    # vectorize-try probing func(pdf) — by design)
+    assert np.ndarray in seen_types
+    assert pd.Series not in seen_types
+
+
+def test_apply_columns_raw_passes_ndarray(spark, sf_dir):
+    import numpy as np
+
+    from sparkswift.operators.apply import apply_columns
+    from sparkswift.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_tax").limit(200)
+
+    def ptp(a):
+        assert isinstance(a, np.ndarray), type(a)
+        return float(a.max() - a.min())
+
+    got = apply_columns(li, ptp, raw=True).toPandas()
+    pdf = li.toPandas()
+    assert got.loc[0, "l_quantity"] == pytest.approx(
+        pdf["l_quantity"].max() - pdf["l_quantity"].min()
+    )
+    assert got.loc[0, "l_tax"] == pytest.approx(pdf["l_tax"].max() - pdf["l_tax"].min())
+
+
+def test_accessor_groupby_level_validation(spark, sf_dir):
+    """ADVICE r4: pandas-style integer level must fail fast in the
+    accessor with the same TypeError groupby_apply raises."""
+    from sparkswift import swift
+    from sparkswift.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    with pytest.raises(TypeError, match="NAMES"):
+        swift(li).groupby(level=0)
+    with pytest.raises(ValueError, match="not in frame"):
+        swift(li).groupby(level="no_such_col")

@@ -153,10 +153,11 @@ def test_bloom_decontaminate_no_false_negatives(spark, sf_dir):
     assert len(false_pos) / clean <= 0.05
 
 
-def test_bloom_partial_build_partition_cap(spark, monkeypatch):
-    """The partial-bitmap build is bounded: ≤ build_partitions partial
-    bitmaps reach the driver no matter how finely the benchmark side
-    is partitioned (spy on the collect to count them)."""
+def test_bloom_sliced_build_driver_traffic(spark, monkeypatch):
+    """The slice-partitioned build is bounded: ≤ build_partitions slice
+    rows reach the driver — totaling exactly ONE bitmap's bytes, not
+    build_partitions full bitmaps — no matter how finely the benchmark
+    side is partitioned (spy on the collect)."""
     from pyspark.sql.classic.dataframe import DataFrame
 
     from sparkswift.operators import dedup as dd
@@ -169,20 +170,26 @@ def test_bloom_partial_build_partition_cap(spark, monkeypatch):
     )
     bench = docs.repartition(37).filter(F.col("doc_id") < 8)
 
-    partial_counts: list[int] = []
+    slice_rows: list[list] = []
     orig_collect = DataFrame.collect
 
     def spy_collect(self):
         rows = orig_collect(self)
-        if self.columns == ["bm"]:  # the partial-bitmap frame
-            partial_counts.append(len(rows))
+        if self.columns == ["sl", "bm"]:  # the slice-bitmap frame
+            slice_rows.append(rows)
         return rows
 
     monkeypatch.setattr(DataFrame, "collect", spy_collect)
     out = dd.decontaminate_bloom(docs, bench, "text", "doc_id", build_partitions=4)
     flagged = out.filter("contaminated").count()
     assert flagged >= 8  # bench docs flag themselves (no false negatives)
-    assert partial_counts and partial_counts[0] <= 4, partial_counts
+    assert slice_rows and len(slice_rows[0]) <= 4, [len(x) for x in slice_rows]
+    # slices are disjoint equal-size segments: total driver bytes is
+    # (#slices/P) of ONE bitmap, never P × bitmap
+    sls = [r.sl for r in slice_rows[0]]
+    assert len(sls) == len(set(sls))
+    seg_lens = {len(r.bm) for r in slice_rows[0]}
+    assert len(seg_lens) == 1
 
 
 def test_c4_line_filter_rules(spark):
@@ -283,3 +290,70 @@ def test_percentile_approx_accuracy(spark, sf_dir):
     for flag, aq in approx.items():
         for a, e in zip(aq, exact[flag]):
             assert abs(a - e) / e < 0.01, (flag, a, e)
+
+
+def test_mixture_sample_hits_target_proportions(spark, sf_dir):
+    """Output proportions track the integer weights (hash thresholding
+    is ~binomial per group: allow a loose band), never upsamples, and
+    groups outside the weights vanish."""
+    from sparkswift.operators.sampling import mixture_sample
+    from sparkswift.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {"en": 3, "de": 1}
+    out = mixture_sample(docs, "doc_id", "lang", weights)
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(got) <= {"en", "de"}
+    avail = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert got.get("en", 0) <= avail["en"] and got.get("de", 0) <= avail["de"]
+    # the binding group (smallest n/w) keeps ~everything; ratio ≈ 3:1
+    ratio = got["en"] / max(1, got["de"])
+    assert 1.5 < ratio < 6.0, got
+
+
+def test_mixture_sample_deterministic_and_subset_stable(spark, sf_dir):
+    """Same inputs → identical rows on rerun; the kept set of a group
+    only grows when that group's threshold grows."""
+    from sparkswift.operators.sampling import mixture_sample
+    from sparkswift.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = {"en": 2, "de": 1}
+    a = sorted(r.doc_id for r in mixture_sample(docs, "doc_id", "lang", w).collect())
+    b = sorted(r.doc_id for r in mixture_sample(docs, "doc_id", "lang", w).collect())
+    assert a == b and a
+
+
+def test_mixture_sample_rejects_bad_weights(spark, sf_dir):
+    from sparkswift.operators.sampling import mixture_sample
+    from sparkswift.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError):
+        mixture_sample(docs, "doc_id", "lang", {"en": -1})
+
+
+def test_dedup_incremental_batches_equal_global_dedup(spark, sf_dir, tmp_path):
+    """Feeding batches sequentially through the store yields exactly
+    the survivors a single global exact-dedup pass would keep."""
+    from sparkswift.operators import dedup as dd
+    from sparkswift.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    store = str(tmp_path / "fps")
+    mid = 100000  # originals first, duplicates second
+    got1 = dd.dedup_incremental(
+        doubled.filter(F.col("doc_id") < mid), store
+    ).select("doc_id").toPandas()
+    got2 = dd.dedup_incremental(
+        doubled.filter(F.col("doc_id") >= mid), store
+    ).select("doc_id").toPandas()
+    want = dd.dedup_exact(doubled, "text", "doc_id").select("doc_id").toPandas()
+    got = sorted([*got1["doc_id"], *got2["doc_id"]])
+    assert got == sorted(want["doc_id"])
+    assert len(got2) == 0  # every batch-2 text already in the store
