@@ -17,6 +17,11 @@ analysis, multimodal columns) designed for 100 TB scale.
 
 from sparkswift.session import get_spark, stop_spark
 from sparkswift.accessor import set_defaults, swift, SwiftFrame
+from sparkswift.parallel_accessor import (
+    register_parallel,
+    register_parallel_dataframe_accessor,
+    register_parallel_series_accessor,
+)
 
 __version__ = "0.1.0"
 
@@ -26,5 +31,8 @@ __all__ = [
     "set_defaults",
     "swift",
     "SwiftFrame",
+    "register_parallel",
+    "register_parallel_dataframe_accessor",
+    "register_parallel_series_accessor",
     "__version__",
 ]

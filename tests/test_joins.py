@@ -264,3 +264,40 @@ def test_range_join_buckets_equals_naive_and_avoids_nested_loop(spark):
     assert "CartesianProduct" not in plan
     with pytest.raises(ValueError):
         range_join_buckets(points, intervals, "price", "lo", "hi", 0)
+
+
+def test_register_parallel_ps_accessor(spark, sf_dir):
+    """register_parallel() (register_modin analog) exposes .swifter on
+    pandas-on-Spark objects: vectorized + fallback series apply, frame
+    apply delegation, reference-parity warnings and refusals."""
+    import warnings
+
+    import sparkswift
+
+    sparkswift.register_parallel()
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_tax").limit(80)
+    psdf = li.pandas_api()
+
+    vec = psdf["l_quantity"].swifter.apply(lambda s: s * 2 + 1).to_pandas()
+    want = li.toPandas()["l_quantity"] * 2 + 1
+    assert sorted(vec.to_numpy()) == sorted(want.to_numpy())
+
+    def scalar_only(x):
+        if hasattr(x, "__len__"):
+            raise TypeError("scalar only")
+        return x * 2 + 1
+
+    fb = psdf["l_quantity"].swifter.apply(scalar_only).to_pandas()
+    assert sorted(fb.to_numpy()) == sorted(want.to_numpy())
+
+    # frame apply delegates; knobs chain with warnings; Rolling refuses
+    col_sums = psdf.swifter.apply(lambda c: c.sum()).to_pandas()
+    assert len(col_sums) == 2
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        acc = psdf.swifter.set_dask_threshold(2).allow_dask_on_strings()
+        assert len(w) == 2
+    with pytest.raises(NotImplementedError):
+        acc.rolling(3)
+    with pytest.raises(NotImplementedError):
+        psdf.swifter.apply(lambda r: r, axis=1, raw=True)

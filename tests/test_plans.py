@@ -161,3 +161,13 @@ def test_global_rolling_builds_without_driver_jobs(spark, sf_dir, monkeypatch):
     b = rolling_agg_global_time(ev, "ts", "1 hour", "sum", "value")
     monkeypatch.undo()
     assert a.count() > 0 and b.count() > 0
+
+
+def test_mixture_sample_is_scanside_filter(spark, sf_dir):
+    """p10's returned plan is a codegen CASE filter in the scan stage —
+    no Exchange, no Python; the only job at build time is the bounded
+    per-group count aggregate."""
+    df = suite.queries()["p10_mixture_sample"](spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
