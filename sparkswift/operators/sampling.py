@@ -152,6 +152,40 @@ def deterministic_shuffle(
     )
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str | list[str],
+    n: int,
+    order_by: list,
+    output_col: str | None = None,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group — the per-domain cap every
+    crawl pipeline applies ("≤ 10k docs per registered domain") so one
+    hot domain can't dominate the corpus.
+
+    ``order_by`` picks WHICH rows survive (e.g. quality desc) and must
+    be a total order per group (append a unique id as tiebreak) for a
+    deterministic, oracle-exact result. One hash shuffle on the group
+    key + per-group sort — the same cost envelope as any windowed
+    top-k; no global sort. Hot groups are bounded by definition: the
+    window sorts a single domain's rows in one task, and a domain too
+    large for one task is exactly the domain the cap is about to cut
+    to ``n`` anyway (pre-filter with a coarse per-group count if a
+    single group's raw volume exceeds task memory).
+
+    ``output_col``: optionally keep the 1-based rank within the group.
+    """
+    from pyspark.sql import Window
+
+    keys = [group_col] if isinstance(group_col, str) else list(group_col)
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    rk = F.row_number().over(w)
+    out = df.withColumn("__rk", rk).filter(F.col("__rk") <= n)
+    if output_col:
+        return out.withColumnRenamed("__rk", output_col)
+    return out.drop("__rk")
+
+
 def mixture_sample(
     df: DataFrame,
     id_col: str,

@@ -775,8 +775,9 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # EVERY entry — window and tail — is still checked vs DuckDB locally
 # by `python tools/check.py` and by pytest; the window only decides
 # which rows the driver re-verifies. Tail-resident queries added this
-# round and still awaiting a driver row: o2_apply_rows_raw — rotate it
-# in next round.
+# round and still awaiting a driver row: o2_apply_rows_raw,
+# p10_mixture_sample, d10_dedup_incremental, p11_domain_cap,
+# st7_stream_sample — rotate them in next round.
 # ---------------------------------------------------------------------------
 _WINDOW = [
     # --- never-driver-verified until now (VERDICT r4 #1): the 15

@@ -1072,3 +1072,27 @@ def d10_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = dd.dedup_incremental(batch2, store, update_store=False)
     return out.select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Per-domain cap — keep the top-5 longest docs per source (tiebreak
+# doc_id asc): the "one domain must not dominate" crawl rule. Windowed
+# top-k per group, one hash shuffle, no global sort.
+# ---------------------------------------------------------------------------
+@register(
+    "p11_domain_cap",
+    """
+    SELECT doc_id, source, n_chars
+    FROM (SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS rk
+          FROM documents)
+    WHERE rk <= 5
+    """,
+)
+def p11_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = sp.cap_per_group(
+        docs, "source", 5, [F.col("n_chars").desc(), F.col("doc_id")]
+    )
+    return out.select("doc_id", "source", "n_chars")

@@ -325,3 +325,33 @@ if _protobuf_available():
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+
+
+# ---------------------------------------------------------------------------
+# STREAMING deterministic sampling: the same md5-threshold filter the
+# batch sampler uses, applied to an unbounded source — stateless (no
+# watermark, no state store), so the stream keeps exactly the rows the
+# batch pass would keep: reproducible sampling decisions at ingest
+# time, before anything lands. Oracle = the identical filter in SQL.
+# ---------------------------------------------------------------------------
+from sparkswift.operators.sampling import hash_bucket_hex, hex_threshold  # noqa: E402
+
+_ST7_THR = hex_threshold(0.2)
+
+
+@register(
+    "st7_stream_sample",
+    f"""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE substr(md5(concat_ws(':', '0', CAST(event_id AS VARCHAR))), 1, 8)
+          < '{_ST7_THR}'
+    """,
+)
+def st7_stream_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = events_stream(spark, sf_dir)
+    sampled = src.filter(hash_bucket_hex("event_id", seed=0) < F.lit(_ST7_THR))
+    out = run_stream_to_batch(
+        sampled.select("event_id", "user_id", "event_type"), mode="append"
+    )
+    return out

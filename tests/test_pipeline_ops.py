@@ -357,3 +357,25 @@ def test_dedup_incremental_batches_equal_global_dedup(spark, sf_dir, tmp_path):
     got = sorted([*got1["doc_id"], *got2["doc_id"]])
     assert got == sorted(want["doc_id"])
     assert len(got2) == 0  # every batch-2 text already in the store
+
+
+def test_cap_per_group_matches_pandas(docs):
+    """≤ n rows per group, chosen by the order columns (deterministic
+    tiebreak), equal to the pandas groupby head-after-sort."""
+    from sparkswift.operators.sampling import cap_per_group
+
+    got = (
+        cap_per_group(docs, "source", 3, [F.col("n_chars").desc(), F.col("doc_id")])
+        .select("doc_id").toPandas()["doc_id"].sort_values().tolist()
+    )
+    pdf = docs.select("doc_id", "source", "n_chars").toPandas()
+    want = (
+        pdf.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        .groupby("source").head(3)["doc_id"].sort_values().tolist()
+    )
+    assert got == want
+    counts = (
+        cap_per_group(docs, "source", 3, [F.col("doc_id")])
+        .groupBy("source").count().toPandas()["count"]
+    )
+    assert (counts <= 3).all()
