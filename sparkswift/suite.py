@@ -774,10 +774,10 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registerable query has >=1 driver CORRECTNESS row across rounds.
 # EVERY entry — window and tail — is still checked vs DuckDB locally
 # by `python tools/check.py` and by pytest; the window only decides
-# which rows the driver re-verifies. Tail-resident queries added this
-# round and still awaiting a driver row: o2_apply_rows_raw,
-# p10_mixture_sample, d10_dedup_incremental, p11_domain_cap,
-# st7_stream_sample — rotate them in next round.
+# which rows the driver re-verifies. All five round-5 queries
+# (o2_apply_rows_raw, p10, p11, d10, st7) are IN the window; after r5
+# the only registered query without a driver row is the env-gated
+# st2b (container lacks protobuf).
 # ---------------------------------------------------------------------------
 _WINDOW = [
     # --- never-driver-verified until now (VERDICT r4 #1): the 15
@@ -811,11 +811,14 @@ _WINDOW = [
     "agg1_count_distinct",
     "agg4_cube",
     "agg5_quantiles",
-    "mm1_decode",
-    "mm2_frame_sample",
-    "p2_hash_split",
-    "p4_stratified_sample",
-    "t2_lang_id",
+    # (mm1, mm2, p2, p4, t2 — each already holding 2-3 driver-green
+    # rows from rounds 1-3 — yield their slots to the five round-5
+    # queries so every registerable query has a driver row after r5)
+    "o2_apply_rows_raw",
+    "p10_mixture_sample",
+    "p11_domain_cap",
+    "d10_dedup_incremental",
+    "st7_stream_sample",
     "t6_pii_redact",
     "d5_embedding_neardup",
     "e1_cosine_topk",
