@@ -66,6 +66,85 @@ def dedup_exact(
     )
 
 
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_text: str = "text",
+    right_text: str = "text",
+    left_id: str = "doc_id",
+    right_id: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_posting: int | None = 256,
+    how: str = "pairs",
+) -> DataFrame:
+    """Entity-resolution join: (left, right) pairs across TWO tables
+    whose k-word-shingle Jaccard ≥ threshold — approximate string
+    matching ("which crawl docs are near-copies of which wiki pages",
+    "which product names match which catalog entries") built on the
+    same inverted-index machinery as :func:`ngram_jaccard_pairs`, but
+    cross-table: no self-pair filter, ids kept side-tagged.
+
+    Returns ``(id_l, id_r, jaccard)``; ``how='best'`` keeps only each
+    left row's highest-Jaccard match (ties to the smallest ``id_r`` —
+    deterministic).
+
+    Scale shape: shingle-identity equi-join (int64 keys, hash shuffle),
+    integer cross-multiplied threshold (float-free candidates), and a
+    ``max_posting`` cap applied PER SIDE — pairs per shingle are
+    |posting_l|·|posting_r|, so one boilerplate shingle shared by 10⁴
+    docs on each side would alone emit 10⁸ candidates. Same recall
+    caveat as ngram_jaccard_pairs, same "boilerplate, not identity"
+    justification.
+    """
+    sl = _spread(
+        left.select(F.col(left_id).alias("id_l"), F.col(left_text).alias("__t"))
+    ).select("id_l", hashed_shingles("__t", k).alias("sh")).withColumn(
+        "n_l", F.size("sh").cast("bigint")
+    )
+    sr = _spread(
+        right.select(F.col(right_id).alias("id_r"), F.col(right_text).alias("__t"))
+    ).select("id_r", hashed_shingles("__t", k).alias("sh")).withColumn(
+        "n_r", F.size("sh").cast("bigint")
+    )
+    pl = sl.select("id_l", "n_l", F.explode("sh").alias("s"))
+    pr = sr.select("id_r", "n_r", F.explode("sh").alias("s"))
+    if max_posting is not None:
+        hot_l = pl.groupBy("s").count().filter(F.col("count") > max_posting)
+        hot_r = pr.groupBy("s").count().filter(F.col("count") > max_posting)
+        pl = pl.join(hot_l.select("s"), "s", "left_anti")
+        pr = pr.join(hot_r.select("s"), "s", "left_anti")
+    inter = (
+        pl.join(pr, "s")
+        .groupBy("id_l", "id_r", "n_l", "n_r")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    num, den = int(round(threshold * 10000)), 10000
+    union = F.col("n_l") + F.col("n_r") - F.col("inter")
+    pairs = (
+        inter.filter(F.col("inter") * den >= F.lit(num) * union)
+        .select(
+            "id_l",
+            "id_r",
+            (F.col("inter").cast("double") / union).alias("jaccard"),
+        )
+    )
+    if how == "pairs":
+        return pairs
+    if how == "best":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("id_l").orderBy(
+            F.col("jaccard").desc(), F.col("id_r")
+        )
+        return (
+            pairs.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk")
+        )
+    raise ValueError(f"how must be 'pairs'|'best', got {how!r}")
+
+
 def dedup_incremental(
     new_docs: DataFrame,
     store_path: str,

@@ -776,8 +776,9 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by `python tools/check.py` and by pytest; the window only decides
 # which rows the driver re-verifies. All five round-5 queries
 # (o2_apply_rows_raw, p10, p11, d10, st7) are IN the window; after r5
-# the only registered query without a driver row is the env-gated
-# st2b (container lacks protobuf).
+# the only registered queries without a driver row are the env-gated
+# st2b (container lacks protobuf) and the tail-resident d11_fuzzy_join
+# (added late in round 5 — rotate next round).
 # ---------------------------------------------------------------------------
 _WINDOW = [
     # --- never-driver-verified until now (VERDICT r4 #1): the 15

@@ -1096,3 +1096,55 @@ def p11_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "source", 5, [F.col("n_chars").desc(), F.col("doc_id")]
     )
     return out.select("doc_id", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Cross-table fuzzy join (entity resolution): match documents against
+# a perturbed copy of themselves (one token appended, ids offset) by
+# 3-shingle Jaccard ≥ 0.6, best match per left row. Same inverted
+# index as d2 but cross-table — no self-pair filter, side-tagged ids.
+# ---------------------------------------------------------------------------
+@register(
+    "d11_fuzzy_join",
+    r"""
+    WITH lt AS (SELECT doc_id AS id_l,
+                       list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+                FROM documents),
+    rt AS (SELECT doc_id + 500000 AS id_r,
+                  list_filter(string_split_regex(trim(text || ' zz99'), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+    ls AS (SELECT id_l,
+                  CASE WHEN len(toks) >= 3
+                       THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                       ELSE [array_to_string(toks, ' ')] END AS sh
+           FROM lt),
+    rs AS (SELECT id_r,
+                  CASE WHEN len(toks) >= 3
+                       THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                       ELSE [array_to_string(toks, ' ')] END AS sh
+           FROM rt),
+    le AS (SELECT id_l, CAST(len(sh) AS BIGINT) AS n_l, unnest(sh) AS s FROM ls),
+    re AS (SELECT id_r, CAST(len(sh) AS BIGINT) AS n_r, unnest(sh) AS s FROM rs),
+    p AS (SELECT id_l, id_r, n_l, n_r, CAST(COUNT(*) AS BIGINT) AS inter
+          FROM le JOIN re USING (s) GROUP BY 1, 2, 3, 4),
+    j AS (SELECT id_l, id_r,
+                 CAST(inter AS DOUBLE) / (n_l + n_r - inter) AS jaccard
+          FROM p
+          WHERE inter * 10000 >= 6000 * (n_l + n_r - inter)),
+    b AS (SELECT *, row_number() OVER (PARTITION BY id_l
+                                       ORDER BY jaccard DESC, id_r) AS rk
+          FROM j)
+    SELECT id_l, id_r, jaccard FROM b WHERE rk = 1
+    """,
+)
+def d11_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    right = docs.select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz99")).alias("text"),
+    )
+    return dd.fuzzy_join(
+        docs, right, threshold=0.6, how="best"
+    )

@@ -306,3 +306,36 @@ def test_ivf_persisted_matches_inmemory_and_prunes(spark, sf_dir, tmp_path, emb)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan and "list_id" in plan
+
+
+def test_fuzzy_join_pairs_and_best(spark):
+    """Cross-table fuzzy join: near-copies match, unrelated text does
+    not; how='best' keeps one row per left id with deterministic ties."""
+    from sparkswift.operators.dedup import fuzzy_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely different words about spark query planning"),
+        ],
+        "doc_id long, text string",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog tonight extra"),
+            (11, "the quick brown fox jumps over the lazy dog tonight bonus"),
+            (12, "unrelated catalog entry with no overlap whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_l, r.id_r)
+        for r in fuzzy_join(left, right, threshold=0.5).collect()
+    }
+    assert pairs == {(1, 10), (1, 11)}
+    best = fuzzy_join(left, right, threshold=0.5, how="best").collect()
+    assert len(best) == 1 and best[0].id_l == 1 and best[0].id_r == 10  # tie → min id_r
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        fuzzy_join(left, right, how="top")

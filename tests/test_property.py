@@ -197,3 +197,67 @@ def test_deterministic_shuffle_permutation_property(spark, ids, seed):
     )
     m = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
     assert (m.shuffle_pos_a == m.shuffle_pos_b).all()
+
+
+asof_rows = st.lists(
+    st.tuples(
+        st.sampled_from("ab"),
+        st.integers(min_value=0, max_value=500),
+        st.floats(min_value=-100, max_value=100, allow_nan=False, allow_infinity=False),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(
+    left=asof_rows,
+    right=asof_rows,
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    tol=st.sampled_from([None, "30 minutes", "2 hours"]),
+    allow=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_asof_join_fuzz_matches_merge_asof(spark, left, right, direction, tol, allow):
+    """Differential fuzz vs pandas merge_asof across every direction ×
+    tolerance × allow_exact_matches combination — the configuration
+    space where the r4 one-sided-nearest null bug lived."""
+    from sparkswift.operators.joins import asof_join
+
+    base = pd.Timestamp("2024-01-01")
+    lp = pd.DataFrame(
+        {
+            "k": [k for k, _, _ in left],
+            "ts": [base + pd.Timedelta(minutes=m) for _, m, _ in left],
+        }
+    ).sort_values("ts", kind="stable").reset_index(drop=True)
+    lp["event_id"] = range(len(lp))
+    rp = (
+        pd.DataFrame(
+            {
+                "k": [k for k, _, _ in right],
+                "ts": [base + pd.Timedelta(minutes=m) for _, m, _ in right],
+                "v": [v for _, _, v in right],
+            }
+        )
+        .drop_duplicates(["k", "ts"])  # asof requires unique (key, ts)
+        .sort_values("ts", kind="stable")
+        .reset_index(drop=True)
+    )
+    kw = {"tolerance": pd.Timedelta(tol)} if tol else {}
+    want = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction=direction,
+        allow_exact_matches=allow, **kw,
+    ).set_index("event_id")["v"]
+    got = (
+        asof_join(
+            spark.createDataFrame(lp),
+            spark.createDataFrame(rp) if len(rp) else spark.createDataFrame([], "k string, ts timestamp, v double"),
+            key="k", left_ts="ts", right_ts="ts", right_cols=["v"],
+            tolerance=tol, direction=direction, allow_exact_matches=allow,
+        )
+        .toPandas().set_index("event_id")["v"]
+    )
+    for eid in want.index:
+        w, g = want.loc[eid], got.loc[eid]
+        assert (pd.isna(w) and pd.isna(g)) or w == g, (eid, w, g, direction, tol, allow)
