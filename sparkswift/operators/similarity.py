@@ -506,6 +506,48 @@ def ivf_build(
     write_table(cdf.coalesce(1), f"{path}/centers")
 
 
+def ivf_add(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a persisted IVF index
+    (:func:`ivf_build`) WITHOUT re-clustering — standard IVF append
+    semantics (FAISS ``index.add``): each new vector is assigned to
+    its nearest EXISTING center (same euclidean rule the k-means fit
+    used), quantized, and appended to that ``list_id`` partition.
+    Searches pick the rows up immediately; the quantizer drifts only
+    if the new data's distribution does, in which case rebuild.
+
+    Scale: centers are nlist-bounded (one tiny read), assignment is
+    one vectorized pandas_udf pass over the new batch, and the append
+    touches only the partitions the batch lands in.
+    """
+    import numpy as np
+
+    rows = spark.read.parquet(f"{path}/centers").orderBy("list_id").collect()
+    centers = np.asarray([r.center for r in rows], dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def nearest_center(s: pd.Series) -> pd.Series:
+        m = _to_matrix(s)
+        d2 = ((m[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    assigned = (
+        _spread(new_vectors.select(F.col(id_col), F.col(vec_col)))
+        .select(
+            F.col(id_col).alias("corpus_id"),
+            quantize(vec_col).alias("cv"),
+            nearest_center(F.col(vec_col)).alias("list_id"),
+        )
+        .withColumn("cn", norm2_long(F.col("cv")))
+    )
+    assigned.write.mode("append").partitionBy("list_id").parquet(f"{path}/corpus")
+
+
 def ivf_search(
     spark,
     path: str,

@@ -339,3 +339,29 @@ def test_fuzzy_join_pairs_and_best(spark):
 
     with _pt.raises(ValueError):
         fuzzy_join(left, right, how="top")
+
+
+def test_ivf_add_appends_and_searches(spark, sf_dir, tmp_path):
+    """ivf_add assigns new vectors to existing centers (no recluster);
+    a search for an added vector finds it as its own top match when
+    self-match isn't excluded by id, and results for old queries are
+    unchanged in structure."""
+    from sparkswift.operators import similarity as sim
+    from sparkswift.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 150)
+    extra = emb.filter((F.col("vec_id") >= 150) & (F.col("vec_id") < 170)).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf")
+    sim.ivf_build(base, path, nlist=4)
+    before = spark.read.parquet(f"{path}/corpus").count()
+    sim.ivf_add(spark, path, extra)
+    after = spark.read.parquet(f"{path}/corpus").count()
+    assert after == before + extra.count()
+    # an added vector's duplicate twin (same embedding, different id)
+    # must surface as the rank-1 hit for the original query vector
+    q = emb.filter(F.col("vec_id") == 155)
+    hits = sim.ivf_search(spark, path, q, k=3, nprobe=4).collect()
+    assert hits and hits[0].corpus_id == 1_000_155 and hits[0].cos_sim > 0.999
