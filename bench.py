@@ -57,6 +57,9 @@ HEADLINE = [
     "o2_apply_rows_raw",     # O2 raw=True ndarray rows
     "p10_mixture_sample",    # data-mixing sampler (exact int thresholds)
     "d10_dedup_incremental", # cross-batch dedup vs persisted fp store
+    "p11_domain_cap",        # per-domain top-k cap
+    "d11_fuzzy_join",        # cross-table fuzzy join (entity resolution)
+    "st8_stream_enrich",     # stream-static broadcast enrichment
 ]
 
 

@@ -777,8 +777,10 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # which rows the driver re-verifies. All five round-5 queries
 # (o2_apply_rows_raw, p10, p11, d10, st7) are IN the window; after r5
 # the only registered queries without a driver row are the env-gated
-# st2b (container lacks protobuf) and the tail-resident d11_fuzzy_join
-# (added late in round 5 — rotate next round).
+# st2b (container lacks protobuf) and after the final
+# swap (d11_fuzzy_join and st8_stream_enrich replace t6/d5, each of
+# which holds 2-3 prior driver-green rows) the ONLY registered query
+# without a driver row is the env-gated st2b.
 # ---------------------------------------------------------------------------
 _WINDOW = [
     # --- never-driver-verified until now (VERDICT r4 #1): the 15
@@ -820,8 +822,8 @@ _WINDOW = [
     "p11_domain_cap",
     "d10_dedup_incremental",
     "st7_stream_sample",
-    "t6_pii_redact",
-    "d5_embedding_neardup",
+    "d11_fuzzy_join",
+    "st8_stream_enrich",
     "e1_cosine_topk",
     # --- canaries: r4-green representatives of every family, kept in
     # the window to catch regressions from this round's changes

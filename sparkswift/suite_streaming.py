@@ -355,3 +355,28 @@ def st7_stream_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sampled.select("event_id", "user_id", "event_type"), mode="append"
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# STREAM-STATIC enrichment join: the ingest-time dimension lookup —
+# an unbounded event stream broadcast-joined to a static dimension
+# table. Stateless (no watermark, no state store): each micro-batch
+# joins against the broadcast dim exactly like a batch query, so
+# stream ≡ batch row-for-row.
+# ---------------------------------------------------------------------------
+@register(
+    "st8_stream_enrich",
+    """
+    SELECT e.event_id, e.user_id, c.c_name, c.c_nationkey
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def st8_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = events_stream(spark, sf_dir)
+    dims = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    joined = src.join(
+        F.broadcast(dims), src["user_id"] == dims["c_custkey"]
+    ).select("event_id", "user_id", "c_name", "c_nationkey")
+    return run_stream_to_batch(joined, mode="append")
