@@ -146,6 +146,21 @@ class SwiftGroupBy:
     def agg_udf(self, agg_funcs, **kw) -> DataFrame:
         return _groupby.groupby_agg_udf(self._df, self._keys, agg_funcs, **kw)
 
+    def rolling(
+        self,
+        window: int | str,
+        on: str,
+        center: bool = False,
+        min_periods: int | None = None,
+        closed: str = "right",
+    ) -> "SwiftRolling":
+        """pandas ``groupby(keys).rolling(...)`` sugar: the group keys
+        become the window's ``partition_by`` — per-entity rolling, the
+        scale-correct shape (each entity's series sorts in one task)."""
+        return SwiftRolling(
+            self._df, window, on, list(self._keys), center, min_periods, closed
+        )
+
 
 class SwiftRolling:
     def __init__(self, df, window, on, partition_by, center, min_periods, closed="right"):

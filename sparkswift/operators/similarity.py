@@ -548,6 +548,88 @@ def ivf_add(
     assigned.write.mode("append").partitionBy("list_id").parquet(f"{path}/corpus")
 
 
+def ivf_rebalance(
+    spark,
+    path: str,
+    max_list_size: int,
+    seed: int = 42,
+) -> int:
+    """Split oversized IVF lists in a persisted index — the
+    maintenance pass after many :func:`ivf_add` batches have piled
+    onto hot lists (an oversized list = a probe that scans too much).
+
+    Each list over ``max_list_size`` is 2-means-split IN PLACE: half
+    its rows keep the old ``list_id``, half move to a fresh one, and
+    both centers are updated — so searches immediately probe the
+    tighter lists. Returns the number of lists split.
+
+    Scale shape: the per-list row counts and the centers table are
+    nlist-bounded reads; each split touches ONLY that list's partition
+    (partition-pruned read, localCheckpoint to break lineage, dynamic
+    partition overwrite writes just the two affected ``list_id``
+    directories). Nothing else in the corpus is read or rewritten.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_path = f"{path}/corpus"
+    counts = {
+        r.list_id: r["count"]
+        for r in spark.read.parquet(corpus_path).groupBy("list_id").count().collect()
+    }
+    rows = spark.read.parquet(f"{path}/centers").orderBy("list_id").collect()
+    centers: dict[int, list[float]] = {r.list_id: list(r.center) for r in rows}
+    oversized = sorted(l for l, n in counts.items() if n > max_list_size)
+    if not oversized:
+        return 0
+    next_id = max(centers) + 1
+
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        for lid in oversized:
+            part = (
+                spark.read.parquet(corpus_path)
+                .filter(F.col("list_id") == lid)
+                .localCheckpoint()  # materialize before overwriting source
+            )
+            feats = part.withColumn(
+                "fv", array_to_vector(F.col("cv").cast("array<double>"))
+            )
+            model = KMeans(
+                k=2, seed=seed, maxIter=8, featuresCol="fv", predictionCol="sub"
+            ).fit(feats)
+            out = (
+                model.transform(feats)
+                .select(
+                    "corpus_id",
+                    "cv",
+                    "cn",
+                    F.when(F.col("sub") == 0, F.lit(lid))
+                    .otherwise(F.lit(next_id))
+                    .alias("list_id"),
+                )
+            )
+            out.write.mode("overwrite").partitionBy("list_id").parquet(corpus_path)
+            c0, c1 = model.clusterCenters()
+            # centers live in ORIGINAL embedding space; cv is quantized
+            centers[lid] = [float(x) / QUANT for x in c0]
+            centers[next_id] = [float(x) / QUANT for x in c1]
+            next_id += 1
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+
+    cdf = spark.createDataFrame(
+        sorted(centers.items()), "list_id int, center array<double>"
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centers")
+    return len(oversized)
+
+
 def ivf_search(
     spark,
     path: str,

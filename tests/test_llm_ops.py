@@ -365,3 +365,35 @@ def test_ivf_add_appends_and_searches(spark, sf_dir, tmp_path):
     q = emb.filter(F.col("vec_id") == 155)
     hits = sim.ivf_search(spark, path, q, k=3, nprobe=4).collect()
     assert hits and hits[0].corpus_id == 1_000_155 and hits[0].cos_sim > 0.999
+
+
+def test_ivf_rebalance_splits_hot_lists(spark, sf_dir, tmp_path):
+    """Oversized lists split in place: row count preserved, per-list
+    sizes shrink, centers table grows by the split count, and search
+    still returns the duplicate twin as rank-1."""
+    from sparkswift.operators import similarity as sim
+    from sparkswift.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    path = str(tmp_path / "ivf")
+    sim.ivf_build(emb, path, nlist=2)  # 2 lists over 200 vectors → hot
+    total = spark.read.parquet(f"{path}/corpus").count()
+    n_centers0 = spark.read.parquet(f"{path}/centers").count()
+
+    n_split = sim.ivf_rebalance(spark, path, max_list_size=60)
+    assert n_split >= 1
+    corpus = spark.read.parquet(f"{path}/corpus")
+    assert corpus.count() == total  # no rows lost or duplicated
+    assert corpus.select("corpus_id").distinct().count() == total
+    sizes = [r["count"] for r in corpus.groupBy("list_id").count().collect()]
+    assert len(sizes) == n_centers0 + n_split
+    assert spark.read.parquet(f"{path}/centers").count() == n_centers0 + n_split
+
+    # a duplicate twin (same embedding, new id) added then searched
+    twin = emb.filter(F.col("vec_id") == 7).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    sim.ivf_add(spark, path, twin)
+    q = emb.filter(F.col("vec_id") == 7)
+    hits = sim.ivf_search(spark, path, q, k=2, nprobe=2).collect()
+    assert hits and hits[0].corpus_id == 1_000_007 and hits[0].cos_sim > 0.999

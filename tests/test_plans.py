@@ -171,3 +171,12 @@ def test_mixture_sample_is_scanside_filter(spark, sf_dir):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_fuzzy_join_is_equi_join(spark, sf_dir):
+    """d11's candidate generation must be a hash/sort-merge equi-join
+    on the shingle identity — never a nested-loop or cartesian plan."""
+    df = suite.queries()["d11_fuzzy_join"](spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p

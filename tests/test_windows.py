@@ -576,3 +576,23 @@ def test_resample_fill_matches_pandas(ev):
     assert none["n"].isna().any()
     with pytest.raises(ValueError):
         resample_fill(ev, "ts", "1 hour", {"n": F.count(F.lit(1))}, method="bogus")
+
+
+def test_accessor_groupby_rolling_sugar(ev):
+    """swift(df).groupby(k).rolling(w, on).apply(...) == the explicit
+    rolling with partition_by=[k] (pandas groupby().rolling idiom)."""
+    from sparkswift import swift
+
+    via_sugar = (
+        swift(ev).groupby("user_id").rolling(5, on="value")
+        .apply("mean", order_by="ts")
+        .select("event_id", "value_roll_mean")
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    explicit = (
+        swift(ev).rolling(5, on="value", partition_by=["user_id"])
+        .apply("mean", order_by="ts")
+        .select("event_id", "value_roll_mean")
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(via_sugar, explicit)
