@@ -261,3 +261,84 @@ def test_asof_join_fuzz_matches_merge_asof(spark, left, right, direction, tol, a
     for eid in want.index:
         w, g = want.loc[eid], got.loc[eid]
         assert (pd.isna(w) and pd.isna(g)) or w == g, (eid, w, g, direction, tol, allow)
+
+
+roll_vals = st.lists(
+    st.one_of(
+        st.none(),
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False, allow_infinity=False),
+    ),
+    min_size=2,
+    max_size=25,
+)
+
+
+@given(
+    values=roll_vals,
+    window=st.integers(min_value=1, max_value=6),
+    closed=st.sampled_from(["right", "left", "both", "neither"]),
+    agg=st.sampled_from(["sum", "mean", "min", "max"]),
+)
+@settings(**SETTINGS)
+def test_rolling_agg_fuzz_matches_pandas(spark, values, window, closed, agg):
+    """Count-window rolling with every closed= variant vs pandas on
+    random (null-bearing) data — the boundary algebra lives in
+    _CLOSED_ROWS and must hold off the fixture too."""
+    from sparkswift.operators.rolling import rolling_agg
+
+    pdf = pd.DataFrame({"i": range(len(values)), "x": values})
+    pdf["x"] = pdf["x"].astype("float64")
+    df = spark.createDataFrame(pdf)
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        got = (
+            rolling_agg(df, "i", window, agg, "x", output_col="r", closed=closed)
+            .toPandas().sort_values("i")["r"].reset_index(drop=True)
+        )
+    want = getattr(
+        pdf.sort_values("i")["x"].rolling(window, closed=closed), agg
+    )().reset_index(drop=True)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert (pd.isna(g) and pd.isna(w)) or math.isclose(
+            g, w, rel_tol=1e-9, abs_tol=1e-9
+        ), (g, w, window, closed, agg)
+
+
+@given(
+    minutes=st.lists(st.integers(min_value=0, max_value=600), min_size=1, max_size=20),
+    closed=st.sampled_from(["left", "right"]),
+    label=st.sampled_from(["left", "right"]),
+)
+@settings(**SETTINGS)
+def test_resample_fuzz_matches_pandas(spark, minutes, closed, label):
+    """resample('1 hour').sum() under closed x label vs pandas on
+    random event times (duplicates and gaps included)."""
+    from sparkswift.operators.resample import resample_agg
+
+    base = pd.Timestamp("2024-03-01")
+    pdf = pd.DataFrame(
+        {
+            "ts": [base + pd.Timedelta(minutes=m) for m in minutes],
+            "v": [float(i) for i in range(len(minutes))],
+        }
+    )
+    got = (
+        resample_agg(
+            spark.createDataFrame(pdf), "ts", "1 hour",
+            {"s": ("v", "sum")}, closed=closed, label=label,
+        )
+        .toPandas().set_index("bucket_ts")["s"].sort_index()
+    )
+    want = (
+        pdf.set_index("ts")["v"].resample("1h", closed=closed, label=label).sum()
+    )
+    # pandas emits empty buckets inside the span (sum=0.0); the engine
+    # emits only occupied buckets — compare values on the engine's
+    # buckets, then require the occupied-bucket SETS to match exactly
+    for ts, v in got.items():
+        assert math.isclose(want.loc[ts], v, rel_tol=1e-9), (ts, v, closed, label)
+    nonempty = pdf.set_index("ts")["v"].resample("1h", closed=closed, label=label).count()
+    assert set(got.index) == set(nonempty[nonempty > 0].index)
