@@ -60,6 +60,7 @@ HEADLINE = [
     "p11_domain_cap",        # per-domain top-k cap
     "d11_fuzzy_join",        # cross-table fuzzy join (entity resolution)
     "st8_stream_enrich",     # stream-static broadcast enrichment
+    "p12_export_shards",     # deterministic shard export + manifest
 ]
 
 

@@ -88,3 +88,54 @@ def read_table(
         options.setdefault("inferSchema", "true")
         r = r.options(inferSchema="true")
     return r.load(path)
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    pos_col: str = "shuffle_pos",
+    n_shards: int = 8,
+    token_col: str | None = None,
+) -> DataFrame:
+    """Materialize the final training artifact: a globally-ordered,
+    deterministically sharded dataset — the step after
+    ``deterministic_shuffle`` (dense positions) and token accounting.
+
+    Shard assignment is PURE INTEGER ARITHMETIC on the dense position
+    column (``pos·n div N``), not sampling: identical shards on every
+    run and any cluster layout (``repartitionByRange`` samples its
+    boundaries, so two runs can split differently — useless when the
+    shard layout is part of the dataset card). Rows land in
+    ``shard=K/`` directories, sorted by position within each shard;
+    the returned (and persisted) manifest records per-shard row
+    counts, position ranges, and token totals — what a training job
+    reads to plan its data loading.
+
+    Scale: one count aggregate, one hash shuffle on the shard id, one
+    per-shard sort. N/n rows per task — pick n_shards so a shard fits
+    a task comfortably.
+    """
+    from pyspark.sql import functions as F
+
+    total = df.count()
+    if total == 0:
+        raise ValueError("export_shards on an empty frame")
+    shard = F.expr(f"CAST(({pos_col} * {int(n_shards)}) DIV {total} AS INT)")
+    out = (
+        df.withColumn("shard", shard)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", pos_col)
+    )
+    write_table(out, f"{path}/data", partition_by=["shard"])
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min(pos_col).cast("bigint").alias("min_pos"),
+        F.max(pos_col).cast("bigint").alias("max_pos"),
+    ]
+    if token_col:
+        aggs.append(F.sum(token_col).cast("bigint").alias("token_sum"))
+    manifest = (
+        df.withColumn("shard", shard).groupBy("shard").agg(*aggs)
+    )
+    write_table(manifest.coalesce(1), f"{path}/manifest")
+    return manifest

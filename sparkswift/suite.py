@@ -780,7 +780,8 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # st2b (container lacks protobuf) and after the final
 # swap (d11_fuzzy_join and st8_stream_enrich replace t6/d5, each of
 # which holds 2-3 prior driver-green rows) the ONLY registered query
-# without a driver row is the env-gated st2b.
+# without a driver row is the env-gated st2b (p12_export_shards took
+# o7's slot; o7 holds r2/r3 rows).
 # ---------------------------------------------------------------------------
 _WINDOW = [
     # --- never-driver-verified until now (VERDICT r4 #1): the 15
@@ -806,7 +807,7 @@ _WINDOW = [
     # out since — refresh their evidence.
     "o1_apply_partitions",
     "o2_apply_columns",
-    "o7_ps_apply",
+    "p12_export_shards",
     "j2_semi_join",
     "j3_anti_join",
     "s1_topk_orders",

@@ -1148,3 +1148,46 @@ def d11_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.fuzzy_join(
         docs, right, threshold=0.6, how="best"
     )
+
+
+# ---------------------------------------------------------------------------
+# Shard export manifest: deterministic shuffle → ws-token accounting →
+# 8 arithmetic shards (pos·8 div N — no sampling) → per-shard manifest
+# (rows, position range, token totals). The manifest IS the oracle
+# surface; the data files it describes are written under a temp dir.
+# ---------------------------------------------------------------------------
+@register(
+    "p12_export_shards",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (
+                    ORDER BY md5(concat_ws(':', '0', CAST(doc_id AS VARCHAR))), doc_id
+                  ) - 1 AS BIGINT) AS shuffle_pos,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+                  AS BIGINT) AS ws_tokens
+      FROM documents
+    ),
+    t AS (SELECT COUNT(*) AS total FROM s)
+    SELECT CAST((shuffle_pos * 8) // total AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(shuffle_pos) AS BIGINT) AS min_pos,
+           CAST(MAX(shuffle_pos) AS BIGINT) AS max_pos,
+           CAST(SUM(ws_tokens) AS BIGINT) AS token_sum
+    FROM s, t
+    GROUP BY 1
+    """,
+)
+def p12_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sparkswift.sources.writers import export_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    shuffled = sp.deterministic_shuffle(docs, "doc_id").select(
+        "doc_id", "shuffle_pos", tx.token_count("text").alias("ws_tokens")
+    )
+    out_dir = tempfile.mkdtemp(prefix="shards_")
+    return export_shards(
+        shuffled, out_dir, pos_col="shuffle_pos", n_shards=8, token_col="ws_tokens"
+    )

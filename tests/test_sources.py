@@ -107,3 +107,38 @@ def test_table_as_directory_of_files(spark, sf_dir, tmp_path_factory):
     a = multi.agg(F.sum(F.col("value").cast("decimal(18,4)"))).first()[0]
     b = single.agg(F.sum(F.col("value").cast("decimal(18,4)"))).first()[0]
     assert a == b
+
+
+def test_export_shards_layout_and_determinism(spark, sf_dir, tmp_path):
+    """Shard dirs exist, rows are position-sorted within each shard,
+    manifest matches the data, and two runs produce identical shards."""
+    import pyspark.sql.functions as F
+
+    from sparkswift.operators.sampling import deterministic_shuffle
+    from sparkswift.sources import load_table
+    from sparkswift.sources.writers import export_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    shuffled = deterministic_shuffle(docs, "doc_id").select("doc_id", "shuffle_pos")
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    m1 = export_shards(shuffled, p1, n_shards=4).toPandas().sort_values("shard")
+    m2 = export_shards(shuffled, p2, n_shards=4).toPandas().sort_values("shard")
+    assert m1.reset_index(drop=True).equals(m2.reset_index(drop=True))
+    data = spark.read.parquet(f"{p1}/data")
+    assert data.count() == docs.count()
+    assert {r.shard for r in data.select("shard").distinct().collect()} == {0, 1, 2, 3}
+    # manifest agrees with the written data
+    got = {
+        (r.shard, r["count"])
+        for r in data.groupBy("shard").count().collect()
+    }
+    want = {(r.shard, r.n_rows) for r in m1.itertuples(index=False)}
+    assert {(s, n) for s, n in got} == want
+    # shards partition the position space contiguously
+    rows = sorted(m1.itertuples(index=False), key=lambda r: r.shard)
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_pos < b.min_pos
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        export_shards(shuffled.filter("doc_id < 0"), str(tmp_path / "c"))
