@@ -26,6 +26,32 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """File-source stream over ANY fixture table (schema from a batch
+    peek — file streams need one explicitly; glob-filtered to the one
+    table since the source wants a directory). Timestamp columns are
+    normalized exactly as in the batch loader, so every stateless
+    batch operator composes with the stream unchanged."""
+    import os
+
+    from sparkswift.sources.loaders import (
+        ensure_nanos_readable,
+        normalize_timestamps,
+    )
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ensure_nanos_readable(spark)
+    schema = spark.read.parquet(path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_timestamps(src)
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture. Schema comes from a
     batch peek (file streams need an explicit schema); the ns-long ts

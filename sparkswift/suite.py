@@ -779,9 +779,10 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the only registered queries without a driver row are the env-gated
 # st2b (container lacks protobuf) and after the final
 # swap (d11_fuzzy_join and st8_stream_enrich replace t6/d5, each of
-# which holds 2-3 prior driver-green rows) the ONLY registered query
-# without a driver row is the env-gated st2b (p12_export_shards took
-# o7's slot; o7 holds r2/r3 rows).
+# which holds 2-3 prior driver-green rows) the ONLY registered queries
+# without a driver row are the env-gated st2b and the tail-resident
+# st9_stream_decontaminate (added last in round 5 — rotate next
+# round). p12_export_shards took o7's slot; o7 holds r2/r3 rows.
 # ---------------------------------------------------------------------------
 _WINDOW = [
     # --- never-driver-verified until now (VERDICT r4 #1): the 15

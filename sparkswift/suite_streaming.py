@@ -380,3 +380,57 @@ def st8_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(dims), src["user_id"] == dims["c_custkey"]
     ).select("event_id", "user_id", "c_name", "c_nationkey")
     return run_stream_to_batch(joined, mode="append")
+
+
+# ---------------------------------------------------------------------------
+# STREAMING decontamination: an unbounded document stream checked
+# against a static benchmark's shingle identities via stream-static
+# LEFT SEMI join (stream side left — supported, stateless). Output is
+# one row per (doc, matching-distinct-shingle): the multiset a batch
+# pass produces, so the oracle is exact (string-shingle SQL vs int64
+# identities, equal modulo ~2^-64 collisions — the d2 convention).
+# The ingest-time guard: contaminated shingle hits surface before the
+# doc ever lands in the corpus.
+# ---------------------------------------------------------------------------
+@register(
+    "st9_stream_decontaminate",
+    r"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '') AS toks
+               FROM documents),
+    s AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                      THEN list_distinct(list_transform(
+                               generate_series(1, len(toks) - 2),
+                               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                      ELSE [array_to_string(toks, ' ')] END AS sh
+          FROM t),
+    b AS (SELECT doc_id FROM documents
+          WHERE substr(md5(concat_ws(':', '1', CAST(doc_id AS VARCHAR))), 1, 8)
+                < '10000000'),
+    bs AS (SELECT DISTINCT unnest(s.sh) AS sg FROM s JOIN b USING (doc_id)),
+    e AS (SELECT s.doc_id, unnest(s.sh) AS sg FROM s
+          WHERE substr(md5(concat_ws(':', '1', CAST(s.doc_id AS VARCHAR))), 1, 8)
+                >= '10000000')
+    SELECT e.doc_id FROM e JOIN bs USING (sg)
+    """,
+)
+def st9_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators import dedup as dd
+    from sparkswift.operators.sampling import hash_bucket_hex, hex_threshold
+    from sparkswift.streaming.ops import table_stream
+
+    thr = hex_threshold(0.0625)
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(hash_bucket_hex("doc_id", seed=1) < F.lit(thr))
+    bench_sh = bench.select(
+        F.explode(dd.hashed_shingles("text", 3)).alias("s")
+    ).distinct()
+
+    src = table_stream(spark, sf_dir, "documents").filter(
+        hash_bucket_hex("doc_id", seed=1) >= F.lit(thr)
+    )
+    e = src.select("doc_id", F.explode(dd.hashed_shingles("text", 3)).alias("s"))
+    hits = e.join(bench_sh, "s", "left_semi")
+    return run_stream_to_batch(hits.select("doc_id"), mode="append")
