@@ -61,6 +61,8 @@ HEADLINE = [
     "d11_fuzzy_join",        # cross-table fuzzy join (entity resolution)
     "st8_stream_enrich",     # stream-static broadcast enrichment
     "p12_export_shards",     # deterministic shard export + manifest
+    "st7_stream_sample",     # stateless deterministic sampling on a stream
+    "st9_stream_decontaminate",  # stream-static shingle semi join guard
 ]
 
 

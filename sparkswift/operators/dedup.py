@@ -151,6 +151,8 @@ def dedup_incremental(
     text_col: str = "text",
     id_col: str = "doc_id",
     update_store: bool = True,
+    bucketed: bool = False,
+    num_buckets: int = 256,
 ) -> DataFrame:
     """Cross-batch exact dedup against a PERSISTED fingerprint store —
     the "is this new crawl batch already in the corpus?" operator an
@@ -173,6 +175,14 @@ def dedup_incremental(
     LEFT ANTI join on the fingerprint (AQE broadcasts it while small,
     shuffles when the corpus outgrows that) plus the same-batch
     groupBy. The corpus text is never touched again.
+
+    ``bucketed=True`` keeps the store as a BUCKETED catalog table
+    (``store_path`` is then a table name): at 10¹⁰ corpus documents a
+    path-based store makes every ingest re-shuffle ~300 GB of store
+    fingerprints for the anti-join; a store bucketed on ``fp`` keeps
+    its side of the join shuffle-free forever — only the (small) new
+    batch shuffles into the bucket layout, per ingest, and the append
+    preserves bucketing because the insert is written pre-bucketed.
     """
     from sparkswift.operators.text import fingerprint
 
@@ -181,16 +191,31 @@ def dedup_incremental(
     firsts = fp.groupBy("__fp").agg(F.min(F.col(id_col)).alias(id_col))
     from pyspark.errors import AnalysisException
 
-    try:
-        seen = spark.read.parquet(store_path).select(F.col("fp").alias("__fp"))
+    if bucketed:
+        seen = (
+            spark.table(store_path).select(F.col("fp").alias("__fp"))
+            if spark.catalog.tableExists(store_path)
+            else None
+        )
+    else:
+        try:
+            seen = spark.read.parquet(store_path).select(F.col("fp").alias("__fp"))
+        except AnalysisException:
+            seen = None  # no store yet — first batch
+    if seen is not None:
         firsts = firsts.join(seen, "__fp", "left_anti")
-    except AnalysisException:
-        pass  # no store yet — first batch
     out = fp.join(firsts, ["__fp", id_col])
     if update_store:
-        out.select(F.col("__fp").alias("fp")).write.mode("append").parquet(
-            store_path
-        )
+        new_fps = out.select(F.col("__fp").alias("fp"))
+        if bucketed:
+            from sparkswift.sources.writers import write_bucketed
+
+            write_bucketed(
+                new_fps, store_path, ["fp"], num_buckets=num_buckets,
+                sort_cols=["fp"], mode="append",
+            )
+        else:
+            new_fps.write.mode("append").parquet(store_path)
     return out.drop("__fp")
 
 

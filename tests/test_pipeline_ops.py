@@ -379,3 +379,42 @@ def test_cap_per_group_matches_pandas(docs):
         .groupBy("source").count().toPandas()["count"]
     )
     assert (counts <= 3).all()
+
+
+def test_dedup_incremental_bucketed_store_skips_store_shuffle(spark, sf_dir):
+    """Bucketed-store variant: same survivors as the path store, and
+    the anti-join plan has NO Exchange on the store side (the bucketed
+    table pre-satisfies the join distribution)."""
+    import uuid
+
+    from sparkswift.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tbl = f"fp_store_{uuid.uuid4().hex[:8]}"
+    try:
+        first = docs.filter(F.col("doc_id") < 200)
+        dd.dedup_incremental(first, tbl, bucketed=True, num_buckets=8).count()
+        batch2 = docs.filter(F.col("doc_id") >= 200).unionByName(
+            first.select((F.col("doc_id") + 900000).alias("doc_id"), "text")
+        )
+        out = dd.dedup_incremental(batch2, tbl, bucketed=True, num_buckets=8,
+                                   update_store=False)
+        got = sorted(r.doc_id for r in out.collect())
+        want = sorted(
+            r.doc_id for r in docs.filter(F.col("doc_id") >= 200).collect()
+        )
+        assert got == want  # re-ingested copies all dropped via the store
+        # the store side of the anti-join must not re-shuffle
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        store_scans = plan.count(f"Scan parquet spark_catalog.default.{tbl}")
+        assert store_scans >= 1
+        # no exchange directly over the bucketed scan: bucketed side
+        # feeds the SortMergeJoin without hashpartitioning on fp
+        assert re.search(
+            rf"Exchange hashpartitioning\(__fp[^\n]*\n[^\n]*Scan parquet spark_catalog.default.{tbl}",
+            plan,
+        ) is None
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
