@@ -362,3 +362,43 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= top_k)
         .select(id_col, "term", "tf", "df", "score", "rnk")
     )
+
+
+def rare_token_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_freq: int = 3,
+) -> DataFrame:
+    """Corpus-relative rare-token quality signal (the CCNet-style
+    heuristic with exact arithmetic): per doc, how many of its tokens
+    have corpus-wide frequency below ``min_freq``. A high rare-token
+    fraction flags OCR noise, mojibake, and boilerplate IDs — without
+    any trained model, using the corpus itself as the frequency prior.
+
+    Two passes, both shuffle-light: (1) token frequency table — ALL
+    occurrences (not distinct) exploded and counted, one hash shuffle
+    on the token; (2) each doc's tokens joined to the table (broadcast
+    while the vocab is small; AQE decides) and re-aggregated by doc.
+    Every statistic is an integer count; ``rare_frac`` is one per-row
+    division — deterministic across engines, so the oracle is exact.
+
+    Returns ``(id_col, n_tokens, n_rare, rare_frac)``.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
+    vocab = toks.groupBy("__tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__freq")
+    )
+    joined = toks.join(vocab, "__tok")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__freq") < min_freq, F.lit(1)).otherwise(F.lit(0))
+            ).cast("bigint").alias("n_rare"),
+        )
+        .withColumn(
+            "rare_frac", F.col("n_rare").cast("double") / F.col("n_tokens")
+        )
+    )

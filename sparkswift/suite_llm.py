@@ -1191,3 +1191,63 @@ def p12_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return export_shards(
         shuffled, out_dir, pos_col="shuffle_pos", n_shards=8, token_col="ws_tokens"
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset profile (data-card stats): one aggregation pass produces
+# per-column row/null/exact-distinct counts for the documents table.
+# ---------------------------------------------------------------------------
+@register(
+    "agg10_profile",
+    """
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents)
+    SELECT 'doc_id' AS column, n.n_rows,
+           CAST(n.n_rows - COUNT(doc_id) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct
+    FROM documents, n GROUP BY n.n_rows
+    UNION ALL
+    SELECT 'lang', n.n_rows,
+           CAST(n.n_rows - COUNT(lang) AS BIGINT),
+           CAST(COUNT(DISTINCT lang) AS BIGINT)
+    FROM documents, n GROUP BY n.n_rows
+    UNION ALL
+    SELECT 'source', n.n_rows,
+           CAST(n.n_rows - COUNT(source) AS BIGINT),
+           CAST(COUNT(DISTINCT source) AS BIGINT)
+    FROM documents, n GROUP BY n.n_rows
+    UNION ALL
+    SELECT 'n_chars', n.n_rows,
+           CAST(n.n_rows - COUNT(n_chars) AS BIGINT),
+           CAST(COUNT(DISTINCT n_chars) AS BIGINT)
+    FROM documents, n GROUP BY n.n_rows
+    """,
+)
+def agg10_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.profile import profile_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_table(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
+# ---------------------------------------------------------------------------
+# Rare-token quality signal: per-doc count/fraction of tokens whose
+# CORPUS-WIDE frequency < 3 (the model-free CCNet-style noise flag).
+# All integer counts + one per-row division — exact oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "t11_rare_tokens",
+    rf"""
+    WITH e AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM e GROUP BY tok)
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.freq < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           CAST(SUM(CASE WHEN v.freq < 3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS rare_frac
+    FROM e JOIN v USING (tok)
+    GROUP BY e.doc_id
+    """,
+)
+def t11_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.rare_token_stats(docs, "text", "doc_id", min_freq=3)

@@ -397,3 +397,28 @@ def test_ivf_rebalance_splits_hot_lists(spark, sf_dir, tmp_path):
     q = emb.filter(F.col("vec_id") == 7)
     hits = sim.ivf_search(spark, path, q, k=2, nprobe=2).collect()
     assert hits and hits[0].corpus_id == 1_000_007 and hits[0].cos_sim > 0.999
+
+
+def test_profile_table_single_pass_and_approx(spark, sf_dir):
+    """Profile stats match hand-computed values; the whole profile is
+    ONE job (plan has one aggregate chain, no per-column scans) and
+    the approx variant returns HLL estimates within 5%."""
+    from sparkswift.operators.profile import profile_table
+    from sparkswift.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r.column: r for r in profile_table(docs, ["doc_id", "lang"]).collect()
+    }
+    n = docs.count()
+    assert got["doc_id"].n_rows == n and got["doc_id"].n_nulls == 0
+    assert got["doc_id"].n_distinct == n
+    assert got["lang"].n_distinct == docs.select("lang").distinct().count()
+    # single scan: exactly one FileScan of documents in the plan
+    plan = profile_table(docs, ["doc_id", "lang", "source"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    approx = {
+        r.column: r.n_distinct
+        for r in profile_table(docs, ["doc_id", "lang"], approx=True).collect()
+    }
+    assert abs(approx["doc_id"] - n) / n < 0.05
