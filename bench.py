@@ -63,6 +63,8 @@ HEADLINE = [
     "p12_export_shards",     # deterministic shard export + manifest
     "st7_stream_sample",     # stateless deterministic sampling on a stream
     "st9_stream_decontaminate",  # stream-static shingle semi join guard
+    "agg10_profile",         # one-pass data-card profile
+    "t11_rare_tokens",       # corpus-relative rare-token signal
 ]
 
 
