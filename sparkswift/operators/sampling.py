@@ -310,3 +310,40 @@ def split_sql_case(
         acc += weights[name] / total
         parts.append(f"WHEN {bucket} < '{hex_threshold(acc)}' THEN '{name}'")
     return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
+
+
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int,
+    partition_by: list[str] | None = None,
+    tiebreak: str | None = None,
+    output_col: str = "bin",
+) -> DataFrame:
+    """Curriculum binning: assign each row an ``ntile``-style quantile
+    bin of ``value_col`` (1..n_bins), optionally within groups — "per
+    language, split docs into quality quartiles" is the training-
+    curriculum assignment step.
+
+    ``tiebreak`` (a unique id column) makes the order total, so bin
+    assignment is deterministic and oracle-exact. Scale: with
+    ``partition_by`` this is a per-group sort after one hash shuffle;
+    WITHOUT it ntile needs a single global sort task — fine for
+    dimension-sized frames, wrong for a corpus (pass a group, or
+    pre-bucket with approx quantile thresholds instead).
+    """
+    import warnings
+
+    from pyspark.sql import Window
+
+    order = [F.col(value_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(*order)
+    else:
+        warnings.warn(
+            "quantile_bins without partition_by sorts in a single task; "
+            "pass a group key for large data",
+            stacklevel=2,
+        )
+        w = Window.partitionBy().orderBy(*order)
+    return df.withColumn(output_col, F.ntile(n_bins).over(w))

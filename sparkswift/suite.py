@@ -781,8 +781,8 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # swap (d11_fuzzy_join and st8_stream_enrich replace t6/d5, each of
 # which holds 2-3 prior driver-green rows) the ONLY registered queries
 # without a driver row are the env-gated st2b and the tail-resident
-# st9_stream_decontaminate, agg10_profile, and t11_rare_tokens (added
-# last in round 5 — rotate next round). p12_export_shards took o7's slot; o7 holds r2/r3 rows.
+# st9_stream_decontaminate, agg10_profile, t11_rare_tokens, and
+# p13_quality_bins (added last in round 5 — rotate next round). p12_export_shards took o7's slot; o7 holds r2/r3 rows.
 # ---------------------------------------------------------------------------
 _WINDOW = [
     # --- never-driver-verified until now (VERDICT r4 #1): the 15

@@ -1251,3 +1251,36 @@ def agg10_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t11_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return tx.rare_token_stats(docs, "text", "doc_id", min_freq=3)
+
+
+# ---------------------------------------------------------------------------
+# Curriculum bins: per-language quality quartiles (ntile over a total
+# order — deterministic via the doc_id tiebreak). Per-group sort, one
+# hash shuffle; the curriculum-assignment step of a training run.
+# ---------------------------------------------------------------------------
+@register(
+    "p13_quality_bins",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents
+    ),
+    q AS (
+      SELECT doc_id, lang,
+             CAST( (CASE WHEN len(toks) BETWEEN 10 AND 10000 THEN 40.0 ELSE 0.0 END)
+                 + (CASE WHEN CAST(LENGTH(text) - LENGTH(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / LENGTH(text) <= 0.1 THEN 30.0 ELSE 0.0 END)
+                 + (CASE WHEN CAST(len(list_filter(toks, x -> x IN ({_SW_EN}))) AS DOUBLE) / len(toks) >= 0.01 THEN 30.0 ELSE 0.0 END)
+               AS DOUBLE) AS quality_score
+      FROM t
+    )
+    SELECT doc_id, lang, quality_score,
+           CAST(ntile(4) OVER (PARTITION BY lang
+                               ORDER BY quality_score, doc_id) AS INT) AS bin
+    FROM q
+    """,
+)
+def p13_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = tx.quality_score(docs, "text").select("doc_id", "lang", "quality_score")
+    return sp.quantile_bins(
+        scored, "quality_score", 4, partition_by=["lang"], tiebreak="doc_id"
+    )

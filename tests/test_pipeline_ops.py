@@ -418,3 +418,26 @@ def test_dedup_incremental_bucketed_store_skips_store_shuffle(spark, sf_dir):
         ) is None
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_quantile_bins_matches_pandas_qcut_semantics(docs):
+    """Per-group ntile bins: sizes differ by at most one within each
+    group, higher bins hold higher values, deterministic across runs."""
+    from sparkswift.operators.sampling import quantile_bins
+
+    scored = docs.select("doc_id", "lang", F.col("n_chars").cast("double").alias("v"))
+    out = quantile_bins(scored, "v", 4, partition_by=["lang"], tiebreak="doc_id")
+    pdf = out.toPandas()
+    for lang, grp in pdf.groupby("lang"):
+        sizes = grp["bin"].value_counts()
+        assert sizes.max() - sizes.min() <= 1
+        # bin boundaries are monotone: max(v) of bin k <= min(v) of bin k+1
+        # (ties broken by doc_id may interleave equal values only)
+        maxes = grp.groupby("bin")["v"].max()
+        mins = grp.groupby("bin")["v"].min()
+        for k in range(1, 4):
+            assert maxes[k] <= mins[k + 1] or maxes[k] == mins[k + 1]
+    again = quantile_bins(
+        scored, "v", 4, partition_by=["lang"], tiebreak="doc_id"
+    ).toPandas().sort_values("doc_id")
+    assert (pdf.sort_values("doc_id")["bin"].to_numpy() == again["bin"].to_numpy()).all()
