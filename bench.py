@@ -65,6 +65,9 @@ HEADLINE = [
     "st9_stream_decontaminate",  # stream-static shingle semi join guard
     "agg10_profile",         # one-pass data-card profile
     "t11_rare_tokens",       # corpus-relative rare-token signal
+    "t12_bm25",              # BM25 retrieval top-k (exact-score pivot)
+    "q3_shipping_priority",  # TPC-H Q3 shape (AQE joins + TakeOrdered)
+    "q18_large_volume_customer",  # TPC-H Q18 shape (semi-join on self-agg)
 ]
 
 

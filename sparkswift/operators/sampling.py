@@ -347,3 +347,136 @@ def quantile_bins(
         )
         w = Window.partitionBy().orderBy(*order)
     return df.withColumn(output_col, F.ntile(n_bins).over(w))
+
+
+def interleave_order(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weights: dict[str, int],
+    seed: int = 0,
+    output_col: str = "order_key",
+    bucket_nibbles: int = 2,
+) -> DataFrame:
+    """Deterministic weighted round-robin TRAINING ORDER: give every
+    row an integer ``order_key`` such that streaming the corpus sorted
+    by it yields ``w_g`` docs of group g per round of ``W = Σw`` slots
+    — "interleave 5 en : 2 de : 2 fr : 1 es" as an ORDER rather than a
+    sample (mixture_sample decides WHO trains; this decides WHEN).
+    Groups absent from ``weights`` (or weight 0) drop.
+
+    Arithmetic (all integer, engine-exact): each row gets its 0-based
+    per-group shuffle index ``i`` in md5(seed ':' id) order (ties by
+    id — total, reproducible); then
+
+        order_key = (i // w_g)·W + offset_g + (i mod w_g)
+
+    where ``offset_g`` = Σ of weights of groups sorted before g. Each
+    round's slots [offset_g, offset_g + w_g) are disjoint across
+    groups, so keys are unique; when a group exhausts, its slots stay
+    empty and the remaining groups continue — sparse keys, same
+    order. Sorting/sharding by ``order_key`` is then
+    ``repartitionByRange`` + ``sortWithinPartitions`` — no global
+    sort task.
+
+    Scale shape: the per-group index reuses deterministic_shuffle's
+    bucket trick PER GROUP — per-(group, hash-prefix-bucket) counts
+    (≤ |groups|·16^nibbles longs) collect once, offsets broadcast
+    back, and the ranking window partitions by (group, bucket): full
+    parallelism, no one-task-per-group skew.
+    """
+    if any(w < 0 or w != int(w) for w in weights.values()):
+        raise ValueError("weights must be non-negative integers")
+    live = {g: int(w) for g, w in sorted(weights.items()) if w > 0}
+    if not live:
+        raise ValueError("at least one positive weight required")
+    W = sum(live.values())
+    offsets_g: dict[str, int] = {}
+    acc = 0
+    for g, w in live.items():
+        offsets_g[g] = acc
+        acc += w
+
+    work = (
+        df.filter(F.col(group_col).isin(*live))
+        .withColumn(
+            "__h",
+            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))),
+        )
+        .withColumn("__b", F.substring(F.col("__h"), 1, bucket_nibbles))
+    )
+    counts = (
+        work.groupBy(group_col, "__b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_group: dict[str, list[tuple[str, int]]] = {}
+    for r in counts:
+        by_group.setdefault(r[group_col], []).append((r["__b"], r["n"]))
+    rows = []
+    for g, bs in by_group.items():
+        off = 0
+        for b, n in sorted(bs):
+            rows.append((g, b, off))
+            off += n
+    offsets = df.sparkSession.createDataFrame(
+        rows, f"{group_col} string, __b string, __off bigint"
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(group_col, "__b").orderBy("__h", id_col)
+    wt: Column = F.lit(None).cast("bigint")
+    og: Column = F.lit(None).cast("bigint")
+    for g, w in live.items():
+        wt = F.when(F.col(group_col) == g, F.lit(w)).otherwise(wt)
+        og = F.when(F.col(group_col) == g, F.lit(offsets_g[g])).otherwise(og)
+    return (
+        work.join(F.broadcast(offsets), [group_col, "__b"])
+        .withColumn(
+            "__i",
+            (F.row_number().over(win).cast("bigint") - 1) + F.col("__off"),
+        )
+        .withColumn("__wt", wt)
+        .withColumn(
+            output_col,
+            # `div` = exact integer division (no double round-trip —
+            # a double quotient would drift past 2^53 rows per group)
+            F.expr("__i div __wt") * F.lit(W) + og + F.col("__i") % wt,
+        )
+        .drop("__h", "__b", "__off", "__i", "__wt")
+    )
+
+
+def interleave_sql(
+    table: str,
+    id_sql: str,
+    group_sql: str,
+    weights: dict[str, int],
+    seed: int = 0,
+) -> str:
+    """DuckDB oracle for :func:`interleave_order` — the bucket trick
+    is an implementation detail, so the oracle ranks each group with
+    one plain window over the same (md5, id) order and applies the
+    identical slot arithmetic."""
+    live = {g: int(w) for g, w in sorted(weights.items()) if w > 0}
+    W = sum(live.values())
+    offs, acc = {}, 0
+    for g, w in live.items():
+        offs[g] = acc
+        acc += w
+    vals = ", ".join(f"('{g}', {w}, {offs[g]})" for g, w in live.items())
+    return f"""
+    WITH w(grp, wt, og) AS (VALUES {vals}),
+    idx AS (
+      SELECT {table}.*, w.wt, w.og,
+             CAST(row_number() OVER (
+                 PARTITION BY {group_sql}
+                 ORDER BY md5(concat_ws(':', '{seed}',
+                              CAST({id_sql} AS VARCHAR))), {id_sql}
+             ) - 1 AS BIGINT) AS i
+      FROM {table} JOIN w ON {table}.{group_sql} = w.grp
+    )
+    SELECT * EXCLUDE (wt, og, i),
+           (i // wt) * {W} + og + (i % wt) AS order_key
+    FROM idx
+    """

@@ -364,6 +364,184 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    lowercase: bool = True,
+) -> DataFrame:
+    """BM25 retrieval: rank documents against a bag-of-terms query —
+    the lexical half of a RAG / dataset-curation retrieval stack
+    (absent from the reference, whose surface ends at per-row applies,
+    swifter/swifter.py:287-521). Extends :func:`tfidf_top_terms` with
+    the full Robertson tf saturation + document-length normalization:
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    with the same RATIONAL idf as t7 (``(N−df+0.5)/(df+0.5)``, no log):
+    a strictly monotone transform of the BM25 idf, so the ranking is
+    the textbook one while every operation stays IEEE +,-,*,/ — the
+    score is exact-oracle-checkable bit-for-bit.
+
+    Determinism of the Σ over query terms: floating addition is
+    order-sensitive, so the per-term contributions are pivoted into
+    ONE COLUMN PER QUERY TERM (each a SUM over a group where at most
+    one row is non-zero — exact) and added left-to-right in the
+    caller-given term order. Any engine evaluating the same
+    parenthesization reproduces the score exactly.
+
+    Plan shape (all relational, zero Python):
+      1. dl per doc: native ``size(tokens)`` — no shuffle;
+         avgdl / N: one tiny agg, broadcast back [1-row cross join];
+      2. explode tokens, FILTER TO QUERY TERMS pre-shuffle (the
+         explode's output is pruned before anything moves), then
+         groupBy(doc, term).count()                       [shuffle 1];
+      3. df per query term: agg over step 2's output — at most
+         |query| rows, broadcast joined back            [tiny shuffle];
+      4. join tf→dl on the doc id                         [shuffle 2];
+      5. per-doc pivot + fixed-order sum, then TakeOrdered top-k
+         (per-partition heap, never a full sort).
+    At 100 TB the only state that scales is the (doc,term) tf table
+    restricted to query terms — ~|query| integers per matching doc.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be distinct")
+    c = F.col(text_col)
+    toks = tokens(F.lower(c) if lowercase else c)
+    dl = df.select(
+        F.col(id_col), F.size(toks).cast("bigint").alias("__dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_docs"),
+        (F.sum("__dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "__avgdl"
+        ),
+    )
+    qarr = F.array(*[F.lit(t) for t in query_terms])
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("__term"))
+        .filter(F.array_contains(qarr, F.col("__term")))
+        .groupBy(id_col, "__term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__tf"))
+    )
+    dfreq = tf.groupBy("__term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__df")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "__term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            ((F.col("__n_docs") - F.col("__df")).cast("double") + F.lit(0.5))
+            / (F.col("__df").cast("double") + F.lit(0.5)),
+        )
+        .withColumn(
+            "__contrib",
+            F.col("__idf")
+            * (F.col("__tf").cast("double") * F.lit(k1 + 1.0))
+            / (
+                F.col("__tf").cast("double")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b)
+                    * (F.col("__dl").cast("double") / F.col("__avgdl"))
+                )
+            ),
+        )
+    )
+    per_term = scored.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("__term") == t, F.col("__contrib")).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias(f"__s_{i}")
+            for i, t in enumerate(query_terms)
+        ]
+    )
+    total: Column = F.col("__s_0")
+    for i in range(1, len(query_terms)):
+        total = total + F.col(f"__s_{i}")
+    out = per_term.select(F.col(id_col), total.alias("score"))
+    return out.orderBy(F.col("score").desc(), F.col(id_col)).limit(top_k)
+
+
+def bm25_sql(
+    table: str,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> str:
+    """DuckDB oracle for :func:`bm25_topk` — same tokenizer, same
+    rational idf, same per-term pivot and left-to-right addition, so
+    the float scores match bit-for-bit."""
+    terms = ", ".join(f"('{t}')" for t in query_terms)
+    sum_cols = ", ".join(
+        f"SUM(CASE WHEN term = '{t}' THEN contrib ELSE 0.0 END) AS s_{i}"
+        for i, t in enumerate(query_terms)
+    )
+    total = " + ".join(f"s_{i}" for i in range(len(query_terms)))
+    # parenthesization: SQL's + is left-associative — matches the
+    # Column fold above
+    return rf"""
+    WITH q(term) AS (VALUES {terms}),
+    dl AS (
+      SELECT {id_col},
+             CAST(len(list_filter(string_split_regex(trim(lower({text_col})),
+                                  '\s+'), x -> x <> '')) AS BIGINT) AS dl
+      FROM {table}
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT {id_col}, u.t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM {table},
+           UNNEST(list_filter(string_split_regex(trim(lower({text_col})),
+                              '\s+'), x -> x <> '')) AS u(t)
+      WHERE u.t IN (SELECT term FROM q)
+      GROUP BY {id_col}, u.t
+    ),
+    dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    contribs AS (
+      SELECT tf.{id_col}, tf.term,
+             (((CAST(stats.n_docs - dfreq.df AS DOUBLE) + 0.5)
+               / (CAST(dfreq.df AS DOUBLE) + 0.5))
+              * (CAST(tf.tf AS DOUBLE) * {k1 + 1.0!r}))
+             / (CAST(tf.tf AS DOUBLE)
+                + {k1!r} * ({1.0 - b!r} + {b!r}
+                            * (CAST(dl.dl AS DOUBLE) / stats.avgdl)))
+                 AS contrib
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN dl USING ({id_col})
+      CROSS JOIN stats
+    ),
+    pivoted AS (
+      SELECT {id_col}, {sum_cols} FROM contribs GROUP BY {id_col}
+    )
+    SELECT {id_col}, {total} AS score
+    FROM pivoted
+    ORDER BY score DESC, {id_col}
+    LIMIT {top_k}
+    """
+
+
 def rare_token_stats(
     df: DataFrame,
     text_col: str = "text",

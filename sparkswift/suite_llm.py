@@ -1284,3 +1284,43 @@ def p13_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.quantile_bins(
         scored, "quality_score", 4, partition_by=["lang"], tiebreak="doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval: rank the corpus against a bag-of-terms query — full
+# Robertson tf saturation + doc-length normalization over the t7
+# rational idf. The float score is engine-exact because the per-term
+# contributions are pivoted to fixed columns and added left-to-right
+# (see operators/text.py:bm25_topk). "dup" is rare in the fixture
+# (df≈5% of docs) so the idf spread is real, not degenerate.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ["dup", "spark", "window", "hash"]
+
+
+@register(
+    "t12_bm25",
+    tx.bm25_sql("documents", _BM25_TERMS, top_k=20),
+)
+def t12_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.bm25_topk(docs, _BM25_TERMS, top_k=20)
+
+
+# ---------------------------------------------------------------------------
+# Weighted round-robin interleave ORDER — mixture as a schedule, not a
+# sample: sorting by order_key streams 5 en : 2 de : 2 fr : 1 es per
+# 10-slot round until a language exhausts. Pure integer slot
+# arithmetic over per-group deterministic shuffle indices; the oracle
+# recomputes it with plain windows (the engine's per-group bucket
+# decomposition is an implementation detail with identical output).
+# ---------------------------------------------------------------------------
+@register(
+    "p14_interleave",
+    sp.interleave_sql("documents", "doc_id", "lang", _MIX_WEIGHTS)
+    .replace("SELECT * EXCLUDE (wt, og, i),",
+             "SELECT doc_id, lang,"),
+)
+def p14_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = sp.interleave_order(docs, "doc_id", "lang", _MIX_WEIGHTS)
+    return out.select("doc_id", "lang", "order_key")

@@ -648,3 +648,105 @@ def j8_range_join_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("o_custkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_matches")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 (shipping priority) adapted to the fixture schema (no
+# o_shippriority column; o_orderpriority rides along instead): top-10
+# still-unshipped-revenue orders for one market segment at a cutoff
+# date. Plan: both filters are pushed into the scans BEFORE either
+# join; orders and customer scale with the corpus, so neither gets a
+# broadcast hint — AQE broadcasts at small SF and shuffle-hash-joins
+# on the keys at 100 TB (both joins are equi-joins on their natural
+# keys). Top-10 is TakeOrdered (per-partition heap), never a full
+# sort. Revenue sums in DECIMAL(18,4) so the aggregate is exact in
+# any summation order, then casts to double.
+# ---------------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS {D}) * (1 - CAST(l_discount AS {D}))) AS DOUBLE)
+               AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate  > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = "1998-06-01"
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+    )
+    rev = F.col("l_extendedprice").cast(D) * (F.lit(1) - F.col("l_discount").cast(D))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 (large-volume customers): orders whose total quantity
+# exceeds a threshold, with their customer and the total. The HAVING
+# subquery becomes a self-aggregate of lineitem + left_semi join —
+# lineitem is scanned twice but never joined to itself row-wise. The
+# big-order id list is top-~2% of ORDERS, i.e. it scales with the
+# corpus: no broadcast hint — AQE broadcasts it at small SF and
+# falls back to a shuffle semi-join at 100 TB. Quantity sums in
+# DECIMAL so the threshold test and output are summation-order exact.
+# ---------------------------------------------------------------------------
+@register(
+    "q18_large_volume_customer",
+    f"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS {D})) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS {D})) > 250
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(D)).alias("__q"))
+        .filter(F.col("__q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast(D)).cast("double").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )

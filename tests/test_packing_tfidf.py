@@ -160,3 +160,75 @@ def test_tws_operator_gate(spark, sf_dir):
     )
     got = final.toPandas().set_index("user_id")["events_seen"]
     assert (got.sort_index() == exact.sort_index()).all()
+
+
+# --- bm25 -------------------------------------------------------------------
+
+
+def test_bm25_matches_python_reference(spark):
+    """bm25_topk vs an independent pure-Python BM25 (same rational
+    idf, same k1/b) on a tiny corpus — scores to 1e-12, order exact."""
+    import math
+
+    from sparkswift.operators.text import bm25_topk
+
+    corpus = {
+        1: "spark window hash join join",
+        2: "dup dup spark table",
+        3: "window window window scan scan scan scan",
+        4: "hash hash hash hash spark",
+        5: "the a of and to",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in corpus.items()], "doc_id long, text string"
+    )
+    terms = ["dup", "spark", "window", "hash"]
+    out = bm25_topk(df, terms, top_k=5).toPandas()
+
+    k1, b = 1.2, 0.75
+    toks = {k: v.split() for k, v in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfreq = {t: sum(1 for d in toks.values() if t in d) for t in terms}
+    expected = {}
+    for d, tk in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = tk.count(t)
+            if tf == 0:
+                continue
+            idf = (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(tk) / avgdl))
+        if s > 0:
+            expected[d] = s
+    exp_order = sorted(expected, key=lambda d: (-expected[d], d))
+    assert list(out["doc_id"]) == exp_order
+    for _, r in out.iterrows():
+        assert math.isclose(r["score"], expected[r["doc_id"]], rel_tol=1e-12)
+
+
+def test_bm25_rare_term_doc_outranks_common_term_doc(spark):
+    """A doc matching only the rare query term must outrank a doc
+    matching only the common one at equal tf and length — the idf
+    property BM25 exists for."""
+    from sparkswift.operators.text import bm25_topk
+
+    rows = [(1, "rare x y z"), (2, "common x y z")] + [
+        (i, "common filler pad qq") for i in range(3, 23)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, ["rare", "common"], top_k=2).toPandas()
+    assert out.iloc[0]["doc_id"] == 1
+
+
+def test_bm25_length_normalization(spark):
+    """Equal tf: the shorter doc scores higher (b>0 penalizes long
+    docs); with b=0 the two scores tie exactly."""
+    from sparkswift.operators.text import bm25_topk
+
+    rows = [(1, "term one two"), (2, "term " + " ".join(["pad"] * 30))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    norm = bm25_topk(df, ["term"], top_k=2).toPandas().set_index("doc_id")
+    assert norm.loc[1, "score"] > norm.loc[2, "score"]
+    flat = bm25_topk(df, ["term"], b=0.0, top_k=2).toPandas()
+    assert abs(flat["score"].iloc[0] - flat["score"].iloc[1]) < 1e-15

@@ -441,3 +441,61 @@ def test_quantile_bins_matches_pandas_qcut_semantics(docs):
         scored, "v", 4, partition_by=["lang"], tiebreak="doc_id"
     ).toPandas().sort_values("doc_id")
     assert (pdf.sort_values("doc_id")["bin"].to_numpy() == again["bin"].to_numpy()).all()
+
+
+# --- interleave_order -------------------------------------------------------
+
+
+def test_interleave_keys_unique_and_slots_respect_weights(spark):
+    from sparkswift.operators.sampling import interleave_order
+
+    rows = [(i, "a" if i % 4 != 3 else "b") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = interleave_order(df, "doc_id", "grp", {"a": 3, "b": 1}).toPandas()
+    assert out["order_key"].is_unique
+    # W=4: slot = key % 4; group a owns slots 0-2, b owns slot 3
+    slots = out["order_key"] % 4
+    assert set(slots[out["grp"] == "a"]) <= {0, 1, 2}
+    assert set(slots[out["grp"] == "b"]) == {3}
+    # while both groups are alive (first 10 rounds have 30 a's and 10
+    # b's available), every round is 3 a's + 1 b — keys are DENSE
+    first_rounds = out[out["order_key"] < 40]
+    assert len(first_rounds) == 40
+
+
+def test_interleave_matches_plain_window_reference(spark):
+    """The bucketed per-group index must equal a single-window
+    row_number over the same (md5, id) order."""
+    import hashlib
+
+    from sparkswift.operators.sampling import interleave_order
+
+    rows = [(i, ["x", "y", "z"][i % 3]) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    weights = {"x": 2, "y": 1, "z": 1}
+    out = (
+        interleave_order(df, "doc_id", "grp", weights, seed=7)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    W, offs = 4, {"x": 0, "y": 2, "z": 3}
+    by_grp: dict[str, list[int]] = {}
+    for i, g in rows:
+        by_grp.setdefault(g, []).append(i)
+    for g, ids in by_grp.items():
+        ordered = sorted(
+            ids, key=lambda d: (hashlib.md5(f"7:{d}".encode()).hexdigest(), d)
+        )
+        for idx, d in enumerate(ordered):
+            expect = (idx // weights[g]) * W + offs[g] + idx % weights[g]
+            assert out.loc[d, "order_key"] == expect, (g, d)
+
+
+def test_interleave_drops_unweighted_groups(spark):
+    from sparkswift.operators.sampling import interleave_order
+
+    df = spark.createDataFrame(
+        [(1, "keep"), (2, "drop")], "doc_id long, grp string"
+    )
+    out = interleave_order(df, "doc_id", "grp", {"keep": 1}).toPandas()
+    assert list(out["grp"]) == ["keep"]
