@@ -68,6 +68,8 @@ HEADLINE = [
     "t12_bm25",              # BM25 retrieval top-k (exact-score pivot)
     "q3_shipping_priority",  # TPC-H Q3 shape (AQE joins + TakeOrdered)
     "q18_large_volume_customer",  # TPC-H Q18 shape (semi-join on self-agg)
+    "p14_interleave",        # weighted round-robin training order
+    "d12_semdedup",          # k-means + within-cluster cosine pruning
 ]
 
 

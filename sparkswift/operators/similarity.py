@@ -830,3 +830,84 @@ def cosine_topk_lsh(
         .filter(F.col("rnk") <= k)
         .select("query_id", "corpus_id", "rnk", "cos_sim")
     )
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 8,
+) -> DataFrame:
+    """Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then
+    within each cluster drop every vector that has a LOWER-ID
+    near-duplicate at cosine ≥ ``threshold``. Clustering bounds the
+    quadratic: candidate pairs exist only inside a cluster, so the
+    pair count is Σ|c|² instead of n² — the paper's reason for
+    clustering first. Keep-lowest-id replaces the paper's random
+    keeper so reruns are deterministic.
+
+    Returns every input id with its ``list_id`` (cluster) and a
+    ``keep`` flag — callers filter ``keep`` for survivors or join the
+    flag back to the document table.
+
+    Plan shape: one k-means fit (nlist-bounded driver state) + one
+    assignment pass; the intra-cluster pair generation is a hash
+    self-equi-join ON THE CLUSTER ID over integer-quantized vectors
+    (exact cosine, same grid as d5/e1); "has an earlier neighbor" is a
+    left-semi join. At 100 TB the knob is ``n_clusters``: pick it so
+    the biggest cluster's pairs fit a task (the paper runs 50k
+    clusters at web scale — cluster size, not corpus size, is the
+    cost). A skewed giant cluster behaves like any skewed equi-join —
+    AQE splits it, or raise ``n_clusters`` / pre-salt. The exact
+    un-clustered twin for recall measurement is
+    :func:`cosine_neardup_pairs` / :func:`cosine_neardup_blocked`.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = _spread(df.select(F.col(id_col), F.col(vec_col))).withColumn(
+        "fv", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(
+        k=n_clusters,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="fv",
+        predictionCol="list_id",
+    ).fit(c)
+    assigned = (
+        model.transform(c)
+        .select(F.col(id_col).alias("id"), "list_id", quantize(vec_col).alias("v"))
+        .withColumn("n2", norm2_long(F.col("v")))
+        .localCheckpoint()  # k-means assignment computed once, reused 3×
+    )
+    a = assigned.select(
+        "list_id", F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("n2").alias("na"),
+    )
+    b = assigned.select(
+        "list_id", F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("n2").alias("nb"),
+    )
+    dup_pairs = (
+        a.join(b, "list_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            cosine(dot_long(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
+            >= threshold
+        )
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dup_pairs.withColumn("__dup", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "list_id",
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
+        )
+    )

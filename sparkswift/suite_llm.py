@@ -1324,3 +1324,21 @@ def p14_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = sp.interleave_order(docs, "doc_id", "lang", _MIX_WEIGHTS)
     return out.select("doc_id", "lang", "order_key")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup by k-means + within-cluster cosine
+# pruning (arXiv:2303.09540), keep-lowest-id. The clustering step is
+# not SQL-expressible → rows-only driver check; the keep/drop rule is
+# verified EXACTLY against numpy per produced cluster in
+# tests/test_llm_ops.py, and recall vs the unclustered exact operator
+# (d5 twin) is measured there too. threshold=0.35 is tuned to the
+# fixture's cosine spectrum (uniform-ish, max pair ≈0.51): ~90 of 500
+# docs drop, so the drop path is genuinely exercised — at 0.7 the
+# fixture has zero qualifying pairs and the check would be vacuous.
+# ---------------------------------------------------------------------------
+@register("d12_semdedup", None)
+def d12_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.semdedup(emb, threshold=0.35, n_clusters=16)
+    return out.select("vec_id", "list_id", "keep")

@@ -422,3 +422,84 @@ def test_profile_table_single_pass_and_approx(spark, sf_dir):
         for r in profile_table(docs, ["doc_id", "lang"], approx=True).collect()
     }
     assert abs(approx["doc_id"] - n) / n < 0.05
+
+
+# --- semdedup ---------------------------------------------------------------
+
+
+def test_semdedup_rule_exact_vs_numpy(emb):
+    """Given the clustering semdedup produced, the keep/drop decision
+    must match an exact numpy evaluation of the rule: drop iff a
+    lower-id same-cluster vector has cosine >= threshold (on the same
+    integer-quantized grid the operator uses)."""
+    import numpy as np
+
+    thr = 0.35
+    out = sim.semdedup(emb, threshold=thr, n_clusters=8).toPandas()
+    vecs = {
+        r["vec_id"]: np.round(np.asarray(r["embedding"], dtype=np.float64) * 1_000_000)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    dropped = set(out[~out["keep"]]["vec_id"])
+    assert dropped, "fixture/threshold must exercise the drop path"
+    by_cluster: dict[int, list[int]] = {}
+    for _, r in out.iterrows():
+        by_cluster.setdefault(r["list_id"], []).append(r["vec_id"])
+    expect_drop = set()
+    for ids in by_cluster.values():
+        ids = sorted(ids)
+        m = np.stack([vecs[i] for i in ids])
+        n = np.sqrt((m * m).sum(axis=1))
+        cos = (m @ m.T) / np.outer(n, n)
+        for j in range(1, len(ids)):
+            if (cos[j, :j] >= thr).any():
+                expect_drop.add(ids[j])
+    assert dropped == expect_drop
+
+
+def test_semdedup_victims_subset_of_exact(emb):
+    """Cluster restriction can only REMOVE candidate pairs, so the
+    semdedup victim set must be a subset of the exact unclustered
+    operator's victim set — precision 1.0 by construction."""
+    thr = 0.35
+    exact_pairs = sim.cosine_neardup_pairs(emb, threshold=thr).toPandas()
+    exact_victims = set(exact_pairs["id_b"])
+    out = sim.semdedup(emb, threshold=thr, n_clusters=8).toPandas()
+    sem_victims = set(out[~out["keep"]]["vec_id"])
+    assert sem_victims, "drop path must be exercised"
+    assert sem_victims <= exact_victims
+
+
+def test_semdedup_planted_twins_all_caught(spark, emb):
+    """TRUE near-duplicates (cosine ≈ 1) co-cluster by construction —
+    k-means cannot put two almost-identical points in different cells
+    unless they sit exactly on a boundary. Plant a twin (+1e-4 jitter
+    on one coordinate) for every 10th vector: recall on the planted
+    victims must be 1.0 at threshold 0.99. This is the regime SemDeDup
+    is FOR — the moderate-cosine fixture pairs (~0.45) legitimately
+    land in different cells and are out of the operator's contract."""
+    base = emb.select("vec_id", "embedding").toPandas()
+    rows = []
+    for _, r in base.iterrows():
+        rows.append((int(r["vec_id"]), [float(x) for x in r["embedding"]]))
+    planted = []
+    for vid, vec in rows:
+        if vid % 10 == 0:
+            twin = list(vec)
+            twin[0] = twin[0] + 1e-4
+            planted.append((vid + 1_000_000, twin))
+    df = spark.createDataFrame(
+        rows + planted, "vec_id long, embedding array<double>"
+    )
+    out = sim.semdedup(df, threshold=0.99, n_clusters=8).toPandas()
+    victims = set(out[~out["keep"]]["vec_id"])
+    expected = {vid for vid, _ in planted}
+    assert expected <= victims, expected - victims
+
+
+def test_semdedup_deterministic_across_runs(emb):
+    a = sim.semdedup(emb, threshold=0.35, n_clusters=8).toPandas()
+    b = sim.semdedup(emb, threshold=0.35, n_clusters=8).toPandas()
+    pa = a.sort_values("vec_id").reset_index(drop=True)
+    pb = b.sort_values("vec_id").reset_index(drop=True)
+    assert pa.equals(pb)
