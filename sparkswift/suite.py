@@ -775,14 +775,22 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # EVERY entry — window and tail — is still checked vs DuckDB locally
 # by `python tools/check.py` and by pytest; the window only decides
 # which rows the driver re-verifies. All five round-5 queries
-# (o2_apply_rows_raw, p10, p11, d10, st7) are IN the window; after r5
-# the only registered queries without a driver row are the env-gated
-# st2b (container lacks protobuf) and after the final
-# swap (d11_fuzzy_join and st8_stream_enrich replace t6/d5, each of
-# which holds 2-3 prior driver-green rows) the ONLY registered queries
-# without a driver row are the env-gated st2b and the tail-resident
-# st9_stream_decontaminate, agg10_profile, t11_rare_tokens, and
-# p13_quality_bins (added last in round 5 — rotate next round). p12_export_shards took o7's slot; o7 holds r2/r3 rows.
+# (o2_apply_rows_raw, p10, p11, d10, st7) are IN the window.
+# Final r5 refresh: the nine queries registered after the window was
+# first frozen (st9_stream_decontaminate, agg10_profile,
+# t11_rare_tokens, p13_quality_bins, t12_bm25, q3_shipping_priority,
+# q18_large_volume_customer, p14_interleave, d12_semdedup) take the
+# slots of nine canaries that each hold >=2 driver-green rows from
+# rounds 1-4 and do NOT guard this round's code changes
+# (o2_apply_rows, o5_rolling_sum_time, o6_resample_hourly,
+# w1_rank_lag, agg3_rollup, t1_text_quality, d1_dedup_exact,
+# p3_decontaminate, st1_stream_resample). Canaries kept: q1 flagship,
+# the o1 pair (native-gate fix), o5_rolling_udf + o5b (global-rolling
+# collect removal + validate_buckets rewrite), j4/j7 (asof
+# null-safety fix), st2 (stateful streaming family). After r5 the
+# ONLY registered query without a driver row is the env-gated st2b
+# (container lacks protobuf). p12_export_shards took o7's slot; o7
+# holds r2/r3 rows.
 # ---------------------------------------------------------------------------
 _WINDOW = [
     # --- never-driver-verified until now (VERDICT r4 #1): the 15
@@ -827,26 +835,29 @@ _WINDOW = [
     "d11_fuzzy_join",
     "st8_stream_enrich",
     "e1_cosine_topk",
-    # --- canaries: r4-green representatives of every family, kept in
-    # the window to catch regressions from this round's changes
-    # (asof null-safety fix -> j4/j7; global-rolling collect removal
-    # -> o5b; native-gate caching -> o1 pair).
+    # --- registered after the first r5 freeze — zero driver rows,
+    # rotated in (see header comment for the displaced canaries)
+    "st9_stream_decontaminate",
+    "agg10_profile",
+    "t11_rare_tokens",
+    "p13_quality_bins",
+    "t12_bm25",
+    "q3_shipping_priority",
+    "q18_large_volume_customer",
+    "p14_interleave",
+    "d12_semdedup",
+    # --- canaries: r4-green representatives kept in the window to
+    # catch regressions from this round's changes (asof null-safety
+    # fix -> j4/j7; global-rolling collect removal + validate_buckets
+    # rewrite -> o5_rolling_udf/o5b; native-gate caching -> o1 pair;
+    # stateful streaming -> st2; flagship -> q1).
     "q1_pricing_summary",
     "o1_apply_native",
     "o1_apply_udf",
-    "o2_apply_rows",
-    "o5_rolling_sum_time",
     "o5_rolling_udf",
     "o5b_rolling_global",
-    "o6_resample_hourly",
     "j4_asof_join",
     "j7_asof_nearest",
-    "w1_rank_lag",
-    "agg3_rollup",
-    "t1_text_quality",
-    "d1_dedup_exact",
-    "p3_decontaminate",
-    "st1_stream_resample",
     "st2_stateful_totals",
 ]
 
