@@ -70,6 +70,8 @@ HEADLINE = [
     "q18_large_volume_customer",  # TPC-H Q18 shape (semi-join on self-agg)
     "p14_interleave",        # weighted round-robin training order
     "d12_semdedup",          # k-means + within-cluster cosine pruning
+    "st10_stream_neardup",   # streaming minhash-signature dedup
+    "agg11_sketch_union",    # re-aggregatable HLL sketch rollup
 ]
 
 

@@ -322,3 +322,46 @@ def stream_to_parquet(
             w = w.partitionBy(*partition_by)
         q = w.start()
     q.awaitTermination()
+
+
+def stream_neardup(
+    stream: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    output_col: str = "sig_key",
+) -> DataFrame:
+    """Streaming near-duplicate suppression by MinHash SIGNATURE
+    identity: each document's k-shingle set is minhashed into
+    ``num_hashes`` slots (same JVM-side xxhash64 pipeline as the
+    batch d3 operator — zero Python, stateless per row) and the
+    64-bit hash of the signature becomes the dedup key; first arrival
+    per key wins via ``dropDuplicates``.
+
+    Contract and its honest envelope: full-signature equality catches
+    exact duplicates always and near-duplicates with probability
+    J^num_hashes (J = shingle Jaccard) — ~0.66 at J=0.95 with the
+    default 8 slots; LOWER num_hashes catches fuzzier dups at a
+    higher false-merge rate. This is the single-stateful-operator
+    formulation: banded OR-semantics (any-band collision) would need
+    a second stateful doc-level reassembly after the per-band dedup,
+    and which-doc-survives would become batch-order-dependent; keyed
+    on the full signature, the SET of surviving keys is deterministic
+    regardless of arrival order, so the operator is verifiable (its
+    batch twin is ``select distinct sig_key``).
+
+    State: one key per distinct signature — bound it with a watermark
+    + ``dropDuplicatesWithinWatermark`` upstream when the stream has
+    event time; the documents fixture has none, so state here is
+    corpus-distinct-bounded (same envelope as batch dedup).
+    """
+    from sparkswift.operators.dedup import hashed_shingles
+
+    hsh = hashed_shingles(text_col, k)
+    slots = [
+        F.array_min(F.transform(hsh, lambda s: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ]
+    return stream.withColumn(output_col, F.xxhash64(*slots)).dropDuplicates(
+        [output_col]
+    )

@@ -750,3 +750,30 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Re-aggregatable distinct-count sketches — the 100 TB pattern Spark's
+# plain approx_count_distinct (agg2) can't do: build per-(group,
+# subgroup) HLL sketches ONCE, then answer any coarser rollup by
+# UNIONING sketches instead of rescanning rows. Here: per-(priority,
+# status) order sketches of o_custkey union up to per-priority
+# distinct-customer estimates. DataSketches HLL has no DuckDB twin →
+# rows-only; the merge law (union of partials == sketch of the whole)
+# and the error envelope vs exact are pytest-asserted.
+# ---------------------------------------------------------------------------
+@register("agg11_sketch_union", None)
+def agg11_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    partials = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    return (
+        partials.groupBy("o_orderpriority")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("bigint")
+            .alias("approx_customers")
+        )
+        .orderBy("o_orderpriority")
+    )

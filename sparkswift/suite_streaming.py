@@ -434,3 +434,20 @@ def st9_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = src.select("doc_id", F.explode(dd.hashed_shingles("text", 3)).alias("s"))
     hits = e.join(bench_sh, "s", "left_semi")
     return run_stream_to_batch(hits.select("doc_id"), mode="append")
+
+
+# ---------------------------------------------------------------------------
+# STREAMING near-dup suppression: MinHash-signature first-wins dedup
+# over the document stream (streaming/ops.py:stream_neardup). The
+# xxhash64 signature has no SQL twin -> rows-only; the output is the
+# deterministic SET of distinct signature keys (survivor choice per
+# key is arrival-order-dependent and deliberately not emitted), and
+# batch-twin equality + planted-dup behavior are pytest-verified.
+# ---------------------------------------------------------------------------
+@register("st10_stream_neardup", None)
+def st10_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.streaming.ops import stream_neardup, table_stream
+
+    src = table_stream(spark, sf_dir, "documents")
+    out = stream_neardup(src, "text", k=3, num_hashes=8)
+    return run_stream_to_batch(out.select("sig_key"), mode="append")

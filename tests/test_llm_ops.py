@@ -503,3 +503,43 @@ def test_semdedup_deterministic_across_runs(emb):
     pa = a.sort_values("vec_id").reset_index(drop=True)
     pb = b.sort_values("vec_id").reset_index(drop=True)
     assert pa.equals(pb)
+
+
+# --- hll sketch union -------------------------------------------------------
+
+
+def test_hll_union_of_partials_equals_direct_sketch(spark, sf_dir):
+    """The sketch merge law: unioning per-subgroup HLL sketches must
+    give the SAME estimate as sketching the whole group directly —
+    this is what makes stored sketch tables re-aggregatable at 100 TB
+    without rescanning rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    merged = (
+        orders.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("est")
+        )
+        .toPandas()
+        .set_index("o_orderpriority")["est"]
+    )
+    direct = (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey"))
+            .cast("bigint")
+            .alias("est")
+        )
+        .toPandas()
+        .set_index("o_orderpriority")["est"]
+    )
+    assert (merged.sort_index() == direct.sort_index()).all()
+    exact = (
+        orders.groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").cast("bigint").alias("n"))
+        .toPandas()
+        .set_index("o_orderpriority")["n"]
+    )
+    for p in exact.index:
+        assert abs(merged[p] - exact[p]) / exact[p] < 0.05, (p, merged[p], exact[p])

@@ -180,3 +180,36 @@ def test_fuzzy_join_is_equi_join(spark, sf_dir):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_q3_filters_pushed_and_topk_never_global_sorts(plans):
+    p = plans("q3_shipping_priority")
+    # the segment/date predicates reach the parquet scans
+    assert "PushedFilters" in p and "BUILDING" in p
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_q18_semi_join_and_no_nested_loop(plans):
+    p = plans("q18_large_volume_customer")
+    assert "LeftSemi" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_bm25_term_filter_before_shuffle_no_python(plans):
+    p = plans("t12_bm25")
+    # query-term pruning is a plain Filter in the scan stage, the
+    # score is whole-stage-codegen arithmetic — no Python evaluator
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_interleave_no_global_sort_no_single_partition_window(plans):
+    p = plans("p14_interleave")
+    # ranking runs per (group, bucket) hash partition — a global
+    # window would show an empty partitionBy spec / singlepartition
+    assert "Window" in p
+    assert "SinglePartition" not in p
+    assert "Exchange rangepartitioning" not in p

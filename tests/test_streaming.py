@@ -245,3 +245,51 @@ def test_stream_to_parquet_foreachbatch_merge(spark, sf_dir, tmp_path):
     src = events_stream(spark, sf_dir).select("event_id", "value")
     stream_to_parquet(src, None, ckpt, merge_fn=merge)
     assert seen and sum(n for _, n in seen) == spark.read.parquet(out).count()
+
+
+# --- stream_neardup ---------------------------------------------------------
+
+
+def test_stream_neardup_matches_batch_twin_and_drops_planted_dups(
+    spark, sf_dir, tmp_path
+):
+    """The surviving signature-key SET must equal the batch
+    `distinct(sig_key)` regardless of arrival order, and planted
+    exact-duplicate texts must collapse to one key."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkswift.streaming.ops import run_stream_to_batch, stream_neardup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pdf = docs.toPandas()
+    # plant exact duplicates of the first 5 docs under new ids
+    dup = pdf.head(5).copy()
+    dup["doc_id"] = dup["doc_id"] + 1_000_000
+    full = pd.concat([pdf, dup], ignore_index=True)
+    d = str(tmp_path / "docs_dir")
+    os.makedirs(d)
+    pq.write_table(pa.Table.from_pandas(full), os.path.join(d, "d.parquet"))
+
+    schema = spark.read.parquet(os.path.join(d, "d.parquet")).schema
+    src = spark.readStream.schema(schema).parquet(d)
+    out = run_stream_to_batch(
+        stream_neardup(src, "text", k=3, num_hashes=8).select("sig_key"),
+        mode="append",
+    ).toPandas()
+
+    batch = spark.read.parquet(os.path.join(d, "d.parquet"))
+    twin = (
+        stream_neardup(batch, "text", k=3, num_hashes=8)
+        .select("sig_key")
+        .toPandas()
+    )
+    assert set(out["sig_key"]) == set(twin["sig_key"])
+    assert out["sig_key"].is_unique
+    # the 5 planted exact dups add ZERO new keys
+    base_twin = (
+        stream_neardup(docs, "text", k=3, num_hashes=8).select("sig_key").toPandas()
+    )
+    assert set(out["sig_key"]) == set(base_twin["sig_key"])
