@@ -846,19 +846,22 @@ _WINDOW = [
     "q18_large_volume_customer",
     "p14_interleave",
     "d12_semdedup",
+    "st10_stream_neardup",
+    "agg11_sketch_union",
     # --- canaries: r4-green representatives kept in the window to
     # catch regressions from this round's changes (asof null-safety
-    # fix -> j4/j7; global-rolling collect removal + validate_buckets
-    # rewrite -> o5_rolling_udf/o5b; native-gate caching -> o1 pair;
-    # stateful streaming -> st2; flagship -> q1).
+    # fix -> j4/j7 — j7 exercises the fixed nearest direction;
+    # global-rolling collect removal + validate_buckets rewrite ->
+    # o5b; native-gate caching -> o1 pair; flagship -> q1).
+    # o5_rolling_udf and st2_stateful_totals yielded their slots to
+    # st10/agg11 — each holds 2+ driver-green rows, and their
+    # families stay covered (o5b; st7-st10).
     "q1_pricing_summary",
     "o1_apply_native",
     "o1_apply_udf",
-    "o5_rolling_udf",
     "o5b_rolling_global",
     "j4_asof_join",
     "j7_asof_nearest",
-    "st2_stateful_totals",
 ]
 
 
