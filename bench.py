@@ -72,6 +72,8 @@ HEADLINE = [
     "d12_semdedup",          # k-means + within-cluster cosine pruning
     "st10_stream_neardup",   # streaming minhash-signature dedup
     "agg11_sketch_union",    # re-aggregatable HLL sketch rollup
+    "w3_latest_per_key",     # CDC latest-snapshot compaction
+    "p15_zorder_key",        # Morton layout key (native bit exprs)
 ]
 
 

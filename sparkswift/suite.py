@@ -848,19 +848,22 @@ _WINDOW = [
     "d12_semdedup",
     "st10_stream_neardup",
     "agg11_sketch_union",
+    "w3_latest_per_key",
+    "p15_zorder_key",
     # --- canaries: r4-green representatives kept in the window to
     # catch regressions from this round's changes (asof null-safety
-    # fix -> j4/j7 — j7 exercises the fixed nearest direction;
+    # fix -> j7, which exercises the fixed nearest direction;
     # global-rolling collect removal + validate_buckets rewrite ->
-    # o5b; native-gate caching -> o1 pair; flagship -> q1).
-    # o5_rolling_udf and st2_stateful_totals yielded their slots to
-    # st10/agg11 — each holds 2+ driver-green rows, and their
-    # families stay covered (o5b; st7-st10).
+    # o5b; native-gate caching -> o1_apply_native; flagship -> q1).
+    # Displaced to make room for this session's zero-evidence
+    # queries (each displaced name holds 2+ driver-green rows, and
+    # its family keeps an in-window representative): o5_rolling_udf,
+    # st2_stateful_totals, o1_apply_udf, j4_asof_join. Any query
+    # registered from here on stays tail-resident and rotates in
+    # NEXT round — the window churn budget for r5 is spent.
     "q1_pricing_summary",
     "o1_apply_native",
-    "o1_apply_udf",
     "o5b_rolling_global",
-    "j4_asof_join",
     "j7_asof_nearest",
 ]
 

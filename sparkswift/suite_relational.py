@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sparkswift.operators.layout import zorder_sql
 from sparkswift.sources import load_table
 from sparkswift.suite import D, register
 
@@ -777,3 +778,62 @@ def agg11_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC/upsert compaction — "latest snapshot per key": the newest event
+# per user (ties broken by event_id desc, so the order is total and
+# the winner deterministic). One hash shuffle on the key, per-group
+# heap via row_number — the standard changelog→snapshot collapse that
+# precedes any point-lookup table build. At 100 TB this is the
+# MERGE-free way to compact an append-only log.
+# ---------------------------------------------------------------------------
+@register(
+    "w3_latest_per_key",
+    """
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (SELECT user_id, event_id, ts, event_type, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rk
+          FROM events)
+    WHERE rk = 1
+    """,
+)
+def w3_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout key over (o_custkey, floor(o_totalprice)) —
+# exact integer bit-interleave both engines reproduce bit-for-bit.
+# The full layout story (repartitionByRange on the key + in-task sort
+# => every parquet file covers a small 2-D rectangle, min/max stats
+# prune range predicates on EITHER column) is exercised in
+# tests/test_sources.py via operators/layout.py:write_zordered.
+# ---------------------------------------------------------------------------
+@register(
+    "p15_zorder_key",
+    f"""
+    SELECT o_orderkey,
+           {zorder_sql(['o_custkey', 'CAST(FLOOR(o_totalprice) AS BIGINT)'], bits=16)} AS z
+    FROM orders
+    """,
+)
+def p15_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.layout import zorder_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    z = zorder_key(
+        [F.col("o_custkey"), F.floor(F.col("o_totalprice")).cast("long")], bits=16
+    )
+    return orders.select("o_orderkey", z.alias("z"))

@@ -142,3 +142,68 @@ def test_export_shards_layout_and_determinism(spark, sf_dir, tmp_path):
 
     with _pt.raises(ValueError):
         export_shards(shuffled.filter("doc_id < 0"), str(tmp_path / "c"))
+
+
+# --- z-order layout ---------------------------------------------------------
+
+
+def test_zorder_key_matches_python_reference(spark):
+    from sparkswift.operators.layout import zorder_key
+
+    rows = [(i, (7 * i) % 100, (13 * i) % 100) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    out = (
+        df.select("id", "a", "b", zorder_key(["a", "b"], bits=8).alias("z"))
+        .toPandas()
+        .set_index("id")
+    )
+
+    def morton(a: int, b: int, bits: int = 8) -> int:
+        z = 0
+        for j in range(bits):
+            z |= ((a >> j) & 1) << (2 * j)
+            z |= ((b >> j) & 1) << (2 * j + 1)
+        return z
+
+    for i, a, b in rows:
+        assert out.loc[i, "z"] == morton(a, b), (i, a, b)
+
+
+def test_zorder_key_validates_args(spark):
+    import pytest as _pytest
+
+    from sparkswift.operators.layout import zorder_key
+
+    with _pytest.raises(ValueError):
+        zorder_key(["a"], bits=8)
+    with _pytest.raises(ValueError):
+        zorder_key(["a", "b"], bits=32)
+
+
+def test_write_zordered_files_cover_disjoint_z_ranges(spark, tmp_path):
+    """The whole point of the layout: each output file's (min z, max z)
+    interval must not overlap any other file's — that's what lets
+    row-group stats prune a 2-D range predicate."""
+    import pyspark.sql.functions as F
+
+    from sparkswift.operators.layout import write_zordered, zorder_key
+
+    rows = [(i, (i * 37) % 256, (i * 91) % 256) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    path = str(tmp_path / "zo")
+    write_zordered(df, path, ["a", "b"], bits=8, num_files=8)
+
+    back = spark.read.parquet(path).withColumn(
+        "f", F.input_file_name()
+    ).withColumn("z", zorder_key(["a", "b"], bits=8))
+    ranges = (
+        back.groupBy("f").agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+        .toPandas()
+        .sort_values("lo")
+        .reset_index(drop=True)
+    )
+    assert len(ranges) > 1
+    for k in range(1, len(ranges)):
+        assert ranges.loc[k, "lo"] > ranges.loc[k - 1, "hi"]
+    # round-trip integrity
+    assert back.count() == 4000
