@@ -480,3 +480,38 @@ def interleave_sql(
            (i // wt) * {W} + og + (i % wt) AS order_key
     FROM idx
     """
+
+
+def quantile_bins_global(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int,
+    accuracy: float = 1e-4,
+    output_col: str = "bin",
+) -> DataFrame:
+    """GLOBAL curriculum binning at corpus scale — the documented
+    alternative to :func:`quantile_bins` without ``partition_by``
+    (which needs a single sort task): compute the n_bins-1 interior
+    quantile thresholds with Spark's Greenwald-Khanna sketch
+    (``approxQuantile`` — deterministic for a given dataset and
+    accuracy, mergeable across partitions, one pass), broadcast them
+    back as a scan-side CASE chain, and assign
+    ``bin = 1 + #{thresholds <= value}``.
+
+    Trade vs the exact window: bin POPULATIONS are equal only to
+    within the sketch accuracy (grade-by-value, not by rank — equal
+    values always share a bin, which ntile does not guarantee), and
+    no shuffle of the data ever happens: the only cluster work is the
+    sketch aggregation. ``accuracy`` is the GK epsilon: expected rank
+    error ≤ accuracy·n rows per boundary.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    probs = [i / n_bins for i in range(1, n_bins)]
+    thresholds = df.approxQuantile(value_col, probs, accuracy)
+    bin_expr: Column = F.lit(1)
+    for t in thresholds:
+        bin_expr = bin_expr + F.when(
+            F.col(value_col) >= F.lit(t), F.lit(1)
+        ).otherwise(F.lit(0))
+    return df.withColumn(output_col, bin_expr.cast("int"))

@@ -1342,3 +1342,18 @@ def d12_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = sim.semdedup(emb, threshold=0.35, n_clusters=16)
     return out.select("vec_id", "list_id", "keep")
+
+
+# ---------------------------------------------------------------------------
+# GLOBAL curriculum bins at corpus scale: Greenwald-Khanna threshold
+# sketch + scan-side CASE — the documented no-single-task-sort
+# alternative to p13's per-group ntile. Thresholds are sketch-derived
+# (deterministic, not SQL-reproducible) -> rows-only; population
+# balance, monotonicity, and equal-value cohesion are pytest-asserted.
+# ---------------------------------------------------------------------------
+@register("p16_quality_bins_global", None)
+def p16_quality_bins_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = tx.quality_score(docs, "text").select("doc_id", "quality_score")
+    out = sp.quantile_bins_global(scored, "quality_score", 4)
+    return out.select("doc_id", "quality_score", "bin")

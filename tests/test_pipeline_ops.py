@@ -499,3 +499,37 @@ def test_interleave_drops_unweighted_groups(spark):
     )
     out = interleave_order(df, "doc_id", "grp", {"keep": 1}).toPandas()
     assert list(out["grp"]) == ["keep"]
+
+
+# --- quantile_bins_global ---------------------------------------------------
+
+
+def test_quantile_bins_global_properties(spark):
+    """Monotone in value, equal values share a bin, populations within
+    the sketch tolerance of n/n_bins."""
+    import numpy as np
+
+    from sparkswift.operators.sampling import quantile_bins_global
+
+    vals = [(i, float((i * 37) % 1000)) for i in range(2000)]
+    df = spark.createDataFrame(vals, "id long, v double")
+    out = quantile_bins_global(df, "v", 4, accuracy=1e-5).toPandas()
+    assert set(out["bin"]) == {1, 2, 3, 4}
+    s = out.sort_values("v")
+    assert (np.diff(s["bin"].to_numpy()) >= 0).all()  # monotone
+    assert (out.groupby("v")["bin"].nunique() == 1).all()  # cohesion
+    pops = out.groupby("bin").size()
+    for b in (1, 2, 3, 4):
+        assert abs(pops[b] - 500) <= 2, pops.to_dict()
+
+
+def test_quantile_bins_global_no_shuffle_of_data(spark):
+    """The bin assignment itself must be a scan-side projection — no
+    Exchange in the plan below the CASE (the sketch agg is a separate
+    tiny job inside approxQuantile, not part of this plan)."""
+    from sparkswift.operators.sampling import quantile_bins_global
+
+    df = spark.range(1000).withColumn("v", (F.col("id") % 97).cast("double"))
+    out = quantile_bins_global(df, "v", 4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
