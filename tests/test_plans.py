@@ -213,3 +213,17 @@ def test_interleave_no_global_sort_no_single_partition_window(plans):
     assert "Window" in p
     assert "SinglePartition" not in p
     assert "Exchange rangepartitioning" not in p
+
+
+def test_latest_per_key_single_shuffle(plans):
+    p = plans("w3_latest_per_key")
+    # one hash exchange on the key feeds the ranking window; no
+    # second exchange, no global sort
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_zorder_key_is_pure_projection(plans):
+    p = plans("p15_zorder_key")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
