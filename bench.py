@@ -74,6 +74,7 @@ HEADLINE = [
     "agg11_sketch_union",    # re-aggregatable HLL sketch rollup
     "w3_latest_per_key",     # CDC latest-snapshot compaction
     "p15_zorder_key",        # Morton layout key (native bit exprs)
+    "j9_interval_overlap",   # interval-overlap join, canonical bucket
 ]
 
 

@@ -237,3 +237,69 @@ def range_join_buckets(
         )
         .drop("__bkt")
     )
+
+
+def range_join_intervals(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Interval-OVERLAP join for TWO LARGE interval sets (overlap iff
+    ``l.lo <= r.hi AND r.lo <= l.hi``) — the two-sided sibling of
+    :func:`range_join_buckets`, same reason: Spark's only native plan
+    for an inequality-only join is a nested loop.
+
+    Both sides explode to the value-domain buckets they span. Unlike
+    the point case, an overlapping pair can now share SEVERAL buckets;
+    instead of a dedup pass, each pair is counted only in its
+    CANONICAL bucket — ``floor(max(l.lo, r.lo) / w)``, the first
+    bucket where both intervals are live. That bucket always is a
+    shared bucket (max(lo) <= min(hi) for overlapping pairs), so the
+    equi-join on the bucket id + the overlap predicate + the canonical
+    filter yields every qualifying pair EXACTLY once with zero
+    post-join deduplication — dedup would be another shuffle of the
+    full result.
+
+    Cost: each side shuffles ceil(span/w) copies; pick ``bucket_width``
+    near the typical interval length so the explode factor stays O(1).
+    Skewed hot buckets are ordinary equi-join skew (AQE handles, or
+    pre-split long intervals). Returns all columns of ``left`` then
+    ``right``.
+    """
+    w = float(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be positive")
+    l_b = left.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(left_lo) / F.lit(w)),
+                F.floor(F.col(left_hi) / F.lit(w)),
+            )
+        ),
+    )
+    r_b = right.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / F.lit(w)),
+                F.floor(F.col(right_hi) / F.lit(w)),
+            )
+        ),
+    )
+    return (
+        l_b.join(r_b, "__bkt")
+        .filter(
+            (F.col(left_lo) <= F.col(right_hi))
+            & (F.col(right_lo) <= F.col(left_hi))
+        )
+        .filter(
+            F.col("__bkt")
+            == F.floor(F.greatest(F.col(left_lo), F.col(right_lo)) / F.lit(w))
+        )
+        .drop("__bkt")
+    )

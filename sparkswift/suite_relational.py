@@ -837,3 +837,50 @@ def p15_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("o_custkey"), F.floor(F.col("o_totalprice")).cast("long")], bits=16
     )
     return orders.select("o_orderkey", z.alias("z"))
+
+
+# ---------------------------------------------------------------------------
+# Interval-OVERLAP join, both sides large (j9): price-tolerance bands
+# of two order subsets overlap. Two-sided sibling of j8 — both sides
+# explode to value-domain buckets; a pair can share several buckets,
+# so it is counted only in its CANONICAL bucket floor(max(lo)/w):
+# exactly-once with no post-join dedup shuffle (see
+# operators/joins.py:range_join_intervals). Oracle: DuckDB's native
+# inequality join on the same predicate.
+# ---------------------------------------------------------------------------
+@register(
+    "j9_interval_overlap",
+    """
+    WITH a AS (
+      SELECT o_orderkey AS a_key,
+             o_totalprice * 0.999 AS a_lo, o_totalprice * 1.001 AS a_hi
+      FROM orders WHERE o_orderkey % 4 = 0
+    ),
+    b AS (
+      SELECT o_orderkey AS b_key,
+             o_totalprice * 0.999 AS b_lo, o_totalprice * 1.001 AS b_hi
+      FROM orders WHERE o_orderkey % 4 = 1
+    )
+    SELECT a_key, CAST(COUNT(*) AS BIGINT) AS n_overlaps
+    FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
+    GROUP BY a_key
+    """,
+)
+def j9_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.joins import range_join_intervals
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 4 == 0).select(
+        F.col("o_orderkey").alias("a_key"),
+        (F.col("o_totalprice") * 0.999).alias("a_lo"),
+        (F.col("o_totalprice") * 1.001).alias("a_hi"),
+    )
+    b = orders.filter(F.col("o_orderkey") % 4 == 1).select(
+        F.col("o_orderkey").alias("b_key"),
+        (F.col("o_totalprice") * 0.999).alias("b_lo"),
+        (F.col("o_totalprice") * 1.001).alias("b_hi"),
+    )
+    pairs = range_join_intervals(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 1_000.0)
+    return pairs.groupBy("a_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlaps")
+    )

@@ -301,3 +301,52 @@ def test_register_parallel_ps_accessor(spark, sf_dir):
         acc.rolling(3)
     with pytest.raises(NotImplementedError):
         psdf.swifter.apply(lambda r: r, axis=1, raw=True)
+
+
+# --- range_join_intervals ---------------------------------------------------
+
+
+def test_interval_overlap_exactly_once_vs_bruteforce(spark):
+    """Random intervals spanning MANY buckets: every overlapping pair
+    appears exactly once (the canonical-bucket filter), matching a
+    brute-force nested loop."""
+    from sparkswift.operators.joins import range_join_intervals
+
+    la = [(i, float((i * 7) % 50), float((i * 7) % 50 + (i * 13) % 40)) for i in range(80)]
+    rb = [(j, float((j * 11) % 60), float((j * 11) % 60 + (j * 5) % 35)) for j in range(80)]
+    a = spark.createDataFrame(la, "a_id long, a_lo double, a_hi double")
+    b = spark.createDataFrame(rb, "b_id long, b_lo double, b_hi double")
+    got = (
+        range_join_intervals(a, b, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=8.0)
+        .select("a_id", "b_id")
+        .toPandas()
+    )
+    expect = {
+        (i, j)
+        for i, alo, ahi in la
+        for j, blo, bhi in rb
+        if alo <= bhi and blo <= ahi
+    }
+    pairs = list(zip(got["a_id"], got["b_id"]))
+    assert len(pairs) == len(set(pairs)), "duplicated pairs"
+    assert set(pairs) == expect
+
+
+def test_interval_overlap_plan_is_equi_join(spark):
+    from pyspark.sql import functions as F
+
+    from sparkswift.operators.joins import range_join_intervals
+
+    a = spark.range(100).select(
+        F.col("id").alias("a_id"),
+        (F.col("id") * 1.0).alias("a_lo"),
+        (F.col("id") * 1.0 + 5).alias("a_hi"),
+    )
+    b = spark.range(100).select(
+        F.col("id").alias("b_id"),
+        (F.col("id") * 1.0 + 2).alias("b_lo"),
+        (F.col("id") * 1.0 + 7).alias("b_hi"),
+    )
+    out = range_join_intervals(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 4.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
