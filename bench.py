@@ -75,6 +75,10 @@ HEADLINE = [
     "w3_latest_per_key",     # CDC latest-snapshot compaction
     "p15_zorder_key",        # Morton layout key (native bit exprs)
     "j9_interval_overlap",   # interval-overlap join, canonical bucket
+    "t13_gopher_quality",    # Gopher rule flags (scan-stage exprs)
+    "t14_chunk_overlap",     # overlapping RAG chunking (posexplode)
+    "agg12_json_extract",    # native JSON parse + grouped stats
+    "q6_forecast_revenue",   # TPC-H Q6 pushdown showcase
 ]
 
 

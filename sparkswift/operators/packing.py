@@ -100,3 +100,56 @@ def chunk_manifest(
         )
         .withColumn("budget", F.lit(int(budget)).cast("bigint"))
     )
+
+
+def chunk_overlap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    size: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Overlapping fixed-size token-window chunking — the RAG/context-
+    window preprocessing step: chunk ``i`` covers words
+    ``[i*stride, i*stride + size)``; the last window is the first one
+    whose end reaches the document end, so every token lands in ≥1
+    chunk and consecutive chunks share ``size - stride`` tokens.
+
+    Pure Catalyst: tokenize → ``sequence``/``transform`` builds the
+    window list → ``posexplode`` emits one row per chunk. No shuffle,
+    no Python — at 100 TB this is a scan-stage flatMap whose output
+    partitioning follows the input files. Deterministic integer
+    arithmetic throughout (SQL-oracle-able exactly).
+
+    Returns ``(id_col, chunk_id, chunk_text, n_chunk_tokens)``.
+    """
+    if not (0 < stride <= size):
+        raise ValueError(f"need 0 < stride <= size, got {stride=} {size=}")
+    from sparkswift.operators.text import tokens
+
+    words = tokens(text_col)
+    n = F.size(words).cast("bigint")
+    n_chunks = F.when(n <= size, F.lit(1).cast("bigint")).otherwise(
+        (F.floor((n - size + stride - 1) / stride) + 1).cast("bigint")
+    )
+    windows = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), n_chunks - 1),
+        lambda i: F.struct(
+            F.array_join(F.slice(words, (i * stride + 1).cast("int"), size), " ").alias(
+                "chunk_text"
+            ),
+            F.least(F.lit(size).cast("bigint"), n - i * stride).alias(
+                "n_chunk_tokens"
+            ),
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(windows).alias("chunk_id", "__c"),
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("__c.chunk_text").alias("chunk_text"),
+        F.col("__c.n_chunk_tokens").alias("n_chunk_tokens"),
+    )

@@ -580,3 +580,102 @@ def rare_token_stats(
             "rare_frac", F.col("n_rare").cast("double") / F.col("n_tokens")
         )
     )
+
+
+# Gopher quality-rule stopword list (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", §A1.1 — public paper): a document must
+# contain at least 2 of these to pass the stop-word rule.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher pre-training quality rules (Rae et al. 2021 §A1.1) as
+    pure Catalyst expressions — the document-level repetition-free
+    subset of the rule family (repetition rules live in
+    ``repetition_metrics``).
+
+    Emits per-document metrics plus 0/1 rule flags and the conjunction
+    ``keep``. Every metric is integer arithmetic or a single division
+    of exact integers — bit-deterministic, SQL-oracle-able. Zero
+    Python, zero shuffle: this is a scan-stage projection, so at
+    100 TB it fuses into whole-stage codegen over the parquet scan
+    with only ``text_col`` read.
+
+    Word rules: count bounds, mean word length bounds, symbol
+    (``#``/``...``) to word ratio, alphabetic-word fraction, stop-word
+    minimum. Line rules: bullet-start and ellipsis-end line fractions
+    (computed over ``\\n``-split lines; a single-line document yields
+    one line).
+    """
+    toks = tokens(text_col)
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_words = F.size(toks).cast("bigint")
+    sum_word_len = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    mean_word_len = sum_word_len.cast("double") / n_words.cast("double")
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    n_symbols = (n_hash + n_ellipsis).cast("bigint")
+    symbol_ratio = n_symbols.cast("double") / n_words.cast("double")
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))).cast("bigint")
+    alpha_frac = n_alpha.cast("double") / n_words.cast("double")
+    sw = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(sw, w))).cast("bigint")
+
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines).cast("bigint")
+    n_bullet = F.size(
+        F.filter(lines, lambda ln: F.ltrim(ln).rlike("^[-*•]"))
+    ).cast("bigint")
+    n_ell_end = F.size(
+        F.filter(lines, lambda ln: F.rtrim(ln).rlike("(\\.\\.\\.|…)$"))
+    ).cast("bigint")
+    bullet_ratio = n_bullet.cast("double") / n_lines.cast("double")
+    ellipsis_ratio = n_ell_end.cast("double") / n_lines.cast("double")
+
+    flags = {
+        "ok_words": (n_words >= min_words) & (n_words <= max_words),
+        "ok_word_len": (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len),
+        "ok_symbols": symbol_ratio < max_symbol_ratio,
+        "ok_bullets": bullet_ratio < max_bullet_ratio,
+        "ok_ellipsis": ellipsis_ratio < max_ellipsis_ratio,
+        "ok_alpha": alpha_frac >= min_alpha_frac,
+        "ok_stopwords": n_stop >= min_stopwords,
+    }
+    out = df.withColumns(
+        {
+            "n_words": n_words,
+            "mean_word_len": mean_word_len,
+            "symbol_ratio": symbol_ratio,
+            "alpha_frac": alpha_frac,
+            "n_stop": n_stop,
+            "bullet_ratio": bullet_ratio,
+            "ellipsis_ratio": ellipsis_ratio,
+            **{k: v.cast("int") for k, v in flags.items()},
+        }
+    )
+    keep = None
+    for k in flags:
+        keep = F.col(k) if keep is None else (keep * F.col(k))
+    return out.withColumn("keep", keep.cast("int"))

@@ -1357,3 +1357,111 @@ def p16_quality_bins_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = tx.quality_score(docs, "text").select("doc_id", "quality_score")
     out = sp.quantile_bins_global(scored, "quality_score", 4)
     return out.select("doc_id", "quality_score", "bin")
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021 §A1.1): word-count bounds,
+# mean-word-length bounds, symbol ratio, alpha-word fraction,
+# stop-word minimum, bullet/ellipsis line fractions — all native
+# expressions fused into the scan stage (zero shuffle, zero Python).
+# Thresholds scaled to the synthetic fixture (docs are 10-100 words);
+# the rule LOGIC is what the oracle verifies, flag by flag.
+# ---------------------------------------------------------------------------
+_GOPHER_SW = ", ".join(f"'{w}'" for w in tx.GOPHER_STOPWORDS)
+
+@register(
+    "t13_gopher_quality",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE)
+               / len(toks) AS mean_word_len,
+             CAST((LENGTH(text) - LENGTH(replace(text, '#', '')))
+                  + (LENGTH(text) - LENGTH(replace(text, '...', ''))) // 3
+               AS BIGINT) AS n_symbols,
+             CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]')))
+               AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(toks, w -> w IN ({_GOPHER_SW})))
+               AS BIGINT) AS n_stop,
+             CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(string_split(text, chr(10)),
+                  ln -> regexp_matches(ltrim(ln), '^[-*•]'))) AS BIGINT) AS n_bullet,
+             CAST(len(list_filter(string_split(text, chr(10)),
+                  ln -> regexp_matches(rtrim(ln), '(\.\.\.|…)$'))) AS BIGINT) AS n_ell
+      FROM t
+    ),
+    f AS (
+      SELECT doc_id, n_words, mean_word_len,
+             CAST(n_symbols AS DOUBLE) / n_words AS symbol_ratio,
+             CAST(n_alpha AS DOUBLE) / n_words AS alpha_frac,
+             n_stop,
+             CAST(n_bullet AS DOUBLE) / n_lines AS bullet_ratio,
+             CAST(n_ell AS DOUBLE) / n_lines AS ellipsis_ratio,
+             CAST(n_words >= 20 AND n_words <= 10000 AS INT) AS ok_words,
+             CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT)
+               AS ok_word_len,
+             CAST(CAST(n_symbols AS DOUBLE) / n_words < 0.1 AS INT) AS ok_symbols,
+             CAST(CAST(n_bullet AS DOUBLE) / n_lines < 0.9 AS INT) AS ok_bullets,
+             CAST(CAST(n_ell AS DOUBLE) / n_lines < 0.3 AS INT) AS ok_ellipsis,
+             CAST(CAST(n_alpha AS DOUBLE) / n_words >= 0.8 AS INT) AS ok_alpha,
+             CAST(n_stop >= 1 AS INT) AS ok_stopwords
+      FROM m
+    )
+    SELECT *,
+           ok_words * ok_word_len * ok_symbols * ok_bullets * ok_ellipsis
+             * ok_alpha * ok_stopwords AS keep
+    FROM f
+    """,
+)
+def t13_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = tx.gopher_rules(
+        docs,
+        "text",
+        min_words=20,
+        max_words=10_000,
+        min_stopwords=1,
+    )
+    return out.select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio", "alpha_frac",
+        "n_stop", "bullet_ratio", "ellipsis_ratio", "ok_words", "ok_word_len",
+        "ok_symbols", "ok_bullets", "ok_ellipsis", "ok_alpha", "ok_stopwords",
+        "keep",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping token-window chunking (size 32 / stride 24 scaled to the
+# 10-100-word fixture docs): the RAG / context-window preprocessing
+# step. sequence→transform→posexplode, a scan-stage flatMap — no
+# shuffle, no Python; deterministic integer window arithmetic gives an
+# exact SQL oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "t14_chunk_overlap",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    n AS (
+      SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_words,
+             CASE WHEN len(toks) <= 32 THEN 1
+                  ELSE (len(toks) - 32 + 24 - 1) // 24 + 1 END AS n_chunks
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(u.i AS BIGINT) AS chunk_id,
+           array_to_string(toks[u.i*24+1 : u.i*24+32], ' ') AS chunk_text,
+           CAST(least(32, n_words - u.i*24) AS BIGINT) AS n_chunk_tokens
+    FROM n, unnest(range(0, n_chunks)) AS u(i)
+    """,
+)
+def t14_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.packing import chunk_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_overlap(docs, "doc_id", "text", size=32, stride=24)

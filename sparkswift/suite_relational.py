@@ -884,3 +884,86 @@ def j9_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("a_key").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_overlaps")
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON metadata extraction + aggregate: the semi-structured "props"
+# column every event pipeline carries. Spark parses with from_json
+# (native Jackson parse, whole-stage codegen — NOT a Python UDF) into
+# a typed struct; the scan reads only (event_type, props). One hash
+# shuffle on the low-cardinality event_type key; all stats are exact
+# integer sums or sum/count divisions.
+# ---------------------------------------------------------------------------
+@register(
+    "agg12_json_extract",
+    """
+    WITH t AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS total_k,
+           CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+    FROM t
+    GROUP BY event_type
+    """,
+)
+def agg12_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k BIGINT")["k"].alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count("k").cast("bigint").alias("n_with_k"),
+        F.sum("k").cast("bigint").alias("total_k"),
+        (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+        F.countDistinct("k").cast("bigint").alias("n_distinct_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape — the canonical predicate-pushdown showcase: a pure
+# scan-filter-aggregate with zero joins and zero wide shuffle. All
+# three predicates and the 2-column projection reach the parquet
+# reader (PushedFilters / ReadSchema, asserted in tests/test_plans.py)
+# so at 100 TB the job reads a fraction of the table and reduces to
+# one partial-agg + single-row final agg.
+# ---------------------------------------------------------------------------
+@register(
+    "q6_forecast_revenue",
+    f"""
+    SELECT CAST(SUM(CAST(l_extendedprice AS {D}) * CAST(l_discount AS {D}))
+                AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.sum(F.col("l_extendedprice").cast(D) * F.col("l_discount").cast(D))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )

@@ -227,3 +227,26 @@ def test_zorder_key_is_pure_projection(plans):
     p = plans("p15_zorder_key")
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_q6_pushdown_and_no_shuffle(plans):
+    """Q6 is the pushdown showcase: every predicate reaches the parquet
+    reader, only 4 columns are read, and the only exchange is the
+    single-row final-agg gather."""
+    p = plans("q6_forecast_revenue")
+    assert "PushedFilters" in p
+    for pushed in ("l_shipdate", "l_discount", "l_quantity"):
+        assert pushed in p.split("ReadSchema")[0].split("PushedFilters")[-1] or (
+            pushed in p[p.index("PushedFilters"):]
+        ), pushed
+    read_schema = p[p.index("ReadSchema") :].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema  # column pruning held
+    assert p.count("Exchange") <= 1  # single-row gather only
+
+
+def test_json_extract_is_native_not_python(plans):
+    """from_json runs JVM-side — no Python evals anywhere in the plan."""
+    p = plans("agg12_json_extract")
+    assert "from_json" in p
+    assert "Python" not in p and "ArrowEval" not in p

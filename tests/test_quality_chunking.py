@@ -1,0 +1,116 @@
+"""Tests for the Gopher quality rules and overlapping chunking
+(round-5 additions: operators/text.gopher_rules, packing.chunk_overlap)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sparkswift.operators.packing import chunk_overlap
+from sparkswift.operators.text import GOPHER_STOPWORDS, gopher_rules
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(pd.DataFrame({"doc_id": range(len(rows)), "text": rows}))
+
+
+# --- gopher_rules -----------------------------------------------------------
+
+
+def test_gopher_line_rules_on_multiline_text(spark):
+    """Bullet-start and ellipsis-end line fractions are computed over
+    newline-split lines — the rules the single-line fixture can't vary."""
+    bullets = "\n".join(["- item one here", "- item two here", "plain line here"])
+    ellipses = "\n".join(["to be continued...", "also trailing…", "normal line", "x"])
+    out = (
+        gopher_rules(_df(spark, [bullets, ellipses]), min_words=1, min_stopwords=0)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert out.loc[0, "bullet_ratio"] == pytest.approx(2 / 3)
+    assert out.loc[0, "ok_bullets"] == 1  # 2/3 < 0.9
+    assert out.loc[1, "ellipsis_ratio"] == pytest.approx(2 / 4)
+    assert out.loc[1, "ok_ellipsis"] == 0  # 1/2 >= 0.3
+
+
+def test_gopher_word_rules_match_python(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog with style and grace today",
+        "### ### ### a b c",  # symbol-heavy, short words
+        "12 34 56 78 90",  # no alphabetic words, no stopwords
+    ]
+    out = gopher_rules(_df(spark, texts), min_words=5, min_stopwords=2).orderBy("doc_id").toPandas()
+    for i, t in enumerate(texts):
+        words = t.split()
+        assert out.loc[i, "n_words"] == len(words)
+        assert out.loc[i, "mean_word_len"] == pytest.approx(
+            sum(len(w) for w in words) / len(words)
+        )
+        n_sym = t.count("#") + t.count("...")
+        assert out.loc[i, "symbol_ratio"] == pytest.approx(n_sym / len(words))
+        n_alpha = sum(any(c.isalpha() and c.isascii() for c in w) for w in words)
+        assert out.loc[i, "alpha_frac"] == pytest.approx(n_alpha / len(words))
+        assert out.loc[i, "n_stop"] == sum(w in GOPHER_STOPWORDS for w in words)
+    # doc 0 passes everything; doc 1 fails symbols+word-len+stopwords;
+    # doc 2 fails alpha+stopwords
+    assert list(out["keep"]) == [1, 0, 0]
+    assert out.loc[1, "ok_symbols"] == 0
+    assert out.loc[2, "ok_alpha"] == 0 and out.loc[2, "ok_stopwords"] == 0
+
+
+def test_gopher_keep_is_conjunction_of_flags(spark, sf_dir):
+    from sparkswift.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    out = gopher_rules(docs, min_words=20, min_stopwords=1).toPandas()
+    flags = [c for c in out.columns if c.startswith("ok_")]
+    assert (out["keep"] == out[flags].prod(axis=1)).all()
+
+
+# --- chunk_overlap ----------------------------------------------------------
+
+
+def test_chunk_overlap_covers_every_token_and_overlaps(spark):
+    text = " ".join(f"w{i}" for i in range(100))
+    out = (
+        chunk_overlap(_df(spark, [text]), size=32, stride=24)
+        .orderBy("chunk_id")
+        .toPandas()
+    )
+    # chunks: ceil((100-32)/24)+1 = 4
+    assert len(out) == 4
+    toks = []
+    for _, r in out.iterrows():
+        chunk = r["chunk_text"].split()
+        assert r["n_chunk_tokens"] == len(chunk)
+        start = int(r["chunk_id"]) * 24
+        assert chunk == [f"w{i}" for i in range(start, min(start + 32, 100))]
+        toks.extend(chunk)
+    assert set(toks) == {f"w{i}" for i in range(100)}  # full coverage
+    # consecutive chunks share size - stride = 8 tokens
+    c0 = out.loc[0, "chunk_text"].split()
+    c1 = out.loc[1, "chunk_text"].split()
+    assert c0[-8:] == c1[:8]
+
+
+def test_chunk_overlap_short_doc_single_chunk(spark):
+    out = chunk_overlap(_df(spark, ["only five words right here"]), size=32, stride=24).toPandas()
+    assert len(out) == 1
+    assert out.loc[0, "chunk_id"] == 0
+    assert out.loc[0, "n_chunk_tokens"] == 5
+
+
+def test_chunk_overlap_rejects_bad_stride(spark):
+    with pytest.raises(ValueError):
+        chunk_overlap(_df(spark, ["a"]), size=10, stride=11)
+    with pytest.raises(ValueError):
+        chunk_overlap(_df(spark, ["a"]), size=10, stride=0)
+
+
+def test_chunk_overlap_no_shuffle_in_plan(spark, sf_dir):
+    """Chunking is a scan-stage flatMap — the plan must not contain an
+    Exchange."""
+    from sparkswift.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = chunk_overlap(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
