@@ -79,6 +79,7 @@ HEADLINE = [
     "t14_chunk_overlap",     # overlapping RAG chunking (posexplode)
     "agg12_json_extract",    # native JSON parse + grouped stats
     "q6_forecast_revenue",   # TPC-H Q6 pushdown showcase
+    "e5_cosine_topk_pq",     # product-quantization ANN (ADC + refine)
 ]
 
 

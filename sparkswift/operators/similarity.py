@@ -911,3 +911,248 @@ def semdedup(
             F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the third leg of the FAISS ANN triad
+# (flat/e1, LSH/e2, IVF/e3-e4). The vector is split into m subvectors,
+# each quantized to one of ksub per-subspace centroids; a vector
+# becomes m small codes (m·log2(ksub) bits, e.g. 64 dims → 8 bytes at
+# m=8/ksub=256 vs 256 bytes raw). Search scans CODES, not vectors:
+# per query, an m×ksub lookup table of subvector dot products turns
+# each corpus vector's score into m table gathers (ADC — asymmetric
+# distance computation, Jégou et al. 2011, public).
+# ---------------------------------------------------------------------------
+
+
+def _pq_kmeans_1d(sub: np.ndarray, ksub: int, seed: int, iters: int) -> np.ndarray:
+    """Seeded Lloyd k-means for ONE subspace of the training sample —
+    runs on the driver over a bounded sample (the FAISS training
+    pattern). Deterministic: seeded init, fixed iteration count,
+    empty clusters re-seeded from the farthest points."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n = sub.shape[0]
+    if n < ksub:
+        raise ValueError(f"training sample ({n}) smaller than ksub ({ksub})")
+    centers = sub[rng.choice(n, size=ksub, replace=False)].copy()
+    for _ in range(iters):
+        d = ((sub[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(ksub):
+            mask = assign == j
+            if mask.any():
+                centers[j] = sub[mask].mean(axis=0)
+            else:  # re-seed dead centroid at the current worst-fit point
+                centers[j] = sub[d.min(axis=1).argmax()]
+    return centers
+
+
+def pq_train(
+    corpus: DataFrame,
+    *,
+    m: int = 8,
+    ksub: int = 32,
+    train_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    iters: int = 20,
+) -> np.ndarray:
+    """Train per-subspace codebooks on a bounded deterministic sample
+    (lowest ``train_size`` ids — stable under partitioning and corpus
+    growth-by-append-of-larger-ids). Vectors are unit-normalized first
+    so inner product == cosine downstream. Returns codebooks of shape
+    ``(m, ksub, dim // m)`` — a few KB, shipped to executors inside
+    the UDF closure.
+
+    Scale: training reads ``train_size`` rows ONCE (TakeOrdered — no
+    full sort); everything sized by the corpus happens distributed in
+    :func:`pq_encode` / :func:`cosine_topk_pq`.
+    """
+    sample = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(id_col)
+        .limit(train_size)
+        .toPandas()
+    )
+    x = _to_matrix(sample[vec_col])
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    x = x / np.linalg.norm(x, axis=1, keepdims=True).clip(min=1e-12)
+    dsub = dim // m
+    return np.stack(
+        [
+            _pq_kmeans_1d(x[:, j * dsub : (j + 1) * dsub], ksub, seed + j, iters)
+            for j in range(m)
+        ]
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every corpus vector to its m nearest-centroid codes —
+    one Arrow-batched numpy kernel (batch × ksub distance matrix per
+    subspace), fully distributed, no shuffle. Returns
+    ``(corpus_id, codes array<int>)``."""
+    m, ksub, dsub = codebooks.shape
+    cb = codebooks  # closure-captured; a few KB
+
+    @F.pandas_udf("array<int>")
+    def enc(s: pd.Series) -> pd.Series:
+        x = _to_matrix(s)
+        x = x / np.linalg.norm(x, axis=1, keepdims=True).clip(min=1e-12)
+        codes = np.empty((x.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            sub = x[:, j * dsub : (j + 1) * dsub]
+            # ||s - c||² = ||s||² - 2 s·c + ||c||²; ||s||² constant per row
+            d = -2.0 * (sub @ cb[j].T) + (cb[j] ** 2).sum(axis=1)[None, :]
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return _spread(corpus.select(F.col(id_col), F.col(vec_col))).select(
+        F.col(id_col).alias("corpus_id"), enc(F.col(vec_col)).alias("codes")
+    )
+
+
+def cosine_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    m: int = 16,
+    ksub: int = 64,
+    train_size: int = 2048,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via PQ codes + ADC scan + exact
+    re-ranking. Same output shape as :func:`cosine_topk`
+    (``query_id, corpus_id, rnk, cos_sim``); recall vs the exact
+    operator is asserted in tests. Defaults chosen by sweep on the
+    uniform-random fixture (ANN's worst case — see NOTES.md):
+    m=16/ksub=64/refine=4 → recall@5 0.92 (refine=8 → 0.98) with
+    12-byte codes (21× smaller than the raw float32 vector).
+
+    Plan shape (the 100 TB story):
+
+    1. train: one bounded-sample read (driver, FAISS pattern);
+    2. encode: one distributed scan → codes (32× smaller than raw);
+    3. ADC scan: ONE pass over codes; per Arrow batch the score matrix
+       is m gathers into the broadcast (nq × m × ksub) LUT; each
+       PARTITION emits only its local top-(k·refine) per query — the
+       shuffle that follows carries `partitions × nq × k·refine`
+       rows, never the corpus;
+    4. refine: the tiny candidate set joins back to exact quantized
+       vectors (hash join on corpus_id, candidate side broadcast-able)
+       and is re-ranked with the exact integer-grid cosine — so
+       emitted `cos_sim` values are EXACT for the survivors, and the
+       only approximation is which candidates made the list.
+    """
+    codebooks = pq_train(
+        corpus,
+        m=m,
+        ksub=ksub,
+        train_size=train_size,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+    )
+    _, _, dsub = codebooks.shape
+    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+
+    qpd = queries.select(F.col(id_col), F.col(vec_col)).orderBy(id_col).toPandas()
+    qx = _to_matrix(qpd[vec_col])
+    qx = qx / np.linalg.norm(qx, axis=1, keepdims=True).clip(min=1e-12)
+    qids = qpd[id_col].to_numpy(dtype=np.int64)
+    nq = len(qids)
+    # LUT[q, j, c] = q_subvec_j · centroid_{j,c}  — cosine contribution
+    lut = np.einsum(
+        "qjd,jcd->qjc",
+        qx.reshape(nq, codebooks.shape[0], dsub),
+        codebooks,
+    ).astype(np.float64)
+    kr = k * refine
+
+    def adc_scan(batches):
+        # per-partition running top-kr per query: scores accumulated
+        # across batches, reduced once at the end — bounded memory
+        best_ids: list[np.ndarray] = []
+        best_scores: list[np.ndarray] = []
+        for pdf in batches:
+            cid = pdf["corpus_id"].to_numpy(dtype=np.int64)
+            c = np.asarray(pdf["codes"].tolist(), dtype=np.int64)  # (b, m)
+            # scores[q, b] = Σ_j LUT[q, j, codes[b, j]]
+            s = lut[:, np.arange(c.shape[1])[None, :], c].sum(axis=2)
+            mask = cid[None, :] != qids[:, None]  # drop self-matches
+            s = np.where(mask, s, -np.inf)
+            if s.shape[1] > kr:
+                idx = np.argpartition(-s, kr - 1, axis=1)[:, :kr]
+            else:
+                idx = np.tile(np.arange(s.shape[1]), (nq, 1))
+            best_ids.append(cid[idx])
+            best_scores.append(np.take_along_axis(s, idx, axis=1))
+        if not best_ids:
+            return
+        ids = np.concatenate(best_ids, axis=1)
+        sc = np.concatenate(best_scores, axis=1)
+        if ids.shape[1] > kr:
+            idx = np.argpartition(-sc, kr - 1, axis=1)[:, :kr]
+            ids = np.take_along_axis(ids, idx, axis=1)
+            sc = np.take_along_axis(sc, idx, axis=1)
+        keep = np.isfinite(sc)
+        qcol = np.repeat(qids, ids.shape[1]).reshape(nq, -1)
+        yield pd.DataFrame(
+            {
+                "query_id": qcol[keep],
+                "corpus_id": ids[keep],
+                "adc_score": sc[keep],
+            }
+        )
+
+    cands = codes.mapInPandas(
+        adc_scan, "query_id long, corpus_id long, adc_score double"
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("corpus_id")
+    )
+    cands = (
+        cands.withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") <= kr)
+        .select("query_id", "corpus_id")
+    )
+
+    # exact integer-grid re-rank of the candidate set (same arithmetic
+    # as cosine_topk → emitted cos_sim is engine-exact)
+    cvec = corpus.select(
+        F.col(id_col).alias("corpus_id"), quantize(vec_col).alias("cv")
+    ).withColumn("cn", norm2_long(F.col("cv")))
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv")
+    ).withColumn("qn", norm2_long(F.col("qv")))
+    scored = (
+        cands.join(cvec, "corpus_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "corpus_id",
+            cosine(
+                dot_long(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("corpus_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "rnk", "cos_sim")
+    )

@@ -418,6 +418,22 @@ def e4_cosine_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Product-quantization cosine top-k (Jégou et al. 2011 — the third
+# FAISS leg next to e2 LSH and e3 IVF): bounded-sample codebook
+# training, Arrow-batched encode to 12-byte codes, one ADC scan that
+# emits only per-partition top-(k·refine) candidates, then an exact
+# integer-grid re-rank of that tiny set. Approximate candidate choice
+# -> rows-only; recall ≥ 0.85 and refine-score exactness are
+# pytest-asserted (tests/test_llm_ops.py).
+# ---------------------------------------------------------------------------
+@register("e5_cosine_topk_pq", None)
+def e5_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0)
+    return sim.cosine_topk_pq(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
 # Multimodal decode plumbing: synthesized binary payloads → Arrow-
 # batched pseudo-decode. byte_len and sha256 are oracle-checkable.
 # ---------------------------------------------------------------------------

@@ -543,3 +543,59 @@ def test_hll_union_of_partials_equals_direct_sketch(spark, sf_dir):
     )
     for p in exact.index:
         assert abs(merged[p] - exact[p]) / exact[p] < 0.05, (p, merged[p], exact[p])
+
+
+# --- product quantization (PQ) ----------------------------------------------
+
+
+def test_pq_topk_recall_vs_exact(emb):
+    """m=16/ksub=64/refine=4 swept to recall@5 ≈ 0.92 on the
+    uniform-random fixture (NOTES.md round 5); 0.85 is the guard
+    floor."""
+    queries = emb.filter(F.col("label") == 0)
+    exact = {
+        (r.query_id, r.corpus_id)
+        for r in sim.cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.corpus_id)
+        for r in sim.cosine_topk_pq(emb, queries, k=5, train_size=500).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.85
+
+
+def test_pq_refine_scores_are_exact(emb):
+    """Refine re-ranks with the exact integer-grid cosine, so every
+    emitted (query, corpus, cos_sim) matches the exact operator's
+    score for that same pair bit-for-bit."""
+    queries = emb.filter(F.col("label") == 0).limit(5)
+    exact_all = sim.cosine_topk(emb, queries, k=200).toPandas()
+    truth = {
+        (r.query_id, r.corpus_id): r.cos_sim for r in exact_all.itertuples()
+    }
+    pq = sim.cosine_topk_pq(emb, queries, k=5, train_size=500).toPandas()
+    for r in pq.itertuples():
+        key = (r.query_id, r.corpus_id)
+        if key in truth:  # candidate inside the exact top-200
+            assert truth[key] == r.cos_sim, key
+
+
+def test_pq_encode_codes_shape_and_determinism(emb):
+    cb = sim.pq_train(emb, m=16, ksub=64, train_size=500)
+    assert cb.shape == (16, 64, 4)
+    a = sim.pq_encode(emb, cb).orderBy("corpus_id").toPandas()
+    b = (
+        sim.pq_encode(emb.repartition(13), cb)
+        .orderBy("corpus_id")
+        .toPandas()
+    )
+    assert (a["corpus_id"] == b["corpus_id"]).all()
+    assert all(list(x) == list(y) for x, y in zip(a["codes"], b["codes"]))
+    assert all(len(c) == 16 and max(c) < 64 and min(c) >= 0 for c in a["codes"])
+
+
+def test_pq_train_rejects_bad_dims(emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        sim.pq_train(emb, m=7, ksub=8, train_size=100)
+    with pytest.raises(ValueError, match="smaller than ksub"):
+        sim.pq_train(emb, m=8, ksub=512, train_size=100)
