@@ -80,6 +80,7 @@ HEADLINE = [
     "agg12_json_extract",    # native JSON parse + grouped stats
     "q6_forecast_revenue",   # TPC-H Q6 pushdown showcase
     "e5_cosine_topk_pq",     # product-quantization ANN (ADC + refine)
+    "e6_cosine_topk_ivfpq",  # IVF probe pruning × PQ compression
 ]
 
 

@@ -995,11 +995,12 @@ def pq_encode(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode every corpus vector to its m nearest-centroid codes —
     one Arrow-batched numpy kernel (batch × ksub distance matrix per
     subspace), fully distributed, no shuffle. Returns
-    ``(corpus_id, codes array<int>)``."""
+    ``(corpus_id, codes array<int>, *keep_cols)``."""
     m, ksub, dsub = codebooks.shape
     cb = codebooks  # closure-captured; a few KB
 
@@ -1015,8 +1016,11 @@ def pq_encode(
             codes[:, j] = d.argmin(axis=1)
         return pd.Series(list(codes))
 
-    return _spread(corpus.select(F.col(id_col), F.col(vec_col))).select(
-        F.col(id_col).alias("corpus_id"), enc(F.col(vec_col)).alias("codes")
+    cols = [F.col(id_col), F.col(vec_col), *(F.col(c) for c in keep_cols)]
+    return _spread(corpus.select(*cols)).select(
+        F.col(id_col).alias("corpus_id"),
+        enc(F.col(vec_col)).alias("codes"),
+        *(F.col(c) for c in keep_cols),
     )
 
 
@@ -1139,6 +1143,136 @@ def cosine_topk_pq(
     ).withColumn("qn", norm2_long(F.col("qv")))
     scored = (
         cands.join(cvec, "corpus_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "corpus_id",
+            cosine(
+                dot_long(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("corpus_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "rnk", "cos_sim")
+    )
+
+
+def cosine_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    nlist: int = 16,
+    nprobe: int = 8,
+    m: int = 16,
+    ksub: int = 64,
+    train_size: int = 2048,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 8,
+) -> DataFrame:
+    """IVFPQ — the composed 100 TB ANN design (the FAISS `IVFx,PQy`
+    index): an IVF coarse quantizer prunes WHICH rows are scanned
+    (~nprobe/nlist of the corpus) and PQ codes shrink WHAT is scanned
+    (12-byte codes vs 256-byte raw vectors), so a probe reads
+    nprobe/nlist × 1/21 of the raw bytes. Encoding is non-residual
+    (scores approximate q·x directly, FAISS ``by_residual=False``) —
+    that keeps one global codebook valid for every list, which is what
+    lets :func:`ivf_add`-style appends skip retraining.
+
+    Search plan: (1) probes and per-query LUTs are driver-computed
+    from the bounded query set; (2) the tiny (query_id, list_id) probe
+    table broadcast-joins the codes — the ONLY corpus-sized motion,
+    and a hash join on an equi-key, not a crossJoin; (3) one
+    ``applyInPandas`` per query group reduces its probed candidates to
+    top-(k·refine) by ADC gathers; (4) the surviving candidate set is
+    re-ranked with the exact integer-grid cosine (emitted ``cos_sim``
+    is exact; only candidate CHOICE is approximate). Recall vs the
+    exact operator is pytest-asserted.
+
+    Output shape matches :func:`cosine_topk`:
+    ``(query_id, corpus_id, rnk, cos_sim)``.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = _spread(corpus.select(F.col(id_col), F.col(vec_col))).withColumn(
+        "fv", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(
+        k=nlist, seed=seed, maxIter=max_iter, featuresCol="fv", predictionCol="list_id"
+    ).fit(c)
+    assigned = model.transform(c).select(
+        F.col(id_col), F.col(vec_col), F.col("list_id")
+    )
+    centers = np.stack(model.clusterCenters())
+
+    codebooks = pq_train(
+        corpus,
+        m=m,
+        ksub=ksub,
+        train_size=train_size,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+    )
+    dsub = codebooks.shape[2]
+    codes = pq_encode(
+        assigned, codebooks, id_col=id_col, vec_col=vec_col, keep_cols=("list_id",)
+    )
+
+    qpd = queries.select(F.col(id_col), F.col(vec_col)).orderBy(id_col).toPandas()
+    qx = _to_matrix(qpd[vec_col])
+    qxn = qx / np.linalg.norm(qx, axis=1, keepdims=True).clip(min=1e-12)
+    qids = qpd[id_col].to_numpy(dtype=np.int64)
+    lut = np.einsum(
+        "qjd,jcd->qjc", qxn.reshape(len(qids), m, dsub), codebooks
+    ).astype(np.float64)
+    qrow = {int(qid): i for i, qid in enumerate(qids)}
+    d2 = ((qx[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    probe_idx = np.argsort(d2, axis=1)[:, :nprobe]
+    probes = corpus.sparkSession.createDataFrame(
+        [
+            (int(qid), int(lid))
+            for qid, row in zip(qids, probe_idx)
+            for lid in row
+        ],
+        "query_id long, list_id int",
+    )
+    kr = k * refine
+
+    def adc_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        row = lut[qrow[qid]]  # (m, ksub)
+        cmat = np.asarray(pdf["codes"].tolist(), dtype=np.int64)
+        s = row[np.arange(m)[None, :], cmat].sum(axis=1)
+        cid = pdf["corpus_id"].to_numpy(dtype=np.int64)
+        s = np.where(cid != qid, s, -np.inf)
+        order = np.argsort(-s)[:kr]
+        order = order[np.isfinite(s[order])]
+        return pd.DataFrame({"query_id": qid, "corpus_id": cid[order]})
+
+    cand = (
+        codes.join(F.broadcast(probes), "list_id")
+        .groupBy("query_id")
+        .applyInPandas(adc_topk, "query_id long, corpus_id long")
+    )
+
+    cvec = corpus.select(
+        F.col(id_col).alias("corpus_id"), quantize(vec_col).alias("cv")
+    ).withColumn("cn", norm2_long(F.col("cv")))
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv")
+    ).withColumn("qn", norm2_long(F.col("qv")))
+    scored = (
+        cand.join(cvec, "corpus_id")
         .join(F.broadcast(qvec), "query_id")
         .select(
             "query_id",

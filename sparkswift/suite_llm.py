@@ -434,6 +434,20 @@ def e5_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVFPQ — coarse-quantizer probe pruning × PQ code compression, the
+# composed FAISS-`IVF16,PQ16` design: a probe reads ~nprobe/nlist of
+# the rows at ~1/21 of the bytes. Non-residual encoding keeps one
+# global codebook valid for every list (append without retrain).
+# Rows-only (ANN); recall floor pytest-asserted.
+# ---------------------------------------------------------------------------
+@register("e6_cosine_topk_ivfpq", None)
+def e6_cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0)
+    return sim.cosine_topk_ivfpq(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
 # Multimodal decode plumbing: synthesized binary payloads → Arrow-
 # batched pseudo-decode. byte_len and sha256 are oracle-checkable.
 # ---------------------------------------------------------------------------
