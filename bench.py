@@ -81,6 +81,7 @@ HEADLINE = [
     "q6_forecast_revenue",   # TPC-H Q6 pushdown showcase
     "e5_cosine_topk_pq",     # product-quantization ANN (ADC + refine)
     "e6_cosine_topk_ivfpq",  # IVF probe pruning × PQ compression
+    "d13_line_dedup",        # cross-corpus line dedup (first-wins)
 ]
 
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sparkswift.operators.text import fingerprint
@@ -914,3 +914,68 @@ def near_dedup(
     )
     out = out.withColumn("component", F.coalesce("component", F.col(id_col)))
     return out.withColumn("is_survivor", F.col(id_col) == F.col("component"))
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Cross-document line/paragraph dedup — the RefinedWeb/CCNet
+    "remove duplicated lines across the corpus" pass: every line keeps
+    only its FIRST occurrence in global ``(id, position)`` order; all
+    later occurrences (in other documents or later in the same one)
+    are dropped, and documents are reassembled in original line order.
+
+    Deterministic first-wins (smallest ``(id, pos)`` owns the line) —
+    exactly reproducible in SQL, so the oracle hash-matches.
+
+    Scale shape: posexplode is a scan-stage flatMap; the dedup is ONE
+    hash shuffle keyed on the line content (the key is prefixed with
+    ``xxhash64(line)`` so the shuffle hashes 8 bytes instead of the
+    full string; the string stays in the key for exactness, so hash
+    collisions cannot merge distinct lines); reassembly is one shuffle
+    back on the doc id with ``array_sort(collect_list(...))`` — no
+    global sort anywhere. Empty docs (every line deduped away) are
+    KEPT with empty text so the output stays row-aligned with the
+    input — filter on ``n_lines_kept > 0`` to drop them.
+
+    Returns ``(id_col, *keep_cols, clean_text, n_lines_kept,
+    n_lines_dropped)``.
+    """
+    lines = df.select(
+        F.col(id_col),
+        *(F.col(c) for c in keep_cols),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("__pos", "__line"),
+    )
+    w = Window.partitionBy(F.xxhash64("__line"), F.col("__line")).orderBy(
+        F.col(id_col), F.col("__pos")
+    )
+    marked = lines.withColumn("__rn", F.row_number().over(w))
+    return (
+        marked.groupBy(id_col, *keep_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("__rn") == 1,
+                        F.struct(F.col("__pos"), F.col("__line")),
+                    )
+                )
+            ).alias("__kept"),
+            F.count(F.lit(1)).cast("bigint").alias("__n_total"),
+        )
+        .select(
+            id_col,
+            *keep_cols,
+            F.array_join(
+                F.transform(F.col("__kept"), lambda s: s["__line"]), line_sep
+            ).alias("clean_text"),
+            F.size("__kept").cast("bigint").alias("n_lines_kept"),
+            (F.col("__n_total") - F.size("__kept"))
+            .cast("bigint")
+            .alias("n_lines_dropped"),
+        )
+    )

@@ -787,10 +787,15 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # p3_decontaminate, st1_stream_resample). Canaries kept: q1 flagship,
 # the o1 pair (native-gate fix), o5_rolling_udf + o5b (global-rolling
 # collect removal + validate_buckets rewrite), j4/j7 (asof
-# null-safety fix), st2 (stateful streaming family). After r5 the
-# ONLY registered query without a driver row is the env-gated st2b
-# (container lacks protobuf). p12_export_shards took o7's slot; o7
-# holds r2/r3 rows.
+# null-safety fix), st2 (stateful streaming family).
+# p12_export_shards took o7's slot; o7 holds r2/r3 rows.
+# Tail-resident with ZERO driver rows after r5 (registered after the
+# churn budget was spent — rotate these into the r6 window):
+# j9_interval_overlap, p16_quality_bins_global, t13_gopher_quality,
+# t14_chunk_overlap, agg12_json_extract, q6_forecast_revenue,
+# e5_cosine_topk_pq, e6_cosine_topk_ivfpq; plus env-gated st2b
+# (container lacks protobuf). Every other registered query holds ≥1
+# driver-green row across r1-r5.
 # ---------------------------------------------------------------------------
 _WINDOW = [
     # --- never-driver-verified until now (VERDICT r4 #1): the 15

@@ -1495,3 +1495,56 @@ def t14_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chunk_overlap(docs, "doc_id", "text", size=32, stride=24)
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus line dedup (RefinedWeb/CCNet "duplicated paragraph
+# removal"): first (doc_id, pos) occurrence of a line wins GLOBALLY;
+# docs reassembled in original line order. Same deterministic 8-word
+# line synthesis as t8 (fixture text is single-line) — the dedup +
+# reassembly is what the oracle verifies. One line-key shuffle + one
+# doc-id shuffle, no global sort.
+# ---------------------------------------------------------------------------
+@register(
+    "d13_line_dedup",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS words FROM documents
+    ),
+    lined AS (
+      SELECT doc_id,
+             list_transform(
+               range(0, CAST(ceil(len(words) / 8.0) AS INT)),
+               i -> array_to_string(words[i*8+1 : i*8+8], ' ')
+             ) AS lines
+      FROM t
+    ),
+    l AS (
+      SELECT doc_id, u.i AS pos, lines[u.i+1] AS line
+      FROM lined, unnest(range(0, len(lines))) AS u(i)
+    ),
+    m AS (
+      SELECT *, row_number() OVER (PARTITION BY line
+                                   ORDER BY doc_id, pos) AS rn
+      FROM l
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+                               ORDER BY pos), '') AS clean_text,
+           CAST(COUNT(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_lines_kept,
+           CAST(COUNT(*) - COUNT(CASE WHEN rn = 1 THEN 1 END) AS BIGINT)
+             AS n_lines_dropped
+    FROM m
+    GROUP BY doc_id
+    """,
+)
+def d13_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = tx.tokens("text")
+    n_lines = F.ceil(F.size(words) / F.lit(8.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+    )
+    lined = docs.select("doc_id", F.array_join(lines, "\n").alias("text8"))
+    return dd.line_dedup(lined, "doc_id", "text8")

@@ -114,3 +114,51 @@ def test_chunk_overlap_no_shuffle_in_plan(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     plan = chunk_overlap(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --- line_dedup -------------------------------------------------------------
+
+
+def test_line_dedup_first_occurrence_wins_globally(spark):
+    from sparkswift.operators.dedup import line_dedup
+
+    docs = _df(
+        spark,
+        [
+            "alpha beta\nshared line\nunique one",
+            "shared line\nunique two",  # 'shared line' already seen in doc 0
+            "repeat me\nrepeat me",  # same-doc duplicate: second drops
+        ],
+    )
+    out = line_dedup(docs, "doc_id", "text").orderBy("doc_id").toPandas()
+    assert out.loc[0, "clean_text"] == "alpha beta\nshared line\nunique one"
+    assert out.loc[0, "n_lines_dropped"] == 0
+    assert out.loc[1, "clean_text"] == "unique two"
+    assert out.loc[1, "n_lines_dropped"] == 1
+    assert out.loc[2, "clean_text"] == "repeat me"
+    assert out.loc[2, "n_lines_dropped"] == 1
+
+
+def test_line_dedup_keeps_empty_docs_row_aligned(spark):
+    from sparkswift.operators.dedup import line_dedup
+
+    docs = _df(spark, ["only line", "only line"])
+    out = line_dedup(docs, "doc_id", "text").orderBy("doc_id").toPandas()
+    assert len(out) == 2  # fully-deduped doc 1 still present
+    assert out.loc[1, "clean_text"] == ""
+    assert out.loc[1, "n_lines_kept"] == 0
+
+
+def test_line_dedup_partition_invariant(spark, sf_dir):
+    from sparkswift.operators.dedup import line_dedup
+    from sparkswift.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    a = line_dedup(docs, "doc_id", "text").orderBy("doc_id").toPandas()
+    b = (
+        line_dedup(docs.repartition(7), "doc_id", "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert (a["clean_text"] == b["clean_text"]).all()
+    assert (a["n_lines_kept"] == b["n_lines_kept"]).all()
