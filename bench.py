@@ -82,6 +82,7 @@ HEADLINE = [
     "e5_cosine_topk_pq",     # product-quantization ANN (ADC + refine)
     "e6_cosine_topk_ivfpq",  # IVF probe pruning × PQ compression
     "d13_line_dedup",        # cross-corpus line dedup (first-wins)
+    "t15_unigram_logprob",   # unigram-LM quality score (micro-nat grid)
 ]
 
 

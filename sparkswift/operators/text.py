@@ -679,3 +679,55 @@ def gopher_rules(
     for k in flags:
         keep = F.col(k) if keep is None else (keep * F.col(k))
     return out.withColumn("keep", keep.cast("int"))
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Self-trained unigram language-model score — the model-free
+    stand-in for a KenLM perplexity filter: per document, the mean
+    negative log-probability of its tokens under the corpus's own
+    unigram distribution. High ``avg_nll`` flags rare-token-heavy
+    noise; low flags boilerplate. (The CCNet recipe uses a trained
+    5-gram LM; the unigram corpus prior needs no external model and
+    is the standard first approximation.)
+
+    Determinism: per-token surprisal ``ln(total/freq)`` is quantized
+    to INTEGER micro-nats before summing, so the per-doc sum is exact
+    integer arithmetic — partition-order independent and
+    SQL-oracle-able; the only float step is one per-row division at
+    the end.
+
+    Two hash shuffles (token freq, doc re-agg) — the same shape as
+    ``rare_token_stats``; the vocab side is broadcast-size in
+    practice and AQE picks the join strategy.
+
+    Returns ``(id_col, n_tokens, sum_surprisal, avg_nll)``.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
+    vocab = toks.groupBy("__tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__freq")
+    )
+    total = vocab.agg(F.sum("__freq").cast("bigint").alias("__total"))
+    surprisal = F.round(
+        F.log(F.col("__total").cast("double") / F.col("__freq")) * 1_000_000
+    ).cast("bigint")
+    scored = (
+        toks.join(vocab, "__tok")
+        .crossJoin(F.broadcast(total))
+        .select(F.col(id_col), surprisal.alias("__sup"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("__sup").cast("bigint").alias("sum_surprisal"),
+        )
+        .withColumn(
+            "avg_nll",
+            F.col("sum_surprisal").cast("double")
+            / (F.col("n_tokens").cast("double") * 1e6),
+        )
+    )

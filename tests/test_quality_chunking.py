@@ -162,3 +162,27 @@ def test_line_dedup_partition_invariant(spark, sf_dir):
     )
     assert (a["clean_text"] == b["clean_text"]).all()
     assert (a["n_lines_kept"] == b["n_lines_kept"]).all()
+
+
+# --- unigram_logprob --------------------------------------------------------
+
+
+def test_unigram_logprob_matches_numpy(spark):
+    import math
+
+    from sparkswift.operators.text import unigram_logprob
+
+    texts = ["a a b c", "a b", "d d d a"]
+    out = unigram_logprob(_df(spark, texts), "text", "doc_id").orderBy("doc_id").toPandas()
+    all_toks = " ".join(texts).split()
+    total = len(all_toks)
+    freq = {t: all_toks.count(t) for t in set(all_toks)}
+    for i, t in enumerate(texts):
+        sups = [round(math.log(total / freq[w]) * 1_000_000) for w in t.split()]
+        assert out.loc[i, "n_tokens"] == len(sups)
+        assert out.loc[i, "sum_surprisal"] == sum(sups)
+        assert out.loc[i, "avg_nll"] == pytest.approx(
+            sum(sups) / (len(sups) * 1e6)
+        )
+    # boilerplate ('a'-heavy doc) scores lower nll than rare-token doc
+    assert out.loc[2, "avg_nll"] < out.loc[1, "avg_nll"]

@@ -207,3 +207,34 @@ def test_write_zordered_files_cover_disjoint_z_ranges(spark, tmp_path):
         assert ranges.loc[k, "lo"] > ranges.loc[k - 1, "hi"]
     # round-trip integrity
     assert back.count() == 4000
+
+
+def test_compact_dataset_reduces_file_count(spark, sf_dir, tmp_path):
+    from sparkswift.sources import load_table
+    from sparkswift.sources.writers import compact_dataset
+
+    path = str(tmp_path / "frag")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(64).write.parquet(path)  # 64 tiny files
+    before = docs.count()
+    summary = compact_dataset(spark, path, target_file_bytes=10**9)
+    assert summary["files_before"] >= 64
+    assert summary["files_after"] == 1
+    after = spark.read.parquet(path)
+    assert after.count() == before
+    assert set(after.columns) == set(docs.columns)
+    # no temp/backup leftovers
+    import os
+    assert not os.path.exists(path + ".__compact__")
+    assert not os.path.exists(path + ".__precompact__")
+
+
+def test_compact_dataset_errors_on_empty_dir(spark, tmp_path):
+    import pytest as _pytest
+
+    from sparkswift.sources.writers import compact_dataset
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with _pytest.raises(ValueError, match="no data files"):
+        compact_dataset(spark, str(empty))
