@@ -83,6 +83,7 @@ HEADLINE = [
     "e6_cosine_topk_ivfpq",  # IVF probe pruning × PQ compression
     "d13_line_dedup",        # cross-corpus line dedup (first-wins)
     "t15_unigram_logprob",   # unigram-LM quality score (micro-nat grid)
+    "p17_leak_report",       # contamination audit (leak fractions)
 ]
 
 

@@ -979,3 +979,59 @@ def line_dedup(
             .alias("n_lines_dropped"),
         )
     )
+
+
+def leak_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    hashed: bool = True,
+) -> DataFrame:
+    """Contamination REPORT — the audit twin of :func:`decontaminate`:
+    instead of a drop flag, emit per-document leak measurements (how
+    MUCH of each training doc's k-gram vocabulary appears in the
+    benchmark set), which is what a data card publishes and what you
+    tune drop thresholds against.
+
+    Same scale shape as `decontaminate`: benchmark shingles dedup to
+    a broadcast-sized set; the corpus explodes shingles map-side, one
+    aggregation by doc id. ``hashed=True`` ships int64 identities
+    (collision odds ~2⁻⁶⁴ could perturb a count by 1; use
+    ``hashed=False`` for exact-string accounting, e.g. the SQL
+    oracle).
+
+    Returns ``(id_col, n_shingles, n_leaked, leak_frac, flagged)``
+    where ``n_shingles`` counts DISTINCT doc shingles and ``flagged``
+    is 1 when ``leak_frac >= threshold``.
+    """
+    mk = hashed_shingles if hashed else word_shingles
+    bench_sh = (
+        benchmark.select(F.explode(mk(text_col, k)).alias("s"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    doc_sh = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(mk(text_col, k))).alias("s")
+    )
+    per_doc = (
+        doc_sh.join(F.broadcast(bench_sh), "s", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint").alias(
+                "n_leaked"
+            ),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_shingles",
+        "n_leaked",
+        (F.col("n_leaked").cast("double") / F.col("n_shingles")).alias("leak_frac"),
+        (F.col("n_leaked").cast("double") / F.col("n_shingles") >= threshold)
+        .cast("int")
+        .alias("flagged"),
+    )

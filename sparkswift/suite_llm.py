@@ -1582,3 +1582,53 @@ def d13_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t15_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return tx.unigram_logprob(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Contamination REPORT (audit twin of p3): per-train-doc leak
+# fractions against the benchmark shingle set — what a data card
+# publishes and what drop thresholds are tuned against. Same p3 split
+# (seed-1 hash, 6.25% bench); string shingles here so counts are
+# exact-string accounting (the operator defaults to int64 identities
+# for scale).
+# ---------------------------------------------------------------------------
+@register(
+    "p17_leak_report",
+    rf"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '') AS toks
+               FROM documents),
+    s AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                      THEN list_distinct(list_transform(
+                               generate_series(1, len(toks) - 2),
+                               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                      ELSE [array_to_string(toks, ' ')] END AS sh
+          FROM t),
+    b AS (SELECT doc_id FROM documents
+          WHERE substr(md5(concat_ws(':', '1', CAST(doc_id AS VARCHAR))), 1, 8)
+                < '{_BENCH_THR}'),
+    bs AS (SELECT DISTINCT unnest(s.sh) AS sg FROM s JOIN b USING (doc_id)),
+    e AS (SELECT s.doc_id, unnest(s.sh) AS sg FROM s
+          WHERE substr(md5(concat_ws(':', '1', CAST(s.doc_id AS VARCHAR))), 1, 8)
+                >= '{_BENCH_THR}'),
+    m AS (SELECT e.doc_id, e.sg, (bs.sg IS NOT NULL) AS hit
+          FROM e LEFT JOIN bs USING (sg))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS leak_frac,
+           CAST(CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                >= 0.5 AS INT) AS flagged
+    FROM m
+    GROUP BY doc_id
+    """,
+)
+def p17_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = sp.hash_bucket_hex("doc_id", seed=1)
+    bench = docs.filter(bucket < F.lit(_BENCH_THR))
+    train = docs.filter(bucket >= F.lit(_BENCH_THR))
+    return dd.leak_report(train, bench, "text", "doc_id", k=3, hashed=False)

@@ -186,3 +186,50 @@ def test_unigram_logprob_matches_numpy(spark):
         )
     # boilerplate ('a'-heavy doc) scores lower nll than rare-token doc
     assert out.loc[2, "avg_nll"] < out.loc[1, "avg_nll"]
+
+
+# --- leak_report ------------------------------------------------------------
+
+
+def test_leak_report_fractions_match_python(spark):
+    from sparkswift.operators.dedup import leak_report
+
+    bench = _df(spark, ["the secret benchmark question about spark"])
+    train_texts = [
+        "the secret benchmark question about spark appears verbatim here",
+        "totally unrelated content with different words entirely present",
+    ]
+    train = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [10, 11], "text": train_texts})
+    )
+    out = leak_report(train, bench, threshold=0.5).orderBy("doc_id").toPandas()
+
+    def shingles(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    bs = shingles("the secret benchmark question about spark")
+    for i, t in enumerate(train_texts):
+        sh = shingles(t)
+        assert out.loc[i, "n_shingles"] == len(sh)
+        assert out.loc[i, "n_leaked"] == len(sh & bs)
+        assert out.loc[i, "leak_frac"] == pytest.approx(len(sh & bs) / len(sh))
+    assert list(out["flagged"]) == [0, 0] or out.loc[0, "n_leaked"] > 0
+    # doc 10 leaks the 4 shared shingles; doc 11 leaks none
+    assert out.loc[0, "n_leaked"] == 4 and out.loc[1, "n_leaked"] == 0
+
+
+def test_leak_report_hashed_matches_string_route(spark, sf_dir):
+    from sparkswift.operators.dedup import leak_report
+    from sparkswift.operators.sampling import hash_bucket_hex, hex_threshold
+    from sparkswift.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    thr = hex_threshold(0.1)
+    bucket = hash_bucket_hex("doc_id", seed=1)
+    bench = docs.filter(bucket < F.lit(thr))
+    train = docs.filter(bucket >= F.lit(thr))
+    a = leak_report(train, bench, hashed=True).orderBy("doc_id").toPandas()
+    b = leak_report(train, bench, hashed=False).orderBy("doc_id").toPandas()
+    assert (a["n_leaked"] == b["n_leaked"]).all()  # no collisions at this size
+    assert (a["n_shingles"] == b["n_shingles"]).all()
