@@ -84,6 +84,8 @@ HEADLINE = [
     "d13_line_dedup",        # cross-corpus line dedup (first-wins)
     "t15_unigram_logprob",   # unigram-LM quality score (micro-nat grid)
     "p17_leak_report",       # contamination audit (leak fractions)
+    "st11_stream_quality",   # Gopher rules at ingest (stateless stream)
+    "e7_cosine_topk_ivfpq_persisted",  # partition-pruned code probes
 ]
 
 

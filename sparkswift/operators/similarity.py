@@ -1290,3 +1290,182 @@ def cosine_topk_ivfpq(
         .filter(F.col("rnk") <= k)
         .select("query_id", "corpus_id", "rnk", "cos_sim")
     )
+
+
+def ivfpq_build(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    m: int = 16,
+    ksub: int = 64,
+    train_size: int = 2048,
+    seed: int = 42,
+    max_iter: int = 8,
+) -> None:
+    """Persist an IVFPQ index — the compressed sibling of
+    :func:`ivf_build`: the corpus is stored as 12-byte PQ CODES
+    hive-partitioned by ``list_id`` (`<path>/codes/list_id=N/…`),
+    coarse centers to `<path>/centers`, PQ codebooks to
+    `<path>/codebooks`. A probe therefore reads nprobe/nlist of the
+    ROWS at ~1/21 of the BYTES — at 10¹⁰ vectors the probe scan is
+    ~120 GB of codes instead of 2.5 TB of floats. Raw vectors are NOT
+    stored (FAISS IVFPQ semantics); exact re-ranking at search time
+    joins back to the live corpus table.
+
+    Non-residual encoding (one global codebook, valid for every list)
+    keeps ``ivf_add``-style appends retrain-free: encode the new batch
+    with the saved codebooks, assign to nearest saved center, append
+    to that partition.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from sparkswift.sources.writers import write_table
+
+    c = _spread(corpus.select(F.col(id_col), F.col(vec_col))).withColumn(
+        "fv", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(
+        k=nlist, seed=seed, maxIter=max_iter, featuresCol="fv", predictionCol="list_id"
+    ).fit(c)
+    assigned = model.transform(c).select(
+        F.col(id_col), F.col(vec_col), F.col("list_id")
+    )
+    codebooks = pq_train(
+        corpus,
+        m=m,
+        ksub=ksub,
+        train_size=train_size,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+    )
+    codes = pq_encode(
+        assigned, codebooks, id_col=id_col, vec_col=vec_col, keep_cols=("list_id",)
+    )
+    write_table(codes, f"{path}/codes", partition_by=["list_id"])
+
+    spark = corpus.sparkSession
+    centers = model.clusterCenters()
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(centers)],
+        "list_id int, center array<double>",
+    )
+    write_table(cdf.coalesce(1), f"{path}/centers")
+    mm, kk, dsub = codebooks.shape
+    cbdf = spark.createDataFrame(
+        [
+            (j, c_i, [float(x) for x in codebooks[j, c_i]])
+            for j in range(mm)
+            for c_i in range(kk)
+        ],
+        "subspace int, code int, centroid array<double>",
+    )
+    write_table(cbdf.coalesce(1), f"{path}/codebooks")
+
+
+def ivfpq_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 8,
+    refine: int = 4,
+) -> DataFrame:
+    """Search a persisted IVFPQ index. The codes scan carries a
+    ``list_id`` partition filter (only probed directories are listed/
+    opened — plan-asserted in tests) and each probed row costs m
+    int-gathers into the query's LUT; the top-(k·refine) survivors
+    per query re-rank with the exact integer-grid cosine against the
+    LIVE corpus table (``corpus`` — the index stores no raw vectors).
+
+    Same output shape as :func:`cosine_topk`.
+    """
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r.subspace for r in cb_rows)
+    ksub = 1 + max(r.code for r in cb_rows)
+    dsub = len(cb_rows[0].centroid)
+    codebooks = np.empty((m, ksub, dsub))
+    for r in cb_rows:
+        codebooks[r.subspace, r.code] = r.centroid
+    centers = np.stack(
+        [
+            np.asarray(r.center)
+            for r in spark.read.parquet(f"{path}/centers").orderBy("list_id").collect()
+        ]
+    )
+
+    qpd = queries.select(F.col(id_col), F.col(vec_col)).orderBy(id_col).toPandas()
+    qx = _to_matrix(qpd[vec_col])
+    qxn = qx / np.linalg.norm(qx, axis=1, keepdims=True).clip(min=1e-12)
+    qids = qpd[id_col].to_numpy(dtype=np.int64)
+    lut = np.einsum(
+        "qjd,jcd->qjc", qxn.reshape(len(qids), m, dsub), codebooks
+    ).astype(np.float64)
+    qrow = {int(qid): i for i, qid in enumerate(qids)}
+    d2 = ((qx[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    probe_idx = np.argsort(d2, axis=1)[:, :nprobe]
+    probed_lists = sorted({int(l) for row in probe_idx for l in row})
+    probes = spark.createDataFrame(
+        [
+            (int(qid), int(lid))
+            for qid, row in zip(qids, probe_idx)
+            for lid in row
+        ],
+        "query_id long, list_id int",
+    )
+    kr = k * refine
+
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("list_id").isin(probed_lists)  # partition pruning
+    )
+
+    def adc_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        row = lut[qrow[qid]]
+        cmat = np.asarray(pdf["codes"].tolist(), dtype=np.int64)
+        s = row[np.arange(m)[None, :], cmat].sum(axis=1)
+        cid = pdf["corpus_id"].to_numpy(dtype=np.int64)
+        s = np.where(cid != qid, s, -np.inf)
+        order = np.argsort(-s)[:kr]
+        order = order[np.isfinite(s[order])]
+        return pd.DataFrame({"query_id": qid, "corpus_id": cid[order]})
+
+    cand = (
+        codes.join(F.broadcast(probes), "list_id")
+        .groupBy("query_id")
+        .applyInPandas(adc_topk, "query_id long, corpus_id long")
+    )
+
+    cvec = corpus.select(
+        F.col(id_col).alias("corpus_id"), quantize(vec_col).alias("cv")
+    ).withColumn("cn", norm2_long(F.col("cv")))
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv")
+    ).withColumn("qn", norm2_long(F.col("qv")))
+    scored = (
+        cand.join(cvec, "corpus_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "corpus_id",
+            cosine(
+                dot_long(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("corpus_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "rnk", "cos_sim")
+    )

@@ -448,6 +448,29 @@ def e6_cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Persisted IVFPQ index (e4's compressed sibling): codes stored
+# hive-partitioned by list_id at ~12 bytes/vector, probes are
+# partition-pruned reads of codes (plan-asserted), exact re-rank joins
+# the LIVE corpus table (the index stores no raw vectors — FAISS
+# IVFPQ semantics).
+# ---------------------------------------------------------------------------
+@register("e7_cosine_topk_ivfpq_persisted", None)
+def e7_cosine_topk_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0)
+    idx = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "..", ".cache", f"ivfpq_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    idx = os.path.normpath(idx)
+    if not os.path.isdir(os.path.join(idx, "codes")):
+        sim.ivfpq_build(emb, idx, nlist=16, train_size=500)
+    return sim.ivfpq_search(spark, idx, queries, emb, k=5, nprobe=8)
+
+
+# ---------------------------------------------------------------------------
 # Multimodal decode plumbing: synthesized binary payloads → Arrow-
 # batched pseudo-decode. byte_len and sha256 are oracle-checkable.
 # ---------------------------------------------------------------------------

@@ -451,3 +451,62 @@ def st10_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = table_stream(spark, sf_dir, "documents")
     out = stream_neardup(src, "text", k=3, num_hashes=8)
     return run_stream_to_batch(out.select("sig_key"), mode="append")
+
+
+# ---------------------------------------------------------------------------
+# STREAMING quality gate: the Gopher rule family applied at ingest —
+# stateless scan-stage expressions on an unbounded document stream,
+# so stream ≡ batch row-for-row and the batch SQL twin is exact.
+# This is the "filter before anything lands" deployment of t13: at
+# 100 TB the rules run inside the ingest micro-batches and rejected
+# docs never reach storage.
+# ---------------------------------------------------------------------------
+@register(
+    "st11_stream_quality",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, source,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]')))
+               AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(toks,
+                  w -> w IN ('the','be','to','of','and','that','have','with')))
+               AS BIGINT) AS n_stop
+      FROM t
+    )
+    SELECT doc_id, source, n_words
+    FROM m
+    WHERE n_words BETWEEN 20 AND 10000
+      AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+      AND n_stop >= 1
+    """,
+)
+def st11_stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators import text as tx
+    from sparkswift.streaming.ops import table_stream
+
+    src = table_stream(spark, sf_dir, "documents")
+    toks = tx.tokens("text")
+    n_words = F.size(toks).cast("bigint")
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))).cast("bigint")
+    sw = F.array(*[F.lit(w) for w in tx.GOPHER_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(sw, w))).cast("bigint")
+    kept = (
+        src.withColumns(
+            {"n_words": n_words, "__alpha": n_alpha, "__stop": n_stop}
+        )
+        .filter(
+            (F.col("n_words") >= 20)
+            & (F.col("n_words") <= 10000)
+            & (F.col("__alpha").cast("double") / F.col("n_words") >= 0.8)
+            & (F.col("__stop") >= 1)
+        )
+        .select("doc_id", "source", "n_words")
+    )
+    return run_stream_to_batch(kept, mode="append")

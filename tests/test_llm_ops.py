@@ -627,3 +627,37 @@ def test_ivfpq_candidates_subset_of_probed_lists(emb):
     ).toPandas()
     assert len(out) > 0
     assert (out.groupby("query_id")["rnk"].max() <= 5).all()
+
+
+def test_ivfpq_persisted_matches_in_session(spark, sf_dir, tmp_path):
+    """Build→search through the persisted index gives the SAME result
+    as the in-session operator with identical params (same seeds, same
+    training sample ⇒ same centers, same codebooks, same candidates)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0).limit(10)
+    path = str(tmp_path / "ivfpq")
+    sim.ivfpq_build(emb, path, nlist=16, train_size=500)
+    persisted = (
+        sim.ivfpq_search(spark, path, queries, emb, k=5, nprobe=8)
+        .orderBy("query_id", "rnk")
+        .toPandas()
+    )
+    in_session = (
+        sim.cosine_topk_ivfpq(emb, queries, k=5, nprobe=8, train_size=500)
+        .orderBy("query_id", "rnk")
+        .toPandas()
+    )
+    assert (persisted["corpus_id"].values == in_session["corpus_id"].values).all()
+    assert (persisted["cos_sim"].values == in_session["cos_sim"].values).all()
+
+
+def test_ivfpq_persisted_probe_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The codes scan must carry a list_id partition filter — probing
+    must not read unprobed directories."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0).limit(2)
+    path = str(tmp_path / "ivfpq2")
+    sim.ivfpq_build(emb, path, nlist=16, train_size=500)
+    out = sim.ivfpq_search(spark, path, queries, emb, k=5, nprobe=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
