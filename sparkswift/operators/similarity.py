@@ -1469,3 +1469,48 @@ def ivfpq_search(
         .filter(F.col("rnk") <= k)
         .select("query_id", "corpus_id", "rnk", "cos_sim")
     )
+
+
+def ivfpq_add(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a persisted IVFPQ index
+    (:func:`ivfpq_build`) without retraining — this is exactly why
+    the index encodes NON-residual: one global codebook stays valid
+    for every list, so an append is (a) nearest-EXISTING-center
+    assignment, (b) PQ encode with the SAVED codebooks, (c) append to
+    the landed ``list_id`` partitions. Searches pick the rows up
+    immediately; rebuild only on real distribution drift.
+
+    Scale: centers + codebooks are tiny bounded reads; the encode is
+    one Arrow-batched pass over the new batch; only landed partitions
+    are touched.
+    """
+    rows = spark.read.parquet(f"{path}/centers").orderBy("list_id").collect()
+    centers = np.asarray([r.center for r in rows], dtype=np.float64)
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r.subspace for r in cb_rows)
+    ksub = 1 + max(r.code for r in cb_rows)
+    dsub = len(cb_rows[0].centroid)
+    codebooks = np.empty((m, ksub, dsub))
+    for r in cb_rows:
+        codebooks[r.subspace, r.code] = r.centroid
+
+    @F.pandas_udf("int")
+    def nearest_center(s: pd.Series) -> pd.Series:
+        x = _to_matrix(s)
+        d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    assigned = _spread(new_vectors.select(F.col(id_col), F.col(vec_col))).select(
+        F.col(id_col), F.col(vec_col), nearest_center(F.col(vec_col)).alias("list_id")
+    )
+    codes = pq_encode(
+        assigned, codebooks, id_col=id_col, vec_col=vec_col, keep_cols=("list_id",)
+    )
+    codes.write.mode("append").partitionBy("list_id").parquet(f"{path}/codes")

@@ -661,3 +661,27 @@ def test_ivfpq_persisted_probe_is_partition_pruned(spark, sf_dir, tmp_path):
     out = sim.ivfpq_search(spark, path, queries, emb, k=5, nprobe=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "list_id" in plan
+
+
+def test_ivfpq_add_appended_twin_found_at_rank_one(spark, sf_dir, tmp_path):
+    """FAISS index.add semantics: append an exact copy of a corpus
+    vector under a new id; searching for the original must now return
+    the twin at rank 1 (cos = 1 beats every non-identical vector)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfpq3")
+    sim.ivfpq_build(emb, path, nlist=16, train_size=500)
+    probe = emb.orderBy("vec_id").limit(1).collect()[0]
+    twin = spark.createDataFrame(
+        [(99_999, list(probe.embedding))], "vec_id long, embedding array<float>"
+    )
+    sim.ivfpq_add(spark, path, twin)
+    queries = emb.filter(F.col("vec_id") == probe.vec_id)
+    live_corpus = emb.unionByName(twin.withColumn("label", F.lit(-1)), allowMissingColumns=True) \
+        if "label" in emb.columns else emb.union(twin)
+    out = (
+        sim.ivfpq_search(spark, path, queries, live_corpus, k=3, nprobe=8)
+        .orderBy("rnk")
+        .toPandas()
+    )
+    assert out.loc[0, "corpus_id"] == 99_999
+    assert out.loc[0, "cos_sim"] == pytest.approx(1.0, abs=1e-9)
