@@ -250,3 +250,29 @@ def test_json_extract_is_native_not_python(plans):
     p = plans("agg12_json_extract")
     assert "from_json" in p
     assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_gopher_rules_fuse_into_scan(plans):
+    """t13 is a pure projection — no exchange, no Python eval."""
+    p = plans("t13_gopher_quality")
+    assert "Exchange" not in p
+    assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_line_dedup_two_shuffles_only(plans):
+    """d13: one exchange for the line-key window, one for the doc
+    re-aggregation (plus its partial agg) — and nothing else. A
+    regression that sorts globally or re-shuffles the corpus would
+    show up as extra exchanges."""
+    p = plans("d13_line_dedup")
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert "Exchange rangepartitioning" not in p  # no global sort
+    assert "Exchange SinglePartition" not in p
+
+
+def test_unigram_logprob_broadcasts_total(plans):
+    """t15: the one-row total joins as a broadcast nested loop, never
+    a shuffled cross join."""
+    p = plans("t15_unigram_logprob")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p

@@ -342,3 +342,35 @@ def test_resample_fuzz_matches_pandas(spark, minutes, closed, label):
         assert math.isclose(want.loc[ts], v, rel_tol=1e-9), (ts, v, closed, label)
     nonempty = pdf.set_index("ts")["v"].resample("1h", closed=closed, label=label).count()
     assert set(got.index) == set(nonempty[nonempty > 0].index)
+
+
+@settings(deadline=None, max_examples=12, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n_words=st.integers(min_value=1, max_value=300),
+    size=st.integers(min_value=2, max_value=64),
+    data=st.data(),
+)
+def test_chunk_overlap_properties(spark, n_words, size, data):
+    """For ANY (doc length, size, stride): every token is covered in
+    order, consecutive chunks overlap by exactly size-stride, and the
+    chunk count matches the closed formula."""
+    import math as _math
+
+    from sparkswift.operators.packing import chunk_overlap
+
+    stride = data.draw(st.integers(min_value=1, max_value=size))
+    text = " ".join(f"w{i}" for i in range(n_words))
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": [text]}))
+    out = chunk_overlap(df, size=size, stride=stride).orderBy("chunk_id").toPandas()
+    expect_chunks = (
+        1 if n_words <= size else _math.ceil((n_words - size) / stride) + 1
+    )
+    assert len(out) == expect_chunks
+    covered = []
+    for _, r in out.iterrows():
+        ws = r["chunk_text"].split()
+        start = int(r["chunk_id"]) * stride
+        assert ws == [f"w{i}" for i in range(start, min(start + size, n_words))]
+        assert r["n_chunk_tokens"] == len(ws)
+        covered.extend(ws)
+    assert set(covered) == {f"w{i}" for i in range(n_words)}
