@@ -86,6 +86,7 @@ HEADLINE = [
     "p17_leak_report",       # contamination audit (leak fractions)
     "st11_stream_quality",   # Gopher rules at ingest (stateless stream)
     "e7_cosine_topk_ivfpq_persisted",  # partition-pruned code probes
+    "mm3_audio_features",    # audio plumbing (mapInPandas, exact oracle)
 ]
 
 

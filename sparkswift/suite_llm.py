@@ -1655,3 +1655,40 @@ def p17_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(bucket < F.lit(_BENCH_THR))
     train = docs.filter(bucket >= F.lit(_BENCH_THR))
     return dd.leak_report(train, bench, "text", "doc_id", k=3, hashed=False)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal audio-feature plumbing (completes the mm family's oracle
+# coverage next to mm1 decode and mm2 frame sampling): mapInPandas
+# batch shape, duration + digest-derived MFCC-shaped vector. The
+# oracle reproduces the deterministic fake byte-for-byte (sha256 hex
+# parsed per byte, same /255 grid); real librosa decode stays behind
+# the documented fake= gate.
+# ---------------------------------------------------------------------------
+@register(
+    "mm3_audio_features",
+    """
+    WITH base AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS blen,
+             sha256(text) AS dg
+      FROM documents
+    )
+    SELECT doc_id AS id,
+           CAST(blen AS DOUBLE) / 16000.0 AS duration_s,
+           CAST(CAST('0x' || substr(dg, 1, 2) AS INT) AS DOUBLE) / 255.0 AS mfcc_0,
+           CAST(CAST('0x' || substr(dg, 3, 2) AS INT) AS DOUBLE) / 255.0 AS mfcc_1,
+           CAST(CAST('0x' || substr(dg, 5, 2) AS INT) AS DOUBLE) / 255.0 AS mfcc_2
+    FROM base
+    """,
+)
+def mm3_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = mm.attach_payload(docs, "text")
+    feats = mm.extract_audio_features(with_payload, "doc_id", "payload")
+    return feats.select(
+        "id",
+        "duration_s",
+        F.col("mfcc")[0].alias("mfcc_0"),
+        F.col("mfcc")[1].alias("mfcc_1"),
+        F.col("mfcc")[2].alias("mfcc_2"),
+    )
