@@ -793,9 +793,12 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # churn budget was spent — rotate these into the r6 window):
 # j9_interval_overlap, p16_quality_bins_global, t13_gopher_quality,
 # t14_chunk_overlap, agg12_json_extract, q6_forecast_revenue,
-# e5_cosine_topk_pq, e6_cosine_topk_ivfpq; plus env-gated st2b
-# (container lacks protobuf). Every other registered query holds ≥1
-# driver-green row across r1-r5.
+# e5_cosine_topk_pq, e6_cosine_topk_ivfpq,
+# e7_cosine_topk_ivfpq_persisted, d13_line_dedup,
+# t15_unigram_logprob, p17_leak_report, st11_stream_quality,
+# mm3_audio_features; plus env-gated st2b (container lacks protobuf).
+# Every other registered query holds ≥1 driver-green row across
+# r1-r5.
 # ---------------------------------------------------------------------------
 _WINDOW = [
     # --- never-driver-verified until now (VERDICT r4 #1): the 15
