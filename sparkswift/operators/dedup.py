@@ -945,10 +945,15 @@ def line_dedup(
     Returns ``(id_col, *keep_cols, clean_text, n_lines_kept,
     n_lines_dropped)``.
     """
+    # NULL text would vanish from posexplode and break the row-
+    # alignment contract — treat it as empty text (its single empty
+    # line dedups like any other line value)
     lines = df.select(
         F.col(id_col),
         *(F.col(c) for c in keep_cols),
-        F.posexplode(F.split(F.col(text_col), line_sep)).alias("__pos", "__line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), line_sep)
+        ).alias("__pos", "__line"),
     )
     w = Window.partitionBy(F.xxhash64("__line"), F.col("__line")).orderBy(
         F.col(id_col), F.col("__pos")

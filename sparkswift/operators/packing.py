@@ -128,12 +128,16 @@ def chunk_overlap(
         raise ValueError(f"need 0 < stride <= size, got {stride=} {size=}")
     from sparkswift.operators.text import tokens
 
-    words = tokens(text_col)
+    # null or empty text → zero tokens → zero chunks (posexplode of an
+    # empty array emits nothing) — nulls never become phantom chunks.
+    # Spark's sequence(0, -1) would count DOWN, so the empty case is
+    # guarded explicitly rather than via an empty sequence.
+    words = tokens(F.coalesce(F.col(text_col), F.lit("")))
     n = F.size(words).cast("bigint")
     n_chunks = F.when(n <= size, F.lit(1).cast("bigint")).otherwise(
         (F.floor((n - size + stride - 1) / stride) + 1).cast("bigint")
     )
-    windows = F.transform(
+    window_structs = F.transform(
         F.sequence(F.lit(0).cast("bigint"), n_chunks - 1),
         lambda i: F.struct(
             F.array_join(F.slice(words, (i * stride + 1).cast("int"), size), " ").alias(
@@ -144,6 +148,8 @@ def chunk_overlap(
             ),
         ),
     )
+    empty = F.array().cast("array<struct<chunk_text:string,n_chunk_tokens:bigint>>")
+    windows = F.when(n == 0, empty).otherwise(window_structs)
     return df.select(
         F.col(id_col),
         F.posexplode(windows).alias("chunk_id", "__c"),

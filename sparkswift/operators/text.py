@@ -672,7 +672,13 @@ def gopher_rules(
             "n_stop": n_stop,
             "bullet_ratio": bullet_ratio,
             "ellipsis_ratio": ellipsis_ratio,
-            **{k: v.cast("int") for k, v in flags.items()},
+            # NULL text (or a 0/0 ratio on empty text) makes a rule
+            # predicate SQL-NULL; a quality FILTER must fail such docs,
+            # not propagate NULL — coalesce every flag to 0
+            **{
+                k: F.coalesce(v.cast("int"), F.lit(0))
+                for k, v in flags.items()
+            },
         }
     )
     keep = None

@@ -233,3 +233,31 @@ def test_leak_report_hashed_matches_string_route(spark, sf_dir):
     b = leak_report(train, bench, hashed=False).orderBy("doc_id").toPandas()
     assert (a["n_leaked"] == b["n_leaked"]).all()  # no collisions at this size
     assert (a["n_shingles"] == b["n_shingles"]).all()
+
+
+# --- null-text semantics ----------------------------------------------------
+
+
+def test_null_text_fails_gopher_emits_no_chunks_keeps_line_dedup_row(spark):
+    from sparkswift.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["hello world the end", None]})
+    )
+    g = gopher_rules(df, min_words=1, min_stopwords=1).orderBy("doc_id").toPandas()
+    assert g.loc[1, "keep"] == 0  # NULL text FAILS the filter, not NULL
+    assert all(g.loc[1, c] == 0 for c in g.columns if c.startswith("ok_"))
+    assert g.loc[0, "keep"] == 1
+
+    c = chunk_overlap(df).toPandas()
+    assert set(c["doc_id"]) == {0}  # null doc: zero chunks, no phantom row
+    assert len(c) == 1
+
+    ld = line_dedup(df, "doc_id", "text").orderBy("doc_id").toPandas()
+    assert len(ld) == 2  # row alignment survives null text
+    assert ld.loc[1, "clean_text"] == ""
+
+
+def test_empty_text_emits_zero_chunks(spark):
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["   "]}))
+    assert chunk_overlap(df).count() == 0
