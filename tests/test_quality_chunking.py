@@ -261,3 +261,45 @@ def test_null_text_fails_gopher_emits_no_chunks_keeps_line_dedup_row(spark):
 def test_empty_text_emits_zero_chunks(spark):
     df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["   "]}))
     assert chunk_overlap(df).count() == 0
+
+
+# --- Python UDTF surface ----------------------------------------------------
+
+
+def test_udtf_chunk_matches_native_operator(spark, sf_dir):
+    """The SQL table function and the native posexplode operator
+    implement the same window rule — row-for-row equal output."""
+    from sparkswift.operators.udtf_fns import register_udtfs
+    from sparkswift.sources import load_table, register_views
+
+    register_udtfs(spark)
+    register_views(spark, sf_dir)
+    via_udtf = spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.chunk_text, c.n_chunk_tokens
+        FROM documents d, LATERAL chunk_text(d.text, 32, 24) c
+        """
+    ).orderBy("doc_id", "chunk_id").toPandas()
+    docs = load_table(spark, sf_dir, "documents")
+    via_native = (
+        chunk_overlap(docs, size=32, stride=24)
+        .orderBy("doc_id", "chunk_id")
+        .toPandas()
+    )
+    assert len(via_udtf) == len(via_native)
+    assert (via_udtf["chunk_text"].values == via_native["chunk_text"].values).all()
+    assert (
+        via_udtf["n_chunk_tokens"].values == via_native["n_chunk_tokens"].values
+    ).all()
+
+
+def test_udtf_word_ngrams_lateral(spark):
+    from sparkswift.operators.udtf_fns import register_udtfs
+
+    register_udtfs(spark)
+    out = spark.sql(
+        "SELECT * FROM word_ngrams('the quick brown fox', 2)"
+    ).toPandas()
+    assert list(out["ngram"]) == ["the quick", "quick brown", "brown fox"]
+    short = spark.sql("SELECT * FROM word_ngrams('hi', 3)").toPandas()
+    assert list(short["ngram"]) == ["hi"]
