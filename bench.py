@@ -87,6 +87,7 @@ HEADLINE = [
     "st11_stream_quality",   # Gopher rules at ingest (stateless stream)
     "e7_cosine_topk_ivfpq_persisted",  # partition-pruned code probes
     "mm3_audio_features",    # audio plumbing (mapInPandas, exact oracle)
+    "j10_salted_join",       # skew salting, result-invisible (vs plain oracle)
 ]
 
 

@@ -967,3 +967,34 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted join under the driver gate: lineitem (l_suppkey is the
+# natural hot-key candidate at scale) salted 8 ways against supplier.
+# Salting must be RESULT-INVISIBLE — the oracle is the plain
+# unsalted join, so any phantom/lost row from the salt machinery
+# hash-mismatches. One aggregate on top keeps the compare compact.
+# ---------------------------------------------------------------------------
+@register(
+    "j10_salted_join",
+    f"""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS {D})) AS DOUBLE) AS total_price
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def j10_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_suppkey", "s_suppkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(li, supp, "s_suppkey", salt=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast(D)).cast("double").alias("total_price"),
+    )
