@@ -88,6 +88,7 @@ HEADLINE = [
     "e7_cosine_topk_ivfpq_persisted",  # partition-pruned code probes
     "mm3_audio_features",    # audio plumbing (mapInPandas, exact oracle)
     "j10_salted_join",       # skew salting, result-invisible (vs plain oracle)
+    "d14_neardup_incremental",  # near-dup vs persisted minhash store
 ]
 
 

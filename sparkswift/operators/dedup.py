@@ -1040,3 +1040,148 @@ def leak_report(
         .cast("int")
         .alias("flagged"),
     )
+
+
+def _sig_band_buckets(num_hashes: int, bands: int) -> Column:
+    """(band, bucket) keys from a ``sig`` column — the banded-LSH key
+    expression shared by the in-batch and incremental paths."""
+    rows_per_band = num_hashes // bands
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(F.col("sig"), b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        )
+    )
+
+
+def neardup_incremental(
+    new_docs: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    sig_threshold: float = 0.7,
+    update_store: bool = True,
+) -> DataFrame:
+    """Cross-batch NEAR-dup dedup against a persisted MinHash store —
+    the fuzzy sibling of :func:`dedup_incremental`: a new crawl batch
+    is dropped not only when a byte-identical copy exists in the
+    corpus, but when a *near* copy does, without rescanning corpus
+    text.
+
+    Store layout (text is never stored): ``<path>/sigs`` holds one
+    64-slot MinHash signature per surviving corpus doc (~0.5 KB);
+    ``<path>/buckets`` holds its banded LSH keys (band, bucket,
+    doc_id). Probe = new batch's banded keys equi-join ``buckets``
+    (hash shuffle on the 16-byte key), then candidates verify by
+    SIGNATURE agreement — matching slots / num_hashes estimates
+    Jaccard with σ ≈ 1/√64 ≈ 0.125, the standard MinHash estimator;
+    the store deliberately trades that wobble for never re-reading
+    corpus shingles. A new doc survives when (a) :func:`near_dedup`
+    keeps it within its own batch (LSH + connected components,
+    min-id-wins) and (b) no store candidate agrees ≥ ``sig_threshold``.
+    Survivors' signatures + buckets append to the store.
+
+    Returns ``(id_col, in_batch_survivor, store_hit, survived)`` for
+    every new doc (all 0/1 ints) — callers filter ``survived = 1``.
+    """
+    import os
+
+    spark = new_docs.sparkSession
+    sh = (
+        _spread(new_docs.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", hashed_shingles(text_col, k).alias("hsh"))
+        .withColumn("sig", _minhash_from_hashes(F.col("hsh"), num_hashes, 0))
+        .localCheckpoint()
+    )
+    # (a) within-batch: LSH pairs → components → min-id survivor
+    pairs = minhash_lsh_pairs(
+        new_docs, text_col, id_col, k=k, num_hashes=num_hashes, bands=bands,
+        verify_threshold=sig_threshold,
+    )
+    in_batch = near_dedup(new_docs, pairs, id_col=id_col).select(
+        F.col(id_col).alias("id"), F.col("is_survivor")
+    )
+
+    # (b) store probe (empty store on bootstrap)
+    have_store = os.path.isdir(os.path.join(store_path, "buckets"))
+    if have_store:
+        store_buckets = spark.read.parquet(f"{store_path}/buckets")
+        store_sigs = spark.read.parquet(f"{store_path}/sigs")
+        banded = sh.select("id", _sig_band_buckets(num_hashes, bands).alias("bb")).select(
+            "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+        cand = (
+            banded.join(store_buckets, ["band", "bucket"])
+            .select("id", F.col("store_id"))
+            .dropDuplicates(["id", "store_id"])
+        )
+        agree = F.size(
+            F.filter(
+                F.zip_with(F.col("sig"), F.col("store_sig"), lambda x, y: x == y),
+                lambda b: b,
+            )
+        ).cast("double") / F.lit(float(num_hashes))
+        hits = (
+            cand.join(sh.select("id", "sig"), "id")
+            .join(
+                store_sigs.select(
+                    F.col("store_id"), F.col("sig").alias("store_sig")
+                ),
+                "store_id",
+            )
+            .filter(agree >= sig_threshold)
+            .select("id")
+            .distinct()
+            .withColumn("store_hit", F.lit(1))
+        )
+    else:
+        hits = spark.createDataFrame([], "id long, store_hit int")
+
+    out = (
+        in_batch.join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("is_survivor").cast("int").alias("in_batch_survivor"),
+            F.coalesce(F.col("store_hit"), F.lit(0)).alias("store_hit"),
+            (F.col("is_survivor") & F.coalesce(F.col("store_hit") == 0, F.lit(True)))
+            .cast("int")
+            .alias("survived"),
+        )
+        .localCheckpoint()  # pin decisions before the store mutates
+    )
+
+    if update_store:
+        winners = out.filter(F.col("survived") == 1).select(
+            F.col(id_col).alias("id")
+        )
+        new_sigs = sh.join(winners, "id").select(
+            F.col("id").alias("store_id"), "sig"
+        )
+        new_sigs.write.mode("append").parquet(f"{store_path}/sigs")
+        new_buckets = (
+            sh.join(winners, "id")
+            .select("id", _sig_band_buckets(num_hashes, bands).alias("bb"))
+            .select(
+                F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"),
+                F.col("id").alias("store_id"),
+            )
+        )
+        new_buckets.write.mode("append").parquet(f"{store_path}/buckets")
+    return out

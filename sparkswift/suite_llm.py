@@ -1692,3 +1692,28 @@ def mm3_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mfcc")[1].alias("mfcc_1"),
         F.col("mfcc")[2].alias("mfcc_2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dup vs a persisted MinHash store (the fuzzy sibling
+# of d10): seed the store with the first half of the corpus, then
+# probe a second batch containing verbatim re-crawls of seeded docs.
+# Signature-agreement verification is estimator-based (σ≈1/√64) →
+# rows-only; exact drop/keep scenarios are pytest-asserted
+# (tests/test_quality_chunking.py).
+# ---------------------------------------------------------------------------
+@register("d14_neardup_incremental", None)
+def d14_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg((F.max("doc_id") / 2).cast("long").alias("m")).collect()[0].m
+    store = tempfile.mkdtemp(prefix="nd_store_") + "/nd"
+    first = docs.filter(F.col("doc_id") <= mid)
+    second = docs.filter(F.col("doc_id") > mid)
+    dd.neardup_incremental(first, store, update_store=True).count()  # seed
+    batch2 = second.select("doc_id", "text").unionByName(
+        first.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    out = dd.neardup_incremental(batch2, store, update_store=False)
+    return out.select("doc_id", "in_batch_survivor", "store_hit", "survived")

@@ -303,3 +303,63 @@ def test_udtf_word_ngrams_lateral(spark):
     assert list(out["ngram"]) == ["the quick", "quick brown", "brown fox"]
     short = spark.sql("SELECT * FROM word_ngrams('hi', 3)").toPandas()
     assert list(short["ngram"]) == ["hi"]
+
+
+# --- neardup_incremental ----------------------------------------------------
+
+
+def test_neardup_incremental_two_batches_clean(spark, tmp_path):
+    from sparkswift.operators.dedup import neardup_incremental
+
+    store = str(tmp_path / "ndstore2")
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest to hide from every hunter")
+    batch1 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": [base]})
+    )
+    assert neardup_incremental(batch1, store).toPandas()["survived"].tolist() == [1]
+
+    batch2 = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [10, 11],
+            "text": [base.replace("lazy", "sleepy"),  # near-dup of stored doc 1
+                     "fresh unrelated words about parquet row groups and "
+                     "column statistics and bloom filter indexes today"],
+        })
+    )
+    out = (
+        neardup_incremental(batch2, store)
+        .orderBy("doc_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[10, "store_hit"] == 1 and out.loc[10, "survived"] == 0
+    assert out.loc[11, "store_hit"] == 0 and out.loc[11, "survived"] == 1
+
+    # batch 3: near-copy of the batch-2 SURVIVOR must now hit the store
+    batch3 = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [20],
+            "text": ["fresh unrelated words about parquet row groups and "
+                     "column statistics and bloom filter indexes yesterday"],
+        })
+    )
+    out3 = neardup_incremental(batch3, store).toPandas()
+    assert out3["survived"].tolist() == [0]
+
+
+def test_neardup_incremental_in_batch_first_wins(spark, tmp_path):
+    from sparkswift.operators.dedup import neardup_incremental
+
+    store = str(tmp_path / "ndstore3")
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    batch = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [5, 6],
+            "text": [base, base + " extra"],  # in-batch near-dups
+        })
+    )
+    out = neardup_incremental(batch, store).orderBy("doc_id").toPandas()
+    assert out["in_batch_survivor"].tolist() == [1, 0]  # min id wins
+    assert out["survived"].tolist() == [1, 0]
