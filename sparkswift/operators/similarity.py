@@ -1257,7 +1257,7 @@ def cosine_topk_ivfpq(
         "qjd,jcd->qjc", qxn.reshape(len(qids), m, dsub), codebooks
     ).astype(np.float64)
     qrow = {int(qid): i for i, qid in enumerate(qids)}
-    d2 = ((qx[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    d2 = ((qxn[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
     probe_idx = np.argsort(d2, axis=1)[:, :nprobe]
     probes = corpus.sparkSession.createDataFrame(
         [
@@ -1434,7 +1434,7 @@ def ivfpq_search(
         "qjd,jcd->qjc", qxn.reshape(len(qids), m, dsub), codebooks
     ).astype(np.float64)
     qrow = {int(qid): i for i, qid in enumerate(qids)}
-    d2 = ((qx[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    d2 = ((qxn[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
     probe_idx = np.argsort(d2, axis=1)[:, :nprobe]
     probed_lists = sorted({int(l) for row in probe_idx for l in row})
     probes = spark.createDataFrame(
@@ -1528,6 +1528,7 @@ def ivfpq_add(
     @F.pandas_udf("int")
     def nearest_center(s: pd.Series) -> pd.Series:
         x = _to_matrix(s)
+        x = x / np.linalg.norm(x, axis=1, keepdims=True).clip(min=1e-12)
         d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
         return pd.Series(d2.argmin(axis=1).astype(np.int32))
 
@@ -1567,6 +1568,11 @@ def coarse_train(
         if sample_x is None
         else sample_x
     )
+    # normalized space: cosine search probes with normalized queries,
+    # PQ codes encode normalized vectors, and rebalance reconstructs
+    # normalized points — one consistent geometry throughout the
+    # IVFPQ family
+    x = x / np.linalg.norm(x, axis=1, keepdims=True).clip(min=1e-12)
     return _pq_kmeans_1d(x, nlist, seed, iters)
 
 
@@ -1584,7 +1590,105 @@ def assign_lists(
     @F.pandas_udf("int")
     def nearest(s: pd.Series) -> pd.Series:
         x = _to_matrix(s)
+        x = x / np.linalg.norm(x, axis=1, keepdims=True).clip(min=1e-12)
         d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         return pd.Series(d2.argmin(axis=1).astype(np.int32))
 
     return df.withColumn(output_col, nearest(F.col(vec_col)))
+
+
+def ivfpq_rebalance(
+    spark,
+    path: str,
+    max_list_size: int,
+    seed: int = 42,
+) -> int:
+    """Split oversized lists in a persisted IVFPQ index — the
+    :func:`ivf_rebalance` analog for an index that stores NO raw
+    vectors: cluster geometry is recovered by PQ RECONSTRUCTION
+    (x̂ = concat_j codebook[j][code_j] — the FAISS ``reconstruct``
+    path; reconstruction error is exactly the quantization error the
+    search already tolerates). Each list over ``max_list_size`` is
+    2-means-split on the reconstructed points; half keeps the old
+    ``list_id``, half moves to a fresh one, and both centers update so
+    probes immediately see the tighter lists. Codes are unchanged —
+    non-residual encoding means membership moves, bytes don't.
+
+    Scale: per split this reads ONE list partition (pruned), runs a
+    driver Lloyd on its reconstructions (bounded by the list size that
+    triggered the split), and dynamically overwrites two partitions.
+    Returns the number of lists split.
+    """
+    import os
+
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r.subspace for r in cb_rows)
+    ksub = 1 + max(r.code for r in cb_rows)
+    dsub = len(cb_rows[0].centroid)
+    codebooks = np.empty((m, ksub, dsub))
+    for r in cb_rows:
+        codebooks[r.subspace, r.code] = r.centroid
+    centers: dict[int, list[float]] = {
+        r.list_id: list(r.center)
+        for r in spark.read.parquet(f"{path}/centers").collect()
+    }
+    counts = {
+        r.list_id: r["count"]
+        for r in spark.read.parquet(f"{path}/codes").groupBy("list_id").count().collect()
+    }
+    oversized = sorted(l for l, n in counts.items() if n > max_list_size)
+    if not oversized:
+        return 0
+    next_id = max(centers) + 1
+
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        for lid in oversized:
+            part = (
+                spark.read.parquet(f"{path}/codes")
+                .filter(F.col("list_id") == lid)
+                .select("corpus_id", "codes")
+                .toPandas()
+            )
+            cmat = np.asarray(part["codes"].tolist(), dtype=np.int64)
+            # PQ reconstruction: gather each subspace's centroid
+            recon = codebooks[np.arange(m)[None, :], cmat].reshape(len(part), -1)
+            sub_centers = _pq_kmeans_1d(recon, 2, seed, iters=8)
+            d = ((recon[:, None, :] - sub_centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            out = spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "corpus_id": part["corpus_id"],
+                        "codes": part["codes"],
+                        "list_id": np.where(assign == 0, lid, next_id).astype(
+                            "int32"
+                        ),
+                    }
+                )
+            )
+            out.write.mode("overwrite").partitionBy("list_id").parquet(
+                f"{path}/codes"
+            )
+            # reconstructed points are unit-normalized-space vectors;
+            # centers live in the ORIGINAL embedding space for probe
+            # distance — the reconstruction approximates that space up
+            # to the normalization the encoder applied, which is the
+            # same space probe LUTs use, so the split centers are
+            # consistent with search-side probing
+            centers[lid] = [float(x) for x in sub_centers[0]]
+            centers[next_id] = [float(x) for x in sub_centers[1]]
+            next_id += 1
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+
+    cdf = spark.createDataFrame(
+        sorted((int(k), v) for k, v in centers.items()),
+        "list_id int, center array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centers")
+    return len(oversized)

@@ -685,3 +685,31 @@ def test_ivfpq_add_appended_twin_found_at_rank_one(spark, sf_dir, tmp_path):
     )
     assert out.loc[0, "corpus_id"] == 99_999
     assert out.loc[0, "cos_sim"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_ivfpq_rebalance_splits_hot_lists_and_search_still_works(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfpq_rb")
+    # few lists → guaranteed oversized ones
+    sim.ivfpq_build(emb, path, nlist=4, train_size=500)
+    before = (
+        spark.read.parquet(f"{path}/codes").groupBy("list_id").count().toPandas()
+    )
+    n_split = sim.ivfpq_rebalance(spark, path, max_list_size=80)
+    assert n_split >= 1
+    after = (
+        spark.read.parquet(f"{path}/codes").groupBy("list_id").count().toPandas()
+    )
+    assert len(after) == len(before) + n_split        # one new list per split
+    assert after["count"].sum() == before["count"].sum()  # no rows lost
+    # every previously-oversized list shrank
+    b = before.set_index("list_id")["count"]
+    a = after.set_index("list_id")["count"]
+    for lid, n in b.items():
+        if n > 80:
+            assert a[lid] < n
+    # search still returns sane results with the split centers
+    queries = emb.filter(F.col("label") == 0).limit(5)
+    out = sim.ivfpq_search(spark, path, queries, emb, k=5, nprobe=3).toPandas()
+    assert out.groupby("query_id").size().max() <= 5
+    assert (out["cos_sim"] <= 1.0 + 1e-9).all()
