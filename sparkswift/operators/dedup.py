@@ -384,9 +384,14 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     verify_threshold: float | None = 0.8,
+    sig_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash LSH, optionally
-    verified with exact shingle Jaccard.
+    verified with exact shingle Jaccard. ``sig_frame`` (columns
+    ``id, hsh, sig``, already checkpointed) skips the shingle +
+    signature pass when the caller has computed it — the incremental
+    store path reuses one pass for both the in-batch pairs and the
+    store probe.
 
     bands=16 × rows=4 over 64 hashes → candidate probability
     ≈ 1-(1-j⁴)¹⁶ (≈0.99 at j=0.8). Band buckets are a groupBy key —
@@ -400,7 +405,7 @@ def minhash_lsh_pairs(
     checkpointed so the text → shingle pass runs exactly once.
     """
     rows_per_band = num_hashes // bands
-    sh = (
+    sh = sig_frame if sig_frame is not None else (
         _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
         .select("id", hashed_shingles(text_col, k).alias("hsh"))
         .withColumn("sig", _minhash_from_hashes(F.col("hsh"), num_hashes, 0))
@@ -1112,7 +1117,7 @@ def neardup_incremental(
     # (a) within-batch: LSH pairs → components → min-id survivor
     pairs = minhash_lsh_pairs(
         new_docs, text_col, id_col, k=k, num_hashes=num_hashes, bands=bands,
-        verify_threshold=sig_threshold,
+        verify_threshold=sig_threshold, sig_frame=sh,
     )
     in_batch = near_dedup(new_docs, pairs, id_col=id_col).select(
         F.col(id_col).alias("id"), F.col("is_survivor")
