@@ -89,6 +89,7 @@ HEADLINE = [
     "mm3_audio_features",    # audio plumbing (mapInPandas, exact oracle)
     "j10_salted_join",       # skew salting, result-invisible (vs plain oracle)
     "d14_neardup_incremental",  # near-dup vs persisted minhash store
+    "p18_dataset_diff",      # snapshot diff (40-byte rows through the join)
 ]
 
 

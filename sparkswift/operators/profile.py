@@ -56,3 +56,39 @@ def profile_table(
         (F.col("n_rows") - F.col("n_present")).cast("bigint").alias("n_nulls"),
         F.col("n_distinct"),
     )
+
+
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two dataset versions — the audit a corpus
+    release publishes next to its data card: which ids were added,
+    removed, changed (same id, different content fingerprint), or
+    unchanged.
+
+    Spark-first shape: each side reduces to ``(id, md5(content))`` at
+    scan time — the full-outer join and the CASE run over 40-byte
+    rows, never the payload; one hash shuffle per side. Deterministic
+    (md5), so the SQL oracle hash-matches row-for-row.
+
+    Returns ``(id_col, status)`` with status ∈ ``added | removed |
+    changed | unchanged``; aggregate downstream for the summary
+    counts.
+    """
+    o = old.select(
+        F.col(id_col), F.md5(F.col(content_col).cast("binary")).alias("__old_fp")
+    )
+    n = new.select(
+        F.col(id_col), F.md5(F.col(content_col).cast("binary")).alias("__new_fp")
+    )
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("__old_fp").isNull(), F.lit("added"))
+        .when(F.col("__new_fp").isNull(), F.lit("removed"))
+        .when(F.col("__old_fp") == F.col("__new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col(id_col), status.alias("status"))

@@ -1717,3 +1717,40 @@ def d14_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = dd.neardup_incremental(batch2, store, update_store=False)
     return out.select("doc_id", "in_batch_survivor", "store_hit", "survived")
+
+
+# ---------------------------------------------------------------------------
+# Dataset snapshot diff (corpus-versioning audit): v1 = docs minus the
+# %7 bucket, v2 = all docs with the %5 bucket's text revised. Each
+# side reduces to (id, md5) at scan time; the full-outer join moves
+# 40-byte rows, never text. Exact oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "p18_dataset_diff",
+    """
+    WITH o AS (SELECT doc_id, md5(text) AS fp FROM documents
+               WHERE doc_id % 7 <> 0),
+    n AS (SELECT doc_id,
+                 md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END)
+                   AS fp
+          FROM documents)
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.fp IS NULL THEN 'added'
+                WHEN n.fp IS NULL THEN 'removed'
+                WHEN o.fp = n.fp THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """,
+)
+def p18_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.profile import dataset_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 7 != 0)
+    v2 = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return dataset_diff(v1, v2, "doc_id", "text")

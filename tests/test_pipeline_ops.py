@@ -533,3 +533,23 @@ def test_quantile_bins_global_no_shuffle_of_data(spark):
     out = quantile_bins_global(df, "v", 4)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_dataset_diff_statuses(spark):
+    import pandas as pd
+
+    from sparkswift.operators.profile import dataset_diff
+
+    old = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a", "b", "c"]})
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [2, 3, 4], "text": ["b", "c2", "d"]})
+    )
+    out = (
+        dataset_diff(old, new).orderBy("doc_id").toPandas().set_index("doc_id")
+    )
+    assert out.loc[1, "status"] == "removed"
+    assert out.loc[2, "status"] == "unchanged"
+    assert out.loc[3, "status"] == "changed"
+    assert out.loc[4, "status"] == "added"
