@@ -90,6 +90,7 @@ HEADLINE = [
     "j10_salted_join",       # skew salting, result-invisible (vs plain oracle)
     "d14_neardup_incremental",  # near-dup vs persisted minhash store
     "p18_dataset_diff",      # snapshot diff (40-byte rows through the join)
+    "t16_bpe_trained",       # trained-BPE token accounting
 ]
 
 

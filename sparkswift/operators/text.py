@@ -737,3 +737,142 @@ def unigram_logprob(
             / (F.col("n_tokens").cast("double") * 1e6),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained BPE (Sennrich et al. 2016, public): the real merge-table
+# tokenizer, one step beyond the regex pre-tokenizer estimate
+# (bpe_token_count). Training runs on the corpus's WORD-FREQUENCY
+# table — bounded driver state (the distinct-word set, capped), the
+# standard way BPE is trained; encoding is a distributed Arrow pass.
+# ---------------------------------------------------------------------------
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 200,
+    max_vocab_words: int = 50_000,
+) -> list[tuple[str, str]]:
+    """Learn a BPE merge table from the corpus.
+
+    Distributed part: one explode + groupBy builds the word-frequency
+    table (the only corpus-sized work); the driver receives at most
+    ``max_vocab_words`` (word, freq) rows — most-frequent first,
+    lexicographic tiebreak, so the cap is deterministic. Driver part:
+    classic greedy pair-merging over that weighted dictionary
+    (deterministic: best pair by (count desc, pair lexicographic)).
+
+    Returns the ordered merge list — feed to :func:`bpe_encode_count`.
+    """
+    wf = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .orderBy(F.col("f").desc(), F.col("w"))
+        .limit(max_vocab_words)
+        .collect()
+    )
+    # word -> (symbol tuple, freq); </w> marks word end (classic BPE)
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in wf:
+        key = tuple(r.w) + ("</w>",)
+        vocab[key] = vocab.get(key, 0) + r.f
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + f
+        if not pair_counts:
+            break
+        # deterministic: max count, then LEXICOGRAPHICALLY SMALLEST pair
+        best_count = max(pair_counts.values())
+        best_pair = min(p for p, c in pair_counts.items() if c == best_count)
+        if best_count < 2:
+            break
+        merged = best_pair[0] + best_pair[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, f in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i < len(syms) - 1
+                    and syms[i] == best_pair[0]
+                    and syms[i + 1] == best_pair[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + f
+        vocab = new_vocab
+        merges.append(best_pair)
+    return merges
+
+
+def _bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Number of BPE tokens for one word under a merge-rank table
+    (lowest-rank pair merges first — the standard greedy decode)."""
+    syms = list(word) + ["</w>"]
+    while len(syms) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return len(syms)
+
+
+def bpe_encode_count(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document token count under a trained merge table — the real
+    training-cost accounting pass. Arrow-batched; each batch memoizes
+    word → token-count (Zipf makes the cache hit rate high), so the
+    per-word merge loop runs once per DISTINCT word per batch.
+
+    Returns ``(id_col, n_words, n_bpe_tokens)``.
+    """
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def batches(it):
+        cache: dict[str, int] = {}
+        for pdf in it:
+            n_words = []
+            n_tokens = []
+            for t in pdf[text_col]:
+                ws = t.split() if t else []
+                total = 0
+                for w in ws:
+                    c = cache.get(w)
+                    if c is None:
+                        c = _bpe_encode_word(w, ranks)
+                        cache[w] = c
+                    total += c
+                n_words.append(len(ws))
+                n_tokens.append(total)
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_words": pd.Series(n_words, dtype="int64"),
+                    "n_bpe_tokens": pd.Series(n_tokens, dtype="int64"),
+                }
+            )
+            yield out
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        batches, f"{id_col} long, n_words long, n_bpe_tokens long"
+    )

@@ -1754,3 +1754,19 @@ def p18_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return dataset_diff(v1, v2, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# TRAINED BPE token accounting (Sennrich 2016 — the real merge-table
+# tokenizer, beyond t4's regex estimate): merges learned from the
+# corpus word-frequency table (bounded driver state — the standard BPE
+# training input), counts via one Arrow pass with per-batch word
+# memoization. Merge selection is greedy/iterative → rows-only;
+# monotonicity, determinism, and collapse-to-one-token properties are
+# pytest-asserted.
+# ---------------------------------------------------------------------------
+@register("t16_bpe_trained", None)
+def t16_bpe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = tx.bpe_train(docs, num_merges=100)
+    return tx.bpe_encode_count(docs, merges)

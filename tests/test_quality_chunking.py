@@ -363,3 +363,50 @@ def test_neardup_incremental_in_batch_first_wins(spark, tmp_path):
     out = neardup_incremental(batch, store).orderBy("doc_id").toPandas()
     assert out["in_batch_survivor"].tolist() == [1, 0]  # min id wins
     assert out["survived"].tolist() == [1, 0]
+
+
+# --- trained BPE ------------------------------------------------------------
+
+
+def test_bpe_zero_merges_counts_chars_plus_end(spark):
+    from sparkswift.operators.text import bpe_encode_count
+
+    df = _df(spark, ["ab abc"])
+    out = bpe_encode_count(df, []).toPandas()
+    # no merges: each word = its chars + </w>
+    assert out.loc[0, "n_bpe_tokens"] == (2 + 1) + (3 + 1)
+
+
+def test_bpe_merges_collapse_frequent_word_to_one_token(spark):
+    from sparkswift.operators.text import bpe_encode_count, bpe_train
+
+    df = _df(spark, ["spark spark spark spark", "spark spark spark other"])
+    merges = bpe_train(df, num_merges=10)
+    out = bpe_encode_count(df, merges).orderBy("doc_id").toPandas()
+    # 'spark' dominates the corpus: it must end as ONE token
+    assert out.loc[0, "n_bpe_tokens"] == 4
+
+
+def test_bpe_token_count_monotone_in_merges(spark, sf_dir):
+    from sparkswift.operators.text import bpe_encode_count, bpe_train
+    from sparkswift.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    merges = bpe_train(docs, num_merges=120)
+    few = bpe_encode_count(docs, merges[:30]).orderBy("doc_id").toPandas()
+    many = bpe_encode_count(docs, merges).orderBy("doc_id").toPandas()
+    assert (many["n_bpe_tokens"] <= few["n_bpe_tokens"]).all()
+    assert many["n_bpe_tokens"].sum() < few["n_bpe_tokens"].sum()
+
+
+def test_bpe_deterministic_and_partition_invariant(spark, sf_dir):
+    from sparkswift.operators.text import bpe_encode_count, bpe_train
+    from sparkswift.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    m1 = bpe_train(docs, num_merges=50)
+    m2 = bpe_train(docs.repartition(13), num_merges=50)
+    assert m1 == m2  # training is partition-invariant
+    a = bpe_encode_count(docs, m1).orderBy("doc_id").toPandas()
+    b = bpe_encode_count(docs.repartition(7), m1).orderBy("doc_id").toPandas()
+    assert (a["n_bpe_tokens"].values == b["n_bpe_tokens"].values).all()
