@@ -91,6 +91,8 @@ HEADLINE = [
     "d14_neardup_incremental",  # near-dup vs persisted minhash store
     "p18_dataset_diff",      # snapshot diff (40-byte rows through the join)
     "t16_bpe_trained",       # trained-BPE token accounting
+    "q14_promo_effect",      # TPC-H Q14 (conditional agg over bcast join)
+    "st12_stream_chunk",     # RAG chunking at ingest (stateless stream)
 ]
 
 

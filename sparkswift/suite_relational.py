@@ -998,3 +998,45 @@ def j10_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
         F.sum(F.col("l_extendedprice").cast(D)).cast("double").alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape (promotion effect): conditional aggregation over a
+# broadcast fact⋈dim join inside one date window. The CASE runs
+# map-side after the broadcast join; the final agg is a single-row
+# gather. DECIMAL-exact numerator/denominator; one double division at
+# the end.
+# ---------------------------------------------------------------------------
+@register(
+    "q14_promo_effect",
+    f"""
+    SELECT CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice AS {D}) * (1 - CAST(l_discount AS {D}))
+                   ELSE CAST(0 AS {D}) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS {D}) * (1 - CAST(l_discount AS {D})))
+                  AS DOUBLE) AS promo_revenue_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast(D) * (F.lit(1) - F.col("l_discount").cast(D))
+    zero = F.lit(0).cast(D)
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast(
+                "double"
+            )
+            / F.sum(rev).cast("double")
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )

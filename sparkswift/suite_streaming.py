@@ -510,3 +510,39 @@ def st11_stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_words")
     )
     return run_stream_to_batch(kept, mode="append")
+
+
+# ---------------------------------------------------------------------------
+# STREAMING chunking: the RAG preprocessing step at ingest — the same
+# sequence→posexplode window rule as t14, stateless on the document
+# stream (stream ≡ batch row-for-row; oracle = t14's batch SQL).
+# ---------------------------------------------------------------------------
+@register(
+    "st12_stream_chunk",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')
+               AS toks
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_words,
+             CASE WHEN len(toks) <= 32 THEN 1
+                  ELSE (len(toks) - 32 + 24 - 1) // 24 + 1 END AS n_chunks
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(u.i AS BIGINT) AS chunk_id,
+           array_to_string(toks[u.i*24+1 : u.i*24+32], ' ') AS chunk_text,
+           CAST(least(32, n_words - u.i*24) AS BIGINT) AS n_chunk_tokens
+    FROM n, unnest(range(0, n_chunks)) AS u(i)
+    """,
+)
+def st12_stream_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.packing import chunk_overlap
+    from sparkswift.streaming.ops import table_stream
+
+    src = table_stream(spark, sf_dir, "documents")
+    chunks = chunk_overlap(src, "doc_id", "text", size=32, stride=24)
+    return run_stream_to_batch(chunks, mode="append")
