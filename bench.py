@@ -93,6 +93,7 @@ HEADLINE = [
     "t16_bpe_trained",       # trained-BPE token accounting
     "q14_promo_effect",      # TPC-H Q14 (conditional agg over bcast join)
     "st12_stream_chunk",     # RAG chunking at ingest (stateless stream)
+    "w4_distribution_windows",  # percent_rank/cume_dist/ntile/nth_value
 ]
 
 

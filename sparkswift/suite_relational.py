@@ -1040,3 +1040,44 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("promo_revenue_pct"),
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution analytics windows — the remaining rank-family surface
+# (percent_rank, cume_dist, ntile, first/last/nth value) in one
+# per-customer frame. Deterministic: the order key (o_orderkey) is
+# unique. One hash shuffle on the partition key.
+# ---------------------------------------------------------------------------
+@register(
+    "w4_distribution_windows",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(percent_rank() OVER w AS DOUBLE) AS pr,
+           CAST(cume_dist() OVER w AS DOUBLE) AS cd,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           CAST(first_value(o_totalprice) OVER w AS DOUBLE) AS first_price,
+           CAST(nth_value(o_totalprice, 2) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+)
+def w4_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("o_totalprice").over(w).cast("double").alias("first_price"),
+        F.nth_value("o_totalprice", 2).over(wrows).cast("double").alias(
+            "second_price"
+        ),
+    )
