@@ -94,6 +94,8 @@ HEADLINE = [
     "q14_promo_effect",      # TPC-H Q14 (conditional agg over bcast join)
     "st12_stream_chunk",     # RAG chunking at ingest (stateless stream)
     "w4_distribution_windows",  # percent_rank/cume_dist/ntile/nth_value
+    "set2_intersect",        # INTERSECT (left-semi under the hood)
+    "agg13_bool_aggs",       # bool_and/bool_or/count_if surface
 ]
 
 

@@ -798,8 +798,8 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # t15_unigram_logprob, p17_leak_report, st11_stream_quality,
 # mm3_audio_features, j10_salted_join, d14_neardup_incremental,
 # p18_dataset_diff, t16_bpe_trained, q14_promo_effect,
-# st12_stream_chunk, w4_distribution_windows; plus env-gated st2b
-# (container lacks protobuf).
+# st12_stream_chunk, w4_distribution_windows, set2_intersect,
+# agg13_bool_aggs; plus env-gated st2b (container lacks protobuf).
 # Every other registered query holds ≥1 driver-green row across
 # r1-r5.
 # ---------------------------------------------------------------------------

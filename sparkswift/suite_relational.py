@@ -1081,3 +1081,55 @@ def w4_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "second_price"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Set completeness: INTERSECT (DISTINCT semantics) — customers with
+# open orders ∩ customers with finished orders. Left-semi shape under
+# the hood; completes set1's union/except coverage.
+# ---------------------------------------------------------------------------
+@register(
+    "set2_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    open_ = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_.intersect(done)
+
+
+# ---------------------------------------------------------------------------
+# Boolean / conditional aggregate surface: bool_and, bool_or,
+# count_if, any_value-free deterministic variants — all native partial
+# aggregates (map-side combine), exact in both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "agg13_bool_aggs",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_large,
+           CAST(MIN(CASE WHEN o_orderstatus = 'F' THEN o_orderkey END)
+             AS BIGINT) AS first_finished_key
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg13_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.count_if(F.col("o_totalprice") > 100000).cast("bigint").alias("n_large"),
+        F.min(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_orderkey"))
+        ).cast("bigint").alias("first_finished_key"),
+    )
