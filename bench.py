@@ -96,6 +96,8 @@ HEADLINE = [
     "w4_distribution_windows",  # percent_rank/cume_dist/ntile/nth_value
     "set2_intersect",        # INTERSECT (left-semi under the hood)
     "agg13_bool_aggs",       # bool_and/bool_or/count_if surface
+    "agg14_skew_report",     # hot-key diagnostic (salt-or-not decision)
+    "agg15_histogram",       # fixed-bin distribution (data card)
 ]
 
 

@@ -92,3 +92,84 @@ def dataset_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select(F.col(id_col), status.alias("status"))
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Join/aggregate-key skew diagnostic — run this BEFORE picking a
+    join strategy at scale: per hot key its row count and share, plus
+    the skew ratio (hot count / mean count per key). A ratio ≫ 1 on a
+    planned shuffle key says "salt this join" (see joins.salted_join)
+    or "let AQE skew-split".
+
+    One aggregation by the key, a global-stat single row broadcast
+    back, TakeOrdered for the top-N — nothing driver-sized. Exact
+    integer counts; ratios are single divisions (SQL-oracle-able).
+
+    Returns top-N rows ``(key, n_rows, share, skew_ratio)`` ordered by
+    count desc (key asc tiebreak).
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").cast("bigint").alias("__total"),
+        F.count(F.lit(1)).cast("bigint").alias("__nkeys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("__total")).alias("share"),
+            (
+                F.col("n_rows").cast("double")
+                * F.col("__nkeys").cast("double")
+                / F.col("__total")
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("key"))
+        .limit(top_n)
+    )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Fixed-bin histogram — the data-card distribution plot's
+    backing table. One scan-stage bucket assignment + one small
+    aggregate; bin 0 and ``n_bins+1`` catch underflow/overflow
+    (``width_bucket`` semantics, spelled as one explicit expression —
+    ``floor((v-lo)·n/(hi-lo))+1`` — so any engine evaluating the same
+    arithmetic bins identically; DuckDB has no width_bucket). Exact
+    integer counts.
+
+    Returns ``(bin, lo_edge, hi_edge, n_rows)`` for OCCUPIED bins.
+    """
+    v = F.col(value_col)
+    b = (
+        F.when(v < lo, F.lit(0))
+        .when(v >= hi, F.lit(n_bins + 1))
+        .otherwise(
+            F.floor((v - F.lit(lo)) * F.lit(float(n_bins)) / F.lit(hi - lo)) + 1
+        )
+    )
+    w = (hi - lo) / n_bins
+    return (
+        df.select(b.cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .select(
+            "bin",
+            (F.lit(lo) + (F.col("bin") - 1) * F.lit(w)).alias("lo_edge"),
+            (F.lit(lo) + F.col("bin") * F.lit(w)).alias("hi_edge"),
+            "n_rows",
+        )
+    )

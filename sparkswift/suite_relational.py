@@ -1133,3 +1133,60 @@ def agg13_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_orderstatus") == "F", F.col("o_orderkey"))
         ).cast("bigint").alias("first_finished_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Aggregate-key skew diagnostic: hot-key counts/shares/skew-ratio for
+# the l_suppkey join key — the report that decides between plain,
+# AQE-skew, and salted joins. One key aggregate + broadcast totals +
+# TakeOrdered.
+# ---------------------------------------------------------------------------
+@register(
+    "agg14_skew_report",
+    """
+    WITH c AS (SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS n_rows
+               FROM lineitem GROUP BY l_suppkey),
+    t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS nkeys FROM c)
+    SELECT key, n_rows,
+           CAST(n_rows AS DOUBLE) / total AS share,
+           CAST(n_rows AS DOUBLE) * nkeys / total AS skew_ratio
+    FROM c, t
+    ORDER BY n_rows DESC, key
+    LIMIT 10
+    """,
+)
+def agg14_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.profile import skew_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return skew_report(li, "l_suppkey", top_n=10)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram (width_bucket semantics as ONE explicit
+# expression — identical arithmetic in both engines; DuckDB has no
+# width_bucket): order-price distribution in 20 bins, under/overflow
+# in bins 0 and 21. Scan-stage bucketing + one tiny aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "agg15_histogram",
+    """
+    WITH b AS (SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                   WHEN o_totalprice >= 400000 THEN 21
+                   ELSE floor((o_totalprice - 0) * 20.0 / 400000) + 1 END
+                 AS INT) AS bin
+               FROM orders)
+    SELECT bin,
+           0 + (bin - 1) * 20000.0 AS lo_edge,
+           0 + bin * 20000.0 AS hi_edge,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM b
+    GROUP BY bin
+    """,
+)
+def agg15_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.profile import histogram
+
+    orders = load_table(spark, sf_dir, "orders")
+    return histogram(orders, "o_totalprice", 0.0, 400000.0, 20)

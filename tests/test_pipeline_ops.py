@@ -553,3 +553,34 @@ def test_dataset_diff_statuses(spark):
     assert out.loc[2, "status"] == "unchanged"
     assert out.loc[3, "status"] == "changed"
     assert out.loc[4, "status"] == "added"
+
+
+def test_skew_report_flags_planted_hot_key(spark):
+    import pandas as pd
+
+    from sparkswift.operators.profile import skew_report
+
+    rows = [{"k": 1}] * 90 + [{"k": i} for i in range(2, 12)]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = skew_report(df, "k", top_n=3).toPandas()
+    assert out.loc[0, "key"] == 1
+    assert out.loc[0, "n_rows"] == 90
+    assert out.loc[0, "share"] == 0.9
+    # 11 keys, 100 rows: mean = 100/11; ratio = 90 / (100/11) = 9.9
+    assert out.loc[0, "skew_ratio"] == 90 * 11 / 100
+
+
+def test_histogram_bins_and_overflow(spark):
+    import pandas as pd
+
+    from sparkswift.operators.profile import histogram
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": [-5.0, 0.0, 4.9, 5.0, 9.9, 10.0, 25.0]})
+    )
+    out = histogram(df, "v", 0.0, 10.0, 2).orderBy("bin").toPandas().set_index("bin")
+    assert out.loc[0, "n_rows"] == 1  # underflow (-5)
+    assert out.loc[1, "n_rows"] == 2  # [0, 5): 0.0, 4.9
+    assert out.loc[2, "n_rows"] == 2  # [5, 10): 5.0, 9.9
+    assert out.loc[3, "n_rows"] == 2  # overflow: 10.0, 25.0
+    assert out.loc[1, "lo_edge"] == 0.0 and out.loc[1, "hi_edge"] == 5.0
