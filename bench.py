@@ -98,6 +98,7 @@ HEADLINE = [
     "agg13_bool_aggs",       # bool_and/bool_or/count_if surface
     "agg14_skew_report",     # hot-key diagnostic (salt-or-not decision)
     "agg15_histogram",       # fixed-bin distribution (data card)
+    "g1_pagerank",           # iterative power method (join+agg per iter)
 ]
 
 

@@ -1190,3 +1190,28 @@ def agg15_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return histogram(orders, "o_totalprice", 0.0, 400000.0, 20)
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the customer↔supplier purchase graph (bipartite,
+# symmetric edges; node ids disambiguated by parity). Iterative
+# power method — per iteration one join + one aggregate, lineage cut
+# by localCheckpoint, dangling mass via a broadcast one-row agg.
+# Float power iteration → rows-only; exactness vs numpy and the
+# dangling/uniform/partition-invariance properties are pytest-asserted
+# (tests/test_graph.py).
+# ---------------------------------------------------------------------------
+@register("g1_pagerank", None)
+def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        (F.col("o_custkey") * 2).alias("c"),
+        (F.col("l_suppkey") * 2 + 1).alias("s"),
+    ).distinct()
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(edges, max_iter=8)

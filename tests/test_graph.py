@@ -1,0 +1,75 @@
+"""PageRank (operators/graph.py) — verified against a numpy power
+iteration on the same graph."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sparkswift.operators.graph import pagerank
+
+
+def _np_pagerank(edge_list, damping=0.85, iters=10):
+    nodes = sorted({u for u, _ in edge_list} | {v for _, v in edge_list})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = {u: 0 for u in nodes}
+    for u, _ in set(edge_list):
+        out[u] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1.0 - damping) / n)
+        dangling = sum(r[idx[u]] for u in nodes if out[u] == 0)
+        nxt += damping * dangling / n
+        for u, v in set(edge_list):
+            nxt[idx[v]] += damping * r[idx[u]] / out[u]
+        r = nxt
+    return {v: r[idx[v]] for v in nodes}
+
+
+def _run(spark, edge_list, **kw):
+    df = spark.createDataFrame(pd.DataFrame(edge_list, columns=["src", "dst"]))
+    return {
+        r.node: r.rank for r in pagerank(df, **kw).collect()
+    }
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    got = _run(spark, [(1, 2), (2, 3), (3, 1)])
+    assert got[1] == pytest.approx(1 / 3, abs=1e-9)
+    assert got[2] == pytest.approx(1 / 3, abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_star_center_dominates_and_matches_numpy(spark):
+    edges = [(1, 0), (2, 0), (3, 0), (4, 0), (0, 1)]
+    got = _run(spark, edges)
+    want = _np_pagerank(edges)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+    # hub 0 collects from four spokes (beats any pure spoke); node 1
+    # additionally receives ALL of 0's outflow, so it tops the ranking
+    assert got[0] > got[2] and got[1] == max(got.values())
+
+
+def test_pagerank_handles_dangling_nodes(spark):
+    # node 3 has no out-edges: its mass must redistribute, total = 1
+    edges = [(1, 2), (2, 3), (1, 3)]
+    got = _run(spark, edges)
+    want = _np_pagerank(edges)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+
+
+def test_pagerank_partition_invariant(spark):
+    edges = [(i, (i * 7) % 23) for i in range(23)] + [(i, (i + 1) % 23) for i in range(23)]
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    a = _run(spark, edges)
+    b = {
+        r.node: r.rank
+        for r in pagerank(
+            spark.createDataFrame(df).repartition(13)
+        ).collect()
+    }
+    for v in a:
+        assert a[v] == pytest.approx(b[v], abs=1e-12)
