@@ -37,7 +37,14 @@ def pagerank(
     verification; exactness is pytest-asserted against a numpy power
     iteration on the same graph.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # materialize the (possibly expensive) edge derivation ONCE — the
+    # loop re-evaluates whatever plan `edges` carries every iteration
+    # otherwise (a join+distinct upstream would run max_iter times)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -46,21 +53,21 @@ def pagerank(
     )
     n = nodes.count()
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    # static per-iteration inputs, built once: edges with their source
+    # degree attached, and the (possibly empty) dangling-node set
+    e_deg = e.join(out_deg, "src").localCheckpoint()
+    dangling_nodes = nodes.join(
+        out_deg, nodes["node"] == out_deg["src"], "left_anti"
+    ).localCheckpoint()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
 
     for _ in range(max_iter):
-        with_deg = ranks.join(
-            out_deg, ranks["node"] == out_deg["src"], "left"
-        ).select("node", "rank", "deg")
         # dangling mass: one-row aggregate, broadcast back
-        dangling = with_deg.filter(F.col("deg").isNull()).agg(
+        dangling = ranks.join(dangling_nodes, "node", "left_semi").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
         )
         contribs = (
-            e.join(
-                with_deg.filter(F.col("deg").isNotNull()),
-                e["src"] == F.col("node"),
-            )
+            e_deg.join(ranks, e_deg["src"] == ranks["node"])
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
