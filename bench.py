@@ -99,6 +99,7 @@ HEADLINE = [
     "agg14_skew_report",     # hot-key diagnostic (salt-or-not decision)
     "agg15_histogram",       # fixed-bin distribution (data card)
     "g1_pagerank",           # iterative power method (join+agg per iter)
+    "p19_preference_pairs",  # DPO pair construction (max-margin ranks)
 ]
 
 

@@ -515,3 +515,75 @@ def quantile_bins_global(
             F.col(value_col) >= F.lit(t), F.lit(1)
         ).otherwise(F.lit(0))
     return df.withColumn(output_col, bin_expr.cast("int"))
+
+
+def preference_pairs(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Preference-pair construction — the DPO/reward-model data-prep
+    step: within each group, pair the k-th BEST-scored row with the
+    k-th WORST (best↔worst, 2nd-best↔2nd-worst, …), so every pair has
+    the largest attainable score margin at its rank and each row
+    appears in at most one pair (the middle row of an odd group sits
+    out).
+
+    Deterministic: both orderings tiebreak on ``id_col``. One hash
+    shuffle on the group for the two rank windows (both windows share
+    the same partitioning — one exchange), then a self-join on
+    (group, rank) that only carries ids and scores.
+
+    Returns ``(group_col, pair_rank, chosen_id, rejected_id,
+    chosen_score, rejected_score, margin)`` with ``margin > 0``
+    enforced (equal-score pairs are dropped — they carry no
+    preference signal).
+    """
+    from pyspark.sql import Window
+
+    asc = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    desc = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).desc()
+    )
+    ranked = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.col(score_col),
+        F.row_number().over(desc).alias("__best"),
+        F.row_number().over(asc).alias("__worst"),
+    )
+    best = ranked.select(
+        F.col(group_col),
+        F.col("__best").alias("pair_rank"),
+        F.col(id_col).alias("chosen_id"),
+        F.col(score_col).alias("chosen_score"),
+    )
+    worst = ranked.select(
+        F.col(group_col),
+        F.col("__worst").alias("pair_rank"),
+        F.col(id_col).alias("rejected_id"),
+        F.col(score_col).alias("rejected_score"),
+    )
+    pairs = best.join(worst, [group_col, "pair_rank"]).filter(
+        # keep each unordered pair once (upper half of ranks) and drop
+        # the self-pair at an odd group's middle
+        F.col("chosen_id") != F.col("rejected_id")
+    )
+    return (
+        pairs.withColumn(
+            "margin", F.col("chosen_score") - F.col("rejected_score")
+        )
+        .filter(F.col("margin") > 0)
+        .select(
+            group_col,
+            F.col("pair_rank").cast("bigint").alias("pair_rank"),
+            "chosen_id",
+            "rejected_id",
+            "chosen_score",
+            "rejected_score",
+            "margin",
+        )
+    )

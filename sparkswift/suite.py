@@ -799,8 +799,9 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mm3_audio_features, j10_salted_join, d14_neardup_incremental,
 # p18_dataset_diff, t16_bpe_trained, q14_promo_effect,
 # st12_stream_chunk, w4_distribution_windows, set2_intersect,
-# agg13_bool_aggs, agg14_skew_report, agg15_histogram, g1_pagerank;
-# plus env-gated st2b (container lacks protobuf).
+# agg13_bool_aggs, agg14_skew_report, agg15_histogram, g1_pagerank,
+# p19_preference_pairs; plus env-gated st2b (container lacks
+# protobuf).
 # Every other registered query holds ≥1 driver-green row across
 # r1-r5.
 # ---------------------------------------------------------------------------

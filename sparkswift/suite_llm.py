@@ -1770,3 +1770,50 @@ def t16_bpe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = tx.bpe_train(docs, num_merges=100)
     return tx.bpe_encode_count(docs, merges)
+
+
+# ---------------------------------------------------------------------------
+# Preference-pair construction (DPO/reward-model data prep): within
+# each language, k-th best quality pairs with k-th worst — maximal
+# margin per rank, each doc in ≤1 pair, zero-margin pairs dropped (no
+# signal). Two rank windows over ONE exchange + a (group, rank)
+# self-join carrying only ids/scores. Exact oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "p19_preference_pairs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents
+    ),
+    q AS (
+      SELECT doc_id, lang,
+             CAST( (CASE WHEN len(toks) BETWEEN 10 AND 10000 THEN 40.0 ELSE 0.0 END)
+                 + (CASE WHEN CAST(LENGTH(text) - LENGTH(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / LENGTH(text) <= 0.1 THEN 30.0 ELSE 0.0 END)
+                 + (CASE WHEN CAST(len(list_filter(toks, x -> x IN ({_SW_EN}))) AS DOUBLE) / len(toks) >= 0.01 THEN 30.0 ELSE 0.0 END)
+               AS DOUBLE) AS quality_score
+      FROM t
+    ),
+    r AS (
+      SELECT doc_id, lang, quality_score,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY quality_score DESC, doc_id DESC) AS best,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY quality_score ASC, doc_id ASC) AS worst
+      FROM q
+    )
+    SELECT b.lang,
+           CAST(b.best AS BIGINT) AS pair_rank,
+           b.doc_id AS chosen_id,
+           w.doc_id AS rejected_id,
+           b.quality_score AS chosen_score,
+           w.quality_score AS rejected_score,
+           b.quality_score - w.quality_score AS margin
+    FROM r b JOIN r w ON b.lang = w.lang AND b.best = w.worst
+    WHERE b.doc_id <> w.doc_id
+      AND b.quality_score - w.quality_score > 0
+    """,
+)
+def p19_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = tx.quality_score(docs, "text").select("doc_id", "lang", "quality_score")
+    return sp.preference_pairs(scored, "quality_score", "lang", "doc_id")

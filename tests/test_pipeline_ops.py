@@ -584,3 +584,39 @@ def test_histogram_bins_and_overflow(spark):
     assert out.loc[2, "n_rows"] == 2  # [5, 10): 5.0, 9.9
     assert out.loc[3, "n_rows"] == 2  # overflow: 10.0, 25.0
     assert out.loc[1, "lo_edge"] == 0.0 and out.loc[1, "hi_edge"] == 5.0
+
+
+def test_preference_pairs_max_margin_and_no_reuse(spark):
+    import pandas as pd
+
+    from sparkswift.operators.sampling import preference_pairs
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "g": ["a"] * 5,
+                "score": [10.0, 40.0, 30.0, 20.0, 30.0],
+            }
+        )
+    )
+    out = preference_pairs(df, "score", "g").orderBy("pair_rank").toPandas()
+    # best(40,#2) ↔ worst(10,#1); 2nd-best(30,#5 by id-desc tiebreak)
+    # ↔ 2nd-worst(20,#4); middle (30,#3) sits out
+    assert len(out) == 2
+    assert (out["margin"] > 0).all()
+    assert out.loc[0, "chosen_id"] == 2 and out.loc[0, "rejected_id"] == 1
+    assert out.loc[1, "chosen_id"] == 5 and out.loc[1, "rejected_id"] == 4
+    used = set(out["chosen_id"]) | set(out["rejected_id"])
+    assert len(used) == 2 * len(out)  # each doc in at most one pair
+
+
+def test_preference_pairs_drop_zero_margin(spark):
+    import pandas as pd
+
+    from sparkswift.operators.sampling import preference_pairs
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "g": ["a", "a"], "score": [5.0, 5.0]})
+    )
+    assert preference_pairs(df, "score", "g").count() == 0
