@@ -789,13 +789,11 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # collect removal + validate_buckets rewrite), j4/j7 (asof
 # null-safety fix), st2 (stateful streaming family).
 # p12_export_shards took o7's slot; o7 holds r2/r3 rows.
-# Tail-resident with ZERO driver rows after r5 (registered after the
-# churn budget was spent — rotate these into the r6 window):
-# j9_interval_overlap, p16_quality_bins_global, t13_gopher_quality,
-# t14_chunk_overlap, agg12_json_extract, q6_forecast_revenue,
-# e5_cosine_topk_pq, e6_cosine_topk_ivfpq,
-# e7_cosine_topk_ivfpq_persisted, d13_line_dedup,
-# t15_unigram_logprob, p17_leak_report, st11_stream_quality,
+# Tail-resident with ZERO driver rows after r5 — rotate into the r6
+# window (eight of the session's queries were swapped INTO the r5
+# window below; these remain): j9_interval_overlap,
+# p16_quality_bins_global, t14_chunk_overlap,
+# e7_cosine_topk_ivfpq_persisted, st11_stream_quality,
 # mm3_audio_features, j10_salted_join, d14_neardup_incremental,
 # p18_dataset_diff, t16_bpe_trained, q14_promo_effect,
 # st12_stream_chunk, w4_distribution_windows, set2_intersect,
@@ -825,17 +823,21 @@ _WINDOW = [
     "o6b_resample_ffill",
     "p5_decontaminate_bloom",
     "t10_normalize",
-    # --- least-recently verified: driver rows only in r2/r3, rotated
-    # out since — refresh their evidence.
-    "o1_apply_partitions",
-    "o2_apply_columns",
+    # --- least-recently verified canaries refreshing r2/r3 evidence,
+    # MINUS eight swapped out in the third session (o1_apply_partitions,
+    # o2_apply_columns, j2, j3, s1, set1, agg1, agg4 — each holds 2-3
+    # driver-green rows; families keep in-window representatives) in
+    # favor of eight of the session's zero-evidence queries, buying
+    # them first driver rows a round early.
+    "t13_gopher_quality",
+    "d13_line_dedup",
     "p12_export_shards",
-    "j2_semi_join",
-    "j3_anti_join",
-    "s1_topk_orders",
-    "set1_union_except",
-    "agg1_count_distinct",
-    "agg4_cube",
+    "t15_unigram_logprob",
+    "e5_cosine_topk_pq",
+    "e6_cosine_topk_ivfpq",
+    "p17_leak_report",
+    "agg12_json_extract",
+    "q6_forecast_revenue",
     "agg5_quantiles",
     # (mm1, mm2, p2, p4, t2 — each already holding 2-3 driver-green
     # rows from rounds 1-3 — yield their slots to the five round-5
