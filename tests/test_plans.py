@@ -276,3 +276,34 @@ def test_unigram_logprob_broadcasts_total(plans):
     p = plans("t15_unigram_logprob")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     assert "CartesianProduct" not in p
+
+
+def test_q14_broadcasts_part_and_single_gather(plans):
+    p = plans("q14_promo_effect")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    read = p[p.index("PushedFilters") :].splitlines()[0]
+    assert "l_shipdate" in read  # date window reached the scan
+
+
+def test_w4_windows_share_one_exchange(plans):
+    """All five analytics functions run over the same
+    (o_custkey, o_orderkey) ordering — one shuffle, no extra sorts."""
+    p = plans("w4_distribution_windows")
+    assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_agg15_histogram_buckets_at_scan_stage(plans):
+    """Bucket assignment is a projection over the scan; the only
+    exchange carries 22 bins at most."""
+    p = plans("agg15_histogram")
+    assert p.count("Exchange") <= 1
+    assert "Python" not in p
+
+
+def test_p19_pairs_single_exchange_for_both_windows(plans):
+    """Both rank windows partition by the same key — Catalyst reuses
+    one exchange; the self-join adds its own small shuffles but no
+    range partitioning (no global sort)."""
+    p = plans("p19_preference_pairs")
+    assert "Exchange rangepartitioning" not in p
