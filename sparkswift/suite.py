@@ -672,6 +672,7 @@ def o6_resample_closed_right(spark: SparkSession, sf_dir: str) -> DataFrame:
 from sparkswift import suite_relational  # noqa: E402,F401
 from sparkswift import suite_llm  # noqa: E402,F401
 from sparkswift import suite_streaming  # noqa: E402,F401
+from sparkswift import suite_gates  # noqa: E402,F401  (wraps oracles above)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,732 @@
+"""Self-verifying GATE twins for the rows-only (sketch/ANN/hash)
+queries — VERDICT r5 "Next round" #4.
+
+The driver's correctness protocol compares a Spark result against a
+DuckDB oracle by row count + schema + value hash; a MinHash signature
+or an HLL estimate has no cross-engine twin, so those queries could
+only ever record ``no_oracle``. Each gate here restructures the check
+so the driver CAN green it: the gate runs the approximate operator
+AND its exact in-Spark twin, reduces the comparison to a tiny
+deterministic verdict row (recall floor held, subset/superset law
+held, estimate inside its error envelope, ...), and pairs it with an
+oracle that derives the data-dependent columns (counts) straight from
+the parquet tables and states the property columns as TRUE. A
+hash-match now means "the property held on this dataset", not merely
+"the query ran".
+
+Verdict columns are engineered to be DETERMINISTIC: precision-1
+operators (verify steps recompute the exact metric) make subset
+checks exact; planted verbatim/near-verbatim twins make recall
+checks exact; estimator envelopes use floors with ≥2× margin over
+the measured value (floors mirror the pytest assertions, NOTES.md).
+
+Every comparison is a DataFrame join/agg — no collect-and-compare on
+the driver — so the gates themselves follow the 100 TB rules: the
+verdict row is the ONLY thing that ever leaves the cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkswift.operators import dedup as dd
+from sparkswift.operators import similarity as sim
+from sparkswift.operators import text as tx
+from sparkswift.sources import load_table
+from sparkswift.suite import _REGISTRY, register
+from sparkswift.suite_llm import (
+    _BENCH_THR,
+    _ivf_index_path,
+    _perturbed_embeddings,
+)
+from sparkswift.operators import sampling as sp
+
+
+def _one_row_join(*dfs: DataFrame) -> DataFrame:
+    """Cross-join one-row frames (each side is a single aggregate row —
+    the broadcast one-row statistics-join pattern used throughout)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.crossJoin(F.broadcast(d))
+    return out
+
+
+def _set_compare(
+    exact: DataFrame, approx: DataFrame, keys: list[str]
+) -> DataFrame:
+    """One-row frame: n_exact, n_hit (|approx ∩ exact|), n_extra
+    (|approx \\ exact|) over the key tuple — two aggregates, no
+    driver-side set arithmetic."""
+    e = exact.select(*keys).dropDuplicates(keys)
+    a = approx.select(*keys).dropDuplicates(keys)
+    hit = e.join(a.withColumn("__hit", F.lit(1)), keys, "left").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+    )
+    extra = a.join(e, keys, "left_anti").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_extra")
+    )
+    return _one_row_join(hit, extra)
+
+
+def _count_sql(inner: str, alias_extra: str) -> str:
+    return f"SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, {alias_extra} FROM ({inner}) __g"
+
+
+# ---------------------------------------------------------------------------
+# agg2 — HLL++ approx distinct inside its error envelope. rsd=0.02;
+# the gate allows 5× that (HLL++ practical error at this rsd is well
+# under 10% — envelope, not a tuning target).
+# ---------------------------------------------------------------------------
+@register(
+    "agg2_gate",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg2_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+        F.countDistinct("l_partkey").cast("bigint").alias("exact_parts"),
+    )
+    return out.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx") - F.col("exact_parts"))
+            <= 0.1 * F.col("exact_parts")
+        ).alias("approx_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg9 — approx percentile rank-error envelope: for accuracy=10000 the
+# returned value's rank error is ≤ n/10000; the gate checks the value
+# against the ACTUAL ranks (count of rows <,≤ the value) with a 10×
+# slack, which any correct rank-sketch percentile satisfies.
+# ---------------------------------------------------------------------------
+_AGG9_QS = [0.5, 0.9, 0.99]
+
+
+@register(
+    "agg9_gate",
+    """
+    SELECT l_returnflag, q AS quantile, TRUE AS rank_ok
+    FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+    CROSS JOIN (SELECT UNNEST([0.5, 0.9, 0.99]) AS q)
+    """,
+)
+def agg9_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    ap = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", _AGG9_QS, 10_000).alias("qa")
+        )
+        .select(
+            "l_returnflag", F.posexplode("qa").alias("pos", "val")
+        )
+        .select(
+            "l_returnflag",
+            F.element_at(
+                F.array(*[F.lit(q) for q in _AGG9_QS]), F.col("pos") + 1
+            ).alias("quantile"),
+            "val",
+        )
+    )
+    j = li.join(F.broadcast(ap), "l_returnflag")
+    stats = j.groupBy("l_returnflag", "quantile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("l_extendedprice") <= F.col("val"), 1).otherwise(0)
+        ).alias("cnt_le"),
+        F.sum(
+            F.when(F.col("l_extendedprice") < F.col("val"), 1).otherwise(0)
+        ).alias("cnt_lt"),
+    )
+    slack = F.col("n") * 0.001 + 1
+    target = F.col("quantile") * F.col("n")
+    return stats.select(
+        "l_returnflag",
+        "quantile",
+        (
+            (F.col("cnt_lt") <= target + slack)
+            & (F.col("cnt_le") >= target - slack)
+        ).alias("rank_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg11 — sketch-union law + error envelope: the union-of-partials
+# estimate must land within 3% of the direct whole-group sketch's
+# (identical in sparse mode; union promotion to dense HLL_8 perturbs
+# the estimator slightly at larger cardinalities — measured ≤1.1% at
+# sf0.01), and within 5% of the exact distinct count.
+# ---------------------------------------------------------------------------
+@register(
+    "agg11_gate",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS union_ok, TRUE AS merge_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg11_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    partials = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    unioned = partials.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union")
+    )
+    direct = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est_direct"),
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_customers"),
+    )
+    return (
+        direct.join(unioned, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "exact_customers",
+            (
+                F.abs(F.col("est_union") - F.col("exact_customers"))
+                <= 0.05 * F.col("exact_customers")
+            ).alias("union_ok"),
+            (
+                F.abs(F.col("est_union") - F.col("est_direct"))
+                <= 0.03 * F.col("est_direct")
+            ).alias("merge_ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# d3 — MinHash-LSH vs the exact inverted-index operator: the verify
+# step makes emitted pairs a SUBSET of the exact pairs (precision 1,
+# checked exactly), and banding at 16×4 gives recall ≈0.99 at j=0.8
+# (floor 0.8, mirrors pytest).
+# ---------------------------------------------------------------------------
+def _pairs_gate(
+    exact: DataFrame, approx: DataFrame, floor: float
+) -> DataFrame:
+    cmp = _set_compare(exact, approx, ["id_a", "id_b"])
+    return cmp.select(
+        "n_exact",
+        (F.col("n_extra") == 0).alias("subset_ok"),
+        (F.col("n_hit") >= floor * F.col("n_exact")).alias("recall_ok"),
+    )
+
+
+@register(
+    "d3_gate",
+    _count_sql(
+        # wrapped d2 oracle, resolved at import time (d2 registers first)
+        "__D2_ORACLE__",
+        "TRUE AS subset_ok, TRUE AS recall_ok",
+    ),
+)
+def d3_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exact = dd.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.8)
+    approx = dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", k=3, num_hashes=64, bands=16, verify_threshold=0.8
+    )
+    return _pairs_gate(exact, approx, 0.8)
+
+
+# ---------------------------------------------------------------------------
+# d4 — SimHash pigeonhole completeness on planted verbatim copies:
+# a verbatim copy has Hamming distance 0, and the (max_hamming+1)-block
+# pigeonhole candidate generation is COMPLETE for distance ≤
+# max_hamming, so every planted pair MUST be emitted — deterministic,
+# not probabilistic.
+# ---------------------------------------------------------------------------
+@register(
+    "d4_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, TRUE AS all_planted_found
+    FROM documents
+    """,
+)
+def d4_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+    )
+    pairs = dd.simhash_pairs(doubled, "text", "doc_id", max_hamming=3)
+    planted = docs.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 100000).alias("id_b"),
+    )
+    found = planted.join(pairs, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_found")
+    )
+    total = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_planted"))
+    return _one_row_join(total, found).select(
+        "n_planted", (F.col("n_found") == F.col("n_planted")).alias("all_planted_found")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d6 — SRP-LSH embedding near-dup vs the exact blocked-GEMM twin:
+# exact-cosine verification ⇒ subset; recall floor 0.9 (pytest).
+# ---------------------------------------------------------------------------
+@register(
+    "d6_gate",
+    _count_sql("__NEARDUP_ORACLE__", "TRUE AS subset_ok, TRUE AS recall_ok"),
+)
+def d6_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pert = _perturbed_embeddings(spark, sf_dir)
+    exact = sim.cosine_neardup_blocked(pert, threshold=0.99)
+    approx = sim.cosine_neardup_lsh(pert, threshold=0.99, bits=32, bands=8)
+    return _pairs_gate(exact, approx, 0.9)
+
+
+# ---------------------------------------------------------------------------
+# d8 — pipeline survivors must be a SUPERSET of the exact pipeline's
+# (MinHash candidates ⊆ exact pairs ⇒ components only split, and the
+# min-id survivor of a component stays the min of its sub-component).
+# ---------------------------------------------------------------------------
+@register(
+    "d8_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_survivors, TRUE AS superset_ok
+    FROM (__D7_ORACLE__) __g WHERE is_survivor
+    """,
+)
+def d8_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exact_pairs = dd.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.8)
+    exact_surv = (
+        dd.near_dedup(docs, exact_pairs, "doc_id")
+        .filter("is_survivor")
+        .select("doc_id")
+    )
+    lsh_pairs = dd.minhash_lsh_pairs(docs, "text", "doc_id", verify_threshold=0.8)
+    lsh_surv = (
+        dd.near_dedup(docs, lsh_pairs, "doc_id")
+        .filter("is_survivor")
+        .select("doc_id")
+    )
+    missing = exact_surv.join(lsh_surv, "doc_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_missing")
+    )
+    total = exact_surv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact_survivors")
+    )
+    return _one_row_join(total, missing).select(
+        "n_exact_survivors", (F.col("n_missing") == 0).alias("superset_ok")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d12 — SemDeDup laws: victims are always a subset of the exact
+# operator's dominated set (clustering only REMOVES candidate pairs),
+# and every planted TRUE near-dup (1e-4 jitter, cos ≈ 1 — the regime
+# the operator is FOR; see test_semdedup_planted_twins_all_caught)
+# must drop. k-means cannot separate almost-identical points.
+# ---------------------------------------------------------------------------
+@register(
+    "d12_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+           TRUE AS victims_subset_ok, TRUE AS planted_dropped_ok
+    FROM embeddings WHERE vec_id % 2 = 0
+    """,
+)
+def d12_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    e = F.col("embedding")
+    twins = emb.filter(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(e, 1) + F.lit(1e-4)), F.slice(e, 2, 63)
+        ).alias("embedding"),
+    )
+    pert = emb.unionByName(twins)
+    out = sim.semdedup(pert, threshold=0.99, n_clusters=16)
+    victims = out.filter(~F.col("keep")).select("vec_id")
+    exact = sim.cosine_neardup_blocked(pert, threshold=0.99)
+    dominated = exact.select(F.col("id_b").alias("vec_id")).distinct()
+    bad_victims = victims.join(dominated, "vec_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_bad")
+    )
+    planted = twins.select("vec_id")
+    n_planted = planted.agg(F.count(F.lit(1)).cast("bigint").alias("n_planted"))
+    planted_kept = planted.join(victims, "vec_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+    return _one_row_join(n_planted, bad_victims, planted_kept).select(
+        "n_planted",
+        (F.col("n_bad") == 0).alias("victims_subset_ok"),
+        (F.col("n_kept") == 0).alias("planted_dropped_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d14 — incremental near-dup store: a verbatim re-crawl has the exact
+# shingle set of its seeded original ⇒ identical MinHash signature ⇒
+# identical band keys ⇒ store hit GUARANTEED (deterministic, the
+# operator's contract for recrawls).
+# ---------------------------------------------------------------------------
+@register(
+    "d14_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_recrawls, TRUE AS all_recrawls_hit
+    FROM documents
+    WHERE doc_id <= (SELECT CAST(FLOOR(MAX(doc_id) / 2.0) AS BIGINT)
+                     FROM documents)
+    """,
+)
+def d14_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg((F.max("doc_id") / 2).cast("long").alias("m")).collect()[0].m
+    store = tempfile.mkdtemp(prefix="nd_gate_") + "/nd"
+    first = docs.filter(F.col("doc_id") <= mid)
+    second = docs.filter(F.col("doc_id") > mid)
+    dd.neardup_incremental(first, store, update_store=True).count()  # seed
+    batch2 = second.select("doc_id", "text").unionByName(
+        first.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    out = dd.neardup_incremental(batch2, store, update_store=False)
+    recrawls = out.filter(F.col("doc_id") >= 100000)  # doc_ids start at 0
+    # store_hit is an INT flag (0/1), not boolean
+    return recrawls.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_recrawls"),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("store_hit") == 0, 1).otherwise(0)), F.lit(0)
+            )
+            == 0
+        ).alias("all_recrawls_hit"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cosine top-k recall gates — e2 LSH / e3 IVF / e5 PQ / e6 IVFPQ and
+# the persisted e4/e7 variants, all against the exact e1 twin computed
+# in the same plan. Floors mirror the pytest assertions (NOTES.md
+# sweeps): LSH 0.5, IVF 0.8, PQ 0.85, IVFPQ 0.75.
+# ---------------------------------------------------------------------------
+_TOPK_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+    FROM embeddings WHERE label = 0
+"""
+
+
+def _topk_gate(
+    spark: SparkSession, sf_dir: str, approx: DataFrame, floor: float
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0)
+    exact = sim.cosine_topk(emb, queries, k=5)
+    cmp = _set_compare(exact, approx, ["query_id", "corpus_id"])
+    n_q = queries.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
+    return _one_row_join(n_q, cmp).select(
+        "n_queries",
+        (F.col("n_hit") >= floor * F.col("n_exact")).alias("recall_ok"),
+    )
+
+
+@register("e2_gate", _TOPK_ORACLE)
+def e2_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = sim.cosine_topk_lsh(
+        emb, k=5, bits=32, bands=8, query_filter=(F.col("label") == 0)
+    )
+    return _topk_gate(spark, sf_dir, approx, 0.5)
+
+
+@register("e3_gate", _TOPK_ORACLE)
+def e3_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0)
+    approx = sim.cosine_topk_ivf(emb, queries, k=5, nlist=16, nprobe=8)
+    return _topk_gate(spark, sf_dir, approx, 0.8)
+
+
+@register("e5_gate", _TOPK_ORACLE)
+def e5_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0)
+    approx = sim.cosine_topk_pq(emb, queries, k=5, train_size=500)
+    return _topk_gate(spark, sf_dir, approx, 0.85)
+
+
+@register("e6_gate", _TOPK_ORACLE)
+def e6_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0)
+    approx = sim.cosine_topk_ivfpq(emb, queries, k=5, train_size=500)
+    return _topk_gate(spark, sf_dir, approx, 0.75)
+
+
+# ---------------------------------------------------------------------------
+# e4/e7 — persisted-index gates: same recall contract as their
+# in-session twins, exercised through the on-disk index (build once
+# into the params-fingerprinted cache, partition-pruned probe reads).
+# ---------------------------------------------------------------------------
+@register("e4_gate", _TOPK_ORACLE)
+def e4_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0)
+    idx = _ivf_index_path(sf_dir, "ivf", "nlist16_v1")
+    if not os.path.isdir(os.path.join(idx, "corpus")):
+        sim.ivf_build(emb, idx, nlist=16)
+    approx = sim.ivf_search(spark, idx, queries, k=5, nprobe=8)
+    return _topk_gate(spark, sf_dir, approx, 0.8)
+
+
+@register("e7_gate", _TOPK_ORACLE)
+def e7_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0)
+    idx = _ivf_index_path(sf_dir, "ivfpq", "nlist16_ts500_v1")
+    if not os.path.isdir(os.path.join(idx, "codes")):
+        sim.ivfpq_build(emb, idx, nlist=16, train_size=500)
+    approx = sim.ivfpq_search(spark, idx, queries, emb, k=5, nprobe=8)
+    return _topk_gate(spark, sf_dir, approx, 0.75)
+
+
+# ---------------------------------------------------------------------------
+# g1 — PageRank invariants: node count matches the graph (DuckDB
+# re-derives it from the same join), ranks are a probability
+# distribution (Σ=1 within float tolerance, all positive).
+# ---------------------------------------------------------------------------
+@register(
+    "g1_gate",
+    """
+    WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    nodes AS (SELECT c AS n FROM pairs UNION SELECT s FROM pairs)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           TRUE AS sum_ok, TRUE AS all_positive
+    FROM nodes
+    """,
+)
+def g1_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    ranks = pagerank(edges, max_iter=5)
+    return ranks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        (F.abs(F.sum("rank") - 1.0) < 1e-9).alias("sum_ok"),
+        (F.min("rank") > 0.0).alias("all_positive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# p5 — Bloom decontamination's defining guarantee: ZERO false
+# negatives vs the exact broadcast-set operator (every truly
+# contaminated doc is flagged; FPs are the tunable trade).
+# ---------------------------------------------------------------------------
+@register(
+    "p5_gate",
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_contaminated, TRUE AS fn_zero "
+    "FROM (__P3_ORACLE__) __g WHERE contaminated",
+)
+def p5_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = sp.hash_bucket_hex("doc_id", seed=1)
+    bench = docs.filter(bucket < F.lit(_BENCH_THR))
+    train = docs.filter(bucket >= F.lit(_BENCH_THR))
+    exact = (
+        dd.decontaminate(train, bench, "text", "doc_id", k=3)
+        .filter("contaminated")
+        .select("doc_id")
+    )
+    bloom = (
+        dd.decontaminate_bloom(train, bench, "text", "doc_id", k=3)
+        .filter("contaminated")
+        .select("doc_id")
+    )
+    fn = exact.join(bloom, "doc_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_fn")
+    )
+    total = exact.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact_contaminated")
+    )
+    return _one_row_join(total, fn).select(
+        "n_exact_contaminated", (F.col("n_fn") == 0).alias("fn_zero")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p16 — GK-sketch global bins on a HIGH-CARDINALITY column (near-
+# unique values, so tie distortion is nil): bin boundaries monotone by
+# construction; populations balanced to sketch accuracy (1e-4·n rank
+# error per boundary; gate allows 1%·n + 16).
+# ---------------------------------------------------------------------------
+@register(
+    "p16_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(4 AS BIGINT) AS n_bins, TRUE AS balance_ok
+    FROM lineitem
+    """,
+)
+def p16_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    out = sp.quantile_bins_global(li, "l_extendedprice", 4)
+    per_bin = out.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = out.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    verdict = _one_row_join(
+        per_bin.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.max("cnt").alias("mx"),
+            F.min("cnt").alias("mn"),
+        ),
+        tot,
+    )
+    slack = F.col("n_rows") * 0.01 + 16
+    quarter = F.col("n_rows") / 4.0
+    return verdict.select(
+        "n_rows",
+        "n_bins",
+        (
+            (F.col("mx") <= quarter + slack) & (F.col("mn") >= quarter - slack)
+        ).alias("balance_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# st10 — streaming near-dup ≡ batch twin: the SET of surviving
+# signature keys is deterministic regardless of arrival order, so the
+# streamed result must equal `select distinct sig_key` over the same
+# rows computed in batch.
+# ---------------------------------------------------------------------------
+@register(
+    "st10_gate",
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, TRUE AS stream_eq_batch "
+    "FROM documents",
+)
+def st10_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.streaming.ops import (
+        run_stream_to_batch,
+        stream_neardup,
+        table_stream,
+    )
+
+    src = table_stream(spark, sf_dir, "documents")
+    streamed = run_stream_to_batch(
+        stream_neardup(src, "text", k=3, num_hashes=8).select("sig_key"),
+        mode="append",
+    ).select("sig_key")
+    docs = load_table(spark, sf_dir, "documents")
+    batch = (
+        stream_neardup(docs, "text", k=3, num_hashes=8)
+        .select("sig_key")
+        .distinct()
+    )
+    cmp = _set_compare(batch, streamed, ["sig_key"])
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return _one_row_join(n_docs, cmp).select(
+        "n_docs",
+        (
+            (F.col("n_hit") == F.col("n_exact")) & (F.col("n_extra") == 0)
+        ).alias("stream_eq_batch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t16 — trained-BPE laws, checked per document over the whole corpus:
+# word-boundary tokenization bounds (n_words ≤ n_bpe_tokens ≤
+# non-space chars) and merge monotonicity (more merges never increase
+# the token count).
+# ---------------------------------------------------------------------------
+@register(
+    "t16_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS bounds_ok, TRUE AS monotone_ok
+    FROM documents
+    """,
+)
+def t16_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = tx.bpe_train(docs, num_merges=100)
+    full = tx.bpe_encode_count(docs, merges)
+    half = tx.bpe_encode_count(docs, merges[:50]).select(
+        F.col("doc_id"), F.col("n_bpe_tokens").alias("n_half")
+    )
+    chars = docs.select(
+        "doc_id",
+        F.length(F.regexp_replace(F.coalesce("text", F.lit("")), r"\s", "")).alias(
+            "n_chars"
+        ),
+    )
+    j = full.join(half, "doc_id").join(chars, "doc_id")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("n_bpe_tokens") < F.col("n_words"))
+                        | (F.col("n_bpe_tokens") > F.col("n_chars")),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            == 0
+        ).alias("bounds_ok"),
+        (
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("n_bpe_tokens") > F.col("n_half"), 1).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            == 0
+        ).alias("monotone_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Resolve the oracle placeholders that wrap other queries' registered
+# oracles (registration order guarantees they exist: suite_relational
+# and suite_llm import before this module).
+# ---------------------------------------------------------------------------
+def _resolve_placeholder(gate: str, placeholder: str, source: str) -> None:
+    fn, sql = _REGISTRY[gate]
+    inner = _REGISTRY[source][1]
+    assert inner is not None, source
+    _REGISTRY[gate] = (fn, sql.replace(placeholder, inner))
+
+
+_resolve_placeholder("d3_gate", "__D2_ORACLE__", "d2_ngram_jaccard")
+_resolve_placeholder("d6_gate", "__NEARDUP_ORACLE__", "d5_embedding_neardup")
+_resolve_placeholder("d8_gate", "__D7_ORACLE__", "d7_dedup_clusters")
+_resolve_placeholder("p5_gate", "__P3_ORACLE__", "p3_decontaminate")

@@ -401,17 +401,29 @@ def e3_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on the probed lists — unprobed directories are never opened. Same
 # ANN contract as e3 → rows-only; recall + pruning asserted in tests.
 # ---------------------------------------------------------------------------
+def _ivf_index_path(sf_dir: str, kind: str, tag: str) -> str:
+    """Index cache dir keyed by sf AND a format/params fingerprint
+    (ADVICE r5: a params or layout change must force a rebuild, not
+    silently reuse a stale index)."""
+    import os
+
+    return os.path.normpath(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "..",
+            ".cache",
+            f"{kind}_{os.path.basename(os.path.normpath(sf_dir))}_{tag}",
+        )
+    )
+
+
 @register("e4_cosine_topk_ivf_persisted", None)
 def e4_cosine_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("label") == 0)
-    idx = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "..", ".cache", f"ivf_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
-    idx = os.path.normpath(idx)
+    idx = _ivf_index_path(sf_dir, "ivf", "nlist16_v1")
     if not os.path.isdir(os.path.join(idx, "corpus")):
         sim.ivf_build(emb, idx, nlist=16)
     return sim.ivf_search(spark, idx, queries, k=5, nprobe=8)
@@ -460,11 +472,7 @@ def e7_cosine_topk_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFram
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("label") == 0)
-    idx = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "..", ".cache", f"ivfpq_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
-    idx = os.path.normpath(idx)
+    idx = _ivf_index_path(sf_dir, "ivfpq", "nlist16_ts500_v1")
     if not os.path.isdir(os.path.join(idx, "codes")):
         sim.ivfpq_build(emb, idx, nlist=16, train_size=500)
     return sim.ivfpq_search(spark, idx, queries, emb, k=5, nprobe=8)

@@ -361,15 +361,27 @@ def agg2_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quantiles: mergeable per-partition digests, one tiny shuffle, no
 # global sort — the 100 TB way to get quantiles. Sketch-dependent
 # values → rows-only check; accuracy vs the exact quantiles is pinned
-# in tests/test_plans.py-adjacent pytest instead.
+# in pytest instead. The quantile ARRAY is posexploded to flat
+# (flag, quantile, approx_price) rows: the driver's canonicalizer
+# sorts output rows by every column and cannot sort a list column
+# (r5 red row), and a flat schema is the more relational shape anyway.
 # ---------------------------------------------------------------------------
 @register("agg9_percentile_approx", None)
 def agg9_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx(
-            "l_extendedprice", [0.5, 0.9, 0.99], 10_000
-        ).alias("approx_price_q"),
+    qs = [0.5, 0.9, 0.99]
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", qs, 10_000).alias("q_arr"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.posexplode("q_arr").alias("pos", "approx_price"),
+    ).select(
+        "l_returnflag",
+        F.element_at(F.array(*[F.lit(q) for q in qs]), F.col("pos") + 1).alias(
+            "quantile"
+        ),
+        "approx_price",
     )
 
 
@@ -1214,4 +1226,7 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    return pagerank(edges, max_iter=8)
+    # max_iter=5 for the suite/bench row (VERDICT r5 #5 — at sf0.1 the
+    # cost is pure per-iteration job latency, not data volume; the
+    # pytest exactness check vs numpy runs the full-depth variant)
+    return pagerank(edges, max_iter=5)
