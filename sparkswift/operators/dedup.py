@@ -26,6 +26,7 @@ Scale design (the point of each algorithm):
 
 from __future__ import annotations
 
+import re
 
 import numpy as np
 import pandas as pd
@@ -957,7 +958,11 @@ def line_dedup(
         F.col(id_col),
         *(F.col(c) for c in keep_cols),
         F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), line_sep)
+            # line_sep is a LITERAL separator: F.split interprets its
+            # pattern as a Java regex, while reassembly below joins
+            # with the raw string — regex-escape so both sides agree
+            # for separators containing metacharacters (ADVICE r5)
+            F.split(F.coalesce(F.col(text_col), F.lit("")), re.escape(line_sep))
         ).alias("__pos", "__line"),
     )
     w = Window.partitionBy(F.xxhash64("__line"), F.col("__line")).orderBy(
@@ -1105,8 +1110,6 @@ def neardup_incremental(
     Returns ``(id_col, in_batch_survivor, store_hit, survived)`` for
     every new doc (all 0/1 ints) — callers filter ``survived = 1``.
     """
-    import os
-
     spark = new_docs.sparkSession
     sh = (
         _spread(new_docs.select(F.col(id_col).alias("id"), F.col(text_col)))
@@ -1123,11 +1126,20 @@ def neardup_incremental(
         F.col(id_col).alias("id"), F.col("is_survivor")
     )
 
-    # (b) store probe (empty store on bootstrap)
-    have_store = os.path.isdir(os.path.join(store_path, "buckets"))
-    if have_store:
+    # (b) store probe (empty store on bootstrap). FS-agnostic existence
+    # check (ADVICE r5): read-and-catch like dedup_incremental — an
+    # os.path.isdir probe only sees the driver-local filesystem, so on
+    # HDFS/S3 it would silently treat a real store as absent every
+    # batch and the cross-batch probe would never run.
+    from pyspark.errors import AnalysisException
+
+    try:
         store_buckets = spark.read.parquet(f"{store_path}/buckets")
         store_sigs = spark.read.parquet(f"{store_path}/sigs")
+        have_store = True
+    except AnalysisException:
+        have_store = False  # no store yet — first batch
+    if have_store:
         banded = sh.select("id", _sig_band_buckets(num_hashes, bands).alias("bb")).select(
             "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
         )

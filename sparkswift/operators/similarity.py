@@ -1668,9 +1668,6 @@ def ivfpq_rebalance(
                     }
                 )
             )
-            out.write.mode("overwrite").partitionBy("list_id").parquet(
-                f"{path}/codes"
-            )
             # reconstructed points are unit-normalized-space vectors;
             # centers live in the ORIGINAL embedding space for probe
             # distance — the reconstruction approximates that space up
@@ -1679,6 +1676,21 @@ def ivfpq_rebalance(
             # consistent with search-side probing
             centers[lid] = [float(x) for x in sub_centers[0]]
             centers[next_id] = [float(x) for x in sub_centers[1]]
+            # crash-safety ordering (ADVICE r5): publish the updated
+            # centers BEFORE moving codes into the new list. A failure
+            # between the two writes then leaves an extra center with
+            # an empty codes partition (probe-harmless, self-heals on
+            # the next rebalance) — never code rows assigned to a
+            # list_id that no center references, which would be
+            # silently unreachable by ivfpq_search.
+            cdf = spark.createDataFrame(
+                sorted((int(k), v) for k, v in centers.items()),
+                "list_id int, center array<double>",
+            )
+            cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centers")
+            out.write.mode("overwrite").partitionBy("list_id").parquet(
+                f"{path}/codes"
+            )
             next_id += 1
     finally:
         if saved is None:
@@ -1686,9 +1698,4 @@ def ivfpq_rebalance(
         else:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
 
-    cdf = spark.createDataFrame(
-        sorted((int(k), v) for k, v in centers.items()),
-        "list_id int, center array<double>",
-    )
-    cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centers")
     return len(oversized)

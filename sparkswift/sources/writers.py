@@ -155,25 +155,39 @@ def compact_dataset(
     with file count = ceil(current_bytes / target_file_bytes).
 
     Safety: the rewrite goes to ``<path>.__compact__`` first and is
-    atomically swapped in only after it succeeds (rename, not
-    delete-then-write), so a mid-job failure leaves the original
-    intact. The whole job is one read + one round-robin repartition —
-    no data-dependent shuffle key, so it scales linearly and never
-    skews.
+    swapped in only after it succeeds (rename, not delete-then-write),
+    so a mid-job failure leaves the original intact. Stats and the
+    swap go through the Hadoop FileSystem API (ADVICE r5), so the
+    operator works on whatever filesystem the path lives on — local,
+    HDFS, S3A — not just the driver's local disk. The rename pair is
+    atomic per-rename on HDFS/local but NOT on object stores (S3
+    renames are copies), and concurrent readers must be quiesced
+    during the swap on any filesystem — same contract as Hive's
+    INSERT OVERWRITE. The whole job is one read + one round-robin
+    repartition — no data-dependent shuffle key, so it scales
+    linearly and never skews.
 
     Returns a summary dict (files/bytes before and after).
     """
     import math
-    import shutil
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _hpath(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    fs = _hpath(path).getFileSystem(hconf)
 
     def _stats(p: str) -> tuple[int, int]:
         n = b = 0
-        for root, _dirs, files in os.walk(p):
-            for f in files:
-                if f.startswith(("_", ".")):
-                    continue
-                n += 1
-                b += os.path.getsize(os.path.join(root, f))
+        it = fs.listFiles(_hpath(p), True)
+        while it.hasNext():
+            st = it.next()
+            if st.getPath().getName().startswith(("_", ".")):
+                continue
+            n += 1
+            b += st.getLen()
         return n, b
 
     files_before, bytes_before = _stats(path)
@@ -189,13 +203,17 @@ def compact_dataset(
         w = w.partitionBy(*partition_by)
     w.save(tmp)
 
-    os.rename(path, bak)
+    def _rename(src: str, dst: str) -> None:
+        if not fs.rename(_hpath(src), _hpath(dst)):
+            raise IOError(f"rename {src} -> {dst} failed")
+
+    _rename(path, bak)
     try:
-        os.rename(tmp, path)
+        _rename(tmp, path)
     except Exception:  # put the original back before propagating
-        os.rename(bak, path)
+        _rename(bak, path)
         raise
-    shutil.rmtree(bak)
+    fs.delete(_hpath(bak), True)
 
     files_after, bytes_after = _stats(path)
     return {

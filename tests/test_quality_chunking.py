@@ -149,6 +149,31 @@ def test_line_dedup_keeps_empty_docs_row_aligned(spark):
     assert out.loc[1, "n_lines_kept"] == 0
 
 
+def test_line_dedup_regex_metachar_separator(spark):
+    """line_sep is a LITERAL separator: a value containing regex
+    metacharacters ('||', '. ', '\\n\\n') must split/join round-trip
+    exactly (ADVICE r5 — F.split takes a Java regex, so the separator
+    is escaped before splitting)."""
+    from sparkswift.operators.dedup import line_dedup
+
+    docs = _df(
+        spark,
+        [
+            "alpha||shared seg||unique one",
+            "shared seg||unique two",
+        ],
+    )
+    out = (
+        line_dedup(docs, "doc_id", "text", line_sep="||")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert out.loc[0, "clean_text"] == "alpha||shared seg||unique one"
+    assert out.loc[0, "n_lines_dropped"] == 0
+    assert out.loc[1, "clean_text"] == "unique two"
+    assert out.loc[1, "n_lines_dropped"] == 1
+
+
 def test_line_dedup_partition_invariant(spark, sf_dir):
     from sparkswift.operators.dedup import line_dedup
     from sparkswift.sources import load_table
