@@ -100,7 +100,13 @@ HEADLINE = [
     "agg15_histogram",       # fixed-bin distribution (data card)
     "g1_pagerank",           # iterative power method (join+agg per iter)
     "p19_preference_pairs",  # DPO pair construction (max-margin ranks)
+    "j11_salted_join_skewed",  # salting under a REAL hot key (30% one supplier)
+    "q4_priority_check",     # TPC-H Q4 shape (correlated EXISTS -> semi join)
 ]
+# The *_gate verdict twins (suite_gates.py) are deliberately NOT
+# benched: each one re-runs its operator AND the exact twin — their
+# job is driver-verifiable correctness, not throughput; the raw
+# operators above carry the timing signal.
 
 
 def main() -> None:

@@ -764,123 +764,93 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Registration order. The correctness driver verifies the first 50
 # registrations, so the window below holds the 50 entries with the
-# highest evidence value THIS round. Round-5 rotation (VERDICT r4
-# "Next round" #1): the 15 queries that had never earned a driver row
-# (agg2, agg8, agg9, d3, d4, d6, d8, e2, e3, e4, j8, o5c, o6b, p5,
-# t10) move in, together with the 18 entries whose only driver rows
-# are from rounds 2-3, plus 17 r4-green canaries — one per family —
-# that exercise this round's code changes. st2b_stateful_totals_tws
-# remains outside: the container lacks protobuf so transformWithState
-# cannot run (NOTES.md). With this rotation every registered,
-# registerable query has >=1 driver CORRECTNESS row across rounds.
-# EVERY entry — window and tail — is still checked vs DuckDB locally
-# by `python tools/check.py` and by pytest; the window only decides
-# which rows the driver re-verifies. All five round-5 queries
-# (o2_apply_rows_raw, p10, p11, d10, st7) are IN the window.
-# Final r5 refresh: the nine queries registered after the window was
-# first frozen (st9_stream_decontaminate, agg10_profile,
-# t11_rare_tokens, p13_quality_bins, t12_bm25, q3_shipping_priority,
-# q18_large_volume_customer, p14_interleave, d12_semdedup) take the
-# slots of nine canaries that each hold >=2 driver-green rows from
-# rounds 1-4 and do NOT guard this round's code changes
-# (o2_apply_rows, o5_rolling_sum_time, o6_resample_hourly,
-# w1_rank_lag, agg3_rollup, t1_text_quality, d1_dedup_exact,
-# p3_decontaminate, st1_stream_resample). Canaries kept: q1 flagship,
-# the o1 pair (native-gate fix), o5_rolling_udf + o5b (global-rolling
-# collect removal + validate_buckets rewrite), j4/j7 (asof
-# null-safety fix), st2 (stateful streaming family).
-# p12_export_shards took o7's slot; o7 holds r2/r3 rows.
-# Tail-resident with ZERO driver rows after r5 — rotate into the r6
-# window (eight of the session's queries were swapped INTO the r5
-# window below; these remain): j9_interval_overlap,
-# p16_quality_bins_global, t14_chunk_overlap,
-# e7_cosine_topk_ivfpq_persisted, st11_stream_quality,
-# mm3_audio_features, j10_salted_join, d14_neardup_incremental,
-# p18_dataset_diff, t16_bpe_trained, q14_promo_effect,
-# st12_stream_chunk, w4_distribution_windows, set2_intersect,
-# agg13_bool_aggs, agg14_skew_report, agg15_histogram, g1_pagerank,
-# p19_preference_pairs; plus env-gated st2b (container lacks
-# protobuf).
-# Every other registered query holds ≥1 driver-green row across
-# r1-r5.
+# highest evidence value THIS round (round 6). Composition:
+#
+# 1. The 19 queries registered after the r5 window froze — every one
+#    with ZERO driver rows (VERDICT r5 "Next round" #2) — plus
+#    agg9_percentile_approx, whose single r5 row was RED (the driver
+#    canonicalizer could not sort its ARRAY column; the query now
+#    posexplodes to flat rows — VERDICT r5 #1).
+# 2. The 20 *_gate self-verifying twins (suite_gates.py — VERDICT r5
+#    #4): each converts a rows-only sketch/ANN query into a
+#    hash-matchable verdict row, so the driver can finally GREEN the
+#    MinHash/SimHash/SRP/IVF/PQ/HLL/BPE/PageRank family instead of
+#    recording no_oracle. Their raw-output twins stay registered
+#    (tail) for the bench and for users.
+# 3. j11_salted_join_skewed — new this round: j10's machinery under a
+#    manufactured hot key (~30% of rows on one supplier).
+# 4. Canaries guarding this round's code changes: q1 (flagship),
+#    o1_apply_native / o5b / j7 (standing family canaries),
+#    d13_line_dedup (line_sep regex-escape fix),
+#    e4_cosine_topk_ivf_persisted (params-fingerprinted index cache),
+#    p3_decontaminate (r5 bench drift — A/B-cleared at 0.506 s median,
+#    NOTES.md round 6; the driver row re-confirms correctness),
+#    o4_groupby_apply + st2_stateful_totals (least-recent r4-green
+#    family refreshes).
+#
+# st2b_stateful_totals_tws remains unregistered: the container lacks
+# protobuf so transformWithState cannot import (NOTES.md, re-checked
+# 2026-08-14). EVERY entry — window and tail — is still checked vs
+# DuckDB locally by `python tools/check.py` and by pytest; the window
+# only decides which rows the driver re-verifies. The cross-round
+# evidence ledger (query -> rounds green) lives in NOTES.md "Rotation
+# ledger".
 # ---------------------------------------------------------------------------
 _WINDOW = [
-    # --- never-driver-verified until now (VERDICT r4 #1): the 15
-    # queries with zero CORRECTNESS rows across rounds 1-4 (st2b is
-    # the 16th but stays env-gated: no protobuf in this container,
-    # so transformWithState cannot register — NOTES.md).
-    "agg2_approx_distinct",
-    "agg8_unpivot",
+    # --- (1) zero-evidence rotations + the repaired agg9 ---
     "agg9_percentile_approx",
-    "d3_minhash_lsh",
-    "d4_simhash",
-    "d6_embedding_neardup_lsh",
-    "d8_neardup_pipeline",
-    "e2_cosine_topk_lsh",
-    "e3_cosine_topk_ivf",
-    "e4_cosine_topk_ivf_persisted",
-    "j8_range_join_large",
-    "o5c_rolling_global_time",
-    "o6b_resample_ffill",
-    "p5_decontaminate_bloom",
-    "t10_normalize",
-    # --- least-recently verified canaries refreshing r2/r3 evidence,
-    # MINUS eight swapped out in the third session (o1_apply_partitions,
-    # o2_apply_columns, j2, j3, s1, set1, agg1, agg4 — each holds 2-3
-    # driver-green rows; families keep in-window representatives) in
-    # favor of eight of the session's zero-evidence queries, buying
-    # them first driver rows a round early.
-    "t13_gopher_quality",
-    "d13_line_dedup",
-    "p12_export_shards",
-    "t15_unigram_logprob",
-    "e5_cosine_topk_pq",
-    "e6_cosine_topk_ivfpq",
-    "p17_leak_report",
-    "agg12_json_extract",
-    "q6_forecast_revenue",
-    "agg5_quantiles",
-    # (mm1, mm2, p2, p4, t2 — each already holding 2-3 driver-green
-    # rows from rounds 1-3 — yield their slots to the five round-5
-    # queries so every registerable query has a driver row after r5)
-    "o2_apply_rows_raw",
-    "p10_mixture_sample",
-    "p11_domain_cap",
-    "d10_dedup_incremental",
-    "st7_stream_sample",
-    "d11_fuzzy_join",
-    "st8_stream_enrich",
-    "e1_cosine_topk",
-    # --- registered after the first r5 freeze — zero driver rows,
-    # rotated in (see header comment for the displaced canaries)
-    "st9_stream_decontaminate",
-    "agg10_profile",
-    "t11_rare_tokens",
-    "p13_quality_bins",
-    "t12_bm25",
-    "q3_shipping_priority",
-    "q18_large_volume_customer",
-    "p14_interleave",
-    "d12_semdedup",
-    "st10_stream_neardup",
-    "agg11_sketch_union",
-    "w3_latest_per_key",
-    "p15_zorder_key",
-    # --- canaries: r4-green representatives kept in the window to
-    # catch regressions from this round's changes (asof null-safety
-    # fix -> j7, which exercises the fixed nearest direction;
-    # global-rolling collect removal + validate_buckets rewrite ->
-    # o5b; native-gate caching -> o1_apply_native; flagship -> q1).
-    # Displaced to make room for this session's zero-evidence
-    # queries (each displaced name holds 2+ driver-green rows, and
-    # its family keeps an in-window representative): o5_rolling_udf,
-    # st2_stateful_totals, o1_apply_udf, j4_asof_join. Any query
-    # registered from here on stays tail-resident and rotates in
-    # NEXT round — the window churn budget for r5 is spent.
+    "agg13_bool_aggs",
+    "agg14_skew_report",
+    "agg15_histogram",
+    "d14_neardup_incremental",
+    "e7_cosine_topk_ivfpq_persisted",
+    "g1_pagerank",
+    "j9_interval_overlap",
+    "j10_salted_join",
+    "mm3_audio_features",
+    "p16_quality_bins_global",
+    "p18_dataset_diff",
+    "p19_preference_pairs",
+    "q14_promo_effect",
+    "set2_intersect",
+    "st11_stream_quality",
+    "st12_stream_chunk",
+    "t14_chunk_overlap",
+    "t16_bpe_trained",
+    "w4_distribution_windows",
+    # --- (2) the self-verifying gates ---
+    "agg2_gate",
+    "agg9_gate",
+    "agg11_gate",
+    "d3_gate",
+    "d4_gate",
+    "d6_gate",
+    "d8_gate",
+    "d12_gate",
+    "d14_gate",
+    "e2_gate",
+    "e3_gate",
+    "e4_gate",
+    "e5_gate",
+    "e6_gate",
+    "e7_gate",
+    "g1_gate",
+    "p5_gate",
+    "p16_gate",
+    "st10_gate",
+    "t16_gate",
+    # --- (3) new this round ---
+    "j11_salted_join_skewed",
+    # --- (4) canaries / changed-code refreshes ---
     "q1_pricing_summary",
     "o1_apply_native",
     "o5b_rolling_global",
     "j7_asof_nearest",
+    "d13_line_dedup",
+    "e4_cosine_topk_ivf_persisted",
+    "p3_decontaminate",
+    "o4_groupby_apply",
+    "st2_stateful_totals",
 ]
 
 

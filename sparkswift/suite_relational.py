@@ -1013,6 +1013,87 @@ def j10_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q4 shape (order priority checking): correlated EXISTS — count
+# orders per priority having at least one LATE lineitem (shipped >30
+# days after the order date; the fixture has no commit/receipt dates,
+# so lateness is vs o_orderdate — same correlated equi+inequality
+# semi-join shape as the real Q4). Spark plans the EXISTS as a
+# LeftSemi hash join on the equi key with the date predicate as a
+# join residual: the fact table streams through once, no dedup
+# shuffle, then one tiny agg on the 5-value priority key.
+# ---------------------------------------------------------------------------
+@register(
+    "q4_priority_check",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("order_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-STRESS variant of j10 (VERDICT r5 #8): the uniform TPC-H keys
+# never actually exercise the salt machinery, so this query
+# manufactures a genuinely hot key — ~30% of all lineitem rows remap
+# to supplier 1 (deterministic CASE both engines evaluate
+# identically) — and joins through salted_join. Without salting that
+# key's rows land in ONE shuffle task; salt=16 spreads them over 16.
+# The oracle is the plain unsalted join over the same remap, so the
+# machinery must stay result-invisible under real skew.
+# ---------------------------------------------------------------------------
+@register(
+    "j11_salted_join_skewed",
+    f"""
+    WITH sk AS (SELECT CASE WHEN l_orderkey % 10 < 3 THEN 1
+                            ELSE l_suppkey END AS s_suppkey,
+                       l_extendedprice
+                FROM lineitem)
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS {D})) AS DOUBLE) AS total_price
+    FROM sk JOIN supplier USING (s_suppkey)
+    GROUP BY s_nationkey
+    """,
+)
+def j11_salted_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 < 3, F.lit(1))
+        .otherwise(F.col("l_suppkey"))
+        .alias("s_suppkey"),
+        "l_extendedprice",
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(li, supp, "s_suppkey", salt=16)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast(D)).cast("double").alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q14 shape (promotion effect): conditional aggregation over a
 # broadcast fact⋈dim join inside one date window. The CASE runs
 # map-side after the broadcast join; the final agg is a single-row

@@ -278,6 +278,31 @@ def test_unigram_logprob_broadcasts_total(plans):
     assert "CartesianProduct" not in p
 
 
+def test_salted_join_shuffles_on_salt(spark, sf_dir):
+    """When the right side is too big to broadcast (the only regime
+    where salting matters — a broadcast join has no shuffle to skew),
+    the join exchange must partition on (key, __salt): that composite
+    key is the entire point of salting, and a refactor that drops
+    __salt from the shuffle key silently re-concentrates the hot key
+    into one task. At fixture scale supplier broadcasts, so the
+    shuffle path is forced via autoBroadcastJoinThreshold=-1."""
+    from sparkswift import suite
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = suite.queries()["j11_salted_join_skewed"](spark, sf_dir)
+        p = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    ex = [
+        ln
+        for ln in p.splitlines()
+        if "Exchange hashpartitioning" in ln and "__salt" in ln
+    ]
+    assert ex, f"no exchange partitioned on __salt:\n{p}"
+
+
 def test_q14_broadcasts_part_and_single_gather(plans):
     p = plans("q14_promo_effect")
     assert "BroadcastHashJoin" in p
