@@ -21,6 +21,8 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     max_iter: int = 10,
+    assume_distinct: bool = False,
+    symmetric: bool = False,
 ) -> DataFrame:
     """PageRank by power iteration over an edge list.
 
@@ -32,6 +34,14 @@ def pagerank(
     iteration ends in ``localCheckpoint`` so lineage depth stays
     constant across iterations (the CC lesson, dedup.py).
 
+    ``symmetric=True`` declares the edge list symmetrized (every
+    (a,b) has its (b,a)) — then every node appears as a src, so the
+    node set IS the out-degree key set (no union+distinct pass) and
+    the dangling set is provably empty (no dangling checkpoint, no
+    per-iteration dangling aggregate). Exact for undirected graphs —
+    the common shape for co-occurrence / dedup-pair graphs; the
+    Σrank = 1 invariant still certifies mass conservation.
+
     Returns ``(node, rank)`` with Σrank = 1 up to float rounding.
     Deterministic up to float-sum association order — rows-only
     verification; exactness is pytest-asserted against a numpy power
@@ -39,50 +49,57 @@ def pagerank(
     """
     # materialize the (possibly expensive) edge derivation ONCE — the
     # loop re-evaluates whatever plan `edges` carries every iteration
-    # otherwise (a join+distinct upstream would run max_iter times)
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .localCheckpoint()
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
-    n = nodes.count()
+    # otherwise (a join+distinct upstream would run max_iter times).
+    # assume_distinct=True skips the dedup shuffle when the caller
+    # guarantees uniqueness (e.g. edges built as a union of DISJOINT
+    # directions of an already-distinct pair set) — one full exchange
+    # of the edge list saved.
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.localCheckpoint()
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    if symmetric:
+        # symmetrized edges: every node is a src — the degree table IS
+        # the node set, and no node can dangle
+        nodes = out_deg.select(F.col("src").alias("node")).localCheckpoint()
+        dangling_nodes = None
+    else:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint()
+        )
+        dangling_nodes = nodes.join(
+            out_deg, nodes["node"] == out_deg["src"], "left_anti"
+        ).localCheckpoint()
+    n = nodes.count()
     # static per-iteration inputs, built once: edges with their source
     # degree attached, and the (possibly empty) dangling-node set
     e_deg = e.join(out_deg, "src").localCheckpoint()
-    dangling_nodes = nodes.join(
-        out_deg, nodes["node"] == out_deg["src"], "left_anti"
-    ).localCheckpoint()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
 
     for _ in range(max_iter):
-        # dangling mass: one-row aggregate, broadcast back
-        dangling = ranks.join(dangling_nodes, "node", "left_semi").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
-        )
         contribs = (
             e_deg.join(ranks, e_deg["src"] == ranks["node"])
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("__dm") / n)
-                ).alias("rank"),
+        updated = nodes.join(contribs, "node", "left")
+        if dangling_nodes is None:
+            rank_expr = F.lit((1.0 - damping) / n) + F.lit(damping) * F.coalesce(
+                F.col("inflow"), F.lit(0.0)
             )
-            .localCheckpoint()
-        )
+        else:
+            # dangling mass: one-row aggregate, broadcast back
+            dangling = ranks.join(dangling_nodes, "node", "left_semi").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+            )
+            updated = updated.crossJoin(F.broadcast(dangling))
+            rank_expr = F.lit((1.0 - damping) / n) + F.lit(damping) * (
+                F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("__dm") / n
+            )
+        ranks = updated.select("node", rank_expr.alias("rank")).localCheckpoint()
     return ranks

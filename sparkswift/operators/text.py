@@ -739,6 +739,112 @@ def unigram_logprob(
     )
 
 
+def dsir_logratio(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 2,
+    hash_buckets: int | None = None,
+) -> DataFrame:
+    """DSIR importance scoring (Data Selection via Importance
+    Resampling, Xie et al. 2023, arXiv:2302.03169 — public): score
+    every raw-corpus document by how much more likely its k-gram bag
+    is under the TARGET distribution than under the raw corpus's own,
+    ``score(d) = Σ_f log p̂_target(f) − log p̂_raw(f)`` with add-1
+    smoothed n-gram models. High scores = "looks like the target
+    domain" — the standard pretraining-data selection signal when a
+    quality classifier is unavailable.
+
+    Determinism: per-feature log-ratios are quantized to INTEGER
+    micro-nats before the per-doc sum (the t15 unigram-LM trick), so
+    ``logratio_unats`` is exact integer arithmetic — partition-order
+    independent and SQL-oracle-able. Decomposition keeps it exact:
+    ``log p̂_t(f) − log p̂_r(f) = [ln(c_t+1) − ln(c_r+1)] +
+    [ln(R+V) − ln(T+V)]`` — the per-feature bracket rounds once per
+    feature, the constant bracket rounds once globally and multiplies
+    by the doc's feature count.
+
+    Scale shape: two count shuffles (target features, raw features),
+    one full-outer feature merge, then a feature-key join back to the
+    exploded corpus — the same silhouette as TF-IDF. The paper hashes
+    features into a fixed bucket space to bound the model;
+    ``hash_buckets`` does the same JVM-side (``pmod(xxhash64(f), B)``)
+    so the weight table becomes broadcastable at any corpus size —
+    Spark-only (no cross-engine hash), so the suite oracle runs the
+    exact-identity variant.
+
+    Returns ``(id_col, n_feats, logratio_unats, avg_logratio)``.
+    """
+    feat = word_ngrams_all(text_col, k)
+    if hash_buckets is not None:
+        fcol = F.explode(feat).alias("__f0")
+
+        def feats(df: DataFrame, *keep) -> DataFrame:
+            return df.select(*keep, fcol).select(
+                *keep, F.pmod(F.xxhash64("__f0"), F.lit(hash_buckets)).alias("__f")
+            )
+    else:
+
+        def feats(df: DataFrame, *keep) -> DataFrame:
+            return df.select(*keep, F.explode(feat).alias("__f"))
+
+    t_f = feats(target).groupBy("__f").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__ct")
+    )
+    r_f = feats(docs).groupBy("__f").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cr")
+    )
+    u = r_f.join(t_f, "__f", "full_outer").select(
+        "__f",
+        F.coalesce("__ct", F.lit(0)).alias("__ct"),
+        F.coalesce("__cr", F.lit(0)).alias("__cr"),
+    )
+    const = u.agg(
+        F.round(
+            (
+                F.log(
+                    (F.sum("__cr") + F.count(F.lit(1))).cast("double")
+                )
+                - F.log((F.sum("__ct") + F.count(F.lit(1))).cast("double"))
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("__const")
+    )
+    w = u.select(
+        "__f",
+        F.round(
+            (
+                F.log((F.col("__ct") + 1).cast("double"))
+                - F.log((F.col("__cr") + 1).cast("double"))
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("__w"),
+    )
+    scored = (
+        feats(docs, F.col(id_col))
+        .join(w, "__f")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum("__w").cast("bigint").alias("__sum_w"),
+        )
+    )
+    total = F.col("__sum_w") + F.col("n_feats") * F.col("__const")
+    return scored.crossJoin(F.broadcast(const)).select(
+        F.col(id_col),
+        "n_feats",
+        total.cast("bigint").alias("logratio_unats"),
+        (
+            total.cast("double") / (F.col("n_feats").cast("double") * 1e6)
+        ).alias("avg_logratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Trained BPE (Sennrich et al. 2016, public): the real merge-table
 # tokenizer, one step beyond the regex pre-tokenizer estimate

@@ -536,7 +536,7 @@ def g1_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    ranks = pagerank(edges, max_iter=5)
+    ranks = pagerank(edges, max_iter=5, assume_distinct=True, symmetric=True)
     return ranks.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
         (F.abs(F.sum("rank") - 1.0) < 1e-9).alias("sum_ok"),

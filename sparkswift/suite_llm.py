@@ -1666,6 +1666,67 @@ def p17_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance scoring (Xie et al. 2023, arXiv:2302.03169): rank
+# raw-corpus docs by Σ_f [log p̂_target(f) − log p̂_raw(f)] over their
+# bigram bags (add-1 smoothing) — the classifier-free data-selection
+# signal. Target = the same hash-bucket "benchmark" slice as p3/p17;
+# raw = the rest. Per-feature log-ratios quantized to integer
+# micro-nats (the t15 trick) so the score column is EXACT integer
+# arithmetic; one double division at the end.
+# ---------------------------------------------------------------------------
+_DSIR_NG = """CASE WHEN len(toks) >= 2
+              THEN list_transform(generate_series(1, len(toks) - 1),
+                                  i -> concat_ws(' ', toks[i], toks[i+1]))
+              ELSE [array_to_string(toks, ' ')] END"""
+
+
+@register(
+    "p20_dsir_select",
+    rf"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '') AS toks
+               FROM documents),
+    g AS (SELECT doc_id, {_DSIR_NG} AS ng FROM t),
+    tgt AS (SELECT unnest(ng) AS f FROM g
+            WHERE substr(md5(concat_ws(':', '1', CAST(doc_id AS VARCHAR))), 1, 8)
+                  < '{_BENCH_THR}'),
+    raw AS (SELECT doc_id, unnest(ng) AS f FROM g
+            WHERE substr(md5(concat_ws(':', '1', CAST(doc_id AS VARCHAR))), 1, 8)
+                  >= '{_BENCH_THR}'),
+    tc AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS ct FROM tgt GROUP BY f),
+    rc AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS cr FROM raw GROUP BY f),
+    u AS (SELECT COALESCE(rc.f, tc.f) AS f,
+                 COALESCE(ct, 0) AS ct, COALESCE(cr, 0) AS cr
+          FROM rc FULL OUTER JOIN tc ON rc.f = tc.f),
+    k AS (SELECT CAST(ROUND((ln(CAST(SUM(cr) + COUNT(*) AS DOUBLE))
+                             - ln(CAST(SUM(ct) + COUNT(*) AS DOUBLE)))
+                            * 1000000) AS BIGINT) AS cnst
+          FROM u),
+    w AS (SELECT f, CAST(ROUND((ln(CAST(ct + 1 AS DOUBLE))
+                                - ln(CAST(cr + 1 AS DOUBLE))) * 1000000)
+                    AS BIGINT) AS w
+          FROM u),
+    s AS (SELECT raw.doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_feats,
+                 CAST(SUM(w.w) AS BIGINT) AS sum_w
+          FROM raw JOIN w USING (f) GROUP BY raw.doc_id)
+    SELECT s.doc_id, s.n_feats,
+           CAST(s.sum_w + s.n_feats * k.cnst AS BIGINT) AS logratio_unats,
+           CAST(s.sum_w + s.n_feats * k.cnst AS DOUBLE)
+               / (CAST(s.n_feats AS DOUBLE) * 1e6) AS avg_logratio
+    FROM s, k
+    """,
+)
+def p20_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = sp.hash_bucket_hex("doc_id", seed=1)
+    target = docs.filter(bucket < F.lit(_BENCH_THR))
+    raw = docs.filter(bucket >= F.lit(_BENCH_THR))
+    return tx.dsir_logratio(raw, target, "text", "doc_id", k=2)
+
+
+# ---------------------------------------------------------------------------
 # Multimodal audio-feature plumbing (completes the mm family's oracle
 # coverage next to mm1 decode and mm2 frame sampling): mapInPandas
 # batch shape, duration + digest-derived MFCC-shaped vector. The

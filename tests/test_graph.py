@@ -73,3 +73,18 @@ def test_pagerank_partition_invariant(spark):
     }
     for v in a:
         assert a[v] == pytest.approx(b[v], abs=1e-12)
+
+
+def test_pagerank_symmetric_shortcut_matches_general_path(spark):
+    """symmetric=True (no dangling machinery, nodes from the degree
+    table) must reproduce the general path EXACTLY on a symmetrized
+    edge list — same joins, same float association order, so the
+    ranks are bit-identical, not just close."""
+    base = [(1, 2), (2, 3), (3, 4), (1, 4), (2, 5)]
+    sym = base + [(b, a) for a, b in base]
+    general = _run(spark, sym)
+    fast = _run(spark, sym, assume_distinct=True, symmetric=True)
+    assert set(general) == set(fast)
+    for node in general:
+        assert general[node] == fast[node], node
+    assert sum(fast.values()) == pytest.approx(1.0, abs=1e-9)
