@@ -784,9 +784,10 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    d13_line_dedup (line_sep regex-escape fix),
 #    e4_cosine_topk_ivf_persisted (params-fingerprinted index cache),
 #    p3_decontaminate (r5 bench drift — A/B-cleared at 0.506 s median,
-#    NOTES.md round 6; the driver row re-confirms correctness),
-#    o4_groupby_apply + st2_stateful_totals (least-recent r4-green
-#    family refreshes).
+#    NOTES.md round 6; the driver row re-confirms correctness), and
+#    the round's two other NEW queries (q4_priority_check TPC-H Q4
+#    shape, p20_dsir_select DSIR importance scoring) so nothing
+#    registered this round is left zero-evidence.
 #
 # st2b_stateful_totals_tws remains unregistered: the container lacks
 # protobuf so transformWithState cannot import (NOTES.md, re-checked
@@ -849,8 +850,8 @@ _WINDOW = [
     "d13_line_dedup",
     "e4_cosine_topk_ivf_persisted",
     "p3_decontaminate",
-    "o4_groupby_apply",
-    "st2_stateful_totals",
+    "q4_priority_check",
+    "p20_dsir_select",
 ]
 
 
