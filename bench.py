@@ -102,6 +102,8 @@ HEADLINE = [
     "p19_preference_pairs",  # DPO pair construction (max-margin ranks)
     "j11_salted_join_skewed",  # salting under a REAL hot key (30% one supplier)
     "q4_priority_check",     # TPC-H Q4 shape (correlated EXISTS -> semi join)
+    "p20_dsir_select",       # DSIR importance scoring (micro-nat log-ratios)
+    "o6c_resample_interpolate",  # linear-interp upsample (struct-carry windows)
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

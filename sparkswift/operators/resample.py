@@ -213,9 +213,18 @@ def resample_fill(
     (bucket agg + spine join share the group key). Spine size is
     (span/rule) rows per group — generated data, independent of input
     row count, the standard time-series gap-fill shape.
+
+    ``method="interpolate"`` fills each empty bucket linearly between
+    its nearest non-empty neighbours (pandas ``resample().mean()
+    .interpolate('linear')`` semantics): two ignore-nulls windows
+    carry (bucket_ts, value) structs backward and forward, then one
+    per-row double expression ``prev + (next-prev)·Δt/Δspan``. The
+    spine's bounds come from OBSERVED buckets, so every gap has both
+    neighbours — no head/tail extrapolation cases exist. Per-row IEEE
+    arithmetic → still exactly SQL-oracle-able.
     """
-    if method not in ("ffill", "zero", "none"):
-        raise ValueError("method must be ffill|zero|none")
+    if method not in ("ffill", "zero", "none", "interpolate"):
+        raise ValueError("method must be ffill|zero|none|interpolate")
     keys = list(extra_keys or [])
     agg = resample_agg(
         df, ts_col, rule, values, bucket_col=bucket_col, extra_keys=keys or None
@@ -246,8 +255,35 @@ def resample_fill(
         .orderBy(bucket_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    if method == "ffill":
+        return joined.select(
+            *keys,
+            bucket_col,
+            *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in out_cols],
+        )
+
+    # interpolate: both fill windows share the same partitioning/order
+    # as ffill's, so the sort happens once
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    t = F.unix_micros(F.col(bucket_col)).cast("double")
+
+    def _interp(c: str):
+        pair = F.when(
+            F.col(c).isNotNull(), F.struct(t.alias("t"), F.col(c).alias("v"))
+        )
+        prev = F.last(pair, ignorenulls=True).over(w)
+        nxt = F.first(pair, ignorenulls=True).over(wf)
+        frac = (t - prev["t"]) / (nxt["t"] - prev["t"])
+        return F.when(F.col(c).isNotNull(), F.col(c).cast("double")).otherwise(
+            prev["v"] + (nxt["v"] - prev["v"]) * frac
+        )
+
     return joined.select(
         *keys,
         bucket_col,
-        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in out_cols],
+        *[_interp(c).alias(c) for c in out_cols],
     )

@@ -783,11 +783,12 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    o1_apply_native / o5b / j7 (standing family canaries),
 #    d13_line_dedup (line_sep regex-escape fix),
 #    e4_cosine_topk_ivf_persisted (params-fingerprinted index cache),
-#    p3_decontaminate (r5 bench drift — A/B-cleared at 0.506 s median,
-#    NOTES.md round 6; the driver row re-confirms correctness), and
-#    the round's two other NEW queries (q4_priority_check TPC-H Q4
-#    shape, p20_dsir_select DSIR importance scoring) so nothing
-#    registered this round is left zero-evidence.
+#    and the round's other NEW queries (q4_priority_check TPC-H Q4
+#    shape, p20_dsir_select DSIR importance scoring,
+#    o6c_resample_interpolate linear-interp upsample) so nothing
+#    registered this round is left zero-evidence. p3_decontaminate's
+#    r5 bench drift was A/B-cleared (0.506 s median, NOTES round 6);
+#    it holds 4 driver-green rows r1-r4, so its slot went to o6c.
 #
 # st2b_stateful_totals_tws remains unregistered: the container lacks
 # protobuf so transformWithState cannot import (NOTES.md, re-checked
@@ -849,7 +850,7 @@ _WINDOW = [
     "j7_asof_nearest",
     "d13_line_dedup",
     "e4_cosine_topk_ivf_persisted",
-    "p3_decontaminate",
+    "o6c_resample_interpolate",
     "q4_priority_check",
     "p20_dsir_select",
 ]
@@ -920,3 +921,72 @@ def o6b_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         method="ffill",
         extra_keys=["event_type"],
     ).select("event_type", "bucket_ts", "v", "n")
+
+
+# ---------------------------------------------------------------------------
+# O6 — linear-interpolation upsample (pandas resample().mean()
+# .interpolate('linear')): 5-minute buckets are ~97% empty on the
+# events fixture, so nearly every output row exercises the
+# two-window prev/next struct carry + the per-row linear blend. The
+# spine bounds come from observed buckets, so no head/tail
+# extrapolation cases exist; per-row IEEE arithmetic hash-matches
+# the identical SQL expression.
+# ---------------------------------------------------------------------------
+@register(
+    "o6c_resample_interpolate",
+    f"""
+    WITH agg AS (
+      SELECT event_type,
+             CAST(to_timestamp((epoch_us(ts) // 300000000) * 300000000
+                               / 1000000) AS TIMESTAMP) AS bucket_ts,
+             CAST(SUM(CAST(value AS {D})) AS DOUBLE) / COUNT(*) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+      FROM agg GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 5 MINUTE)) AS bucket_ts
+      FROM bounds
+    ),
+    j AS (
+      SELECT s.event_type, s.bucket_ts, a.v
+      FROM spine s LEFT JOIN agg a USING (event_type, bucket_ts)
+    ),
+    fills AS (
+      SELECT event_type, bucket_ts, v,
+             CAST(epoch_us(bucket_ts) AS DOUBLE) AS t,
+             last_value(CASE WHEN v IS NOT NULL THEN
+                 struct_pack(t := CAST(epoch_us(bucket_ts) AS DOUBLE), v := v)
+               END IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY bucket_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+             first_value(CASE WHEN v IS NOT NULL THEN
+                 struct_pack(t := CAST(epoch_us(bucket_ts) AS DOUBLE), v := v)
+               END IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY bucket_ts
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+      FROM j
+    )
+    SELECT event_type, bucket_ts,
+           CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                ELSE p.v + (n.v - p.v) * ((t - p.t) / (n.t - p.t)) END AS v
+    FROM fills
+    """,
+)
+def o6c_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.resample import resample_fill
+
+    ev = load_table(spark, sf_dir, "events")
+    return resample_fill(
+        ev,
+        ts_col="ts",
+        rule="5 minutes",
+        values={
+            "v": F.sum(F.col("value").cast(D)).cast("double") / F.count(F.lit(1)),
+        },
+        method="interpolate",
+        extra_keys=["event_type"],
+    ).select("event_type", "bucket_ts", "v")

@@ -578,6 +578,36 @@ def test_resample_fill_matches_pandas(ev):
         resample_fill(ev, "ts", "1 hour", {"n": F.count(F.lit(1))}, method="bogus")
 
 
+def test_resample_interpolate_matches_pandas(ev):
+    """method='interpolate' == pandas resample().mean()
+    .interpolate('linear') per entity (head/tail cases can't occur:
+    the spine is bounded by observed buckets)."""
+    from sparkswift.operators.resample import resample_fill
+
+    got = (
+        resample_fill(
+            ev, ts_col="ts", rule="15 minutes",
+            values={"v": F.avg("value")},
+            method="interpolate", extra_keys=["user_id"],
+        )
+        .toPandas().sort_values(["user_id", "bucket_ts"]).reset_index(drop=True)
+    )
+    pdf = ev.toPandas()
+    pieces = []
+    for uid, g in pdf.groupby("user_id"):
+        r = g.set_index("ts").resample("15min")["value"].mean()
+        r = r.loc[r.first_valid_index() : r.last_valid_index()]
+        r = r.interpolate("linear")
+        pieces.append(
+            pd.DataFrame({"user_id": uid, "ts": r.index, "v": r.values})
+        )
+    want = (
+        pd.concat(pieces).sort_values(["user_id", "ts"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (abs(got["v"] - want["v"]) < 1e-9).all()
+
+
 def test_accessor_groupby_rolling_sugar(ev):
     """swift(df).groupby(k).rolling(w, on).apply(...) == the explicit
     rolling with partition_by=[k] (pandas groupby().rolling idiom)."""
