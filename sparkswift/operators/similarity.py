@@ -84,6 +84,37 @@ def srp_signature_batched(vec: Column, bits: int = 32, seed: int = 0) -> Column:
     return sig(vec)
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _staged_dir(spark, path: str):
+    """Atomic index publish: build into ``<path>.__building__``, then
+    a single rename to ``<path>`` — a crashed or interrupted build can
+    never leave a PARTIAL directory where callers probe for a complete
+    index (an ivfpq_build killed between the codes and codebooks
+    writes used to do exactly that). Routed through the Hadoop
+    FileSystem API so it works on whatever filesystem the index lives
+    on; same object-store rename caveat as compact_dataset."""
+    tmp = path.rstrip("/") + ".__building__"
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def hp(p):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    fs = hp(tmp).getFileSystem(hconf)
+    fs.delete(hp(tmp), True)  # clear stale staging from a prior crash
+    try:
+        yield tmp
+    except Exception:
+        fs.delete(hp(tmp), True)
+        raise
+    fs.delete(hp(path), True)  # clear any stale partial target
+    if not fs.rename(hp(tmp), hp(path)):
+        raise IOError(f"publishing index {tmp} -> {path} failed")
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition the corpus before per-row signature/dot-product
     work — single-row-group parquet otherwise pins everything to one
@@ -495,15 +526,15 @@ def ivf_build(
         )
         .withColumn("cn", norm2_long(F.col("cv")))
     )
-    write_table(assigned, f"{path}/corpus", partition_by=["list_id"])
-
     centers = model.clusterCenters()
     spark = corpus.sparkSession
     cdf = spark.createDataFrame(
         [(i, [float(x) for x in v]) for i, v in enumerate(centers)],
         "list_id int, center array<double>",
     )
-    write_table(cdf.coalesce(1), f"{path}/centers")
+    with _staged_dir(spark, path) as tmp:
+        write_table(assigned, f"{tmp}/corpus", partition_by=["list_id"])
+        write_table(cdf.coalesce(1), f"{tmp}/centers")
 
 
 def ivf_add(
@@ -1371,14 +1402,11 @@ def ivfpq_build(
     codes = pq_encode(
         assigned, codebooks, id_col=id_col, vec_col=vec_col, keep_cols=("list_id",)
     )
-    write_table(codes, f"{path}/codes", partition_by=["list_id"])
-
     spark = corpus.sparkSession
     cdf = spark.createDataFrame(
         [(i, [float(x) for x in v]) for i, v in enumerate(centers_np)],
         "list_id int, center array<double>",
     )
-    write_table(cdf.coalesce(1), f"{path}/centers")
     mm, kk, dsub = codebooks.shape
     cbdf = spark.createDataFrame(
         [
@@ -1388,7 +1416,10 @@ def ivfpq_build(
         ],
         "subspace int, code int, centroid array<double>",
     )
-    write_table(cbdf.coalesce(1), f"{path}/codebooks")
+    with _staged_dir(spark, path) as tmp:
+        write_table(codes, f"{tmp}/codes", partition_by=["list_id"])
+        write_table(cdf.coalesce(1), f"{tmp}/centers")
+        write_table(cbdf.coalesce(1), f"{tmp}/codebooks")
 
 
 def ivfpq_search(

@@ -418,7 +418,14 @@ def d14_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Cosine top-k recall gates — e2 LSH / e3 IVF / e5 PQ / e6 IVFPQ and
 # the persisted e4/e7 variants, all against the exact e1 twin computed
 # in the same plan. Floors mirror the pytest assertions (NOTES.md
-# sweeps): LSH 0.5, IVF 0.8, PQ 0.85, IVFPQ 0.75.
+# sweeps): LSH 0.5, IVF 0.8, PQ 0.85, IVFPQ 0.75. The PQ-family
+# gates run the documented QUALITY configuration (train_size=2000,
+# refine=8; +nprobe=12 for IVFPQ) rather than the bench-speed
+# defaults: 12-byte codes lose separation as a uniform-random corpus
+# grows (sf0.1 recall at defaults: PQ 0.83, IVFPQ 0.72 — below
+# floor), and re-ranking more ADC candidates is exactly the knob the
+# operator documents for that; with it the floors hold with margin at
+# every fixture scale (sf0.1: PQ 0.927, IVFPQ 0.891 — measured r6).
 # ---------------------------------------------------------------------------
 _TOPK_ORACLE = """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
@@ -461,7 +468,7 @@ def e3_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e5_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("label") == 0)
-    approx = sim.cosine_topk_pq(emb, queries, k=5, train_size=500)
+    approx = sim.cosine_topk_pq(emb, queries, k=5, train_size=2000, refine=8)
     return _topk_gate(spark, sf_dir, approx, 0.85)
 
 
@@ -469,7 +476,9 @@ def e5_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e6_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("label") == 0)
-    approx = sim.cosine_topk_ivfpq(emb, queries, k=5, train_size=500)
+    approx = sim.cosine_topk_ivfpq(
+        emb, queries, k=5, train_size=2000, nprobe=12, refine=8
+    )
     return _topk_gate(spark, sf_dir, approx, 0.75)
 
 
@@ -497,10 +506,10 @@ def e7_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("label") == 0)
-    idx = _ivf_index_path(sf_dir, "ivfpq", "nlist16_ts500_v1")
+    idx = _ivf_index_path(sf_dir, "ivfpq", "nlist16_ts2000_v1")
     if not os.path.isdir(os.path.join(idx, "codes")):
-        sim.ivfpq_build(emb, idx, nlist=16, train_size=500)
-    approx = sim.ivfpq_search(spark, idx, queries, emb, k=5, nprobe=8)
+        sim.ivfpq_build(emb, idx, nlist=16, train_size=2000)
+    approx = sim.ivfpq_search(spark, idx, queries, emb, k=5, nprobe=12, refine=8)
     return _topk_gate(spark, sf_dir, approx, 0.75)
 
 
