@@ -713,3 +713,64 @@ def test_ivfpq_rebalance_splits_hot_lists_and_search_still_works(spark, sf_dir, 
     out = sim.ivfpq_search(spark, path, queries, emb, k=5, nprobe=3).toPandas()
     assert out.groupby("query_id").size().max() <= 5
     assert (out["cos_sim"] <= 1.0 + 1e-9).all()
+
+
+def test_skew_report_flags_manufactured_hot_key(spark, sf_dir):
+    """The j11 scenario end-to-end: remap ~30% of lineitem rows onto
+    one supplier key, and skew_report must surface that key at rank 1
+    with a skew_ratio far above every natural key — the exact signal
+    that drives the salt-or-not decision."""
+    from sparkswift.operators.profile import skew_report
+    from sparkswift.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 < 3, F.lit(1))
+        .otherwise(F.col("l_suppkey"))
+        .alias("s_suppkey")
+    )
+    rep = skew_report(li, "s_suppkey", top_n=5).toPandas()
+    assert rep.iloc[0]["key"] == 1
+    assert rep.iloc[0]["share"] > 0.25
+    # the hot key dwarfs the next-hottest natural key (≈5× at
+    # sf0.001 where per-key counts are small; far larger at scale)
+    assert rep.iloc[0]["skew_ratio"] > 3 * rep.iloc[1]["skew_ratio"]
+
+
+def test_index_build_is_atomic_on_failure(spark, sf_dir, tmp_path):
+    """A build that dies mid-write must leave NOTHING at the index
+    path (callers probe it for completeness), and a rebuild over the
+    same path must succeed — the partial-codes-dir incident from the
+    r6 sf0.1 sweep, pinned."""
+    import os
+
+    import sparkswift.operators.similarity as simmod
+    from sparkswift.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    path = str(tmp_path / "idx")
+
+    real_write = simmod.ivfpq_build.__globals__["F"]  # noqa: F841 (anchor)
+    import sparkswift.sources.writers as writers
+
+    orig = writers.write_table
+    calls = {"n": 0}
+
+    def dying_write(df, p, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # die between codes and centers
+            raise RuntimeError("simulated crash")
+        return orig(df, p, **kw)
+
+    # ivfpq_build imports write_table inside the function body, so
+    # patching the writers module attribute intercepts it
+    writers.write_table = dying_write
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            sim.ivfpq_build(emb, path, nlist=4, train_size=100)
+    finally:
+        writers.write_table = orig
+    assert not os.path.exists(path), "partial index published"
+    assert not os.path.exists(path + ".__building__"), "staging left behind"
+    sim.ivfpq_build(emb, path, nlist=4, train_size=100)
+    assert os.path.isdir(os.path.join(path, "codes"))
+    assert os.path.isdir(os.path.join(path, "codebooks"))
