@@ -743,13 +743,11 @@ def test_index_build_is_atomic_on_failure(spark, sf_dir, tmp_path):
     r6 sf0.1 sweep, pinned."""
     import os
 
-    import sparkswift.operators.similarity as simmod
     from sparkswift.sources import load_table
 
     emb = load_table(spark, sf_dir, "embeddings").limit(300)
     path = str(tmp_path / "idx")
 
-    real_write = simmod.ivfpq_build.__globals__["F"]  # noqa: F841 (anchor)
     import sparkswift.sources.writers as writers
 
     orig = writers.write_table
