@@ -104,6 +104,7 @@ HEADLINE = [
     "q4_priority_check",     # TPC-H Q4 shape (correlated EXISTS -> semi join)
     "p20_dsir_select",       # DSIR importance scoring (micro-nat log-ratios)
     "o6c_resample_interpolate",  # linear-interp upsample (struct-carry windows)
+    "q19_disjunctive_revenue",  # TPC-H Q19 (disjunctive predicate pushdown)
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

@@ -1053,6 +1053,52 @@ def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q19 shape (discounted revenue, disjunctive predicates): an OR
+# of three (brand, size-range, quantity-range) conjunction groups —
+# the classic test of how an optimizer treats disjunctions. Spark
+# broadcasts part, keeps the cross-table OR as the post-join filter,
+# and pushes the PER-TABLE projection of the disjunction down to each
+# scan (the lineitem reader carries the full
+# Or(Or(And(quantity-range)...)) filter — plan-checked); the one
+# exchange is the single-row gather.
+# ---------------------------------------------------------------------------
+@register(
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT CAST(SUM(CAST(l_extendedprice AS {D}) * (1 - CAST(l_discount AS {D})))
+               AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    grp = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    joined = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    cond = grp("Brand#1", 15, 1, 11) | grp("Brand#2", 25, 10, 20) | grp(
+        "Brand#3", 50, 20, 30
+    )
+    rev = F.col("l_extendedprice").cast(D) * (F.lit(1) - F.col("l_discount").cast(D))
+    return joined.filter(cond).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Skew-STRESS variant of j10 (VERDICT r5 #8): the uniform TPC-H keys
 # never actually exercise the salt machinery, so this query
 # manufactures a genuinely hot key — ~30% of all lineitem rows remap

@@ -278,6 +278,21 @@ def test_unigram_logprob_broadcasts_total(plans):
     assert "CartesianProduct" not in p
 
 
+def test_q19_pushes_disjunction_to_scan(plans):
+    """The per-table projection of the three-way OR must reach the
+    lineitem reader (PushedFilters carries Or(...And(quantity
+    range))), and part must broadcast — no shuffle join for a
+    dim-side disjunction."""
+    p = plans("q19_disjunctive_revenue")
+    scan = next(
+        ln for ln in p.splitlines() if "PushedFilters" in ln and "l_quantity" in ln
+    )
+    pushed = scan[scan.index("PushedFilters") :]
+    assert "Or(" in pushed and "l_quantity" in pushed
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
 def test_salted_join_shuffles_on_salt(spark, sf_dir):
     """When the right side is too big to broadcast (the only regime
     where salting matters — a broadcast join has no shuffle to skew),
