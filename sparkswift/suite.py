@@ -780,7 +780,9 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 3. j11_salted_join_skewed — new this round: j10's machinery under a
 #    manufactured hot key (~30% of rows on one supplier).
 # 4. Canaries guarding this round's code changes: q1 (flagship),
-#    o1_apply_native / o5b / j7 (standing family canaries),
+#    o1_apply_native (standing canaries; o5b and j7 each hold r4+r5
+#    green rows and yielded their slots to the round's final two new
+#    queries, q19_disjunctive_revenue and st13_stream_ivf_ingest),
 #    d13_line_dedup (line_sep regex-escape fix),
 #    e4_cosine_topk_ivf_persisted (params-fingerprinted index cache),
 #    and the round's other NEW queries (q4_priority_check TPC-H Q4
@@ -846,8 +848,8 @@ _WINDOW = [
     # --- (4) canaries / changed-code refreshes ---
     "q1_pricing_summary",
     "o1_apply_native",
-    "o5b_rolling_global",
-    "j7_asof_nearest",
+    "q19_disjunctive_revenue",
+    "st13_stream_ivf_ingest",
     "d13_line_dedup",
     "e4_cosine_topk_ivf_persisted",
     "o6c_resample_interpolate",

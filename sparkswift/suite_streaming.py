@@ -546,3 +546,68 @@ def st12_stream_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = table_stream(spark, sf_dir, "documents")
     chunks = chunk_overlap(src, "doc_id", "text", size=32, stride=24)
     return run_stream_to_batch(chunks, mode="append")
+
+
+# ---------------------------------------------------------------------------
+# STREAMING index maintenance: continuous IVF ingest. Seed a persisted
+# IVF index, then stream near-verbatim twins (+1e-4 jitter, ids
+# +100000) of the even-id vectors through a foreachBatch ivf_add —
+# the FAISS `index.add` loop as a structured-streaming sink. The
+# verdict is deterministic retrieval: searching with each ORIGINAL
+# must return its streamed twin at rank 1 (cos ≈ 1 vs a ≤0.51
+# natural ceiling; the twin's list is the query's nearest center, so
+# the probe always covers it), independent of how the stream was
+# micro-batched — append order cannot change the final index
+# contents. Rows-only would undersell it: the verdict row is exact,
+# so the driver hash-checks "streamed vectors are retrievable".
+# ---------------------------------------------------------------------------
+@register(
+    "st13_stream_ivf_ingest",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_twins, TRUE AS all_twins_rank1
+    FROM embeddings WHERE vec_id % 2 = 0
+    """,
+)
+def st13_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sparkswift.operators import similarity as sim
+    from sparkswift.streaming.ops import stream_to_parquet, table_stream
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = tempfile.mkdtemp(prefix="ivf_stream_")
+    idx = f"{base}/idx"
+    sim.ivf_build(emb, idx, nlist=16)
+
+    e = F.col("embedding").cast("array<double>")
+    src = (
+        table_stream(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 2 == 0)
+        .select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.concat(
+                F.array(F.element_at(e, 1) + F.lit(1e-4)), F.slice(e, 2, 63)
+            ).alias("embedding"),
+        )
+    )
+
+    def ingest(batch_df, _epoch_id):
+        sim.ivf_add(spark, idx, batch_df)
+
+    stream_to_parquet(src, path=None, checkpoint=f"{base}/ck", merge_fn=ingest)
+
+    queries = emb.filter(F.col("vec_id") % 2 == 0)
+    hits = sim.ivf_search(spark, idx, queries, k=1, nprobe=8)
+    rank1_twin = hits.filter(
+        (F.col("rnk") == 1) & (F.col("corpus_id") == F.col("query_id") + 100000)
+    ).select("query_id")
+    missing = queries.select(F.col("vec_id").alias("query_id")).join(
+        rank1_twin, "query_id", "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n_missing"))
+    total = queries.agg(F.count(F.lit(1)).cast("bigint").alias("n_twins"))
+    return (
+        total.crossJoin(F.broadcast(missing))
+        .select("n_twins", (F.col("n_missing") == 0).alias("all_twins_rank1"))
+    )
