@@ -262,12 +262,16 @@ def resample_fill(
             *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in out_cols],
         )
 
-    # interpolate: both fill windows share the same partitioning/order
-    # as ffill's, so the sort happens once
+    # interpolate: the forward carry runs over a DESCENDING running
+    # frame (last ignore-nulls), NOT a [current, unbounded following]
+    # frame — Spark evaluates unbounded-FOLLOWING frames by rescanning
+    # the partition tail per row (O(n²) per partition; 43k spine rows
+    # took 16 s), while both running frames are O(n) streaming
+    # accumulators sharing one hash exchange (two in-partition sorts).
     wf = (
         Window.partitionBy(*keys)
-        .orderBy(bucket_col)
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col(bucket_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     t = F.unix_micros(F.col(bucket_col)).cast("double")
 
@@ -276,7 +280,7 @@ def resample_fill(
             F.col(c).isNotNull(), F.struct(t.alias("t"), F.col(c).alias("v"))
         )
         prev = F.last(pair, ignorenulls=True).over(w)
-        nxt = F.first(pair, ignorenulls=True).over(wf)
+        nxt = F.last(pair, ignorenulls=True).over(wf)
         frac = (t - prev["t"]) / (nxt["t"] - prev["t"])
         return F.when(F.col(c).isNotNull(), F.col(c).cast("double")).otherwise(
             prev["v"] + (nxt["v"] - prev["v"]) * frac
