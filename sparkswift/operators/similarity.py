@@ -897,24 +897,26 @@ def semdedup(
     un-clustered twin for recall measurement is
     :func:`cosine_neardup_pairs` / :func:`cosine_neardup_blocked`.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    c = _spread(df.select(F.col(id_col), F.col(vec_col))).withColumn(
-        "fv", array_to_vector(F.col(vec_col).cast("array<double>"))
-    )
-    model = KMeans(
-        k=n_clusters,
+    # sampled coarse trainer (the IVF-family design, NOTES r5/r6):
+    # seeded driver Lloyd on a bounded deterministic sample in
+    # NORMALIZED space (SemDeDup clusters normalized embeddings —
+    # cosine geometry), then ONE distributed assignment pass — no
+    # full-corpus k-means iterations. At 100 TB the trainer cost is
+    # constant; assignment is the only corpus-sized work.
+    c = _spread(df.select(F.col(id_col), F.col(vec_col)))
+    centers = coarse_train(
+        c,
+        n_clusters,
+        id_col=id_col,
+        vec_col=vec_col,
         seed=seed,
-        maxIter=max_iter,
-        featuresCol="fv",
-        predictionCol="list_id",
-    ).fit(c)
+        iters=max_iter,
+    )
     assigned = (
-        model.transform(c)
+        assign_lists(c, centers, vec_col=vec_col)
         .select(F.col(id_col).alias("id"), "list_id", quantize(vec_col).alias("v"))
         .withColumn("n2", norm2_long(F.col("v")))
-        .localCheckpoint()  # k-means assignment computed once, reused 3×
+        .localCheckpoint()  # assignment computed once, reused 3×
     )
     a = assigned.select(
         "list_id", F.col("id").alias("id_a"), F.col("v").alias("va"),
