@@ -173,3 +173,70 @@ def histogram(
             "n_rows",
         )
     )
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 64) -> DataFrame:
+    """Mergeable Misra-Gries heavy hitters (Misra & Gries 1982;
+    mergeability per Agarwal et al. 2012, "Mergeable Summaries" —
+    both public): the top-frequency items of a column with BOUNDED
+    state — ≤ k counters per partition, ≤ P·k rows shuffled — instead
+    of a full distinct-key groupBy. The 100 TB use: hot-token /
+    hot-domain / hot-key discovery where the distinct-key cardinality
+    itself is the problem.
+
+    Guarantees (hold under ANY partition layout): every item with
+    true frequency > n/(k+1) appears in the output; estimates never
+    exceed the true count and undercount by at most n/(k+1). The
+    exact ESTIMATE values depend on partition layout (decrement
+    timing) — consume the output as a candidate set + lower bounds,
+    or verify candidates with one exact semi-join pass (the gate
+    pattern, suite agg16).
+
+    Shape: one mapInPandas pass emitting ≤ k (item, weight) rows per
+    partition (batched MG: merge batch value_counts, then subtract
+    the (k+1)-th largest and drop ≤ 0 — same error budget as per-row
+    decrements), one ≤ P·k-row shuffle to sum partials, and the
+    standard merge prune (subtract the (k+1)-th largest total). The
+    single-partition window runs over ≤ P·k rows — summary-sized,
+    never data-sized.
+
+    Returns ``(item, est)`` with ≤ k rows, est descending.
+    """
+    from pyspark.sql import Window
+
+    import pandas as pd
+
+    item_type = df.schema[col].dataType.simpleString()
+
+    def summarize(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf[col].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                thr = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    key: c - thr for key, c in counters.items() if c > thr
+                }
+        yield pd.DataFrame(
+            {"item": list(counters.keys()), "cnt": list(counters.values())}
+        )
+
+    summ = df.select(F.col(col).alias(col)).mapInPandas(
+        summarize, f"item {item_type}, cnt long"
+    )
+    tot = summ.groupBy("item").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("item"))
+    ranked = tot.withColumn("__rn", F.row_number().over(w))
+    thr = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("__rn") == k + 1, F.col("cnt"))), F.lit(0)
+        ).alias("__thr")
+    )
+    return (
+        ranked.filter(F.col("__rn") <= k)
+        .crossJoin(F.broadcast(thr))
+        .select("item", (F.col("cnt") - F.col("__thr")).alias("est"))
+        .filter(F.col("est") > 0)
+        .orderBy(F.col("est").desc(), F.col("item"))
+    )

@@ -784,7 +784,10 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    green rows and yielded their slots to the round's final two new
 #    queries, q19_disjunctive_revenue and st13_stream_ivf_ingest),
 #    d13_line_dedup (line_sep regex-escape fix),
-#    e4_cosine_topk_ivf_persisted (params-fingerprinted index cache),
+#    agg16_heavy_hitters_gate (Misra-Gries verdict; took the raw
+#    e4_cosine_topk_ivf_persisted slot — that query is rows-only by
+#    nature and can never hash-match, while e4_gate in this window
+#    already certifies the same persisted-index path),
 #    and the round's other NEW queries (q4_priority_check TPC-H Q4
 #    shape, p20_dsir_select DSIR importance scoring,
 #    o6c_resample_interpolate linear-interp upsample) so nothing
@@ -851,7 +854,7 @@ _WINDOW = [
     "q19_disjunctive_revenue",
     "st13_stream_ivf_ingest",
     "d13_line_dedup",
-    "e4_cosine_topk_ivf_persisted",
+    "agg16_heavy_hitters_gate",
     "o6c_resample_interpolate",
     "q4_priority_check",
     "p20_dsir_select",

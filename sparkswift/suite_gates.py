@@ -724,6 +724,72 @@ def t16_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# agg16 — Misra-Gries heavy hitters under MANUFACTURED skew (3 hot
+# keys at ~10% of all rows over a ~2000-key uniform tail; natural
+# TPC-H keys are uniform, so without the remap the guarantee is
+# vacuous). The MG guarantees hold under ANY partition layout, so the
+# verdict row is deterministic even though the raw estimates are not:
+# every item with true frequency > n/(k+1) must appear, and every
+# reported estimate must satisfy est ≤ true ≤ est + n/(k+1).
+# ---------------------------------------------------------------------------
+_AGG16_K = 64
+
+
+@register(
+    "agg16_heavy_hitters_gate",
+    f"""
+    WITH sk AS (SELECT CASE WHEN l_orderkey % 10 < 3 THEN l_orderkey % 3
+                            ELSE 1000000 + l_partkey END AS key
+                FROM lineitem),
+    c AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS cnt FROM sk GROUP BY key),
+    n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows FROM c)
+    SELECT n.n_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c, n
+             WHERE cnt > CAST(n.n_rows AS DOUBLE) / {_AGG16_K + 1})
+             AS n_true_heavy,
+           TRUE AS all_heavy_present, TRUE AS est_within_bound
+    FROM n
+    """,
+)
+def agg16_heavy_hitters_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.profile import heavy_hitters
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 < 3, F.col("l_orderkey") % 3)
+        .otherwise(F.lit(1000000) + F.col("l_partkey"))
+        .alias("key")
+    )
+    cand = heavy_hitters(li, "key", k=_AGG16_K)
+    exact = li.groupBy(F.col("key").alias("item")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_cnt")
+    )
+    n_df = li.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    bound = F.col("n_rows").cast("double") / (_AGG16_K + 1)
+    heavy = exact.crossJoin(F.broadcast(n_df)).filter(F.col("true_cnt") > bound)
+    n_heavy = heavy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_heavy")
+    )
+    heavy_missing = heavy.join(cand, "item", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_missing")
+    )
+    est_bad = (
+        cand.join(exact, "item")
+        .crossJoin(F.broadcast(n_df))
+        .filter(
+            (F.col("est") > F.col("true_cnt"))
+            | (F.col("true_cnt") - F.col("est") > bound)
+        )
+        .agg(F.count(F.lit(1)).alias("n_bad"))
+    )
+    return _one_row_join(n_df, n_heavy, heavy_missing, est_bad).select(
+        "n_rows",
+        "n_true_heavy",
+        (F.col("n_missing") == 0).alias("all_heavy_present"),
+        (F.col("n_bad") == 0).alias("est_within_bound"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Resolve the oracle placeholders that wrap other queries' registered
 # oracles (registration order guarantees they exist: suite_relational
 # and suite_llm import before this module).

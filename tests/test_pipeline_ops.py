@@ -620,3 +620,46 @@ def test_preference_pairs_drop_zero_margin(spark):
         pd.DataFrame({"doc_id": [1, 2], "g": ["a", "a"], "score": [5.0, 5.0]})
     )
     assert preference_pairs(df, "score", "g").count() == 0
+
+
+def test_heavy_hitters_guarantees_under_any_layout(spark):
+    """Misra-Gries contract: under EVERY partition layout, all items
+    with true freq > n/(k+1) are reported, estimates never exceed the
+    truth, and undercount ≤ n/(k+1). A Zipf-ish synthetic stream with
+    planted hot keys."""
+    import pandas as pd
+
+    from sparkswift.operators.profile import heavy_hitters
+
+    rows = []
+    for i in range(3000):
+        rows.append(i % 7 if i % 3 else 999)  # key 999 hot (~1/3)
+    pdf = pd.DataFrame({"key": rows})
+    n = len(rows)
+    truth = pdf["key"].value_counts().to_dict()
+    k = 8
+    for parts in (1, 4, 13):
+        df = spark.createDataFrame(pdf).repartition(parts)
+        got = {
+            r.item: r.est for r in heavy_hitters(df, "key", k=k).collect()
+        }
+        assert len(got) <= k
+        for item, true_cnt in truth.items():
+            if true_cnt > n / (k + 1):
+                assert item in got, (parts, item)
+        for item, est in got.items():
+            assert est <= truth[item]
+            assert truth[item] - est <= n / (k + 1)
+
+
+def test_heavy_hitters_exact_when_cardinality_below_k(spark):
+    """With fewer distinct items than k, no counter is ever evicted —
+    the sketch IS the exact count table."""
+    import pandas as pd
+
+    from sparkswift.operators.profile import heavy_hitters
+
+    pdf = pd.DataFrame({"key": [i % 5 for i in range(1000)]})
+    df = spark.createDataFrame(pdf).repartition(3)
+    got = {r.item: r.est for r in heavy_hitters(df, "key", k=16).collect()}
+    assert got == pdf["key"].value_counts().to_dict()
