@@ -23,6 +23,7 @@ def pagerank(
     max_iter: int = 10,
     assume_distinct: bool = False,
     symmetric: bool = False,
+    tol: float | None = None,
 ) -> DataFrame:
     """PageRank by power iteration over an edge list.
 
@@ -42,10 +43,23 @@ def pagerank(
     the common shape for co-occurrence / dedup-pair graphs; the
     Σrank = 1 invariant still certifies mass conservation.
 
-    Returns ``(node, rank)`` with Σrank = 1 up to float rounding.
-    Deterministic up to float-sum association order — rows-only
-    verification; exactness is pytest-asserted against a numpy power
-    iteration on the same graph.
+    ``tol=`` adds a convergence early-exit: after each iteration the
+    L1 delta ``Σ|rank_t − rank_{t−1}|`` is computed as a ONE-ROW
+    aggregate (same broadcast-sized pattern as the dangling mass —
+    never a node-sized collect) and the loop stops when it drops
+    below ``tol``. At 100 TB every saved iteration is a whole
+    join+agg pass over the edge list; the delta check costs one extra
+    node-sized join per iteration, worth it whenever convergence can
+    beat ``max_iter`` (the common case — PageRank contracts at rate
+    ``damping``). ``tol=None`` (default) runs exactly ``max_iter``
+    iterations, bit-reproducing earlier rounds.
+
+    Returns ``(node, rank)`` with Σrank = 1 up to float rounding; the
+    number of iterations actually run is attached as
+    ``result._pagerank_iters`` (driver-side metadata for callers /
+    tests). Deterministic up to float-sum association order —
+    rows-only verification; exactness is pytest-asserted against a
+    numpy power iteration on the same graph.
     """
     # materialize the (possibly expensive) edge derivation ONCE — the
     # loop re-evaluates whatever plan `edges` carries every iteration
@@ -80,6 +94,7 @@ def pagerank(
     e_deg = e.join(out_deg, "src").localCheckpoint()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
 
+    iters_run = 0
     for _ in range(max_iter):
         contribs = (
             e_deg.join(ranks, e_deg["src"] == ranks["node"])
@@ -101,5 +116,22 @@ def pagerank(
             rank_expr = F.lit((1.0 - damping) / n) + F.lit(damping) * (
                 F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("__dm") / n
             )
-        ranks = updated.select("node", rank_expr.alias("rank")).localCheckpoint()
+        new_ranks = updated.select("node", rank_expr.alias("rank")).localCheckpoint()
+        iters_run += 1
+        if tol is not None:
+            # L1 delta as a one-row aggregate — the convergence probe
+            delta = (
+                new_ranks.join(
+                    ranks.select("node", F.col("rank").alias("__prev")), "node"
+                )
+                .agg(F.sum(F.abs(F.col("rank") - F.col("__prev"))).alias("d"))
+                .collect()[0]
+                .d
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
+    ranks._pagerank_iters = iters_run
     return ranks
