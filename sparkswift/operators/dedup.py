@@ -1087,6 +1087,9 @@ def neardup_incremental(
     bands: int = 16,
     sig_threshold: float = 0.7,
     update_store: bool = True,
+    bucketed: bool = False,
+    num_buckets: int = 64,
+    small_batch_threshold: int = 50_000,
 ) -> DataFrame:
     """Cross-batch NEAR-dup dedup against a persisted MinHash store —
     the fuzzy sibling of :func:`dedup_incremental`: a new crawl batch
@@ -1107,6 +1110,30 @@ def neardup_incremental(
     min-id-wins) and (b) no store candidate agrees ≥ ``sig_threshold``.
     Survivors' signatures + buckets append to the store.
 
+    ``bucketed=True`` keeps the store as BUCKETED catalog tables
+    (``store_path`` is then a table-name prefix: ``<prefix>_buckets``
+    bucketed on (band, bucket), ``<prefix>_sigs`` on store_id) — the
+    same fix :func:`dedup_incremental` applies to its fingerprint
+    store. With a path-based store, EVERY ingest re-shuffles the
+    ever-growing store for the probe equi-join (at 10¹⁰ corpus docs ×
+    16 bands that is a ~1.3 T-row shuffle per crawl batch); bucketed,
+    the store side of both probe joins reads shuffle-free forever —
+    only the (small) new batch hashes into the bucket layout, and
+    appends land pre-bucketed so the property is preserved across
+    batches.
+
+    ``small_batch_threshold``: when the batch holds at most this many
+    docs, the within-batch component step runs as a DRIVER union-find
+    over the (collected, bounded) verified pair list instead of the
+    iterative distributed connected-components loop — same min-id
+    semantics, bit-identical output, but it skips the several whole
+    Spark jobs of per-round checkpoint + convergence-probe latency
+    that dominate small ingests. The collect is capped at 4× the
+    threshold pairs (near-dup pair density is ~O(n); a pathological
+    clique trips the cap) and falls back to the distributed loop when
+    exceeded. Real crawl batches at 100 TB scale exceed the threshold
+    and take the distributed path unchanged; pass ``0`` to force it.
+
     Returns ``(id_col, in_batch_survivor, store_hit, survived)`` for
     every new doc (all 0/1 ints) — callers filter ``survived = 1``.
     """
@@ -1122,9 +1149,46 @@ def neardup_incremental(
         new_docs, text_col, id_col, k=k, num_hashes=num_hashes, bands=bands,
         verify_threshold=sig_threshold, sig_frame=sh,
     )
-    in_batch = near_dedup(new_docs, pairs, id_col=id_col).select(
-        F.col(id_col).alias("id"), F.col("is_survivor")
-    )
+    in_batch = None
+    if small_batch_threshold and sh.count() <= small_batch_threshold:
+        pair_cap = 4 * small_batch_threshold
+        pair_rows = pairs.select("id_a", "id_b").limit(pair_cap + 1).collect()
+        if len(pair_rows) <= pair_cap:
+            # driver union-find, min id as representative — exactly
+            # near_dedup's min-id-wins contract, zero iterative jobs
+            parent: dict = {}
+
+            def _find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in pair_rows:
+                ra, rb = _find(row.id_a), _find(row.id_b)
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            comp_rows = [(x, _find(x)) for x in parent]
+            comp_df = spark.createDataFrame(
+                comp_rows, "id long, component long"
+            ) if comp_rows else spark.createDataFrame([], "id long, component long")
+            in_batch = (
+                new_docs.select(F.col(id_col).alias("id"))
+                .join(F.broadcast(comp_df), "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.col("id") == F.coalesce("component", F.col("id"))
+                    ).alias("is_survivor"),
+                )
+            )
+    if in_batch is None:  # big batch (or cap tripped): distributed CC
+        in_batch = near_dedup(new_docs, pairs, id_col=id_col).select(
+            F.col(id_col).alias("id"), F.col("is_survivor")
+        )
 
     # (b) store probe (empty store on bootstrap). FS-agnostic existence
     # check (ADVICE r5): read-and-catch like dedup_incremental — an
@@ -1133,12 +1197,18 @@ def neardup_incremental(
     # batch and the cross-batch probe would never run.
     from pyspark.errors import AnalysisException
 
-    try:
-        store_buckets = spark.read.parquet(f"{store_path}/buckets")
-        store_sigs = spark.read.parquet(f"{store_path}/sigs")
-        have_store = True
-    except AnalysisException:
-        have_store = False  # no store yet — first batch
+    if bucketed:
+        have_store = spark.catalog.tableExists(f"{store_path}_buckets")
+        if have_store:
+            store_buckets = spark.table(f"{store_path}_buckets")
+            store_sigs = spark.table(f"{store_path}_sigs")
+    else:
+        try:
+            store_buckets = spark.read.parquet(f"{store_path}/buckets")
+            store_sigs = spark.read.parquet(f"{store_path}/sigs")
+            have_store = True
+        except AnalysisException:
+            have_store = False  # no store yet — first batch
     if have_store:
         banded = sh.select("id", _sig_band_buckets(num_hashes, bands).alias("bb")).select(
             "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
@@ -1190,7 +1260,6 @@ def neardup_incremental(
         new_sigs = sh.join(winners, "id").select(
             F.col("id").alias("store_id"), "sig"
         )
-        new_sigs.write.mode("append").parquet(f"{store_path}/sigs")
         new_buckets = (
             sh.join(winners, "id")
             .select("id", _sig_band_buckets(num_hashes, bands).alias("bb"))
@@ -1200,5 +1269,19 @@ def neardup_incremental(
                 F.col("id").alias("store_id"),
             )
         )
-        new_buckets.write.mode("append").parquet(f"{store_path}/buckets")
+        if bucketed:
+            from sparkswift.sources.writers import write_bucketed
+
+            write_bucketed(
+                new_sigs, f"{store_path}_sigs", ["store_id"],
+                num_buckets=num_buckets, sort_cols=["store_id"], mode="append",
+            )
+            write_bucketed(
+                new_buckets, f"{store_path}_buckets", ["band", "bucket"],
+                num_buckets=num_buckets, sort_cols=["band", "bucket"],
+                mode="append",
+            )
+        else:
+            new_sigs.write.mode("append").parquet(f"{store_path}/sigs")
+            new_buckets.write.mode("append").parquet(f"{store_path}/buckets")
     return out

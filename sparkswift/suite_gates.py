@@ -389,18 +389,20 @@ def d12_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d14_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    import uuid
 
     docs = load_table(spark, sf_dir, "documents")
     mid = docs.agg((F.max("doc_id") / 2).cast("long").alias("m")).collect()[0].m
-    store = tempfile.mkdtemp(prefix="nd_gate_") + "/nd"
+    store = "nd_gate_" + uuid.uuid4().hex[:12]
     first = docs.filter(F.col("doc_id") <= mid)
     second = docs.filter(F.col("doc_id") > mid)
-    dd.neardup_incremental(first, store, update_store=True).count()  # seed
+    dd.neardup_incremental(first, store, update_store=True, bucketed=True).count()
     batch2 = second.select("doc_id", "text").unionByName(
         first.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     )
-    out = dd.neardup_incremental(batch2, store, update_store=False)
+    out = dd.neardup_incremental(batch2, store, update_store=False, bucketed=True)
+    spark.sql(f"DROP TABLE IF EXISTS {store}_buckets")
+    spark.sql(f"DROP TABLE IF EXISTS {store}_sigs")
     recrawls = out.filter(F.col("doc_id") >= 100000)  # doc_ids start at 0
     # store_hit is an INT flag (0/1), not boolean
     return recrawls.agg(

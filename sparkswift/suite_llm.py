@@ -1773,18 +1773,25 @@ def mm3_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register("d14_neardup_incremental", None)
 def d14_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    import uuid
 
     docs = load_table(spark, sf_dir, "documents")
     mid = docs.agg((F.max("doc_id") / 2).cast("long").alias("m")).collect()[0].m
-    store = tempfile.mkdtemp(prefix="nd_store_") + "/nd"
+    # bucketed=True → catalog tables (the 100 TB store shape: the
+    # probe's store side never re-shuffles); unique prefix per run,
+    # dropped after the result is pinned by its localCheckpoint
+    store = "nd_store_" + uuid.uuid4().hex[:12]
     first = docs.filter(F.col("doc_id") <= mid)
     second = docs.filter(F.col("doc_id") > mid)
-    dd.neardup_incremental(first, store, update_store=True).count()  # seed
+    dd.neardup_incremental(first, store, update_store=True, bucketed=True).count()
     batch2 = second.select("doc_id", "text").unionByName(
         first.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     )
-    out = dd.neardup_incremental(batch2, store, update_store=False)
+    out = dd.neardup_incremental(batch2, store, update_store=False, bucketed=True)
+    # out is eagerly localCheckpoint()ed inside neardup_incremental —
+    # the managed store tables can be dropped before the caller collects
+    spark.sql(f"DROP TABLE IF EXISTS {store}_buckets")
+    spark.sql(f"DROP TABLE IF EXISTS {store}_sigs")
     return out.select("doc_id", "in_batch_survivor", "store_hit", "survived")
 
 

@@ -333,6 +333,28 @@ def test_udtf_word_ngrams_lateral(spark):
 # --- neardup_incremental ----------------------------------------------------
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _no_broadcast(spark):
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_neardup_incremental_two_batches_clean(spark, tmp_path):
     from sparkswift.operators.dedup import neardup_incremental
 
@@ -373,6 +395,69 @@ def test_neardup_incremental_two_batches_clean(spark, tmp_path):
     assert out3["survived"].tolist() == [0]
 
 
+def test_neardup_incremental_bucketed_store(spark, tmp_path):
+    # bucketed=True must (a) reproduce path-mode decisions exactly and
+    # (b) leave the STORE side of the probe join shuffle-free — the
+    # whole point: the ever-growing store must never re-shuffle per
+    # ingest batch (VERDICT r6/r7 #1).
+    from pyspark.sql import functions as F
+
+    from sparkswift.operators.dedup import neardup_incremental
+
+    tbl = "nd_bkt_test_store"
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest to hide from every hunter")
+    try:
+        batch1 = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": [base]})
+        )
+        out1 = neardup_incremental(batch1, tbl, bucketed=True, num_buckets=8)
+        assert out1.toPandas()["survived"].tolist() == [1]
+        assert spark.catalog.tableExists(f"{tbl}_buckets")
+
+        batch2 = spark.createDataFrame(
+            pd.DataFrame({
+                "doc_id": [10, 11],
+                "text": [base.replace("lazy", "sleepy"),
+                         "fresh unrelated words about parquet row groups and "
+                         "column statistics and bloom filter indexes today"],
+            })
+        )
+        out = (
+            neardup_incremental(batch2, tbl, bucketed=True, num_buckets=8)
+            .orderBy("doc_id")
+            .toPandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[10, "store_hit"] == 1 and out.loc[10, "survived"] == 0
+        assert out.loc[11, "store_hit"] == 0 and out.loc[11, "survived"] == 1
+
+        # append preserved bucketing: both batches' survivors present
+        sigs = spark.table(f"{tbl}_sigs").toPandas()
+        assert sorted(sigs["store_id"].tolist()) == [1, 11]
+
+        # plan: store side of the (band, bucket) probe join reads
+        # shuffle-free — with broadcast off, the ONLY Exchange in the
+        # join plan is the probe side hashing into the bucket layout
+        store_buckets = spark.table(f"{tbl}_buckets")
+        probe = spark.range(5).select(
+            F.col("id"),
+            (F.col("id") % 2).cast("int").alias("band"),
+            F.col("id").alias("bucket"),
+        )
+        with _no_broadcast(spark):
+            joined = probe.join(store_buckets, ["band", "bucket"])
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+        # and a store-side groupBy on the bucket key needs no shuffle
+        agg = store_buckets.groupBy("band", "bucket").count()
+        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in agg_plan, agg_plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_buckets")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_sigs")
+
+
 def test_neardup_incremental_in_batch_first_wins(spark, tmp_path):
     from sparkswift.operators.dedup import neardup_incremental
 
@@ -388,6 +473,35 @@ def test_neardup_incremental_in_batch_first_wins(spark, tmp_path):
     out = neardup_incremental(batch, store).orderBy("doc_id").toPandas()
     assert out["in_batch_survivor"].tolist() == [1, 0]  # min id wins
     assert out["survived"].tolist() == [1, 0]
+
+
+def test_neardup_incremental_small_batch_short_circuit(spark, tmp_path):
+    # the driver union-find path (small batch) must be BIT-IDENTICAL
+    # to the distributed CC path — including transitive chains A~B~C
+    # where the survivor must be the component-min, not the pair-min
+    from sparkswift.operators.dedup import neardup_incremental
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    batch = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [7, 8, 9, 30],
+            "text": [base, base + " extra", base + " extra more",
+                     "totally different content about shuffle partitions and "
+                     "broadcast joins and adaptive query execution plans"],
+        })
+    )
+    fast = (
+        neardup_incremental(batch, str(tmp_path / "nd_f"), update_store=False)
+        .orderBy("doc_id").toPandas()
+    )
+    slow = (
+        neardup_incremental(batch, str(tmp_path / "nd_s"), update_store=False,
+                            small_batch_threshold=0)
+        .orderBy("doc_id").toPandas()
+    )
+    assert fast["in_batch_survivor"].tolist() == [1, 0, 0, 1]
+    pd.testing.assert_frame_equal(fast, slow)
 
 
 # --- trained BPE ------------------------------------------------------------
