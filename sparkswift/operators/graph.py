@@ -24,6 +24,7 @@ def pagerank(
     assume_distinct: bool = False,
     symmetric: bool = False,
     tol: float | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """PageRank by power iteration over an edge list.
 
@@ -54,13 +55,19 @@ def pagerank(
     ``damping``). ``tol=None`` (default) runs exactly ``max_iter``
     iterations, bit-reproducing earlier rounds.
 
-    Returns ``(node, rank)`` with Σrank = 1 up to float rounding; the
-    number of iterations actually run is attached as
-    ``result._pagerank_iters`` (driver-side metadata for callers /
-    tests). Deterministic up to float-sum association order —
-    rows-only verification; exactness is pytest-asserted against a
-    numpy power iteration on the same graph.
+    Returns ``(node, rank)`` with Σrank = 1 up to float rounding. The
+    number of iterations actually run is reported through ``stats``
+    (pass a dict; ``stats["iters"]`` is set before returning — the
+    explicit channel) and, for convenience, as
+    ``result._pagerank_iters`` — an attribute that survives ONLY on
+    the directly returned object (any subsequent transformation
+    builds a new DataFrame without it). Deterministic up to float-sum
+    association order — rows-only verification; exactness is
+    pytest-asserted against a numpy power iteration on the same graph
+    (tests/test_graph.py, incl. the ``tol`` early-exit paths).
     """
+    if tol is not None and not tol > 0:  # catches <=0 AND NaN
+        raise ValueError(f"tol must be > 0, got {tol!r}")
     # materialize the (possibly expensive) edge derivation ONCE — the
     # loop re-evaluates whatever plan `edges` carries every iteration
     # otherwise (a join+distinct upstream would run max_iter times).
@@ -129,9 +136,16 @@ def pagerank(
                 .d
             )
             ranks = new_ranks
-            if delta is not None and delta < tol:
+            if delta is None or delta != delta:
+                # empty graph / NaN blow-up: early exit can never
+                # trigger — fail loudly instead of silently paying a
+                # driver round-trip per remaining iteration
+                raise ValueError(f"non-finite L1 delta {delta!r} in pagerank")
+            if delta < tol:
                 break
         else:
             ranks = new_ranks
+    if stats is not None:
+        stats["iters"] = iters_run
     ranks._pagerank_iters = iters_run
     return ranks

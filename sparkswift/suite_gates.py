@@ -527,7 +527,8 @@ def e7_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
     nodes AS (SELECT c AS n FROM pairs UNION SELECT s FROM pairs)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
-           TRUE AS sum_ok, TRUE AS all_positive
+           TRUE AS sum_ok, TRUE AS all_positive,
+           CAST(5 AS INT) AS iters_run
     FROM nodes
     """,
 )
@@ -547,12 +548,21 @@ def g1_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    ranks = pagerank(edges, max_iter=5, assume_distinct=True, symmetric=True)
+    # tol=1e-12 exercises the convergence-probe path (one L1-delta
+    # one-row aggregate per iteration) WITHOUT changing the answer:
+    # the delta contracts at ~damping^n from O(1), so after 5
+    # iterations it is far above 1e-12 and no early exit can fire —
+    # iters_run == max_iter is the deterministic oracle for that.
+    stats: dict = {}
+    ranks = pagerank(
+        edges, max_iter=5, assume_distinct=True, symmetric=True,
+        tol=1e-12, stats=stats,
+    )
     return ranks.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
         (F.abs(F.sum("rank") - 1.0) < 1e-9).alias("sum_ok"),
         (F.min("rank") > 0.0).alias("all_positive"),
-    )
+    ).withColumn("iters_run", F.lit(stats["iters"]).cast("int"))
 
 
 # ---------------------------------------------------------------------------

@@ -75,6 +75,61 @@ def test_pagerank_partition_invariant(spark):
         assert a[v] == pytest.approx(b[v], abs=1e-12)
 
 
+def test_pagerank_tol_early_exit_on_converging_graph(spark):
+    """A bidirected cycle is 2-regular: the uniform start vector is
+    already stationary, so the first L1 delta is ~0 and tol= must
+    stop after ONE iteration — with ranks still exact."""
+    edges = [(1, 2), (2, 3), (3, 1), (2, 1), (3, 2), (1, 3)]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    stats = {}
+    out = pagerank(df, max_iter=10, tol=1e-9, stats=stats)
+    got = {r.node: r.rank for r in out.collect()}
+    assert stats["iters"] == 1 < 10
+    assert out._pagerank_iters == 1
+    for v in (1, 2, 3):
+        assert got[v] == pytest.approx(1 / 3, abs=1e-12)
+
+
+def test_pagerank_tol_matches_numpy_to_convergence(spark):
+    """tol-terminated ranks must agree with a numpy power iteration
+    run to (beyond) convergence on an asymmetric graph with dangling
+    mass — the early exit may not change the answer it returns."""
+    edges = [(1, 0), (2, 0), (3, 0), (4, 0), (0, 1), (1, 2)]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    stats = {}
+    # damping=0.5 → contraction 0.5^n: converges to 1e-10 in ~30
+    # rounds, keeping the per-iteration delta probe affordable in CI
+    got = {
+        r.node: r.rank
+        for r in pagerank(
+            df, damping=0.5, max_iter=60, tol=1e-10, stats=stats
+        ).collect()
+    }
+    assert 0 < stats["iters"] < 60  # converged before the cap
+    want = _np_pagerank(edges, damping=0.5, iters=200)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_tol_none_runs_exactly_max_iter(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (2, 1), (3, 2), (1, 3)]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    stats = {}
+    out = pagerank(df, max_iter=4, stats=stats)  # tol=None default
+    out.count()
+    assert stats["iters"] == 4
+    assert out._pagerank_iters == 4
+
+
+def test_pagerank_tol_validation(spark):
+    edges = [(1, 2), (2, 1)]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    for bad in (0.0, -1e-6, float("nan")):
+        with pytest.raises(ValueError):
+            pagerank(df, tol=bad)
+
+
 def test_pagerank_symmetric_shortcut_matches_general_path(spark):
     """symmetric=True (no dangling machinery, nodes from the degree
     table) must reproduce the general path EXACTLY on a symmetrized
