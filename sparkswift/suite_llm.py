@@ -1764,6 +1764,71 @@ def mm3_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# REAL image decode (no fake=): synth_ppm_payload builds VALID binary
+# P6 PPM bytes from doc_id alone (constant-channel pixels), so
+# decode_image's real parser — header grammar, pixel reshape, channel
+# means — is oracle-checkable as pure id arithmetic. Exercises the
+# genuine codec path a user with .ppm/.bmp files hits.
+# ---------------------------------------------------------------------------
+@register(
+    "mm4_image_decode_real",
+    """
+    SELECT doc_id AS id,
+           CAST(11 + 3 * (4 + doc_id % 5) * (3 + doc_id % 4) AS BIGINT)
+             AS byte_len,
+           CAST(4 + doc_id % 5 AS INT) AS width,
+           CAST(3 + doc_id % 4 AS INT) AS height,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+           CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+)
+def mm4_image_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    wp = mm.synth_ppm_payload(docs, "doc_id")
+    out = mm.decode_image(wp, "doc_id", "payload", fake=False, feat_dim=5)
+    return out.select(
+        "id",
+        "byte_len",
+        F.col("feat")[0].cast("int").alias("width"),
+        F.col("feat")[1].cast("int").alias("height"),
+        F.col("feat")[2].alias("mean_r"),
+        F.col("feat")[3].alias("mean_g"),
+        F.col("feat")[4].alias("mean_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL WAV decode via the stdlib wave reader: synth_wav_payload writes
+# valid 16-bit mono RIFF/WAVE bytes (constant amplitude, id-derived
+# length), extract_audio_features(fake=False) parses the header and
+# PCM frames — duration and time-band means reduce to exact dyadic id
+# arithmetic both engines compute bit-identically.
+# ---------------------------------------------------------------------------
+@register(
+    "mm5_audio_decode_real",
+    """
+    SELECT doc_id AS id,
+           CAST(64 + doc_id % 64 AS DOUBLE) / 16000.0 AS duration_s,
+           CAST(doc_id % 1000 AS DOUBLE) / 2048.0 AS band_first,
+           CAST(doc_id % 1000 AS DOUBLE) / 2048.0 AS band_last
+    FROM documents
+    """,
+)
+def mm5_audio_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    wp = mm.synth_wav_payload(docs, "doc_id")
+    out = mm.extract_audio_features(wp, "doc_id", "payload", n_mfcc=4, fake=False)
+    return out.select(
+        "id",
+        "duration_s",
+        F.col("mfcc")[0].alias("band_first"),
+        F.col("mfcc")[3].alias("band_last"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental NEAR-dup vs a persisted MinHash store (the fuzzy sibling
 # of d10): seed the store with the first half of the corpus, then
 # probe a second batch containing verbatim re-crawls of seeded docs.

@@ -99,12 +99,10 @@ def test_multimodal_decode_stub_paths(docs):
     assert (out.byte_len > 0).all()
     assert out.sha256.str.len().eq(64).all()
     assert out.feat.map(len).eq(8).all()
-    # non-fake path must raise cleanly (real codecs absent by design)
-    with pytest.raises(Exception) as ei:
+    # real path on an undecodable (plain-text) payload must raise a
+    # clear error naming the supported formats
+    with pytest.raises(Exception, match="undecodable|PPM"):
         mm.decode_image(wp, fake=False).collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(
-        ei.value, NotImplementedError
-    )
 
 
 def test_embedding_neardup_lsh_recall_vs_exact(spark, sf_dir):
@@ -203,10 +201,81 @@ def test_unstubbed_paths_raise(docs):
     wp = mm.attach_payload(docs.limit(1), "text")
     import pytest as _pytest
 
+    # video frame extraction genuinely needs ffmpeg — still gated
     with _pytest.raises(Exception, match="NotImplementedError|ffmpeg|PIL"):
         mm.sample_frames(wp, fake=False).collect()
-    with _pytest.raises(Exception, match="NotImplementedError|PIL"):
+    # real resize on an undecodable text payload fails loudly
+    with _pytest.raises(Exception, match="undecodable|PPM"):
         mm.resize_image(wp, 64, 64, fake=False).select("payload").collect()
+
+
+# --- real zero-dependency codecs -------------------------------------------
+
+
+def test_real_ppm_decode_roundtrip(spark):
+    df = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    wp = mm.synth_ppm_payload(df, "doc_id")
+    out = mm.decode_image(wp, "doc_id", "payload", fake=False, feat_dim=5).toPandas()
+    assert len(out) == 40
+    for _, r in out.iterrows():
+        i = int(r["id"])
+        w, h = 4 + i % 5, 3 + i % 4
+        assert r["feat"][0] == float(w) and r["feat"][1] == float(h)
+        # constant channels → channel means are EXACT id arithmetic
+        assert r["feat"][2] == float(i % 256)
+        assert r["feat"][3] == float((i * 7) % 256)
+        assert r["feat"][4] == float((i * 13) % 256)
+        # header "P6\n{w} {h}\n255\n" is 11 bytes at 1-digit dims
+        assert r["byte_len"] == 11 + 3 * w * h
+
+
+def test_real_bmp_decode(spark):
+    import struct as _struct
+
+    def bmp_bytes(w, h, rgb):
+        row = (w * 3 + 3) & ~3
+        pad = row - w * 3
+        px = bytes(rgb[::-1]) * w + b"\x00" * pad  # BGR + row padding
+        data = px * h
+        off = 14 + 40
+        hdr = b"BM" + _struct.pack("<IHHI", off + len(data), 0, 0, off)
+        info = _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                            2835, 2835, 0, 0)
+        return hdr + info + data
+
+    payload = bmp_bytes(5, 3, (10, 20, 30))
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    out = mm.decode_image(df, "doc_id", "payload", fake=False, feat_dim=5).toPandas()
+    assert list(out.loc[0, "feat"]) == [5.0, 3.0, 10.0, 20.0, 30.0]
+
+
+def test_real_wav_decode(spark):
+    df = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    wp = mm.synth_wav_payload(df, "doc_id")
+    out = mm.extract_audio_features(
+        wp, "doc_id", "payload", n_mfcc=4, fake=False
+    ).toPandas()
+    for _, r in out.iterrows():
+        i = int(r["id"])
+        assert r["duration_s"] == (64 + i % 64) / 16000.0
+        # constant amplitude → every band mean is exactly amp/32768
+        want = (i % 1000) * 16 / 32768.0
+        assert list(r["mfcc"]) == [want] * 4
+
+
+def test_real_resize_roundtrip(spark):
+    df = spark.range(3, 9).select(F.col("id").alias("doc_id"))
+    wp = mm.synth_ppm_payload(df, "doc_id")
+    small = mm.resize_image(wp, 2, 2, fake=False)
+    # re-decode the resized payload: dims follow the request, channel
+    # means unchanged (nearest-neighbor over constant channels)
+    out = mm.decode_image(small, "doc_id", "payload", fake=False, feat_dim=5).toPandas()
+    meta = small.select("doc_id", "media_meta.width", "media_meta.height").toPandas()
+    assert (meta["width"] == 2).all() and (meta["height"] == 2).all()
+    for _, r in out.iterrows():
+        i = int(r["id"])
+        assert list(r["feat"][:2]) == [2.0, 2.0]
+        assert r["feat"][2] == float(i % 256)
 
 
 def test_connected_components_vs_union_find(spark):
