@@ -65,13 +65,23 @@ D = "DECIMAL(18,4)"
 @register(
     "q1_pricing_summary",
     f"""
+    -- DECIMAL→DOUBLE goes through VARCHAR: DuckDB's direct decimal→
+    -- double conversion is not correctly rounded once the sum needs
+    -- >53 mantissa bits (1-ulp drift vs Spark's BigDecimal.doubleValue
+    -- at sf0.1), while its string→double parse IS correctly rounded —
+    -- so both engines converge on the nearest double of the identical
+    -- exact DECIMAL sum. Canonical big-sum pattern; see NOTES.md.
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS {D})) AS DOUBLE)      AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS {D})) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS {D}) * (1 - CAST(l_discount AS {D}))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_quantity AS {D})) AS VARCHAR) AS DOUBLE)
+               AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS {D})) AS VARCHAR) AS DOUBLE)
+               AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS {D}) * (1 - CAST(l_discount AS {D}))) AS VARCHAR) AS DOUBLE)
                AS sum_disc_price,
-           CAST(SUM(CAST(l_quantity AS {D})) AS DOUBLE) / COUNT(*)      AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS {D})) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(CAST(SUM(CAST(l_quantity AS {D})) AS VARCHAR) AS DOUBLE) / COUNT(*)
+               AS avg_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS {D})) AS VARCHAR) AS DOUBLE) / COUNT(*)
+               AS avg_price,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
