@@ -802,6 +802,131 @@ def agg16_heavy_hitters_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# d2 under manufactured SKEW — the LLM-path sibling of j11: ~30% of
+# docs get a verbatim boilerplate sentence appended (a "hot shingle"
+# set present in 150+ documents), which without the posting cap would
+# explode the inverted-index join (150²/2 pairs PER hot shingle).
+# ngram_jaccard_pairs' max_posting drops the flood; the gate proves
+# the two sides of that trade deterministically: (a) planted verbatim
+# re-crawls of NON-hot docs (disjoint id stripe, so their shingle
+# sets contain no capped shingle — fixture organic max posting ≤ 25
+# at every SF, far under the n/10 cap) are all still found at
+# jaccard 1, and (b) the cap actually engaged (max posting over the
+# skewed corpus exceeds it). Cap scales with |docs| so the gate holds
+# at sf0.001/0.01/0.1 alike.
+# ---------------------------------------------------------------------------
+@register(
+    "d2_skew_gate",
+    """
+    SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 5)
+                AS BIGINT) AS n_planted,
+           CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 10 < 3)
+                AS BIGINT) AS n_hot_docs,
+           TRUE AS cap_engaged,
+           TRUE AS all_planted_found
+    """,
+)
+def d2_skew_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hot = (" zqx boilerplate footer kwv appears verbatim jpt on every "
+           "crawled qgd page of wbn this corpus")
+    skewed = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 < 3, F.concat(F.col("text"), F.lit(hot))
+        ).otherwise(F.col("text")),
+    )
+    planted = skewed.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = skewed.unionByName(planted)
+    cap = max(32, docs.count() // 10)
+    pairs = dd.ngram_jaccard_pairs(corpus, threshold=0.8, max_posting=cap)
+    want = skewed.filter(F.col("doc_id") % 10 == 5).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1000000).alias("id_b"),
+    )
+    missing = want.join(
+        pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n_missing"))
+    n_planted = want.agg(F.count(F.lit(1)).cast("bigint").alias("n_planted"))
+    n_hot = skewed.filter(F.col("doc_id") % 10 < 3).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hot_docs")
+    )
+    max_posting = (
+        corpus.select(F.explode(dd.hashed_shingles("text", 3)).alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("max_c"))
+    )
+    return _one_row_join(n_planted, n_hot, missing, max_posting).select(
+        "n_planted",
+        "n_hot_docs",
+        (F.col("max_c") > cap).alias("cap_engaged"),
+        (F.col("n_missing") == 0).alias("all_planted_found"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O4 groupby-apply under ONE GIANT GROUP — the skew reality check for
+# the Arrow applyInPandas path: a CASE remap lands ~50% of lineitem in
+# a single group (one task materializes it as one pandas frame — the
+# operator's documented memory model), with a full SQL oracle, not a
+# property gate: both engines evaluate the identical remap and the
+# decimal-exact group stats must hash-match.
+# ---------------------------------------------------------------------------
+@register(
+    "o4_skew_giant_group",
+    """
+    SELECT CASE WHEN l_suppkey % 10 < 5 THEN -1
+                ELSE l_suppkey % 10 END AS skew_key,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_qty,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def o4_skew_giant_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import decimal
+
+    import pandas as pd
+    from sparkswift.operators.groupby import groupby_apply
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "skew_key",
+        F.when(F.col("l_suppkey") % 10 < 5, F.lit(-1))
+        .otherwise(F.col("l_suppkey") % 10)
+        .cast("bigint"),
+    )
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        q = g["l_quantity"]
+        exact = sum(decimal.Decimal(str(round(v, 4))) for v in q)
+        return pd.DataFrame(
+            {
+                "mean_qty": [round(float(exact) / len(q), 6)],
+                "min_qty": [float(q.min())],
+                "max_qty": [float(q.max())],
+                "n": [int(len(q))],
+            }
+        )
+
+    return groupby_apply(
+        li,
+        ["skew_key"],
+        stats,
+        subset=["l_quantity"],
+        schema=(
+            "skew_key bigint, mean_qty double, min_qty double, "
+            "max_qty double, n bigint"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Resolve the oracle placeholders that wrap other queries' registered
 # oracles (registration order guarantees they exist: suite_relational
 # and suite_llm import before this module).

@@ -34,6 +34,32 @@ def test_minhash_recall_vs_exact(docs):
         assert len(approx & exact) / len(exact) >= 0.8
 
 
+def test_posting_cap_bounds_hot_shingle_flood(spark):
+    """40 docs share one boilerplate sentence (every shingle of it has
+    a 40-long posting list); with max_posting=10 the flood is dropped
+    — candidate volume stays at the ORGANIC pair count (one planted
+    verbatim pair) instead of 40·39/2 boilerplate pairs — and the
+    planted pair (disjoint from the hot docs) is still found at j=1."""
+    import pandas as pd_
+
+    hot = "zz yy xx ww vv uu tt ss rr qq pp oo nn mm"
+    rows = [
+        (i, f"unique{i} alpha{i} beta{i} gamma{i} delta{i} " + hot)
+        for i in range(40)
+    ]
+    plant = "the planted original document with quite enough words to shingle"
+    rows += [(100, plant), (200, plant)]
+    df = spark.createDataFrame(pd_.DataFrame(rows, columns=["doc_id", "text"]))
+
+    capped = dd.ngram_jaccard_pairs(df, threshold=0.5, max_posting=10).toPandas()
+    # flood suppressed: the ONLY surviving pair is the planted one
+    assert set(zip(capped.id_a, capped.id_b)) == {(100, 200)}
+    assert capped.jaccard.tolist() == [1.0]
+    # uncapped twin drowns in boilerplate pairs — the cap's whole point
+    uncapped = dd.ngram_jaccard_pairs(df, threshold=0.5, max_posting=None)
+    assert uncapped.count() > 100
+
+
 def test_simhash_finds_near_dups(docs):
     out = dd.simhash_pairs(docs, max_hamming=3)
     got = out.collect()
