@@ -774,100 +774,91 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Registration order. The correctness driver verifies the first 50
 # registrations, so the window below holds the 50 entries with the
-# highest evidence value THIS round (round 6). Composition:
+# highest evidence value THIS round (round 8). Rotation policy
+# (tools/ledger.py): oldest driver evidence first, rows-only raw
+# twins stay tail-resident in favor of their hash-matchable gates.
+# Composition:
 #
-# 1. The 19 queries registered after the r5 window froze — every one
-#    with ZERO driver rows (VERDICT r5 "Next round" #2) — plus
-#    agg9_percentile_approx, whose single r5 row was RED (the driver
-#    canonicalizer could not sort its ARRAY column; the query now
-#    posexplodes to flat rows — VERDICT r5 #1).
-# 2. The 20 *_gate self-verifying twins (suite_gates.py — VERDICT r5
-#    #4): each converts a rows-only sketch/ANN query into a
-#    hash-matchable verdict row, so the driver can finally GREEN the
-#    MinHash/SimHash/SRP/IVF/PQ/HLL/BPE/PageRank family instead of
-#    recording no_oracle. Their raw-output twins stay registered
-#    (tail) for the bench and for users.
-# 3. j11_salted_join_skewed — new this round: j10's machinery under a
-#    manufactured hot key (~30% of rows on one supplier).
-# 4. Canaries guarding this round's code changes: q1 (flagship),
-#    o1_apply_native (standing canaries; o5b and j7 each hold r4+r5
-#    green rows and yielded their slots to the round's final two new
-#    queries, q19_disjunctive_revenue and st13_stream_ivf_ingest),
-#    d13_line_dedup (line_sep regex-escape fix),
-#    agg16_heavy_hitters_gate (Misra-Gries verdict; took the raw
-#    e4_cosine_topk_ivf_persisted slot — that query is rows-only by
-#    nature and can never hash-match, while e4_gate in this window
-#    already certifies the same persisted-index path),
-#    and the round's other NEW queries (q4_priority_check TPC-H Q4
-#    shape, p20_dsir_select DSIR importance scoring,
-#    o6c_resample_interpolate linear-interp upsample) so nothing
-#    registered this round is left zero-evidence. p3_decontaminate's
-#    r5 bench drift was A/B-cleared (0.506 s median, NOTES round 6);
-#    it holds 4 driver-green rows r1-r4, so its slot went to o6c.
+# 1. The 16 queries whose last driver row is round 3 — the stalest
+#    cohort in the ledger (VERDICT r7 "What's wrong" #3).
+# 2. The 4 queries NEW this round: mm4/mm5 (REAL PPM + WAV codec
+#    decode vs pure-arithmetic oracles) and the two skew-stress
+#    entries d2_skew_gate (hot-shingle posting-cap trade) and
+#    o4_skew_giant_group (applyInPandas under one ~50% group).
+# 3. Changed-code refreshes: q1_pricing_summary (oracle now routes
+#    DECIMAL→DOUBLE through VARCHAR — the big-sum ulp fix),
+#    d14_gate (store now BUCKETED catalog tables + small-batch
+#    union-find short-circuit), g1_gate (pagerank tol= wired, with
+#    iters_run in the verdict row).
+# 4. 27 of the 46 round-4-stale queries, prioritizing the reference
+#    core surface (o1/o2/o3/o4/o5/o6 apply-rolling-resample family),
+#    the 7 streaming entries, 4 joins, and d1/d2/p3. The remaining
+#    19 r4-stale (agg3/6/7, d7, d9, p1/p6-p9, t1/t3-t5/t7-t9, w1/w2)
+#    are the round-9 rotation seed.
 #
 # st2b_stateful_totals_tws remains unregistered: the container lacks
 # protobuf so transformWithState cannot import (NOTES.md, re-checked
-# 2026-08-14). EVERY entry — window and tail — is still checked vs
+# 2026-08-14). EVERY entry - window and tail - is still checked vs
 # DuckDB locally by `python tools/check.py` and by pytest; the window
 # only decides which rows the driver re-verifies. The cross-round
 # evidence ledger (query -> rounds green) lives in NOTES.md "Rotation
 # ledger".
 # ---------------------------------------------------------------------------
 _WINDOW = [
-    # --- (1) zero-evidence rotations + the repaired agg9 ---
-    "agg9_percentile_approx",
-    "agg13_bool_aggs",
-    "agg14_skew_report",
-    "agg15_histogram",
-    "d14_neardup_incremental",
-    "e7_cosine_topk_ivfpq_persisted",
-    "g1_pagerank",
-    "j9_interval_overlap",
-    "j10_salted_join",
-    "mm3_audio_features",
-    "p16_quality_bins_global",
-    "p18_dataset_diff",
-    "p19_preference_pairs",
-    "q14_promo_effect",
-    "set2_intersect",
-    "st11_stream_quality",
-    "st12_stream_chunk",
-    "t14_chunk_overlap",
-    "t16_bpe_trained",
-    "w4_distribution_windows",
-    # --- (2) the self-verifying gates ---
-    "agg2_gate",
-    "agg9_gate",
-    "agg11_gate",
-    "d3_gate",
-    "d4_gate",
-    "d6_gate",
-    "d8_gate",
-    "d12_gate",
-    "d14_gate",
-    "e2_gate",
-    "e3_gate",
-    "e4_gate",
-    "e5_gate",
-    "e6_gate",
-    "e7_gate",
-    "g1_gate",
-    "p5_gate",
-    "p16_gate",
-    "st10_gate",
-    "t16_gate",
-    # --- (3) new this round ---
-    "j11_salted_join_skewed",
-    # --- (4) canaries / changed-code refreshes ---
+    # --- (1) the 16 round-3-stale queries ---
+    "agg1_count_distinct",
+    "agg4_cube",
+    "d5_embedding_neardup",
+    "j2_semi_join",
+    "j3_anti_join",
+    "mm1_decode",
+    "mm2_frame_sample",
+    "o1_apply_partitions",
+    "o2_apply_columns",
+    "o7_ps_apply",
+    "p2_hash_split",
+    "p4_stratified_sample",
+    "s1_topk_orders",
+    "set1_union_except",
+    "t2_lang_id",
+    "t6_pii_redact",
+    # --- (2) new this round ---
+    "mm4_image_decode_real",
+    "mm5_audio_decode_real",
+    "d2_skew_gate",
+    "o4_skew_giant_group",
+    # --- (3) changed-code refreshes ---
     "q1_pricing_summary",
-    "o1_apply_native",
-    "q19_disjunctive_revenue",
-    "st13_stream_ivf_ingest",
-    "d13_line_dedup",
-    "agg16_heavy_hitters_gate",
-    "o6c_resample_interpolate",
-    "q4_priority_check",
-    "p20_dsir_select",
+    "d14_gate",
+    "g1_gate",
+    # --- (4) round-4-stale rotations ---
+    "o1_apply_udf",
+    "o2_apply_rows",
+    "o2_apply_rows_expand",
+    "o3_applymap",
+    "o4_groupby_agg_udf",
+    "o4_groupby_apply",
+    "o5_rolling_sum_rows",
+    "o5_rolling_sum_time",
+    "o5_rolling_udf",
+    "o5_rolling_weighted",
+    "o6_resample_closed_right",
+    "o6_resample_hourly",
+    "o6_resample_udf_median",
+    "st1_stream_resample",
+    "st2_stateful_totals",
+    "st3_stream_sliding",
+    "st4_stream_join",
+    "st5_stream_dedup",
+    "st6_stream_sessions",
+    "sw1_session_window",
+    "j1_revenue_by_nation",
+    "j4_asof_join",
+    "j5_range_join",
+    "j6_asof_forward",
+    "d1_dedup_exact",
+    "d2_ngram_jaccard",
+    "p3_decontaminate",
 ]
 
 
