@@ -105,6 +105,9 @@ HEADLINE = [
     "p20_dsir_select",       # DSIR importance scoring (micro-nat log-ratios)
     "o6c_resample_interpolate",  # linear-interp upsample (struct-carry windows)
     "q19_disjunctive_revenue",  # TPC-H Q19 (disjunctive predicate pushdown)
+    "mm4_image_decode_real",  # REAL PPM decode (header parse + channel means)
+    "mm5_audio_decode_real",  # REAL WAV decode (stdlib wave + band means)
+    "o4_skew_giant_group",   # applyInPandas with one ~50% group (skew stress)
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

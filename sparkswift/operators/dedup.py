@@ -1120,7 +1120,10 @@ def neardup_incremental(
     the store side of both probe joins reads shuffle-free forever —
     only the (small) new batch hashes into the bucket layout, and
     appends land pre-bucketed so the property is preserved across
-    batches.
+    batches. Size ``num_buckets`` to the EVENTUAL store (each bucket
+    should stay in executor-memory range at full corpus size —
+    thousands of buckets at 10¹⁰ docs); at fixture scale small counts
+    (16) keep the per-append file fan-out cheap.
 
     ``small_batch_threshold``: when the batch holds at most this many
     docs, the within-batch component step runs as a DRIVER union-find

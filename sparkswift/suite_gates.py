@@ -396,11 +396,15 @@ def d14_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = "nd_gate_" + uuid.uuid4().hex[:12]
     first = docs.filter(F.col("doc_id") <= mid)
     second = docs.filter(F.col("doc_id") > mid)
-    dd.neardup_incremental(first, store, update_store=True, bucketed=True).count()
+    dd.neardup_incremental(
+        first, store, update_store=True, bucketed=True, num_buckets=16
+    ).count()
     batch2 = second.select("doc_id", "text").unionByName(
         first.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     )
-    out = dd.neardup_incremental(batch2, store, update_store=False, bucketed=True)
+    out = dd.neardup_incremental(
+        batch2, store, update_store=False, bucketed=True, num_buckets=16
+    )
     spark.sql(f"DROP TABLE IF EXISTS {store}_buckets")
     spark.sql(f"DROP TABLE IF EXISTS {store}_sigs")
     recrawls = out.filter(F.col("doc_id") >= 100000)  # doc_ids start at 0
