@@ -141,6 +141,99 @@ def export_shards(
     return manifest
 
 
+def compact_bucketed_table(spark: SparkSession, table: str) -> dict:
+    """Small-file compaction for BUCKETED catalog tables — the
+    maintenance pass the incremental dedup/near-dup stores need:
+    every ``mode="append"`` adds up to one file per bucket per task,
+    so a store ingesting N crawl batches accumulates O(N·buckets)
+    files whose open/footer cost eventually dominates the probe scan.
+
+    Rewrites the table to ONE file per bucket while PRESERVING the
+    bucket spec (read from the catalog — callers don't restate it):
+    the frame is repartitioned on the bucket columns into
+    ``num_buckets`` partitions (Spark's repartition hash and its
+    bucket-id hash are both murmur3-mod-n, so task partitions align
+    1:1 with buckets) and written bucketed+sorted to a staging table,
+    which is swapped in via two catalog renames — a mid-job failure
+    leaves the original table intact. Same reader-quiescence contract
+    as INSERT OVERWRITE. Downstream shuffle-free joins are untouched:
+    the bucket spec (and therefore the plan) is identical before and
+    after.
+
+    Returns a summary dict (files before/after, num_buckets).
+    """
+
+    def _table_info() -> tuple[list[str], list[str], int, str]:
+        rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+        info = {r.col_name.strip(): (r.data_type or "").strip() for r in rows}
+
+        def _cols(key: str) -> list[str]:
+            raw = info.get(key, "[]").strip("[]")
+            return [c.strip().strip("`") for c in raw.split(",") if c.strip()]
+
+        return (
+            _cols("Bucket Columns"),
+            _cols("Sort Columns"),
+            int(info["Num Buckets"]),
+            info["Location"],
+        )
+
+    bucket_cols, sort_cols, num_buckets, location = _table_info()
+    if not bucket_cols:
+        raise ValueError(f"{table} is not a bucketed table")
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _nfiles(p: str) -> int:
+        fs = jvm.org.apache.hadoop.fs.Path(p).getFileSystem(hconf)
+        it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(p), True)
+        n = 0
+        while it.hasNext():
+            if not it.next().getPath().getName().startswith(("_", ".")):
+                n += 1
+        return n
+
+    files_before = _nfiles(location)
+    staging, backup = f"{table}__compact__", f"{table}__precompact__"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    spark.sql(f"DROP TABLE IF EXISTS {backup}")
+    # Force the BUCKETED scan for the rewrite: the planner would
+    # otherwise remove a user repartition (the bucket spec already
+    # satisfies it) and then disable the bucketed scan as unbeneficial,
+    # leaving file-based partitioning — many tasks × many bucket files
+    # again. With the bucketed scan forced, task i reads exactly
+    # bucket i's files and writes exactly one file — the whole
+    # compaction is ZERO-shuffle.
+    auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    saved = spark.conf.get(auto_key, None)
+    try:
+        spark.conf.set(auto_key, "false")
+        write_bucketed(
+            spark.table(table), staging, bucket_cols,
+            num_buckets=num_buckets, sort_cols=sort_cols or None,
+            mode="overwrite",
+        )
+    finally:
+        if saved is None:
+            spark.conf.unset(auto_key)
+        else:
+            spark.conf.set(auto_key, saved)
+    spark.sql(f"ALTER TABLE {table} RENAME TO {backup}")
+    try:
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    except Exception:  # put the original back before propagating
+        spark.sql(f"ALTER TABLE {backup} RENAME TO {table}")
+        raise
+    spark.sql(f"DROP TABLE {backup}")
+    _, _, _, new_location = _table_info()
+    return {
+        "files_before": files_before,
+        "files_after": _nfiles(new_location),
+        "num_buckets": num_buckets,
+    }
+
+
 def compact_dataset(
     spark: SparkSession,
     path: str,

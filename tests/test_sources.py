@@ -57,6 +57,33 @@ def test_bucketed_join_skips_shuffle(spark, orders):
         spark.sql("DROP TABLE IF EXISTS orders_bkt")
 
 
+def test_compact_bucketed_table_one_file_per_bucket(spark, orders):
+    from sparkswift.sources import compact_bucketed_table
+
+    tbl = "orders_bkt_compact_test"
+    try:
+        # 4 appends × multi-task writes → many small files per bucket
+        for i in range(4):
+            write_bucketed(
+                orders.filter(F.col("o_orderkey") % 4 == i).repartition(4),
+                tbl, bucket_cols=["o_custkey"], num_buckets=8,
+                sort_cols=["o_custkey"],
+                mode="overwrite" if i == 0 else "append",
+            )
+        before_rows = spark.table(tbl).count()
+        summary = compact_bucketed_table(spark, tbl)
+        assert summary["files_before"] > 8
+        assert summary["files_after"] == 8  # one file per bucket
+        # rows intact, bucket spec preserved → still shuffle-free
+        assert spark.table(tbl).count() == before_rows
+        agg = spark.table(tbl).groupBy("o_custkey").count()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    finally:
+        for t in (tbl, f"{tbl}__compact__", f"{tbl}__precompact__"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_binary_file_source_feeds_multimodal(spark, tmp_path_factory):
     """binaryFile ingestion → multimodal contract → decode plumbing:
     the end-to-end path real media files would take."""
