@@ -792,7 +792,10 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    iters_run in the verdict row).
 # 4. 27 of the 46 round-4-stale queries, prioritizing the reference
 #    core surface (o1/o2/o3/o4/o5/o6 apply-rolling-resample family),
-#    the 7 streaming entries, 4 joins, and d1/d2/p3. The remaining
+#    the 7 streaming entries, 4 joins, and d1/p3 — plus
+#    p21_store_compaction (NEW: bucketed-store maintenance verdict;
+#    it takes d2_ngram_jaccard's slot since d2's operator gets fresh
+#    in-window evidence through d2_skew_gate). The remaining
 #    19 r4-stale (agg3/6/7, d7, d9, p1/p6-p9, t1/t3-t5/t7-t9, w1/w2)
 #    are the round-9 rotation seed.
 #
@@ -857,7 +860,7 @@ _WINDOW = [
     "j5_range_join",
     "j6_asof_forward",
     "d1_dedup_exact",
-    "d2_ngram_jaccard",
+    "p21_store_compaction",
     "p3_decontaminate",
 ]
 

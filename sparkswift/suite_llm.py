@@ -1764,6 +1764,62 @@ def mm3_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bucketed-store maintenance: an incremental dedup store accumulates
+# O(batches × buckets) files; compact_bucketed_table must rewrite it
+# to ONE file per bucket with zero shuffle and the bucket spec (and
+# hence every downstream shuffle-free probe plan) preserved. Verdict
+# row: row count through the compaction (oracle re-derives it — the
+# store is the corpus fingerprint set), one-file-per-bucket, rows
+# preserved, and the post-compaction bucket-key aggregate still
+# planning with no Exchange.
+# ---------------------------------------------------------------------------
+@register(
+    "p21_store_compaction",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS one_file_per_bucket,
+           TRUE AS rows_preserved,
+           TRUE AS shuffle_free
+    FROM documents
+    """,
+)
+def p21_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from sparkswift.operators.text import fingerprint
+    from sparkswift.sources import compact_bucketed_table, write_bucketed
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = fingerprint(docs, "text", "fp").select("doc_id", "fp")
+    tbl = "fp_store_" + uuid.uuid4().hex[:12]
+    try:
+        for i in range(3):  # three ingest batches → many files/bucket
+            write_bucketed(
+                fps.filter(F.col("doc_id") % 3 == i).repartition(4),
+                tbl, ["fp"], num_buckets=8, sort_cols=["fp"],
+                mode="overwrite" if i == 0 else "append",
+            )
+        before = spark.table(tbl).count()
+        summary = compact_bucketed_table(spark, tbl)
+        after = spark.table(tbl).count()
+        plan = (
+            spark.table(tbl).groupBy("fp").count()
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        return spark.range(1).select(
+            F.lit(after).cast("bigint").alias("n_rows"),
+            F.lit(summary["files_after"] == summary["num_buckets"]).alias(
+                "one_file_per_bucket"
+            ),
+            F.lit(after == before).alias("rows_preserved"),
+            F.lit("Exchange" not in plan).alias("shuffle_free"),
+        )
+    finally:
+        for t in (tbl, f"{tbl}__compact__", f"{tbl}__precompact__"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+# ---------------------------------------------------------------------------
 # REAL image decode (no fake=): synth_ppm_payload builds VALID binary
 # P6 PPM bytes from doc_id alone (constant-channel pixels), so
 # decode_image's real parser — header grammar, pixel reshape, channel
