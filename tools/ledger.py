@@ -40,6 +40,25 @@ def main() -> None:
         line = " ".join(marks)
         print(f"| {n} | {line} |" if md else f"{n}: {line}")
 
+    # staleness summary: queries grouped by the round of their LAST
+    # driver row — the rotation decision input (stalest cohort first)
+    latest = max(int(r) for r in rounds)
+    last: dict[str, int] = {}
+    for r, d in sorted(rounds.items(), key=lambda kv: int(kv[0])):
+        for n in d:
+            last[n] = int(r)
+    by_round: dict[int, list[str]] = {}
+    for n, r in last.items():
+        by_round.setdefault(r, []).append(n)
+    print()
+    print("staleness (latest driver round = %d):" % latest)
+    for r in sorted(by_round):
+        qs = sorted(by_round[r])
+        print(
+            f"  round {r} ({latest - r} behind, {len(qs)} queries): "
+            + ", ".join(qs)
+        )
+
 
 if __name__ == "__main__":
     main()
