@@ -795,8 +795,13 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    the 7 streaming entries, 4 joins, and d1/p3 — plus
 #    p21_store_compaction (NEW: bucketed-store maintenance verdict;
 #    it takes d2_ngram_jaccard's slot since d2's operator gets fresh
-#    in-window evidence through d2_skew_gate). The remaining
-#    19 r4-stale (agg3/6/7, d7, d9, p1/p6-p9, t1/t3-t5/t7-t9, w1/w2)
+#    in-window evidence through d2_skew_gate) and
+#    st14_stream_crawl_ingest (NEW: the d14 store as a streaming
+#    foreachBatch ingest loop; takes p3_decontaminate's slot — p3
+#    holds 4 green rows r1-r4 and its bloom sibling's guarantee is
+#    in-window via p5_gate history). The remaining
+#    r4-stale incl. d2/p3 (agg3/6/7, d2, d7, d9, p1/p3/p6-p9,
+#    t1/t3-t5/t7-t9, w1/w2)
 #    are the round-9 rotation seed.
 #
 # st2b_stateful_totals_tws remains unregistered: the container lacks
@@ -861,7 +866,7 @@ _WINDOW = [
     "j6_asof_forward",
     "d1_dedup_exact",
     "p21_store_compaction",
-    "p3_decontaminate",
+    "st14_stream_crawl_ingest",
 ]
 
 

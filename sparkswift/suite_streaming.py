@@ -611,3 +611,90 @@ def st13_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.crossJoin(F.broadcast(missing))
         .select("n_twins", (F.col("n_missing") == 0).alias("all_twins_rank1"))
     )
+
+
+# ---------------------------------------------------------------------------
+# STREAMING crawl ingest against the PERSISTED bucketed near-dup
+# store: the d14 operator as a structured-streaming sink. Seed the
+# store with the first half of the corpus, then stream the second
+# half plus verbatim re-crawls of the seeded half in THREE
+# deterministic micro-batches (maxFilesPerTrigger=1 over three
+# pre-split files), each foreachBatch running neardup_incremental
+# with store UPDATES enabled — the production crawl loop. The verdict
+# is batching-independent by construction: every doc emits exactly
+# one decision row (n_streamed = |documents|), and a verbatim
+# re-crawl has its seeded original's exact signature and band keys,
+# so store_hit=1 is GUARANTEED for all of them no matter how the
+# stream was chopped; organic cross-batch outcomes (which batch a
+# near-dup lands in) deliberately stay out of the verdict.
+# ---------------------------------------------------------------------------
+@register(
+    "st14_stream_crawl_ingest",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_streamed,
+           TRUE AS all_recrawls_hit
+    FROM documents
+    """,
+)
+def st14_stream_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from sparkswift.operators import dedup as dd
+    from sparkswift.streaming.ops import stream_to_parquet
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg((F.max("doc_id") / 2).cast("long").alias("m")).collect()[0].m
+    store = "nd_st14_" + uuid.uuid4().hex[:12]
+    first = docs.filter(F.col("doc_id") <= mid).select("doc_id", "text")
+    second = docs.filter(F.col("doc_id") > mid).select("doc_id", "text")
+    try:
+        dd.neardup_incremental(
+            first, store, update_store=True, bucketed=True, num_buckets=16
+        ).count()  # seed the store
+
+        base = tempfile.mkdtemp(prefix="crawl_stream_")
+        src_dir, out_dir = f"{base}/src", f"{base}/decisions"
+        feed = second.unionByName(
+            first.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        )
+        for i in range(3):  # three files → three micro-batches
+            feed.filter(F.col("doc_id") % 3 == i).repartition(1).write.mode(
+                "append"
+            ).parquet(src_dir)
+
+        schema = spark.read.parquet(src_dir).schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+        def ingest(batch_df, _epoch_id):
+            out = dd.neardup_incremental(
+                batch_df, store, update_store=True, bucketed=True,
+                num_buckets=16,
+            )
+            out.write.mode("append").parquet(out_dir)
+
+        stream_to_parquet(src, path=None, checkpoint=f"{base}/ck", merge_fn=ingest)
+
+        res = spark.read.parquet(out_dir)
+        n = res.agg(F.count(F.lit(1)).cast("bigint").alias("n_streamed"))
+        miss = (
+            res.filter(F.col("doc_id") >= 100000)
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("store_hit") == 0, 1).otherwise(0)),
+                    F.lit(0),
+                ).alias("n_miss")
+            )
+        )
+        return (
+            n.crossJoin(F.broadcast(miss))
+            .select("n_streamed", (F.col("n_miss") == 0).alias("all_recrawls_hit"))
+            .localCheckpoint()
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {store}_buckets")
+        spark.sql(f"DROP TABLE IF EXISTS {store}_sigs")
