@@ -96,6 +96,7 @@ def export_shards(
     pos_col: str = "shuffle_pos",
     n_shards: int = 8,
     token_col: str | None = None,
+    format: str = "parquet",
 ) -> DataFrame:
     """Materialize the final training artifact: a globally-ordered,
     deterministically sharded dataset — the step after
@@ -114,6 +115,11 @@ def export_shards(
     Scale: one count aggregate, one hash shuffle on the shard id, one
     per-shard sort. N/n rows per task — pick n_shards so a shard fits
     a task comfortably.
+
+    ``format``: data-file format — ``parquet`` (default) or ``json``
+    (newline-delimited JSON, the shard format most training loaders
+    ingest directly; same layout, ordering, and manifest either way —
+    the manifest itself stays parquet).
     """
     from pyspark.sql import functions as F
 
@@ -126,7 +132,7 @@ def export_shards(
         .repartition(n_shards, "shard")
         .sortWithinPartitions("shard", pos_col)
     )
-    write_table(out, f"{path}/data", partition_by=["shard"])
+    write_table(out, f"{path}/data", format=format, partition_by=["shard"])
     aggs = [
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.min(pos_col).cast("bigint").alias("min_pos"),
@@ -150,12 +156,11 @@ def compact_bucketed_table(spark: SparkSession, table: str) -> dict:
 
     Rewrites the table to ONE file per bucket while PRESERVING the
     bucket spec (read from the catalog — callers don't restate it):
-    the frame is repartitioned on the bucket columns into
-    ``num_buckets`` partitions (Spark's repartition hash and its
-    bucket-id hash are both murmur3-mod-n, so task partitions align
-    1:1 with buckets) and written bucketed+sorted to a staging table,
-    which is swapped in via two catalog renames — a mid-job failure
-    leaves the original table intact. Same reader-quiescence contract
+    the rewrite runs over a FORCED bucketed scan, so task i reads
+    exactly bucket i's files and the bucketed write emits exactly one
+    file per task — zero shuffle end to end. The staging table is
+    swapped in via two catalog renames — a mid-job failure leaves the
+    original table intact. Same reader-quiescence contract
     as INSERT OVERWRITE. Downstream shuffle-free joins are untouched:
     the bucket spec (and therefore the plan) is identical before and
     after.

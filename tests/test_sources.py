@@ -170,6 +170,22 @@ def test_export_shards_layout_and_determinism(spark, sf_dir, tmp_path):
     with _pt.raises(ValueError):
         export_shards(shuffled.filter("doc_id < 0"), str(tmp_path / "c"))
 
+    # JSONL export: same layout and manifest, newline-delimited data
+    pj = str(tmp_path / "j")
+    mj = export_shards(shuffled, pj, n_shards=4, format="json").toPandas()
+    assert mj.sort_values("shard").reset_index(drop=True).equals(
+        m1.reset_index(drop=True)
+    )
+    jdata = spark.read.json(f"{pj}/data")
+    assert jdata.count() == docs.count()
+    import glob as _glob
+
+    files = _glob.glob(f"{pj}/data/shard=0/part-*.json")
+    assert files
+    with open(files[0]) as fh:
+        first = fh.readline()
+    assert first.startswith("{") and first.rstrip().endswith("}")
+
 
 # --- z-order layout ---------------------------------------------------------
 
