@@ -790,19 +790,17 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    d14_gate (store now BUCKETED catalog tables + small-batch
 #    union-find short-circuit), g1_gate (pagerank tol= wired, with
 #    iters_run in the verdict row).
-# 4. 27 of the 46 round-4-stale queries, prioritizing the reference
-#    core surface (o1/o2/o3/o4/o5/o6 apply-rolling-resample family),
-#    the 7 streaming entries, 4 joins, and d1/p3 — plus
-#    p21_store_compaction (NEW: bucketed-store maintenance verdict;
-#    it takes d2_ngram_jaccard's slot since d2's operator gets fresh
-#    in-window evidence through d2_skew_gate) and
-#    st14_stream_crawl_ingest (NEW: the d14 store as a streaming
-#    foreachBatch ingest loop; takes p3_decontaminate's slot — p3
-#    holds 4 green rows r1-r4 and its bloom sibling's guarantee is
-#    in-window via p5_gate history). The remaining
-#    r4-stale incl. d2/p3 (agg3/6/7, d2, d7, d9, p1/p3/p6-p9,
-#    t1/t3-t5/t7-t9, w1/w2)
-#    are the round-9 rotation seed.
+# 4. 25 round-4-stale queries, prioritizing the reference core
+#    surface (o1/o2/o3/o4/o5/o6 apply-rolling-resample family), the
+#    7 streaming entries, 4 joins, and d1 — plus the round's two
+#    late additions: p21_store_compaction (bucketed-store maintenance
+#    verdict; took d2_ngram_jaccard's slot since d2's operator gets
+#    fresh in-window evidence through d2_skew_gate) and
+#    st14_stream_crawl_ingest (the d14 store as a streaming
+#    foreachBatch ingest loop; took p3_decontaminate's slot — p3
+#    holds 4 green rows r1-r4). The remaining 21 r4-stale queries
+#    (agg3/6/7, d2, d7, d9, p1/p3/p6-p9, t1/t3-t5/t7-t9, w1/w2) are
+#    the round-9 rotation seed — rotate them first.
 #
 # st2b_stateful_totals_tws remains unregistered: the container lacks
 # protobuf so transformWithState cannot import (NOTES.md, re-checked
