@@ -1077,6 +1077,34 @@ def _sig_band_buckets(num_hashes: int, bands: int) -> Column:
     )
 
 
+def minid_components(pairs) -> dict:
+    """Driver-side union-find over an iterable of (a, b) pairs →
+    {node: min id of its connected component} for every node that
+    appears in a pair. The min-id representative matches
+    :func:`connected_components` exactly (pytest + hypothesis
+    property vs a BFS reference), so callers can swap it in for
+    SMALL pair sets and skip the iterative distributed loop —
+    the :func:`neardup_incremental` small-batch path."""
+    parent: dict = {}
+
+    def _find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        parent.setdefault(a, a)  # self-loops still register the node
+        parent.setdefault(b, b)
+        ra, rb = _find(a), _find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: _find(x) for x in parent}
+
+
 def neardup_incremental(
     new_docs: DataFrame,
     store_path: str,
@@ -1157,24 +1185,8 @@ def neardup_incremental(
         pair_cap = 4 * small_batch_threshold
         pair_rows = pairs.select("id_a", "id_b").limit(pair_cap + 1).collect()
         if len(pair_rows) <= pair_cap:
-            # driver union-find, min id as representative — exactly
-            # near_dedup's min-id-wins contract, zero iterative jobs
-            parent: dict = {}
-
-            def _find(x):
-                r = x
-                while parent.get(r, r) != r:
-                    r = parent[r]
-                while parent.get(x, x) != x:  # path compression
-                    parent[x], x = r, parent[x]
-                return r
-
-            for row in pair_rows:
-                ra, rb = _find(row.id_a), _find(row.id_b)
-                if ra != rb:
-                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                    parent[hi] = lo
-            comp_rows = [(x, _find(x)) for x in parent]
+            comp = minid_components((r.id_a, r.id_b) for r in pair_rows)
+            comp_rows = list(comp.items())
             comp_df = spark.createDataFrame(
                 comp_rows, "id long, component long"
             ) if comp_rows else spark.createDataFrame([], "id long, component long")

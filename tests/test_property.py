@@ -374,3 +374,127 @@ def test_chunk_overlap_properties(spark, n_words, size, data):
         assert r["n_chunk_tokens"] == len(ws)
         covered.extend(ws)
     assert set(covered) == {f"w{i}" for i in range(n_words)}
+
+
+# --- driver union-find vs BFS reference (pure function, no Spark) ----------
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)), max_size=120
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_minid_components_matches_bfs(edges):
+    from sparkswift.operators.dedup import minid_components
+
+    got = minid_components(edges)
+    # BFS reference: min id reachable from each node
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    seen = set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        seen.add(start)
+        while stack:
+            x = stack.pop()
+            comp.append(x)
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        m = min(comp)
+        for x in comp:
+            want[x] = m
+    assert got == want
+
+
+# --- real codecs vs numpy reference on RANDOM content ----------------------
+
+
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 7),
+    data=st.data(),
+    comment=st.booleans(),
+)
+@settings(max_examples=150, deadline=None)
+def test_ppm_decode_random_pixels(w, h, data, comment):
+    import numpy as np
+
+    from sparkswift.operators.multimodal import _parse_ppm
+
+    px = np.array(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+            )
+        ),
+        dtype=np.uint8,
+    ).reshape(h, w, 3)
+    header = b"P6\n" + (b"# a comment\n" if comment else b"")
+    payload = header + b"%d %d\n255\n" % (w, h) + px.tobytes()
+    out = _parse_ppm(payload)
+    assert (out == px).all()
+
+
+@given(w=st.integers(1, 9), h=st.integers(1, 6), data=st.data())
+@settings(max_examples=150, deadline=None)
+def test_bmp_decode_random_pixels(w, h, data):
+    import struct
+
+    import numpy as np
+
+    from sparkswift.operators.multimodal import _parse_bmp
+
+    px = np.array(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+            )
+        ),
+        dtype=np.uint8,
+    ).reshape(h, w, 3)
+    row = (w * 3 + 3) & ~3
+    body = b""
+    for y in range(h - 1, -1, -1):  # bottom-up rows, BGR, padded
+        line = px[y][:, ::-1].tobytes()
+        body += line + b"\x00" * (row - len(line))
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    out = _parse_bmp(hdr + info + body)
+    assert (out == px).all()
+
+
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=400),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=150, deadline=None)
+def test_wav_decode_random_samples(samples, rate):
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from sparkswift.operators.multimodal import _decode_wav
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        wv.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    duration, got = _decode_wav(buf.getvalue())
+    want = np.array(samples, dtype=np.float64) / 32768.0
+    assert duration == len(samples) / rate
+    assert (got == want).all()
