@@ -922,9 +922,13 @@ def bpe_train(
     return merges
 
 
-def _bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> int:
-    """Number of BPE tokens for one word under a merge-rank table
-    (lowest-rank pair merges first — the standard greedy decode)."""
+def _bpe_word_symbols(
+    word: str, ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    """BPE token symbols for one word under a merge-rank table
+    (lowest-rank pair merges first — the standard greedy decode).
+    Concatenating the symbols always reconstructs ``word + '</w>'`` —
+    the round-trip law the hypothesis tests assert."""
     syms = list(word) + ["</w>"]
     while len(syms) > 1:
         best_rank = None
@@ -936,7 +940,12 @@ def _bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> int:
         if best_rank is None:
             break
         syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
-    return len(syms)
+    return syms
+
+
+def _bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Number of BPE tokens for one word — see _bpe_word_symbols."""
+    return len(_bpe_word_symbols(word, ranks))
 
 
 def bpe_encode_count(
@@ -981,4 +990,75 @@ def bpe_encode_count(
 
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         batches, f"{id_col} long, n_words long, n_bpe_tokens long"
+    )
+
+
+def bpe_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """Deterministic token-id table from a merge list: ``<unk>`` = 0,
+    ``</w>`` = 1, the single characters appearing in the merges
+    (sorted) next, then each merge's output symbol in merge order —
+    the GPT-2-style construction, derived from the merges ALONE so
+    every executor (and every rerun) builds the identical table."""
+    chars = sorted({c for p in merges for s in p for c in s if len(c) == 1})
+    vocab: dict[str, int] = {"<unk>": 0, "</w>": 1}
+    for c in chars:
+        vocab.setdefault(c, len(vocab))
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab))
+    return vocab
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    output_col: str = "token_ids",
+) -> DataFrame:
+    """Encode every document to its ACTUAL BPE token-id sequence —
+    what :func:`~sparkswift.operators.packing.pack_sequences` packs
+    and a training job consumes. Same whitespace word split and greedy
+    merge decode as :func:`bpe_encode_count` (their token counts agree
+    by construction — the t17 gate law); ids come from
+    :func:`bpe_vocab`, symbols outside it (characters never seen in a
+    merge) map to ``<unk>``.
+
+    Arrow-batched mapInPandas with a per-batch word → ids memo; the
+    merge table and vocab ride to executors inside the closure
+    (bounded: ≤ num_merges entries). Map-side only — no shuffle.
+
+    Returns ``(id_col, n_bpe_tokens, token_ids array<int>)``.
+    """
+    ranks = {p: i for i, p in enumerate(merges)}
+    vocab = bpe_vocab(merges)
+    unk = vocab["<unk>"]
+
+    def batches(it):
+        cache: dict[str, list[int]] = {}
+        for pdf in it:
+            ids_out = []
+            n_out = []
+            for t in pdf[text_col]:
+                doc_ids: list[int] = []
+                for w in t.split() if t else []:
+                    c = cache.get(w)
+                    if c is None:
+                        c = [
+                            vocab.get(s, unk)
+                            for s in _bpe_word_symbols(w, ranks)
+                        ]
+                        cache[w] = c
+                    doc_ids.extend(c)
+                ids_out.append(doc_ids)
+                n_out.append(len(doc_ids))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bpe_tokens": pd.Series(n_out, dtype="int64"),
+                    output_col: pd.Series(ids_out, dtype="object"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        batches, f"{id_col} long, n_bpe_tokens long, {output_col} array<int>"
     )

@@ -798,9 +798,12 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    fresh in-window evidence through d2_skew_gate) and
 #    st14_stream_crawl_ingest (the d14 store as a streaming
 #    foreachBatch ingest loop; took p3_decontaminate's slot — p3
-#    holds 4 green rows r1-r4). The remaining 21 r4-stale queries
-#    (agg3/6/7, d2, d7, d9, p1/p3/p6-p9, t1/t3-t5/t7-t9, w1/w2) are
-#    the round-9 rotation seed — rotate them first.
+#    holds 4 green rows r1-r4), and t17_bpe_ids_gate (token-id
+#    encoding consistency laws; took o6_resample_closed_right's slot
+#    — the o6 family keeps two other in-window entries). The
+#    remaining 22 r4-stale queries (agg3/6/7, d2, d7, d9,
+#    o6_resample_closed_right, p1/p3/p6-p9, t1/t3-t5/t7-t9, w1/w2)
+#    are the round-9 rotation seed — rotate them first.
 #
 # st2b_stateful_totals_tws remains unregistered: the container lacks
 # protobuf so transformWithState cannot import (NOTES.md, re-checked
@@ -848,7 +851,6 @@ _WINDOW = [
     "o5_rolling_sum_time",
     "o5_rolling_udf",
     "o5_rolling_weighted",
-    "o6_resample_closed_right",
     "o6_resample_hourly",
     "o6_resample_udf_median",
     "st1_stream_resample",
@@ -865,6 +867,7 @@ _WINDOW = [
     "d1_dedup_exact",
     "p21_store_compaction",
     "st14_stream_crawl_ingest",
+    "t17_bpe_ids_gate",
 ]
 
 

@@ -1974,6 +1974,48 @@ def t16_bpe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# t17 — ACTUAL token-id encoding under the trained merges (what a
+# training job consumes), certified by two deterministic laws:
+# bpe_encode_ids emits exactly as many ids per doc as
+# bpe_encode_count counts (independent implementations of the same
+# greedy decode must agree), and every id is inside the vocab derived
+# from the merges alone. The per-word round-trip law (symbols concat
+# back to word</w>) is hypothesis-tested in pytest.
+# ---------------------------------------------------------------------------
+@register(
+    "t17_bpe_ids_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS counts_consistent,
+           TRUE AS ids_in_vocab
+    FROM documents
+    """,
+)
+def t17_bpe_ids_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = tx.bpe_train(docs, num_merges=100)
+    vocab_size = len(tx.bpe_vocab(merges))
+    ids = tx.bpe_encode_ids(docs, merges)
+    counts = tx.bpe_encode_count(docs, merges).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_ref")
+    )
+    bad = F.exists(
+        "token_ids", lambda x: (x < 0) | (x >= F.lit(vocab_size))
+    )
+    j = ids.join(counts, "doc_id")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (
+            F.sum(
+                F.when(F.col("n_bpe_tokens") != F.col("n_ref"), 1).otherwise(0)
+            )
+            == 0
+        ).alias("counts_consistent"),
+        (F.sum(F.when(bad, 1).otherwise(0)) == 0).alias("ids_in_vocab"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Preference-pair construction (DPO/reward-model data prep): within
 # each language, k-th best quality pairs with k-th worst — maximal
 # margin per rank, each doc in ≤1 pair, zero-margin pairs dropped (no

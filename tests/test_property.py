@@ -498,3 +498,34 @@ def test_wav_decode_random_samples(samples, rate):
     want = np.array(samples, dtype=np.float64) / 32768.0
     assert duration == len(samples) / rate
     assert (got == want).all()
+
+
+# --- BPE round-trip law on random words × random merges --------------------
+
+
+@given(
+    words=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+            min_size=1,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    data=st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_bpe_symbols_always_roundtrip(words, data):
+    """Greedy merging only ever CONCATENATES adjacent symbols, so the
+    token symbols of any word under ANY merge table — even pairs that
+    never fire or overlap weirdly — must concat back to word</w>."""
+    from sparkswift.operators.text import _bpe_word_symbols
+
+    # random merge table built from random substrings of the words
+    pieces = sorted({w[i:j] for w in words for i in range(len(w)) for j in (i + 1, i + 2)})
+    pairs = st.tuples(st.sampled_from(pieces + ["</w>"]), st.sampled_from(pieces + ["</w>"]))
+    merges = data.draw(st.lists(pairs, max_size=12))
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in words:
+        assert "".join(_bpe_word_symbols(w, ranks)) == w + "</w>"

@@ -507,6 +507,48 @@ def test_neardup_incremental_small_batch_short_circuit(spark, tmp_path):
 # --- trained BPE ------------------------------------------------------------
 
 
+def test_bpe_encode_ids_consistent_with_count_and_roundtrip(spark, sf_dir):
+    from sparkswift.operators.text import (
+        _bpe_word_symbols,
+        bpe_encode_count,
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+    )
+    from sparkswift.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    merges = bpe_train(docs, num_merges=60)
+    assert merges
+    ids = bpe_encode_ids(docs, merges).toPandas().set_index("doc_id")
+    counts = bpe_encode_count(docs, merges).toPandas().set_index("doc_id")
+    # law 1: the two implementations of the greedy decode agree
+    assert (
+        ids["n_bpe_tokens"].sort_index() == counts["n_bpe_tokens"].sort_index()
+    ).all()
+    # law 2: every id inside the merges-derived vocab; array length = count
+    vs = len(bpe_vocab(merges))
+    for _, r in ids.iterrows():
+        assert len(r["token_ids"]) == r["n_bpe_tokens"]
+        assert all(0 <= t < vs for t in r["token_ids"])
+    # law 3: per-word round-trip — symbols concat back to word</w>
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in ("the", "analysis", "zzzz", "a"):
+        assert "".join(_bpe_word_symbols(w, ranks)) == w + "</w>"
+
+
+def test_bpe_encode_ids_unknown_chars_map_to_unk(spark):
+    from sparkswift.operators.text import bpe_encode_ids, bpe_vocab
+
+    merges = [("a", "b"), ("ab", "</w>")]
+    df = _df(spark, ["ab Ωab"])
+    out = bpe_encode_ids(df, merges).collect()[0]
+    v = bpe_vocab(merges)
+    # "ab" → [ab</w>]; "Ωab" → [<unk>(Ω), a, b, </w>]? no — greedy
+    # merges a+b first then ab+</w>: [Ω→unk, ab</w>]
+    assert list(out.token_ids) == [v["ab</w>"], v["<unk>"], v["ab</w>"]]
+
+
 def test_bpe_zero_merges_counts_chars_plus_end(spark):
     from sparkswift.operators.text import bpe_encode_count
 
