@@ -108,6 +108,14 @@ HEADLINE = [
     "mm4_image_decode_real",  # REAL PPM decode (header parse + channel means)
     "mm5_audio_decode_real",  # REAL WAV decode (stdlib wave + band means)
     "o4_skew_giant_group",   # applyInPandas with one ~50% group (skew stress)
+    "q5_local_supplier_volume",  # TPC-H Q5 (same-nation predicate star)
+    "q7_volume_shipping",    # TPC-H Q7 (bilateral nation-pair volume)
+    "q10_returned_items",    # TPC-H Q10 (top-20 heap over 4-way join)
+    "q13_customer_distribution",  # TPC-H Q13 (agg-then-outer-join distribution)
+    "q15_top_supplier",      # TPC-H Q15 (checkpointed revenue view + max probe)
+    "q17_small_quantity_revenue",  # TPC-H Q17 (decorrelated avg, division-free)
+    "q8_market_share",       # TPC-H Q8 (7-table join + conditional agg share)
+    "q22_sales_opportunity", # TPC-H Q22 (one-row threshold + anti join)
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

@@ -800,10 +800,20 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    foreachBatch ingest loop; took p3_decontaminate's slot — p3
 #    holds 4 green rows r1-r4), and t17_bpe_ids_gate (token-id
 #    encoding consistency laws; took o6_resample_closed_right's slot
-#    — the o6 family keeps two other in-window entries). The
-#    remaining 22 r4-stale queries (agg3/6/7, d2, d7, d9,
-#    o6_resample_closed_right, p1/p3/p6-p9, t1/t3-t5/t7-t9, w1/w2)
-#    are the round-9 rotation seed — rotate them first.
+#    — the o6 family keeps two other in-window entries).
+# 5. Three of the six TPC-H shapes added late this round (q5 same-
+#    nation star, q10 top-k returned-items, q17 decorrelated avg) —
+#    new queries earn driver evidence in their own round. Displaced:
+#    s1_topk_orders (3 green rows; its TakeOrdered shape is covered
+#    in-window by q10 itself), set1_union_except (3 rows; set family
+#    fresh via set2 green r6+r7), agg1_count_distinct (3 rows; agg
+#    family fresh via agg13/14/15 + the gates, all green r6+r7).
+#
+# Round-9 rotation seed, stalest first: s1/set1/agg1 (r3), the
+# remaining 22 r4-stale queries (agg3/6/7, d2, d7, d9,
+# o6_resample_closed_right, p1/p3/p6-p9, t1/t3-t5/t7-t9, w1/w2),
+# then the five tail TPC-H newcomers q7/q8/q13/q15/q22 (local
+# evidence only this round).
 #
 # st2b_stateful_totals_tws remains unregistered: the container lacks
 # protobuf so transformWithState cannot import (NOTES.md, re-checked
@@ -815,7 +825,7 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _WINDOW = [
     # --- (1) the 16 round-3-stale queries ---
-    "agg1_count_distinct",
+    "q17_small_quantity_revenue",
     "agg4_cube",
     "d5_embedding_neardup",
     "j2_semi_join",
@@ -827,8 +837,8 @@ _WINDOW = [
     "o7_ps_apply",
     "p2_hash_split",
     "p4_stratified_sample",
-    "s1_topk_orders",
-    "set1_union_except",
+    "q10_returned_items",
+    "q5_local_supplier_volume",
     "t2_lang_id",
     "t6_pii_redact",
     # --- (2) new this round ---

@@ -1359,3 +1359,469 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # directions are disjoint by parity (c even, s odd) over an
     # already-distinct pair set -> edges are distinct by construction
     return pagerank(edges, max_iter=5, assume_distinct=True, symmetric=True)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 (local supplier volume): revenue from orders where the
+# customer and the line's supplier sit in the SAME nation, for one
+# region and one order year. The c_nationkey = s_nationkey predicate
+# is the interesting bit — it is NOT a key join, it's an equality
+# between two dimension attributes carried through the fact chain.
+# Plan: region⋈nation collapses to a broadcast filter on nationkey;
+# customer and supplier join the fact rows on their natural keys
+# (AQE broadcasts them at small SF, shuffle-hash at 100 TB), and the
+# same-nation test is then a scan-stage comparison of two already
+# attached ints — never a join of its own. Date filter pushed into
+# the orders scan. Final aggregate shuffles ≤25 keys.
+# ---------------------------------------------------------------------------
+@register(
+    "q5_local_supplier_volume",
+    f"""
+    SELECT n_name,
+           CAST(CAST(SUM(CAST(l_extendedprice AS {D}) * (1 - CAST(l_discount AS {D}))) AS VARCHAR) AS DOUBLE)
+               AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # region⋈nation is dim-side work: broadcast the ~25-row result
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice").cast(D) * (F.lit(1) - F.col("l_discount").cast(D))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(supp, (F.col("l_suppkey") == supp.s_suppkey)
+                    & (F.col("c_nationkey") == supp.s_nationkey))
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 (volume shipping): bilateral trade volume between two
+# nations by ship year — supplier nation on the line, customer nation
+# on the order, either direction. Both nation filters reduce to
+# broadcast joins against 1-row nation slices, so customer and
+# supplier are PRE-FILTERED (~1/25 each) before they ever touch the
+# fact chain; the disjunctive pair test needs only the two attached
+# names. Year extraction is scan-stage; aggregate is 2×2×years keys.
+# ---------------------------------------------------------------------------
+@register(
+    "q7_volume_shipping",
+    f"""
+    WITH flat AS (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             CAST(l_extendedprice AS {D}) * (1 - CAST(l_discount AS {D})) AS volume
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_5'  AND n2.n_name = 'NATION_12')
+          OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_5'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS revenue
+    FROM flat
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pair = ("NATION_5", "NATION_12")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*pair)
+    )
+    # pre-filter both entity dims down to the two nations BEFORE the
+    # fact joins — at 100 TB this turns two fact⋈dim joins into joins
+    # against ~8% slices that AQE broadcasts
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    vol = F.col("l_extendedprice").cast(D) * (F.lit(1) - F.col("l_discount").cast(D))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+# lost to returns in one quarter. 3-way fact chain with both filters
+# pushed to the scans (quarter → orders, returnflag → lineitem, both
+# visible as PushedFilters), nation broadcast for the report columns,
+# aggregate on c_custkey (customer cardinality — scales, but the
+# quarter+flag selectivity (~1/4 × 1/3) thins the input first), then
+# TakeOrdered(20) — per-partition heap, no full sort. Ties broken by
+# c_custkey so the top-20 SET is deterministic for the hash compare.
+# ---------------------------------------------------------------------------
+@register(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name,
+           CAST(CAST(SUM(CAST(l_extendedprice AS {D}) * (1 - CAST(l_discount AS {D}))) AS VARCHAR) AS DOUBLE)
+               AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast(D) * (F.lit(1) - F.col("l_discount").cast(D))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 (customer order-count distribution): how many customers
+# placed exactly k qualifying orders, INCLUDING k=0 — the classic
+# outer-join + double-aggregate shape. Scale plan: orders is
+# pre-aggregated to (custkey, count) FIRST (map-side partial combine,
+# one shuffle on custkey), and only that customer-cardinality count
+# table outer-joins customer — the raw order rows never carry
+# customer attributes. The left join's null side becomes count 0 via
+# coalesce; the second aggregate is a few dozen keys.
+# ---------------------------------------------------------------------------
+@register(
+    "q13_customer_distribution",
+    """
+    WITH ocnt AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS c_count
+      FROM orders
+      WHERE o_orderpriority <> '1-URGENT'
+      GROUP BY o_custkey
+    )
+    SELECT COALESCE(c_count, 0) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM customer LEFT JOIN ocnt ON c_custkey = o_custkey
+    GROUP BY COALESCE(c_count, 0)
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ocnt = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_count"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        cust.join(ocnt, cust.c_custkey == ocnt.o_custkey, "left")
+        .select(F.coalesce(F.col("c_count"), F.lit(0).cast("bigint")).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 (top supplier): supplier(s) whose one-quarter revenue
+# equals the maximum — the REVENUE-VIEW + scalar-subquery shape. The
+# revenue table is supplier-cardinality (one shuffle of the
+# date-pruned fact slice on l_suppkey) and is MATERIALIZED with an
+# eager localCheckpoint (the d14 pattern) so both consumers — the
+# one-row max aggregate (partial max per partition, never a global
+# sort or single-partition window) and the broadcast equality probe —
+# read the checkpointed view: the fact table is scanned exactly
+# once, vs twice if the view stayed lazy. The tie test compares the
+# exact DECIMAL sums (not doubles), so "equals the max" is
+# bit-identical in both engines by construction.
+# ---------------------------------------------------------------------------
+@register(
+    "q15_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS {D}) * (1 - CAST(l_discount AS {D}))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(CAST(total_rev AS VARCHAR) AS DOUBLE) AS total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev_expr = F.col("l_extendedprice").cast(D) * (F.lit(1) - F.col("l_discount").cast(D))
+    rev = li.groupBy("l_suppkey").agg(F.sum(rev_expr).alias("_rev_dec")).localCheckpoint()
+    mx = rev.agg(F.max("_rev_dec").alias("_max_dec"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev._rev_dec == mx._max_dec)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev_dec").cast("double").alias("total_rev"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 (small-quantity-order revenue): revenue from line items
+# whose quantity is below 20% of the per-part average, for one brand —
+# the CORRELATED-AVG shape, decorrelated into a self-aggregate +
+# re-join. Both passes over lineitem are pre-filtered by the
+# broadcast brand slice of part (~4% of parts), so the per-part
+# stats table is brand-part-cardinality and AQE broadcasts it back
+# for the threshold probe. The threshold test is rewritten
+# division-free as  qty·5·n < Σqty  over exact DECIMALs (all values
+# positive), so the boundary decision is bit-identical in both
+# engines — no float-average tie risk.
+# ---------------------------------------------------------------------------
+@register(
+    "q17_small_quantity_revenue",
+    f"""
+    WITH bparts AS (
+      SELECT p_partkey FROM part WHERE p_brand = 'Brand#12'
+    ),
+    pq AS (
+      SELECT l_partkey,
+             SUM(CAST(l_quantity AS {D})) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem JOIN bparts ON p_partkey = l_partkey
+      GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS {D})) AS VARCHAR) AS DOUBLE) / 7.0
+               AS avg_yearly
+    FROM lineitem
+    JOIN pq ON pq.l_partkey = lineitem.l_partkey
+    WHERE CAST(l_quantity AS {D}) * 5 * n < s
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bparts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#12")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    branded = li.join(F.broadcast(bparts), li.l_partkey == F.col("p_partkey"))
+    pq = branded.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast(D)).alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    ).withColumnRenamed("l_partkey", "pq_partkey")
+    return (
+        branded.join(F.broadcast(pq), F.col("l_partkey") == F.col("pq_partkey"))
+        .filter(F.col("l_quantity").cast(D) * 5 * F.col("n") < F.col("s"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(D)).cast("double")
+             / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 (national market share): of the revenue one region's
+# customers spent on one part type, what fraction came from one
+# supplier nation, by order year — the widest join in the suite
+# (lineitem ⋈ orders ⋈ customer ⋈ part ⋈ supplier ⋈ nation×2 ⋈
+# region, 7 tables) feeding a CONDITIONAL aggregate. Plan: part is
+# type-pruned and broadcast, so the fact slice shrinks ~6× before
+# the entity joins; the customer side is pre-filtered through the
+# broadcast region⋈nation slice; the supplier nation name rides a
+# 25-row broadcast. The share divides two doubles both derived from
+# exact DECIMAL sums, so it is deterministic cross-engine.
+# ---------------------------------------------------------------------------
+@register(
+    "q8_market_share",
+    f"""
+    WITH flat AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice AS {D}) * (1 - CAST(l_discount AS {D})) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+    )
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS mkt_share,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END) AS VARCHAR) AS DOUBLE)
+               AS nation_volume,
+           CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS total_volume
+    FROM flat
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_keys = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("eu_nationkey"))
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(eu_keys), F.col("c_nationkey") == F.col("eu_nationkey"))
+        .select("c_custkey")
+    )
+    promo = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    vol = F.col("l_extendedprice").cast(D) * (F.lit(1) - F.col("l_discount").cast(D))
+    nation_vol = F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(
+        F.lit(0).cast(D)
+    )
+    flat = (
+        li.join(F.broadcast(promo), li.l_partkey == F.col("p_partkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+    )
+    return (
+        flat.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (F.sum(nation_vol).cast("double") / F.sum(vol).cast("double")).alias(
+                "mkt_share"
+            ),
+            F.sum(nation_vol).cast("double").alias("nation_volume"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 (global sales opportunity) adapted to the fixture:
+# above-average-balance customers with NO urgent order — the
+# scalar-subquery threshold + ANTI-join shape. The positive-balance
+# average arrives as a broadcast ONE-ROW aggregate (the sanctioned
+# one-row crossJoin); the threshold is rewritten division-free as
+# bal·n > Σbal over exact DECIMALs (n > 0, so the inequality is
+# preserved), making the cut bit-identical cross-engine. The NOT
+# EXISTS becomes a left_anti against the priority-pruned orders
+# projection — at 100 TB that is a 1-column semi-structure, never
+# the full orders row.
+# ---------------------------------------------------------------------------
+@register(
+    "q22_sales_opportunity",
+    f"""
+    WITH s AS (
+      SELECT SUM(CAST(c_acctbal AS {D})) AS bal_sum,
+             CAST(COUNT(*) AS BIGINT) AS bal_n
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(CAST(SUM(CAST(c_acctbal AS {D})) AS VARCHAR) AS DOUBLE) AS totacctbal
+    FROM customer c, s
+    WHERE CAST(c_acctbal AS {D}) * bal_n > bal_sum
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    stats = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast(D)).alias("bal_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("bal_n"),
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(stats))
+        .filter(F.col("c_acctbal").cast(D) * F.col("bal_n") > F.col("bal_sum"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(D)).cast("double").alias("totacctbal"),
+        )
+    )

@@ -356,3 +356,90 @@ def test_mm_real_decodes_are_map_side_only(plans):
         p = plans(q)
         assert "Exchange" not in p, (q, p)
         assert "MapInPandas" in p or "mapInPandas" in p.lower(), q
+
+
+def test_q5_same_nation_is_scan_stage_comparison(plans):
+    """Q5's c_nationkey = s_nationkey predicate must ride the key
+    joins as a plain comparison of attached ints — never a join of
+    its own (no nested loop), and the region/nation dims broadcast."""
+    p = plans("q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "Exchange rangepartitioning" not in p
+    assert "PushedFilters" in p and "ASIA" in p
+
+
+def test_q7_nation_filters_prefilter_the_dims(plans):
+    """The two-nation disjunction reduces the entity dims before the
+    fact joins — the fact chain shuffles once for the final tiny
+    aggregate, with zero Python and no nested loop."""
+    p = plans("q7_volume_shipping")
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_q10_topk_heap_and_pruned_scans(plans):
+    p = plans("q10_returned_items")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+    # lineitem pruned to the 4 used columns — l_tax never read
+    assert "l_tax" not in p
+
+
+def test_q13_preaggregates_orders_before_outer_join(plans):
+    """The order-count table is built by aggregate-then-join: the
+    plan's first exchange is the o_custkey aggregate, and no customer
+    attribute rides through the raw order rows (o_totalprice unread)."""
+    p = plans("q13_customer_distribution")
+    assert "o_totalprice" not in p
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_q15_single_fact_scan_max_probe_broadcast(plans):
+    """The revenue view is checkpointed once; both the max branch and
+    the probe read the materialized view (zero parquet scans in the
+    final plan), and the scalar max comes back as a broadcast
+    equality join, not a nested loop or a single-partition window."""
+    p = plans("q15_top_supplier")
+    assert "lineitem.parquet" not in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "Window" not in p and "Exchange rangepartitioning" not in p
+
+
+def test_q17_threshold_probe_is_broadcast_and_division_free(plans):
+    """Both lineitem passes are brand-pruned through the broadcast
+    part slice; the per-part stats come back broadcast; the threshold
+    is decimal multiplication (no float division anywhere in the
+    filter)."""
+    p = plans("q17_small_quantity_revenue")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_q8_part_prunes_fact_before_entity_joins(plans):
+    """The 7-table market-share join: part is type-pruned + broadcast
+    (the fact slice shrinks before entity joins), no nested loop, one
+    final tiny aggregate, zero Python."""
+    p = plans("q8_market_share")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "EvalPython" not in p
+    assert "PushedFilters" in p and "PROMO" in p
+
+
+def test_q22_anti_join_and_one_row_threshold_broadcast(plans):
+    """The NOT EXISTS is a LeftAnti against the priority-pruned
+    1-column orders projection; the balance threshold is the ONLY
+    nested-loop element — a broadcast one-row aggregate."""
+    p = plans("q22_sales_opportunity")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    # the one-row threshold may appear as BroadcastNestedLoop — that
+    # is the sanctioned one-row crossJoin, bounded by construction;
+    # what must NOT happen is the anti join degenerating to a loop
+    assert p.count("BroadcastNestedLoop") <= 1
+    assert "1-URGENT" in p  # priority filter pushed to the orders scan

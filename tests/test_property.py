@@ -529,3 +529,50 @@ def test_bpe_symbols_always_roundtrip(words, data):
     ranks = {p: i for i, p in enumerate(merges)}
     for w in words:
         assert "".join(_bpe_word_symbols(w, ranks)) == w + "</w>"
+
+
+# ---------------------------------------------------------------------------
+# Division-free threshold rewrites (TPC-H Q17 / Q22): the predicates
+#   qty·5·n < Σqty      (Q17: qty < 20% of the per-part average)
+#   bal·n   > Σbal      (Q22: bal above the positive-balance average)
+# must decide EXACTLY like the rational-arithmetic originals for any
+# 4-decimal-quantized inputs — including values landing exactly ON
+# the boundary, where a float average could tip either way.
+# ---------------------------------------------------------------------------
+@given(
+    vals=st.lists(
+        st.decimals(
+            min_value="0.0001", max_value="99999", places=4, allow_nan=False
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    probe=st.decimals(
+        min_value="0.0001", max_value="99999", places=4, allow_nan=False
+    ),
+    on_boundary=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_division_free_threshold_rewrites_match_rationals(vals, probe, on_boundary):
+    from decimal import Decimal
+    from fractions import Fraction
+
+    s = sum(vals, Decimal(0))
+    n = len(vals)
+    if on_boundary:
+        # a probe exactly at s/(5n) (when representable) must compare
+        # False on both sides — the dangerous case for float averages
+        exact = Fraction(int(s * 10_000), 10_000) / (5 * n)
+        if exact.denominator <= 10_000 and 10_000 % exact.denominator == 0:
+            probe = Decimal(exact.numerator) / Decimal(exact.denominator)
+
+    frac_probe = Fraction(str(probe))
+    frac_avg = Fraction(int(s * 10_000), 10_000) / n
+
+    q17_rewrite = probe * 5 * n < s
+    q17_rational = frac_probe < Fraction(1, 5) * frac_avg
+    assert q17_rewrite == q17_rational
+
+    q22_rewrite = probe * n > s
+    q22_rational = frac_probe > frac_avg
+    assert q22_rewrite == q22_rational
