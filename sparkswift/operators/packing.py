@@ -159,3 +159,114 @@ def chunk_overlap(
         F.col("__c.chunk_text").alias("chunk_text"),
         F.col("__c.n_chunk_tokens").alias("n_chunk_tokens"),
     )
+
+
+def pack_bins(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 2048,
+    n_packers: int = 32,
+    seed: int = 0,
+    len_col: str | None = None,
+) -> DataFrame:
+    """Document-preserving bin packing (the T5/FLAN layout, vs
+    ``pack_sequences``'s GPT-style concat-then-chunk): every document
+    lands WHOLE in exactly one training bin of token ``budget``; no
+    document is ever split across sequences. First-fit-decreasing per
+    packer.
+
+    Scale design mirrors pack_sequences: token lengths are computed
+    NATIVELY at the scan (the text itself never shuffles — only
+    (id, len, packer) 20-byte rows move), documents are hash-assigned
+    to ``n_packers`` independent packers (md5 on the id: stable under
+    reruns and repartitioning), and each packer runs FFD over its own
+    docs inside one Arrow batch. ``n_packers`` is the parallelism AND
+    memory knob — size it so a packer's (id, len) list fits a task
+    (~1M docs/packer is comfortable); bins never span packers.
+
+    Determinism: packer assignment is content-hashed and the FFD order
+    is (len DESC, id ASC), so the full bin layout is a pure function
+    of the data — partition-layout invariant (pytest-asserted).
+
+    Guarantees (pytest + the p22 gate certify these as laws):
+    * every input doc appears in exactly one bin;
+    * no bin load exceeds ``budget`` — except a doc longer than the
+      budget alone, which gets its OWN bin with ``oversize = 1``;
+    * per packer, at most ONE non-oversize bin ends ≤ half-full (the
+      classic greedy argument: a second one's first item would have
+      fit the first) — so total bins ≤ 2·⌈Σlen/budget⌉ + n_packers.
+
+    Output: (doc_id, packer, doc_len, bin_id, bin_load, oversize)
+    with bin_id globally unique as packer·2³² + local index.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if n_packers <= 0:
+        raise ValueError("n_packers must be positive")
+    from sparkswift.operators.sampling import hash_bucket_hex
+    from sparkswift.operators.text import bpe_token_count
+
+    length = (
+        F.col(len_col).cast("bigint")
+        if len_col is not None
+        else bpe_token_count(text_col)
+    )
+    lens = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        length.alias("doc_len"),
+        F.pmod(
+            F.conv(hash_bucket_hex(id_col, seed), 16, 10).cast("bigint"),
+            F.lit(n_packers),
+        )
+        .cast("int")
+        .alias("packer"),
+    )
+
+    out_schema = (
+        "doc_id bigint, packer int, doc_len bigint, "
+        "bin_id bigint, bin_load bigint, oversize int"
+    )
+
+    def _ffd(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["doc_len", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        packer = int(pdf["packer"].iloc[0])
+        base = packer << 32
+        bin_loads: list[int] = []      # running load per local bin
+        assigned: list[int] = []       # local bin index per row
+        oversize: list[int] = []
+        # FFD: docs longer than the budget are peeled into their own
+        # flagged bins; the rest scan bins first-fit. The inner scan
+        # is O(bins) per doc — bounded by the n_packers sizing rule.
+        for ln in pdf["doc_len"].astype(int):
+            if ln > budget:
+                assigned.append(len(bin_loads))
+                oversize.append(1)
+                bin_loads.append(ln)
+                continue
+            for b in range(len(bin_loads)):
+                if bin_loads[b] + ln <= budget:
+                    assigned.append(b)
+                    oversize.append(0)
+                    bin_loads[b] += ln
+                    break
+            else:
+                assigned.append(len(bin_loads))
+                oversize.append(0)
+                bin_loads.append(ln)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "packer": pdf["packer"],
+                "doc_len": pdf["doc_len"],
+                "bin_id": [base + a for a in assigned],
+                "bin_load": [bin_loads[a] for a in assigned],
+                "oversize": oversize,
+            }
+        )
+
+    return lens.groupBy("packer").applyInPandas(_ffd, out_schema)

@@ -931,6 +931,98 @@ def o4_skew_giant_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# p22 — document-preserving FFD bin packing (pack_bins): the laws are
+# SQL-certifiable because every one reduces to counts. every-doc-
+# exactly-once (input count == output rows == output distinct ids),
+# no non-oversize bin over budget (overweight count == 0), the greedy
+# half-full law (≤ 1 half-empty bin per packer → excess == 0), and
+# the bin-count envelope LB ≤ bins_ok ≤ 2·total/budget + n_packers
+# in exact integer arithmetic. total_len / n_oversize are re-derived
+# by the oracle from the same regex token count the engine uses.
+# ---------------------------------------------------------------------------
+_P22_BUDGET, _P22_PACKERS = 512, 8
+
+
+@register(
+    "p22_gate",
+    r"""
+    WITH l AS (
+      SELECT CAST(len(regexp_extract_all(text,
+                 '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_packed,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(SUM(n) AS BIGINT) AS total_len,
+           CAST(COUNT(*) FILTER (n > 512) AS BIGINT) AS n_oversize,
+           CAST(0 AS BIGINT) AS overweight_bins,
+           CAST(0 AS BIGINT) AS half_empty_excess,
+           TRUE AS bins_bounded
+    FROM l
+    """,
+)
+def p22_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.packing import pack_bins
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = pack_bins(
+        docs, budget=_P22_BUDGET, n_packers=_P22_PACKERS
+    ).localCheckpoint()
+
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    totals = out.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_packed"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_unique"),
+        F.sum("doc_len").cast("bigint").alias("total_len"),
+        F.sum(F.col("oversize").cast("bigint")).alias("n_oversize"),
+    )
+    bins = out.groupBy("packer", "bin_id").agg(
+        F.sum("doc_len").alias("load"),
+        F.max("oversize").alias("os"),
+    )
+    binstats = bins.agg(
+        F.sum(
+            ((F.col("os") == 0) & (F.col("load") > _P22_BUDGET)).cast("bigint")
+        ).alias("overweight_bins"),
+        F.sum(((F.col("os") == 0) & (F.col("load") <= _P22_BUDGET)).cast("bigint")).alias(
+            "n_bins_ok"
+        ),
+        F.sum(
+            F.when(F.col("os") == 0, F.col("load")).otherwise(F.lit(0))
+        ).cast("bigint").alias("total_ok"),
+    )
+    half_per_packer = (
+        bins.filter((F.col("os") == 0) & (F.col("load") * 2 <= _P22_BUDGET))
+        .groupBy("packer")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0))
+            .cast("bigint")
+            .alias("half_empty_excess")
+        )
+    )
+    v = _one_row_join(n_docs, totals, binstats, half_per_packer)
+    return v.select(
+        "n_docs",
+        "n_packed",
+        "n_unique",
+        "total_len",
+        "n_oversize",
+        "overweight_bins",
+        "half_empty_excess",
+        (
+            (F.col("n_bins_ok") * _P22_BUDGET >= F.col("total_ok"))
+            & (
+                F.col("n_bins_ok") * _P22_BUDGET
+                <= F.col("total_ok") * 2 + _P22_PACKERS * _P22_BUDGET
+            )
+        ).alias("bins_bounded"),
+    )
+
+
+
+# ---------------------------------------------------------------------------
 # Resolve the oracle placeholders that wrap other queries' registered
 # oracles (registration order guarantees they exist: suite_relational
 # and suite_llm import before this module).

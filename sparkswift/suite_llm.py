@@ -2060,3 +2060,19 @@ def p19_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     scored = tx.quality_score(docs, "text").select("doc_id", "lang", "quality_score")
     return sp.preference_pairs(scored, "quality_score", "lang", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p22 — document-preserving bin packing (T5/FLAN layout): every doc
+# lands WHOLE in one token-budget bin, FFD per hash-assigned packer.
+# Rows-only (bin ids come from the greedy layout, not SQL);
+# p22_gate certifies the laws — every doc exactly once, no
+# bin over budget, the greedy half-full bound, and the bin-count
+# envelope — as hash-matched counts.
+# ---------------------------------------------------------------------------
+@register("p22_pack_bins", None)
+def p22_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.packing import pack_bins
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_bins(docs, budget=512, n_packers=8)

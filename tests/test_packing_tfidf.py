@@ -232,3 +232,92 @@ def test_bm25_length_normalization(spark):
     assert norm.loc[1, "score"] > norm.loc[2, "score"]
     flat = bm25_topk(df, ["term"], b=0.0, top_k=2).toPandas()
     assert abs(flat["score"].iloc[0] - flat["score"].iloc[1]) < 1e-15
+
+
+# --- pack_bins (FFD, document-preserving) -----------------------------------
+
+
+def test_pack_bins_laws(docs, spark):
+    from sparkswift.operators.packing import pack_bins
+
+    budget, n_packers = 256, 8
+    out = pack_bins(docs, budget=budget, n_packers=n_packers).toPandas()
+    n_docs = docs.count()
+    # every doc in exactly one bin
+    assert len(out) == n_docs == out["doc_id"].nunique()
+    # bin_load is consistent: per-bin sum of doc_len equals the
+    # reported load on every row of that bin
+    per_bin = out.groupby("bin_id")["doc_len"].sum()
+    assert (out["bin_load"].values == per_bin.loc[out["bin_id"]].values).all()
+    # no non-oversize bin exceeds the budget; oversize bins are
+    # single-doc and flagged exactly when the doc alone exceeds it
+    non_os = out[out["oversize"] == 0]
+    assert (non_os.groupby("bin_id")["doc_len"].sum() <= budget).all()
+    os_rows = out[out["oversize"] == 1]
+    assert (os_rows["doc_len"] > budget).all()
+    assert os_rows["bin_id"].is_unique  # own bin each
+    assert (out[out["doc_len"] > budget]["oversize"] == 1).all()
+    # greedy half-full law: at most one non-oversize bin per packer
+    # ends at or below half the budget
+    halfish = (
+        non_os.groupby(["packer", "bin_id"])["doc_len"].sum() <= budget // 2
+    ).groupby("packer").sum()
+    assert (halfish <= 1).all()
+    # bins never span packers
+    assert ((out["bin_id"] // (1 << 32)).astype(int) == out["packer"].astype(int)).all()
+
+
+def test_pack_bins_partition_invariant_and_deterministic(docs):
+    from sparkswift.operators.packing import pack_bins
+
+    a = pack_bins(docs, budget=512, n_packers=4).toPandas()
+    b = pack_bins(docs.repartition(13), budget=512, n_packers=4).toPandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_pack_bins_matches_reference_ffd(spark):
+    """Single-packer FFD must equal a straight Python FFD over the
+    same (len desc, id asc) order — bin ids, loads, everything."""
+    from sparkswift.operators.packing import pack_bins
+
+    lens = [300, 200, 200, 150, 100, 90, 60, 10, 5, 700]
+    pdf = pd.DataFrame({"doc_id": range(len(lens)), "n": lens})
+    df = spark.createDataFrame(pdf)
+    out = (
+        pack_bins(df, id_col="doc_id", len_col="n", budget=500, n_packers=1)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # reference FFD
+    order = sorted(range(len(lens)), key=lambda i: (-lens[i], i))
+    bins, assign = [], {}
+    for i in order:
+        ln = lens[i]
+        if ln > 500:
+            assign[i] = len(bins)
+            bins.append(ln)
+            continue
+        for b, load in enumerate(bins):
+            if load + ln <= 500:
+                assign[i] = b
+                bins[b] = load + ln
+                break
+        else:
+            assign[i] = len(bins)
+            bins.append(ln)
+    assert out["bin_id"].tolist() == [assign[i] for i in range(len(lens))]
+    assert out["bin_load"].tolist() == [bins[assign[i]] for i in range(len(lens))]
+    assert out["oversize"].tolist() == [int(l > 500) for l in lens]
+
+
+def test_pack_bins_validation(spark):
+    from sparkswift.operators.packing import pack_bins
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a"]}))
+    with pytest.raises(ValueError):
+        pack_bins(df, budget=0)
+    with pytest.raises(ValueError):
+        pack_bins(df, n_packers=0)
