@@ -576,3 +576,42 @@ def test_division_free_threshold_rewrites_match_rationals(vals, probe, on_bounda
     q22_rewrite = probe * n > s
     q22_rational = frac_probe > frac_avg
     assert q22_rewrite == q22_rational
+
+
+# ---------------------------------------------------------------------------
+# pack_bins (FFD) laws under arbitrary length distributions — the
+# fixture exercises one realistic distribution; this fuzzes spiky,
+# uniform, all-oversize, and all-zero corpora through the real Spark
+# path (1-2 packers keep each example a single small job).
+# ---------------------------------------------------------------------------
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=700), min_size=1, max_size=60),
+    n_packers=st.sampled_from([1, 2]),
+)
+@settings(**SETTINGS)
+def test_pack_bins_laws_fuzz(spark, lens, n_packers):
+    from sparkswift.operators.packing import pack_bins
+
+    budget = 500
+    pdf = pd.DataFrame({"doc_id": range(len(lens)), "n": lens})
+    out = pack_bins(
+        spark.createDataFrame(pdf).repartition(4),
+        id_col="doc_id",
+        len_col="n",
+        budget=budget,
+        n_packers=n_packers,
+    ).toPandas()
+    # exactly once
+    assert len(out) == len(lens) == out["doc_id"].nunique()
+    # oversize flag == (len > budget); oversize bins are singletons
+    assert (out["oversize"] == (out["doc_len"] > budget).astype(int)).all()
+    grp = out.groupby("bin_id").agg(load=("doc_len", "sum"), os=("oversize", "max"),
+                                    cnt=("doc_id", "count"))
+    assert (grp[grp["os"] == 1]["cnt"] == 1).all()
+    # budget cap on non-oversize bins
+    assert (grp[grp["os"] == 0]["load"] <= budget).all()
+    # greedy half-full law per packer
+    non_os = grp[grp["os"] == 0].reset_index()
+    non_os["packer"] = (non_os["bin_id"] // (1 << 32)).astype(int)
+    per_packer = (non_os["load"] * 2 <= budget).groupby(non_os["packer"]).sum()
+    assert (per_packer <= 1).all()
