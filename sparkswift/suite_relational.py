@@ -781,14 +781,12 @@ def agg11_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
         F.hll_sketch_agg("o_custkey").alias("sk")
     )
-    return (
-        partials.groupBy("o_orderpriority")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk"))
-            .cast("bigint")
-            .alias("approx_customers")
-        )
-        .orderBy("o_orderpriority")
+    # no orderBy: it planned a range exchange for a 5-row result the
+    # driver canonicalizer sorts anyway (plan-lint finding)
+    return partials.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("bigint")
+        .alias("approx_customers")
     )
 
 

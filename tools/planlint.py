@@ -1,0 +1,122 @@
+"""Fleet-wide physical-plan lint: the scale anti-patterns no
+registered query may exhibit, enforced over the WHOLE registry (the
+hand-written tests in tests/test_plans.py assert per-query design
+properties; this is the floor under everything else).
+
+Rules, from the 100 TB design rules (docs/SCALE.md):
+
+* no ``CartesianProduct`` — a cartesian plan on corpus-scaling sides
+  is never acceptable;
+* no ``BatchEvalPython`` — row-at-a-time Python in any hot path (the
+  Arrow route ``ArrowEvalPython``/``MapInPandas`` is the sanctioned
+  Python surface);
+* no ``Exchange rangepartitioning`` — a global sort; top-k must plan
+  as TakeOrdered, ordering for presentation is the reader's job;
+* ``BroadcastNestedLoopJoin`` only where allowlisted with a bound:
+  every allowlisted occurrence is a broadcast ONE-ROW aggregate
+  (thresholds, normalizers, verdict fan-ins) or a broadcast
+  SMALL-DIM interval join — bounded by construction, and the
+  allowlist pins the count so a new unbounded loop can't hide
+  behind an existing sanctioned one.
+
+Usage: python tools/planlint.py [sf_dir] [query ...]   (exit 1 on any
+violation). The pytest twin (tests/test_plan_lint.py) runs the
+driver-window subset on every test run; this tool sweeps the full
+registry (some index/store builds run real jobs at plan-build time,
+~4 min total).
+"""
+
+from __future__ import annotations
+
+import sys
+
+# name -> max BroadcastNestedLoopJoin occurrences, each a broadcast
+# one-row aggregate join (or j5's broadcast small-dim interval join)
+BNLJ_ALLOWED: dict[str, int] = {
+    "j5_range_join": 1,  # broadcast SMALL-DIM band join (by design)
+    "d5_embedding_neardup": 1,  # one-row norm threshold
+    "agg14_skew_report": 1,  # one-row total join
+    "q22_sales_opportunity": 1,  # one-row balance threshold
+    "e1_cosine_topk": 1,  # one-row query-norm
+    "t7_tfidf_top_terms": 1,  # one-row doc-count
+    "t12_bm25": 1,  # one-row corpus stats
+    "t15_unigram_logprob": 1,  # one-row vocab total
+    "p20_dsir_select": 1,  # one-row corpus totals
+    "st13_stream_ivf_ingest": 1,  # one-row verdict fan-in
+    "d2_skew_gate": 3,  # verdict row joins
+    "d3_gate": 1,
+    "d4_gate": 1,
+    "d6_gate": 3,
+    "d8_gate": 1,
+    "d12_gate": 3,
+    "e2_gate": 4,
+    "e3_gate": 4,
+    "e4_gate": 4,
+    "e5_gate": 4,
+    "e6_gate": 4,
+    "e7_gate": 4,
+    "p5_gate": 1,
+    "p16_gate": 1,
+    "p22_gate": 3,
+    "st10_gate": 2,
+    "agg16_heavy_hitters_gate": 8,
+}
+
+RANGE_EXCHANGE_ALLOWED: frozenset[str] = frozenset()
+
+
+def lint_plan(name: str, plan: str) -> list[str]:
+    """Return the rule violations for one query's executedPlan text."""
+    flags: list[str] = []
+    if "CartesianProduct" in plan:
+        flags.append("CartesianProduct")
+    if "BatchEvalPython" in plan:
+        flags.append("BatchEvalPython (row-at-a-time Python)")
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    if n_bnlj > BNLJ_ALLOWED.get(name, 0):
+        flags.append(
+            f"BroadcastNestedLoopJoin x{n_bnlj} "
+            f"(allowed {BNLJ_ALLOWED.get(name, 0)})"
+        )
+    if (
+        "Exchange rangepartitioning" in plan
+        and name not in RANGE_EXCHANGE_ALLOWED
+    ):
+        flags.append("Exchange rangepartitioning (global sort)")
+    return flags
+
+
+def main() -> int:
+    sys.path.insert(0, "/root/repo")
+    from sparkswift.session import get_spark
+    from sparkswift import suite
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("planlint")
+    spark.sparkContext.setLogLevel("ERROR")
+    violations: dict[str, list[str]] = {}
+    n = 0
+    for name, fn in suite.queries().items():
+        if only and name not in only:
+            continue
+        n += 1
+        try:
+            plan = (
+                fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            )
+        except Exception as ex:  # a build failure is itself a violation
+            violations[name] = [f"plan build failed: {type(ex).__name__}: {ex}"]
+            continue
+        flags = lint_plan(name, plan)
+        if flags:
+            violations[name] = flags
+    for name, flags in violations.items():
+        print(f"LINT {name}: {'; '.join(flags)}")
+    print(f"{n - len(violations)}/{n} clean")
+    return 1 if violations else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
