@@ -117,6 +117,7 @@ HEADLINE = [
     "q8_market_share",       # TPC-H Q8 (7-table join + conditional agg share)
     "q22_sales_opportunity", # TPC-H Q22 (one-row threshold + anti join)
     "p22_pack_bins",         # FFD doc-preserving packing (T5-style bins)
+    "d15_substring_dedup",   # ExactSubstr duplicate-window excision
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

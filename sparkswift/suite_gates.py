@@ -1023,6 +1023,94 @@ def p22_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# d15 — ExactSubstr dedup laws via planted sentinels: a 30-token
+# sentinel paragraph (tokens that exist nowhere in the fixture) is
+# appended to every doc on the id stripe doc_id % 50 == 3, the
+# corpus runs substring_dedup(window=20), and the verdict certifies:
+# the GLOBALLY-FIRST planted doc is the only one whose output
+# contains any sentinel (first-wins + zero leakage — the pure-para
+# windows of every later copy cover its whole span), token counts
+# conserve exactly, and every doc with zero drops reassembles to the
+# identity. Sentinels make the laws hash-collision-free.
+# ---------------------------------------------------------------------------
+_D15_WINDOW = 20
+_D15_PARA = " ".join(f"sdxtok{i}" for i in range(30))
+
+
+@register(
+    "d15_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (doc_id % 50 = 3) AS BIGINT) AS n_planted,
+           CAST(1 AS BIGINT) AS docs_with_sentinels,
+           CAST(1 AS BIGINT) AS para_keepers,
+           TRUE AS conservation_ok,
+           TRUE AS untouched_identity_ok
+    FROM documents
+    """,
+)
+def d15_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 50 == 3,
+            F.concat_ws(" ", F.col("text"), F.lit(_D15_PARA)),
+        ).otherwise(F.col("text")),
+    )
+    out = dd.substring_dedup(
+        planted, window=_D15_WINDOW
+    ).localCheckpoint()
+
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    n_planted = planted.filter(F.col("doc_id") % 50 == 3).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_planted")
+    )
+    sentinels = out.agg(
+        F.sum(F.col("clean_text").contains("sdxtok").cast("bigint")).alias(
+            "docs_with_sentinels"
+        ),
+        F.sum(F.col("clean_text").contains(_D15_PARA).cast("bigint")).alias(
+            "para_keepers"
+        ),
+    )
+    conserve = (
+        out.join(planted.select("doc_id", "text"), "doc_id")
+        .agg(
+            F.sum(
+                (
+                    F.size(_tokens(F.coalesce(F.col("text"), F.lit(""))))
+                    != F.col("n_tokens_kept") + F.col("n_tokens_dropped")
+                ).cast("bigint")
+            ).alias("n_bad_counts"),
+            F.sum(
+                (
+                    (F.col("n_tokens_dropped") == 0)
+                    & (
+                        F.col("clean_text")
+                        != F.array_join(
+                            _tokens(F.coalesce(F.col("text"), F.lit(""))), " "
+                        )
+                    )
+                ).cast("bigint")
+            ).alias("n_bad_identity"),
+        )
+    )
+    v = _one_row_join(n_docs, n_planted, sentinels, conserve)
+    return v.select(
+        "n_docs",
+        "n_planted",
+        "docs_with_sentinels",
+        "para_keepers",
+        (F.col("n_bad_counts") == 0).alias("conservation_ok"),
+        (F.col("n_bad_identity") == 0).alias("untouched_identity_ok"),
+    )
+
+
+
+# ---------------------------------------------------------------------------
 # Resolve the oracle placeholders that wrap other queries' registered
 # oracles (registration order guarantees they exist: suite_relational
 # and suite_llm import before this module).

@@ -2076,3 +2076,18 @@ def p22_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pack_bins(docs, budget=512, n_packers=8)
+
+
+# ---------------------------------------------------------------------------
+# d15 — exact duplicate-substring dedup (ExactSubstr, Lee et al.
+# 2022, arXiv:2107.06499): every 20-token window appearing more than
+# once in the corpus keeps only its globally-first occurrence; later
+# occurrences are excised in place and the doc reassembled. Rows-only
+# (the rebuilt text is the value); d15_gate plants sentinel
+# paragraphs and hash-certifies first-wins, zero leakage, token
+# conservation, and untouched-doc identity.
+# ---------------------------------------------------------------------------
+@register("d15_substring_dedup", None)
+def d15_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.substring_dedup(docs, window=20)

@@ -867,3 +867,88 @@ def test_index_build_is_atomic_on_failure(spark, sf_dir, tmp_path):
     sim.ivfpq_build(emb, path, nlist=4, train_size=100)
     assert os.path.isdir(os.path.join(path, "codes"))
     assert os.path.isdir(os.path.join(path, "codebooks"))
+
+
+# --- substring_dedup (ExactSubstr, Lee et al. 2022) -------------------------
+
+
+def _ref_substring_dedup(docs: dict, w: int) -> dict:
+    """Pure-Python first-wins duplicate-window excision reference."""
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    for i in sorted(docs):
+        t = docs[i]
+        for p in range(max(0, len(t) - w + 1)):
+            occ[tuple(t[p : p + w])].append((i, p))
+    marked = defaultdict(list)
+    for lst in occ.values():
+        for i, p in sorted(lst)[1:]:
+            marked[i].append((p, p + w))
+    out = {}
+    for i in sorted(docs):
+        spans = sorted(marked.get(i, []))
+        out[i] = [
+            tok
+            for j, tok in enumerate(docs[i])
+            if not any(lo <= j < hi for lo, hi in spans)
+        ]
+    return out
+
+
+def _run_substring_dedup(spark, docs: dict, w: int, parts: int = 1):
+    import pandas as pd
+
+    from sparkswift.operators.dedup import substring_dedup
+
+    pdf = pd.DataFrame(
+        {"doc_id": list(docs), "text": [" ".join(t) for t in docs.values()]}
+    )
+    df = spark.createDataFrame(pdf)
+    if parts > 1:
+        df = df.repartition(parts)
+    out = substring_dedup(df, window=w).toPandas()
+    return {
+        int(r.doc_id): (r.clean_text.split(" ") if r.clean_text else [])
+        for r in out.itertuples()
+    }
+
+
+def test_substring_dedup_first_wins_and_internal_repeat(spark):
+    para = [f"zz{i}" for i in range(8)]
+    docs = {
+        1: "a b c d e f g".split() + para,      # global first: keeps para
+        2: "h i j k l m n".split() + para,      # later copy excised
+        3: "x1 x2 x3 x4 x5 x1 x2 x3 x4 x5".split(),  # internal repeat
+        4: "unique words only here".split(),
+    }
+    got = _run_substring_dedup(spark, docs, 5)
+    assert got == _ref_substring_dedup(docs, 5)
+    assert got[1][-8:] == para and got[2] == "h i j k l m n".split()
+    assert got[3] == "x1 x2 x3 x4 x5".split()
+
+
+def test_substring_dedup_partition_invariant(spark):
+    docs = {
+        i: [f"w{(i * 7 + j) % 11}" for j in range(25)] for i in range(12)
+    }
+    a = _run_substring_dedup(spark, docs, 4, parts=1)
+    b = _run_substring_dedup(spark, docs, 4, parts=7)
+    assert a == b == _ref_substring_dedup(docs, 4)
+
+
+def test_substring_dedup_short_and_empty_docs_pass_through(spark):
+    docs = {1: ["a", "b"], 2: [], 3: ["a", "b"]}  # all under window=5
+    got = _run_substring_dedup(spark, docs, 5)
+    assert got == {1: ["a", "b"], 2: [], 3: ["a", "b"]}
+
+
+def test_substring_dedup_validation(spark):
+    import pandas as pd
+    import pytest
+
+    from sparkswift.operators.dedup import substring_dedup
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a"]}))
+    with pytest.raises(ValueError):
+        substring_dedup(df, window=1)

@@ -615,3 +615,24 @@ def test_pack_bins_laws_fuzz(spark, lens, n_packers):
     non_os["packer"] = (non_os["bin_id"] // (1 << 32)).astype(int)
     per_packer = (non_os["load"] * 2 <= budget).groupby(non_os["packer"]).sum()
     assert (per_packer <= 1).all()
+
+
+# ---------------------------------------------------------------------------
+# substring_dedup vs the pure-Python first-wins reference, over a
+# 3-symbol alphabet (duplicate windows everywhere): overlap-merge,
+# internal repeats, cross-doc chains, short docs.
+# ---------------------------------------------------------------------------
+@given(
+    data=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=24),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_substring_dedup_fuzz_matches_reference(spark, data):
+    from tests.test_llm_ops import _ref_substring_dedup, _run_substring_dedup
+
+    docs = {i: t for i, t in enumerate(data)}
+    got = _run_substring_dedup(spark, docs, 3, parts=4)
+    assert got == _ref_substring_dedup(docs, 3)

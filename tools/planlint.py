@@ -49,6 +49,7 @@ BNLJ_ALLOWED: dict[str, int] = {
     "d6_gate": 3,
     "d8_gate": 1,
     "d12_gate": 3,
+    "d15_gate": 3,
     "e2_gate": 4,
     "e3_gate": 4,
     "e4_gate": 4,
