@@ -801,19 +801,24 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    holds 4 green rows r1-r4), and t17_bpe_ids_gate (token-id
 #    encoding consistency laws; took o6_resample_closed_right's slot
 #    — the o6 family keeps two other in-window entries).
-# 5. Three of the six TPC-H shapes added late this round (q5 same-
-#    nation star, q10 top-k returned-items, q17 decorrelated avg) —
-#    new queries earn driver evidence in their own round. Displaced:
-#    s1_topk_orders (3 green rows; its TakeOrdered shape is covered
-#    in-window by q10 itself), set1_union_except (3 rows; set family
-#    fresh via set2 green r6+r7), agg1_count_distinct (3 rows; agg
-#    family fresh via agg13/14/15 + the gates, all green r6+r7).
+# 5. Five of this round's late additions — new queries earn driver
+#    evidence in their own round: TPC-H q5 (same-nation star), q10
+#    (top-k returned-items), q17 (decorrelated avg), and the two new
+#    operator gates p22_gate (FFD bin-packing laws) and d15_gate
+#    (ExactSubstr sentinel laws). Displaced, each holding 3 green
+#    rows (r1-r3) with fresher in-window family coverage:
+#    s1_topk_orders (TakeOrdered shape covered by q10 itself),
+#    set1_union_except (set2 green r6+r7), agg1_count_distinct
+#    (agg13/14/15 + gates green r6+r7), j2_semi_join and j3_anti_join
+#    (join family keeps j1/j4/j5/j6 in-window; q4/q18/q22 exercise
+#    semi/anti shapes with fresh local evidence).
 #
-# Round-9 rotation seed, stalest first: s1/set1/agg1 (r3), the
+# Round-9 rotation seed, stalest first: s1/set1/agg1/j2/j3 (r3), the
 # remaining 22 r4-stale queries (agg3/6/7, d2, d7, d9,
 # o6_resample_closed_right, p1/p3/p6-p9, t1/t3-t5/t7-t9, w1/w2),
-# then the five tail TPC-H newcomers q7/q8/q13/q15/q22 (local
-# evidence only this round).
+# then the tail newcomers q7/q8/q13/q15/q22 (TPC-H) and
+# p22_pack_bins/d15_substring_dedup raw twins (local evidence only
+# this round; their gates hold window slots).
 #
 # st2b_stateful_totals_tws remains unregistered: the container lacks
 # protobuf so transformWithState cannot import (NOTES.md, re-checked
@@ -828,8 +833,8 @@ _WINDOW = [
     "q17_small_quantity_revenue",
     "agg4_cube",
     "d5_embedding_neardup",
-    "j2_semi_join",
-    "j3_anti_join",
+    "p22_gate",
+    "d15_gate",
     "mm1_decode",
     "mm2_frame_sample",
     "o1_apply_partitions",
