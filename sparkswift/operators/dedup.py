@@ -1212,18 +1212,42 @@ def neardup_incremental(
     # batch and the cross-batch probe would never run.
     from pyspark.errors import AnalysisException
 
+    # The store is a PAIR of tables; both must exist or neither. A
+    # failure between the two bootstrap writes must fail LOUDLY on the
+    # next batch — probing only one half would silently classify a
+    # half-written store as "no store yet", recreate the missing half,
+    # and make every earlier winner permanently invisible to the
+    # cross-batch probe (duplicates re-enter with no error). Mid-append
+    # torn writes on later batches are out of scope for an existence
+    # check — that needs a transactional table format.
+    def _paired(have_sigs: bool, have_buckets: bool) -> bool:
+        if have_sigs != have_buckets:
+            raise RuntimeError(
+                f"near-dup store '{store_path}' is half-written "
+                f"(sigs={have_sigs}, buckets={have_buckets}); a prior "
+                "batch failed between its two store writes. Repair or "
+                "remove the surviving half before re-ingesting."
+            )
+        return have_sigs
+
     if bucketed:
-        have_store = spark.catalog.tableExists(f"{store_path}_buckets")
+        have_store = _paired(
+            spark.catalog.tableExists(f"{store_path}_sigs"),
+            spark.catalog.tableExists(f"{store_path}_buckets"),
+        )
         if have_store:
             store_buckets = spark.table(f"{store_path}_buckets")
             store_sigs = spark.table(f"{store_path}_sigs")
     else:
-        try:
-            store_buckets = spark.read.parquet(f"{store_path}/buckets")
-            store_sigs = spark.read.parquet(f"{store_path}/sigs")
-            have_store = True
-        except AnalysisException:
-            have_store = False  # no store yet — first batch
+        def _readable(path: str):
+            try:
+                return spark.read.parquet(path)
+            except AnalysisException:
+                return None
+
+        store_sigs = _readable(f"{store_path}/sigs")
+        store_buckets = _readable(f"{store_path}/buckets")
+        have_store = _paired(store_sigs is not None, store_buckets is not None)
     if have_store:
         banded = sh.select("id", _sig_band_buckets(num_hashes, bands).alias("bb")).select(
             "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
@@ -1331,10 +1355,13 @@ def substring_dedup(
 
     Scale shape: window hashes are computed at the SCAN (native
     slice + xxhash64 — a constant ``window``-factor of token re-reads,
-    map-side, no Python); the only corpus-wide shuffles are (1) the
-    rank over the 8-byte window hash on (id, pos)-sized rows — the
-    token text itself never shuffles — and (2) the span/rebuild
-    shuffle back on the doc id. Span merge is the classic running-max
+    map-side, no Python); the only corpus-wide shuffles are (1) a
+    hash AGGREGATION over the 8-byte window hash (min(struct(id,pos))
+    with map-side partial combine — no per-key sort, so a single
+    boilerplate window repeated 10⁹ times cannot straggle one task)
+    plus a join-back restricted to duplicated hashes, on (id, pos)-
+    sized rows — the token text itself never shuffles — and (2) the
+    span/rebuild shuffle back on the doc id. Span merge is the classic running-max
     interval collapse inside the per-doc window; the rebuild filters
     the token array against the doc's few merged spans JVM-side.
     Like line_dedup, hash collisions cannot merge distinct windows...
@@ -1379,12 +1406,27 @@ def substring_dedup(
         ).alias("__pos", "__h"),
     )
 
-    # global first-wins rank per window hash; later occurrences are
-    # marked. The rank shuffle carries 24-byte rows only.
-    w_rank = Window.partitionBy("__h").orderBy("__id", "__pos")
+    # global first-wins per window hash. Only rank 1 matters, so the
+    # winner is min(struct(id,pos)) via groupBy — map-side partial
+    # aggregation keeps a corpus-wide hot hash (boilerplate repeated
+    # billions of times, the exact ExactSubstr target) skew-tolerant,
+    # where a row_number() over partitionBy(__h) would force a full
+    # per-key sort onto one task. Hashes seen once are dropped before
+    # the join-back, so the probe side re-shuffles only duplicated
+    # windows; AQE skew-join can split a hot hash because the build
+    # side carries exactly one row per key.
+    firsts = (
+        wins.groupBy("__h")
+        .agg(
+            F.min(F.struct("__id", "__pos")).alias("__first"),
+            F.count(F.lit(1)).alias("__cnt"),
+        )
+        .filter(F.col("__cnt") > 1)
+        .select("__h", "__first")
+    )
     marked = (
-        wins.withColumn("__r", F.row_number().over(w_rank))
-        .filter(F.col("__r") > 1)
+        wins.join(firsts, "__h")
+        .filter(F.struct("__id", "__pos") != F.col("__first"))
         .select("__id", F.col("__pos").alias("__lo"), (F.col("__pos") + window).alias("__hi"))
     )
 

@@ -207,10 +207,16 @@ def pack_bins(
     from sparkswift.operators.sampling import hash_bucket_hex
     from sparkswift.operators.text import bpe_token_count
 
-    length = (
+    # NULL-text contract (shared with substring_dedup / line_dedup):
+    # coalesce to '' so a NULL doc counts 0 tokens — without it,
+    # size() yields -1 under legacy sizeOfNull and a length of -1
+    # "fits" every bin while DEFLATING its load accounting. A caller-
+    # supplied len_col is clamped to ≥ 0 for the same reason.
+    length = F.greatest(
+        F.lit(0).cast("bigint"),
         F.col(len_col).cast("bigint")
         if len_col is not None
-        else bpe_token_count(text_col)
+        else bpe_token_count(F.coalesce(F.col(text_col), F.lit(""))),
     )
     lens = df.select(
         F.col(id_col).cast("bigint").alias("doc_id"),

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from sparkswift.operators import dedup as dd
 from sparkswift.operators import similarity as sim
 from sparkswift.operators import text as tx
+from sparkswift.operators.text import BPE_TOKEN_RE as _BPE_TOKEN_RE
 from sparkswift.sources import load_table
 from sparkswift.suite import _REGISTRY, register
 from sparkswift.suite_llm import (
@@ -374,10 +375,15 @@ def d12_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# d14 — incremental near-dup store: a verbatim re-crawl has the exact
-# shingle set of its seeded original ⇒ identical MinHash signature ⇒
-# identical band keys ⇒ store hit GUARANTEED (deterministic, the
-# operator's contract for recrawls).
+# d14 — incremental near-dup store: a verbatim re-crawl of a seeded
+# doc that SURVIVED batch 1 has the exact shingle set of its stored
+# original ⇒ identical MinHash signature ⇒ identical band keys ⇒
+# store hit GUARANTEED (deterministic, the operator's contract). The
+# law is restricted to survivors because it is structural only for
+# them: a seeded doc eliminated via a transitive near-dup chain
+# (A~B~C, only C stored, A agrees < sig_threshold with C) leaves no
+# stored signature matching A's re-crawl — fixture-dependent, not a
+# bug. n_recrawls still counts ALL re-crawls (oracle-checkable).
 # ---------------------------------------------------------------------------
 @register(
     "d14_gate",
@@ -396,9 +402,13 @@ def d14_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = "nd_gate_" + uuid.uuid4().hex[:12]
     first = docs.filter(F.col("doc_id") <= mid)
     second = docs.filter(F.col("doc_id") > mid)
-    dd.neardup_incremental(
+    seed = dd.neardup_incremental(
         first, store, update_store=True, bucketed=True, num_buckets=16
-    ).count()
+    )
+    # re-crawl ids of seeded docs whose original IS in the store
+    stored = seed.filter(F.col("survived") == 1).select(
+        (F.col("doc_id") + 100000).alias("doc_id")
+    )
     batch2 = second.select("doc_id", "text").unionByName(
         first.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     )
@@ -408,15 +418,15 @@ def d14_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(f"DROP TABLE IF EXISTS {store}_buckets")
     spark.sql(f"DROP TABLE IF EXISTS {store}_sigs")
     recrawls = out.filter(F.col("doc_id") >= 100000)  # doc_ids start at 0
-    # store_hit is an INT flag (0/1), not boolean
-    return recrawls.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_recrawls"),
-        (
-            F.coalesce(
-                F.sum(F.when(F.col("store_hit") == 0, 1).otherwise(0)), F.lit(0)
-            )
-            == 0
-        ).alias("all_recrawls_hit"),
+    n = recrawls.agg(F.count(F.lit(1)).cast("bigint").alias("n_recrawls"))
+    # store_hit is an INT flag (0/1), not boolean; law over survivors only
+    miss = recrawls.join(stored, "doc_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("store_hit") == 0, 1).otherwise(0)), F.lit(0)
+        ).alias("n_miss")
+    )
+    return _one_row_join(n, miss).select(
+        "n_recrawls", (F.col("n_miss") == 0).alias("all_recrawls_hit")
     )
 
 
@@ -938,24 +948,27 @@ def o4_skew_giant_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # half-full law (≤ 1 half-empty bin per packer → excess == 0), and
 # the bin-count envelope LB ≤ bins_ok ≤ 2·total/budget + n_packers
 # in exact integer arithmetic. total_len / n_oversize are re-derived
-# by the oracle from the same regex token count the engine uses.
+# by the oracle from the same regex token count the engine uses —
+# budget and tokenizer regex are INTERPOLATED from the shared
+# constants (not re-typed) so editing either cannot silently
+# desynchronize oracle and engine.
 # ---------------------------------------------------------------------------
 _P22_BUDGET, _P22_PACKERS = 512, 8
 
 
 @register(
     "p22_gate",
-    r"""
+    f"""
     WITH l AS (
       SELECT CAST(len(regexp_extract_all(text,
-                 '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n
+                 '{_BPE_TOKEN_RE}')) AS BIGINT) AS n
       FROM documents
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(COUNT(*) AS BIGINT) AS n_packed,
            CAST(COUNT(*) AS BIGINT) AS n_unique,
            CAST(SUM(n) AS BIGINT) AS total_len,
-           CAST(COUNT(*) FILTER (n > 512) AS BIGINT) AS n_oversize,
+           CAST(COUNT(*) FILTER (n > {_P22_BUDGET}) AS BIGINT) AS n_oversize,
            CAST(0 AS BIGINT) AS overweight_bins,
            CAST(0 AS BIGINT) AS half_empty_excess,
            TRUE AS bins_bounded

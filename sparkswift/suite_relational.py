@@ -1351,12 +1351,19 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    # max_iter=5 for the suite/bench row (VERDICT r5 #5 — at sf0.1 the
-    # cost is pure per-iteration job latency, not data volume; the
-    # pytest exactness check vs numpy runs the full-depth variant)
+    # tol= convergence early-exit IS the headline configuration
+    # (VERDICT r8 #3): on a converged graph iteration stops as soon as
+    # the one-row L1-delta aggregate drops under tol, so the bench row
+    # reflects the early-exit design rather than a fixed depth. The
+    # stats out-channel records the realized iteration count.
     # directions are disjoint by parity (c even, s odd) over an
     # already-distinct pair set -> edges are distinct by construction
-    return pagerank(edges, max_iter=5, assume_distinct=True, symmetric=True)
+    stats: dict = {}
+    out = pagerank(
+        edges, max_iter=20, tol=1e-9, assume_distinct=True, symmetric=True,
+        stats=stats,
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -623,10 +623,14 @@ def st13_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with store UPDATES enabled — the production crawl loop. The verdict
 # is batching-independent by construction: every doc emits exactly
 # one decision row (n_streamed = |documents|), and a verbatim
-# re-crawl has its seeded original's exact signature and band keys,
-# so store_hit=1 is GUARANTEED for all of them no matter how the
-# stream was chopped; organic cross-batch outcomes (which batch a
-# near-dup lands in) deliberately stay out of the verdict.
+# re-crawl of a seeded doc that SURVIVED the seed batch has its
+# stored original's exact signature and band keys, so store_hit=1 is
+# GUARANTEED for those no matter how the stream was chopped. The law
+# is restricted to seed survivors because only for them is it
+# structural — a seeded doc eliminated via a transitive near-dup
+# chain (A~B~C, only C stored, A < sig_threshold vs C) leaves no
+# stored signature matching its re-crawl. Organic cross-batch
+# outcomes (which batch a near-dup lands in) stay out of the verdict.
 # ---------------------------------------------------------------------------
 @register(
     "st14_stream_crawl_ingest",
@@ -649,9 +653,12 @@ def st14_stream_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = docs.filter(F.col("doc_id") <= mid).select("doc_id", "text")
     second = docs.filter(F.col("doc_id") > mid).select("doc_id", "text")
     try:
-        dd.neardup_incremental(
+        seed = dd.neardup_incremental(
             first, store, update_store=True, bucketed=True, num_buckets=16
-        ).count()  # seed the store
+        )  # seed the store (output is eagerly localCheckpoint-pinned)
+        stored = seed.filter(F.col("survived") == 1).select(
+            (F.col("doc_id") + 100000).alias("doc_id")
+        )
 
         base = tempfile.mkdtemp(prefix="crawl_stream_")
         src_dir, out_dir = f"{base}/src", f"{base}/decisions"
@@ -682,7 +689,7 @@ def st14_stream_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         res = spark.read.parquet(out_dir)
         n = res.agg(F.count(F.lit(1)).cast("bigint").alias("n_streamed"))
         miss = (
-            res.filter(F.col("doc_id") >= 100000)
+            res.join(stored, "doc_id")  # law over seed SURVIVORS only
             .agg(
                 F.coalesce(
                     F.sum(F.when(F.col("store_hit") == 0, 1).otherwise(0)),
