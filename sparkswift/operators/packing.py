@@ -276,3 +276,85 @@ def pack_bins(
         )
 
     return lens.groupBy("packer").applyInPandas(_ffd, out_schema)
+
+
+def pack_token_bins(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 2048,
+    n_packers: int = 32,
+    seed: int = 0,
+) -> DataFrame:
+    """Training-ready token bins: :func:`pack_bins`'s document-
+    preserving FFD layout over the ACTUAL BPE token-id sequences
+    (:func:`~sparkswift.operators.text.bpe_encode_ids`), so every bin
+    carries the packed uint id array a training job consumes plus the
+    doc-boundary offsets T5/FLAN-style attention masking needs. The
+    last pipeline stage before :func:`~sparkswift.sources.writers.
+    write_token_shards` turns bins into Megatron-layout .bin/.idx
+    shards.
+
+    Scale shape: encoding is one Arrow map pass pinned by
+    ``localCheckpoint`` so the two consumers (the packer, which needs
+    only 20-byte (id, len) rows, and the bin assembly join) don't
+    re-run BPE; the only shuffle that carries token ids is the single
+    doc_id equi-join + bin groupBy that must co-locate each bin's
+    members — the theoretical minimum, since the ids ARE the output.
+    Doc order within a bin is doc_id-ascending via ``array_sort`` on
+    (doc_id, ids) structs — deterministic under any partitioning, so
+    the full shard bytes are a pure function of the data (the p23
+    gate law). Offsets are built JVM-side with ``aggregate`` — no
+    Python touches the packed arrays.
+
+    Returns one row per bin: ``(bin_id, packer, oversize, n_docs,
+    bin_load, doc_ids array<bigint>, doc_offsets array<bigint>,
+    token_ids array<int>)`` with ``size(token_ids) == bin_load`` and
+    ``doc_offsets[i]`` the start of ``doc_ids[i]``'s span.
+    """
+    from sparkswift.operators.text import bpe_encode_ids
+
+    enc = bpe_encode_ids(
+        df, merges, text_col=text_col, id_col=id_col
+    ).localCheckpoint()
+    assign = pack_bins(
+        enc, id_col=id_col, budget=budget, n_packers=n_packers, seed=seed,
+        len_col="n_bpe_tokens",
+    )
+    joined = enc.select(
+        F.col(id_col).cast("bigint").alias("doc_id"), "token_ids"
+    ).join(assign, "doc_id")
+    docs_sorted = F.array_sort(
+        F.collect_list(F.struct("doc_id", "token_ids"))
+    )
+    bins = joined.groupBy("packer", "bin_id").agg(
+        F.max("oversize").alias("oversize"),
+        F.sum("doc_len").cast("bigint").alias("bin_load"),
+        docs_sorted.alias("__docs"),
+    )
+    # prefix-sum doc offsets; flatten the id stream — all native exprs
+    offs = F.aggregate(
+        "__docs",
+        F.struct(
+            F.array().cast("array<bigint>").alias("o"),
+            F.lit(0).cast("bigint").alias("p"),
+        ),
+        lambda acc, d: F.struct(
+            F.concat(acc["o"], F.array(acc["p"])).alias("o"),
+            (acc["p"] + F.size(d["token_ids"])).alias("p"),
+        ),
+        lambda acc: acc["o"],
+    )
+    return bins.select(
+        "bin_id",
+        "packer",
+        "oversize",
+        F.size("__docs").cast("bigint").alias("n_docs"),
+        "bin_load",
+        F.transform("__docs", lambda d: d["doc_id"]).alias("doc_ids"),
+        offs.alias("doc_offsets"),
+        F.flatten(F.transform("__docs", lambda d: d["token_ids"])).alias(
+            "token_ids"
+        ),
+    )

@@ -321,3 +321,217 @@ def compact_dataset(
         "bytes_after": bytes_after,
         "target_file_bytes": target_file_bytes,
     }
+
+
+# ---------------------------------------------------------------------------
+# Megatron-layout binary token shards (.bin/.idx)
+# ---------------------------------------------------------------------------
+_MMIDX_MAGIC = b"MMIDIDX\x00\x00"
+# public dtype codes from NVIDIA/Megatron-LM indexed_dataset
+_MMIDX_CODES = {"uint16": 8, "int32": 4}
+
+
+def _mmidx_bytes(sizes, dtype: str) -> bytes:
+    """Serialize the .idx sidecar: the public Megatron-LM mmap index
+    layout — magic, version u64, dtype code u8, u64 sequence count,
+    u64 document count, int32 sizes[], int64 byte pointers[], int64
+    doc_idx[] (here each sequence IS one packed bin, so doc_idx is
+    0..n). Little-endian throughout, as numpy writes it."""
+    import numpy as np
+
+    sizes = np.asarray(sizes, dtype="<i4")
+    itemsize = np.dtype(dtype).itemsize
+    pointers = np.zeros(len(sizes), dtype="<i8")
+    if len(sizes) > 1:
+        pointers[1:] = np.cumsum(sizes[:-1].astype("<i8")) * itemsize
+    doc_idx = np.arange(len(sizes) + 1, dtype="<i8")
+    import struct as _struct
+
+    head = (
+        _MMIDX_MAGIC
+        + _struct.pack("<Q", 1)
+        + _struct.pack("<B", _MMIDX_CODES[dtype])
+        + _struct.pack("<Q", len(sizes))
+        + _struct.pack("<Q", len(doc_idx))
+    )
+    return head + sizes.tobytes() + pointers.tobytes() + doc_idx.tobytes()
+
+
+def _mmidx_parse(buf: bytes) -> tuple[str, "object"]:
+    """Inverse of :func:`_mmidx_bytes` — returns (dtype, sizes array)."""
+    import struct as _struct
+
+    import numpy as np
+
+    if buf[:9] != _MMIDX_MAGIC:
+        raise ValueError("not an MMIDIDX index file")
+    code = buf[17]
+    dtype = {v: k for k, v in _MMIDX_CODES.items()}[code]
+    n_seq = _struct.unpack("<Q", buf[18:26])[0]
+    sizes = np.frombuffer(buf, dtype="<i4", count=n_seq, offset=34)
+    return dtype, sizes
+
+
+def write_token_shards(
+    bins: DataFrame,
+    path: str,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Materialize :func:`~sparkswift.operators.packing.pack_token_bins`
+    output as MODEL-CONSUMABLE binary shards in the public Megatron-LM
+    indexed-dataset layout: ``shard_K.bin`` is the little-endian
+    concatenation of the shard's bins' token ids (uint16 when every id
+    fits, else int32 — auto-selected corpus-wide so all shards agree),
+    ``shard_K.idx`` the MMIDIDX sidecar (one sequence per bin), plus a
+    ``boundaries`` parquet sidecar carrying each bin's doc_ids /
+    doc_offsets (the T5-style intra-bin boundaries the .idx format
+    does not model) and a one-file ``manifest`` parquet.
+
+    Determinism: shard assignment is ``bin_id % n_shards`` and bins are
+    written in bin_id order within a shard, so shard BYTES are a pure
+    function of the bins frame — rerun-stable, any partitioning.
+
+    Scale: one hash shuffle on the shard id; each shard is assembled
+    and written by ONE task via ``applyInPandas`` doing plain file IO
+    to the (shared) filesystem — the exact shape of public Megatron
+    preprocessing, where per-rank writers emit .bin/.idx pairs. Size
+    ``n_shards`` so a shard's ids fit a task (a 2 GiB uint16 shard is
+    ~1 G tokens; thousands of shards at 100 TB).
+
+    Returns the manifest: ``(shard, n_bins, n_docs, n_tokens,
+    token_sum, dtype)`` — ``token_sum`` is the Σ of all token ids in
+    the shard (int64), the conservation checksum the p23 gate
+    re-derives from the written bytes.
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    os.makedirs(path, exist_ok=True)
+    # corpus-wide dtype choice: one tiny aggregate
+    max_id = bins.agg(
+        F.max(F.array_max(F.coalesce("token_ids", F.array().cast("array<int>"))))
+    ).collect()[0][0]
+    dtype = "uint16" if (max_id is None or max_id < 65536) else "int32"
+
+    tagged = bins.withColumn(
+        "shard", F.pmod(F.col("bin_id"), F.lit(n_shards)).cast("int")
+    )
+
+    out_schema = (
+        "shard int, n_bins bigint, n_docs bigint, n_tokens bigint, "
+        "token_sum bigint, dtype string"
+    )
+
+    def _write(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("bin_id").reset_index(drop=True)
+        shard = int(pdf["shard"].iloc[0])
+        arrs = [
+            np.asarray(ids, dtype=np.int64) for ids in pdf["token_ids"]
+        ]
+        flat = (
+            np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
+        )
+        sizes = [len(a) for a in arrs]
+        np_dtype = "<u2" if dtype == "uint16" else "<i4"
+        with open(f"{path}/shard_{shard}.bin", "wb") as f:
+            f.write(flat.astype(np_dtype).tobytes())
+        with open(f"{path}/shard_{shard}.idx", "wb") as f:
+            f.write(_mmidx_bytes(sizes, dtype))
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "n_bins": [len(pdf)],
+                "n_docs": [int(pdf["n_docs"].sum())],
+                "n_tokens": [int(flat.size)],
+                "token_sum": [int(flat.sum())],
+                "dtype": [dtype],
+            }
+        )
+
+    manifest = tagged.groupBy("shard").applyInPandas(_write, out_schema)
+    manifest = manifest.localCheckpoint()  # run the writes exactly once
+    write_table(
+        tagged.select("shard", "bin_id", "doc_ids", "doc_offsets"),
+        f"{path}/boundaries",
+    )
+    write_table(manifest.coalesce(1), f"{path}/manifest")
+    return manifest
+
+
+def read_token_shards(spark: SparkSession, path: str) -> DataFrame:
+    """Read back :func:`write_token_shards` output as one row per
+    sequence (bin): ``(shard, seq, n_tokens, token_sum)`` — decoded
+    from the BYTES of the .bin/.idx pairs, not the parquet sidecars,
+    so comparing against the manifest certifies the binary layout
+    end-to-end (the p23 gate's readback law). Distributed: each
+    shard's pair is decoded by the task that reads it via
+    ``binaryFile`` + ``mapInPandas``."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    files = (
+        spark.read.format("binaryFile")
+        .load(f"{path}/shard_*.[bi]*")
+        .select(
+            F.regexp_extract(F.col("path"), r"shard_(\d+)\.", 1)
+            .cast("int")
+            .alias("shard"),
+            F.element_at(F.split(F.col("path"), r"\."), -1).alias("ext"),
+            F.col("content"),
+        )
+    )
+
+    def _decode(it):
+        import numpy as np
+
+        # a shard's .bin and .idx can arrive in DIFFERENT Arrow batches
+        # of the same partition — buffer the whole partition (its files
+        # must fit task memory to decode anyway) before pairing.
+        by_shard: dict[int, dict[str, bytes]] = {}
+        for pdf in it:
+            for _, r in pdf.iterrows():
+                by_shard.setdefault(int(r["shard"]), {})[r["ext"]] = r[
+                    "content"
+                ]
+        if by_shard:
+            for shard, parts in sorted(by_shard.items()):
+                if "idx" not in parts or "bin" not in parts:
+                    raise ValueError(
+                        f"shard {shard}: half-written pair "
+                        f"(have {sorted(parts)})"
+                    )
+                dtype, sizes = _mmidx_parse(parts["idx"])
+                np_dtype = "<u2" if dtype == "uint16" else "<i4"
+                ids = np.frombuffer(parts["bin"], dtype=np_dtype)
+                if ids.size != int(sizes.sum()):
+                    raise ValueError(
+                        f"shard {shard}: .bin holds {ids.size} ids, "
+                        f".idx claims {int(sizes.sum())}"
+                    )
+                offs = np.zeros(len(sizes) + 1, dtype=np.int64)
+                np.cumsum(sizes, out=offs[1:])
+                yield pd.DataFrame(
+                    {
+                        "shard": shard,
+                        "seq": np.arange(len(sizes), dtype=np.int64),
+                        "n_tokens": sizes.astype(np.int64),
+                        "token_sum": [
+                            int(ids[offs[i]:offs[i + 1]].astype(np.int64).sum())
+                            for i in range(len(sizes))
+                        ],
+                    }
+                )
+
+    # both files of a pair must land in ONE group: repartition by shard
+    return (
+        files.repartition("shard")
+        .mapInPandas(
+            _decode, "shard int, seq bigint, n_tokens bigint, token_sum bigint"
+        )
+    )

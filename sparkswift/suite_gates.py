@@ -1124,6 +1124,92 @@ def d15_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# p23 — training-ready token shards: the laws certify the WHOLE
+# pipeline (BPE-encode → FFD token bins → Megatron .bin/.idx write →
+# bytes readback). exactly_once: every doc appears in exactly one bin
+# across all shards (boundaries sidecar) AND the manifest's doc total
+# agrees. conservation: Σ shard n_tokens equals an independent
+# Σ bpe_encode_ids n_bpe_tokens. readback: per-shard (bins, token
+# count, token-id SUM) re-derived from the WRITTEN .bin/.idx bytes
+# matches the manifest — the binary layout itself is certified, not
+# just the bookkeeping. boundaries: offsets arrays align with doc
+# lists and start at 0. All laws reduce to joins/aggs → one verdict
+# row; nothing corpus-sized leaves the cluster.
+# ---------------------------------------------------------------------------
+@register(
+    "p23_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(4 AS BIGINT) AS n_shards,
+           TRUE AS exactly_once_ok,
+           TRUE AS conservation_ok,
+           TRUE AS readback_ok,
+           TRUE AS boundaries_ok
+    FROM documents
+    """,
+)
+def p23_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sparkswift.operators.packing import pack_token_bins
+    from sparkswift.sources.writers import read_token_shards, write_token_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = tx.bpe_train(docs, num_merges=100)
+    bins = pack_token_bins(docs, merges, budget=512, n_packers=8)
+    path = tempfile.mkdtemp(prefix="p23_gate_")
+    man = write_token_shards(bins, path, n_shards=4)
+
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    bounds = spark.read.parquet(f"{path}/boundaries")
+    uniq = bounds.select(F.explode("doc_ids").alias("d")).agg(
+        F.countDistinct("d").alias("n_uniq"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    man_tot = man.agg(
+        F.sum("n_docs").alias("m_docs"),
+        F.sum("n_tokens").alias("m_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+    )
+    enc_tot = tx.bpe_encode_ids(docs, merges).agg(
+        F.sum("n_bpe_tokens").alias("e_tokens")
+    )
+    rb = read_token_shards(spark, path).groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("r_bins"),
+        F.sum("n_tokens").alias("r_tokens"),
+        F.sum("token_sum").alias("r_sum"),
+    )
+    bad_shards = (
+        man.join(rb, "shard", "full")
+        .filter(
+            F.col("n_bins").isNull()
+            | F.col("r_bins").isNull()
+            | (F.col("n_bins") != F.col("r_bins"))
+            | (F.col("n_tokens") != F.col("r_tokens"))
+            | (F.col("token_sum") != F.col("r_sum"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_bad_shards"))
+    )
+    bad_bounds = bounds.filter(
+        (F.size("doc_offsets") != F.size("doc_ids"))
+        | (F.element_at("doc_offsets", 1) != 0)
+    ).agg(F.count(F.lit(1)).alias("n_bad_bounds"))
+    v = _one_row_join(n_docs, uniq, man_tot, enc_tot, bad_shards, bad_bounds)
+    return v.select(
+        "n_docs",
+        "n_shards",
+        (
+            (F.col("n_uniq") == F.col("n_docs"))
+            & (F.col("n_total") == F.col("n_docs"))
+            & (F.col("m_docs") == F.col("n_docs"))
+        ).alias("exactly_once_ok"),
+        (F.col("m_tokens") == F.col("e_tokens")).alias("conservation_ok"),
+        (F.col("n_bad_shards") == 0).alias("readback_ok"),
+        (F.col("n_bad_bounds") == 0).alias("boundaries_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Resolve the oracle placeholders that wrap other queries' registered
 # oracles (registration order guarantees they exist: suite_relational
 # and suite_llm import before this module).

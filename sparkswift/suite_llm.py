@@ -2079,6 +2079,29 @@ def p22_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# p23 — TRAINING-READY token shards: pack_bins' FFD layout over the
+# ACTUAL BPE token-id sequences (t17), materialized as Megatron-
+# layout .bin/.idx binary shards + boundaries/manifest sidecars —
+# the last pipeline stage, emitting what a training job mmaps.
+# Rows-only (manifest values derive from the trained tokenizer and
+# the greedy layout); p23_gate hash-certifies doc exactly-once,
+# exact token conservation, and the BYTES-level readback law.
+# ---------------------------------------------------------------------------
+@register("p23_token_shards", None)
+def p23_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sparkswift.operators.packing import pack_token_bins
+    from sparkswift.sources.writers import write_token_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = tx.bpe_train(docs, num_merges=100)
+    bins = pack_token_bins(docs, merges, budget=512, n_packers=8)
+    path = tempfile.mkdtemp(prefix="p23_shards_")
+    return write_token_shards(bins, path, n_shards=4)
+
+
+# ---------------------------------------------------------------------------
 # d15 — exact duplicate-substring dedup (ExactSubstr, Lee et al.
 # 2022, arXiv:2107.06499): every 20-token window appearing more than
 # once in the corpus keeps only its globally-first occurrence; later

@@ -321,3 +321,146 @@ def test_pack_bins_validation(spark):
         pack_bins(df, budget=0)
     with pytest.raises(ValueError):
         pack_bins(df, n_packers=0)
+
+
+# --- pack_token_bins / write_token_shards (p23) -----------------------------
+
+
+@pytest.fixture(scope="module")
+def trained_merges(docs):
+    from sparkswift.operators.text import bpe_train
+
+    return bpe_train(docs, num_merges=60)
+
+
+def test_token_bins_carry_exact_id_streams(docs, spark, trained_merges):
+    """Each bin's flattened token_ids must equal the doc_id-ordered
+    concatenation of its member docs' bpe_encode_ids output, with
+    doc_offsets the exact prefix sums."""
+    from sparkswift.operators.packing import pack_token_bins
+    from sparkswift.operators.text import bpe_encode_ids
+
+    enc = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in bpe_encode_ids(docs, trained_merges).collect()
+    }
+    bins = pack_token_bins(
+        docs, trained_merges, budget=256, n_packers=4
+    ).collect()
+    seen = []
+    for b in bins:
+        ids = list(b["doc_ids"])
+        assert ids == sorted(ids)
+        seen.extend(ids)
+        want = []
+        offs = []
+        for d in ids:
+            offs.append(len(want))
+            want.extend(enc[d])
+        assert list(b["token_ids"]) == want
+        assert list(b["doc_offsets"]) == offs
+        assert b["bin_load"] == len(want)
+        assert b["n_docs"] == len(ids)
+    assert sorted(seen) == sorted(enc)  # every doc exactly once
+
+
+def test_token_bins_partition_invariant(docs, trained_merges):
+    from sparkswift.operators.packing import pack_token_bins
+
+    a = sorted(
+        (r["bin_id"], list(r["token_ids"]))
+        for r in pack_token_bins(
+            docs, trained_merges, budget=256, n_packers=4
+        ).collect()
+    )
+    b = sorted(
+        (r["bin_id"], list(r["token_ids"]))
+        for r in pack_token_bins(
+            docs.repartition(17), trained_merges, budget=256, n_packers=4
+        ).collect()
+    )
+    assert a == b
+
+
+def test_token_shards_bytes_roundtrip(docs, spark, trained_merges, tmp_path):
+    """The written .bin/.idx bytes decode back to exactly the packed
+    sequences — sizes, order, and every token id."""
+    import numpy as np
+
+    from sparkswift.operators.packing import pack_token_bins
+    from sparkswift.sources.writers import (
+        _mmidx_parse,
+        read_token_shards,
+        write_token_shards,
+    )
+
+    bins = pack_token_bins(docs, trained_merges, budget=256, n_packers=4)
+    path = str(tmp_path / "shards")
+    man = write_token_shards(bins, path, n_shards=3)
+    man_pd = man.toPandas().set_index("shard").sort_index()
+    assert (man_pd["dtype"] == "uint16").all()
+
+    # direct byte-level parse of one shard
+    with open(f"{path}/shard_0.idx", "rb") as f:
+        dtype, sizes = _mmidx_parse(f.read())
+    assert dtype == "uint16"
+    raw = np.fromfile(f"{path}/shard_0.bin", dtype="<u2")
+    assert raw.size == sizes.sum() == man_pd.loc[0, "n_tokens"]
+
+    # distributed readback agrees with the manifest per shard
+    rb = (
+        read_token_shards(spark, path)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("token_sum").alias("token_sum"),
+        )
+        .toPandas()
+        .set_index("shard")
+        .sort_index()
+    )
+    assert (rb["n_bins"] == man_pd["n_bins"]).all()
+    assert (rb["n_tokens"] == man_pd["n_tokens"]).all()
+    assert (rb["token_sum"] == man_pd["token_sum"]).all()
+
+
+def test_token_shards_int32_when_vocab_overflows_uint16(spark, tmp_path):
+    """dtype auto-selection: ids >= 65536 force int32 shards."""
+    import numpy as np
+
+    from sparkswift.sources.writers import (
+        _mmidx_parse,
+        write_token_shards,
+    )
+
+    bins = spark.createDataFrame(
+        [(0, 0, 0, 2, 4, [1, 2], [0, 2], [70000, 3, 70001, 4])],
+        "bin_id long, packer int, oversize int, n_docs long, "
+        "bin_load long, doc_ids array<bigint>, doc_offsets array<bigint>, "
+        "token_ids array<int>",
+    )
+    path = str(tmp_path / "wide")
+    man = write_token_shards(bins, path, n_shards=1).collect()
+    assert man[0]["dtype"] == "int32"
+    with open(f"{path}/shard_0.idx", "rb") as f:
+        dtype, sizes = _mmidx_parse(f.read())
+    assert dtype == "int32" and list(sizes) == [4]
+    raw = np.fromfile(f"{path}/shard_0.bin", dtype="<i4")
+    assert list(raw) == [70000, 3, 70001, 4]
+
+
+def test_token_bins_null_and_empty_text(spark, trained_merges):
+    """NULL/empty docs pack as zero-length members — present exactly
+    once, contributing no tokens (the pack_bins NULL contract)."""
+    from sparkswift.operators.packing import pack_token_bins
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "hello world")],
+        "doc_id long, text string",
+    )
+    bins = pack_token_bins(df, trained_merges, budget=64, n_packers=2).collect()
+    all_docs = sorted(d for b in bins for d in b["doc_ids"])
+    assert all_docs == [1, 2, 3]
+    total = sum(b["bin_load"] for b in bins)
+    assert total == sum(len(b["token_ids"]) for b in bins)

@@ -59,6 +59,7 @@ BNLJ_ALLOWED: dict[str, int] = {
     "p5_gate": 1,
     "p16_gate": 1,
     "p22_gate": 3,
+    "p23_gate": 5,  # one-row verdict fan-in (docs/uniq/manifest/enc/readback)
     "st10_gate": 2,
     "agg16_heavy_hitters_gate": 8,
 }
