@@ -918,6 +918,20 @@ def semdedup(
         .withColumn("n2", norm2_long(F.col("v")))
         .localCheckpoint()  # assignment computed once, reused 3×
     )
+    return _semdedup_batch_flags(assigned, threshold).select(
+        F.col("id").alias(id_col),
+        "list_id",
+        F.col("is_survivor").alias("keep"),
+    )
+
+
+def _semdedup_batch_flags(
+    assigned: DataFrame, threshold: float
+) -> DataFrame:
+    """Within-batch SemDeDup keep flags over an ``(id, list_id, v,
+    n2)`` frame: drop every vector with a LOWER-ID near-dup in the
+    same cluster (the deterministic keeper rule). One cluster-keyed
+    self-join, exact integer cosine."""
     a = assigned.select(
         "list_id", F.col("id").alias("id_a"), F.col("v").alias("va"),
         F.col("n2").alias("na"),
@@ -926,7 +940,7 @@ def semdedup(
         "list_id", F.col("id").alias("id_b"), F.col("v").alias("vb"),
         F.col("n2").alias("nb"),
     )
-    dup_pairs = (
+    dup = (
         a.join(b, "list_id")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
@@ -936,14 +950,188 @@ def semdedup(
         .select(F.col("id_b").alias("id"))
         .distinct()
     )
-    return (
-        assigned.join(dup_pairs.withColumn("__dup", F.lit(True)), "id", "left")
+    return assigned.join(
+        dup.withColumn("__dup", F.lit(True)), "id", "left"
+    ).withColumn("is_survivor", F.coalesce(~F.col("__dup"), F.lit(True)))
+
+
+def _semdedup_store_pair_check(spark, store: str) -> bool:
+    """Both store tables or neither — a half-written pair fails LOUDLY
+    (the d14 lesson: silently re-bootstrapping orphans every earlier
+    survivor from the probe)."""
+    have_c = spark.catalog.tableExists(f"{store}_centers")
+    have_v = spark.catalog.tableExists(f"{store}_vecs")
+    if have_c != have_v:
+        raise RuntimeError(
+            f"semdedup store '{store}' is half-written (centers={have_c}, "
+            f"vecs={have_v}); repair or drop the surviving half."
+        )
+    return have_c
+
+
+def semdedup_store_build(
+    df: DataFrame,
+    store: str,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 8,
+    num_buckets: int = 16,
+) -> DataFrame:
+    """Build a PERSISTED SemDeDup store from a seed corpus — the d14
+    treatment for :func:`semdedup`, which otherwise re-clusters and
+    re-pairs the whole corpus every run. ``<store>_centers`` freezes
+    the k-means geometry (tiny catalog table); ``<store>_vecs`` keeps
+    every SURVIVOR's integer-quantized vector + norm as a catalog
+    table BUCKETED on ``list_id`` — so every later
+    :func:`semdedup_add` probe joins the ever-growing store
+    shuffle-free (only the new batch hashes into the bucket layout,
+    and appends land pre-bucketed, preserving the property forever).
+
+    Size ``num_buckets`` to the EVENTUAL store; at 10¹⁰ vectors use
+    thousands so one bucket's vectors stay in task-memory range.
+
+    Returns the seed decisions ``(id_col, list_id, keep)`` (same
+    shape as :func:`semdedup`).
+    """
+    from sparkswift.sources.writers import write_bucketed
+
+    spark = df.sparkSession
+    if _semdedup_store_pair_check(spark, store):
+        raise ValueError(f"semdedup store '{store}' already exists")
+    c = _spread(df.select(F.col(id_col), F.col(vec_col)))
+    centers = coarse_train(
+        c, n_clusters, id_col=id_col, vec_col=vec_col, seed=seed, iters=max_iter
+    )
+    assigned = (
+        assign_lists(c, centers, vec_col=vec_col)
+        .select(
+            F.col(id_col).alias("id"), "list_id", quantize(vec_col).alias("v")
+        )
+        .withColumn("n2", norm2_long(F.col("v")))
+        .localCheckpoint()
+    )
+    flagged = _semdedup_batch_flags(assigned, threshold).localCheckpoint()
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(centers)],
+        "list_id int, center array<double>",
+    )
+    # vecs FIRST, centers last: centers' existence marks a complete
+    # pair, and the paired check raises on any torn state between.
+    write_bucketed(
+        flagged.filter("is_survivor").select("id", "list_id", "v", "n2"),
+        f"{store}_vecs",
+        ["list_id"],
+        num_buckets=num_buckets,
+        sort_cols=["list_id", "id"],
+        mode="append",
+    )
+    cdf.coalesce(1).write.mode("overwrite").saveAsTable(f"{store}_centers")
+    return flagged.select(
+        F.col("id").alias(id_col), "list_id", F.col("is_survivor").alias("keep")
+    )
+
+
+def semdedup_add(
+    new_vectors: DataFrame,
+    store: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    update_store: bool = True,
+    num_buckets: int = 16,
+) -> DataFrame:
+    """Incremental SemDeDup against a persisted store — the
+    embedding-side analog of :func:`~sparkswift.operators.dedup.
+    neardup_incremental`'s crawl loop: a new batch is dropped when a
+    semantic near-dup (cosine ≥ ``threshold``) exists IN THE CORPUS,
+    without re-clustering or re-reading corpus embeddings.
+
+    Semantics (FAISS-add style, frozen geometry): batch vectors are
+    assigned to the nearest EXISTING center (deterministic — the
+    quantizer never drifts mid-store, so a verbatim re-add of a
+    stored survivor lands in its cluster and scores cosine EXACTLY 1
+    on the shared integer grid → store hit guaranteed, the d16 gate
+    law); within-batch keep is lower-id-wins per cluster; survivors
+    append to ``<store>_vecs`` pre-bucketed.
+
+    Plan shape: centers are an nlist-bounded read; the store side of
+    the probe join reads SHUFFLE-FREE forever (bucketed on list_id);
+    candidate pairs exist only within a cluster. Rebalance knob: if
+    the data distribution drifts, rebuild the store — same contract
+    as FAISS ``add`` vs re-train.
+
+    Returns ``(id_col, list_id, in_batch_survivor, store_hit,
+    survived)`` (0/1 ints) for every batch vector.
+    """
+    from sparkswift.sources.writers import write_bucketed
+
+    spark = new_vectors.sparkSession
+    if not _semdedup_store_pair_check(spark, store):
+        raise ValueError(
+            f"semdedup store '{store}' does not exist — run "
+            "semdedup_store_build first"
+        )
+    rows = spark.table(f"{store}_centers").orderBy("list_id").collect()
+    centers = np.asarray([r.center for r in rows], dtype=np.float64)
+    assigned = (
+        assign_lists(
+            _spread(new_vectors.select(F.col(id_col), F.col(vec_col))),
+            centers,
+            vec_col=vec_col,
+        )
+        .select(
+            F.col(id_col).alias("id"), "list_id", quantize(vec_col).alias("v")
+        )
+        .withColumn("n2", norm2_long(F.col("v")))
+        .localCheckpoint()
+    )
+    in_batch = _semdedup_batch_flags(assigned, threshold)
+    store_vecs = spark.table(f"{store}_vecs").select(
+        "list_id",
+        F.col("id").alias("sid"),
+        F.col("v").alias("sv"),
+        F.col("n2").alias("sn"),
+    )
+    hits = (
+        assigned.join(store_vecs, "list_id")
+        .filter(
+            cosine(dot_long(F.col("v"), F.col("sv")), F.col("n2"), F.col("sn"))
+            >= threshold
+        )
+        .select("id")
+        .distinct()
+        .withColumn("store_hit", F.lit(1))
+    )
+    out = (
+        in_batch.select("id", "list_id", "is_survivor")
+        .join(hits, "id", "left")
         .select(
             F.col("id").alias(id_col),
             "list_id",
-            F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
+            F.col("is_survivor").cast("int").alias("in_batch_survivor"),
+            F.coalesce(F.col("store_hit"), F.lit(0)).alias("store_hit"),
+            (F.col("is_survivor") & (F.coalesce(F.col("store_hit"), F.lit(0)) == 0))
+            .cast("int")
+            .alias("survived"),
         )
+        .localCheckpoint()  # pin decisions before the store mutates
     )
+    if update_store:
+        winners = out.filter(F.col("survived") == 1).select(
+            F.col(id_col).alias("id")
+        )
+        write_bucketed(
+            assigned.join(winners, "id").select("id", "list_id", "v", "n2"),
+            f"{store}_vecs",
+            ["list_id"],
+            num_buckets=num_buckets,
+            sort_cols=["list_id", "id"],
+            mode="append",
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------

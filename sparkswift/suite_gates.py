@@ -431,6 +431,60 @@ def d14_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# d16 — persisted SemDeDup store: a verbatim RE-ADD of a seed vector
+# whose original survived the build is assigned to the same frozen
+# center (deterministic argmin, the store never re-trains) and scores
+# cosine EXACTLY 1 against its stored quantized twin on the shared
+# integer grid ⇒ store_hit GUARANTEED. Law restricted to stored
+# survivors (structural; a seed eliminated within the build leaves no
+# stored vector — same reasoning as d14's). n_readds counts ALL
+# re-adds — oracle-checkable. threshold=0.35 matches d12's
+# fixture-spectrum tuning so drops genuinely occur in the build.
+# ---------------------------------------------------------------------------
+@register(
+    "d16_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_readds, TRUE AS all_readds_hit
+    FROM embeddings WHERE vec_id % 2 = 0
+    """,
+)
+def d16_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    store = "sd_gate_" + uuid.uuid4().hex[:12]
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    try:
+        seed = sim.semdedup_store_build(
+            first, store, threshold=0.35, n_clusters=16
+        )
+        stored = seed.filter(F.col("keep")).select(
+            (F.col("vec_id") + 100000).alias("vec_id")
+        )
+        readd = first.select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+        out = sim.semdedup_add(
+            readd, store, threshold=0.35, update_store=False
+        )
+        n = out.agg(F.count(F.lit(1)).cast("bigint").alias("n_readds"))
+        miss = out.join(stored, "vec_id").agg(
+            F.coalesce(
+                F.sum(F.when(F.col("store_hit") == 0, 1).otherwise(0)),
+                F.lit(0),
+            ).alias("n_miss")
+        )
+        return _one_row_join(n, miss).select(
+            "n_readds", (F.col("n_miss") == 0).alias("all_readds_hit")
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {store}_centers")
+        spark.sql(f"DROP TABLE IF EXISTS {store}_vecs")
+
+
+# ---------------------------------------------------------------------------
 # Cosine top-k recall gates — e2 LSH / e3 IVF / e5 PQ / e6 IVFPQ and
 # the persisted e4/e7 variants, all against the exact e1 twin computed
 # in the same plan. Floors mirror the pytest assertions (NOTES.md

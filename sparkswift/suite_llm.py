@@ -1406,6 +1406,36 @@ def d12_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# d16 — INCREMENTAL SemDeDup against a persisted store (the d14
+# treatment for d12): centers frozen in <store>_centers, survivors'
+# quantized vectors in <store>_vecs BUCKETED on list_id so every
+# later batch's probe join reads the ever-growing store shuffle-free.
+# threshold=0.35 for the same fixture-spectrum reason as d12.
+# Rows-only (clustering); d16_gate certifies the structural re-add
+# law with an exact oracle.
+# ---------------------------------------------------------------------------
+@register("d16_semdedup_incremental", None)
+def d16_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    store = "sd_q_" + uuid.uuid4().hex[:12]
+    try:
+        sim.semdedup_store_build(
+            emb.filter(F.col("vec_id") % 2 == 0), store,
+            threshold=0.35, n_clusters=16,
+        )
+        return sim.semdedup_add(
+            emb.filter(F.col("vec_id") % 2 == 1), store, threshold=0.35
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {store}_centers")
+        spark.sql(f"DROP TABLE IF EXISTS {store}_vecs")
+
+
+# ---------------------------------------------------------------------------
 # GLOBAL curriculum bins at corpus scale: Greenwald-Khanna threshold
 # sketch + scan-side CASE — the documented no-single-task-sort
 # alternative to p13's per-group ntile. Thresholds are sketch-derived

@@ -952,3 +952,114 @@ def test_substring_dedup_validation(spark):
     df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a"]}))
     with pytest.raises(ValueError):
         substring_dedup(df, window=1)
+
+
+# --- d16: persisted semdedup store ------------------------------------------
+
+
+@pytest.fixture()
+def sd_store(spark):
+    import uuid
+
+    store = "sd_t_" + uuid.uuid4().hex[:10]
+    yield store
+    spark.sql(f"DROP TABLE IF EXISTS {store}_centers")
+    spark.sql(f"DROP TABLE IF EXISTS {store}_vecs")
+
+
+def test_semdedup_store_build_matches_one_shot(emb, sd_store):
+    """The build's seed decisions must equal one-shot semdedup on the
+    same corpus (same trainer, same keeper rule)."""
+    a = (
+        sim.semdedup_store_build(emb, sd_store, threshold=0.35, n_clusters=8)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        sim.semdedup(emb, threshold=0.35, n_clusters=8)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_semdedup_add_readd_of_survivor_always_hits(emb, sd_store):
+    seed = sim.semdedup_store_build(
+        emb, sd_store, threshold=0.35, n_clusters=8
+    ).toPandas()
+    survivors = set(seed[seed["keep"]]["vec_id"])
+    readd = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    out = sim.semdedup_add(
+        readd, sd_store, threshold=0.35, update_store=False
+    ).toPandas()
+    hits = set(out[out["store_hit"] == 1]["vec_id"] - 1_000_000)
+    assert survivors <= hits
+    assert (out[out["store_hit"] == 1]["survived"] == 0).all()
+
+
+def test_semdedup_add_updates_store_and_sequences(spark, emb, sd_store):
+    """Two sequential adds: a vector admitted by batch 1 must block
+    its verbatim copy in batch 2 (the cross-batch contract)."""
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    batch1 = emb.filter(F.col("vec_id") % 2 == 1)
+    sim.semdedup_store_build(first, sd_store, threshold=0.35, n_clusters=8)
+    out1 = sim.semdedup_add(batch1, sd_store, threshold=0.35).toPandas()
+    admitted = set(out1[out1["survived"] == 1]["vec_id"])
+    assert admitted, "batch 1 must admit something"
+    batch2 = batch1.select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding"
+    )
+    out2 = sim.semdedup_add(
+        batch2, sd_store, threshold=0.35, update_store=False
+    ).toPandas()
+    blocked = set(out2[out2["store_hit"] == 1]["vec_id"] - 2_000_000)
+    assert admitted <= blocked
+
+
+def test_semdedup_add_requires_store_and_detects_torn_pair(spark, emb, sd_store):
+    with pytest.raises(ValueError, match="does not exist"):
+        sim.semdedup_add(emb, sd_store)
+    sim.semdedup_store_build(emb, sd_store, threshold=0.35, n_clusters=8)
+    with pytest.raises(ValueError, match="already exists"):
+        sim.semdedup_store_build(emb, sd_store, threshold=0.35, n_clusters=8)
+    spark.sql(f"DROP TABLE {sd_store}_centers")
+    with pytest.raises(RuntimeError, match="half-written"):
+        sim.semdedup_add(emb, sd_store)
+
+
+def test_semdedup_store_probe_is_shuffle_free(spark, emb, sd_store):
+    """The store side of the probe join must read WITHOUT an Exchange
+    directly over it (bucketed on list_id pre-satisfies the join
+    distribution) — the whole point of the persisted layout."""
+    import re
+
+    sim.semdedup_store_build(emb, sd_store, threshold=0.35, n_clusters=8)
+    # the probe join exactly as semdedup_add builds it (its returned
+    # frame is checkpoint-pinned, so probe the plan directly)
+    batch = emb.select(
+        (F.col("vec_id") + 5_000_000).alias("id"),
+        sim.quantize("embedding").alias("v"),
+        F.lit(0).alias("list_id"),
+    ).withColumn("n2", sim.norm2_long(F.col("v")))
+    store_vecs = spark.table(f"{sd_store}_vecs").select(
+        "list_id", F.col("id").alias("sid"), F.col("v").alias("sv"),
+        F.col("n2").alias("sn"),
+    )
+    joined = batch.join(store_vecs, "list_id").filter(
+        sim.cosine(
+            sim.dot_long(F.col("v"), F.col("sv")), F.col("n2"), F.col("sn")
+        )
+        >= 0.35
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert f"default.{sd_store}_vecs" in plan
+    # no hashpartitioning exchange feeding the bucketed store scan
+    assert re.search(
+        rf"Exchange hashpartitioning\(list_id[^\n]*\n[^\n]*"
+        rf"spark_catalog.default.{sd_store}_vecs",
+        plan,
+    ) is None

@@ -50,6 +50,7 @@ BNLJ_ALLOWED: dict[str, int] = {
     "d8_gate": 1,
     "d12_gate": 3,
     "d15_gate": 3,
+    "d16_gate": 1,  # one-row verdict fan-in (n_readds x miss)
     "e2_gate": 4,
     "e3_gate": 4,
     "e4_gate": 4,
