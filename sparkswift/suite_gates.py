@@ -936,6 +936,81 @@ def d2_skew_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# d11 skew — fuzzy_join how='best' under a corpus-hot entity: the
+# right table is every left doc's VERBATIM twin (+500000) plus a hot
+# FILLER stripe (~30% of docs, +1000000) all sharing one boilerplate
+# footer, so one shingle family lands on 3·n/10 right postings — well
+# over the n/10 cap. Laws: (a) the cap ENGAGES (raw max posting >
+# cap), and (b) argmax recall survives it — every UNIQUE-TEXT left
+# doc's best match is its twin. Structural, not tuned: the verbatim
+# twin scores jaccard EXACTLY 1, strictly above any non-identical
+# candidate, and the dropped hot shingles live only in filler docs,
+# so the cap cannot touch a twin's intersection. The unique-text
+# restriction exists because an exact-duplicate left doc ties at 1.0
+# with its dup's twin (tie-break id, not a recall failure).
+# ---------------------------------------------------------------------------
+@register(
+    "d11_skew_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_left,
+           CAST(COUNT(*) FILTER (doc_id % 10 < 3) AS BIGINT) AS n_hot_fill,
+           CAST((SELECT COUNT(*) FROM (SELECT text FROM documents
+                 GROUP BY text HAVING COUNT(*) = 1) u) AS BIGINT) AS n_unique,
+           TRUE AS cap_engaged,
+           TRUE AS all_best_is_twin
+    FROM documents
+    """,
+)
+def d11_skew_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hot = (" zqx boilerplate footer kwv appears verbatim jpt on every "
+           "crawled qgd page of wbn this corpus")
+    twins = docs.select((F.col("doc_id") + 500000).alias("doc_id"), "text")
+    filler = docs.filter(F.col("doc_id") % 10 < 3).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(hot)).alias("text"),
+    )
+    right = twins.unionByName(filler)
+    cap = max(32, docs.count() // 10)
+    best = dd.fuzzy_join(
+        docs, right, threshold=0.8, max_posting=cap, how="best"
+    ).localCheckpoint()
+
+    uniq = (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("id_l"), F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == 1)
+        .select("id_l")
+    )
+    n_unique = uniq.agg(F.count(F.lit(1)).cast("bigint").alias("n_unique"))
+    # law (b): every unique-text left doc's best row exists and is its twin
+    bad = (
+        uniq.join(best, "id_l", "left")
+        .filter(
+            F.col("id_r").isNull() | (F.col("id_r") != F.col("id_l") + 500000)
+        )
+        .agg(F.count(F.lit(1)).alias("n_bad"))
+    )
+    # law (a): the raw right-side posting spectrum exceeds the cap
+    max_posting = (
+        right.select(F.explode(dd.hashed_shingles("text", 3)).alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("max_c"))
+    )
+    n_left = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_left"))
+    n_hot = filler.agg(F.count(F.lit(1)).cast("bigint").alias("n_hot_fill"))
+    v = _one_row_join(n_left, n_hot, n_unique, bad, max_posting)
+    return v.select(
+        "n_left",
+        "n_hot_fill",
+        "n_unique",
+        (F.col("max_c") > cap).alias("cap_engaged"),
+        (F.col("n_bad") == 0).alias("all_best_is_twin"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # O4 groupby-apply under ONE GIANT GROUP — the skew reality check for
 # the Arrow applyInPandas path: a CASE remap lands ~50% of lineitem in
 # a single group (one task materializes it as one pandas frame — the

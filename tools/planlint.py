@@ -44,6 +44,7 @@ BNLJ_ALLOWED: dict[str, int] = {
     "p20_dsir_select": 1,  # one-row corpus totals
     "st13_stream_ivf_ingest": 1,  # one-row verdict fan-in
     "d2_skew_gate": 3,  # verdict row joins
+    "d11_skew_gate": 4,  # one-row verdict fan-in (left/hot/uniq/bad/max)
     "d3_gate": 1,
     "d4_gate": 1,
     "d6_gate": 3,
