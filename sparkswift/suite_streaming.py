@@ -282,6 +282,64 @@ def st6_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("session_end") <= F.lit(bound))
 
 
+# ---------------------------------------------------------------------------
+# st15 — ARBITRARY-UDF aggregation over streaming session windows
+# (applyInPandasWithState + EventTimeTimeout): per-user sessions by
+# the same 10-minute gap rule as sw1/st6, but the per-session
+# aggregate is an exact MEDIAN computed by a pandas UDF — order
+# statistics are precisely what native session_window aggs (Catalyst
+# expressions) cannot host; this is the reference's groupby-apply
+# semantics (O4) composed with session windows. Median runs on the
+# 1e-4 integer grid (st2's policy) so both engines do the identical
+# (a+b)/2-of-ints arithmetic; session bounds emit as epoch MICROS —
+# no timestamp/timezone surface. Append semantics: the same
+# watermark-margin restriction as st6 on both sides.
+# ---------------------------------------------------------------------------
+@register(
+    "st15_stream_session_udf",
+    f"""
+    WITH x AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= 600000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events),
+    y AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM x)
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts)) + 600000000 AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(median(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                / 10000.0 AS DOUBLE) AS med_value
+    FROM y GROUP BY user_id, sid
+    HAVING MAX(ts) + INTERVAL 10 MINUTE
+           <= (SELECT MAX(ts) FROM events) - INTERVAL 2 HOUR - INTERVAL 1 MINUTE
+    """,
+)
+def st15_stream_session_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    from sparkswift.streaming.ops import stream_session_udf
+
+    bound = (
+        load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+        - datetime.timedelta(hours=2, minutes=1)
+    )
+    # collected naive datetimes are session-UTC; pin the conversion so
+    # a non-UTC process TZ can't skew the epoch bound
+    bound_us = int(
+        bound.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000
+    )
+    src = events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    sess = stream_session_udf(src, gap_minutes=10)
+    out = run_stream_to_batch(sess, mode="append")
+    return out.filter(F.col("session_end_us") <= F.lit(bound_us))
+
+
 # Env-gated registration: stateful_running_totals_tws (the
 # transformWithStateInPandas successor of st2's operator) registers —
 # with st2's exact oracle — only where Spark's

@@ -293,3 +293,99 @@ def test_stream_neardup_matches_batch_twin_and_drops_planted_dups(
         stream_neardup(docs, "text", k=3, num_hashes=8).select("sig_key").toPandas()
     )
     assert set(out["sig_key"]) == set(base_twin["sig_key"])
+
+
+def test_stream_session_udf_matches_batch_and_is_chop_invariant(
+    spark, sf_dir, tmp_path
+):
+    """stream_session_udf (arbitrary-UDF session aggregation) must
+    emit, for every session closed by the final watermark, exactly the
+    gaps-and-islands batch sessions with their exact medians — and the
+    emitted set must not depend on how the stream was chopped into
+    micro-batches (state + event-time timers carry open sessions
+    across boundaries)."""
+    import numpy as np
+
+    from sparkswift.streaming.ops import stream_session_udf
+
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    bound_us = int(
+        (max_ts - datetime.timedelta(hours=2, minutes=1))
+        .replace(tzinfo=datetime.timezone.utc)
+        .timestamp()
+        * 1_000_000
+    )
+
+    def run(src):
+        sess = stream_session_udf(
+            src.withWatermark("ts", "2 hours"), gap_minutes=10
+        )
+        out = run_stream_to_batch(sess, mode="append").toPandas()
+        out = out[out["session_end_us"] <= bound_us]
+        return out.sort_values(["user_id", "session_start_us"]).reset_index(
+            drop=True
+        )
+
+    # chopped: three files in TIME order (a real stream arrives
+    # roughly ordered; an arbitrary id-stripe chop would put 2/3 of
+    # the data behind the watermark, which correctly DROPS it — that
+    # is watermark semantics, not a chop-invariance failure)
+    src_dir = str(tmp_path / "sess_src")
+    us = ev.select(F.unix_micros("ts").cast("double").alias("u"))
+    q1, q2 = us.approxQuantile("u", [0.33, 0.66], 0.0)
+    tertiles = [
+        ev.filter(F.unix_micros("ts") <= q1),
+        ev.filter((F.unix_micros("ts") > q1) & (F.unix_micros("ts") <= q2)),
+        ev.filter(F.unix_micros("ts") > q2),
+    ]
+    for part in tertiles:
+        part.coalesce(1).write.mode("append").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    chopped = run(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    whole = run(spark.readStream.schema(schema).parquet(src_dir))
+    pd.testing.assert_frame_equal(chopped, whole)
+
+    # batch reference: pandas gaps-and-islands + exact median
+    pdf = ev.select("user_id", "ts", "value").toPandas()
+    pdf["ts_ns"] = pdf["ts"].astype("int64")
+    pdf["vq"] = np.round(pdf["value"].to_numpy() * 10000).astype("int64")
+    rows = []
+    for uid, g in pdf.groupby("user_id"):
+        g = g.sort_values("ts_ns")
+        ts = g["ts_ns"].to_numpy()
+        vq = g["vq"].to_numpy()
+        breaks = np.flatnonzero(np.diff(ts) >= 600 * 1_000_000_000) + 1
+        for s, e in zip(
+            np.concatenate(([0], breaks)), np.concatenate((breaks, [len(ts)]))
+        ):
+            end_us = ts[e - 1] // 1000 + 600 * 1_000_000
+            if end_us <= bound_us:
+                rows.append(
+                    (
+                        uid,
+                        ts[s] // 1000,
+                        end_us,
+                        e - s,
+                        float(np.median(vq[s:e]) / 10000.0),
+                    )
+                )
+    want = (
+        pd.DataFrame(
+            rows,
+            columns=[
+                "user_id", "session_start_us", "session_end_us", "n",
+                "med_value",
+            ],
+        )
+        .astype(chopped.dtypes.to_dict())
+        .sort_values(["user_id", "session_start_us"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(chopped, want)
