@@ -118,6 +118,9 @@ HEADLINE = [
     "q22_sales_opportunity", # TPC-H Q22 (one-row threshold + anti join)
     "p22_pack_bins",         # FFD doc-preserving packing (T5-style bins)
     "d15_substring_dedup",   # ExactSubstr duplicate-window excision
+    "p23_token_shards",      # BPE ids -> FFD bins -> Megatron .bin/.idx
+    "d16_semdedup_incremental",  # semdedup add vs persisted bucketed store
+    "st15_stream_session_udf",   # session-window UDF agg (stateful stream)
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

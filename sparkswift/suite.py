@@ -774,51 +774,46 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Registration order. The correctness driver verifies the first 50
 # registrations, so the window below holds the 50 entries with the
-# highest evidence value THIS round (round 8). Rotation policy
-# (tools/ledger.py): oldest driver evidence first, rows-only raw
-# twins stay tail-resident in favor of their hash-matchable gates.
-# Composition:
+# highest evidence value THIS round (round 9). Rotation policy
+# (tools/ledger.py): oldest driver evidence first, new/changed code
+# always earns rows in its own round. Composition:
 #
-# 1. The 16 queries whose last driver row is round 3 — the stalest
-#    cohort in the ledger (VERDICT r7 "What's wrong" #3).
-# 2. The 4 queries NEW this round: mm4/mm5 (REAL PPM + WAV codec
-#    decode vs pure-arithmetic oracles) and the two skew-stress
-#    entries d2_skew_gate (hot-shingle posting-cap trade) and
-#    o4_skew_giant_group (applyInPandas under one ~50% group).
-# 3. Changed-code refreshes: q1_pricing_summary (oracle now routes
-#    DECIMAL→DOUBLE through VARCHAR — the big-sum ulp fix),
-#    d14_gate (store now BUCKETED catalog tables + small-batch
-#    union-find short-circuit), g1_gate (pagerank tol= wired, with
-#    iters_run in the verdict row).
-# 4. 25 round-4-stale queries, prioritizing the reference core
-#    surface (o1/o2/o3/o4/o5/o6 apply-rolling-resample family), the
-#    7 streaming entries, 4 joins, and d1 — plus the round's two
-#    late additions: p21_store_compaction (bucketed-store maintenance
-#    verdict; took d2_ngram_jaccard's slot since d2's operator gets
-#    fresh in-window evidence through d2_skew_gate) and
-#    st14_stream_crawl_ingest (the d14 store as a streaming
-#    foreachBatch ingest loop; took p3_decontaminate's slot — p3
-#    holds 4 green rows r1-r4), and t17_bpe_ids_gate (token-id
-#    encoding consistency laws; took o6_resample_closed_right's slot
-#    — the o6 family keeps two other in-window entries).
-# 5. Five of this round's late additions — new queries earn driver
-#    evidence in their own round: TPC-H q5 (same-nation star), q10
-#    (top-k returned-items), q17 (decorrelated avg), and the two new
-#    operator gates p22_gate (FFD bin-packing laws) and d15_gate
-#    (ExactSubstr sentinel laws). Displaced, each holding 3 green
-#    rows (r1-r3) with fresher in-window family coverage:
-#    s1_topk_orders (TakeOrdered shape covered by q10 itself),
-#    set1_union_except (set2 green r6+r7), agg1_count_distinct
-#    (agg13/14/15 + gates green r6+r7), j2_semi_join and j3_anti_join
-#    (join family keeps j1/j4/j5/j6 in-window; q4/q18/q22 exercise
-#    semi/anti shapes with fresh local evidence).
+# 1. The 5 TPC-H shapes that have NEVER held a driver slot (added
+#    late in r8; VERDICT r8 "What's missing" #1): q7 volume shipping,
+#    q8 market share, q13 customer distribution, q15 top supplier,
+#    q22 sales opportunity.
+# 2. The two rows-only raw twins with no driver row ever —
+#    p22_pack_bins and d15_substring_dedup. Their laws are certified
+#    by in-window gates; the slots close the "never windowed" list
+#    entirely.
+# 3. The 5 round-3-stale queries (s1, set1, agg1, j2, j3) and the
+#    22 round-4-stale ones — the whole >=4-rounds-stale cohort from
+#    the r8 ledger. After this window the max staleness is r5.
+# 4. The 6 queries NEW this round: p23_token_shards + p23_gate
+#    (training-ready Megatron .bin/.idx shards with byte-readback
+#    laws), d16_semdedup_incremental + d16_gate (persisted SemDeDup
+#    store, structural re-add law), d11_skew_gate (fuzzy-join argmax
+#    recall under a hot entity), st15_stream_session_udf (session-
+#    window UDF aggregation, exact median stream==batch oracle).
+# 5. Changed-code refreshes: d15_gate (substring_dedup's rank
+#    replaced by skew-tolerant min(struct) groupBy), d14_gate +
+#    d14_neardup_incremental + st14_stream_crawl_ingest (paired
+#    store-existence check; re-crawl law restricted to seed
+#    survivors), p22_gate (NULL-text guard; oracle constants now
+#    interpolated), g1_pagerank (tol=1e-9 early-exit is now the
+#    headline config), d12_semdedup + d12_gate (semdedup internals
+#    refactored through _semdedup_batch_flags).
+# 6. Two round-5-stale fillers: agg10_profile, agg12_json_extract.
 #
-# Round-9 rotation seed, stalest first: s1/set1/agg1/j2/j3 (r3), the
-# remaining 22 r4-stale queries (agg3/6/7, d2, d7, d9,
-# o6_resample_closed_right, p1/p3/p6-p9, t1/t3-t5/t7-t9, w1/w2),
-# then the tail newcomers q7/q8/q13/q15/q22 (TPC-H) and
-# p22_pack_bins/d15_substring_dedup raw twins (local evidence only
-# this round; their gates hold window slots).
+# Displaced to the tail (earned fresh r8 rows, families still
+# in-window): the entire o1-o7 apply/rolling/resample cohort, the
+# st1-st6 streaming cohort, mm1/2/4/5, j1/j4/j5/j6, d1, p2, p4,
+# p21, q1/q5/q10/q17, t2, t6, t17, sw1, agg4, d5, d2_skew_gate,
+# o4_skew_giant_group, g1_gate, d14_gate... (d14_gate/d15_gate stay
+# IN for their changed code despite r8 rows).
+#
+# Round-10 rotation seed, stalest first: the 44 remaining r5-stale
+# queries (ledger --markdown lists them), then r7 gates by family.
 #
 # st2b_stateful_totals_tws remains unregistered: the container lacks
 # protobuf so transformWithState cannot import (NOTES.md, re-checked
@@ -826,63 +821,66 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB locally by `python tools/check.py` and by pytest; the window
 # only decides which rows the driver re-verifies. The cross-round
 # evidence ledger (query -> rounds green) lives in NOTES.md "Rotation
-# ledger".
+# ledger" and `tools/ledger.py --markdown`.
 # ---------------------------------------------------------------------------
 _WINDOW = [
-    # --- (1) the 16 round-3-stale queries ---
-    "q17_small_quantity_revenue",
-    "agg4_cube",
-    "d5_embedding_neardup",
-    "p22_gate",
+    # --- (1) never-windowed TPC-H ---
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q22_sales_opportunity",
+    # --- (2) never-windowed raw twins ---
+    "p22_pack_bins",
+    "d15_substring_dedup",
+    # --- (3) r3-stale ---
+    "s1_topk_orders",
+    "set1_union_except",
+    "agg1_count_distinct",
+    "j2_semi_join",
+    "j3_anti_join",
+    # --- (3) r4-stale ---
+    "agg3_rollup",
+    "agg6_pivot",
+    "agg7_grouping_sets",
+    "d2_ngram_jaccard",
+    "d7_dedup_clusters",
+    "d9_dedup_clusters_star",
+    "o6_resample_closed_right",
+    "p1_deterministic_sample",
+    "p3_decontaminate",
+    "p6_pack_sequences",
+    "p7_group_split",
+    "p8_deterministic_shuffle",
+    "p9_corpus_build",
+    "t1_text_quality",
+    "t3_fingerprint",
+    "t4_token_count",
+    "t5_repetition",
+    "t7_tfidf_top_terms",
+    "t8_c4_line_filter",
+    "t9_corpus_stats",
+    "w1_rank_lag",
+    "w2_running_total",
+    # --- (4) new this round ---
+    "p23_token_shards",
+    "p23_gate",
+    "d16_semdedup_incremental",
+    "d16_gate",
+    "d11_skew_gate",
+    "st15_stream_session_udf",
+    # --- (5) changed-code refreshes ---
     "d15_gate",
-    "mm1_decode",
-    "mm2_frame_sample",
-    "o1_apply_partitions",
-    "o2_apply_columns",
-    "o7_ps_apply",
-    "p2_hash_split",
-    "p4_stratified_sample",
-    "q10_returned_items",
-    "q5_local_supplier_volume",
-    "t2_lang_id",
-    "t6_pii_redact",
-    # --- (2) new this round ---
-    "mm4_image_decode_real",
-    "mm5_audio_decode_real",
-    "d2_skew_gate",
-    "o4_skew_giant_group",
-    # --- (3) changed-code refreshes ---
-    "q1_pricing_summary",
     "d14_gate",
-    "g1_gate",
-    # --- (4) round-4-stale rotations ---
-    "o1_apply_udf",
-    "o2_apply_rows",
-    "o2_apply_rows_expand",
-    "o3_applymap",
-    "o4_groupby_agg_udf",
-    "o4_groupby_apply",
-    "o5_rolling_sum_rows",
-    "o5_rolling_sum_time",
-    "o5_rolling_udf",
-    "o5_rolling_weighted",
-    "o6_resample_hourly",
-    "o6_resample_udf_median",
-    "st1_stream_resample",
-    "st2_stateful_totals",
-    "st3_stream_sliding",
-    "st4_stream_join",
-    "st5_stream_dedup",
-    "st6_stream_sessions",
-    "sw1_session_window",
-    "j1_revenue_by_nation",
-    "j4_asof_join",
-    "j5_range_join",
-    "j6_asof_forward",
-    "d1_dedup_exact",
-    "p21_store_compaction",
+    "d14_neardup_incremental",
     "st14_stream_crawl_ingest",
-    "t17_bpe_ids_gate",
+    "p22_gate",
+    "g1_pagerank",
+    "d12_semdedup",
+    "d12_gate",
+    # --- (6) r5-stale fillers ---
+    "agg10_profile",
+    "agg12_json_extract",
 ]
 
 
