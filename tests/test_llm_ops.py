@@ -1063,3 +1063,38 @@ def test_semdedup_store_probe_is_shuffle_free(spark, emb, sd_store):
         rf"spark_catalog.default.{sd_store}_vecs",
         plan,
     ) is None
+
+
+def test_semdedup_store_compaction_preserves_probe(spark, emb, sd_store):
+    """compact_bucketed_table over <store>_vecs (after several adds
+    pile up per-bucket files) must leave semdedup_add decisions
+    byte-identical — the p21 maintenance contract for the d16 store."""
+    from sparkswift.sources import compact_bucketed_table
+
+    sim.semdedup_store_build(emb, sd_store, threshold=0.35, n_clusters=8)
+    for i in (1, 2):
+        sim.semdedup_add(
+            emb.select(
+                (F.col("vec_id") + i * 3_000_000).alias("vec_id"), "embedding"
+            ),
+            sd_store,
+            threshold=0.35,
+        )
+    probe = emb.select(
+        (F.col("vec_id") + 9_000_000).alias("vec_id"), "embedding"
+    )
+    before = (
+        sim.semdedup_add(probe, sd_store, threshold=0.35, update_store=False)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    summary = compact_bucketed_table(spark, f"{sd_store}_vecs")
+    assert summary["files_after"] <= summary["files_before"]
+    after = (
+        sim.semdedup_add(probe, sd_store, threshold=0.35, update_store=False)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert before.equals(after)

@@ -663,3 +663,29 @@ def test_heavy_hitters_exact_when_cardinality_below_k(spark):
     df = spark.createDataFrame(pdf).repartition(3)
     got = {r.item: r.est for r in heavy_hitters(df, "key", k=16).collect()}
     assert got == pdf["key"].value_counts().to_dict()
+
+
+def test_neardup_incremental_torn_store_pair_raises(spark, sf_dir):
+    """A half-written store pair (one table of the two) must raise
+    loudly instead of silently re-bootstrapping — the silent path
+    would orphan every earlier winner from the cross-batch probe."""
+    import uuid
+
+    import pytest as _pytest
+
+    from sparkswift.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = f"nd_torn_{uuid.uuid4().hex[:8]}"
+    try:
+        dd.neardup_incremental(
+            docs.limit(50), store, bucketed=True, num_buckets=4
+        )
+        spark.sql(f"DROP TABLE {store}_sigs")  # tear the pair
+        with _pytest.raises(RuntimeError, match="half-written"):
+            dd.neardup_incremental(
+                docs.limit(50), store, bucketed=True, num_buckets=4
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {store}_sigs")
+        spark.sql(f"DROP TABLE IF EXISTS {store}_buckets")
