@@ -109,7 +109,14 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        updated = nodes.join(contribs, "node", "left")
+        # join contribs onto RANKS (not the bare node set): the
+        # previous rank rides along as __prev, so the tol= delta probe
+        # below is a plain aggregate instead of a second node-sized
+        # join per iteration (A/B r9: the separate-join probe was
+        # ~the whole early-exit overhead on the bench row)
+        updated = ranks.select("node", F.col("rank").alias("__prev")).join(
+            contribs, "node", "left"
+        )
         if dangling_nodes is None:
             rank_expr = F.lit((1.0 - damping) / n) + F.lit(damping) * F.coalesce(
                 F.col("inflow"), F.lit(0.0)
@@ -123,19 +130,21 @@ def pagerank(
             rank_expr = F.lit((1.0 - damping) / n) + F.lit(damping) * (
                 F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("__dm") / n
             )
-        new_ranks = updated.select("node", rank_expr.alias("rank")).localCheckpoint()
         iters_run += 1
         if tol is not None:
-            # L1 delta as a one-row aggregate — the convergence probe
+            stepped = updated.select(
+                "node", rank_expr.alias("rank"), "__prev"
+            ).localCheckpoint()
+            # L1 delta as a one-row aggregate over the SAME checkpoint
+            # (no extra join — __prev rode along)
             delta = (
-                new_ranks.join(
-                    ranks.select("node", F.col("rank").alias("__prev")), "node"
+                stepped.agg(
+                    F.sum(F.abs(F.col("rank") - F.col("__prev"))).alias("d")
                 )
-                .agg(F.sum(F.abs(F.col("rank") - F.col("__prev"))).alias("d"))
                 .collect()[0]
                 .d
             )
-            ranks = new_ranks
+            ranks = stepped.select("node", "rank")
             if delta is None or delta != delta:
                 # empty graph / NaN blow-up: early exit can never
                 # trigger — fail loudly instead of silently paying a
@@ -144,7 +153,9 @@ def pagerank(
             if delta < tol:
                 break
         else:
-            ranks = new_ranks
+            ranks = updated.select(
+                "node", rank_expr.alias("rank")
+            ).localCheckpoint()
     if stats is not None:
         stats["iters"] = iters_run
     ranks._pagerank_iters = iters_run

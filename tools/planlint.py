@@ -50,6 +50,7 @@ BNLJ_ALLOWED: dict[str, int] = {
     "d6_gate": 3,
     "d8_gate": 1,
     "d12_gate": 3,
+    "d14_gate": 1,  # one-row verdict fan-in (n_recrawls x miss)
     "d15_gate": 3,
     "d16_gate": 1,  # one-row verdict fan-in (n_readds x miss)
     "e2_gate": 4,
