@@ -358,3 +358,110 @@ def pack_token_bins(
             "token_ids"
         ),
     )
+
+
+def chunk_token_stream(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 2048,
+    shard_nibbles: int = 1,
+    seed: int = 0,
+) -> DataFrame:
+    """GPT-style concat-then-chunk over the ACTUAL BPE token-id
+    stream — the materialized twin of :func:`pack_sequences` (which
+    computes only placement arithmetic on the regex token estimate):
+    documents are ordered deterministically within md5-hash shards
+    (same bucket+id order as pack_sequences), their
+    :func:`~sparkswift.operators.text.bpe_encode_ids` sequences
+    concatenate, and the stream is cut into ``budget``-token training
+    chunks; every chunk except each shard's tail is EXACTLY full —
+    docs cross chunk boundaries, as in real pretraining.
+
+    Scale shape: encoding is a map pass; the ONE shuffle carries each
+    doc's packed id array to its shard's assembly task (the ids are
+    the output — this is the minimum, and pack_sequences' docstring
+    already sizes shards to tasks: one shard ≈ one training file;
+    ~10k shards at 100 TB). Chunks inherit full determinism: the
+    layout is a pure function of (corpus, seed, budget) — rerun- and
+    partition-invariant.
+
+    Returns ``(shard, chunk_id, n_tokens, n_docs_started,
+    token_ids array<int>)``; feed to :func:`~sparkswift.sources.
+    writers.write_token_shards` (chunks map onto its bins schema) for
+    the binary Megatron layout.
+    """
+    from sparkswift.operators.text import bpe_encode_ids
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    enc = bpe_encode_ids(df, merges, text_col=text_col, id_col=id_col)
+    bucket = hash_bucket_hex(id_col, seed)
+    tagged = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.substring(bucket, 1, shard_nibbles).alias("shard"),
+        bucket.alias("__ord"),
+    ).join(
+        enc.select(F.col(id_col).cast("bigint").alias("doc_id"), "token_ids"),
+        "doc_id",
+    )
+
+    out_schema = (
+        "shard string, chunk_id bigint, n_tokens bigint, "
+        "n_docs_started bigint, token_ids array<int>"
+    )
+
+    def _cut(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(["__ord", "doc_id"]).reset_index(drop=True)
+        shard = pdf["shard"].iloc[0]
+        arrs = [np.asarray(a, dtype=np.int32) for a in pdf["token_ids"]]
+        flat = np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int32)
+        doc_starts = np.zeros(len(arrs), dtype=np.int64)
+        if len(arrs) > 1:
+            doc_starts[1:] = np.cumsum([len(a) for a in arrs[:-1]])
+        # at least one chunk whenever the shard has docs, so zero-token
+        # docs are still claimed; the LAST chunk also claims any doc
+        # starting exactly at stream end (trailing empty docs) — every
+        # doc is counted by exactly one chunk, the p24 gate law
+        n_chunks = max(1, -(-flat.size // budget))
+        rows = []
+        for c in range(n_chunks):
+            lo, hi = c * budget, min((c + 1) * budget, flat.size)
+            hi_eff = hi + 1 if c == n_chunks - 1 else hi
+            started = int(
+                ((doc_starts >= lo) & (doc_starts < hi_eff)).sum()
+            )
+            rows.append(
+                (shard, c, hi - lo, started, flat[lo:hi].tolist())
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "shard", "chunk_id", "n_tokens", "n_docs_started", "token_ids"
+            ],
+        )
+
+    return tagged.groupBy("shard").applyInPandas(_cut, out_schema)
+
+
+def chunks_as_bins(chunks: DataFrame) -> DataFrame:
+    """Adapt :func:`chunk_token_stream` output to the bins schema
+    :func:`~sparkswift.sources.writers.write_token_shards` consumes —
+    GPT chunks become sequences in the same Megatron .bin/.idx layout
+    (bin_id packs (shard, chunk) into one int64; GPT chunks carry no
+    intra-bin doc offsets — boundaries sidecar rows stay empty)."""
+    shard_num = F.conv(F.col("shard"), 16, 10).cast("bigint")
+    return chunks.select(
+        (F.shiftleft(shard_num, 32) + F.col("chunk_id")).alias("bin_id"),
+        shard_num.cast("int").alias("packer"),
+        F.lit(0).alias("oversize"),
+        F.col("n_docs_started").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("bin_load"),
+        F.array().cast("array<bigint>").alias("doc_ids"),
+        F.array().cast("array<bigint>").alias("doc_offsets"),
+        "token_ids",
+    )

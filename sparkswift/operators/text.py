@@ -1062,3 +1062,38 @@ def bpe_encode_ids(
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         batches, f"{id_col} long, n_bpe_tokens long, {output_col} array<int>"
     )
+
+
+def bpe_decode_text(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    ids_col: str = "token_ids",
+    output_col: str = "decoded",
+) -> DataFrame:
+    """Invert :func:`bpe_encode_ids`: token-id sequences back to
+    whitespace-joined text — the inspection path for packed shards
+    (decode a bin/chunk and read it). NATIVE expressions only: the
+    id → symbol table is a bounded array literal (≤ num_merges +
+    alphabet + 2 entries, from :func:`bpe_vocab`), each id resolves
+    with ``element_at``, symbols concatenate and ``</w>`` markers
+    become spaces. No Python, no shuffle — a scan-stage map.
+
+    Law (the t18 gate): for any document whose encoding contains no
+    ``<unk>``, ``decode(encode(text))`` equals the whitespace-
+    normalized original exactly. ``<unk>`` ids decode to the literal
+    ``<unk>`` marker — visibly lossy, never silently wrong.
+    """
+    vocab = bpe_vocab(merges)
+    table = [""] * len(vocab)
+    for sym, i in vocab.items():
+        table[i] = sym
+    sym_arr = F.array(*[F.lit(s) for s in table])
+    joined = F.array_join(
+        F.transform(
+            F.col(ids_col),
+            lambda i: F.element_at(sym_arr, (i + 1).cast("int")),
+        ),
+        "",
+    )
+    decoded = F.trim(F.regexp_replace(joined, "</w>", " "))
+    return df.withColumn(output_col, decoded)

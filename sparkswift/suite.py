@@ -803,7 +803,12 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    interpolated), g1_pagerank (tol=1e-9 early-exit is now the
 #    headline config), d12_semdedup + d12_gate (semdedup internals
 #    refactored through _semdedup_batch_flags).
-# 6. Two round-5-stale fillers: agg10_profile, agg12_json_extract.
+# 6. The round's two late additions (new code always outranks a
+#    staleness refresh): t18_bpe_decode_gate (BPE decode round-trip +
+#    visible-<unk> laws) and p24_gate (GPT concat-then-chunk over
+#    real ids: exactly-full / conservation / dense / every-doc-
+#    claimed). They take the two r5-stale filler slots (agg10, agg12
+#    move to the round-10 seed).
 #
 # Displaced to the tail (earned fresh r8 rows, families still
 # in-window): the entire o1-o7 apply/rolling/resample cohort, the
@@ -878,9 +883,9 @@ _WINDOW = [
     "g1_pagerank",
     "d12_semdedup",
     "d12_gate",
-    # --- (6) r5-stale fillers ---
-    "agg10_profile",
-    "agg12_json_extract",
+    # --- (6) late additions ---
+    "t18_bpe_decode_gate",
+    "p24_gate",
 ]
 
 

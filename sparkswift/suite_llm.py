@@ -2046,6 +2046,65 @@ def t17_bpe_ids_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# t18 — BPE DECODE (ids → text, the shard-inspection path), certified
+# by two laws: every corpus doc whose encoding holds no <unk>
+# round-trips EXACTLY to its whitespace-normalized text (decode is a
+# true inverse on the in-vocab domain), and a planted doc carrying a
+# character outside the merges' alphabet decodes with a VISIBLE
+# <unk> marker (lossy is loud, never silent). Decode is all native
+# exprs — a bounded id→symbol array literal + element_at, no Python.
+# ---------------------------------------------------------------------------
+@register(
+    "t18_bpe_decode_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS roundtrip_ok,
+           TRUE AS planted_unk_visible
+    FROM documents
+    """,
+)
+def t18_bpe_decode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = tx.bpe_train(docs, num_merges=100)
+    unk = tx.bpe_vocab(merges)["<unk>"]
+    planted = spark.createDataFrame(
+        [(9_000_000, "ordinary words then §§ weird")],
+        "doc_id long, text string",
+    )
+    enc = tx.bpe_encode_ids(docs, merges)
+    dec = tx.bpe_decode_text(enc, merges).join(
+        docs.select("doc_id", "text"), "doc_id"
+    )
+    norm = F.array_join(
+        F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != F.lit("")),
+        " ",
+    )
+    bad = (
+        dec.filter(~F.exists("token_ids", lambda i: i == unk))
+        .filter(F.col("decoded") != norm)
+        .agg(F.count(F.lit(1)).alias("n_bad"))
+    )
+    p_dec = tx.bpe_decode_text(
+        tx.bpe_encode_ids(planted, merges), merges
+    ).select(
+        (
+            F.col("decoded").contains("<unk>")
+            & F.exists("token_ids", lambda i: i == unk)
+        ).alias("unk_visible")
+    )
+    p = p_dec.agg(
+        F.min(F.col("unk_visible").cast("int")).alias("p_ok")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    v = n_docs.crossJoin(F.broadcast(bad)).crossJoin(F.broadcast(p))
+    return v.select(
+        "n_docs",
+        (F.col("n_bad") == 0).alias("roundtrip_ok"),
+        (F.col("p_ok") == 1).alias("planted_unk_visible"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Preference-pair construction (DPO/reward-model data prep): within
 # each language, k-th best quality pairs with k-th worst — maximal
 # margin per rank, each doc in ≤1 pair, zero-margin pairs dropped (no
@@ -2129,6 +2188,82 @@ def p23_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins = pack_token_bins(docs, merges, budget=512, n_packers=8)
     path = tempfile.mkdtemp(prefix="p23_shards_")
     return write_token_shards(bins, path, n_shards=4)
+
+
+# ---------------------------------------------------------------------------
+# p24 — GPT-style concat-then-chunk over the ACTUAL BPE id stream
+# (the materialized twin of p6's placement arithmetic): docs ordered
+# by (md5 bucket, id) within hash shards, id sequences concatenated,
+# cut into exactly-full training chunks (docs cross boundaries).
+# Rows-only (trained-tokenizer-dependent); p24_gate certifies the
+# exactly-full / conservation / dense-ids / every-doc-claimed laws.
+# ---------------------------------------------------------------------------
+@register("p24_token_chunks", None)
+def p24_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.packing import chunk_token_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = tx.bpe_train(docs, num_merges=100)
+    return chunk_token_stream(docs, merges, budget=512)
+
+
+@register(
+    "p24_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS chunks_full_ok,
+           TRUE AS conservation_ok,
+           TRUE AS dense_ids_ok,
+           TRUE AS docs_claimed_ok
+    FROM documents
+    """,
+)
+def p24_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.packing import chunk_token_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = tx.bpe_train(docs, num_merges=100)
+    chunks = chunk_token_stream(docs, merges, budget=512).localCheckpoint()
+
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    # law 1: every non-tail chunk is EXACTLY full (and arrays agree
+    # with the recorded n_tokens)
+    per_shard = chunks.groupBy("shard").agg(
+        F.max("chunk_id").alias("max_c"), F.count(F.lit(1)).alias("n_c")
+    )
+    not_full = (
+        chunks.join(per_shard, "shard")
+        .filter(
+            (F.size("token_ids") != F.col("n_tokens"))
+            | ((F.col("chunk_id") < F.col("max_c")) & (F.col("n_tokens") != 512))
+        )
+        .agg(F.count(F.lit(1)).alias("n_not_full"))
+    )
+    # law 2: token conservation vs an independent encode
+    totals = chunks.agg(
+        F.sum("n_tokens").alias("c_tokens"),
+        F.sum("n_docs_started").alias("c_docs"),
+    )
+    enc_tot = tx.bpe_encode_ids(docs, merges).agg(
+        F.sum("n_bpe_tokens").alias("e_tokens")
+    )
+    # law 3: chunk ids dense 0..n-1 per shard
+    not_dense = per_shard.filter(
+        F.col("max_c") + 1 != F.col("n_c")
+    ).agg(F.count(F.lit(1)).alias("n_not_dense"))
+    v = (
+        n_docs.crossJoin(F.broadcast(not_full))
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(enc_tot))
+        .crossJoin(F.broadcast(not_dense))
+    )
+    return v.select(
+        "n_docs",
+        (F.col("n_not_full") == 0).alias("chunks_full_ok"),
+        (F.col("c_tokens") == F.col("e_tokens")).alias("conservation_ok"),
+        (F.col("n_not_dense") == 0).alias("dense_ids_ok"),
+        (F.col("c_docs") == F.col("n_docs")).alias("docs_claimed_ok"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -464,3 +464,115 @@ def test_token_bins_null_and_empty_text(spark, trained_merges):
     assert all_docs == [1, 2, 3]
     total = sum(b["bin_load"] for b in bins)
     assert total == sum(len(b["token_ids"]) for b in bins)
+
+
+# --- chunk_token_stream / bpe_decode (p24 / t18) ----------------------------
+
+
+def test_chunk_token_stream_matches_python_reference(docs, spark, trained_merges):
+    """Chunks must equal a pure-python concat-then-chunk over the same
+    (md5 bucket, id) order and the same encoded id sequences."""
+    import hashlib
+
+    import numpy as np
+
+    from sparkswift.operators.packing import chunk_token_stream
+    from sparkswift.operators.text import bpe_encode_ids
+
+    enc = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in bpe_encode_ids(docs, trained_merges).collect()
+    }
+    B = 256
+    got = {
+        (r["shard"], r["chunk_id"]): (
+            list(r["token_ids"]), r["n_tokens"], r["n_docs_started"]
+        )
+        for r in chunk_token_stream(docs, trained_merges, budget=B).collect()
+    }
+    # python reference
+    by_shard: dict[str, list[tuple[str, int]]] = {}
+    for d in enc:
+        h = hashlib.md5(f"0:{d}".encode()).hexdigest()
+        by_shard.setdefault(h[:1], []).append((h, d))
+    want = {}
+    for shard, members in by_shard.items():
+        members.sort()
+        stream: list[int] = []
+        starts = []
+        for _, d in members:
+            starts.append(len(stream))
+            stream.extend(enc[d])
+        n_chunks = max(1, -(-len(stream) // B))
+        for c in range(n_chunks):
+            lo, hi = c * B, min((c + 1) * B, len(stream))
+            hi_eff = hi + 1 if c == n_chunks - 1 else hi
+            n_started = sum(1 for s in starts if lo <= s < hi_eff)
+            want[(shard, c)] = (stream[lo:hi], hi - lo, n_started)
+    assert got == want
+
+
+def test_chunk_token_stream_partition_invariant(docs, trained_merges):
+    from sparkswift.operators.packing import chunk_token_stream
+
+    a = sorted(
+        (r["shard"], r["chunk_id"], tuple(r["token_ids"]))
+        for r in chunk_token_stream(docs, trained_merges, budget=256).collect()
+    )
+    b = sorted(
+        (r["shard"], r["chunk_id"], tuple(r["token_ids"]))
+        for r in chunk_token_stream(
+            docs.repartition(11), trained_merges, budget=256
+        ).collect()
+    )
+    assert a == b
+
+
+def test_chunks_as_bins_roundtrip_through_binary_shards(
+    docs, spark, trained_merges, tmp_path
+):
+    """GPT chunks written through write_token_shards decode back with
+    the same sizes and token sums — one binary layout for both
+    packing styles."""
+    from sparkswift.operators.packing import chunk_token_stream, chunks_as_bins
+    from sparkswift.sources.writers import read_token_shards, write_token_shards
+
+    chunks = chunk_token_stream(docs, trained_merges, budget=256)
+    bins = chunks_as_bins(chunks)
+    path = str(tmp_path / "gpt_shards")
+    man = write_token_shards(bins, path, n_shards=2)
+    man_pd = man.toPandas()
+    rb = read_token_shards(spark, path).toPandas()
+    assert rb["n_tokens"].sum() == man_pd["n_tokens"].sum()
+    assert rb.groupby("shard")["token_sum"].sum().to_dict() == (
+        man_pd.set_index("shard")["token_sum"].to_dict()
+    )
+
+
+def test_bpe_decode_roundtrip_and_unk(spark, docs, trained_merges):
+    from sparkswift.operators.text import (
+        bpe_decode_text,
+        bpe_encode_ids,
+        bpe_vocab,
+    )
+
+    unk = bpe_vocab(trained_merges)["<unk>"]
+    enc = bpe_encode_ids(docs, trained_merges)
+    dec = bpe_decode_text(enc, trained_merges).join(
+        docs.select("doc_id", "text"), "doc_id"
+    )
+    norm = F.array_join(
+        F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != F.lit("")),
+        " ",
+    )
+    clean = dec.filter(~F.exists("token_ids", lambda i: i == unk))
+    assert clean.count() > 0
+    assert clean.filter(F.col("decoded") != norm).count() == 0
+    # OOV char decodes to a VISIBLE <unk>
+    oov = spark.createDataFrame(
+        [(1, "plain words then § here")], "doc_id long, text string"
+    )
+    out = bpe_decode_text(
+        bpe_encode_ids(oov, trained_merges), trained_merges
+    ).collect()[0]
+    assert "<unk>" in out["decoded"]

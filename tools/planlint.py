@@ -62,7 +62,9 @@ BNLJ_ALLOWED: dict[str, int] = {
     "p5_gate": 1,
     "p16_gate": 1,
     "p22_gate": 3,
+    "t18_bpe_decode_gate": 2,  # one-row verdict fan-in (docs x bad x planted)
     "p23_gate": 5,  # one-row verdict fan-in (docs/uniq/manifest/enc/readback)
+    "p24_gate": 4,  # one-row verdict fan-in (docs/full/totals/enc/dense)
     "st10_gate": 2,
     "agg16_heavy_hitters_gate": 8,
 }
