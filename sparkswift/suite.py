@@ -808,7 +808,11 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    visible-<unk> laws) and p24_gate (GPT concat-then-chunk over
 #    real ids: exactly-full / conservation / dense / every-doc-
 #    claimed). They take the two r5-stale filler slots (agg10, agg12
-#    move to the round-10 seed).
+#    move to the round-10 seed). p25_gate (END-TO-END training
+#    artifact: filter → dedup → BPE → FFD bins → .bin/.idx, with a
+#    SQL-re-derived selection count) takes t4_token_count's slot —
+#    t4 holds 4 green rows r1-r4 and its family keeps t17/t18 gates
+#    in-window.
 #
 # Displaced to the tail (earned fresh r8 rows, families still
 # in-window): the entire o1-o7 apply/rolling/resample cohort, the
@@ -860,7 +864,7 @@ _WINDOW = [
     "p9_corpus_build",
     "t1_text_quality",
     "t3_fingerprint",
-    "t4_token_count",
+    "p25_gate",
     "t5_repetition",
     "t7_tfidf_top_terms",
     "t8_c4_line_filter",

@@ -2267,6 +2267,103 @@ def p24_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# p25 — END-TO-END training artifact: the full last mile chained the
+# way a training run chains it — quality filter (score ≥ 70) → exact
+# dedup (min-id per normalized fingerprint) → BPE train+encode → FFD
+# token bins → Megatron .bin/.idx export. The SELECTION is exactly
+# SQL-derivable (DuckDB re-computes the filter+dedup count), and the
+# token-side laws (exactly-once, conservation vs independent encode,
+# byte-readback) certify the artifact itself. Every stage is the
+# same operator its standalone query verifies.
+# ---------------------------------------------------------------------------
+@register(
+    "p25_gate",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars_m
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, text FROM t
+      WHERE (CASE WHEN len(toks) BETWEEN 10 AND 10000 THEN 40.0 ELSE 0.0 END)
+          + (CASE WHEN CAST(n_chars_m - LENGTH(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / n_chars_m <= 0.1 THEN 30.0 ELSE 0.0 END)
+          + (CASE WHEN CAST(len(list_filter(toks, x -> x IN ({_SW_EN}))) AS DOUBLE) / len(toks) >= 0.01 THEN 30.0 ELSE 0.0 END)
+          >= 70.0
+    ),
+    s AS (
+      SELECT MIN(doc_id) AS doc_id FROM q
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(4 AS BIGINT) AS n_shards,
+           TRUE AS exactly_once_ok,
+           TRUE AS conservation_ok,
+           TRUE AS readback_ok
+    FROM s
+    """,
+)
+def p25_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sparkswift.operators.packing import pack_token_bins
+    from sparkswift.sources.writers import read_token_shards, write_token_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = tx.quality_score(docs, "text").filter(
+        F.col("quality_score") >= 70.0
+    )
+    fp = tx.fingerprint(scored, "text")
+    winners = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    selected = fp.join(winners.select("doc_id"), "doc_id").select(
+        "doc_id", "text"
+    ).localCheckpoint()
+
+    merges = tx.bpe_train(selected, num_merges=100)
+    bins = pack_token_bins(selected, merges, budget=512, n_packers=8)
+    path = tempfile.mkdtemp(prefix="p25_artifact_")
+    man = write_token_shards(bins, path, n_shards=4)
+
+    n_sel = selected.agg(F.count(F.lit(1)).cast("bigint").alias("n_selected"))
+    man_tot = man.agg(
+        F.sum("n_docs").alias("m_docs"),
+        F.sum("n_tokens").alias("m_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+    )
+    enc_tot = tx.bpe_encode_ids(selected, merges).agg(
+        F.sum("n_bpe_tokens").alias("e_tokens")
+    )
+    rb = read_token_shards(spark, path).groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("r_bins"),
+        F.sum("n_tokens").alias("r_tokens"),
+        F.sum("token_sum").alias("r_sum"),
+    )
+    bad_shards = (
+        man.join(rb, "shard", "full")
+        .filter(
+            F.col("n_bins").isNull()
+            | F.col("r_bins").isNull()
+            | (F.col("n_bins") != F.col("r_bins"))
+            | (F.col("n_tokens") != F.col("r_tokens"))
+            | (F.col("token_sum") != F.col("r_sum"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_bad_shards"))
+    )
+    v = (
+        n_sel.crossJoin(F.broadcast(man_tot))
+        .crossJoin(F.broadcast(enc_tot))
+        .crossJoin(F.broadcast(bad_shards))
+    )
+    return v.select(
+        "n_selected",
+        "n_shards",
+        (F.col("m_docs") == F.col("n_selected")).alias("exactly_once_ok"),
+        (F.col("m_tokens") == F.col("e_tokens")).alias("conservation_ok"),
+        (F.col("n_bad_shards") == 0).alias("readback_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # d15 — exact duplicate-substring dedup (ExactSubstr, Lee et al.
 # 2022, arXiv:2107.06499): every 20-token window appearing more than
 # once in the corpus keeps only its globally-first occurrence; later

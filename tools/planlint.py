@@ -65,6 +65,7 @@ BNLJ_ALLOWED: dict[str, int] = {
     "t18_bpe_decode_gate": 2,  # one-row verdict fan-in (docs x bad x planted)
     "p23_gate": 5,  # one-row verdict fan-in (docs/uniq/manifest/enc/readback)
     "p24_gate": 4,  # one-row verdict fan-in (docs/full/totals/enc/dense)
+    "p25_gate": 3,  # one-row verdict fan-in (sel/manifest/enc/readback)
     "st10_gate": 2,
     "agg16_heavy_hitters_gate": 8,
 }
