@@ -812,7 +812,10 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    artifact: filter → dedup → BPE → FFD bins → .bin/.idx, with a
 #    SQL-re-derived selection count) takes t4_token_count's slot —
 #    t4 holds 4 green rows r1-r4 and its family keeps t17/t18 gates
-#    in-window.
+#    in-window. st16_stream_semdedup_ingest (d16 as a foreachBatch
+#    crawl-ingest loop, survivor-restricted re-add law) takes
+#    t5_repetition's slot (3 green rows r2-r4; the text family keeps
+#    t1/t3/t7/t8/t9 in-window).
 #
 # Displaced to the tail (earned fresh r8 rows, families still
 # in-window): the entire o1-o7 apply/rolling/resample cohort, the
@@ -865,7 +868,7 @@ _WINDOW = [
     "t1_text_quality",
     "t3_fingerprint",
     "p25_gate",
-    "t5_repetition",
+    "st16_stream_semdedup_ingest",
     "t7_tfidf_top_terms",
     "t8_c4_line_filter",
     "t9_corpus_stats",

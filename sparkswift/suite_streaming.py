@@ -283,6 +283,87 @@ def st6_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# st16 — STREAMING embedding crawl ingest against the PERSISTED
+# SemDeDup store (d16 as a structured-streaming sink; the embedding
+# analog of st14): seed the store with the even-id half, then stream
+# the odd-id half plus verbatim RE-ADDS of the seeded half in three
+# deterministic micro-batches, each foreachBatch running semdedup_add
+# with store UPDATES on. Laws (batching-independent by construction):
+# every streamed vector emits exactly one decision row, and a re-add
+# of a seed doc that SURVIVED the seed build is a GUARANTEED hit —
+# frozen centers make assignment deterministic and the verbatim twin
+# scores cosine exactly 1 on the integer grid (same survivor
+# restriction as d16_gate/st14 — structural, not fixture luck).
+# ---------------------------------------------------------------------------
+@register(
+    "st16_stream_semdedup_ingest",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_streamed,
+           TRUE AS all_readds_hit
+    FROM embeddings
+    """,
+)
+def st16_stream_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from sparkswift.operators import similarity as sim
+    from sparkswift.streaming.ops import stream_to_parquet
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    store = "sd_st16_" + uuid.uuid4().hex[:12]
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    try:
+        seed = sim.semdedup_store_build(
+            first, store, threshold=0.35, n_clusters=16
+        )
+        stored = seed.filter(F.col("keep")).select(
+            (F.col("vec_id") + 100000).alias("vec_id")
+        )
+        base = tempfile.mkdtemp(prefix="sd_stream_")
+        src_dir, out_dir = f"{base}/src", f"{base}/decisions"
+        feed = second.unionByName(
+            first.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+        )
+        for i in range(3):  # three files → three micro-batches
+            feed.filter(F.col("vec_id") % 3 == i).repartition(1).write.mode(
+                "append"
+            ).parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+        def ingest(batch_df, _epoch_id):
+            out = sim.semdedup_add(batch_df, store, threshold=0.35)
+            out.write.mode("append").parquet(out_dir)
+
+        stream_to_parquet(src, path=None, checkpoint=f"{base}/ck", merge_fn=ingest)
+
+        res = spark.read.parquet(out_dir)
+        n = res.agg(F.count(F.lit(1)).cast("bigint").alias("n_streamed"))
+        miss = res.join(stored, "vec_id").agg(  # law over seed SURVIVORS only
+            F.coalesce(
+                F.sum(F.when(F.col("store_hit") == 0, 1).otherwise(0)),
+                F.lit(0),
+            ).alias("n_miss")
+        )
+        return (
+            n.crossJoin(F.broadcast(miss))
+            .select("n_streamed", (F.col("n_miss") == 0).alias("all_readds_hit"))
+            .localCheckpoint()
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {store}_centers")
+        spark.sql(f"DROP TABLE IF EXISTS {store}_vecs")
+
+
+# ---------------------------------------------------------------------------
 # st15 — ARBITRARY-UDF aggregation over streaming session windows
 # (applyInPandasWithState + EventTimeTimeout): per-user sessions by
 # the same 10-minute gap rule as sw1/st6, but the per-session
