@@ -174,6 +174,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_of(SF_DIR),
+        "n_queries": len(timings),
     }
 
     # second scale factor: the per-query time ratio across a 10× data
@@ -202,6 +203,18 @@ def main() -> None:
             "w",
         ) as fh:
             json.dump(detail, fh, indent=1)
+
+    # The driver records only the last ~2000 chars of stdout and parses
+    # the final JSON line; with 100+ headline rows the full dict blows
+    # that budget (BENCH_r05..r08 all show parsed=null). Full per-query
+    # detail lives in BENCH_DETAIL.json; the stdout line keeps `value`
+    # over ALL queries and trims the printed `queries` dict to the most
+    # expensive rows until the line fits.
+    out["queries"] = dict(timings)
+    while len(json.dumps(out)) > 1800 and out["queries"]:
+        cheapest = min(out["queries"], key=out["queries"].get)
+        del out["queries"][cheapest]
+    out["n_shown"] = len(out["queries"])
     print(json.dumps(out))
 
 
