@@ -225,7 +225,19 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     summ = df.select(F.col(col).alias(col)).mapInPandas(
         summarize, f"item {item_type}, cnt long"
     )
-    tot = summ.groupBy("item").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    return _mg_merge_prune(summ.withColumnRenamed("cnt", "est"), k)
+
+
+def _mg_merge_prune(partials: DataFrame, k: int) -> DataFrame:
+    """Merge ``(item, est)`` Misra-Gries partials: sum per-item, then
+    the standard merge prune — subtract the (k+1)-th largest total and
+    drop non-positives. The single-partition window runs over the
+    summed summary (≤ sources·k rows), never the data."""
+    from pyspark.sql import Window
+
+    tot = partials.groupBy("item").agg(
+        F.sum("est").cast("bigint").alias("cnt")
+    )
     w = Window.orderBy(F.col("cnt").desc(), F.col("item"))
     ranked = tot.withColumn("__rn", F.row_number().over(w))
     thr = ranked.agg(
@@ -240,3 +252,20 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 64) -> DataFrame:
         .filter(F.col("est") > 0)
         .orderBy(F.col("est").desc(), F.col("item"))
     )
+
+
+def merge_heavy_hitters(summaries: DataFrame, k: int = 64) -> DataFrame:
+    """Merge ``heavy_hitters`` outputs from disjoint slices of one
+    dataset into a single ≤ k-row summary (mergeability per Agarwal
+    et al. 2012, "Mergeable Summaries"): the merged estimates keep the
+    global MG contract — every item with total frequency > n/(k+1)
+    present, est ≤ true ≤ est + n/(k+1) — no matter how the data was
+    chopped. The 100 TB use: per-micro-batch summaries accumulated by
+    a streaming ingest loop (suite st17) or per-shard summaries from
+    an incremental corpus build, merged without ever re-touching the
+    rows that produced them.
+
+    Input: ``(item, est)`` rows — the union of per-slice summaries.
+    Returns ``(item, est)`` with ≤ k rows, est descending.
+    """
+    return _mg_merge_prune(summaries.select("item", "est"), k)

@@ -803,8 +803,13 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    interpolated), g1_pagerank (tol=1e-9 early-exit is now the
 #    headline config), d12_semdedup + d12_gate (semdedup internals
 #    refactored through _semdedup_batch_flags).
-# 6. The round's two late additions (new code always outranks a
-#    staleness refresh): t18_bpe_decode_gate (BPE decode round-trip +
+# 6. The round's late additions (new code always outranks a
+#    staleness refresh): st17_stream_heavy_hitters (streaming
+#    Misra-Gries ingest loop — per-batch ≤ k-row summaries merged via
+#    the Agarwal-2012 mergeability theorem, batching-independent
+#    verdict) takes w2_running_total's slot (3 green rows r1/r2/r4;
+#    w1 keeps the window family in-window). t18_bpe_decode_gate (BPE
+#    decode round-trip +
 #    visible-<unk> laws) and p24_gate (GPT concat-then-chunk over
 #    real ids: exactly-full / conservation / dense / every-doc-
 #    claimed). They take the two r5-stale filler slots (agg10, agg12
@@ -873,7 +878,7 @@ _WINDOW = [
     "t8_c4_line_filter",
     "t9_corpus_stats",
     "w1_rank_lag",
-    "w2_running_total",
+    "st17_stream_heavy_hitters",
     # --- (4) new this round ---
     "p23_token_shards",
     "p23_gate",

@@ -844,3 +844,117 @@ def st14_stream_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {store}_buckets")
         spark.sql(f"DROP TABLE IF EXISTS {store}_sigs")
+
+
+# ---------------------------------------------------------------------------
+# st17 — STREAMING heavy hitters: the agg16 Misra-Gries summary as an
+# ingest-time loop. Each micro-batch computes its own bounded ≤ k-row
+# MG summary (heavy_hitters — one mapInPandas pass, ≤ P·k rows
+# shuffled); the loop appends summaries (never rows) to a summary
+# sink, and the final answer merges them with one ≤ batches·k-row
+# merge-prune (merge_heavy_hitters). This is the 100 TB hot-key
+# discovery loop: state and shuffle are O(k) per batch regardless of
+# row count or key cardinality, and the mergeability theorem
+# (Agarwal et al. 2012) makes the verdict batching-INDEPENDENT even
+# though raw estimates are not: every key with total frequency >
+# n/(k+1) must survive the merge, and every estimate must satisfy
+# est ≤ true ≤ est + n/(k+1), no matter how the stream was chopped.
+# Keys are remapped exactly as agg16 (3 hot keys at ~10% of rows over
+# a uniform tail — natural TPC-H keys are uniform, the guarantee
+# would be vacuous); the chop hash is independent of the hot-key
+# remap so hot keys span all three micro-batches. n_rows comes from
+# the per-batch count sidecar, so it also attests every streamed row
+# was summarized exactly once.
+# ---------------------------------------------------------------------------
+_ST17_K = 64
+
+
+@register(
+    "st17_stream_heavy_hitters",
+    f"""
+    WITH sk AS (SELECT CASE WHEN l_orderkey % 10 < 3 THEN l_orderkey % 3
+                            ELSE 1000000 + l_partkey END AS key
+                FROM lineitem),
+    c AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS cnt FROM sk GROUP BY key),
+    n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows FROM c)
+    SELECT n.n_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c, n
+             WHERE cnt > CAST(n.n_rows AS DOUBLE) / {_ST17_K + 1})
+             AS n_true_heavy,
+           TRUE AS all_heavy_present, TRUE AS est_within_bound
+    FROM n
+    """,
+)
+def st17_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sparkswift.operators.profile import heavy_hitters, merge_heavy_hitters
+    from sparkswift.streaming.ops import stream_to_parquet
+
+    k = _ST17_K
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 < 3, F.col("l_orderkey") % 3)
+        .otherwise(F.lit(1000000) + F.col("l_partkey"))
+        .alias("key"),
+        (
+            F.xxhash64("l_orderkey", "l_partkey", "l_linenumber") % 3
+        ).alias("__chop"),
+    )
+
+    base = tempfile.mkdtemp(prefix="hh_stream_")
+    src_dir, summ_dir, cnt_dir = f"{base}/src", f"{base}/summ", f"{base}/cnt"
+    for i in range(3):  # three files → three micro-batches
+        li.filter(F.abs(F.col("__chop")) == i).select("key").repartition(
+            1
+        ).write.mode("append").parquet(src_dir)
+
+    schema = spark.read.parquet(src_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def ingest(batch_df, _epoch_id):
+        heavy_hitters(batch_df, "key", k=k).write.mode("append").parquet(
+            summ_dir
+        )
+        batch_df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        ).write.mode("append").parquet(cnt_dir)
+
+    stream_to_parquet(src, path=None, checkpoint=f"{base}/ck", merge_fn=ingest)
+
+    cand = merge_heavy_hitters(spark.read.parquet(summ_dir), k=k)
+    exact = li.groupBy(F.col("key").alias("item")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_cnt")
+    )
+    n_df = spark.read.parquet(cnt_dir).agg(
+        F.sum("n").cast("bigint").alias("n_rows")
+    )
+    bound = F.col("n_rows").cast("double") / (k + 1)
+    heavy = exact.crossJoin(F.broadcast(n_df)).filter(F.col("true_cnt") > bound)
+    n_heavy = heavy.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_heavy"))
+    missing = heavy.join(cand, "item", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_missing")
+    )
+    est_bad = (
+        cand.join(exact, "item")
+        .crossJoin(F.broadcast(n_df))
+        .filter(
+            (F.col("est") > F.col("true_cnt"))
+            | (F.col("true_cnt") - F.col("est") > bound)
+        )
+        .agg(F.count(F.lit(1)).alias("n_bad"))
+    )
+    one = (
+        n_df.crossJoin(F.broadcast(n_heavy))
+        .crossJoin(F.broadcast(missing))
+        .crossJoin(F.broadcast(est_bad))
+    )
+    return one.select(
+        "n_rows",
+        "n_true_heavy",
+        (F.col("n_missing") == 0).alias("all_heavy_present"),
+        (F.col("n_bad") == 0).alias("est_within_bound"),
+    ).localCheckpoint()

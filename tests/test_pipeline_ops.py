@@ -665,6 +665,41 @@ def test_heavy_hitters_exact_when_cardinality_below_k(spark):
     assert got == pdf["key"].value_counts().to_dict()
 
 
+def test_merge_heavy_hitters_chop_invariant_guarantees(spark):
+    """Mergeable-summaries contract (Agarwal et al. 2012): per-slice
+    MG summaries merged with merge_heavy_hitters keep the GLOBAL
+    guarantees for every way of chopping the data — all items with
+    total freq > n/(k+1) survive the merge, est <= true, undercount
+    <= n/(k+1) — and the merged summary stays <= k rows."""
+    import pandas as pd
+
+    from sparkswift.operators.profile import heavy_hitters, merge_heavy_hitters
+
+    rows = [i % 7 if i % 3 else 999 for i in range(3000)]
+    rows += [421] * 400  # second hot key, concentrated in the tail
+    pdf = pd.DataFrame({"key": rows})
+    n = len(rows)
+    truth = pdf["key"].value_counts().to_dict()
+    k = 8
+    for n_slices in (2, 3, 5):
+        summaries = None
+        for s in range(n_slices):
+            sl = spark.createDataFrame(pdf.iloc[s::n_slices]).repartition(3)
+            part = heavy_hitters(sl, "key", k=k)
+            summaries = part if summaries is None else summaries.unionByName(part)
+        got = {
+            r.item: r.est
+            for r in merge_heavy_hitters(summaries, k=k).collect()
+        }
+        assert len(got) <= k, n_slices
+        for item, true_cnt in truth.items():
+            if true_cnt > n / (k + 1):
+                assert item in got, (n_slices, item)
+        for item, est in got.items():
+            assert est <= truth[item], (n_slices, item)
+            assert truth[item] - est <= n / (k + 1), (n_slices, item)
+
+
 def test_neardup_incremental_torn_store_pair_raises(spark, sf_dir):
     """A half-written store pair (one table of the two) must raise
     loudly instead of silently re-bootstrapping — the silent path
