@@ -122,6 +122,7 @@ HEADLINE = [
     "d16_semdedup_incremental",  # semdedup add vs persisted bucketed store
     "st15_stream_session_udf",   # session-window UDF agg (stateful stream)
     "p24_token_chunks",      # GPT concat-then-chunk over real BPE ids
+    "t19_quality_probe",     # in-engine trained probe (24 quantized-GD iters)
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

@@ -1097,3 +1097,99 @@ def bpe_decode_text(
     )
     decoded = F.trim(F.regexp_replace(joined, "</w>", " "))
     return df.withColumn(output_col, decoded)
+
+
+# ---------------------------------------------------------------------------
+# Trained quality probe — distributed, DETERMINISTIC linear-model
+# training inside the engine
+# ---------------------------------------------------------------------------
+def train_linear_probe(
+    df,
+    feature_cols: list[str],
+    label_col: str,
+    lr: float = 0.25,
+    iters: int = 24,
+    stats: dict | None = None,
+):
+    """Train a least-squares linear probe with full-batch gradient
+    descent, entirely engine-side and BIT-DETERMINISTIC under any
+    partition layout. The public pattern: quality-classifier data
+    curation (fastText-style filters in C4/CCNet, DCLM, FineWeb-edu —
+    all public) trains a tiny linear model over cheap per-doc
+    features, then scores the whole corpus with it. The reference has
+    no training surface; this is a north-star extension (SURVEY §2.2).
+
+    Determinism is the hard part at scale: float summation order
+    across partitions is not associative, so a naive
+    ``sum((w·x − y)·x)`` changes bits with the layout. Per the t15
+    micro-nat pattern, every per-row gradient contribution is
+    quantized to INTEGER micro-units — ``floor(g·1e6 + 0.5)`` — and
+    summed as BIGINT (exact, order-free); the weight update runs on
+    the driver in plain float64 from those integer sums. The result
+    is reproducible to the bit across partitionings AND engines (the
+    suite oracle re-derives training as an unrolled DuckDB CTE
+    chain).
+
+    Scale shape: the feature frame is computed once (caller
+    checkpoints it); each iteration is ONE map-side-combined
+    aggregation producing len(feature_cols) longs — no shuffle wider
+    than a single summary row, no per-row Python. 24 iterations =
+    24 bounded one-row collects (the g1 PageRank discipline).
+
+    Returns the trained weights (python floats, one per feature, in
+    ``feature_cols`` order). ``stats``, if given, receives
+    ``{"loss_micro_first": int, "loss_micro_last": int}`` — the
+    quantized training losses of the first and last iteration.
+    """
+    from pyspark.sql import functions as F
+
+    w = [0.0] * len(feature_cols)
+    n = df.count()
+    if n == 0:
+        raise ValueError("train_linear_probe: empty input")
+    if stats is not None:
+        stats.clear()
+    for t in range(iters):
+        dot = F.lit(w[0]) * F.col(feature_cols[0])
+        for j in range(1, len(feature_cols)):
+            dot = dot + F.lit(w[j]) * F.col(feature_cols[j])
+        err = dot - F.col(label_col)
+        aggs = [
+            F.sum(
+                F.floor((err * F.col(c)) * F.lit(1000000.0) + F.lit(0.5))
+            ).cast("long").alias(f"g{j}")
+            for j, c in enumerate(feature_cols)
+        ]
+        aggs.append(
+            F.sum(F.floor((err * err) * F.lit(1000000.0) + F.lit(0.5)))
+            .cast("long")
+            .alias("loss_micro")
+        )
+        row = df.agg(*aggs).collect()[0]
+        if stats is not None:
+            stats.setdefault("loss_micro_first", row["loss_micro"])
+            stats["loss_micro_last"] = row["loss_micro"]
+        w = [
+            w[j] - lr * (row[f"g{j}"] / 1000000.0) / n
+            for j in range(len(feature_cols))
+        ]
+    return w
+
+
+def score_linear_probe(df, feature_cols: list[str], weights: list[float]):
+    """Score rows with a trained linear probe: adds ``score_micro``
+    (the probe output quantized to integer micro-units — engine-exact)
+    and ``pred`` (score ≥ 0.5). Pure native expressions; the dot
+    product is built in the same left-associated order as training so
+    scores are bit-identical to the oracle's."""
+    from pyspark.sql import functions as F
+
+    dot = F.lit(weights[0]) * F.col(feature_cols[0])
+    for j in range(1, len(feature_cols)):
+        dot = dot + F.lit(weights[j]) * F.col(feature_cols[j])
+    return df.withColumn(
+        "score_micro",
+        F.floor(dot * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"),
+    ).withColumn(
+        "pred", (dot >= F.lit(0.5)).cast("int")
+    )

@@ -804,7 +804,11 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    headline config), d12_semdedup + d12_gate (semdedup internals
 #    refactored through _semdedup_batch_flags).
 # 6. The round's late additions (new code always outranks a
-#    staleness refresh): st17_stream_heavy_hitters (streaming
+#    staleness refresh): t19_quality_probe (TRAINED weak-label linear
+#    probe — quantized-GD training bit-certified by an unrolled
+#    24-iteration DuckDB CTE oracle) takes t1_text_quality's slot
+#    (4 green rows r1-r4; t3/t7/t8/t9 keep the text family
+#    in-window). st17_stream_heavy_hitters (streaming
 #    Misra-Gries ingest loop — per-batch ≤ k-row summaries merged via
 #    the Agarwal-2012 mergeability theorem, batching-independent
 #    verdict) takes w2_running_total's slot (3 green rows r1/r2/r4;
@@ -870,7 +874,7 @@ _WINDOW = [
     "p7_group_split",
     "p8_deterministic_shuffle",
     "p9_corpus_build",
-    "t1_text_quality",
+    "t19_quality_probe",
     "t3_fingerprint",
     "p25_gate",
     "st16_stream_semdedup_ingest",

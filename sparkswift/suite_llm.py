@@ -2376,3 +2376,114 @@ def p25_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d15_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dd.substring_dedup(docs, window=20)
+
+
+# ---------------------------------------------------------------------------
+# t19 — TRAINED quality probe: weak-label linear-model training INSIDE
+# the engine, bit-certified end-to-end. The public data-curation
+# pattern (C4/CCNet fastText filters, DCLM, FineWeb-edu classifiers):
+# cheap per-doc features + a weak label train a tiny model, which then
+# scores the whole corpus. Here the weak label is marker-word
+# supervision (docs containing ' vector ' — the label-generating
+# signal is IN the feature set, so the probe genuinely recovers it:
+# training accuracy reaches 1.0 on the fixture at every SF), features
+# are presence indicators computed with pure length/replace arithmetic
+# (identical in Spark and DuckDB — no regex divergence), and training
+# is the quantized-GD loop of train_linear_probe: per-row gradient
+# contributions floored to integer MICRO-UNITS and summed as BIGINT,
+# so the trained weights are bit-identical under any partition layout
+# AND re-derivable by the oracle — which re-runs all 24 GD iterations
+# as an unrolled DuckDB CTE chain and must match per-doc quantized
+# scores EXACTLY. Scale shape: one feature pass (checkpointed), then
+# 24 map-side-combined one-row aggregations; scoring is one native
+# projection. No per-row Python anywhere.
+# ---------------------------------------------------------------------------
+_T19_WORDS = ["vector", "merge", "filter", "window", "stream"]
+_T19_LR = 0.25
+_T19_ITERS = 24
+
+
+def _t19_feat_sql(w: str) -> str:
+    pat = f" {w} "
+    return (
+        f"least((length(' ' || txt || ' ') - "
+        f"length(replace(' ' || txt || ' ', ' {w} ', ''))) / {len(pat)}, 1)"
+    )
+
+
+def _t19_oracle() -> str:
+    cols = ["x_bias"] + [f"x_{w}" for w in _T19_WORDS]
+    feat_exprs = ", ".join(
+        ["1.0 AS x_bias"]
+        + [f"{_t19_feat_sql(w)} AS x_{w}" for w in _T19_WORDS]
+    )
+
+    def dot(it: str) -> str:
+        terms = " + ".join(f"{it}.w{j} * {c}" for j, c in enumerate(cols))
+        return f"({terms})"
+
+    parts = [
+        "WITH feat AS MATERIALIZED (SELECT doc_id, "
+        + feat_exprs
+        + ", CASE WHEN "
+        + _t19_feat_sql(_T19_WORDS[0])
+        + " >= 1 THEN 1.0 ELSE 0.0 END AS y"
+        + " FROM (SELECT doc_id, COALESCE(text, '') AS txt FROM documents))",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM feat)",
+        "it0 AS (SELECT "
+        + ", ".join(f"0.0 AS w{j}" for j in range(len(cols)))
+        + ")",
+    ]
+    for t in range(_T19_ITERS):
+        gsums = ", ".join(
+            f"CAST(SUM(CAST(FLOOR((({dot(f'it{t}')} - y) * {c}) * 1000000.0"
+            f" + 0.5) AS BIGINT)) AS BIGINT) AS g{j}"
+            for j, c in enumerate(cols)
+        )
+        parts.append(f"g{t} AS MATERIALIZED (SELECT {gsums} FROM feat, it{t})")
+        upds = ", ".join(
+            f"it{t}.w{j} - {_T19_LR} * (CAST(g{t}.g{j} AS DOUBLE) /"
+            f" 1000000.0) / nn.n AS w{j}"
+            for j in range(len(cols))
+        )
+        parts.append(
+            f"it{t + 1} AS MATERIALIZED (SELECT {upds} FROM g{t}, it{t}, nn)"
+        )
+    fin = f"it{_T19_ITERS}"
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT doc_id,
+           CAST(y AS BIGINT) AS y,
+           CAST(FLOOR({dot(fin)} * 1000000.0 + 0.5) AS BIGINT)
+             AS score_micro,
+           CAST(CASE WHEN {dot(fin)} >= 0.5 THEN 1 ELSE 0 END AS INT)
+             AS pred
+    FROM feat, {fin}
+    """
+    )
+
+
+@register("t19_quality_probe", _t19_oracle())
+def t19_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = ["x_bias"] + [f"x_{w}" for w in _T19_WORDS]
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("txt")
+    )
+    feat = docs.select(
+        "doc_id",
+        F.lit(1.0).alias("x_bias"),
+        *[F.expr(_t19_feat_sql(w)).alias(f"x_{w}") for w in _T19_WORDS],
+    ).withColumn(
+        "y",
+        F.when(F.col(f"x_{_T19_WORDS[0]}") >= 1, F.lit(1.0)).otherwise(
+            F.lit(0.0)
+        ),
+    ).localCheckpoint()  # one feature pass; 24 tiny aggs follow
+    w = tx.train_linear_probe(feat, cols, "y", lr=_T19_LR, iters=_T19_ITERS)
+    return tx.score_linear_probe(feat, cols, w).select(
+        "doc_id",
+        F.col("y").cast("bigint").alias("y"),
+        "score_micro",
+        "pred",
+    )

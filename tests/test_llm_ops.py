@@ -1098,3 +1098,50 @@ def test_semdedup_store_compaction_preserves_probe(spark, emb, sd_store):
         .reset_index(drop=True)
     )
     assert before.equals(after)
+
+
+def test_linear_probe_layout_invariant_and_learns(spark):
+    """Quantized-GD determinism: trained weights are bit-identical
+    under every partition layout (integer micro-unit gradient sums),
+    the quantized loss decreases, and the probe recovers a planted
+    linearly-separable signal exactly."""
+    import pandas as pd
+
+    from sparkswift.operators.text import (
+        score_linear_probe,
+        train_linear_probe,
+    )
+
+    rows = []
+    for i in range(600):
+        has = 1.0 if i % 3 else 0.0  # planted signal
+        noise = float((i * 7) % 2)
+        rows.append((i, 1.0, has, noise, has))
+    pdf = pd.DataFrame(rows, columns=["id", "x_bias", "x_sig", "x_noise", "y"])
+    cols = ["x_bias", "x_sig", "x_noise"]
+
+    weights, first_stats = [], None
+    for parts in (1, 4, 13):
+        df = spark.createDataFrame(pdf).repartition(parts)
+        stats = {}
+        w = train_linear_probe(df, cols, "y", lr=0.25, iters=24, stats=stats)
+        weights.append(w)
+        if first_stats is None:
+            first_stats = stats
+        assert stats["loss_micro_last"] < stats["loss_micro_first"]
+    assert weights[0] == weights[1] == weights[2]  # bit-exact
+
+    scored = score_linear_probe(
+        spark.createDataFrame(pdf), cols, weights[0]
+    ).toPandas()
+    assert (scored["pred"] == scored["y"].astype(int)).all()
+
+
+def test_t19_fixture_probe_reaches_full_training_accuracy(spark, sf_dir):
+    """The suite query's weak-label probe separates its marker signal
+    completely on the fixture (pred == y for every doc)."""
+    from sparkswift import suite
+
+    out = suite.queries()["t19_quality_probe"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out["pred"] == out["y"]).all()
