@@ -123,6 +123,7 @@ HEADLINE = [
     "st15_stream_session_udf",   # session-window UDF agg (stateful stream)
     "p24_token_chunks",      # GPT concat-then-chunk over real BPE ids
     "t19_quality_probe",     # in-engine trained probe (24 quantized-GD iters)
+    "e8_pca_gram",           # quantized Gramian (the data-sized PCA pass)
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

@@ -1,0 +1,130 @@
+"""Distributed PCA over embedding columns — the dimensionality-
+reduction stage of an embedding pipeline (public pattern: PCA/OPQ
+preprocessing before IVF/PQ indexing, Jegou et al.; dataset
+visualization; whitening before SemDeDup-style clustering).
+
+Reference scope note: swifter has no linear-algebra surface — this is
+a north-star extension (SURVEY §2.2), built Spark-first.
+
+Scale shape — the only data-sized pass is the GRAMIAN:
+
+* ``pca_gram`` computes the d·(d+1)/2 upper-triangle second-moment
+  sums plus the d first-moment sums in ONE mapInPandas pass: each
+  Arrow batch contributes a numpy outer-product partial, quantized to
+  integer micro-units PER ROW (floor(v·1e6 + 0.5)) and accumulated as
+  int64 — so the shuffle carries ≤ partitions · (d²/2 + d) integer
+  rows, never vectors, and the result is BIT-EXACT under any
+  partition layout (integer addition is order-free). The suite oracle
+  re-derives every sum in DuckDB from the same quantization.
+* ``pca_fit`` turns those exact integer sums into a covariance matrix
+  on the driver (float64, deterministic given exact inputs), runs
+  ``numpy.linalg.eigh`` on the d×d matrix (driver-side: d is small by
+  construction — 64 here; the 100 TB cost lives in the Gramian pass,
+  not the eigendecomposition), and pins a sign convention (largest-
+  magnitude component coordinate positive) so components are unique.
+* ``pca_project`` is one native-expression projection: each output
+  coordinate is a left-associated dot product of the (broadcast
+  literal) component with the vector column — whole-stage codegen,
+  no Python, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_Q = 1_000_000.0
+
+
+def pca_gram(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Quantized Gramian: returns ``(i, j, s)`` with 1-based indices
+    — rows ``j == 0`` carry the first-moment sums Σ floor(x_i·1e6+.5)
+    and rows ``1 ≤ i ≤ j`` the second-moment sums
+    Σ floor(x_i·x_j·1e6+.5) (upper triangle). Exact integers, layout-
+    independent; see module docstring for the scale shape."""
+    import numpy as np
+    import pandas as pd
+
+    def partial(batches):
+        s1 = np.zeros(dim, dtype=np.int64)
+        s2 = np.zeros((dim, dim), dtype=np.int64)
+        for pdf in batches:
+            for v in pdf[vec_col]:
+                x = np.asarray(v, dtype=np.float64)
+                s1 += np.floor(x * _Q + 0.5).astype(np.int64)
+                s2 += np.floor(np.outer(x, x) * _Q + 0.5).astype(np.int64)
+        iu = np.triu_indices(dim)
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([np.arange(1, dim + 1), iu[0] + 1]),
+                "j": np.concatenate([np.zeros(dim, dtype=np.int64), iu[1] + 1]),
+                "s": np.concatenate([s1, s2[iu]]),
+            }
+        )
+
+    partials = df.select(vec_col).mapInPandas(partial, "i long, j long, s long")
+    return partials.groupBy("i", "j").agg(F.sum("s").alias("s"))
+
+
+def pca_fit(df: DataFrame, vec_col: str, dim: int, k: int):
+    """Fit PCA from the exact Gramian. Returns ``(components, stats)``
+    where components is a (k, dim) float64 ndarray (rows = top-k
+    eigenvectors of the covariance, descending eigenvalue, sign
+    pinned) and stats = {"n": int, "eigvals": list, "total_var":
+    float}. Driver math is float64 over exact integer sums —
+    deterministic for a given dataset regardless of layout."""
+    import numpy as np
+
+    rows = pca_gram(df, vec_col, dim).collect()
+    n = df.count()
+    if n < 2:
+        raise ValueError("pca_fit: need at least 2 vectors")
+    s1 = np.zeros(dim)
+    m2 = np.zeros((dim, dim))
+    for r in rows:
+        if r.j == 0:
+            s1[r.i - 1] = r.s
+        else:
+            m2[r.i - 1, r.j - 1] = r.s
+            m2[r.j - 1, r.i - 1] = r.s
+    mean = s1 / _Q / n
+    cov = m2 / _Q / n - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigvals)[::-1][:k]
+    comps = eigvecs[:, order].T.copy()
+    vals = eigvals[order]
+    for r in range(comps.shape[0]):  # sign convention: peak coord > 0
+        p = np.argmax(np.abs(comps[r]))
+        if comps[r, p] < 0:
+            comps[r] = -comps[r]
+    stats = {
+        "n": int(n),
+        "eigvals": [float(v) for v in vals],
+        "total_var": float(np.trace(cov)),
+        "mean": mean,
+    }
+    return comps, stats
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str,
+    components,
+    mean=None,
+    out_prefix: str = "pc",
+) -> DataFrame:
+    """Project vectors onto fitted components with native expressions:
+    ``pc{r} = Σ_i comp[r][i] · (x_i − mean_i)`` as a left-associated
+    literal dot product — codegen'd, no Python, no shuffle."""
+    k, dim = len(components), len(components[0])
+    cols = list(df.columns)
+    for r in range(k):
+        expr = None
+        for i in range(dim):
+            xi = F.element_at(F.col(vec_col), i + 1).cast("double")
+            if mean is not None:
+                xi = xi - F.lit(float(mean[i]))
+            term = F.lit(float(components[r][i])) * xi
+            expr = term if expr is None else expr + term
+        cols.append(expr.alias(f"{out_prefix}{r + 1}"))
+    return df.select(*cols)

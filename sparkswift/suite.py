@@ -804,7 +804,12 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    headline config), d12_semdedup + d12_gate (semdedup internals
 #    refactored through _semdedup_batch_flags).
 # 6. The round's late additions (new code always outranks a
-#    staleness refresh): t19_quality_probe (TRAINED weak-label linear
+#    staleness refresh): e8_pca_gram + e8_gate (distributed PCA —
+#    exact-oracled quantized Gramian + fit/projection spectral laws)
+#    take agg6_pivot's slot (4 green rows r1-r4; agg3/agg7 keep the
+#    agg family in-window) and o6_resample_closed_right's slot
+#    (3 green rows r2-r4; resample cohort all earned r8 rows).
+#    t19_quality_probe (TRAINED weak-label linear
 #    probe — quantized-GD training bit-certified by an unrolled
 #    24-iteration DuckDB CTE oracle) takes t1_text_quality's slot
 #    (4 green rows r1-r4; t3/t7/t8/t9 keep the text family
@@ -862,12 +867,12 @@ _WINDOW = [
     "j3_anti_join",
     # --- (3) r4-stale ---
     "agg3_rollup",
-    "agg6_pivot",
+    "e8_pca_gram",
     "agg7_grouping_sets",
     "d2_ngram_jaccard",
     "d7_dedup_clusters",
     "d9_dedup_clusters_star",
-    "o6_resample_closed_right",
+    "e8_gate",
     "p1_deterministic_sample",
     "p3_decontaminate",
     "p6_pack_sequences",

@@ -1354,3 +1354,71 @@ _resolve_placeholder("d3_gate", "__D2_ORACLE__", "d2_ngram_jaccard")
 _resolve_placeholder("d6_gate", "__NEARDUP_ORACLE__", "d5_embedding_neardup")
 _resolve_placeholder("d8_gate", "__D7_ORACLE__", "d7_dedup_clusters")
 _resolve_placeholder("p5_gate", "__P3_ORACLE__", "p3_decontaminate")
+
+
+# ---------------------------------------------------------------------------
+# e8_gate — PCA fit/project laws on the REAL fixture. The Gramian is
+# exact-oracled by e8_pca_gram; this gate certifies the driver-side
+# fit and the native-expression projection: (a) components
+# orthonormal (max |QQᵀ − I| < 1e-9), (b) eigenvalues descending and
+# non-negative (≥ −1e-9 numerical floor), (c) the DISTRIBUTED
+# variance of each projected coordinate matches its eigenvalue
+# within the QUANTIZATION budget (the spectral-decomposition
+# identity — ties the projection expressions back to the fit): each
+# covariance entry absorbs ≤ 0.5/1e6 per-row quantization error, so
+# eigenvalues may drift ≤ d·0.5e-6 = 3.2e-5 from the unquantized
+# projection variance — the law uses 5e-4 absolute, a ~15× margin
+# that is still 100× tighter than the smallest fixture eigenvalue,
+# (d) top-k variance never exceeds total variance (+ the same
+# budget). n_vecs anchors the oracle to the table. Laws are
+# float-tolerance booleans, but the inputs are exact integer Gramian
+# sums, so the verdict is layout-deterministic.
+# ---------------------------------------------------------------------------
+_E8_K = 8
+
+
+@register(
+    "e8_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           TRUE AS orthonormal, TRUE AS eig_sorted,
+           TRUE AS var_matches_eig, TRUE AS var_bounded
+    FROM embeddings
+    """,
+)
+def e8_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from sparkswift.operators.pca import pca_fit, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps, stats = pca_fit(emb, "embedding", dim=64, k=_E8_K)
+    q = np.asarray(comps)
+    orth = bool(np.abs(q @ q.T - np.eye(_E8_K)).max() < 1e-9)
+    vals = stats["eigvals"]
+    eig_sorted = bool(
+        all(vals[r] >= vals[r + 1] for r in range(len(vals) - 1))
+        and vals[-1] >= -1e-9
+    )
+    proj = pca_project(emb, "embedding", comps, mean=stats["mean"])
+    var_row = proj.agg(
+        *[
+            F.avg(F.col(f"pc{r + 1}") * F.col(f"pc{r + 1}")).alias(f"m2_{r}")
+            for r in range(_E8_K)
+        ],
+        *[F.avg(f"pc{r + 1}").alias(f"m1_{r}") for r in range(_E8_K)],
+    ).collect()[0]
+    var_ok, bounded = True, True
+    topk_var = 0.0
+    for r in range(_E8_K):
+        v = var_row[f"m2_{r}"] - var_row[f"m1_{r}"] ** 2
+        topk_var += v
+        if abs(v - vals[r]) > 5e-4:  # quantization budget, see header
+            var_ok = False
+    if topk_var > stats["total_var"] + 5e-4:
+        bounded = False
+    return spark.createDataFrame(
+        [(stats["n"], orth, eig_sorted, var_ok, bounded)],
+        "n_vecs bigint, orthonormal boolean, eig_sorted boolean,"
+        " var_matches_eig boolean, var_bounded boolean",
+    )

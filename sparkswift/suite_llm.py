@@ -2487,3 +2487,41 @@ def t19_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_micro",
         "pred",
     )
+
+
+# ---------------------------------------------------------------------------
+# e8 — distributed PCA: the quantized-Gramian pass (the ONLY
+# data-sized stage of PCA at 100 TB) with an exact DuckDB oracle.
+# Per-row outer products are floored to integer micro-units inside
+# one mapInPandas pass and summed as int64 — bit-exact under any
+# layout, shuffle ≤ partitions · (d²/2 + d) integer rows. j=0 rows
+# carry the first moments (for centering), 1 ≤ i ≤ j the upper
+# triangle of the second-moment matrix.
+# ---------------------------------------------------------------------------
+_E8_DIM = 64
+
+
+@register(
+    "e8_pca_gram",
+    f"""
+    WITH e AS MATERIALIZED (SELECT embedding FROM embeddings),
+    d AS (SELECT i FROM generate_series(1, {_E8_DIM}) AS g(i)),
+    m1 AS (SELECT CAST(d.i AS BIGINT) AS i, CAST(0 AS BIGINT) AS j,
+             CAST(SUM(CAST(FLOOR(CAST(e.embedding[d.i] AS DOUBLE)
+                  * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s
+           FROM e, d GROUP BY d.i),
+    m2 AS (SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+             CAST(SUM(CAST(FLOOR(CAST(e.embedding[p.i] AS DOUBLE)
+                  * CAST(e.embedding[p.j] AS DOUBLE)
+                  * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s
+           FROM e, (SELECT a.i AS i, b.i AS j
+                    FROM d AS a, d AS b WHERE a.i <= b.i) p
+           GROUP BY p.i, p.j)
+    SELECT i, j, s FROM m1 UNION ALL SELECT i, j, s FROM m2
+    """,
+)
+def e8_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.pca import pca_gram
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_gram(emb, "embedding", _E8_DIM)

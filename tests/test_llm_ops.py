@@ -1145,3 +1145,62 @@ def test_t19_fixture_probe_reaches_full_training_accuracy(spark, sf_dir):
     out = suite.queries()["t19_quality_probe"](spark, sf_dir).toPandas()
     assert len(out) > 0
     assert (out["pred"] == out["y"]).all()
+
+
+def test_pca_gram_layout_invariant_and_fit_matches_numpy(spark):
+    """pca_gram's integer sums are bit-identical under every layout,
+    and pca_fit's eigenpairs match a numpy PCA of the SAME quantized
+    covariance exactly (driver math is deterministic given the exact
+    integer Gramian); projected coordinates agree with the numpy
+    projection to float tolerance."""
+    import numpy as np
+    import pandas as pd
+
+    from sparkswift.operators.pca import pca_fit, pca_gram, pca_project
+
+    rng = np.random.RandomState(7)
+    dim, n, k = 8, 400, 3
+    base = rng.randn(n, 3) @ rng.randn(3, dim)  # rank-3 signal
+    X = (base + 0.01 * rng.randn(n, dim)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(n), "embedding": list(map(list, X))})
+
+    grams = []
+    for parts in (1, 5, 11):
+        df = spark.createDataFrame(pdf).repartition(parts)
+        g = (
+            pca_gram(df, "embedding", dim)
+            .toPandas()
+            .sort_values(["i", "j"])
+            .reset_index(drop=True)
+        )
+        grams.append(g)
+    assert grams[0].equals(grams[1]) and grams[0].equals(grams[2])
+
+    df = spark.createDataFrame(pdf).repartition(5)
+    comps, stats = pca_fit(df, "embedding", dim, k)
+
+    # numpy reference over the same quantization
+    Xd = X.astype(np.float64)
+    s1 = np.floor(Xd * 1e6 + 0.5).astype(np.int64).sum(0)
+    s2 = np.zeros((dim, dim), dtype=np.int64)
+    for row in Xd:
+        s2 += np.floor(np.outer(row, row) * 1e6 + 0.5).astype(np.int64)
+    mean = s1 / 1e6 / n
+    cov = s2 / 1e6 / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    np.testing.assert_allclose(stats["eigvals"], evals[order], rtol=0, atol=0)
+
+    proj = (
+        pca_project(df.select("vec_id", "embedding"), "embedding", comps,
+                    mean=stats["mean"])
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    ref = (Xd - mean) @ np.asarray(comps).T
+    got = proj[[f"pc{r + 1}" for r in range(k)]].to_numpy()
+    np.testing.assert_allclose(got, ref, atol=1e-9)
+
+    # top-3 of a rank-3-plus-noise cloud captures almost everything
+    assert sum(stats["eigvals"]) > 0.99 * stats["total_var"]
