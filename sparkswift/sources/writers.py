@@ -535,3 +535,145 @@ def read_token_shards(spark: SparkSession, path: str) -> DataFrame:
             _decode, "shard int, seq bigint, n_tokens bigint, token_sum bigint"
         )
     )
+
+
+def write_webdataset_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    member_cols: dict[str, str],
+    n_shards: int = 8,
+) -> DataFrame:
+    """Materialize samples as WebDataset-layout tar shards (public
+    format: github.com/webdataset/webdataset — the standard container
+    for multimodal training data): ``shard_K.tar`` holds each
+    sample's members as ``{key:012d}.{ext}`` files, samples in key
+    order, so a training loader streams sequential tar reads with no
+    index. ``member_cols`` maps extension → column (``string`` is
+    UTF-8 encoded, ``binary`` written as-is — images/audio ride
+    alongside text transparently).
+
+    Determinism: shard = ``pmod(key, n_shards)`` (integer arithmetic,
+    SQL-re-derivable), members in sorted-extension order within a
+    sample, and tar metadata pinned (USTAR, mtime=0, uid/gid=0,
+    mode 644) — shard BYTES are a pure function of the input frame,
+    any partitioning, certified by the manifest sha256.
+
+    Scale: one hash shuffle on the shard id; each shard is assembled
+    and written by ONE task (the Megatron-writer shape of
+    write_token_shards). Size n_shards so a shard fits a task —
+    WebDataset's own guidance is shards of 100 MB–1 GB, thousands of
+    shards at 100 TB.
+
+    Returns (and persists) the manifest: ``(shard, n_samples,
+    n_bytes, sha256)``.
+    """
+    import hashlib
+    import io
+    import tarfile
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    os.makedirs(path, exist_ok=True)
+    exts = sorted(member_cols)
+    str_cols = {
+        e: df.schema[member_cols[e]].dataType.simpleString() == "string"
+        for e in exts
+    }
+    tagged = df.select(
+        F.pmod(F.col(key_col), F.lit(n_shards)).cast("int").alias("shard"),
+        F.col(key_col).cast("long").alias("__key"),
+        *[F.col(member_cols[e]).alias(f"__m_{e}") for e in exts],
+    )
+
+    def _write(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__key").reset_index(drop=True)
+        shard = int(pdf["shard"].iloc[0])
+        buf = io.BytesIO()
+        with tarfile.open(
+            fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+        ) as tar:
+            for _, row in pdf.iterrows():
+                for e in exts:
+                    v = row[f"__m_{e}"]
+                    data = (
+                        v.encode("utf-8")
+                        if str_cols[e]
+                        else bytes(v if v is not None else b"")
+                    )
+                    info = tarfile.TarInfo(name=f"{int(row['__key']):012d}.{e}")
+                    info.size = len(data)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.mode = 0o644
+                    tar.addfile(info, io.BytesIO(data))
+        blob = buf.getvalue()
+        with open(f"{path}/shard_{shard}.tar", "wb") as f:
+            f.write(blob)
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "n_samples": [len(pdf)],
+                "n_bytes": [len(blob)],
+                "sha256": [hashlib.sha256(blob).hexdigest()],
+            }
+        )
+
+    manifest = tagged.groupBy("shard").applyInPandas(
+        _write, "shard int, n_samples bigint, n_bytes bigint, sha256 string"
+    )
+    manifest = manifest.localCheckpoint()  # run the writes exactly once
+    write_table(manifest.coalesce(1), f"{path}/manifest")
+    return manifest
+
+
+def read_webdataset_shards(spark: SparkSession, path: str) -> DataFrame:
+    """Read :func:`write_webdataset_shards` output back from the tar
+    BYTES (not any sidecar): one row per member —
+    ``(shard, key, ext, n_bytes, content)``. binaryFile scan → one
+    tarfile pass per shard; shards decode in parallel."""
+    import io
+    import tarfile
+
+    import pandas as pd
+
+    def _read(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                shard = int(
+                    row["path"].rsplit("shard_", 1)[1].split(".tar")[0]
+                )
+                with tarfile.open(
+                    fileobj=io.BytesIO(row["content"]), mode="r"
+                ) as tar:
+                    out = []
+                    for m in tar.getmembers():
+                        key, ext = m.name.split(".", 1)
+                        out.append(
+                            (
+                                shard,
+                                int(key),
+                                ext,
+                                m.size,
+                                tar.extractfile(m).read(),
+                            )
+                        )
+                if out:
+                    yield pd.DataFrame(
+                        out,
+                        columns=["shard", "key", "ext", "n_bytes", "content"],
+                    )
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "shard_*.tar")
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(
+        _read, "shard int, key long, ext string, n_bytes bigint, content binary"
+    )

@@ -804,7 +804,11 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    headline config), d12_semdedup + d12_gate (semdedup internals
 #    refactored through _semdedup_batch_flags).
 # 6. The round's late additions (new code always outranks a
-#    staleness refresh): e8_pca_gram + e8_gate (distributed PCA —
+#    staleness refresh): p26_gate (WebDataset tar-shard export —
+#    deterministic pinned-metadata tars, byte-readback + manifest
+#    laws) takes p1_deterministic_sample's slot (2 green rows r1/r4;
+#    the p family keeps 8+ entries in-window).
+#    e8_pca_gram + e8_gate (distributed PCA —
 #    exact-oracled quantized Gramian + fit/projection spectral laws)
 #    take agg6_pivot's slot (4 green rows r1-r4; agg3/agg7 keep the
 #    agg family in-window) and o6_resample_closed_right's slot
@@ -873,7 +877,7 @@ _WINDOW = [
     "d7_dedup_clusters",
     "d9_dedup_clusters_star",
     "e8_gate",
-    "p1_deterministic_sample",
+    "p26_gate",
     "p3_decontaminate",
     "p6_pack_sequences",
     "p7_group_split",

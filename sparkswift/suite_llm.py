@@ -2525,3 +2525,106 @@ def e8_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pca_gram(emb, "embedding", _E8_DIM)
+
+
+# ---------------------------------------------------------------------------
+# p26 — WebDataset tar-shard export (the multimodal companion of the
+# p23 Megatron shards; format public: github.com/webdataset/webdataset).
+# Each doc becomes a two-member sample ({key}.json metadata +
+# {key}.txt payload) in deterministic pmod(key)-assigned tar shards
+# with pinned tar metadata — shard bytes are a pure function of the
+# frame. The gate re-reads the written TAR BYTES distributed and
+# certifies: every doc exactly once (2 members each, unique
+# (key, ext)), every member byte-identical to the source-derived
+# payload (native encode() comparison — single source of truth for
+# construction), and the manifest consistent with the readback.
+# n_docs anchors the oracle to the table.
+# ---------------------------------------------------------------------------
+@register(
+    "p26_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(8 AS INT) AS n_shards,
+           TRUE AS exactly_once, TRUE AS bytes_match,
+           TRUE AS manifest_matches
+    FROM documents
+    """,
+)
+def p26_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sparkswift.sources.writers import (
+        read_webdataset_shards,
+        write_webdataset_shards,
+    )
+
+    n_shards = 8
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("txt"),
+        F.format_string(
+            '{"doc_id": %d, "lang": "%s", "source": "%s", "n_chars": %d}',
+            F.col("doc_id"),
+            F.coalesce(F.col("lang"), F.lit("")),
+            F.coalesce(F.col("source"), F.lit("")),
+            F.coalesce(F.col("n_chars"), F.lit(0)),
+        ).alias("meta"),
+    )
+    base = tempfile.mkdtemp(prefix="wds_")
+    manifest = write_webdataset_shards(
+        docs, base, "doc_id", {"txt": "txt", "json": "meta"},
+        n_shards=n_shards,
+    )
+    back = read_webdataset_shards(spark, base).localCheckpoint()
+
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    tot = back.agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.countDistinct("key").alias("n_keys"),
+        F.countDistinct("key", "ext").alias("n_key_ext"),
+    )
+    expected = docs.select(
+        F.col("doc_id").alias("key"), F.lit("txt").alias("ext"),
+        F.encode("txt", "UTF-8").alias("want"),
+    ).unionByName(
+        docs.select(
+            F.col("doc_id").alias("key"), F.lit("json").alias("ext"),
+            F.encode("meta", "UTF-8").alias("want"),
+        )
+    )
+    bad = (
+        back.join(expected, ["key", "ext"], "full_outer")
+        .filter(
+            F.col("content").isNull()
+            | F.col("want").isNull()
+            | (F.col("content") != F.col("want"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_bad"))
+    )
+    mani_bad = (
+        back.groupBy("shard")
+        .agg((F.count(F.lit(1)) / 2).cast("bigint").alias("n_back"))
+        .join(manifest, "shard", "full_outer")
+        .filter(
+            F.col("n_back").isNull()
+            | F.col("n_samples").isNull()
+            | (F.col("n_back") != F.col("n_samples"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_mani_bad"))
+    )
+    one = (
+        n_docs.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(bad))
+        .crossJoin(F.broadcast(mani_bad))
+    )
+    return one.select(
+        "n_docs",
+        F.lit(n_shards).cast("int").alias("n_shards"),
+        (
+            (F.col("n_members") == 2 * F.col("n_docs"))
+            & (F.col("n_keys") == F.col("n_docs"))
+            & (F.col("n_key_ext") == 2 * F.col("n_docs"))
+        ).alias("exactly_once"),
+        (F.col("n_bad") == 0).alias("bytes_match"),
+        (F.col("n_mani_bad") == 0).alias("manifest_matches"),
+    )

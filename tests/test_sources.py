@@ -281,3 +281,49 @@ def test_compact_dataset_errors_on_empty_dir(spark, tmp_path):
     empty.mkdir()
     with _pytest.raises(ValueError, match="no data files"):
         compact_dataset(spark, str(empty))
+
+
+def test_webdataset_shards_deterministic_and_binary_roundtrip(spark, tmp_path):
+    """Shard BYTES are a pure function of the frame (identical
+    manifest sha256 under different partition layouts), and binary
+    members (the multimodal path) round-trip byte-exact."""
+    import pandas as pd
+
+    from sparkswift.sources.writers import (
+        read_webdataset_shards,
+        write_webdataset_shards,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "k": list(range(40)),
+            "txt": [f"doc {i} text" for i in range(40)],
+            "payload": [bytes([i % 251, 7, i % 13]) * (i + 1) for i in range(40)],
+        }
+    )
+    manis = []
+    for run, parts in enumerate((3, 11)):
+        base = str(tmp_path / f"wds{run}")
+        df = spark.createDataFrame(pdf).repartition(parts)
+        m = (
+            write_webdataset_shards(
+                df, base, "k", {"txt": "txt", "bin": "payload"}, n_shards=4
+            )
+            .toPandas()
+            .sort_values("shard")
+            .reset_index(drop=True)
+        )
+        manis.append(m)
+    assert manis[0].equals(manis[1])  # layout-independent bytes
+
+    back = read_webdataset_shards(spark, str(tmp_path / "wds0")).toPandas()
+    assert len(back) == 80
+    got = {
+        (r.key, r.ext): bytes(r.content) for r in back.itertuples()
+    }
+    for i in range(40):
+        assert got[(i, "txt")] == f"doc {i} text".encode()
+        assert got[(i, "bin")] == bytes([i % 251, 7, i % 13]) * (i + 1)
+        assert (i % 4) == int(
+            back[back.key == i]["shard"].iloc[0]
+        )  # pmod assignment

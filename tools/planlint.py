@@ -68,6 +68,7 @@ BNLJ_ALLOWED: dict[str, int] = {
     "p25_gate": 3,  # one-row verdict fan-in (sel/manifest/enc/readback)
     "st10_gate": 2,
     "agg16_heavy_hitters_gate": 8,
+    "p26_gate": 3,  # one-row verdict fan-in (docs x members x bad x mani)
 }
 
 RANGE_EXCHANGE_ALLOWED: frozenset[str] = frozenset()
