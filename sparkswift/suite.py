@@ -804,7 +804,11 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    headline config), d12_semdedup + d12_gate (semdedup internals
 #    refactored through _semdedup_batch_flags).
 # 6. The round's late additions (new code always outranks a
-#    staleness refresh): p26_gate (WebDataset tar-shard export —
+#    staleness refresh): st18_stream_pca_ingest (streaming Gramian
+#    ingest — integer-mergeable summaries, stream==batch BIT-EXACT
+#    law) takes d7_dedup_clusters's slot (4 green rows r1-r4; the
+#    dedup family keeps d2/d9/d12/d14/d15/d16 in-window).
+#    p26_gate (WebDataset tar-shard export —
 #    deterministic pinned-metadata tars, byte-readback + manifest
 #    laws) takes p1_deterministic_sample's slot (2 green rows r1/r4;
 #    the p family keeps 8+ entries in-window).
@@ -874,7 +878,7 @@ _WINDOW = [
     "e8_pca_gram",
     "agg7_grouping_sets",
     "d2_ngram_jaccard",
-    "d7_dedup_clusters",
+    "st18_stream_pca_ingest",
     "d9_dedup_clusters_star",
     "e8_gate",
     "p26_gate",

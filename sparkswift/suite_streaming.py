@@ -958,3 +958,90 @@ def st17_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_missing") == 0).alias("all_heavy_present"),
         (F.col("n_bad") == 0).alias("est_within_bound"),
     ).localCheckpoint()
+
+
+# ---------------------------------------------------------------------------
+# st18 — STREAMING PCA-Gramian ingest: e8's quantized Gramian is a
+# sum of per-row INTEGER contributions, i.e. a perfectly mergeable
+# summary (integer addition is associative and order-free — stronger
+# than st17's Misra-Gries bound, which only preserves an error
+# envelope). Each micro-batch computes its own partial Gramian
+# (mapInPandas, ≤ partitions·(d²/2+d) integer rows) into a summary
+# sink; the final answer is one groupBy-sum merge. The law is the
+# strongest a streaming op can claim: the merged streamed Gramian
+# equals the batch Gramian BIT-EXACTLY for every chop of the stream —
+# the verdict compares all 2,144 integer sums and the SQL oracle
+# re-derives the doc-count anchor. This is the 100 TB covariance
+# loop: a crawl continuously folds vectors into O(d²) state, and PCA
+# refits read the store, never the corpus.
+# ---------------------------------------------------------------------------
+@register(
+    "st18_stream_pca_ingest",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(2144 AS BIGINT) AS n_cells,
+           TRUE AS gram_bitexact
+    FROM embeddings
+    """,
+)
+def st18_stream_pca_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sparkswift.operators.pca import pca_gram
+    from sparkswift.streaming.ops import stream_to_parquet
+
+    dim = 64
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    base = tempfile.mkdtemp(prefix="gram_stream_")
+    src_dir, summ_dir = f"{base}/src", f"{base}/summ"
+    for i in range(3):  # three files → three micro-batches
+        emb.filter(F.abs(F.xxhash64("vec_id") % 3) == i).repartition(
+            1
+        ).write.mode("append").parquet(src_dir)
+
+    schema = spark.read.parquet(src_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def ingest(batch_df, _epoch_id):
+        pca_gram(batch_df, "embedding", dim).write.mode("append").parquet(
+            summ_dir
+        )
+
+    stream_to_parquet(src, path=None, checkpoint=f"{base}/ck", merge_fn=ingest)
+
+    streamed = (
+        spark.read.parquet(summ_dir)
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s_stream"))
+    )
+    batch = pca_gram(emb, "embedding", dim).withColumnRenamed("s", "s_batch")
+    cmp = streamed.join(batch, ["i", "j"], "full_outer")
+    verdict = cmp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("s_stream").isNull()
+                    | F.col("s_batch").isNull()
+                    | (F.col("s_stream") != F.col("s_batch")),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("n_bad"),
+    )
+    n_vecs = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    return (
+        n_vecs.crossJoin(F.broadcast(verdict))
+        .select(
+            "n_vecs",
+            "n_cells",
+            (F.col("n_bad") == 0).alias("gram_bitexact"),
+        )
+        .localCheckpoint()
+    )
