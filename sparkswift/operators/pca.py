@@ -50,6 +50,8 @@ def pca_gram(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
         s2 = np.zeros((dim, dim), dtype=np.int64)
         for pdf in batches:
             for v in pdf[vec_col]:
+                if v is None:  # NULL vectors contribute nothing
+                    continue
                 x = np.asarray(v, dtype=np.float64)
                 s1 += np.floor(x * _Q + 0.5).astype(np.int64)
                 s2 += np.floor(np.outer(x, x) * _Q + 0.5).astype(np.int64)
@@ -76,7 +78,7 @@ def pca_fit(df: DataFrame, vec_col: str, dim: int, k: int):
     import numpy as np
 
     rows = pca_gram(df, vec_col, dim).collect()
-    n = df.count()
+    n = df.filter(F.col(vec_col).isNotNull()).count()  # matches gram's skip
     if n < 2:
         raise ValueError("pca_fit: need at least 2 vectors")
     s1 = np.zeros(dim)
