@@ -269,3 +269,128 @@ def merge_heavy_hitters(summaries: DataFrame, k: int = 64) -> DataFrame:
     Returns ``(item, est)`` with ≤ k rows, est descending.
     """
     return _mg_merge_prune(summaries.select("item", "est"), k)
+
+
+def quantile_summary(df: DataFrame, col: str, k: int = 128) -> DataFrame:
+    """Mergeable rank sketch for quantiles with a PROVABLE, summary-
+    carried error bound (the equi-spaced-rank compaction underlying
+    classic mergeable quantile summaries — Greenwald-Khanna 2001 /
+    Agarwal et al. 2012 "Mergeable Summaries", both public): every
+    Arrow batch of every partition ("unit") is sorted locally and
+    collapsed to at most ``k`` contiguous rank-chunks; each chunk
+    emits its MAX value and its exact chunk size as ``weight``. One
+    extra bookkeeping field per unit (``err`` on the unit's first
+    chunk row, 0 elsewhere) records that unit's max chunk size
+    ceil(n_unit/k), so the union of any set of summaries carries its
+    own global rank-error certificate E = SUM(err).
+
+    Guarantees (hold under ANY partitioning and ANY chop of the data
+    into summaries — exact, not probabilistic): for the weighted CDF
+    F(v) = SUM(weight WHERE value <= v) over the union of summaries,
+
+        C(v) - E  <=  F(v)  <=  C(v)        (C = true count of x <= v)
+
+    because chunks never overcount (a chunk counts into F(v) only
+    when its max <= v, i.e. every element it represents is <= v) and
+    at most ONE chunk per unit straddles any threshold v (chunks are
+    contiguous in sorted order), undercounting by less than that
+    unit's max chunk size. Consequently the estimator
+    v*(phi) = min value with F(v) >= phi*n satisfies
+
+        count(x <= v*) >= phi*n    and    count(x < v*) < phi*n + E
+
+    — the two laws the st19 verdict checks exactly. SUM(weight) == n
+    additionally attests every row was summarized exactly once.
+
+    Scale shape: one mapInPandas pass (Arrow-batched, never a global
+    sort; per-unit sort is over one Arrow batch, ~10k rows), at most
+    units*k 17-byte rows emitted, and downstream work is summary-
+    sized forever. The 100 TB use: per-micro-batch or per-shard
+    summaries folded into a store (suite st19) whose quantile reads
+    never re-touch the rows.
+
+    Returns ``(value double, weight long, err long)`` summary rows.
+    """
+    import math
+
+    import pandas as pd
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+
+    def summarize(batches):
+        for pdf in batches:
+            vals = pdf[col].dropna().to_numpy()
+            n_u = len(vals)
+            if n_u == 0:
+                continue
+            vals.sort()
+            q = math.ceil(n_u / k)
+            maxes = [float(vals[min((j + 1) * q, n_u) - 1]) for j in range(math.ceil(n_u / q))]
+            weights = [min((j + 1) * q, n_u) - j * q for j in range(len(maxes))]
+            errs = [q] + [0] * (len(maxes) - 1)
+            yield pd.DataFrame({"value": maxes, "weight": weights, "err": errs})
+
+    return df.select(F.col(col).cast("double").alias(col)).mapInPandas(
+        summarize, "value double, weight long, err long"
+    )
+
+
+def merge_quantile_summaries(
+    summaries: DataFrame, probs: list[float]
+) -> DataFrame:
+    """Estimate quantiles from a union of ``quantile_summary`` rows
+    (possibly from many batches/shards — the summary is mergeable by
+    plain UNION). For each phi in ``probs`` returns the smallest
+    summary value whose cumulative weight reaches phi*n, plus the
+    self-carried certificate: ``n_rows`` (= SUM(weight), exactly-once
+    row accounting) and ``e_bound`` (= SUM(err), the rank-error bound
+    E such that count(x <= v*) >= phi*n and count(x < v*) < phi*n + E
+    for every returned estimate — see ``quantile_summary``).
+
+    All work is summary-sized: the single-partition cumulative window
+    runs over at most units*k rows, never the data (the
+    ``_mg_merge_prune`` pattern).
+
+    Returns one row per phi: ``(phi double, est double,
+    n_rows long, e_bound long)``, phi ascending.
+    """
+    from pyspark.sql import Window
+
+    if not probs or not all(0.0 < p <= 1.0 for p in probs):
+        raise ValueError("probs must be within (0, 1]")
+    tot = summaries.agg(
+        F.sum("weight").cast("bigint").alias("n_rows"),
+        F.sum("err").cast("bigint").alias("e_bound"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        summaries.groupBy("value")
+        .agg(F.sum("weight").alias("__w"))
+        .withColumn("__cum", F.sum("__w").over(w))
+        .crossJoin(F.broadcast(tot))
+    )
+    per_phi = [
+        F.min(
+            F.when(
+                F.col("__cum") >= F.lit(p) * F.col("n_rows"), F.col("value")
+            )
+        ).alias(f"__q{i}")
+        for i, p in enumerate(probs)
+    ]
+    one = cum.groupBy("n_rows", "e_bound").agg(*per_phi)
+    # per_phi aliases were built in input order — emit ascending phi
+    order = sorted(range(len(probs)), key=lambda i: probs[i])
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(float(probs[i])).alias("phi"),
+                F.col(f"__q{i}").alias("est"),
+            )
+            for i in order
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("r"), "n_rows", "e_bound")
+        .select("r.phi", "r.est", "n_rows", "e_bound")
+    )

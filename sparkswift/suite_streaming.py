@@ -1045,3 +1045,104 @@ def st18_stream_pca_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+
+
+# ---------------------------------------------------------------------------
+# st19 — STREAMING quantile ingest: a mergeable rank sketch
+# (quantile_summary — equi-spaced-rank compaction in one Arrow-batched
+# mapInPandas pass, ≤ units·k 17-byte rows) accumulated per
+# micro-batch into a summary sink; the final quantile read merges
+# summaries by plain UNION (merge_quantile_summaries) and never
+# re-touches the rows. Unlike approxQuantile (driver-side action,
+# no composable summary), the sketch IS a DataFrame, so a crawl can
+# fold it into a store forever — the 100 TB percentile-monitoring
+# loop. The law is exact and batching-INDEPENDENT: the summary
+# carries its own rank-error certificate E = SUM(err), and for every
+# estimated phi-quantile v*, count(x <= v*) >= phi·n and
+# count(x < v*) < phi·n + E hold for ANY chop of the stream and ANY
+# partition layout (see quantile_summary's proof sketch);
+# SUM(weight) == n additionally attests exactly-once summarization
+# of every streamed row. The oracle re-derives the n_rows anchor.
+# ---------------------------------------------------------------------------
+_ST19_K = 128
+_ST19_PROBS = (0.25, 0.5, 0.9, 0.99)
+
+
+@register(
+    "st19_stream_quantile_ingest",
+    """
+    WITH v AS (SELECT floor(l_extendedprice) AS value FROM lineitem)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(4 AS BIGINT) AS n_probes,
+           TRUE AS weights_conserved,
+           TRUE AS rank_laws_ok
+    FROM v
+    """,
+)
+def st19_stream_quantile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sparkswift.operators.profile import (
+        merge_quantile_summaries,
+        quantile_summary,
+    )
+    from sparkswift.streaming.ops import stream_to_parquet
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor("l_extendedprice").cast("double").alias("value"),
+        (F.xxhash64("l_orderkey", "l_linenumber") % 3).alias("__chop"),
+    )
+
+    base = tempfile.mkdtemp(prefix="qtl_stream_")
+    src_dir, summ_dir = f"{base}/src", f"{base}/summ"
+    for i in range(3):  # three files → three micro-batches
+        li.filter(F.abs(F.col("__chop")) == i).select("value").repartition(
+            1
+        ).write.mode("append").parquet(src_dir)
+
+    schema = spark.read.parquet(src_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def ingest(batch_df, _epoch_id):
+        quantile_summary(batch_df, "value", k=_ST19_K).write.mode(
+            "append"
+        ).parquet(summ_dir)
+
+    stream_to_parquet(src, path=None, checkpoint=f"{base}/ck", merge_fn=ingest)
+
+    est = merge_quantile_summaries(
+        spark.read.parquet(summ_dir), list(_ST19_PROBS)
+    )
+    # bounded collect: len(_ST19_PROBS) rows — the quantile estimates
+    # and the summary's self-carried certificate (n from weights, E)
+    rows = est.collect()
+    n_sum = rows[0]["n_rows"]
+    e_bound = rows[0]["e_bound"]
+    checks = []
+    for r in rows:
+        phi, v = r["phi"], r["est"]
+        checks.append(
+            (
+                F.sum(F.when(F.col("value") <= v, 1).otherwise(0))
+                >= F.lit(phi) * F.lit(n_sum)
+            )
+            & (
+                F.sum(F.when(F.col("value") < v, 1).otherwise(0))
+                < F.lit(phi) * F.lit(n_sum) + F.lit(e_bound)
+            )
+        )
+    laws = F.lit(True)
+    for c in checks:
+        laws = laws & c
+    return (
+        li.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.lit(len(rows)).cast("bigint").alias("n_probes"),
+            (F.count(F.lit(1)) == F.lit(n_sum)).alias("weights_conserved"),
+            laws.alias("rank_laws_ok"),
+        )
+    ).localCheckpoint()

@@ -724,3 +724,89 @@ def test_neardup_incremental_torn_store_pair_raises(spark, sf_dir):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {store}_sigs")
         spark.sql(f"DROP TABLE IF EXISTS {store}_buckets")
+
+
+def test_quantile_summary_laws_under_any_layout_and_chop(spark):
+    """Mergeable rank-sketch contract: for EVERY partition layout and
+    EVERY chop of the data into separately-summarized slices, the
+    merged summary satisfies (a) SUM(weight) == n (exactly-once),
+    (b) for each estimated phi-quantile v*: count(x <= v*) >= phi*n
+    and count(x < v*) < phi*n + E with E the summary's self-carried
+    SUM(err) certificate."""
+    import numpy as np
+    import pandas as pd
+
+    from sparkswift.operators.profile import (
+        merge_quantile_summaries,
+        quantile_summary,
+    )
+
+    rng = np.random.RandomState(7)
+    # heavy ties + skew: integers from a lognormal, plus a hot value
+    vals = np.floor(rng.lognormal(3.0, 1.0, 4000)).astype(float)
+    vals[:800] = 42.0
+    pdf = pd.DataFrame({"v": vals})
+    n = len(pdf)
+    probs = [0.1, 0.25, 0.5, 0.9, 0.99, 1.0]
+    srt = np.sort(vals)
+
+    for parts, n_slices in ((1, 1), (4, 2), (13, 3)):
+        summaries = None
+        for s in range(n_slices):
+            sl = spark.createDataFrame(pdf.iloc[s::n_slices]).repartition(parts)
+            part = quantile_summary(sl, "v", k=16)
+            summaries = part if summaries is None else summaries.unionByName(part)
+        est = merge_quantile_summaries(summaries, probs).collect()
+        assert len(est) == len(probs)
+        assert [r.phi for r in est] == sorted(probs)
+        assert est[0].n_rows == n
+        e = est[0].e_bound
+        assert 0 < e
+        for r in est:
+            cnt_le = int((srt <= r.est).sum())
+            cnt_lt = int((srt < r.est).sum())
+            assert cnt_le >= r.phi * n, (parts, n_slices, r)
+            assert cnt_lt < r.phi * n + e, (parts, n_slices, r)
+        # estimates are actual data values
+        data = set(srt.tolist())
+        assert all(r.est in data for r in est)
+
+
+def test_quantile_summary_exact_when_k_exceeds_n(spark):
+    """With k >= n every chunk is a single element: the summary IS
+    the sorted data (weight 1 each) and estimates are exact order
+    statistics."""
+    import pandas as pd
+
+    from sparkswift.operators.profile import (
+        merge_quantile_summaries,
+        quantile_summary,
+    )
+
+    pdf = pd.DataFrame({"v": [float(x) for x in (5, 1, 9, 3, 7, 2, 8, 4, 6, 10)]})
+    df = spark.createDataFrame(pdf).repartition(2)
+    summ = quantile_summary(df, "v", k=64)
+    rows = summ.collect()
+    assert sorted(r.value for r in rows) == sorted(pdf["v"].tolist())
+    assert all(r.weight == 1 for r in rows)
+    est = {r.phi: r.est for r in merge_quantile_summaries(summ, [0.5, 1.0]).collect()}
+    assert est[0.5] == 5.0  # min v with >= 5 of 10 values <= v
+    assert est[1.0] == 10.0
+
+
+def test_quantile_summary_rejects_bad_args(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from sparkswift.operators.profile import (
+        merge_quantile_summaries,
+        quantile_summary,
+    )
+
+    df = spark.createDataFrame(pd.DataFrame({"v": [1.0, 2.0]}))
+    with _pytest.raises(ValueError):
+        quantile_summary(df, "v", k=1)
+    with _pytest.raises(ValueError):
+        merge_quantile_summaries(quantile_summary(df, "v"), [])
+    with _pytest.raises(ValueError):
+        merge_quantile_summaries(quantile_summary(df, "v"), [0.0, 0.5])
