@@ -394,3 +394,88 @@ def merge_quantile_summaries(
         one.select(F.explode(rows).alias("r"), "n_rows", "e_bound")
         .select("r.phi", "r.est", "n_rows", "e_bound")
     )
+
+
+def drift_report(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    dims: list[str],
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Distribution-drift report between two corpus snapshots — the
+    release-gate check a continuously-crawled corpus runs before a
+    training cut (the Population Stability Index of credit-scoring
+    practice, applied per categorical dimension; PSI > 0.25 is the
+    conventional "significant shift" flag). For every bucket of every
+    dimension: both snapshots' counts and shares, and the bucket's
+    PSI term (share_a - share_b)·ln(share_a/share_b) with shares
+    clamped to ``eps`` so one-sided buckets stay finite. SUM(psi)
+    per dimension is the headline drift number.
+
+    Determinism: shares are single exact-integer divisions; the PSI
+    term is one per-row IEEE expression quantized to INTEGER
+    nano-units (the t15 micro-nat pattern), so the report is
+    SQL-oracle-exact.
+
+    Scale shape: one scan per snapshot (each row explodes to
+    ``len(dims)`` 2-field structs — counts only, text never moves),
+    ONE hash aggregation on (dim, bucket), and window totals over the
+    bucket-sized result. No joins, no UDFs; a 100 TB snapshot pair
+    costs two scans and one dimension-cardinality shuffle.
+
+    Returns ``(dim, bucket, cnt_a, cnt_b, share_a, share_b,
+    psi_nano)`` — psi_nano is the PSI term in 1e-9 units (BIGINT).
+    """
+    from pyspark.sql import Window
+
+    if not dims:
+        raise ValueError("dims must be non-empty")
+
+    def explode_side(df: DataFrame, side: int) -> DataFrame:
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("dim"),
+                    F.coalesce(F.col(d).cast("string"), F.lit("__null__")).alias(
+                        "bucket"
+                    ),
+                )
+                for d in dims
+            ]
+        )
+        return df.select(F.explode(entries).alias("e")).select(
+            "e.dim", "e.bucket", F.lit(side).alias("__side")
+        )
+
+    counts = (
+        explode_side(df_a, 0)
+        .unionByName(explode_side(df_b, 1))
+        .groupBy("dim", "bucket")
+        .agg(
+            F.sum(F.when(F.col("__side") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("cnt_a"),
+            F.sum(F.when(F.col("__side") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("cnt_b"),
+        )
+    )
+    w = Window.partitionBy("dim")
+    shared = counts.select(
+        "dim",
+        "bucket",
+        "cnt_a",
+        "cnt_b",
+        (
+            F.col("cnt_a").cast("double") / F.sum("cnt_a").over(w).cast("double")
+        ).alias("share_a"),
+        (
+            F.col("cnt_b").cast("double") / F.sum("cnt_b").over(w).cast("double")
+        ).alias("share_b"),
+    )
+    sa = F.greatest(F.col("share_a"), F.lit(eps))
+    sb = F.greatest(F.col("share_b"), F.lit(eps))
+    return shared.withColumn(
+        "psi_nano",
+        F.round((sa - sb) * F.log(sa / sb) * 1_000_000_000).cast("bigint"),
+    )

@@ -1836,3 +1836,69 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast(D)).cast("double").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg17 — corpus snapshot drift (PSI): the release-gate distribution
+# check between two snapshots, here a deterministic md5-parity split
+# of documents so the oracle re-derives the identical sides. Two
+# dimensions (source; capped 500-char length bucket) in ONE scan per
+# side + ONE (dim,bucket) hash aggregation; shares are exact-integer
+# divisions and the PSI term is quantized to integer nano-units (the
+# t15 micro-nat pattern) — SQL-oracle-exact. No joins: dimension
+# totals come from bucket-sized window sums.
+# ---------------------------------------------------------------------------
+@register(
+    "agg17_drift_report",
+    """
+    WITH d AS (
+      SELECT source,
+             CAST(CAST(least(floor(n_chars / 500.0), 7) AS BIGINT) AS VARCHAR)
+               AS len_b,
+             substr(md5(concat_ws(':', '0', CAST(doc_id AS VARCHAR))), 1, 8)
+               < '80000000' AS is_a
+      FROM documents
+    ),
+    e AS (
+      SELECT 'source' AS dim, source AS bucket, is_a FROM d
+      UNION ALL
+      SELECT 'len_b' AS dim, len_b AS bucket, is_a FROM d
+    ),
+    c AS (
+      SELECT dim, bucket,
+             CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+             CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+      FROM e GROUP BY dim, bucket
+    ),
+    s AS (
+      SELECT dim, bucket, cnt_a, cnt_b,
+             CAST(cnt_a AS DOUBLE)
+               / CAST(SUM(cnt_a) OVER (PARTITION BY dim) AS DOUBLE) AS share_a,
+             CAST(cnt_b AS DOUBLE)
+               / CAST(SUM(cnt_b) OVER (PARTITION BY dim) AS DOUBLE) AS share_b
+      FROM c
+    )
+    SELECT dim, bucket, cnt_a, cnt_b, share_a, share_b,
+           CAST(round((greatest(share_a, 1e-6) - greatest(share_b, 1e-6))
+                      * ln(greatest(share_a, 1e-6) / greatest(share_b, 1e-6))
+                      * 1000000000) AS BIGINT) AS psi_nano
+    FROM s
+    """,
+)
+def agg17_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.profile import drift_report
+    from sparkswift.operators.sampling import hash_bucket_hex, hex_threshold
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("source"),
+        F.least(F.floor(F.col("n_chars") / 500.0), F.lit(7))
+        .cast("bigint")
+        .cast("string")
+        .alias("len_b"),
+        (hash_bucket_hex("doc_id", 0) < F.lit(hex_threshold(0.5))).alias(
+            "__is_a"
+        ),
+    )
+    return drift_report(
+        docs.filter("__is_a"), docs.filter("NOT __is_a"), ["source", "len_b"]
+    )

@@ -810,3 +810,55 @@ def test_quantile_summary_rejects_bad_args(spark):
         merge_quantile_summaries(quantile_summary(df, "v"), [])
     with _pytest.raises(ValueError):
         merge_quantile_summaries(quantile_summary(df, "v"), [0.0, 0.5])
+
+
+def test_drift_report_identical_snapshots_zero_psi(spark):
+    import pandas as pd
+
+    from sparkswift.operators.profile import drift_report
+
+    pdf = pd.DataFrame({"src": ["web"] * 60 + ["code"] * 40})
+    df = spark.createDataFrame(pdf)
+    out = drift_report(df, df, ["src"]).collect()
+    assert {r.bucket for r in out} == {"web", "code"}
+    for r in out:
+        assert r.cnt_a == r.cnt_b
+        assert r.share_a == r.share_b
+        assert r.psi_nano == 0
+
+
+def test_drift_report_flags_planted_shift(spark):
+    import math
+
+    import pandas as pd
+
+    from sparkswift.operators.profile import drift_report
+
+    a = spark.createDataFrame(
+        pd.DataFrame({"src": ["web"] * 80 + ["code"] * 20})
+    )
+    b = spark.createDataFrame(
+        pd.DataFrame({"src": ["web"] * 50 + ["code"] * 50})
+    )
+    out = {r.bucket: r for r in drift_report(a, b, ["src"]).collect()}
+    # psi term per bucket is (pa-pb)*ln(pa/pb), nonneg, nano-quantized
+    exp_web = (0.8 - 0.5) * math.log(0.8 / 0.5) * 1e9
+    assert abs(out["web"].psi_nano - exp_web) <= 1
+    assert out["web"].psi_nano > 0 and out["code"].psi_nano > 0
+    total_psi = sum(r.psi_nano for r in out.values()) / 1e9
+    assert total_psi > 0.25  # the conventional "significant shift" bar
+
+
+def test_drift_report_one_sided_bucket_clamped_finite(spark):
+    import pandas as pd
+
+    from sparkswift.operators.profile import drift_report
+
+    a = spark.createDataFrame(pd.DataFrame({"src": ["web"] * 10}))
+    b = spark.createDataFrame(
+        pd.DataFrame({"src": ["web"] * 5 + ["only_b"] * 5})
+    )
+    out = {r.bucket: r for r in drift_report(a, b, ["src"]).collect()}
+    r = out["only_b"]
+    assert r.cnt_a == 0 and r.share_a == 0.0
+    assert r.psi_nano is not None  # eps clamp keeps ln finite
