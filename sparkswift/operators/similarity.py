@@ -1920,3 +1920,127 @@ def ivfpq_rebalance(
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
 
     return len(oversized)
+
+
+def mmr_diversify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 4,
+    pool: int = 12,
+    lam_tenths: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998 — the standard diversity-aware top-k used to de-redundify
+    retrieval results and RAG context sets): greedily pick ``k`` of
+    each query's ``pool`` nearest candidates, each step maximizing
+
+        score = lambda * rel(c)  -  (1 - lambda) * max_{s in picked} sim(c, s)
+
+    so later picks trade relevance against redundancy with what is
+    already selected.
+
+    Exactness: relevance and candidate-candidate similarities are the
+    engine's integer-grid cosines quantized to micro-units
+    (round(cos * 1e6) — one rounding of a bit-identical double), and
+    lambda is a tenth (``lam_tenths``/10), so every greedy comparison
+    is INTEGER arithmetic: score10 = lam_tenths*relq -
+    (10-lam_tenths)*max_simq, ties broken by ascending candidate id.
+    The whole pick sequence is therefore deterministic and
+    SQL-oracle-exact (suite e9 unrolls the greedy loop as k CTE
+    steps).
+
+    Scale shape: candidate generation is one broadcast-query corpus
+    scan (cosine_topk); pairwise sims live only WITHIN each query's
+    ≤ pool candidates (n_queries·pool² 24-byte rows — never corpus-
+    sized); the greedy loop is a genuinely sequential algorithm, so
+    it runs per-query in ONE applyInPandas pass over those bounded
+    groups (the sanctioned custom-operator route) — integer
+    comparisons only, no float math in Python.
+
+    Returns ``(query_id, step, cand_id, score10)`` — ``step`` 1-based
+    pick order, ``score10`` the integer MMR score at selection time
+    (step 1: lam_tenths*relq).
+    """
+    import pandas as pd
+
+    if not 1 <= lam_tenths <= 10:
+        raise ValueError("lam_tenths must be in [1, 10]")
+    if k < 1 or pool < k:
+        raise ValueError("need pool >= k >= 1")
+    mu = 10 - lam_tenths
+
+    cand = cosine_topk(corpus, queries, k=pool, id_col=id_col, vec_col=vec_col)
+    # materialize the (n_queries·pool)-row candidate table once: it is
+    # reused on three plan paths (cand vectors, pair sims, rel join) —
+    # without the cut the broadcast corpus scan would re-run per path
+    rel = cand.select(
+        "query_id",
+        F.col("corpus_id").alias("cand_id"),
+        F.round(F.col("cos_sim") * 1_000_000).cast("long").alias("relq"),
+    ).localCheckpoint()
+    vecs = (
+        _spread(corpus.select(F.col(id_col), F.col(vec_col)))
+        .select(F.col(id_col).alias("cand_id"), quantize(vec_col).alias("v"))
+        .withColumn("n2", norm2_long(F.col("v")))
+    )
+    cv = rel.join(vecs, "cand_id").select("query_id", "cand_id", "relq", "v", "n2")
+    other = cv.select(
+        F.col("query_id"),
+        F.col("cand_id").alias("other_id"),
+        F.col("v").alias("ov"),
+        F.col("n2").alias("on2"),
+    )
+    pairs = (
+        cv.join(other, "query_id")
+        .filter(F.col("cand_id") != F.col("other_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "relq",
+            "other_id",
+            F.round(
+                cosine(
+                    dot_long(F.col("v"), F.col("ov")), F.col("n2"), F.col("on2")
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("simq"),
+        )
+    )
+    # left join keeps single-candidate pools (no pairs) alive
+    full = rel.join(pairs.drop("relq"), ["query_id", "cand_id"], "left")
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["query_id"].iloc[0]
+        relq = {
+            int(c): int(r)
+            for c, r in pdf.drop_duplicates("cand_id")[["cand_id", "relq"]].values
+        }
+        sims: dict = {}
+        for c, o, s in pdf[["cand_id", "other_id", "simq"]].values:
+            if pd.notna(o):
+                sims[(int(c), int(o))] = int(s)
+        remaining = sorted(relq)
+        picks, rows = [], []
+        for step in range(1, min(k, len(remaining)) + 1):
+            best = None
+            for c in remaining:
+                red = max((sims[(c, s)] for s in picks), default=0) if picks else 0
+                score = lam_tenths * relq[c] - mu * red
+                key = (score, -c)
+                if best is None or key > best[0]:
+                    best = (key, c, score)
+            _, c, score = best
+            picks.append(c)
+            remaining.remove(c)
+            rows.append((qid, step, c, score))
+        return pd.DataFrame(
+            rows, columns=["query_id", "step", "cand_id", "score10"]
+        )
+
+    return full.groupBy("query_id").applyInPandas(
+        greedy, "query_id long, step long, cand_id long, score10 long"
+    )

@@ -2628,3 +2628,89 @@ def p26_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_bad") == 0).alias("bytes_match"),
         (F.col("n_mani_bad") == 0).alias("manifest_matches"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e9 — MMR diversity re-rank (Carbonell & Goldstein 1998): greedy
+# diversity-aware top-k over each query's candidate pool. Relevance
+# and redundancy are micro-quantized integer cosines and lambda is a
+# tenth, so every greedy comparison is integer arithmetic — the
+# oracle unrolls the k-step greedy loop as CTE steps (generated from
+# the SAME constants as the engine call, so pool/k/lambda cannot
+# desynchronize). Candidate ranking reuses e1's bit-identical double
+# cosine order. The sequential greedy itself runs per-query in one
+# applyInPandas pass over ≤ pool²-row groups (integer comparisons
+# only) — see operators/similarity.py:mmr_diversify for the scale
+# shape.
+# ---------------------------------------------------------------------------
+_E9_POOL = 12
+_E9_K = 4
+_E9_LAM = 7  # lambda = 0.7
+
+
+def _e9_oracle() -> str:
+    mu = 10 - _E9_LAM
+    steps = []
+    for t in range(2, _E9_K + 1):
+        steps.append(
+            f"""
+    x{t} AS (SELECT c.query_id, c.cand_id,
+                  {_E9_LAM} * c.relq - {mu} * m.mx AS score10
+           FROM cand c
+           JOIN (SELECT cs.query_id, cs.id_a, MAX(cs.simq) AS mx
+                 FROM cs JOIN p{t - 1} pp
+                   ON pp.query_id = cs.query_id AND pp.cand_id = cs.id_b
+                 GROUP BY cs.query_id, cs.id_a) m
+             ON m.query_id = c.query_id AND m.id_a = c.cand_id
+           LEFT JOIN p{t - 1} pk
+             ON pk.query_id = c.query_id AND pk.cand_id = c.cand_id
+           WHERE pk.cand_id IS NULL),
+    s{t} AS (SELECT query_id, cand_id, score10 FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY score10 DESC, cand_id) AS rn FROM x{t})
+           WHERE rn = 1),
+    p{t} AS (SELECT * FROM p{t - 1} UNION ALL
+           SELECT query_id, cand_id, CAST({t} AS BIGINT), score10 FROM s{t})"""
+        )
+    return f"""
+    WITH v AS (SELECT vec_id, label,
+                      list_transform(embedding,
+                                     x -> round(CAST(x AS DOUBLE) * 1000000)) AS q
+               FROM embeddings),
+    n AS (SELECT vec_id, label, q, list_inner_product(q, q) AS n2 FROM v),
+    p AS (SELECT qv.vec_id AS query_id, cv.vec_id AS cand_id,
+                 list_inner_product(qv.q, cv.q)
+                   / (sqrt(qv.n2) * sqrt(cv.n2)) AS cos_sim
+          FROM n qv JOIN n cv ON cv.vec_id <> qv.vec_id
+          WHERE qv.label = 0),
+    cand AS (SELECT query_id, cand_id,
+                    CAST(round(cos_sim * 1000000) AS BIGINT) AS relq
+             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, cand_id) AS rnk FROM p)
+             WHERE rnk <= {_E9_POOL}),
+    cs AS (SELECT a.query_id, a.cand_id AS id_a, b.cand_id AS id_b,
+                  CAST(round(list_inner_product(na.q, nb.q)
+                             / (sqrt(na.n2) * sqrt(nb.n2)) * 1000000) AS BIGINT)
+                    AS simq
+           FROM cand a
+           JOIN cand b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+           JOIN n na ON na.vec_id = a.cand_id
+           JOIN n nb ON nb.vec_id = b.cand_id),
+    s1 AS (SELECT query_id, cand_id, {_E9_LAM} * relq AS score10 FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY {_E9_LAM} * relq DESC, cand_id) AS rn FROM cand)
+           WHERE rn = 1),
+    p1 AS (SELECT query_id, cand_id, CAST(1 AS BIGINT) AS step, score10
+           FROM s1),{",".join(steps)}
+    SELECT query_id, CAST(step AS BIGINT) AS step, cand_id, score10
+    FROM p{_E9_K}
+    """
+
+
+@register("e9_mmr_diversify", _e9_oracle())
+def e9_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0)
+    return sim.mmr_diversify(
+        emb, queries, k=_E9_K, pool=_E9_POOL, lam_tenths=_E9_LAM
+    )

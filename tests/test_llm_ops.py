@@ -1204,3 +1204,87 @@ def test_pca_gram_layout_invariant_and_fit_matches_numpy(spark):
 
     # top-3 of a rank-3-plus-noise cloud captures almost everything
     assert sum(stats["eigvals"]) > 0.99 * stats["total_var"]
+
+
+def _mmr_fixture_pdf():
+    import pandas as pd
+
+    # query 0 at origin-ish; two tight near-duplicate clusters and one
+    # off-axis singleton. Pure top-k would return both members of the
+    # nearest cluster; MMR must interleave the singleton.
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],      # query (label 0)
+        1: [0.99, 0.14, 0.0, 0.0],    # cluster A
+        2: [0.99, 0.141, 0.0, 0.0],   # cluster A twin
+        3: [0.7, 0.7, 0.1, 0.0],      # off-axis
+        4: [0.5, 0.0, 0.86, 0.0],     # farther singleton
+    }
+    return pd.DataFrame(
+        {
+            "vec_id": list(vecs),
+            "embedding": [[float(x) for x in v] for v in vecs.values()],
+            "label": [0, 1, 1, 1, 1],
+        }
+    )
+
+
+def test_mmr_diversify_breaks_up_redundant_cluster(spark):
+    from sparkswift.operators.similarity import mmr_diversify
+
+    df = spark.createDataFrame(_mmr_fixture_pdf())
+    out = (
+        mmr_diversify(df, df.filter("label = 0"), k=3, pool=4, lam_tenths=3)
+        .orderBy("step")
+        .collect()
+    )
+    picks = [r.cand_id for r in out]
+    assert len(picks) == 3 and len(set(picks)) == 3
+    assert picks[0] == 1  # most relevant first (id tiebreak vs twin 2)
+    # at diversity-heavy lambda=0.3 the near-identical twin (2) must
+    # not be selected at all: its redundancy penalty (~sim 1.0 to pick
+    # 1) sinks it below both genuinely-distinct docs (at 0.7 the
+    # twin's relevance edge would legitimately outweigh the penalty)
+    assert 2 not in picks and set(picks) == {1, 4, 3}
+    # steps are 1-based and scores non-increasing is NOT guaranteed by
+    # MMR, but step-1 score must be lam*relq
+    assert out[0].score10 == 3 * round(
+        1_000_000
+        * sum(a * b for a, b in zip([1000000, 0, 0, 0], [990000, 140000, 0, 0]))
+        / (
+            (sum(x * x for x in [1000000, 0, 0, 0]) ** 0.5)
+            * (sum(x * x for x in [990000, 140000, 0, 0]) ** 0.5)
+        )
+    )
+
+
+def test_mmr_diversify_partition_invariant(spark):
+    from sparkswift.operators.similarity import mmr_diversify
+
+    pdf = _mmr_fixture_pdf()
+    ref = None
+    for parts in (1, 3):
+        df = spark.createDataFrame(pdf).repartition(parts)
+        got = sorted(
+            (r.query_id, r.step, r.cand_id, r.score10)
+            for r in mmr_diversify(
+                df, df.filter("label = 0"), k=3, pool=4
+            ).collect()
+        )
+        if ref is None:
+            ref = got
+        assert got == ref
+
+
+def test_mmr_diversify_small_pool_and_validation(spark):
+    import pytest as _pytest
+
+    from sparkswift.operators.similarity import mmr_diversify
+
+    df = spark.createDataFrame(_mmr_fixture_pdf())
+    # pool larger than available candidates: picks = min(k, available)
+    out = mmr_diversify(df.limit(2), df.filter("label = 0"), k=4, pool=4).collect()
+    assert len(out) == 1  # only one non-query candidate exists
+    with _pytest.raises(ValueError):
+        mmr_diversify(df, df, k=5, pool=4)
+    with _pytest.raises(ValueError):
+        mmr_diversify(df, df, k=1, pool=1, lam_tenths=0)
