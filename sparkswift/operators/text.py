@@ -1193,3 +1193,113 @@ def score_linear_probe(df, feature_cols: list[str], weights: list[float]):
     ).withColumn(
         "pred", (dot >= F.lit(0.5)).cast("int")
     )
+
+
+def bigram_logprob(
+    train: DataFrame,
+    score: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha_tenths: int = 8,
+    floor: float = 1e-9,
+) -> DataFrame:
+    """Trained interpolated bigram language-model score — one rung up
+    from :func:`unigram_logprob` toward the CCNet/KenLM perplexity
+    filter: train bigram + unigram counts on one corpus slice, score
+    another under Jelinek-Mercer interpolation
+
+        P(w | prev) = alpha * c(prev,w)/c(prev) + (1-alpha) * c(w)/N
+
+    (alpha = ``alpha_tenths``/10), with unseen mass floored at
+    ``floor`` so out-of-vocabulary tokens cost a bounded, fixed
+    surprisal instead of infinity. High ``avg_nll`` flags text the
+    training slice's word-order model finds improbable — the
+    perplexity-filter signal.
+
+    Determinism: probabilities are single divisions of exact integer
+    counts combined by one fixed-order IEEE expression, and per-token
+    surprisal is quantized to INTEGER micro-nats before summing (the
+    t15 pattern) — partition-order independent and SQL-oracle-exact.
+
+    Scale shape: bigram pairs are built scan-side (zip of two array
+    slices — no window, no self-join), count tables are two hash
+    aggregations over the train slice, and scoring is two token-keyed
+    hash joins (count tables are vocab-sized; AQE broadcasts them
+    when small). Text never shuffles — only (id, prev, cur) rows.
+
+    Returns ``(id_col, n_bigrams, sum_surprisal, avg_nll)`` for score
+    docs with >= 2 tokens (single-token docs have no bigram evidence).
+    """
+    if not 0 <= alpha_tenths <= 10:
+        raise ValueError("alpha_tenths must be in [0, 10]")
+    alpha = alpha_tenths / 10.0
+    beta = (10 - alpha_tenths) / 10.0
+
+    def pairs_of(df: DataFrame) -> DataFrame:
+        toks = tokens(text_col)
+        n = F.size(toks)
+        prs = F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(toks, 1, n - 1),
+                F.slice(toks, 2, n - 1),
+                lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+            ),
+        ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+        return df.select(F.col(id_col), F.explode(prs).alias("p")).select(
+            id_col, "p.prev", "p.cur"
+        )
+
+    tr = pairs_of(train)
+    bi = tr.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cbi")
+    )
+    uni = (
+        train.select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__cuni"))
+    )
+    total = uni.agg(F.sum("__cuni").cast("bigint").alias("__total"))
+    prev_cnt = uni.select(
+        F.col("tok").alias("prev"), F.col("__cuni").alias("__cprev")
+    )
+
+    sc = (
+        pairs_of(score)
+        .join(bi, ["prev", "cur"], "left")
+        .join(prev_cnt, "prev", "left")
+        .join(
+            uni.select(F.col("tok").alias("cur"), F.col("__cuni")),
+            "cur",
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    pbi = F.when(F.col("__cprev").isNull(), F.lit(0.0)).otherwise(
+        F.coalesce(F.col("__cbi"), F.lit(0)).cast("double")
+        / F.col("__cprev").cast("double")
+    )
+    puni = F.coalesce(F.col("__cuni"), F.lit(0)).cast("double") / F.col(
+        "__total"
+    ).cast("double")
+    sup = F.round(
+        -F.log(
+            F.greatest(
+                F.lit(alpha) * pbi + F.lit(beta) * puni, F.lit(floor)
+            )
+        )
+        * 1_000_000
+    ).cast("bigint")
+    return (
+        sc.select(F.col(id_col), sup.alias("__sup"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("__sup").cast("bigint").alias("sum_surprisal"),
+        )
+        .withColumn(
+            "avg_nll",
+            F.col("sum_surprisal").cast("double")
+            / (F.col("n_bigrams").cast("double") * 1e6),
+        )
+    )

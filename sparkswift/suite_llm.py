@@ -2714,3 +2714,66 @@ def e9_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.mmr_diversify(
         emb, queries, k=_E9_K, pool=_E9_POOL, lam_tenths=_E9_LAM
     )
+
+
+# ---------------------------------------------------------------------------
+# t20 — TRAINED interpolated bigram LM (Jelinek-Mercer): bigram +
+# unigram counts trained on the md5-parity train half, the other half
+# scored under alpha*P_bi + (1-alpha)*P_uni with floored unseen mass
+# — the perplexity-filter signal one rung up from t15's unigram
+# prior. Pairs are built scan-side (zip of two array slices, no
+# self-join); scoring is token-keyed hash joins against vocab-sized
+# count tables; per-token surprisal quantizes to integer micro-nats,
+# so the oracle is exact.
+# ---------------------------------------------------------------------------
+@register(
+    "t20_bigram_logprob",
+    rf"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks,
+                      substr(md5(concat_ws(':', '0', CAST(doc_id AS VARCHAR))),
+                             1, 8) < '80000000' AS is_tr
+               FROM documents),
+    tp0 AS (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(toks) - 1),
+                          i -> {{'prev': toks[i], 'cur': toks[i + 1]}})) AS p
+            FROM d WHERE is_tr AND len(toks) >= 2),
+    tp AS (SELECT doc_id, struct_extract(p, 'prev') AS prev,
+                  struct_extract(p, 'cur') AS cur FROM tp0),
+    bi AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cbi
+           FROM tp GROUP BY prev, cur),
+    u AS (SELECT unnest(toks) AS tok FROM d WHERE is_tr),
+    uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cuni FROM u GROUP BY tok),
+    tot AS (SELECT CAST(SUM(cuni) AS BIGINT) AS total FROM uni),
+    sp0 AS (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(toks) - 1),
+                          i -> {{'prev': toks[i], 'cur': toks[i + 1]}})) AS p
+            FROM d WHERE NOT is_tr AND len(toks) >= 2),
+    sp AS (SELECT doc_id, struct_extract(p, 'prev') AS prev,
+                  struct_extract(p, 'cur') AS cur FROM sp0),
+    s AS (SELECT sp.doc_id,
+                 CAST(round(-ln(greatest(
+                    0.8 * (CASE WHEN pv.cuni IS NULL THEN 0.0
+                                ELSE CAST(COALESCE(bi.cbi, 0) AS DOUBLE)
+                                     / CAST(pv.cuni AS DOUBLE) END)
+                    + 0.2 * (CAST(COALESCE(cu.cuni, 0) AS DOUBLE)
+                             / CAST(tot.total AS DOUBLE)),
+                    1e-9)) * 1000000) AS BIGINT) AS sup
+          FROM sp
+          LEFT JOIN bi ON bi.prev = sp.prev AND bi.cur = sp.cur
+          LEFT JOIN uni pv ON pv.tok = sp.prev
+          LEFT JOIN uni cu ON cu.tok = sp.cur
+          CROSS JOIN tot)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(sup) AS BIGINT) AS sum_surprisal,
+           CAST(SUM(sup) AS DOUBLE) / (COUNT(*) * 1000000.0) AS avg_nll
+    FROM s GROUP BY doc_id
+    """,
+)
+def t20_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.sampling import hash_bucket_hex, hex_threshold
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_tr = hash_bucket_hex("doc_id", 0) < F.lit(hex_threshold(0.5))
+    return tx.bigram_logprob(
+        docs.filter(is_tr), docs.filter(~is_tr), "text", "doc_id"
+    )

@@ -1288,3 +1288,48 @@ def test_mmr_diversify_small_pool_and_validation(spark):
         mmr_diversify(df, df, k=5, pool=4)
     with _pytest.raises(ValueError):
         mmr_diversify(df, df, k=1, pool=1, lam_tenths=0)
+
+
+def test_bigram_logprob_known_counts(spark):
+    """Hand-checkable corpus: train 'a b a b', score 'a b' and 'a z'.
+    P(b|a) = 1.0 bigram, unigrams a:2 b:2 of 4."""
+    import math
+
+    import pandas as pd
+
+    from sparkswift.operators.text import bigram_logprob
+
+    train = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["a b a b"]})
+    )
+    score = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [2, 3], "text": ["a b", "a z"]})
+    )
+    out = {r.doc_id: r for r in bigram_logprob(train, score).collect()}
+    # doc 2: P(b|a) = 0.8*(2/2... wait c(a,b)=2? pairs of 'a b a b':
+    # (a,b),(b,a),(a,b) -> c(a,b)=2, c(b,a)=1, c(a)=2, c(b)=2, N=4
+    p_ab = 0.8 * (2 / 2) + 0.2 * (2 / 4)
+    exp2 = round(-math.log(max(p_ab, 1e-9)) * 1e6)
+    assert out[2].n_bigrams == 1 and out[2].sum_surprisal == exp2
+    # doc 3: z unseen -> P = 0.8*(0/2) + 0.2*0 = 0 -> floored at 1e-9
+    exp3 = round(-math.log(1e-9) * 1e6)
+    assert out[3].sum_surprisal == exp3
+    assert abs(out[3].avg_nll - exp3 / 1e6) < 1e-12
+
+
+def test_bigram_logprob_short_docs_excluded_and_validation(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from sparkswift.operators.text import bigram_logprob
+
+    train = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["x y"]})
+    )
+    score = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [2, 3], "text": ["solo", "x y"]})
+    )
+    out = bigram_logprob(train, score).collect()
+    assert {r.doc_id for r in out} == {3}  # single-token doc dropped
+    with _pytest.raises(ValueError):
+        bigram_logprob(train, score, alpha_tenths=11)
