@@ -426,8 +426,23 @@ def drift_report(
     Returns ``(dim, bucket, cnt_a, cnt_b, share_a, share_b,
     psi_nano)`` — psi_nano is the PSI term in 1e-9 units (BIGINT).
     """
-    from pyspark.sql import Window
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    return drift_from_counts(drift_counts(df_a, df_b, dims), eps)
 
+
+def drift_counts(
+    df_a: DataFrame, df_b: DataFrame, dims: list[str]
+) -> DataFrame:
+    """The integer-mergeable half of :func:`drift_report`: per
+    (dim, bucket) counts for both snapshots. Counts are plain integer
+    sums — associative and order-free — so per-batch count frames can
+    be accumulated by a streaming ingest loop and merged with one
+    groupBy-sum (suite st20), after which :func:`drift_from_counts`
+    yields the BIT-identical report the batch path computes.
+
+    Returns ``(dim, bucket, cnt_a, cnt_b)``.
+    """
     if not dims:
         raise ValueError("dims must be non-empty")
 
@@ -447,7 +462,7 @@ def drift_report(
             "e.dim", "e.bucket", F.lit(side).alias("__side")
         )
 
-    counts = (
+    return (
         explode_side(df_a, 0)
         .unionByName(explode_side(df_b, 1))
         .groupBy("dim", "bucket")
@@ -460,6 +475,15 @@ def drift_report(
             .alias("cnt_b"),
         )
     )
+
+
+def drift_from_counts(counts: DataFrame, eps: float = 1e-6) -> DataFrame:
+    """Shares + PSI terms from a ``(dim, bucket, cnt_a, cnt_b)`` count
+    frame (see :func:`drift_report` for the semantics and determinism
+    contract). Window totals over the bucket-sized frame — no joins.
+    """
+    from pyspark.sql import Window
+
     w = Window.partitionBy("dim")
     shared = counts.select(
         "dim",
@@ -478,4 +502,13 @@ def drift_report(
     return shared.withColumn(
         "psi_nano",
         F.round((sa - sb) * F.log(sa / sb) * 1_000_000_000).cast("bigint"),
+    )
+
+
+def merge_drift_counts(counts: DataFrame) -> DataFrame:
+    """Merge per-slice :func:`drift_counts` frames (integer sums —
+    exact under any chop): one groupBy-sum over summary-sized rows."""
+    return counts.groupBy("dim", "bucket").agg(
+        F.sum("cnt_a").cast("bigint").alias("cnt_a"),
+        F.sum("cnt_b").cast("bigint").alias("cnt_b"),
     )

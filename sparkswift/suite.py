@@ -882,20 +882,23 @@ _WINDOW = [
     "d9_dedup_clusters_star",
     "e8_gate",
     "p26_gate",
-    "p3_decontaminate",
     "p6_pack_sequences",
-    "p7_group_split",
-    "p8_deterministic_shuffle",
     "p9_corpus_build",
     "t19_quality_probe",
-    "t3_fingerprint",
     "p25_gate",
     "st16_stream_semdedup_ingest",
     "t7_tfidf_top_terms",
     "t8_c4_line_filter",
-    "t9_corpus_stats",
     "w1_rank_lag",
     "st17_stream_heavy_hitters",
+    # --- (3b) second-session additions (new code outranks a staleness
+    # refresh — p3/p7/p8/t3/t9 move to the round-10 seed; their p/t
+    # families keep 8+/5 entries in-window) ---
+    "st19_stream_quantile_ingest",
+    "st20_stream_drift_ingest",
+    "agg17_drift_report",
+    "e9_mmr_diversify",
+    "t20_bigram_logprob",
     # --- (4) new this round ---
     "p23_token_shards",
     "p23_gate",

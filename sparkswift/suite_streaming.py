@@ -1146,3 +1146,113 @@ def st19_stream_quantile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             laws.alias("rank_laws_ok"),
         )
     ).localCheckpoint()
+
+
+# ---------------------------------------------------------------------------
+# st20 — STREAMING drift ingest: agg17's (dim,bucket) counts are
+# plain integer sums — associative and order-free, the same
+# mergeability class as st18's Gramian — so a crawl can fold each
+# micro-batch's drift_counts into a summary sink and every release
+# gate reads the store, never the corpus. The law is the strongest a
+# streaming op can claim: the merged streamed report equals the batch
+# drift_report BIT-EXACTLY (integer counts AND the derived
+# share/psi_nano columns, which are deterministic functions of the
+# merged integers) for every chop of the stream. The oracle
+# re-derives the doc-count and cell-count anchors.
+# ---------------------------------------------------------------------------
+@register(
+    "st20_stream_drift_ingest",
+    """
+    WITH d AS (
+      SELECT source,
+             CAST(CAST(least(floor(n_chars / 500.0), 7) AS BIGINT) AS VARCHAR)
+               AS len_b
+      FROM documents
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_docs,
+           (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM d)
+             + (SELECT CAST(COUNT(DISTINCT len_b) AS BIGINT) FROM d)
+             AS n_cells,
+           TRUE AS drift_bitexact
+    """,
+)
+def st20_stream_drift_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sparkswift.operators.profile import (
+        drift_counts,
+        drift_from_counts,
+        drift_report,
+        merge_drift_counts,
+    )
+    from sparkswift.operators.sampling import hash_bucket_hex, hex_threshold
+    from sparkswift.streaming.ops import stream_to_parquet
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.least(F.floor(F.col("n_chars") / 500.0), F.lit(7))
+        .cast("bigint")
+        .cast("string")
+        .alias("len_b"),
+        (F.xxhash64("doc_id") % 3).alias("__chop"),
+    )
+    is_a = hash_bucket_hex("doc_id", 0) < F.lit(hex_threshold(0.5))
+
+    base = tempfile.mkdtemp(prefix="drift_stream_")
+    src_dir, summ_dir = f"{base}/src", f"{base}/summ"
+    for i in range(3):  # three files → three micro-batches
+        docs.filter(F.abs(F.col("__chop")) == i).drop("__chop").repartition(
+            1
+        ).write.mode("append").parquet(src_dir)
+
+    schema = spark.read.parquet(src_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def ingest(batch_df, _epoch_id):
+        a = batch_df.filter(is_a)
+        b = batch_df.filter(~is_a)
+        drift_counts(a, b, ["source", "len_b"]).write.mode("append").parquet(
+            summ_dir
+        )
+
+    stream_to_parquet(src, path=None, checkpoint=f"{base}/ck", merge_fn=ingest)
+
+    streamed = drift_from_counts(
+        merge_drift_counts(spark.read.parquet(summ_dir))
+    )
+    batch = drift_report(docs.filter(is_a), docs.filter(~is_a), ["source", "len_b"])
+    s = streamed.select(
+        "dim", "bucket",
+        *[F.col(c).alias(f"s_{c}") for c in ("cnt_a", "cnt_b", "share_a", "share_b", "psi_nano")],
+    )
+    cmp = batch.join(s, ["dim", "bucket"], "full_outer")
+    bad = (
+        F.col("cnt_a").isNull()
+        | F.col("s_cnt_a").isNull()
+        | (F.col("cnt_a") != F.col("s_cnt_a"))
+        | (F.col("cnt_b") != F.col("s_cnt_b"))
+        | (F.col("share_a") != F.col("s_share_a"))
+        | (F.col("share_b") != F.col("s_share_b"))
+        | (F.col("psi_nano") != F.col("s_psi_nano"))
+    )
+    verdict = cmp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.coalesce(
+            F.sum(F.when(bad, 1).otherwise(0)), F.lit(0)
+        ).alias("n_bad"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        n_docs.crossJoin(F.broadcast(verdict))
+        .select(
+            "n_docs",
+            "n_cells",
+            (F.col("n_bad") == 0).alias("drift_bitexact"),
+        )
+        .localCheckpoint()
+    )

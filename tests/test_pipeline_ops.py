@@ -862,3 +862,43 @@ def test_drift_report_one_sided_bucket_clamped_finite(spark):
     r = out["only_b"]
     assert r.cnt_a == 0 and r.share_a == 0.0
     assert r.psi_nano is not None  # eps clamp keeps ln finite
+
+
+def test_drift_counts_merge_chop_invariant(spark):
+    """Integer mergeability: per-slice drift_counts merged with
+    merge_drift_counts equal the one-pass counts for every chop, and
+    the derived report is bit-identical."""
+    import pandas as pd
+
+    from sparkswift.operators.profile import (
+        drift_counts,
+        drift_from_counts,
+        drift_report,
+        merge_drift_counts,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "id": range(300),
+            "src": [["web", "code", "wiki"][i % 3] for i in range(300)],
+        }
+    )
+    a_pdf, b_pdf = pdf.iloc[: 180], pdf.iloc[180:]
+    a, b = spark.createDataFrame(a_pdf), spark.createDataFrame(b_pdf)
+    ref = {
+        (r.dim, r.bucket): (r.cnt_a, r.cnt_b, r.share_a, r.share_b, r.psi_nano)
+        for r in drift_report(a, b, ["src"]).collect()
+    }
+    for n_slices in (2, 3):
+        parts = None
+        for s in range(n_slices):
+            sa = spark.createDataFrame(a_pdf.iloc[s::n_slices])
+            sb_rows = b_pdf.iloc[s::n_slices]
+            sb = spark.createDataFrame(sb_rows)
+            p = drift_counts(sa, sb, ["src"])
+            parts = p if parts is None else parts.unionByName(p)
+        got = {
+            (r.dim, r.bucket): (r.cnt_a, r.cnt_b, r.share_a, r.share_b, r.psi_nano)
+            for r in drift_from_counts(merge_drift_counts(parts)).collect()
+        }
+        assert got == ref
