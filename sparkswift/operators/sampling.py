@@ -587,3 +587,97 @@ def preference_pairs(
             "margin",
         )
     )
+
+
+def _upsample_plan(
+    rates: dict[str, tuple[int, int]]
+) -> dict[str, tuple[int, str]]:
+    """Per group: (full copies, hex threshold for one extra copy) from
+    exact rational rates num/den — no floating point anywhere."""
+    import math
+
+    plan = {}
+    for g, (num, den) in rates.items():
+        if den <= 0 or num < 0:
+            raise ValueError(f"rate for {g!r} must be non-negative num/den")
+        full, rem = divmod(num, den)
+        thr = format(
+            min(math.ceil(rem * (16**_NIBBLES) / den), 16**_NIBBLES - 1),
+            f"0{_NIBBLES}x",
+        )
+        plan[g] = (full, thr)
+    return plan
+
+
+def epoch_upsample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    rates: dict[str, tuple[int, int]],
+    seed: int = 0,
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Materialize a training EPOCH under per-source repeat factors —
+    the upsampling half of data mixing that :func:`mixture_sample`
+    (never-upsample) deliberately refuses: a group with rate 5/2 gets
+    every row twice plus a deterministic hash-selected half a third
+    time; 1/3 keeps a third of rows once; groups absent from
+    ``rates`` drop. This is the public Llama/PaLM-style "epochs per
+    source" knob (e.g. books 2.5 epochs, web 0.5) materialized as an
+    explicit row multiset.
+
+    Rates are exact rationals ``num/den`` — copies(row) =
+    floor(num/den) + [md5-bucket < ceil((num mod den)·16⁸/den)] — so
+    the decision is integer/hex arithmetic end-to-end: deterministic,
+    partition-invariant, stable under corpus growth, and exactly
+    reproducible by the SQL oracle. Each emitted row carries
+    ``copy_col`` (0-based) so downstream shuffles spread copies and
+    dedup-by-(id, copy) stays possible.
+
+    Scale: no aggregate, no shuffle, no driver state — one codegen
+    CASE for copies and one explode of a 0..copies-1 sequence in the
+    scan stage. (Spark's sequence() counts DOWN for negative spans —
+    the copies >= 1 guard keeps it away from that edge.)
+
+    Returns the input columns plus ``copy_col`` (bigint).
+    """
+    plan = _upsample_plan(rates)
+    bucket = hash_bucket_hex(id_col, seed)
+    copies: Column = F.lit(0)
+    for g, (full, thr) in plan.items():
+        copies = F.when(
+            F.col(group_col) == F.lit(g),
+            F.lit(full)
+            + F.when(bucket < F.lit(thr), F.lit(1)).otherwise(F.lit(0)),
+        ).otherwise(copies)
+    out = df.withColumn("__copies", copies).filter(F.col("__copies") >= 1)
+    return (
+        out.select(
+            *df.columns,
+            F.explode(
+                F.sequence(F.lit(0), F.col("__copies") - 1)
+            ).alias(copy_col),
+        )
+        .withColumn(copy_col, F.col(copy_col).cast("bigint"))
+    )
+
+
+def upsample_sql_case(
+    id_sql: str,
+    group_sql: str,
+    rates: dict[str, tuple[int, int]],
+    seed: int = 0,
+) -> str:
+    """The ANSI-SQL expression computing the same per-row copy count —
+    shared by the DuckDB oracles so thresholds cannot drift."""
+    plan = _upsample_plan(rates)
+    bucket = (
+        f"substr(md5(concat_ws(':', '{seed}', CAST({id_sql} AS VARCHAR))),"
+        f" 1, {_NIBBLES})"
+    )
+    whens = [
+        f"WHEN {group_sql} = '{g}' THEN {full}"
+        f" + (CASE WHEN {bucket} < '{thr}' THEN 1 ELSE 0 END)"
+        for g, (full, thr) in plan.items()
+    ]
+    return "CASE " + " ".join(whens) + " ELSE 0 END"

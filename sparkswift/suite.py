@@ -882,7 +882,6 @@ _WINDOW = [
     "d9_dedup_clusters_star",
     "e8_gate",
     "p26_gate",
-    "p6_pack_sequences",
     "p9_corpus_build",
     "t19_quality_probe",
     "p25_gate",
@@ -892,10 +891,11 @@ _WINDOW = [
     "w1_rank_lag",
     "st17_stream_heavy_hitters",
     # --- (3b) second-session additions (new code outranks a staleness
-    # refresh — p3/p7/p8/t3/t9 move to the round-10 seed; their p/t
-    # families keep 8+/5 entries in-window) ---
+    # refresh — p3/p6/p7/p8/t3/t9 move to the round-10 seed; their p/t
+    # families keep 6+/5 entries in-window) ---
     "st19_stream_quantile_ingest",
     "st20_stream_drift_ingest",
+    "p27_epoch_upsample",
     "agg17_drift_report",
     "e9_mmr_diversify",
     "t20_bigram_logprob",

@@ -2777,3 +2777,42 @@ def t20_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bigram_logprob(
         docs.filter(is_tr), docs.filter(~is_tr), "text", "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# p27 — epoch upsampling: the "epochs per source" half of data mixing
+# that p10's never-upsample mixture refuses — exact rational repeat
+# factors (2.5x / 1x / 1/3x / drop across four source cohorts)
+# materialized as an explicit row multiset with copy indices. Copy
+# decisions are integer/hex arithmetic end-to-end (md5 fractional
+# copies, the p1/p2 determinism contract), built by the SAME helper
+# that renders the oracle CASE — thresholds cannot drift. No shuffle:
+# one codegen CASE + one sequence-explode in the scan stage.
+# ---------------------------------------------------------------------------
+_P27_RATES = {"0": (5, 2), "1": (1, 1), "2": (1, 3)}  # cohort 3 drops
+
+
+@register(
+    "p27_epoch_upsample",
+    f"""
+    WITH d AS (SELECT doc_id, source,
+                      CAST(CAST(substr(source, 4) AS BIGINT) % 4 AS VARCHAR)
+                        AS cohort
+               FROM documents),
+    c AS (SELECT doc_id, source, cohort,
+                 {sp.upsample_sql_case('doc_id', 'cohort', _P27_RATES)} AS copies
+          FROM d)
+    SELECT doc_id, source, cohort,
+           unnest(generate_series(0, copies - 1)) AS copy_idx
+    FROM c WHERE copies >= 1
+    """,
+)
+def p27_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (F.substring("source", 4, 10).cast("bigint") % 4)
+        .cast("string")
+        .alias("cohort"),
+    )
+    return sp.epoch_upsample(docs, "doc_id", "cohort", _P27_RATES)

@@ -1333,3 +1333,76 @@ def test_bigram_logprob_short_docs_excluded_and_validation(spark):
     assert {r.doc_id for r in out} == {3}  # single-token doc dropped
     with _pytest.raises(ValueError):
         bigram_logprob(train, score, alpha_tenths=11)
+
+
+def test_epoch_upsample_exact_copy_semantics(spark):
+    import pandas as pd
+
+    from sparkswift.operators.sampling import epoch_upsample
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(200), "g": [str(i % 2) for i in range(200)]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = epoch_upsample(
+        df, "doc_id", "g", {"0": (5, 2), "1": (1, 3)}
+    ).toPandas()
+    g0 = out[out["g"] == "0"]
+    g1 = out[out["g"] == "1"]
+    # group 0: every row 2 or 3 times; expected total ~ 100 * 2.5
+    per0 = g0.groupby("doc_id").size()
+    assert set(per0.unique()) <= {2, 3}
+    assert len(per0) == 100  # every group-0 doc present
+    assert abs(len(g0) - 250) <= 25  # hash fraction ~0.5 of 100
+    # group 1: rows appear at most once; roughly a third survive
+    per1 = g1.groupby("doc_id").size()
+    assert set(per1.unique()) <= {1}
+    assert abs(len(g1) - 33) <= 15
+    # copy_idx dense 0..copies-1
+    assert (g0.groupby("doc_id")["copy_idx"].max() + 1).equals(per0)
+
+
+def test_epoch_upsample_deterministic_and_growth_stable(spark):
+    import pandas as pd
+
+    from sparkswift.operators.sampling import epoch_upsample
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(100), "g": ["0"] * 100}
+    )
+    rates = {"0": (3, 2)}
+    small = spark.createDataFrame(pdf.iloc[:50])
+    big = spark.createDataFrame(pdf)
+    s = {
+        (r.doc_id, r.copy_idx)
+        for r in epoch_upsample(small, "doc_id", "g", rates).collect()
+    }
+    b = {
+        (r.doc_id, r.copy_idx)
+        for r in epoch_upsample(big, "doc_id", "g", rates).collect()
+    }
+    # adding data never changes existing rows' copies
+    assert s == {t for t in b if t[0] < 50}
+    for parts in (1, 7):
+        again = {
+            (r.doc_id, r.copy_idx)
+            for r in epoch_upsample(
+                big.repartition(parts), "doc_id", "g", rates
+            ).collect()
+        }
+        assert again == b
+
+
+def test_epoch_upsample_validation(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from sparkswift.operators.sampling import epoch_upsample
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "g": ["0"]}))
+    with _pytest.raises(ValueError):
+        epoch_upsample(df, "doc_id", "g", {"0": (1, 0)})
+    with _pytest.raises(ValueError):
+        epoch_upsample(df, "doc_id", "g", {"0": (-1, 2)})
+    # zero rate = drop
+    assert epoch_upsample(df, "doc_id", "g", {"0": (0, 1)}).count() == 0
