@@ -130,3 +130,72 @@ def pca_project(
             expr = term if expr is None else expr + term
         cols.append(expr.alias(f"{out_prefix}{r + 1}"))
     return df.select(*cols)
+
+
+def corr_matrix(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Pearson correlation matrix of the vector coordinates — the
+    embedding data-card stat (redundant/dead dimensions, whitening
+    diagnostics) and the input to feature-drift monitoring. Derived
+    entirely from :func:`pca_gram`'s exact integer moment sums, so
+    the only data-sized pass is the Gramian; everything after runs
+    over d·(d+1)/2 summary rows.
+
+    corr(i,j) = (n·Q·S_ij − S_i·S_j) / sqrt((n·Q·S_ii − S_i²)(n·Q·S_jj
+    − S_j²)) over the quantized sums — the second-moment sums carry
+    one factor of Q = 1e6 (per-row floor(x·y·Q)) while first-moment
+    products carry Q², so the cross term rescales by Q to match —
+    evaluated as one fixed-shape double expression (big products are
+    cast to double BEFORE multiplying — the integer cross-products
+    overflow int64) and quantized to micro-units, so the report is
+    SQL-oracle-exact. Zero-variance coordinates yield NULL (guarded,
+    not inf).
+
+    Returns ``(i, j, corr_micro)`` for the upper triangle i <= j,
+    1-based; the diagonal lands at exactly 1e6.
+    """
+    g = pca_gram(df, vec_col, dim)
+    n = df.filter(F.col(vec_col).isNotNull()).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    m1 = g.filter(F.col("j") == 0).select(
+        F.col("i").alias("__k"), F.col("s").alias("__s1")
+    )
+    m2 = (
+        g.filter(F.col("j") >= 1)
+        .join(m1.select(F.col("__k").alias("i"), F.col("__s1").alias("__s1i")), "i")
+        .join(m1.select(F.col("__k").alias("j"), F.col("__s1").alias("__s1j")), "j")
+        .crossJoin(F.broadcast(n))
+    )
+    diag = (
+        g.filter((F.col("j") >= 1) & (F.col("i") == F.col("j")))
+        .select(F.col("i").alias("__k"), F.col("s").alias("__skk"))
+        .join(m1, "__k")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "__k",
+            (
+                F.col("__n").cast("double")
+                * F.col("__skk").cast("double")
+                * F.lit(1_000_000.0)
+                - F.col("__s1").cast("double") * F.col("__s1").cast("double")
+            ).alias("__var"),
+        )
+    )
+    num = F.col("__n").cast("double") * F.col("s").cast("double") * F.lit(
+        1_000_000.0
+    ) - F.col("__s1i").cast("double") * F.col("__s1j").cast("double")
+    out = (
+        m2.join(diag.select(F.col("__k").alias("i"), F.col("__var").alias("__vi")), "i")
+        .join(diag.select(F.col("__k").alias("j"), F.col("__var").alias("__vj")), "j")
+        .select(
+            "i",
+            "j",
+            F.when(
+                (F.col("__vi") > 0) & (F.col("__vj") > 0),
+                F.round(
+                    num / (F.sqrt(F.col("__vi")) * F.sqrt(F.col("__vj"))) * 1_000_000
+                ).cast("bigint"),
+            ).alias("corr_micro"),
+        )
+    )
+    return out

@@ -874,7 +874,6 @@ _WINDOW = [
     "j2_semi_join",
     "j3_anti_join",
     # --- (3) r4-stale ---
-    "agg3_rollup",
     "e8_pca_gram",
     "agg7_grouping_sets",
     "d2_ngram_jaccard",
@@ -891,12 +890,13 @@ _WINDOW = [
     "w1_rank_lag",
     "st17_stream_heavy_hitters",
     # --- (3b) second-session additions (new code outranks a staleness
-    # refresh — p3/p6/p7/p8/t3/t9 move to the round-10 seed; their p/t
-    # families keep 6+/5 entries in-window) ---
+    # refresh — agg3/p3/p6/p7/p8/t3/t9 move to the round-10 seed; the
+    # agg/p/t families keep 3/6+/5 entries in-window) ---
     "st19_stream_quantile_ingest",
     "st20_stream_drift_ingest",
     "p27_epoch_upsample",
     "agg17_drift_report",
+    "agg18_corr_matrix",
     "e9_mmr_diversify",
     "t20_bigram_logprob",
     # --- (4) new this round ---

@@ -2816,3 +2816,54 @@ def p27_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cohort"),
     )
     return sp.epoch_upsample(docs, "doc_id", "cohort", _P27_RATES)
+
+
+# ---------------------------------------------------------------------------
+# agg18 — embedding correlation matrix: Pearson corr of the vector
+# coordinates derived ENTIRELY from e8's exact quantized moment sums
+# (one Gramian pass is the only data-sized work; the corr derivation
+# runs over d(d+1)/2 summary rows). Big cross-products are cast to
+# double before multiplying in the SAME expression shape on both
+# sides, then micro-quantized — SQL-oracle-exact. Zero-variance
+# coordinates yield NULL (guarded, not inf).
+# ---------------------------------------------------------------------------
+@register(
+    "agg18_corr_matrix",
+    f"""
+    WITH e AS MATERIALIZED (SELECT embedding FROM embeddings),
+    d AS (SELECT i FROM generate_series(1, {_E8_DIM}) AS g(i)),
+    m1 AS (SELECT CAST(d.i AS BIGINT) AS i,
+             CAST(SUM(CAST(FLOOR(CAST(e.embedding[d.i] AS DOUBLE)
+                  * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s
+           FROM e, d GROUP BY d.i),
+    m2 AS (SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+             CAST(SUM(CAST(FLOOR(CAST(e.embedding[p.i] AS DOUBLE)
+                  * CAST(e.embedding[p.j] AS DOUBLE)
+                  * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s
+           FROM e, (SELECT a.i AS i, b.i AS j
+                    FROM d AS a, d AS b WHERE a.i <= b.i) p
+           GROUP BY p.i, p.j),
+    nn AS (SELECT CAST(COUNT(embedding) AS BIGINT) AS n FROM e),
+    v AS (SELECT m2.i AS k,
+                 CAST(nn.n AS DOUBLE) * CAST(m2.s AS DOUBLE) * 1000000.0
+                   - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE) AS var
+          FROM m2 CROSS JOIN nn JOIN m1 a ON a.i = m2.i
+          WHERE m2.i = m2.j)
+    SELECT m2.i, m2.j,
+           CASE WHEN vi.var > 0 AND vj.var > 0 THEN
+             CAST(round((CAST(nn.n AS DOUBLE) * CAST(m2.s AS DOUBLE) * 1000000.0
+                         - CAST(a.s AS DOUBLE) * CAST(b.s AS DOUBLE))
+                  / (sqrt(vi.var) * sqrt(vj.var)) * 1000000) AS BIGINT)
+           END AS corr_micro
+    FROM m2 CROSS JOIN nn
+    JOIN m1 a ON a.i = m2.i
+    JOIN m1 b ON b.i = m2.j
+    JOIN v vi ON vi.k = m2.i
+    JOIN v vj ON vj.k = m2.j
+    """,
+)
+def agg18_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.pca import corr_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return corr_matrix(emb, "embedding", _E8_DIM)

@@ -1406,3 +1406,51 @@ def test_epoch_upsample_validation(spark):
         epoch_upsample(df, "doc_id", "g", {"0": (-1, 2)})
     # zero rate = drop
     assert epoch_upsample(df, "doc_id", "g", {"0": (0, 1)}).count() == 0
+
+
+def test_corr_matrix_exact_vs_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from sparkswift.operators.pca import corr_matrix
+
+    rng = np.random.RandomState(3)
+    dim, n = 5, 400
+    x = rng.randn(n, dim)
+    x[:, 3] = 2.0 * x[:, 0] + 0.1 * rng.randn(n)  # strongly correlated pair
+    pdf = pd.DataFrame(
+        {"vec_id": range(n), "embedding": [row.tolist() for row in x]}
+    )
+    df = spark.createDataFrame(pdf).repartition(4)
+    out = {(r.i, r.j): r.corr_micro for r in corr_matrix(df, "embedding", dim).collect()}
+    assert len(out) == dim * (dim + 1) // 2
+    # quantized-grid reference: same floor(v*1e6+0.5) moments as engine
+    q = np.floor(x * 1e6 + 0.5)
+    s1 = q.sum(axis=0)
+    for i in range(dim):
+        for j in range(i, dim):
+            sij = np.floor(x[:, i] * x[:, j] * 1e6 + 0.5).sum()
+            num = float(n) * sij * 1e6 - s1[i] * s1[j]
+            vi = float(n) * np.floor(x[:, i] ** 2 * 1e6 + 0.5).sum() * 1e6 - s1[i] ** 2
+            vj = float(n) * np.floor(x[:, j] ** 2 * 1e6 + 0.5).sum() * 1e6 - s1[j] ** 2
+            exp = round(num / (np.sqrt(vi) * np.sqrt(vj)) * 1e6)
+            assert out[(i + 1, j + 1)] == exp, (i, j)
+    assert all(out[(i + 1, i + 1)] == 1_000_000 for i in range(dim))
+    assert out[(1, 4)] > 900_000  # the planted correlation shows up
+
+
+def test_corr_matrix_zero_variance_null(spark):
+    import pandas as pd
+
+    from sparkswift.operators.pca import corr_matrix
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(10),
+            "embedding": [[1.0, float(i)] for i in range(10)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = {(r.i, r.j): r.corr_micro for r in corr_matrix(df, "embedding", 2).collect()}
+    assert out[(1, 1)] is None and out[(1, 2)] is None  # dim 1 constant
+    assert out[(2, 2)] == 1_000_000

@@ -42,6 +42,7 @@ BNLJ_ALLOWED: dict[str, int] = {
     "t12_bm25": 1,  # one-row corpus stats
     "t15_unigram_logprob": 1,  # one-row vocab total
     "t20_bigram_logprob": 1,  # one-row vocab total
+    "agg18_corr_matrix": 3,  # one-row count join, re-planned per reuse
     "p20_dsir_select": 1,  # one-row corpus totals
     "st13_stream_ivf_ingest": 1,  # one-row verdict fan-in
     "d2_skew_gate": 3,  # verdict row joins
