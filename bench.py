@@ -124,6 +124,11 @@ HEADLINE = [
     "p24_token_chunks",      # GPT concat-then-chunk over real BPE ids
     "t19_quality_probe",     # in-engine trained probe (24 quantized-GD iters)
     "e8_pca_gram",           # quantized Gramian (the data-sized PCA pass)
+    "agg17_drift_report",    # snapshot PSI drift (counts + window shares)
+    "agg18_corr_matrix",     # embedding corr matrix (Gramian-derived)
+    "e9_mmr_diversify",      # MMR diversity re-rank (integer greedy)
+    "t20_bigram_logprob",    # trained bigram LM (Jelinek-Mercer, micro-nats)
+    "p27_epoch_upsample",    # epochs-per-source mixing (fractional copies)
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their
