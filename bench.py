@@ -129,6 +129,7 @@ HEADLINE = [
     "e9_mmr_diversify",      # MMR diversity re-rank (integer greedy)
     "t20_bigram_logprob",    # trained bigram LM (Jelinek-Mercer, micro-nats)
     "p27_epoch_upsample",    # epochs-per-source mixing (fractional copies)
+    "g2_personalized_pagerank",  # seed-teleport power iteration
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

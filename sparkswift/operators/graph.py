@@ -25,8 +25,21 @@ def pagerank(
     symmetric: bool = False,
     tol: float | None = None,
     stats: dict | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank by power iteration over an edge list.
+
+    ``seeds=`` (a single-column DataFrame of node ids) switches to
+    PERSONALIZED PageRank: teleport mass — the (1−d) restart AND the
+    dangling redistribution — goes to the seed set (uniformly) instead
+    of all nodes, and ranks initialize on the seeds. Every update is
+    then rank = (1−d)·t + d·(inflow + dm·t) with t the seed-uniform
+    teleport vector. Structural consequence (float-EXACT, not
+    approximate): a node unreachable from the seed set only ever sums
+    0.0-contributions, so its rank is exactly 0.0 — the law the g2
+    gate certifies against a SQL reachability oracle. Seeds absent
+    from the graph's node set are ignored (their teleport share still
+    normalizes over the seeds PRESENT — pass clean seeds).
 
     Per iteration: contributions = edges ⋈ ranks on ``src`` (one hash
     shuffle; at scale pre-partition both sides by ``src`` to reuse the
@@ -99,7 +112,24 @@ def pagerank(
     # static per-iteration inputs, built once: edges with their source
     # degree attached, and the (possibly empty) dangling-node set
     e_deg = e.join(out_deg, "src").localCheckpoint()
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    if seeds is not None:
+        seed_nodes = (
+            seeds.select(F.col(seeds.columns[0]).alias("node"))
+            .distinct()
+            .join(nodes, "node", "left_semi")
+            .localCheckpoint()
+        )
+        s = seed_nodes.count()
+        if s == 0:
+            raise ValueError("pagerank: no seed is a node of the graph")
+        # teleport vector rides the ranks frame (static per node)
+        nodes_t = nodes.join(
+            seed_nodes.withColumn("__t", F.lit(1.0 / s)), "node", "left"
+        ).select("node", F.coalesce(F.col("__t"), F.lit(0.0)).alias("__t"))
+        nodes_t = nodes_t.localCheckpoint()
+        ranks = nodes_t.withColumn("rank", F.col("__t"))
+    else:
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
 
     iters_run = 0
     for _ in range(max_iter):
@@ -113,12 +143,22 @@ def pagerank(
         # previous rank rides along as __prev, so the tol= delta probe
         # below is a plain aggregate instead of a second node-sized
         # join per iteration (A/B r9: the separate-join probe was
-        # ~the whole early-exit overhead on the bench row)
-        updated = ranks.select("node", F.col("rank").alias("__prev")).join(
-            contribs, "node", "left"
-        )
+        # ~the whole early-exit overhead on the bench row); with
+        # seeds= the static teleport column __t rides the same frame
+        carry = ["node", "__t"] if seeds is not None else ["node"]
+        updated = ranks.select(
+            *carry, F.col("rank").alias("__prev")
+        ).join(contribs, "node", "left")
+        tele = (
+            F.col("__t") if seeds is not None else None
+        )  # personalized teleport vs uniform 1/n
         if dangling_nodes is None:
-            rank_expr = F.lit((1.0 - damping) / n) + F.lit(damping) * F.coalesce(
+            base = (
+                F.lit(1.0 - damping) * tele
+                if seeds is not None
+                else F.lit((1.0 - damping) / n)
+            )
+            rank_expr = base + F.lit(damping) * F.coalesce(
                 F.col("inflow"), F.lit(0.0)
             )
         else:
@@ -127,13 +167,19 @@ def pagerank(
                 F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
             )
             updated = updated.crossJoin(F.broadcast(dangling))
-            rank_expr = F.lit((1.0 - damping) / n) + F.lit(damping) * (
-                F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("__dm") / n
-            )
+            if seeds is not None:
+                rank_expr = F.lit(1.0 - damping) * tele + F.lit(damping) * (
+                    F.coalesce(F.col("inflow"), F.lit(0.0))
+                    + F.col("__dm") * tele
+                )
+            else:
+                rank_expr = F.lit((1.0 - damping) / n) + F.lit(damping) * (
+                    F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("__dm") / n
+                )
         iters_run += 1
         if tol is not None:
             stepped = updated.select(
-                "node", rank_expr.alias("rank"), "__prev"
+                *carry, rank_expr.alias("rank"), "__prev"
             ).localCheckpoint()
             # L1 delta as a one-row aggregate over the SAME checkpoint
             # (no extra join — __prev rode along)
@@ -144,7 +190,7 @@ def pagerank(
                 .collect()[0]
                 .d
             )
-            ranks = stepped.select("node", "rank")
+            ranks = stepped.select(*carry, "rank")
             if delta is None or delta != delta:
                 # empty graph / NaN blow-up: early exit can never
                 # trigger — fail loudly instead of silently paying a
@@ -154,8 +200,10 @@ def pagerank(
                 break
         else:
             ranks = updated.select(
-                "node", rank_expr.alias("rank")
+                *carry, rank_expr.alias("rank")
             ).localCheckpoint()
+    if seeds is not None:
+        ranks = ranks.select("node", "rank")
     if stats is not None:
         stats["iters"] = iters_run
     ranks._pagerank_iters = iters_run

@@ -876,7 +876,6 @@ _WINDOW = [
     # --- (3) r4-stale ---
     "e8_pca_gram",
     "agg7_grouping_sets",
-    "d2_ngram_jaccard",
     "st18_stream_pca_ingest",
     "d9_dedup_clusters_star",
     "e8_gate",
@@ -885,13 +884,12 @@ _WINDOW = [
     "t19_quality_probe",
     "p25_gate",
     "st16_stream_semdedup_ingest",
-    "t7_tfidf_top_terms",
     "t8_c4_line_filter",
     "w1_rank_lag",
     "st17_stream_heavy_hitters",
     # --- (3b) second-session additions (new code outranks a staleness
-    # refresh — agg3/p3/p6/p7/p8/t3/t9 move to the round-10 seed; the
-    # agg/p/t families keep 3/6+/5 entries in-window) ---
+    # refresh — agg3/d2/p3/p6/p7/p8/t3/t7/t9 move to the round-10
+    # seed; the agg/d/p/t families keep 3/8+/6+/4 entries in-window) ---
     "st19_stream_quantile_ingest",
     "st20_stream_drift_ingest",
     "p27_epoch_upsample",
@@ -899,6 +897,8 @@ _WINDOW = [
     "agg18_corr_matrix",
     "e9_mmr_diversify",
     "t20_bigram_logprob",
+    "g2_personalized_pagerank",
+    "g2_gate",
     # --- (4) new this round ---
     "p23_token_shards",
     "p23_gate",

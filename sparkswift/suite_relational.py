@@ -1902,3 +1902,92 @@ def agg17_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_report(
         docs.filter("__is_a"), docs.filter("NOT __is_a"), ["source", "len_b"]
     )
+
+
+# ---------------------------------------------------------------------------
+# g2 — PERSONALIZED PageRank (teleport restricted to a seed set; the
+# seed-relevance ranking used for topic-conditioned crawl
+# prioritization and retrieval expansion). DIRECTED customer→supplier
+# purchase edges, seeds = every 50th customer. Float power iteration
+# → rows-only raw query; the structural laws are SQL-certified by
+# g2_gate: a node unreachable from the seeds only ever sums exact
+# 0.0-contributions, so rank == 0.0 EXACTLY — the oracle re-derives
+# the unreachable count from the edge table and the engine counts
+# actual zero ranks (hash match = law), plus seed-positivity and
+# teleport-mass conservation.
+# ---------------------------------------------------------------------------
+def _g2_graph(spark: SparkSession, sf_dir: str):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = (
+        pairs.filter((F.col("src") / 2) % 50 == 0)
+        .select(F.col("src").alias("node"))
+        .distinct()
+    )
+    return pairs, seeds
+
+
+@register("g2_personalized_pagerank", None)
+def g2_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.graph import pagerank
+
+    edges, seeds = _g2_graph(spark, sf_dir)
+    return pagerank(edges, seeds=seeds, max_iter=6, assume_distinct=True)
+
+
+@register(
+    "g2_gate",
+    """
+    WITH e AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    seeds AS (SELECT DISTINCT c FROM e WHERE (c / 2) % 50 = 0),
+    reach_s AS (SELECT DISTINCT e.s FROM e JOIN seeds ON seeds.c = e.c),
+    nn AS (SELECT (SELECT COUNT(DISTINCT c) FROM e)
+                  + (SELECT COUNT(DISTINCT s) FROM e) AS n_nodes)
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM seeds) AS n_seeds,
+           CAST(n_nodes - (SELECT COUNT(*) FROM seeds)
+                        - (SELECT COUNT(*) FROM reach_s) AS BIGINT) AS n_zero,
+           TRUE AS mass_ok,
+           TRUE AS seeds_positive
+    FROM nn
+    """,
+)
+def g2_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.graph import pagerank
+
+    edges, seeds = _g2_graph(spark, sf_dir)
+    ranks = pagerank(
+        edges, seeds=seeds, max_iter=6, assume_distinct=True
+    ).localCheckpoint()
+    n_seeds = seeds.count()
+    seed_ranks = ranks.join(seeds, "node", "left_semi")
+    agg = ranks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.when(F.col("rank") == 0.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+        (F.abs(F.sum("rank") - F.lit(1.0)) < 1e-9).alias("mass_ok"),
+    )
+    seed_min = seed_ranks.agg(
+        (F.min("rank") > 0.0).alias("seeds_positive")
+    )
+    return (
+        agg.crossJoin(F.broadcast(seed_min))
+        .select(
+            "n_nodes",
+            F.lit(n_seeds).cast("bigint").alias("n_seeds"),
+            "n_zero",
+            "mass_ok",
+            "seeds_positive",
+        )
+        .localCheckpoint()
+    )

@@ -143,3 +143,80 @@ def test_pagerank_symmetric_shortcut_matches_general_path(spark):
     for node in general:
         assert general[node] == fast[node], node
     assert sum(fast.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_personalized_pagerank_matches_numpy_and_exact_zeros(spark):
+    """PPR contract: teleport (restart + dangling mass) goes to the
+    seed distribution; nodes unreachable from the seeds hold rank
+    EXACTLY 0.0 (they only ever sum 0.0-contributions)."""
+    import numpy as np
+    import pandas as pd
+
+    from sparkswift.operators.graph import pagerank
+
+    # 1 -> 10, 1 -> 11, 2 -> 11, 3 -> 12; seeds {1}: nodes 2, 3, 12
+    # are unreachable; 10/11/12 dangle (mass returns to the seed)
+    e = [(1, 10), (1, 11), (2, 11), (3, 12)]
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": [a for a, _ in e], "dst": [b for _, b in e]})
+    )
+    seeds = spark.createDataFrame(pd.DataFrame({"node": [1]}))
+    stats = {}
+    got = {
+        r.node: r.rank
+        for r in pagerank(
+            edges, seeds=seeds, max_iter=8, stats=stats
+        ).collect()
+    }
+    assert stats["iters"] == 8
+    nodes = sorted(got)
+    idx = {n: i for i, n in enumerate(nodes)}
+    t = np.zeros(len(nodes))
+    t[idx[1]] = 1.0
+    deg = {1: 2, 2: 1, 3: 1}
+    rank = t.copy()
+    for _ in range(8):
+        new = 0.15 * t.copy()
+        dm = sum(rank[idx[n]] for n in nodes if n not in deg)
+        new += 0.85 * dm * t
+        for s, d in e:
+            new[idx[d]] += 0.85 * rank[idx[s]] / deg[s]
+        rank = new
+    for n in nodes:
+        assert abs(got[n] - rank[idx[n]]) < 1e-12, n
+    assert got[2] == 0.0 and got[3] == 0.0 and got[12] == 0.0
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+
+
+def test_personalized_pagerank_partition_invariant_zero_set(spark):
+    import pandas as pd
+
+    from sparkswift.operators.graph import pagerank
+
+    pdf = pd.DataFrame(
+        {"src": [i % 17 for i in range(200)], "dst": [i % 23 + 100 for i in range(200)]}
+    )
+    seeds = spark.createDataFrame(pd.DataFrame({"node": [0, 5]}))
+    ref = None
+    for parts in (1, 8):
+        edges = spark.createDataFrame(pdf).repartition(parts)
+        got = {
+            r.node
+            for r in pagerank(edges, seeds=seeds, max_iter=4).collect()
+            if r.rank == 0.0
+        }
+        if ref is None:
+            ref = got
+        assert got == ref  # the exact-zero set is layout-independent
+
+
+def test_personalized_pagerank_rejects_foreign_seeds(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from sparkswift.operators.graph import pagerank
+
+    edges = spark.createDataFrame(pd.DataFrame({"src": [1], "dst": [2]}))
+    seeds = spark.createDataFrame(pd.DataFrame({"node": [999]}))
+    with _pytest.raises(ValueError):
+        pagerank(edges, seeds=seeds, max_iter=2)
