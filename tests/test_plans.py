@@ -443,3 +443,58 @@ def test_q22_anti_join_and_one_row_threshold_broadcast(plans):
     # what must NOT happen is the anti join degenerating to a loop
     assert p.count("BroadcastNestedLoop") <= 1
     assert "1-URGENT" in p  # priority filter pushed to the orders scan
+
+
+def test_agg17_drift_is_joinless_single_agg(plans):
+    """Drift report: one (dim,bucket) hash aggregation, window totals
+    over the bucket-sized frame — NO joins anywhere, zero Python."""
+    p = plans("agg17_drift_report")
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert "HashAggregate" in p and "Window" in p
+
+
+def test_p27_epoch_upsample_is_scan_stage_only(plans):
+    """Epoch upsampling: copies CASE + sequence-explode fused into the
+    scan — no exchange, no join, no aggregate, zero Python."""
+    p = plans("p27_epoch_upsample")
+    assert "Exchange" not in p
+    assert "Join" not in p and "HashAggregate" not in p
+    assert "EvalPython" not in p
+    assert "Generate explode" in p
+
+
+def test_t20_bigram_pairs_built_scan_side(plans):
+    """Bigram LM: pair construction is a zip of two array slices at
+    the scan (no self-join or per-doc window); the only BNLJ is the
+    sanctioned one-row vocab total."""
+    p = plans("t20_bigram_logprob")
+    assert "Window" not in p
+    assert p.count("BroadcastNestedLoop") <= 1
+    assert "EvalPython" not in p
+    assert "slice(" in p and "zip_with" in p
+
+
+def test_e9_greedy_runs_in_one_arrow_pass(plans):
+    """MMR: the sequential greedy is ONE FlatMapGroupsInPandas over
+    pool-sized groups; no row-at-a-time Python, no cartesian."""
+    p = plans("e9_mmr_diversify")
+    assert "FlatMapGroupsInPandas" in p
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_quantile_summary_no_exchange_before_compaction(spark):
+    """The rank sketch compacts per Arrow batch where the data lies:
+    mapInPandas directly over the scan, no shuffle of the rows."""
+    from sparkswift.operators.profile import quantile_summary
+
+    df = spark.range(1000).selectExpr("CAST(id AS DOUBLE) AS v")
+    p = (
+        quantile_summary(df, "v", k=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in p
+    assert "MapInPandas" in p
