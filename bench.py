@@ -130,6 +130,7 @@ HEADLINE = [
     "t20_bigram_logprob",    # trained bigram LM (Jelinek-Mercer, micro-nats)
     "p27_epoch_upsample",    # epochs-per-source mixing (fractional copies)
     "g2_personalized_pagerank",  # seed-teleport power iteration
+    "mm6_png_decode_real",   # real PNG decode (zlib + all five filters)
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

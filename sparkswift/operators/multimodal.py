@@ -30,6 +30,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -119,14 +120,142 @@ def _parse_bmp(b: bytes) -> np.ndarray:
     return px[::-1] if bottom_up else px
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
+    """Reverse per-scanline PNG filtering (spec §9: None/Sub/Up/
+    Average/Paeth) over 8-bit samples. Pure numpy per row; ``bpp`` is
+    the filter unit (one full pixel at bit depth 8)."""
+    stride = w * ch
+    out = np.zeros((h, stride), np.uint8)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        row = np.frombuffer(raw, np.uint8, count=stride, offset=pos).astype(
+            np.int32
+        )
+        pos += stride
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        cur = np.zeros(stride, np.int32)
+        if ft == 0:
+            cur = row
+        elif ft == 2:  # Up
+            cur = (row + prev) & 0xFF
+        else:  # Sub/Average/Paeth need the in-row left neighbor
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) >> 1
+                elif ft == 4:
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"PNG filter type {ft} invalid")
+                cur[x] = (row[x] + pred) & 0xFF
+        out[y] = cur.astype(np.uint8)
+    return out.reshape(h, w, ch)
+
+
+def _parse_png(b: bytes) -> np.ndarray:
+    """Decode an 8-bit truecolor PNG (color type 2 RGB or 6 RGBA,
+    non-interlaced) to (h, w, ch) uint8 — stdlib zlib, all five
+    scanline filters reversed. The honest-codec rung for the most
+    common web image format; palette/16-bit/interlaced stay gated."""
+    if b[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, dims = len(_PNG_SIG), [], None
+    while pos < len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color not in (2, 6) or interlace:
+                raise ValueError(
+                    f"PNG depth={depth} color={color} interlace={interlace} "
+                    "unsupported (8-bit RGB/RGBA non-interlaced only)"
+                )
+            dims = (w, h, 3 if color == 2 else 4)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if dims is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, ch = dims
+    return _png_unfilter(zlib.decompress(b"".join(idat)), w, h, ch)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(px: np.ndarray, filter_of=None) -> bytes:
+    """Minimal PNG writer (8-bit RGB/RGBA, non-interlaced). The
+    synth-payload + round-trip-test counterpart of :func:`_parse_png`;
+    ``filter_of(y) -> 0..4`` chooses each scanline's filter so tests
+    exercise every reconstruction path."""
+    h, w, ch = px.shape
+    color = 2 if ch == 3 else 6
+    px32 = px.astype(np.int32)
+    lines = []
+    for y in range(h):
+        row = px32[y].reshape(-1)
+        prev = px32[y - 1].reshape(-1) if y else np.zeros(w * ch, np.int32)
+        ft = int(filter_of(y)) if filter_of is not None else 0
+        left = np.concatenate([np.zeros(ch, np.int32), row[:-ch]])
+        ul = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+        if ft == 0:
+            enc = row
+        elif ft == 1:
+            enc = row - left
+        elif ft == 2:
+            enc = row - prev
+        elif ft == 3:
+            enc = row - ((left + prev) >> 1)
+        else:
+            pa = np.abs(prev - ul)
+            pb = np.abs(left - ul)
+            pc = np.abs(left + prev - 2 * ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            enc = row - pred
+        lines.append(bytes([ft]) + (enc & 0xFF).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def _decode_image_bytes(b: bytes) -> np.ndarray:
     if b[:2] == b"P6":
         return _parse_ppm(b)
     if b[:2] == b"BM":
         return _parse_bmp(b)
+    if b[: len(_PNG_SIG)] == _PNG_SIG:
+        return _parse_png(b)
     raise ValueError(
-        "undecodable image payload (real path supports PPM P6 and 24-bit "
-        "BMP; JPEG/PNG need PIL — use fake=True for plumbing-only runs)"
+        "undecodable image payload (real path supports PPM P6, 24-bit "
+        "BMP, and 8-bit RGB/RGBA PNG; JPEG needs PIL — use fake=True "
+        "for plumbing-only runs)"
     )
 
 
@@ -403,4 +532,41 @@ def extract_audio_features(
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         batches, AUDIO_SCHEMA
+    )
+
+
+def synth_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a VALID 8-bit RGB PNG payload per row: gradient
+    pixels ``v(c, x, y) = base_c + x + y`` with bases id%200 /
+    7·id%200 / 13·id%200 at width 4+id%5 × height 3+id%4 (no mod-256
+    wrap: base ≤ 199, x+y ≤ 12), scanline filter (id+y) % 5 — every
+    PNG filter type is exercised across a corpus, and the channel
+    means reduce to EXACT dyadic id arithmetic the SQL oracle
+    re-derives: mean_c = base_c + (w−1)/2 + (h−1)/2."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            w, h = 4 + i % 5, 3 + i % 4
+            x = np.arange(w, dtype=np.int32)[None, :, None]
+            y = np.arange(h, dtype=np.int32)[:, None, None]
+            base = np.array(
+                [i % 200, (i * 7) % 200, (i * 13) % 200], np.int32
+            )[None, None, :]
+            px = (base + x + y).astype(np.uint8)
+            return encode_png(px, filter_of=lambda yy: (i + yy) % 5)
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("image/png").alias("mime"),
+            (4 + F.col(id_col) % 5).cast("int").alias("width"),
+            (3 + F.col(id_col) % 4).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ),
     )

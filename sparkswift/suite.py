@@ -880,7 +880,6 @@ _WINDOW = [
     "d9_dedup_clusters_star",
     "e8_gate",
     "p26_gate",
-    "p9_corpus_build",
     "t19_quality_probe",
     "p25_gate",
     "st16_stream_semdedup_ingest",
@@ -888,7 +887,7 @@ _WINDOW = [
     "w1_rank_lag",
     "st17_stream_heavy_hitters",
     # --- (3b) second-session additions (new code outranks a staleness
-    # refresh — agg3/d2/p3/p6/p7/p8/t3/t7/t9 move to the round-10
+    # refresh — agg3/d2/p3/p6/p7/p8/p9/t3/t7/t9 move to the round-10
     # seed; the agg/d/p/t families keep 3/8+/6+/4 entries in-window) ---
     "st19_stream_quantile_ingest",
     "st20_stream_drift_ingest",
@@ -899,6 +898,7 @@ _WINDOW = [
     "t20_bigram_logprob",
     "g2_personalized_pagerank",
     "g2_gate",
+    "mm6_png_decode_real",
     # --- (4) new this round ---
     "p23_token_shards",
     "p23_gate",

@@ -2867,3 +2867,44 @@ def agg18_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return corr_matrix(emb, "embedding", _E8_DIM)
+
+
+# ---------------------------------------------------------------------------
+# mm6 — REAL PNG decode, zero-dependency (stdlib zlib): synth_png
+# writes valid 8-bit RGB PNGs whose scanline filter rotates through
+# ALL FIVE spec filters ((id+row) % 5) and whose gradient pixels
+# (base_c + x + y, wrap-free) make the channel means exact dyadic id
+# arithmetic — decode must reverse Sub/Up/Average/Paeth correctly or
+# the means shift. byte_len is zlib-dependent and deliberately NOT
+# exposed. Round-trip vs numpy (all filters × RGB/RGBA) pytest-swept.
+# ---------------------------------------------------------------------------
+@register(
+    "mm6_png_decode_real",
+    """
+    SELECT doc_id AS id,
+           CAST(4 + doc_id % 5 AS INT) AS width,
+           CAST(3 + doc_id % 4 AS INT) AS height,
+           CAST(doc_id % 200 AS DOUBLE)
+             + (CAST(4 + doc_id % 5 AS DOUBLE) - 1) / 2
+             + (CAST(3 + doc_id % 4 AS DOUBLE) - 1) / 2 AS mean_r,
+           CAST((doc_id * 7) % 200 AS DOUBLE)
+             + (CAST(4 + doc_id % 5 AS DOUBLE) - 1) / 2
+             + (CAST(3 + doc_id % 4 AS DOUBLE) - 1) / 2 AS mean_g,
+           CAST((doc_id * 13) % 200 AS DOUBLE)
+             + (CAST(4 + doc_id % 5 AS DOUBLE) - 1) / 2
+             + (CAST(3 + doc_id % 4 AS DOUBLE) - 1) / 2 AS mean_b
+    FROM documents
+    """,
+)
+def mm6_png_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    wp = mm.synth_png_payload(docs, "doc_id")
+    out = mm.decode_image(wp, "doc_id", "payload", fake=False, feat_dim=5)
+    return out.select(
+        "id",
+        F.col("feat")[0].cast("int").alias("width"),
+        F.col("feat")[1].cast("int").alias("height"),
+        F.col("feat")[2].alias("mean_r"),
+        F.col("feat")[3].alias("mean_g"),
+        F.col("feat")[4].alias("mean_b"),
+    )

@@ -275,6 +275,63 @@ def test_real_bmp_decode(spark):
     assert list(out.loc[0, "feat"]) == [5.0, 3.0, 10.0, 20.0, 30.0]
 
 
+def test_real_png_decode_roundtrip_and_filters(spark):
+    """PNG decode: every spec filter type reconstructs exactly (the
+    synth rotates (id+row)%5, so the corpus covers all five), and the
+    gradient means reduce to base + (w-1)/2 + (h-1)/2."""
+    df = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    wp = mm.synth_png_payload(df, "doc_id")
+    out = mm.decode_image(wp, "doc_id", "payload", fake=False, feat_dim=5).toPandas()
+    assert len(out) == 40
+    for _, r in out.iterrows():
+        i = int(r["id"])
+        w, h = 4 + i % 5, 3 + i % 4
+        half = (w - 1) / 2 + (h - 1) / 2
+        assert r["feat"][0] == float(w) and r["feat"][1] == float(h)
+        assert r["feat"][2] == i % 200 + half
+        assert r["feat"][3] == (i * 7) % 200 + half
+        assert r["feat"][4] == (i * 13) % 200 + half
+
+
+def test_png_codec_pure_roundtrip():
+    """encode_png <-> _parse_png over random RGB/RGBA arrays, each
+    fixed filter plus the rotating mix — byte-exact pixels back."""
+    import numpy as np
+
+    from sparkswift.operators.multimodal import _parse_png, encode_png
+
+    rng = np.random.RandomState(7)
+    for ch in (3, 4):
+        px = rng.randint(0, 256, (9, 17, ch)).astype(np.uint8)
+        for f in range(5):
+            back = _parse_png(encode_png(px, filter_of=lambda y, f=f: f))
+            assert back.shape == px.shape and (back == px).all(), (ch, f)
+        back = _parse_png(encode_png(px, filter_of=lambda y: (y * 3 + 1) % 5))
+        assert (back == px).all()
+
+
+def test_png_decode_rejects_unsupported():
+    import struct as _struct
+    import zlib as _zlib
+
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import _PNG_SIG, _parse_png
+
+    def chunk(t, d):
+        return _struct.pack(">I", len(d)) + t + d + _struct.pack(
+            ">I", _zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    # palette PNG (color type 3) must be refused, not mis-decoded
+    ihdr = _struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    bad = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    with _pytest.raises(ValueError):
+        _parse_png(bad)
+    with _pytest.raises(ValueError):
+        _parse_png(b"not a png at all")
+
+
 def test_real_wav_decode(spark):
     df = spark.range(0, 40).select(F.col("id").alias("doc_id"))
     wp = mm.synth_wav_payload(df, "doc_id")

@@ -352,7 +352,8 @@ def test_p19_pairs_single_exchange_for_both_windows(plans):
 def test_mm_real_decodes_are_map_side_only(plans):
     # decode runs as one Arrow mapInPandas pass at the scan stage —
     # no Exchange anywhere, payload bytes never shuffle
-    for q in ("mm4_image_decode_real", "mm5_audio_decode_real"):
+    for q in ("mm4_image_decode_real", "mm5_audio_decode_real",
+              "mm6_png_decode_real"):
         p = plans(q)
         assert "Exchange" not in p, (q, p)
         assert "MapInPandas" in p or "mapInPandas" in p.lower(), q
