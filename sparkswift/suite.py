@@ -787,8 +787,16 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    by in-window gates; the slots close the "never windowed" list
 #    entirely.
 # 3. The 5 round-3-stale queries (s1, set1, agg1, j2, j3) and the
-#    22 round-4-stale ones — the whole >=4-rounds-stale cohort from
-#    the r8 ledger. After this window the max staleness is r5.
+#    round-4-stale cohort from the r8 ledger. Second-session
+#    amendment (group 3b below): ten of the r4-stale refresh slots
+#    (agg3, d2, p3, p6, p7, p8, p9, t3, t7, t9 — every displaced
+#    family keeps 3+ entries in-window) yield to the session's TEN
+#    NEW queries (new code always outranks a staleness refresh):
+#    st19 (mergeable quantile sketch), st20 (drift ingest), agg17
+#    (PSI drift), agg18 (Gramian corr matrix), e9 (MMR re-rank), t20
+#    (trained bigram LM), p27 (epoch upsampling), g2 + g2_gate
+#    (personalized PageRank, exact-zero reachability law), mm6 (real
+#    PNG decode). The displaced ten lead the round-10 seed.
 # 4. The 6 queries NEW this round: p23_token_shards + p23_gate
 #    (training-ready Megatron .bin/.idx shards with byte-readback
 #    laws), d16_semdedup_incremental + d16_gate (persisted SemDeDup
