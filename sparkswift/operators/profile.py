@@ -319,12 +319,15 @@ def quantile_summary(df: DataFrame, col: str, k: int = 128) -> DataFrame:
         raise ValueError("k must be >= 2")
 
     def summarize(batches):
+        import numpy as np
+
         for pdf in batches:
-            vals = pdf[col].dropna().to_numpy()
+            # np.sort (copy) — the Series buffer may be a zero-copy
+            # Arrow view; an in-place sort would mutate or raise
+            vals = np.sort(pdf[col].dropna().to_numpy())
             n_u = len(vals)
             if n_u == 0:
                 continue
-            vals.sort()
             q = math.ceil(n_u / k)
             maxes = [float(vals[min((j + 1) * q, n_u) - 1]) for j in range(math.ceil(n_u / q))]
             weights = [min((j + 1) * q, n_u) - j * q for j in range(len(maxes))]
