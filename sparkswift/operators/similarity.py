@@ -1198,6 +1198,7 @@ def pq_train(
     seed: int = 42,
     iters: int = 20,
     sample_x: np.ndarray | None = None,
+    rotate: np.ndarray | None = None,
 ) -> np.ndarray:
     """Train per-subspace codebooks on a bounded deterministic sample
     (lowest ``train_size`` ids — stable under partitioning and corpus
@@ -1219,6 +1220,8 @@ def pq_train(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     x = x / np.linalg.norm(x, axis=1, keepdims=True).clip(min=1e-12)
+    if rotate is not None:
+        x = x @ rotate.T  # orthogonal → unit norms preserved
     dsub = dim // m
     return np.stack(
         [
@@ -1235,6 +1238,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_cols: tuple[str, ...] = (),
+    rotate: np.ndarray | None = None,
 ) -> DataFrame:
     """Encode every corpus vector to its m nearest-centroid codes —
     one Arrow-batched numpy kernel (batch × ksub distance matrix per
@@ -1243,10 +1247,14 @@ def pq_encode(
     m, ksub, dsub = codebooks.shape
     cb = codebooks  # closure-captured; a few KB
 
+    rot = rotate  # closure-captured; d×d float64, a few KB
+
     @F.pandas_udf("array<int>")
     def enc(s: pd.Series) -> pd.Series:
         x = _to_matrix(s)
         x = x / np.linalg.norm(x, axis=1, keepdims=True).clip(min=1e-12)
+        if rot is not None:
+            x = x @ rot.T
         codes = np.empty((x.shape[0], m), dtype=np.int32)
         for j in range(m):
             sub = x[:, j * dsub : (j + 1) * dsub]
@@ -1275,6 +1283,7 @@ def cosine_topk_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    rotate: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via PQ codes + ADC scan + exact
     re-ranking. Same output shape as :func:`cosine_topk`
@@ -1307,13 +1316,22 @@ def cosine_topk_pq(
         id_col=id_col,
         vec_col=vec_col,
         seed=seed,
+        rotate=rotate,
     )
     _, _, dsub = codebooks.shape
-    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(
+        corpus, codebooks, id_col=id_col, vec_col=vec_col, rotate=rotate
+    )
 
     qpd = queries.select(F.col(id_col), F.col(vec_col)).orderBy(id_col).toPandas()
     qx = _to_matrix(qpd[vec_col])
     qx = qx / np.linalg.norm(qx, axis=1, keepdims=True).clip(min=1e-12)
+    if rotate is not None:
+        # rotation is applied IN CODE SPACE only: the ADC scan ranks
+        # rotated-space products (cos-invariant under an orthogonal
+        # R), while the refine step re-ranks survivors on the
+        # ORIGINAL integer-grid vectors — same metric, exact output
+        qx = qx @ rotate.T
     qids = qpd[id_col].to_numpy(dtype=np.int64)
     nq = len(qids)
     # LUT[q, j, c] = q_subvec_j · centroid_{j,c}  — cosine contribution
@@ -2043,4 +2061,94 @@ def mmr_diversify(
 
     return full.groupBy("query_id").applyInPandas(
         greedy, "query_id long, step long, cand_id long, score10 long"
+    )
+
+
+def opq_rotation(
+    corpus: DataFrame,
+    *,
+    m: int = 16,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Parametric OPQ rotation (Ge et al. 2013 "Optimized Product
+    Quantization", the closed-form OPQ-P variant; same idea ships in
+    FAISS as `OPQ` pretransforms): rotate vectors into the PCA basis,
+    then ALLOCATE principal components to the m PQ subspaces so each
+    subspace carries a balanced variance product — the imbalance
+    across subspaces is exactly what makes plain PQ codebooks waste
+    centroids on low-variance blocks. No iterative refinement: the
+    eigenvalue-allocation greedy (assign eigenvalues in descending
+    order to the unfilled subspace with the smallest running product)
+    is the paper's parametric solution.
+
+    The only data-sized work is :func:`~sparkswift.operators.pca.
+    pca_gram`'s one distributed Gramian pass (exact integer moments);
+    eigh and the allocation run on the driver over d×d.
+
+    Returns the (dim, dim) float64 orthogonal matrix R — rotated
+    vector = R @ x. R rows are the permuted PCA components, so
+    R·Rᵀ = I and cosines are preserved exactly.
+    """
+    from sparkswift.operators.pca import pca_fit
+
+    if dim is None:
+        dim = int(
+            corpus.select(F.size(vec_col).alias("d")).limit(1).collect()[0]["d"]
+        )
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    comps, stats = pca_fit(corpus, vec_col, dim, k=dim)
+    eig = np.asarray(stats["eigvals"], dtype=np.float64).clip(min=1e-12)
+    dsub = dim // m
+    # greedy eigenvalue allocation: descending eigenvalues, each to
+    # the unfilled subspace with the smallest log-variance product
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    load = np.zeros(m)
+    for r in range(dim):  # eigvals already descending from pca_fit
+        open_b = [j for j in range(m) if len(buckets[j]) < dsub]
+        j = min(open_b, key=lambda b: load[b])
+        buckets[j].append(r)
+        load[j] += float(np.log(eig[r]))
+    order = [r for b in buckets for r in b]
+    return comps[order]
+
+
+def cosine_topk_opq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    m: int = 16,
+    ksub: int = 64,
+    train_size: int = 2048,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """OPQ-rotated PQ top-k: :func:`opq_rotation` balances per-
+    subspace variance, then the standard PQ pipeline runs in rotated
+    space (codebooks, codes, ADC scan) while the refine step re-ranks
+    survivors on the ORIGINAL integer-grid vectors — an orthogonal
+    rotation preserves cosine, so the output contract is exactly
+    :func:`cosine_topk_pq`'s (emitted ``cos_sim`` exact for
+    survivors; only the candidate list is approximate). Adds one
+    distributed Gramian pass over plain PQ; at 100 TB that cost
+    amortizes over every query served by the better codebooks.
+    """
+    rot = opq_rotation(corpus, m=m, dim=dim, vec_col=vec_col)
+    return cosine_topk_pq(
+        corpus,
+        queries,
+        k,
+        m=m,
+        ksub=ksub,
+        train_size=train_size,
+        refine=refine,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        rotate=rot,
     )

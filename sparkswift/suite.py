@@ -796,7 +796,9 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    (PSI drift), agg18 (Gramian corr matrix), e9 (MMR re-rank), t20
 #    (trained bigram LM), p27 (epoch upsampling), g2 + g2_gate
 #    (personalized PageRank, exact-zero reachability law), mm6 (real
-#    PNG decode). The displaced ten lead the round-10 seed.
+#    PNG decode), e10 + e10_gate (OPQ-rotated PQ; displaces agg7 and
+#    d9 — twelve swaps total: agg3, agg7, d2, d9, p3, p6, p7, p8,
+#    p9, t3, t7, t9 lead the round-10 seed).
 # 4. The 6 queries NEW this round: p23_token_shards + p23_gate
 #    (training-ready Megatron .bin/.idx shards with byte-readback
 #    laws), d16_semdedup_incremental + d16_gate (persisted SemDeDup
@@ -883,9 +885,7 @@ _WINDOW = [
     "j3_anti_join",
     # --- (3) r4-stale ---
     "e8_pca_gram",
-    "agg7_grouping_sets",
     "st18_stream_pca_ingest",
-    "d9_dedup_clusters_star",
     "e8_gate",
     "p26_gate",
     "t19_quality_probe",
@@ -907,6 +907,8 @@ _WINDOW = [
     "g2_personalized_pagerank",
     "g2_gate",
     "mm6_png_decode_real",
+    "e10_cosine_topk_opq",
+    "e10_gate",
     # --- (4) new this round ---
     "p23_token_shards",
     "p23_gate",

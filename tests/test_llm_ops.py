@@ -1511,3 +1511,116 @@ def test_corr_matrix_zero_variance_null(spark):
     out = {(r.i, r.j): r.corr_micro for r in corr_matrix(df, "embedding", 2).collect()}
     assert out[(1, 1)] is None and out[(1, 2)] is None  # dim 1 constant
     assert out[(2, 2)] == 1_000_000
+
+
+def test_opq_rotation_is_orthogonal_and_cosine_preserving(spark):
+    import numpy as np
+    import pandas as pd
+
+    from sparkswift.operators.similarity import opq_rotation
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(300, 16)
+    pdf = pd.DataFrame(
+        {"vec_id": range(300), "embedding": [r.tolist() for r in x]}
+    )
+    df = spark.createDataFrame(pdf)
+    rot = opq_rotation(df, m=4, dim=16)
+    assert rot.shape == (16, 16)
+    assert np.abs(rot @ rot.T - np.eye(16)).max() < 1e-9
+    a, b = x[0], x[1]
+    ra, rb = rot @ a, rot @ b
+    cos = lambda u, v: u @ v / (np.linalg.norm(u) * np.linalg.norm(v))
+    assert abs(cos(a, b) - cos(ra, rb)) < 1e-12
+
+
+def test_opq_allocation_balances_subspace_variance(spark):
+    """Greedy eigenvalue allocation: with a strongly decaying
+    spectrum, the max/min per-subspace log-variance-product gap must
+    be far smaller than natural (unrotated PCA-order) slicing."""
+    import numpy as np
+    import pandas as pd
+
+    from sparkswift.operators.pca import pca_fit
+    from sparkswift.operators.similarity import opq_rotation
+
+    rng = np.random.RandomState(9)
+    d, m = 16, 4
+    scales = np.geomspace(20.0, 0.1, d)
+    x = rng.randn(800, d) * scales
+    pdf = pd.DataFrame(
+        {"vec_id": range(800), "embedding": [r.tolist() for r in x]}
+    )
+    df = spark.createDataFrame(pdf)
+    _, stats = pca_fit(df, "embedding", d, k=d)
+    eig = np.array(stats["eigvals"]).clip(min=1e-12)
+    rot = opq_rotation(df, m=m, dim=d)
+    comps, _ = pca_fit(df, "embedding", d, k=d)
+    # recover each rotated row's eigenvalue by matching against comps
+    match = np.argmax(np.abs(rot @ comps.T), axis=1)
+    dsub = d // m
+    loads = [
+        np.log(eig[match[j * dsub : (j + 1) * dsub]]).sum() for j in range(m)
+    ]
+    natural = [
+        np.log(eig[j * dsub : (j + 1) * dsub]).sum() for j in range(m)
+    ]
+    assert max(loads) - min(loads) < (max(natural) - min(natural)) / 3
+
+
+def test_opq_beats_plain_pq_on_anisotropic(spark):
+    """The OPQ claim the isotropic fixture cannot demonstrate: on a
+    strongly anisotropic corpus (300x eigen-decay mixed by a random
+    rotation), balanced allocation beats plain PQ at the same budget.
+    Measured at these seeds: PQ 0.72 / OPQ 0.88 recall@5 (refine=2)."""
+    import numpy as np
+    import pandas as pd
+
+    import sparkswift.operators.similarity as sim
+
+    rng = np.random.RandomState(11)
+    n, d = 1200, 32
+    scales = np.geomspace(30.0, 0.1, d)
+    q, _ = np.linalg.qr(rng.randn(d, d))
+    x = (rng.randn(n, d) * scales) @ q.T
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(n),
+            "embedding": [r.astype(np.float32).tolist() for r in x],
+            "label": [0] * 60 + [1] * (n - 60),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    queries = df.filter("label = 0")
+    exact = sim.cosine_topk(df, queries, k=5).select("query_id", "corpus_id")
+    exact = exact.localCheckpoint()
+    ne = exact.count()
+
+    def recall(a):
+        return (
+            a.select("query_id", "corpus_id")
+            .join(exact, ["query_id", "corpus_id"], "left_semi")
+            .count()
+            / ne
+        )
+
+    kw = dict(k=5, m=8, ksub=32, train_size=1000, refine=2)
+    r_pq = recall(sim.cosine_topk_pq(df, queries, **kw))
+    r_opq = recall(sim.cosine_topk_opq(df, queries, dim=d, **kw))
+    assert r_opq >= 0.8
+    assert r_opq > r_pq + 0.05  # decisive, not seed noise
+
+
+def test_pq_rotate_none_bit_preserved(spark, sf_dir):
+    """rotate=None must leave the e5 path byte-identical (the OPQ
+    thread-through cannot shift existing results)."""
+    import sparkswift.operators.similarity as sim
+    from sparkswift.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0)
+    a = sim.cosine_topk_pq(emb, queries, k=5, train_size=500, refine=2)
+    b = sim.cosine_topk_pq(
+        emb, queries, k=5, train_size=500, refine=2, rotate=None
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

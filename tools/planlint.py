@@ -60,6 +60,7 @@ BNLJ_ALLOWED: dict[str, int] = {
     "e4_gate": 4,
     "e5_gate": 4,
     "e6_gate": 4,
+    "e10_gate": 4,
     "e7_gate": 4,
     "p5_gate": 1,
     "p16_gate": 1,
