@@ -132,6 +132,7 @@ HEADLINE = [
     "g2_personalized_pagerank",  # seed-teleport power iteration
     "mm6_png_decode_real",   # real PNG decode (zlib + all five filters)
     "e10_cosine_topk_opq",   # OPQ-rotated PQ (Gramian rotation + ADC)
+    "p28_curriculum_order",  # bins -> epoch rates -> order key (composed)
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

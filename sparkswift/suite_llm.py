@@ -2927,3 +2927,79 @@ def e10_cosine_topk_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("label") == 0)
     return sim.cosine_topk_opq(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# p28 — composed CURRICULUM TRAINING ORDER: quality-score → per-lang
+# quartile bins (p13) → per-bin epoch repeat factors (p27's exact
+# rational upsampling: best bin 2.0x, worst 0.25x) → deterministic
+# md5 order key per (doc, copy). The full what-the-trainer-reads
+# composition, every stage integer/hex-exact, so the composed oracle
+# re-derives the entire multiset row-for-row. No shuffle beyond
+# p13's per-lang window; copies and the order key are scan-stage.
+# ---------------------------------------------------------------------------
+_P28_RATES = {"1": (1, 4), "2": (1, 2), "3": (1, 1), "4": (2, 1)}
+
+
+@register(
+    "p28_curriculum_order",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents
+    ),
+    q AS (
+      SELECT doc_id, lang,
+             CAST( (CASE WHEN len(toks) BETWEEN 10 AND 10000 THEN 40.0 ELSE 0.0 END)
+                 + (CASE WHEN CAST(LENGTH(text) - LENGTH(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / LENGTH(text) <= 0.1 THEN 30.0 ELSE 0.0 END)
+                 + (CASE WHEN CAST(len(list_filter(toks, x -> x IN ({_SW_EN}))) AS DOUBLE) / len(toks) >= 0.01 THEN 30.0 ELSE 0.0 END)
+               AS DOUBLE) AS quality_score
+      FROM t
+    ),
+    b AS (
+      SELECT doc_id, lang, quality_score,
+             CAST(ntile(4) OVER (PARTITION BY lang
+                                 ORDER BY quality_score, doc_id) AS VARCHAR)
+               AS bin
+      FROM q
+    ),
+    c AS (
+      SELECT doc_id, lang, bin,
+             {sp.upsample_sql_case('doc_id', 'bin', _P28_RATES, seed=3)}
+               AS copies
+      FROM b
+    )
+    SELECT doc_id, lang, CAST(bin AS INT) AS bin,
+           unnest(generate_series(0, copies - 1)) AS copy_idx,
+           substr(md5(concat_ws(':', 'ord', CAST(doc_id AS VARCHAR),
+                                CAST(unnest(generate_series(0, copies - 1))
+                                     AS VARCHAR))), 1, 16) AS order_key
+    FROM c WHERE copies >= 1
+    """,
+)
+def p28_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = tx.quality_score(docs, "text").select(
+        "doc_id", "lang", "quality_score"
+    )
+    binned = sp.quantile_bins(
+        scored, "quality_score", 4, partition_by=["lang"], tiebreak="doc_id"
+    ).select("doc_id", "lang", F.col("bin").cast("string").alias("bin"))
+    epoch = sp.epoch_upsample(binned, "doc_id", "bin", _P28_RATES, seed=3)
+    return epoch.select(
+        "doc_id",
+        "lang",
+        F.col("bin").cast("int").alias("bin"),
+        "copy_idx",
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit("ord"),
+                    F.col("doc_id").cast("string"),
+                    F.col("copy_idx").cast("string"),
+                )
+            ),
+            1,
+            16,
+        ).alias("order_key"),
+    )
