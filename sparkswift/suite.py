@@ -797,8 +797,9 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    (trained bigram LM), p27 (epoch upsampling), g2 + g2_gate
 #    (personalized PageRank, exact-zero reachability law), mm6 (real
 #    PNG decode), e10 + e10_gate (OPQ-rotated PQ), p28 (composed
-#    curriculum order) — thirteen swaps total: agg3, agg7, d2, d9,
-#    p3, p6, p7, p8, p9, t3, t7, t8, t9 lead the round-10 seed.
+#    curriculum order), st21 (HLL distinct ingest) — fourteen swaps
+#    total: agg3, agg7, d2, d9, p3, p6, p7, p8, p9, t3, t7, t8, t9,
+#    w1 lead the round-10 seed.
 # 4. The 6 queries NEW this round: p23_token_shards + p23_gate
 #    (training-ready Megatron .bin/.idx shards with byte-readback
 #    laws), d16_semdedup_incremental + d16_gate (persisted SemDeDup
@@ -891,7 +892,6 @@ _WINDOW = [
     "t19_quality_probe",
     "p25_gate",
     "st16_stream_semdedup_ingest",
-    "w1_rank_lag",
     "st17_stream_heavy_hitters",
     # --- (3b) second-session additions (new code outranks a staleness
     # refresh — agg3/d2/p3/p6/p7/p8/p9/t3/t7/t9 move to the round-10
@@ -909,6 +909,7 @@ _WINDOW = [
     "e10_cosine_topk_opq",
     "e10_gate",
     "p28_curriculum_order",
+    "st21_stream_distinct_ingest",
     # --- (4) new this round ---
     "p23_token_shards",
     "p23_gate",

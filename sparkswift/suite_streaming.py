@@ -1256,3 +1256,88 @@ def st20_stream_drift_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+
+
+# ---------------------------------------------------------------------------
+# st21 — STREAMING distinct-cardinality ingest: per-batch HLL
+# sketches (Apache DataSketches via hll_sketch_agg — bounded bytes
+# per batch regardless of cardinality) accumulated in a summary sink
+# and merged with one hll_union_agg. Register maxima merge order-free,
+# but DataSketches deliberately estimates a singly-built sketch with
+# the more accurate HIP estimator and a UNION with the composite
+# estimator — so stream==batch bit-equality is NOT a valid law here
+# (measured: 2000-distinct fixture, union est 2002 vs direct est
+# 2000; this is documented DataSketches behavior, not a merge bug —
+# contrast st18/st20, whose integer-sum summaries ARE bit-mergeable).
+# The honest laws: BOTH the merged streamed estimate and the one-shot
+# batch estimate sit within ±5% of the exact count (>2x margin over
+# the lgK=12 ~1.6% bound), anchored by the oracle-re-derived exact
+# distinct. The 100 TB use: per-crawl-batch cardinality monitors
+# whose reads never re-touch rows.
+# ---------------------------------------------------------------------------
+@register(
+    "st21_stream_distinct_ingest",
+    """
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+           TRUE AS envelope_stream_ok,
+           TRUE AS envelope_batch_ok
+    FROM lineitem
+    """,
+)
+def st21_stream_distinct_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sparkswift.streaming.ops import stream_to_parquet
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.xxhash64("l_orderkey", "l_linenumber") % 3).alias("__chop"),
+    )
+
+    base = tempfile.mkdtemp(prefix="hll_stream_")
+    src_dir, summ_dir = f"{base}/src", f"{base}/summ"
+    for i in range(3):  # three files → three micro-batches
+        li.filter(F.abs(F.col("__chop")) == i).select("l_partkey").repartition(
+            1
+        ).write.mode("append").parquet(src_dir)
+
+    schema = spark.read.parquet(src_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def ingest(batch_df, _epoch_id):
+        batch_df.agg(
+            F.hll_sketch_agg("l_partkey").alias("sk")
+        ).write.mode("append").parquet(summ_dir)
+
+    stream_to_parquet(src, path=None, checkpoint=f"{base}/ck", merge_fn=ingest)
+
+    streamed = spark.read.parquet(summ_dir).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("bigint")
+        .alias("est_stream")
+    )
+    batch = li.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey"))
+        .cast("bigint")
+        .alias("est_batch")
+    )
+    exact = li.agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("n_exact")
+    )
+    one = exact.crossJoin(F.broadcast(streamed)).crossJoin(F.broadcast(batch))
+
+    def env(col: str):
+        return (
+            F.abs(F.col(col) - F.col("n_exact")).cast("double")
+            <= 0.05 * F.col("n_exact")
+        )
+
+    return one.select(
+        "n_exact",
+        env("est_stream").alias("envelope_stream_ok"),
+        env("est_batch").alias("envelope_batch_ok"),
+    ).localCheckpoint()
