@@ -601,11 +601,15 @@ def _upsample_plan(
         if den <= 0 or num < 0:
             raise ValueError(f"rate for {g!r} must be non-negative num/den")
         full, rem = divmod(num, den)
-        thr = format(
-            min(math.ceil(rem * (16**_NIBBLES) / den), 16**_NIBBLES - 1),
-            f"0{_NIBBLES}x",
-        )
-        plan[g] = (full, thr)
+        t = math.ceil(rem * (16**_NIBBLES) / den)
+        if t >= 16**_NIBBLES:
+            # rem/den > (16^N-1)/16^N: no hex threshold can grant the
+            # extra copy to the top bucket (bucket < 'fff…f' excludes
+            # it) — fold the extra copy into `full` instead of
+            # clamping, so the realized rate rounds UP past the
+            # 1/16^N ceiling rather than silently below the request
+            full, t = full + 1, 0
+        plan[g] = (full, format(t, f"0{_NIBBLES}x"))
     return plan
 
 

@@ -1088,10 +1088,23 @@ def bpe_decode_text(
     for sym, i in vocab.items():
         table[i] = sym
     sym_arr = F.array(*[F.lit(s) for s in table])
+    n_vocab = F.lit(len(table))
+    # ids outside [0, vocab) must decode to a VISIBLE marker: a bare
+    # element_at would return NULL, which array_join silently drops —
+    # a corrupted id sequence would decode to silently truncated text,
+    # violating the "lossy is loud, never silent" contract that only
+    # in-vocab <unk> ids enjoy. (CaseWhen evaluates lazily, so the
+    # lookup never runs out-of-bounds.)
     joined = F.array_join(
         F.transform(
             F.col(ids_col),
-            lambda i: F.element_at(sym_arr, (i + 1).cast("int")),
+            lambda i: F.coalesce(
+                F.when(
+                    (i >= 0) & (i < n_vocab),
+                    F.element_at(sym_arr, (i + 1).cast("int")),
+                ),
+                F.lit("<bad-id>"),
+            ),
         ),
         "",
     )

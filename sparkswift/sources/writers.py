@@ -410,10 +410,26 @@ def write_token_shards(
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
     os.makedirs(path, exist_ok=True)
-    # corpus-wide dtype choice: one tiny aggregate
-    max_id = bins.agg(
-        F.max(F.array_max(F.coalesce("token_ids", F.array().cast("array<int>"))))
-    ).collect()[0][0]
+    # corpus-wide dtype choice: one tiny aggregate (min too — a
+    # negative or >int32 id would silently WRAP in the astype below,
+    # corrupting the .bin bytes in a way only a readback diff catches)
+    empty = F.array().cast("array<int>")
+    id_range = bins.agg(
+        F.max(F.array_max(F.coalesce("token_ids", empty))).alias("mx"),
+        F.min(F.array_min(F.coalesce("token_ids", empty))).alias("mn"),
+    ).collect()[0]
+    max_id, min_id = id_range["mx"], id_range["mn"]
+    if min_id is not None and int(min_id) < 0:
+        raise ValueError(
+            f"write_token_shards: negative token id {min_id} cannot be "
+            "encoded (uint16/int32 shard dtypes are unsigned/non-negative "
+            "by contract)"
+        )
+    if max_id is not None and int(max_id) > 2**31 - 1:
+        raise ValueError(
+            f"write_token_shards: token id {max_id} exceeds int32 — no "
+            "supported shard dtype can hold it"
+        )
     dtype = "uint16" if (max_id is None or max_id < 65536) else "int32"
 
     tagged = bins.withColumn(
@@ -600,8 +616,11 @@ def write_webdataset_shards(
             for _, row in pdf.iterrows():
                 for e in exts:
                     v = row[f"__m_{e}"]
+                    # NULL members of either type become empty entries
+                    # (mirrors the binary branch — a None string would
+                    # AttributeError in the executor otherwise)
                     data = (
-                        v.encode("utf-8")
+                        (v if v is not None else "").encode("utf-8")
                         if str_cols[e]
                         else bytes(v if v is not None else b"")
                     )

@@ -1066,3 +1066,55 @@ def o6c_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         method="interpolate",
         extra_keys=["event_type"],
     ).select("event_type", "bucket_ts", "v")
+
+
+# ---------------------------------------------------------------------------
+# O8 — COGROUPED two-frame apply: per-user as-of alignment of clicks
+# against purchases with pandas merge_asof INSIDE the UDF, via
+# groupBy().cogroup().applyInPandas (the cogrouped-map Arrow entry
+# point — the last of Spark's pandas-UDF surfaces, now covered). Both
+# frames shuffle once on user_id; each executor-side group runs the
+# alignment locally. Result semantics are IDENTICAL to j4's native
+# asof_join (a route-equivalence pytest asserts it); DuckDB's ASOF
+# JOIN is the oracle. Fixture purchases are unique per (user_id, ts)
+# — the determinism precondition both routes share.
+# ---------------------------------------------------------------------------
+@register(
+    "o8_cogroup_asof",
+    """
+    SELECT l.event_id, l.user_id, l.ts, r.value AS last_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def o8_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.groupby import cogroup_apply
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+
+    def align(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        out = pd.merge_asof(
+            l.sort_values("ts"),
+            r.sort_values("ts"),
+            on="ts",
+            direction="backward",
+        )
+        return out.rename(columns={"value": "last_purchase_value"})
+
+    return cogroup_apply(
+        clicks,
+        purchases,
+        keys="user_id",
+        func=align,
+        schema=(
+            "user_id bigint, event_id bigint, ts timestamp, "
+            "last_purchase_value double"
+        ),
+    ).select("event_id", "user_id", "ts", "last_purchase_value")

@@ -387,3 +387,92 @@ def test_accessor_groupby_level_validation(spark, sf_dir):
         swift(li).groupby(level=0)
     with pytest.raises(ValueError, match="not in frame"):
         swift(li).groupby(level="no_such_col")
+
+
+# --- O8: cogrouped two-frame apply ------------------------------------------
+
+
+def test_cogroup_apply_matches_native_asof(spark, sf_dir):
+    """Route equivalence: per-key merge_asof inside the cogrouped UDF
+    must produce EXACTLY the native asof_join's rows (same semantics,
+    different physical route — UDF alignment vs union+window)."""
+    import pandas as pd
+
+    from sparkswift.operators.groupby import cogroup_apply
+    from sparkswift.operators.joins import asof_join
+    from sparkswift.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+
+    def align(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        return pd.merge_asof(
+            l.sort_values("ts"), r.sort_values("ts"), on="ts", direction="backward"
+        )
+
+    via_udf = cogroup_apply(
+        clicks, purchases, keys="user_id", func=align,
+        schema="user_id bigint, event_id bigint, ts timestamp, value double",
+    ).select("event_id", "user_id", "ts", "value")
+    via_native = asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["value"],
+    ).select("event_id", "user_id", "ts", "value")
+
+    a = sorted(map(tuple, via_udf.collect()))
+    b = sorted(map(tuple, via_native.collect()))
+    assert len(a) == clicks.count() and a == b
+
+
+def test_cogroup_apply_empty_side_and_scalar(spark):
+    """Keys with rows on only one side reach the UDF with an EMPTY
+    frame for the other (cogroup semantics); scalar returns normalize
+    to one row with keys re-inserted; dropna drops null keys."""
+    import pandas as pd
+
+    from sparkswift.operators.groupby import cogroup_apply
+
+    left = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0), (None, 99.0)], "k int, x double"
+    )
+    right = spark.createDataFrame([(2, 7.0), (3, 3.0)], "k int, y double")
+
+    def summarize(l: pd.DataFrame, r: pd.DataFrame) -> float:
+        return float(l["x"].sum() - r["y"].sum())
+
+    out = {
+        r["k"]: r["result"]
+        for r in cogroup_apply(
+            left, right, keys="k", func=summarize,
+            schema="k int, result double",
+        ).collect()
+    }
+    assert out == {1: 30.0, 2: -2.0, 3: -3.0}  # null key gone, 1/3 one-sided
+
+
+def test_cogroup_apply_schema_inference_and_kwargs(spark):
+    """schema=None infers from whole-group samples of BOTH sides
+    (one-sided keys included); args/kwds thread into the UDF."""
+    import pandas as pd
+
+    from sparkswift.operators.groupby import cogroup_apply
+
+    left = spark.createDataFrame([(1, 2.0), (2, 4.0)], "k int, x double")
+    right = spark.createDataFrame([(1, 10.0)], "k int, y double")
+
+    def combine(l, r, scale, bias=0.0):
+        return pd.DataFrame(
+            {"v": [float(l["x"].sum() * scale + r["y"].sum() + bias)]}
+        )
+
+    out = cogroup_apply(
+        left, right, keys="k", func=combine, args=(3.0,), bias=1.0
+    )
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {1: 17.0, 2: 13.0}
+    assert dict(out.dtypes)["v"] == "double"

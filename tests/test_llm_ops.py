@@ -1624,3 +1624,29 @@ def test_pq_rotate_none_bit_preserved(spark, sf_dir):
         emb, queries, k=5, train_size=500, refine=2, rotate=None
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_upsample_plan_top_bucket_rate(spark):
+    """ADVICE r9: a fractional rate with rem/den > (16^N-1)/16^N used
+    to clamp the hex threshold to 16^N-1, so the top md5 bucket never
+    earned its extra copy. The fix folds that case into a whole extra
+    copy — every row gets exactly full+1."""
+    import pandas as pd
+
+    from sparkswift.operators.sampling import _NIBBLES, _upsample_plan, epoch_upsample
+
+    den = 2 * 16**_NIBBLES
+    num = den + (den - 1)  # full=1, rem/den = (2·16^N-1)/(2·16^N) > (16^N-1)/16^N
+    plan = _upsample_plan({"g": (num, den)})
+    assert plan["g"] == (2, "0" * _NIBBLES)
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(64), "grp": ["g"] * 64})
+    )
+    per = (
+        epoch_upsample(df, "doc_id", "grp", {"g": (num, den)})
+        .groupBy("doc_id")
+        .count()
+        .toPandas()
+    )
+    assert len(per) == 64 and set(per["count"]) == {2}

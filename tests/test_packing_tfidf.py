@@ -576,3 +576,33 @@ def test_bpe_decode_roundtrip_and_unk(spark, docs, trained_merges):
         bpe_encode_ids(oov, trained_merges), trained_merges
     ).collect()[0]
     assert "<unk>" in out["decoded"]
+
+
+def test_token_shards_reject_out_of_range_ids(spark, tmp_path):
+    """ADVICE r9: negative (or >int32) ids must raise BEFORE writing —
+    astype would silently wrap them into corrupt .bin bytes."""
+    import pytest as _pytest
+
+    from sparkswift.sources.writers import write_token_shards
+
+    bins = spark.createDataFrame(
+        [(0, 0, 0, 1, 2, [1], [0], [-5, 3])],
+        "bin_id long, packer int, oversize int, n_docs long, "
+        "bin_load long, doc_ids array<bigint>, doc_offsets array<bigint>, "
+        "token_ids array<int>",
+    )
+    with _pytest.raises(ValueError, match="negative token id"):
+        write_token_shards(bins, str(tmp_path / "neg"), n_shards=1)
+
+
+def test_bpe_decode_out_of_range_id_is_visible(spark, trained_merges):
+    """ADVICE r9: ids outside [0, vocab) used to decode to NULL, which
+    array_join silently DROPS — they must surface as '<bad-id>'."""
+    from sparkswift.operators.text import bpe_decode_text, bpe_vocab
+
+    n = len(bpe_vocab(trained_merges))
+    df = spark.createDataFrame(
+        [(1, [0, n + 7]), (2, [-1])], "doc_id long, token_ids array<int>"
+    )
+    out = {r["doc_id"]: r["decoded"] for r in bpe_decode_text(df, trained_merges).collect()}
+    assert "<bad-id>" in out[1] and "<bad-id>" in out[2]

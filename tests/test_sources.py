@@ -327,3 +327,28 @@ def test_webdataset_shards_deterministic_and_binary_roundtrip(spark, tmp_path):
         assert (i % 4) == int(
             back[back.key == i]["shard"].iloc[0]
         )  # pmod assignment
+
+
+def test_webdataset_null_string_member(spark, tmp_path):
+    """ADVICE r9: a NULL string member used to crash v.encode() in the
+    executor; it must write an empty member like the binary branch."""
+    from sparkswift.sources.writers import (
+        read_webdataset_shards,
+        write_webdataset_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "hello", b"\x01"), (1, None, None)],
+        "k long, txt string, payload binary",
+    )
+    base = str(tmp_path / "wds_null")
+    man = write_webdataset_shards(
+        df, base, "k", {"txt": "txt", "bin": "payload"}, n_shards=1
+    ).collect()
+    assert man[0]["n_samples"] == 2
+    got = {
+        (r["key"], r["ext"]): bytes(r["content"])
+        for r in read_webdataset_shards(spark, base).collect()
+    }
+    assert got[(1, "txt")] == b"" and got[(1, "bin")] == b""
+    assert got[(0, "txt")] == b"hello"
