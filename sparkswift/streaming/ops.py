@@ -481,3 +481,140 @@ def stream_session_udf(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_asof_enrich(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM AS-OF enrichment: for each left event, the value
+    of the latest right event with ``right.ts <= left.ts`` on the same
+    key — the streaming twin of the batch ``asof_join`` (j4/j7
+    semantics, operators/joins.py). Spark's stream-stream joins only
+    bound state with an INTERVAL predicate (st4); the as-of "latest
+    at-or-before" needs per-key ordered state, so this runs on
+    ``applyInPandasWithState`` + EventTimeTimeout.
+
+    Mechanics: both streams union into one keyed stream (right rows
+    tagged ``src=0``, left ``src=1``) under a single watermark — one
+    hash exchange total. Per key, state buffers pending left rows and
+    candidate right rows. A left row finalizes once the watermark
+    passes its event time (no earlier-or-equal right row can still
+    arrive — later arrivals than the delay are dropped by the
+    watermark, exactly the late-data contract every streaming op here
+    shares), emitting ``(key, id, ts_us, value-or-null)``. Right-side
+    state prunes to rows newer than the watermark PLUS the single
+    newest row at-or-before it (any future left row's match is among
+    those), so state is O(arrival rate × delay) per key — never
+    history-sized. An event-time timer at the earliest pending left
+    timestamp flushes rows the final no-data micro-batch must close.
+
+    Emits event times as epoch MICROSECONDS (integer — cross-engine
+    exact, no timezone surface; st15's policy). The value rides
+    through untouched — bit-identical to the batch oracle's.
+    """
+    import numpy as np
+
+    l_tagged = left.select(
+        F.col(key),
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__src"),
+        F.col(id_col).alias("__id"),
+        F.lit(None).cast("double").alias("__val"),
+    )
+    r_tagged = right.select(
+        F.col(key),
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__src"),
+        F.lit(None).cast("long").alias("__id"),
+        F.col(value_col).cast("double").alias("__val"),
+    )
+    unioned = l_tagged.unionByName(r_tagged).withWatermark("__ts", watermark)
+
+    out_schema = (
+        f"{key} bigint, {id_col} bigint, left_ts_us bigint, "
+        "matched_value double"
+    )
+    # pending lefts (ts ns, id) + candidate rights (ts ns, value)
+    state_schema = (
+        "l_ts array<bigint>, l_id array<bigint>, "
+        "r_ts array<bigint>, r_val array<double>"
+    )
+
+    def update(
+        key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        l_ts, l_id, r_ts, r_val = (
+            state.get if state.exists else ([], [], [], [])
+        )
+        l_ts, l_id, r_ts, r_val = (
+            list(l_ts), list(l_id), list(r_ts), list(r_val)
+        )
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                is_l = pdf["__src"].to_numpy() == 1
+                ts = pdf["__ts"].astype("int64").to_numpy()
+                l_ts.extend(ts[is_l].tolist())
+                l_id.extend(pdf["__id"].to_numpy()[is_l].astype("int64").tolist())
+                r_ts.extend(ts[~is_l].tolist())
+                r_val.extend(pdf["__val"].to_numpy()[~is_l].astype("float64").tolist())
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_ns = wm_ms * 1_000_000
+
+        r_ts_a = np.asarray(r_ts, dtype=np.int64)
+        r_val_a = np.asarray(r_val, dtype=np.float64)
+        r_order = np.argsort(r_ts_a, kind="stable")
+        r_ts_a, r_val_a = r_ts_a[r_order], r_val_a[r_order]
+
+        rows = []
+        keep_l_ts: list[int] = []
+        keep_l_id: list[int] = []
+        for ts_i, id_i in zip(l_ts, l_id):
+            if ts_i // 1_000_000 <= wm_ms:  # ns -> ms vs watermark ms
+                # finalized: latest right at-or-before (searchsorted
+                # 'right' gives the insertion point past equal stamps)
+                j = int(np.searchsorted(r_ts_a, ts_i, side="right")) - 1
+                rows.append(
+                    (
+                        key_tuple[0],
+                        id_i,
+                        ts_i // 1000,
+                        float(r_val_a[j]) if j >= 0 else None,
+                    )
+                )
+            else:
+                keep_l_ts.append(ts_i)
+                keep_l_id.append(id_i)
+
+        # prune rights: everything newer than the watermark + the single
+        # newest at-or-before it (the only one a future left can match)
+        cut = int(np.searchsorted(r_ts_a, wm_ns, side="right"))
+        lo = max(cut - 1, 0)
+        keep_r_ts = r_ts_a[lo:].tolist()
+        keep_r_val = r_val_a[lo:].tolist()
+
+        if keep_l_ts or keep_r_ts:
+            state.update((keep_l_ts, keep_l_id, keep_r_ts, keep_r_val))
+            if keep_l_ts:
+                # flush pending lefts when the watermark reaches them
+                nxt = min(keep_l_ts) // 1_000_000
+                state.setTimeoutTimestamp(max(nxt, wm_ms + 1))
+        else:
+            state.remove()
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[key, id_col, "left_ts_us", "matched_value"]
+            )
+
+    return unioned.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1341,3 +1341,59 @@ def st21_stream_distinct_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         env("est_stream").alias("envelope_stream_ok"),
         env("est_batch").alias("envelope_batch_ok"),
     ).localCheckpoint()
+
+
+# ---------------------------------------------------------------------------
+# st22 — STREAM-STREAM AS-OF enrichment: each click carries the value
+# of the latest at-or-before purchase by the same user — the streaming
+# twin of j4's batch asof_join, which Spark's interval-bounded
+# stream-stream join (st4) cannot express ("latest" needs per-key
+# ordered state, not a range predicate). applyInPandasWithState
+# buffers pending clicks + pruned purchase candidates per user; a
+# click emits once the watermark passes it. Oracle: DuckDB's native
+# ASOF JOIN under the same watermark-margin restriction as st15 (both
+# sides drop the un-emittable tail). Timestamps emit as epoch MICROS;
+# the matched value rides through untouched — bit-identical.
+# ---------------------------------------------------------------------------
+@register(
+    "st22_stream_asof_enrich",
+    """
+    SELECT l.event_id, l.user_id, epoch_us(l.ts) AS left_ts_us,
+           r.value AS matched_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    WHERE l.ts <= (SELECT MAX(ts) FROM events
+                   WHERE event_type IN ('click', 'purchase'))
+                  - INTERVAL 2 HOUR - INTERVAL 1 MINUTE
+    """,
+)
+def st22_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    from sparkswift.streaming.ops import stream_asof_enrich
+
+    # the watermark advances off the clicks∪purchases union, so the
+    # restriction bound must use THAT max — not the all-types max
+    bound = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .agg(F.max("ts"))
+        .collect()[0][0]
+        - datetime.timedelta(hours=2, minutes=1)
+    )
+    bound_us = int(
+        bound.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000
+    )
+    src = events_stream(spark, sf_dir)
+    clicks = src.filter(F.col("event_type") == "click")
+    purchases = events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    out = run_stream_to_batch(
+        stream_asof_enrich(clicks, purchases, watermark="2 hours"),
+        mode="append",
+    )
+    return out.filter(F.col("left_ts_us") <= F.lit(bound_us)).select(
+        "event_id", "user_id", "left_ts_us", "matched_value"
+    )

@@ -389,3 +389,86 @@ def test_stream_session_udf_matches_batch_and_is_chop_invariant(
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(chopped, want)
+
+
+def test_stream_asof_enrich_matches_batch_and_is_chop_invariant(
+    spark, sf_dir, tmp_path
+):
+    """stream_asof_enrich (stream-stream as-of) must emit, for every
+    click the final watermark closes, exactly the batch merge_asof
+    match — independent pandas reference, not the engine's own
+    asof_join — and the emitted set must not depend on how the stream
+    was chopped into time-ordered micro-batches."""
+    import datetime
+
+    from sparkswift.streaming.ops import stream_asof_enrich
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    bound_us = int(
+        (max_ts - datetime.timedelta(hours=2, minutes=1))
+        .replace(tzinfo=datetime.timezone.utc)
+        .timestamp()
+        * 1_000_000
+    )
+
+    def run(make_src):
+        out = run_stream_to_batch(
+            stream_asof_enrich(
+                make_src().filter(F.col("event_type") == "click"),
+                make_src().filter(F.col("event_type") == "purchase"),
+                watermark="2 hours",
+            ),
+            mode="append",
+        ).toPandas()
+        out = out[out["left_ts_us"] <= bound_us]
+        return out.sort_values("event_id").reset_index(drop=True)
+
+    src_dir = str(tmp_path / "asof_src")
+    us = ev.select(F.unix_micros("ts").cast("double").alias("u"))
+    q1, q2 = us.approxQuantile("u", [0.33, 0.66], 0.0)
+    tertiles = [
+        ev.filter(F.unix_micros("ts") <= q1),
+        ev.filter((F.unix_micros("ts") > q1) & (F.unix_micros("ts") <= q2)),
+        ev.filter(F.unix_micros("ts") > q2),
+    ]
+    for part in tertiles:
+        part.coalesce(1).write.mode("append").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    chopped = run(
+        lambda: spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    whole = run(lambda: spark.readStream.schema(schema).parquet(src_dir))
+    pd.testing.assert_frame_equal(chopped, whole)
+
+    # independent batch reference: pandas merge_asof per user
+    pdf = ev.toPandas()
+    clicks = (
+        pdf[pdf.event_type == "click"][["event_id", "user_id", "ts"]]
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    purch = (
+        pdf[pdf.event_type == "purchase"][["user_id", "ts", "value"]]
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    ref = pd.merge_asof(
+        clicks, purch, on="ts", by="user_id", direction="backward"
+    )
+    ref["left_ts_us"] = ref["ts"].astype("int64") // 1000
+    ref = (
+        ref[ref["left_ts_us"] <= bound_us][
+            ["event_id", "user_id", "left_ts_us", "value"]
+        ]
+        .rename(columns={"value": "matched_value"})
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    got = chopped[list(ref.columns)].astype(ref.dtypes.to_dict())
+    pd.testing.assert_frame_equal(got, ref)
