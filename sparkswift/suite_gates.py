@@ -1424,9 +1424,85 @@ def e8_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("e10_gate", _TOPK_ORACLE)
+# ---------------------------------------------------------------------------
+# e10_gate — two laws. (a) recall floor on the REAL fixture (the e5
+# contract through the OPQ path; the fixture is isotropic by
+# construction, so rotation is provably a no-op there). (b) the OPQ
+# CLAIM itself — recall(OPQ) > recall(plain PQ) at the same budget —
+# on a deterministic ANISOTROPIC corpus synthesized from id
+# arithmetic (the mm6 synth-payload discipline: component j of vector
+# i is an md5-uniform of (i, j) scaled by a 300× geometric decay; no
+# RNG, no driver data, layout-invariant). Natural contiguous-dim PQ
+# slicing concentrates 300×-decayed variance in subspace 0; OPQ's
+# eigen-allocation balances it — measured at this construction:
+# PQ 0.49 / OPQ 0.96 recall@5, far past seed noise. The margin law
+# requires a ≥0.15·n_exact absolute hit gap AND an 0.8 OPQ floor.
+# ---------------------------------------------------------------------------
+@register(
+    "e10_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok,
+           TRUE AS opq_beats_pq
+    FROM embeddings WHERE label = 0
+    """,
+)
 def e10_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("label") == 0)
     approx = sim.cosine_topk_opq(emb, queries, k=5, train_size=2000, refine=8)
-    return _topk_gate(spark, sf_dir, approx, 0.85)
+    fixture_gate = _topk_gate(spark, sf_dir, approx, 0.85)
+
+    # (b) anisotropic synth: SF-independent (spark.range), exact same
+    # budget for both routes
+    n, d, m = 1200, 32, 8
+    scales = np.geomspace(30.0, 0.1, d)
+    comps = []
+    for j in range(d):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit("e10aniso"),
+                        F.col("vec_id").cast("string"),
+                        F.lit(str(j)),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        u = h / F.lit(float(16**8))
+        comps.append(((u - F.lit(0.5)) * F.lit(float(scales[j]))).cast("float"))
+    vecs = (
+        spark.range(n)
+        .select(F.col("id").alias("vec_id"))
+        .select("vec_id", F.array(*comps).alias("embedding"))
+        .localCheckpoint()  # one synth pass; both routes + exact reuse it
+    )
+    synth_q = vecs.filter(F.col("vec_id") < 60)
+    exact = (
+        sim.cosine_topk(vecs, synth_q, k=5)
+        .select("query_id", "corpus_id")
+        .localCheckpoint()
+    )
+    n_exact = exact.count()
+
+    def hits(a: DataFrame) -> int:
+        return (
+            a.select("query_id", "corpus_id")
+            .join(exact, ["query_id", "corpus_id"], "left_semi")
+            .count()
+        )
+
+    kw = dict(k=5, m=m, ksub=32, train_size=1000, refine=2)
+    h_pq = hits(sim.cosine_topk_pq(vecs, synth_q, **kw))
+    h_opq = hits(sim.cosine_topk_opq(vecs, synth_q, dim=d, **kw))
+    opq_beats = (h_opq >= h_pq + 0.15 * n_exact) and (h_opq >= 0.8 * n_exact)
+    return fixture_gate.select(
+        "n_queries", "recall_ok", F.lit(bool(opq_beats)).alias("opq_beats_pq")
+    )
