@@ -1215,6 +1215,7 @@ def bigram_logprob(
     id_col: str = "doc_id",
     alpha_tenths: int = 8,
     floor: float = 1e-9,
+    hash_buckets: int | None = None,
 ) -> DataFrame:
     """Trained interpolated bigram language-model score — one rung up
     from :func:`unigram_logprob` toward the CCNet/KenLM perplexity
@@ -1239,6 +1240,13 @@ def bigram_logprob(
     aggregations over the train slice, and scoring is two token-keyed
     hash joins (count tables are vocab-sized; AQE broadcasts them
     when small). Text never shuffles — only (id, prev, cur) rows.
+    Open-domain vocab makes the PAIR table vocab²-shaped;
+    ``hash_buckets`` bounds both tables JVM-side exactly as p20's
+    DSIR does (``pmod(xxhash64(tok), B)`` per token key, so a pair
+    key is two bounded ints) — colliding tokens merge their counts,
+    the documented trade for a broadcastable model at any corpus
+    size. Spark-only hashing (no cross-engine xxhash64), so the suite
+    oracle runs the exact-identity variant, the p20 precedent.
 
     Returns ``(id_col, n_bigrams, sum_surprisal, avg_nll)`` for score
     docs with >= 2 tokens (single-token docs have no bigram evidence).
@@ -1263,14 +1271,25 @@ def bigram_logprob(
             id_col, "p.prev", "p.cur"
         )
 
-    tr = pairs_of(train)
+    def keyed(df: DataFrame) -> DataFrame:
+        # token keys -> bounded bucket ints (pair key = two of them)
+        if hash_buckets is None:
+            return df
+        return df.withColumn(
+            "prev", F.pmod(F.xxhash64("prev"), F.lit(hash_buckets))
+        ).withColumn("cur", F.pmod(F.xxhash64("cur"), F.lit(hash_buckets)))
+
+    tr = keyed(pairs_of(train))
     bi = tr.groupBy("prev", "cur").agg(
         F.count(F.lit(1)).cast("bigint").alias("__cbi")
     )
-    uni = (
-        train.select(F.explode(tokens(text_col)).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("__cuni"))
+    uni = train.select(F.explode(tokens(text_col)).alias("tok"))
+    if hash_buckets is not None:
+        uni = uni.withColumn(
+            "tok", F.pmod(F.xxhash64("tok"), F.lit(hash_buckets))
+        )
+    uni = uni.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cuni")
     )
     total = uni.agg(F.sum("__cuni").cast("bigint").alias("__total"))
     prev_cnt = uni.select(
@@ -1278,7 +1297,7 @@ def bigram_logprob(
     )
 
     sc = (
-        pairs_of(score)
+        keyed(pairs_of(score))
         .join(bi, ["prev", "cur"], "left")
         .join(prev_cnt, "prev", "left")
         .join(

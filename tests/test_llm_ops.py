@@ -1650,3 +1650,31 @@ def test_upsample_plan_top_bucket_rate(spark):
         .toPandas()
     )
     assert len(per) == 64 and set(per["count"]) == {2}
+
+
+def test_bigram_logprob_hash_buckets(spark, sf_dir):
+    """t20's SCALE.md knob: hash_buckets bounds the vocab/pair tables.
+    Collision-free B reproduces the exact-identity scores bit-exactly
+    (counts are identical when no tokens collide); a tiny B still
+    yields one row per scored doc with unchanged n_bigrams (hashing
+    relabels tokens, never drops pairs)."""
+    from sparkswift.operators.text import bigram_logprob
+    from sparkswift.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    score = docs.filter(F.col("doc_id") % 2 == 1)
+
+    exact = bigram_logprob(train, score).orderBy("doc_id").collect()
+    wide = (
+        bigram_logprob(train, score, hash_buckets=1 << 40)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [tuple(r) for r in exact] == [tuple(r) for r in wide]
+
+    tiny = {
+        r["doc_id"]: r["n_bigrams"]
+        for r in bigram_logprob(train, score, hash_buckets=64).collect()
+    }
+    assert tiny == {r["doc_id"]: r["n_bigrams"] for r in exact}
