@@ -186,37 +186,29 @@ def dedup_incremental(
     preserves bucketing because the insert is written pre-bucketed.
     """
     from sparkswift.operators.text import fingerprint
+    from sparkswift.sources.store import Member, Store
 
     spark = new_docs.sparkSession
     fp = fingerprint(new_docs, text_col, "__fp")
     firsts = fp.groupBy("__fp").agg(F.min(F.col(id_col)).alias(id_col))
-    from pyspark.errors import AnalysisException
-
-    if bucketed:
-        seen = (
-            spark.table(store_path).select(F.col("fp").alias("__fp"))
-            if spark.catalog.tableExists(store_path)
-            else None
+    # single-member store through the shared lifecycle contract:
+    # catalog+bucketed keeps the anti-join's store side shuffle-free
+    # forever; path existence is read-and-catch (FS-agnostic, ADVICE r5)
+    st = Store(
+        spark,
+        store_path,
+        [Member("", bucket_cols=("fp",), sort_cols=("fp",)) if bucketed else Member("")],
+        catalog=bucketed,
+        num_buckets=num_buckets,
+        label="fingerprint store",
+    )
+    if st.exists():
+        firsts = firsts.join(
+            st.read("").select(F.col("fp").alias("__fp")), "__fp", "left_anti"
         )
-    else:
-        try:
-            seen = spark.read.parquet(store_path).select(F.col("fp").alias("__fp"))
-        except AnalysisException:
-            seen = None  # no store yet — first batch
-    if seen is not None:
-        firsts = firsts.join(seen, "__fp", "left_anti")
     out = fp.join(firsts, ["__fp", id_col])
     if update_store:
-        new_fps = out.select(F.col("__fp").alias("fp"))
-        if bucketed:
-            from sparkswift.sources.writers import write_bucketed
-
-            write_bucketed(
-                new_fps, store_path, ["fp"], num_buckets=num_buckets,
-                sort_cols=["fp"], mode="append",
-            )
-        else:
-            new_fps.write.mode("append").parquet(store_path)
+        st.append("", out.select(F.col("__fp").alias("fp")))
     return out.drop("__fp")
 
 
@@ -1205,49 +1197,35 @@ def neardup_incremental(
             F.col(id_col).alias("id"), F.col("is_survivor")
         )
 
-    # (b) store probe (empty store on bootstrap). FS-agnostic existence
-    # check (ADVICE r5): read-and-catch like dedup_incremental — an
-    # os.path.isdir probe only sees the driver-local filesystem, so on
-    # HDFS/S3 it would silently treat a real store as absent every
-    # batch and the cross-batch probe would never run.
-    from pyspark.errors import AnalysisException
+    # (b) store probe (empty store on bootstrap), through the shared
+    # lifecycle contract (sources/store.py): existence is
+    # ALL-OR-NOTHING across the sig/bucket pair — a torn pair RAISES
+    # instead of silently re-bootstrapping (which would orphan every
+    # earlier winner from the cross-batch probe); path existence is
+    # read-and-catch (FS-agnostic, ADVICE r5). Mid-append torn writes
+    # on later batches are out of scope for an existence check — that
+    # needs a transactional table format.
+    from sparkswift.sources.store import Member, Store
 
-    # The store is a PAIR of tables; both must exist or neither. A
-    # failure between the two bootstrap writes must fail LOUDLY on the
-    # next batch — probing only one half would silently classify a
-    # half-written store as "no store yet", recreate the missing half,
-    # and make every earlier winner permanently invisible to the
-    # cross-batch probe (duplicates re-enter with no error). Mid-append
-    # torn writes on later batches are out of scope for an existence
-    # check — that needs a transactional table format.
-    def _paired(have_sigs: bool, have_buckets: bool) -> bool:
-        if have_sigs != have_buckets:
-            raise RuntimeError(
-                f"near-dup store '{store_path}' is half-written "
-                f"(sigs={have_sigs}, buckets={have_buckets}); a prior "
-                "batch failed between its two store writes. Repair or "
-                "remove the surviving half before re-ingesting."
-            )
-        return have_sigs
-
-    if bucketed:
-        have_store = _paired(
-            spark.catalog.tableExists(f"{store_path}_sigs"),
-            spark.catalog.tableExists(f"{store_path}_buckets"),
-        )
-        if have_store:
-            store_buckets = spark.table(f"{store_path}_buckets")
-            store_sigs = spark.table(f"{store_path}_sigs")
-    else:
-        def _readable(path: str):
-            try:
-                return spark.read.parquet(path)
-            except AnalysisException:
-                return None
-
-        store_sigs = _readable(f"{store_path}/sigs")
-        store_buckets = _readable(f"{store_path}/buckets")
-        have_store = _paired(store_sigs is not None, store_buckets is not None)
+    st = Store(
+        spark,
+        store_path,
+        [
+            Member("sigs", bucket_cols=("store_id",), sort_cols=("store_id",)),
+            Member(
+                "buckets",
+                bucket_cols=("band", "bucket"),
+                sort_cols=("band", "bucket"),
+            ),
+        ],
+        catalog=bucketed,
+        num_buckets=num_buckets,
+        label="near-dup store",
+    )
+    have_store = st.exists()
+    if have_store:
+        store_sigs = st.read("sigs")
+        store_buckets = st.read("buckets")
     if have_store:
         banded = sh.select("id", _sig_band_buckets(num_hashes, bands).alias("bb")).select(
             "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
@@ -1308,21 +1286,8 @@ def neardup_incremental(
                 F.col("id").alias("store_id"),
             )
         )
-        if bucketed:
-            from sparkswift.sources.writers import write_bucketed
-
-            write_bucketed(
-                new_sigs, f"{store_path}_sigs", ["store_id"],
-                num_buckets=num_buckets, sort_cols=["store_id"], mode="append",
-            )
-            write_bucketed(
-                new_buckets, f"{store_path}_buckets", ["band", "bucket"],
-                num_buckets=num_buckets, sort_cols=["band", "bucket"],
-                mode="append",
-            )
-        else:
-            new_sigs.write.mode("append").parquet(f"{store_path}/sigs")
-            new_buckets.write.mode("append").parquet(f"{store_path}/buckets")
+        st.append("sigs", new_sigs)
+        st.append("buckets", new_buckets)
     return out
 
 

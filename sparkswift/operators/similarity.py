@@ -84,35 +84,8 @@ def srp_signature_batched(vec: Column, bits: int = 32, seed: int = 0) -> Column:
     return sig(vec)
 
 
-from contextlib import contextmanager
-
-
-@contextmanager
-def _staged_dir(spark, path: str):
-    """Atomic index publish: build into ``<path>.__building__``, then
-    a single rename to ``<path>`` — a crashed or interrupted build can
-    never leave a PARTIAL directory where callers probe for a complete
-    index (an ivfpq_build killed between the codes and codebooks
-    writes used to do exactly that). Routed through the Hadoop
-    FileSystem API so it works on whatever filesystem the index lives
-    on; same object-store rename caveat as compact_dataset."""
-    tmp = path.rstrip("/") + ".__building__"
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-
-    def hp(p):
-        return jvm.org.apache.hadoop.fs.Path(p)
-
-    fs = hp(tmp).getFileSystem(hconf)
-    fs.delete(hp(tmp), True)  # clear stale staging from a prior crash
-    try:
-        yield tmp
-    except Exception:
-        fs.delete(hp(tmp), True)
-        raise
-    fs.delete(hp(path), True)  # clear any stale partial target
-    if not fs.rename(hp(tmp), hp(path)):
-        raise IOError(f"publishing index {tmp} -> {path} failed")
+# atomic index publish — shared store-lifecycle contract
+from sparkswift.sources.store import staged_publish as _staged_dir  # noqa: E402
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -955,18 +928,33 @@ def _semdedup_batch_flags(
     ).withColumn("is_survivor", F.coalesce(~F.col("__dup"), F.lit(True)))
 
 
+def _semdedup_store(spark, store: str, num_buckets: int = 16):
+    """The SemDeDup store through the shared lifecycle contract
+    (sources/store.py): frozen centers are the tiny MARKER member
+    (written last — its existence certifies a complete build), the
+    survivor vectors are the list_id-bucketed data member (every
+    probe join reads shuffle-free forever)."""
+    from sparkswift.sources.store import Member, Store
+
+    return Store(
+        spark,
+        store,
+        [
+            Member("centers", tiny=True),
+            Member("vecs", bucket_cols=("list_id",), sort_cols=("list_id", "id")),
+        ],
+        catalog=True,
+        num_buckets=num_buckets,
+        label="semdedup store",
+    )
+
+
 def _semdedup_store_pair_check(spark, store: str) -> bool:
     """Both store tables or neither — a half-written pair fails LOUDLY
     (the d14 lesson: silently re-bootstrapping orphans every earlier
-    survivor from the probe)."""
-    have_c = spark.catalog.tableExists(f"{store}_centers")
-    have_v = spark.catalog.tableExists(f"{store}_vecs")
-    if have_c != have_v:
-        raise RuntimeError(
-            f"semdedup store '{store}' is half-written (centers={have_c}, "
-            f"vecs={have_v}); repair or drop the surviving half."
-        )
-    return have_c
+    survivor from the probe). Delegates to the shared all-or-nothing
+    existence contract."""
+    return _semdedup_store(spark, store).exists()
 
 
 def semdedup_store_build(
@@ -996,10 +984,9 @@ def semdedup_store_build(
     Returns the seed decisions ``(id_col, list_id, keep)`` (same
     shape as :func:`semdedup`).
     """
-    from sparkswift.sources.writers import write_bucketed
-
     spark = df.sparkSession
-    if _semdedup_store_pair_check(spark, store):
+    st = _semdedup_store(spark, store, num_buckets)
+    if st.exists():
         raise ValueError(f"semdedup store '{store}' already exists")
     c = _spread(df.select(F.col(id_col), F.col(vec_col)))
     centers = coarse_train(
@@ -1018,17 +1005,17 @@ def semdedup_store_build(
         [(i, [float(x) for x in row]) for i, row in enumerate(centers)],
         "list_id int, center array<double>",
     )
-    # vecs FIRST, centers last: centers' existence marks a complete
-    # pair, and the paired check raises on any torn state between.
-    write_bucketed(
-        flagged.filter("is_survivor").select("id", "list_id", "v", "n2"),
-        f"{store}_vecs",
-        ["list_id"],
-        num_buckets=num_buckets,
-        sort_cols=["list_id", "id"],
-        mode="append",
+    # write_members orders vecs FIRST, centers (tiny marker) LAST:
+    # centers' existence marks a complete pair, and the paired check
+    # raises on any torn state between.
+    st.write_members(
+        {
+            "vecs": flagged.filter("is_survivor").select(
+                "id", "list_id", "v", "n2"
+            ),
+            "centers": cdf,
+        }
     )
-    cdf.coalesce(1).write.mode("overwrite").saveAsTable(f"{store}_centers")
     return flagged.select(
         F.col("id").alias(id_col), "list_id", F.col("is_survivor").alias("keep")
     )
@@ -1066,15 +1053,14 @@ def semdedup_add(
     Returns ``(id_col, list_id, in_batch_survivor, store_hit,
     survived)`` (0/1 ints) for every batch vector.
     """
-    from sparkswift.sources.writers import write_bucketed
-
     spark = new_vectors.sparkSession
-    if not _semdedup_store_pair_check(spark, store):
+    st = _semdedup_store(spark, store, num_buckets)
+    if not st.exists():
         raise ValueError(
             f"semdedup store '{store}' does not exist — run "
             "semdedup_store_build first"
         )
-    rows = spark.table(f"{store}_centers").orderBy("list_id").collect()
+    rows = st.read("centers").orderBy("list_id").collect()
     centers = np.asarray([r.center for r in rows], dtype=np.float64)
     assigned = (
         assign_lists(
@@ -1089,7 +1075,7 @@ def semdedup_add(
         .localCheckpoint()
     )
     in_batch = _semdedup_batch_flags(assigned, threshold)
-    store_vecs = spark.table(f"{store}_vecs").select(
+    store_vecs = st.read("vecs").select(
         "list_id",
         F.col("id").alias("sid"),
         F.col("v").alias("sv"),
@@ -1123,13 +1109,9 @@ def semdedup_add(
         winners = out.filter(F.col("survived") == 1).select(
             F.col(id_col).alias("id")
         )
-        write_bucketed(
+        st.append(
+            "vecs",
             assigned.join(winners, "id").select("id", "list_id", "v", "n2"),
-            f"{store}_vecs",
-            ["list_id"],
-            num_buckets=num_buckets,
-            sort_cols=["list_id", "id"],
-            mode="append",
         )
     return out
 
