@@ -12,15 +12,18 @@ The decode / feature-extract steps run as Arrow-batched
 by batch (never materialized per-row on the JVM heap).
 
 Codec status: ``decode_image`` / ``resize_image`` decode REAL PPM
-(P6) and 24-bit BMP payloads with zero dependencies (numpy header
-parse + pixel reshape), and ``extract_audio_features`` decodes REAL
-WAV via the stdlib ``wave`` module — all on the ``fake=False`` path.
+(P6), 24-bit BMP, 8-bit RGB/RGBA PNG (stdlib zlib, all five scanline
+filters), and baseline-sequential JPEG (pure-numpy T.81 Huffman +
+IDCT; grayscale and 4:4:4, restart markers honored) payloads with
+zero dependencies, and ``extract_audio_features`` decodes REAL WAV
+via the stdlib ``wave`` module — all on the ``fake=False`` path.
 ``fake=True`` keeps the deterministic pseudo-decode (features derived
 from payload digests) for plumbing tests and for payloads in formats
-this container cannot decode (JPEG/PNG need PIL; video frame
-extraction in ``sample_frames`` needs ffmpeg and stays
-NotImplementedError under ``fake=False``). ``synth_ppm_payload`` /
-``synth_wav_payload`` emit VALID PPM/WAV bytes from an id column so
+this container cannot decode (progressive/subsampled JPEG and palette
+PNG need PIL; video frame extraction in ``sample_frames`` needs
+ffmpeg and stays NotImplementedError under ``fake=False``).
+``synth_ppm_payload`` / ``synth_wav_payload`` / ``synth_png_payload``
+/ ``synth_jpeg_payload`` emit VALID media bytes from an id column so
 the real decoders are exercised end-to-end without external media.
 """
 
@@ -245,6 +248,445 @@ def encode_png(px: np.ndarray, filter_of=None) -> bytes:
     )
 
 
+# ---------------------------------------------------------------------------
+# JPEG baseline sequential (ITU-T T.81, public spec): zero-dependency
+# Huffman + IDCT decoder, plus a grayscale encoder for synth payloads
+# and round-trip tests. Scope: baseline DCT (SOF0), 8-bit, grayscale
+# or 4:4:4 YCbCr (all sampling factors 1×1), optional restart markers.
+# Progressive (SOF2), subsampled chroma, and arithmetic coding raise
+# NotImplementedError — honestly gated, not silently wrong.
+# Huffman tables below are the T.81 Annex K "typical" luminance
+# tables; both codec halves share them, so external interop rests on
+# the spec transcription (round-trip tests prove internal consistency;
+# table-driven decode handles ANY tables a foreign file carries).
+# ---------------------------------------------------------------------------
+_JZZ = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+_JDC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JDC_VALS = tuple(range(12))
+_JAC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JAC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+
+def _jdct_matrix() -> np.ndarray:
+    """The 8×8 orthonormal DCT-II operator A (A @ s @ A.T == T.81
+    FDCT; A.T @ S @ A == IDCT; A @ A.T == I — asserted in tests)."""
+    a = np.zeros((8, 8), dtype=np.float64)
+    for u in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return a
+
+
+_JDCT = _jdct_matrix()
+
+
+def _jhuff_encode_table(bits, vals) -> dict:
+    """value -> (code, length) under T.81 canonical code assignment."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jhuff_decode_table(bits, vals) -> dict:
+    """(length, code) -> value — the decoder walks lengths 1..16."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+class _JBitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.d[self.pos]
+        if b == 0xFF:
+            nxt = self.d[self.pos + 1]
+            if nxt == 0x00:  # stuffed data byte
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _JRestart(nxt - 0xD0)
+            else:
+                raise ValueError(
+                    f"unexpected marker 0xFF{nxt:02X} inside entropy data"
+                )
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_after_restart(self) -> None:
+        self.acc = 0
+        self.n = 0
+        self.pos += 2  # consume the RSTn marker
+
+
+class _JRestart(Exception):
+    def __init__(self, n: int) -> None:
+        self.n = n
+
+
+def _jmagnitude(v: int) -> int:
+    return abs(v).bit_length()
+
+
+def _jextend(raw: int, cat: int) -> int:
+    """T.81 EXTEND: raw bit pattern + category → signed value."""
+    if cat == 0:
+        return 0
+    return raw if raw >= (1 << (cat - 1)) else raw - (1 << cat) + 1
+
+
+def encode_jpeg_gray(
+    px: np.ndarray,
+    qtable: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline-sequential GRAYSCALE JPEG writer (SOF0, one component,
+    T.81 Annex K luminance Huffman tables): full FDCT + quantization +
+    zigzag + DC-differential/AC-run-length Huffman coding — the synth
+    and round-trip counterpart of :func:`_parse_jpeg`. ``qtable`` is
+    the 64-entry natural-order quantization table (default: all 16s —
+    DC exact for even level-shifted constants, the mm7 synth law).
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every N MCUs (byte-aligned, DC predictor reset — the seekability
+    feature real encoders use; exercises the decoder's restart path).
+    """
+    h, w = px.shape
+    if qtable is None:
+        q = np.full(64, 16, dtype=np.int64)
+    else:
+        q = np.asarray(qtable, dtype=np.int64).reshape(64)
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = px
+    padded[h:, :w] = px[h - 1 : h, :]  # edge replication
+    padded[:, w:] = padded[:, w - 1 : w]
+
+    dc_tab = _jhuff_encode_table(_JDC_BITS, _JDC_VALS)
+    ac_tab = _jhuff_encode_table(_JAC_BITS, _JAC_VALS)
+    bw = _JBitWriter()
+    scan_parts: list[bytes] = []
+    qmat = q.reshape(8, 8)
+    pred = 0
+    mcu = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                scan_parts.append(bw.flush())
+                scan_parts.append(
+                    bytes([0xFF, 0xD0 + (mcu // restart_interval - 1) % 8])
+                )
+                bw = _JBitWriter()
+                pred = 0
+            mcu += 1
+            blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = _JDCT @ blk @ _JDCT.T
+            zq = np.round(coef / qmat).astype(np.int64)
+            zz = zq.reshape(64)[_JZZ]
+            # DC
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            cat = _jmagnitude(diff)
+            code, ln = dc_tab[cat]
+            bw.put(code, ln)
+            if cat:
+                bw.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+            # AC
+            run = 0
+            nz = np.flatnonzero(zz[1:])
+            last = int(nz[-1]) + 1 if len(nz) else 0
+            for i in range(1, last + 1):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, ln = ac_tab[0xF0]  # ZRL
+                    bw.put(code, ln)
+                    run -= 16
+                cat = _jmagnitude(v)
+                code, ln = ac_tab[(run << 4) | cat]
+                bw.put(code, ln)
+                bw.put(v if v >= 0 else v + (1 << cat) - 1, cat)
+                run = 0
+            if last < 63:
+                code, ln = ac_tab[0x00]  # EOB
+                bw.put(code, ln)
+    scan_parts.append(bw.flush())
+    scan = b"".join(scan_parts)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    zz_q = q.reshape(8, 8).reshape(64)[_JZZ]  # natural -> zigzag order
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in zz_q))
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(
+        0xC4, bytes([0x00]) + bytes(_JDC_BITS) + bytes(_JDC_VALS)
+    )
+    out += seg(
+        0xC4, bytes([0x10]) + bytes(_JAC_BITS) + bytes(_JAC_VALS)
+    )
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += scan + b"\xff\xd9"  # EOI
+    return out
+
+
+def _parse_jpeg(b: bytes) -> np.ndarray:
+    """REAL baseline-sequential JPEG decode (marker parse → per-table
+    Huffman decode → dequantize → zigzag → IDCT → level shift), pure
+    numpy/stdlib. Returns (h, w, 3) uint8 — grayscale replicates to
+    three channels; 3-component scans convert YCbCr→RGB (JFIF
+    matrix). Raises NotImplementedError for progressive/extended
+    frames and subsampled chroma."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = b[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        ln = struct.unpack(">H", b[pos : pos + 2])[0]
+        payload = b[pos + 2 : pos + ln]
+        nxt = pos + ln
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                p += 1
+                if pq:  # 16-bit precision
+                    vals = np.frombuffer(
+                        payload[p : p + 128], dtype=">u2"
+                    ).astype(np.int64)
+                    p += 128
+                else:
+                    vals = np.frombuffer(
+                        payload[p : p + 64], dtype=np.uint8
+                    ).astype(np.int64)
+                    p += 64
+                nat = np.zeros(64, dtype=np.int64)
+                nat[_JZZ] = vals  # zigzag -> natural order
+                qtabs[tq] = nat.reshape(8, 8)
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0x0F
+                bits = tuple(payload[p + 1 : p + 17])
+                n = sum(bits)
+                vals = tuple(payload[p + 17 : p + 17 + n])
+                htabs[(tc, th)] = _jhuff_decode_table(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # baseline/ext sequential
+            prec, fh, fw, nc = struct.unpack(">BHHB", payload[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG unsupported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled chroma (sampling factors != 1x1) "
+                        "unsupported — baseline 4:4:4/grayscale only"
+                    )
+                comps.append({"id": cid, "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                f"non-baseline JPEG frame (SOF{marker - 0xC0}) unsupported"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", payload[:2])[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = payload[0]
+            sel = {}
+            for i in range(ns):
+                cs, tt = payload[1 + 2 * i], payload[2 + 2 * i]
+                sel[cs] = (tt >> 4, tt & 0x0F)
+            return _jpeg_scan(
+                b, nxt, frame, qtabs, htabs, sel, restart_interval
+            )
+        pos = nxt
+    raise ValueError("no scan data (missing SOS)")
+
+
+def _jpeg_scan(
+    b: bytes, pos: int, frame, qtabs, htabs, sel, restart_interval
+) -> np.ndarray:
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    nc = len(comps)
+    nbx, nby = (w + 7) // 8, (h + 7) // 8
+    planes = [np.zeros((nby * 8, nbx * 8), dtype=np.float64) for _ in range(nc)]
+    rd = _JBitReader(b, pos)
+    preds = [0] * nc
+
+    def huffval(table: dict) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | rd.bit()
+            ln += 1
+            v = table.get((ln, code))
+            if v is not None:
+                return v
+        raise ValueError("invalid Huffman code in entropy data")
+
+    def decode_block(ci: int) -> np.ndarray:
+        comp = comps[ci]
+        dct, act = htabs[(0, sel[comp["id"]][0])], htabs[(1, sel[comp["id"]][1])]
+        q = qtabs[comp["tq"]]
+        zz = np.zeros(64, dtype=np.int64)
+        cat = huffval(dct)
+        diff = _jextend(rd.bits(cat), cat) if cat else 0
+        preds[ci] += diff
+        zz[0] = preds[ci]
+        i = 1
+        while i < 64:
+            rs = huffval(act)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    i += 16
+                    continue
+                break  # EOB
+            i += r
+            if i > 63:
+                raise ValueError("AC run past block end")
+            zz[i] = _jextend(rd.bits(s), s)
+            i += 1
+        coef = np.zeros(64, dtype=np.float64)
+        coef[_JZZ] = zz  # de-zigzag to natural order
+        coef = coef.reshape(8, 8) * q
+        return _JDCT.T @ coef @ _JDCT + 128.0
+
+    mcu = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # encoder pads to a byte boundary then emits RSTn:
+                # discard the pad bits, surface the marker, realign
+                rd.acc = 0
+                rd.n = 0
+                try:
+                    rd._fill()
+                    raise ValueError("expected restart marker")
+                except _JRestart:
+                    rd.align_after_restart()
+                    preds[:] = [0] * nc
+            for ci in range(nc):
+                blk = decode_block(ci)
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+            mcu += 1
+
+    if nc == 1:
+        g = np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    if nc == 3:
+        y = planes[0][:h, :w]
+        cb = planes[1][:h, :w] - 128.0
+        cr = planes[2][:h, :w] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        bl = y + 1.772 * cb
+        rgb = np.stack([r, g, bl], axis=2)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    raise NotImplementedError(f"{nc}-component JPEG unsupported")
+
+
 def _decode_image_bytes(b: bytes) -> np.ndarray:
     if b[:2] == b"P6":
         return _parse_ppm(b)
@@ -252,10 +694,13 @@ def _decode_image_bytes(b: bytes) -> np.ndarray:
         return _parse_bmp(b)
     if b[: len(_PNG_SIG)] == _PNG_SIG:
         return _parse_png(b)
+    if b[:2] == b"\xff\xd8":
+        return _parse_jpeg(b)
     raise ValueError(
         "undecodable image payload (real path supports PPM P6, 24-bit "
-        "BMP, and 8-bit RGB/RGBA PNG; JPEG needs PIL — use fake=True "
-        "for plumbing-only runs)"
+        "BMP, 8-bit RGB/RGBA PNG, and baseline-sequential JPEG "
+        "[grayscale/4:4:4; progressive and subsampled chroma need "
+        "PIL] — use fake=True for plumbing-only runs)"
     )
 
 
@@ -566,6 +1011,48 @@ def synth_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             F.lit("image/png").alias("mime"),
             (4 + F.col(id_col) % 5).cast("int").alias("width"),
             (3 + F.col(id_col) % 4).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ),
+    )
+
+
+def synth_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a VALID baseline-sequential grayscale JPEG per row
+    whose decode is EXACT (the mm7 law): every 8×8 block is a constant
+    EVEN gray ``g(i,bx,by) = 28 + 2·((3i + 5bx + 7by) mod 100)`` at
+    width 8·(1+i%3) × height 8·(1+i%2). A constant block's FDCT has
+    only the DC coefficient (8·(g−128)); with the default Q(0,0)=16
+    and g even the quantization is exact, so Huffman→dequant→IDCT
+    returns g bit-exactly and the image mean reduces to the block-mean
+    id arithmetic the SQL oracle re-derives — the decoder stays REAL
+    (full marker parse, Huffman, dequant, IDCT) while the corpus-level
+    verdict is hash-certifiable. Varying per-block values exercise the
+    DC-differential path on every image; restart markers every 2 MCUs
+    on odd ids exercise the RSTn path across the corpus."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            nbx, nby = 1 + i % 3, 1 + i % 2
+            bx = np.arange(nbx, dtype=np.int64)[None, :]
+            by = np.arange(nby, dtype=np.int64)[:, None]
+            g = 28 + 2 * ((3 * i + 5 * bx + 7 * by) % 100)
+            px = np.kron(g, np.ones((8, 8), dtype=np.int64)).astype(np.float64)
+            return encode_jpeg_gray(
+                px, restart_interval=2 if i % 2 else 0
+            )
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("image/jpeg").alias("mime"),
+            (8 * (1 + F.col(id_col) % 3)).cast("int").alias("width"),
+            (8 * (1 + F.col(id_col) % 2)).cast("int").alias("height"),
             F.lit(None).cast("int").alias("sample_rate"),
             F.lit(None).cast("int").alias("n_frames"),
         ),

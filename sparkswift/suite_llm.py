@@ -2911,6 +2911,45 @@ def mm6_png_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mm7 — REAL JPEG decode (mm6's discipline one format up): synthesized
+# baseline-sequential grayscale JPEGs decode through the full T.81
+# pipeline — marker parse, canonical Huffman (DC differential + AC
+# run-length), dequantize, de-zigzag, IDCT, level shift; odd ids add
+# restart markers so the RSTn path runs corpus-wide. The synth is
+# constant-per-8×8-block with EVEN grays, so DC quantization (Q=16)
+# is exact and the decode is bit-exact — the image mean reduces to
+# the block-mean id arithmetic the oracle re-derives. Progressive and
+# subsampled-chroma JPEGs stay honestly gated (NotImplementedError).
+# ---------------------------------------------------------------------------
+@register(
+    "mm7_jpeg_decode_real",
+    """
+    WITH bxs AS (SELECT unnest([0, 1, 2]) AS bx),
+         bys AS (SELECT unnest([0, 1]) AS by),
+         p AS (SELECT doc_id, 1 + doc_id % 3 AS nbx, 1 + doc_id % 2 AS nby
+               FROM documents)
+    SELECT doc_id AS id,
+           CAST(8 * nbx AS INT) AS width,
+           CAST(8 * nby AS INT) AS height,
+           AVG(CAST(28 + 2 * ((3 * doc_id + 5 * bx + 7 * by) % 100)
+                    AS DOUBLE)) AS mean_gray
+    FROM p JOIN bxs ON bx < nbx JOIN bys ON by < nby
+    GROUP BY doc_id, nbx, nby
+    """,
+)
+def mm7_jpeg_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    wp = mm.synth_jpeg_payload(docs, "doc_id")
+    out = mm.decode_image(wp, "doc_id", "payload", fake=False, feat_dim=5)
+    return out.select(
+        "id",
+        F.col("feat")[0].cast("int").alias("width"),
+        F.col("feat")[1].cast("int").alias("height"),
+        F.col("feat")[2].alias("mean_gray"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # e10 — OPQ-rotated PQ (Ge et al. 2013 parametric OPQ; FAISS's OPQ
 # pretransform): PCA rotation + greedy eigenvalue allocation balance
 # per-subspace variance before the standard PQ pipeline; the refine

@@ -1678,3 +1678,87 @@ def test_bigram_logprob_hash_buckets(spark, sf_dir):
         for r in bigram_logprob(train, score, hash_buckets=64).collect()
     }
     assert tiny == {r["doc_id"]: r["n_bigrams"] for r in exact}
+
+
+def test_jpeg_codec_pure_roundtrip():
+    """Baseline JPEG codec laws with independent references: the DCT
+    operator is orthonormal (A·Aᵀ = I — not a shared-formula check),
+    zigzag is a permutation, constant even-gray blocks decode
+    BIT-EXACTLY (the mm7 law), arbitrary images at Q=1 round-trip
+    within coefficient-rounding error, restart markers reproduce the
+    non-restart decode exactly, and non-multiple-of-8 dims crop back."""
+    import numpy as np
+
+    from sparkswift.operators.multimodal import (
+        _JDCT,
+        _JZZ,
+        _parse_jpeg,
+        encode_jpeg_gray,
+    )
+
+    assert np.abs(_JDCT @ _JDCT.T - np.eye(8)).max() < 1e-12
+    assert sorted(_JZZ.tolist()) == list(range(64))
+
+    rng = np.random.RandomState(3)
+    for trial in range(3):
+        nbx, nby = rng.randint(1, 4), rng.randint(1, 4)
+        g = (rng.randint(14, 114, size=(nby, nbx)) * 2).astype(np.float64)
+        px = np.kron(g, np.ones((8, 8)))
+        out = _parse_jpeg(encode_jpeg_gray(px))
+        assert out.shape == (nby * 8, nbx * 8, 3)
+        assert np.array_equal(out[:, :, 0].astype(float), px)
+        assert np.array_equal(out[:, :, 0], out[:, :, 2])  # gray replicated
+
+    px = rng.randint(0, 256, size=(24, 40)).astype(np.float64)
+    q1 = np.ones(64)
+    out = _parse_jpeg(encode_jpeg_gray(px, qtable=q1))[:, :, 0].astype(float)
+    assert np.abs(out - px).max() <= 3  # Q=1: coefficient rounding only
+
+    with_rst = _parse_jpeg(
+        encode_jpeg_gray(px, qtable=q1, restart_interval=2)
+    )[:, :, 0].astype(float)
+    assert np.array_equal(out, with_rst)
+
+    odd = rng.randint(0, 256, size=(13, 21)).astype(np.float64)
+    dec = _parse_jpeg(encode_jpeg_gray(odd, qtable=q1))
+    assert dec.shape == (13, 21, 3)
+    assert np.abs(dec[:, :, 0].astype(float) - odd).max() <= 3
+
+
+def test_jpeg_decoder_gates_nonbaseline():
+    """Progressive frames and truncated streams fail LOUDLY."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import _parse_jpeg, encode_jpeg_gray
+
+    px = np.full((8, 8), 100.0)
+    good = encode_jpeg_gray(px)
+    bad = bytearray(good)
+    i = bytes(bad).find(b"\xff\xc0")
+    bad[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    with _pytest.raises(NotImplementedError, match="non-baseline"):
+        _parse_jpeg(bytes(bad))
+    with _pytest.raises(ValueError):
+        _parse_jpeg(b"\x89PNG1234")
+
+
+def test_real_jpeg_decode_via_spark(spark):
+    """mm7 plumbing end-to-end: synth JPEGs decode through
+    mapInPandas with exact block-mean arithmetic."""
+    from sparkswift.operators import multimodal as mm
+
+    df = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    wp = mm.synth_jpeg_payload(df, "doc_id")
+    out = mm.decode_image(wp, "doc_id", "payload", fake=False, feat_dim=5).toPandas()
+    assert len(out) == 30
+    for _, r in out.iterrows():
+        i = int(r["id"])
+        nbx, nby = 1 + i % 3, 1 + i % 2
+        assert r["feat"][0] == 8.0 * nbx and r["feat"][1] == 8.0 * nby
+        want = sum(
+            28 + 2 * ((3 * i + 5 * bx + 7 * by) % 100)
+            for bx in range(nbx)
+            for by in range(nby)
+        ) / (nbx * nby)
+        assert r["feat"][2] == want
