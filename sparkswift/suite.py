@@ -774,91 +774,40 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Registration order. The correctness driver verifies the first 50
 # registrations, so the window below holds the 50 entries with the
-# highest evidence value THIS round (round 9). Rotation policy
+# highest evidence value THIS round (round 10). Rotation policy
 # (tools/ledger.py): oldest driver evidence first, new/changed code
 # always earns rows in its own round. Composition:
 #
-# 1. The 5 TPC-H shapes that have NEVER held a driver slot (added
-#    late in r8; VERDICT r8 "What's missing" #1): q7 volume shipping,
-#    q8 market share, q13 customer distribution, q15 top supplier,
-#    q22 sales opportunity.
-# 2. The two rows-only raw twins with no driver row ever —
-#    p22_pack_bins and d15_substring_dedup. Their laws are certified
-#    by in-window gates; the slots close the "never windowed" list
-#    entirely.
-# 3. The 5 round-3-stale queries (s1, set1, agg1, j2, j3) and the
-#    round-4-stale cohort from the r8 ledger. Second-session
-#    amendment (group 3b below): ten of the r4-stale refresh slots
-#    (agg3, d2, p3, p6, p7, p8, p9, t3, t7, t9 — every displaced
-#    family keeps 3+ entries in-window) yield to the session's TEN
-#    NEW queries (new code always outranks a staleness refresh):
-#    st19 (mergeable quantile sketch), st20 (drift ingest), agg17
-#    (PSI drift), agg18 (Gramian corr matrix), e9 (MMR re-rank), t20
-#    (trained bigram LM), p27 (epoch upsampling), g2 + g2_gate
-#    (personalized PageRank, exact-zero reachability law), mm6 (real
-#    PNG decode), e10 + e10_gate (OPQ-rotated PQ), p28 (composed
-#    curriculum order), st21 (HLL distinct ingest) — fourteen swaps
-#    total: agg3, agg7, d2, d9, p3, p6, p7, p8, p9, t3, t7, t8, t9,
-#    w1 lead the round-10 seed.
-# 4. The 6 queries NEW this round: p23_token_shards + p23_gate
-#    (training-ready Megatron .bin/.idx shards with byte-readback
-#    laws), d16_semdedup_incremental + d16_gate (persisted SemDeDup
-#    store, structural re-add law), d11_skew_gate (fuzzy-join argmax
-#    recall under a hot entity), st15_stream_session_udf (session-
-#    window UDF aggregation, exact median stream==batch oracle).
-# 5. Changed-code refreshes: d15_gate (substring_dedup's rank
-#    replaced by skew-tolerant min(struct) groupBy), d14_gate +
-#    d14_neardup_incremental + st14_stream_crawl_ingest (paired
-#    store-existence check; re-crawl law restricted to seed
-#    survivors), p22_gate (NULL-text guard; oracle constants now
-#    interpolated), g1_pagerank (tol=1e-9 early-exit is now the
-#    headline config), d12_semdedup + d12_gate (semdedup internals
-#    refactored through _semdedup_batch_flags).
-# 6. The round's late additions (new code always outranks a
-#    staleness refresh): st18_stream_pca_ingest (streaming Gramian
-#    ingest — integer-mergeable summaries, stream==batch BIT-EXACT
-#    law) takes d7_dedup_clusters's slot (4 green rows r1-r4; the
-#    dedup family keeps d2/d9/d12/d14/d15/d16 in-window).
-#    p26_gate (WebDataset tar-shard export —
-#    deterministic pinned-metadata tars, byte-readback + manifest
-#    laws) takes p1_deterministic_sample's slot (2 green rows r1/r4;
-#    the p family keeps 8+ entries in-window).
-#    e8_pca_gram + e8_gate (distributed PCA —
-#    exact-oracled quantized Gramian + fit/projection spectral laws)
-#    take agg6_pivot's slot (4 green rows r1-r4; agg3/agg7 keep the
-#    agg family in-window) and o6_resample_closed_right's slot
-#    (3 green rows r2-r4; resample cohort all earned r8 rows).
-#    t19_quality_probe (TRAINED weak-label linear
-#    probe — quantized-GD training bit-certified by an unrolled
-#    24-iteration DuckDB CTE oracle) takes t1_text_quality's slot
-#    (4 green rows r1-r4; t3/t7/t8/t9 keep the text family
-#    in-window). st17_stream_heavy_hitters (streaming
-#    Misra-Gries ingest loop — per-batch ≤ k-row summaries merged via
-#    the Agarwal-2012 mergeability theorem, batching-independent
-#    verdict) takes w2_running_total's slot (3 green rows r1/r2/r4;
-#    w1 keeps the window family in-window). t18_bpe_decode_gate (BPE
-#    decode round-trip +
-#    visible-<unk> laws) and p24_gate (GPT concat-then-chunk over
-#    real ids: exactly-full / conservation / dense / every-doc-
-#    claimed). They take the two r5-stale filler slots (agg10, agg12
-#    move to the round-10 seed). p25_gate (END-TO-END training
-#    artifact: filter → dedup → BPE → FFD bins → .bin/.idx, with a
-#    SQL-re-derived selection count) takes t4_token_count's slot —
-#    t4 holds 4 green rows r1-r4 and its family keeps t17/t18 gates
-#    in-window. st16_stream_semdedup_ingest (d16 as a foreachBatch
-#    crawl-ingest loop, survivor-restricted re-add law) takes
-#    t5_repetition's slot (3 green rows r2-r4; the text family keeps
-#    t1/t3/t7/t8/t9 in-window).
+# 1. The 3 queries NEW this round: o8_cogroup_asof (cogrouped
+#    two-frame Arrow UDF — the last uncovered entry point, DuckDB
+#    ASOF oracle), st22_stream_asof_enrich (stream-stream as-of via
+#    applyInPandasWithState, stream≡batch ASOF oracle),
+#    mm7_jpeg_decode_real (real baseline JPEG decode, bit-exact
+#    constant-block synth).
+# 2. Changed-code refreshes (the round's edits must re-earn driver
+#    rows): e10_gate (now hash-certifies recall(OPQ)>recall(PQ) on a
+#    deterministic anisotropic synth corpus), t20_bigram_logprob
+#    (hash_buckets= vocab bound), p27_epoch_upsample +
+#    p28_curriculum_order (_upsample_plan top-bucket fix — shared by
+#    engine and oracle), t18_bpe_decode_gate (out-of-range ids decode
+#    to a visible <bad-id>), p23_gate (token-id range guard),
+#    p26_gate (NULL string members), and the persisted-store
+#    lifecycle refactor through sources/store.py:
+#    d10_dedup_incremental, d14_gate, d14_neardup_incremental,
+#    d16_gate, d16_semdedup_incremental, e4_gate, e7_gate,
+#    st14_stream_crawl_ingest, st16_stream_semdedup_ingest,
+#    p21_store_compaction.
+# 3. The ENTIRE r4-stale cohort (5 rounds behind after r9 — the
+#    stalest evidence in the ledger): agg3, agg6, agg7, d2, d7, d9,
+#    o6_resample_closed_right, p1, p3, p6, p7, p8, p9, t1, t3, t4,
+#    t5, t7, t8, t9, w1, w2.
+# 4. Eight r5-stale picks rounding out 50, chosen for family spread:
+#    agg5, agg8, agg12, d3_minhash_lsh, e1, j7_asof_nearest, q3, w3.
 #
-# Displaced to the tail (earned fresh r8 rows, families still
-# in-window): the entire o1-o7 apply/rolling/resample cohort, the
-# st1-st6 streaming cohort, mm1/2/4/5, j1/j4/j5/j6, d1, p2, p4,
-# p21, q1/q5/q10/q17, t2, t6, t17, sw1, agg4, d5, d2_skew_gate,
-# o4_skew_giant_group, g1_gate, d14_gate... (d14_gate/d15_gate stay
-# IN for their changed code despite r8 rows).
-#
-# Round-10 rotation seed, stalest first: the 44 remaining r5-stale
-# queries (ledger --markdown lists them), then r7 gates by family.
+# Displaced to the tail (all r9-green, families still in-window):
+# the entire r9 window except the changed-code entries above.
+# Round-11 rotation seed, stalest first: the remaining 37 r5-stale
+# queries (ledger --markdown lists them), then the r7-stale gates.
 #
 # st2b_stateful_totals_tws remains unregistered: the container lacks
 # protobuf so transformWithState cannot import (NOTES.md, re-checked
@@ -869,66 +818,60 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ledger" and `tools/ledger.py --markdown`.
 # ---------------------------------------------------------------------------
 _WINDOW = [
-    # --- (1) never-windowed TPC-H ---
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q22_sales_opportunity",
-    # --- (2) never-windowed raw twins ---
-    "p22_pack_bins",
-    "d15_substring_dedup",
-    # --- (3) r3-stale ---
-    "s1_topk_orders",
-    "set1_union_except",
-    "agg1_count_distinct",
-    "j2_semi_join",
-    "j3_anti_join",
-    # --- (3) r4-stale ---
-    "e8_pca_gram",
-    "st18_stream_pca_ingest",
-    "e8_gate",
-    "p26_gate",
-    "t19_quality_probe",
-    "p25_gate",
-    "st16_stream_semdedup_ingest",
-    "st17_stream_heavy_hitters",
-    # --- (3b) second-session additions (new code outranks a staleness
-    # refresh — agg3/d2/p3/p6/p7/p8/p9/t3/t7/t9 move to the round-10
-    # seed; the agg/d/p/t families keep 3/8+/6+/4 entries in-window) ---
-    "st19_stream_quantile_ingest",
-    "st20_stream_drift_ingest",
-    "p27_epoch_upsample",
-    "agg17_drift_report",
-    "agg18_corr_matrix",
-    "e9_mmr_diversify",
-    "t20_bigram_logprob",
-    "g2_personalized_pagerank",
-    "g2_gate",
-    "mm6_png_decode_real",
-    "e10_cosine_topk_opq",
+    # --- (1) new this round ---
+    "o8_cogroup_asof",
+    "st22_stream_asof_enrich",
+    "mm7_jpeg_decode_real",
+    # --- (2) changed-code refreshes ---
     "e10_gate",
+    "t20_bigram_logprob",
+    "p27_epoch_upsample",
     "p28_curriculum_order",
-    "st21_stream_distinct_ingest",
-    # --- (4) new this round ---
-    "p23_token_shards",
+    "t18_bpe_decode_gate",
     "p23_gate",
-    "d16_semdedup_incremental",
-    "d16_gate",
-    "d11_skew_gate",
-    "st15_stream_session_udf",
-    # --- (5) changed-code refreshes ---
-    "d15_gate",
+    "p26_gate",
+    "d10_dedup_incremental",
     "d14_gate",
     "d14_neardup_incremental",
+    "d16_gate",
+    "d16_semdedup_incremental",
+    "e4_gate",
+    "e7_gate",
     "st14_stream_crawl_ingest",
-    "p22_gate",
-    "g1_pagerank",
-    "d12_semdedup",
-    "d12_gate",
-    # --- (6) late additions ---
-    "t18_bpe_decode_gate",
-    "p24_gate",
+    "st16_stream_semdedup_ingest",
+    "p21_store_compaction",
+    # --- (3) the r4-stale cohort ---
+    "agg3_rollup",
+    "agg6_pivot",
+    "agg7_grouping_sets",
+    "d2_ngram_jaccard",
+    "d7_dedup_clusters",
+    "d9_dedup_clusters_star",
+    "o6_resample_closed_right",
+    "p1_deterministic_sample",
+    "p3_decontaminate",
+    "p6_pack_sequences",
+    "p7_group_split",
+    "p8_deterministic_shuffle",
+    "p9_corpus_build",
+    "t1_text_quality",
+    "t3_fingerprint",
+    "t4_token_count",
+    "t5_repetition",
+    "t7_tfidf_top_terms",
+    "t8_c4_line_filter",
+    "t9_corpus_stats",
+    "w1_rank_lag",
+    "w2_running_total",
+    # --- (4) r5-stale family-spread picks ---
+    "agg5_quantiles",
+    "agg8_unpivot",
+    "agg12_json_extract",
+    "d3_minhash_lsh",
+    "e1_cosine_topk",
+    "j7_asof_nearest",
+    "q3_shipping_priority",
+    "w3_latest_per_key",
 ]
 
 
