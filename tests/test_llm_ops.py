@@ -1762,3 +1762,90 @@ def test_real_jpeg_decode_via_spark(spark):
             for by in range(nby)
         ) / (nbx * nby)
         assert r["feat"][2] == want
+
+
+def test_jpeg_decoder_color_444_interleaved():
+    """3-component 4:4:4 decode: hand-assembled interleaved MCUs with
+    per-component DC predictors and the JFIF YCbCr→RGB conversion.
+    The test encodes DC-only constant blocks per component with its
+    OWN bit-writer loop (not the grayscale encoder), so the decoder's
+    interleave/multi-predictor path is exercised independently."""
+    import struct as _struct
+
+    import numpy as np
+
+    from sparkswift.operators.multimodal import (
+        _JAC_BITS,
+        _JAC_VALS,
+        _JDC_BITS,
+        _JDC_VALS,
+        _JBitWriter,
+        _jhuff_encode_table,
+        _jmagnitude,
+        _parse_jpeg,
+    )
+
+    # 2x1 MCUs, constant per block/component (even level-shifted)
+    ycc = [
+        [(90, 130), (120, 140), (150, 132)],  # [comp][mcu] gray levels
+    ][0]
+    y_vals, cb_vals, cr_vals = (90, 130), (120, 140), (150, 132)
+    dc_tab = _jhuff_encode_table(_JDC_BITS, _JDC_VALS)
+    ac_tab = _jhuff_encode_table(_JAC_BITS, _JAC_VALS)
+    bw = _JBitWriter()
+    preds = [0, 0, 0]
+    for mcu in range(2):
+        for ci, vals in enumerate((y_vals, cb_vals, cr_vals)):
+            dc = round(8 * (vals[mcu] - 128) / 16)  # Q(0,0)=16
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            cat = _jmagnitude(diff)
+            code, ln = dc_tab[cat]
+            bw.put(code, ln)
+            if cat:
+                bw.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+            code, ln = ac_tab[0x00]  # EOB
+            bw.put(code, ln)
+    scan = bw.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(payload) + 2) + payload
+
+    from sparkswift.operators.multimodal import _JZZ
+
+    q = np.full(64, 16, dtype=np.int64)
+    zz_q = q.reshape(8, 8).reshape(64)[_JZZ]
+    jb = b"\xff\xd8"
+    jb += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in zz_q))
+    jb += seg(
+        0xC0,
+        _struct.pack(">BHHB", 8, 8, 16, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    jb += seg(0xC4, bytes([0x00]) + bytes(_JDC_BITS) + bytes(_JDC_VALS))
+    jb += seg(0xC4, bytes([0x10]) + bytes(_JAC_BITS) + bytes(_JAC_VALS))
+    jb += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    jb += scan + b"\xff\xd9"
+
+    out = _parse_jpeg(jb)
+    assert out.shape == (8, 16, 3)
+    for mcu in range(2):
+        # dequantized DC recovers the constant exactly (even values)
+        y = float(y_vals[mcu])
+        cb = float(cb_vals[mcu]) - 128.0
+        cr = float(cr_vals[mcu]) - 128.0
+        want = np.clip(
+            np.round(
+                np.array(
+                    [
+                        y + 1.402 * cr,
+                        y - 0.344136 * cb - 0.714136 * cr,
+                        y + 1.772 * cb,
+                    ]
+                )
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+        block = out[:, mcu * 8 : mcu * 8 + 8, :]
+        assert (block == want[None, None, :]).all(), (mcu, block[0, 0], want)
