@@ -133,6 +133,9 @@ HEADLINE = [
     "mm6_png_decode_real",   # real PNG decode (zlib + all five filters)
     "e10_cosine_topk_opq",   # OPQ-rotated PQ (Gramian rotation + ADC)
     "p28_curriculum_order",  # bins -> epoch rates -> order key (composed)
+    "o8_cogroup_asof",       # cogrouped two-frame Arrow UDF (as-of in UDF)
+    "st22_stream_asof_enrich",  # stream-stream as-of (withState)
+    "mm7_jpeg_decode_real",  # real baseline JPEG decode
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

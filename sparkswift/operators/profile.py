@@ -16,7 +16,7 @@ the bottleneck — that variant is rows-only checkable by design.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -515,3 +515,103 @@ def merge_drift_counts(counts: DataFrame) -> DataFrame:
         F.sum("cnt_a").cast("bigint").alias("cnt_a"),
         F.sum("cnt_b").cast("bigint").alias("cnt_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005, public): point-
+# frequency estimates from a bounded depth×width integer matrix.
+# Cells are PURE INTEGER SUMS, so per-batch sketches merge BIT-EXACTLY
+# by cell addition (the st18/st20 summary class — contrast MG/quantile
+# envelopes and HLL's estimator asymmetry). Hashing is md5-based and
+# identical in Spark and DuckDB, so the ENTIRE sketch — not just its
+# laws — is SQL-re-derivable: the oracle rebuilds every cell.
+# ---------------------------------------------------------------------------
+def _cm_bucket(key_col: str | Column, r: int, width: int, seed: int) -> Column:
+    """Row-r bucket of a key: first 8 md5 hex chars of
+    'seed:r:key' as an integer, mod width — every piece (concat_ws,
+    md5, hex→int, mod) evaluates identically in Spark and DuckDB."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.lit(str(seed)), F.lit(str(r)), c.cast("string"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(width))
+
+
+def countmin_sketch(
+    df: DataFrame,
+    key_col: str,
+    width: int = 256,
+    depth: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Build the CM sketch of a key column as SPARSE cells
+    ``(row, bucket, c)`` — at most depth×width rows regardless of
+    input size. One explode (depth structs per input row, scan-stage)
+    and one hash aggregation with map-side partial agg; nothing else
+    moves. Estimates are one-sided: est ≥ true always, and
+    est ≤ true + εN with ε = e/width at standard depth.
+    """
+    if width <= 0 or depth <= 0:
+        raise ValueError("countmin_sketch: width and depth must be positive")
+    rb = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("row"),
+                _cm_bucket(key_col, r, width, seed).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(rb).alias("rb"))
+        .select("rb.row", "rb.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+def countmin_merge(sketches: DataFrame) -> DataFrame:
+    """Merge per-batch CM sketches: cell-wise integer sum — BIT-EXACT
+    equal to the sketch of the concatenated input (addition commutes),
+    under ANY batching. One groupBy over summary-sized rows."""
+    return sketches.groupBy("row", "bucket").agg(
+        F.sum("c").cast("bigint").alias("c")
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 256,
+    depth: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Point-frequency estimates for a key frame: min over the sketch
+    rows of each key's cell (an absent cell reads 0). Two bounded
+    joins — the sketch side is ≤ depth×width rows, broadcast by AQE."""
+    kb = keys.select(
+        F.col(key_col),
+        *[
+            _cm_bucket(key_col, r, width, seed).alias(f"__b{r}")
+            for r in range(depth)
+        ],
+    )
+    est = kb
+    for r in range(depth):
+        cells_r = sketch.filter(F.col("row") == r).select(
+            F.col("bucket").alias(f"__b{r}"), F.col("c").alias(f"__c{r}")
+        )
+        est = est.join(F.broadcast(cells_r), f"__b{r}", "left")
+    min_c = F.least(
+        *[F.coalesce(F.col(f"__c{r}"), F.lit(0)) for r in range(depth)]
+    )
+    return est.select(F.col(key_col), min_c.cast("bigint").alias("est"))

@@ -3042,3 +3042,51 @@ def p28_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             16,
         ).alias("order_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg19 — Count-Min point-frequency estimates (Cormode-Muthukrishnan
+# 2005): the bounded-matrix complement of agg16's Misra-Gries (MG
+# finds WHO is heavy; CM answers "how often was X" for any X). The
+# md5-based bucket hash evaluates identically in Spark and DuckDB, so
+# the oracle re-derives EVERY cell and every min-estimate exactly —
+# the sketch is hash-certified, not enveloped. width=64 on ~thousands
+# of keys forces real collisions, so the one-sided over-estimate path
+# is exercised (est ≥ true asserted in pytest and by st23's gate).
+# ---------------------------------------------------------------------------
+_CM_W, _CM_D, _CM_SEED = 64, 4, 7
+
+
+@register(
+    "agg19_countmin",
+    f"""
+    WITH rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    cells AS (
+      SELECT r,
+             CAST(('0x' || substr(md5(concat_ws(':', '{_CM_SEED}',
+                    CAST(r AS VARCHAR), CAST(user_id AS VARCHAR))), 1, 8))
+                  AS BIGINT) % {_CM_W} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events, rs GROUP BY 1, 2
+    ),
+    kb AS (
+      SELECT user_id, r,
+             CAST(('0x' || substr(md5(concat_ws(':', '{_CM_SEED}',
+                    CAST(r AS VARCHAR), CAST(user_id AS VARCHAR))), 1, 8))
+                  AS BIGINT) % {_CM_W} AS bucket
+      FROM (SELECT DISTINCT user_id FROM events), rs
+    )
+    SELECT kb.user_id, CAST(MIN(COALESCE(cells.c, 0)) AS BIGINT) AS est
+    FROM kb LEFT JOIN cells USING (r, bucket)
+    GROUP BY kb.user_id
+    """,
+)
+def agg19_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.profile import countmin_estimate, countmin_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = countmin_sketch(ev, "user_id", width=_CM_W, depth=_CM_D, seed=_CM_SEED)
+    keys = ev.select("user_id").distinct()
+    return countmin_estimate(
+        sk, keys, "user_id", width=_CM_W, depth=_CM_D, seed=_CM_SEED
+    )

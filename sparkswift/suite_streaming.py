@@ -1397,3 +1397,122 @@ def st22_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("left_ts_us") <= F.lit(bound_us)).select(
         "event_id", "user_id", "left_ts_us", "matched_value"
     )
+
+
+# ---------------------------------------------------------------------------
+# st23 — STREAMING Count-Min ingest: each micro-batch computes its own
+# bounded ≤ depth×width-cell sketch (countmin_sketch — one explode +
+# one hash agg), the loop appends CELLS (never rows) to a summary
+# sink, and the final sketch is one cell-wise integer sum
+# (countmin_merge). Cells are pure integer sums, so the merged sketch
+# equals the batch-built sketch BIT-EXACTLY under ANY chop — the
+# st18/st20 mergeable-summary class, and a stronger law than st17's
+# MG envelope or st21's HLL estimator asymmetry. The verdict also
+# re-asserts the one-sided estimate law (est ≥ true for every key)
+# and anchors to n_rows (every streamed row summarized exactly once,
+# via the count sidecar) and n_cells (binds the hash to the sketch's
+# actual sparsity, which the oracle re-derives cell by cell).
+# ---------------------------------------------------------------------------
+@register(
+    "st23_stream_countmin_ingest",
+    """
+    WITH rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    cells AS (
+      SELECT r,
+             CAST(('0x' || substr(md5(concat_ws(':', '7',
+                    CAST(r AS VARCHAR), CAST(user_id AS VARCHAR))), 1, 8))
+                  AS BIGINT) % 64 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events, rs GROUP BY 1, 2
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(c) AS BIGINT) AS total_mass,
+           TRUE AS merged_equals_batch,
+           TRUE AS est_never_under
+    FROM cells
+    """,
+)
+def st23_stream_countmin_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sparkswift.operators.profile import (
+        countmin_estimate,
+        countmin_merge,
+        countmin_sketch,
+    )
+    from sparkswift.streaming.ops import stream_to_parquet
+
+    w, d, seed = 64, 4, 7
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", (F.xxhash64("event_id") % 3).alias("__chop")
+    )
+    base = tempfile.mkdtemp(prefix="cm_stream_")
+    src_dir, summ_dir, cnt_dir = f"{base}/src", f"{base}/summ", f"{base}/cnt"
+    for i in range(3):  # three files → three micro-batches
+        ev.filter(F.abs(F.col("__chop")) == i).select("user_id").repartition(
+            1
+        ).write.mode("append").parquet(src_dir)
+
+    schema = spark.read.parquet(src_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def ingest(batch_df, _epoch_id):
+        countmin_sketch(batch_df, "user_id", width=w, depth=d, seed=seed).write.mode(
+            "append"
+        ).parquet(summ_dir)
+        batch_df.agg(F.count(F.lit(1)).cast("bigint").alias("n")).write.mode(
+            "append"
+        ).parquet(cnt_dir)
+
+    stream_to_parquet(src, path=None, checkpoint=f"{base}/ck", merge_fn=ingest)
+
+    merged = countmin_merge(spark.read.parquet(summ_dir)).localCheckpoint()
+    batch_sk = countmin_sketch(
+        load_table(spark, sf_dir, "events"), "user_id", width=w, depth=d, seed=seed
+    )
+    # bit-exact merge law: merged cells == batch cells (full outer,
+    # any mismatch counts)
+    mism = (
+        merged.withColumnRenamed("c", "cm")
+        .join(batch_sk.withColumnRenamed("c", "cb"), ["row", "bucket"], "full")
+        .filter(
+            F.coalesce("cm", F.lit(-1)) != F.coalesce("cb", F.lit(-2))
+        )
+        .agg(F.count(F.lit(1)).alias("n_mismatch"))
+    )
+    keys = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    est = countmin_estimate(merged, keys, "user_id", width=w, depth=d, seed=seed)
+    true = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+    )
+    under = (
+        est.join(true, "user_id")
+        .filter(F.col("est") < F.col("true_cnt"))
+        .agg(F.count(F.lit(1)).alias("n_under"))
+    )
+    n_rows = spark.read.parquet(cnt_dir).agg(
+        F.sum("n").cast("bigint").alias("n_rows")
+    )
+    shape = merged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("c").cast("bigint").alias("total_mass"),
+    )
+    one = (
+        n_rows.crossJoin(F.broadcast(shape))
+        .crossJoin(F.broadcast(mism))
+        .crossJoin(F.broadcast(under))
+    )
+    return one.select(
+        "n_rows",
+        "n_cells",
+        "total_mass",
+        (F.col("n_mismatch") == 0).alias("merged_equals_batch"),
+        (F.col("n_under") == 0).alias("est_never_under"),
+    ).localCheckpoint()

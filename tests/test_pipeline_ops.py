@@ -902,3 +902,67 @@ def test_drift_counts_merge_chop_invariant(spark):
             for r in drift_from_counts(merge_drift_counts(parts)).collect()
         }
         assert got == ref
+
+
+def test_countmin_merge_bit_exact_and_one_sided(spark, sf_dir):
+    """CM laws: (a) cell-wise merge of ANY partition of the input
+    equals the whole-input sketch BIT-exactly (integer sums commute);
+    (b) estimates never underestimate; (c) est ≤ true + total mass of
+    the key's worst row-collision (trivially ≤ N). Independent
+    reference: a pure-Python dict CM built with hashlib.md5."""
+    import hashlib
+
+    from sparkswift.operators.profile import (
+        countmin_estimate,
+        countmin_merge,
+        countmin_sketch,
+    )
+
+    w, d, seed = 32, 3, 5
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    whole = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in countmin_sketch(ev, "user_id", width=w, depth=d, seed=seed).collect()
+    }
+
+    # independent pure-python reference (no Spark expressions shared)
+    ref: dict = {}
+    for row in ev.collect():
+        k = str(row["user_id"])
+        for r in range(d):
+            hx = hashlib.md5(f"{seed}:{r}:{k}".encode()).hexdigest()[:8]
+            cell = (r, int(hx, 16) % w)
+            ref[cell] = ref.get(cell, 0) + 1
+    assert whole == ref
+
+    # merge law under a 5-way hash chop
+    parts = [
+        countmin_sketch(
+            ev.filter(F.abs(F.xxhash64("user_id")) % 5 == i),
+            "user_id",
+            width=w,
+            depth=d,
+            seed=seed,
+        )
+        for i in range(5)
+    ]
+    merged = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in countmin_merge(parts[0].unionByName(parts[1]).unionByName(
+            parts[2]).unionByName(parts[3]).unionByName(parts[4])).collect()
+    }
+    assert merged == whole
+
+    sk = countmin_sketch(ev, "user_id", width=w, depth=d, seed=seed)
+    keys = ev.distinct()
+    est = {
+        r["user_id"]: r["est"]
+        for r in countmin_estimate(
+            sk, keys, "user_id", width=w, depth=d, seed=seed
+        ).collect()
+    }
+    true = {r["user_id"]: r["count"] for r in ev.groupBy("user_id").count().collect()}
+    n = sum(true.values())
+    for k, t in true.items():
+        assert est[k] >= t, k
+        assert est[k] <= n
