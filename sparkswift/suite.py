@@ -801,8 +801,11 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    stalest evidence in the ledger): agg3, agg6, agg7, d2, d7, d9,
 #    o6_resample_closed_right, p1, p3, p6, p7, p8, p9, t1, t3, t4,
 #    t5, t7, t8, t9, w1, w2.
-# 4. Eight r5-stale picks rounding out 50, chosen for family spread:
-#    agg5, agg8, agg12, d3_minhash_lsh, e1, j7_asof_nearest, q3, w3.
+# 4. The round's late additions agg19_countmin +
+#    st23_stream_countmin_ingest (Count-Min: hash-exact cells, bit-
+#    exact merge law), then six r5-stale picks rounding out 50 by
+#    family spread: agg5, agg8, d3_minhash_lsh, e1, j7_asof_nearest,
+#    q3 (agg12/w3 displaced to the round-11 seed).
 #
 # Displaced to the tail (all r9-green, families still in-window):
 # the entire r9 window except the changed-code entries above.
@@ -863,15 +866,17 @@ _WINDOW = [
     "t9_corpus_stats",
     "w1_rank_lag",
     "w2_running_total",
-    # --- (4) r5-stale family-spread picks ---
+    # --- (4) late additions (new code outranks a staleness refresh:
+    # agg12/w3 move to the round-11 seed) ---
+    "agg19_countmin",
+    "st23_stream_countmin_ingest",
+    # --- (5) r5-stale family-spread picks ---
     "agg5_quantiles",
     "agg8_unpivot",
-    "agg12_json_extract",
     "d3_minhash_lsh",
     "e1_cosine_topk",
     "j7_asof_nearest",
     "q3_shipping_priority",
-    "w3_latest_per_key",
 ]
 
 
