@@ -1,0 +1,117 @@
+"""Event-sequence analytics (north-star extension): funnel analysis
+over the events stream table — the product-analytics staple every
+warehouse engine ships (funnel / conversion steps), expressed as
+chained keyed aggregates Catalyst can plan as ONE partitioning.
+
+Scale shape: step k is ``min(ts) where type = step_k and ts > t_{k-1}``
+— each step is a hash aggregate + an equi-join on the SAME user key,
+so AQE reuses one exchange silhouette; no window over full event
+history, no per-user sort, no UDF. Event rows shuffle once per step
+on the user key (3 steps = 3 small aggs over an ever-shrinking keyed
+frame), which beats the collect-sort-per-user shape at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """STRICTLY-ORDERED funnel: per user, ``t1`` = earliest event of
+    ``steps[0]``; ``t_k`` = earliest event of ``steps[k-1]`` with
+    ``ts > t_{k-1}`` (strict — a same-timestamp later step does not
+    count, the unambiguous cross-engine rule). Returns one row per
+    user who reached step 1, with nullable epoch-microsecond columns
+    ``t1_us..tK_us`` and ``depth`` = number of steps reached.
+
+    The per-step frames shrink monotonically (only users who reached
+    step k-1 are probed for step k), so each join's right side is at
+    most the previous step's survivors.
+    """
+    if not steps:
+        raise ValueError("funnel_steps: need at least one step")
+    ev = df.select(
+        F.col(user_col).alias("__u"),
+        F.unix_micros(F.col(ts_col)).alias("__t"),
+        F.col(type_col).alias("__ty"),
+    )
+    reached = (
+        ev.filter(F.col("__ty") == steps[0])
+        .groupBy("__u")
+        .agg(F.min("__t").alias("t1_us"))
+    )
+    for k in range(2, len(steps) + 1):
+        nxt = (
+            ev.filter(F.col("__ty") == steps[k - 1])
+            .join(reached.select("__u", F.col(f"t{k - 1}_us")), "__u")
+            .filter(F.col("__t") > F.col(f"t{k - 1}_us"))
+            .groupBy("__u")
+            .agg(F.min("__t").alias(f"t{k}_us"))
+        )
+        reached = reached.join(nxt, "__u", "left")
+    depth = F.lit(0)
+    for k in range(1, len(steps) + 1):
+        depth = depth + F.when(F.col(f"t{k}_us").isNotNull(), 1).otherwise(0)
+    return reached.select(
+        F.col("__u").alias(user_col),
+        *[F.col(f"t{k}_us") for k in range(1, len(steps) + 1)],
+        depth.cast("int").alias("depth"),
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    cohort_type: str = "signup",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Cohort RETENTION: users cohorted by the DAY of their first
+    ``cohort_type`` event; a cohort member is retained on day-offset
+    k if ANY event of theirs falls k days after the cohort day.
+    Returns ``(cohort_day_us, day_offset, n_active)`` — the classic
+    retention triangle, fully relational: one keyed min-aggregate,
+    one user-key join, one distinct-count aggregate. Day arithmetic
+    is integer floor-division of epoch micros (identical across
+    engines — no calendar/timezone surface).
+    """
+    day_us = 86_400_000_000
+    ev = df.select(
+        F.col(user_col).alias("__u"),
+        F.unix_micros(F.col(ts_col)).alias("__t"),
+        F.col(type_col).alias("__ty"),
+    )
+    # `div` is INTEGER division (Spark SQL) — bit-for-bit the oracle's
+    # BIGINT `//`, no float-quotient boundary analysis needed
+    cohort = (
+        ev.filter(F.col("__ty") == cohort_type)
+        .groupBy("__u")
+        .agg(F.min("__t").alias("__t1"))
+        .select(
+            "__u",
+            (F.expr(f"__t1 div {day_us}") * day_us)
+            .cast("bigint")
+            .alias("cohort_day_us"),
+        )
+    )
+    return (
+        ev.join(cohort, "__u")
+        .select(
+            "__u",
+            "cohort_day_us",
+            (
+                F.expr(f"__t div {day_us}")
+                - F.expr(f"cohort_day_us div {day_us}")
+            ).alias("day_offset"),
+        )
+        .filter(F.col("day_offset") >= 0)  # pre-cohort activity excluded
+        .groupBy("cohort_day_us", "day_offset")
+        .agg(F.countDistinct("__u").cast("bigint").alias("n_active"))
+    )

@@ -1991,3 +1991,76 @@ def g2_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+
+
+# ---------------------------------------------------------------------------
+# agg20 — strictly-ordered FUNNEL (view → click → purchase per user):
+# the product-analytics conversion staple. Step k = earliest event of
+# its type strictly after step k-1 — chained keyed min-aggregates on
+# ONE user-key partitioning (no per-user sort, no full-history
+# window, no UDF); per-step frames shrink monotonically. Strict `>`
+# is the unambiguous cross-engine tie rule. Timestamps emit as epoch
+# micros.
+# ---------------------------------------------------------------------------
+@register(
+    "agg20_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, epoch_us(MIN(ts)) AS t1_us
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, epoch_us(MIN(e.ts)) AS t2_us
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1_us
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, epoch_us(MIN(e.ts)) AS t3_us
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2_us
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.t1_us, s2.t2_us, s3.t3_us,
+           CAST(1 + (s2.user_id IS NOT NULL)::INT
+                  + (s3.user_id IS NOT NULL)::INT AS INT) AS depth
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def agg20_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.events import funnel_steps
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_steps(ev, ["view", "click", "purchase"])
+
+
+# ---------------------------------------------------------------------------
+# agg21 — cohort RETENTION triangle (cohort day = first signup; a
+# member is retained on offset k if any event falls k days later):
+# one keyed min-agg + one user-key join + one distinct-count. Day
+# arithmetic is integer floor-division of epoch micros — identical in
+# both engines, no calendar/timezone surface.
+# ---------------------------------------------------------------------------
+@register(
+    "agg21_retention",
+    """
+    WITH c AS (
+      SELECT user_id,
+             (epoch_us(MIN(ts)) // 86400000000) * 86400000000 AS cohort_day_us
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    )
+    SELECT c.cohort_day_us,
+           epoch_us(e.ts) // 86400000000
+             - c.cohort_day_us // 86400000000 AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE epoch_us(e.ts) // 86400000000 >= c.cohort_day_us // 86400000000
+    GROUP BY 1, 2
+    """,
+)
+def agg21_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.events import retention_cohorts
+
+    ev = load_table(spark, sf_dir, "events")
+    return retention_cohorts(ev, "signup")

@@ -966,3 +966,82 @@ def test_countmin_merge_bit_exact_and_one_sided(spark, sf_dir):
     for k, t in true.items():
         assert est[k] >= t, k
         assert est[k] <= n
+
+
+def test_funnel_steps_independent_reference_and_tie_rule(spark, sf_dir):
+    """Funnel vs a pure-python reference over the collected rows, plus
+    the strict-`>` tie rule and missing-step depth accounting on a
+    hand-built frame."""
+    from sparkswift.operators.events import funnel_steps
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        r["user_id"]: (r["t1_us"], r["t2_us"], r["t3_us"], r["depth"])
+        for r in funnel_steps(ev, ["view", "click", "purchase"]).collect()
+    }
+    rows = ev.select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_type"
+    ).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["t"], r["event_type"]))
+    want = {}
+    for u, evs in by_user.items():
+        t1 = min((t for t, ty in evs if ty == "view"), default=None)
+        if t1 is None:
+            continue
+        t2 = min((t for t, ty in evs if ty == "click" and t > t1), default=None)
+        t3 = (
+            min((t for t, ty in evs if ty == "purchase" and t > t2), default=None)
+            if t2 is not None
+            else None
+        )
+        want[u] = (t1, t2, t3, 1 + (t2 is not None) + (t3 is not None))
+    assert got == want and len(got) > 0
+
+    tiny = spark.createDataFrame(
+        [
+            (1, 100, "view"),
+            (1, 100, "click"),   # same-stamp click does NOT count (strict >)
+            (1, 200, "click"),
+            (2, 50, "view"),     # no click: depth 1
+            (3, 10, "click"),    # click before any view: not in funnel
+        ],
+        "user_id long, us long, event_type string",
+    ).select("user_id", F.timestamp_micros(F.col("us")).alias("ts"), "event_type")
+    out = {
+        r["user_id"]: (r["t1_us"], r["t2_us"], r["depth"])
+        for r in funnel_steps(tiny, ["view", "click"]).collect()
+    }
+    assert out == {1: (100, 200, 2), 2: (50, None, 1)}
+
+
+def test_retention_cohorts_independent_reference(spark, sf_dir):
+    """Retention triangle vs a pure-python reference; pre-cohort
+    activity excluded; non-signup users absent."""
+    from sparkswift.operators.events import retention_cohorts
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        (r["cohort_day_us"], r["day_offset"]): r["n_active"]
+        for r in retention_cohorts(ev, "signup").collect()
+    }
+    day = 86_400_000_000
+    rows = ev.select("user_id", F.unix_micros("ts").alias("t"), "event_type").collect()
+    first_signup: dict = {}
+    for r in rows:
+        if r["event_type"] == "signup":
+            u = r["user_id"]
+            if u not in first_signup or r["t"] < first_signup[u]:
+                first_signup[u] = r["t"]
+    tri: dict = {}
+    for r in rows:
+        u = r["user_id"]
+        if u not in first_signup:
+            continue
+        cd = (first_signup[u] // day) * day
+        off = r["t"] // day - cd // day
+        if off >= 0:
+            tri.setdefault((cd, off), set()).add(u)
+    want = {k: len(v) for k, v in tri.items()}
+    assert got == want and len(got) > 0
