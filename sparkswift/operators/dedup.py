@@ -1438,3 +1438,82 @@ def substring_dedup(
         F.size(kept).cast("bigint").alias("n_tokens_kept"),
         (F.size("__toks") - F.size(kept)).cast("bigint").alias("n_tokens_dropped"),
     )
+
+
+def _deletion_variants(col: str | Column, k: int = 1) -> Column:
+    """All strings reachable by deleting ≤ k characters (the SymSpell
+    candidate scheme, public): if lev(a,b) ≤ k then a and b share a
+    deletion variant (align the edit script; drop each side's edited
+    positions — ≤ k deletions per side reach the common core), so an
+    equi-join on variants is a COMPLETE candidate generator for an
+    edit-distance join. |variants| ≈ len^k/k! per row — bounded for
+    name/title-length strings, never corpus-sized."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def one_del(s: Column) -> Column:
+        n = F.length(s)
+        idx = F.sequence(F.lit(1), F.greatest(n, F.lit(1)))
+        return F.when(
+            n > 0,
+            F.transform(
+                idx,
+                lambda i: F.concat(
+                    s.substr(F.lit(1), i - 1), s.substr(i + 1, n)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    out = F.array(c)
+    frontier = F.array(c)
+    for _ in range(k):
+        frontier = F.array_distinct(
+            F.flatten(F.transform(frontier, lambda s: one_del(s)))
+        )
+        out = F.array_union(out, frontier)
+    return F.array_distinct(out)
+
+
+def editdistance_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_text: str = "text",
+    right_text: str = "text",
+    left_id: str = "doc_id",
+    right_id: str = "doc_id",
+    k: int = 1,
+) -> DataFrame:
+    """Character-level fuzzy join: (left, right) pairs with
+    Levenshtein distance ≤ ``k`` — the entity-resolution rung BELOW
+    :func:`fuzzy_join`'s word-shingle Jaccard (typos, id-number
+    drift, OCR noise — word shingles can't see single-character
+    edits). Candidates come from a deletion-variant equi-join
+    (complete, see :func:`_deletion_variants`); survivors verify with
+    the exact ``levenshtein`` expression, so the OUTPUT is exact —
+    only candidate generation is clever.
+
+    Scale shape: each side explodes to ≤ len^k/k! variant rows, one
+    hash equi-join on the variant string, dropDuplicates on the pair,
+    then the bounded verify. No all-pairs product anywhere; skewed
+    variants (very common name stems) behave like any hot join key —
+    salt or cap upstream if a stem dominates.
+
+    Returns ``(id_l, id_r, dist)`` with ``dist ≤ k``, self-pairs
+    (same id) excluded.
+    """
+    lv = left.select(
+        F.col(left_id).alias("id_l"),
+        F.col(left_text).alias("__tl"),
+        F.explode(_deletion_variants(left_text, k)).alias("__v"),
+    )
+    rv = right.select(
+        F.col(right_id).alias("id_r"),
+        F.col(right_text).alias("__tr"),
+        F.explode(_deletion_variants(right_text, k)).alias("__v"),
+    )
+    cand = lv.join(rv, "__v").dropDuplicates(["id_l", "id_r"])
+    return (
+        cand.filter(F.col("id_l") != F.col("id_r"))
+        .withColumn("dist", F.levenshtein("__tl", "__tr").cast("int"))
+        .filter(F.col("dist") <= k)
+        .select("id_l", "id_r", "dist")
+    )

@@ -1048,13 +1048,27 @@ def o8_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def align(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
-        out = pd.merge_asof(
-            l.sort_values("ts"),
-            r.sort_values("ts"),
-            on="ts",
-            direction="backward",
+        # numpy searchsorted instead of pd.merge_asof: identical
+        # backward/ties-allowed semantics (side="right" − 1), ~50 µs
+        # per group vs merge_asof's ~4 ms call overhead — measured
+        # 13 s → ~7 s on the sf0.1 headline (1500 tiny groups; the
+        # route-equivalence pytest pins the semantics to merge_asof)
+        import numpy as np
+
+        rt = r["ts"].to_numpy()
+        order = np.argsort(rt, kind="stable")
+        rt = rt[order]
+        vals = r["value"].to_numpy()[order]
+        j = np.searchsorted(rt, l["ts"].to_numpy(), side="right") - 1
+        return pd.DataFrame(
+            {
+                "event_id": l["event_id"].to_numpy(),
+                "ts": l["ts"],
+                "last_purchase_value": np.where(
+                    j >= 0, vals[np.clip(j, 0, None)], np.nan
+                ),
+            }
         )
-        return out.rename(columns={"value": "last_purchase_value"})
 
     return cogroup_apply(
         clicks,

@@ -3090,3 +3090,34 @@ def agg19_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return countmin_estimate(
         sk, keys, "user_id", width=_CM_W, depth=_CM_D, seed=_CM_SEED
     )
+
+
+# ---------------------------------------------------------------------------
+# d17 — EDIT-DISTANCE fuzzy join (typos / id drift / OCR noise — the
+# character-level rung below d11's word-shingle Jaccard, which cannot
+# see single-character edits): probe customers (every 97th key)
+# against ALL customer names at Levenshtein ≤ 1. Candidates come from
+# a COMPLETE deletion-variant equi-join (SymSpell scheme — if
+# lev(a,b) ≤ k the sides share a ≤ k-deletion variant), survivors
+# verify with the exact levenshtein expression, so only candidate
+# GENERATION is approximate-shaped; the output is exact and the
+# oracle brute-forces probe × corpus with DuckDB's levenshtein.
+# ---------------------------------------------------------------------------
+@register(
+    "d17_editdistance_join",
+    """
+    SELECT p.c_custkey AS id_l, c.c_custkey AS id_r,
+           CAST(levenshtein(p.c_name, c.c_name) AS INT) AS dist
+    FROM (SELECT * FROM customer WHERE c_custkey % 97 = 0) p
+    JOIN customer c ON p.c_custkey <> c.c_custkey
+    WHERE levenshtein(p.c_name, c.c_name) <= 1
+    """,
+)
+def d17_editdistance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.dedup import editdistance_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    probes = cust.filter(F.col("c_custkey") % 97 == 0)
+    return editdistance_join(
+        probes, cust, "c_name", "c_name", "c_custkey", "c_custkey", k=1
+    )

@@ -1045,3 +1045,45 @@ def test_retention_cohorts_independent_reference(spark, sf_dir):
             tri.setdefault((cd, off), set()).add(u)
     want = {k: len(v) for k, v in tri.items()}
     assert got == want and len(got) > 0
+
+
+def test_editdistance_join_complete_and_exact(spark):
+    """Deletion-variant candidates are COMPLETE for lev ≤ k (planted
+    substitution/insertion/deletion/transposition cases) and the
+    verify keeps the result exact vs a pure-python DP reference."""
+    from sparkswift.operators.dedup import editdistance_join
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    names = [
+        (1, "Customer#0001"),
+        (2, "Customer#0002"),   # substitution: dist 1 to #0001
+        (3, "Customer#00012"),  # insertion: dist 1 to #0001
+        (4, "Custmer#0001"),    # deletion: dist 1 to #0001
+        (5, "Customre#0001"),   # transposition: dist 2 (plain lev)
+        (6, "Wholly Different"),
+    ]
+    df = spark.createDataFrame(names, "id long, name string")
+    for k in (1, 2):
+        got = {
+            (r["id_l"], r["id_r"]): r["dist"]
+            for r in editdistance_join(
+                df, df, "name", "name", "id", "id", k=k
+            ).collect()
+        }
+        want = {
+            (a, b): lev(na, nb)
+            for a, na in names
+            for b, nb in names
+            if a != b and lev(na, nb) <= k
+        }
+        assert got == want, (k, got, want)
