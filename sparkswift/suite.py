@@ -801,11 +801,12 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    stalest evidence in the ledger): agg3, agg6, agg7, d2, d7, d9,
 #    o6_resample_closed_right, p1, p3, p6, p7, p8, p9, t1, t3, t4,
 #    t5, t7, t8, t9, w1, w2.
-# 4. The round's late additions agg19_countmin +
-#    st23_stream_countmin_ingest (Count-Min: hash-exact cells, bit-
-#    exact merge law), then six r5-stale picks rounding out 50 by
-#    family spread: agg5, agg8, d3_minhash_lsh, e1, j7_asof_nearest,
-#    q3 (agg12/w3 displaced to the round-11 seed).
+# 4. The round's late additions (Count-Min agg19 + st23: hash-exact
+#    cells, bit-exact merge law; funnel agg20 + retention agg21:
+#    event-sequence analytics; d17: edit-distance join via complete
+#    deletion-variant candidates), then three r5-stale picks rounding
+#    out 50 by family spread: d3_minhash_lsh, e1, j7_asof_nearest
+#    (agg5/agg8/agg12/q3/w3 displaced to the round-11 seed).
 #
 # Displaced to the tail (all r9-green, families still in-window):
 # the entire r9 window except the changed-code entries above.
@@ -867,16 +868,16 @@ _WINDOW = [
     "w1_rank_lag",
     "w2_running_total",
     # --- (4) late additions (new code outranks a staleness refresh:
-    # agg12/w3 move to the round-11 seed) ---
+    # agg5/agg8/agg12/q3/w3 move to the round-11 seed) ---
     "agg19_countmin",
     "st23_stream_countmin_ingest",
+    "agg20_funnel",
+    "agg21_retention",
+    "d17_editdistance_join",
     # --- (5) r5-stale family-spread picks ---
-    "agg5_quantiles",
-    "agg8_unpivot",
     "d3_minhash_lsh",
     "e1_cosine_topk",
     "j7_asof_nearest",
-    "q3_shipping_priority",
 ]
 
 
