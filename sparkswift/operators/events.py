@@ -115,3 +115,55 @@ def retention_cohorts(
         .groupBy("cohort_day_us", "day_offset")
         .agg(F.countDistinct("__u").cast("bigint").alias("n_active"))
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-Changing-Dimension type 2 build: collapse a change log
+    into validity intervals — per key, consecutive runs of the same
+    ``attr_col`` value become one row with ``[from_us, to_us)`` bounds
+    (``to_us`` NULL on the current value). The warehouse-dimension
+    staple (Kimball SCD2), expressed as two window passes over ONE
+    key partitioning: lag() marks change points, lead() over the
+    change rows closes each interval.
+
+    Ordering inside a key is (ts, tiebreak) — the explicit tiebreak
+    makes same-timestamp logs deterministic across engines. Scale:
+    one hash shuffle on the key + per-partition sorts; no self-join,
+    no collect.
+    """
+    from pyspark.sql import Window as W
+
+    marked = df.select(
+        F.col(key_col).alias("__k"),
+        F.unix_micros(F.col(ts_col)).alias("__t"),
+        F.col(tiebreak_col).alias("__tb"),
+        F.col(attr_col).alias("__a"),
+    ).withColumn(
+        "__chg",
+        F.when(
+            F.lag("__a").over(
+                W.partitionBy("__k").orderBy(F.col("__t"), F.col("__tb"))
+            ).isNull()
+            | (
+                F.lag("__a").over(
+                    W.partitionBy("__k").orderBy(F.col("__t"), F.col("__tb"))
+                )
+                != F.col("__a")
+            ),
+            1,
+        ).otherwise(0),
+    )
+    changes = marked.filter(F.col("__chg") == 1)
+    w2 = W.partitionBy("__k").orderBy(F.col("__t"), F.col("__tb"))
+    return changes.select(
+        F.col("__k").alias(key_col),
+        F.col("__a").alias(attr_col),
+        F.col("__t").alias("from_us"),
+        F.lead("__t").over(w2).alias("to_us"),
+    )

@@ -696,3 +696,72 @@ def read_webdataset_shards(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(
         _read, "shard int, key long, ext string, n_bytes bigint, content binary"
     )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str] | str,
+    partition_col: str,
+    when_matched: str = "update",
+) -> dict:
+    """MERGE INTO for a hive-partitioned parquet dataset — the
+    warehouse upsert (Delta/Iceberg ``MERGE``) as explicit
+    copy-on-write: matched target rows are replaced (``update``) or
+    removed (``delete``), unmatched update rows insert. ONLY the
+    partitions the update batch touches are read and rewritten —
+    Spark's dynamic partition overwrite swaps exactly those directory
+    trees, so a merge touching 0.1% of partitions costs 0.1% of the
+    table, never a full rewrite.
+
+    Contract: the target holds ONE row per key (dimension-style), the
+    update batch is unique per key (enforced — duplicate update keys
+    raise), and ``partition_col`` is immutable per key — a key that
+    "moves" partitions would leave its old row behind (the standard
+    hive-upsert caveat; a transaction log is what fixes it, and that
+    is a table FORMAT, not an engine, concern).
+
+    Returns ``{"partitions_rewritten": int, "rows_matched": int,
+    "rows_inserted": int}``.
+    """
+    from pyspark.sql import functions as F
+
+    if when_matched not in ("update", "delete"):
+        raise ValueError("when_matched must be 'update' or 'delete'")
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    dup = (
+        updates.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(f"merge_upsert: duplicate update keys, e.g. {dup[0]}")
+    upd = updates.localCheckpoint()  # pin: read twice below
+
+    parts = [r[0] for r in upd.select(partition_col).distinct().collect()]
+    target = spark.read.parquet(path)
+    affected = target.filter(F.col(partition_col).isin(parts))
+
+    matched = affected.join(
+        upd.select(*keys), keys, "left_semi"
+    ).count()
+    keep = affected.join(upd.select(*keys), keys, "left_anti")
+    if when_matched == "update":
+        merged = keep.unionByName(upd.select(*affected.columns))
+        inserted = upd.count() - matched
+    else:  # delete: unmatched update rows still insert (MERGE semantics)
+        not_in_target = upd.join(affected.select(*keys), keys, "left_anti")
+        merged = keep.unionByName(not_in_target.select(*affected.columns))
+        inserted = not_in_target.count()
+
+    (
+        merged.repartition(max(len(parts), 1), F.col(partition_col))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    return {
+        "partitions_rewritten": len(parts),
+        "rows_matched": int(matched),
+        "rows_inserted": int(inserted),
+    }

@@ -2064,3 +2064,105 @@ def agg21_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return retention_cohorts(ev, "signup")
+
+
+# ---------------------------------------------------------------------------
+# w5 — SCD2 dimension build (Kimball type-2): collapse the event log
+# into per-user validity intervals of the event_type attribute —
+# consecutive equal values merge, lead() closes each interval, NULL
+# marks the current row. One key partitioning, two window passes, no
+# self-join. (ts, event_id) ordering makes same-timestamp logs
+# deterministic across engines.
+# ---------------------------------------------------------------------------
+@register(
+    "w5_scd2_intervals",
+    """
+    WITH m AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id, event_type,
+             CASE WHEN lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      FROM events
+    )
+    SELECT user_id, event_type, t AS from_us,
+           lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS to_us
+    FROM m WHERE chg = 1
+    """,
+)
+def w5_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.events import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_intervals(ev)
+
+
+# ---------------------------------------------------------------------------
+# p29 — MERGE INTO (warehouse upsert) as explicit copy-on-write over a
+# hive-partitioned parquet store: matched keys update, unmatched
+# update rows insert, and ONLY the partitions the batch touches are
+# read and rewritten (dynamic partition overwrite swaps exactly those
+# directory trees — a merge touching 0.1% of partitions costs 0.1% of
+# the table). The suite shape builds the store fresh (customer
+# partitioned by nation), merges a deterministic batch (+1000 acctbal
+# on every 10th key; brand-new keys every 50th), and returns the
+# final table; the oracle re-derives the merged contents relationally.
+# ---------------------------------------------------------------------------
+@register(
+    "p29_merge_upsert",
+    """
+    WITH base AS (
+      SELECT c_custkey, CAST(c_nationkey AS INT) AS nation,
+             c_name, c_acctbal
+      FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey, nation, c_name,
+             c_acctbal + 1000.0 AS c_acctbal
+      FROM base WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT 1000000 + c_custkey, CAST(c_custkey % 25 AS INT),
+             'New#' || CAST(c_custkey AS VARCHAR), 1.0
+      FROM base WHERE c_custkey % 50 = 0
+    )
+    SELECT * FROM upd
+    UNION ALL
+    SELECT * FROM base
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+    """,
+)
+def p29_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sparkswift.sources.writers import merge_upsert, write_table
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("int").alias("nation"),
+        "c_name",
+        "c_acctbal",
+    )
+    path = tempfile.mkdtemp(prefix="merge_store_") + "/t"
+    write_table(base, path, partition_by=["nation"])
+
+    upd = base.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1000.0
+    )
+    ins = base.filter(F.col("c_custkey") % 50 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        (F.col("c_custkey") % 25).cast("int").alias("nation"),
+        F.concat(F.lit("New#"), F.col("c_custkey").cast("string")).alias(
+            "c_name"
+        ),
+        F.lit(1.0).alias("c_acctbal"),
+    )
+    merge_upsert(
+        spark,
+        path,
+        upd.unionByName(ins),
+        key_cols="c_custkey",
+        partition_col="nation",
+    )
+    return spark.read.parquet(path).select(
+        "c_custkey", F.col("nation").cast("int").alias("nation"),
+        "c_name", "c_acctbal",
+    )

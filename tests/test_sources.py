@@ -352,3 +352,67 @@ def test_webdataset_null_string_member(spark, tmp_path):
     }
     assert got[(1, "txt")] == b"" and got[(1, "bin")] == b""
     assert got[(0, "txt")] == b"hello"
+
+
+def test_merge_upsert_touches_only_affected_partitions(spark, tmp_path):
+    """Copy-on-write discipline: a merge whose batch lands in ONE
+    partition must leave every other partition's files byte-untouched
+    (same paths, same mtimes); update/insert/delete semantics and the
+    duplicate-key guard."""
+    import os
+
+    import pytest as _pytest
+
+    from sparkswift.sources.writers import merge_upsert, write_table
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(40)], "k long, p int, v double"
+    )
+    write_table(base, path, partition_by=["p"])
+
+    def files_of(p):
+        d = f"{path}/p={p}"
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if not f.startswith((".", "_"))
+        }
+
+    before = {p: files_of(p) for p in range(4)}
+    upd = spark.createDataFrame(
+        [(0, 0, 100.0), (4, 0, 100.0), (1000, 0, 1.0)], "k long, p int, v double"
+    )
+    stats = merge_upsert(spark, path, upd, "k", "p")
+    assert stats == {
+        "partitions_rewritten": 1,
+        "rows_matched": 2,
+        "rows_inserted": 1,
+    }
+    for p in (1, 2, 3):  # untouched partitions: identical files
+        assert files_of(p) == before[p], p
+    got = {
+        r["k"]: r["v"] for r in spark.read.parquet(path).collect()
+    }
+    assert got[0] == 100.0 and got[4] == 100.0 and got[1000] == 1.0
+    assert len(got) == 41
+
+    # delete: matched keys vanish, unmatched still insert
+    dele = spark.createDataFrame(
+        [(8, 0, 0.0), (2000, 0, 5.0)], "k long, p int, v double"
+    )
+    stats = merge_upsert(spark, path, dele, "k", "p", when_matched="delete")
+    assert stats["rows_matched"] == 1 and stats["rows_inserted"] == 1
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert 8 not in got and got[2000] == 5.0
+
+    with _pytest.raises(ValueError, match="duplicate update keys"):
+        merge_upsert(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(1, 1, 0.0), (1, 1, 2.0)], "k long, p int, v double"
+            ),
+            "k",
+            "p",
+        )

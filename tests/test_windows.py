@@ -626,3 +626,43 @@ def test_accessor_groupby_rolling_sugar(ev):
         .toPandas().sort_values("event_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(via_sugar, explicit)
+
+
+def test_scd2_intervals_pure_python_reference(spark, sf_dir):
+    """SCD2 laws vs a pure-python run-length reference: runs collapse,
+    intervals tile each key's history ([from, to) chains with exactly
+    one open interval per key), same-timestamp logs break ties by
+    event_id."""
+    from sparkswift.operators.events import scd2_intervals
+    from sparkswift.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    got = sorted(
+        (r["user_id"], r["event_type"], r["from_us"], r["to_us"])
+        for r in scd2_intervals(ev).collect()
+    )
+    rows = ev.select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_id", "event_type"
+    ).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["t"], r["event_id"], r["event_type"])
+        )
+    want = []
+    for u, evs in by_user.items():
+        evs.sort()
+        runs = []
+        for t, _eid, a in evs:
+            if not runs or runs[-1][0] != a:
+                runs.append([a, t])
+        for i, (a, t) in enumerate(runs):
+            to = runs[i + 1][1] if i + 1 < len(runs) else None
+            want.append((u, a, t, to))
+    assert got == sorted(want) and len(got) > 0
+    # exactly one open (current) interval per key
+    per_key_open: dict = {}
+    for u, _a, _f, to in got:
+        if to is None:
+            per_key_open[u] = per_key_open.get(u, 0) + 1
+    assert set(per_key_open.values()) == {1}
