@@ -804,9 +804,10 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 4. The round's late additions (Count-Min agg19 + st23: hash-exact
 #    cells, bit-exact merge law; funnel agg20 + retention agg21:
 #    event-sequence analytics; d17: edit-distance join via complete
-#    deletion-variant candidates), then three r5-stale picks rounding
-#    out 50 by family spread: d3_minhash_lsh, e1, j7_asof_nearest
-#    (agg5/agg8/agg12/q3/w3 displaced to the round-11 seed).
+#    deletion-variant candidates; w5 SCD2 intervals; p29 copy-on-
+#    write MERGE upsert), then j7_asof_nearest as the r5-stale pick
+#    (agg5/agg8/agg12/d3/e1/q3/w3 displaced to the round-11 seed;
+#    the d/e families keep 9 and 3 in-window entries respectively).
 #
 # Displaced to the tail (all r9-green, families still in-window):
 # the entire r9 window except the changed-code entries above.
@@ -874,9 +875,9 @@ _WINDOW = [
     "agg20_funnel",
     "agg21_retention",
     "d17_editdistance_join",
-    # --- (5) r5-stale family-spread picks ---
-    "d3_minhash_lsh",
-    "e1_cosine_topk",
+    "w5_scd2_intervals",
+    "p29_merge_upsert",
+    # --- (5) r5-stale family-spread pick ---
     "j7_asof_nearest",
 ]
 
