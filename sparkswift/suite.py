@@ -805,9 +805,12 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    cells, bit-exact merge law; funnel agg20 + retention agg21:
 #    event-sequence analytics; d17: edit-distance join via complete
 #    deletion-variant candidates; w5 SCD2 intervals; p29 copy-on-
-#    write MERGE upsert), then j7_asof_nearest as the r5-stale pick
-#    (agg5/agg8/agg12/d3/e1/q3/w3 displaced to the round-11 seed;
-#    the d/e families keep 9 and 3 in-window entries respectively).
+#    write MERGE upsert; st24 stream-stream LEFT OUTER interval join
+#    — the outer-row state-expiry path nothing else exercises). All
+#    50 slots are new code, changed code, or the r4-stale cohort
+#    (agg5/agg8/agg12/d3/e1/j7/q3/w3 to the round-11 seed; the
+#    d/e/j families keep 9/3/0 in-window — j earned r8/r9 rows
+#    across j1-j6/j10/j11).
 #
 # Displaced to the tail (all r9-green, families still in-window):
 # the entire r9 window except the changed-code entries above.
@@ -877,8 +880,7 @@ _WINDOW = [
     "d17_editdistance_join",
     "w5_scd2_intervals",
     "p29_merge_upsert",
-    # --- (5) r5-stale family-spread pick ---
-    "j7_asof_nearest",
+    "st24_stream_left_outer_join",
 ]
 
 

@@ -1516,3 +1516,86 @@ def st23_stream_countmin_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_mismatch") == 0).alias("merged_equals_batch"),
         (F.col("n_under") == 0).alias("est_never_under"),
     ).localCheckpoint()
+
+
+# ---------------------------------------------------------------------------
+# st24 — stream-stream LEFT OUTER interval join: st4's inner join
+# emits matches as data arrives, but the OUTER rows (clicks with no
+# purchase in their 1-hour window) can only emit when the WATERMARK
+# CLOSES the click's window — Spark's outer-join state-expiry path,
+# a different mechanism from anything st1-st23 exercises. The oracle
+# is the batch left interval join restricted to clicks whose window
+# is provably closed under the final watermark (min of the two
+# streams' maxima − 2h delay − 1h window − 1min margin); matched and
+# null rows are both final inside that region.
+# ---------------------------------------------------------------------------
+@register(
+    "st24_stream_left_outer_join",
+    """
+    WITH bound AS (
+      SELECT LEAST(
+               (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+               (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+             - INTERVAL 2 HOUR - INTERVAL 1 HOUR - INTERVAL 1 MINUTE AS b
+    )
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id, p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.ts <= (SELECT b FROM bound)
+    """,
+)
+def st24_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    ev_b = load_table(spark, sf_dir, "events")
+    maxes = ev_b.groupBy().agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("mc"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "mp"
+        ),
+    ).collect()[0]
+    bound = min(maxes["mc"], maxes["mp"]) - datetime.timedelta(
+        hours=3, minutes=1
+    )
+    bound_us = int(
+        bound.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000
+    )
+
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+        "left_outer",
+    )
+    out = run_stream_to_batch(joined, mode="append")
+    return out.filter(
+        F.unix_micros("click_ts") <= F.lit(bound_us)
+    ).select("click_id", "purchase_id", "user_id", "purchase_value")
