@@ -136,6 +136,14 @@ HEADLINE = [
     "o8_cogroup_asof",       # cogrouped two-frame Arrow UDF (as-of in UDF)
     "st22_stream_asof_enrich",  # stream-stream as-of (withState)
     "mm7_jpeg_decode_real",  # real baseline JPEG decode
+    "agg19_countmin",        # CM sketch build + estimates
+    "agg20_funnel",          # chained keyed min-aggregates
+    "agg21_retention",       # cohort triangle
+    "d17_editdistance_join", # deletion-variant candidates + verify
+    "w5_scd2_intervals",     # two window passes
+    "p29_merge_upsert",      # copy-on-write MERGE
+    "st23_stream_countmin_ingest",  # mergeable CM ingest loop
+    "st24_stream_left_outer_join",  # outer state-expiry emission
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their
