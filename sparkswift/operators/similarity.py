@@ -2134,3 +2134,173 @@ def cosine_topk_opq(
         seed=seed,
         rotate=rot,
     )
+
+
+def sq_train(
+    corpus: DataFrame,
+    *,
+    train_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_x: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Scalar-quantizer ranges (FAISS ``SQ8`` pattern): per-dimension
+    [lo, hi] of the NORMALIZED vectors from the shared bounded sample.
+    Returns ``(lo, step)`` float64 arrays; encode clips outside the
+    trained range (the standard SQ trade)."""
+    sx = (
+        sample_x
+        if sample_x is not None
+        else train_sample(corpus, train_size, id_col=id_col, vec_col=vec_col)
+    )
+    sxn = sx / np.linalg.norm(sx, axis=1, keepdims=True).clip(min=1e-12)
+    lo = sxn.min(axis=0)
+    hi = sxn.max(axis=0)
+    step = (hi - lo) / 255.0
+    step[step <= 0] = 1.0  # constant dim: all codes 0, dequant == lo
+    return lo, step
+
+
+def sq_encode(
+    corpus: DataFrame,
+    lo: np.ndarray,
+    step: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 encode as PURE NATIVE expressions (scan-stage, no Python):
+    normalize, then per-dim ``round((x − lo_j)/step_j)`` clipped to
+    [0, 255] — one byte per dimension (4× smaller than float32, 32×
+    smaller than the raw doubles PQ also beats, but with no codebook
+    and near-exact recall). Returns ``(corpus_id, codes array<int>)``.
+    """
+    lo_arr = F.array(*[F.lit(float(v)) for v in lo])
+    inv_arr = F.array(*[F.lit(float(1.0 / s)) for s in step])
+    x = F.col(vec_col)
+    nrm = F.sqrt(
+        F.aggregate(
+            x, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    codes = F.transform(
+        x,
+        lambda v, i: F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0),
+                F.round(
+                    (
+                        v.cast("double") / F.greatest(nrm, F.lit(1e-12))
+                        - F.element_at(lo_arr, i + 1)
+                    )
+                    * F.element_at(inv_arr, i + 1)
+                ).cast("int"),
+            ),
+        ),
+    )
+    return corpus.select(
+        F.col(id_col).alias("corpus_id"), codes.alias("codes")
+    )
+
+
+def cosine_topk_sq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    train_size: int = 2048,
+    refine: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 approximate top-k (FAISS ``IndexScalarQuantizer`` pattern —
+    the no-codebook rung of the ANN family: Flat/e1, LSH/e2, IVF/e3,
+    PQ/e5, OPQ/e10, IVFPQ/e6): per-dim 8-bit codes, candidate scan as
+    ONE BLAS matmul per Arrow batch (``dot(q, dequant(c)) =
+    const_q + Σ_j (q_j·step_j)·code_j`` — the constant drops under
+    ranking, so the scan is codes @ weightsᵀ), exact integer-grid
+    re-rank of the top-(k·refine) survivors. Same output contract as
+    :func:`cosine_topk`; emitted cos_sim is exact for survivors.
+    """
+    sx = train_sample(corpus, train_size, id_col=id_col, vec_col=vec_col)
+    lo, step = sq_train(corpus, sample_x=sx)
+    codes = sq_encode(corpus, lo, step, id_col=id_col, vec_col=vec_col)
+
+    qpd = queries.select(F.col(id_col), F.col(vec_col)).orderBy(id_col).toPandas()
+    qx = _to_matrix(qpd[vec_col])
+    qx = qx / np.linalg.norm(qx, axis=1, keepdims=True).clip(min=1e-12)
+    qids = qpd[id_col].to_numpy(dtype=np.int64)
+    nq = len(qids)
+    wq = (qx * step[None, :]).astype(np.float64)  # (nq, d)
+    kr = k * refine
+
+    def scan(batches):
+        best_ids: list[np.ndarray] = []
+        best_scores: list[np.ndarray] = []
+        for pdf in batches:
+            cid = pdf["corpus_id"].to_numpy(dtype=np.int64)
+            c = np.asarray(pdf["codes"].tolist(), dtype=np.float64)  # (b, d)
+            s = wq @ c.T  # (nq, b) — one BLAS call
+            mask = cid[None, :] != qids[:, None]
+            s = np.where(mask, s, -np.inf)
+            if s.shape[1] > kr:
+                idx = np.argpartition(-s, kr - 1, axis=1)[:, :kr]
+            else:
+                idx = np.tile(np.arange(s.shape[1]), (nq, 1))
+            best_ids.append(cid[idx])
+            best_scores.append(np.take_along_axis(s, idx, axis=1))
+        if not best_ids:
+            return
+        ids = np.concatenate(best_ids, axis=1)
+        sc = np.concatenate(best_scores, axis=1)
+        if ids.shape[1] > kr:
+            idx = np.argpartition(-sc, kr - 1, axis=1)[:, :kr]
+            ids = np.take_along_axis(ids, idx, axis=1)
+            sc = np.take_along_axis(sc, idx, axis=1)
+        keep = np.isfinite(sc)
+        qcol = np.repeat(qids, ids.shape[1]).reshape(nq, -1)
+        yield pd.DataFrame(
+            {
+                "query_id": qcol[keep],
+                "corpus_id": ids[keep],
+                "sq_score": sc[keep],
+            }
+        )
+
+    cands = codes.mapInPandas(
+        scan, "query_id long, corpus_id long, sq_score double"
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("sq_score").desc(), F.col("corpus_id")
+    )
+    cands = (
+        cands.withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") <= kr)
+        .select("query_id", "corpus_id")
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("corpus_id"), quantize(vec_col).alias("cv")
+    ).withColumn("cn", norm2_long(F.col("cv")))
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv")
+    ).withColumn("qn", norm2_long(F.col("qv")))
+    scored = (
+        cands.join(cvec, "corpus_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "corpus_id",
+            cosine(
+                dot_long(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("corpus_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "rnk", "cos_sim")
+    )

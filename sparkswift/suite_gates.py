@@ -1506,3 +1506,11 @@ def e10_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fixture_gate.select(
         "n_queries", "recall_ok", F.lit(bool(opq_beats)).alias("opq_beats_pq")
     )
+
+
+@register("e11_gate", _TOPK_ORACLE)
+def e11_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0)
+    approx = sim.cosine_topk_sq(emb, queries, k=5, refine=2)
+    return _topk_gate(spark, sf_dir, approx, 0.95)

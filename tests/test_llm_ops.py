@@ -1849,3 +1849,48 @@ def test_jpeg_decoder_color_444_interleaved():
         ).astype(np.uint8)
         block = out[:, mcu * 8 : mcu * 8 + 8, :]
         assert (block == want[None, None, :]).all(), (mcu, block[0, 0], want)
+
+
+def test_sq8_encode_native_and_recall(spark, sf_dir):
+    """SQ8 laws: encode is pure native (no BatchEvalPython/Arrow eval
+    in the encode plan), codes bounded [0,255], dequantized vectors
+    within step/2 per dim of the normalized original (independent
+    numpy check), and recall@5 ≥ 0.95 vs exact."""
+    import numpy as np
+
+    import sparkswift.operators.similarity as sim
+    from sparkswift.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lo, step = sim.sq_train(emb, train_size=500)
+    codes = sim.sq_encode(emb, lo, step)
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    pdf = emb.select("vec_id", "embedding").limit(50).toPandas()
+    got = {
+        r["corpus_id"]: np.asarray(r["codes"])
+        for r in codes.join(
+            spark.createDataFrame(pdf[["vec_id"]]), codes.corpus_id == F.col("vec_id")
+        ).collect()
+    }
+    for _, row in pdf.iterrows():
+        x = np.asarray(row["embedding"], dtype=np.float64)
+        xn = x / max(np.linalg.norm(x), 1e-12)
+        c = got[row["vec_id"]]
+        assert c.min() >= 0 and c.max() <= 255
+        deq = lo + c * step
+        inside = (xn >= lo) & (xn <= lo + 255 * step)
+        assert np.abs((deq - xn)[inside]).max() <= step.max() / 2 + 1e-12
+
+    queries = emb.filter(F.col("label") == 0)
+    exact = sim.cosine_topk(emb, queries, k=5).select("query_id", "corpus_id")
+    exact = exact.localCheckpoint()
+    ne = exact.count()
+    hit = (
+        sim.cosine_topk_sq(emb, queries, k=5, refine=2)
+        .select("query_id", "corpus_id")
+        .join(exact, ["query_id", "corpus_id"], "left_semi")
+        .count()
+    )
+    assert hit / ne >= 0.95

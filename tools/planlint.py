@@ -56,6 +56,7 @@ BNLJ_ALLOWED: dict[str, int] = {
     "d15_gate": 3,
     "d16_gate": 1,  # one-row verdict fan-in (n_readds x miss)
     "e2_gate": 4,
+    "e11_gate": 4,  # one-row verdict fan-in, same shape as e2-e7 gates
     "e3_gate": 4,
     "e4_gate": 4,
     "e5_gate": 4,
