@@ -806,7 +806,10 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    event-sequence analytics; d17: edit-distance join via complete
 #    deletion-variant candidates; w5 SCD2 intervals; p29 copy-on-
 #    write MERGE upsert; st24 stream-stream LEFT OUTER interval join
-#    — the outer-row state-expiry path nothing else exercises). All
+#    — the outer-row state-expiry path nothing else exercises; and
+#    e11_gate, the SQ8 recall verdict, taking t4_token_count's
+#    r4-stale slot — t4 holds 4 prior greens and the t family keeps
+#    t1/t3/t5/t7/t8/t9 + three gates in-window). All
 #    50 slots are new code, changed code, or the r4-stale cohort
 #    (agg5/agg8/agg12/d3/e1/j7/q3/w3 to the round-11 seed; the
 #    d/e/j families keep 9/3/0 in-window — j earned r8/r9 rows
@@ -864,7 +867,7 @@ _WINDOW = [
     "p9_corpus_build",
     "t1_text_quality",
     "t3_fingerprint",
-    "t4_token_count",
+    "e11_gate",
     "t5_repetition",
     "t7_tfidf_top_terms",
     "t8_c4_line_filter",
