@@ -636,3 +636,49 @@ def test_substring_dedup_fuzz_matches_reference(spark, data):
     docs = {i: t for i, t in enumerate(data)}
     got = _run_substring_dedup(spark, docs, 3, parts=4)
     assert got == _ref_substring_dedup(docs, 3)
+
+
+def test_editdistance_join_fuzz_completeness(spark):
+    """Hypothesis-style fuzz (seeded, deterministic): random base
+    strings with random ≤k edits applied — every planted pair must
+    surface through the deletion-variant candidates at that k."""
+    import random
+
+    from sparkswift.operators.dedup import editdistance_join
+
+    rng = random.Random(17)
+    alpha = "abcdefg"
+
+    def mutate(s: str, n_edits: int) -> str:
+        for _ in range(n_edits):
+            kind = rng.choice(["sub", "ins", "del"]) if len(s) > 3 else "ins"
+            i = rng.randrange(len(s) + (kind == "ins"))
+            if kind == "sub":
+                s = s[:i] + rng.choice(alpha) + s[i + 1 :]
+            elif kind == "ins":
+                s = s[:i] + rng.choice(alpha) + s[i:]
+            else:
+                s = s[:i] + s[i + 1 :]
+        return s
+
+    rows, planted = [], []
+    nid = 0
+    for base_i in range(30):
+        base = "".join(rng.choice(alpha) for _ in range(rng.randrange(6, 14)))
+        rows.append((nid, base))
+        base_id = nid
+        nid += 1
+        for k in (1, 2):
+            m = mutate(base, k)
+            rows.append((nid, m))
+            planted.append((base_id, nid, k, base, m))
+            nid += 1
+    df = spark.createDataFrame(rows, "id long, s string")
+    for k in (1, 2):
+        got = {
+            (r["id_l"], r["id_r"])
+            for r in editdistance_join(df, df, "s", "s", "id", "id", k=k).collect()
+        }
+        for bid, mid, n_edits, base, m in planted:
+            if n_edits <= k and base != m:
+                assert (bid, mid) in got, (k, base, m)
