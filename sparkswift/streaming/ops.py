@@ -618,3 +618,133 @@ def stream_asof_enrich(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_funnel(
+    stream: DataFrame,
+    steps: list[str],
+    window: str = "2 hours",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAMING conversion-window funnel: per key, step 1 = earliest
+    ``steps[0]`` event; step k = earliest ``steps[k-1]`` event
+    STRICTLY after step k-1 and within ``window`` of step 1 (the
+    deadline form every product-analytics funnel uses — an unbounded
+    funnel never closes, so it cannot stream). A key's funnel CLOSES
+    — and emits exactly once — when the watermark passes
+    ``t1 + window``: no event that could still arrive may alter a
+    closed funnel, so the emission is final (append semantics).
+
+    State: the key's buffered (ts, step-index) pairs, pruned to the
+    open deadline; after emission a TOMBSTONE (done=true) persists so
+    a LATER view cannot open a second funnel — batch semantics are
+    one funnel per key, anchored at the global first step-1 event.
+    Tombstones make steady-state storage O(keys), the st2
+    running-totals class (not O(rate×delay)); drop them only if your
+    batch twin also restarts funnels. An event-time timer at
+    ``t1 + window`` flushes funnels the final no-data micro-batch
+    must close.
+
+    Emits ``(key, t1_us..tK_us nullable, depth)`` — the batch
+    :func:`~sparkswift.operators.events.funnel_steps` contract plus
+    the deadline restriction.
+    """
+    import numpy as np
+
+    k_steps = len(steps)
+    if k_steps < 1:
+        raise ValueError("stream_funnel: need at least one step")
+    win_ns = int(pd.Timedelta(window).total_seconds() * 1_000_000_000)
+
+    code = F.lit(None).cast("int")
+    for i, st in enumerate(reversed(steps)):
+        code = F.when(F.col(type_col) == st, F.lit(k_steps - 1 - i)).otherwise(
+            code
+        )
+    tagged = (
+        stream.select(
+            F.col(key),
+            F.col(ts_col).alias("__ts"),
+            code.alias("__step"),
+        )
+        .filter(F.col("__step").isNotNull())
+        .withWatermark("__ts", watermark)
+    )
+
+    t_cols = ", ".join(f"t{i + 1}_us bigint" for i in range(k_steps))
+    out_schema = f"{key} bigint, {t_cols}, depth int"
+    state_schema = "ts_ns array<bigint>, step array<int>, done boolean"
+
+    def funnel_of(ts_a: np.ndarray, st_a: np.ndarray):
+        order = np.lexsort((st_a, ts_a))
+        ts_a, st_a = ts_a[order], st_a[order]
+        t = [None] * k_steps
+        first_view = ts_a[st_a == 0]
+        if len(first_view) == 0:
+            return t
+        t[0] = int(first_view[0])
+        deadline = t[0] + win_ns
+        for i in range(1, k_steps):
+            cand = ts_a[(st_a == i) & (ts_a > t[i - 1]) & (ts_a <= deadline)]
+            if len(cand) == 0:
+                break
+            t[i] = int(cand[0])
+        return t
+
+    def update(
+        key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        ts_buf, st_buf, done = (
+            state.get if state.exists else ([], [], False)
+        )
+        if done:
+            for _ in pdfs:  # drain; a closed funnel never re-opens
+                pass
+            state.update(([], [], True))
+            return
+        ts = list(ts_buf)
+        st = list(st_buf)
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ts.extend(pdf["__ts"].astype("int64").tolist())
+                st.extend(pdf["__step"].astype("int64").tolist())
+        if not ts:
+            state.remove()
+            return
+        wm_ms = state.getCurrentWatermarkMs()
+        ts_a = np.asarray(ts, dtype=np.int64)
+        st_a = np.asarray(st, dtype=np.int64)
+        t = funnel_of(ts_a, st_a)
+        if t[0] is not None and (t[0] + win_ns) // 1_000_000 <= wm_ms:
+            depth = sum(1 for x in t if x is not None)
+            row = (
+                key_tuple[0],
+                *[None if x is None else x // 1000 for x in t],
+                depth,
+            )
+            state.update(([], [], True))  # tombstone: emit exactly once
+            yield pd.DataFrame(
+                [row],
+                columns=[key, *[f"t{i + 1}_us" for i in range(k_steps)], "depth"],
+            )
+            return
+        # still open: prune events past the deadline (they can never
+        # participate) once t1 is known, keep the rest
+        if t[0] is not None:
+            keep = ts_a <= t[0] + win_ns
+            ts_a, st_a = ts_a[keep], st_a[keep]
+            state.setTimeoutTimestamp(
+                max((t[0] + win_ns) // 1_000_000, wm_ms + 1)
+            )
+        state.update((ts_a.tolist(), st_a.tolist(), False))
+
+    return tagged.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -809,7 +809,10 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    — the outer-row state-expiry path nothing else exercises; and
 #    e11_gate, the SQ8 recall verdict, taking t4_token_count's
 #    r4-stale slot — t4 holds 4 prior greens and the t family keeps
-#    t1/t3/t5/t7/t8/t9 + three gates in-window). All
+#    t1/t3/t5/t7/t8/t9 + three gates in-window; and
+#    st25_stream_funnel, the streaming deadline funnel, taking
+#    agg6_pivot's r4-stale slot — agg6 holds 4 prior greens and the
+#    agg family keeps agg3/agg7/agg19/agg20/agg21 in-window). All
 #    50 slots are new code, changed code, or the r4-stale cohort
 #    (agg5/agg8/agg12/d3/e1/j7/q3/w3 to the round-11 seed; the
 #    d/e/j families keep 9/3/0 in-window — j earned r8/r9 rows
@@ -853,7 +856,7 @@ _WINDOW = [
     "p21_store_compaction",
     # --- (3) the r4-stale cohort ---
     "agg3_rollup",
-    "agg6_pivot",
+    "st25_stream_funnel",
     "agg7_grouping_sets",
     "d2_ngram_jaccard",
     "d7_dedup_clusters",

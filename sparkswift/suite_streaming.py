@@ -1599,3 +1599,70 @@ def st24_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(
         F.unix_micros("click_ts") <= F.lit(bound_us)
     ).select("click_id", "purchase_id", "user_id", "purchase_value")
+
+
+# ---------------------------------------------------------------------------
+# st25 — STREAMING conversion-window funnel (agg20's deadline form —
+# an unbounded funnel never closes, so the streamable semantics add
+# the window every product-analytics funnel has anyway): per user,
+# steps must complete within 2h of the first view; the funnel emits
+# exactly once when the watermark passes t1 + window (a tombstone
+# prevents a later view from opening a second funnel — batch
+# semantics are one funnel per key). Oracle: the batch deadline
+# funnel restricted to funnels provably closed under the final
+# watermark.
+# ---------------------------------------------------------------------------
+@register(
+    "st25_stream_funnel",
+    """
+    WITH rel AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+                 WHERE event_type IN ('view', 'click', 'purchase')),
+    s1 AS (SELECT user_id, MIN(t) AS t1_us FROM rel
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT rel.user_id, MIN(t) AS t2_us
+           FROM rel JOIN s1 ON rel.user_id = s1.user_id
+           WHERE event_type = 'click' AND t > s1.t1_us
+             AND t <= s1.t1_us + 7200000000
+           GROUP BY rel.user_id),
+    s3 AS (SELECT rel.user_id, MIN(t) AS t3_us
+           FROM rel JOIN s1 ON rel.user_id = s1.user_id
+                    JOIN s2 ON rel.user_id = s2.user_id
+           WHERE event_type = 'purchase' AND t > s2.t2_us
+             AND t <= s1.t1_us + 7200000000
+           GROUP BY rel.user_id)
+    SELECT s1.user_id, s1.t1_us, s2.t2_us, s3.t3_us,
+           CAST(1 + (s2.user_id IS NOT NULL)::INT
+                  + (s3.user_id IS NOT NULL)::INT AS INT) AS depth
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    WHERE s1.t1_us + 7200000000
+          <= (SELECT MAX(t) FROM rel) - 7200000000 - 60000000
+    """,
+)
+def st25_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    from sparkswift.streaming.ops import stream_funnel
+
+    win_us = 7_200_000_000
+    bound = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .agg(F.max("ts"))
+        .collect()[0][0]
+        - datetime.timedelta(hours=2, minutes=1)
+    )
+    bound_us = int(
+        bound.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000
+    )
+    src = events_stream(spark, sf_dir)
+    out = run_stream_to_batch(
+        stream_funnel(
+            src, ["view", "click", "purchase"], window="2 hours",
+            watermark="2 hours",
+        ),
+        mode="append",
+    )
+    return out.filter(F.col("t1_us") + win_us <= F.lit(bound_us)).select(
+        "user_id", "t1_us", "t2_us", "t3_us", "depth"
+    )

@@ -472,3 +472,94 @@ def test_stream_asof_enrich_matches_batch_and_is_chop_invariant(
     )
     got = chopped[list(ref.columns)].astype(ref.dtypes.to_dict())
     pd.testing.assert_frame_equal(got, ref)
+
+
+def test_stream_funnel_matches_batch_and_is_chop_invariant(
+    spark, sf_dir, tmp_path
+):
+    """stream_funnel must emit, for every funnel the final watermark
+    closes, exactly the deadline-funnel a pure-python reference
+    derives — once per user (tombstone law) — and the emitted set
+    must not depend on the time-ordered chop."""
+    import datetime
+
+    from sparkswift.streaming.ops import stream_funnel
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    win_us = 7_200_000_000
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    bound_us = int(
+        (max_ts - datetime.timedelta(hours=2, minutes=1))
+        .replace(tzinfo=datetime.timezone.utc)
+        .timestamp()
+        * 1_000_000
+    )
+
+    def run(src):
+        out = run_stream_to_batch(
+            stream_funnel(
+                src, ["view", "click", "purchase"], window="2 hours",
+                watermark="2 hours",
+            ),
+            mode="append",
+        ).toPandas()
+        out = out[out["t1_us"] + win_us <= bound_us]
+        return out.sort_values("user_id").reset_index(drop=True)
+
+    src_dir = str(tmp_path / "fun_src")
+    us = ev.select(F.unix_micros("ts").cast("double").alias("u"))
+    q1, q2 = us.approxQuantile("u", [0.33, 0.66], 0.0)
+    for part in (
+        ev.filter(F.unix_micros("ts") <= q1),
+        ev.filter((F.unix_micros("ts") > q1) & (F.unix_micros("ts") <= q2)),
+        ev.filter(F.unix_micros("ts") > q2),
+    ):
+        part.coalesce(1).write.mode("append").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    chopped = run(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    whole = run(spark.readStream.schema(schema).parquet(src_dir))
+    pd.testing.assert_frame_equal(chopped, whole)
+    assert chopped["user_id"].is_unique  # tombstone: one funnel per key
+
+    # independent pure-python deadline-funnel reference
+    rows = ev.select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_type"
+    ).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["t"], r["event_type"]))
+    want = []
+    for u, evs in by_user.items():
+        t1 = min((t for t, ty in evs if ty == "view"), default=None)
+        if t1 is None or t1 + win_us > bound_us:
+            continue
+        dl = t1 + win_us
+        t2 = min(
+            (t for t, ty in evs if ty == "click" and t1 < t <= dl), default=None
+        )
+        t3 = (
+            min(
+                (t for t, ty in evs if ty == "purchase" and t2 < t <= dl),
+                default=None,
+            )
+            if t2 is not None
+            else None
+        )
+        want.append(
+            (u, t1, t2, t3, 1 + (t2 is not None) + (t3 is not None))
+        )
+    ref = (
+        pd.DataFrame(
+            want, columns=["user_id", "t1_us", "t2_us", "t3_us", "depth"]
+        )
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    got = chopped[list(ref.columns)].astype(ref.dtypes.to_dict())
+    pd.testing.assert_frame_equal(got, ref)
