@@ -145,6 +145,7 @@ HEADLINE = [
     "st23_stream_countmin_ingest",  # mergeable CM ingest loop
     "st24_stream_left_outer_join",  # outer state-expiry emission
     "e11_cosine_topk_sq",   # SQ8 native encode + BLAS scan
+    "st25_stream_funnel",    # streaming deadline funnel
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their
