@@ -13,7 +13,7 @@ frame), which beats the collect-sort-per-user shape at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -88,17 +88,21 @@ def retention_cohorts(
         F.unix_micros(F.col(ts_col)).alias("__t"),
         F.col(type_col).alias("__ty"),
     )
-    # `div` is INTEGER division (Spark SQL) — bit-for-bit the oracle's
-    # BIGINT `//`, no float-quotient boundary analysis needed
+    # FLOOR division in exact integer arithmetic: Spark's `div`
+    # truncates toward zero, but the oracle's BIGINT `//` FLOORS —
+    # they diverge for pre-1970 (negative-epoch) timestamps, so the
+    # floor is spelled as (x − pmod(x, d)) div d (pmod is always
+    # non-negative, making the subtraction land on the floor multiple)
+    def floor_day(c: str) -> Column:
+        return F.expr(f"({c} - pmod({c}, {day_us})) div {day_us}")
+
     cohort = (
         ev.filter(F.col("__ty") == cohort_type)
         .groupBy("__u")
         .agg(F.min("__t").alias("__t1"))
         .select(
             "__u",
-            (F.expr(f"__t1 div {day_us}") * day_us)
-            .cast("bigint")
-            .alias("cohort_day_us"),
+            (floor_day("__t1") * day_us).cast("bigint").alias("cohort_day_us"),
         )
     )
     return (
@@ -106,10 +110,9 @@ def retention_cohorts(
         .select(
             "__u",
             "cohort_day_us",
-            (
-                F.expr(f"__t div {day_us}")
-                - F.expr(f"cohort_day_us div {day_us}")
-            ).alias("day_offset"),
+            (floor_day("__t") - floor_day("cohort_day_us")).alias(
+                "day_offset"
+            ),
         )
         .filter(F.col("day_offset") >= 0)  # pre-cohort activity excluded
         .groupBy("cohort_day_us", "day_offset")
@@ -139,6 +142,13 @@ def scd2_intervals(
     """
     from pyspark.sql import Window as W
 
+    # NULL-SAFE change detection (IS DISTINCT FROM, like the w5
+    # oracle): a plain `lag != attr` is NULL-swallowed (misses
+    # non-null→NULL transitions) and `lag.isNull()` conflates "first
+    # row" with "previous attr is NULL" (splits a NULL run per row) —
+    # so the first row is marked by row_number and the rest by
+    # ~eqNullSafe.
+    w0 = W.partitionBy("__k").orderBy(F.col("__t"), F.col("__tb"))
     marked = df.select(
         F.col(key_col).alias("__k"),
         F.unix_micros(F.col(ts_col)).alias("__t"),
@@ -147,15 +157,8 @@ def scd2_intervals(
     ).withColumn(
         "__chg",
         F.when(
-            F.lag("__a").over(
-                W.partitionBy("__k").orderBy(F.col("__t"), F.col("__tb"))
-            ).isNull()
-            | (
-                F.lag("__a").over(
-                    W.partitionBy("__k").orderBy(F.col("__t"), F.col("__tb"))
-                )
-                != F.col("__a")
-            ),
+            (F.row_number().over(w0) == 1)
+            | ~F.lag("__a").over(w0).eqNullSafe(F.col("__a")),
             1,
         ).otherwise(0),
     )

@@ -142,6 +142,11 @@ def groupby_apply(
         sample = _sample_groups_pandas(df if not subset else work, keys)
         with suppress_sample_output():
             pieces = [_run_one(g) for _, g in sample.groupby(keys, sort=False)]
+        if not pieces:
+            raise ValueError(
+                "groupby_apply: cannot infer a schema from an empty "
+                "input — pass schema= explicitly"
+            )
         schema = schema_from_pandas(pd.concat(pieces, ignore_index=True))
     elif isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
@@ -268,6 +273,11 @@ def cogroup_apply(
                         r_groups.get(kt, r_empty),
                     )
                 )
+        if not pieces:
+            raise ValueError(
+                "cogroup_apply: cannot infer a schema from empty inputs "
+                "— pass schema= explicitly"
+            )
         schema = schema_from_pandas(pd.concat(pieces, ignore_index=True))
     elif isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)

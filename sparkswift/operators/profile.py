@@ -529,19 +529,14 @@ def merge_drift_counts(counts: DataFrame) -> DataFrame:
 def _cm_bucket(key_col: str | Column, r: int, width: int, seed: int) -> Column:
     """Row-r bucket of a key: first 8 md5 hex chars of
     'seed:r:key' as an integer, mod width — every piece (concat_ws,
-    md5, hex→int, mod) evaluates identically in Spark and DuckDB."""
-    c = F.col(key_col) if isinstance(key_col, str) else key_col
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(":", F.lit(str(seed)), F.lit(str(r)), c.cast("string"))
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    md5, hex→int, mod) evaluates identically in Spark and DuckDB.
+    Built on the fleet-shared md5-bucket idiom (sampling.
+    hash_bucket_hex) so the DuckDB-oracle transcription has ONE
+    source: the composite seed 'seed:r' concat-chains to the same
+    string as concat_ws(':', seed, r, key)."""
+    from sparkswift.operators.sampling import hash_bucket_hex
+
+    h = F.conv(hash_bucket_hex(key_col, f"{seed}:{r}"), 16, 10).cast("bigint")
     return F.pmod(h, F.lit(width))
 
 

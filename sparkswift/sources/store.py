@@ -135,7 +135,10 @@ class Store:
         forever); ``tiny`` members OVERWRITE as a single file."""
         m = self.members[key]
         if not self.catalog:
-            df.write.mode("append").parquet(self.path(key))
+            if m.tiny:  # marker members OVERWRITE on every write
+                df.coalesce(1).write.mode("overwrite").parquet(self.path(key))
+            else:
+                df.write.mode("append").parquet(self.path(key))
             return
         if m.bucket_cols:
             from sparkswift.sources.writers import write_bucketed

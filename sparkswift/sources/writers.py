@@ -738,6 +738,16 @@ def merge_upsert(
     upd = updates.localCheckpoint()  # pin: read twice below
 
     parts = [r[0] for r in upd.select(partition_col).distinct().collect()]
+    if any(p is None for p in parts):
+        # SQL `IN (NULL, …)` never matches the target's null-partition
+        # rows, so they would be excluded from `keep` while dynamic
+        # overwrite still replaces __HIVE_DEFAULT_PARTITION__ —
+        # silently DELETING every pre-existing row there. Refuse.
+        raise ValueError(
+            "merge_upsert: update rows with a NULL partition value are "
+            "not supported (a null partition cannot be merged safely); "
+            "coalesce the partition column first"
+        )
     target = spark.read.parquet(path)
     affected = target.filter(F.col(partition_col).isin(parts))
 

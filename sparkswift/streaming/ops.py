@@ -575,7 +575,7 @@ def stream_asof_enrich(
         keep_l_ts: list[int] = []
         keep_l_id: list[int] = []
         for ts_i, id_i in zip(l_ts, l_id):
-            if ts_i // 1_000_000 <= wm_ms:  # ns -> ms vs watermark ms
+            if ts_i <= wm_ns:  # exact ns compare (floor-ms closed 1 ms early)
                 # finalized: latest right at-or-before (searchsorted
                 # 'right' gives the insertion point past equal stamps)
                 j = int(np.searchsorted(r_ts_a, ts_i, side="right")) - 1
@@ -718,7 +718,7 @@ def stream_funnel(
         ts_a = np.asarray(ts, dtype=np.int64)
         st_a = np.asarray(st, dtype=np.int64)
         t = funnel_of(ts_a, st_a)
-        if t[0] is not None and (t[0] + win_ns) // 1_000_000 <= wm_ms:
+        if t[0] is not None and t[0] + win_ns <= wm_ms * 1_000_000:
             depth = sum(1 for x in t if x is not None)
             row = (
                 key_tuple[0],
@@ -739,6 +739,16 @@ def stream_funnel(
             state.setTimeoutTimestamp(
                 max((t[0] + win_ns) // 1_000_000, wm_ms + 1)
             )
+        else:
+            # no step-1 event yet: anything at or before the watermark
+            # can never join a future funnel (future t1 >= watermark,
+            # steps need ts > t1) — prune, or state grows unboundedly
+            # for keys that never emit a step-1 event
+            keep = ts_a > wm_ms * 1_000_000
+            ts_a, st_a = ts_a[keep], st_a[keep]
+            if ts_a.size == 0:
+                state.remove()
+                return
         state.update((ts_a.tolist(), st_a.tolist(), False))
 
     return tagged.groupBy(key).applyInPandasWithState(

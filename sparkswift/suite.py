@@ -1066,17 +1066,22 @@ def o8_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         rt = r["ts"].to_numpy()
-        order = np.argsort(rt, kind="stable")
-        rt = rt[order]
-        vals = r["value"].to_numpy()[order]
-        j = np.searchsorted(rt, l["ts"].to_numpy(), side="right") - 1
+        if rt.size == 0:
+            # one-sided key (clicks, no purchases): cogroup delivers an
+            # EMPTY right frame — vals[clip(j,0)] would index a size-0
+            # array (np.where evaluates both branches)
+            matched = np.full(len(l), np.nan)
+        else:
+            order = np.argsort(rt, kind="stable")
+            rt = rt[order]
+            vals = r["value"].to_numpy()[order]
+            j = np.searchsorted(rt, l["ts"].to_numpy(), side="right") - 1
+            matched = np.where(j >= 0, vals[np.clip(j, 0, None)], np.nan)
         return pd.DataFrame(
             {
                 "event_id": l["event_id"].to_numpy(),
                 "ts": l["ts"],
-                "last_purchase_value": np.where(
-                    j >= 0, vals[np.clip(j, 0, None)], np.nan
-                ),
+                "last_purchase_value": matched,
             }
         )
 

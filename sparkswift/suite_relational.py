@@ -2079,7 +2079,9 @@ def agg21_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (
       SELECT user_id, epoch_us(ts) AS t, event_id, event_type,
-             CASE WHEN lag(event_type) OVER
+             CASE WHEN row_number() OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) = 1
+                  OR lag(event_type) OVER
                     (PARTITION BY user_id ORDER BY ts, event_id)
                   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
       FROM events

@@ -416,3 +416,43 @@ def test_merge_upsert_touches_only_affected_partitions(spark, tmp_path):
             "k",
             "p",
         )
+
+
+def test_merge_upsert_null_partition_refused(spark, tmp_path):
+    """Review r10: a NULL partition value in the update batch must
+    raise — IN(NULL,...) would silently delete the null partition."""
+    import pytest as _pytest
+
+    from sparkswift.sources.writers import merge_upsert, write_table
+
+    path = str(tmp_path / "nt")
+    write_table(
+        spark.createDataFrame([(1, 0, 1.0)], "k long, p int, v double"),
+        path,
+        partition_by=["p"],
+    )
+    upd = spark.createDataFrame([(2, None, 2.0)], "k long, p int, v double")
+    with _pytest.raises(ValueError, match="NULL partition"):
+        merge_upsert(spark, path, upd, "k", "p")
+
+
+def test_store_tiny_path_member_overwrites(spark, tmp_path):
+    """Review r10: a tiny marker member of a PATH store must OVERWRITE
+    on rewrite, not append stale generations."""
+    from sparkswift.sources.store import Member, Store
+
+    st = Store(
+        spark,
+        str(tmp_path / "ps"),
+        [Member("centers", tiny=True), Member("vecs")],
+        catalog=False,
+    )
+    st.write_members(
+        {
+            "vecs": spark.createDataFrame([(1,)], "k int"),
+            "centers": spark.createDataFrame([(0, 1.0)], "c int, y double"),
+        }
+    )
+    st.append("centers", spark.createDataFrame([(0, 2.0)], "c int, y double"))
+    rows = st.read("centers").collect()
+    assert len(rows) == 1 and rows[0]["y"] == 2.0

@@ -666,3 +666,33 @@ def test_scd2_intervals_pure_python_reference(spark, sf_dir):
         if to is None:
             per_key_open[u] = per_key_open.get(u, 0) + 1
     assert set(per_key_open.values()) == {1}
+
+
+def test_scd2_null_attr_runs(spark):
+    """Review r10: NULL attribute runs collapse like any other value
+    (IS DISTINCT FROM semantics) — A→NULL is a change, NULL→NULL is
+    not, and a leading NULL still opens the first interval."""
+    from sparkswift.operators.events import scd2_intervals
+
+    df = spark.createDataFrame(
+        [
+            (1, 100, 1, None),
+            (1, 200, 2, None),     # NULL run: no new interval
+            (1, 300, 3, "a"),      # NULL -> a: change
+            (1, 400, 4, None),     # a -> NULL: change
+        ],
+        "user_id long, us long, event_id long, event_type string",
+    ).select(
+        "user_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "event_id",
+        "event_type",
+    )
+    out = sorted(
+        [
+            (r["event_type"], r["from_us"], r["to_us"])
+            for r in scd2_intervals(df).collect()
+        ],
+        key=lambda t: t[1],
+    )
+    assert out == [(None, 100, 300), ("a", 300, 400), (None, 400, None)]
