@@ -1666,3 +1666,81 @@ def st25_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("t1_us") + win_us <= F.lit(bound_us)).select(
         "user_id", "t1_us", "t2_us", "t3_us", "depth"
     )
+
+
+# ---------------------------------------------------------------------------
+# st26 — STREAMING retention ingest: agg21's cohort triangle fed by a
+# stream. Composition of existing primitives, not a new stateful op:
+# per-event (cohort_day, day_offset, user) triples derive statelessly
+# once the user's cohort day is known — the cohort assignment itself
+# is the one stateful piece, done here by enriching the stream against
+# the batch cohort dimension (stream-static join — the standard
+# "enrich events with a dimension" shape, st8's pattern), then
+# dropDuplicates bounds each (cohort, offset, user) to one row and a
+# complete-mode count yields the triangle. Stream≡batch exactly: the
+# oracle is agg21's (floor-div day arithmetic, pre-cohort rows
+# excluded).
+# ---------------------------------------------------------------------------
+@register(
+    "st26_stream_retention",
+    """
+    WITH c AS (
+      SELECT user_id,
+             (epoch_us(MIN(ts)) // 86400000000) * 86400000000 AS cohort_day_us
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    )
+    SELECT c.cohort_day_us,
+           epoch_us(e.ts) // 86400000000
+             - c.cohort_day_us // 86400000000 AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE epoch_us(e.ts) // 86400000000 >= c.cohort_day_us // 86400000000
+    GROUP BY 1, 2
+    """,
+)
+def st26_stream_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day_us = 86_400_000_000
+    # cohort dimension from the batch table (the stream-static join's
+    # static side — in production a maintained dimension table)
+    ev_b = load_table(spark, sf_dir, "events")
+    cohort = (
+        ev_b.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("__t1"))
+        .select(
+            "user_id",
+            (
+                F.expr(f"(__t1 - pmod(__t1, {day_us})) div {day_us}")
+                * day_us
+            )
+            .cast("bigint")
+            .alias("cohort_day_us"),
+        )
+    )
+    src = events_stream(spark, sf_dir)
+    enriched = (
+        src.join(cohort, "user_id")  # stream-static equi-join
+        .select(
+            "user_id",
+            "cohort_day_us",
+            (
+                F.expr(
+                    f"(unix_micros(ts) - pmod(unix_micros(ts), {day_us}))"
+                    f" div {day_us}"
+                )
+                - F.expr(
+                    f"(cohort_day_us - pmod(cohort_day_us, {day_us}))"
+                    f" div {day_us}"
+                )
+            ).alias("day_offset"),
+        )
+        .filter(F.col("day_offset") >= 0)
+    )
+    counted = (
+        enriched.dropDuplicates(["cohort_day_us", "day_offset", "user_id"])
+        .groupBy("cohort_day_us", "day_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    return run_stream_to_batch(counted, mode="complete").select(
+        "cohort_day_us", "day_offset", "n_active"
+    )
