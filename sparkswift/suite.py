@@ -812,7 +812,10 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    t1/t3/t5/t7/t8/t9 + three gates in-window; and
 #    st25_stream_funnel, the streaming deadline funnel, taking
 #    agg6_pivot's r4-stale slot — agg6 holds 4 prior greens and the
-#    agg family keeps agg3/agg7/agg19/agg20/agg21 in-window). All
+#    agg family keeps agg3/agg7/agg19/agg20/agg21 in-window;
+#    st26_stream_retention taking d7's r4-stale slot — d7 holds 4
+#    prior greens and the d family keeps d2/d9/d10/d14/d16/d17
+#    in-window). All
 #    50 slots are new code, changed code, or the r4-stale cohort
 #    (agg5/agg8/agg12/d3/e1/j7/q3/w3 to the round-11 seed; the
 #    d/e/j families keep 9/3/0 in-window — j earned r8/r9 rows
@@ -859,7 +862,7 @@ _WINDOW = [
     "st25_stream_funnel",
     "agg7_grouping_sets",
     "d2_ngram_jaccard",
-    "d7_dedup_clusters",
+    "st26_stream_retention",
     "d9_dedup_clusters_star",
     "o6_resample_closed_right",
     "p1_deterministic_sample",
