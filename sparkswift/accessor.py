@@ -129,6 +129,27 @@ class SwiftFrame:
     def resample(self, rule: str, on: str, extra_keys: list[str] | None = None) -> "SwiftResampler":
         return SwiftResampler(self._df, rule, on, extra_keys)
 
+    def cogroup(
+        self, other: DataFrame | "SwiftFrame", *keys: str
+    ) -> "SwiftCoGroup":
+        """Two-frame grouped apply — the fluent face of
+        :func:`sparkswift.operators.groupby.cogroup_apply` (the
+        cogrouped-map Arrow entry point): ``swift(a).cogroup(b,
+        "k").apply(fn, schema=...)`` aligns the per-key slices of both
+        frames through one pandas UDF (merge_asof-class shapes)."""
+        rdf = other._df if isinstance(other, SwiftFrame) else other
+        return SwiftCoGroup(self._df, rdf, list(keys))
+
+
+class SwiftCoGroup:
+    def __init__(self, left: DataFrame, right: DataFrame, keys: list[str]):
+        self._l, self._r, self._keys = left, right, keys
+
+    def apply(self, func: Callable, schema=None, **kw) -> DataFrame:
+        return _groupby.cogroup_apply(
+            self._l, self._r, self._keys, func, schema=schema, **kw
+        )
+
 
 class SwiftGroupBy:
     def __init__(self, df: DataFrame, keys: list[str], subset: list[str] | None):

@@ -555,3 +555,24 @@ def test_cogroup_apply_empty_inference_raises_clearly(spark):
         cogroup_apply(
             empty, empty, keys="k", func=lambda l, r: pd.DataFrame({"v": [1.0]})
         )
+
+
+def test_accessor_cogroup_surface(spark):
+    """swift(a).cogroup(b, key).apply(fn) routes to cogroup_apply."""
+    import pandas as pd
+
+    from sparkswift.accessor import swift
+
+    a = spark.createDataFrame([(1, 2.0), (2, 3.0)], "k int, x double")
+    b = spark.createDataFrame([(1, 10.0)], "k int, y double")
+    out = {
+        r["k"]: r["result"]
+        for r in swift(a)
+        .cogroup(swift(b), "k")
+        .apply(
+            lambda l, r: float(l["x"].sum() + r["y"].sum()),
+            schema="k int, result double",
+        )
+        .collect()
+    }
+    assert out == {1: 12.0, 2: 3.0}

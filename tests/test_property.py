@@ -682,3 +682,59 @@ def test_editdistance_join_fuzz_completeness(spark):
         for bid, mid, n_edits, base, m in planted:
             if n_edits <= k and base != m:
                 assert (bid, mid) in got, (k, base, m)
+
+
+def test_merge_upsert_fuzz_vs_dict_reference(spark, tmp_path):
+    """Seeded fuzz: a random sequence of update/delete merges against
+    a hive-partitioned store must track a plain python dict applying
+    the same MERGE semantics (matched update/delete, unmatched
+    insert)."""
+    import random
+
+    from sparkswift.sources.writers import merge_upsert, write_table
+
+    rng = random.Random(23)
+    path = str(tmp_path / "fuzz_store")
+    ref = {k: (k % 5, float(k)) for k in range(60)}  # k -> (p, v)
+    write_table(
+        spark.createDataFrame(
+            [(k, p, v) for k, (p, v) in ref.items()], "k long, p int, v double"
+        ),
+        path,
+        partition_by=["p"],
+    )
+    next_key = 1000
+    for step in range(6):
+        mode = rng.choice(["update", "delete"])
+        batch = {}
+        for _ in range(rng.randrange(3, 10)):
+            if rng.random() < 0.6 and ref:
+                k = rng.choice(sorted(ref))
+                batch[k] = (ref[k][0], float(rng.randrange(100, 999)))
+            else:
+                batch[next_key] = (rng.randrange(5), float(next_key))
+                next_key += 1
+        merge_upsert(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(k, p, v) for k, (p, v) in batch.items()],
+                "k long, p int, v double",
+            ),
+            "k",
+            "p",
+            when_matched=mode,
+        )
+        for k, (p, v) in batch.items():
+            if k in ref:
+                if mode == "update":
+                    ref[k] = (p, v)
+                else:
+                    del ref[k]
+            else:
+                ref[k] = (p, v)
+        got = {
+            r["k"]: (r["p"], r["v"])
+            for r in spark.read.parquet(path).collect()
+        }
+        assert got == ref, f"diverged at step {step} ({mode})"
