@@ -209,8 +209,12 @@ def range_join_buckets(
     bucket id plus the exact BETWEEN filter. Because a point has one
     bucket, every qualifying (point, interval) pair matches in exactly
     one bucket — no dedup pass. Shuffle volume: points × 1 +
-    intervals × ceil(span/w); pick ``bucket_width`` near the typical
-    interval width so the explode factor stays O(1). Skewed hot
+    intervals × ceil(span/w); pick ``bucket_width`` AT OR BELOW the
+    typical interval width: per-point candidates scale with
+    ``(bucket_width + interval_width)``, so an oversized bucket
+    multiplies candidate pairs while an undersized one only grows the
+    (cheap, linear) interval explode — measured on j8: width/5 of the
+    typical interval beat width×4 by 3.7×. Skewed hot
     buckets fall to AQE skew-join handling like any equi-join.
 
     Returns the matched pairs: all columns of ``points`` then all of

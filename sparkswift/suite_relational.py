@@ -655,8 +655,12 @@ def j8_range_join_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     points = orders.select(
         F.col("o_orderkey").alias("p_orderkey"), F.col("o_totalprice").alias("price")
     )
+    # width A/B at sf0.1 (round 10, identical 11.4M matches):
+    # w=1000 → 4.9 s, 250 → 2.3 s, 100 → 1.6 s, 50 → 1.3 s, 25 → 1.4 s
+    # — candidates scale with (w + interval_width), so w should sit AT
+    # OR BELOW the typical interval width (~250 here); 50 is the knee
     pairs = range_join_buckets(
-        points, intervals, "price", "lo", "hi", bucket_width=1_000.0
+        points, intervals, "price", "lo", "hi", bucket_width=50.0
     )
     return pairs.groupBy("o_custkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_matches")
