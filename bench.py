@@ -147,6 +147,7 @@ HEADLINE = [
     "e11_cosine_topk_sq",   # SQ8 native encode + BLAS scan
     "st25_stream_funnel",    # streaming deadline funnel
     "st26_stream_retention",  # stream-static cohort enrich
+    "g3_triangle_count",     # degree-oriented wedges
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

@@ -208,3 +208,68 @@ def pagerank(
         stats["iters"] = iters_run
     ranks._pagerank_iters = iters_run
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node TRIANGLE COUNTS by degree orientation (the classic
+    distributed-triangle trick — Cohen 2009 / GraphX's algorithm,
+    public): orient every undirected edge from its lower-(degree, id)
+    endpoint to the higher one, enumerate each node's out-neighbor
+    pairs (wedges), and close them against the oriented edge set.
+    Orientation bounds every out-degree by O(√m), so wedge volume is
+    O(m^1.5) instead of Σ deg² — the hub that would explode a naive
+    neighbor-pair join contributes IN-degree instead.
+
+    Input edges may be directed/duplicated; they are canonicalized to
+    distinct undirected (a < b) pairs first. Self-loops are dropped.
+    Returns ``(node, n_triangles)`` for every node of at least one
+    triangle-closing edge; counts are exact integers (SQL-oracle-able).
+
+    Plan: two hash aggregates (canonicalize, degrees), one broadcast-
+    able degree attach per endpoint, one self-join on the wedge apex,
+    one equi-join closing wedges. No iteration, no driver state.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    # orient low-(degree, id) -> high-(degree, id): a total order, so
+    # every undirected edge gets exactly one direction
+    keyed = e.join(da, "a").join(db, "b")
+    lt = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = keyed.select(
+        F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lt, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    o1 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("x"))
+    o2 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("y"))
+    wedges = o1.join(o2, "apex").filter(F.col("x") < F.col("y"))
+    # close the wedge: the third edge is oriented one way or the other
+    closing = oriented.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"]).select("apex", "x", "y")
+    members = (
+        tri.select(F.col("apex").alias("node"))
+        .unionAll(tri.select(F.col("x").alias("node")))
+        .unionAll(tri.select(F.col("y").alias("node")))
+    )
+    return members.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )

@@ -815,7 +815,9 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    agg family keeps agg3/agg7/agg19/agg20/agg21 in-window;
 #    st26_stream_retention taking d7's r4-stale slot — d7 holds 4
 #    prior greens and the d family keeps d2/d9/d10/d14/d16/d17
-#    in-window). All
+#    in-window; g3_triangle_count taking w1's r4-stale slot — w1
+#    holds 4 prior greens and the w family keeps w2/w5 in-window).
+#    All
 #    50 slots are new code, changed code, or the r4-stale cohort
 #    (agg5/agg8/agg12/d3/e1/j7/q3/w3 to the round-11 seed; the
 #    d/e/j families keep 9/3/0 in-window — j earned r8/r9 rows
@@ -878,7 +880,7 @@ _WINDOW = [
     "t7_tfidf_top_terms",
     "t8_c4_line_filter",
     "t9_corpus_stats",
-    "w1_rank_lag",
+    "g3_triangle_count",
     "w2_running_total",
     # --- (4) late additions (new code outranks a staleness refresh:
     # agg5/agg8/agg12/q3/w3 move to the round-11 seed) ---

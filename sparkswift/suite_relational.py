@@ -2172,3 +2172,50 @@ def p29_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", F.col("nation").cast("int").alias("nation"),
         "c_name", "c_acctbal",
     )
+
+
+# ---------------------------------------------------------------------------
+# g3 — per-node TRIANGLE COUNTS on the co-supplier graph (suppliers
+# sharing an order; the standard clustering/community-density
+# signal): degree orientation bounds every out-degree by O(√m), so
+# wedge volume is O(m^1.5) — the hub that explodes a naive
+# neighbor-pair join contributes in-degree instead. Exact integer
+# counts; the oracle closes (x<y<z) triples over the canonical a<b
+# edge set and credits all three corners.
+# ---------------------------------------------------------------------------
+@register(
+    "g3_triangle_count",
+    """
+    WITH e AS (
+      SELECT DISTINCT LEAST(a.l_suppkey, b.l_suppkey) AS x,
+             GREATEST(a.l_suppkey, b.l_suppkey) AS y
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_suppkey < b.l_suppkey
+    ),
+    t AS (
+      SELECT ab.x AS n1, ab.y AS n2, bc.y AS n3
+      FROM e ab JOIN e bc ON ab.y = bc.x
+                JOIN e ac ON ac.x = ab.x AND ac.y = bc.y
+    ),
+    m AS (
+      SELECT n1 AS node FROM t UNION ALL
+      SELECT n2 FROM t UNION ALL
+      SELECT n3 FROM t
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM m GROUP BY node
+    """,
+)
+def g3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s2")
+    )
+    edges = (
+        li.join(b, li.l_orderkey == b.k)
+        .filter(F.col("l_suppkey") < F.col("s2"))
+        .select(F.col("l_suppkey").alias("src"), F.col("s2").alias("dst"))
+    )
+    return triangle_count(edges)

@@ -220,3 +220,49 @@ def test_personalized_pagerank_rejects_foreign_seeds(spark):
     seeds = spark.createDataFrame(pd.DataFrame({"node": [999]}))
     with _pytest.raises(ValueError):
         pagerank(edges, seeds=seeds, max_iter=2)
+
+
+def test_triangle_count_pure_python_reference(spark):
+    """Degree-oriented triangle counts vs a brute-force pure-python
+    reference on a seeded random graph, plus known closed forms: K4
+    (every node in C(3,2)=3 triangles) and a triangle-free star."""
+    import itertools
+    import random
+
+    from sparkswift.operators.graph import triangle_count
+
+    def ref_counts(edge_set):
+        adj = {}
+        for a, b in edge_set:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        counts = {}
+        for x, y, z in itertools.combinations(sorted(adj), 3):
+            if y in adj[x] and z in adj[x] and z in adj[y]:
+                for n in (x, y, z):
+                    counts[n] = counts.get(n, 0) + 1
+        return counts
+
+    rng = random.Random(11)
+    nodes = list(range(24))
+    edge_set = {
+        (a, b)
+        for a in nodes
+        for b in nodes
+        if a < b and rng.random() < 0.25
+    }
+    # K4 on 100..103 (3 triangles per node) + star on 200..205 (none)
+    edge_set |= {(a, b) for a in range(100, 104) for b in range(100, 104) if a < b}
+    edge_set |= {(200, b) for b in range(201, 206)}
+
+    # feed DIRECTED duplicated edges to exercise canonicalization
+    rows = [(a, b) for a, b in edge_set] + [(b, a) for a, b in edge_set]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    got = {
+        r["node"]: r["n_triangles"] for r in triangle_count(df).collect()
+    }
+    want = ref_counts(edge_set)
+    assert got == want
+    for n in range(100, 104):
+        assert got[n] == 3
+    assert all(n not in got for n in range(200, 206))
