@@ -230,6 +230,11 @@ def triangle_count(
     Plan: two hash aggregates (canonicalize, degrees), one broadcast-
     able degree attach per endpoint, one self-join on the wedge apex,
     one equi-join closing wedges. No iteration, no driver state.
+    The wedge→closing shuffle dominates (wedges ≈ Σ outdeg² rows —
+    measured 41M for 1.2M edges on the sf0.1 part graph); when the
+    closing edge set fits executor memory AQE may broadcast it, which
+    removes that shuffle — correct to leave to AQE, since pinning a
+    broadcast breaks at graph sizes where closing outgrows memory.
     """
     e = (
         edges.select(

@@ -2175,22 +2175,27 @@ def p29_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# g3 — per-node TRIANGLE COUNTS on the co-supplier graph (suppliers
-# sharing an order; the standard clustering/community-density
-# signal): degree orientation bounds every out-degree by O(√m), so
-# wedge volume is O(m^1.5) — the hub that explodes a naive
-# neighbor-pair join contributes in-degree instead. Exact integer
-# counts; the oracle closes (x<y<z) triples over the canonical a<b
-# edge set and credits all three corners.
+# g3 — per-node TRIANGLE COUNTS on the co-PART graph (parts sharing
+# an order; the standard clustering/community-density signal):
+# degree orientation bounds every out-degree by O(√m), so wedge
+# volume is O(m^1.5) — the hub that explodes a naive neighbor-pair
+# join contributes in-degree instead. The PART graph is the right
+# fixture choice: sparse with real structure (sf0.1: 1.2M edges on
+# 20k nodes, 1.88M triangles), where the supplier graph is a
+# near-CLIQUE (453k of C(1000,2) pairs at sf0.1 → Θ(n³) ≈ 166M
+# triangles — no algorithm makes a clique cheap; graph choice, not
+# algorithm, was the cost). Exact integer counts; the oracle closes
+# (x<y<z) triples over the canonical a<b edge set and credits all
+# three corners.
 # ---------------------------------------------------------------------------
 @register(
     "g3_triangle_count",
     """
     WITH e AS (
-      SELECT DISTINCT LEAST(a.l_suppkey, b.l_suppkey) AS x,
-             GREATEST(a.l_suppkey, b.l_suppkey) AS y
+      SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS x,
+             GREATEST(a.l_partkey, b.l_partkey) AS y
       FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-      WHERE a.l_suppkey < b.l_suppkey
+      WHERE a.l_partkey < b.l_partkey
     ),
     t AS (
       SELECT ab.x AS n1, ab.y AS n2, bc.y AS n3
@@ -2209,13 +2214,13 @@ def p29_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 def g3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkswift.operators.graph import triangle_count
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     b = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s2")
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2")
     )
     edges = (
         li.join(b, li.l_orderkey == b.k)
-        .filter(F.col("l_suppkey") < F.col("s2"))
-        .select(F.col("l_suppkey").alias("src"), F.col("s2").alias("dst"))
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
     )
     return triangle_count(edges)
