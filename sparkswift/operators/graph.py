@@ -278,3 +278,44 @@ def triangle_count(
     return members.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node LOCAL CLUSTERING COEFFICIENT — triangles(v) /
+    C(deg(v), 2), the Watts-Strogatz community-density measure:
+    composes :func:`triangle_count` with the degree aggregate; the
+    coefficient is one double division of exact integers (suite
+    float policy — deterministic cross-engine). Nodes of degree < 2
+    emit coefficient 0.0 (no possible wedge). Returns
+    ``(node, degree, n_triangles, coeff)``.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    tri = triangle_count(e, "a", "b")
+    out = deg.join(tri, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+    )
+    pairs = (F.col("degree") * (F.col("degree") - 1) / 2).cast("double")
+    return out.withColumn(
+        "coeff",
+        F.when(
+            F.col("degree") >= 2,
+            F.col("n_triangles").cast("double") / pairs,
+        ).otherwise(F.lit(0.0)),
+    )

@@ -816,8 +816,10 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    st26_stream_retention taking d7's r4-stale slot — d7 holds 4
 #    prior greens and the d family keeps d2/d9/d10/d14/d16/d17
 #    in-window; g3_triangle_count taking w1's r4-stale slot — w1
-#    holds 4 prior greens and the w family keeps w2/w5 in-window).
-#    All
+#    holds 4 prior greens and the w family keeps w2/w5 in-window;
+#    g4_clustering_coeff taking t1's r4-stale slot — t1 holds 4
+#    prior greens and the t family keeps t3/t5/t7/t8/t9 + three
+#    gates in-window). All
 #    50 slots are new code, changed code, or the r4-stale cohort
 #    (agg5/agg8/agg12/d3/e1/j7/q3/w3 to the round-11 seed; the
 #    d/e/j families keep 9/3/0 in-window — j earned r8/r9 rows
@@ -873,7 +875,7 @@ _WINDOW = [
     "p7_group_split",
     "p8_deterministic_shuffle",
     "p9_corpus_build",
-    "t1_text_quality",
+    "g4_clustering_coeff",
     "t3_fingerprint",
     "e11_gate",
     "t5_repetition",

@@ -2224,3 +2224,58 @@ def g3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
     )
     return triangle_count(edges)
+
+
+# ---------------------------------------------------------------------------
+# g4 — local clustering coefficient (Watts-Strogatz): g3's triangle
+# counts joined to exact degrees, coefficient = one double division
+# of exact integers. Same sparse co-part graph; degree-<2 nodes emit
+# 0.0 by convention on both sides.
+# ---------------------------------------------------------------------------
+@register(
+    "g4_clustering_coeff",
+    """
+    WITH e AS (
+      SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS x,
+             GREATEST(a.l_partkey, b.l_partkey) AS y
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT x AS node FROM e UNION ALL SELECT y FROM e
+      ) GROUP BY node
+    ),
+    t AS (
+      SELECT ab.x AS n1, ab.y AS n2, bc.y AS n3
+      FROM e ab JOIN e bc ON ab.y = bc.x
+                JOIN e ac ON ac.x = ab.x AND ac.y = bc.y
+    ),
+    tri AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT n1 AS node FROM t UNION ALL
+        SELECT n2 FROM t UNION ALL SELECT n3 FROM t
+      ) GROUP BY node
+    )
+    SELECT deg.node, deg.degree,
+           CAST(COALESCE(tri.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.degree >= 2
+                THEN CAST(COALESCE(tri.n_triangles, 0) AS DOUBLE)
+                     / CAST(deg.degree * (deg.degree - 1) / 2 AS DOUBLE)
+                ELSE 0.0 END AS coeff
+    FROM deg LEFT JOIN tri ON deg.node = tri.node
+    """,
+)
+def g4_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.graph import clustering_coefficient
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2")
+    )
+    edges = (
+        li.join(b, li.l_orderkey == b.k)
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+    )
+    return clustering_coefficient(edges)

@@ -266,3 +266,27 @@ def test_triangle_count_pure_python_reference(spark):
     for n in range(100, 104):
         assert got[n] == 3
     assert all(n not in got for n in range(200, 206))
+
+
+def test_clustering_coefficient_known_shapes(spark):
+    """Closed forms: K4 nodes have coeff 1.0; a star hub has 0.0; a
+    path's middle node 0.0; a triangle-with-tail mixes exactly."""
+    from sparkswift.operators.graph import clustering_coefficient
+
+    edges = (
+        [(a, b) for a in range(4) for b in range(4) if a < b]  # K4
+        + [(10, x) for x in (11, 12, 13)]                      # star
+        + [(20, 21), (21, 22), (20, 22), (22, 23)]             # tri+tail
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["coeff"])
+        for r in clustering_coefficient(df).collect()
+    }
+    for n in range(4):
+        assert got[n] == (3, 3, 1.0)
+    assert got[10] == (3, 0, 0.0)
+    assert got[11] == (1, 0, 0.0)  # degree < 2 convention
+    assert got[20] == (2, 1, 1.0)
+    assert got[22] == (3, 1, 1.0 / 3.0)
+    assert got[23] == (1, 0, 0.0)
