@@ -148,6 +148,7 @@ HEADLINE = [
     "st25_stream_funnel",    # streaming deadline funnel
     "st26_stream_retention",  # stream-static cohort enrich
     "g3_triangle_count",     # degree-oriented wedges
+    "g5_kcore",             # iterative peel
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

@@ -819,7 +819,9 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    holds 4 prior greens and the w family keeps w2/w5 in-window;
 #    g4_clustering_coeff taking t1's r4-stale slot — t1 holds 4
 #    prior greens and the t family keeps t3/t5/t7/t8/t9 + three
-#    gates in-window). All
+#    gates in-window; g5_gate taking p1's r4-stale slot — p1 holds
+#    2 prior greens and the p family keeps p3/p6/p7/p8/p9 + five
+#    more in-window). All
 #    50 slots are new code, changed code, or the r4-stale cohort
 #    (agg5/agg8/agg12/d3/e1/j7/q3/w3 to the round-11 seed; the
 #    d/e/j families keep 9/3/0 in-window — j earned r8/r9 rows
@@ -869,7 +871,7 @@ _WINDOW = [
     "st26_stream_retention",
     "d9_dedup_clusters_star",
     "o6_resample_closed_right",
-    "p1_deterministic_sample",
+    "g5_gate",
     "p3_decontaminate",
     "p6_pack_sequences",
     "p7_group_split",

@@ -2279,3 +2279,110 @@ def g4_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
     )
     return clustering_coefficient(edges)
+
+
+# ---------------------------------------------------------------------------
+# g5 — K-CORE membership on the co-part graph (Seidman 1983 peel):
+# iterative degree-filter semi-joins, g1's checkpoint discipline,
+# convergence-exit. Float-free integer output; the fixed point is not
+# single-query-SQL-expressible (iteration depth is data-dependent),
+# so the row twin is rows-only and g5_gate certifies the defining
+# invariant; EQUALITY with the unique maximal core is pytest-proven
+# against an independent pure-python peel.
+# ---------------------------------------------------------------------------
+# k=60: the co-part graph's peel phase-transition is sharp (measured
+# cores: k60 -> 196/1996/19941 of 200/2000/20000 at the three SFs;
+# k70 collapses sf0.001 to 0, k85 collapses all) — 60 is the level
+# where the core is PROPER (non-empty strict subset) at every SF, so
+# both peel directions stay exercised
+_G5_K = 60
+
+
+def _copart_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2")
+    )
+    return (
+        li.join(b, li.l_orderkey == b.k)
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+    )
+
+
+@register("g5_kcore", None)
+def g5_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.graph import kcore
+
+    return kcore(_copart_edges(spark, sf_dir), k=_G5_K)
+
+
+# g5_gate — the k-core defining invariant as a verdict: every in-core
+# node's degree WITHIN the core is ≥ k, the core is non-trivial
+# (non-empty and a strict subset — both peel directions exercised),
+# and membership is total (every graph node classified exactly once).
+# n_nodes anchors the oracle to the fixture graph.
+@register(
+    "g5_gate",
+    """
+    WITH e AS (
+      SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS x,
+             GREATEST(a.l_partkey, b.l_partkey) AS y
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+    )
+    SELECT CAST(COUNT(DISTINCT node) AS BIGINT) AS n_nodes,
+           TRUE AS min_core_degree_ok, TRUE AS nontrivial,
+           TRUE AS membership_total
+    FROM (SELECT x AS node FROM e UNION ALL SELECT y FROM e)
+    """,
+)
+def g5_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.graph import kcore
+
+    edges = _copart_edges(spark, sf_dir)
+    member = kcore(edges, k=_G5_K).localCheckpoint()
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    core = member.filter(F.col("in_core") == 1).select("node")
+    core_e = e.join(core.withColumnRenamed("node", "a"), "a", "left_semi").join(
+        core.withColumnRenamed("node", "b"), "b", "left_semi"
+    )
+    min_deg = (
+        core_e.select(F.col("a").alias("n"))
+        .unionAll(core_e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.min("d").alias("m"), F.count(F.lit(1)).alias("deg_nodes"))
+        .collect()[0]
+    )
+    counts = member.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("in_core").alias("n_core"),
+        F.countDistinct("node").alias("n_distinct"),
+    ).collect()[0]
+    n_core = int(counts["n_core"] or 0)
+    min_core_degree_ok = bool(
+        n_core == 0
+        or (min_deg["m"] is not None and int(min_deg["m"]) >= _G5_K
+            and int(min_deg["deg_nodes"]) == n_core)
+    )
+    nontrivial = bool(0 < n_core < int(counts["n_all"]))
+    membership_total = bool(int(counts["n_all"]) == int(counts["n_distinct"]))
+    return spark.createDataFrame(
+        [
+            (
+                int(counts["n_all"]),
+                min_core_degree_ok,
+                nontrivial,
+                membership_total,
+            )
+        ],
+        "n_nodes bigint, min_core_degree_ok boolean, nontrivial boolean,"
+        " membership_total boolean",
+    )

@@ -290,3 +290,54 @@ def test_clustering_coefficient_known_shapes(spark):
     assert got[20] == (2, 1, 1.0)
     assert got[22] == (3, 1, 1.0 / 3.0)
     assert got[23] == (1, 0, 0.0)
+
+
+def test_kcore_equals_pure_python_peel(spark):
+    """kcore membership == the unique maximal core from an independent
+    pure-python peel, on a seeded random graph plus planted shapes
+    (a K5 that must survive k=4; a long pendant chain that must not)."""
+    import random
+    from collections import defaultdict
+
+    from sparkswift.operators.graph import kcore
+
+    def ref_core(edge_set, k):
+        adj = defaultdict(set)
+        for a, b in edge_set:
+            adj[a].add(b)
+            adj[b].add(a)
+        changed = True
+        while changed:
+            changed = False
+            for n in list(adj):
+                if len(adj[n]) < k:
+                    for m in adj[n]:
+                        adj[m].discard(n)
+                    del adj[n]
+                    changed = True
+        return set(adj)
+
+    rng = random.Random(7)
+    nodes = list(range(40))
+    edge_set = {
+        (a, b) for a in nodes for b in nodes if a < b and rng.random() < 0.12
+    }
+    edge_set |= {(a, b) for a in range(100, 105) for b in range(100, 105) if a < b}
+    edge_set |= {(200 + i, 201 + i) for i in range(6)}  # pendant chain
+
+    rows = [(a, b) for a, b in edge_set] + [(b, a) for a, b in edge_set]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    for k in (2, 3, 4):
+        got = {
+            r["node"]
+            for r in kcore(df, k=k).filter("in_core = 1").collect()
+        }
+        want = ref_core(edge_set, k)
+        assert got == want, k
+    assert set(range(100, 105)) <= {
+        r["node"] for r in kcore(df, k=4).filter("in_core = 1").collect()
+    }
+    assert not (
+        set(range(200, 207))
+        & {r["node"] for r in kcore(df, k=2).filter("in_core = 1").collect()}
+    )
