@@ -199,6 +199,12 @@ def cogroup_apply(
     join's cost), no driver participation, output stays distributed.
     Skewed keys bound the task size — salt or pre-aggregate the hot
     key's side first, as with any keyed shuffle.
+
+    Schema-inference cost contract: when ``schema=None``, inference
+    runs TWO extra bounded jobs (a broadcast-semi-joined ``toPandas``
+    of ≤20 sampled whole keys per side) before the real plan executes.
+    Pass ``schema=`` in hot paths to skip both jobs — the registered
+    suite queries do.
     """
     if func is None:
         raise TypeError("cogroup_apply requires func")
@@ -227,11 +233,12 @@ def cogroup_apply(
     rwork = rwork.select(*keys, *[F.col(c).alias(cg[c]) for c in r_nonkey])
     uncg = {v: k for k, v in cg.items()}
 
-    nkeys = len(keys)
-
     def _run_one(key_tuple, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        lbody = lpdf.drop(columns=keys) if len(lpdf.columns) > nkeys else lpdf
-        rbody = rpdf.drop(columns=keys) if len(rpdf.columns) > nkeys else rpdf
+        # Unconditional (ADVICE r10): a side whose columns are ALL keys
+        # yields a zero-column frame that still carries the row count —
+        # func's input shape must not depend on column count.
+        lbody = lpdf.drop(columns=[k for k in keys if k in lpdf.columns])
+        rbody = rpdf.drop(columns=[k for k in keys if k in rpdf.columns])
         rbody = rbody.rename(columns=uncg)
         out = func(lbody, rbody)
         if isinstance(out, pd.DataFrame):

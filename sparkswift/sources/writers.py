@@ -722,8 +722,19 @@ def merge_upsert(
     hive-upsert caveat; a transaction log is what fixes it, and that
     is a table FORMAT, not an engine, concern).
 
-    Returns ``{"partitions_rewritten": int, "rows_matched": int,
-    "rows_inserted": int}``.
+    Emptied partitions: dynamic partition overwrite only replaces
+    partitions PRESENT in the written data, so an affected partition
+    with zero surviving rows (e.g. a delete batch that matches every
+    row of a tenant's partition) would otherwise survive untouched — a
+    silent no-op on the canonical drop-a-tenant merge. Those
+    directories are detected before the write (their physical paths
+    captured from the scan, so no hive-escaping logic) and removed via
+    the Hadoop FS API after it.
+
+    Returns ``{"partitions_rewritten": int, "partitions_emptied": int,
+    "rows_matched": int, "rows_inserted": int}`` —
+    ``partitions_rewritten`` counts partitions actually present in the
+    written data; emptied ones are counted separately.
     """
     from pyspark.sql import functions as F
 
@@ -763,15 +774,46 @@ def merge_upsert(
         merged = keep.unionByName(not_in_target.select(*affected.columns))
         inserted = not_in_target.count()
 
+    # Pin BEFORE inspecting/writing: merged reads the target files the
+    # overwrite below replaces, and the partition census must see the
+    # same rows the write emits.
+    merged = merged.localCheckpoint()
+    present = {
+        r[0] for r in merged.select(partition_col).distinct().collect()
+    }
+    emptied = [p for p in parts if p not in present]
+    emptied_dirs: list[str] = []
+    if emptied:
+        # Dynamic overwrite cannot replace a partition absent from the
+        # written data — capture the emptied partitions' physical
+        # directories from the pre-overwrite scan (real paths, so no
+        # hive partition-value escaping logic) and delete them after.
+        files = [
+            r[0]
+            for r in target.filter(F.col(partition_col).isin(emptied))
+            .select(F.input_file_name())
+            .distinct()
+            .collect()
+        ]
+        emptied_dirs = sorted({f.rsplit("/", 1)[0] for f in files})
+
     (
-        merged.repartition(max(len(parts), 1), F.col(partition_col))
+        merged.repartition(max(len(present), 1), F.col(partition_col))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(path)
     )
+    if emptied_dirs:
+        sc = spark.sparkContext
+        jvm = sc._jvm
+        hconf = sc._jsc.hadoopConfiguration()
+        for d in emptied_dirs:
+            hp = jvm.org.apache.hadoop.fs.Path(d)
+            hp.getFileSystem(hconf).delete(hp, True)
     return {
-        "partitions_rewritten": len(parts),
+        "partitions_rewritten": len(present),
+        "partitions_emptied": len(emptied),
         "rows_matched": int(matched),
         "rows_inserted": int(inserted),
     }

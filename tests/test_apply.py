@@ -455,6 +455,34 @@ def test_cogroup_apply_empty_side_and_scalar(spark):
     assert out == {1: 30.0, 2: -2.0, 3: -3.0}  # null key gone, 1/3 one-sided
 
 
+def test_cogroup_apply_keys_only_side_drops_keys(spark):
+    """ADVICE r10: a side whose columns are ALL keys must still reach
+    func with the key columns dropped — a zero-column frame carrying
+    the row count — so func's input shape never depends on column
+    count."""
+    import pandas as pd
+
+    from sparkswift.operators.groupby import cogroup_apply
+
+    left = spark.createDataFrame([(1,), (1,), (2,)], "k int")
+    right = spark.createDataFrame([(1, 7.0), (3, 3.0)], "k int, y double")
+
+    def shape(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        assert "k" not in l.columns and "k" not in r.columns
+        return pd.DataFrame(
+            {"n_left": [len(l)], "l_cols": [len(l.columns)], "n_right": [len(r)]}
+        )
+
+    got = {
+        r["k"]: (r["n_left"], r["l_cols"], r["n_right"])
+        for r in cogroup_apply(
+            left, right, keys="k", func=shape,
+            schema="k int, n_left long, l_cols long, n_right long",
+        ).collect()
+    }
+    assert got == {1: (2, 0, 1), 2: (1, 0, 0), 3: (0, 0, 1)}
+
+
 def test_cogroup_apply_schema_inference_and_kwargs(spark):
     """schema=None infers from whole-group samples of BOTH sides
     (one-sided keys included); args/kwds thread into the UDF."""

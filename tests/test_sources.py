@@ -386,6 +386,7 @@ def test_merge_upsert_touches_only_affected_partitions(spark, tmp_path):
     stats = merge_upsert(spark, path, upd, "k", "p")
     assert stats == {
         "partitions_rewritten": 1,
+        "partitions_emptied": 0,
         "rows_matched": 2,
         "rows_inserted": 1,
     }
@@ -416,6 +417,62 @@ def test_merge_upsert_touches_only_affected_partitions(spark, tmp_path):
             "k",
             "p",
         )
+
+
+def test_merge_upsert_delete_empties_partition(spark, tmp_path):
+    """ADVICE r10 (high): a delete batch matching EVERY remaining row
+    of a partition must actually remove it — dynamic overwrite alone
+    cannot (the partition is absent from the written data), so the
+    emptied directory is deleted explicitly. The canonical case:
+    dropping one tenant when partition_col is the tenant."""
+    import os
+
+    from sparkswift.sources.writers import merge_upsert, write_table
+
+    path = str(tmp_path / "et")
+    base = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(12)], "k long, p int, v double"
+    )
+    write_table(base, path, partition_by=["p"])
+
+    # delete every key of partition p=1 (keys 1,4,7,10), nothing else
+    dele = spark.createDataFrame(
+        [(k, 1, 0.0) for k in (1, 4, 7, 10)], "k long, p int, v double"
+    )
+    stats = merge_upsert(spark, path, dele, "k", "p", when_matched="delete")
+    assert stats == {
+        "partitions_rewritten": 0,
+        "partitions_emptied": 1,
+        "rows_matched": 4,
+        "rows_inserted": 0,
+    }
+    assert not os.path.exists(f"{path}/p=1")
+    got = {r["k"] for r in spark.read.parquet(path).collect()}
+    assert got == {i for i in range(12) if i % 3 != 1}
+
+    # delete ALL partitions of a two-partition table: merged is fully
+    # empty — the write is a no-op and both directories are removed.
+    path2 = str(tmp_path / "et2")
+    write_table(
+        spark.createDataFrame(
+            [(1, 0, 1.0), (2, 1, 2.0)], "k long, p int, v double"
+        ),
+        path2,
+        partition_by=["p"],
+    )
+    stats = merge_upsert(
+        spark,
+        path2,
+        spark.createDataFrame(
+            [(1, 0, 0.0), (2, 1, 0.0)], "k long, p int, v double"
+        ),
+        "k",
+        "p",
+        when_matched="delete",
+    )
+    assert stats["partitions_emptied"] == 2 and stats["rows_matched"] == 2
+    assert not os.path.exists(f"{path2}/p=0")
+    assert not os.path.exists(f"{path2}/p=1")
 
 
 def test_merge_upsert_null_partition_refused(spark, tmp_path):

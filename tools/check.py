@@ -55,9 +55,11 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    ran = 0
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
+        ran += 1
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR).toPandas()
@@ -108,7 +110,7 @@ def main() -> int:
         else:
             failures.append(name)
             print(f"FAIL {name}: value mismatch  [{took:.1f}s]")
-    print(f"\n{len(qs) - len(failures)}/{len(qs) if not ONLY else len(ONLY)} passed")
+    print(f"\n{ran - len(failures)}/{ran} passed")
     return 1 if failures else 0
 
 
