@@ -2950,6 +2950,38 @@ def mm7_jpeg_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mm8 — REAL uncompressed-AVI frame extraction (the stdlib-feasible
+# slice of video decode; VERDICT r10 #4): synth_avi writes valid
+# RIFF/AVI-1.0 files (avih/strh/strf headers, movi '00db' DIB
+# chunks, idx1 index) of 2+id%4 constant-RGB frames; the extractor
+# walks the full RIFF grammar, reads geometry from strf, and decodes
+# headerless bottom-up padded BGR DIB rows (mm4's row logic). Widths
+# 5/6/7 make the 4-byte row padding load-bearing corpus-wide; decode
+# is lossless, so per-frame channel means are exact id arithmetic the
+# oracle re-derives. Compressed video stays honestly gated (ffmpeg).
+# ---------------------------------------------------------------------------
+@register(
+    "mm8_avi_frames_real",
+    """
+    WITH fs AS (SELECT unnest([0, 1, 2, 3, 4]) AS f),
+         p AS (SELECT doc_id, 2 + doc_id % 4 AS nf,
+                      CAST(5 + doc_id % 4 AS INT) AS width,
+                      CAST(4 + doc_id % 3 AS INT) AS height
+               FROM documents)
+    SELECT doc_id AS id, CAST(f AS BIGINT) AS frame_idx, width, height,
+           CAST((doc_id + 11 * f) % 200 AS DOUBLE) AS mean_r,
+           CAST((7 * doc_id + 3 * f) % 200 AS DOUBLE) AS mean_g,
+           CAST((13 * doc_id + 5 * f) % 200 AS DOUBLE) AS mean_b
+    FROM p JOIN fs ON f < nf
+    """,
+)
+def mm8_avi_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    wp = mm.synth_avi_payload(docs, "doc_id")
+    return mm.decode_video_frames(wp, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
 # e10 — OPQ-rotated PQ (Ge et al. 2013 parametric OPQ; FAISS's OPQ
 # pretransform): PCA rotation + greedy eigenvalue allocation balance
 # per-subspace variance before the standard PQ pipeline; the refine

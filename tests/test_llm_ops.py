@@ -332,6 +332,73 @@ def test_png_decode_rejects_unsupported():
         _parse_png(b"not a png at all")
 
 
+def test_avi_codec_pure_roundtrip():
+    """encode_avi <-> _parse_avi_frames over random RGB frames —
+    uncompressed DIB is lossless, so pixels come back byte-exact.
+    Widths 5/6/7 exercise the 4-byte row padding, 8 the unpadded row;
+    independent reference is the numpy input itself (no shared
+    formula between encoder row-packing and decoder row-unpacking:
+    one writes bottom-up BGR, the other must exactly invert it)."""
+    import numpy as np
+
+    from sparkswift.operators.multimodal import _parse_avi_frames, encode_avi
+
+    rng = np.random.RandomState(11)
+    for w in (5, 6, 7, 8):
+        frames = [
+            rng.randint(0, 256, (4, w, 3)).astype(np.uint8) for _ in range(3)
+        ]
+        back = _parse_avi_frames(encode_avi(frames))
+        assert len(back) == 3
+        for a, b in zip(frames, back):
+            assert a.shape == b.shape and (a == b).all(), w
+
+
+def test_avi_parser_gates_and_sample_frames_real(spark):
+    """Compressed streams and non-RIFF payloads refuse loudly; the
+    real (fake=False) sample_frames path extracts strided AVI frames
+    whose signatures match md5 of the original numpy frame bytes."""
+    import hashlib
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import (
+        _parse_avi_frames,
+        encode_avi,
+        sample_frames,
+    )
+
+    with _pytest.raises(ValueError, match="not a RIFF/AVI"):
+        _parse_avi_frames(b"definitely not an avi")
+    # flip biCompression to a nonzero codec: must refuse, not mis-decode
+    good = bytearray(encode_avi([np.zeros((2, 2, 3), np.uint8)]))
+    strf_off = bytes(good).index(b"strf") + 8
+    _struct.pack_into("<I", good, strf_off + 16, 0x30387076)  # 'vp80'
+    with _pytest.raises(ValueError, match="compression"):
+        _parse_avi_frames(bytes(good))
+
+    rng = np.random.RandomState(3)
+    frames = [rng.randint(0, 256, (3, 5, 3)).astype(np.uint8) for _ in range(4)]
+    df = spark.createDataFrame([(1,)], "doc_id long").select(
+        "doc_id", F.lit(bytearray(encode_avi(frames))).alias("payload")
+    )
+    got = {
+        r["frame_idx"]: r["frame_sig"]
+        for r in sample_frames(df, stride=2, fake=False).collect()
+    }
+    assert got == {
+        fi: hashlib.md5(frames[fi].tobytes()).hexdigest() for fi in (0, 2)
+    }
+    # non-AVI payload on the real path: the ffmpeg gate
+    bad = spark.createDataFrame([(2,)], "doc_id long").select(
+        "doc_id", F.lit(b"mp4 bytes").alias("payload")
+    )
+    with _pytest.raises(Exception, match="ffmpeg"):
+        sample_frames(bad, fake=False).collect()
+
+
 def test_real_wav_decode(spark):
     df = spark.range(0, 40).select(F.col("id").alias("doc_id"))
     wp = mm.synth_wav_payload(df, "doc_id")
