@@ -161,6 +161,79 @@ def cosine_topk(
     )
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+    k0: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    — the standard hybrid-retrieval combiner: given n ranked lists,
+    score(d) = Σ_i 1/(k0 + rank_i(d)) over the lists containing d,
+    with the canonical k0 = 60. Fuses rankings whose raw scores are
+    incomparable (BM25 vs cosine) using only the rank integers.
+
+    Determinism (the t12/bm25 discipline): floating addition is
+    order-sensitive, so each list's contribution is pivoted into its
+    OWN column (a MIN over a group where the list holds at most one
+    rank per id) and the columns are added left-to-right in the
+    caller-given list order — any engine evaluating the same
+    parenthesization reproduces the fused score bit-for-bit. An id a
+    list does not contain contributes exactly 0.0 from that list.
+
+    Output: (id, rrf_score, n_lists, rnk) — n_lists = how many input
+    lists contained the id; rnk = fused rank (ties broken by id);
+    top_k rows via TakeOrdered (no global sort exchange).
+
+    Scale: the inputs are top-N lists, so the union is ≤ n·N rows
+    REGARDLESS of corpus size — one tiny hash aggregation, nothing
+    corpus-shaped moves. A duplicate id within one list keeps its
+    best (minimum) rank.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    parts = [
+        r.select(
+            F.col(id_col),
+            F.lit(i).alias("__src"),
+            F.col(rank_col).cast("bigint").alias("__rnk"),
+        )
+        for i, r in enumerate(rankings)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    piv = u.groupBy(id_col).agg(
+        *[
+            F.min(F.when(F.col("__src") == i, F.col("__rnk"))).alias(f"__r_{i}")
+            for i in range(len(parts))
+        ]
+    )
+
+    def contrib(i: int) -> Column:
+        return F.when(
+            F.col(f"__r_{i}").isNotNull(),
+            F.lit(1.0) / (F.lit(float(k0)) + F.col(f"__r_{i}").cast("double")),
+        ).otherwise(F.lit(0.0))
+
+    total = contrib(0)
+    for i in range(1, len(parts)):
+        total = total + contrib(i)
+    n_lists = F.col("__r_0").isNotNull().cast("int")
+    for i in range(1, len(parts)):
+        n_lists = n_lists + F.col(f"__r_{i}").isNotNull().cast("int")
+    scored = piv.select(
+        F.col(id_col),
+        total.alias("rrf_score"),
+        n_lists.cast("int").alias("n_lists"),
+    ).orderBy(F.col("rrf_score").desc(), F.col(id_col)).limit(top_k)
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    return scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.99,

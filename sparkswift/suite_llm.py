@@ -2982,6 +2982,87 @@ def mm8_avi_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# e12 — RRF HYBRID RETRIEVAL (VERDICT r10 #5): reciprocal-rank fusion
+# (Cormack, Clarke & Büttcher 2009, k0=60) of one query expressed in
+# two modalities — the t12 bag-of-terms lexically (BM25 top-50) and
+# vec 0's embedding semantically (e1's exact cosine top-50). Fusion
+# uses ONLY the rank integers, so the fused doubles are two exact
+# 1/(60+r) terms added in fixed order — bit-identical across engines;
+# the oracle recomputes both rankings (t12's and e1's own SQL shapes)
+# and the same fusion. n_lists certifies genuine overlap handling.
+# ---------------------------------------------------------------------------
+_E12_N = 50  # per-list depth
+_E12_K = 20  # fused cut
+
+
+def _e12_oracle() -> str:
+    lex_full = tx.bm25_sql("documents", _BM25_TERMS, top_k=_E12_N)
+    return f"""
+    WITH lex_scored AS ({lex_full}),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+      FROM lex_scored
+    ),
+    v AS (SELECT vec_id,
+                 list_transform(embedding,
+                                x -> round(CAST(x AS DOUBLE) * 1000000)) AS q
+          FROM embeddings),
+    n AS (SELECT vec_id, q, list_inner_product(q, q) AS n2 FROM v),
+    p AS (SELECT cv.vec_id AS doc_id,
+                 list_inner_product(qv.q, cv.q)
+                   / (sqrt(qv.n2) * sqrt(cv.n2)) AS cos_sim
+          FROM n qv JOIN n cv ON cv.vec_id <> qv.vec_id
+          WHERE qv.vec_id = 0),
+    sem AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rnk
+      FROM p
+      QUALIFY rnk <= {_E12_N}
+    ),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             (CASE WHEN lex.rnk IS NOT NULL
+                   THEN 1.0 / (60.0 + CAST(lex.rnk AS DOUBLE))
+                   ELSE 0.0 END)
+           + (CASE WHEN sem.rnk IS NOT NULL
+                   THEN 1.0 / (60.0 + CAST(sem.rnk AS DOUBLE))
+                   ELSE 0.0 END) AS rrf_score,
+             CAST((lex.rnk IS NOT NULL)::INT
+                + (sem.rnk IS NOT NULL)::INT AS INT) AS n_lists
+      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    )
+    SELECT doc_id, rrf_score, n_lists,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                AS BIGINT) AS rnk
+    FROM fused
+    QUALIFY rnk <= {_E12_K}
+    """
+
+
+@register("e12_hybrid_rrf", _e12_oracle())
+def e12_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex_scored = tx.bm25_topk(docs, _BM25_TERMS, top_k=_E12_N)
+    # rank the bounded 50-row frame (single-partition window is fine
+    # at this size; the corpus-shaped work happened inside bm25_topk)
+    lex = lex_scored.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+        .cast("bigint")
+        .alias("rnk"),
+    )
+    sem = sim.cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=_E12_N
+    ).select(F.col("corpus_id").alias("doc_id"), "rnk")
+    return sim.rrf_fuse([lex, sem], top_k=_E12_K)
+
+
+# ---------------------------------------------------------------------------
 # e10 — OPQ-rotated PQ (Ge et al. 2013 parametric OPQ; FAISS's OPQ
 # pretransform): PCA rotation + greedy eigenvalue allocation balance
 # per-subspace variance before the standard PQ pipeline; the refine

@@ -1352,6 +1352,53 @@ def _mmr_fixture_pdf():
     )
 
 
+def test_rrf_fuse_laws_vs_pure_python(spark):
+    """RRF laws against an INDEPENDENT pure-python reference (not the
+    engine's pivot): fused scores, tie rule (equal rrf_score → lower
+    id first, including at the top_k cut), one-sided ids contribute
+    0.0 from absent lists, duplicate id within a list keeps its best
+    rank, and n_lists counts containing lists."""
+    from sparkswift.operators.similarity import rrf_fuse
+
+    # list A ranks 1..4 for ids 1..4 (id 3 duplicated at worse rank);
+    # list B ranks ids 3,4,5,6 — overlap {3,4}, one-sided {1,2} / {5,6}
+    la = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3), (4, 4), (3, 9)], "doc_id long, rnk long"
+    )
+    lb = spark.createDataFrame(
+        [(3, 1), (4, 2), (5, 3), (6, 4)], "doc_id long, rnk long"
+    )
+    got = {
+        r["doc_id"]: (r["rrf_score"], r["n_lists"], r["rnk"])
+        for r in rrf_fuse([la, lb], k0=60, top_k=6).collect()
+    }
+
+    ref_lists = [{1: 1, 2: 2, 3: 3, 4: 4}, {3: 1, 4: 2, 5: 3, 6: 4}]
+    ref = {}
+    for d in {i for lst in ref_lists for i in lst}:
+        score = 0.0
+        n = 0
+        for lst in ref_lists:
+            if d in lst:
+                score = score + 1.0 / (60.0 + float(lst[d]))
+                n += 1
+        ref[d] = (score, n)
+    order = sorted(ref, key=lambda d: (-ref[d][0], d))
+    expect = {
+        d: (ref[d][0], ref[d][1], i + 1) for i, d in enumerate(order)
+    }
+    assert got == expect
+    # overlap ids must outrank every one-sided id here
+    assert got[3][2] == 1 and got[4][2] == 2 and got[3][1] == 2
+
+    # pure tie at the cut: two one-list ids with the SAME rank in
+    # different lists → identical score; lower id survives top_k
+    lc = spark.createDataFrame([(10, 1)], "doc_id long, rnk long")
+    ld = spark.createDataFrame([(7, 1)], "doc_id long, rnk long")
+    top = rrf_fuse([lc, ld], k0=60, top_k=1).collect()
+    assert len(top) == 1 and top[0]["doc_id"] == 7 and top[0]["rnk"] == 1
+
+
 def test_mmr_diversify_breaks_up_redundant_cluster(spark):
     from sparkswift.operators.similarity import mmr_diversify
 

@@ -38,6 +38,7 @@ BNLJ_ALLOWED: dict[str, int] = {
     "agg14_skew_report": 1,  # one-row total join
     "q22_sales_opportunity": 1,  # one-row balance threshold
     "e1_cosine_topk": 1,  # one-row query-norm
+    "e12_hybrid_rrf": 2,  # t12's one-row corpus stats + e1's one-row query
     "t7_tfidf_top_terms": 1,  # one-row doc-count
     "t12_bm25": 1,  # one-row corpus stats
     "t15_unigram_logprob": 1,  # one-row vocab total
