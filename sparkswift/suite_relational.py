@@ -2386,3 +2386,46 @@ def g5_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nodes bigint, min_core_degree_ok boolean, nontrivial boolean,"
         " membership_total boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# g6 — LABEL-PROPAGATION COMMUNITIES (Raghavan 2007, semi-synchronous
+# parity schedule — operators/graph.py:label_propagation) on the
+# co-ORDER graph: orders of the same customer are pairwise linked, so
+# the graph is a DISJOINT UNION OF CLIQUES — chosen because there the
+# fixed point is schedule-independent and EXACTLY oracle-checkable:
+# labels cannot cross components, and no split clique is stable under
+# the argmax rule (a 2-label split needs q-1>p and p-1>q — impossible)
+# so termination forces per-clique consensus. Canonicalizing each
+# label group by its min node id therefore yields exactly "min
+# orderkey per customer" — a full hash oracle, strictly stronger than
+# an invariant gate. The non-trivial LPA behavior a clique fixture
+# can't show (bridged planted communities staying separate, bipartite
+# oscillation killed by the parity schedule) is pytest-proven.
+# ---------------------------------------------------------------------------
+@register(
+    "g6_lpa_communities",
+    """
+    WITH c AS (
+      SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 2
+    )
+    SELECT o.o_orderkey AS node,
+           MIN(o.o_orderkey) OVER (PARTITION BY o.o_custkey) AS community
+    FROM orders o JOIN c ON o.o_custkey = c.o_custkey
+    """,
+)
+def g6_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.graph import label_propagation
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    b = o.select(
+        F.col("o_custkey").alias("k"), F.col("o_orderkey").alias("o2")
+    )
+    edges = (
+        o.join(b, o.o_custkey == b.k)
+        .filter(F.col("o_orderkey") < F.col("o2"))
+        .select(F.col("o_orderkey").alias("src"), F.col("o2").alias("dst"))
+    )
+    lp = label_propagation(edges)
+    comm = lp.groupBy("label").agg(F.min("node").alias("community"))
+    return lp.join(comm, "label").select("node", "community")

@@ -341,3 +341,115 @@ def test_kcore_equals_pure_python_peel(spark):
         set(range(200, 207))
         & {r["node"] for r in kcore(df, k=2).filter("in_core = 1").collect()}
     )
+
+
+# --- g6: label propagation --------------------------------------------------
+
+
+def _lpa_reference(edges, max_iter=200):
+    """Independent pure-python twin of the synchronous LPA + 2-cycle
+    monotone break (the fuzz harness that validated the design)."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def winners(labels):
+        w = {}
+        for v in adj:
+            cnt = {}
+            for u in adj[v]:
+                cnt[labels[u]] = cnt.get(labels[u], 0) + 1
+            w[v] = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        return w
+
+    labels = {v: v for v in adj}
+    prev2 = None
+    for _ in range(max_iter):
+        new = dict(winners(labels))
+        if new == labels:
+            return labels
+        if prev2 is not None and new == prev2:
+            wb = winners(new)
+            new = {v: (wb[v] if wb[v] < new[v] else new[v]) for v in new}
+            prev2 = None
+            labels = new
+            continue
+        prev2, labels = labels, new
+    raise RuntimeError("reference LPA did not converge")
+
+
+def test_label_propagation_matches_pure_python_reference(spark):
+    """Engine == the independent reference on the oscillation-prone
+    shapes (same-parity 2-clique, 4-cycle, K33) and on random graphs;
+    stats report rounds and breaking rounds."""
+    import itertools
+    import random
+
+    from sparkswift.operators.graph import label_propagation
+
+    cases = [
+        [(4, 22)],  # same-parity 2-clique: pure swap oscillator
+        [(0, 1), (1, 2), (2, 3), (3, 0)],  # bipartite 4-cycle
+        [(2 * i, 2 * j + 1) for i in range(3) for j in range(3)],  # K33
+        [(0, i) for i in range(1, 8)],  # star
+    ]
+    rng = random.Random(5)
+    for _ in range(4):
+        nodes = rng.sample(range(0, 1000), rng.randint(5, 14))
+        p = rng.choice([0.3, 0.7])
+        cases.append(
+            [
+                (a, b)
+                for a, b in itertools.combinations(nodes, 2)
+                if rng.random() < p
+            ]
+        )
+    for edges in cases:
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "src long, dst long")
+        stats = {}
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, stats=stats).collect()
+        }
+        assert got == _lpa_reference(edges), edges
+        assert stats["iters"] >= 1 and stats["breaks"] >= 0
+
+
+def test_label_propagation_planted_communities_stay_separate(spark):
+    """Two bridged cliques keep distinct labels (what connected
+    components CANNOT express) and each clique reaches consensus on a
+    member id — the split-instability law behind g6's exact oracle."""
+    import itertools
+
+    from sparkswift.operators.graph import label_propagation
+
+    a = [10, 12, 14, 16, 18]
+    b = [1, 3, 5, 7, 9]
+    edges = (
+        list(itertools.combinations(a, 2))
+        + list(itertools.combinations(b, 2))
+        + [(18, 9)]
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(
+            spark.createDataFrame(edges, "src long, dst long")
+        ).collect()
+    }
+    la = {got[v] for v in a}
+    lb = {got[v] for v in b}
+    assert len(la) == 1 and len(lb) == 1 and la != lb
+    assert la.pop() in a and lb.pop() in b
+
+
+def test_label_propagation_runaway_guard(spark):
+    from sparkswift.operators.graph import label_propagation
+
+    df = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not stabilize"):
+        label_propagation(df, max_iter=1)
