@@ -774,63 +774,34 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Registration order. The correctness driver verifies the first 50
 # registrations, so the window below holds the 50 entries with the
-# highest evidence value THIS round (round 10). Rotation policy
+# highest evidence value THIS round (round 11). Rotation policy
 # (tools/ledger.py): oldest driver evidence first, new/changed code
 # always earns rows in its own round. Composition:
 #
-# 1. The 3 queries NEW this round: o8_cogroup_asof (cogrouped
-#    two-frame Arrow UDF — the last uncovered entry point, DuckDB
-#    ASOF oracle), st22_stream_asof_enrich (stream-stream as-of via
-#    applyInPandasWithState, stream≡batch ASOF oracle),
-#    mm7_jpeg_decode_real (real baseline JPEG decode, bit-exact
-#    constant-block synth).
-# 2. Changed-code refreshes (the round's edits must re-earn driver
-#    rows): e10_gate (now hash-certifies recall(OPQ)>recall(PQ) on a
-#    deterministic anisotropic synth corpus), t20_bigram_logprob
-#    (hash_buckets= vocab bound), p27_epoch_upsample +
-#    p28_curriculum_order (_upsample_plan top-bucket fix — shared by
-#    engine and oracle), t18_bpe_decode_gate (out-of-range ids decode
-#    to a visible <bad-id>), p23_gate (token-id range guard),
-#    p26_gate (NULL string members), and the persisted-store
-#    lifecycle refactor through sources/store.py:
-#    d10_dedup_incremental, d14_gate, d14_neardup_incremental,
-#    d16_gate, d16_semdedup_incremental, e4_gate, e7_gate,
-#    st14_stream_crawl_ingest, st16_stream_semdedup_ingest,
-#    p21_store_compaction.
-# 3. The ENTIRE r4-stale cohort (5 rounds behind after r9 — the
-#    stalest evidence in the ledger): agg3, agg6, agg7, d2, d7, d9,
-#    o6_resample_closed_right, p1, p3, p6, p7, p8, p9, t1, t3, t4,
-#    t5, t7, t8, t9, w1, w2.
-# 4. The round's late additions (Count-Min agg19 + st23: hash-exact
-#    cells, bit-exact merge law; funnel agg20 + retention agg21:
-#    event-sequence analytics; d17: edit-distance join via complete
-#    deletion-variant candidates; w5 SCD2 intervals; p29 copy-on-
-#    write MERGE upsert; st24 stream-stream LEFT OUTER interval join
-#    — the outer-row state-expiry path nothing else exercises; and
-#    e11_gate, the SQ8 recall verdict, taking t4_token_count's
-#    r4-stale slot — t4 holds 4 prior greens and the t family keeps
-#    t1/t3/t5/t7/t8/t9 + three gates in-window; and
-#    st25_stream_funnel, the streaming deadline funnel, taking
-#    agg6_pivot's r4-stale slot — agg6 holds 4 prior greens and the
-#    agg family keeps agg3/agg7/agg19/agg20/agg21 in-window;
-#    st26_stream_retention taking d7's r4-stale slot — d7 holds 4
-#    prior greens and the d family keeps d2/d9/d10/d14/d16/d17
-#    in-window; g3_triangle_count taking w1's r4-stale slot — w1
-#    holds 4 prior greens and the w family keeps w2/w5 in-window;
-#    g4_clustering_coeff taking t1's r4-stale slot — t1 holds 4
-#    prior greens and the t family keeps t3/t5/t7/t8/t9 + three
-#    gates in-window; g5_gate taking p1's r4-stale slot — p1 holds
-#    2 prior greens and the p family keeps p3/p6/p7/p8/p9 + five
-#    more in-window). All
-#    50 slots are new code, changed code, or the r4-stale cohort
-#    (agg5/agg8/agg12/d3/e1/j7/q3/w3 to the round-11 seed; the
-#    d/e/j families keep 9/3/0 in-window — j earned r8/r9 rows
-#    across j1-j6/j10/j11).
+# 1. The 3 queries NEW this round: mm8_avi_frames_real (real
+#    uncompressed RIFF/AVI frame extraction — exact per-frame-mean
+#    oracle), e12_hybrid_rrf (BM25 + cosine reciprocal-rank fusion,
+#    bit-exact fused doubles), g6_lpa_communities (label propagation
+#    on the co-order clique graph — FULL hash oracle via the
+#    split-instability argument, graph.py docstring).
+# 2. Changed-code refreshes (this round's fixes must re-earn rows):
+#    p29_merge_upsert (emptied-partition delete fix + stats split),
+#    o8_cogroup_asof (unconditional key-drop fix).
+# 3. The ENTIRE r4-stale cohort (6 rounds behind — the stalest
+#    evidence in the ledger): agg6_pivot, d7_dedup_clusters,
+#    p1_deterministic_sample, t1_text_quality, t4_token_count,
+#    w1_rank_lag.
+# 4. 39 of the 44 r5-stale queries (the round-10 verdict's named
+#    seed). Displaced to the round-12 seed, least evidence loss
+#    first: agg5_quantiles and e1_cosine_topk (4 prior greens each;
+#    agg keeps 6 and e keeps 6 in-window) and the rows-only
+#    d3_minhash_lsh / d4_simhash / d6_embedding_neardup_lsh (their
+#    hash evidence lives in d3/d4/d6 gates — 6G 7G each — and the d
+#    family keeps d7/d8/d11 in-window).
 #
-# Displaced to the tail (all r9-green, families still in-window):
-# the entire r9 window except the changed-code entries above.
-# Round-11 rotation seed, stalest first: the remaining 37 r5-stale
-# queries (ledger --markdown lists them), then the r7-stale gates.
+# Round-12 rotation seed, stalest first: agg5, e1, d3, d4, d6 (the
+# five displaced above), then the r7-stale gates
+# (ledger --markdown lists them).
 #
 # st2b_stateful_totals_tws remains unregistered: the container lacks
 # protobuf so transformWithState cannot import (NOTES.md, re-checked
@@ -842,60 +813,59 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _WINDOW = [
     # --- (1) new this round ---
-    "o8_cogroup_asof",
-    "st22_stream_asof_enrich",
-    "mm7_jpeg_decode_real",
+    "mm8_avi_frames_real",
+    "e12_hybrid_rrf",
+    "g6_lpa_communities",
     # --- (2) changed-code refreshes ---
-    "e10_gate",
-    "t20_bigram_logprob",
-    "p27_epoch_upsample",
-    "p28_curriculum_order",
-    "t18_bpe_decode_gate",
-    "p23_gate",
-    "p26_gate",
-    "d10_dedup_incremental",
-    "d14_gate",
-    "d14_neardup_incremental",
-    "d16_gate",
-    "d16_semdedup_incremental",
-    "e4_gate",
-    "e7_gate",
-    "st14_stream_crawl_ingest",
-    "st16_stream_semdedup_ingest",
-    "p21_store_compaction",
-    # --- (3) the r4-stale cohort ---
-    "agg3_rollup",
-    "st25_stream_funnel",
-    "agg7_grouping_sets",
-    "d2_ngram_jaccard",
-    "st26_stream_retention",
-    "d9_dedup_clusters_star",
-    "o6_resample_closed_right",
-    "g5_gate",
-    "p3_decontaminate",
-    "p6_pack_sequences",
-    "p7_group_split",
-    "p8_deterministic_shuffle",
-    "p9_corpus_build",
-    "g4_clustering_coeff",
-    "t3_fingerprint",
-    "e11_gate",
-    "t5_repetition",
-    "t7_tfidf_top_terms",
-    "t8_c4_line_filter",
-    "t9_corpus_stats",
-    "g3_triangle_count",
-    "w2_running_total",
-    # --- (4) late additions (new code outranks a staleness refresh:
-    # agg5/agg8/agg12/q3/w3 move to the round-11 seed) ---
-    "agg19_countmin",
-    "st23_stream_countmin_ingest",
-    "agg20_funnel",
-    "agg21_retention",
-    "d17_editdistance_join",
-    "w5_scd2_intervals",
     "p29_merge_upsert",
-    "st24_stream_left_outer_join",
+    "o8_cogroup_asof",
+    # --- (3) the r4-stale cohort (stalest in the ledger) ---
+    "agg6_pivot",
+    "d7_dedup_clusters",
+    "p1_deterministic_sample",
+    "t1_text_quality",
+    "t4_token_count",
+    "w1_rank_lag",
+    # --- (4) the r5-stale cohort (44 minus the 5 displaced) ---
+    "agg10_profile",
+    "agg11_sketch_union",
+    "agg12_json_extract",
+    "agg2_approx_distinct",
+    "agg8_unpivot",
+    "d11_fuzzy_join",
+    "d8_neardup_pipeline",
+    "e2_cosine_topk_lsh",
+    "e3_cosine_topk_ivf",
+    "e4_cosine_topk_ivf_persisted",
+    "e5_cosine_topk_pq",
+    "e6_cosine_topk_ivfpq",
+    "j7_asof_nearest",
+    "j8_range_join_large",
+    "o2_apply_rows_raw",
+    "o5b_rolling_global",
+    "o5c_rolling_global_time",
+    "o6b_resample_ffill",
+    "p10_mixture_sample",
+    "p11_domain_cap",
+    "p12_export_shards",
+    "p13_quality_bins",
+    "p14_interleave",
+    "p15_zorder_key",
+    "p17_leak_report",
+    "p5_decontaminate_bloom",
+    "q18_large_volume_customer",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "st10_stream_neardup",
+    "st7_stream_sample",
+    "st8_stream_enrich",
+    "st9_stream_decontaminate",
+    "t10_normalize",
+    "t11_rare_tokens",
+    "t12_bm25",
+    "t13_gopher_quality",
+    "t15_unigram_logprob",
+    "w3_latest_per_key",
 ]
 
 
