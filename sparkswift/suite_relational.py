@@ -1142,6 +1142,76 @@ def j11_salted_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# j12 — POINT-IN-TIME dimension lookup over the w5 SCD2 intervals
+# (the Kimball "as-was" enrichment: each fact row picks the dimension
+# version valid AT its timestamp). Because SCD2 intervals tile
+# [first_change, ∞) per key — every to_us equals the next from_us —
+# interval containment reduces EXACTLY to a backward as-of join on
+# the interval START: one shuffle, no interval/range join needed.
+# That reduction is the 100 TB point of this query; the oracle states
+# the containment form (from_us <= t < to_us) and the hash match
+# proves the equivalence, boundary semantics included (a probe equal
+# to a change point belongs to the NEW interval — half-open [from,
+# to)). Probes 30 minutes before each event make no-match (before a
+# user's first change) rows reachable, so LEFT semantics are tested.
+# ---------------------------------------------------------------------------
+@register(
+    "j12_scd2_pointintime",
+    """
+    WITH m AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id, event_type,
+             CASE WHEN row_number() OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) = 1
+                  OR lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      FROM events
+    ),
+    dim AS (
+      SELECT user_id, event_type, t AS from_us,
+             lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+               AS to_us
+      FROM m WHERE chg = 1
+    ),
+    f AS (
+      SELECT event_id, user_id, epoch_us(ts) - 1800000000 AS probe_us
+      FROM events
+    )
+    SELECT f.event_id, f.user_id, f.probe_us,
+           d.event_type AS state_30m_ago
+    FROM f LEFT JOIN dim d
+      ON d.user_id = f.user_id AND d.from_us <= f.probe_us
+         AND (d.to_us IS NULL OR f.probe_us < d.to_us)
+    """,
+)
+def j12_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.events import scd2_intervals
+    from sparkswift.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = scd2_intervals(ev).select(
+        "user_id",
+        F.timestamp_micros(F.col("from_us")).alias("from_ts"),
+        F.col("event_type").alias("state_30m_ago"),
+    )
+    facts = ev.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros("ts") - F.lit(1_800_000_000)).alias("probe_us"),
+        (F.col("ts") - F.expr("INTERVAL 30 minutes")).alias("probe_ts"),
+    )
+    out = asof_join(
+        facts,
+        dim,
+        key="user_id",
+        left_ts="probe_ts",
+        right_ts="from_ts",
+        right_cols=["state_30m_ago"],
+    )
+    return out.select("event_id", "user_id", "probe_us", "state_30m_ago")
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q14 shape (promotion effect): conditional aggregation over a
 # broadcast fact⋈dim join inside one date window. The CASE runs
 # map-side after the broadcast join; the final agg is a single-row

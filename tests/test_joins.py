@@ -350,3 +350,47 @@ def test_interval_overlap_plan_is_equi_join(spark):
     out = range_join_intervals(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 4.0)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_scd2_pointintime_asof_equals_containment(ev):
+    """j12's reduction law: because SCD2 intervals tile
+    [first_change, inf) per key, a backward as-of join on the interval
+    START equals the interval-containment join (from_us <= t < to_us),
+    boundary rows included."""
+    from sparkswift.operators.events import scd2_intervals
+
+    dim = scd2_intervals(ev)
+    facts = ev.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros("ts") - F.lit(1_800_000_000)).alias("probe_us"),
+        (F.col("ts") - F.expr("INTERVAL 30 minutes")).alias("probe_ts"),
+    )
+    via_asof = asof_join(
+        facts,
+        dim.select(
+            "user_id",
+            F.timestamp_micros(F.col("from_us")).alias("from_ts"),
+            F.col("event_type").alias("state"),
+        ),
+        key="user_id",
+        left_ts="probe_ts",
+        right_ts="from_ts",
+        right_cols=["state"],
+    ).select("event_id", "probe_us", "state")
+    d = dim.select(
+        F.col("user_id").alias("d_uid"), "from_us", "to_us",
+        F.col("event_type").alias("state"),
+    )
+    via_containment = facts.join(
+        d,
+        (facts.user_id == d.d_uid)
+        & (d.from_us <= facts.probe_us)
+        & (d.to_us.isNull() | (facts.probe_us < d.to_us)),
+        "left",
+    ).select("event_id", "probe_us", "state")
+    a = via_asof.toPandas().sort_values("event_id").reset_index(drop=True)
+    b = via_containment.toPandas().sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # non-vacuous: some probes precede the user's first change point
+    assert a["state"].isna().sum() > 0
