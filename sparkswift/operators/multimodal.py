@@ -19,13 +19,15 @@ zero dependencies, and ``extract_audio_features`` decodes REAL WAV
 via the stdlib ``wave`` module — all on the ``fake=False`` path.
 ``fake=True`` keeps the deterministic pseudo-decode (features derived
 from payload digests) for plumbing tests and for payloads in formats
-this container cannot decode (progressive/subsampled JPEG and palette
-PNG need PIL). Video: ``decode_video_frames`` and ``sample_frames``
+this container cannot decode (progressive JPEG and palette PNG need
+PIL; baseline JPEG — grayscale, 4:4:4, AND subsampled 4:2:0/4:2:2 —
+decodes for real). Video: ``decode_video_frames`` and ``sample_frames``
 (``fake=False``) REALLY extract frames from uncompressed RIFF/AVI
 payloads (full RIFF grammar walk + headerless DIB rows); compressed
 video stays NotImplementedError — that is ffmpeg territory.
 ``synth_ppm_payload`` / ``synth_wav_payload`` / ``synth_png_payload``
-/ ``synth_jpeg_payload`` / ``synth_avi_payload`` emit VALID media
+/ ``synth_jpeg_payload`` / ``synth_jpeg420_payload`` /
+``synth_avi_payload`` emit VALID media
 bytes from an id column so the real decoders are exercised end-to-end
 without external media.
 """
@@ -253,10 +255,11 @@ def encode_png(px: np.ndarray, filter_of=None) -> bytes:
 
 # ---------------------------------------------------------------------------
 # JPEG baseline sequential (ITU-T T.81, public spec): zero-dependency
-# Huffman + IDCT decoder, plus a grayscale encoder for synth payloads
-# and round-trip tests. Scope: baseline DCT (SOF0), 8-bit, grayscale
-# or 4:4:4 YCbCr (all sampling factors 1×1), optional restart markers.
-# Progressive (SOF2), subsampled chroma, and arithmetic coding raise
+# Huffman + IDCT decoder, plus grayscale AND subsampled-color encoders
+# for synth payloads and round-trip tests. Scope: baseline DCT (SOF0),
+# 8-bit, grayscale or YCbCr at any integer sampling ratio (4:4:4,
+# 4:2:2, 4:2:0, 4:1:1, ...), optional restart markers. Progressive
+# (SOF2), arithmetic coding, and non-integer sampling ratios raise
 # NotImplementedError — honestly gated, not silently wrong.
 # Huffman tables below are the T.81 Annex K "typical" luminance
 # tables; both codec halves share them, so external interop rests on
@@ -298,6 +301,41 @@ _JAC_VALS = (
     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA,
 )
+
+
+# T.81 Annex K "typical" chrominance tables — the DC/AC pair real
+# encoders assign to Cb/Cr (table ids 1); decode stays table-driven
+# from the DHT segments, so these only shape OUR files' bitstreams.
+_JDC_C_BITS = (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+_JDC_C_VALS = tuple(range(12))
+_JAC_C_BITS = (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+_JAC_C_VALS = (
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+assert sum(_JAC_C_BITS) == len(_JAC_C_VALS) == 162
+assert sum(_JDC_C_BITS) == len(_JDC_C_VALS) == 12
+assert sum(_JAC_BITS) == len(_JAC_VALS) == 162
+assert sum(_JDC_BITS) == len(_JDC_VALS) == 12
 
 
 def _jdct_matrix() -> np.ndarray:
@@ -420,6 +458,62 @@ def _jextend(raw: int, cat: int) -> int:
     return raw if raw >= (1 << (cat - 1)) else raw - (1 << cat) + 1
 
 
+def _jencode_block(
+    bw: _JBitWriter,
+    blk: np.ndarray,
+    qmat: np.ndarray,
+    dc_tab: dict,
+    ac_tab: dict,
+    pred: int,
+) -> int:
+    """FDCT + quantize + zigzag + Huffman-encode one level-shifted 8×8
+    block; returns the new DC predictor. Shared by the grayscale and
+    color writers."""
+    coef = _JDCT @ blk @ _JDCT.T
+    zq = np.round(coef / qmat).astype(np.int64)
+    zz = zq.reshape(64)[_JZZ]
+    diff = int(zz[0]) - pred
+    pred = int(zz[0])
+    cat = _jmagnitude(diff)
+    code, ln = dc_tab[cat]
+    bw.put(code, ln)
+    if cat:
+        bw.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    nz = np.flatnonzero(zz[1:])
+    last = int(nz[-1]) + 1 if len(nz) else 0
+    for i in range(1, last + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_tab[0xF0]  # ZRL
+            bw.put(code, ln)
+            run -= 16
+        cat = _jmagnitude(v)
+        code, ln = ac_tab[(run << 4) | cat]
+        bw.put(code, ln)
+        bw.put(v if v >= 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    if last < 63:
+        code, ln = ac_tab[0x00]  # EOB
+        bw.put(code, ln)
+    return pred
+
+
+def _jpad_edge(px: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Pad a 2-D plane to (ph, pw) by edge replication."""
+    h, w = px.shape
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = px
+    if ph > h:
+        padded[h:, :w] = px[h - 1 : h, :]
+    if pw > w:
+        padded[:, w:] = padded[:, w - 1 : w]
+    return padded
+
+
 def encode_jpeg_gray(
     px: np.ndarray,
     qtable: np.ndarray | None = None,
@@ -441,10 +535,7 @@ def encode_jpeg_gray(
     else:
         q = np.asarray(qtable, dtype=np.int64).reshape(64)
     ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    padded = np.empty((ph, pw), dtype=np.float64)
-    padded[:h, :w] = px
-    padded[h:, :w] = px[h - 1 : h, :]  # edge replication
-    padded[:, w:] = padded[:, w - 1 : w]
+    padded = _jpad_edge(np.asarray(px, dtype=np.float64), ph, pw)
 
     dc_tab = _jhuff_encode_table(_JDC_BITS, _JDC_VALS)
     ac_tab = _jhuff_encode_table(_JAC_BITS, _JAC_VALS)
@@ -464,38 +555,7 @@ def encode_jpeg_gray(
                 pred = 0
             mcu += 1
             blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-            coef = _JDCT @ blk @ _JDCT.T
-            zq = np.round(coef / qmat).astype(np.int64)
-            zz = zq.reshape(64)[_JZZ]
-            # DC
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            cat = _jmagnitude(diff)
-            code, ln = dc_tab[cat]
-            bw.put(code, ln)
-            if cat:
-                bw.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
-            # AC
-            run = 0
-            nz = np.flatnonzero(zz[1:])
-            last = int(nz[-1]) + 1 if len(nz) else 0
-            for i in range(1, last + 1):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, ln = ac_tab[0xF0]  # ZRL
-                    bw.put(code, ln)
-                    run -= 16
-                cat = _jmagnitude(v)
-                code, ln = ac_tab[(run << 4) | cat]
-                bw.put(code, ln)
-                bw.put(v if v >= 0 else v + (1 << cat) - 1, cat)
-                run = 0
-            if last < 63:
-                code, ln = ac_tab[0x00]  # EOB
-                bw.put(code, ln)
+            pred = _jencode_block(bw, blk, qmat, dc_tab, ac_tab, pred)
     scan_parts.append(bw.flush())
     scan = b"".join(scan_parts)
 
@@ -520,13 +580,153 @@ def encode_jpeg_gray(
     return out
 
 
+def encode_jpeg_ycbcr(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    sampling: tuple[tuple[int, int], ...] = ((2, 2), (1, 1), (1, 1)),
+    qluma: np.ndarray | None = None,
+    qchroma: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline-sequential COLOR JPEG writer with chroma subsampling
+    (SOF0, three components, T.81 Annex K luma + chroma Huffman
+    tables). ``sampling`` is the per-component (h, v) factor list —
+    ``((2,2),(1,1),(1,1))`` = 4:2:0, ``((2,1),(1,1),(1,1))`` = 4:2:2,
+    ``((1,1),)*3`` = 4:4:4. Planes arrive at FULL resolution; chroma
+    is box-averaged down to its sampled grid (the mean-preserving
+    reduction the decoder's replication upsample inverts exactly on
+    blockwise-constant content — the mm9 synth law). Quantization
+    defaults to flat 16s (luma) / flat 16s (chroma): DC exact for
+    even level-shifted constants. ``restart_interval`` > 0 emits DRI
+    + RSTn every N MCUs with per-component DC predictor resets.
+    """
+    y = np.asarray(y, dtype=np.float64)
+    h, w = y.shape
+    if cb.shape != (h, w) or cr.shape != (h, w):
+        raise ValueError("y/cb/cr must share one full-resolution shape")
+    if len(sampling) != 3:
+        raise ValueError("sampling needs exactly three (h, v) pairs")
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    for sh, sv in sampling:
+        if hmax % sh or vmax % sv:
+            raise ValueError(f"non-integer sampling ratio {sh}x{sv}")
+    ql = (
+        np.full(64, 16, dtype=np.int64)
+        if qluma is None
+        else np.asarray(qluma, dtype=np.int64).reshape(64)
+    )
+    qc = (
+        np.full(64, 16, dtype=np.int64)
+        if qchroma is None
+        else np.asarray(qchroma, dtype=np.int64).reshape(64)
+    )
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    ph, pw = mcuy * 8 * vmax, mcux * 8 * hmax
+
+    planes = []
+    for plane, (sh, sv) in zip(
+        (y, np.asarray(cb, np.float64), np.asarray(cr, np.float64)), sampling
+    ):
+        p = _jpad_edge(plane, ph, pw)
+        ry, rx = vmax // sv, hmax // sh
+        if ry > 1 or rx > 1:  # box-average down to the sampled grid
+            p = p.reshape(ph // ry, ry, pw // rx, rx).mean(axis=(1, 3))
+        planes.append(p)
+
+    dc_l = _jhuff_encode_table(_JDC_BITS, _JDC_VALS)
+    ac_l = _jhuff_encode_table(_JAC_BITS, _JAC_VALS)
+    dc_c = _jhuff_encode_table(_JDC_C_BITS, _JDC_C_VALS)
+    ac_c = _jhuff_encode_table(_JAC_C_BITS, _JAC_C_VALS)
+    tabs = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
+    qmats = [ql.reshape(8, 8), qc.reshape(8, 8), qc.reshape(8, 8)]
+
+    bw = _JBitWriter()
+    scan_parts: list[bytes] = []
+    preds = [0, 0, 0]
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                scan_parts.append(bw.flush())
+                scan_parts.append(
+                    bytes([0xFF, 0xD0 + (mcu // restart_interval - 1) % 8])
+                )
+                bw = _JBitWriter()
+                preds = [0, 0, 0]
+            mcu += 1
+            for ci, (sh, sv) in enumerate(sampling):
+                for byi in range(sv):
+                    for bxi in range(sh):
+                        py = (my * sv + byi) * 8
+                        px = (mx * sh + bxi) * 8
+                        blk = (
+                            planes[ci][py : py + 8, px : px + 8] - 128.0
+                        )
+                        preds[ci] = _jencode_block(
+                            bw, blk, qmats[ci], *tabs[ci], preds[ci]
+                        )
+    scan_parts.append(bw.flush())
+    scan = b"".join(scan_parts)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return (
+            bytes([0xFF, marker])
+            + struct.pack(">H", len(payload) + 2)
+            + payload
+        )
+
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, q in ((0, ql), (1, qc)):
+        zz_q = q.reshape(8, 8).reshape(64)[_JZZ]
+        out += seg(0xDB, bytes([tq]) + bytes(int(x) for x in zz_q))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, ((sh, sv), tq) in enumerate(zip(sampling, (0, 1, 1)), 1):
+        sof += bytes([cid, (sh << 4) | sv, tq])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(_JDC_BITS) + bytes(_JDC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_JAC_BITS) + bytes(_JAC_VALS))
+    out += seg(
+        0xC4, bytes([0x01]) + bytes(_JDC_C_BITS) + bytes(_JDC_C_VALS)
+    )
+    out += seg(
+        0xC4, bytes([0x11]) + bytes(_JAC_C_BITS) + bytes(_JAC_C_VALS)
+    )
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += scan + b"\xff\xd9"  # EOI
+    return out
+
+
+def encode_jpeg_color(
+    rgb: np.ndarray,
+    sampling: tuple[tuple[int, int], ...] = ((2, 2), (1, 1), (1, 1)),
+    restart_interval: int = 0,
+) -> bytes:
+    """RGB convenience wrapper over :func:`encode_jpeg_ycbcr` — JFIF
+    forward color transform (the exact inverse pair of the decoder's
+    YCbCr→RGB matrix), then the subsampled color writer."""
+    px = np.asarray(rgb, dtype=np.float64)
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return encode_jpeg_ycbcr(
+        y, cb, cr, sampling=sampling, restart_interval=restart_interval
+    )
+
+
 def _parse_jpeg(b: bytes) -> np.ndarray:
     """REAL baseline-sequential JPEG decode (marker parse → per-table
     Huffman decode → dequantize → zigzag → IDCT → level shift), pure
     numpy/stdlib. Returns (h, w, 3) uint8 — grayscale replicates to
     three channels; 3-component scans convert YCbCr→RGB (JFIF
-    matrix). Raises NotImplementedError for progressive/extended
-    frames and subsampled chroma."""
+    matrix); subsampled chroma (4:2:0/4:2:2/4:1:1) decodes via the
+    interleaved-MCU scan + replication upsample. Raises
+    NotImplementedError for progressive frames."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -580,12 +780,21 @@ def _parse_jpeg(b: bytes) -> np.ndarray:
             comps = []
             for i in range(nc):
                 cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
-                if hv != 0x11:
+                ch, cv = hv >> 4, hv & 0x0F
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError(f"bad sampling factors {ch}x{cv}")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            for c in comps:
+                # integer-ratio upsampling only (every standard layout:
+                # 4:4:4, 4:2:2, 4:2:0, 4:1:1, 4:4:0); fractional ratios
+                # are spec-legal but unseen in practice — honest gate
+                if hmax % c["h"] or vmax % c["v"]:
                     raise NotImplementedError(
-                        "subsampled chroma (sampling factors != 1x1) "
-                        "unsupported — baseline 4:4:4/grayscale only"
+                        f"non-integer sampling ratio {c['h']}x{c['v']} "
+                        f"vs max {hmax}x{vmax} unsupported"
                     )
-                comps.append({"id": cid, "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
@@ -613,8 +822,40 @@ def _jpeg_scan(
 ) -> np.ndarray:
     h, w, comps = frame["h"], frame["w"], frame["comps"]
     nc = len(comps)
-    nbx, nby = (w + 7) // 8, (h + 7) // 8
-    planes = [np.zeros((nby * 8, nbx * 8), dtype=np.float64) for _ in range(nc)]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    # per-component true dimensions (T.81 A.1.1) and MCU grid
+    for c in comps:
+        c["x"] = -(-w * c["h"] // hmax)  # ceil(w * h_i / hmax)
+        c["y"] = -(-h * c["v"] // vmax)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    if len(sel) == 1 and nc > 1:
+        raise NotImplementedError(
+            "non-interleaved multi-scan JPEG unsupported"
+        )
+    if len(sel) == 1:
+        # single-component scan: MCU = one block over the component's
+        # own block grid, sampling factors ignored (T.81 A.2.2)
+        mcux, mcuy = -(-comps[0]["x"] // 8), -(-comps[0]["y"] // 8)
+        blocks_per_mcu = [(0, 0, 0)]
+        planes = [np.zeros((mcuy * 8, mcux * 8), dtype=np.float64)]
+        grids = [(1, 1)]
+    else:
+        # interleaved: each MCU carries h_i x v_i blocks per component
+        # in raster order (T.81 A.2.3)
+        blocks_per_mcu = [
+            (ci, byi, bxi)
+            for ci, c in enumerate(comps)
+            for byi in range(c["v"])
+            for bxi in range(c["h"])
+        ]
+        planes = [
+            np.zeros(
+                (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64
+            )
+            for c in comps
+        ]
+        grids = [(c["h"], c["v"]) for c in comps]
     rd = _JBitReader(b, pos)
     preds = [0] * nc
 
@@ -657,8 +898,8 @@ def _jpeg_scan(
         return _JDCT.T @ coef @ _JDCT + 128.0
 
     mcu = 0
-    for by in range(nby):
-        for bx in range(nbx):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 # encoder pads to a byte boundary then emits RSTn:
                 # discard the pad bits, surface the marker, realign
@@ -670,18 +911,34 @@ def _jpeg_scan(
                 except _JRestart:
                     rd.align_after_restart()
                     preds[:] = [0] * nc
-            for ci in range(nc):
+            for ci, byi, bxi in blocks_per_mcu:
                 blk = decode_block(ci)
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+                gh, gv = grids[ci]
+                py = (my * gv + byi) * 8
+                px = (mx * gh + bxi) * 8
+                planes[ci][py : py + 8, px : px + 8] = blk
             mcu += 1
 
+    # crop each plane to its true component size, then upsample to
+    # full resolution by pixel replication (the standard fast chroma
+    # reconstruction; bit-exact for the box-averaged encoder below)
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci][: c["y"], : c["x"]]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1:
+            p = np.repeat(p, ry, axis=0)
+        if rx > 1:
+            p = np.repeat(p, rx, axis=1)
+        full.append(p[:h, :w])
+
     if nc == 1:
-        g = np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)
     if nc == 3:
-        y = planes[0][:h, :w]
-        cb = planes[1][:h, :w] - 128.0
-        cr = planes[2][:h, :w] - 128.0
+        y = full[0]
+        cb = full[1] - 128.0
+        cr = full[2] - 128.0
         r = y + 1.402 * cr
         g = y - 0.344136 * cb - 0.714136 * cr
         bl = y + 1.772 * cb
@@ -702,7 +959,7 @@ def _decode_image_bytes(b: bytes) -> np.ndarray:
     raise ValueError(
         "undecodable image payload (real path supports PPM P6, 24-bit "
         "BMP, 8-bit RGB/RGBA PNG, and baseline-sequential JPEG "
-        "[grayscale/4:4:4; progressive and subsampled chroma need "
+        "[grayscale and 4:4:4/4:2:2/4:2:0 YCbCr; progressive needs "
         "PIL] — use fake=True for plumbing-only runs)"
     )
 
@@ -1067,6 +1324,78 @@ def synth_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             F.lit("image/jpeg").alias("mime"),
             (8 * (1 + F.col(id_col) % 3)).cast("int").alias("width"),
             (8 * (1 + F.col(id_col) % 2)).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ),
+    )
+
+
+# mm9 palette: (cb, cr, shift_r, shift_g, shift_b) — even chroma
+# constants whose YCbCr→RGB rounding shifts were BRUTE-FORCE certified
+# (every even y in 60..178 × all three samplings decodes to exactly
+# y+shift per channel; tests/test_llm_ops.py re-asserts a sweep). The
+# shifts are what the mm9 oracle adds to the per-block luma mean.
+JPEG420_PALETTE: tuple[tuple[int, int, int, int, int], ...] = (
+    (98, 98, -42, 32, -53),
+    (106, 124, -6, 10, -39),
+    (114, 150, 31, -11, -25),
+    (124, 114, -20, 11, -7),
+    (132, 140, 17, -10, 7),
+    (142, 104, -34, 12, 25),
+    (150, 130, 3, -9, 39),
+    (158, 158, 42, -32, 53),
+)
+JPEG420_SAMPLINGS: tuple[tuple[tuple[int, int], ...], ...] = (
+    ((2, 2), (1, 1), (1, 1)),  # 4:2:0
+    ((2, 1), (1, 1), (1, 1)),  # 4:2:2
+    ((1, 1), (1, 1), (1, 1)),  # 4:4:4
+)
+
+
+def synth_jpeg420_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a VALID subsampled COLOR JPEG per row whose decode
+    is EXACT (mm7's law extended to chroma): luma is constant per
+    8×8 block — ``y(i,bx,by) = 60 + 2·((3i + 5bx + 7by) mod 60)`` at
+    8·(1+i%5) × 8·(1+i%3) — and chroma is a constant per-image
+    :data:`JPEG420_PALETTE` entry (id mod 8), so the box-average
+    subsample and the replication upsample are exact inverses and
+    every DC quantization (Q=16, even level-shifted values) is exact.
+    Sampling rotates through 4:2:0 / 4:2:2 / 4:4:4 (id mod 3) and ids
+    ≡ 0 mod 4 add restart markers, so MCU interleaving, chroma-plane
+    padding (block grids odd vs the 2× MCU), per-component predictor
+    resets, and the replication upsample all run corpus-wide. Decoded
+    channel means reduce to block-mean id arithmetic + the palette's
+    certified rounding shifts — the mm9 oracle re-derives both."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            nbx, nby = 1 + i % 5, 1 + i % 3
+            bx = np.arange(nbx, dtype=np.int64)[None, :]
+            by = np.arange(nby, dtype=np.int64)[:, None]
+            yb = 60 + 2 * ((3 * i + 5 * bx + 7 * by) % 60)
+            y = np.kron(yb, np.ones((8, 8), dtype=np.int64)).astype(
+                np.float64
+            )
+            cb, cr = JPEG420_PALETTE[i % 8][:2]
+            return encode_jpeg_ycbcr(
+                y,
+                np.full_like(y, float(cb)),
+                np.full_like(y, float(cr)),
+                sampling=JPEG420_SAMPLINGS[i % 3],
+                restart_interval=2 if i % 4 == 0 else 0,
+            )
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("image/jpeg").alias("mime"),
+            (8 * (1 + F.col(id_col) % 5)).cast("int").alias("width"),
+            (8 * (1 + F.col(id_col) % 3)).cast("int").alias("height"),
             F.lit(None).cast("int").alias("sample_rate"),
             F.lit(None).cast("int").alias("n_frames"),
         ),

@@ -2918,8 +2918,8 @@ def mm6_png_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 # restart markers so the RSTn path runs corpus-wide. The synth is
 # constant-per-8×8-block with EVEN grays, so DC quantization (Q=16)
 # is exact and the decode is bit-exact — the image mean reduces to
-# the block-mean id arithmetic the oracle re-derives. Progressive and
-# subsampled-chroma JPEGs stay honestly gated (NotImplementedError).
+# the block-mean id arithmetic the oracle re-derives. Subsampled
+# chroma is covered by mm9; progressive stays gated.
 # ---------------------------------------------------------------------------
 @register(
     "mm7_jpeg_decode_real",
@@ -2979,6 +2979,62 @@ def mm8_avi_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     wp = mm.synth_avi_payload(docs, "doc_id")
     return mm.decode_video_frames(wp, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
+# mm9 — REAL SUBSAMPLED-CHROMA JPEG decode (closes mm7's documented
+# 4:2:0 gate): synth_jpeg420 writes valid color JPEGs rotating
+# through 4:2:0 / 4:2:2 / 4:4:4 with per-8×8-block luma, constant
+# per-image palette chroma, and restart markers every 4th id — MCU
+# interleaving (2×2+1+1 block order), chroma box-average↓ /
+# replication↑, odd block grids vs the 16-px MCU, Annex K chroma
+# Huffman tables, and per-component predictor resets all run
+# corpus-wide. Per-block constants make every step exact (mm7's DC
+# law), so channel means = block-mean luma arithmetic + the palette's
+# brute-force-certified rounding shifts; AVG carries the shift INSIDE
+# so both engines round the quotient once. Progressive JPEG remains
+# honestly gated.
+# ---------------------------------------------------------------------------
+def _mm9_case(idx: int) -> str:
+    arms = " ".join(
+        f"WHEN {p} THEN {mm.JPEG420_PALETTE[p][idx]}" for p in range(8)
+    )
+    return f"CASE doc_id % 8 {arms} END"
+
+
+@register(
+    "mm9_jpeg420_decode_real",
+    f"""
+    WITH bxs AS (SELECT unnest([0, 1, 2, 3, 4]) AS bx),
+         bys AS (SELECT unnest([0, 1, 2]) AS by),
+         p AS (SELECT doc_id, 1 + doc_id % 5 AS nbx, 1 + doc_id % 3 AS nby
+               FROM documents),
+         y AS (SELECT doc_id, nbx, nby,
+                      CAST(60 + 2 * ((3 * doc_id + 5 * bx + 7 * by) % 60)
+                           AS DOUBLE) AS yv
+               FROM p JOIN bxs ON bx < nbx JOIN bys ON by < nby)
+    SELECT doc_id AS id,
+           CAST(8 * nbx AS INT) AS width,
+           CAST(8 * nby AS INT) AS height,
+           AVG(yv + ({_mm9_case(2)})) AS mean_r,
+           AVG(yv + ({_mm9_case(3)})) AS mean_g,
+           AVG(yv + ({_mm9_case(4)})) AS mean_b
+    FROM y
+    GROUP BY doc_id, nbx, nby
+    """,
+)
+def mm9_jpeg420_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    wp = mm.synth_jpeg420_payload(docs, "doc_id")
+    out = mm.decode_image(wp, "doc_id", "payload", fake=False, feat_dim=5)
+    return out.select(
+        "id",
+        F.col("feat")[0].cast("int").alias("width"),
+        F.col("feat")[1].cast("int").alias("height"),
+        F.col("feat")[2].alias("mean_r"),
+        F.col("feat")[3].alias("mean_g"),
+        F.col("feat")[4].alias("mean_b"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1965,6 +1965,168 @@ def test_jpeg_decoder_color_444_interleaved():
         assert (block == want[None, None, :]).all(), (mcu, block[0, 0], want)
 
 
+def test_jpeg_subsampled_blockwise_constant_bitexact():
+    """mm9's exactness law, per-pixel: blockwise-constant even luma +
+    constant even chroma decode BIT-EXACTLY under every sampling
+    layout, restart setting, and odd-block-grid size (padded MCUs)."""
+    import numpy as np
+
+    from sparkswift.operators.multimodal import (
+        JPEG420_SAMPLINGS,
+        _parse_jpeg,
+        encode_jpeg_ycbcr,
+    )
+
+    for s in JPEG420_SAMPLINGS:
+        for h, w in [(8, 8), (16, 24), (24, 40), (8, 40)]:
+            nby, nbx = h // 8, w // 8
+            yb = 60 + 2 * (
+                (
+                    21
+                    + 5 * np.arange(nbx)[None, :]
+                    + 7 * np.arange(nby)[:, None]
+                )
+                % 60
+            )
+            y = np.kron(yb, np.ones((8, 8))).astype(np.float64)
+            cb = np.full((h, w), 154.0)
+            cr = np.full((h, w), 100.0)
+            for ri in (0, 2):
+                out = _parse_jpeg(
+                    encode_jpeg_ycbcr(y, cb, cr, sampling=s, restart_interval=ri)
+                )
+                r = y + 1.402 * (cr - 128)
+                g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+                b = y + 1.772 * (cb - 128)
+                exp = np.clip(
+                    np.round(np.stack([r, g, b], axis=2)), 0, 255
+                ).astype(np.uint8)
+                assert np.array_equal(out, exp), (s, h, w, ri)
+
+
+def test_jpeg420_palette_shift_law():
+    """The mm9 oracle's literal rounding shifts: every palette entry
+    decodes a constant-y image to exactly (y+sr, y+sg, y+sb), for a
+    luma sweep spanning the synth range, under all three samplings
+    (the full even-y brute force ran at palette selection time)."""
+    import numpy as np
+
+    from sparkswift.operators.multimodal import (
+        JPEG420_PALETTE,
+        JPEG420_SAMPLINGS,
+        _parse_jpeg,
+        encode_jpeg_ycbcr,
+    )
+
+    for cb, cr, sr, sg, sb in JPEG420_PALETTE:
+        for yv in (60, 84, 110, 136, 160, 178):
+            for s in JPEG420_SAMPLINGS:
+                o = _parse_jpeg(
+                    encode_jpeg_ycbcr(
+                        np.full((16, 16), float(yv)),
+                        np.full((16, 16), float(cb)),
+                        np.full((16, 16), float(cr)),
+                        sampling=s,
+                    )
+                )
+                assert (o == np.array([yv + sr, yv + sg, yv + sb])).all(), (
+                    cb, cr, yv, s,
+                )
+
+
+def test_jpeg420_roundtrip_bounded_on_smooth_content():
+    """Lossy-but-bounded: a smooth gradient through the 4:2:0 path
+    comes back close (box-average↓ + replication↑ + Q=16); random
+    noise stays decodable with error bounded by the chroma collapse."""
+    import numpy as np
+
+    from sparkswift.operators.multimodal import (
+        _parse_jpeg,
+        encode_jpeg_color,
+    )
+
+    xx, yy = np.meshgrid(np.arange(48), np.arange(32))
+    px = np.stack(
+        [(xx * 2 + yy) % 200 + 20, (xx + yy * 2) % 200 + 20, (xx * 3) % 200 + 20],
+        axis=2,
+    ).astype(np.float64)
+    out = _parse_jpeg(
+        encode_jpeg_color(px, sampling=((2, 2), (1, 1), (1, 1)))
+    ).astype(np.float64)
+    err = np.abs(out - px)
+    assert err.mean() < 3.0 and err.max() < 16.0, (err.mean(), err.max())
+
+    rng = np.random.RandomState(7)
+    noise = rng.randint(0, 256, (33, 45, 3)).astype(np.float64)
+    out = _parse_jpeg(
+        encode_jpeg_color(noise, sampling=((2, 1), (1, 1), (1, 1)), restart_interval=3)
+    )
+    assert out.shape == (33, 45, 3)
+
+
+def test_jpeg_decoder_gates_multiscan_and_bad_factors():
+    """Honesty gates around the new sampling support: a 3-component
+    file rewritten to a single-component scan refuses (non-interleaved
+    multi-scan unsupported), and sampling factors outside 1..4 refuse
+    loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import (
+        _parse_jpeg,
+        encode_jpeg_ycbcr,
+    )
+
+    y = np.full((16, 16), 100.0)
+    cbp = np.full((16, 16), 128.0)
+    good = encode_jpeg_ycbcr(y, cbp, cbp)
+    i = good.find(b"\xff\xda")
+    ln = int.from_bytes(good[i + 2 : i + 4], "big")
+    # rebuild SOS with ns=1 (component 1 only)
+    sos = b"\xff\xda" + (1 + 1 + 2 + 3).to_bytes(2, "big") + bytes(
+        [1, 1, 0x00, 0, 63, 0]
+    )
+    hacked = good[:i] + sos + good[i + 2 + ln :]
+    with _pytest.raises(NotImplementedError, match="non-interleaved"):
+        _parse_jpeg(hacked)
+
+    j = good.find(b"\xff\xc0")
+    bad = bytearray(good)
+    bad[j + 2 + 2 + 6 + 1] = 0x51  # comp 1 sampling 5x1 — out of spec
+    with _pytest.raises(ValueError, match="bad sampling factors"):
+        _parse_jpeg(bytes(bad))
+
+
+def test_real_jpeg420_decode_via_spark(spark):
+    """mm9's pipeline end-to-end on a Spark frame: synth → real decode
+    → channel means match the palette-shift arithmetic."""
+    import numpy as np
+
+    import sparkswift.operators.multimodal as mm
+
+    df = spark.range(24).select(F.col("id").alias("doc_id"))
+    wp = mm.synth_jpeg420_payload(df, "doc_id")
+    out = (
+        mm.decode_image(wp, "doc_id", "payload", fake=False, feat_dim=5)
+        .orderBy("id")
+        .collect()
+    )
+    assert len(out) == 24
+    for r in out:
+        i = r.id
+        nbx, nby = 1 + i % 5, 1 + i % 3
+        assert (r.feat[0], r.feat[1]) == (8 * nbx, 8 * nby)
+        bx = np.arange(nbx)[None, :]
+        by = np.arange(nby)[:, None]
+        mean_y = float(
+            (60 + 2 * ((3 * i + 5 * bx + 7 * by) % 60)).mean()
+        )
+        _, _, sr, sg, sb = mm.JPEG420_PALETTE[i % 8]
+        assert abs(r.feat[2] - (mean_y + sr)) < 1e-9
+        assert abs(r.feat[3] - (mean_y + sg)) < 1e-9
+        assert abs(r.feat[4] - (mean_y + sb)) < 1e-9
+
+
 def test_sq8_encode_native_and_recall(spark, sf_dir):
     """SQ8 laws: encode is pure native (no BatchEvalPython/Arrow eval
     in the encode plan), codes bounded [0,255], dequantized vectors
