@@ -9,6 +9,8 @@ integer counts, so results are bit-deterministic across engines.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -1109,6 +1111,322 @@ def bpe_decode_text(
         "",
     )
     decoded = F.trim(F.regexp_replace(joined, "</w>", " "))
+    return df.withColumn(output_col, decoded)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (Kudo 2018, the SentencePiece "unigram" model —
+# public): the OTHER major subword family next to BPE. Pieces carry
+# probabilities; training is EM over the segmentation lattice with
+# expected-count pruning; encoding is per-word Viterbi (the max-
+# likelihood segmentation). Same split of labor as bpe_train: the
+# corpus-sized work is ONE word-frequency aggregation, the EM runs on
+# that bounded table driver-side (the standard training input), and
+# encode/decode are distributed scan-stage passes.
+# ---------------------------------------------------------------------------
+
+_UNI_WB = "▁"  # ▁ — SentencePiece word-boundary marker
+_UNI_UNK = "<unk>"
+
+
+def _uni_forward(word: str, logp: dict[str, float], max_len: int,
+                 unk_lp: float) -> list[float]:
+    """Log-domain forward pass over the segmentation lattice:
+    alpha[j] = logsumexp_i(alpha[i] + logp(word[i:j])). Unknown single
+    chars advance with the unk penalty so every word has a complete
+    lattice (SentencePiece's unk fallback)."""
+    n = len(word)
+    alpha = [float("-inf")] * (n + 1)
+    alpha[0] = 0.0
+    for j in range(1, n + 1):
+        acc = float("-inf")
+        for i in range(max(0, j - max_len), j):
+            lp = logp.get(word[i:j])
+            if lp is None:
+                if j - i == 1:
+                    lp = unk_lp
+                else:
+                    continue
+            v = alpha[i] + lp
+            if v > acc:
+                acc, lo = v, acc
+            else:
+                lo = v
+            if lo != float("-inf"):
+                acc = acc + math.log1p(math.exp(lo - acc))
+        alpha[j] = acc
+    return alpha
+
+
+def _uni_viterbi(
+    word: str, logp: dict[str, float], max_len: int, unk_lp: float
+) -> list[str]:
+    """Max-likelihood segmentation of one ▁-prefixed word. Ties break
+    deterministically toward the LONGEST last piece (strictly-greater
+    update scanning split points left to right). Characters outside
+    the vocabulary segment as single-char pieces billed at the unk
+    penalty — the caller maps them to the visible <unk> id."""
+    n = len(word)
+    best = [float("-inf")] * (n + 1)
+    back = [0] * (n + 1)
+    best[0] = 0.0
+    for j in range(1, n + 1):
+        for i in range(max(0, j - max_len), j):
+            lp = logp.get(word[i:j])
+            if lp is None:
+                if j - i == 1:
+                    lp = unk_lp
+                else:
+                    continue
+            v = best[i] + lp
+            if v > best[j]:
+                best[j], back[j] = v, i
+    out: list[str] = []
+    j = n
+    while j > 0:
+        i = back[j]
+        out.append(word[i:j])
+        j = i
+    out.reverse()
+    return out
+
+
+def unigram_train(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 300,
+    max_vocab_words: int = 50_000,
+    seed_max_piece_len: int = 6,
+    seed_size: int = 1_500,
+    em_iters: int = 2,
+    prune_keep: float = 0.75,
+) -> list[tuple[str, float]]:
+    """Train a unigram-LM tokenizer (Kudo 2018): returns the ordered
+    piece table ``[(piece, logprob), ...]`` — feed to
+    :func:`unigram_encode_ids` / :func:`unigram_decode_text`.
+
+    Distributed part: ONE explode + groupBy word-frequency pass (the
+    only corpus-sized work; deterministic top-``max_vocab_words`` cap
+    by (freq desc, word)). Driver part over that bounded table: seed
+    vocabulary = every substring of the ▁-prefixed words up to
+    ``seed_max_piece_len`` chars scored by freq·len (top
+    ``seed_size``, plus ALL single characters so every word stays
+    segmentable), then rounds of EM (forward-backward expected piece
+    counts over each word's lattice, freq-weighted) with expected-
+    count pruning — the lowest-count multi-char pieces drop (keeping
+    ``prune_keep`` per round; the public simplification of Kudo's
+    loss-based prune) until ``vocab_size`` remains, then a final EM
+    re-estimate. Pure driver-side floats over a deterministically
+    ordered word list — no cross-partition float summation, so the
+    trained table is bit-reproducible on any cluster layout.
+
+    EM's corpus log-likelihood ascent and the Viterbi optimality of
+    the encoder are pytest-certified against brute-force references
+    (tests/test_llm_ops.py).
+    """
+    wf_rows = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .orderBy(F.col("f").desc(), F.col("w"))
+        .limit(max_vocab_words)
+        .collect()
+    )
+    words: list[tuple[str, int]] = [
+        (_UNI_WB + r.w, int(r.f)) for r in wf_rows
+    ]
+    if not words:
+        raise ValueError("unigram_train: empty corpus")
+
+    # --- seed: substrings scored by freq * len, all single chars kept
+    scores: dict[str, int] = {}
+    chars: set[str] = set()
+    for w, f in words:
+        n = len(w)
+        for i in range(n):
+            chars.add(w[i])
+            for j in range(i + 1, min(i + seed_max_piece_len, n) + 1):
+                p = w[i:j]
+                scores[p] = scores.get(p, 0) + f * (j - i)
+    multi = sorted(
+        (p for p in scores if len(p) > 1),
+        key=lambda p: (-scores[p], p),
+    )[:seed_size]
+    pieces = sorted(chars) + multi
+
+    def em_rounds(pieces: list[str], iters: int) -> dict[str, float]:
+        lp = {p: -math.log(len(pieces)) for p in pieces}
+        max_len = max(len(p) for p in pieces)
+        for _ in range(iters):
+            unk_lp = min(lp.values()) - 10.0
+            counts = {p: 0.0 for p in pieces}
+            for w, f in words:
+                n = len(w)
+                alpha = _uni_forward(w, lp, max_len, unk_lp)
+                if alpha[n] == float("-inf"):
+                    continue
+                # backward pass
+                beta = [float("-inf")] * (n + 1)
+                beta[n] = 0.0
+                for i in range(n - 1, -1, -1):
+                    acc = float("-inf")
+                    for j in range(i + 1, min(i + max_len, n) + 1):
+                        plp = lp.get(w[i:j])
+                        if plp is None:
+                            if j - i == 1:
+                                plp = unk_lp
+                            else:
+                                continue
+                        v = plp + beta[j]
+                        if v > acc:
+                            acc, lo = v, acc
+                        else:
+                            lo = v
+                        if lo != float("-inf"):
+                            acc = acc + math.log1p(math.exp(lo - acc))
+                    beta[i] = acc
+                z = alpha[n]
+                for i in range(n):
+                    if alpha[i] == float("-inf"):
+                        continue
+                    for j in range(i + 1, min(i + max_len, n) + 1):
+                        p = w[i:j]
+                        plp = lp.get(p)
+                        if plp is None:
+                            continue
+                        g = alpha[i] + plp + beta[j] - z
+                        if g > -30.0:
+                            counts[p] += f * math.exp(g)
+            total = sum(counts.values())
+            floor = 1e-12
+            lp = {
+                p: math.log(max(c, floor)) - math.log(max(total, floor))
+                for p, c in counts.items()
+            }
+        return lp
+
+    lp = em_rounds(pieces, em_iters)
+    # --- prune multi-char pieces (lowest expected probability first,
+    # piece-lex ties) until the target size; single chars never drop
+    # (they are the coverage floor), so progress is guaranteed by
+    # keep <= len(multi) - 1 and the loop stops at the alphabet if
+    # vocab_size is set below it
+    while len(lp) > vocab_size:
+        multi_sorted = sorted(
+            (p for p in lp if len(p) > 1), key=lambda p: (lp[p], p)
+        )
+        if not multi_sorted:
+            break  # alphabet floor — vocab_size below the char count
+        n_single = len(lp) - len(multi_sorted)
+        keep = max(
+            vocab_size - n_single, int(len(multi_sorted) * prune_keep)
+        )
+        keep = min(max(keep, 0), len(multi_sorted) - 1)
+        survivors = multi_sorted[len(multi_sorted) - keep :]
+        pieces = sorted(p for p in lp if len(p) == 1) + sorted(
+            survivors, key=lambda p: (-lp[p], p)
+        )
+        lp = em_rounds(pieces, 1)
+    # stable output order: prob desc, then piece — id table derives
+    # from this list alone, so every executor rebuilds it identically
+    return sorted(lp.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def unigram_vocab(pieces: list[tuple[str, float]]) -> dict[str, int]:
+    """Deterministic id table from the trained piece list: ``<unk>`` =
+    0, then the pieces in trained order (prob desc, lex)."""
+    vocab = {_UNI_UNK: 0}
+    for p, _ in pieces:
+        vocab.setdefault(p, len(vocab))
+    return vocab
+
+
+def unigram_encode_ids(
+    df: DataFrame,
+    pieces: list[tuple[str, float]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    output_col: str = "token_ids",
+) -> DataFrame:
+    """Viterbi-encode every document under the trained unigram table:
+    each whitespace word is ▁-prefixed and segmented to its max-
+    likelihood pieces; pieces map to :func:`unigram_vocab` ids, and
+    out-of-vocabulary single characters map to the visible ``<unk>``
+    id. Arrow-batched ``mapInPandas`` with a per-batch word memo —
+    map-side only, no shuffle (the bpe_encode_ids shape).
+
+    Returns ``(id_col, n_pieces, token_ids array<int>)``.
+    """
+    lp = dict(pieces)
+    vocab = unigram_vocab(pieces)
+    unk = vocab[_UNI_UNK]
+    max_len = max(len(p) for p in lp)
+    unk_lp = min(lp.values()) - 10.0
+
+    def batches(it):
+        cache: dict[str, list[int]] = {}
+        for pdf in it:
+            ids_out = []
+            n_out = []
+            for t in pdf[text_col]:
+                doc_ids: list[int] = []
+                for w in t.split() if t else []:
+                    c = cache.get(w)
+                    if c is None:
+                        segs = _uni_viterbi(_UNI_WB + w, lp, max_len, unk_lp)
+                        c = [vocab.get(s, unk) for s in segs]
+                        cache[w] = c
+                    doc_ids.extend(c)
+                ids_out.append(doc_ids)
+                n_out.append(len(doc_ids))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_pieces": pd.Series(n_out, dtype="int64"),
+                    output_col: pd.Series(ids_out, dtype="object"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        batches, f"{id_col} long, n_pieces long, {output_col} array<int>"
+    )
+
+
+def unigram_decode_text(
+    df: DataFrame,
+    pieces: list[tuple[str, float]],
+    ids_col: str = "token_ids",
+    output_col: str = "decoded",
+) -> DataFrame:
+    """Invert :func:`unigram_encode_ids` with NATIVE expressions only
+    (the bpe_decode_text shape): bounded id → piece array literal,
+    ``element_at`` per id, concatenate, ▁ markers become spaces.
+    Out-of-range ids decode to a visible ``<bad-id>`` marker; the
+    ``<unk>`` id decodes to the literal ``<unk>`` — lossy is loud.
+
+    Law (the t21 gate): any document whose encoding holds no
+    ``<unk>`` round-trips exactly to its whitespace-normalized text.
+    """
+    vocab = unigram_vocab(pieces)
+    table = [""] * len(vocab)
+    for sym, i in vocab.items():
+        table[i] = sym
+    sym_arr = F.array(*[F.lit(s) for s in table])
+    n_vocab = F.lit(len(table))
+    joined = F.array_join(
+        F.transform(
+            F.col(ids_col),
+            lambda i: F.coalesce(
+                F.when(
+                    (i >= 0) & (i < n_vocab),
+                    F.element_at(sym_arr, (i + 1).cast("int")),
+                ),
+                F.lit("<bad-id>"),
+            ),
+        ),
+        "",
+    )
+    decoded = F.trim(F.regexp_replace(joined, _UNI_WB, " "))
     return df.withColumn(output_col, decoded)
 
 

@@ -2105,6 +2105,99 @@ def t18_bpe_decode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# t21 — UNIGRAM-LM tokenizer (Kudo 2018 / SentencePiece "unigram",
+# the other major subword family next to t16-t18's BPE): EM-trained
+# piece probabilities + per-word Viterbi encode + native decode, all
+# in one gate certified by four laws: (1) every no-<unk> doc decodes
+# EXACTLY back to its whitespace-normalized text (Viterbi pieces
+# concatenate to the ▁-joined words — true inverse on the in-vocab
+# domain), (2) every id is inside the vocab derived from the trained
+# table alone, (3) the per-doc n_pieces column equals the decoded
+# re-encode's count (idempotent encode — Viterbi is deterministic),
+# (4) a planted doc with an out-of-alphabet char decodes with a
+# VISIBLE <unk>. EM's likelihood ascent and Viterbi optimality are
+# pytest-certified against brute-force references.
+# ---------------------------------------------------------------------------
+@register(
+    "t21_unigram_ids_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS roundtrip_ok,
+           TRUE AS ids_in_vocab,
+           TRUE AS reencode_consistent,
+           TRUE AS planted_unk_visible
+    FROM documents
+    """,
+)
+def t21_unigram_ids_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = tx.unigram_train(docs, vocab_size=300)
+    vocab_size = len(tx.unigram_vocab(pieces))
+    unk = tx.unigram_vocab(pieces)[tx._UNI_UNK]
+
+    enc = tx.unigram_encode_ids(docs, pieces)
+    dec = tx.unigram_decode_text(enc, pieces).join(
+        docs.select("doc_id", "text"), "doc_id"
+    )
+    norm = F.array_join(
+        F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != F.lit("")),
+        " ",
+    )
+    clean = dec.filter(~F.exists("token_ids", lambda i: i == unk))
+    bad_rt = clean.filter(F.col("decoded") != norm).agg(
+        F.count(F.lit(1)).alias("n_bad_rt")
+    )
+    bad_id = F.exists(
+        "token_ids", lambda x: (x < 0) | (x >= F.lit(vocab_size))
+    )
+    # idempotence: re-encoding the decoded text reproduces n_pieces —
+    # on the no-<unk> domain (an <unk> doc's decode carries the
+    # literal marker, which re-encodes differently by design)
+    re_enc = tx.unigram_encode_ids(
+        clean.select("doc_id", F.col("decoded").alias("text")),
+        pieces,
+    ).select("doc_id", F.col("n_pieces").alias("n_re"))
+    ids_ok = enc.agg(
+        (F.sum(F.when(bad_id, 1).otherwise(0)) == 0).alias("ids_in_vocab")
+    )
+    re_ok = clean.select("doc_id", "n_pieces").join(re_enc, "doc_id").agg(
+        (
+            F.sum(
+                F.when(F.col("n_pieces") != F.col("n_re"), 1).otherwise(0)
+            )
+            == 0
+        ).alias("reencode_consistent"),
+    )
+    agg = ids_ok.crossJoin(F.broadcast(re_ok))
+    planted = spark.createDataFrame(
+        [(9_100_000, "ordinary words then §§ weird")],
+        "doc_id long, text string",
+    )
+    p_dec = tx.unigram_decode_text(
+        tx.unigram_encode_ids(planted, pieces), pieces
+    ).select(
+        (
+            F.col("decoded").contains(tx._UNI_UNK)
+            & F.exists("token_ids", lambda i: i == unk)
+        ).alias("unk_visible")
+    )
+    p = p_dec.agg(F.min(F.col("unk_visible").cast("int")).alias("p_ok"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    v = (
+        n_docs.crossJoin(F.broadcast(bad_rt))
+        .crossJoin(F.broadcast(agg))
+        .crossJoin(F.broadcast(p))
+    )
+    return v.select(
+        "n_docs",
+        (F.col("n_bad_rt") == 0).alias("roundtrip_ok"),
+        "ids_in_vocab",
+        "reencode_consistent",
+        (F.col("p_ok") == 1).alias("planted_unk_visible"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Preference-pair construction (DPO/reward-model data prep): within
 # each language, k-th best quality pairs with k-th worst — maximal
 # margin per rank, each doc in ≤1 pair, zero-margin pairs dropped (no

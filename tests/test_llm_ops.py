@@ -2170,3 +2170,200 @@ def test_sq8_encode_native_and_recall(spark, sf_dir):
         .count()
     )
     assert hit / ne >= 0.95
+
+
+# --- unigram-LM tokenizer (t21) --------------------------------------------
+
+
+def test_unigram_viterbi_optimal_vs_bruteforce():
+    """Viterbi returns a maximum-likelihood segmentation: exhaustive
+    enumeration over all 2^(n-1) segmentations agrees on the score
+    for 300 random (vocab, word) instances, unk fallback included."""
+    import itertools
+    import random
+
+    from sparkswift.operators.text import _uni_viterbi
+
+    def brute(word, lp, unk_lp):
+        n = len(word)
+        best = None
+        for mask in range(1 << (n - 1)):
+            cuts = (
+                [0]
+                + [i + 1 for i in range(n - 1) if mask >> i & 1]
+                + [n]
+            )
+            segs = [word[cuts[k] : cuts[k + 1]] for k in range(len(cuts) - 1)]
+            sc, ok = 0.0, True
+            for s in segs:
+                v = lp.get(s)
+                if v is None:
+                    if len(s) == 1:
+                        v = unk_lp
+                    else:
+                        ok = False
+                        break
+                sc += v
+            if ok and (best is None or sc > best):
+                best = sc
+        return best
+
+    rnd = random.Random(11)
+    for _ in range(300):
+        vocab = {}
+        for L in (1, 2, 3):
+            for tup in itertools.product("abc", repeat=L):
+                if rnd.random() < (0.9 if L == 1 else 0.35):
+                    vocab["".join(tup)] = -rnd.uniform(0.5, 8.0)
+        w = "".join(rnd.choice("abc") for _ in range(rnd.randint(1, 7)))
+        unk = min(vocab.values(), default=-5.0) - 10.0
+        segs = _uni_viterbi(w, vocab, 3, unk)
+        got = sum(vocab.get(s, unk) for s in segs)
+        assert "".join(segs) == w
+        assert abs(got - brute(w, vocab, unk)) < 1e-9, (w, segs)
+
+
+def test_unigram_forward_matches_enumeration():
+    """The EM E-step's forward value alpha[n] equals the log of the
+    summed probability over ALL segmentations (brute enumeration)."""
+    import itertools
+    import math
+    import random
+
+    from sparkswift.operators.text import _uni_forward
+
+    rnd = random.Random(3)
+    for _ in range(100):
+        vocab = {}
+        for L in (1, 2, 3):
+            for tup in itertools.product("ab", repeat=L):
+                if rnd.random() < (0.95 if L == 1 else 0.5):
+                    vocab["".join(tup)] = -rnd.uniform(0.5, 6.0)
+        w = "".join(rnd.choice("ab") for _ in range(rnd.randint(1, 6)))
+        unk = min(vocab.values(), default=-5.0) - 10.0
+        n = len(w)
+        total = 0.0
+        for mask in range(1 << (n - 1)):
+            cuts = (
+                [0]
+                + [i + 1 for i in range(n - 1) if mask >> i & 1]
+                + [n]
+            )
+            sc, ok = 0.0, True
+            for k in range(len(cuts) - 1):
+                s = w[cuts[k] : cuts[k + 1]]
+                v = vocab.get(s)
+                if v is None:
+                    if len(s) == 1:
+                        v = unk
+                    else:
+                        ok = False
+                        break
+                sc += v
+            if ok:
+                total += math.exp(sc)
+        alpha = _uni_forward(w, vocab, 3, unk)
+        assert abs(alpha[n] - math.log(total)) < 1e-9, w
+
+
+def test_unigram_train_improves_likelihood_and_is_deterministic(spark):
+    """EM law: the trained piece probabilities assign the corpus a
+    log-likelihood at least as high as a uniform distribution over
+    the SAME final vocabulary (EM ascends from its init; the final
+    table must beat the flat baseline). Training twice is
+    bit-identical (pure driver-side floats, ordered word table)."""
+    import math
+
+    from sparkswift.operators import text as tx
+    from sparkswift.operators.text import _UNI_WB, _uni_forward
+
+    rows = [
+        (i, t)
+        for i, t in enumerate(
+            [
+                "spark shuffles the hash join",
+                "the hash join shuffles",
+                "spark scans the parquet scan",
+                "the scan joins the join",
+                "hash hash join join spark",
+            ]
+            * 4
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pieces = tx.unigram_train(df, vocab_size=40, em_iters=2)
+    assert tx.unigram_train(df, vocab_size=40, em_iters=2) == pieces
+
+    lp = dict(pieces)
+    uniform = {p: -math.log(len(lp)) for p in lp}
+    max_len = max(len(p) for p in lp)
+    words: dict[str, int] = {}
+    for _, t in rows:
+        for w in t.split():
+            words[w] = words.get(w, 0) + 1
+
+    def ll(table):
+        unk = min(table.values()) - 10.0
+        return sum(
+            f * _uni_forward(_UNI_WB + w, table, max_len, unk)[len(w) + 1]
+            for w, f in sorted(words.items())
+        )
+
+    assert ll(lp) >= ll(uniform) - 1e-9, (ll(lp), ll(uniform))
+
+
+def test_unigram_encode_decode_roundtrip_spark(spark):
+    """Distributed encode → native decode round-trips whitespace-
+    normalized text on the no-<unk> domain; an out-of-alphabet char
+    surfaces a VISIBLE <unk>; ids stay inside the derived vocab."""
+    from sparkswift.operators import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark joins the hash table"),
+            (2, "  the   scan \t shuffles  "),
+            (3, "hash join hash join"),
+        ],
+        "doc_id long, text string",
+    )
+    pieces = tx.unigram_train(df, vocab_size=50)
+    vocab = tx.unigram_vocab(pieces)
+    enc = tx.unigram_encode_ids(df, pieces)
+    dec = {
+        r.doc_id: r.decoded
+        for r in tx.unigram_decode_text(enc, pieces).collect()
+    }
+    assert dec[1] == "spark joins the hash table"
+    assert dec[2] == "the scan shuffles"
+    assert dec[3] == "hash join hash join"
+    for r in enc.collect():
+        assert all(0 <= i < len(vocab) for i in r.token_ids)
+
+    planted = spark.createDataFrame(
+        [(9, "weird § char")], "doc_id long, text string"
+    )
+    p = tx.unigram_decode_text(
+        tx.unigram_encode_ids(planted, pieces), pieces
+    ).collect()[0]
+    assert "<unk>" in p.decoded
+
+
+def test_unigram_train_validation_and_floor(spark):
+    """Empty corpus refuses; a vocab_size below the alphabet stops at
+    the single-char floor (coverage is never sacrificed)."""
+    import pytest as _pytest
+
+    from sparkswift.operators import text as tx
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="empty corpus"):
+        tx.unigram_train(empty)
+
+    df = spark.createDataFrame(
+        [(1, "abc abd"), (2, "bcd bce")], "doc_id long, text string"
+    )
+    pieces = tx.unigram_train(df, vocab_size=2)
+    syms = [p for p, _ in pieces]
+    # the ▁ marker plus every corpus char survives
+    assert set("abcde") | {"▁"} <= set(syms)
+    assert all(len(s) == 1 for s in syms)
