@@ -152,6 +152,9 @@ HEADLINE = [
     "mm8_avi_frames_real",   # real RIFF/AVI frame extraction
     "e12_hybrid_rrf",        # BM25 + cosine reciprocal-rank fusion
     "g6_lpa_communities",    # sync LPA + 2-cycle monotone break
+    "j12_scd2_pointintime",  # PIT dimension lookup (as-of-on-start)
+    "mm9_jpeg420_decode_real",  # subsampled-chroma JPEG decode
+    "t21_unigram_tokens",    # unigram-LM EM train + Viterbi encode
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

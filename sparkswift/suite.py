@@ -791,16 +791,24 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    evidence in the ledger): agg6_pivot, d7_dedup_clusters,
 #    p1_deterministic_sample, t1_text_quality, t4_token_count,
 #    w1_rank_lag.
-# 4. 39 of the 44 r5-stale queries (the round-10 verdict's named
+# 4. 36 of the 44 r5-stale queries (the round-10 verdict's named
 #    seed). Displaced to the round-12 seed, least evidence loss
 #    first: agg5_quantiles and e1_cosine_topk (4 prior greens each;
-#    agg keeps 6 and e keeps 6 in-window) and the rows-only
-#    d3_minhash_lsh / d4_simhash / d6_embedding_neardup_lsh (their
-#    hash evidence lives in d3/d4/d6 gates — 6G 7G each — and the d
-#    family keeps d7/d8/d11 in-window).
+#    agg keeps 6 and e keeps 6 in-window) and SIX rows-only entries
+#    whose hash evidence lives in their 6G/7G-green gate twins —
+#    d3_minhash_lsh / d4_simhash / d6_embedding_neardup_lsh (the d
+#    family keeps d7/d8/d11 in-window) and e5_cosine_topk_pq /
+#    e6_cosine_topk_ivfpq / d8_neardup_pipeline (displaced mid-round
+#    for the three queries BUILT this round — a rows-only refresh is
+#    the least-valuable slot, a first driver row for new code the
+#    most; e2/e3/e4 keep the ANN rows-only representation in-window).
+# 5. The 3 queries built in the round-11 session itself:
+#    j12_scd2_pointintime (PIT SCD2 lookup, exact oracle),
+#    mm9_jpeg420_decode_real (subsampled-chroma JPEG, exact oracle),
+#    t21_unigram_ids_gate (unigram-LM tokenizer 4-law gate).
 #
-# Round-12 rotation seed, stalest first: agg5, e1, d3, d4, d6 (the
-# five displaced above), then the r7-stale gates
+# Round-12 rotation seed, stalest first: agg5, e1, d3, d4, d6, e5,
+# e6, d8 (the eight displaced above), then the r7-stale gates
 # (ledger --markdown lists them).
 #
 # st2b_stateful_totals_tws remains unregistered: the container lacks
@@ -816,6 +824,9 @@ _WINDOW = [
     "mm8_avi_frames_real",
     "e12_hybrid_rrf",
     "g6_lpa_communities",
+    "j12_scd2_pointintime",
+    "mm9_jpeg420_decode_real",
+    "t21_unigram_ids_gate",
     # --- (2) changed-code refreshes ---
     "p29_merge_upsert",
     "o8_cogroup_asof",
@@ -833,12 +844,9 @@ _WINDOW = [
     "agg2_approx_distinct",
     "agg8_unpivot",
     "d11_fuzzy_join",
-    "d8_neardup_pipeline",
     "e2_cosine_topk_lsh",
     "e3_cosine_topk_ivf",
     "e4_cosine_topk_ivf_persisted",
-    "e5_cosine_topk_pq",
-    "e6_cosine_topk_ivfpq",
     "j7_asof_nearest",
     "j8_range_join_large",
     "o2_apply_rows_raw",

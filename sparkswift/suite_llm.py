@@ -2118,6 +2118,15 @@ def t18_bpe_decode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # VISIBLE <unk>. EM's likelihood ascent and Viterbi optimality are
 # pytest-certified against brute-force references.
 # ---------------------------------------------------------------------------
+@register("t21_unigram_tokens", None)
+def t21_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram piece accounting (the t16 shape for the other
+    tokenizer family) — rows-only; the laws live in t21's gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = tx.unigram_train(docs, vocab_size=300)
+    return tx.unigram_encode_ids(docs, pieces).select("doc_id", "n_pieces")
+
+
 @register(
     "t21_unigram_ids_gate",
     """
