@@ -155,6 +155,7 @@ HEADLINE = [
     "j12_scd2_pointintime",  # PIT dimension lookup (as-of-on-start)
     "mm9_jpeg420_decode_real",  # subsampled-chroma JPEG decode
     "t21_unigram_tokens",    # unigram-LM EM train + Viterbi encode
+    "g7_link_prediction",    # Jaccard common-neighbors top-k
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

@@ -280,6 +280,85 @@ def triangle_count(
     )
 
 
+def jaccard_link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    top_k: int = 100,
+) -> DataFrame:
+    """Jaccard-coefficient LINK PREDICTION (Liben-Nowell & Kleinberg
+    2003, public — the standard common-neighbors baseline): score
+    every NON-adjacent node pair (u, v) that shares at least one
+    neighbor by ``|N(u) ∩ N(v)| / |N(u) ∪ N(v)|`` and return the
+    global top-k predicted links.
+
+    Exactness: common counts and degrees are integers; the Jaccard is
+    ONE double division of integers (identical cross-engine), and the
+    top-k order is total — (jaccard desc, u, v) — so ties at the cut
+    are deterministic. Returns ``(u, v, n_common, jaccard)``.
+
+    Plan: canonicalize to distinct undirected edges, one degree
+    aggregate, wedge enumeration via a self-join on the shared
+    neighbor (u < v halves the pairs), one hash aggregate to count
+    common neighbors, an anti-join removing existing edges, two
+    broadcast-able degree attaches, TakeOrdered for the cut. Wedge
+    volume is inherently Σ deg(center)² here — unlike triangles,
+    BOTH wedge endpoints are needed, so degree orientation cannot
+    bound it; at 100 TB the lever is capping candidate generation at
+    hub centers (top-degree centers contribute near-zero-information
+    pairs first), the standard approximation — this exact form is for
+    graphs whose wedge volume fits the cluster (the co-part fixture:
+    41M wedges at sf0.1).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = e.select(F.col("a").alias("c"), F.col("b").alias("n")).unionAll(
+        e.select(F.col("b").alias("c"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy(F.col("c").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    w1 = adj.select(F.col("c"), F.col("n").alias("u"))
+    w2 = adj.select(F.col("c"), F.col("n").alias("v"))
+    pairs = (
+        w1.join(w2, "c")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    non_edges = pairs.join(
+        e.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    scored = (
+        non_edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("n_common")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(), F.col("u"), F.col("v")
+    ).limit(top_k)
+
+
 def clustering_coefficient(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

@@ -802,13 +802,16 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    for the three queries BUILT this round — a rows-only refresh is
 #    the least-valuable slot, a first driver row for new code the
 #    most; e2/e3/e4 keep the ANN rows-only representation in-window).
-# 5. The 3 queries built in the round-11 session itself:
+# 5. The 4 queries built in the round-11 session itself:
 #    j12_scd2_pointintime (PIT SCD2 lookup, exact oracle),
 #    mm9_jpeg420_decode_real (subsampled-chroma JPEG, exact oracle),
-#    t21_unigram_ids_gate (unigram-LM tokenizer 4-law gate).
+#    t21_unigram_ids_gate (unigram-LM tokenizer 4-law gate),
+#    g7_link_prediction (Jaccard link prediction, exact oracle) —
+#    the fourth displaces the rows-only agg2_approx_distinct
+#    (agg2_gate 6G 7G; agg keeps 5 entries in-window).
 #
 # Round-12 rotation seed, stalest first: agg5, e1, d3, d4, d6, e5,
-# e6, d8 (the eight displaced above), then the r7-stale gates
+# e6, d8, agg2 (the nine displaced above), then the r7-stale gates
 # (ledger --markdown lists them).
 #
 # st2b_stateful_totals_tws remains unregistered: the container lacks
@@ -827,6 +830,7 @@ _WINDOW = [
     "j12_scd2_pointintime",
     "mm9_jpeg420_decode_real",
     "t21_unigram_ids_gate",
+    "g7_link_prediction",
     # --- (2) changed-code refreshes ---
     "p29_merge_upsert",
     "o8_cogroup_asof",
@@ -841,7 +845,6 @@ _WINDOW = [
     "agg10_profile",
     "agg11_sketch_union",
     "agg12_json_extract",
-    "agg2_approx_distinct",
     "agg8_unpivot",
     "d11_fuzzy_join",
     "e2_cosine_topk_lsh",

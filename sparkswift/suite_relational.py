@@ -2297,6 +2297,68 @@ def g3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# g7 — Jaccard-coefficient LINK PREDICTION (Liben-Nowell & Kleinberg
+# 2003): top-k non-adjacent pairs by |N(u)∩N(v)| / |N(u)∪N(v)|.
+# Fixture graph: parts co-ordered in SMALL quantities (l_quantity ≤ 5)
+# — the sparse slice where exact all-pairs scoring is the right tool;
+# the full co-part graph's Σ deg² ≈ 298M wedges at sf0.1 is exactly
+# the regime the operator docstring's center-degree-cap advice covers
+# (measured, NOTES.md). Integer common counts + one double division ⇒
+# hash-exact; (jaccard desc, u, v) total order makes the cut
+# deterministic in both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "g7_link_prediction",
+    """
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE l_quantity <= 5),
+    e AS (
+      SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS x,
+             GREATEST(a.l_partkey, b.l_partkey) AS y
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+    ),
+    adj AS (SELECT x AS c, y AS n FROM e UNION ALL SELECT y, x FROM e),
+    d AS (SELECT c AS node, COUNT(*) AS dg FROM adj GROUP BY c),
+    pairs AS (
+      SELECT a1.n AS u, a2.n AS v, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM adj a1 JOIN adj a2 ON a1.c = a2.c
+      WHERE a1.n < a2.n
+      GROUP BY a1.n, a2.n
+    ),
+    ne AS (
+      SELECT p.* FROM pairs p
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.x = p.u AND e.y = p.v)
+    )
+    SELECT u, v, n_common,
+           CAST(n_common AS DOUBLE)
+             / CAST(du.dg + dv.dg - n_common AS DOUBLE) AS jaccard
+    FROM ne JOIN d du ON du.node = ne.u
+            JOIN d dv ON dv.node = ne.v
+    ORDER BY jaccard DESC, u, v
+    LIMIT 100
+    """,
+)
+def g7_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.graph import jaccard_link_prediction
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") <= 5)
+        .select("l_orderkey", "l_partkey")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2")
+    )
+    edges = (
+        li.join(b, li.l_orderkey == b.k)
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+    )
+    return jaccard_link_prediction(edges, top_k=100)
+
+
+# ---------------------------------------------------------------------------
 # g4 — local clustering coefficient (Watts-Strogatz): g3's triangle
 # counts joined to exact degrees, coefficient = one double division
 # of exact integers. Same sparse co-part graph; degree-<2 nodes emit

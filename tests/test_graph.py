@@ -453,3 +453,72 @@ def test_label_propagation_runaway_guard(spark):
     df = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
     with pytest.raises(RuntimeError, match="did not stabilize"):
         label_propagation(df, max_iter=1)
+
+
+def test_jaccard_link_prediction_matches_pure_python(spark):
+    """g7's engine result equals an independently-written pure-python
+    reference (dict adjacency, brute all-pairs) on random graphs —
+    scores, the non-edge restriction, and the (jaccard desc, u, v)
+    top-k cut order all match."""
+    import random
+
+    from sparkswift.operators.graph import jaccard_link_prediction
+
+    rnd = random.Random(5)
+    for trial in range(5):
+        n = 30
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rnd.randrange(n), rnd.randrange(n)) for _ in range(80)
+                )
+                if a != b
+            }
+        )
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        eset = set(edges)
+        want = []
+        nodes = sorted(adj)
+        for i, u in enumerate(nodes):
+            for v in nodes[i + 1 :]:
+                if (u, v) in eset:
+                    continue
+                common = len(adj[u] & adj[v])
+                if common == 0:
+                    continue
+                want.append(
+                    (-common / len(adj[u] | adj[v]), u, v, common)
+                )
+        want.sort()
+        want = [
+            (u, v, c, -negj) for negj, u, v, c in want[:20]
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = [
+            (r.u, r.v, r.n_common, r.jaccard)
+            for r in jaccard_link_prediction(df, top_k=20).collect()
+        ]
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g[:3] == w[:3], (trial, g, w)
+            assert abs(g[3] - w[3]) < 1e-12
+
+
+def test_jaccard_link_prediction_excludes_existing_edges(spark):
+    """Predicted links are never existing edges; a triangle with one
+    open corner predicts exactly that corner."""
+    from sparkswift.operators.graph import jaccard_link_prediction
+
+    # path 1-2-3 plus 1-4, 3-4: open pair (1,3) shares {2,4}
+    edges = [(1, 2), (2, 3), (1, 4), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = jaccard_link_prediction(df, top_k=10).collect()
+    pairs = {(r.u, r.v) for r in out}
+    assert all((u, v) not in set(edges) for u, v in pairs)
+    top = out[0]
+    assert (top.u, top.v, top.n_common) == (1, 3, 2)
+    assert abs(top.jaccard - 1.0) < 1e-12  # N(1)={2,4}=N(3)
