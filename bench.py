@@ -156,6 +156,7 @@ HEADLINE = [
     "mm9_jpeg420_decode_real",  # subsampled-chroma JPEG decode
     "t21_unigram_tokens",    # unigram-LM EM train + Viterbi encode
     "g7_link_prediction",    # Jaccard common-neighbors top-k
+    "st27_stream_pit_enrich",  # stateless stream-static PIT join
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

@@ -1744,3 +1744,70 @@ def st26_stream_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_batch(counted, mode="complete").select(
         "cohort_day_us", "day_offset", "n_active"
     )
+
+
+# ---------------------------------------------------------------------------
+# st27 — STREAMING point-in-time SCD2 enrichment (j12's streaming
+# twin): each arriving probe picks the dimension version valid at its
+# timestamp via a STATELESS stream-static join — the equi key
+# (user_id) drives a hash join and the interval containment rides as
+# the join's residual condition, so there is NO stream state, no
+# watermark tail, and every input row emits exactly once (append mode
+# with no aggregation). At scale the static SCD2 side would be a
+# materialized dimension table (here it is derived in-plan; Spark
+# re-evaluates the static side per micro-batch — the standard
+# stream-static contract). Oracle: identical containment SQL — full
+# 10k-row hash match, no restriction clause needed.
+# ---------------------------------------------------------------------------
+@register(
+    "st27_stream_pit_enrich",
+    """
+    WITH m AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id, event_type,
+             CASE WHEN row_number() OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) = 1
+                  OR lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      FROM events
+    ),
+    dim AS (
+      SELECT user_id, event_type, t AS from_us,
+             lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+               AS to_us
+      FROM m WHERE chg = 1
+    ),
+    f AS (
+      SELECT event_id, user_id, epoch_us(ts) - 1800000000 AS probe_us
+      FROM events
+    )
+    SELECT f.event_id, f.user_id, f.probe_us,
+           d.event_type AS state_30m_ago
+    FROM f LEFT JOIN dim d
+      ON d.user_id = f.user_id AND d.from_us <= f.probe_us
+         AND (d.to_us IS NULL OR f.probe_us < d.to_us)
+    """,
+)
+def st27_stream_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.events import scd2_intervals
+
+    dim = scd2_intervals(load_table(spark, sf_dir, "events")).select(
+        F.col("user_id").alias("d_uid"),
+        "from_us",
+        "to_us",
+        F.col("event_type").alias("state_30m_ago"),
+    )
+    src = events_stream(spark, sf_dir)
+    probes = src.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros("ts") - F.lit(1_800_000_000)).alias("probe_us"),
+    )
+    joined = probes.join(
+        dim,
+        (probes.user_id == dim.d_uid)
+        & (dim.from_us <= probes.probe_us)
+        & (dim.to_us.isNull() | (probes.probe_us < dim.to_us)),
+        "left_outer",
+    ).select("event_id", "user_id", "probe_us", "state_30m_ago")
+    return run_stream_to_batch(joined, mode="append")

@@ -563,3 +563,31 @@ def test_stream_funnel_matches_batch_and_is_chop_invariant(
     )
     got = chopped[list(ref.columns)].astype(ref.dtypes.to_dict())
     pd.testing.assert_frame_equal(got, ref)
+
+
+def test_stream_pit_enrich_matches_batch_j12(spark, sf_dir):
+    """st27 (stateless stream-static PIT join) emits exactly the
+    batch j12 result — same events, same SCD2 dimension, same
+    half-open boundary semantics, NULL pre-first-change rows
+    included (non-vacuity asserted)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sparkswift.suite_relational import j12_scd2_pointintime
+    from sparkswift.suite_streaming import st27_stream_pit_enrich
+
+    cols = ["event_id", "user_id", "probe_us", "state_30m_ago"]
+    batch = (
+        j12_scd2_pointintime(spark, sf_dir)
+        .toPandas()[cols]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    stream = (
+        st27_stream_pit_enrich(spark, sf_dir)
+        .toPandas()[cols]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(stream, batch)
+    assert stream["state_30m_ago"].isna().sum() > 0
