@@ -1259,6 +1259,66 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-customer frame. Deterministic: the order key (o_orderkey) is
 # unique. One hash shuffle on the partition key.
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# w6 — TIME-WEIGHTED AVERAGE (TWAP — the market-data / metering
+# staple): each event's value holds until the user's next event; the
+# average weights each value by its holding duration. One window pass
+# (lead over the per-user time order) + one hash agg. Exactness: the
+# weight is integer MICROSECONDS and the value quantizes to integer
+# MILLI-units via floor (identical in both engines — no round-half
+# surface), so the weighted sum is exact int64 arithmetic (bounded:
+# max floor(560.21·10³)·span 2.6e12 μs ≈ 1.5e18 < 2⁶³ — measured,
+# NOTES.md) and the final division is integer DIV. Single-event
+# users have no holding interval and drop out (COUNT > 0 guard).
+# ---------------------------------------------------------------------------
+@register(
+    "w6_time_weighted_avg",
+    """
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id,
+             CAST(floor(value * 1000) AS BIGINT) AS v_milli
+      FROM events
+    ),
+    iv AS (
+      SELECT user_id, v_milli,
+             lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t
+               AS dur_us
+      FROM s
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+           CAST(SUM(v_milli * dur_us) // SUM(dur_us) AS BIGINT)
+             AS twa_milli
+    FROM iv WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def w6_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+        F.floor(F.col("value") * 1000).alias("v_milli"),
+    )
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    iv = s.withColumn("dur_us", F.lead("t").over(w) - F.col("t")).filter(
+        F.col("dur_us").isNotNull()
+    )
+    return iv.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum("dur_us").cast("bigint").alias("total_dur_us"),
+        # integer div, never double: the weighted sum reaches ~1.5e18,
+        # beyond double's 53-bit integer range
+        F.expr("sum(v_milli * dur_us) div sum(dur_us)")
+        .cast("bigint")
+        .alias("twa_milli"),
+    )
+
+
 @register(
     "w4_distribution_windows",
     """

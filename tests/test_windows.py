@@ -696,3 +696,59 @@ def test_scd2_null_attr_runs(spark):
         key=lambda t: t[1],
     )
     assert out == [(None, 100, 300), ("a", 300, 400), (None, 400, None)]
+
+
+def test_time_weighted_avg_matches_fraction_reference(spark):
+    """w6's quantized-integer TWA equals an INDEPENDENT exact-rational
+    reference (Fraction arithmetic over the true weighted mean,
+    floored to milli-units) on planted data whose values are exact
+    milli multiples — certifying the derivation, not just Spark↔SQL
+    sync. Single-event users drop out."""
+    from fractions import Fraction
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from sparkswift.suite_relational import w6_time_weighted_avg
+
+    rows = []
+    eid = 0
+    data = {
+        1: [(0, 1.25), (10_000_000, 3.5), (25_000_000, 0.75)],
+        2: [(0, 100.0), (1, 0.001)],
+        3: [(5, 42.125)],  # single event -> no interval
+    }
+    for uid, evs in data.items():
+        for t_us, v in evs:
+            rows.append((eid, uid, t_us, v))
+            eid += 1
+    df = spark.createDataFrame(
+        [
+            (e, u, __import__("datetime").datetime(2024, 1, 1)
+             + __import__("datetime").timedelta(microseconds=t), v, "x", "{}")
+            for e, u, t, v in rows
+        ],
+        "event_id long, user_id long, ts timestamp, value double, "
+        "event_type string, props string",
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    import tempfile
+    path = tempfile.mkdtemp(prefix="w6_") 
+    df.write.mode("overwrite").parquet(path + "/events.parquet")
+    got = {
+        r.user_id: (r.n_intervals, r.total_dur_us, r.twa_milli)
+        for r in w6_time_weighted_avg(spark, path).collect()
+    }
+    assert 3 not in got
+    for uid, evs in data.items():
+        if len(evs) < 2:
+            continue
+        num = Fraction(0)
+        den = 0
+        for (t0, v0), (t1, _) in zip(evs, evs[1:]):
+            num += Fraction(v0).limit_denominator(10**9) * (t1 - t0)
+            den += t1 - t0
+        want_milli = (num * 1000 / den).__floor__()
+        n, dur, twa = got[uid]
+        assert n == len(evs) - 1
+        assert dur == den
+        assert twa == want_milli, (uid, twa, want_milli)
