@@ -2201,6 +2201,64 @@ def agg21_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# agg22 — ROLLING 7-DAY DISTINCT USERS per day (the WAU activity
+# metric): distinct cannot be window-summed (it is not additive), so
+# the EXACT plan dedups (user, day) first — the only corpus-sized
+# reduction — then EXPLODES each pair into the ≤7 report days it
+# supports and counts distinct users per report day; the blowup is
+# bounded by the window length (×7), never by data volume, and the
+# post-dedup pair set is |users|×|days|-bounded. The approximate
+# alternative at 100 TB is the agg11 HLL rollup (mergeable sketches
+# per day, union over the window); this is the exact twin. Integer-
+# div day arithmetic (no calendar/timezone surface — agg21's rule);
+# report days clamp to the observed day range so every row is fully
+# supported by data.
+# ---------------------------------------------------------------------------
+@register(
+    "agg22_rolling_distinct",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ud),
+    offs AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS off),
+    hits AS (
+      SELECT ud.user_id, ud.day + off AS rday
+      FROM ud CROSS JOIN offs
+    )
+    SELECT (rday * 86400000000) AS day_us,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+    FROM hits, bounds
+    WHERE rday BETWEEN bounds.lo AND bounds.hi
+    GROUP BY rday
+    """,
+)
+def agg22_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day_us = 86_400_000_000
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {day_us}").alias("day"),
+    ).distinct()
+    b = ud.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    hits = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("rday"),
+    )
+    clamped = hits.join(F.broadcast(b)).filter(
+        F.col("rday").between(F.col("lo"), F.col("hi"))
+    )
+    return clamped.groupBy("rday").agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    ).select(
+        (F.col("rday") * day_us).cast("bigint").alias("day_us"), "wau"
+    )
+
+
+# ---------------------------------------------------------------------------
 # w5 — SCD2 dimension build (Kimball type-2): collapse the event log
 # into per-user validity intervals of the event_type attribute —
 # consecutive equal values merge, lead() closes each interval, NULL

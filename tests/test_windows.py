@@ -752,3 +752,33 @@ def test_time_weighted_avg_matches_fraction_reference(spark):
         assert n == len(evs) - 1
         assert dur == den
         assert twa == want_milli, (uid, twa, want_milli)
+
+
+def test_rolling_distinct_matches_pure_python(spark, sf_dir):
+    """agg22's exact rolling-7-day distinct count equals a brute
+    pure-python set-union reference over the fixture."""
+    from pyspark.sql import functions as F
+
+    from sparkswift.sources import load_table
+    from sparkswift.suite_relational import agg22_rolling_distinct
+
+    day_us = 86_400_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"unix_micros(ts) div {day_us}").alias("day")
+    )
+    pairs = {(r.user_id, r.day) for r in ev.collect()}
+    by_day: dict[int, set[int]] = {}
+    for u, d in pairs:
+        by_day.setdefault(d, set()).add(u)
+    lo, hi = min(by_day), max(by_day)
+    want = {}
+    for d in range(lo, hi + 1):
+        users = set()
+        for back in range(7):
+            users |= by_day.get(d - back, set())
+        if users:
+            want[d * day_us] = len(users)
+    got = {
+        r.day_us: r.wau for r in agg22_rolling_distinct(spark, sf_dir).collect()
+    }
+    assert got == want

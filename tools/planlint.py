@@ -36,6 +36,7 @@ BNLJ_ALLOWED: dict[str, int] = {
     "j5_range_join": 1,  # broadcast SMALL-DIM band join (by design)
     "d5_embedding_neardup": 1,  # one-row norm threshold
     "agg14_skew_report": 1,  # one-row total join
+    "agg22_rolling_distinct": 1,  # one-row day-bounds clamp join
     "q22_sales_opportunity": 1,  # one-row balance threshold
     "e1_cosine_topk": 1,  # one-row query-norm
     "e12_hybrid_rrf": 2,  # t12's one-row corpus stats + e1's one-row query
