@@ -159,6 +159,7 @@ HEADLINE = [
     "st27_stream_pit_enrich",  # stateless stream-static PIT join
     "w6_time_weighted_avg",  # TWAP (integer milli-weights, one window)
     "agg22_rolling_distinct",  # exact WAU (dedup-then-bounded-explode)
+    "mm10_jpeg_progressive_decode_real",  # progressive JPEG decode
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

@@ -19,9 +19,9 @@ zero dependencies, and ``extract_audio_features`` decodes REAL WAV
 via the stdlib ``wave`` module — all on the ``fake=False`` path.
 ``fake=True`` keeps the deterministic pseudo-decode (features derived
 from payload digests) for plumbing tests and for payloads in formats
-this container cannot decode (progressive JPEG and palette PNG need
-PIL; baseline JPEG — grayscale, 4:4:4, AND subsampled 4:2:0/4:2:2 —
-decodes for real). Video: ``decode_video_frames`` and ``sample_frames``
+this container cannot decode (palette PNG needs PIL; JPEG —
+baseline grayscale/4:4:4/subsampled 4:2:0/4:2:2 AND progressive
+(spectral selection + successive approximation) — decodes for real). Video: ``decode_video_frames`` and ``sample_frames``
 (``fake=False``) REALLY extract frames from uncompressed RIFF/AVI
 payloads (full RIFF grammar walk + headerless DIB rows); compressed
 video stays NotImplementedError — that is ffmpeg territory.
@@ -258,9 +258,12 @@ def encode_png(px: np.ndarray, filter_of=None) -> bytes:
 # Huffman + IDCT decoder, plus grayscale AND subsampled-color encoders
 # for synth payloads and round-trip tests. Scope: baseline DCT (SOF0),
 # 8-bit, grayscale or YCbCr at any integer sampling ratio (4:4:4,
-# 4:2:2, 4:2:0, 4:1:1, ...), optional restart markers. Progressive
-# (SOF2), arithmetic coding, and non-integer sampling ratios raise
-# NotImplementedError — honestly gated, not silently wrong.
+# 4:2:2, 4:2:0, 4:1:1, ...), optional restart markers; PLUS
+# progressive (SOF2, Annex G): spectral selection and successive
+# approximation, DC and AC, via multi-scan coefficient accumulation.
+# Hierarchical (SOF3+), arithmetic coding, and non-integer sampling
+# ratios raise NotImplementedError — honestly gated, not silently
+# wrong.
 # Huffman tables below are the T.81 Annex K "typical" luminance
 # tables; both codec halves share them, so external interop rests on
 # the spec transcription (round-trip tests prove internal consistency;
@@ -725,8 +728,9 @@ def _parse_jpeg(b: bytes) -> np.ndarray:
     numpy/stdlib. Returns (h, w, 3) uint8 — grayscale replicates to
     three channels; 3-component scans convert YCbCr→RGB (JFIF
     matrix); subsampled chroma (4:2:0/4:2:2/4:1:1) decodes via the
-    interleaved-MCU scan + replication upsample. Raises
-    NotImplementedError for progressive frames."""
+    interleaved-MCU scan + replication upsample; progressive (SOF2)
+    frames decode via multi-scan coefficient accumulation (spectral
+    selection + successive approximation, Annex G)."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -773,7 +777,7 @@ def _parse_jpeg(b: bytes) -> np.ndarray:
                 vals = tuple(payload[p + 17 : p + 17 + n])
                 htabs[(tc, th)] = _jhuff_decode_table(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # baseline/ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline/ext-seq/progressive
             prec, fh, fw, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG unsupported")
@@ -795,8 +799,10 @@ def _parse_jpeg(b: bytes) -> np.ndarray:
                         f"non-integer sampling ratio {c['h']}x{c['v']} "
                         f"vs max {hmax}x{vmax} unsupported"
                     )
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            frame = {"h": fh, "w": fw, "comps": comps, "prog": marker == 0xC2}
+            if frame["prog"]:
+                prog_state = _jprog_init(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 f"non-baseline JPEG frame (SOF{marker - 0xC0}) unsupported"
             )
@@ -806,6 +812,32 @@ def _parse_jpeg(b: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = payload[0]
+            if frame.get("prog"):
+                sel_list = []
+                for i in range(ns):
+                    cs, tt = payload[1 + 2 * i], payload[2 + 2 * i]
+                    ci = next(
+                        j
+                        for j, c in enumerate(frame["comps"])
+                        if c["id"] == cs
+                    )
+                    sel_list.append((ci, tt >> 4, tt & 0x0F))
+                ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+                ahal = payload[3 + 2 * ns]
+                pos = _jprog_scan(
+                    b,
+                    nxt,
+                    frame,
+                    htabs,
+                    sel_list,
+                    ss,
+                    se,
+                    ahal >> 4,
+                    ahal & 0x0F,
+                    prog_state,
+                    restart_interval,
+                )
+                continue
             sel = {}
             for i in range(ns):
                 cs, tt = payload[1 + 2 * i], payload[2 + 2 * i]
@@ -814,7 +846,560 @@ def _parse_jpeg(b: bytes) -> np.ndarray:
                 b, nxt, frame, qtabs, htabs, sel, restart_interval
             )
         pos = nxt
+    if frame is not None and frame.get("prog"):
+        return _jprog_finish(frame, qtabs, prog_state)
     raise ValueError("no scan data (missing SOS)")
+
+
+def _jquant_zigzag(plane: np.ndarray, qmat: np.ndarray) -> np.ndarray:
+    """FDCT + quantize every 8×8 block of a (8a, 8b) plane; returns
+    (a, b, 64) int64 in ZIGZAG order (the domain progressive scans
+    address)."""
+    ph, pw = plane.shape
+    nby, nbx = ph // 8, pw // 8
+    blocks = (
+        plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) - 128.0
+    )
+    coef = np.einsum("ij,yxjk,kl->yxil", _JDCT, blocks, _JDCT.T)
+    zq = np.round(coef / qmat[None, None]).astype(np.int64)
+    # gather natural -> zigzag order (zz[i] = nat[_JZZ[i]], the
+    # inverse of the decoder's nat[_JZZ] = zz scatter)
+    return zq.reshape(nby, nbx, 64)[:, :, _JZZ]
+
+
+# Progressive AC Huffman table: the Annex K baseline AC tables carry
+# no EOBn (n>0) symbols, so progressive scans need their own table —
+# real encoders optimize one per scan; ours is a fixed single-length
+# canonical table over ALL 176 legal AC symbols (EOB0..EOB14, ZRL,
+# every (run<<4)|size with size 1..10): 176 nine-bit codes < 2^9-1,
+# so the all-ones code stays unused as T.81 expects. Compression is
+# irrelevant — the DHT rides inside the file; the table-driven
+# decoder handles any table a foreign progressive file carries.
+_JAC_PROG_VALS = tuple(
+    [n << 4 for n in range(15)]  # EOB0..EOB14
+    + [0xF0]  # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_JAC_PROG_BITS = (0, 0, 0, 0, 0, 0, 0, 0, len(_JAC_PROG_VALS), 0, 0, 0, 0, 0, 0, 0)
+assert sum(_JAC_PROG_BITS) == len(_JAC_PROG_VALS) == 176
+
+
+class _JProgWriter:
+    """Bit emitter for progressive scans: Huffman symbols, raw bits,
+    EOB-run bookkeeping with buffered correction bits (the T.81 G.1 /
+    IJG BE-buffer discipline)."""
+
+    def __init__(self) -> None:
+        self.bw = _JBitWriter()
+        self.eobrun = 0
+        self.pending: list[int] = []  # correction bits awaiting flush
+
+    def symbol(self, table: dict, sym: int) -> None:
+        code, ln = table[sym]
+        self.bw.put(code, ln)
+
+    def bits(self, value: int, n: int) -> None:
+        if n:
+            self.bw.put(value, n)
+
+    def flush_pending(self) -> None:
+        for bit in self.pending:
+            self.bw.put(bit, 1)
+        self.pending = []
+
+    def emit_eobrun(self, actab: dict) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.symbol(actab, nbits << 4)
+            if nbits:
+                self.bits(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+            self.flush_pending()
+
+    def finish(self) -> bytes:
+        return self.bw.flush()
+
+
+def encode_jpeg_progressive(
+    y: np.ndarray,
+    cb: np.ndarray | None = None,
+    cr: np.ndarray | None = None,
+    sampling: tuple[tuple[int, int], ...] = ((2, 2), (1, 1), (1, 1)),
+    qluma: np.ndarray | None = None,
+    qchroma: np.ndarray | None = None,
+) -> bytes:
+    """PROGRESSIVE JPEG writer (SOF2, T.81 Annex G): spectral
+    selection AND successive approximation, DC and AC, over a fixed
+    six-stage scan script —
+
+      1. DC first, interleaved, Al=1
+      2. AC 1..5   first, Al=2   (per component)
+      3. AC 6..63  first, Al=2   (per component)
+      4. AC 1..63  refine, Ah=2→Al=1  (per component)
+      5. AC 1..63  refine, Ah=1→Al=0  (per component)
+      6. DC refine, interleaved, Al=0
+
+    — so every progressive decode path (interleaved DC, EOB runs,
+    ZRL-in-refinement, buffered correction bits, newly-significant
+    placement) is exercised by our own files. Quantized coefficients
+    are IDENTICAL to the baseline writer's (same FDCT/quantize), which
+    is the pytest cross-check law: progressive decode == baseline
+    decode, bit for bit. Pass ``cb=cr=None`` for grayscale (single
+    component, non-interleaved DC scans)."""
+    y = np.asarray(y, dtype=np.float64)
+    h, w = y.shape
+    gray = cb is None
+    if gray:
+        comps_px = [y]
+        sampling = ((1, 1),)
+    else:
+        if cr is None or cb.shape != (h, w) or cr.shape != (h, w):
+            raise ValueError("need full-resolution y/cb/cr planes")
+        comps_px = [y, np.asarray(cb, np.float64), np.asarray(cr, np.float64)]
+        if len(sampling) != 3:
+            raise ValueError("sampling needs three (h, v) pairs")
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    ql = (
+        np.full(64, 16, dtype=np.int64)
+        if qluma is None
+        else np.asarray(qluma, dtype=np.int64).reshape(64)
+    )
+    qc = (
+        np.full(64, 16, dtype=np.int64)
+        if qchroma is None
+        else np.asarray(qchroma, dtype=np.int64).reshape(64)
+    )
+    qmats = [ql.reshape(8, 8)] + [qc.reshape(8, 8)] * (len(comps_px) - 1)
+
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    ph, pw = mcuy * 8 * vmax, mcux * 8 * hmax
+    coefs = []
+    for plane, (sh, sv), qm in zip(comps_px, sampling, qmats):
+        p = _jpad_edge(plane, ph, pw)
+        ry, rx = vmax // sv, hmax // sh
+        if ry > 1 or rx > 1:
+            p = p.reshape(ph // ry, ry, pw // rx, rx).mean(axis=(1, 3))
+        coefs.append(_jquant_zigzag(p, qm))
+
+    # component true dims -> coded block grids (non-interleaved scans)
+    grids = []
+    for ci, (sh, sv) in enumerate(sampling):
+        cx = -(-w * sh // hmax)
+        cy = -(-h * sv // vmax)
+        grids.append((-(-cy // 8), -(-cx // 8)))
+
+    dc_l = _jhuff_encode_table(_JDC_BITS, _JDC_VALS)
+    dc_c = _jhuff_encode_table(_JDC_C_BITS, _JDC_C_VALS)
+    ac_p = _jhuff_encode_table(_JAC_PROG_BITS, _JAC_PROG_VALS)
+    dctabs = [dc_l] + [dc_c] * (len(comps_px) - 1)
+    actabs = [ac_p] * len(comps_px)  # one shared progressive AC table
+
+    def dc_first_scan(al: int) -> bytes:
+        wtr = _JProgWriter()
+        preds = [0] * len(coefs)
+        if gray:
+            order = [
+                (0, by, bx)
+                for by in range(grids[0][0])
+                for bx in range(grids[0][1])
+            ]
+        else:
+            order = [
+                (ci, my * sampling[ci][1] + byi, mx * sampling[ci][0] + bxi)
+                for my in range(mcuy)
+                for mx in range(mcux)
+                for ci in range(len(coefs))
+                for byi in range(sampling[ci][1])
+                for bxi in range(sampling[ci][0])
+            ]
+        for ci, by, bx in order:
+            v = int(coefs[ci][by, bx, 0]) >> al  # arithmetic shift (DC)
+            diff = v - preds[ci]
+            preds[ci] = v
+            cat = _jmagnitude(diff)
+            wtr.symbol(dctabs[ci], cat)
+            if cat:
+                wtr.bits(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        return wtr.finish()
+
+    def dc_refine_scan(al: int) -> bytes:
+        wtr = _JProgWriter()
+        if gray:
+            order = [
+                (0, by, bx)
+                for by in range(grids[0][0])
+                for bx in range(grids[0][1])
+            ]
+        else:
+            order = [
+                (ci, my * sampling[ci][1] + byi, mx * sampling[ci][0] + bxi)
+                for my in range(mcuy)
+                for mx in range(mcux)
+                for ci in range(len(coefs))
+                for byi in range(sampling[ci][1])
+                for bxi in range(sampling[ci][0])
+            ]
+        for ci, by, bx in order:
+            wtr.bits((int(coefs[ci][by, bx, 0]) >> al) & 1, 1)
+        return wtr.finish()
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        wtr = _JProgWriter()
+        actab = actabs[ci]
+        cby, cbx = grids[ci]
+        for by in range(cby):
+            for bx in range(cbx):
+                blk = coefs[ci][by, bx]
+                # sign-magnitude point transform (AC): av = |v| >> al
+                vals = []
+                for k in range(ss, se + 1):
+                    v = int(blk[k])
+                    av = (v if v >= 0 else -v) >> al
+                    vals.append(av if v >= 0 else -av)
+                nz = [i for i, v in enumerate(vals) if v != 0]
+                if not nz:
+                    wtr.eobrun += 1
+                    if wtr.eobrun == 0x7FFF:
+                        wtr.emit_eobrun(actab)
+                    continue
+                wtr.emit_eobrun(actab)
+                run = 0
+                last = nz[-1]
+                for i in range(last + 1):
+                    v = vals[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        wtr.symbol(actab, 0xF0)  # ZRL
+                        run -= 16
+                    s_ = _jmagnitude(v)
+                    wtr.symbol(actab, (run << 4) | s_)
+                    wtr.bits(v if v >= 0 else v + (1 << s_) - 1, s_)
+                    run = 0
+                if last < se - ss:
+                    wtr.eobrun += 1
+                    if wtr.eobrun == 0x7FFF:
+                        wtr.emit_eobrun(actab)
+        wtr.emit_eobrun(actab)
+        return wtr.finish()
+
+    def ac_refine_scan(ci: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        wtr = _JProgWriter()
+        actab = actabs[ci]
+        cby, cbx = grids[ci]
+        for by in range(cby):
+            for bx in range(cbx):
+                blk = coefs[ci][by, bx]
+                absv = []
+                eob = -1  # index (in band) of last NEWLY significant
+                for i, k in enumerate(range(ss, se + 1)):
+                    v = int(blk[k])
+                    av = (v if v >= 0 else -v) >> al
+                    absv.append(av)
+                    if av == 1:
+                        eob = i
+                run = 0
+                block_bits: list[int] = []
+                for i, k in enumerate(range(ss, se + 1)):
+                    av = absv[i]
+                    if av == 0:
+                        run += 1
+                        continue
+                    if i <= eob:
+                        while run > 15:
+                            wtr.emit_eobrun(actab)
+                            wtr.symbol(actab, 0xF0)
+                            run -= 16
+                            for bit in block_bits:
+                                wtr.bits(bit, 1)
+                            block_bits = []
+                    if av > 1:  # previously nonzero: correction bit
+                        block_bits.append(av & 1)
+                        continue
+                    # newly significant (av == 1)
+                    wtr.emit_eobrun(actab)
+                    wtr.symbol(actab, (run << 4) | 1)
+                    run = 0
+                    wtr.bits(1 if int(blk[k]) >= 0 else 0, 1)
+                    for bit in block_bits:
+                        wtr.bits(bit, 1)
+                    block_bits = []
+                if run > 0 or block_bits:
+                    wtr.eobrun += 1
+                    wtr.pending.extend(block_bits)
+                    if wtr.eobrun == 0x7FFF:
+                        wtr.emit_eobrun(actab)
+        wtr.emit_eobrun(actab)
+        return wtr.finish()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return (
+            bytes([0xFF, marker])
+            + struct.pack(">H", len(payload) + 2)
+            + payload
+        )
+
+    def sos(comp_ids: list[int], tabs: list[int], ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid, tt in zip(comp_ids, tabs):
+            body += bytes([cid, tt])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    out = b"\xff\xd8"
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(
+        0xDB, bytes([0x00]) + bytes(int(x) for x in ql.reshape(8, 8).reshape(64)[_JZZ])
+    )
+    if not gray:
+        out += seg(
+            0xDB,
+            bytes([0x01]) + bytes(int(x) for x in qc.reshape(8, 8).reshape(64)[_JZZ]),
+        )
+    sof = struct.pack(">BHHB", 8, h, w, len(comps_px))
+    for cid, ((sh, sv), tq) in enumerate(
+        zip(sampling, [0] + [1] * (len(comps_px) - 1)), 1
+    ):
+        sof += bytes([cid, (sh << 4) | sv, tq])
+    out += seg(0xC2, sof)  # SOF2: progressive
+    out += seg(0xC4, bytes([0x00]) + bytes(_JDC_BITS) + bytes(_JDC_VALS))
+    out += seg(
+        0xC4, bytes([0x10]) + bytes(_JAC_PROG_BITS) + bytes(_JAC_PROG_VALS)
+    )
+    if not gray:
+        out += seg(
+            0xC4, bytes([0x01]) + bytes(_JDC_C_BITS) + bytes(_JDC_C_VALS)
+        )
+
+    ids = list(range(1, len(comps_px) + 1))
+    dc_tt = [0x00] + [0x10] * (len(comps_px) - 1)
+    out += sos(ids, dc_tt, 0, 0, 0, 1) + dc_first_scan(1)
+    for ci in range(len(comps_px)):
+        ta = 0x00 if ci == 0 else 0x10  # Ta=0: the shared AC table
+        out += sos([ids[ci]], [ta], 1, 5, 0, 2) + ac_first_scan(ci, 1, 5, 2)
+        out += sos([ids[ci]], [ta], 6, 63, 0, 2) + ac_first_scan(
+            ci, 6, 63, 2
+        )
+    for ah, al in ((2, 1), (1, 0)):
+        for ci in range(len(comps_px)):
+            ta = 0x00 if ci == 0 else 0x10
+            out += sos([ids[ci]], [ta], 1, 63, ah, al) + ac_refine_scan(
+                ci, 1, 63, ah, al
+            )
+    out += sos(ids, dc_tt, 0, 0, 1, 0) + dc_refine_scan(0)
+    return out + b"\xff\xd9"
+
+
+# --- progressive JPEG (T.81 Annex G): spectral selection + full
+# successive approximation, DC and AC. Coefficients accumulate across
+# scans in per-block zigzag-order arrays; the finish pass dequantizes
+# and runs the same IDCT as baseline — the pytest law "progressive
+# decode == baseline decode of identical quantized coefficients"
+# cross-checks every scan kind against the already-certified baseline
+# path. ---------------------------------------------------------------
+
+
+def _jprog_geom(frame):
+    """Per-component true dims + block grids and the MCU grid."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        c["x"] = -(-w * c["h"] // hmax)
+        c["y"] = -(-h * c["v"] // vmax)
+        c["cbx"] = -(-c["x"] // 8)  # coded blocks, non-interleaved
+        c["cby"] = -(-c["y"] // 8)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    return hmax, vmax, mcux, mcuy
+
+
+def _jprog_init(frame):
+    """Zigzag-order coefficient accumulators, MCU-padded per comp."""
+    hmax, vmax, mcux, mcuy = _jprog_geom(frame)
+    return {
+        "coef": [
+            np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+            for c in frame["comps"]
+        ],
+        "pred": [0] * len(frame["comps"]),
+    }
+
+
+def _jprog_scan(
+    b, pos, frame, htabs, sel_list, ss, se, ah, al, state, restart_interval
+) -> int:
+    """Decode ONE progressive scan into the coefficient accumulators;
+    returns the byte position just past the scan's entropy data.
+    DC scans (Ss=0) may be interleaved; AC scans are single-component
+    (T.81 G.1). Restart markers reset predictors and the EOB run."""
+    comps = frame["comps"]
+    hmax, vmax, mcux, mcuy = _jprog_geom(frame)
+    rd = _JBitReader(b, pos)
+    coef = state["coef"]
+
+    def huffval(table: dict) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | rd.bit()
+            ln += 1
+            v = table.get((ln, code))
+            if v is not None:
+                return v
+        raise ValueError("invalid Huffman code in entropy data")
+
+    def restart_reset():
+        rd.acc = 0
+        rd.n = 0
+        try:
+            rd._fill()
+            raise ValueError("expected restart marker")
+        except _JRestart:
+            rd.align_after_restart()
+            state["pred"] = [0] * len(comps)
+
+    if ss == 0:  # DC scan (se must be 0)
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        interleaved = len(sel_list) > 1
+        if interleaved:
+            blocks_per_mcu = [
+                (ci, byi, bxi)
+                for ci, _, _ in sel_list
+                for byi in range(comps[ci]["v"])
+                for bxi in range(comps[ci]["h"])
+            ]
+            nmx, nmy = mcux, mcuy
+        else:
+            ci0 = sel_list[0][0]
+            blocks_per_mcu = [(ci0, 0, 0)]
+            nmx, nmy = comps[ci0]["cbx"], comps[ci0]["cby"]
+        dctabs = {ci: htabs[(0, td)] for ci, td, _ in sel_list}
+        mcu = 0
+        for my in range(nmy):
+            for mx in range(nmx):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    restart_reset()
+                mcu += 1
+                for ci, byi, bxi in blocks_per_mcu:
+                    c = comps[ci]
+                    if len(sel_list) > 1:
+                        by = my * c["v"] + byi
+                        bx = mx * c["h"] + bxi
+                    else:
+                        by, bx = my, mx
+                    if ah == 0:  # first DC scan
+                        cat = huffval(dctabs[ci])
+                        diff = _jextend(rd.bits(cat), cat) if cat else 0
+                        state["pred"][ci] += diff
+                        coef[ci][by, bx, 0] = state["pred"][ci] << al
+                    else:  # DC refinement: one bit, position al
+                        if rd.bit():
+                            coef[ci][by, bx, 0] |= 1 << al
+        return rd.pos
+
+    # AC scan — single component only (spec G.1)
+    if len(sel_list) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    ci, _, ta = sel_list[0]
+    c = comps[ci]
+    actab = htabs[(1, ta)]
+    eobrun = 0
+    mcu = 0
+    for by in range(c["cby"]):
+        for bx in range(c["cbx"]):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                restart_reset()
+                eobrun = 0
+            mcu += 1
+            blk = coef[ci][by, bx]
+            if ah == 0:  # first AC scan for this band
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = huffval(actab)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1 + (
+                                rd.bits(r) if r else 0
+                            )
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past band end")
+                    blk[k] = _jextend(rd.bits(s), s) << al
+                    k += 1
+            else:  # AC refinement (G.1.2.3)
+                p1, m1 = 1 << al, -1 << al
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = huffval(actab)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r < 15:
+                                eobrun = (1 << r) + (
+                                    rd.bits(r) if r else 0
+                                )
+                                break
+                            newval = 0  # ZRL: skip 16 zero-history
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "AC refinement size != 1"
+                                )
+                            newval = p1 if rd.bit() else m1
+                        # advance past r zero-history coefficients,
+                        # emitting correction bits for nonzero ones
+                        while k <= se:
+                            if blk[k] != 0:
+                                if rd.bit() and (blk[k] & p1) == 0:
+                                    blk[k] += p1 if blk[k] >= 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if s and k <= se:
+                            blk[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    # EOB covers the rest of this block: correction
+                    # bits still arrive for its nonzero coefficients
+                    while k <= se:
+                        if blk[k] != 0:
+                            if rd.bit() and (blk[k] & p1) == 0:
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+    return rd.pos
+
+
+def _jprog_finish(frame, qtabs, state) -> np.ndarray:
+    """Dequantize + IDCT the accumulated coefficients — identical math
+    to the baseline path — then upsample/color-convert."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax, vmax, _, _ = _jprog_geom(frame)
+    planes = []
+    for ci, c in enumerate(comps):
+        zz = state["coef"][ci]  # (by, bx, 64) zigzag order
+        nby, nbx = zz.shape[0], zz.shape[1]
+        q = qtabs[c["tq"]].reshape(64)  # natural order
+        nat = np.zeros((nby, nbx, 64), dtype=np.float64)
+        nat[:, :, _JZZ] = zz  # de-zigzag
+        nat *= q[None, None, :]
+        blocks = nat.reshape(nby, nbx, 8, 8)
+        # batched IDCT: A.T @ S @ A + 128 for every block
+        out = np.einsum("ij,yxjk,kl->yxil", _JDCT.T, blocks, _JDCT) + 128.0
+        plane = out.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        planes.append(plane)
+    return _jplanes_to_rgb(planes, comps, h, w, hmax, vmax)
 
 
 def _jpeg_scan(
@@ -919,9 +1504,15 @@ def _jpeg_scan(
                 planes[ci][py : py + 8, px : px + 8] = blk
             mcu += 1
 
-    # crop each plane to its true component size, then upsample to
-    # full resolution by pixel replication (the standard fast chroma
-    # reconstruction; bit-exact for the box-averaged encoder below)
+    return _jplanes_to_rgb(planes, comps, h, w, hmax, vmax)
+
+
+def _jplanes_to_rgb(planes, comps, h, w, hmax, vmax) -> np.ndarray:
+    """Crop each decoded plane to its true component size, upsample to
+    full resolution by pixel replication (the standard fast chroma
+    reconstruction; bit-exact for the box-averaged encoders here),
+    then level-shift/color-convert to (h, w, 3) uint8."""
+    nc = len(comps)
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci][: c["y"], : c["x"]]
@@ -958,9 +1549,9 @@ def _decode_image_bytes(b: bytes) -> np.ndarray:
         return _parse_jpeg(b)
     raise ValueError(
         "undecodable image payload (real path supports PPM P6, 24-bit "
-        "BMP, 8-bit RGB/RGBA PNG, and baseline-sequential JPEG "
-        "[grayscale and 4:4:4/4:2:2/4:2:0 YCbCr; progressive needs "
-        "PIL] — use fake=True for plumbing-only runs)"
+        "BMP, 8-bit RGB/RGBA PNG, and JPEG [baseline + progressive; "
+        "grayscale and 4:4:4/4:2:2/4:2:0 YCbCr] — use fake=True for "
+        "plumbing-only runs)"
     )
 
 
@@ -1396,6 +1987,54 @@ def synth_jpeg420_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             F.lit("image/jpeg").alias("mime"),
             (8 * (1 + F.col(id_col) % 5)).cast("int").alias("width"),
             (8 * (1 + F.col(id_col) % 3)).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ),
+    )
+
+
+def synth_jpeg_prog_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a VALID PROGRESSIVE color JPEG per row whose decode
+    is EXACT (mm9's law through the six-stage Annex G scan script):
+    per-8×8-block even luma ``y(i,bx,by) = 64 + 2·((5i + 3bx + 11by)
+    mod 56)`` at 8·(1+i%4) × 8·(1+i%2), constant per-image
+    :data:`JPEG420_PALETTE` chroma (the same brute-force-certified
+    rounding shifts — the luma range 64..174 sits inside the certified
+    60..178 sweep), sampling rotating 4:2:0 / 4:2:2 / 4:4:4 (id mod
+    3). Constant blocks put every AC scan on the EOB-run path and the
+    DC through the split first-scan (Al=1) + refinement bit, both
+    exact for even level-shifted values — so interleaved progressive
+    DC, EOB runs, and successive-approximation reassembly all run
+    corpus-wide with a hash-certifiable mean."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            nbx, nby = 1 + i % 4, 1 + i % 2
+            bx = np.arange(nbx, dtype=np.int64)[None, :]
+            by = np.arange(nby, dtype=np.int64)[:, None]
+            yb = 64 + 2 * ((5 * i + 3 * bx + 11 * by) % 56)
+            y = np.kron(yb, np.ones((8, 8), dtype=np.int64)).astype(
+                np.float64
+            )
+            cb, cr = JPEG420_PALETTE[i % 8][:2]
+            return encode_jpeg_progressive(
+                y,
+                np.full_like(y, float(cb)),
+                np.full_like(y, float(cr)),
+                sampling=JPEG420_SAMPLINGS[i % 3],
+            )
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("image/jpeg").alias("mime"),
+            (8 * (1 + F.col(id_col) % 4)).cast("int").alias("width"),
+            (8 * (1 + F.col(id_col) % 2)).cast("int").alias("height"),
             F.lit(None).cast("int").alias("sample_rate"),
             F.lit(None).cast("int").alias("n_frames"),
         ),

@@ -802,21 +802,23 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    for the three queries BUILT this round — a rows-only refresh is
 #    the least-valuable slot, a first driver row for new code the
 #    most; e2/e3/e4 keep the ANN rows-only representation in-window).
-# 5. The 7 queries built in the round-11 session itself:
+# 5. The 8 queries built in the round-11 session itself:
 #    j12_scd2_pointintime (PIT SCD2 lookup, exact oracle),
 #    mm9_jpeg420_decode_real (subsampled-chroma JPEG, exact oracle),
-#    t21_unigram_ids_gate (unigram-LM tokenizer 4-law gate),
+#    t21_gate (unigram-LM tokenizer 4-law gate),
 #    g7_link_prediction (Jaccard link prediction, exact oracle),
 #    st27_stream_pit_enrich (j12's stateless stream-static twin),
 #    w6_time_weighted_avg (TWAP, exact integer arithmetic),
-#    agg22_rolling_distinct (exact WAU rolling distinct) — they
-#    displace the rows-only agg2_approx_distinct, e3_cosine_topk_ivf,
-#    agg11_sketch_union and st10_stream_neardup (gates 6G 7G each;
-#    agg keeps 5, e keeps 4, st keeps 10+ entries in-window).
+#    agg22_rolling_distinct (exact WAU rolling distinct),
+#    mm10_jpeg_progressive_decode_real (progressive JPEG — the last
+#    image-codec gate closed) — they displace the rows-only
+#    agg2_approx_distinct, e3_cosine_topk_ivf, agg11_sketch_union,
+#    st10_stream_neardup and e2_cosine_topk_lsh (gates 6G 7G each;
+#    agg keeps 5, e keeps 3, st keeps 10+ entries in-window).
 #
 # Round-12 rotation seed, stalest first: agg5, e1, d3, d4, d6, e5,
-# e6, d8, agg2, e3, agg11, st10 (the twelve displaced above), then
-# the r7-stale gates (ledger --markdown lists them).
+# e6, d8, agg2, e3, agg11, st10, e2 (the thirteen displaced above),
+# then the r7-stale gates (ledger --markdown lists them).
 #
 # st2b_stateful_totals_tws remains unregistered: the container lacks
 # protobuf so transformWithState cannot import (NOTES.md, re-checked
@@ -833,11 +835,12 @@ _WINDOW = [
     "g6_lpa_communities",
     "j12_scd2_pointintime",
     "mm9_jpeg420_decode_real",
-    "t21_unigram_ids_gate",
+    "t21_gate",
     "g7_link_prediction",
     "st27_stream_pit_enrich",
     "w6_time_weighted_avg",
     "agg22_rolling_distinct",
+    "mm10_jpeg_progressive_decode_real",
     # --- (2) changed-code refreshes ---
     "p29_merge_upsert",
     "o8_cogroup_asof",
@@ -853,7 +856,6 @@ _WINDOW = [
     "agg12_json_extract",
     "agg8_unpivot",
     "d11_fuzzy_join",
-    "e2_cosine_topk_lsh",
     "e4_cosine_topk_ivf_persisted",
     "j7_asof_nearest",
     "j8_range_join_large",

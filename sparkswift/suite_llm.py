@@ -2128,7 +2128,7 @@ def t21_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "t21_unigram_ids_gate",
+    "t21_gate",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
            TRUE AS roundtrip_ok,
@@ -2138,7 +2138,7 @@ def t21_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
 )
-def t21_unigram_ids_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t21_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pieces = tx.unigram_train(docs, vocab_size=300)
     vocab_size = len(tx.unigram_vocab(pieces))
@@ -3128,6 +3128,58 @@ def _mm9_case(idx: int) -> str:
 def mm9_jpeg420_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     wp = mm.synth_jpeg420_payload(docs, "doc_id")
+    out = mm.decode_image(wp, "doc_id", "payload", fake=False, feat_dim=5)
+    return out.select(
+        "id",
+        F.col("feat")[0].cast("int").alias("width"),
+        F.col("feat")[1].cast("int").alias("height"),
+        F.col("feat")[2].alias("mean_r"),
+        F.col("feat")[3].alias("mean_g"),
+        F.col("feat")[4].alias("mean_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mm10 — REAL PROGRESSIVE JPEG decode (closes the LAST image-codec
+# gate): synth_jpeg_prog writes valid SOF2 files through a six-stage
+# Annex G scan script — interleaved DC first scan at Al=1, per-
+# component spectral-selection AC first scans at Al=2, TWO AC
+# successive-approximation refinement passes (2→1, 1→0), and a DC
+# refinement — so multi-scan coefficient accumulation, EOB runs,
+# ZRL-in-refinement, buffered correction bits, and per-scan Huffman
+# tables all run corpus-wide. The synth is mm9's constant-block law
+# (same certified palette; luma range inside the certified sweep), so
+# decode is bit-exact and the oracle is the same block-mean + shift
+# arithmetic. The pytest law "progressive == baseline decode of
+# identical coefficients" cross-checks the full scan machinery on
+# dense random content, where every refinement path fires.
+# ---------------------------------------------------------------------------
+@register(
+    "mm10_jpeg_progressive_decode_real",
+    f"""
+    WITH bxs AS (SELECT unnest([0, 1, 2, 3]) AS bx),
+         bys AS (SELECT unnest([0, 1]) AS by),
+         p AS (SELECT doc_id, 1 + doc_id % 4 AS nbx, 1 + doc_id % 2 AS nby
+               FROM documents),
+         y AS (SELECT doc_id, nbx, nby,
+                      CAST(64 + 2 * ((5 * doc_id + 3 * bx + 11 * by) % 56)
+                           AS DOUBLE) AS yv
+               FROM p JOIN bxs ON bx < nbx JOIN bys ON by < nby)
+    SELECT doc_id AS id,
+           CAST(8 * nbx AS INT) AS width,
+           CAST(8 * nby AS INT) AS height,
+           AVG(yv + ({_mm9_case(2)})) AS mean_r,
+           AVG(yv + ({_mm9_case(3)})) AS mean_g,
+           AVG(yv + ({_mm9_case(4)})) AS mean_b
+    FROM y
+    GROUP BY doc_id, nbx, nby
+    """,
+)
+def mm10_jpeg_progressive_decode_real(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    wp = mm.synth_jpeg_prog_payload(docs, "doc_id")
     out = mm.decode_image(wp, "doc_id", "payload", fake=False, feat_dim=5)
     return out.select(
         "id",

@@ -1840,7 +1840,7 @@ def test_jpeg_codec_pure_roundtrip():
 
 
 def test_jpeg_decoder_gates_nonbaseline():
-    """Progressive frames and truncated streams fail LOUDLY."""
+    """Hierarchical/lossless frames and junk streams fail LOUDLY."""
     import numpy as np
     import pytest as _pytest
 
@@ -1850,7 +1850,7 @@ def test_jpeg_decoder_gates_nonbaseline():
     good = encode_jpeg_gray(px)
     bad = bytearray(good)
     i = bytes(bad).find(b"\xff\xc0")
-    bad[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    bad[i + 1] = 0xC3  # SOF0 -> SOF3 (lossless — still gated)
     with _pytest.raises(NotImplementedError, match="non-baseline"):
         _parse_jpeg(bytes(bad))
     with _pytest.raises(ValueError):
@@ -2367,3 +2367,75 @@ def test_unigram_train_validation_and_floor(spark):
     # the ▁ marker plus every corpus char survives
     assert set("abcde") | {"▁"} <= set(syms)
     assert all(len(s) == 1 for s in syms)
+
+
+def test_jpeg_progressive_equals_baseline_decode():
+    """The progressive cross-check law: a SOF2 file written through
+    the six-stage scan script (spectral selection + DC/AC successive
+    approximation) decodes BIT-IDENTICALLY to a baseline file built
+    from the same quantized coefficients — on dense random content,
+    where EOB runs, ZRL-in-refinement, buffered correction bits, and
+    newly-significant placement all fire — across samplings, odd
+    dims, and grayscale."""
+    import numpy as np
+
+    from sparkswift.operators.multimodal import (
+        _parse_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+        encode_jpeg_ycbcr,
+    )
+
+    rng = np.random.RandomState(0)
+    for h, w in [(8, 8), (24, 40), (33, 45), (17, 9)]:
+        py = rng.randint(0, 256, (h, w)).astype(np.float64)
+        pcb = rng.randint(0, 256, (h, w)).astype(np.float64)
+        pcr = rng.randint(0, 256, (h, w)).astype(np.float64)
+        for s in [
+            ((2, 2), (1, 1), (1, 1)),
+            ((2, 1), (1, 1), (1, 1)),
+            ((1, 1), (1, 1), (1, 1)),
+        ]:
+            base = _parse_jpeg(encode_jpeg_ycbcr(py, pcb, pcr, sampling=s))
+            prog = _parse_jpeg(
+                encode_jpeg_progressive(py, pcb, pcr, sampling=s)
+            )
+            assert np.array_equal(base, prog), (h, w, s)
+    for h, w in [(8, 8), (19, 13)]:
+        g = rng.randint(0, 256, (h, w)).astype(np.float64)
+        assert np.array_equal(
+            _parse_jpeg(encode_jpeg_gray(g)),
+            _parse_jpeg(encode_jpeg_progressive(g)),
+        ), (h, w)
+
+
+def test_jpeg_progressive_constant_block_bitexact():
+    """mm10's oracle law per pixel: blockwise-constant even luma +
+    certified palette chroma through the progressive script decodes
+    to exactly y+shift per channel."""
+    import numpy as np
+
+    from sparkswift.operators.multimodal import (
+        JPEG420_PALETTE,
+        JPEG420_SAMPLINGS,
+        _parse_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    for i in (0, 1, 2, 5, 7, 11):
+        nbx, nby = 1 + i % 4, 1 + i % 2
+        bx = np.arange(nbx)[None, :]
+        by = np.arange(nby)[:, None]
+        yb = 64 + 2 * ((5 * i + 3 * bx + 11 * by) % 56)
+        y = np.kron(yb, np.ones((8, 8))).astype(np.float64)
+        cb, cr, sr, sg, sb = JPEG420_PALETTE[i % 8]
+        out = _parse_jpeg(
+            encode_jpeg_progressive(
+                y,
+                np.full_like(y, float(cb)),
+                np.full_like(y, float(cr)),
+                sampling=JPEG420_SAMPLINGS[i % 3],
+            )
+        )
+        exp = np.stack([y + sr, y + sg, y + sb], axis=2).astype(np.uint8)
+        assert np.array_equal(out, exp), i
