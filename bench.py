@@ -160,6 +160,7 @@ HEADLINE = [
     "w6_time_weighted_avg",  # TWAP (integer milli-weights, one window)
     "agg22_rolling_distinct",  # exact WAU (dedup-then-bounded-explode)
     "mm10_jpeg_progressive_decode_real",  # progressive JPEG decode
+    "mm11_png_palette_decode_real",  # palette PNG (sub-byte depths)
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

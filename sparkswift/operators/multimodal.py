@@ -19,9 +19,10 @@ zero dependencies, and ``extract_audio_features`` decodes REAL WAV
 via the stdlib ``wave`` module — all on the ``fake=False`` path.
 ``fake=True`` keeps the deterministic pseudo-decode (features derived
 from payload digests) for plumbing tests and for payloads in formats
-this container cannot decode (palette PNG needs PIL; JPEG —
-baseline grayscale/4:4:4/subsampled 4:2:0/4:2:2 AND progressive
-(spectral selection + successive approximation) — decodes for real). Video: ``decode_video_frames`` and ``sample_frames``
+this container cannot decode (16-bit/interlaced PNG needs PIL;
+PNG truecolor AND palette [depths 1/2/4/8], JPEG baseline
+grayscale/4:4:4/subsampled 4:2:0/4:2:2 AND progressive all decode
+for real). Video: ``decode_video_frames`` and ``sample_frames``
 (``fake=False``) REALLY extract frames from uncompressed RIFF/AVI
 payloads (full RIFF grammar walk + headerless DIB rows); compressed
 video stays NotImplementedError — that is ffmpeg territory.
@@ -131,11 +132,12 @@ def _parse_bmp(b: bytes) -> np.ndarray:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def _png_unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     """Reverse per-scanline PNG filtering (spec §9: None/Sub/Up/
-    Average/Paeth) over 8-bit samples. Pure numpy per row; ``bpp`` is
-    the filter unit (one full pixel at bit depth 8)."""
-    stride = w * ch
+    Average/Paeth) over raw scanline BYTES. Pure numpy per row;
+    ``bpp`` is the filter unit in bytes — one full pixel at bit depth
+    8 (= channels), ONE byte for palette depths < 8 (spec §9.2).
+    Returns (h, stride) uint8; the caller reshapes/unpacks."""
     out = np.zeros((h, stride), np.uint8)
     pos = 0
     for y in range(h):
@@ -153,9 +155,9 @@ def _png_unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
             cur = (row + prev) & 0xFF
         else:  # Sub/Average/Paeth need the in-row left neighbor
             for x in range(stride):
-                a = cur[x - ch] if x >= ch else 0
+                a = cur[x - bpp] if x >= bpp else 0
                 b = prev[x]
-                c = prev[x - ch] if x >= ch else 0
+                c = prev[x - bpp] if x >= bpp else 0
                 if ft == 1:
                     pred = a
                 elif ft == 3:
@@ -167,17 +169,19 @@ def _png_unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
                     raise ValueError(f"PNG filter type {ft} invalid")
                 cur[x] = (row[x] + pred) & 0xFF
         out[y] = cur.astype(np.uint8)
-    return out.reshape(h, w, ch)
+    return out
 
 
 def _parse_png(b: bytes) -> np.ndarray:
-    """Decode an 8-bit truecolor PNG (color type 2 RGB or 6 RGBA,
-    non-interlaced) to (h, w, ch) uint8 — stdlib zlib, all five
-    scanline filters reversed. The honest-codec rung for the most
-    common web image format; palette/16-bit/interlaced stay gated."""
+    """Decode a non-interlaced PNG to (h, w, ch) uint8 — stdlib zlib,
+    all five scanline filters reversed. Supports 8-bit truecolor
+    (color type 2 RGB, 6 RGBA) AND palette images (color type 3, bit
+    depths 1/2/4/8: PLTE lookup after bit-unpacking; the filter unit
+    is one BYTE per spec §9.2). 16-bit, interlaced, and tRNS-alpha
+    palette images stay honestly gated."""
     if b[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, idat, dims = len(_PNG_SIG), [], None
+    pos, idat, dims, plte = len(_PNG_SIG), [], None, None
     while pos < len(b):
         (length,) = struct.unpack_from(">I", b, pos)
         ctype = b[pos + 4 : pos + 8]
@@ -187,20 +191,53 @@ def _parse_png(b: bytes) -> np.ndarray:
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or color not in (2, 6) or interlace:
+            if interlace or color not in (2, 3, 6):
                 raise ValueError(
-                    f"PNG depth={depth} color={color} interlace={interlace} "
-                    "unsupported (8-bit RGB/RGBA non-interlaced only)"
+                    f"PNG color={color} interlace={interlace} unsupported"
                 )
-            dims = (w, h, 3 if color == 2 else 4)
+            if color in (2, 6) and depth != 8:
+                raise ValueError(
+                    f"PNG depth={depth} unsupported for truecolor (8 only)"
+                )
+            if color == 3 and depth not in (1, 2, 4, 8):
+                raise ValueError(f"PNG palette depth={depth} invalid")
+            dims = (w, h, color, depth)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            raise NotImplementedError(
+                "palette PNG with tRNS alpha unsupported"
+            )
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
             break
     if dims is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    w, h, ch = dims
-    return _png_unfilter(zlib.decompress(b"".join(idat)), w, h, ch)
+    w, h, color, depth = dims
+    raw = zlib.decompress(b"".join(idat))
+    if color in (2, 6):
+        ch = 3 if color == 2 else 4
+        return _png_unfilter(raw, h, w * ch, ch).reshape(h, w, ch)
+    if plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    stride = -(-w * depth // 8)
+    rows = _png_unfilter(raw, h, stride, 1)  # filter unit = 1 byte
+    if depth == 8:
+        idx = rows[:, :w]
+    else:
+        # unpack big-endian sub-byte indices (leftmost pixel in the
+        # high-order bits — spec §7.2)
+        per = 8 // depth
+        shifts = np.arange(per - 1, -1, -1, dtype=np.uint8) * depth
+        mask = (1 << depth) - 1
+        unpacked = (
+            rows[:, :, None] >> shifts[None, None, :]
+        ) & mask  # (h, stride, per)
+        idx = unpacked.reshape(h, stride * per)[:, :w]
+    if int(idx.max(initial=0)) >= len(plte):
+        raise ValueError("palette index out of range")
+    return plte[idx]
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -248,6 +285,74 @@ def encode_png(px: np.ndarray, filter_of=None) -> bytes:
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    idx: np.ndarray,
+    palette: np.ndarray,
+    depth: int = 8,
+    filter_of=None,
+) -> bytes:
+    """Palette (color type 3) PNG writer at bit depth 1/2/4/8:
+    indices pack big-endian into scanline bytes (leftmost pixel in
+    the high bits), PLTE carries the RGB table, and per-scanline
+    filters apply over the PACKED bytes with a one-byte filter unit
+    (spec §9.2) — the synth + round-trip counterpart of the palette
+    branch in :func:`_parse_png`."""
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"palette depth {depth} invalid")
+    h, w = idx.shape
+    palette = np.asarray(palette, np.uint8).reshape(-1, 3)
+    if int(idx.max(initial=0)) >= len(palette) or len(palette) > (1 << depth):
+        raise ValueError("palette size vs indices/depth mismatch")
+    stride = -(-w * depth // 8)
+    if depth == 8:
+        packed = idx.astype(np.uint8)
+        if packed.shape[1] != stride:
+            packed = np.pad(packed, ((0, 0), (0, stride - w)))
+    else:
+        per = 8 // depth
+        padded = np.zeros((h, stride * per), np.uint8)
+        padded[:, :w] = idx
+        shifts = np.arange(per - 1, -1, -1, dtype=np.uint8) * depth
+        packed = (
+            (padded.reshape(h, stride, per) << shifts[None, None, :])
+            .sum(axis=2)
+            .astype(np.uint8)
+        )
+    lines = []
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        row = packed[y].astype(np.int32)
+        ft = int(filter_of(y)) if filter_of is not None else 0
+        left = np.concatenate([np.zeros(1, np.int32), row[:-1]])
+        ul = np.concatenate([np.zeros(1, np.int32), prev[:-1]])
+        if ft == 0:
+            enc = row
+        elif ft == 1:
+            enc = row - left
+        elif ft == 2:
+            enc = row - prev
+        elif ft == 3:
+            enc = row - ((left + prev) >> 1)
+        else:
+            pa = np.abs(prev - ul)
+            pb = np.abs(left - ul)
+            pc = np.abs(left + prev - 2 * ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            enc = row - pred
+        lines.append(bytes([ft]) + (enc & 0xFF).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.tobytes())
         + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
         + _png_chunk(b"IEND", b"")
     )
@@ -1987,6 +2092,56 @@ def synth_jpeg420_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             F.lit("image/jpeg").alias("mime"),
             (8 * (1 + F.col(id_col) % 5)).cast("int").alias("width"),
             (8 * (1 + F.col(id_col) % 3)).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ),
+    )
+
+
+def synth_png_palette_payload(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize a VALID palette PNG per row whose decode is EXACT
+    (lossless — mm6's law for color type 3): palette color ``k`` of
+    image ``i`` is ``((3i+17k)%256, (7i+29k)%256, (13i+11k)%256)``,
+    pixel (x, y) holds index ``(x + 2y + i) mod P``, and bit depth
+    rotates 8 / 4 / 2 (P = 16/16/4) by ``i mod 3`` so sub-byte
+    big-endian packing and the one-byte filter unit are load-bearing
+    corpus-wide; scanline filters rotate through all five. Widths
+    5..12 keep partial trailing bytes in play. Channel means reduce
+    to the same integer arithmetic the mm11 oracle re-derives."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            depth = (8, 4, 2)[i % 3]
+            pp = 4 if i % 3 == 2 else 16
+            w, h = 5 + i % 8, 4 + i % 5
+            k = np.arange(pp, dtype=np.int64)
+            pal = np.stack(
+                [
+                    (3 * i + 17 * k) % 256,
+                    (7 * i + 29 * k) % 256,
+                    (13 * i + 11 * k) % 256,
+                ],
+                axis=1,
+            ).astype(np.uint8)
+            xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+            idx = (xx + 2 * yy + i) % pp
+            return encode_png_palette(
+                idx, pal, depth=depth, filter_of=lambda y: (i + y) % 5
+            )
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("image/png").alias("mime"),
+            (5 + F.col(id_col) % 8).cast("int").alias("width"),
+            (4 + F.col(id_col) % 5).cast("int").alias("height"),
             F.lit(None).cast("int").alias("sample_rate"),
             F.lit(None).cast("int").alias("n_frames"),
         ),

@@ -802,7 +802,7 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    for the three queries BUILT this round — a rows-only refresh is
 #    the least-valuable slot, a first driver row for new code the
 #    most; e2/e3/e4 keep the ANN rows-only representation in-window).
-# 5. The 8 queries built in the round-11 session itself:
+# 5. The 9 queries built in the round-11 session itself:
 #    j12_scd2_pointintime (PIT SCD2 lookup, exact oracle),
 #    mm9_jpeg420_decode_real (subsampled-chroma JPEG, exact oracle),
 #    t21_gate (unigram-LM tokenizer 4-law gate),
@@ -810,15 +810,18 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    st27_stream_pit_enrich (j12's stateless stream-static twin),
 #    w6_time_weighted_avg (TWAP, exact integer arithmetic),
 #    agg22_rolling_distinct (exact WAU rolling distinct),
-#    mm10_jpeg_progressive_decode_real (progressive JPEG — the last
-#    image-codec gate closed) — they displace the rows-only
-#    agg2_approx_distinct, e3_cosine_topk_ivf, agg11_sketch_union,
-#    st10_stream_neardup and e2_cosine_topk_lsh (gates 6G 7G each;
-#    agg keeps 5, e keeps 3, st keeps 10+ entries in-window).
+#    mm10_jpeg_progressive_decode_real (progressive JPEG),
+#    mm11_png_palette_decode_real (palette PNG — with mm10, the last
+#    two feasible image-codec gates closed) — they displace the
+#    rows-only agg2_approx_distinct, e3_cosine_topk_ivf,
+#    agg11_sketch_union, st10_stream_neardup, e2_cosine_topk_lsh and
+#    e4_cosine_topk_ivf_persisted (each covered by a green gate twin
+#    in the ledger; e4_gate is 10G-fresh — the least-valuable slot
+#    in-window was its rows-only shadow).
 #
 # Round-12 rotation seed, stalest first: agg5, e1, d3, d4, d6, e5,
-# e6, d8, agg2, e3, agg11, st10, e2 (the thirteen displaced above),
-# then the r7-stale gates (ledger --markdown lists them).
+# e6, d8, agg2, e3, agg11, st10, e2, e4 (the fourteen displaced
+# above), then the r7-stale gates (ledger --markdown lists them).
 #
 # st2b_stateful_totals_tws remains unregistered: the container lacks
 # protobuf so transformWithState cannot import (NOTES.md, re-checked
@@ -841,6 +844,7 @@ _WINDOW = [
     "w6_time_weighted_avg",
     "agg22_rolling_distinct",
     "mm10_jpeg_progressive_decode_real",
+    "mm11_png_palette_decode_real",
     # --- (2) changed-code refreshes ---
     "p29_merge_upsert",
     "o8_cogroup_asof",
@@ -856,7 +860,6 @@ _WINDOW = [
     "agg12_json_extract",
     "agg8_unpivot",
     "d11_fuzzy_join",
-    "e4_cosine_topk_ivf_persisted",
     "j7_asof_nearest",
     "j8_range_join_large",
     "o2_apply_rows_raw",

@@ -3192,6 +3192,55 @@ def mm10_jpeg_progressive_decode_real(
 
 
 # ---------------------------------------------------------------------------
+# mm11 — REAL PALETTE-PNG decode (closes the "palette PNG needs PIL"
+# gate): color type 3 at bit depths 8/4/2 — PLTE lookup after
+# big-endian sub-byte unpacking, the ONE-BYTE filter unit (spec §9.2),
+# all five scanline filters rotating per row, and partial trailing
+# bytes at widths 5..12. Lossless ⇒ channel means are exact integer
+# id arithmetic over (palette(k), index pattern) — the oracle
+# re-derives both. 16-bit/interlaced/tRNS-alpha PNGs stay honestly
+# gated. Round-trip pytest sweeps depth 1 as well.
+# ---------------------------------------------------------------------------
+@register(
+    "mm11_png_palette_decode_real",
+    """
+    WITH xs AS (SELECT unnest([0,1,2,3,4,5,6,7,8,9,10,11]) AS x),
+         ys AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS y),
+         p AS (SELECT doc_id,
+                      CAST(5 + doc_id % 8 AS INT) AS w,
+                      CAST(4 + doc_id % 5 AS INT) AS h,
+                      CASE WHEN doc_id % 3 = 2 THEN 4 ELSE 16 END AS pp
+               FROM documents),
+         px AS (
+           SELECT doc_id, w, h,
+                  (x + 2 * y + doc_id) % pp AS k
+           FROM p JOIN xs ON x < w JOIN ys ON y < h
+         )
+    SELECT doc_id AS id, w AS width, h AS height,
+           AVG(CAST((3 * doc_id + 17 * k) % 256 AS DOUBLE)) AS mean_r,
+           AVG(CAST((7 * doc_id + 29 * k) % 256 AS DOUBLE)) AS mean_g,
+           AVG(CAST((13 * doc_id + 11 * k) % 256 AS DOUBLE)) AS mean_b
+    FROM px
+    GROUP BY doc_id, w, h
+    """,
+)
+def mm11_png_palette_decode_real(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    wp = mm.synth_png_palette_payload(docs, "doc_id")
+    out = mm.decode_image(wp, "doc_id", "payload", fake=False, feat_dim=5)
+    return out.select(
+        "id",
+        F.col("feat")[0].cast("int").alias("width"),
+        F.col("feat")[1].cast("int").alias("height"),
+        F.col("feat")[2].alias("mean_r"),
+        F.col("feat")[3].alias("mean_g"),
+        F.col("feat")[4].alias("mean_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # e12 — RRF HYBRID RETRIEVAL (VERDICT r10 #5): reciprocal-rank fusion
 # (Cormack, Clarke & Büttcher 2009, k0=60) of one query expressed in
 # two modalities — the t12 bag-of-terms lexically (BM25 top-50) and

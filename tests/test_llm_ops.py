@@ -2439,3 +2439,52 @@ def test_jpeg_progressive_constant_block_bitexact():
         )
         exp = np.stack([y + sr, y + sg, y + sb], axis=2).astype(np.uint8)
         assert np.array_equal(out, exp), i
+
+
+def test_png_palette_roundtrip_all_depths_and_filters():
+    """Palette PNG (color type 3): random indices + palette round-trip
+    bit-exactly at every depth 1/2/4/8 under every scanline filter —
+    sub-byte big-endian packing, the one-byte filter unit, and partial
+    trailing bytes all exercised. tRNS refuses loudly; truecolor
+    regression unchanged."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import (
+        _parse_png,
+        encode_png,
+        encode_png_palette,
+    )
+
+    rng = np.random.RandomState(3)
+    for depth in (1, 2, 4, 8):
+        pp = (1 << depth) if depth < 8 else 23
+        for h, w in [(4, 5), (7, 11), (5, 17)]:
+            idx = rng.randint(0, pp, (h, w))
+            pal = rng.randint(0, 256, (pp, 3)).astype(np.uint8)
+            for fo in (None, lambda y: (y + 1) % 5, lambda y: 4):
+                out = _parse_png(
+                    encode_png_palette(idx, pal, depth=depth, filter_of=fo)
+                )
+                assert np.array_equal(out, pal[idx]), (depth, h, w)
+
+    # tRNS alpha stays gated: splice a tRNS chunk in before IDAT
+    import struct
+    import zlib as _zlib
+
+    data = encode_png_palette(
+        rng.randint(0, 4, (4, 4)), rng.randint(0, 256, (4, 3)), depth=2
+    )
+    i = data.find(b"IDAT") - 4
+    trns = b"\x80\xff\xff\xff"
+    chunk = (
+        struct.pack(">I", len(trns))
+        + b"tRNS"
+        + trns
+        + struct.pack(">I", _zlib.crc32(b"tRNS" + trns) & 0xFFFFFFFF)
+    )
+    with _pytest.raises(NotImplementedError, match="tRNS"):
+        _parse_png(data[:i] + chunk + data[i:])
+
+    px = rng.randint(0, 256, (9, 7, 3)).astype(np.uint8)
+    assert np.array_equal(_parse_png(encode_png(px, lambda y: y % 5)), px)
