@@ -3126,7 +3126,15 @@ def _mm9_case(idx: int) -> str:
     """,
 )
 def mm9_jpeg420_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # the fixture table is one parquet file -> one input split; the
+        # per-image Python codec is the cost, so spread the synth+decode
+        # over the cluster (a 5k-row id shuffle is noise). Real corpora
+        # arrive pre-partitioned and skip this.
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     wp = mm.synth_jpeg420_payload(docs, "doc_id")
     out = mm.decode_image(wp, "doc_id", "payload", fake=False, feat_dim=5)
     return out.select(
@@ -3178,7 +3186,15 @@ def mm9_jpeg420_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm10_jpeg_progressive_decode_real(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # the fixture table is one parquet file -> one input split; the
+        # per-image Python codec is the cost, so spread the synth+decode
+        # over the cluster (a 5k-row id shuffle is noise). Real corpora
+        # arrive pre-partitioned and skip this.
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     wp = mm.synth_jpeg_prog_payload(docs, "doc_id")
     out = mm.decode_image(wp, "doc_id", "payload", fake=False, feat_dim=5)
     return out.select(
@@ -3227,7 +3243,15 @@ def mm10_jpeg_progressive_decode_real(
 def mm11_png_palette_decode_real(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # the fixture table is one parquet file -> one input split; the
+        # per-image Python codec is the cost, so spread the synth+decode
+        # over the cluster (a 5k-row id shuffle is noise). Real corpora
+        # arrive pre-partitioned and skip this.
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     wp = mm.synth_png_palette_payload(docs, "doc_id")
     out = mm.decode_image(wp, "doc_id", "payload", fake=False, feat_dim=5)
     return out.select(
