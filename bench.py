@@ -161,6 +161,7 @@ HEADLINE = [
     "agg22_rolling_distinct",  # exact WAU (dedup-then-bounded-explode)
     "mm10_jpeg_progressive_decode_real",  # progressive JPEG decode
     "mm11_png_palette_decode_real",  # palette PNG (sub-byte depths)
+    "p30_temperature_mixture",  # mT5 alpha-sampling (quantized pow)
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

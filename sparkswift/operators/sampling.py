@@ -21,6 +21,8 @@ and DuckDB, so every operator here is exactly SQL-oracle-able.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -245,6 +247,100 @@ def _mixture_thresholds(
         t = (p * space + q - 1) // q  # ceil — exact
         out[g] = "g" if t >= space else format(t, f"0{_NIBBLES}x")
     return out
+
+
+def temperature_weights(
+    counts: dict[str, int], alpha: float, scale: int = 1_000_000
+) -> dict[str, int]:
+    """Temperature-scaled mixture weights (mT5 §3.1 / XLM-R multilingual
+    sampling, public): target rate p_g ∝ n_g^α — α < 1 upweights
+    low-resource groups, α = 1 is proportional (no-op), α = 0 uniform.
+    The ONE transcendental (pow) floor-quantizes to integer micro-
+    weights — floor, not round: no round-half rule in play — and
+    everything downstream is the exact integer arithmetic of
+    :func:`_mixture_thresholds` (the t15 discipline: cross-engine
+    transcendental agreement is fixture-verified in pytest, and the
+    honest fallback if a boundary ever flips is rows-only)."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    return {
+        g: int(math.floor(scale * float(n) ** alpha))
+        for g, n in counts.items()
+        if n > 0
+    }
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    alpha: float,
+    seed: int = 0,
+) -> DataFrame:
+    """Sample a corpus DOWN to the temperature-scaled mixture
+    p_g ∝ n_g^α — the standard multilingual data-balancing knob:
+    one bounded per-group count aggregate, driver-side micro-weight
+    quantization (:func:`temperature_weights`), then the same exact
+    integer thresholds + scan-stage md5 CASE filter as
+    :func:`mixture_sample` — never upsampling, zero data shuffle.
+    """
+    counts = {
+        r[group_col]: r["n"]
+        for r in df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r[group_col] is not None
+    }
+    weights = temperature_weights(counts, alpha)
+    thresholds = _mixture_thresholds(counts, weights)
+    bucket = hash_bucket_hex(id_col, seed)
+    thr: Column = F.lit("0" * _NIBBLES)
+    for g, t in sorted(thresholds.items()):
+        thr = F.when(F.col(group_col) == F.lit(g), F.lit(t)).otherwise(thr)
+    return df.filter(bucket < thr)
+
+
+def temperature_sql(
+    table: str,
+    id_sql: str,
+    group_sql: str,
+    alpha: float,
+    seed: int = 0,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB oracle for :func:`temperature_sample`: recomputes the
+    per-group counts, the floor-quantized pow micro-weights, T, and
+    the ceil-thresholds — all from the table, nothing rendered from
+    engine state — in HUGEINT arithmetic after the one quantized
+    pow."""
+    space = 16**_NIBBLES
+    bucket = (
+        f"substr(md5(concat_ws(':', '{seed}', CAST({id_sql} AS VARCHAR))),"
+        f" 1, {_NIBBLES})"
+    )
+    return f"""
+    WITH c AS (
+        SELECT {group_sql} AS grp, CAST(count(*) AS HUGEINT) AS n,
+               CAST(floor({scale} * pow(count(*), {alpha!r})) AS HUGEINT)
+                 AS wt
+        FROM {table} WHERE {group_sql} IS NOT NULL
+        GROUP BY {group_sql}
+    ),
+    s AS (SELECT sum(wt) AS W FROM c),
+    t AS (SELECT min(c.n * s.W // c.wt) AS T FROM c, s),
+    thr AS (
+        SELECT c.grp,
+               CASE WHEN (c.wt * t.T * {space} + s.W * c.n - 1)
+                         // (s.W * c.n) >= {space} THEN 'g'
+                    ELSE printf('%0{_NIBBLES}x', CAST(
+                         (c.wt * t.T * {space} + s.W * c.n - 1)
+                         // (s.W * c.n) AS BIGINT)) END AS h
+        FROM c, s, t
+    )
+    SELECT {table}.*
+    FROM {table} JOIN thr ON {table}.{group_sql} = thr.grp
+    WHERE {bucket} < thr.h
+    """
 
 
 def mixture_sql(

@@ -802,7 +802,7 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    for the three queries BUILT this round — a rows-only refresh is
 #    the least-valuable slot, a first driver row for new code the
 #    most; e2/e3/e4 keep the ANN rows-only representation in-window).
-# 5. The 9 queries built in the round-11 session itself:
+# 5. The 10 queries built in the round-11 session itself:
 #    j12_scd2_pointintime (PIT SCD2 lookup, exact oracle),
 #    mm9_jpeg420_decode_real (subsampled-chroma JPEG, exact oracle),
 #    t21_gate (unigram-LM tokenizer 4-law gate),
@@ -812,15 +812,17 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    agg22_rolling_distinct (exact WAU rolling distinct),
 #    mm10_jpeg_progressive_decode_real (progressive JPEG),
 #    mm11_png_palette_decode_real (palette PNG — with mm10, the last
-#    two feasible image-codec gates closed) — they displace the
-#    rows-only agg2_approx_distinct, e3_cosine_topk_ivf,
-#    agg11_sketch_union, st10_stream_neardup, e2_cosine_topk_lsh and
-#    e4_cosine_topk_ivf_persisted (each covered by a green gate twin
-#    in the ledger; e4_gate is 10G-fresh — the least-valuable slot
-#    in-window was its rows-only shadow).
+#    two feasible image-codec gates closed),
+#    p30_temperature_mixture (mT5 α-sampling, exact after one
+#    quantized pow) — they displace the rows-only
+#    agg2_approx_distinct, e3_cosine_topk_ivf, agg11_sketch_union,
+#    st10_stream_neardup, e2_cosine_topk_lsh,
+#    e4_cosine_topk_ivf_persisted and p5_decontaminate_bloom (each
+#    covered by a green gate twin in the ledger — the rows-only
+#    shadows were the least-valuable slots in-window).
 #
 # Round-12 rotation seed, stalest first: agg5, e1, d3, d4, d6, e5,
-# e6, d8, agg2, e3, agg11, st10, e2, e4 (the fourteen displaced
+# e6, d8, agg2, e3, agg11, st10, e2, e4, p5 (the fifteen displaced
 # above), then the r7-stale gates (ledger --markdown lists them).
 #
 # st2b_stateful_totals_tws remains unregistered: the container lacks
@@ -845,6 +847,7 @@ _WINDOW = [
     "agg22_rolling_distinct",
     "mm10_jpeg_progressive_decode_real",
     "mm11_png_palette_decode_real",
+    "p30_temperature_mixture",
     # --- (2) changed-code refreshes ---
     "p29_merge_upsert",
     "o8_cogroup_asof",
@@ -873,7 +876,6 @@ _WINDOW = [
     "p14_interleave",
     "p15_zorder_key",
     "p17_leak_report",
-    "p5_decontaminate_bloom",
     "q18_large_volume_customer",
     "q3_shipping_priority",
     "q6_forecast_revenue",

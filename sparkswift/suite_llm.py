@@ -1086,6 +1086,27 @@ def p10_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# p30 — TEMPERATURE-scaled mixture (mT5 §3.1 / XLM-R multilingual
+# sampling, α = 0.3): target rate per language ∝ n^α — the standard
+# low-resource-upweighting knob, where p10's fixed weights are the
+# hand-tuned alternative. The ONE transcendental (pow over ≤5 distinct
+# counts) floor-quantizes to integer micro-weights on BOTH engines;
+# everything downstream is p10's exact integer threshold arithmetic,
+# so the hash match certifies per-row decisions. Cross-engine pow
+# agreement on the fixture's count set is pytest-asserted (the t15
+# transcendental rule — demote to rows-only if a regeneration ever
+# lands a floor boundary on an ulp).
+# ---------------------------------------------------------------------------
+@register(
+    "p30_temperature_mixture",
+    sp.temperature_sql("documents", "doc_id", "lang", 0.3),
+)
+def p30_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sp.temperature_sample(docs, "doc_id", "lang", 0.3)
+
+
+# ---------------------------------------------------------------------------
 # Incremental (cross-batch) exact dedup: batch 1 = the corpus's first
 # half seeds a persisted fingerprint store; batch 2 = the second half
 # PLUS re-ingested copies of batch 1 (ids +100000 — must all hit the

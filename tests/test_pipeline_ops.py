@@ -1087,3 +1087,87 @@ def test_editdistance_join_complete_and_exact(spark):
             if a != b and lev(na, nb) <= k
         }
         assert got == want, (k, got, want)
+
+
+def test_temperature_sample_laws(spark, sf_dir):
+    """p30's temperature mixture: alpha=1 keeps EVERYTHING (rates
+    proportional to counts = the corpus itself), alpha=0 levels the
+    groups (uniform weights -> every group contributes ~the smallest
+    group's share), and alpha=0.3 lands between; decisions are
+    deterministic and never upsample."""
+    from sparkswift.operators import sampling as sp
+    from sparkswift.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_all = docs.filter(F.col("lang").isNotNull()).count()
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+        if r["lang"] is not None
+    }
+
+    # alpha=1: proportional target == availability -> keep-all
+    assert sp.temperature_sample(docs, "doc_id", "lang", 1.0).count() == n_all
+
+    # alpha=0: uniform weights -> the smallest group keeps everything,
+    # every group's expected share ~= min count
+    out0 = sp.temperature_sample(docs, "doc_id", "lang", 0.0)
+    got0 = {
+        r["lang"]: r["n"]
+        for r in out0.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    mn = min(counts.values())
+    assert got0[min(counts, key=counts.get)] == mn
+    for g, n in got0.items():
+        assert n <= counts[g]
+        assert abs(n - mn) <= max(6, int(0.35 * mn)), (g, n, mn)
+
+    # alpha=0.3 sits between: more level than raw, keeps the floor
+    out3 = sp.temperature_sample(docs, "doc_id", "lang", 0.3)
+    got3 = {
+        r["lang"]: r["n"]
+        for r in out3.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    hi = max(counts, key=counts.get)
+    assert mn <= got3[hi] <= counts[hi]
+
+    # determinism
+    a = sorted(r.doc_id for r in out3.select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in sp.temperature_sample(docs, "doc_id", "lang", 0.3)
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        sp.temperature_weights({"en": 10}, -0.5)
+
+
+def test_temperature_pow_agrees_with_duckdb_on_fixture(spark, sf_dir):
+    """The t15 transcendental rule applied to p30: the floor-quantized
+    pow micro-weights the engine derives equal DuckDB's
+    floor(scale*pow(n, alpha)) on the fixture's actual count set —
+    the one place a cross-engine ulp could flip a row decision."""
+    import duckdb
+
+    from sparkswift.operators import sampling as sp
+    from sparkswift.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = {
+        r["lang"]: int(r["n"])
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+        if r["lang"] is not None
+    }
+    for alpha in (0.0, 0.3, 0.5, 0.7, 1.0):
+        ours = sp.temperature_weights(counts, alpha)
+        con = duckdb.connect()
+        for g, n in counts.items():
+            (w,) = con.execute(
+                f"SELECT CAST(floor(1000000 * pow({n}, {alpha!r})) AS BIGINT)"
+            ).fetchone()
+            assert ours[g] == w, (g, n, alpha, ours[g], w)
