@@ -312,7 +312,17 @@ def temperature_sql(
     per-group counts, the floor-quantized pow micro-weights, T, and
     the ceil-thresholds — all from the table, nothing rendered from
     engine state — in HUGEINT arithmetic after the one quantized
-    pow."""
+    pow.
+
+    Why pow stays in-oracle (ADVICE r11 considered and decided): the
+    oracle string is static while the micro-weights depend on the
+    per-sf counts, so the engine's Python-computed weights cannot be
+    rendered as literals the way :func:`mixture_sql` renders its
+    (input) weights. The cross-engine floor(pow) agreement is instead
+    pinned densely in pytest (every n <= 20k + log tail to 1e9,
+    test_temperature_pow_agrees_with_duckdb_densely); the honest
+    fallback if an environment ever flips an ulp boundary is to
+    demote p30 to rows-only."""
     space = 16**_NIBBLES
     bucket = (
         f"substr(md5(concat_ws(':', '{seed}', CAST({id_sql} AS VARCHAR))),"

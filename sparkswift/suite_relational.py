@@ -1189,7 +1189,16 @@ def j12_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkswift.operators.joins import asof_join
 
     ev = load_table(spark, sf_dir, "events")
-    dim = scd2_intervals(ev).select(
+    # Zero-length intervals (two same-timestamp events with an attr
+    # change) can never satisfy containment (from <= t < to is empty
+    # when from == to), but they WOULD duplicate from_us and make the
+    # as-of pick nondeterministic — filter them so the asof right side
+    # is unique per (key, from_us) as asof_join requires. The current
+    # fixture has no such pair; this keeps the reduction exact if a
+    # regenerated fixture ever does.
+    dim = scd2_intervals(ev).filter(
+        F.col("to_us").isNull() | (F.col("from_us") < F.col("to_us"))
+    ).select(
         "user_id",
         F.timestamp_micros(F.col("from_us")).alias("from_ts"),
         F.col("event_type").alias("state_30m_ago"),
@@ -1270,6 +1279,14 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # max floor(560.21·10³)·span 2.6e12 μs ≈ 1.5e18 < 2⁶³ — measured,
 # NOTES.md) and the final division is integer DIV. Single-event
 # users have no holding interval and drop out (COUNT > 0 guard).
+# Division semantics (ADVICE r11): DuckDB's integer `//` TRUNCATES
+# toward zero exactly like Spark's `div` ((-7)//2 = -3 on both —
+# NOT floor division, which only applies to DuckDB's float `//`),
+# so the match holds even for negative weighted sums; the law is
+# pinned cross-engine in tests/test_windows.py
+# (test_w6_integer_division_truncates_on_both_engines). The fixture
+# is additionally nonnegative (value >= 0), so the negative branch
+# is defense-in-depth, not load-bearing.
 # ---------------------------------------------------------------------------
 @register(
     "w6_time_weighted_avg",

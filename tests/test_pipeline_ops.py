@@ -1171,3 +1171,32 @@ def test_temperature_pow_agrees_with_duckdb_on_fixture(spark, sf_dir):
                 f"SELECT CAST(floor(1000000 * pow({n}, {alpha!r})) AS BIGINT)"
             ).fetchone()
             assert ours[g] == w, (g, n, alpha, ours[g], w)
+
+
+def test_temperature_pow_agrees_with_duckdb_densely():
+    """ADVICE r11 hardening for p30: the fixture-count pin above only
+    covers ~5 values; this sweeps the floor-quantized pow agreement
+    over a DENSE count domain (every n <= 20k — covering any sf0.001/
+    sf0.01 per-language count — plus a log-spaced tail to 10^9) for
+    the headline alpha, so a libm/DuckDB ulp flip anywhere in the
+    realistic domain fails here before it can flip a driver hash.
+    (Rendering engine weights into the static oracle string is
+    impossible — weights depend on per-sf counts — so the guarantee
+    is this environment pin; the documented fallback is rows-only.)"""
+    import duckdb
+
+    from sparkswift.operators import sampling as sp
+
+    ns = list(range(1, 20001)) + [
+        int(10 ** (e / 8)) for e in range(8 * 5, 8 * 9 + 1)
+    ]
+    for alpha in (0.3, 0.5, 0.7):
+        ours = sp.temperature_weights({n: n for n in ns}, alpha)
+        con = duckdb.connect()
+        rows = con.execute(
+            "SELECT n, CAST(floor(1000000 * pow(n, ?)) AS BIGINT) "
+            "FROM (SELECT unnest(?) AS n)",
+            [alpha, ns],
+        ).fetchall()
+        for n, w in rows:
+            assert ours[n] == w, (n, alpha, ours[n], w)

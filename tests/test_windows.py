@@ -754,6 +754,30 @@ def test_time_weighted_avg_matches_fraction_reference(spark):
         assert twa == want_milli, (uid, twa, want_milli)
 
 
+def test_w6_integer_division_truncates_on_both_engines(spark):
+    """w6's exactness law (ADVICE r11): integer division must agree
+    cross-engine even for NEGATIVE numerators (reachable if a future
+    fixture carries negative values). Pin: DuckDB's integer `//`
+    TRUNCATES toward zero exactly like Spark's `div` — it is NOT the
+    float floor-division `//`. If a DuckDB upgrade ever flips this,
+    this test fails loudly before the driver hash does."""
+    import duckdb
+
+    cases = [(-7, 2), (7, 2), (-7, -2), (7, -2), (-1, 3), (1, 3),
+             (-(15 * 10**17), 7), (15 * 10**17, 7)]
+    con = duckdb.connect()
+    for a, b in cases:
+        (duck,) = con.execute(
+            f"SELECT CAST({a} AS BIGINT) // CAST({b} AS BIGINT)"
+        ).fetchone()
+        (spark_v,) = spark.sql(
+            f"SELECT CAST({a} AS BIGINT) div CAST({b} AS BIGINT)"
+        ).first()
+        # truncation toward zero: int(a/b) in exact arithmetic
+        want = abs(a) // abs(b) * (1 if (a >= 0) == (b >= 0) else -1)
+        assert duck == spark_v == want, (a, b, duck, spark_v, want)
+
+
 def test_rolling_distinct_matches_pure_python(spark, sf_dir):
     """agg22's exact rolling-7-day distinct count equals a brute
     pure-python set-union reference over the fixture."""
