@@ -1431,6 +1431,257 @@ def unigram_decode_text(
 
 
 # ---------------------------------------------------------------------------
+# WordPiece tokenizer (t22) — the third major subword family next to
+# BPE (t16-t18) and unigram-LM (t21). Public algorithm: Schuster &
+# Nakajima 2012 (the original "WordPiece" voice-search paper) as
+# popularized by BERT (Devlin et al. 2018) — training merges the
+# symbol pair with the highest LIKELIHOOD gain score
+# count(ab)/(count(a)·count(b)) (the HuggingFace-tokenizers trainer
+# formulation of the same criterion), and encoding is greedy
+# longest-match-first against the vocab with '##' continuation
+# prefixes, whole word -> [UNK] when any position fails to match.
+# The reference (swifter) has no tokenizer surface; this is a
+# north-star extension (SURVEY §2.2 text family).
+# ---------------------------------------------------------------------------
+_WP_UNK = "[UNK]"
+_WP_CONT = "##"
+
+
+def _wp_symbols(word: str) -> list[str]:
+    """BERT-style initial split: first char plain, rest ##-prefixed."""
+    return [word[0]] + [_WP_CONT + c for c in word[1:]]
+
+
+def _wp_merge(a: str, b: str) -> str:
+    """Merged symbol: the continuation marker of the RIGHT side is
+    interior after the merge and drops; the left side's marker (if
+    any) stays — '##a'+'##b' -> '##ab', 'a'+'##b' -> 'ab'."""
+    return a + (b[len(_WP_CONT):] if b.startswith(_WP_CONT) else b)
+
+
+def wordpiece_train(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 300,
+    max_vocab_words: int = 50_000,
+) -> list[str]:
+    """Train a WordPiece vocabulary: returns the ordered piece list
+    (``[UNK]`` first, then the alphabet, then learned merges in merge
+    order) — feed to :func:`wordpiece_encode_ids` /
+    :func:`wordpiece_decode_text`.
+
+    Distributed part: ONE explode + groupBy word-frequency pass (the
+    only corpus-sized work; deterministic top-``max_vocab_words`` cap
+    by (freq desc, word) — the bpe_train/unigram_train shape). Driver
+    part over that bounded table: greedy pair merging where the next
+    merge maximizes the likelihood-gain score
+    ``count(ab) / (count(a) * count(b))`` instead of BPE's raw pair
+    count. Scores are compared by EXACT INTEGER cross-multiplication
+    (``c1*l2*r2 vs c2*l1*r1`` over python bigints) — no float ratio
+    anywhere, so the trained vocab is bit-reproducible on any
+    platform and partition layout; ties break on the
+    lexicographically smallest pair. Merging stops at ``vocab_size``
+    pieces (alphabet + [UNK] floor if that is already larger) or when
+    no pair occurs twice.
+    """
+    wf = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .orderBy(F.col("f").desc(), F.col("w"))
+        .limit(max_vocab_words)
+        .collect()
+    )
+    if not wf:
+        raise ValueError("wordpiece_train: empty corpus")
+    words: dict[tuple[str, ...], int] = {}
+    for r in wf:
+        key = tuple(_wp_symbols(r.w))
+        words[key] = words.get(key, 0) + int(r.f)
+
+    alphabet = sorted({s for syms in words for s in syms})
+    pieces: list[str] = [_WP_UNK] + alphabet
+    seen = set(pieces)
+
+    while len(pieces) < vocab_size:
+        pair_counts: dict[tuple[str, str], int] = {}
+        sym_counts: dict[str, int] = {}
+        for syms, f in words.items():
+            for s in syms:
+                sym_counts[s] = sym_counts.get(s, 0) + f
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + f
+        # candidates: pairs seen >= 2 whose merged symbol is new
+        best: tuple[str, str] | None = None
+        for p in sorted(pair_counts):
+            c = pair_counts[p]
+            if c < 2 or _wp_merge(*p) in seen:
+                continue
+            if best is None:
+                best = p
+                continue
+            # score(p) > score(best) <=> c*lb*rb > cb*l*r (exact ints)
+            l, r_ = sym_counts[p[0]], sym_counts[p[1]]
+            cb = pair_counts[best]
+            lb, rb = sym_counts[best[0]], sym_counts[best[1]]
+            if c * lb * rb > cb * l * r_:
+                best = p
+        if best is None:
+            break
+        merged = _wp_merge(*best)
+        new_words: dict[tuple[str, ...], int] = {}
+        for syms, f in words.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i < len(syms) - 1
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_words[key] = new_words.get(key, 0) + f
+        words = new_words
+        pieces.append(merged)
+        seen.add(merged)
+    return pieces
+
+
+def wordpiece_vocab(pieces: list[str]) -> dict[str, int]:
+    """Deterministic id table: position in the trained piece list
+    (``[UNK]`` = 0 by construction) — derived from the list alone, so
+    every executor rebuilds it identically."""
+    return {p: i for i, p in enumerate(pieces)}
+
+
+def _wp_encode_word(
+    word: str, vocab: dict[str, int], max_chars: int = 100
+) -> list[str]:
+    """BERT's WordpieceTokenizer: greedy longest-match-first with
+    ``##`` continuation; if any position has NO matching piece the
+    WHOLE word becomes ``[UNK]`` (and words over ``max_chars`` chars
+    short-circuit to ``[UNK]`` — the public BERT guard)."""
+    if not word or len(word) > max_chars:
+        return [_WP_UNK]
+    out: list[str] = []
+    start = 0
+    n = len(word)
+    while start < n:
+        end = n
+        cur = None
+        while start < end:
+            sub = word[start:end]
+            if start > 0:
+                sub = _WP_CONT + sub
+            if sub in vocab:
+                cur = sub
+                break
+            end -= 1
+        if cur is None:
+            return [_WP_UNK]
+        out.append(cur)
+        start = end
+    return out
+
+
+def wordpiece_encode_ids(
+    df: DataFrame,
+    pieces: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    output_col: str = "token_ids",
+) -> DataFrame:
+    """Greedy-encode every document under the trained vocab: each
+    whitespace word segments longest-match-first (whole word ->
+    ``[UNK]`` on any miss). Arrow-batched ``mapInPandas`` with a
+    per-batch word memo — map-side only, no shuffle (the
+    bpe_encode_ids / unigram_encode_ids shape).
+
+    Returns ``(id_col, n_pieces, token_ids array<int>)``.
+    """
+    vocab = wordpiece_vocab(pieces)
+
+    def batches(it):
+        cache: dict[str, list[int]] = {}
+        for pdf in it:
+            ids_out = []
+            n_out = []
+            for t in pdf[text_col]:
+                doc_ids: list[int] = []
+                for w in t.split() if t else []:
+                    c = cache.get(w)
+                    if c is None:
+                        c = [vocab[s] for s in _wp_encode_word(w, vocab)]
+                        cache[w] = c
+                    doc_ids.extend(c)
+                ids_out.append(doc_ids)
+                n_out.append(len(doc_ids))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_pieces": pd.Series(n_out, dtype="int64"),
+                    output_col: pd.Series(ids_out, dtype="object"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        batches, f"{id_col} long, n_pieces long, {output_col} array<int>"
+    )
+
+
+def wordpiece_decode_text(
+    df: DataFrame,
+    pieces: list[str],
+    ids_col: str = "token_ids",
+    output_col: str = "decoded",
+) -> DataFrame:
+    """Invert :func:`wordpiece_encode_ids` with NATIVE expressions
+    only (the bpe/unigram decode shape): bounded id -> rendered-piece
+    array literal (word-initial pieces carry a leading space,
+    continuation pieces drop their ``##``), ``element_at`` per id,
+    concatenate, trim. Out-of-range ids decode to a visible
+    ``<bad-id>`` marker; the ``[UNK]`` id decodes to the literal
+    ``[UNK]`` — lossy is loud.
+
+    Law (the t22 gate): any document whose encoding holds no
+    ``[UNK]`` round-trips exactly to its whitespace-normalized text
+    (greedy pieces partition each word by construction). One public
+    BERT quirk inherited with the flat vocab.txt-style table: a TEXT
+    word that literally starts with ``##`` can match a continuation
+    piece at position 0 and decode without its marker — such words
+    are outside the round-trip domain (the fixture corpus contains no
+    ``#``; pytest pins the quirk explicitly so it is a documented
+    behavior, not a surprise).
+    """
+    table = [
+        p[len(_WP_CONT):] if p.startswith(_WP_CONT) else " " + p
+        for p in pieces
+    ]
+    sym_arr = F.array(*[F.lit(s) for s in table])
+    n_vocab = F.lit(len(table))
+    joined = F.array_join(
+        F.transform(
+            F.col(ids_col),
+            lambda i: F.coalesce(
+                F.when(
+                    (i >= 0) & (i < n_vocab),
+                    F.element_at(sym_arr, (i + 1).cast("int")),
+                ),
+                F.lit(" <bad-id>"),
+            ),
+        ),
+        "",
+    )
+    return df.withColumn(output_col, F.trim(joined))
+
+
+# ---------------------------------------------------------------------------
 # Trained quality probe — distributed, DETERMINISTIC linear-model
 # training inside the engine
 # ---------------------------------------------------------------------------

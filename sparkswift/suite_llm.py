@@ -1048,6 +1048,108 @@ def p9_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# t22 — WORDPIECE tokenizer (Schuster & Nakajima 2012 / BERT): the
+# third major subword family next to t16-t18's BPE and t21's
+# unigram-LM. Training = greedy pair merges by likelihood-gain score
+# count(ab)/(count(a)·count(b)) over ONE bounded word-frequency pass
+# (scores compared by exact integer cross-multiplication — zero
+# floats in training); encode = greedy longest-match-first with '##'
+# continuations, whole word -> [UNK] on any miss; decode = native
+# exprs. Gate laws (the t21 discipline): (1) every no-[UNK] doc
+# decodes EXACTLY back to its whitespace-normalized text, (2) every
+# id is inside the vocab derived from the trained list alone, (3)
+# re-encoding the decoded text reproduces n_pieces (greedy encode is
+# deterministic + idempotent on its own output), (4) a planted doc
+# with an out-of-alphabet char decodes with a VISIBLE [UNK]. The
+# greedy encoder and the trainer are each pytest-certified against
+# independent pure-python references.
+# ---------------------------------------------------------------------------
+@register("t22_wordpiece_tokens", None)
+def t22_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc WordPiece accounting (the t16/t21 shape for the third
+    tokenizer family) — rows-only; the laws live in t22's gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = tx.wordpiece_train(docs, vocab_size=300)
+    return tx.wordpiece_encode_ids(docs, pieces).select("doc_id", "n_pieces")
+
+
+@register(
+    "t22_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS roundtrip_ok,
+           TRUE AS ids_in_vocab,
+           TRUE AS reencode_consistent,
+           TRUE AS planted_unk_visible
+    FROM documents
+    """,
+)
+def t22_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = tx.wordpiece_train(docs, vocab_size=300)
+    vocab_size = len(pieces)
+    unk = tx.wordpiece_vocab(pieces)[tx._WP_UNK]
+
+    enc = tx.wordpiece_encode_ids(docs, pieces)
+    dec = tx.wordpiece_decode_text(enc, pieces).join(
+        docs.select("doc_id", "text"), "doc_id"
+    )
+    norm = F.array_join(
+        F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != F.lit("")),
+        " ",
+    )
+    clean = dec.filter(~F.exists("token_ids", lambda i: i == unk))
+    bad_rt = clean.filter(F.col("decoded") != norm).agg(
+        F.count(F.lit(1)).alias("n_bad_rt")
+    )
+    bad_id = F.exists(
+        "token_ids", lambda x: (x < 0) | (x >= F.lit(vocab_size))
+    )
+    re_enc = tx.wordpiece_encode_ids(
+        clean.select("doc_id", F.col("decoded").alias("text")),
+        pieces,
+    ).select("doc_id", F.col("n_pieces").alias("n_re"))
+    ids_ok = enc.agg(
+        (F.sum(F.when(bad_id, 1).otherwise(0)) == 0).alias("ids_in_vocab")
+    )
+    re_ok = clean.select("doc_id", "n_pieces").join(re_enc, "doc_id").agg(
+        (
+            F.sum(
+                F.when(F.col("n_pieces") != F.col("n_re"), 1).otherwise(0)
+            )
+            == 0
+        ).alias("reencode_consistent"),
+    )
+    agg = ids_ok.crossJoin(F.broadcast(re_ok))
+    planted = spark.createDataFrame(
+        [(9_200_000, "ordinary words then §§ weird")],
+        "doc_id long, text string",
+    )
+    p_dec = tx.wordpiece_decode_text(
+        tx.wordpiece_encode_ids(planted, pieces), pieces
+    ).select(
+        (
+            F.col("decoded").contains(tx._WP_UNK)
+            & F.exists("token_ids", lambda i: i == unk)
+        ).alias("unk_visible")
+    )
+    p = p_dec.agg(F.min(F.col("unk_visible").cast("int")).alias("p_ok"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    v = (
+        n_docs.crossJoin(F.broadcast(bad_rt))
+        .crossJoin(F.broadcast(agg))
+        .crossJoin(F.broadcast(p))
+    )
+    return v.select(
+        "n_docs",
+        (F.col("n_bad_rt") == 0).alias("roundtrip_ok"),
+        "ids_in_vocab",
+        "reencode_consistent",
+        (F.col("p_ok") == 1).alias("planted_unk_visible"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Text canonicalization (NFC + lowercase + whitespace collapse) — the
 # pre-dedup pass; DuckDB's nfc_normalize is the oracle twin of the
 # Arrow-batched pandas str.normalize step.
