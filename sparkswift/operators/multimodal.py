@@ -12,17 +12,19 @@ The decode / feature-extract steps run as Arrow-batched
 by batch (never materialized per-row on the JVM heap).
 
 Codec status: ``decode_image`` / ``resize_image`` decode REAL PPM
-(P6), 24-bit BMP, 8-bit RGB/RGBA PNG (stdlib zlib, all five scanline
-filters), and baseline-sequential JPEG (pure-numpy T.81 Huffman +
+(P6), 24-bit BMP, PNG (stdlib zlib, all five scanline filters;
+truecolor RGB/RGBA at bit depth 8 AND 16, palette depths 1/2/4/8
+with optional tRNS alpha, interlace 0 AND Adam7), and
+baseline-sequential JPEG (pure-numpy T.81 Huffman +
 IDCT; grayscale and 4:4:4, restart markers honored) payloads with
 zero dependencies, and ``extract_audio_features`` decodes REAL WAV
 via the stdlib ``wave`` module — all on the ``fake=False`` path.
 ``fake=True`` keeps the deterministic pseudo-decode (features derived
 from payload digests) for plumbing tests and for payloads in formats
-this container cannot decode (16-bit/interlaced PNG needs PIL;
-PNG truecolor AND palette [depths 1/2/4/8], JPEG baseline
-grayscale/4:4:4/subsampled 4:2:0/4:2:2 AND progressive all decode
-for real). Video: ``decode_video_frames`` and ``sample_frames``
+this container cannot decode (the PNG family is now fully real
+except grayscale color types 0/4 and the truecolor tRNS color-key;
+JPEG baseline grayscale/4:4:4/subsampled 4:2:0/4:2:2 AND progressive
+all decode for real). Video: ``decode_video_frames`` and ``sample_frames``
 (``fake=False``) REALLY extract frames from uncompressed RIFF/AVI
 payloads (full RIFF grammar walk + headerless DIB rows); compressed
 video stays NotImplementedError — that is ffmpeg territory.
@@ -172,16 +174,46 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass grid (spec §8.2): (x0, y0, dx, dy) per pass; each pass
+# is an independently-filtered sub-image (its own scanlines, its own
+# prev-row state) and empty passes contribute NO scanlines.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unpack_indices(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """Big-endian sub-byte index unpack (leftmost pixel in the
+    high-order bits — spec §7.2): (h, stride) bytes -> (h, w) u8."""
+    if depth == 8:
+        return rows[:, :w]
+    per = 8 // depth
+    shifts = np.arange(per - 1, -1, -1, dtype=np.uint8) * depth
+    mask = (1 << depth) - 1
+    unpacked = (rows[:, :, None] >> shifts[None, None, :]) & mask
+    return unpacked.reshape(rows.shape[0], rows.shape[1] * per)[:, :w]
+
+
 def _parse_png(b: bytes) -> np.ndarray:
-    """Decode a non-interlaced PNG to (h, w, ch) uint8 — stdlib zlib,
-    all five scanline filters reversed. Supports 8-bit truecolor
-    (color type 2 RGB, 6 RGBA) AND palette images (color type 3, bit
-    depths 1/2/4/8: PLTE lookup after bit-unpacking; the filter unit
-    is one BYTE per spec §9.2). 16-bit, interlaced, and tRNS-alpha
-    palette images stay honestly gated."""
+    """Decode a PNG to (h, w, ch) samples — stdlib zlib, all five
+    scanline filters reversed. Supports truecolor (color type 2 RGB,
+    6 RGBA) at bit depth 8 AND 16 (big-endian samples -> uint16
+    output), palette images (color type 3, bit depths 1/2/4/8: PLTE
+    lookup after bit-unpacking; the filter unit is one BYTE per spec
+    §9.2) with optional tRNS alpha (RGBA output, entries past the
+    table default to 255 per spec §11.3.2), and BOTH interlace
+    methods (0 = none, 1 = Adam7: seven independently-filtered
+    sub-images scattered on the §8.2 grid). Still honestly gated:
+    grayscale color types 0/4 and the truecolor tRNS color-key."""
     if b[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, idat, dims, plte = len(_PNG_SIG), [], None, None
+    pos, idat, dims, plte, trns = len(_PNG_SIG), [], None, None, None
     while pos < len(b):
         (length,) = struct.unpack_from(">I", b, pos)
         ctype = b[pos + 4 : pos + 8]
@@ -191,53 +223,83 @@ def _parse_png(b: bytes) -> np.ndarray:
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if interlace or color not in (2, 3, 6):
+            if color not in (2, 3, 6) or interlace not in (0, 1):
                 raise ValueError(
                     f"PNG color={color} interlace={interlace} unsupported"
                 )
-            if color in (2, 6) and depth != 8:
+            if color in (2, 6) and depth not in (8, 16):
                 raise ValueError(
-                    f"PNG depth={depth} unsupported for truecolor (8 only)"
+                    f"PNG depth={depth} unsupported for truecolor (8/16)"
                 )
             if color == 3 and depth not in (1, 2, 4, 8):
                 raise ValueError(f"PNG palette depth={depth} invalid")
-            dims = (w, h, color, depth)
+            dims = (w, h, color, depth, interlace)
         elif ctype == b"PLTE":
             plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif ctype == b"tRNS":
-            raise NotImplementedError(
-                "palette PNG with tRNS alpha unsupported"
-            )
+            if dims is None or dims[2] != 3:
+                # color-key transparency on truecolor (spec §11.3.2)
+                # is a different mechanism from the palette alpha
+                # table; gate it loudly rather than mis-decode
+                raise NotImplementedError(
+                    "tRNS color-key on non-palette PNG unsupported"
+                )
+            trns = np.frombuffer(data, np.uint8)
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
             break
     if dims is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    w, h, color, depth = dims
+    w, h, color, depth, interlace = dims
     raw = zlib.decompress(b"".join(idat))
+
     if color in (2, 6):
         ch = 3 if color == 2 else 4
-        return _png_unfilter(raw, h, w * ch, ch).reshape(h, w, ch)
-    if plte is None:
-        raise ValueError("palette PNG missing PLTE")
-    stride = -(-w * depth // 8)
-    rows = _png_unfilter(raw, h, stride, 1)  # filter unit = 1 byte
-    if depth == 8:
-        idx = rows[:, :w]
+        out = np.zeros((h, w, ch), np.uint16 if depth == 16 else np.uint8)
     else:
-        # unpack big-endian sub-byte indices (leftmost pixel in the
-        # high-order bits — spec §7.2)
-        per = 8 // depth
-        shifts = np.arange(per - 1, -1, -1, dtype=np.uint8) * depth
-        mask = (1 << depth) - 1
-        unpacked = (
-            rows[:, :, None] >> shifts[None, None, :]
-        ) & mask  # (h, stride, per)
-        idx = unpacked.reshape(h, stride * per)[:, :w]
-    if int(idx.max(initial=0)) >= len(plte):
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        out_idx = np.zeros((h, w), np.uint8)
+
+    passes = ((0, 0, 1, 1),) if interlace == 0 else _ADAM7
+    pos = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        if color in (2, 6):
+            s = depth // 8
+            stride, bpp = pw * ch * s, ch * s
+        else:
+            stride, bpp = -(-pw * depth // 8), 1  # filter unit = 1 byte
+        need = ph * (1 + stride)
+        rows = _png_unfilter(raw[pos : pos + need], ph, stride, bpp)
+        pos += need
+        if color in (2, 6):
+            if depth == 16:
+                r16 = rows.reshape(ph, pw, ch, 2).astype(np.uint16)
+                px = (r16[..., 0] << np.uint16(8)) | r16[..., 1]
+            else:
+                px = rows.reshape(ph, pw, ch)
+            out[y0::dy, x0::dx] = px
+        else:
+            out_idx[y0::dy, x0::dx] = _png_unpack_indices(rows, pw, depth)
+    if pos != len(raw):
+        raise ValueError("PNG IDAT scanline length mismatch")
+
+    if color in (2, 6):
+        return out
+    if int(out_idx.max(initial=0)) >= len(plte):
         raise ValueError("palette index out of range")
-    return plte[idx]
+    if trns is None:
+        return plte[out_idx]
+    alpha = np.full(len(plte), 255, np.uint8)
+    alpha[: len(trns)] = trns
+    return np.concatenate(
+        [plte[out_idx], alpha[out_idx][:, :, None]], axis=2
+    )
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -249,87 +311,25 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(px: np.ndarray, filter_of=None) -> bytes:
-    """Minimal PNG writer (8-bit RGB/RGBA, non-interlaced). The
-    synth-payload + round-trip-test counterpart of :func:`_parse_png`;
-    ``filter_of(y) -> 0..4`` chooses each scanline's filter so tests
-    exercise every reconstruction path."""
-    h, w, ch = px.shape
-    color = 2 if ch == 3 else 6
-    px32 = px.astype(np.int32)
-    lines = []
-    for y in range(h):
-        row = px32[y].reshape(-1)
-        prev = px32[y - 1].reshape(-1) if y else np.zeros(w * ch, np.int32)
-        ft = int(filter_of(y)) if filter_of is not None else 0
-        left = np.concatenate([np.zeros(ch, np.int32), row[:-ch]])
-        ul = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
-        if ft == 0:
-            enc = row
-        elif ft == 1:
-            enc = row - left
-        elif ft == 2:
-            enc = row - prev
-        elif ft == 3:
-            enc = row - ((left + prev) >> 1)
-        else:
-            pa = np.abs(prev - ul)
-            pb = np.abs(left - ul)
-            pc = np.abs(left + prev - 2 * ul)
-            pred = np.where(
-                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
-            )
-            enc = row - pred
-        lines.append(bytes([ft]) + (enc & 0xFF).astype(np.uint8).tobytes())
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
-        + _png_chunk(b"IEND", b"")
-    )
-
-
-def encode_png_palette(
-    idx: np.ndarray,
-    palette: np.ndarray,
-    depth: int = 8,
-    filter_of=None,
-) -> bytes:
-    """Palette (color type 3) PNG writer at bit depth 1/2/4/8:
-    indices pack big-endian into scanline bytes (leftmost pixel in
-    the high bits), PLTE carries the RGB table, and per-scanline
-    filters apply over the PACKED bytes with a one-byte filter unit
-    (spec §9.2) — the synth + round-trip counterpart of the palette
-    branch in :func:`_parse_png`."""
-    if depth not in (1, 2, 4, 8):
-        raise ValueError(f"palette depth {depth} invalid")
-    h, w = idx.shape
-    palette = np.asarray(palette, np.uint8).reshape(-1, 3)
-    if int(idx.max(initial=0)) >= len(palette) or len(palette) > (1 << depth):
-        raise ValueError("palette size vs indices/depth mismatch")
-    stride = -(-w * depth // 8)
-    if depth == 8:
-        packed = idx.astype(np.uint8)
-        if packed.shape[1] != stride:
-            packed = np.pad(packed, ((0, 0), (0, stride - w)))
-    else:
-        per = 8 // depth
-        padded = np.zeros((h, stride * per), np.uint8)
-        padded[:, :w] = idx
-        shifts = np.arange(per - 1, -1, -1, dtype=np.uint8) * depth
-        packed = (
-            (padded.reshape(h, stride, per) << shifts[None, None, :])
-            .sum(axis=2)
-            .astype(np.uint8)
-        )
-    lines = []
+def _png_filter_scanlines(
+    packed: np.ndarray, bpp: int, filter_of, y_base: int
+) -> list[bytes]:
+    """Filter PACKED scanline bytes (spec §9: the filter always runs
+    over bytes, with ``bpp`` the byte offset to the left neighbor) —
+    the shared writer half of :func:`_png_unfilter`. ``prev`` starts
+    at zeros: each call is one image OR one Adam7 pass, which filters
+    independently. ``filter_of`` receives the GLOBAL line counter
+    ``y_base + y`` so a rotation keeps rotating across passes."""
+    n, stride = packed.shape
+    lines: list[bytes] = []
     prev = np.zeros(stride, np.int32)
-    for y in range(h):
+    for y in range(n):
         row = packed[y].astype(np.int32)
-        ft = int(filter_of(y)) if filter_of is not None else 0
-        left = np.concatenate([np.zeros(1, np.int32), row[:-1]])
-        ul = np.concatenate([np.zeros(1, np.int32), prev[:-1]])
+        ft = int(filter_of(y_base + y)) if filter_of is not None else 0
+        left = np.zeros(stride, np.int32)
+        left[bpp:] = row[: stride - bpp] if stride > bpp else []
+        ul = np.zeros(stride, np.int32)
+        ul[bpp:] = prev[: stride - bpp] if stride > bpp else []
         if ft == 0:
             enc = row
         elif ft == 1:
@@ -348,11 +348,131 @@ def encode_png_palette(
             enc = row - pred
         lines.append(bytes([ft]) + (enc & 0xFF).astype(np.uint8).tobytes())
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    return lines
+
+
+def _adam7_passes(h: int, w: int):
+    """Non-empty Adam7 passes as (x0, y0, dx, dy, pw, ph)."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if pw and ph:
+            out.append((x0, y0, dx, dy, pw, ph))
+    return out
+
+
+def encode_png(px: np.ndarray, filter_of=None, interlace: int = 0) -> bytes:
+    """Minimal truecolor PNG writer: RGB/RGBA, bit depth 8 (uint8
+    input) or 16 (uint16 input, big-endian samples), interlace 0 or 1
+    (Adam7). The synth-payload + round-trip-test counterpart of
+    :func:`_parse_png`; ``filter_of(y) -> 0..4`` chooses each
+    scanline's filter (numbered globally across Adam7 passes) so
+    tests exercise every reconstruction path."""
+    h, w, ch = px.shape
+    color = 2 if ch == 3 else 6
+    depth = 16 if px.dtype == np.uint16 else 8
+    s = depth // 8
+
+    def pack(sub: np.ndarray) -> np.ndarray:
+        ph, pw = sub.shape[0], sub.shape[1]
+        if depth == 8:
+            return sub.reshape(ph, pw * ch)
+        flat = sub.reshape(ph, pw * ch).astype(np.uint16)
+        out = np.empty((ph, pw * ch * 2), np.uint8)
+        out[:, 0::2] = (flat >> 8).astype(np.uint8)
+        out[:, 1::2] = (flat & 0xFF).astype(np.uint8)
+        return out
+
+    lines: list[bytes] = []
+    y_base = 0
+    if interlace == 0:
+        lines = _png_filter_scanlines(pack(px), ch * s, filter_of, 0)
+    else:
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(h, w):
+            lines.extend(
+                _png_filter_scanlines(
+                    pack(px[y0::dy, x0::dx]), ch * s, filter_of, y_base
+                )
+            )
+            y_base += ph
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"PLTE", palette.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    idx: np.ndarray,
+    palette: np.ndarray,
+    depth: int = 8,
+    filter_of=None,
+    trns: np.ndarray | None = None,
+    interlace: int = 0,
+) -> bytes:
+    """Palette (color type 3) PNG writer at bit depth 1/2/4/8:
+    indices pack big-endian into scanline bytes (leftmost pixel in
+    the high bits), PLTE carries the RGB table, and per-scanline
+    filters apply over the PACKED bytes with a one-byte filter unit
+    (spec §9.2) — the synth + round-trip counterpart of the palette
+    branch in :func:`_parse_png`. ``trns`` (uint8, length <= palette)
+    writes the alpha table (entries past it read as 255 per spec
+    §11.3.2); ``interlace=1`` packs and filters each Adam7 pass
+    independently (each pass re-packs ITS OWN sub-scanlines, so the
+    sub-byte boundary arithmetic is per-pass — the load-bearing part
+    of interlaced palette images)."""
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"palette depth {depth} invalid")
+    h, w = idx.shape
+    palette = np.asarray(palette, np.uint8).reshape(-1, 3)
+    if int(idx.max(initial=0)) >= len(palette) or len(palette) > (1 << depth):
+        raise ValueError("palette size vs indices/depth mismatch")
+    if trns is not None:
+        trns = np.asarray(trns, np.uint8).reshape(-1)
+        if len(trns) > len(palette):
+            raise ValueError("tRNS longer than palette")
+
+    def pack(sub: np.ndarray) -> np.ndarray:
+        ph, pw = sub.shape
+        stride = -(-pw * depth // 8)
+        if depth == 8:
+            packed = sub.astype(np.uint8)
+            if packed.shape[1] != stride:
+                packed = np.pad(packed, ((0, 0), (0, stride - pw)))
+            return packed
+        per = 8 // depth
+        padded = np.zeros((ph, stride * per), np.uint8)
+        padded[:, :pw] = sub
+        shifts = np.arange(per - 1, -1, -1, dtype=np.uint8) * depth
+        return (
+            (padded.reshape(ph, stride, per) << shifts[None, None, :])
+            .sum(axis=2)
+            .astype(np.uint8)
+        )
+
+    lines: list[bytes] = []
+    if interlace == 0:
+        lines = _png_filter_scanlines(pack(idx), 1, filter_of, 0)
+    else:
+        y_base = 0
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(h, w):
+            lines.extend(
+                _png_filter_scanlines(
+                    pack(idx[y0::dy, x0::dx]), 1, filter_of, y_base
+                )
+            )
+            y_base += ph
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, interlace)
+    chunks = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(
+        b"PLTE", palette.tobytes()
+    )
+    if trns is not None:
+        chunks += _png_chunk(b"tRNS", trns.tobytes())
+    return (
+        chunks
         + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
         + _png_chunk(b"IEND", b"")
     )
@@ -1654,8 +1774,9 @@ def _decode_image_bytes(b: bytes) -> np.ndarray:
         return _parse_jpeg(b)
     raise ValueError(
         "undecodable image payload (real path supports PPM P6, 24-bit "
-        "BMP, 8-bit RGB/RGBA PNG, and JPEG [baseline + progressive; "
-        "grayscale and 4:4:4/4:2:2/4:2:0 YCbCr] — use fake=True for "
+        "BMP, PNG [truecolor 8/16-bit, palette 1/2/4/8 + tRNS, Adam7], "
+        "and JPEG [baseline + progressive; grayscale and "
+        "4:4:4/4:2:2/4:2:0 YCbCr] — use fake=True for "
         "plumbing-only runs)"
     )
 
@@ -1782,8 +1903,8 @@ def decode_image(
             else:
                 def real_feat(b) -> list[float]:
                     px = _decode_image_bytes(bytes(b))
-                    h, w = px.shape[0], px.shape[1]
-                    means = px.reshape(-1, 3).mean(axis=0, dtype=np.float64)
+                    h, w, ch = px.shape
+                    means = px.reshape(-1, ch).mean(axis=0, dtype=np.float64)
                     f = [float(w), float(h), *(float(m) for m in means)]
                     return (f + [0.0] * feat_dim)[:feat_dim]
 
@@ -2132,6 +2253,81 @@ def synth_png_palette_payload(
             return encode_png_palette(
                 idx, pal, depth=depth, filter_of=lambda y: (i + y) % 5
             )
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("image/png").alias("mime"),
+            (5 + F.col(id_col) % 8).cast("int").alias("width"),
+            (4 + F.col(id_col) % 5).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ),
+    )
+
+
+def synth_png_mixed_payload(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize a VALID PNG per row rotating the three corners
+    mm12 closes (all lossless, so channel means are EXACT integer id
+    arithmetic the oracle re-derives): id mod 4 ->
+    0: 8-bit RGB, ADAM7-interlaced — px_c(x,y) = (3i+17x+29y+7c)%256;
+    1: 16-BIT RGB, non-interlaced — px_c(x,y) =
+       (251i+257x+263y+1009c)%65536 (means far above 255 prove the
+       16-bit path end-to-end);
+    2: palette depth 4 with a tRNS ALPHA table — index (x+2y+i)%16,
+       palette k = ((3i+17k)%256,(7i+29k)%256,(13i+11k)%256), alpha
+       k = (23i+31k)%256 (RGBA output);
+    3: 16-bit RGB, Adam7 — both new axes composed.
+    Widths 5..12 × heights 4..8 make every Adam7 pass-emptiness case
+    and partial trailing byte reachable; scanline filters rotate
+    through all five on a GLOBAL line counter (so interlaced images
+    change filters across pass boundaries)."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            w, h = 5 + i % 8, 4 + i % 5
+            mode = i % 4
+            fo = lambda y: (i + y) % 5  # noqa: E731
+            xx, yy = np.meshgrid(
+                np.arange(w, dtype=np.int64), np.arange(h, dtype=np.int64)
+            )
+            if mode == 2:
+                k = np.arange(16, dtype=np.int64)
+                pal = np.stack(
+                    [
+                        (3 * i + 17 * k) % 256,
+                        (7 * i + 29 * k) % 256,
+                        (13 * i + 11 * k) % 256,
+                    ],
+                    axis=1,
+                ).astype(np.uint8)
+                trns = ((23 * i + 31 * k) % 256).astype(np.uint8)
+                idx = ((xx + 2 * yy + i) % 16).astype(np.uint8)
+                return encode_png_palette(idx, pal, 4, fo, trns=trns)
+            c = np.arange(3, dtype=np.int64)[None, None, :]
+            if mode == 0:
+                px = (
+                    (3 * i + 17 * xx[:, :, None] + 29 * yy[:, :, None] + 7 * c)
+                    % 256
+                ).astype(np.uint8)
+                return encode_png(px, fo, interlace=1)
+            px = (
+                (
+                    251 * i
+                    + 257 * xx[:, :, None]
+                    + 263 * yy[:, :, None]
+                    + 1009 * c
+                )
+                % 65536
+            ).astype(np.uint16)
+            return encode_png(px, fo, interlace=0 if mode == 1 else 1)
 
         return ids.map(one)
 

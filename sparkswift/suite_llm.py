@@ -3388,6 +3388,77 @@ def mm11_png_palette_decode_real(
 
 
 # ---------------------------------------------------------------------------
+# mm12 — PNG FAMILY COMPLETION (closes the last gated stdlib-feasible
+# image corners): Adam7 interlace (seven independently-filtered
+# sub-images on the §8.2 grid, filter rotation crossing pass
+# boundaries), 16-BIT samples (big-endian, uint16 means far above 255
+# so a silent 8-bit fallback cannot hash-match), and palette tRNS
+# alpha (RGBA output, short-table 255 default), plus their
+# composition (16-bit + Adam7). Lossless ⇒ channel means are exact
+# integer id arithmetic — the oracle re-derives pixels from the id
+# grid per mode. After this only grayscale color types 0/4 and the
+# truecolor tRNS color-key stay gated (loud refusals, pytest-pinned).
+# ---------------------------------------------------------------------------
+@register(
+    "mm12_png_full_decode_real",
+    """
+    WITH xs AS (SELECT unnest([0,1,2,3,4,5,6,7,8,9,10,11]) AS x),
+         ys AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS y),
+         p AS (SELECT doc_id,
+                      CAST(5 + doc_id % 8 AS INT) AS w,
+                      CAST(4 + doc_id % 5 AS INT) AS h,
+                      doc_id % 4 AS mode
+               FROM documents),
+         px AS (
+           SELECT doc_id, w, h, mode, x, y,
+                  (x + 2 * y + doc_id) % 16 AS k
+           FROM p JOIN xs ON x < w JOIN ys ON y < h
+         )
+    SELECT doc_id AS id, w AS width, h AS height,
+           AVG(CAST(CASE
+                 WHEN mode = 2 THEN (3 * doc_id + 17 * k) % 256
+                 WHEN mode = 0 THEN (3 * doc_id + 17 * x + 29 * y) % 256
+                 ELSE (251 * doc_id + 257 * x + 263 * y) % 65536
+               END AS DOUBLE)) AS mean_c0,
+           AVG(CAST(CASE
+                 WHEN mode = 2 THEN (7 * doc_id + 29 * k) % 256
+                 WHEN mode = 0 THEN (3 * doc_id + 17 * x + 29 * y + 7) % 256
+                 ELSE (251 * doc_id + 257 * x + 263 * y + 1009) % 65536
+               END AS DOUBLE)) AS mean_c1,
+           AVG(CAST(CASE
+                 WHEN mode = 2 THEN (13 * doc_id + 11 * k) % 256
+                 WHEN mode = 0 THEN (3 * doc_id + 17 * x + 29 * y + 14) % 256
+                 ELSE (251 * doc_id + 257 * x + 263 * y + 2018) % 65536
+               END AS DOUBLE)) AS mean_c2,
+           AVG(CASE WHEN mode = 2
+                 THEN CAST((23 * doc_id + 31 * k) % 256 AS DOUBLE)
+                 ELSE 0.0 END) AS mean_a
+    FROM px
+    GROUP BY doc_id, w, h
+    """,
+)
+def mm12_png_full_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # one parquet split -> spread the per-image Python codec over
+        # the cluster (the mm9-11 lesson; a 5k-row id shuffle is noise)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    wp = mm.synth_png_mixed_payload(docs, "doc_id")
+    out = mm.decode_image(wp, "doc_id", "payload", fake=False, feat_dim=6)
+    return out.select(
+        "id",
+        F.col("feat")[0].cast("int").alias("width"),
+        F.col("feat")[1].cast("int").alias("height"),
+        F.col("feat")[2].alias("mean_c0"),
+        F.col("feat")[3].alias("mean_c1"),
+        F.col("feat")[4].alias("mean_c2"),
+        F.col("feat")[5].alias("mean_a"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # e12 — RRF HYBRID RETRIEVAL (VERDICT r10 #5): reciprocal-rank fusion
 # (Cormack, Clarke & Büttcher 2009, k0=60) of one query expressed in
 # two modalities — the t12 bag-of-terms lexically (BM25 top-50) and

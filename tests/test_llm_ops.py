@@ -2675,23 +2675,122 @@ def test_png_palette_roundtrip_all_depths_and_filters():
                 )
                 assert np.array_equal(out, pal[idx]), (depth, h, w)
 
-    # tRNS alpha stays gated: splice a tRNS chunk in before IDAT
+    # tRNS on palette now decodes for real (mm12): a spliced tRNS
+    # chunk turns the decode RGBA with short-table 255 defaults
     import struct
     import zlib as _zlib
 
-    data = encode_png_palette(
-        rng.randint(0, 4, (4, 4)), rng.randint(0, 256, (4, 3)), depth=2
-    )
+    idx4 = rng.randint(0, 4, (4, 4))
+    pal4 = rng.randint(0, 256, (4, 3)).astype(np.uint8)
+    data = encode_png_palette(idx4, pal4, depth=2)
     i = data.find(b"IDAT") - 4
-    trns = b"\x80\xff\xff\xff"
+    trns = b"\x80\xff\xff"  # 3 of 4 entries -> entry 3 defaults 255
     chunk = (
         struct.pack(">I", len(trns))
         + b"tRNS"
         + trns
         + struct.pack(">I", _zlib.crc32(b"tRNS" + trns) & 0xFFFFFFFF)
     )
-    with _pytest.raises(NotImplementedError, match="tRNS"):
-        _parse_png(data[:i] + chunk + data[i:])
+    out = _parse_png(data[:i] + chunk + data[i:])
+    alpha = np.array([0x80, 0xFF, 0xFF, 255], np.uint8)
+    assert np.array_equal(
+        out, np.concatenate([pal4[idx4], alpha[idx4][:, :, None]], axis=2)
+    )
 
     px = rng.randint(0, 256, (9, 7, 3)).astype(np.uint8)
     assert np.array_equal(_parse_png(encode_png(px, lambda y: y % 5)), px)
+
+
+def test_png_adam7_16bit_trns_roundtrip_sweep():
+    """mm12's corners, swept exhaustively at widths 1..12 × heights
+    1..9 × 5 filter rotations: Adam7 AND plain interlace for RGB8 /
+    RGBA8 / RGB16, palette depths 1/2/4/8 with and without tRNS at
+    both interlace modes — every pass-emptiness case (1×1 hits a
+    single pass; 9×9+ hits all seven), partial trailing bytes, and
+    filter rotation across pass boundaries. Remaining gates refuse
+    LOUDLY: grayscale color types, truecolor tRNS color-key,
+    truecolor depths other than 8/16."""
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import (
+        _parse_png,
+        encode_png,
+        encode_png_palette,
+    )
+
+    rng = np.random.RandomState(7)
+    for w in (1, 2, 3, 5, 8, 9, 12):
+        for h in (1, 2, 4, 7, 9):
+            for fmode in range(5):
+                fo = lambda y, m=fmode: (m + y) % 5  # noqa: E731
+                for ch in (3, 4):
+                    px = rng.randint(0, 256, (h, w, ch)).astype(np.uint8)
+                    for il in (0, 1):
+                        got = _parse_png(encode_png(px, fo, interlace=il))
+                        assert got.dtype == np.uint8
+                        assert np.array_equal(got, px), (w, h, ch, il)
+                px16 = rng.randint(0, 65536, (h, w, 3)).astype(np.uint16)
+                for il in (0, 1):
+                    got = _parse_png(encode_png(px16, fo, interlace=il))
+                    assert got.dtype == np.uint16
+                    assert np.array_equal(got, px16), (w, h, il, 16)
+                for depth in (1, 2, 4, 8):
+                    pp = min(1 << depth, 16)
+                    pal = rng.randint(0, 256, (pp, 3)).astype(np.uint8)
+                    idx = rng.randint(0, pp, (h, w)).astype(np.uint8)
+                    tr = rng.randint(0, 256, max(1, pp - 1)).astype(
+                        np.uint8
+                    )
+                    alpha = np.full(pp, 255, np.uint8)
+                    alpha[: len(tr)] = tr
+                    want_a = np.concatenate(
+                        [pal[idx], alpha[idx][:, :, None]], axis=2
+                    )
+                    for il in (0, 1):
+                        got = _parse_png(
+                            encode_png_palette(
+                                idx, pal, depth, fo, interlace=il
+                            )
+                        )
+                        assert np.array_equal(got, pal[idx]), (depth, il)
+                        got = _parse_png(
+                            encode_png_palette(
+                                idx, pal, depth, fo, trns=tr, interlace=il
+                            )
+                        )
+                        assert np.array_equal(got, want_a), (depth, il)
+
+    # --- the honest remaining gates ---
+    def ihdr_png(w, h, depth, color, interlace, body=b""):
+        from sparkswift.operators.multimodal import _PNG_SIG, _png_chunk
+
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _zlib.compress(body))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    with _pytest.raises(ValueError, match="color=0"):
+        _parse_png(ihdr_png(2, 2, 8, 0, 0))  # grayscale
+    with _pytest.raises(ValueError, match="color=4"):
+        _parse_png(ihdr_png(2, 2, 8, 4, 0))  # gray+alpha
+    with _pytest.raises(ValueError, match="depth=4 unsupported"):
+        _parse_png(ihdr_png(2, 2, 4, 2, 0))  # sub-byte truecolor
+    # truecolor tRNS color-key: splice tRNS into an RGB file
+    data = encode_png(rng.randint(0, 256, (3, 3, 3)).astype(np.uint8))
+    i = data.find(b"IDAT") - 4
+    key = struct.pack(">HHH", 1, 2, 3)
+    chunk = (
+        struct.pack(">I", len(key))
+        + b"tRNS"
+        + key
+        + struct.pack(">I", _zlib.crc32(b"tRNS" + key) & 0xFFFFFFFF)
+    )
+    with _pytest.raises(NotImplementedError, match="color-key"):
+        _parse_png(data[:i] + chunk + data[i:])
