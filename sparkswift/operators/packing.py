@@ -360,6 +360,179 @@ def pack_token_bins(
     )
 
 
+# ---------------------------------------------------------------------------
+# SFT / chat-format export with per-token loss masks (p31) — the
+# supervised-finetuning stage of the pipeline. Public precedent: HF
+# chat templates (ChatML-style role markers) + TRL's completion-only
+# collator (loss only on assistant tokens) + T5/FLAN packing.
+# ---------------------------------------------------------------------------
+SFT_BOS = "<|im_start|>"
+SFT_EOS = "<|im_end|>"
+
+
+def sft_encode_masks(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    turns_col: str = "turns",
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """Render (system/user/assistant) conversations into a ChatML-
+    style template and BPE-encode them with an aligned per-token LOSS
+    MASK: each turn renders as ``<|im_start|> role content...
+    <|im_end|>`` (whitespace-joined, so the trained word-level BPE
+    applies unchanged) and the mask is 1 EXACTLY on assistant-turn
+    CONTENT tokens — role markers, template tokens, and non-assistant
+    turns are 0 (the TRL completion-only-LM convention: loss on what
+    the model should learn to produce, nothing else).
+
+    ``turns_col`` is ``array<struct<role string, content string>>``.
+    Arrow-batched ``mapInPandas`` with a per-batch word memo —
+    map-side only, no shuffle (the bpe_encode_ids shape).
+
+    Returns ``(id_col, n_tokens, n_unmasked, token_ids array<int>,
+    loss_mask array<int>)`` with ``size(loss_mask) ==
+    size(token_ids)`` by construction (gate-asserted anyway).
+    """
+    import pandas as pd
+
+    from sparkswift.operators.text import _bpe_word_symbols, bpe_vocab
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    vocab = bpe_vocab(merges)
+    unk = vocab["<unk>"]
+
+    def batches(it):
+        cache: dict[str, list[int]] = {}
+
+        def ids_of(word: str) -> list[int]:
+            c = cache.get(word)
+            if c is None:
+                c = [
+                    vocab.get(s, unk) for s in _bpe_word_symbols(word, ranks)
+                ]
+                cache[word] = c
+            return c
+
+        for pdf in it:
+            out_ids, out_mask, n_tok, n_um = [], [], [], []
+            for turns in pdf[turns_col]:
+                ids: list[int] = []
+                mask: list[int] = []
+                for t in turns if turns is not None else []:
+                    role = t["role"]
+                    flag = 1 if role == "assistant" else 0
+                    for w in (SFT_BOS, role):
+                        i_ = ids_of(w)
+                        ids.extend(i_)
+                        mask.extend([0] * len(i_))
+                    for w in (t["content"] or "").split():
+                        i_ = ids_of(w)
+                        ids.extend(i_)
+                        mask.extend([flag] * len(i_))
+                    i_ = ids_of(SFT_EOS)
+                    ids.extend(i_)
+                    mask.extend([0] * len(i_))
+                out_ids.append(ids)
+                out_mask.append(mask)
+                n_tok.append(len(ids))
+                n_um.append(sum(mask))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_tokens": pd.Series(n_tok, dtype="int64"),
+                    "n_unmasked": pd.Series(n_um, dtype="int64"),
+                    "token_ids": pd.Series(out_ids, dtype="object"),
+                    "loss_mask": pd.Series(out_mask, dtype="object"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(turns_col)).mapInPandas(
+        batches,
+        f"{id_col} long, n_tokens long, n_unmasked long, "
+        "token_ids array<int>, loss_mask array<int>",
+    )
+
+
+def sft_pack_bins(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    turns_col: str = "turns",
+    id_col: str = "conv_id",
+    budget: int = 2048,
+    n_packers: int = 32,
+    seed: int = 0,
+) -> DataFrame:
+    """:func:`pack_token_bins` for SFT data: FFD-pack whole
+    conversations (never split — a chat cut mid-assistant-turn trains
+    on garbage) into token bins that carry the packed ids AND the
+    aligned per-token loss mask, plus the conversation-boundary
+    offsets attention masking needs. Feed to
+    :func:`~sparkswift.sources.writers.write_token_shards` with
+    ``mask_col='loss_mask'`` for Megatron .bin/.idx shards with the
+    ``.msk`` mask sidecar.
+
+    Same scale shape as pack_token_bins: encoding is one Arrow map
+    pass pinned by ``localCheckpoint``; the packer moves 20-byte
+    (id, len) rows; the single id+mask-carrying shuffle is the
+    doc_id equi-join + bin groupBy (the theoretical minimum).
+
+    Returns one row per bin: ``(bin_id, packer, oversize, n_docs,
+    bin_load, n_unmasked, doc_ids, doc_offsets, token_ids,
+    loss_mask)``.
+    """
+    enc = sft_encode_masks(
+        df, merges, turns_col=turns_col, id_col=id_col
+    ).localCheckpoint()
+    assign = pack_bins(
+        enc, id_col=id_col, budget=budget, n_packers=n_packers, seed=seed,
+        len_col="n_tokens",
+    )
+    joined = enc.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        "token_ids",
+        "loss_mask",
+    ).join(assign, "doc_id")
+    docs_sorted = F.array_sort(
+        F.collect_list(F.struct("doc_id", "token_ids", "loss_mask"))
+    )
+    bins = joined.groupBy("packer", "bin_id").agg(
+        F.max("oversize").alias("oversize"),
+        F.sum("doc_len").cast("bigint").alias("bin_load"),
+        docs_sorted.alias("__docs"),
+    )
+    offs = F.aggregate(
+        "__docs",
+        F.struct(
+            F.array().cast("array<bigint>").alias("o"),
+            F.lit(0).cast("bigint").alias("p"),
+        ),
+        lambda acc, d: F.struct(
+            F.concat(acc["o"], F.array(acc["p"])).alias("o"),
+            (acc["p"] + F.size(d["token_ids"])).alias("p"),
+        ),
+        lambda acc: acc["o"],
+    )
+    flat_mask = F.flatten(F.transform("__docs", lambda d: d["loss_mask"]))
+    return bins.select(
+        "bin_id",
+        "packer",
+        "oversize",
+        F.size("__docs").cast("bigint").alias("n_docs"),
+        "bin_load",
+        F.aggregate(
+            flat_mask,
+            F.lit(0).cast("bigint"),
+            lambda acc, m: acc + m,
+        ).alias("n_unmasked"),
+        F.transform("__docs", lambda d: d["doc_id"]).alias("doc_ids"),
+        offs.alias("doc_offsets"),
+        F.flatten(F.transform("__docs", lambda d: d["token_ids"])).alias(
+            "token_ids"
+        ),
+        flat_mask.alias("loss_mask"),
+    )
+
+
 def chunk_token_stream(
     df: DataFrame,
     merges: list[tuple[str, str]],

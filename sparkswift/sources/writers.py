@@ -376,6 +376,7 @@ def write_token_shards(
     bins: DataFrame,
     path: str,
     n_shards: int = 8,
+    mask_col: str | None = None,
 ) -> DataFrame:
     """Materialize :func:`~sparkswift.operators.packing.pack_token_bins`
     output as MODEL-CONSUMABLE binary shards in the public Megatron-LM
@@ -398,10 +399,19 @@ def write_token_shards(
     ``n_shards`` so a shard's ids fit a task (a 2 GiB uint16 shard is
     ~1 G tokens; thousands of shards at 100 TB).
 
+    ``mask_col`` (p31): name of an ``array<int>`` 0/1 column aligned
+    1:1 with ``token_ids`` (e.g. ``sft_pack_bins``'s ``loss_mask``);
+    when given, each shard also writes ``shard_K.msk`` — the raw
+    uint8 concatenation of the shard's masks in the same bin order
+    and length as the .bin ids (the loss-mask sidecar an SFT trainer
+    mmaps alongside the Megatron pair) — and the manifest gains
+    ``mask_sum``. A bin whose mask length differs from its id length
+    fails the write loudly.
+
     Returns the manifest: ``(shard, n_bins, n_docs, n_tokens,
-    token_sum, dtype)`` — ``token_sum`` is the Σ of all token ids in
-    the shard (int64), the conservation checksum the p23 gate
-    re-derives from the written bytes.
+    token_sum, dtype[, mask_sum])`` — ``token_sum`` is the Σ of all
+    token ids in the shard (int64), the conservation checksum the p23
+    gate re-derives from the written bytes.
     """
     import pandas as pd
 
@@ -440,6 +450,8 @@ def write_token_shards(
         "shard int, n_bins bigint, n_docs bigint, n_tokens bigint, "
         "token_sum bigint, dtype string"
     )
+    if mask_col is not None:
+        out_schema += ", mask_sum bigint"
 
     def _write(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -458,16 +470,37 @@ def write_token_shards(
             f.write(flat.astype(np_dtype).tobytes())
         with open(f"{path}/shard_{shard}.idx", "wb") as f:
             f.write(_mmidx_bytes(sizes, dtype))
-        return pd.DataFrame(
-            {
-                "shard": [shard],
-                "n_bins": [len(pdf)],
-                "n_docs": [int(pdf["n_docs"].sum())],
-                "n_tokens": [int(flat.size)],
-                "token_sum": [int(flat.sum())],
-                "dtype": [dtype],
-            }
-        )
+        row = {
+            "shard": [shard],
+            "n_bins": [len(pdf)],
+            "n_docs": [int(pdf["n_docs"].sum())],
+            "n_tokens": [int(flat.size)],
+            "token_sum": [int(flat.sum())],
+            "dtype": [dtype],
+        }
+        if mask_col is not None:
+            marrs = [
+                np.asarray(m, dtype=np.int64) for m in pdf[mask_col]
+            ]
+            for b, (a, m) in enumerate(zip(arrs, marrs)):
+                if len(a) != len(m):
+                    raise ValueError(
+                        f"shard {shard} bin {b}: mask length {len(m)} != "
+                        f"token length {len(a)}"
+                    )
+                if m.size and (m.min() < 0 or m.max() > 1):
+                    raise ValueError(
+                        f"shard {shard} bin {b}: mask values outside 0/1"
+                    )
+            mflat = (
+                np.concatenate(marrs)
+                if marrs
+                else np.empty(0, dtype=np.int64)
+            )
+            with open(f"{path}/shard_{shard}.msk", "wb") as f:
+                f.write(mflat.astype(np.uint8).tobytes())
+            row["mask_sum"] = [int(mflat.sum())]
+        return pd.DataFrame(row)
 
     manifest = tagged.groupBy("shard").applyInPandas(_write, out_schema)
     manifest = manifest.localCheckpoint()  # run the writes exactly once
@@ -479,21 +512,27 @@ def write_token_shards(
     return manifest
 
 
-def read_token_shards(spark: SparkSession, path: str) -> DataFrame:
+def read_token_shards(
+    spark: SparkSession, path: str, masks: bool = False
+) -> DataFrame:
     """Read back :func:`write_token_shards` output as one row per
     sequence (bin): ``(shard, seq, n_tokens, token_sum)`` — decoded
     from the BYTES of the .bin/.idx pairs, not the parquet sidecars,
     so comparing against the manifest certifies the binary layout
-    end-to-end (the p23 gate's readback law). Distributed: each
-    shard's pair is decoded by the task that reads it via
+    end-to-end (the p23 gate's readback law). ``masks=True`` also
+    decodes each shard's ``.msk`` loss-mask sidecar (p31) and adds a
+    per-sequence ``mask_sum`` column, failing loudly if the sidecar's
+    byte length disagrees with the .idx token count. Distributed:
+    each shard's files are decoded by the task that reads them via
     ``binaryFile`` + ``mapInPandas``."""
     import pandas as pd
 
     from pyspark.sql import functions as F
 
+    glob = f"{path}/shard_*" if masks else f"{path}/shard_*.[bi]*"
     files = (
         spark.read.format("binaryFile")
-        .load(f"{path}/shard_*.[bi]*")
+        .load(glob)
         .select(
             F.regexp_extract(F.col("path"), r"shard_(\d+)\.", 1)
             .cast("int")
@@ -532,25 +571,37 @@ def read_token_shards(spark: SparkSession, path: str) -> DataFrame:
                     )
                 offs = np.zeros(len(sizes) + 1, dtype=np.int64)
                 np.cumsum(sizes, out=offs[1:])
-                yield pd.DataFrame(
-                    {
-                        "shard": shard,
-                        "seq": np.arange(len(sizes), dtype=np.int64),
-                        "n_tokens": sizes.astype(np.int64),
-                        "token_sum": [
-                            int(ids[offs[i]:offs[i + 1]].astype(np.int64).sum())
-                            for i in range(len(sizes))
-                        ],
-                    }
-                )
+                out = {
+                    "shard": shard,
+                    "seq": np.arange(len(sizes), dtype=np.int64),
+                    "n_tokens": sizes.astype(np.int64),
+                    "token_sum": [
+                        int(ids[offs[i]:offs[i + 1]].astype(np.int64).sum())
+                        for i in range(len(sizes))
+                    ],
+                }
+                if masks:
+                    if "msk" not in parts:
+                        raise ValueError(
+                            f"shard {shard}: .msk sidecar missing"
+                        )
+                    mk = np.frombuffer(parts["msk"], dtype=np.uint8)
+                    if mk.size != ids.size:
+                        raise ValueError(
+                            f"shard {shard}: .msk holds {mk.size} bytes, "
+                            f".bin holds {ids.size} ids"
+                        )
+                    out["mask_sum"] = [
+                        int(mk[offs[i]:offs[i + 1]].astype(np.int64).sum())
+                        for i in range(len(sizes))
+                    ]
+                yield pd.DataFrame(out)
 
+    schema = "shard int, seq bigint, n_tokens bigint, token_sum bigint"
+    if masks:
+        schema += ", mask_sum bigint"
     # both files of a pair must land in ONE group: repartition by shard
-    return (
-        files.repartition("shard")
-        .mapInPandas(
-            _decode, "shard int, seq bigint, n_tokens bigint, token_sum bigint"
-        )
-    )
+    return files.repartition("shard").mapInPandas(_decode, schema)
 
 
 def write_webdataset_shards(

@@ -1339,6 +1339,193 @@ def p23_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# p31_gate — SFT export laws (VERDICT r11 #6). The engine path
+# (render -> encode+mask -> FFD pack -> Megatron shards + .msk
+# sidecar) is checked against an INDEPENDENT per-position expectation
+# built from bpe_encode_ids over the exploded turns + native array
+# ops: expected ids = prefix(role) ++ content ++ suffix per turn,
+# expected mask = 0-runs around an assistant-only 1-run. Laws:
+# (1) assistant_only_ok — per-POSITION equality of both the id
+#     stream and the mask stream for every conversation;
+# (2) conservation_ok — written manifest totals (n_tokens, mask_sum
+#     from the .msk-backed write) equal the independent expectation's
+#     totals, and unmasked == assistant content tokens exactly;
+# (3) alignment_ok — per bin: |mask| == |ids| == bin_load, offsets
+#     start at 0 and pair 1:1 with doc_ids;
+# (4) readback_ok — re-decoding the .bin/.idx/.msk BYTES reproduces
+#     the manifest per shard (bins, tokens, token_sum, mask_sum).
+# ---------------------------------------------------------------------------
+@register(
+    "p31_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_convs,
+           CAST(4 AS BIGINT) AS n_shards,
+           TRUE AS assistant_only_ok,
+           TRUE AS conservation_ok,
+           TRUE AS alignment_ok,
+           TRUE AS readback_ok
+    FROM documents
+    """,
+)
+def p31_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sparkswift.operators.packing import (
+        SFT_BOS,
+        SFT_EOS,
+        sft_encode_masks,
+        sft_pack_bins,
+    )
+    from sparkswift.sources.writers import (
+        read_token_shards,
+        write_token_shards,
+    )
+    from sparkswift.suite_llm import _p31_conversations
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = tx.bpe_train(docs, num_merges=100)
+    convs = _p31_conversations(docs)
+
+    enc = sft_encode_masks(convs, merges)
+    bins = sft_pack_bins(convs, merges, budget=512, n_packers=8)
+    path = tempfile.mkdtemp(prefix="p31_gate_")
+    man = write_token_shards(bins, path, n_shards=4, mask_col="loss_mask")
+
+    # --- independent per-turn expectation ---
+    t = convs.select(
+        "conv_id", F.posexplode("turns").alias("pos", "t")
+    ).select(
+        "conv_id",
+        "pos",
+        F.col("t.role").alias("role"),
+        F.coalesce(F.col("t.content"), F.lit("")).alias("content"),
+    )
+    enc_c = tx.bpe_encode_ids(
+        t.select((F.col("conv_id") * 8 + F.col("pos")).alias("tid"), "content"),
+        merges,
+        text_col="content",
+        id_col="tid",
+    ).select("tid", F.col("token_ids").alias("c_ids"))
+    frame = spark.createDataFrame(
+        [(r, f"{SFT_BOS} {r}") for r in ("system", "user", "assistant")]
+        + [("__eos__", SFT_EOS)],
+        "role string, text string",
+    )
+    # bpe_encode_ids keeps only (id, n, ids) — give each template row
+    # a deterministic id (crc32 of the role; distinct here) and join
+    # the role back by it
+    frame_ids = (
+        tx.bpe_encode_ids(
+            frame.withColumn("doc_id", F.crc32("role")), merges
+        )
+        .join(frame.withColumn("doc_id", F.crc32("role")), "doc_id")
+        .select("role", F.col("token_ids").alias("p_ids"))
+    )
+    eos_ids = frame_ids.filter(F.col("role") == "__eos__").select(
+        F.col("p_ids").alias("e_ids")
+    )
+    pre = frame_ids.filter(F.col("role") != "__eos__")
+    texp = (
+        t.join(
+            enc_c,
+            (F.col("conv_id") * 8 + F.col("pos")) == F.col("tid"),
+        )
+        .join(F.broadcast(pre), "role")
+        .crossJoin(F.broadcast(eos_ids))
+        .select(
+            "conv_id",
+            "pos",
+            F.concat("p_ids", "c_ids", "e_ids").alias("t_ids"),
+            F.concat(
+                F.array_repeat(F.lit(0), F.size("p_ids")),
+                F.array_repeat(
+                    F.when(F.col("role") == "assistant", 1).otherwise(0),
+                    F.size("c_ids"),
+                ),
+                F.array_repeat(F.lit(0), F.size("e_ids")),
+            ).alias("t_mask"),
+            F.when(F.col("role") == "assistant", F.size("c_ids"))
+            .otherwise(0)
+            .alias("n_asst"),
+        )
+    )
+    cexp = texp.groupBy("conv_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "t_ids", "t_mask"))
+        ).alias("__t"),
+        F.sum("n_asst").cast("bigint").alias("e_unmasked"),
+    ).select(
+        "conv_id",
+        F.flatten(F.transform("__t", lambda s: s["t_ids"])).alias("e_ids"),
+        F.flatten(F.transform("__t", lambda s: s["t_mask"])).alias(
+            "e_mask"
+        ),
+        "e_unmasked",
+    )
+
+    # law 1: per-position equality, every conversation
+    bad_pos = (
+        enc.join(cexp, enc.conv_id == cexp.conv_id)
+        .filter(
+            (F.col("token_ids") != F.col("e_ids"))
+            | (F.col("loss_mask") != F.col("e_mask"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_bad_pos"))
+    )
+    # law 2: conservation — written totals == independent totals
+    exp_tot = cexp.agg(
+        F.sum(F.size("e_ids")).cast("bigint").alias("e_tokens"),
+        F.sum("e_unmasked").cast("bigint").alias("e_unm"),
+    )
+    man_tot = man.agg(
+        F.sum("n_tokens").alias("m_tokens"),
+        F.sum("mask_sum").alias("m_masked"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+    )
+    # law 3: per-bin alignment
+    bad_bins = bins.filter(
+        (F.size("loss_mask") != F.size("token_ids"))
+        | (F.size("token_ids") != F.col("bin_load"))
+        | (F.size("doc_offsets") != F.size("doc_ids"))
+        | (F.element_at("doc_offsets", 1) != 0)
+    ).agg(F.count(F.lit(1)).alias("n_bad_bins"))
+    # law 4: byte readback == manifest, per shard
+    rb = read_token_shards(spark, path, masks=True).groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("r_bins"),
+        F.sum("n_tokens").alias("r_tokens"),
+        F.sum("token_sum").alias("r_sum"),
+        F.sum("mask_sum").alias("r_masked"),
+    )
+    bad_shards = (
+        man.join(rb, "shard", "full")
+        .filter(
+            F.col("n_bins").isNull()
+            | F.col("r_bins").isNull()
+            | (F.col("n_bins") != F.col("r_bins"))
+            | (F.col("n_tokens") != F.col("r_tokens"))
+            | (F.col("token_sum") != F.col("r_sum"))
+            | (F.col("mask_sum") != F.col("r_masked"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_bad_shards"))
+    )
+    n_convs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_convs"))
+    v = _one_row_join(
+        n_convs, bad_pos, exp_tot, man_tot, bad_bins, bad_shards
+    )
+    return v.select(
+        "n_convs",
+        "n_shards",
+        (F.col("n_bad_pos") == 0).alias("assistant_only_ok"),
+        (
+            (F.col("m_tokens") == F.col("e_tokens"))
+            & (F.col("m_masked") == F.col("e_unm"))
+        ).alias("conservation_ok"),
+        (F.col("n_bad_bins") == 0).alias("alignment_ok"),
+        (F.col("n_bad_shards") == 0).alias("readback_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Resolve the oracle placeholders that wrap other queries' registered
 # oracles (registration order guarantees they exist: suite_relational
 # and suite_llm import before this module).

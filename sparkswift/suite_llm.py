@@ -1209,6 +1209,77 @@ def p30_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# p31 — SFT / CHAT-FORMAT EXPORT with per-token loss masks: the
+# supervised-finetuning stage (HF chat templates + TRL completion-
+# only masking + T5/FLAN whole-conversation packing + Megatron
+# shards, all public). The synthetic chat corpus is a deterministic
+# native-expression reshape of documents; the laws live in p31_gate.
+# ---------------------------------------------------------------------------
+def _p31_conversations(docs: DataFrame) -> DataFrame:
+    """Deterministic chat corpus from documents, built with NATIVE
+    exprs only: every doc becomes one conversation (conv_id = doc_id)
+    — a constant system turn, then either one user/assistant round
+    (doc words split in half) or, for doc_id % 3 == 0, TWO rounds
+    (quarters) so multi-round masking is load-bearing corpus-wide.
+    Short docs reach empty contents (slice length 0 -> '') — the
+    empty-assistant edge stays covered."""
+    ws = F.filter(
+        F.split(F.trim("text"), r"\s+"), lambda x: x != F.lit("")
+    )
+    d = (
+        docs.select(F.col("doc_id").alias("conv_id"), ws.alias("__ws"))
+        .withColumn("__n", F.size("__ws"))
+        .withColumn("__h", F.expr("(__n + 1) div 2").cast("int"))
+        .withColumn("__q", F.expr("__n div 4").cast("int"))
+    )
+
+    def turn(role: str, content) -> F.Column:
+        return F.struct(
+            F.lit(role).alias("role"), content.alias("content")
+        )
+
+    def seg(start, length) -> F.Column:
+        return F.array_join(F.slice("__ws", start, length), " ")
+
+    sys_turn = turn("system", F.lit("you are a helpful data engine"))
+    n, h, q = F.col("__n"), F.col("__h"), F.col("__q")
+    turns3 = F.array(
+        sys_turn,
+        turn("user", seg(F.lit(1), h)),
+        turn("assistant", seg(h + 1, n - h)),
+    )
+    turns4 = F.array(
+        sys_turn,
+        turn("user", seg(F.lit(1), q)),
+        turn("assistant", seg(q + 1, q)),
+        turn("user", seg(2 * q + 1, q)),
+        turn("assistant", seg(3 * q + 1, n - 3 * q)),
+    )
+    return d.select(
+        "conv_id",
+        F.when(F.col("conv_id") % 3 == 0, turns4)
+        .otherwise(turns3)
+        .alias("turns"),
+    )
+
+
+@register("p31_sft_export", None)
+def p31_sft_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin SFT packing accounting (rows-only; the mask/readback
+    laws live in p31_gate): conversations render + encode + mask +
+    FFD-pack into whole-conversation token bins."""
+    from sparkswift.operators.packing import sft_pack_bins
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = tx.bpe_train(docs, num_merges=100)
+    convs = _p31_conversations(docs)
+    bins = sft_pack_bins(convs, merges, budget=512, n_packers=8)
+    return bins.select(
+        "bin_id", "packer", "oversize", "n_docs", "bin_load", "n_unmasked"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental (cross-batch) exact dedup: batch 1 = the corpus's first
 # half seeds a persisted fingerprint store; batch 2 = the second half
 # PLUS re-ingested copies of batch 1 (ids +100000 — must all hit the

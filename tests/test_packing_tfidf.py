@@ -606,3 +606,160 @@ def test_bpe_decode_out_of_range_id_is_visible(spark, trained_merges):
     )
     out = {r["doc_id"]: r["decoded"] for r in bpe_decode_text(df, trained_merges).collect()}
     assert "<bad-id>" in out[1] and "<bad-id>" in out[2]
+
+
+# --- SFT chat export with loss masks (p31) -----------------------------------
+
+
+@pytest.fixture(scope="module")
+def chat_convs(spark):
+    rows = [
+        (1, [("system", "be terse"), ("user", "what is spark"),
+             ("assistant", "a distributed engine")]),
+        (2, [("system", "be terse"), ("user", "count to three"),
+             ("assistant", "one two three"), ("user", "and backwards"),
+             ("assistant", "three two one")]),
+        (3, [("system", "be terse"), ("user", "say nothing"),
+             ("assistant", "")]),  # empty assistant content
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id long, turns array<struct<role string, content string>>",
+    )
+
+
+def test_sft_masks_match_pure_python(chat_convs, trained_merges):
+    """sft_encode_masks vs an independent pure-python render+mask
+    reference: ids are the ChatML-rendered word stream's BPE ids and
+    the mask is 1 exactly on assistant CONTENT token positions."""
+    from sparkswift.operators.packing import (
+        SFT_BOS,
+        SFT_EOS,
+        sft_encode_masks,
+    )
+    from sparkswift.operators.text import _bpe_word_symbols, bpe_vocab
+
+    ranks = {p: i for i, p in enumerate(trained_merges)}
+    vocab = bpe_vocab(trained_merges)
+    unk = vocab["<unk>"]
+
+    def ids_of(w):
+        return [vocab.get(s, unk) for s in _bpe_word_symbols(w, ranks)]
+
+    got = {
+        r["conv_id"]: (list(r["token_ids"]), list(r["loss_mask"]),
+                       r["n_tokens"], r["n_unmasked"])
+        for r in sft_encode_masks(chat_convs, trained_merges).collect()
+    }
+    for r in chat_convs.collect():
+        ids, mask = [], []
+        for t in r["turns"]:
+            for w in (SFT_BOS, t["role"]):
+                i_ = ids_of(w)
+                ids += i_
+                mask += [0] * len(i_)
+            flag = 1 if t["role"] == "assistant" else 0
+            for w in t["content"].split():
+                i_ = ids_of(w)
+                ids += i_
+                mask += [flag] * len(i_)
+            i_ = ids_of(SFT_EOS)
+            ids += i_
+            mask += [0] * len(i_)
+        g_ids, g_mask, g_n, g_u = got[r["conv_id"]]
+        assert g_ids == ids and g_mask == mask
+        assert g_n == len(ids) and g_u == sum(mask)
+        assert len(g_ids) == len(g_mask)
+    # conv 3's assistant turn is empty -> zero unmasked tokens
+    assert got[3][3] == 0
+
+
+def test_sft_pack_bins_alignment_and_wholeness(chat_convs, trained_merges):
+    """Per bin: flattened (ids, mask) equal the conv_id-ordered concat
+    of member conversations' encodings, offsets are exact prefix sums,
+    n_unmasked sums the mask, and every conversation lands whole in
+    exactly one bin."""
+    from sparkswift.operators.packing import sft_encode_masks, sft_pack_bins
+
+    enc = {
+        r["conv_id"]: (list(r["token_ids"]), list(r["loss_mask"]))
+        for r in sft_encode_masks(chat_convs, trained_merges).collect()
+    }
+    bins = sft_pack_bins(
+        chat_convs, trained_merges, budget=64, n_packers=2
+    ).collect()
+    seen = []
+    for b in bins:
+        ids = list(b["doc_ids"])
+        assert ids == sorted(ids)
+        seen.extend(ids)
+        want_ids, want_mask, offs = [], [], []
+        for d in ids:
+            offs.append(len(want_ids))
+            want_ids.extend(enc[d][0])
+            want_mask.extend(enc[d][1])
+        assert list(b["token_ids"]) == want_ids
+        assert list(b["loss_mask"]) == want_mask
+        assert list(b["doc_offsets"]) == offs
+        assert b["bin_load"] == len(want_ids)
+        assert b["n_unmasked"] == sum(want_mask)
+    assert sorted(seen) == sorted(enc)
+
+
+def test_sft_shard_mask_sidecar_readback(
+    chat_convs, spark, trained_merges, tmp_path
+):
+    """The .msk sidecar's BYTES align 1:1 with the .bin ids (direct
+    parse + distributed readback == manifest), and a mask/id length
+    mismatch fails the write loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkswift.operators.packing import sft_pack_bins
+    from sparkswift.sources.writers import (
+        _mmidx_parse,
+        read_token_shards,
+        write_token_shards,
+    )
+
+    bins = sft_pack_bins(chat_convs, trained_merges, budget=64, n_packers=2)
+    path = str(tmp_path / "sft_shards")
+    man = write_token_shards(bins, path, n_shards=2, mask_col="loss_mask")
+    man_pd = man.toPandas().set_index("shard").sort_index()
+
+    import glob as _glob
+
+    for idxf in sorted(_glob.glob(f"{path}/shard_*.idx")):
+        shard = int(idxf.rsplit("_", 1)[1].split(".")[0])
+        with open(idxf, "rb") as f:
+            _, sizes = _mmidx_parse(f.read())
+        mk = np.fromfile(f"{path}/shard_{shard}.msk", dtype=np.uint8)
+        assert mk.size == int(sizes.sum())
+        assert set(np.unique(mk)) <= {0, 1}
+        assert int(mk.sum()) == man_pd.loc[shard, "mask_sum"]
+
+    rb = (
+        read_token_shards(spark, path, masks=True)
+        .groupBy("shard")
+        .agg(
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("mask_sum").alias("mask_sum"),
+        )
+        .toPandas()
+        .set_index("shard")
+        .sort_index()
+    )
+    assert (rb["n_tokens"] == man_pd["n_tokens"]).all()
+    assert (rb["mask_sum"] == man_pd["mask_sum"]).all()
+
+    # misaligned mask -> loud failure
+    bad = spark.createDataFrame(
+        [(0, 0, 0, 1, 2, [1], [0], [5, 3], [1])],
+        "bin_id long, packer int, oversize int, n_docs long, "
+        "bin_load long, doc_ids array<bigint>, doc_offsets array<bigint>, "
+        "token_ids array<int>, loss_mask array<int>",
+    )
+    with _pytest.raises(Exception, match="mask length"):
+        write_token_shards(
+            bad, str(tmp_path / "bad"), n_shards=1, mask_col="loss_mask"
+        )

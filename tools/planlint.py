@@ -68,6 +68,7 @@ BNLJ_ALLOWED: dict[str, int] = {
     "p5_gate": 1,
     "p16_gate": 1,
     "p22_gate": 3,
+    "p31_gate": 7,  # one-row eos-template join + verdict fan-in (6 frames)
     "t18_bpe_decode_gate": 2,  # one-row verdict fan-in (docs x bad x planted)
     "t21_gate": 4,  # one-row verdict fan-in (rt/ids/re/planted)
     "t22_gate": 4,  # one-row verdict fan-in (rt/ids/re/planted)
