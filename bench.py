@@ -162,6 +162,9 @@ HEADLINE = [
     "mm10_jpeg_progressive_decode_real",  # progressive JPEG decode
     "mm11_png_palette_decode_real",  # palette PNG (sub-byte depths)
     "p30_temperature_mixture",  # mT5 alpha-sampling (quantized pow)
+    "t22_wordpiece_tokens",  # WordPiece train (integer-exact scores) + encode
+    "mm12_png_full_decode_real",  # PNG Adam7 / 16-bit / tRNS decode
+    "p31_sft_export",        # chat render + loss masks + FFD pack
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

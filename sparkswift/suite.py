@@ -835,59 +835,62 @@ def o7_ps_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _WINDOW = [
     # --- (1) new this round ---
-    "mm8_avi_frames_real",
-    "e12_hybrid_rrf",
-    "g6_lpa_communities",
+    "t22_gate",
+    "mm12_png_full_decode_real",
+    "p31_gate",
+    # --- (2) changed-code refreshes (j12 zero-length filter; PNG
+    # decoder + decode_image channel-awareness; token-shard writer
+    # mask extension) ---
     "j12_scd2_pointintime",
+    "p23_gate",
+    "mm4_image_decode_real",
+    "mm6_png_decode_real",
     "mm9_jpeg420_decode_real",
-    "t21_gate",
-    "g7_link_prediction",
-    "st27_stream_pit_enrich",
-    "w6_time_weighted_avg",
-    "agg22_rolling_distinct",
-    "mm10_jpeg_progressive_decode_real",
     "mm11_png_palette_decode_real",
-    "p30_temperature_mixture",
-    # --- (2) changed-code refreshes ---
-    "p29_merge_upsert",
-    "o8_cogroup_asof",
-    # --- (3) the r4-stale cohort (stalest in the ledger) ---
-    "agg6_pivot",
-    "d7_dedup_clusters",
-    "p1_deterministic_sample",
-    "t1_text_quality",
-    "t4_token_count",
-    "w1_rank_lag",
-    # --- (4) the r5-stale cohort (44 minus the 5 displaced) ---
-    "agg10_profile",
-    "agg12_json_extract",
-    "agg8_unpivot",
-    "d11_fuzzy_join",
-    "j7_asof_nearest",
-    "j8_range_join_large",
-    "o2_apply_rows_raw",
-    "o5b_rolling_global",
-    "o5c_rolling_global_time",
-    "o6b_resample_ffill",
-    "p10_mixture_sample",
-    "p11_domain_cap",
-    "p12_export_shards",
-    "p13_quality_bins",
-    "p14_interleave",
-    "p15_zorder_key",
-    "p17_leak_report",
-    "q18_large_volume_customer",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "st7_stream_sample",
-    "st8_stream_enrich",
-    "st9_stream_decontaminate",
-    "t10_normalize",
-    "t11_rare_tokens",
-    "t12_bm25",
-    "t13_gopher_quality",
-    "t15_unigram_logprob",
-    "w3_latest_per_key",
+    # --- (3) the last <=r5-evidence cohort (VERDICT r11 #1: after
+    # this, no query's driver evidence predates r6) ---
+    "agg11_sketch_union",
+    "agg2_approx_distinct",
+    "agg5_quantiles",
+    "d3_minhash_lsh",
+    "d4_simhash",
+    "d6_embedding_neardup_lsh",
+    "d8_neardup_pipeline",
+    "e1_cosine_topk",
+    "e2_cosine_topk_lsh",
+    "e3_cosine_topk_ivf",
+    "e4_cosine_topk_ivf_persisted",
+    "e5_cosine_topk_pq",
+    "e6_cosine_topk_ivfpq",
+    "p5_decontaminate_bloom",
+    "st10_stream_neardup",
+    # --- (4) the r7-stale cohort (next stalest in the ledger) ---
+    "agg11_gate",
+    "agg13_bool_aggs",
+    "agg14_skew_report",
+    "agg15_histogram",
+    "agg16_heavy_hitters_gate",
+    "agg2_gate",
+    "agg9_gate",
+    "agg9_percentile_approx",
+    "d13_line_dedup",
+    "d3_gate",
+    "d4_gate",
+    "d6_gate",
+    "d8_gate",
+    "e2_gate",
+    "e3_gate",
+    "e5_gate",
+    "e6_gate",
+    "e7_cosine_topk_ivfpq_persisted",
+    "j10_salted_join",
+    "j11_salted_join_skewed",
+    "j9_interval_overlap",
+    "mm3_audio_features",
+    "o1_apply_native",
+    "o6c_resample_interpolate",
+    "p16_gate",
+    "p16_quality_bins_global",
 ]
 
 
