@@ -165,6 +165,11 @@ HEADLINE = [
     "t22_wordpiece_tokens",  # WordPiece train (integer-exact scores) + encode
     "mm12_png_full_decode_real",  # PNG Adam7 / 16-bit / tRNS decode
     "p31_sft_export",        # chat render + loss masks + FFD pack
+    "q12_shipclass_priority",  # TPC-H Q12 shape (join + CASE agg)
+    "q21_suppliers_kept_waiting",  # TPC-H Q21 shape (semi + anti self-corr)
+    "e13_cosine_range",      # cosine range search (no window, scan filter)
+    "d18_containment_pairs", # directed containment near-dup (Broder)
+    "st28_stream_sft_masks", # streaming SFT encode+mask (stream==batch)
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

@@ -303,6 +303,73 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.9,
+    max_posting: int | None = 256,
+    hashed: bool = True,
+) -> DataFrame:
+    """DIRECTED near-containment pairs by k-word-shingle CONTAINMENT
+    ``c(a→b) = |S(a) ∩ S(b)| / |S(a)| ≥ threshold`` — "a's content is
+    (nearly) inside b". The asymmetric twin of
+    :func:`ngram_jaccard_pairs` (Broder 1997 distinguishes resemblance
+    from containment): Jaccard misses a short doc swallowed by a long
+    one (the union term dilutes it), which is exactly the wire-copy /
+    quote-expansion / chunk-of-other-doc case a dedup pipeline needs.
+
+    Same plan silhouette as d2: one shingle explode, posting-capped
+    inverted index (``max_posting`` — the documented skew/recall
+    trade), per-UNORDERED-pair intersection counts (one hash agg),
+    then BOTH directions tested by integer cross-multiplication
+    (inter·den ≥ num·n_side — float-free selection) and emitted where
+    they pass; the reported containment is one exact integer division
+    (cross-engine deterministic). Self-containment (a == b) is not a
+    pair; exact duplicates pass in both directions by design.
+
+    Returns ``(id_a, id_b, containment)`` with id_a the CONTAINED
+    side — directed, so (x, y) and (y, x) can both appear.
+    """
+    mk = hashed_shingles if hashed else word_shingles
+    sh = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id", mk(text_col, k).alias("sh")
+    ).withColumn("n_sh", F.size("sh").cast("bigint"))
+    posting = sh.select("id", "n_sh", F.explode("sh").alias("s"))
+    if max_posting is not None:
+        hot = posting.groupBy("s").count().filter(F.col("count") > max_posting)
+        posting = posting.join(hot.select("s"), "s", "left_anti")
+    a = posting.select(
+        F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "s"
+    )
+    b = posting.select(
+        F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "s"
+    )
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    num, den = int(round(threshold * 10000)), 10000
+    fwd = inter.filter(F.col("inter") * den >= num * F.col("n_a")).select(
+        "id_a",
+        "id_b",
+        (F.col("inter").cast("double") / F.col("n_a").cast("double")).alias(
+            "containment"
+        ),
+    )
+    rev = inter.filter(F.col("inter") * den >= num * F.col("n_b")).select(
+        F.col("id_b").alias("id_a"),
+        F.col("id_a").alias("id_b"),
+        (F.col("inter").cast("double") / F.col("n_b").cast("double")).alias(
+            "containment"
+        ),
+    )
+    return fwd.unionAll(rev)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -161,6 +161,49 @@ def cosine_topk(
     )
 
 
+def cosine_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine RANGE search (the FAISS ``range_search`` contract,
+    vs :func:`cosine_topk`'s k-NN): for each query vector, EVERY
+    corpus vector (excluding itself) with cosine ≥ ``threshold`` —
+    the right primitive when the answer set size is data-dependent
+    (dedup candidate generation, recall-complete retrieval), where a
+    fixed k either truncates or pads.
+
+    Same plan shape as cosine_topk: corpus quantized once, queries
+    quantized and **broadcast**, one map-side nested-loop scoring
+    pass — but NO rank window at all: the threshold is a scan-stage
+    filter, so at 100 TB this is one corpus scan with zero shuffles.
+    Cosine values are the e1 discipline (integer micro-unit dot /
+    long norms, one double division — bit-identical cross-engine), so
+    thresholding is deterministic.
+
+    Returns ``(query_id, corpus_id, cos_sim)``.
+    """
+    c = _spread(corpus.select(F.col(id_col), F.col(vec_col))).select(
+        F.col(id_col).alias("corpus_id"), quantize(vec_col).alias("cv")
+    ).withColumn("cn", norm2_long(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv")
+    ).withColumn("qn", norm2_long(F.col("qv")))
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("corpus_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "corpus_id",
+        cosine(
+            dot_long(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
+        ).alias("cos_sim"),
+    )
+    return scored.filter(F.col("cos_sim") >= F.lit(float(threshold)))
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     id_col: str = "doc_id",

@@ -838,6 +838,11 @@ _WINDOW = [
     "t22_gate",
     "mm12_png_full_decode_real",
     "p31_gate",
+    "q12_shipclass_priority",
+    "q21_suppliers_kept_waiting",
+    "e13_cosine_range",
+    "d18_containment_pairs",
+    "st28_stream_sft_masks",
     # --- (2) changed-code refreshes (j12 zero-length filter; PNG
     # decoder + decode_image channel-awareness; token-shard writer
     # mask extension) ---
@@ -886,11 +891,6 @@ _WINDOW = [
     "j10_salted_join",
     "j11_salted_join_skewed",
     "j9_interval_overlap",
-    "mm3_audio_features",
-    "o1_apply_native",
-    "o6c_resample_interpolate",
-    "p16_gate",
-    "p16_quality_bins_global",
 ]
 
 

@@ -189,6 +189,79 @@ def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# d18 — directed CONTAINMENT near-dup pairs (Broder 1997's
+# containment vs resemblance): c(a→b) = |S(a)∩S(b)| / |S(a)| ≥ 0.9 —
+# the wire-copy / excerpt / chunk-of-other-doc case JACCARD
+# structurally misses (a short doc inside a long one has j ≈
+# |a|/|b|). Non-vacuity is MANUFACTURED the d10 way: every 7th doc
+# with ≥ 50 words gets a synthetic EXCERPT twin (id+500000, first
+# ⌈n/2⌉ words + a marker word) built with native exprs identically
+# in both engines — the excerpt's containment in its source is
+# (h−2)/h ≈ 0.92-0.96 (≥ 0.9 passes) while its Jaccard is ≈ 0.5
+# (d2 would MISS it) and the reverse direction is ≈ 0.5 (fails) —
+# so the asymmetry, not just the formula, is hash-certified.
+# ---------------------------------------------------------------------------
+@register(
+    "d18_containment_pairs",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    corpus AS (
+      SELECT doc_id, toks FROM base
+      UNION ALL
+      SELECT doc_id + 500000,
+             list_append(toks[1:(len(toks) + 1) // 2], 'EXCERPTMARK')
+      FROM base WHERE doc_id % 7 = 0 AND len(toks) >= 50
+    ),
+    s AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                      THEN list_distinct(list_transform(
+                             generate_series(1, len(toks) - 2),
+                             i -> concat_ws(' ', toks[i], toks[i+1],
+                                            toks[i+2])))
+                      ELSE [array_to_string(toks, ' ')] END AS sh
+          FROM corpus),
+    e AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, unnest(sh) AS s
+          FROM s),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.n_sh AS n_a, b.n_sh AS n_b,
+                 CAST(COUNT(*) AS BIGINT) AS inter
+          FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b, CAST(inter AS DOUBLE) / n_a AS containment
+    FROM p WHERE inter * 10000 >= 9000 * n_a
+    UNION ALL
+    SELECT id_b, id_a, CAST(inter AS DOUBLE) / n_b AS containment
+    FROM p WHERE inter * 10000 >= 9000 * n_b
+    """,
+)
+def d18_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tx.tokens("text")
+    h = F.expr("(size + 1) div 2")
+    excerpts = (
+        docs.select("doc_id", toks.alias("__t"))
+        .withColumn("size", F.size("__t"))
+        .filter((F.col("doc_id") % 7 == 0) & (F.col("size") >= 50))
+        .select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.concat(
+                F.array_join(F.slice("__t", F.lit(1), h), " "),
+                F.lit(" EXCERPTMARK"),
+            ).alias("text"),
+        )
+    )
+    corpus = docs.unionAll(excerpts)
+    return dd.containment_pairs(
+        corpus, "text", "doc_id", k=3, threshold=0.9
+    )
+
+
+# ---------------------------------------------------------------------------
 # Pairs → clusters: Hash-Min connected components over the exact
 # Jaccard pairs, one survivor per cluster. Oracle: recursive CTE
 # transitive closure (tiny components, so the recursion is cheap).
@@ -368,6 +441,40 @@ def e1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("label") == 0)
     return sim.cosine_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# e13 — exact cosine RANGE search (the FAISS range_search contract
+# next to e1's k-NN): every corpus vector within cosine >= 0.40 of a
+# label-0 query — the data-dependent-answer-set primitive (dedup
+# candidate generation, recall-complete retrieval) where a fixed k
+# either truncates or pads. No rank window at all: the threshold is
+# a scan-stage filter after the broadcast nested-loop scoring pass,
+# so the corpus never shuffles. Same e1 cosine discipline (integer
+# micro-unit dot / long norms, one double division) ⇒ the threshold
+# test is bit-deterministic cross-engine and the hash match is exact.
+# ---------------------------------------------------------------------------
+@register(
+    "e13_cosine_range",
+    """
+    WITH v AS (SELECT vec_id, label,
+                      list_transform(embedding,
+                                     x -> round(CAST(x AS DOUBLE) * 1000000)) AS q
+               FROM embeddings),
+    n AS (SELECT vec_id, label, q, list_inner_product(q, q) AS n2 FROM v)
+    SELECT qv.vec_id AS query_id, cv.vec_id AS corpus_id,
+           list_inner_product(qv.q, cv.q) / (sqrt(qv.n2) * sqrt(cv.n2))
+             AS cos_sim
+    FROM n qv JOIN n cv ON cv.vec_id <> qv.vec_id
+    WHERE qv.label = 0
+      AND list_inner_product(qv.q, cv.q) / (sqrt(qv.n2) * sqrt(cv.n2))
+          >= 0.40
+    """,
+)
+def e13_cosine_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0)
+    return sim.cosine_range_search(emb, queries, threshold=0.40)
 
 
 # ---------------------------------------------------------------------------

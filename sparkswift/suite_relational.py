@@ -1055,6 +1055,151 @@ def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q12 shape (shipping-class priority audit): fact⋈dim with a
+# lateness residual, then CONDITIONAL COUNTS (urgent vs not) per
+# line-status class. Adapted to the fixture like q4: no
+# l_shipmode/l_commitdate/l_receiptdate columns exist, so
+# l_linestatus is the class dimension and lateness is l_shipdate >
+# o_orderdate + 60 days — the plan shape (one equi-join with a
+# pushed date filter + a 2-value CASE aggregate) is Q12's exactly.
+# r8 had recorded Q12 as partsupp-blocked; it never needed partsupp.
+# ---------------------------------------------------------------------------
+@register(
+    "q12_shipclass_priority",
+    """
+    SELECT l_linestatus AS ship_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_shipclass_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return joined.groupBy(F.col("l_linestatus").alias("ship_class")).agg(
+        F.sum(F.when(urgent, 1).otherwise(0))
+        .cast("bigint")
+        .alias("high_line_count"),
+        F.sum(F.when(urgent, 0).otherwise(1))
+        .cast("bigint")
+        .alias("low_line_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+# DOUBLE self-correlation — for each LATE lineitem of a finished
+# order, there EXISTS another supplier on the same order (multi-
+# supplier order) and NOT EXISTS another LATE supplier on it (this
+# supplier is the sole cause). Adapted lateness = l_shipdate >
+# o_orderdate + 60 days (the q4/q12 fixture adaptation); supplier ⋈
+# nation keeps the 4-table silhouette with a one-nation filter.
+# Spark plans the EXISTS as a LeftSemi and the NOT EXISTS as a
+# LeftAnti on the same order key — the fact table streams once
+# through each; TakeOrdered closes the top-20 without a global sort.
+# r8 had recorded Q21 as partsupp-blocked; it never needed partsupp.
+# ---------------------------------------------------------------------------
+@register(
+    "q21_suppliers_kept_waiting",
+    """
+    WITH l AS (SELECT l_orderkey, l_suppkey FROM lineitem),
+    late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    ),
+    cause AS (
+      SELECT l1.l_orderkey, l1.l_suppkey
+      FROM late l1
+      WHERE EXISTS (SELECT 1 FROM l l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM late l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey)
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM cause
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    late = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .localCheckpoint()  # late is used twice (probe + anti side)
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    cause = (
+        late.join(
+            other,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        ).join(
+            other_late,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    ).select("n_nationkey")
+    dim = supp.join(
+        F.broadcast(nation), supp.s_nationkey == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    agg = (
+        cause.join(F.broadcast(dim), cause.l_suppkey == dim.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
+    return agg.orderBy(F.col("numwait").desc(), "s_name").limit(20)
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q19 shape (discounted revenue, disjunctive predicates): an OR
 # of three (brand, size-range, quantity-range) conjunction groups —
 # the classic test of how an optimizer treats disjunctions. Spark

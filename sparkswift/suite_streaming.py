@@ -1811,3 +1811,62 @@ def st27_stream_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_outer",
     ).select("event_id", "user_id", "probe_us", "state_30m_ago")
     return run_stream_to_batch(joined, mode="append")
+
+
+# ---------------------------------------------------------------------------
+# st28 — STREAMING SFT encode+mask ingest (p31's streaming twin): the
+# chat render (_p31_conversations — pure native exprs) and the
+# Arrow-batched sft_encode_masks both compose with a file-source
+# stream unchanged (stateless map-side work, no state store, no
+# watermark). The verdict law is BIT-equality to the batch path per
+# conversation — ids AND masks — reduced to a one-row verdict; the
+# BPE table is trained once batch-side and rides both closures (at
+# 100 TB the trained tokenizer is a build artifact, not per-batch
+# work). Totals anchor the oracle to the table.
+# ---------------------------------------------------------------------------
+@register(
+    "st28_stream_sft_masks",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_convs,
+           TRUE AS stream_matches_batch
+    FROM documents
+    """,
+)
+def st28_stream_sft_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators import text as tx
+    from sparkswift.operators.packing import sft_encode_masks
+    from sparkswift.streaming.ops import table_stream
+    from sparkswift.suite_llm import _p31_conversations
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = tx.bpe_train(docs, num_merges=100)
+
+    enc_stream = run_stream_to_batch(
+        sft_encode_masks(
+            _p31_conversations(table_stream(spark, sf_dir, "documents")),
+            merges,
+        ),
+        mode="append",
+    ).select(
+        F.col("conv_id").alias("s_id"),
+        F.col("n_tokens").alias("s_n"),
+        F.col("n_unmasked").alias("s_u"),
+        F.col("token_ids").alias("s_ids"),
+        F.col("loss_mask").alias("s_mask"),
+    )
+    enc_batch = sft_encode_masks(_p31_conversations(docs), merges)
+    joined = enc_batch.join(
+        enc_stream, enc_batch.conv_id == enc_stream.s_id, "full"
+    )
+    bad = joined.filter(
+        F.col("conv_id").isNull()
+        | F.col("s_id").isNull()
+        | (F.col("n_tokens") != F.col("s_n"))
+        | (F.col("n_unmasked") != F.col("s_u"))
+        | (F.col("token_ids") != F.col("s_ids"))
+        | (F.col("loss_mask") != F.col("s_mask"))
+    ).agg(F.count(F.lit(1)).alias("n_bad"))
+    n_convs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_convs"))
+    return n_convs.crossJoin(F.broadcast(bad)).select(
+        "n_convs", (F.col("n_bad") == 0).alias("stream_matches_batch")
+    )

@@ -2794,3 +2794,99 @@ def test_png_adam7_16bit_trns_roundtrip_sweep():
     )
     with _pytest.raises(NotImplementedError, match="color-key"):
         _parse_png(data[:i] + chunk + data[i:])
+
+
+# --- containment pairs (d18) / cosine range search (e13) --------------------
+
+
+def test_containment_pairs_vs_pure_python(spark):
+    """containment_pairs equals a brute pure-python shingle-set
+    reference (directed, both directions), and the asymmetric case is
+    NON-VACUOUS: a pure excerpt is contained in its source while the
+    reverse direction fails."""
+    from sparkswift.operators import dedup as dd
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the "
+        "cat watches from the warm window sill nearby today"
+    )
+    rows = [
+        (1, base),
+        (2, " ".join(base.split()[:10]) + " extra"),  # near-excerpt of 1
+        (3, base),  # exact dup of 1
+        (4, "completely different words entirely unrelated content here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def shingles(t):
+        ws = t.split()
+        if len(ws) >= 3:
+            return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        return {" ".join(ws)}
+
+    sh = {i: shingles(t) for i, t in rows}
+    want = set()
+    for a in sh:
+        for b in sh:
+            if a == b or not sh[a]:
+                continue
+            # the operator's exact integer form: inter*den >= num*|S(a)|
+            if len(sh[a] & sh[b]) * 10000 >= 7000 * len(sh[a]):
+                want.add((a, b))
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in dd.containment_pairs(
+            df, threshold=0.7, max_posting=None
+        ).collect()
+    }
+    assert set(got) == want, (sorted(got), sorted(want))
+    for (a, b), c in got.items():
+        assert abs(c - len(sh[a] & sh[b]) / len(sh[a])) < 1e-12
+    # asymmetry: 2 -> 1 present, 1 -> 2 absent; exact dup symmetric
+    assert (2, 1) in got and (1, 2) not in got
+    assert (1, 3) in got and (3, 1) in got
+
+
+def test_cosine_range_search_vs_numpy(spark, sf_dir):
+    """cosine_range_search equals a numpy brute-force reference on
+    the fixture (same micro-unit quantization), and is consistent
+    with cosine_topk: every top-k hit scoring >= theta is in the
+    range result with the identical cos_sim."""
+    import numpy as np
+
+    from sparkswift.operators import similarity as sim
+    from sparkswift.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    theta = 0.35
+    got = {
+        (r.query_id, r.corpus_id): r.cos_sim
+        for r in sim.cosine_range_search(
+            emb, emb.filter(F.col("label") == 0), threshold=theta
+        ).collect()
+    }
+    rows = emb.select("vec_id", "label", "embedding").collect()
+    q = np.round(
+        np.array([r.embedding for r in rows], dtype=np.float64) * 1e6
+    )
+    ids = [r.vec_id for r in rows]
+    want = {}
+    for i, r in enumerate(rows):
+        if r.label != 0:
+            continue
+        for j in range(len(rows)):
+            if ids[j] == ids[i]:
+                continue
+            c = float(
+                q[i] @ q[j] / (np.sqrt(q[i] @ q[i]) * np.sqrt(q[j] @ q[j]))
+            )
+            if c >= theta:
+                want[(ids[i], ids[j])] = c
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == want[k], k  # bit-identical, not just close
+
+    topk = sim.cosine_topk(emb, emb.filter(F.col("label") == 0), k=5)
+    for r in topk.collect():
+        if r.cos_sim >= theta:
+            assert got[(r.query_id, r.corpus_id)] == r.cos_sim

@@ -39,6 +39,7 @@ BNLJ_ALLOWED: dict[str, int] = {
     "agg22_rolling_distinct": 1,  # one-row day-bounds clamp join
     "q22_sales_opportunity": 1,  # one-row balance threshold
     "e1_cosine_topk": 1,  # one-row query-norm
+    "e13_cosine_range": 1,  # broadcast query set x corpus scan (by design)
     "e12_hybrid_rrf": 2,  # t12's one-row corpus stats + e1's one-row query
     "t7_tfidf_top_terms": 1,  # one-row doc-count
     "t12_bm25": 1,  # one-row corpus stats
@@ -69,6 +70,7 @@ BNLJ_ALLOWED: dict[str, int] = {
     "p16_gate": 1,
     "p22_gate": 3,
     "p31_gate": 7,  # one-row eos-template join + verdict fan-in (6 frames)
+    "st28_stream_sft_masks": 1,  # one-row verdict fan-in
     "t18_bpe_decode_gate": 2,  # one-row verdict fan-in (docs x bad x planted)
     "t21_gate": 4,  # one-row verdict fan-in (rt/ids/re/planted)
     "t22_gate": 4,  # one-row verdict fan-in (rt/ids/re/planted)
