@@ -170,6 +170,8 @@ HEADLINE = [
     "e13_cosine_range",      # cosine range search (no window, scan filter)
     "d18_containment_pairs", # directed containment near-dup (Broder)
     "st28_stream_sft_masks", # streaming SFT encode+mask (stream==batch)
+    "g8_bfs_distances",      # multi-source bounded-hop BFS (frontier joins)
+    "mm13_gif_frames_real",  # real GIF decode (LZW + interlace + frames)
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

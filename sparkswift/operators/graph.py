@@ -625,3 +625,70 @@ def kcore(
     return all_nodes.join(core_nodes, "node", "left").select(
         "node", F.coalesce("in_core", F.lit(0)).cast("int").alias("in_core")
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 12,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Multi-source BOUNDED-HOP BFS shortest distances (the k-hop
+    neighborhood primitive — feature radius for GNN sampling, blast-
+    radius / lineage queries): for every node reachable within
+    ``max_hops`` undirected hops of ANY source, its exact hop
+    distance to the nearest source. The hop bound is part of the
+    SEMANTICS (both the engine and any oracle cut at the same k), so
+    results are well-defined even on graphs whose diameter exceeds
+    the bound.
+
+    ``sources`` is a one-column (``node``) frame. Iteration
+    discipline is g1's: per hop ONE adjacency equi-join producing the
+    candidate frontier + ONE anti-join against the settled set (a
+    node is settled at its FIRST reach — BFS optimality), lineage cut
+    by ``localCheckpoint``; the loop exit probe is a one-row count.
+    Rounds ≤ min(max_hops, eccentricity), each shuffle carries only
+    (node, dist) 16-byte rows — never the input data. No driver
+    state beyond the loop counter; ``stats['hops']`` reports rounds
+    run.
+
+    Returns ``(node, dist)`` — sources at dist 0; unreached nodes
+    absent (the caller left-joins if a sentinel is wanted).
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    dist = (
+        sources.select(F.col("node").cast("bigint").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("int"))
+        .localCheckpoint()
+    )
+    frontier = dist.select("node")
+    hops = 0
+    for h in range(1, max_hops + 1):
+        cand = (
+            frontier.join(adj, frontier.node == adj.u)
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        new = cand.join(dist.select("node"), "node", "left_anti").select(
+            "node", F.lit(h).cast("int").alias("dist")
+        ).localCheckpoint()
+        if new.limit(1).count() == 0:
+            break
+        hops = h
+        dist = dist.unionAll(new).localCheckpoint()
+        frontier = new.select("node")
+    if stats is not None:
+        stats["hops"] = hops
+    return dist

@@ -14,7 +14,9 @@ by batch (never materialized per-row on the JVM heap).
 Codec status: ``decode_image`` / ``resize_image`` decode REAL PPM
 (P6), 24-bit BMP, PNG (stdlib zlib, all five scanline filters;
 truecolor RGB/RGBA at bit depth 8 AND 16, palette depths 1/2/4/8
-with optional tRNS alpha, interlace 0 AND Adam7), and
+with optional tRNS alpha, interlace 0 AND Adam7), GIF (real
+variable-width LZW, row interlacing, multi-frame; still decode =
+first frame), and
 baseline-sequential JPEG (pure-numpy T.81 Huffman +
 IDCT; grayscale and 4:4:4, restart markers honored) payloads with
 zero dependencies, and ``extract_audio_features`` decodes REAL WAV
@@ -26,7 +28,8 @@ except grayscale color types 0/4 and the truecolor tRNS color-key;
 JPEG baseline grayscale/4:4:4/subsampled 4:2:0/4:2:2 AND progressive
 all decode for real). Video: ``decode_video_frames`` and ``sample_frames``
 (``fake=False``) REALLY extract frames from uncompressed RIFF/AVI
-payloads (full RIFF grammar walk + headerless DIB rows); compressed
+payloads (full RIFF grammar walk + headerless DIB rows) AND from
+multi-frame GIF animations; compressed
 video stays NotImplementedError — that is ffmpeg territory.
 ``synth_ppm_payload`` / ``synth_wav_payload`` / ``synth_png_payload``
 / ``synth_jpeg_payload`` / ``synth_jpeg420_payload`` /
@@ -1772,12 +1775,14 @@ def _decode_image_bytes(b: bytes) -> np.ndarray:
         return _parse_png(b)
     if b[:2] == b"\xff\xd8":
         return _parse_jpeg(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return _parse_gif_frames(b)[0]  # still image = first frame
     raise ValueError(
         "undecodable image payload (real path supports PPM P6, 24-bit "
         "BMP, PNG [truecolor 8/16-bit, palette 1/2/4/8 + tRNS, Adam7], "
-        "and JPEG [baseline + progressive; grayscale and "
-        "4:4:4/4:2:2/4:2:0 YCbCr] — use fake=True for "
-        "plumbing-only runs)"
+        "GIF [LZW, interlace; first frame], and JPEG [baseline + "
+        "progressive; grayscale and 4:4:4/4:2:2/4:2:0 YCbCr] — use "
+        "fake=True for plumbing-only runs)"
     )
 
 
@@ -1934,9 +1939,9 @@ def sample_frames(
     each frame's signature as md5(payload + '#' + idx) — deterministic
     and reproducible in SQL, so the driver oracle covers the explode
     plumbing end-to-end. fake=False REALLY extracts frames from
-    uncompressed RIFF/AVI payloads (`_parse_avi_frames`) — the frame
-    signature is md5 of the raw RGB bytes; any other container or a
-    compressed stream raises (ffmpeg territory).
+    uncompressed RIFF/AVI and GIF payloads (`_parse_video_frames`) —
+    the frame signature is md5 of the raw RGB bytes; any other
+    container or a compressed stream raises (ffmpeg territory).
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1950,7 +1955,7 @@ def sample_frames(
                             "real frame extraction beyond uncompressed "
                             "RIFF/AVI requires ffmpeg — not in this container"
                         )
-                    for fi, px in enumerate(_parse_avi_frames(bb)):
+                    for fi, px in enumerate(_parse_video_frames(bb)):
                         if fi % stride:
                             continue
                         ids.append(int(i))
@@ -2536,6 +2541,277 @@ def _parse_avi_frames(b: bytes) -> list[np.ndarray]:
     return frames
 
 
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/89a, CompuServe spec — public): variable-width LZW over
+# palette indices, optional row interlacing, multi-frame animations.
+# ---------------------------------------------------------------------------
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start row, step)
+
+
+def _gif_lzw_decode(data: bytes, mcs: int) -> bytes:
+    """GIF variable-width LZW decode (spec appendix F): codes start at
+    mcs+1 bits LITTLE-endian, CLEAR resets the table, the code width
+    grows when the next free slot reaches 2^width (max 12 — a full
+    table adds nothing until the next CLEAR: the deferred-clear
+    rule)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    acc = bits = pos = 0
+    out = bytearray()
+
+    def reset():
+        return (
+            [bytes([i]) for i in range(clear)] + [b"", b""],
+            mcs + 1,
+        )
+
+    table, width = reset()
+    prev: bytes | None = None
+    while True:
+        while bits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated (no END code)")
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bits -= width
+        if code == clear:
+            table, width = reset()
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"GIF LZW first code {code} out of table")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"GIF LZW code {code} beyond table")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    raise AssertionError("unreachable")
+
+
+def _gif_lzw_encode(idx: bytes, mcs: int) -> bytes:
+    """GIF LZW encode, the exact mirror of :func:`_gif_lzw_decode`'s
+    table dynamics: one entry added per emitted code after a CLEAR,
+    width grows when the shared slot counter reaches 2^width, and a
+    CLEAR is emitted when the table fills (no deferred-clear output —
+    the decoder still handles foreign deferred streams)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    nxt, width = clear + 2, mcs + 1
+    emit(clear, width)
+    w = b""
+    for k in idx:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        if nxt < 4096:
+            table[wk] = nxt
+            nxt += 1
+            if nxt == (1 << width) + 1 and width < 12:
+                # the decoder's slot counter reaches 2^width one code
+                # LATER than the encoder's add (it adds after reading
+                # the next code), so the width flips when OUR counter
+                # passes 2^width — verified by the independent-decoder
+                # pytest across the 4096-entry wrap
+                width += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            nxt, width = clear + 2, mcs + 1
+        w = bytes([k])
+    if w:
+        emit(table[w], width)
+        # the decoder adds one more entry after reading this tail
+        # code; if that add crosses 2^width it reads END at the wider
+        # width — mirror the virtual add (the fuzz-caught corner)
+        if nxt < 4096:
+            nxt += 1
+            if nxt == (1 << width) + 1 and width < 12:
+                width += 1
+    emit(end, width)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _parse_gif_frames(b: bytes) -> list[np.ndarray]:
+    """Decode a GIF87a/89a to its frames as (h, w, 3) uint8 RGB:
+    variable-width LZW (dictionary growth, deferred clear, KwKwK),
+    global AND local color tables, row interlacing (the 8/8/4/2 pass
+    order), multi-frame animations. Honest gates: transparency (a
+    graphic-control transparent flag raises — compositing policy is
+    the caller's) and PARTIAL frames (an image descriptor smaller
+    than the logical screen needs disposal-method compositing —
+    gated rather than mis-decoded)."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(b, np.uint8, count=3 * n, offset=pos).reshape(
+            -1, 3
+        )
+        pos += 3 * n
+    frames: list[np.ndarray] = []
+    transparent = False
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = b[pos]
+            pos += 1
+            if label == 0xF9 and b[pos] >= 4 and (b[pos + 1] & 1):
+                transparent = True
+            while b[pos]:  # sub-blocks
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"GIF block 0x{block:02x} unsupported")
+        left, top, w, h, iflags = struct.unpack_from("<HHHHB", b, pos)
+        pos += 9
+        if (left, top, w, h) != (0, 0, sw, sh):
+            raise NotImplementedError(
+                "partial-frame GIF (disposal compositing) unsupported"
+            )
+        if transparent:
+            raise NotImplementedError(
+                "transparent GIF unsupported (compositing policy is the "
+                "caller's)"
+            )
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            pal = np.frombuffer(
+                b, np.uint8, count=3 * n, offset=pos
+            ).reshape(-1, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame has no color table")
+        mcs = b[pos]
+        pos += 1
+        data = bytearray()
+        while b[pos]:
+            n = b[pos]
+            data += b[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        pos += 1
+        idx = np.frombuffer(
+            _gif_lzw_decode(bytes(data), mcs), np.uint8
+        )
+        if idx.size != w * h:
+            raise ValueError(
+                f"GIF frame decodes {idx.size} pixels, expected {w * h}"
+            )
+        rows = idx.reshape(h, w)
+        if iflags & 0x40:  # interlaced: de-permute rows
+            out_rows = np.empty_like(rows)
+            r = 0
+            for start, step in _GIF_INTERLACE:
+                for y in range(start, h, step):
+                    out_rows[y] = rows[r]
+                    r += 1
+            rows = out_rows
+        if int(rows.max(initial=0)) >= len(pal):
+            raise ValueError("GIF palette index out of range")
+        frames.append(pal[rows])
+    if not frames:
+        raise ValueError("GIF has no image data")
+    return frames
+
+
+def encode_gif(
+    frames: list[np.ndarray],
+    palette: np.ndarray,
+    interlace_of=None,
+) -> bytes:
+    """Minimal multi-frame GIF89a writer — the synth + round-trip
+    counterpart of :func:`_parse_gif_frames`: one global color table
+    (padded to a power-of-two size), full-frame image descriptors,
+    real LZW compression (:func:`_gif_lzw_encode`) in ≤255-byte
+    sub-blocks, ``interlace_of(frame_idx) -> bool`` writes that
+    frame's rows in the 8/8/4/2 interlace order."""
+    palette = np.asarray(palette, np.uint8).reshape(-1, 3)
+    h, w = frames[0].shape
+    depth = max(1, int(np.ceil(np.log2(max(2, len(palette))))))
+    n = 1 << depth
+    if len(palette) > 256:
+        raise ValueError("GIF palette > 256 entries")
+    pal = np.zeros((n, 3), np.uint8)
+    pal[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += pal.tobytes()
+    mcs = max(2, depth)
+    for fi, fr in enumerate(frames):
+        if fr.shape != (h, w):
+            raise ValueError("GIF frames must share the screen size")
+        if int(fr.max(initial=0)) >= len(palette):
+            raise ValueError("frame index out of palette")
+        il = bool(interlace_of(fi)) if interlace_of is not None else False
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if il else 0)
+        rows = fr.astype(np.uint8)
+        if il:
+            order = [
+                y for start, step in _GIF_INTERLACE
+                for y in range(start, h, step)
+            ]
+            rows = rows[order]
+        out.append(mcs)
+        data = _gif_lzw_encode(rows.tobytes(), mcs)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def _parse_video_frames(b: bytes) -> list[np.ndarray]:
+    """Dispatch a video/animation payload to its real frame decoder:
+    RIFF/AVI (uncompressed DIB) or GIF (LZW). Everything else is the
+    honest ffmpeg gate."""
+    if b[:4] == b"RIFF":
+        return _parse_avi_frames(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return _parse_gif_frames(b)
+    raise ValueError(
+        "undecodable video payload (real path supports uncompressed "
+        "RIFF/AVI and GIF87a/89a; compressed codecs need ffmpeg)"
+    )
+
+
 def synth_avi_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize a VALID uncompressed RIFF/AVI payload per row:
     2+id%4 frames of constant-RGB pixels — frame f of doc i is
@@ -2586,12 +2862,13 @@ def decode_video_frames(
     payload_col: str = "payload",
     stride: int = 1,
 ) -> DataFrame:
-    """REAL video frame extraction for uncompressed RIFF/AVI payloads:
-    one input row explodes to its (strided) frame rows with per-frame
-    channel means — mapInPandas, map-side only, no shuffle; payload
-    bytes never leave the Arrow batch. Output rows =
-    Σ ceil(n_frames/stride). Non-AVI / compressed payloads raise (the
-    ffmpeg gate lives in `_parse_avi_frames`)."""
+    """REAL video/animation frame extraction for uncompressed
+    RIFF/AVI and GIF payloads: one input row explodes to its
+    (strided) frame rows with per-frame channel means — mapInPandas,
+    map-side only, no shuffle; payload bytes never leave the Arrow
+    batch. Output rows = Σ ceil(n_frames/stride). Other containers /
+    compressed streams raise (the ffmpeg gate lives in
+    `_parse_video_frames`)."""
     if stride < 1:
         raise ValueError("stride must be >= 1")
 
@@ -2599,7 +2876,7 @@ def decode_video_frames(
         for pdf in it:
             rows: list[tuple] = []
             for i, b in zip(pdf[id_col], pdf[payload_col]):
-                for fi, px in enumerate(_parse_avi_frames(bytes(b))):
+                for fi, px in enumerate(_parse_video_frames(bytes(b))):
                     if fi % stride:
                         continue
                     means = px.reshape(-1, 3).mean(axis=0, dtype=np.float64)
@@ -2624,4 +2901,56 @@ def decode_video_frames(
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         batches, VIDEO_FRAME_SCHEMA
+    )
+
+
+def synth_gif_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a VALID multi-frame GIF89a per row whose decode is
+    EXACT (lossless — the mm11 palette law with a frame dimension):
+    palette color k of image i is ((3i+17k)%256, (7i+29k)%256,
+    (13i+11k)%256), frame f's pixel (x, y) holds index
+    (x + 2y + i + 5f) % 16, 1 + i%3 frames at widths 5..12 × heights
+    4..8, and frame interlacing alternates ((i+f)%2) so the 8/8/4/2
+    row-pass order runs corpus-wide next to the sequential path. Real
+    LZW compression (dictionary growth included — 16-symbol frames at
+    these sizes cross the 32- and 64-slot width boundaries), so the
+    per-frame channel means certify the whole decode chain."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            w, h = 5 + i % 8, 4 + i % 5
+            k = np.arange(16, dtype=np.int64)
+            pal = np.stack(
+                [
+                    (3 * i + 17 * k) % 256,
+                    (7 * i + 29 * k) % 256,
+                    (13 * i + 11 * k) % 256,
+                ],
+                axis=1,
+            ).astype(np.uint8)
+            xx, yy = np.meshgrid(
+                np.arange(w, dtype=np.int64), np.arange(h, dtype=np.int64)
+            )
+            frames = [
+                ((xx + 2 * yy + i + 5 * f) % 16).astype(np.uint8)
+                for f in range(1 + i % 3)
+            ]
+            return encode_gif(
+                frames, pal, interlace_of=lambda f: (i + f) % 2 == 1
+            )
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("video").alias("modality"),
+            F.lit("image/gif").alias("mime"),
+            (5 + F.col(id_col) % 8).cast("int").alias("width"),
+            (4 + F.col(id_col) % 5).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            (1 + F.col(id_col) % 3).cast("int").alias("n_frames"),
+        ),
     )

@@ -843,6 +843,8 @@ _WINDOW = [
     "e13_cosine_range",
     "d18_containment_pairs",
     "st28_stream_sft_masks",
+    "g8_bfs_distances",
+    "mm13_gif_frames_real",
     # --- (2) changed-code refreshes (j12 zero-length filter; PNG
     # decoder + decode_image channel-awareness; token-shard writer
     # mask extension) ---
@@ -889,8 +891,6 @@ _WINDOW = [
     "e6_gate",
     "e7_cosine_topk_ivfpq_persisted",
     "j10_salted_join",
-    "j11_salted_join_skewed",
-    "j9_interval_overlap",
 ]
 
 

@@ -3385,6 +3385,56 @@ def mm8_avi_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mm13 — REAL GIF decode (a WHOLE new codec family, written from the
+# public GIF89a spec with zero deps): variable-width LZW (dictionary
+# growth across the 32/64-slot width boundaries runs corpus-wide —
+# the encoder/decoder width-sync corner was fuzz-caught and is
+# independently pytest-certified, incl. a hand-built uncompressed
+# stream the encoder never produced), multi-frame animations, and
+# alternating row interlacing (positioning certified by the
+# round-trip pytest; means are position-blind by nature). Lossless ⇒
+# per-frame channel means are exact integer id arithmetic (the mm11
+# palette law + a frame dimension). Honest gates: transparency and
+# partial-frame disposal compositing raise loudly.
+# ---------------------------------------------------------------------------
+@register(
+    "mm13_gif_frames_real",
+    """
+    WITH xs AS (SELECT unnest([0,1,2,3,4,5,6,7,8,9,10,11]) AS x),
+         ys AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS y),
+         fs AS (SELECT unnest([0,1,2]) AS f),
+         p AS (SELECT doc_id,
+                      CAST(5 + doc_id % 8 AS INT) AS w,
+                      CAST(4 + doc_id % 5 AS INT) AS h,
+                      1 + doc_id % 3 AS nf
+               FROM documents),
+         px AS (
+           SELECT doc_id, w, h, f,
+                  (x + 2 * y + doc_id + 5 * f) % 16 AS k
+           FROM p JOIN fs ON f < nf JOIN xs ON x < w JOIN ys ON y < h
+         )
+    SELECT doc_id AS id, CAST(f AS BIGINT) AS frame_idx, w AS width,
+           h AS height,
+           AVG(CAST((3 * doc_id + 17 * k) % 256 AS DOUBLE)) AS mean_r,
+           AVG(CAST((7 * doc_id + 29 * k) % 256 AS DOUBLE)) AS mean_g,
+           AVG(CAST((13 * doc_id + 11 * k) % 256 AS DOUBLE)) AS mean_b
+    FROM px
+    GROUP BY doc_id, f, w, h
+    """,
+)
+def mm13_gif_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # one parquet split -> spread the per-image Python codec (the
+        # mm9-11 lesson)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    wp = mm.synth_gif_payload(docs, "doc_id")
+    return mm.decode_video_frames(wp, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
 # mm9 — REAL SUBSAMPLED-CHROMA JPEG decode (closes mm7's documented
 # 4:2:0 gate): synth_jpeg420 writes valid color JPEGs rotating
 # through 4:2:0 / 4:2:2 / 4:4:4 with per-8×8-block luma, constant

@@ -2639,6 +2639,66 @@ def g7_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# g8 — multi-source BOUNDED-HOP BFS distances (the k-hop neighborhood
+# primitive: GNN sampling radius, blast-radius/lineage queries). The
+# hop bound (12) is part of the semantics, so the engine's frontier
+# iteration and the oracle's depth-guarded recursive CTE define the
+# SAME result even if a component's eccentricity exceeds it (measured
+# max dist 14 on this graph at sf0.01 with denser seeds — the cap is
+# load-bearing, not decorative). Seeds = every part key ≡ 0 (mod 10)
+# present in the qty≤5 co-part graph; distances are exact integers ⇒
+# exact hash. Engine: per hop one adjacency join + one anti-join of
+# 16-byte rows, localCheckpoint lineage cuts, one-row exit probe —
+# the g1 iteration discipline.
+# ---------------------------------------------------------------------------
+@register(
+    "g8_bfs_distances",
+    """
+    WITH RECURSIVE
+    li AS (SELECT l_orderkey, l_partkey FROM lineitem
+           WHERE l_quantity <= 5),
+    e AS (
+      SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS x,
+             GREATEST(a.l_partkey, b.l_partkey) AS y
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+    ),
+    adj AS (SELECT x AS u, y AS v FROM e UNION ALL SELECT y, x FROM e),
+    seeds AS (SELECT DISTINCT u AS node FROM adj WHERE u % 10 = 0),
+    r AS (
+      SELECT node, 0 AS dist FROM seeds
+      UNION
+      SELECT adj.v, r.dist + 1 FROM r JOIN adj ON adj.u = r.node
+      WHERE r.dist < 12
+    )
+    SELECT node, CAST(MIN(dist) AS INT) AS dist
+    FROM r GROUP BY node
+    """,
+)
+def g8_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.graph import bfs_distances
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") <= 5)
+        .select("l_orderkey", "l_partkey")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2")
+    )
+    edges = (
+        li.join(b, li.l_orderkey == b.k)
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+    )
+    nodes = edges.select(F.col("src").alias("node")).unionAll(
+        edges.select(F.col("dst").alias("node"))
+    )
+    seeds = nodes.filter(F.col("node") % 10 == 0).distinct()
+    return bfs_distances(edges, seeds, max_hops=12)
+
+
+# ---------------------------------------------------------------------------
 # g4 — local clustering coefficient (Watts-Strogatz): g3's triangle
 # counts joined to exact degrees, coefficient = one double division
 # of exact integers. Same sparse co-part graph; degree-<2 nodes emit

@@ -522,3 +522,53 @@ def test_jaccard_link_prediction_excludes_existing_edges(spark):
     top = out[0]
     assert (top.u, top.v, top.n_common) == (1, 3, 2)
     assert abs(top.jaccard - 1.0) < 1e-12  # N(1)={2,4}=N(3)
+
+
+def test_bfs_distances_matches_pure_python(spark):
+    """bfs_distances == brute pure-python multi-source BFS on random
+    graphs (several densities), the hop bound truncates identically,
+    sources dedupe, and stats['hops'] reports rounds."""
+    import random
+    from collections import deque
+
+    from sparkswift.operators.graph import bfs_distances
+
+    rng = random.Random(17)
+    for n, m, max_hops in ((12, 14, 12), (30, 40, 3), (25, 20, 12)):
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        seeds = sorted({rng.randrange(n) for _ in range(3)})
+        adj = {}
+        for u, v in edges:
+            if u == v:
+                continue
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        want = {s: 0 for s in seeds if s in adj}
+        q = deque((s, 0) for s in want)
+        while q:
+            u, d = q.popleft()
+            if d >= max_hops:
+                continue
+            for v in adj.get(u, ()):  # noqa: B905
+                if v not in want:
+                    want[v] = d + 1
+                    q.append((v, d + 1))
+        edf = spark.createDataFrame(edges, "src long, dst long")
+        # sources may include isolated ids (not in the edge set):
+        # they still report dist 0 (they ARE within 0 hops of a seed)
+        sdf = spark.createDataFrame(
+            [(s,) for s in seeds + seeds], "node long"
+        )
+        stats = {}
+        got = {
+            r.node: r.dist
+            for r in bfs_distances(
+                edf, sdf, max_hops=max_hops, stats=stats
+            ).collect()
+        }
+        for s in seeds:
+            want[s] = 0  # isolated seeds included by the operator
+        assert got == want, (n, m, max_hops, got, want)
+        assert stats["hops"] <= max_hops

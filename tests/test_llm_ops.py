@@ -2890,3 +2890,164 @@ def test_cosine_range_search_vs_numpy(spark, sf_dir):
     for r in topk.collect():
         if r.cos_sim >= theta:
             assert got[(r.query_id, r.corpus_id)] == r.cos_sim
+
+
+# --- GIF (mm13) --------------------------------------------------------------
+
+
+def _lzw_ref_decode(data, mcs):
+    """Independent LZW reference decoder (structured differently from
+    the engine's: explicit bit-cursor, dict-of-int-tuples table) —
+    two implementations agreeing on the engine encoder's output is
+    the sync-vs-derivation mitigation."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    bitpos = 0
+
+    def read(width):
+        nonlocal bitpos
+        v = 0
+        for i in range(width):
+            byte = data[(bitpos + i) // 8]
+            v |= ((byte >> ((bitpos + i) % 8)) & 1) << i
+        bitpos += width
+        return v
+
+    out = []
+    table = {i: (i,) for i in range(clear)}
+    width, prev = mcs + 1, None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = {i: (i,) for i in range(clear)}
+            width, prev = mcs + 1, None
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            seq = table[code]
+        elif code in table:
+            seq = table[code]
+        else:
+            assert code == len(table) + 2, (code, len(table))
+            seq = prev + prev[:1]
+        out.extend(seq)
+        if prev is not None and len(table) + 2 < 4096:
+            table[len(table) + 2] = prev + seq[:1]
+            if len(table) + 2 == (1 << width) and width < 12:
+                width += 1
+        prev = seq
+
+
+def test_gif_lzw_roundtrip_and_independent_decoder():
+    """Engine LZW encode -> BOTH the engine decoder and an
+    independent reference decoder reproduce the input, across small
+    alphabets (width-boundary rich), long streams (4096-table wrap),
+    and the fuzz-caught tail-width regression case."""
+    import numpy as np
+
+    from sparkswift.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    regression = bytes.fromhex("0203020003000302000103030303")
+    enc = _gif_lzw_encode(regression, 2)
+    assert _gif_lzw_decode(enc, 2) == regression
+    assert _lzw_ref_decode(enc, 2) == regression
+
+    rng = np.random.RandomState(0)
+    for trial in range(400):
+        mcs = int(rng.choice([2, 3, 4, 8]))
+        n = (
+            int(rng.randint(0, 80))
+            if trial % 8
+            else int(rng.randint(3000, 40000))
+        )
+        alpha = int(rng.randint(2, (1 << mcs) + 1))
+        data = bytes(rng.randint(0, alpha, n).astype(np.uint8))
+        enc = _gif_lzw_encode(data, mcs)
+        assert _gif_lzw_decode(enc, mcs) == data, (trial, mcs, n)
+        if n <= 3000:  # the bit-by-bit reference is slow on long runs
+            assert _lzw_ref_decode(enc, mcs) == data, (trial, mcs, n)
+
+
+def test_gif_decodes_foreign_uncompressed_stream():
+    """A hand-built 'uncompressed GIF' LZW stream (root codes only,
+    CLEAR injected before any width growth — a shape the engine
+    encoder NEVER produces) decodes correctly: the decoder follows
+    the spec, not just its own encoder."""
+    import numpy as np
+
+    from sparkswift.operators.multimodal import _gif_lzw_decode
+
+    rng = np.random.RandomState(5)
+    syms = [int(s) for s in rng.randint(0, 16, 2000)]
+    clear, end, acc, bits = 16, 17, 0, 0
+    out = bytearray()
+
+    def emit(c):
+        nonlocal acc, bits
+        acc |= c << bits
+        bits += 5
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    emit(clear)
+    cnt = 0
+    for s in syms:
+        if cnt == 13:  # table would hit 32 next add -> width flip; clear
+            emit(clear)
+            cnt = 0
+        emit(s)
+        cnt += 1
+    emit(end)
+    if bits:
+        out.append(acc & 0xFF)
+    assert _gif_lzw_decode(bytes(out), 4) == bytes(syms)
+
+
+def test_gif_container_roundtrip_and_gates():
+    """Multi-frame + interlace + local/short palettes round-trip
+    bit-exactly; transparency and partial frames refuse loudly;
+    _decode_image_bytes returns the first frame."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import (
+        _decode_image_bytes,
+        _parse_gif_frames,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(11)
+    for w, h, pp in ((1, 1, 2), (3, 7, 2), (8, 5, 16), (16, 9, 200)):
+        pal = rng.randint(0, 256, (pp, 3)).astype(np.uint8)
+        frames = [
+            rng.randint(0, pp, (h, w)).astype(np.uint8) for _ in range(3)
+        ]
+        for il in (None, lambda f: f % 2 == 0):
+            got = _parse_gif_frames(encode_gif(frames, pal, interlace_of=il))
+            assert [g.tolist() for g in got] == [
+                pal[f].tolist() for f in frames
+            ]
+        assert np.array_equal(
+            _decode_image_bytes(encode_gif(frames, pal)), pal[frames[0]]
+        )
+
+    pal = rng.randint(0, 256, (4, 3)).astype(np.uint8)
+    base = encode_gif([np.zeros((2, 2), np.uint8)], pal)
+    # transparency gate: splice a graphic-control ext before the image
+    i = base.index(b"\x2c")
+    gce = b"\x21\xf9\x04\x01\x00\x00\x00\x00"
+    with _pytest.raises(NotImplementedError, match="transparent"):
+        _parse_gif_frames(base[:i] + gce + base[i:])
+    # partial-frame gate: image smaller than the logical screen
+    hdr = base[:i]
+    desc = struct.pack("<BHHHHB", 0x2C, 0, 0, 1, 1, 0)
+    body = base[i + 10 :]  # mcs byte onward (wrong pixel count, but
+    with _pytest.raises(NotImplementedError, match="partial-frame"):
+        _parse_gif_frames(hdr + desc + body)  # gate fires before LZW
