@@ -172,6 +172,8 @@ HEADLINE = [
     "st28_stream_sft_masks", # streaming SFT encode+mask (stream==batch)
     "g8_bfs_distances",      # multi-source bounded-hop BFS (frontier joins)
     "mm13_gif_frames_real",  # real GIF decode (LZW + interlace + frames)
+    "w7_ohlc_bars",          # OHLC candles (one exchange, arg-min/max open/close)
+    "agg23_exact_median",    # exact per-group median (no global sort)
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

@@ -170,3 +170,49 @@ def scd2_intervals(
         F.col("__t").alias("from_us"),
         F.lead("__t").over(w2).alias("to_us"),
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    rule: str = "hour",
+) -> DataFrame:
+    """OHLC candle bars (the market-data / metering resample staple
+    the plain o6 sum/count resample does not cover): per (key, time
+    bucket) the OPENing value (at the bucket's first event), HIGH,
+    LOW, and CLOSE (last event), plus the event count. Open/close are
+    ARG-min/max selections on the (ts, tiebreak) total order — the
+    explicit tiebreak makes same-timestamp buckets deterministic
+    across engines (the scd2 discipline); high/low are plain min/max
+    (stored doubles compare bit-identically).
+
+    Plan: ONE hash shuffle on (key, bucket) — first/last ride an
+    ordered window over that partitioning and the final aggregate
+    reuses it (no second exchange). Returns ``(key, bucket_ts, open,
+    high, low, close, n_events)``.
+    """
+    from pyspark.sql import Window as W
+
+    bucket = F.date_trunc(rule, F.col(ts_col)).alias("bucket_ts")
+    base = df.select(
+        F.col(key_col),
+        bucket,
+        F.col(ts_col).alias("__t"),
+        F.col(tiebreak_col).alias("__tb"),
+        F.col(value_col).alias("__v"),
+    )
+    w = W.partitionBy(key_col, "bucket_ts").orderBy("__t", "__tb")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    seq = base.withColumn("__open", F.first("__v").over(wfull)).withColumn(
+        "__close", F.last("__v").over(wfull)
+    )
+    return seq.groupBy(key_col, "bucket_ts").agg(
+        F.min("__open").cast("double").alias("open"),
+        F.max("__v").cast("double").alias("high"),
+        F.min("__v").cast("double").alias("low"),
+        F.min("__close").cast("double").alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )

@@ -845,6 +845,8 @@ _WINDOW = [
     "st28_stream_sft_masks",
     "g8_bfs_distances",
     "mm13_gif_frames_real",
+    "w7_ohlc_bars",
+    "agg23_exact_median",
     # --- (2) changed-code refreshes (j12 zero-length filter; PNG
     # decoder + decode_image channel-awareness; token-shard writer
     # mask extension) ---
@@ -879,7 +881,6 @@ _WINDOW = [
     "agg16_heavy_hitters_gate",
     "agg2_gate",
     "agg9_gate",
-    "agg9_percentile_approx",
     "d13_line_dedup",
     "d3_gate",
     "d4_gate",
@@ -890,7 +891,6 @@ _WINDOW = [
     "e5_gate",
     "e6_gate",
     "e7_cosine_topk_ivfpq_persisted",
-    "j10_salted_join",
 ]
 
 

@@ -1481,6 +1481,95 @@ def w6_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# w7 — OHLC candle bars (market-data/metering resample: open/high/
+# low/close per (key, hour)). Open/close are arg-selections on the
+# (ts, event_id) total order — the explicit tiebreak makes
+# same-timestamp buckets deterministic (the scd2/w6 discipline);
+# high/low are plain min/max of stored doubles (bit-identical). ONE
+# hash shuffle: first/last ride an ordered window over (key, bucket)
+# and the final aggregate reuses the partitioning.
+# ---------------------------------------------------------------------------
+@register(
+    "w7_ohlc_bars",
+    """
+    WITH s AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             ts, event_id, value
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, bucket_ts, value,
+             first_value(value) OVER (
+               PARTITION BY event_type, bucket_ts ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             ) AS o,
+             last_value(value) OVER (
+               PARTITION BY event_type, bucket_ts ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             ) AS c
+      FROM s
+    )
+    SELECT event_type, bucket_ts,
+           CAST(MIN(o) AS DOUBLE) AS open,
+           CAST(MAX(value) AS DOUBLE) AS high,
+           CAST(MIN(value) AS DOUBLE) AS low,
+           CAST(MIN(c) AS DOUBLE) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM w GROUP BY event_type, bucket_ts
+    """,
+)
+def w7_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.events import ohlc_bars
+
+    ev = load_table(spark, sf_dir, "events")
+    return ohlc_bars(ev, rule="hour")
+
+
+# ---------------------------------------------------------------------------
+# agg23 — EXACT per-group median WITHOUT a global sort: rows ranked
+# inside each group's hash partition (window over the group key —
+# per-partition sort, never a range exchange), the lower median is
+# the row at rank (n+1) div 2 on the (value, event_id) TOTAL order —
+# deterministic under ties, identical rule in both engines (DuckDB's
+# built-in median interpolates even counts, so the rule is spelled
+# out rather than delegated). agg5's approx quantiles are the sketch
+# twin; this is the exact shape when per-group histories fit a task.
+# ---------------------------------------------------------------------------
+@register(
+    "agg23_exact_median",
+    """
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_events,
+           CAST(value AS DOUBLE) AS median_lower
+    FROM r WHERE rn = (n + 1) // 2
+    """,
+)
+def agg23_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    wn = W.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("value").cast("double").alias("median_lower"),
+    )
+
+
 @register(
     "w4_distribution_windows",
     """

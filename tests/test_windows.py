@@ -806,3 +806,67 @@ def test_rolling_distinct_matches_pure_python(spark, sf_dir):
         r.day_us: r.wau for r in agg22_rolling_distinct(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_ohlc_bars_matches_pure_python(spark):
+    """ohlc_bars == brute pure-python per-bucket open/high/low/close,
+    including same-timestamp ties broken by event_id and a
+    single-event bucket (open == close == high == low)."""
+    import datetime as dt
+
+    from sparkswift.operators.events import ohlc_bars
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        # (event_id, type, minute offset, value)
+        (1, "a", 5, 10.0), (2, "a", 1, 7.5), (3, "a", 59, 3.25),
+        (4, "a", 1, 9.0),   # same ts as id 2? no — same minute, ids tie-break
+        (5, "a", 61, 4.0),  # next hour, single event
+        (6, "b", 2, 100.0), (7, "b", 2, 50.0),  # same ts, tie by id
+    ]
+    # make ids 2 and 4 share the exact timestamp
+    data = [
+        (eid, t, base + dt.timedelta(minutes=(1 if eid == 4 else m)), v)
+        for eid, t, m, v in rows
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, event_type string, ts timestamp, value double"
+    )
+    got = {
+        (r.event_type, r.bucket_ts.hour): (
+            r.open, r.high, r.low, r.close, r.n_events
+        )
+        for r in ohlc_bars(df).collect()
+    }
+    import collections
+
+    buckets = collections.defaultdict(list)
+    for eid, t, ts, v in data:
+        buckets[(t, ts.hour)].append((ts, eid, v))
+    want = {}
+    for k, evs in buckets.items():
+        evs.sort()
+        vals = [v for _, _, v in evs]
+        want[k] = (evs[0][2], max(vals), min(vals), evs[-1][2], len(evs))
+    assert got == want
+
+
+def test_exact_median_rule(spark, sf_dir):
+    """agg23's lower-median rule == pure-python selection on the
+    fixture (odd and even group sizes, ties included)."""
+    from sparkswift.sources import load_table
+    from sparkswift.suite_relational import agg23_exact_median
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select("event_type", "value", "event_id").collect()
+    groups = {}
+    for r in rows:
+        groups.setdefault(r.event_type, []).append((r.value, r.event_id))
+    got = {
+        r.event_type: (r.n_events, r.median_lower)
+        for r in agg23_exact_median(spark, sf_dir).collect()
+    }
+    for g, vs in groups.items():
+        vs.sort()
+        n = len(vs)
+        assert got[g] == (n, vs[(n + 1) // 2 - 1][0]), g
