@@ -174,6 +174,7 @@ HEADLINE = [
     "mm13_gif_frames_real",  # real GIF decode (LZW + interlace + frames)
     "w7_ohlc_bars",          # OHLC candles (one exchange, arg-min/max open/close)
     "agg23_exact_median",    # exact per-group median (no global sort)
+    "e14_cosine_range_ivf",  # IVF-bucketed range search (scale path)
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

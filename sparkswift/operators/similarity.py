@@ -493,10 +493,13 @@ def cosine_topk_ivf(
     nprobe: int = 8,
     seed: int = 42,
     max_iter: int = 8,
+    range_threshold: float | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse quantizer
     partitions the corpus into ``nlist`` lists; each query probes only
     its ``nprobe`` nearest lists, then exact integer cosine + rank.
+    With ``range_threshold`` set, the rank window is replaced by the
+    threshold filter (range mode — use :func:`cosine_range_search_ivf`).
 
     ``nprobe=8`` default: smallest swept value reaching recall ≥ 0.9
     vs the exact operator on the uniform-random fixture (nlist=16,
@@ -564,6 +567,15 @@ def cosine_topk_ivf(
             "cos_sim"
         ),
     )
+    if range_threshold is not None:
+        # range mode (FAISS range_search over an IVF index — e14):
+        # probed candidates filtered by the exact integer cosine, no
+        # rank window; recall < 1 only through unprobed lists, and
+        # every emitted pair is EXACT (precision 1 — the scored
+        # cosine is the true cosine, not an approximation)
+        return scored.filter(
+            F.col("cos_sim") >= F.lit(float(range_threshold))
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("corpus_id")
     )
@@ -571,6 +583,38 @@ def cosine_topk_ivf(
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= k)
         .select("query_id", "corpus_id", "rnk", "cos_sim")
+    )
+
+
+def cosine_range_search_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 8,
+    seed: int = 42,
+    max_iter: int = 8,
+) -> DataFrame:
+    """IVF-bucketed cosine RANGE search — the scale path of
+    :func:`cosine_range_search` exactly as :func:`cosine_topk_ivf` is
+    e1's: each query probes its ``nprobe`` nearest lists and the
+    threshold filters the EXACT integer cosine of the candidates, so
+    precision is 1 by construction and recall is bounded only by
+    unprobed lists (measured vs the exact operator in the e14 gate
+    and pytest). No rank window; the probe equi-join on list_id is
+    the single shuffle."""
+    return cosine_topk_ivf(
+        corpus,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        nlist=nlist,
+        nprobe=nprobe,
+        seed=seed,
+        max_iter=max_iter,
+        range_threshold=threshold,
     )
 
 

@@ -847,6 +847,7 @@ _WINDOW = [
     "mm13_gif_frames_real",
     "w7_ohlc_bars",
     "agg23_exact_median",
+    "e14_gate",
     # --- (2) changed-code refreshes (j12 zero-length filter; PNG
     # decoder + decode_image channel-awareness; token-shard writer
     # mask extension) ---
@@ -890,7 +891,6 @@ _WINDOW = [
     "e3_gate",
     "e5_gate",
     "e6_gate",
-    "e7_cosine_topk_ivfpq_persisted",
 ]
 
 

@@ -517,6 +517,38 @@ def _topk_gate(
     )
 
 
+# ---------------------------------------------------------------------------
+# e14_gate — IVF RANGE search vs the exact e13 twin: the threshold
+# filters the EXACT integer cosine of probed candidates, so the
+# approximation can only MISS (unprobed lists), never invent —
+# subset_ok pins precision 1 as a hard law; recall floor 0.7 (≥2×
+# margin under the measured 0.909 at sf0.01 / 1.0 at sf0.001,
+# nlist=16 nprobe=8, θ=0.40 — the e13 threshold).
+# ---------------------------------------------------------------------------
+@register(
+    "e14_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           TRUE AS subset_ok, TRUE AS recall_ok
+    FROM embeddings WHERE label = 0
+    """,
+)
+def e14_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0)
+    exact = sim.cosine_range_search(emb, queries, threshold=0.40)
+    approx = sim.cosine_range_search_ivf(
+        emb, queries, threshold=0.40, nlist=16, nprobe=8
+    )
+    cmp = _set_compare(exact, approx, ["query_id", "corpus_id"])
+    n_q = queries.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
+    return _one_row_join(n_q, cmp).select(
+        "n_queries",
+        (F.col("n_extra") == 0).alias("subset_ok"),
+        (F.col("n_hit") >= 0.7 * F.col("n_exact")).alias("recall_ok"),
+    )
+
+
 @register("e2_gate", _TOPK_ORACLE)
 def e2_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

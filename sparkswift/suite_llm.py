@@ -478,6 +478,18 @@ def e13_cosine_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# e14 — IVF-bucketed range search (the scale path of e13, as e3 is to
+# e1): probe nprobe lists, filter the exact cosine. Rows-only; the
+# subset + recall laws live in e14_gate.
+# ---------------------------------------------------------------------------
+@register("e14_cosine_range_ivf", None)
+def e14_cosine_range_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0)
+    return sim.cosine_range_search_ivf(emb, queries, threshold=0.40)
+
+
+# ---------------------------------------------------------------------------
 # LSH-bucketed cosine top-k (approximate; rows-only — recall vs e1
 # asserted in tests).
 # ---------------------------------------------------------------------------

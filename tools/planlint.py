@@ -40,6 +40,7 @@ BNLJ_ALLOWED: dict[str, int] = {
     "q22_sales_opportunity": 1,  # one-row balance threshold
     "e1_cosine_topk": 1,  # one-row query-norm
     "e13_cosine_range": 1,  # broadcast query set x corpus scan (by design)
+    "e14_gate": 4,  # e13's broadcast query scan + one-row verdict fan-in
     "e12_hybrid_rrf": 2,  # t12's one-row corpus stats + e1's one-row query
     "t7_tfidf_top_terms": 1,  # one-row doc-count
     "t12_bm25": 1,  # one-row corpus stats
