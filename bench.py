@@ -175,6 +175,8 @@ HEADLINE = [
     "w7_ohlc_bars",          # OHLC candles (one exchange, arg-min/max open/close)
     "agg23_exact_median",    # exact per-group median (no global sort)
     "e14_cosine_range_ivf",  # IVF-bucketed range search (scale path)
+    "p32_group_sample",      # fixed-size uniform per-group sample
+    "st29_stream_ohlc_ingest",  # mergeable OHLC partials (stream==batch)
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

@@ -216,3 +216,57 @@ def ohlc_bars(
         F.min("__close").cast("double").alias("close"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
     )
+
+
+def ohlc_partials(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    rule: str = "hour",
+) -> DataFrame:
+    """Mergeable OHLC partial per (key, bucket) — the streaming-ingest
+    half of :func:`ohlc_bars` (the st18/st20 integer-summary class,
+    extended to arg-selections): open/close carry their FULL selection
+    key (ts, tiebreak, value) as a struct so partials merge by plain
+    struct min/max — associative, commutative, and therefore BIT-exact
+    under any batch chop (certified stream==batch in st29). One hash
+    aggregate, summary-sized output."""
+    bucket = F.date_trunc(rule, F.col(ts_col)).alias("bucket_ts")
+    sel = F.struct(
+        F.col(ts_col).alias("t"),
+        F.col(tiebreak_col).alias("tb"),
+        F.col(value_col).alias("v"),
+    )
+    return df.select(F.col(key_col), bucket, sel.alias("__s"), F.col(value_col).alias("__v")).groupBy(
+        key_col, "bucket_ts"
+    ).agg(
+        F.min("__s").alias("o_sel"),
+        F.max("__s").alias("c_sel"),
+        F.max("__v").cast("double").alias("high"),
+        F.min("__v").cast("double").alias("low"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+def ohlc_merge(partials: DataFrame, key_col: str = "event_type") -> DataFrame:
+    """Merge :func:`ohlc_partials` rows (any grouping of the data into
+    batches) into the final candles — same output contract as
+    :func:`ohlc_bars`."""
+    merged = partials.groupBy(key_col, "bucket_ts").agg(
+        F.min("o_sel").alias("o_sel"),
+        F.max("c_sel").alias("c_sel"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+    )
+    return merged.select(
+        key_col,
+        "bucket_ts",
+        F.col("o_sel.v").cast("double").alias("open"),
+        "high",
+        "low",
+        F.col("c_sel.v").cast("double").alias("close"),
+        "n_events",
+    )

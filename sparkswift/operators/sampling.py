@@ -791,3 +791,42 @@ def upsample_sql_case(
         for g, (full, thr) in plan.items()
     ]
     return "CASE " + " ".join(whens) + " ELSE 0 END"
+
+
+def group_sample(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """FIXED-SIZE uniform sample per group — k rows from every group,
+    deterministic: rank rows inside each group by (md5 bucket, id)
+    and keep rank <= k. The fixed-size complement of
+    :func:`deterministic_sample`'s fixed-RATE keep (eval slices,
+    per-domain inspection samples, stratified debugging sets) and of
+    ``cap_per_group``'s top-k-by-QUALITY cap (here the order is a
+    hash — uniform within the group, not preferential).
+
+    Stability caveat (vs the threshold samplers): a row's membership
+    depends on its RANK, so adding rows to a group can displace
+    previously-sampled rows — fixed-size semantics cannot be
+    insertion-stable (pick the rate-based sampler when stability
+    under growth matters; documented, not a bug).
+
+    One hash shuffle on the group key; the rank is a window over that
+    partitioning and k bounds each group's output — never a global
+    sort.
+    """
+    from pyspark.sql import Window as W
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    w = W.partitionBy(group_col).orderBy(
+        hash_bucket_hex(id_col, seed), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -848,6 +848,8 @@ _WINDOW = [
     "w7_ohlc_bars",
     "agg23_exact_median",
     "e14_gate",
+    "p32_group_sample",
+    "st29_stream_ohlc_ingest",
     # --- (2) changed-code refreshes (j12 zero-length filter; PNG
     # decoder + decode_image channel-awareness; token-shard writer
     # mask extension) ---
@@ -889,8 +891,6 @@ _WINDOW = [
     "d8_gate",
     "e2_gate",
     "e3_gate",
-    "e5_gate",
-    "e6_gate",
 ]
 
 

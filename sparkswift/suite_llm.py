@@ -1473,6 +1473,36 @@ def p11_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# p32 — fixed-SIZE uniform per-group sample (eval slices / per-domain
+# inspection sets): k rows per group by (md5, id) rank — the
+# fixed-size complement of p1's fixed-rate keep and p11's
+# top-k-by-QUALITY cap (the order here is a hash: uniform, not
+# preferential). One group-key shuffle, window rank, never a global
+# sort. The rank-displacement caveat (fixed size ⇒ not insertion-
+# stable) is documented on the operator.
+# ---------------------------------------------------------------------------
+@register(
+    "p32_group_sample",
+    """
+    SELECT doc_id, source
+    FROM (SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY substr(md5(concat_ws(':', '7',
+                                    CAST(doc_id AS VARCHAR))), 1, 8),
+                            doc_id) AS rk
+          FROM documents)
+    WHERE rk <= 8
+    """,
+)
+def p32_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sp.group_sample(docs, "source", 8, id_col="doc_id", seed=7).select(
+        "doc_id", "source"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cross-table fuzzy join (entity resolution): match documents against
 # a perturbed copy of themselves (one token appended, ids offset) by
 # 3-shingle Jaccard ≥ 0.6, best match per left row. Same inverted

@@ -1870,3 +1870,91 @@ def st28_stream_sft_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_convs.crossJoin(F.broadcast(bad)).select(
         "n_convs", (F.col("n_bad") == 0).alias("stream_matches_batch")
     )
+
+
+# ---------------------------------------------------------------------------
+# st29 — STREAMING OHLC ingest (w7's streaming twin, the st18/st20
+# mergeable-summary class extended to ARG-selections): per micro-
+# batch one ohlc_partials aggregate lands in a summary sink; open and
+# close carry their full (ts, tiebreak, value) selection struct, so
+# the read-time merge is plain struct min/max — associative and
+# commutative ⇒ stream == batch BIT-exactly under ANY chop (unlike
+# st21's HLL, where only an envelope holds). Verdict: full-outer
+# mismatch count against the batch w7 candles over every column.
+# ---------------------------------------------------------------------------
+@register(
+    "st29_stream_ohlc_ingest",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT (event_type, date_trunc('hour', ts)))
+             AS BIGINT) AS n_candles,
+           TRUE AS merged_equals_batch
+    FROM events
+    """,
+)
+def st29_stream_ohlc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sparkswift.operators.events import ohlc_bars, ohlc_merge, ohlc_partials
+    from sparkswift.streaming.ops import stream_to_parquet
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="ohlc_stream_")
+    src_dir, summ_dir = f"{base}/src", f"{base}/summ"
+    chopped = ev.withColumn("__chop", F.abs(F.xxhash64("event_id") % 3))
+    for i in range(3):  # three files -> three micro-batches
+        chopped.filter(F.col("__chop") == i).drop("__chop").repartition(
+            1
+        ).write.mode("append").parquet(src_dir)
+
+    schema = spark.read.parquet(src_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def ingest(batch_df, _epoch_id):
+        ohlc_partials(batch_df).write.mode("append").parquet(summ_dir)
+
+    stream_to_parquet(src, path=None, checkpoint=f"{base}/ck", merge_fn=ingest)
+
+    merged = ohlc_merge(spark.read.parquet(summ_dir))
+    batch = ohlc_bars(ev)
+    m = merged.select(
+        F.col("event_type").alias("k"),
+        F.col("bucket_ts").alias("b"),
+        *[F.col(c).alias(f"m_{c}") for c in ("open", "high", "low", "close", "n_events")],
+    )
+    mism = (
+        batch.join(
+            m,
+            (batch.event_type == m.k) & (batch.bucket_ts == m.b),
+            "full",
+        )
+        .filter(
+            F.col("event_type").isNull()
+            | F.col("k").isNull()
+            | (F.col("open") != F.col("m_open"))
+            | (F.col("high") != F.col("m_high"))
+            | (F.col("low") != F.col("m_low"))
+            | (F.col("close") != F.col("m_close"))
+            | (F.col("n_events") != F.col("m_n_events"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_mismatch"))
+    )
+    tot = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    n_candles = batch.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candles")
+    )
+    return (
+        tot.crossJoin(F.broadcast(n_candles))
+        .crossJoin(F.broadcast(mism))
+        .select(
+            "n_rows",
+            "n_candles",
+            (F.col("n_mismatch") == 0).alias("merged_equals_batch"),
+        )
+    )

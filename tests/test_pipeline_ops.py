@@ -1200,3 +1200,41 @@ def test_temperature_pow_agrees_with_duckdb_densely():
         ).fetchall()
         for n, w in rows:
             assert ours[n] == w, (n, alpha, ours[n], w)
+
+
+def test_group_sample_laws(spark, sf_dir):
+    """p32: exactly min(k, |group|) rows per group, a SUBSET of the
+    group, deterministic across reruns and repartitioning, different
+    seeds pick different subsets, k<=0 refuses."""
+    import pytest as _pytest
+
+    from sparkswift.operators import sampling as sp
+    from sparkswift.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    out = sp.group_sample(docs, "source", 8, seed=7)
+    got = {}
+    for r in out.select("source", "doc_id").collect():
+        got.setdefault(r.source, set()).add(r.doc_id)
+    for g, n in sizes.items():
+        assert len(got.get(g, set())) == min(8, n), g
+    again = {
+        (r.source, r.doc_id)
+        for r in sp.group_sample(docs.repartition(13), "source", 8, seed=7)
+        .select("source", "doc_id")
+        .collect()
+    }
+    assert again == {(g, d) for g, ds in got.items() for d in ds}
+    other = {
+        (r.source, r.doc_id)
+        for r in sp.group_sample(docs, "source", 8, seed=8)
+        .select("source", "doc_id")
+        .collect()
+    }
+    assert other != again  # a different seed samples differently
+    with _pytest.raises(ValueError, match="positive"):
+        sp.group_sample(docs, "source", 0)

@@ -870,3 +870,32 @@ def test_exact_median_rule(spark, sf_dir):
         vs.sort()
         n = len(vs)
         assert got[g] == (n, vs[(n + 1) // 2 - 1][0]), g
+
+
+def test_ohlc_partials_merge_bit_exact_under_any_chop(spark, sf_dir):
+    """st29's law directly: ohlc_merge(ohlc_partials per chop) ==
+    ohlc_bars BIT-exactly for several random chops of the fixture
+    (the arg-selection structs make the merge associative)."""
+    from sparkswift.operators.events import ohlc_bars, ohlc_merge, ohlc_partials
+    from sparkswift.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r.event_type, r.bucket_ts): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in ohlc_bars(ev).collect()
+    }
+    for n_chops, seed in ((2, 1), (5, 2)):
+        chop = F.abs(F.xxhash64(F.col("event_id") + seed) % n_chops)
+        parts = [
+            ohlc_partials(ev.filter(chop == i)) for i in range(n_chops)
+        ]
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionAll(p)
+        got = {
+            (r.event_type, r.bucket_ts): (
+                r.open, r.high, r.low, r.close, r.n_events
+            )
+            for r in ohlc_merge(merged).collect()
+        }
+        assert got == want, (n_chops, seed)
