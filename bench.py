@@ -177,6 +177,7 @@ HEADLINE = [
     "e14_cosine_range_ivf",  # IVF-bucketed range search (scale path)
     "p32_group_sample",      # fixed-size uniform per-group sample
     "st29_stream_ohlc_ingest",  # mergeable OHLC partials (stream==batch)
+    "t23_gate",              # zlib compression-ratio quality signal + laws
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

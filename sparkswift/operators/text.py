@@ -1904,3 +1904,53 @@ def bigram_logprob(
             / (F.col("n_bigrams").cast("double") * 1e6),
         )
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib COMPRESSION RATIO — the classic cheap
+    redundancy/quality signal (public: Gopher's repetition filters
+    and RefinedWeb/CCNet-era pipelines use "compresses too well" as a
+    boilerplate/spam flag, and "compresses too poorly" as a
+    gibberish/encrypted-blob flag): ratio = deflate(utf8(text)) bytes
+    / raw utf8 bytes. DETERMINISTIC: zlib with a pinned level is a
+    fully specified codec — same bytes on every run and platform
+    (unlike a model-based perplexity, there is no float anywhere).
+
+    Arrow-batched ``mapInPandas``, map-side only — the scan-stage
+    shape of every other t-family signal. Returns ``(id_col,
+    n_bytes, n_compressed, ratio)``; empty/NULL text reports ratio
+    NULL (nothing to measure — the caller's filter decides).
+    """
+    import zlib
+
+    def batches(it):
+        for pdf in it:
+            n_raw, n_comp, ratio = [], [], []
+            for t in pdf[text_col]:
+                b = (t or "").encode("utf-8")
+                if not b:
+                    n_raw.append(0)
+                    n_comp.append(0)
+                    ratio.append(None)
+                    continue
+                c = len(zlib.compress(b, level))
+                n_raw.append(len(b))
+                n_comp.append(c)
+                ratio.append(c / len(b))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": pd.Series(n_raw, dtype="int64"),
+                    "n_compressed": pd.Series(n_comp, dtype="int64"),
+                    "ratio": pd.Series(ratio, dtype="float64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        batches, f"{id_col} long, n_bytes long, n_compressed long, ratio double"
+    )

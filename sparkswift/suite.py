@@ -850,6 +850,7 @@ _WINDOW = [
     "e14_gate",
     "p32_group_sample",
     "st29_stream_ohlc_ingest",
+    "t23_gate",
     # --- (2) changed-code refreshes (j12 zero-length filter; PNG
     # decoder + decode_image channel-awareness; token-shard writer
     # mask extension) ---
@@ -890,7 +891,6 @@ _WINDOW = [
     "d6_gate",
     "d8_gate",
     "e2_gate",
-    "e3_gate",
 ]
 
 

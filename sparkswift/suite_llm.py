@@ -1289,6 +1289,84 @@ def t10_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# t23 — zlib COMPRESSION-RATIO quality signal (public: the Gopher /
+# RefinedWeb-era "compresses too well = boilerplate, too poorly =
+# gibberish" filter). Not SQL-expressible (no zlib in DuckDB), so the
+# gate states laws: per-doc identity (ratio == n_compressed/n_bytes),
+# the deflate worst-case bound (n_compressed <= n_bytes + n_bytes/
+# 1000 + 12 — the published zlib envelope), and DISCRIMINATION on
+# planted docs (a repetitive doc compresses < 0.1, a digest-chain doc
+# > 0.4, and repetitive < digest — so the signal orders content, not
+# just runs). zlib at a pinned level is a fully specified codec:
+# byte-deterministic on every platform, no float anywhere.
+# ---------------------------------------------------------------------------
+@register(
+    "t23_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS identity_ok, TRUE AS bounds_ok,
+           TRUE AS discriminates_ok
+    FROM documents
+    """,
+)
+def t23_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cr = tx.compression_ratio(docs)
+    bad = cr.filter(F.col("n_bytes") > 0).filter(
+        (F.col("ratio") != F.col("n_compressed") / F.col("n_bytes"))
+        | (F.col("n_compressed") <= 0)
+        | (
+            F.col("n_compressed")
+            > F.col("n_bytes") + F.col("n_bytes") / 1000 + 12
+        )
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("ratio") != F.col("n_compressed") / F.col("n_bytes"),
+                1,
+            ).otherwise(0)
+        ).alias("n_bad_identity"),
+        F.count(F.lit(1)).alias("n_bad_any"),
+    )
+    planted = spark.createDataFrame(
+        [
+            (9_300_000, "spam " * 500),
+            (
+                9_300_001,
+                " ".join(
+                    __import__("hashlib").sha256(str(i).encode()).hexdigest()
+                    for i in range(40)
+                ),
+            ),
+        ],
+        "doc_id long, text string",
+    )
+    p = tx.compression_ratio(planted)
+    disc = p.agg(
+        F.min(F.when(F.col("doc_id") == 9_300_000, F.col("ratio"))).alias(
+            "rep"
+        ),
+        F.min(F.when(F.col("doc_id") == 9_300_001, F.col("ratio"))).alias(
+            "rnd"
+        ),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    v = n_docs.crossJoin(F.broadcast(bad)).crossJoin(F.broadcast(disc))
+    return v.select(
+        "n_docs",
+        (F.coalesce(F.col("n_bad_identity"), F.lit(0)) == 0).alias(
+            "identity_ok"
+        ),
+        (F.coalesce(F.col("n_bad_any"), F.lit(0)) == 0).alias("bounds_ok"),
+        (
+            (F.col("rep") < 0.1)
+            & (F.col("rnd") > 0.4)
+            & (F.col("rep") < F.col("rnd"))
+        ).alias("discriminates_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Mixture sampling — sample the corpus DOWN to a target language mix
 # (5:2:2:1 en:de:fr:es here), bounded by availability, deterministic.
 # The oracle recomputes the exact integer thresholds in DuckDB

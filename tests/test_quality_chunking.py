@@ -679,3 +679,31 @@ def test_dsir_hash_buckets_deterministic_and_bounded(spark, sf_dir):
         .iloc[0, 1]
     )
     assert rho > 0.9, rho
+
+
+def test_compression_ratio_matches_zlib_reference(spark, sf_dir):
+    """t23: the distributed ratio equals a direct zlib reference per
+    doc (byte-deterministic codec), empty text reports NULL ratio."""
+    import zlib
+
+    from sparkswift.operators import text as tx
+    from sparkswift.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(80)
+    got = {
+        r.doc_id: (r.n_bytes, r.n_compressed, r.ratio)
+        for r in tx.compression_ratio(docs).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        b = (r.text or "").encode("utf-8")
+        c = len(zlib.compress(b, 6))
+        assert got[r.doc_id] == (len(b), c, c / len(b)), r.doc_id
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    empty = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "spam " * 100)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.ratio for r in tx.compression_ratio(empty).collect()}
+    assert out[1] is None and out[2] is None
+    assert out[3] < 0.1  # repetition compresses hard

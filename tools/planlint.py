@@ -76,6 +76,7 @@ BNLJ_ALLOWED: dict[str, int] = {
     "t18_bpe_decode_gate": 2,  # one-row verdict fan-in (docs x bad x planted)
     "t21_gate": 4,  # one-row verdict fan-in (rt/ids/re/planted)
     "t22_gate": 4,  # one-row verdict fan-in (rt/ids/re/planted)
+    "t23_gate": 2,  # one-row verdict fan-in (bounds x planted-discrimination)
     "p23_gate": 5,  # one-row verdict fan-in (docs/uniq/manifest/enc/readback)
     "p24_gate": 4,  # one-row verdict fan-in (docs/full/totals/enc/dense)
     "p25_gate": 3,  # one-row verdict fan-in (sel/manifest/enc/readback)
