@@ -178,6 +178,8 @@ HEADLINE = [
     "p32_group_sample",      # fixed-size uniform per-group sample
     "st29_stream_ohlc_ingest",  # mergeable OHLC partials (stream==batch)
     "t23_gate",              # zlib compression-ratio quality signal + laws
+    "agg24_group_mode",      # exact per-group mode (two hash aggs)
+    "mm14_netpbm_decode_real",  # P5/P4 netpbm decode (bit unpack, polarity)
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

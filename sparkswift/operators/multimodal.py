@@ -113,6 +113,55 @@ def _parse_ppm(b: bytes) -> np.ndarray:
     return np.frombuffer(b, np.uint8, count=w * h * 3, offset=i).reshape(h, w, 3)
 
 
+def _netpbm_header(b: bytes, n_vals: int) -> tuple[list[int], int]:
+    """Shared Netpbm ASCII header grammar (tokens, # comments, one
+    whitespace byte before the raster) — the _parse_ppm walk,
+    factored for P5/P4."""
+    i, vals = 2, []
+    while len(vals) < n_vals:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        vals.append(int(b[i:j]))
+        i = j
+    return vals, i + 1
+
+
+def _parse_pgm(b: bytes) -> np.ndarray:
+    """Decode a binary PGM (P5, maxval 255) to (h, w, 3) uint8 —
+    grayscale replicated across channels (the mm family's RGB
+    contract)."""
+    if b[:2] != b"P5":
+        raise ValueError("not a P5 PGM payload")
+    (w, h, maxval), i = _netpbm_header(b, 3)
+    if maxval != 255:
+        raise ValueError(f"PGM maxval {maxval} unsupported (need 255)")
+    g = np.frombuffer(b, np.uint8, count=w * h, offset=i).reshape(h, w)
+    return np.repeat(g[:, :, None], 3, axis=2)
+
+
+def _parse_pbm(b: bytes) -> np.ndarray:
+    """Decode a binary PBM (P4) to (h, w, 3) uint8: rows pack 8 pixels
+    per byte, MSB first, rows padded to whole bytes; 1 = BLACK per the
+    spec, rendered 0, and 0 = white, rendered 255."""
+    if b[:2] != b"P4":
+        raise ValueError("not a P4 PBM payload")
+    (w, h), i = _netpbm_header(b, 2)
+    stride = -(-w // 8)
+    rows = np.frombuffer(b, np.uint8, count=h * stride, offset=i).reshape(
+        h, stride
+    )
+    bits = np.unpackbits(rows, axis=1)[:, :w]  # MSB-first per spec
+    g = np.where(bits == 1, 0, 255).astype(np.uint8)
+    return np.repeat(g[:, :, None], 3, axis=2)
+
+
 def _parse_bmp(b: bytes) -> np.ndarray:
     """Decode an uncompressed 24-bit BMP (BI_RGB) to (h, w, 3) uint8
     RGB. Handles the 4-byte row padding and bottom-up row order."""
@@ -1769,6 +1818,10 @@ def _jplanes_to_rgb(planes, comps, h, w, hmax, vmax) -> np.ndarray:
 def _decode_image_bytes(b: bytes) -> np.ndarray:
     if b[:2] == b"P6":
         return _parse_ppm(b)
+    if b[:2] == b"P5":
+        return _parse_pgm(b)
+    if b[:2] == b"P4":
+        return _parse_pbm(b)
     if b[:2] == b"BM":
         return _parse_bmp(b)
     if b[: len(_PNG_SIG)] == _PNG_SIG:
@@ -2901,6 +2954,51 @@ def decode_video_frames(
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         batches, VIDEO_FRAME_SCHEMA
+    )
+
+
+def synth_netpbm_payload(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize a VALID binary PGM (P5, even ids) or PBM (P4, odd
+    ids) per row whose decode is exact id arithmetic: PGM gray
+    g(x,y) = (3i + 5x + 11y) % 256; PBM bit(x,y) = (x + y + i) % 2
+    (checkerboard whose phase flips with the id), 1 = black per spec.
+    Widths 5..12 keep PBM's row byte-padding load-bearing; a comment
+    line in every header keeps the grammar walk honest."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            w, h = 5 + i % 8, 4 + i % 5
+            xx, yy = np.meshgrid(
+                np.arange(w, dtype=np.int64), np.arange(h, dtype=np.int64)
+            )
+            if i % 2 == 0:
+                g = ((3 * i + 5 * xx + 11 * yy) % 256).astype(np.uint8)
+                return (
+                    b"P5\n# synth\n%d %d\n255\n" % (w, h) + g.tobytes()
+                )
+            bits = ((xx + yy + i) % 2).astype(np.uint8)
+            stride = -(-w // 8)
+            padded = np.zeros((h, stride * 8), np.uint8)
+            padded[:, :w] = bits
+            packed = np.packbits(padded, axis=1)
+            return b"P4\n# synth\n%d %d\n" % (w, h) + packed.tobytes()
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("image/x-portable-anymap").alias("mime"),
+            (5 + F.col(id_col) % 8).cast("int").alias("width"),
+            (4 + F.col(id_col) % 5).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ),
     )
 
 

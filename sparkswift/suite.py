@@ -851,6 +851,8 @@ _WINDOW = [
     "p32_group_sample",
     "st29_stream_ohlc_ingest",
     "t23_gate",
+    "agg24_group_mode",
+    "mm14_netpbm_decode_real",
     # --- (2) changed-code refreshes (j12 zero-length filter; PNG
     # decoder + decode_image channel-awareness; token-shard writer
     # mask extension) ---
@@ -889,8 +891,6 @@ _WINDOW = [
     "d3_gate",
     "d4_gate",
     "d6_gate",
-    "d8_gate",
-    "e2_gate",
 ]
 
 

@@ -3505,6 +3505,52 @@ def mm8_avi_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mm14 — Netpbm FAMILY COMPLETION (P5 binary grayscale + P4 binary
+# bitmap next to mm4's P6): the shared ASCII header grammar walk
+# (tokens, # comments, single raster separator), P4's MSB-first
+# 8-pixels-per-byte packing with row byte-padding (widths 5..12 make
+# the partial trailing byte load-bearing) and the spec's 1 = BLACK
+# polarity. Lossless ⇒ channel means are exact id arithmetic.
+# ---------------------------------------------------------------------------
+@register(
+    "mm14_netpbm_decode_real",
+    """
+    WITH xs AS (SELECT unnest([0,1,2,3,4,5,6,7,8,9,10,11]) AS x),
+         ys AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS y),
+         p AS (SELECT doc_id,
+                      CAST(5 + doc_id % 8 AS INT) AS w,
+                      CAST(4 + doc_id % 5 AS INT) AS h
+               FROM documents),
+         px AS (
+           SELECT doc_id, w, h,
+                  CASE WHEN doc_id % 2 = 0
+                       THEN (3 * doc_id + 5 * x + 11 * y) % 256
+                       WHEN (x + y + doc_id) % 2 = 1 THEN 0
+                       ELSE 255 END AS g
+           FROM p JOIN xs ON x < w JOIN ys ON y < h
+         )
+    SELECT doc_id AS id, w AS width, h AS height,
+           AVG(CAST(g AS DOUBLE)) AS mean_gray
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def mm14_netpbm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    wp = mm.synth_netpbm_payload(docs, "doc_id")
+    out = mm.decode_image(wp, "doc_id", "payload", fake=False, feat_dim=5)
+    return out.select(
+        "id",
+        F.col("feat")[0].cast("int").alias("width"),
+        F.col("feat")[1].cast("int").alias("height"),
+        F.col("feat")[2].alias("mean_gray"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # mm13 — REAL GIF decode (a WHOLE new codec family, written from the
 # public GIF89a spec with zero deps): variable-width LZW (dictionary
 # growth across the 32/64-slot width boundaries runs corpus-wide —

@@ -1570,6 +1570,51 @@ def agg23_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# agg24 — exact per-group MODE (most frequent value, deterministic
+# smallest-value tie-break): two hash aggregates — (group, value)
+# counts, then argmax as max(struct(count, -value))… spelled as a
+# rank to keep the tie rule identical and explicit in both engines.
+# The categorical companion of agg23's median; never a global sort.
+# ---------------------------------------------------------------------------
+@register(
+    "agg24_group_mode",
+    """
+    WITH c AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, user_id
+    ),
+    r AS (
+      SELECT event_type, user_id, cnt,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, user_id) AS rk
+      FROM c
+    )
+    SELECT event_type, user_id AS mode_user, cnt AS mode_count
+    FROM r WHERE rk = 1
+    """,
+)
+def agg24_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = W.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("user_id")
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("user_id").alias("mode_user"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+
+
 @register(
     "w4_distribution_windows",
     """

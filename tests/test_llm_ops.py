@@ -3075,3 +3075,39 @@ def test_ivf_range_search_subset_and_recall(spark, sf_dir):
     for k in approx:
         assert approx[k] == exact[k]  # emitted cosines are EXACT
     assert len(approx) >= 0.7 * len(exact)
+
+
+def test_netpbm_p5_p4_decode():
+    """mm14: P5 grayscale replicates across channels; P4 unpacks
+    MSB-first with row padding and the spec's 1=black polarity;
+    comments in headers parse; non-255 maxval refuses."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import (
+        _decode_image_bytes,
+        _parse_pbm,
+        _parse_pgm,
+    )
+
+    rng = np.random.RandomState(3)
+    for w, h in ((1, 1), (5, 4), (8, 3), (12, 7), (9, 2)):
+        g = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        p5 = b"P5\n# c\n%d %d\n255\n" % (w, h) + g.tobytes()
+        out = _parse_pgm(p5)
+        assert np.array_equal(out, np.repeat(g[:, :, None], 3, axis=2))
+        assert np.array_equal(_decode_image_bytes(p5), out)
+
+        bits = rng.randint(0, 2, (h, w)).astype(np.uint8)
+        stride = -(-w // 8)
+        padded = np.zeros((h, stride * 8), np.uint8)
+        padded[:, :w] = bits
+        p4 = b"P4\n%d %d\n" % (w, h) + np.packbits(padded, axis=1).tobytes()
+        out = _parse_pbm(p4)
+        want = np.repeat(
+            np.where(bits == 1, 0, 255).astype(np.uint8)[:, :, None], 3, axis=2
+        )
+        assert np.array_equal(out, want), (w, h)
+
+    with _pytest.raises(ValueError, match="maxval"):
+        _parse_pgm(b"P5\n2 2\n65535\n" + b"\x00" * 8)

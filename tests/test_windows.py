@@ -899,3 +899,24 @@ def test_ohlc_partials_merge_bit_exact_under_any_chop(spark, sf_dir):
             for r in ohlc_merge(merged).collect()
         }
         assert got == want, (n_chops, seed)
+
+
+def test_group_mode_matches_pure_python(spark, sf_dir):
+    """agg24: per-group mode == pure-python counter argmax with the
+    smallest-value tie rule."""
+    from collections import Counter
+
+    from sparkswift.sources import load_table
+    from sparkswift.suite_relational import agg24_group_mode
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        r.event_type: (r.mode_user, r.mode_count)
+        for r in agg24_group_mode(spark, sf_dir).collect()
+    }
+    groups = {}
+    for r in ev.select("event_type", "user_id").collect():
+        groups.setdefault(r.event_type, Counter())[r.user_id] += 1
+    for g, cnt in groups.items():
+        best = min(cnt, key=lambda u: (-cnt[u], u))
+        assert got[g] == (best, cnt[best]), g
