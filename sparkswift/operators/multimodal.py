@@ -23,10 +23,10 @@ zero dependencies, and ``extract_audio_features`` decodes REAL WAV
 via the stdlib ``wave`` module — all on the ``fake=False`` path.
 ``fake=True`` keeps the deterministic pseudo-decode (features derived
 from payload digests) for plumbing tests and for payloads in formats
-this container cannot decode (the PNG family is now fully real
-except grayscale color types 0/4 and the truecolor tRNS color-key;
-JPEG baseline grayscale/4:4:4/subsampled 4:2:0/4:2:2 AND progressive
-all decode for real). Video: ``decode_video_frames`` and ``sample_frames``
+this container cannot decode (the PNG family is now ENTIRELY real —
+truecolor/palette/grayscale, 1..16 bit, Adam7, palette tRNS — except
+the tRNS color-key; JPEG baseline grayscale/4:4:4/subsampled
+4:2:0/4:2:2 AND progressive all decode for real). Video: ``decode_video_frames`` and ``sample_frames``
 (``fake=False``) REALLY extract frames from uncompressed RIFF/AVI
 payloads (full RIFF grammar walk + headerless DIB rows) AND from
 multi-frame GIF animations; compressed
@@ -261,8 +261,13 @@ def _parse_png(b: bytes) -> np.ndarray:
     §9.2) with optional tRNS alpha (RGBA output, entries past the
     table default to 255 per spec §11.3.2), and BOTH interlace
     methods (0 = none, 1 = Adam7: seven independently-filtered
-    sub-images scattered on the §8.2 grid). Still honestly gated:
-    grayscale color types 0/4 and the truecolor tRNS color-key."""
+    sub-images scattered on the §8.2 grid), AND the grayscale color
+    types — 0 at depths 1/2/4/8/16 (sub-byte samples scale to 0..255
+    by the exact integer factor 255/(2^d−1), spec §7.1; output
+    replicated to 3 channels per the mm RGB contract) and 4
+    (gray+alpha at 8/16 -> RGBA with replicated gray). The ONLY
+    remaining honest gate is the tRNS color-key on non-palette
+    images."""
     if b[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, idat, dims, plte, trns = len(_PNG_SIG), [], None, None, None
@@ -275,14 +280,16 @@ def _parse_png(b: bytes) -> np.ndarray:
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if color not in (2, 3, 6) or interlace not in (0, 1):
+            if color not in (0, 2, 3, 4, 6) or interlace not in (0, 1):
                 raise ValueError(
                     f"PNG color={color} interlace={interlace} unsupported"
                 )
-            if color in (2, 6) and depth not in (8, 16):
+            if color in (2, 4, 6) and depth not in (8, 16):
                 raise ValueError(
-                    f"PNG depth={depth} unsupported for truecolor (8/16)"
+                    f"PNG depth={depth} unsupported for color={color} (8/16)"
                 )
+            if color == 0 and depth not in (1, 2, 4, 8, 16):
+                raise ValueError(f"PNG grayscale depth={depth} invalid")
             if color == 3 and depth not in (1, 2, 4, 8):
                 raise ValueError(f"PNG palette depth={depth} invalid")
             dims = (w, h, color, depth, interlace)
@@ -306,13 +313,17 @@ def _parse_png(b: bytes) -> np.ndarray:
     w, h, color, depth, interlace = dims
     raw = zlib.decompress(b"".join(idat))
 
-    if color in (2, 6):
-        ch = 3 if color == 2 else 4
-        out = np.zeros((h, w, ch), np.uint16 if depth == 16 else np.uint8)
-    else:
-        if plte is None:
+    # two raster layouts: PACKED sub-byte single values (palette
+    # indices, or grayscale samples below depth 8) vs full SAMPLE
+    # rows (ch samples of depth/8 bytes each)
+    packed_path = color == 3 or (color == 0 and depth < 8)
+    if packed_path:
+        if color == 3 and plte is None:
             raise ValueError("palette PNG missing PLTE")
         out_idx = np.zeros((h, w), np.uint8)
+    else:
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+        out = np.zeros((h, w, ch), np.uint16 if depth == 16 else np.uint8)
 
     passes = ((0, 0, 1, 1),) if interlace == 0 else _ADAM7
     pos = 0
@@ -321,26 +332,36 @@ def _parse_png(b: bytes) -> np.ndarray:
         ph = (h - y0 + dy - 1) // dy if h > y0 else 0
         if pw == 0 or ph == 0:
             continue
-        if color in (2, 6):
+        if packed_path:
+            stride, bpp = -(-pw * depth // 8), 1  # filter unit = 1 byte
+        else:
             s = depth // 8
             stride, bpp = pw * ch * s, ch * s
-        else:
-            stride, bpp = -(-pw * depth // 8), 1  # filter unit = 1 byte
         need = ph * (1 + stride)
         rows = _png_unfilter(raw[pos : pos + need], ph, stride, bpp)
         pos += need
-        if color in (2, 6):
+        if packed_path:
+            out_idx[y0::dy, x0::dx] = _png_unpack_indices(rows, pw, depth)
+        else:
             if depth == 16:
                 r16 = rows.reshape(ph, pw, ch, 2).astype(np.uint16)
                 px = (r16[..., 0] << np.uint16(8)) | r16[..., 1]
             else:
                 px = rows.reshape(ph, pw, ch)
             out[y0::dy, x0::dx] = px
-        else:
-            out_idx[y0::dy, x0::dx] = _png_unpack_indices(rows, pw, depth)
     if pos != len(raw):
         raise ValueError("PNG IDAT scanline length mismatch")
 
+    if color == 0 and depth < 8:
+        # spec §7.1: sub-byte gray scales by replication — exactly
+        # the integer factor 255/(2^d - 1) (255, 85, 17 for d=1/2/4)
+        g = (out_idx * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    if color == 0:
+        return np.repeat(out, 3, axis=2)
+    if color == 4:
+        g, a = out[:, :, :1], out[:, :, 1:]
+        return np.concatenate([g, g, g, a], axis=2)
     if color in (2, 6):
         return out
     if int(out_idx.max(initial=0)) >= len(plte):
@@ -403,6 +424,28 @@ def _png_filter_scanlines(
     return lines
 
 
+def _png_pack_bits(sub: np.ndarray, depth: int) -> np.ndarray:
+    """Pack (h, w) sub-byte values (< 2^depth) big-endian into
+    scanline bytes (leftmost pixel in the high bits) — the writer
+    inverse of :func:`_png_unpack_indices`."""
+    ph, pw = sub.shape
+    stride = -(-pw * depth // 8)
+    if depth == 8:
+        packed = sub.astype(np.uint8)
+        if packed.shape[1] != stride:
+            packed = np.pad(packed, ((0, 0), (0, stride - pw)))
+        return packed
+    per = 8 // depth
+    padded = np.zeros((ph, stride * per), np.uint8)
+    padded[:, :pw] = sub
+    shifts = np.arange(per - 1, -1, -1, dtype=np.uint8) * depth
+    return (
+        (padded.reshape(ph, stride, per) << shifts[None, None, :])
+        .sum(axis=2)
+        .astype(np.uint8)
+    )
+
+
 def _adam7_passes(h: int, w: int):
     """Non-empty Adam7 passes as (x0, y0, dx, dy, pw, ph)."""
     out = []
@@ -414,15 +457,56 @@ def _adam7_passes(h: int, w: int):
     return out
 
 
-def encode_png(px: np.ndarray, filter_of=None, interlace: int = 0) -> bytes:
-    """Minimal truecolor PNG writer: RGB/RGBA, bit depth 8 (uint8
+def encode_png(
+    px: np.ndarray,
+    filter_of=None,
+    interlace: int = 0,
+    gray_depth: int | None = None,
+) -> bytes:
+    """Minimal PNG writer for every sample layout the decoder reads:
+    channel count picks the color type (1 -> grayscale 0, 2 ->
+    gray+alpha 4, 3 -> RGB 2, 4 -> RGBA 6), bit depth 8 (uint8
     input) or 16 (uint16 input, big-endian samples), interlace 0 or 1
-    (Adam7). The synth-payload + round-trip-test counterpart of
-    :func:`_parse_png`; ``filter_of(y) -> 0..4`` chooses each
-    scanline's filter (numbered globally across Adam7 passes) so
-    tests exercise every reconstruction path."""
+    (Adam7). ``gray_depth`` (1/2/4) writes a SUB-BYTE grayscale image
+    from raw d-bit samples in a (h, w, 1) uint8 array (values
+    < 2^d, packed big-endian — the decoder scales them by
+    255/(2^d−1) per spec §7.1). The synth-payload + round-trip-test
+    counterpart of :func:`_parse_png`; ``filter_of(y) -> 0..4``
+    chooses each scanline's filter (numbered globally across Adam7
+    passes) so tests exercise every reconstruction path."""
     h, w, ch = px.shape
-    color = 2 if ch == 3 else 6
+    if gray_depth is not None:
+        if ch != 1 or gray_depth not in (1, 2, 4):
+            raise ValueError("gray_depth needs (h, w, 1) uint8, depth 1/2/4")
+        if int(px.max(initial=0)) >= (1 << gray_depth):
+            raise ValueError("gray samples exceed gray_depth")
+        color, depth = 0, gray_depth
+        lines: list[bytes] = []
+        y_base = 0
+        sub2 = px[:, :, 0]
+        if interlace == 0:
+            lines = _png_filter_scanlines(
+                _png_pack_bits(sub2, depth), 1, filter_of, 0
+            )
+        else:
+            for x0, y0, dx, dy, pw, ph in _adam7_passes(h, w):
+                lines.extend(
+                    _png_filter_scanlines(
+                        _png_pack_bits(sub2[y0::dy, x0::dx], depth),
+                        1,
+                        filter_of,
+                        y_base,
+                    )
+                )
+                y_base += ph
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+            + _png_chunk(b"IEND", b"")
+        )
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
     depth = 16 if px.dtype == np.uint16 else 8
     s = depth // 8
 
@@ -487,33 +571,20 @@ def encode_png_palette(
         if len(trns) > len(palette):
             raise ValueError("tRNS longer than palette")
 
-    def pack(sub: np.ndarray) -> np.ndarray:
-        ph, pw = sub.shape
-        stride = -(-pw * depth // 8)
-        if depth == 8:
-            packed = sub.astype(np.uint8)
-            if packed.shape[1] != stride:
-                packed = np.pad(packed, ((0, 0), (0, stride - pw)))
-            return packed
-        per = 8 // depth
-        padded = np.zeros((ph, stride * per), np.uint8)
-        padded[:, :pw] = sub
-        shifts = np.arange(per - 1, -1, -1, dtype=np.uint8) * depth
-        return (
-            (padded.reshape(ph, stride, per) << shifts[None, None, :])
-            .sum(axis=2)
-            .astype(np.uint8)
-        )
-
     lines: list[bytes] = []
     if interlace == 0:
-        lines = _png_filter_scanlines(pack(idx), 1, filter_of, 0)
+        lines = _png_filter_scanlines(
+            _png_pack_bits(idx, depth), 1, filter_of, 0
+        )
     else:
         y_base = 0
         for x0, y0, dx, dy, pw, ph in _adam7_passes(h, w):
             lines.extend(
                 _png_filter_scanlines(
-                    pack(idx[y0::dy, x0::dx]), 1, filter_of, y_base
+                    _png_pack_bits(idx[y0::dy, x0::dx], depth),
+                    1,
+                    filter_of,
+                    y_base,
                 )
             )
             y_base += ph
@@ -3050,5 +3121,56 @@ def synth_gif_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             (4 + F.col(id_col) % 5).cast("int").alias("height"),
             F.lit(None).cast("int").alias("sample_rate"),
             (1 + F.col(id_col) % 3).cast("int").alias("n_frames"),
+        ),
+    )
+
+
+def synth_png_gray_payload(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize a VALID grayscale-family PNG per row (the mm15
+    corners, all lossless id arithmetic): id mod 4 ->
+    0: gray 8-bit plain — g(x,y) = (3i+5x+11y)%256;
+    1: gray 16-BIT, Adam7 — g(x,y) = (251i+257x+263y)%65536;
+    2: SUB-BYTE gray (depth 4) — raw (x+2y+i)%16, decoder scales ×17;
+    3: GRAY+ALPHA 8-bit — g as mode 0, alpha (23i+31(x+y))%256.
+    Widths 5..12 × heights 4..8; filters rotate all five globally."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            w, h = 5 + i % 8, 4 + i % 5
+            mode = i % 4
+            fo = lambda y: (i + y) % 5  # noqa: E731
+            xx, yy = np.meshgrid(
+                np.arange(w, dtype=np.int64), np.arange(h, dtype=np.int64)
+            )
+            if mode == 0:
+                g = ((3 * i + 5 * xx + 11 * yy) % 256).astype(np.uint8)
+                return encode_png(g[:, :, None], fo)
+            if mode == 1:
+                g = ((251 * i + 257 * xx + 263 * yy) % 65536).astype(
+                    np.uint16
+                )
+                return encode_png(g[:, :, None], fo, interlace=1)
+            if mode == 2:
+                raw = ((xx + 2 * yy + i) % 16).astype(np.uint8)
+                return encode_png(raw[:, :, None], fo, gray_depth=4)
+            g = ((3 * i + 5 * xx + 11 * yy) % 256).astype(np.uint8)
+            a = ((23 * i + 31 * (xx + yy)) % 256).astype(np.uint8)
+            return encode_png(np.stack([g, a], axis=2), fo)
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("image/png").alias("mime"),
+            (5 + F.col(id_col) % 8).cast("int").alias("width"),
+            (4 + F.col(id_col) % 5).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
         ),
     )

@@ -3551,6 +3551,63 @@ def mm14_netpbm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mm15 — GRAYSCALE PNG (color types 0 and 4, closing the penultimate
+# PNG gate — after this only the tRNS color-key stays gated): 8-bit
+# gray, 16-BIT gray under Adam7, SUB-BYTE gray (depth 4, scaled by
+# the exact integer 255/(2^d−1) per spec §7.1 — ×17), and gray+alpha
+# (RGBA output with replicated gray). Lossless ⇒ channel means are
+# exact id arithmetic; mean_a distinguishes mode 3's real alpha from
+# the 0.0 padding of the 3-channel modes.
+# ---------------------------------------------------------------------------
+@register(
+    "mm15_png_gray_decode_real",
+    """
+    WITH xs AS (SELECT unnest([0,1,2,3,4,5,6,7,8,9,10,11]) AS x),
+         ys AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS y),
+         p AS (SELECT doc_id,
+                      CAST(5 + doc_id % 8 AS INT) AS w,
+                      CAST(4 + doc_id % 5 AS INT) AS h,
+                      doc_id % 4 AS mode
+               FROM documents),
+         px AS (
+           SELECT doc_id, w, h, mode,
+                  CASE WHEN mode = 1
+                       THEN (251 * doc_id + 257 * x + 263 * y) % 65536
+                       WHEN mode = 2
+                       THEN 17 * ((x + 2 * y + doc_id) % 16)
+                       ELSE (3 * doc_id + 5 * x + 11 * y) % 256 END AS g,
+                  CASE WHEN mode = 3
+                       THEN (23 * doc_id + 31 * (x + y)) % 256
+                       ELSE NULL END AS a
+           FROM p JOIN xs ON x < w JOIN ys ON y < h
+         )
+    SELECT doc_id AS id, w AS width, h AS height,
+           AVG(CAST(g AS DOUBLE)) AS mean_gray,
+           AVG(COALESCE(CAST(a AS DOUBLE),
+                        CASE WHEN mode = 3 THEN NULL ELSE 0.0 END))
+             AS mean_a
+    FROM px
+    GROUP BY doc_id, w, h
+    """,
+)
+def mm15_png_gray_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    wp = mm.synth_png_gray_payload(docs, "doc_id")
+    out = mm.decode_image(wp, "doc_id", "payload", fake=False, feat_dim=6)
+    return out.select(
+        "id",
+        F.col("feat")[0].cast("int").alias("width"),
+        F.col("feat")[1].cast("int").alias("height"),
+        F.col("feat")[2].alias("mean_gray"),
+        F.col("feat")[5].alias("mean_a"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # mm13 — REAL GIF decode (a WHOLE new codec family, written from the
 # public GIF89a spec with zero deps): variable-width LZW (dictionary
 # growth across the 32/64-slot width boundaries runs corpus-wide —

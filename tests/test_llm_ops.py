@@ -2708,8 +2708,8 @@ def test_png_adam7_16bit_trns_roundtrip_sweep():
     both interlace modes — every pass-emptiness case (1×1 hits a
     single pass; 9×9+ hits all seven), partial trailing bytes, and
     filter rotation across pass boundaries. Remaining gates refuse
-    LOUDLY: grayscale color types, truecolor tRNS color-key,
-    truecolor depths other than 8/16."""
+    LOUDLY: the tRNS color-key and sub-byte truecolor depths
+    (grayscale 0/4 decode for REAL as of mm15 — asserted here)."""
     import struct
     import zlib as _zlib
 
@@ -2776,10 +2776,14 @@ def test_png_adam7_16bit_trns_roundtrip_sweep():
             + _png_chunk(b"IEND", b"")
         )
 
-    with _pytest.raises(ValueError, match="color=0"):
-        _parse_png(ihdr_png(2, 2, 8, 0, 0))  # grayscale
-    with _pytest.raises(ValueError, match="color=4"):
-        _parse_png(ihdr_png(2, 2, 8, 4, 0))  # gray+alpha
+    # grayscale color types are REAL now (mm15): round-trip instead
+    g = rng.randint(0, 256, (3, 4, 1)).astype(np.uint8)
+    assert np.array_equal(
+        _parse_png(encode_png(g)), np.repeat(g, 3, axis=2)
+    )
+    ga = rng.randint(0, 256, (3, 4, 2)).astype(np.uint8)
+    got = _parse_png(encode_png(ga))
+    assert np.array_equal(got[:, :, 3], ga[:, :, 1])
     with _pytest.raises(ValueError, match="depth=4 unsupported"):
         _parse_png(ihdr_png(2, 2, 4, 2, 0))  # sub-byte truecolor
     # truecolor tRNS color-key: splice tRNS into an RGB file
@@ -3111,3 +3115,47 @@ def test_netpbm_p5_p4_decode():
 
     with _pytest.raises(ValueError, match="maxval"):
         _parse_pgm(b"P5\n2 2\n65535\n" + b"\x00" * 8)
+
+
+def test_png_grayscale_family_roundtrips():
+    """mm15: gray 8/16-bit (plain + Adam7), gray+alpha 8/16, and
+    SUB-BYTE gray 1/2/4 (decoder scales by the exact integer
+    255/(2^d-1) per spec 7.1) all round-trip across sizes x filter
+    rotations; oversized raw samples refuse."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import _parse_png, encode_png
+
+    rng = np.random.RandomState(5)
+    for w, h in ((1, 1), (5, 4), (9, 7), (12, 3)):
+        for fm in range(5):
+            fo = lambda y, m=fm: (m + y) % 5  # noqa: E731
+            for il in (0, 1):
+                g8 = rng.randint(0, 256, (h, w, 1)).astype(np.uint8)
+                assert np.array_equal(
+                    _parse_png(encode_png(g8, fo, interlace=il)),
+                    np.repeat(g8, 3, axis=2),
+                )
+                g16 = rng.randint(0, 65536, (h, w, 1)).astype(np.uint16)
+                out = _parse_png(encode_png(g16, fo, interlace=il))
+                assert out.dtype == np.uint16
+                assert np.array_equal(out, np.repeat(g16, 3, axis=2))
+                ga = rng.randint(0, 65536, (h, w, 2)).astype(np.uint16)
+                out = _parse_png(encode_png(ga, fo, interlace=il))
+                want = np.concatenate(
+                    [ga[:, :, :1]] * 3 + [ga[:, :, 1:]], axis=2
+                )
+                assert np.array_equal(out, want)
+                for d in (1, 2, 4):
+                    raw = rng.randint(0, 1 << d, (h, w, 1)).astype(np.uint8)
+                    out = _parse_png(
+                        encode_png(raw, fo, interlace=il, gray_depth=d)
+                    )
+                    scale = 255 // ((1 << d) - 1)
+                    want = np.repeat(
+                        (raw[:, :, 0] * scale)[:, :, None], 3, axis=2
+                    ).astype(np.uint8)
+                    assert np.array_equal(out, want), (d, w, h, il)
+    with _pytest.raises(ValueError, match="exceed"):
+        encode_png(np.full((2, 2, 1), 9, np.uint8), gray_depth=2)
