@@ -23,9 +23,10 @@ zero dependencies, and ``extract_audio_features`` decodes REAL WAV
 via the stdlib ``wave`` module — all on the ``fake=False`` path.
 ``fake=True`` keeps the deterministic pseudo-decode (features derived
 from payload digests) for plumbing tests and for payloads in formats
-this container cannot decode (the PNG family is now ENTIRELY real —
-truecolor/palette/grayscale, 1..16 bit, Adam7, palette tRNS — except
-the tRNS color-key; JPEG baseline grayscale/4:4:4/subsampled
+this container cannot decode (the PNG format is now COMPLETE —
+truecolor/palette/grayscale, 1..16 bit, Adam7, palette tRNS alpha
+AND the gray/truecolor tRNS color-key; JPEG baseline
+grayscale/4:4:4/subsampled
 4:2:0/4:2:2 AND progressive all decode for real). Video: ``decode_video_frames`` and ``sample_frames``
 (``fake=False``) REALLY extract frames from uncompressed RIFF/AVI
 payloads (full RIFF grammar walk + headerless DIB rows) AND from
@@ -265,9 +266,11 @@ def _parse_png(b: bytes) -> np.ndarray:
     types — 0 at depths 1/2/4/8/16 (sub-byte samples scale to 0..255
     by the exact integer factor 255/(2^d−1), spec §7.1; output
     replicated to 3 channels per the mm RGB contract) and 4
-    (gray+alpha at 8/16 -> RGBA with replicated gray). The ONLY
-    remaining honest gate is the tRNS color-key on non-palette
-    images."""
+    (gray+alpha at 8/16 -> RGBA with replicated gray), and the tRNS
+    COLOR-KEY on grayscale/truecolor (matching pixels -> alpha 0,
+    spec §11.3.2; the key compares on raw samples, pre-scaling, and
+    tRNS on color types 4/6 is rejected per spec). The PNG format is
+    now COMPLETELY supported."""
     if b[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, idat, dims, plte, trns = len(_PNG_SIG), [], None, None, None
@@ -296,14 +299,19 @@ def _parse_png(b: bytes) -> np.ndarray:
         elif ctype == b"PLTE":
             plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif ctype == b"tRNS":
-            if dims is None or dims[2] != 3:
-                # color-key transparency on truecolor (spec §11.3.2)
-                # is a different mechanism from the palette alpha
-                # table; gate it loudly rather than mis-decode
-                raise NotImplementedError(
-                    "tRNS color-key on non-palette PNG unsupported"
+            if dims is None:
+                raise ValueError("tRNS before IHDR")
+            if dims[2] == 3:
+                trns = np.frombuffer(data, np.uint8)
+            elif dims[2] == 0:
+                (trns,) = struct.unpack(">H", data)  # gray key sample
+            elif dims[2] == 2:
+                trns = struct.unpack(">HHH", data)  # RGB key sample
+            else:
+                # spec §11.3.2: tRNS is forbidden for color types 4/6
+                raise ValueError(
+                    f"tRNS forbidden for PNG color type {dims[2]}"
                 )
-            trns = np.frombuffer(data, np.uint8)
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -355,14 +363,29 @@ def _parse_png(b: bytes) -> np.ndarray:
     if color == 0 and depth < 8:
         # spec §7.1: sub-byte gray scales by replication — exactly
         # the integer factor 255/(2^d - 1) (255, 85, 17 for d=1/2/4)
+        # (the color KEY compares on the RAW sample, before scaling)
+        key_mask = out_idx == trns if trns is not None else None
         g = (out_idx * (255 // ((1 << depth) - 1))).astype(np.uint8)
-        return np.repeat(g[:, :, None], 3, axis=2)
+        rgb = np.repeat(g[:, :, None], 3, axis=2)
+        return _png_apply_colorkey(rgb, key_mask)
     if color == 0:
-        return np.repeat(out, 3, axis=2)
+        key_mask = (
+            out[:, :, 0] == np.array(trns, out.dtype)
+            if trns is not None
+            else None
+        )
+        return _png_apply_colorkey(np.repeat(out, 3, axis=2), key_mask)
     if color == 4:
         g, a = out[:, :, :1], out[:, :, 1:]
         return np.concatenate([g, g, g, a], axis=2)
-    if color in (2, 6):
+    if color == 2:
+        key_mask = (
+            (out == np.array(trns, out.dtype)[None, None, :]).all(axis=2)
+            if trns is not None
+            else None
+        )
+        return _png_apply_colorkey(out, key_mask)
+    if color == 6:
         return out
     if int(out_idx.max(initial=0)) >= len(plte):
         raise ValueError("palette index out of range")
@@ -422,6 +445,20 @@ def _png_filter_scanlines(
         lines.append(bytes([ft]) + (enc & 0xFF).astype(np.uint8).tobytes())
         prev = row
     return lines
+
+
+def _png_apply_colorkey(
+    rgb: np.ndarray, key_mask: np.ndarray | None
+) -> np.ndarray:
+    """tRNS COLOR-KEY transparency (spec §11.3.2, grayscale/truecolor):
+    pixels equal to the key sample become fully transparent, all
+    others fully opaque — output grows an alpha channel at the
+    image's sample depth. No key (or no tRNS) passes through 3-ch."""
+    if key_mask is None:
+        return rgb
+    full = 65535 if rgb.dtype == np.uint16 else 255
+    alpha = np.where(key_mask, 0, full).astype(rgb.dtype)
+    return np.concatenate([rgb, alpha[:, :, None]], axis=2)
 
 
 def _png_pack_bits(sub: np.ndarray, depth: int) -> np.ndarray:
@@ -3133,7 +3170,12 @@ def synth_png_gray_payload(
     0: gray 8-bit plain — g(x,y) = (3i+5x+11y)%256;
     1: gray 16-BIT, Adam7 — g(x,y) = (251i+257x+263y)%65536;
     2: SUB-BYTE gray (depth 4) — raw (x+2y+i)%16, decoder scales ×17;
-    3: GRAY+ALPHA 8-bit — g as mode 0, alpha (23i+31(x+y))%256.
+    3: GRAY+ALPHA 8-bit — g as mode 0, alpha (23i+31(x+y))%256;
+    4: truecolor 8-bit with a tRNS COLOR-KEY = the pixel at (0,0) —
+       px_c(x,y) = (3i + 17x + 29y + 7c)%256, and 17x+29y ≡ 0 (mod
+       256) has NO solution in the size range besides (0,0), so
+       exactly ONE pixel per image goes transparent (id arithmetic
+       the oracle re-derives).
     Widths 5..12 × heights 4..8; filters rotate all five globally."""
 
     @F.pandas_udf("binary")
@@ -3141,7 +3183,7 @@ def synth_png_gray_payload(
         def one(i: int) -> bytes:
             i = int(i)
             w, h = 5 + i % 8, 4 + i % 5
-            mode = i % 4
+            mode = i % 5
             fo = lambda y: (i + y) % 5  # noqa: E731
             xx, yy = np.meshgrid(
                 np.arange(w, dtype=np.int64), np.arange(h, dtype=np.int64)
@@ -3157,9 +3199,24 @@ def synth_png_gray_payload(
             if mode == 2:
                 raw = ((xx + 2 * yy + i) % 16).astype(np.uint8)
                 return encode_png(raw[:, :, None], fo, gray_depth=4)
-            g = ((3 * i + 5 * xx + 11 * yy) % 256).astype(np.uint8)
-            a = ((23 * i + 31 * (xx + yy)) % 256).astype(np.uint8)
-            return encode_png(np.stack([g, a], axis=2), fo)
+            if mode == 3:
+                g = ((3 * i + 5 * xx + 11 * yy) % 256).astype(np.uint8)
+                a = ((23 * i + 31 * (xx + yy)) % 256).astype(np.uint8)
+                return encode_png(np.stack([g, a], axis=2), fo)
+            c = np.arange(3, dtype=np.int64)[None, None, :]
+            px = (
+                (3 * i + 17 * xx[:, :, None] + 29 * yy[:, :, None] + 7 * c)
+                % 256
+            ).astype(np.uint8)
+            data = encode_png(px, fo)
+            key = struct.pack(
+                ">HHH",
+                (3 * i) % 256,
+                (3 * i + 7) % 256,
+                (3 * i + 14) % 256,
+            )
+            j = data.find(b"IDAT") - 4
+            return data[:j] + _png_chunk(b"tRNS", key) + data[j:]
 
         return ids.map(one)
 

@@ -3551,13 +3551,15 @@ def mm14_netpbm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# mm15 — GRAYSCALE PNG (color types 0 and 4, closing the penultimate
-# PNG gate — after this only the tRNS color-key stays gated): 8-bit
-# gray, 16-BIT gray under Adam7, SUB-BYTE gray (depth 4, scaled by
-# the exact integer 255/(2^d−1) per spec §7.1 — ×17), and gray+alpha
-# (RGBA output with replicated gray). Lossless ⇒ channel means are
-# exact id arithmetic; mean_a distinguishes mode 3's real alpha from
-# the 0.0 padding of the 3-channel modes.
+# mm15 — GRAYSCALE PNG + the tRNS COLOR-KEY (the LAST two PNG gates
+# closed — the format is now COMPLETE): 8-bit gray, 16-BIT gray under
+# Adam7, SUB-BYTE gray (depth 4, scaled by the exact integer
+# 255/(2^d−1) per spec §7.1 — ×17), gray+alpha (RGBA with replicated
+# gray), and truecolor with a COLOR-KEY equal to the (0,0) pixel —
+# 17x+29y ≡ 0 (mod 256) has no other solution in the size range, so
+# exactly ONE pixel per image goes transparent and mean_a =
+# 255·(wh−1)/wh is exact id arithmetic. Channel-0 means cover every
+# mode (gray replicates; mode 4's red channel is its own formula).
 # ---------------------------------------------------------------------------
 @register(
     "mm15_png_gray_decode_real",
@@ -3567,7 +3569,7 @@ def mm14_netpbm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
          p AS (SELECT doc_id,
                       CAST(5 + doc_id % 8 AS INT) AS w,
                       CAST(4 + doc_id % 5 AS INT) AS h,
-                      doc_id % 4 AS mode
+                      doc_id % 5 AS mode
                FROM documents),
          px AS (
            SELECT doc_id, w, h, mode,
@@ -3575,16 +3577,20 @@ def mm14_netpbm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                        THEN (251 * doc_id + 257 * x + 263 * y) % 65536
                        WHEN mode = 2
                        THEN 17 * ((x + 2 * y + doc_id) % 16)
+                       WHEN mode = 4
+                       THEN (3 * doc_id + 17 * x + 29 * y) % 256
                        ELSE (3 * doc_id + 5 * x + 11 * y) % 256 END AS g,
                   CASE WHEN mode = 3
                        THEN (23 * doc_id + 31 * (x + y)) % 256
+                       WHEN mode = 4
+                       THEN CASE WHEN x = 0 AND y = 0 THEN 0 ELSE 255 END
                        ELSE NULL END AS a
            FROM p JOIN xs ON x < w JOIN ys ON y < h
          )
     SELECT doc_id AS id, w AS width, h AS height,
            AVG(CAST(g AS DOUBLE)) AS mean_gray,
            AVG(COALESCE(CAST(a AS DOUBLE),
-                        CASE WHEN mode = 3 THEN NULL ELSE 0.0 END))
+                        CASE WHEN mode IN (3, 4) THEN NULL ELSE 0.0 END))
              AS mean_a
     FROM px
     GROUP BY doc_id, w, h

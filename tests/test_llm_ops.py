@@ -2707,9 +2707,10 @@ def test_png_adam7_16bit_trns_roundtrip_sweep():
     RGBA8 / RGB16, palette depths 1/2/4/8 with and without tRNS at
     both interlace modes — every pass-emptiness case (1×1 hits a
     single pass; 9×9+ hits all seven), partial trailing bytes, and
-    filter rotation across pass boundaries. Remaining gates refuse
-    LOUDLY: the tRNS color-key and sub-byte truecolor depths
-    (grayscale 0/4 decode for REAL as of mm15 — asserted here)."""
+    filter rotation across pass boundaries. The PNG format is now
+    COMPLETE (grayscale 0/4 and the tRNS color-key decode for real —
+    asserted here); the one remaining refusal is sub-byte TRUECOLOR
+    depth, which the spec itself forbids."""
     import struct
     import zlib as _zlib
 
@@ -2786,8 +2787,11 @@ def test_png_adam7_16bit_trns_roundtrip_sweep():
     assert np.array_equal(got[:, :, 3], ga[:, :, 1])
     with _pytest.raises(ValueError, match="depth=4 unsupported"):
         _parse_png(ihdr_png(2, 2, 4, 2, 0))  # sub-byte truecolor
-    # truecolor tRNS color-key: splice tRNS into an RGB file
-    data = encode_png(rng.randint(0, 256, (3, 3, 3)).astype(np.uint8))
+    # truecolor tRNS color-key decodes for REAL now (the final PNG
+    # gate closed): matching pixels -> alpha 0, spec 11.3.2
+    px = rng.randint(0, 256, (3, 3, 3)).astype(np.uint8)
+    px[1, 1] = [1, 2, 3]
+    data = encode_png(px)
     i = data.find(b"IDAT") - 4
     key = struct.pack(">HHH", 1, 2, 3)
     chunk = (
@@ -2796,7 +2800,22 @@ def test_png_adam7_16bit_trns_roundtrip_sweep():
         + key
         + struct.pack(">I", _zlib.crc32(b"tRNS" + key) & 0xFFFFFFFF)
     )
-    with _pytest.raises(NotImplementedError, match="color-key"):
+    out = _parse_png(data[:i] + chunk + data[i:])
+    assert out.shape == (3, 3, 4) and out[1, 1, 3] == 0
+    assert np.array_equal(out[:, :, :3], px)
+    assert (out[:, :, 3] == 255).sum() == 8
+    # tRNS is forbidden on alpha-bearing color types (spec 11.3.2)
+    ga = rng.randint(0, 256, (2, 2, 2)).astype(np.uint8)
+    data = encode_png(ga)
+    i = data.find(b"IDAT") - 4
+    gk = struct.pack(">H", 1)
+    chunk = (
+        struct.pack(">I", len(gk))
+        + b"tRNS"
+        + gk
+        + struct.pack(">I", _zlib.crc32(b"tRNS" + gk) & 0xFFFFFFFF)
+    )
+    with _pytest.raises(ValueError, match="forbidden"):
         _parse_png(data[:i] + chunk + data[i:])
 
 
