@@ -523,3 +523,52 @@ def rolling_apply_udf(
         return frames.apply(run)
 
     return df.withColumn(out_name, _reduce(arr))
+
+
+def ewm_mean(
+    df: DataFrame,
+    on: str,
+    alpha: float,
+    partition_by: list[str],
+    order_by: list[str],
+    adjust: bool = False,
+    output_col: str = "ewm",
+) -> DataFrame:
+    """Exponentially weighted moving average per entity — the pandas
+    ``ewm(alpha=...).mean()`` surface (the reference's rolling-family
+    neighbor) distributed as one ``applyInPandas`` per partition key:
+    each group sorts on ``order_by`` and runs pandas' own ewm kernel,
+    so semantics are pandas' BY CONSTRUCTION (the reference's
+    differential-testing contract).
+
+    Cross-engine determinism note (the o9 oracle's law): with
+    ``adjust=False`` pandas computes the online recurrence
+    ``y_t = (1-α)·y_{t-1} + α·x_t`` in plain doubles; when α (and so
+    1-α) is DYADIC (0.25, 0.5, ...), the same recurrence spelled in
+    SQL reproduces it BIT-exactly (verified: 500-step pandas ==
+    manual == DuckDB recursive CTE). Non-dyadic α or ``adjust=True``
+    remain pandas-exact but only approximately SQL-reproducible —
+    use rows-only verification there.
+
+    One hash shuffle on the partition key; per-group history must fit
+    a task (the o5/cap_per_group envelope — an entity history too
+    large for one task wants the w6/agg22 bounded-window family
+    instead).
+    """
+    import pandas as pd
+
+    keys = list(partition_by)
+    order = list(order_by)
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{output_col} double"]
+    )
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order).reset_index(drop=True)
+        pdf[output_col] = (
+            pdf[on].astype("float64").ewm(alpha=alpha, adjust=adjust).mean()
+        )
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(per_group, schema)

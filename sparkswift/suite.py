@@ -854,6 +854,7 @@ _WINDOW = [
     "agg24_group_mode",
     "mm14_netpbm_decode_real",
     "mm15_png_gray_decode_real",
+    "o9_ewm_mean",
     # --- (2) changed-code refreshes (j12 zero-length filter; PNG
     # decoder + decode_image channel-awareness; token-shard writer
     # mask extension) ---
@@ -890,7 +891,6 @@ _WINDOW = [
     "agg9_gate",
     "d13_line_dedup",
     "d3_gate",
-    "d4_gate",
 ]
 
 

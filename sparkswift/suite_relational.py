@@ -3035,3 +3035,46 @@ def g6_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     lp = label_propagation(edges)
     comm = lp.groupBy("label").agg(F.min("node").alias("community"))
     return lp.join(comm, "label").select("node", "community")
+
+
+# ---------------------------------------------------------------------------
+# o9 — pandas ewm().mean() distributed (the rolling-family neighbor
+# swifter users reach for next): one applyInPandas per user running
+# pandas' own kernel — pandas semantics BY CONSTRUCTION. The oracle
+# law: with adjust=False and a DYADIC alpha (0.25), the online
+# recurrence y = 0.75*y + 0.25*x in plain doubles is BIT-identical
+# between pandas' cython loop and a DuckDB recursive CTE stepping the
+# same recurrence (prototyped over 500 steps before registration) —
+# so this Python-kernel query is fully hash-certifiable, no
+# quantization needed.
+# ---------------------------------------------------------------------------
+@register(
+    "o9_ewm_mean",
+    """
+    WITH RECURSIVE s AS (
+      SELECT event_id, user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT event_id, user_id, rn, value AS ewm FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.event_id, s.user_id, s.rn, 0.75 * r.ewm + 0.25 * s.value
+      FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT event_id, user_id, ewm FROM r
+    """,
+)
+def o9_ewm_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.rolling import ewm_mean
+
+    ev = load_table(spark, sf_dir, "events")
+    out = ewm_mean(
+        ev,
+        on="value",
+        alpha=0.25,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+    )
+    return out.select("event_id", "user_id", "ewm")

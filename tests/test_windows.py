@@ -920,3 +920,33 @@ def test_group_mode_matches_pure_python(spark, sf_dir):
     for g, cnt in groups.items():
         best = min(cnt, key=lambda u: (-cnt[u], u))
         assert got[g] == (best, cnt[best]), g
+
+
+def test_ewm_mean_matches_pandas(ev):
+    """o9: distributed ewm equals pandas groupby().ewm() per user
+    (differential testing, the reference's own technique) — for the
+    oracle-exact adjust=False dyadic case AND for adjust=True with a
+    non-dyadic alpha (pandas-exact even where no SQL twin exists)."""
+    from sparkswift.operators.rolling import ewm_mean
+
+    pdf = ev.toPandas().sort_values(["user_id", "ts", "event_id"])
+    for alpha, adjust in ((0.25, False), (0.3, True)):
+        got = (
+            ewm_mean(
+                ev, on="value", alpha=alpha,
+                partition_by=["user_id"], order_by=["ts", "event_id"],
+                adjust=adjust,
+            )
+            .select("event_id", "ewm")
+            .toPandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            pdf.groupby("user_id")["value"]
+            .apply(lambda s, a=alpha, ad=adjust: s.ewm(alpha=a, adjust=ad).mean())
+            .reset_index(level=0, drop=True)
+        )
+        pdf["__e"] = want
+        exp = pdf.sort_values("event_id")["__e"].reset_index(drop=True)
+        assert (got["ewm"].values == exp.values).all(), (alpha, adjust)
