@@ -182,6 +182,7 @@ HEADLINE = [
     "mm14_netpbm_decode_real",  # P5/P4 netpbm decode (bit unpack, polarity)
     "mm15_png_gray_decode_real",  # grayscale PNG family (0/4, sub-byte, 16-bit)
     "o9_ewm_mean",           # distributed pandas ewm (bit-exact SQL twin)
+    "st30_stream_compression_ratio",  # zlib signal on a stream (bit-equal)
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

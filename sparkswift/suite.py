@@ -855,6 +855,7 @@ _WINDOW = [
     "mm14_netpbm_decode_real",
     "mm15_png_gray_decode_real",
     "o9_ewm_mean",
+    "st30_stream_compression_ratio",
     # --- (2) changed-code refreshes (j12 zero-length filter; PNG
     # decoder + decode_image channel-awareness; token-shard writer
     # mask extension) ---
@@ -890,7 +891,6 @@ _WINDOW = [
     "agg2_gate",
     "agg9_gate",
     "d13_line_dedup",
-    "d3_gate",
 ]
 
 

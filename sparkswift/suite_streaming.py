@@ -1958,3 +1958,53 @@ def st29_stream_ohlc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_mismatch") == 0).alias("merged_equals_batch"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# st30 — STREAMING compression-ratio ingest (t23's twin): the zlib
+# signal is a pure per-row function of the payload at a pinned level,
+# so the stateless stream BIT-equals the batch pass — the strongest
+# stream law available (stronger than enveloped sketches; same class
+# as st28's mask equality). Verdict: full-outer per-doc mismatch
+# count over (n_bytes, n_compressed, ratio).
+# ---------------------------------------------------------------------------
+@register(
+    "st30_stream_compression_ratio",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS stream_matches_batch
+    FROM documents
+    """,
+)
+def st30_stream_compression_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sparkswift.operators import text as tx
+    from sparkswift.streaming.ops import table_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = run_stream_to_batch(
+        tx.compression_ratio(table_stream(spark, sf_dir, "documents")),
+        mode="append",
+    ).select(
+        F.col("doc_id").alias("s_id"),
+        F.col("n_bytes").alias("s_b"),
+        F.col("n_compressed").alias("s_c"),
+        F.col("ratio").alias("s_r"),
+    )
+    b = tx.compression_ratio(docs)
+    bad = (
+        b.join(s, b.doc_id == s.s_id, "full")
+        .filter(
+            F.col("doc_id").isNull()
+            | F.col("s_id").isNull()
+            | (F.col("n_bytes") != F.col("s_b"))
+            | (F.col("n_compressed") != F.col("s_c"))
+            | ~F.col("ratio").eqNullSafe(F.col("s_r"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_bad"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return n_docs.crossJoin(F.broadcast(bad)).select(
+        "n_docs", (F.col("n_bad") == 0).alias("stream_matches_batch")
+    )
