@@ -183,6 +183,8 @@ HEADLINE = [
     "mm15_png_gray_decode_real",  # grayscale PNG family (0/4, sub-byte, 16-bit)
     "o9_ewm_mean",           # distributed pandas ewm (bit-exact SQL twin)
     "st30_stream_compression_ratio",  # zlib signal on a stream (bit-equal)
+    "agg25_exact_percentiles",  # nearest-rank exact percentiles per group
+    "mm16_tiff_decode_real",  # baseline TIFF (strips, PackBits, both endians)
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

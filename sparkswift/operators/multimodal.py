@@ -1932,6 +1932,8 @@ def _decode_image_bytes(b: bytes) -> np.ndarray:
         return _parse_pbm(b)
     if b[:2] == b"BM":
         return _parse_bmp(b)
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        return _parse_tiff(b)
     if b[: len(_PNG_SIG)] == _PNG_SIG:
         return _parse_png(b)
     if b[:2] == b"\xff\xd8":
@@ -1939,11 +1941,12 @@ def _decode_image_bytes(b: bytes) -> np.ndarray:
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return _parse_gif_frames(b)[0]  # still image = first frame
     raise ValueError(
-        "undecodable image payload (real path supports PPM P6, 24-bit "
-        "BMP, PNG [truecolor 8/16-bit, palette 1/2/4/8 + tRNS, Adam7], "
-        "GIF [LZW, interlace; first frame], and JPEG [baseline + "
-        "progressive; grayscale and 4:4:4/4:2:2/4:2:0 YCbCr] — use "
-        "fake=True for plumbing-only runs)"
+        "undecodable image payload (real path supports Netpbm P4/P5/P6, "
+        "24-bit BMP, the COMPLETE PNG format, GIF [LZW, interlace; "
+        "first frame], baseline TIFF [none/PackBits, both endians], "
+        "and JPEG [baseline + progressive; grayscale and "
+        "4:4:4/4:2:2/4:2:0 YCbCr] — use fake=True for "
+        "plumbing-only runs)"
     )
 
 
@@ -3225,6 +3228,257 @@ def synth_png_gray_payload(
         F.struct(
             F.lit("image").alias("modality"),
             F.lit("image/png").alias("mime"),
+            (5 + F.col(id_col) % 8).cast("int").alias("width"),
+            (4 + F.col(id_col) % 5).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TIFF (Adobe TIFF 6.0 spec — public): IFD tag walk, both byte
+# orders, strip assembly, baseline compressions 1 (none) and 32773
+# (PackBits RLE), photometric 0/1/2 (WhiteIsZero/BlackIsZero/RGB).
+# ---------------------------------------------------------------------------
+def _packbits_decode(b: bytes, expected: int) -> bytes:
+    """TIFF PackBits (spec §9): n in 0..127 -> copy n+1 literals;
+    n in -127..-1 -> repeat next byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(b) and len(out) < expected:
+        n = b[i] - 256 if b[i] > 127 else b[i]
+        i += 1
+        if n >= 0:
+            out += b[i : i + n + 1]
+            i += n + 1
+        elif n != -128:
+            out += b[i : i + 1] * (1 - n)
+            i += 1
+    if len(out) != expected:
+        raise ValueError(
+            f"PackBits strip decodes {len(out)} bytes, expected {expected}"
+        )
+    return bytes(out)
+
+
+def _packbits_encode(b: bytes) -> bytes:
+    """PackBits writer: literal runs vs repeat runs (>= 3 repeats
+    flip to a repeat packet — the spec's recommendation)."""
+    out = bytearray()
+    i, n = 0, len(b)
+    while i < n:
+        j = i
+        while j + 1 < n and b[j + 1] == b[j] and j - i < 127:
+            j += 1
+        if j - i >= 2:  # repeat run of length j-i+1 (>= 3)
+            out.append(256 - (j - i))
+            out.append(b[i])
+            i = j + 1
+            continue
+        # literal run until the next >=3 repeat or 128 cap
+        j = i
+        while j < n and j - i < 128:
+            if j + 2 < n and b[j] == b[j + 1] == b[j + 2]:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += b[i:j]
+        i = j
+    return bytes(out)
+
+
+def _parse_tiff(b: bytes) -> np.ndarray:
+    """Decode a baseline TIFF to (h, w, 3) uint8: both byte orders,
+    8-bit grayscale (photometric 0 WhiteIsZero inverted per spec, 1
+    BlackIsZero) and RGB, strip assembly via StripOffsets/ByteCounts,
+    compressions 1 (none) and 32773 (PackBits). LZW/CCITT/JPEG-in-
+    TIFF, tiles, and non-8-bit samples raise loudly."""
+    if b[:4] == b"II*\x00":
+        e = "<"
+    elif b[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    (ifd_off,) = struct.unpack_from(e + "I", b, 4)
+    (n_ent,) = struct.unpack_from(e + "H", b, ifd_off)
+    tags: dict[int, list[int]] = {}
+    for k in range(n_ent):
+        off = ifd_off + 2 + 12 * k
+        tag, typ, cnt = struct.unpack_from(e + "HHI", b, off)
+        size = {1: 1, 3: 2, 4: 4}.get(typ)
+        if size is None:
+            continue  # RATIONAL/ASCII tags are irrelevant here
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        total = size * cnt
+        voff = off + 8 if total <= 4 else struct.unpack_from(e + "I", b, off + 8)[0]
+        tags[tag] = list(struct.unpack_from(e + fmt * cnt, b, voff))
+    try:
+        w, h = tags[256][0], tags[257][0]
+        photo = tags[262][0]
+        offsets, counts = tags[273], tags[279]
+    except KeyError as ex:
+        raise ValueError(f"TIFF missing required tag {ex}") from None
+    comp = tags.get(259, [1])[0]
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [8] * spp)
+    if any(x != 8 for x in bits):
+        raise NotImplementedError(f"TIFF bits-per-sample {bits} unsupported (8 only)")
+    if comp not in (1, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {comp} unsupported (1=none, 32773=PackBits; "
+            "LZW/CCITT/JPEG-in-TIFF need a full codec pass)"
+        )
+    if photo not in (0, 1, 2) or (photo == 2) != (spp >= 3):
+        raise NotImplementedError(
+            f"TIFF photometric {photo} with {spp} samples unsupported"
+        )
+    rps = tags.get(278, [h])[0]
+    raw = bytearray()
+    for si, (o, c) in enumerate(zip(offsets, counts)):
+        strip = bytes(b[o : o + c])
+        rows_here = min(rps, h - si * rps)
+        if comp == 32773:
+            strip = _packbits_decode(strip, rows_here * w * spp)
+        raw += strip
+    px = np.frombuffer(bytes(raw), np.uint8, count=h * w * spp).reshape(
+        h, w, spp
+    )
+    if photo == 2:
+        return px[:, :, :3]  # extra samples (alpha) dropped per baseline
+    g = px[:, :, 0]
+    if photo == 0:
+        g = (255 - g.astype(np.int16)).astype(np.uint8)  # WhiteIsZero
+    return np.repeat(g[:, :, None], 3, axis=2)
+
+
+def encode_tiff(
+    px: np.ndarray,
+    compression: str = "none",
+    endian: str = "<",
+    rows_per_strip: int = 3,
+    white_is_zero: bool = False,
+) -> bytes:
+    """Minimal baseline TIFF writer — the synth + round-trip
+    counterpart of :func:`_parse_tiff`: (h, w, 1) gray or (h, w, 3)
+    RGB uint8, either byte order, strip layout, compression 'none' or
+    'packbits'; ``white_is_zero`` stores inverted gray with
+    photometric 0 (the fax polarity) so the decoder's re-inversion is
+    load-bearing."""
+    e = endian
+    if e not in ("<", ">"):
+        raise ValueError("endian must be '<' or '>'")
+    h, w, spp = px.shape
+    if spp not in (1, 3) or px.dtype != np.uint8:
+        raise ValueError("need (h, w, 1|3) uint8")
+    if white_is_zero and spp != 1:
+        raise ValueError("white_is_zero is a grayscale polarity")
+    photo = 2 if spp == 3 else (0 if white_is_zero else 1)
+    data = px
+    if white_is_zero:
+        data = (255 - px.astype(np.int16)).astype(np.uint8)
+    comp = {"none": 1, "packbits": 32773}[compression]
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        sb = data[y0 : y0 + rows_per_strip].tobytes()
+        strips.append(_packbits_encode(sb) if comp == 32773 else sb)
+    hdr = (b"II*\x00" if e == "<" else b"MM\x00*") + struct.pack(e + "I", 8)
+    body = bytearray(hdr)
+    offsets = []
+    for s in strips:
+        offsets.append(len(body))
+        body += s
+    if len(body) % 2:
+        body += b"\x00"
+    ifd_off = len(body)
+    body[4:8] = struct.pack(e + "I", ifd_off)
+
+    entries: list[bytes] = []
+    extra = bytearray()
+    extra_base = ifd_off + 2 + 12 * 9 + 4
+
+    def entry(tag: int, typ: int, vals: list[int]):
+        fmt = {3: "H", 4: "I"}[typ]
+        payload = struct.pack(e + fmt * len(vals), *vals)
+        if len(payload) <= 4:
+            payload = payload.ljust(4, b"\x00")
+            entries.append(
+                struct.pack(e + "HHI", tag, typ, len(vals)) + payload
+            )
+        else:
+            entries.append(
+                struct.pack(
+                    e + "HHII", tag, typ, len(vals), extra_base + len(extra)
+                )
+            )
+            extra.extend(payload)
+
+    entry(256, 4, [w])
+    entry(257, 4, [h])
+    entry(258, 3, [8] * spp)
+    entry(259, 3, [comp])
+    entry(262, 3, [photo])
+    entry(273, 4, offsets)
+    entry(277, 3, [spp])
+    entry(278, 4, [rows_per_strip])
+    entry(279, 4, [len(s) for s in strips])
+    assert len(entries) == 9
+    body += struct.pack(e + "H", len(entries))
+    for en in entries:
+        body += en
+    body += struct.pack(e + "I", 0)  # next-IFD terminator
+    body += extra
+    return bytes(body)
+
+
+def synth_tiff_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a VALID baseline TIFF per row rotating the mm16
+    corners (all lossless id arithmetic, 3-row strips so every image
+    is multi-strip): id mod 4 ->
+    0: RGB, uncompressed, little-endian — px_c = (3i+17x+29y+7c)%256;
+    1: GRAY, PackBits, BIG-endian — g = (3i+5x+11y)%256;
+    2: RGB, PackBits, little-endian, ROW-CONSTANT px_c =
+       (5i+13y+7c)%256 (long runs make the RLE load-bearing);
+    3: GRAY, uncompressed, big-endian, WHITE-IS-ZERO (stored
+       inverted; the decoder's photometric-0 re-inversion is what
+       the hash certifies)."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            w, h = 5 + i % 8, 4 + i % 5
+            mode = i % 4
+            xx, yy = np.meshgrid(
+                np.arange(w, dtype=np.int64), np.arange(h, dtype=np.int64)
+            )
+            c = np.arange(3, dtype=np.int64)[None, None, :]
+            if mode == 0:
+                px = (
+                    (3 * i + 17 * xx[:, :, None] + 29 * yy[:, :, None] + 7 * c)
+                    % 256
+                ).astype(np.uint8)
+                return encode_tiff(px, "none", "<")
+            if mode == 1:
+                g = ((3 * i + 5 * xx + 11 * yy) % 256).astype(np.uint8)
+                return encode_tiff(g[:, :, None], "packbits", ">")
+            if mode == 2:
+                px = (
+                    (5 * i + 13 * yy[:, :, None] + 7 * c) % 256
+                ).astype(np.uint8) * np.ones((1, w, 1), np.uint8)
+                return encode_tiff(px, "packbits", "<")
+            g = ((3 * i + 5 * xx + 11 * yy) % 256).astype(np.uint8)
+            return encode_tiff(
+                g[:, :, None], "none", ">", white_is_zero=True
+            )
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("image/tiff").alias("mime"),
             (5 + F.col(id_col) % 8).cast("int").alias("width"),
             (4 + F.col(id_col) % 5).cast("int").alias("height"),
             F.lit(None).cast("int").alias("sample_rate"),

@@ -856,6 +856,8 @@ _WINDOW = [
     "mm15_png_gray_decode_real",
     "o9_ewm_mean",
     "st30_stream_compression_ratio",
+    "agg25_exact_percentiles",
+    "mm16_tiff_decode_real",
     # --- (2) changed-code refreshes (j12 zero-length filter; PNG
     # decoder + decode_image channel-awareness; token-shard writer
     # mask extension) ---
@@ -890,7 +892,6 @@ _WINDOW = [
     "agg16_heavy_hitters_gate",
     "agg2_gate",
     "agg9_gate",
-    "d13_line_dedup",
 ]
 
 

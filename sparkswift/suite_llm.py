@@ -3614,6 +3614,61 @@ def mm15_png_gray_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mm16 — baseline TIFF (the fourth major still format next to
+# PNG/JPEG/GIF, from the Adobe TIFF 6.0 spec, zero deps): IFD tag
+# walk under BOTH byte orders, multi-strip assembly (3-row strips —
+# every image multi-strip), compression 1 (none) and 32773 (PackBits
+# RLE, fuzz-certified), photometric 0/1/2 with the WhiteIsZero
+# re-inversion hash-load-bearing (mode 3 stores inverted bytes).
+# Lossless ⇒ exact id-arithmetic channel means. Honest gates:
+# LZW/CCITT/JPEG-in-TIFF, tiles, non-8-bit samples.
+# ---------------------------------------------------------------------------
+@register(
+    "mm16_tiff_decode_real",
+    """
+    WITH xs AS (SELECT unnest([0,1,2,3,4,5,6,7,8,9,10,11]) AS x),
+         ys AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS y),
+         p AS (SELECT doc_id,
+                      CAST(5 + doc_id % 8 AS INT) AS w,
+                      CAST(4 + doc_id % 5 AS INT) AS h,
+                      doc_id % 4 AS mode
+               FROM documents),
+         px AS (
+           SELECT doc_id, w, h, mode,
+                  CASE WHEN mode = 0
+                       THEN (3 * doc_id + 17 * x + 29 * y) % 256
+                       WHEN mode = 2 THEN (5 * doc_id + 13 * y) % 256
+                       ELSE (3 * doc_id + 5 * x + 11 * y) % 256 END AS r,
+                  CASE WHEN mode = 0
+                       THEN (3 * doc_id + 17 * x + 29 * y + 14) % 256
+                       WHEN mode = 2 THEN (5 * doc_id + 13 * y + 14) % 256
+                       ELSE (3 * doc_id + 5 * x + 11 * y) % 256 END AS b
+           FROM p JOIN xs ON x < w JOIN ys ON y < h
+         )
+    SELECT doc_id AS id, w AS width, h AS height,
+           AVG(CAST(r AS DOUBLE)) AS mean_r,
+           AVG(CAST(b AS DOUBLE)) AS mean_b
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def mm16_tiff_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    wp = mm.synth_tiff_payload(docs, "doc_id")
+    out = mm.decode_image(wp, "doc_id", "payload", fake=False, feat_dim=5)
+    return out.select(
+        "id",
+        F.col("feat")[0].cast("int").alias("width"),
+        F.col("feat")[1].cast("int").alias("height"),
+        F.col("feat")[2].alias("mean_r"),
+        F.col("feat")[4].alias("mean_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # mm13 — REAL GIF decode (a WHOLE new codec family, written from the
 # public GIF89a spec with zero deps): variable-width LZW (dictionary
 # growth across the 32/64-slot width boundaries runs corpus-wide —

@@ -1615,6 +1615,63 @@ def agg24_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# agg25 — exact per-group PERCENTILES at arbitrary p (generalizing
+# agg23's median): the nearest-rank definition r = ceil(p·n) on the
+# (value, event_id) total order, spelled identically in both engines
+# (engine: one window rank; oracle: the same); p ∈ {0.25, 0.75,
+# 0.95} pivot to columns so one pass serves all three. agg5's GK
+# sketch remains the above-task-size fallback.
+# ---------------------------------------------------------------------------
+@register(
+    "agg25_exact_percentiles",
+    """
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(MIN(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                         THEN value END) AS DOUBLE) AS p25,
+           CAST(MIN(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                         THEN value END) AS DOUBLE) AS p75,
+           CAST(MIN(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                         THEN value END) AS DOUBLE) AS p95
+    FROM r GROUP BY event_type
+    """,
+)
+def agg25_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    wn = W.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def at(p: float):
+        return F.min(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        ).cast("double")
+
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        at(0.25).alias("p25"),
+        at(0.75).alias("p75"),
+        at(0.95).alias("p95"),
+    )
+
+
 @register(
     "w4_distribution_windows",
     """

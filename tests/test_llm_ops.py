@@ -3178,3 +3178,61 @@ def test_png_grayscale_family_roundtrips():
                     assert np.array_equal(out, want), (d, w, h, il)
     with _pytest.raises(ValueError, match="exceed"):
         encode_png(np.full((2, 2, 1), 9, np.uint8), gray_depth=2)
+
+
+def test_tiff_roundtrips_and_gates():
+    """mm16: PackBits fuzz (runs-rich and random payloads), gray/RGB
+    round-trips under both byte orders and both compressions,
+    WhiteIsZero re-inversion, and loud gates (LZW compression,
+    non-8-bit samples)."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import (
+        _packbits_decode,
+        _packbits_encode,
+        _parse_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(2)
+    for t in range(600):
+        n = int(rng.randint(0, 300))
+        b = bytes(
+            rng.randint(0, 4 if t % 3 == 0 else 256, n).astype(np.uint8)
+        )
+        assert _packbits_decode(_packbits_encode(b), n) == b, t
+
+    for w, h in ((1, 1), (5, 4), (12, 9)):
+        for spp in (1, 3):
+            for comp in ("none", "packbits"):
+                for e in ("<", ">"):
+                    px = rng.randint(0, 256, (h, w, spp)).astype(np.uint8)
+                    out = _parse_tiff(encode_tiff(px, comp, e))
+                    want = px if spp == 3 else np.repeat(px, 3, axis=2)
+                    assert np.array_equal(out, want), (w, h, spp, comp, e)
+        g = rng.randint(0, 256, (h, w, 1)).astype(np.uint8)
+        out = _parse_tiff(encode_tiff(g, "packbits", ">", white_is_zero=True))
+        assert np.array_equal(out, np.repeat(g, 3, axis=2))
+
+    # gates: splice an LZW compression tag value / 16-bit samples
+    base = encode_tiff(rng.randint(0, 256, (2, 2, 1)).astype(np.uint8))
+    def set_tag_value(data, tag, val):
+        (ifd,) = struct.unpack_from("<I", data, 4)
+        (n,) = struct.unpack_from("<H", data, ifd)
+        out = bytearray(data)
+        for k in range(n):
+            off = ifd + 2 + 12 * k
+            t_, typ, cnt = struct.unpack_from("<HHI", data, off)
+            if t_ == tag:
+                struct.pack_into("<H", out, off + 8, val)
+        return bytes(out)
+
+    with _pytest.raises(NotImplementedError, match="compression 5"):
+        _parse_tiff(set_tag_value(base, 259, 5))  # LZW
+    with _pytest.raises(NotImplementedError, match="bits-per-sample"):
+        _parse_tiff(set_tag_value(base, 258, 16))
+    with _pytest.raises(ValueError, match="not a TIFF"):
+        _parse_tiff(b"XX00" + base[4:])

@@ -950,3 +950,28 @@ def test_ewm_mean_matches_pandas(ev):
         pdf["__e"] = want
         exp = pdf.sort_values("event_id")["__e"].reset_index(drop=True)
         assert (got["ewm"].values == exp.values).all(), (alpha, adjust)
+
+
+def test_exact_percentiles_nearest_rank(spark, sf_dir):
+    """agg25: nearest-rank selection r = ceil(p*n) == pure-python
+    reference on the fixture for p in {0.25, 0.75, 0.95}."""
+    import math
+
+    from sparkswift.sources import load_table
+    from sparkswift.suite_relational import agg25_exact_percentiles
+
+    ev = load_table(spark, sf_dir, "events")
+    groups = {}
+    for r in ev.select("event_type", "value", "event_id").collect():
+        groups.setdefault(r.event_type, []).append((r.value, r.event_id))
+    got = {
+        r.event_type: (r.n_events, r.p25, r.p75, r.p95)
+        for r in agg25_exact_percentiles(spark, sf_dir).collect()
+    }
+    for g, vs in groups.items():
+        vs.sort()
+        n = len(vs)
+        want = tuple(
+            vs[math.ceil(p * n) - 1][0] for p in (0.25, 0.75, 0.95)
+        )
+        assert got[g] == (n, *want), g
