@@ -891,7 +891,6 @@ _WINDOW = [
     "agg15_histogram",
     "agg16_heavy_hitters_gate",
     "agg2_gate",
-    "agg9_gate",
 ]
 
 
