@@ -270,3 +270,51 @@ def ohlc_merge(partials: DataFrame, key_col: str = "event_type") -> DataFrame:
         F.col("c_sel.v").cast("double").alias("close"),
         "n_events",
     )
+
+
+def max_drawdown(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_col: str = "user_id",
+    tiebreak_col: str = "event_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """Maximum drawdown per key over the time-ordered value series —
+    the risk/monitoring staple (price series, SLO burn, battery/quota
+    level): drawdown at time t is ``running_peak - value``, and the
+    report is each key's worst one. Values are quantized once to
+    integers (``floor(value * scale)``, exact on doubles) so the
+    running peak, the subtraction, and the maxima are all EXACT
+    integer arithmetic — the w6/w7 cross-engine discipline. The
+    (ts, tiebreak) total order makes same-timestamp sequences
+    deterministic.
+
+    Plan: ONE hash shuffle on ``key_col`` — the running peak rides an
+    ordered window over that partitioning and the final aggregate
+    reuses it (per-key history sorts inside its hash partition; no
+    range exchange — the agg23 shape). Returns ``(key, n_events,
+    peak_scaled, max_drawdown_scaled, final_scaled)``.
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(key_col),
+        F.col(ts_col).alias("__t"),
+        F.col(tiebreak_col).alias("__tb"),
+        F.floor(F.col(value_col) * scale).cast("bigint").alias("__v"),
+    )
+    w = W.partitionBy(key_col).orderBy("__t", "__tb")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    seq = base.withColumn("__peak", F.max("__v").over(run)).withColumn(
+        "__final", F.last("__v").over(full)
+    )
+    return seq.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("__peak").cast("bigint").alias("peak_scaled"),
+        F.max(F.col("__peak") - F.col("__v")).cast("bigint").alias(
+            "max_drawdown_scaled"
+        ),
+        F.min("__final").cast("bigint").alias("final_scaled"),
+    )

@@ -692,3 +692,87 @@ def bfs_distances(
     if stats is not None:
         stats["hops"] = hops
     return dist
+
+
+def sssp_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_cost: int = 40,
+    max_rounds: int | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest distances (distributed
+    Bellman-Ford over undirected integer-weight edges) — the weighted
+    sibling of :func:`bfs_distances` (routing cost, dependency
+    latency, weighted blast radius). The COST CAP is part of the
+    semantics, exactly like g8's hop bound: a node appears iff its
+    true shortest distance to some source is ≤ ``max_cost``, with
+    that exact distance — so a depth-guarded recursive-CTE oracle
+    defines the SAME result set and the answer is exact integers.
+
+    Iteration discipline (g1/g8): per round, ONE adjacency equi-join
+    from the improved frontier, a min-aggregate on the candidate
+    node, and one join against current distances to keep strict
+    improvers; ``localCheckpoint`` cuts lineage and a one-row count
+    probes convergence. Every shuffled row is (node, dist) — 16
+    bytes, never input data. Rounds ≤ shortest-path hop count ≤
+    ``max_cost``/min_weight; the ``max_rounds`` cap (default
+    ``max_cost``, valid for weights ≥ 1) RAISES on overrun rather
+    than silently truncating (the g5/g6 runaway rule).
+    """
+    if max_cost < 0:
+        raise ValueError("max_cost must be >= 0")
+    cap = max_cost if max_rounds is None else max_rounds
+    e = (
+        edges.select(
+            F.col(src).alias("u"),
+            F.col(dst).alias("v"),
+            F.col(weight).cast("bigint").alias("w"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+    adj = adj.localCheckpoint()
+    dist = (
+        sources.select(F.col("node").cast("bigint").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("bigint"))
+        .localCheckpoint()
+    )
+    frontier = dist
+    rounds = 0
+    for _ in range(cap):
+        cand = (
+            frontier.join(adj, frontier.node == adj.u)
+            .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("nd"))
+            .filter(F.col("nd") <= max_cost)
+            .groupBy("node")
+            .agg(F.min("nd").alias("nd"))
+        )
+        improved = (
+            cand.join(dist.withColumnRenamed("dist", "old"), "node", "left")
+            .filter(F.col("old").isNull() | (F.col("nd") < F.col("old")))
+            .select("node", F.col("nd").alias("dist"))
+            .localCheckpoint()
+        )
+        if improved.limit(1).count() == 0:
+            break
+        rounds += 1
+        dist = (
+            dist.join(improved.select("node"), "node", "left_anti")
+            .unionAll(improved)
+            .localCheckpoint()
+        )
+        frontier = improved
+    else:
+        raise RuntimeError(
+            f"sssp_distances: no convergence within {cap} rounds — "
+            "negative or fractional weights? raise max_rounds explicitly"
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+    return dist

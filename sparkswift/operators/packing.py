@@ -638,3 +638,61 @@ def chunks_as_bins(chunks: DataFrame) -> DataFrame:
         F.array().cast("array<bigint>").alias("doc_offsets"),
         "token_ids",
     )
+
+
+def length_bucket_batches(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundaries: tuple[int, ...] = (16, 32, 64, 128, 256),
+    batch_size: int = 8,
+    n_shards: int = 16,
+    seed: int = 0,
+) -> DataFrame:
+    """Sequence-LENGTH bucketing with deterministic micro-batch
+    assignment — the dynamic-batching front half of SFT/eval loaders
+    (bucket by padded length so a batch wastes ≤ bucket−len padding,
+    then fix the batch membership so step k is reproducible). Each doc
+    gets: its whitespace token count, the padded bucket length (least
+    boundary ≥ count; the last boundary is also the cap for longer
+    docs — the caller truncates), a hash shard, and a batch id =
+    0-based rank within (bucket, shard) ordered by id, div batch_size.
+
+    Scale design: batch numbering needs a total order, but only WITHIN
+    (bucket, shard) — the md5 shard key (cross-engine-stable, the
+    pack_sequences trick) caps every ordered partition at ~corpus/
+    (buckets·shards) rows, so the job is ONE shuffle on (bucket,
+    shard) with per-partition sorts; no global sort, no single-task
+    window. ``n_shards`` is the parallelism knob (one hex nibble = 16
+    here; 4 nibbles = 65k shards at 100 TB).
+
+    Returns ``(id, ws_tokens, bucket_len, shard, batch_id)``.
+    """
+    if n_shards != 16:
+        raise ValueError(
+            "length_bucket_batches: this build shards by one md5 hex "
+            "nibble (n_shards=16); widen the substring for more"
+        )
+    t = token_count(text_col)
+    bucket = F.lit(boundaries[-1])
+    for b in reversed(boundaries):
+        bucket = F.when(t <= b, F.lit(b)).otherwise(bucket)
+    # shard stays the raw hex nibble (a string), the p6 idiom — both
+    # engines render md5 identically and no base conversion exists in
+    # common between them
+    shard = F.substring(hash_bucket_hex(id_col, seed), 1, 1)
+    base = docs.select(
+        F.col(id_col),
+        t.cast("bigint").alias("ws_tokens"),
+        bucket.cast("int").alias("bucket_len"),
+        shard.alias("shard"),
+    )
+    w = Window.partitionBy("bucket_len", "shard").orderBy(id_col)
+    return (
+        base.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "batch_id",
+            F.expr(f"CAST(__rn - 1 AS BIGINT) div {int(batch_size)}"),
+        )
+        .drop("__rn")
+    )

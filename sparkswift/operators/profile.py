@@ -610,3 +610,80 @@ def countmin_estimate(
         *[F.coalesce(F.col(f"__c{r}"), F.lit(0)) for r in range(depth)]
     )
     return est.select(F.col(key_col), min_c.cast("bigint").alias("est"))
+
+
+# Derived-moment formulas shared VERBATIM between the Spark query
+# (F.expr) and the DuckDB oracle (interpolated into the SQL string):
+# identical expression trees over identical exact-integer inputs
+# (n, s1..s4 are bigint power sums) evaluate bit-identically, because
+# every operation used is IEEE-754 correctly rounded (+ - * / sqrt —
+# note NO pow(), whose libm implementations differ between engines;
+# x^1.5 is spelled sqrt(x)*sqrt(x)*sqrt(x)). Guarded by m2 > 0 so a
+# constant group yields NULL skew/kurtosis on both engines instead of
+# a division-by-zero ±inf/NaN surface.
+_MU = "(CAST(s1 AS DOUBLE) / n)"
+_M2 = f"(CAST(s2 AS DOUBLE) / n - {_MU} * {_MU})"
+_M3 = f"(CAST(s3 AS DOUBLE) / n - 3 * {_MU} * (CAST(s2 AS DOUBLE) / n) + 2 * {_MU} * {_MU} * {_MU})"
+_M4 = (
+    f"(CAST(s4 AS DOUBLE) / n - 4 * {_MU} * (CAST(s3 AS DOUBLE) / n)"
+    f" + 6 * {_MU} * {_MU} * (CAST(s2 AS DOUBLE) / n)"
+    f" - 3 * {_MU} * {_MU} * {_MU} * {_MU})"
+)
+MOMENT_EXPRS: dict[str, str] = {
+    "mean": _MU,
+    "var_pop": _M2,
+    "skewness": (
+        f"CASE WHEN {_M2} > 0 THEN "
+        f"{_M3} / (SQRT({_M2}) * SQRT({_M2}) * SQRT({_M2})) END"
+    ),
+    "kurtosis_excess": (
+        f"CASE WHEN {_M2} > 0 THEN {_M4} / ({_M2} * {_M2}) - 3 END"
+    ),
+}
+
+
+def group_moments(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    quantize: Column | None = None,
+) -> DataFrame:
+    """EXACT per-group distribution moments (mean, population variance,
+    skewness, excess kurtosis) — the profiling depth beyond
+    :func:`profile_table`'s counts (drift triage: a mean can hold
+    while the tails move). Strategy: quantize the value ONCE to an
+    exact integer (default ``floor(value)``; exact on doubles), then
+    accumulate the four RAW power sums ``s1..s4`` as bigint aggregates
+    — order-independent exact integers, so map-side partial
+    aggregation is safe and the cross-engine hash is exact — and
+    derive the central moments with the shared :data:`MOMENT_EXPRS`
+    formulas (bit-deterministic; see the comment above).
+
+    Overflow budget: |v| ≤ V allows n·V⁴ ≤ 2⁶³ — e.g. V = 10³ holds
+    to ~9 trillion rows per group; larger V should pre-scale (the
+    caller owns ``quantize``) or split s4 into a DECIMAL(38) sum.
+
+    Plan: ONE hash aggregate (no window, no sort). Returns ``(key, n,
+    s1..s4, mean, var_pop, skewness, kurtosis_excess)``.
+    """
+    v = (
+        quantize
+        if quantize is not None
+        else F.floor(F.col(value_col)).cast("bigint")
+    )
+    sums = df.select(F.col(key_col), v.alias("__v")).groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__v").cast("bigint").alias("s1"),
+        F.sum(F.expr("__v * __v")).cast("bigint").alias("s2"),
+        F.sum(F.expr("__v * __v * __v")).cast("bigint").alias("s3"),
+        F.sum(F.expr("__v * __v * __v * __v")).cast("bigint").alias("s4"),
+    )
+    return sums.select(
+        key_col,
+        "n",
+        "s1",
+        "s2",
+        "s3",
+        "s4",
+        *[F.expr(sql).alias(name) for name, sql in MOMENT_EXPRS.items()],
+    )

@@ -884,11 +884,15 @@ _WINDOW = [
     "e6_cosine_topk_ivfpq",
     "p5_decontaminate_bloom",
     "st10_stream_neardup",
-    # --- (4) the r7-stale cohort (next stalest in the ledger) ---
-    "agg11_gate",
-    "agg13_bool_aggs",
-    "agg14_skew_report",
-    "agg15_histogram",
+    # --- (4) queries NEW in the round-12 third session (rotation
+    # policy: new code always earns rows in its own round) — they
+    # displace the r7-stale gates agg11_gate / agg13_bool_aggs /
+    # agg14_skew_report / agg15_histogram to the r13 seed ---
+    "w8_max_drawdown",
+    "agg26_group_moments",
+    "g9_sssp_weighted",
+    "p33_length_buckets",
+    # --- (5) the r7-stale cohort (next stalest in the ledger) ---
     "agg16_heavy_hitters_gate",
     "agg2_gate",
 ]

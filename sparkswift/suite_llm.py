@@ -4240,3 +4240,47 @@ def e11_cosine_topk_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("label") == 0)
     return sim.cosine_topk_sq(emb, queries, k=5, refine=2)
+
+
+# ---------------------------------------------------------------------------
+# p33 — sequence-length bucketing with deterministic micro-batch ids
+# (the dynamic-batching loader front half: bucket by padded length,
+# then pin batch membership so training step k is reproducible).
+# Batch numbering needs a total order only WITHIN (bucket, md5
+# shard) — the p6 shard idiom caps every ordered partition, so the
+# job is ONE shuffle with per-partition sorts; no global sort.
+# ---------------------------------------------------------------------------
+@register(
+    "p33_length_buckets",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS ws_tokens,
+             substr(md5(concat_ws(':', '0', CAST(doc_id AS VARCHAR))), 1, 1)
+               AS shard
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, ws_tokens, shard,
+             CAST(CASE WHEN ws_tokens <= 16 THEN 16
+                       WHEN ws_tokens <= 32 THEN 32
+                       WHEN ws_tokens <= 64 THEN 64
+                       WHEN ws_tokens <= 128 THEN 128
+                       ELSE 256 END AS INT) AS bucket_len
+      FROM base
+    )
+    SELECT doc_id, ws_tokens, bucket_len, shard,
+           CAST((row_number() OVER (PARTITION BY bucket_len, shard
+                                    ORDER BY doc_id) - 1) // 8 AS BIGINT)
+             AS batch_id
+    FROM b
+    """,
+)
+def p33_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.packing import length_bucket_batches
+
+    docs = load_table(spark, sf_dir, "documents")
+    return length_bucket_batches(
+        docs, boundaries=(16, 32, 64, 128, 256), batch_size=8
+    )

@@ -3135,3 +3135,152 @@ def o9_ewm_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=["ts", "event_id"],
     )
     return out.select("event_id", "user_id", "ewm")
+
+
+# ---------------------------------------------------------------------------
+# w8 — maximum drawdown per user (risk/monitoring staple: worst
+# peak-to-trough drop of the time-ordered value series). Values
+# quantize once to exact milli integers (floor(value*1000) — exact on
+# doubles), so running peak, subtraction, and maxima are all exact
+# integer arithmetic (the w6 discipline); (ts, event_id) is the total
+# order. ONE hash shuffle on user_id: the running peak rides an
+# ordered window over that partitioning and the final aggregate
+# reuses it.
+# ---------------------------------------------------------------------------
+@register(
+    "w8_max_drawdown",
+    """
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id,
+             CAST(floor(value * 1000) AS BIGINT) AS v
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, v,
+             MAX(v) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS peak,
+             last_value(v) OVER (
+               PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS fin
+      FROM s
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(peak) AS BIGINT) AS peak_scaled,
+           CAST(MAX(peak - v) AS BIGINT) AS max_drawdown_scaled,
+           CAST(MIN(fin) AS BIGINT) AS final_scaled
+    FROM p GROUP BY user_id
+    """,
+)
+def w8_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.events import max_drawdown
+
+    ev = load_table(spark, sf_dir, "events")
+    return max_drawdown(ev, key_col="user_id", scale=1000)
+
+
+# ---------------------------------------------------------------------------
+# agg26 — exact per-group distribution moments (mean / population
+# variance / skewness / excess kurtosis): the profiling depth beyond
+# agg10's counts. Raw power sums s1..s4 are EXACT bigint aggregates
+# (order-free — map-side combine safe, hash-exact); the derived
+# moments come from operators/profile.MOMENT_EXPRS, interpolated
+# VERBATIM into this oracle, so both engines run the identical
+# IEEE-correctly-rounded expression tree (+ - * / sqrt only; no
+# libm pow anywhere — x^1.5 is sqrt(x)³). ONE hash aggregate.
+# ---------------------------------------------------------------------------
+from sparkswift.operators.profile import MOMENT_EXPRS as _ME  # noqa: E402
+
+
+@register(
+    "agg26_group_moments",
+    f"""
+    WITH sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s1,
+             CAST(SUM(v * v) AS BIGINT) AS s2,
+             CAST(SUM(v * v * v) AS BIGINT) AS s3,
+             CAST(SUM(v * v * v * v) AS BIGINT) AS s4
+      FROM (SELECT event_type, CAST(floor(value) AS BIGINT) AS v FROM events)
+      GROUP BY event_type
+    )
+    SELECT event_type, n, s1, s2, s3, s4,
+           {_ME["mean"]} AS mean,
+           {_ME["var_pop"]} AS var_pop,
+           {_ME["skewness"]} AS skewness,
+           {_ME["kurtosis_excess"]} AS kurtosis_excess
+    FROM sums
+    """,
+)
+def agg26_group_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.profile import group_moments
+
+    ev = load_table(spark, sf_dir, "events")
+    return group_moments(ev, value_col="value", key_col="event_type")
+
+
+# ---------------------------------------------------------------------------
+# g9 — multi-source WEIGHTED shortest distances (bounded-cost
+# Bellman-Ford on the qty≤5 co-part graph; edge weight = 1+(x+y)%7,
+# deterministic from the canonical endpoint pair). The COST CAP (40)
+# is part of the semantics exactly like g8's hop bound: a node
+# appears iff its true shortest distance is ≤ 40, with that exact
+# integer distance — so the engine's relax-until-fixpoint and the
+# oracle's cost-guarded recursive CTE define the SAME set (the CTE's
+# UNION-dedup state is ≤ nodes × cap rows — bounded, measured 0.6 s
+# at sf0.01). Seeds: nodes ≡ 0 (mod 17). Engine rounds are improver-
+# frontier joins of 16-byte rows with localCheckpoint cuts (g1/g8
+# discipline); the runaway cap RAISES.
+# ---------------------------------------------------------------------------
+@register(
+    "g9_sssp_weighted",
+    """
+    WITH RECURSIVE
+    li AS (SELECT l_orderkey, l_partkey FROM lineitem
+           WHERE l_quantity <= 5),
+    e AS (
+      SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS x,
+             GREATEST(a.l_partkey, b.l_partkey) AS y
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+    ),
+    adj AS (
+      SELECT x AS u, y AS v, 1 + (x + y) % 7 AS w FROM e
+      UNION ALL SELECT y, x, 1 + (x + y) % 7 FROM e
+    ),
+    seeds AS (SELECT DISTINCT u AS node FROM adj WHERE u % 17 = 0),
+    r AS (
+      SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds
+      UNION
+      SELECT adj.v, r.dist + adj.w FROM r JOIN adj ON adj.u = r.node
+      WHERE r.dist + adj.w <= 40
+    )
+    SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM r GROUP BY node
+    """,
+)
+def g9_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.graph import sssp_distances
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") <= 5)
+        .select("l_orderkey", "l_partkey")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2")
+    )
+    edges = (
+        li.join(b, li.l_orderkey == b.k)
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+        .distinct()
+        .withColumn("w", F.expr("1 + (src + dst) % 7"))
+    )
+    nodes = edges.select(F.col("src").alias("node")).unionAll(
+        edges.select(F.col("dst").alias("node"))
+    )
+    seeds = nodes.filter(F.col("node") % 17 == 0).distinct()
+    return sssp_distances(edges, seeds, max_cost=40)

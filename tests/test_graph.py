@@ -572,3 +572,64 @@ def test_bfs_distances_matches_pure_python(spark):
             want[s] = 0  # isolated seeds included by the operator
         assert got == want, (n, m, max_hops, got, want)
         assert stats["hops"] <= max_hops
+
+
+def test_sssp_matches_dijkstra_and_caps_cost(spark):
+    """sssp_distances == single-source Dijkstra (pure python) restricted
+    to dist <= max_cost, on random weighted graphs; the runaway cap
+    raises when rounds are exhausted before convergence."""
+    import heapq
+    import random
+
+    import pytest
+
+    from sparkswift.operators.graph import sssp_distances
+
+    rng = random.Random(23)
+    for n, m, cap in ((12, 18, 10), (30, 50, 15), (25, 30, 6)):
+        edges = [
+            (rng.randrange(n), rng.randrange(n), rng.randrange(1, 6))
+            for _ in range(m)
+        ]
+        seeds = sorted({rng.randrange(n) for _ in range(3)})
+        adj: dict[int, list[tuple[int, int]]] = {}
+        seen = set()
+        for u, v, w in edges:
+            if u == v:
+                continue
+            # operator dedups exact (u,v,w) triples both directions;
+            # parallel edges with different weights stay — Dijkstra
+            # relaxes over all of them, min wins on both sides
+            for a, b in ((u, v), (v, u)):
+                if (a, b, w) not in seen:
+                    seen.add((a, b, w))
+                    adj.setdefault(a, []).append((b, w))
+        dist = {s: 0 for s in seeds}
+        pq = [(0, s) for s in seeds]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, 1 << 60):
+                continue
+            for v, w in adj.get(u, ()):
+                nd = d + w
+                if nd < dist.get(v, 1 << 60):
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        want = {u: d for u, d in dist.items() if d <= cap}
+        edf = spark.createDataFrame(edges, "src long, dst long, w long")
+        sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+        stats = {}
+        got = {
+            r.node: r.dist
+            for r in sssp_distances(
+                edf, sdf, max_cost=cap, stats=stats
+            ).collect()
+        }
+        assert got == want, (n, m, cap, got, want)
+
+    # runaway cap: a 3-node weight-1 path needs 2 rounds; max_rounds=1
+    # must RAISE (never silently truncate)
+    edf = spark.createDataFrame([(0, 1, 1), (1, 2, 1)], "src long, dst long, w long")
+    sdf = spark.createDataFrame([(0,)], "node long")
+    with pytest.raises(RuntimeError, match="convergence"):
+        sssp_distances(edf, sdf, max_cost=10, max_rounds=1)

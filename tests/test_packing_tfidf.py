@@ -763,3 +763,27 @@ def test_sft_shard_mask_sidecar_readback(
         write_token_shards(
             bad, str(tmp_path / "bad"), n_shards=1, mask_col="loss_mask"
         )
+
+
+def test_length_bucket_batches_laws(spark, sf_dir):
+    """Bucketing laws: bucket_len is the least boundary >= ws_tokens
+    (cap at the top boundary); within every (bucket, shard) the batch
+    ids are contiguous from 0 with every batch full at batch_size
+    except possibly the last; membership is insertion-order-free
+    (determined by doc_id order)."""
+    from collections import defaultdict
+
+    from sparkswift.operators.packing import length_bucket_batches
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = length_bucket_batches(docs, batch_size=8).collect()
+    bounds = (16, 32, 64, 128, 256)
+    groups = defaultdict(list)
+    for r in out:
+        want_bucket = next((b for b in bounds if r.ws_tokens <= b), 256)
+        assert r.bucket_len == want_bucket, r
+        groups[(r.bucket_len, r.shard)].append((r.doc_id, r.batch_id))
+    for (_, _), members in groups.items():
+        members.sort()
+        for i, (_, batch) in enumerate(members):
+            assert batch == i // 8

@@ -975,3 +975,69 @@ def test_exact_percentiles_nearest_rank(spark, sf_dir):
             vs[math.ceil(p * n) - 1][0] for p in (0.25, 0.75, 0.95)
         )
         assert got[g] == (n, *want), g
+
+
+def test_max_drawdown_matches_pure_python(spark, sf_dir):
+    """max_drawdown == a sequential python fold over each user's
+    (ts, event_id)-ordered series at milli quantization."""
+    from sparkswift.operators.events import max_drawdown
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = ev.select("user_id", "ts", "event_id", "value").collect()
+    series: dict[int, list] = {}
+    for r in rows:
+        series.setdefault(r.user_id, []).append(
+            (r.ts, r.event_id, int(r.value * 1000 // 1))
+        )
+    want = {}
+    for u, seq in series.items():
+        seq.sort()
+        peak = None
+        dd = 0
+        for _, _, v in seq:
+            peak = v if peak is None or v > peak else peak
+            dd = max(dd, peak - v)
+        want[u] = (len(seq), peak, dd, seq[-1][2])
+    got = {
+        r.user_id: (
+            r.n_events,
+            r.peak_scaled,
+            r.max_drawdown_scaled,
+            r.final_scaled,
+        )
+        for r in max_drawdown(ev).collect()
+    }
+    assert got == want
+
+
+def test_group_moments_matches_numpy(spark, sf_dir):
+    """group_moments' derived stats == numpy's population moments on
+    the floor-quantized values (within float tolerance; the s1..s4
+    sums are asserted exactly)."""
+    import math
+
+    import numpy as np
+
+    from sparkswift.operators.profile import group_moments
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = {r.event_type: r for r in group_moments(ev, "value", "event_type").collect()}
+    pdf = ev.select("event_type", "value").toPandas()
+    for et, grp in pdf.groupby("event_type"):
+        v = np.floor(grp["value"].to_numpy()).astype(np.int64)
+        r = out[et]
+        assert r.n == len(v)
+        assert r.s1 == int(v.sum())
+        assert r.s2 == int((v.astype(object) ** 2).sum())
+        assert r.s3 == int((v.astype(object) ** 3).sum())
+        assert r.s4 == int((v.astype(object) ** 4).sum())
+        mu = v.mean()
+        m2 = ((v - mu) ** 2).mean()
+        m3 = ((v - mu) ** 3).mean()
+        m4 = ((v - mu) ** 4).mean()
+        assert math.isclose(r.mean, mu, rel_tol=1e-9)
+        assert math.isclose(r.var_pop, m2, rel_tol=1e-7)
+        assert math.isclose(r.skewness, m3 / m2**1.5, rel_tol=1e-6)
+        assert math.isclose(
+            r.kurtosis_excess, m4 / m2**2 - 3, rel_tol=1e-6
+        )
