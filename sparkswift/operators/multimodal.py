@@ -1162,7 +1162,7 @@ def _parse_jpeg(b: bytes) -> np.ndarray:
                 vals = tuple(payload[p + 17 : p + 17 + n])
                 htabs[(tc, th)] = _jhuff_decode_table(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # baseline/ext-seq/progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # +lossless (SOF3)
             prec, fh, fw, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG unsupported")
@@ -1184,12 +1184,28 @@ def _parse_jpeg(b: bytes) -> np.ndarray:
                         f"non-integer sampling ratio {c['h']}x{c['v']} "
                         f"vs max {hmax}x{vmax} unsupported"
                     )
-            frame = {"h": fh, "w": fw, "comps": comps, "prog": marker == 0xC2}
+            frame = {
+                "h": fh,
+                "w": fw,
+                "comps": comps,
+                "prog": marker == 0xC2,
+                "lossless": marker == 0xC3,
+            }
+            if frame["lossless"] and any(
+                c["h"] != 1 or c["v"] != 1 for c in comps
+            ):
+                raise NotImplementedError(
+                    "subsampled lossless JPEG unsupported (1x1 only)"
+                )
             if frame["prog"]:
                 prog_state = _jprog_init(frame)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"non-baseline JPEG frame (SOF{marker - 0xC0}) unsupported"
+                f"non-baseline JPEG frame (SOF{marker - 0xC0}) unsupported "
+                "(hierarchical and arithmetic-coded modes are honest "
+                "gates: the QM-coder state table cannot be faithfully "
+                "reproduced here without the spec text, and a wrong "
+                "table would be silently non-interoperable)"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", payload[:2])[0]
@@ -1197,6 +1213,35 @@ def _parse_jpeg(b: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = payload[0]
+            if frame.get("lossless"):
+                sel_list = []
+                for i in range(ns):
+                    cs, tt = payload[1 + 2 * i], payload[2 + 2 * i]
+                    ci = next(
+                        j
+                        for j, c in enumerate(frame["comps"])
+                        if c["id"] == cs
+                    )
+                    sel_list.append((ci, tt >> 4))
+                pred_sel = payload[1 + 2 * ns]  # Ss = predictor 1-7
+                if not 1 <= pred_sel <= 7:
+                    raise ValueError(
+                        f"lossless predictor {pred_sel} invalid (1-7)"
+                    )
+                pt = payload[3 + 2 * ns] & 0x0F  # Al = point transform
+                if pt != 0:
+                    raise NotImplementedError(
+                        "lossless point transform Pt>0 unsupported"
+                    )
+                if restart_interval:
+                    raise NotImplementedError(
+                        "restart intervals in lossless scans unsupported"
+                    )
+                if len(sel_list) != len(frame["comps"]):
+                    raise NotImplementedError(
+                        "non-interleaved lossless scans unsupported"
+                    )
+                return _jless_scan(b, nxt, frame, htabs, sel_list, pred_sel)
             if frame.get("prog"):
                 sel_list = []
                 for i in range(ns):
@@ -1940,12 +1985,14 @@ def _decode_image_bytes(b: bytes) -> np.ndarray:
         return _parse_jpeg(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return _parse_gif_frames(b)[0]  # still image = first frame
+    if b[:4] == b"qoif":
+        return _parse_qoi(b)
     raise ValueError(
         "undecodable image payload (real path supports Netpbm P4/P5/P6, "
         "24-bit BMP, the COMPLETE PNG format, GIF [LZW, interlace; "
-        "first frame], baseline TIFF [none/PackBits, both endians], "
-        "and JPEG [baseline + progressive; grayscale and "
-        "4:4:4/4:2:2/4:2:0 YCbCr] — use fake=True for "
+        "first frame], QOI, TIFF [none/LZW+predictor/PackBits, both "
+        "endians], and JPEG [baseline + progressive + lossless SOF3; "
+        "grayscale and 4:4:4/4:2:2/4:2:0 YCbCr] — use fake=True for "
         "plumbing-only runs)"
     )
 
@@ -3324,11 +3371,14 @@ def _parse_tiff(b: bytes) -> np.ndarray:
     bits = tags.get(258, [8] * spp)
     if any(x != 8 for x in bits):
         raise NotImplementedError(f"TIFF bits-per-sample {bits} unsupported (8 only)")
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(
-            f"TIFF compression {comp} unsupported (1=none, 32773=PackBits; "
-            "LZW/CCITT/JPEG-in-TIFF need a full codec pass)"
+            f"TIFF compression {comp} unsupported (1=none, 5=LZW, "
+            "32773=PackBits; CCITT/JPEG-in-TIFF need a full codec pass)"
         )
+    predictor = tags.get(317, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
     if photo not in (0, 1, 2) or (photo == 2) != (spp >= 3):
         raise NotImplementedError(
             f"TIFF photometric {photo} with {spp} samples unsupported"
@@ -3340,10 +3390,15 @@ def _parse_tiff(b: bytes) -> np.ndarray:
         rows_here = min(rps, h - si * rps)
         if comp == 32773:
             strip = _packbits_decode(strip, rows_here * w * spp)
+        elif comp == 5:
+            strip = _tiff_lzw_decode(strip, rows_here * w * spp)
         raw += strip
     px = np.frombuffer(bytes(raw), np.uint8, count=h * w * spp).reshape(
         h, w, spp
     )
+    if predictor == 2:  # horizontal differencing: per-row, per-channel
+        px = np.cumsum(px.astype(np.int64), axis=1, dtype=np.int64)
+        px = (px % 256).astype(np.uint8)
     if photo == 2:
         return px[:, :, :3]  # extra samples (alpha) dropped per baseline
     g = px[:, :, 0]
@@ -3358,13 +3413,16 @@ def encode_tiff(
     endian: str = "<",
     rows_per_strip: int = 3,
     white_is_zero: bool = False,
+    predictor: int = 1,
 ) -> bytes:
     """Minimal baseline TIFF writer — the synth + round-trip
     counterpart of :func:`_parse_tiff`: (h, w, 1) gray or (h, w, 3)
-    RGB uint8, either byte order, strip layout, compression 'none' or
-    'packbits'; ``white_is_zero`` stores inverted gray with
+    RGB uint8, either byte order, strip layout, compression 'none',
+    'lzw' or 'packbits'; ``white_is_zero`` stores inverted gray with
     photometric 0 (the fax polarity) so the decoder's re-inversion is
-    load-bearing."""
+    load-bearing; ``predictor=2`` stores per-row horizontal
+    differences (tag 317 — what real LZW writers emit, making LZW
+    strings out of gradients)."""
     e = endian
     if e not in ("<", ">"):
         raise ValueError("endian must be '<' or '>'")
@@ -3377,11 +3435,22 @@ def encode_tiff(
     data = px
     if white_is_zero:
         data = (255 - px.astype(np.int16)).astype(np.uint8)
-    comp = {"none": 1, "packbits": 32773}[compression]
+    comp = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    if predictor not in (1, 2):
+        raise ValueError("predictor must be 1 (none) or 2 (horizontal)")
+    if predictor == 2:
+        d = data.astype(np.int16)
+        data = np.concatenate(
+            [d[:, :1], (d[:, 1:] - d[:, :-1]) % 256], axis=1
+        ).astype(np.uint8)
     strips = []
     for y0 in range(0, h, rows_per_strip):
         sb = data[y0 : y0 + rows_per_strip].tobytes()
-        strips.append(_packbits_encode(sb) if comp == 32773 else sb)
+        if comp == 32773:
+            sb = _packbits_encode(sb)
+        elif comp == 5:
+            sb = _tiff_lzw_encode(sb)
+        strips.append(sb)
     hdr = (b"II*\x00" if e == "<" else b"MM\x00*") + struct.pack(e + "I", 8)
     body = bytearray(hdr)
     offsets = []
@@ -3395,7 +3464,8 @@ def encode_tiff(
 
     entries: list[bytes] = []
     extra = bytearray()
-    extra_base = ifd_off + 2 + 12 * 9 + 4
+    n_entries = 9 + (1 if predictor == 2 else 0)
+    extra_base = ifd_off + 2 + 12 * n_entries + 4
 
     def entry(tag: int, typ: int, vals: list[int]):
         fmt = {3: "H", 4: "I"}[typ]
@@ -3422,7 +3492,9 @@ def encode_tiff(
     entry(277, 3, [spp])
     entry(278, 4, [rows_per_strip])
     entry(279, 4, [len(s) for s in strips])
-    assert len(entries) == 9
+    if predictor == 2:
+        entry(317, 3, [2])
+    assert len(entries) == n_entries
     body += struct.pack(e + "H", len(entries))
     for en in entries:
         body += en
@@ -3479,6 +3551,554 @@ def synth_tiff_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.struct(
             F.lit("image").alias("modality"),
             F.lit("image/tiff").alias("mime"),
+            (5 + F.col(id_col) % 8).cast("int").alias("width"),
+            (4 + F.col(id_col) % 5).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# QOI — the "Quite OK Image" format (public one-page spec,
+# qoiformat.org / Dominic Szablewski 2021): byte-aligned lossless RGB/
+# RGBA with six ops. A real modern interchange format (stb-adjacent
+# tooling), and the simplest codec whose compression is CONTEXTUAL
+# (64-slot recency hash + previous-pixel diffs), unlike RLE-only
+# PackBits.
+# ---------------------------------------------------------------------------
+def _qoi_hash(r: int, g: int, b: int, a: int) -> int:
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def encode_qoi(px: np.ndarray) -> bytes:
+    """QOI encoder: (h, w, 3|4) uint8 → bytes. The standard greedy
+    op choice (run → index → diff → luma → rgb/rgba), each op per
+    the spec's bias rules (run stores len−1 in 0..61; DIFF stores
+    channel diffs +2 in 2 bits; LUMA stores dg+32 then (dr−dg)+8 /
+    (db−dg)+8)."""
+    h, w, ch = px.shape
+    if ch not in (3, 4) or px.dtype != np.uint8:
+        raise ValueError("need (h, w, 3|4) uint8")
+    out = bytearray(b"qoif" + struct.pack(">IIBB", w, h, ch, 0))
+    index = [(0, 0, 0, 0)] * 64
+    pr, pg, pb, pa = 0, 0, 0, 255
+    run = 0
+    flat = px.reshape(-1, ch)
+    for row in flat:
+        r, g, b = int(row[0]), int(row[1]), int(row[2])
+        a = int(row[3]) if ch == 4 else 255
+        if (r, g, b, a) == (pr, pg, pb, pa):
+            run += 1
+            if run == 62:  # 62/63 tags collide with RGB/RGBA
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        k = _qoi_hash(r, g, b, a)
+        if index[k] == (r, g, b, a):
+            out.append(k)  # QOI_OP_INDEX (0b00xxxxxx)
+        elif a == pa:
+            dr = (r - pr + 128) % 256 - 128
+            dg = (g - pg + 128) % 256 - 128
+            db = (b - pb + 128) % 256 - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            elif (
+                -32 <= dg <= 31
+                and -8 <= dr - dg <= 7
+                and -8 <= db - dg <= 7
+            ):
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out += bytes((0xFE, r, g, b))
+        else:
+            out += bytes((0xFF, r, g, b, a))
+        index[k] = (r, g, b, a)
+        pr, pg, pb, pa = r, g, b, a
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"  # end marker
+    return bytes(out)
+
+
+def _parse_qoi(b: bytes) -> np.ndarray:
+    """QOI decoder → (h, w, 3|4) uint8. Wrap-around byte arithmetic
+    throughout (the spec's diffs are mod-256); the index is updated
+    after EVERY decoded pixel."""
+    if b[:4] != b"qoif":
+        raise ValueError("not a QOI payload")
+    w, h, ch, _cs = struct.unpack_from(">IIBB", b, 4)
+    if ch not in (3, 4):
+        raise ValueError(f"QOI channels {ch} invalid (3 or 4)")
+    n = h * w
+    out = np.zeros((n, ch), dtype=np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    r, g, b_, a = 0, 0, 0, 255
+    pos = 14
+    i = 0
+    while i < n:
+        op = b[pos]
+        pos += 1
+        if op == 0xFE:  # RGB
+            r, g, b_ = b[pos], b[pos + 1], b[pos + 2]
+            pos += 3
+        elif op == 0xFF:  # RGBA
+            r, g, b_, a = b[pos], b[pos + 1], b[pos + 2], b[pos + 3]
+            pos += 4
+        elif op >> 6 == 0:  # INDEX
+            r, g, b_, a = index[op]
+        elif op >> 6 == 1:  # DIFF
+            r = (r + ((op >> 4) & 3) - 2) % 256
+            g = (g + ((op >> 2) & 3) - 2) % 256
+            b_ = (b_ + (op & 3) - 2) % 256
+        elif op >> 6 == 2:  # LUMA
+            dg = (op & 0x3F) - 32
+            nx = b[pos]
+            pos += 1
+            r = (r + dg + ((nx >> 4) & 0x0F) - 8) % 256
+            g = (g + dg) % 256
+            b_ = (b_ + dg + (nx & 0x0F) - 8) % 256
+        else:  # RUN
+            run = (op & 0x3F) + 1
+            px = (r, g, b_, a)[:ch]
+            out[i : i + run] = px
+            i += run
+            index[_qoi_hash(r, g, b_, a)] = (r, g, b_, a)
+            continue
+        index[_qoi_hash(r, g, b_, a)] = (r, g, b_, a)
+        out[i] = (r, g, b_, a)[:ch]
+        i += 1
+    if b[pos : pos + 8] != b"\x00" * 7 + b"\x01":
+        raise ValueError("QOI end marker missing/misplaced")
+    return out.reshape(h, w, ch)
+
+
+def synth_qoi_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a VALID QOI image per row, rotating patterns that
+    make every op family load-bearing (all lossless id arithmetic):
+    id mod 4 ->
+    0: RGB gradient px=( (3i+5x+11y)%256, +1, +2 ch offsets via 7c )
+       — small steps exercise DIFF/LUMA, jumps exercise RGB;
+    1: RGB row-constant (5i+13y+7c)%256 — long RUNs;
+    2: RGB 4-colour palette k=(x+y+i)%4, colour=(3i+17k+7c)%256 —
+       INDEX hits dominate;
+    3: RGBA gradient with a=(7i+x+3y)%256 — the RGBA op + alpha mean."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            w, h = 5 + i % 8, 4 + i % 5
+            mode = i % 4
+            xx, yy = np.meshgrid(
+                np.arange(w, dtype=np.int64), np.arange(h, dtype=np.int64)
+            )
+            c = np.arange(3, dtype=np.int64)[None, None, :]
+            if mode == 0:
+                px = (
+                    (3 * i + 5 * xx[:, :, None] + 11 * yy[:, :, None] + 7 * c)
+                    % 256
+                ).astype(np.uint8)
+                return encode_qoi(px)
+            if mode == 1:
+                px = (
+                    (5 * i + 13 * yy[:, :, None] + 7 * c) % 256
+                ).astype(np.uint8) * np.ones((1, w, 1), np.uint8)
+                return encode_qoi(px)
+            if mode == 2:
+                k = (xx + yy + i) % 4
+                px = ((3 * i + 17 * k[:, :, None] + 7 * c) % 256).astype(
+                    np.uint8
+                )
+                return encode_qoi(px)
+            rgb = (
+                (3 * i + 5 * xx[:, :, None] + 11 * yy[:, :, None] + 7 * c)
+                % 256
+            ).astype(np.uint8)
+            a = ((7 * i + xx + 3 * yy) % 256).astype(np.uint8)
+            return encode_qoi(np.dstack([rgb, a]))
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("image/qoi").alias("mime"),
+            (5 + F.col(id_col) % 8).cast("int").alias("width"),
+            (4 + F.col(id_col) % 5).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TIFF LZW (compression 5, TIFF 6.0 §13 — public): 8-bit-symbol LZW,
+# codes packed MSB-first, ClearCode 256 / EOI 257 / first entry 258,
+# with the notorious EARLY CHANGE: the code width grows when the
+# table's next free slot reaches 2^w − 1 (511/1023/2047) — one code
+# earlier than GIF's grows-when-next_free-hits-2^w rule (PDF's
+# LZWDecode EarlyChange=1 is the same convention). The decoder
+# reconstructs the table one add BEHIND the encoder, so its bump
+# fires when ITS next free slot reaches 2^w − 2 — the offset pair is
+# derived in the code comments and fuzz-certified across every width
+# boundary and the 4094-entry Clear reset.
+# ---------------------------------------------------------------------------
+class _MsbBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, width: int) -> None:
+        self.acc = (self.acc << width) | code
+        self.n += width
+        while self.n >= 8:
+            self.out.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.out.append((self.acc << (8 - self.n)) & 0xFF)
+            self.n = 0
+        return bytes(self.out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    CLEAR, EOI = 256, 257
+    bw = _MsbBitWriter()
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_free, width = 258, 9
+    bw.put(CLEAR, width)
+    omega = b""
+    for ch in data:
+        cand = omega + bytes([ch])
+        if cand in table:
+            omega = cand
+            continue
+        bw.put(table[omega], width)
+        table[cand] = next_free
+        next_free += 1
+        if next_free == (1 << width) - 1 and width < 12:  # early change
+            width += 1
+        omega = bytes([ch])
+        if next_free == 4094:  # table (nearly) full: flush + reset
+            bw.put(table[omega], width)
+            bw.put(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_free, width = 258, 9
+            omega = b""
+    if omega:
+        bw.put(table[omega], width)
+        next_free += 1  # the decoder will add an entry for this code
+        if next_free == (1 << width) - 1 and width < 12:
+            width += 1
+    bw.put(EOI, width)
+    return bw.flush()
+
+
+def _tiff_lzw_decode(b: bytes, expected: int) -> bytes:
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    acc = n = pos = 0
+    old: bytes | None = None
+
+    def next_code() -> int:
+        nonlocal acc, n, pos
+        while n < width:
+            if pos >= len(b):
+                raise ValueError("TIFF LZW stream truncated (no EOI)")
+            acc = (acc << 8) | b[pos]
+            pos += 1
+            n += 8
+        n -= width
+        code = (acc >> n) & ((1 << width) - 1)
+        acc &= (1 << n) - 1
+        return code
+
+    while True:
+        code = next_code()
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = table[:258]
+            width = 9
+            old = None
+            continue
+        if old is None:  # first code after (implicit) Clear: a literal
+            if code > 255:
+                raise ValueError(f"TIFF LZW: bad first code {code}")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(old + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = old + old[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"TIFF LZW: code {code} beyond table")
+        out += entry
+        old = entry
+        # width bump: the encoder bumps when ITS next_free (one add
+        # AHEAD of ours — it adds on the emit that produced this
+        # code, we add on the next one) reaches 2^w − 1, so ours
+        # fires at 2^w − 2: both engines widen before the same code
+        # index (fuzz-pinned across 9→10→11→12)
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+        if len(out) >= expected:
+            break  # EOI (or pad bits) follow; strip length rules
+    if len(out) != expected:
+        raise ValueError(
+            f"TIFF LZW strip decodes {len(out)} bytes, expected {expected}"
+        )
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# LOSSLESS JPEG (SOF3, T.81 Annex H — public): predictive coding, a
+# genuinely distinct JPEG mode (no DCT, no quantization — bit-exact
+# pixels) still used in DICOM/medical and raw-camera pipelines. The
+# diff stream rides the SAME canonical Huffman DC machinery as the
+# sequential modes; prediction is the Annex-H three-neighbor rule set
+# (predictors 1-7) with the spec's boundary cases: first sample
+# predicts 2^(P−1), the rest of the first line predicts Ra, the first
+# column predicts Rb. Differences are mod-2^16 (the decoder masks;
+# SSSS=16 carries no magnitude bits). Honest gates: point transform
+# Pt>0, restart intervals in lossless scans, precisions ≠ 8.
+# ---------------------------------------------------------------------------
+def _jless_predict(plane: np.ndarray, x: int, y: int, predictor: int) -> int:
+    if y == 0:
+        return 128 if x == 0 else int(plane[0, x - 1])
+    if x == 0:
+        return int(plane[y - 1, 0])
+    ra = int(plane[y, x - 1])
+    rb = int(plane[y - 1, x])
+    rc = int(plane[y - 1, x - 1])
+    if predictor == 1:
+        return ra
+    if predictor == 2:
+        return rb
+    if predictor == 3:
+        return rc
+    if predictor == 4:
+        return ra + rb - rc
+    if predictor == 5:
+        return ra + ((rb - rc) >> 1)
+    if predictor == 6:
+        return rb + ((ra - rc) >> 1)
+    if predictor == 7:
+        return (ra + rb) >> 1
+    raise ValueError(f"lossless predictor {predictor} invalid (1-7)")
+
+
+def encode_jpeg_lossless(
+    planes: list[np.ndarray], predictor: int = 1
+) -> bytes:
+    """Lossless-JPEG writer (SOF3): 1 or 3 same-size uint8 planes,
+    one interleaved scan (all sampling 1×1 — one sample per component
+    per MCU), shared DC Huffman table, selected predictor 1-7. Three
+    components are written as-is (lossless JPEG mandates no colour
+    transform; this writer's convention is RGB in, RGB out)."""
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1-7")
+    if len(planes) not in (1, 3):
+        raise ValueError("need 1 or 3 component planes")
+    h, w = planes[0].shape
+    for p in planes:
+        if p.shape != (h, w) or p.dtype != np.uint8:
+            raise ValueError("planes must share (h, w) and be uint8")
+    dc_tab = _jhuff_encode_table(_JDC_BITS, _JDC_VALS)
+    bw = _JBitWriter()
+    iplanes = [p.astype(np.int64) for p in planes]
+    for y in range(h):
+        for x in range(w):
+            for p in iplanes:
+                d = int(p[y, x]) - _jless_predict(p, x, y, predictor)
+                d = ((d + 32768) & 0xFFFF) - 32768  # mod-2^16, signed
+                cat = _jmagnitude(d)
+                code, ln = dc_tab[cat]
+                bw.put(code, ln)
+                if cat:
+                    bw.put(d if d >= 0 else d + (1 << cat) - 1, cat)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return (
+            bytes([0xFF, marker])
+            + struct.pack(">H", len(payload) + 2)
+            + payload
+        )
+
+    nc = len(planes)
+    out = b"\xff\xd8"
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        sof += bytes([i + 1, 0x11, 0])  # id, 1x1 sampling, (no qtable)
+    out += seg(0xC3, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(_JDC_BITS) + bytes(_JDC_VALS))
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += bytes([i + 1, 0x00])  # all components use DC table 0
+    sos += bytes([predictor, 0, 0x00])  # Ss=predictor, Se=0, AhAl=0
+    out += seg(0xDA, sos)
+    return out + scan + b"\xff\xd9"
+
+
+def _jless_scan(
+    b: bytes,
+    pos: int,
+    frame: dict,
+    htabs: dict,
+    sel_list: list[tuple[int, int]],
+    predictor: int,
+) -> np.ndarray:
+    """Decode a lossless (SOF3) scan → (h, w, 3) uint8."""
+    h, w = frame["h"], frame["w"]
+    br = _JBitReader(b, pos)
+
+    def huffval(table: dict) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | br.bit()
+            if (ln, code) in table:
+                return table[(ln, code)]
+        raise ValueError("invalid Huffman code in lossless scan")
+
+    planes = [np.zeros((h, w), dtype=np.int64) for _ in sel_list]
+    tabs = []
+    for _, tid in sel_list:
+        t = htabs.get((0, tid))
+        if t is None:
+            raise ValueError(f"lossless scan references missing DC table {tid}")
+        tabs.append(t)
+    for y in range(h):
+        for x in range(w):
+            for k, (_ci, _tid) in enumerate(sel_list):
+                cat = huffval(tabs[k])
+                if cat == 16:  # SSSS=16: difference 32768, no bits
+                    d = 32768
+                elif cat:
+                    d = _jextend(br.bits(cat), cat)
+                else:
+                    d = 0
+                p = planes[k]
+                p[y, x] = (_jless_predict(p, x, y, predictor) + d) & 0xFFFF
+    px = np.stack(planes, axis=2)
+    if px.max() > 255:
+        raise ValueError("lossless scan reconstructs out-of-range samples")
+    px = px.astype(np.uint8)
+    if px.shape[2] == 1:
+        return np.repeat(px, 3, axis=2)
+    if px.shape[2] == 3:
+        return px  # no colour transform in lossless JPEG — RGB as-is
+    raise NotImplementedError(
+        f"{px.shape[2]}-component lossless JPEG unsupported"
+    )
+
+
+def synth_tiff_lzw_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a VALID LZW-compressed TIFF per row (all lossless id
+    arithmetic; 3-row strips): id mod 4 ->
+    0: RGB, LZW + horizontal predictor, little-endian —
+       px_c = (3i+17x+29y+7c)%256 (row gradients: the predictor turns
+       them into constant diffs, making tag 317 load-bearing);
+    1: GRAY, LZW, no predictor, BIG-endian — row-constant
+       g = (5i+13y)%256 (long runs — LZW string growth);
+    2: RGB, LZW + predictor, big-endian — 16-value diagonal palette
+       px_c = (3i+17k+7c)%256, k=(x+2y+i)%16;
+    3: GRAY, LZW + predictor, little-endian, WHITE-IS-ZERO —
+       g = (3i+5x+11y)%256 (inversion + predictor composed)."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            w, h = 5 + i % 8, 4 + i % 5
+            mode = i % 4
+            xx, yy = np.meshgrid(
+                np.arange(w, dtype=np.int64), np.arange(h, dtype=np.int64)
+            )
+            c = np.arange(3, dtype=np.int64)[None, None, :]
+            if mode == 0:
+                px = (
+                    (3 * i + 17 * xx[:, :, None] + 29 * yy[:, :, None] + 7 * c)
+                    % 256
+                ).astype(np.uint8)
+                return encode_tiff(px, "lzw", "<", predictor=2)
+            if mode == 1:
+                g = ((5 * i + 13 * yy) % 256).astype(np.uint8)
+                return encode_tiff(g[:, :, None], "lzw", ">")
+            if mode == 2:
+                k = (xx + 2 * yy + i) % 16
+                px = ((3 * i + 17 * k[:, :, None] + 7 * c) % 256).astype(
+                    np.uint8
+                )
+                return encode_tiff(px, "lzw", ">", predictor=2)
+            g = ((3 * i + 5 * xx + 11 * yy) % 256).astype(np.uint8)
+            return encode_tiff(
+                g[:, :, None], "lzw", "<", white_is_zero=True, predictor=2
+            )
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("image/tiff").alias("mime"),
+            (5 + F.col(id_col) % 8).cast("int").alias("width"),
+            (4 + F.col(id_col) % 5).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ),
+    )
+
+
+def synth_jpeg_lossless_payload(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize a VALID lossless JPEG (SOF3) per row: id mod 8 = 0 →
+    3-component RGB with predictor 7, px_c = (3i+5x+11y+7c)%256;
+    otherwise grayscale with predictor = id mod 8 (1-7 all run
+    corpus-wide), g = (3i+5x+11y)%256. Lossless ⇒ exact
+    id-arithmetic channel means."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            w, h = 5 + i % 8, 4 + i % 5
+            mode = i % 8
+            xx, yy = np.meshgrid(
+                np.arange(w, dtype=np.int64), np.arange(h, dtype=np.int64)
+            )
+            if mode == 0:
+                planes = [
+                    ((3 * i + 5 * xx + 11 * yy + 7 * c) % 256).astype(
+                        np.uint8
+                    )
+                    for c in range(3)
+                ]
+                return encode_jpeg_lossless(planes, predictor=7)
+            g = ((3 * i + 5 * xx + 11 * yy) % 256).astype(np.uint8)
+            return encode_jpeg_lossless([g], predictor=mode)
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("image/jpeg").alias("mime"),
             (5 + F.col(id_col) % 8).cast("int").alias("width"),
             (4 + F.col(id_col) % 5).cast("int").alias("height"),
             F.lit(None).cast("int").alias("sample_rate"),

@@ -892,9 +892,13 @@ _WINDOW = [
     "agg26_group_moments",
     "g9_sssp_weighted",
     "p33_length_buckets",
-    # --- (5) the r7-stale cohort (next stalest in the ledger) ---
-    "agg16_heavy_hitters_gate",
-    "agg2_gate",
+    # --- (5) third-session codecs (displacing the last two r7-stale
+    # gates agg16_heavy_hitters_gate / agg2_gate to the r13 seed;
+    # mm19_jpeg_lossless_decode_real and any later third-session
+    # queries stay in the TAIL — locally swept — and head the r13
+    # seed, so the entire ≤r5 cohort above keeps its window slots) ---
+    "mm17_qoi_decode_real",
+    "mm18_tiff_lzw_decode_real",
 ]
 
 

@@ -4284,3 +4284,180 @@ def p33_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_bucket_batches(
         docs, boundaries=(16, 32, 64, 128, 256), batch_size=8
     )
+
+
+# ---------------------------------------------------------------------------
+# mm17 — QOI decode (the "Quite OK Image" format, qoiformat.org —
+# public one-page spec, zero deps): a FIFTH still-image family, and
+# the first whose compression is CONTEXTUAL (64-slot recency hash +
+# previous-pixel DIFF/LUMA deltas) rather than run- or
+# dictionary-based. synth_qoi_payload rotates four patterns so every
+# op is load-bearing (gradient → DIFF/LUMA/RGB, row-constant → RUN
+# incl. the 62-length cap, 4-colour palette → INDEX, RGBA gradient →
+# the RGBA op + a real alpha mean). Lossless ⇒ exact id-arithmetic
+# channel means; mean_a is 0 for RGB images (the decoder returns 3
+# channels; feat padding) and the alpha formula for mode 3.
+# ---------------------------------------------------------------------------
+@register(
+    "mm17_qoi_decode_real",
+    """
+    WITH xs AS (SELECT unnest([0,1,2,3,4,5,6,7,8,9,10,11]) AS x),
+         ys AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS y),
+         p AS (SELECT doc_id,
+                      CAST(5 + doc_id % 8 AS INT) AS w,
+                      CAST(4 + doc_id % 5 AS INT) AS h,
+                      doc_id % 4 AS mode
+               FROM documents),
+         px AS (
+           SELECT doc_id, w, h, mode,
+                  CASE WHEN mode = 1 THEN (5 * doc_id + 13 * y) % 256
+                       WHEN mode = 2
+                       THEN (3 * doc_id + 17 * ((x + y + doc_id) % 4)) % 256
+                       ELSE (3 * doc_id + 5 * x + 11 * y) % 256 END AS r,
+                  CASE WHEN mode = 1 THEN (5 * doc_id + 13 * y + 14) % 256
+                       WHEN mode = 2
+                       THEN (3 * doc_id + 17 * ((x + y + doc_id) % 4) + 14)
+                            % 256
+                       ELSE (3 * doc_id + 5 * x + 11 * y + 14) % 256 END AS b,
+                  CASE WHEN mode = 3 THEN (7 * doc_id + x + 3 * y) % 256
+                       ELSE 0 END AS a
+           FROM p JOIN xs ON x < w JOIN ys ON y < h
+         )
+    SELECT doc_id AS id, w AS width, h AS height,
+           AVG(CAST(r AS DOUBLE)) AS mean_r,
+           AVG(CAST(b AS DOUBLE)) AS mean_b,
+           AVG(CAST(a AS DOUBLE)) AS mean_a
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def mm17_qoi_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    wp = mm.synth_qoi_payload(docs, "doc_id")
+    out = mm.decode_image(wp, "doc_id", "payload", fake=False, feat_dim=6)
+    return out.select(
+        "id",
+        F.col("feat")[0].cast("int").alias("width"),
+        F.col("feat")[1].cast("int").alias("height"),
+        F.col("feat")[2].alias("mean_r"),
+        F.col("feat")[4].alias("mean_b"),
+        F.col("feat")[5].alias("mean_a"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mm18 — LZW-compressed TIFF decode (closes mm16's stated LZW gate):
+# TIFF 6.0 §13 LZW with the notorious EARLY-CHANGE width rule
+# (9→10→11→12-bit codes one code earlier than GIF; 4094-entry Clear
+# reset) + the horizontal-differencing predictor (tag 317) real LZW
+# writers emit — gradients become constant diff streams, so the
+# predictor is COMPRESSION-load-bearing (9× on the 200×100 pytest
+# gradient), and WhiteIsZero composes with it in mode 3. Lossless ⇒
+# exact id-arithmetic channel means.
+# ---------------------------------------------------------------------------
+@register(
+    "mm18_tiff_lzw_decode_real",
+    """
+    WITH xs AS (SELECT unnest([0,1,2,3,4,5,6,7,8,9,10,11]) AS x),
+         ys AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS y),
+         p AS (SELECT doc_id,
+                      CAST(5 + doc_id % 8 AS INT) AS w,
+                      CAST(4 + doc_id % 5 AS INT) AS h,
+                      doc_id % 4 AS mode
+               FROM documents),
+         px AS (
+           SELECT doc_id, w, h, mode,
+                  CASE WHEN mode = 0
+                       THEN (3 * doc_id + 17 * x + 29 * y) % 256
+                       WHEN mode = 1 THEN (5 * doc_id + 13 * y) % 256
+                       WHEN mode = 2
+                       THEN (3 * doc_id + 17 * ((x + 2 * y + doc_id) % 16))
+                            % 256
+                       ELSE (3 * doc_id + 5 * x + 11 * y) % 256 END AS r,
+                  CASE WHEN mode = 0
+                       THEN (3 * doc_id + 17 * x + 29 * y + 14) % 256
+                       WHEN mode = 1 THEN (5 * doc_id + 13 * y) % 256
+                       WHEN mode = 2
+                       THEN (3 * doc_id + 17 * ((x + 2 * y + doc_id) % 16)
+                             + 14) % 256
+                       ELSE (3 * doc_id + 5 * x + 11 * y) % 256 END AS b
+           FROM p JOIN xs ON x < w JOIN ys ON y < h
+         )
+    SELECT doc_id AS id, w AS width, h AS height,
+           AVG(CAST(r AS DOUBLE)) AS mean_r,
+           AVG(CAST(b AS DOUBLE)) AS mean_b
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def mm18_tiff_lzw_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    wp = mm.synth_tiff_lzw_payload(docs, "doc_id")
+    out = mm.decode_image(wp, "doc_id", "payload", fake=False, feat_dim=5)
+    return out.select(
+        "id",
+        F.col("feat")[0].cast("int").alias("width"),
+        F.col("feat")[1].cast("int").alias("height"),
+        F.col("feat")[2].alias("mean_r"),
+        F.col("feat")[4].alias("mean_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mm19 — LOSSLESS JPEG decode (SOF3, T.81 Annex H — the predictive
+# mode still used in DICOM/raw-camera pipelines; no DCT, bit-exact
+# pixels): all seven Annex-H predictors run corpus-wide (id mod 8 =
+# 1-7 grayscale; 0 = 3-component RGB with predictor 7 — lossless
+# JPEG mandates no colour transform, certifying the decoder does NOT
+# apply the YCbCr matrix here), with the spec's first-row/first-
+# column prediction boundary cases on every image. Honest gates:
+# point transform Pt>0, restarts in lossless scans, hierarchical/
+# arithmetic modes. Lossless ⇒ exact id-arithmetic channel means.
+# ---------------------------------------------------------------------------
+@register(
+    "mm19_jpeg_lossless_decode_real",
+    """
+    WITH xs AS (SELECT unnest([0,1,2,3,4,5,6,7,8,9,10,11]) AS x),
+         ys AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS y),
+         p AS (SELECT doc_id,
+                      CAST(5 + doc_id % 8 AS INT) AS w,
+                      CAST(4 + doc_id % 5 AS INT) AS h,
+                      doc_id % 8 AS mode
+               FROM documents),
+         px AS (
+           SELECT doc_id, w, h, mode,
+                  (3 * doc_id + 5 * x + 11 * y) % 256 AS r,
+                  CASE WHEN mode = 0
+                       THEN (3 * doc_id + 5 * x + 11 * y + 14) % 256
+                       ELSE (3 * doc_id + 5 * x + 11 * y) % 256 END AS b
+           FROM p JOIN xs ON x < w JOIN ys ON y < h
+         )
+    SELECT doc_id AS id, w AS width, h AS height,
+           AVG(CAST(r AS DOUBLE)) AS mean_r,
+           AVG(CAST(b AS DOUBLE)) AS mean_b
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def mm19_jpeg_lossless_decode_real(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    wp = mm.synth_jpeg_lossless_payload(docs, "doc_id")
+    out = mm.decode_image(wp, "doc_id", "payload", fake=False, feat_dim=5)
+    return out.select(
+        "id",
+        F.col("feat")[0].cast("int").alias("width"),
+        F.col("feat")[1].cast("int").alias("height"),
+        F.col("feat")[2].alias("mean_r"),
+        F.col("feat")[4].alias("mean_b"),
+    )

@@ -1850,7 +1850,10 @@ def test_jpeg_decoder_gates_nonbaseline():
     good = encode_jpeg_gray(px)
     bad = bytearray(good)
     i = bytes(bad).find(b"\xff\xc0")
-    bad[i + 1] = 0xC3  # SOF0 -> SOF3 (lossless — still gated)
+    bad[i + 1] = 0xC5  # SOF0 -> SOF5 (hierarchical — gated)
+    with _pytest.raises(NotImplementedError, match="non-baseline"):
+        _parse_jpeg(bytes(bad))
+    bad[i + 1] = 0xC9  # arithmetic-coded sequential — gated
     with _pytest.raises(NotImplementedError, match="non-baseline"):
         _parse_jpeg(bytes(bad))
     with _pytest.raises(ValueError):
@@ -3183,8 +3186,9 @@ def test_png_grayscale_family_roundtrips():
 def test_tiff_roundtrips_and_gates():
     """mm16: PackBits fuzz (runs-rich and random payloads), gray/RGB
     round-trips under both byte orders and both compressions,
-    WhiteIsZero re-inversion, and loud gates (LZW compression,
-    non-8-bit samples)."""
+    WhiteIsZero re-inversion, and loud gates (JPEG-in-TIFF
+    compression, non-8-bit samples). LZW (compression 5) is REAL as
+    of mm18 — its round-trips live in test_tiff_lzw_* below."""
     import struct
 
     import numpy as np
@@ -3230,9 +3234,192 @@ def test_tiff_roundtrips_and_gates():
                 struct.pack_into("<H", out, off + 8, val)
         return bytes(out)
 
-    with _pytest.raises(NotImplementedError, match="compression 5"):
-        _parse_tiff(set_tag_value(base, 259, 5))  # LZW
+    with _pytest.raises(NotImplementedError, match="compression 7"):
+        _parse_tiff(set_tag_value(base, 259, 7))  # JPEG-in-TIFF
     with _pytest.raises(NotImplementedError, match="bits-per-sample"):
         _parse_tiff(set_tag_value(base, 258, 16))
     with _pytest.raises(ValueError, match="not a TIFF"):
         _parse_tiff(b"XX00" + base[4:])
+
+
+def test_qoi_roundtrip_fuzz_and_handbuilt_stream():
+    """mm17: QOI round-trips on random / constant / palette / gradient
+    / sparse-jump images (3 and 4 channels), the 62-run-length cap,
+    and a HAND-BUILT spec stream (independent of the encoder — one op
+    of each of RGB / RUN / LUMA plus the implicit (0,0,0,255) start
+    state) decodes to the expected pixels."""
+    import random
+    import struct as _struct
+
+    import numpy as np
+
+    from sparkswift.operators.multimodal import _parse_qoi, encode_qoi
+
+    rng = np.random.default_rng(7)
+    random.seed(7)
+    for trial in range(800):
+        h, w = random.randrange(1, 9), random.randrange(1, 9)
+        ch = random.choice([3, 4])
+        kind = trial % 5
+        if kind == 0:
+            px = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        elif kind == 1:
+            px = np.full((h, w, ch), rng.integers(0, 256), dtype=np.uint8)
+        elif kind == 2:
+            pal = rng.integers(0, 256, (4, ch), dtype=np.uint8)
+            px = pal[rng.integers(0, 4, (h, w))]
+        elif kind == 3:
+            base = rng.integers(0, 256, ch, dtype=np.int64)
+            xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+            px = (
+                (base[None, None, :] + xx[:, :, None] + 2 * yy[:, :, None])
+                % 256
+            ).astype(np.uint8)
+        else:
+            px = np.full((h, w, ch), 100, dtype=np.uint8)
+            for _ in range(3):
+                px[random.randrange(h), random.randrange(w)] = rng.integers(
+                    0, 256, ch, dtype=np.uint8
+                )
+        back = _parse_qoi(encode_qoi(px))
+        assert back.shape == px.shape and (back == px).all(), (trial, kind)
+    for n in (61, 62, 63, 124, 125):  # RUN cap boundaries
+        px = np.full((1, n, 3), 9, dtype=np.uint8)
+        assert (_parse_qoi(encode_qoi(px)) == px).all(), n
+
+    # hand-built stream (spec, not our encoder): 2x2 RGB =
+    # (128,0,0) via OP_RGB; repeat via OP_RUN(1); (0,0,0) via OP_RGB;
+    # (1,2,3) via OP_LUMA dg=+2 (0x80|34), dr-dg=-1 / db-dg=+1 (0x79)
+    stream = (
+        b"qoif"
+        + _struct.pack(">IIBB", 2, 2, 3, 0)
+        + bytes([0xFE, 128, 0, 0])
+        + bytes([0xC0])
+        + bytes([0xFE, 0, 0, 0])
+        + bytes([0x80 | 34, 0x79])
+        + b"\x00" * 7
+        + b"\x01"
+    )
+    want = np.array(
+        [[[128, 0, 0], [128, 0, 0]], [[0, 0, 0], [1, 2, 3]]], dtype=np.uint8
+    )
+    assert (_parse_qoi(stream) == want).all()
+
+
+def test_tiff_lzw_roundtrip_and_predictor():
+    """mm18: TIFF-LZW round-trips across the 9->10->11->12-bit
+    early-change width boundaries and the 4094-entry Clear reset
+    (60k-byte noise forces several), small alphabets and constant
+    runs; full-container round-trips under both endians with and
+    without the horizontal predictor; the predictor is COMPRESSION-
+    load-bearing on a gradient (strictly smaller output)."""
+    import random
+
+    import numpy as np
+
+    from sparkswift.operators.multimodal import (
+        _parse_tiff,
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(11)
+    random.seed(11)
+    for trial in range(300):
+        kind = trial % 5
+        n = (
+            random.randrange(1, 3000)
+            if kind < 3
+            else random.randrange(4000, 20000)
+        )
+        if kind in (0, 3):
+            data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        elif kind in (1, 4):
+            data = (rng.integers(0, 4, n, dtype=np.uint8) * 37).tobytes()
+        else:
+            data = bytes([trial % 256]) * n
+        assert _tiff_lzw_decode(_tiff_lzw_encode(data), len(data)) == data
+    assert _tiff_lzw_decode(_tiff_lzw_encode(b""), 0) == b""
+    big = rng.integers(0, 256, 60000, dtype=np.uint8).tobytes()
+    assert _tiff_lzw_decode(_tiff_lzw_encode(big), len(big)) == big
+
+    for trial in range(120):
+        h, w = random.randrange(1, 12), random.randrange(1, 12)
+        spp = random.choice([1, 3])
+        px = rng.integers(0, 256, (h, w, spp), dtype=np.uint8)
+        e = random.choice(["<", ">"])
+        pred = random.choice([1, 2])
+        wiz = spp == 1 and random.random() < 0.3
+        out = _parse_tiff(
+            encode_tiff(px, "lzw", e, white_is_zero=wiz, predictor=pred)
+        )
+        want = px if spp == 3 else np.repeat(px, 3, axis=2)
+        assert np.array_equal(out, want), (trial, e, pred, wiz)
+
+    xx, yy = np.meshgrid(np.arange(200), np.arange(100))
+    g = ((xx + 2 * yy) % 256).astype(np.uint8)[:, :, None]
+    plain = encode_tiff(g, "lzw", "<", rows_per_strip=50, predictor=1)
+    pred2 = encode_tiff(g, "lzw", "<", rows_per_strip=50, predictor=2)
+    assert len(pred2) < len(plain) // 4  # measured ~9x on this gradient
+    assert np.array_equal(_parse_tiff(pred2), np.repeat(g, 3, axis=2))
+
+
+def test_jpeg_lossless_roundtrip_all_predictors_and_gates():
+    """mm19: SOF3 encode->decode is BIT-exact for all 7 predictors on
+    random / gradient / max-alternation images (1 and 3 components,
+    exercising the first-row/first-column boundary rules and the
+    |diff|=255 category ceiling); gates raise loudly (predictor 0,
+    subsampled lossless)."""
+    import random
+
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import (
+        _decode_image_bytes,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(5)
+    random.seed(5)
+    for trial in range(500):
+        h, w = random.randrange(1, 14), random.randrange(1, 14)
+        nc = random.choice([1, 3])
+        pred = random.randrange(1, 8)
+        kind = trial % 3
+        if kind == 0:
+            planes = [
+                rng.integers(0, 256, (h, w), dtype=np.uint8)
+                for _ in range(nc)
+            ]
+        elif kind == 1:
+            xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+            planes = [
+                ((xx * (k + 1) + yy * 2) % 256).astype(np.uint8)
+                for k in range(nc)
+            ]
+        else:
+            base = np.indices((h, w)).sum(axis=0) % 2
+            planes = [(base * 255).astype(np.uint8) for _ in range(nc)]
+        back = _decode_image_bytes(encode_jpeg_lossless(planes, pred))
+        want = (
+            np.stack(planes, axis=2)
+            if nc == 3
+            else np.repeat(planes[0][:, :, None], 3, axis=2)
+        )
+        assert (back == want).all(), (trial, kind, nc, pred)
+
+    with _pytest.raises(ValueError, match="predictor"):
+        encode_jpeg_lossless(
+            [np.zeros((2, 2), np.uint8)], predictor=0
+        )
+    # spliced predictor 0 in the SOS must raise at decode too
+    good = bytearray(
+        encode_jpeg_lossless([np.zeros((2, 2), np.uint8)], predictor=3)
+    )
+    i = bytes(good).find(b"\xff\xda")
+    ln = int.from_bytes(good[i + 2 : i + 4], "big")
+    good[i + 2 + ln - 3] = 0  # Ss byte -> predictor 0
+    with _pytest.raises(ValueError, match="predictor"):
+        _decode_image_bytes(bytes(good))
