@@ -2008,3 +2008,62 @@ def st30_stream_compression_ratio(
     return n_docs.crossJoin(F.broadcast(bad)).select(
         "n_docs", (F.col("n_bad") == 0).alias("stream_matches_batch")
     )
+
+
+# ---------------------------------------------------------------------------
+# st31 — streaming multimodal decode ingest: the mm17 QOI synth +
+# REAL decode run as a stateless streaming map (mapInPandas rides
+# readStream unchanged — the crawl-ingest shape for image corpora),
+# certified BIT-equal to the batch decode on ids, byte lengths,
+# sha256 payload digests, and every feature component. Stateless ⇒
+# chop-invariant by construction; the law here is that the Arrow
+# decode path itself is identical under the streaming runner.
+# ---------------------------------------------------------------------------
+@register(
+    "st31_stream_qoi_decode",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS stream_matches_batch
+    FROM documents
+    """,
+)
+def st31_stream_qoi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators import multimodal as mm
+    from sparkswift.streaming.ops import table_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    batch = mm.decode_image(
+        mm.synth_qoi_payload(docs, "doc_id"), "doc_id", "payload", fake=False,
+        feat_dim=6,
+    )
+    stream_src = table_stream(spark, sf_dir, "documents").select("doc_id")
+    s = run_stream_to_batch(
+        mm.decode_image(
+            mm.synth_qoi_payload(stream_src, "doc_id"),
+            "doc_id",
+            "payload",
+            fake=False,
+            feat_dim=6,
+        ),
+        mode="append",
+    ).select(
+        F.col("id").alias("s_id"),
+        F.col("byte_len").alias("s_len"),
+        F.col("sha256").alias("s_sha"),
+        F.col("feat").alias("s_feat"),
+    )
+    bad = (
+        batch.join(s, batch.id == s.s_id, "full")
+        .filter(
+            F.col("id").isNull()
+            | F.col("s_id").isNull()
+            | (F.col("byte_len") != F.col("s_len"))
+            | (F.col("sha256") != F.col("s_sha"))
+            | (F.col("feat") != F.col("s_feat"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_bad"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return n_docs.crossJoin(F.broadcast(bad)).select(
+        "n_docs", (F.col("n_bad") == 0).alias("stream_matches_batch")
+    )
