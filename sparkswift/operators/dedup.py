@@ -1584,3 +1584,73 @@ def editdistance_join(
         .filter(F.col("dist") <= k)
         .select("id_l", "id_r", "dist")
     )
+
+
+def ngram_overlap_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """N-GRAM-level fuzzy decontamination (the GPT-3/Llama-style
+    overlap check the exact-match p3 and Bloom p5 guards cannot
+    express): for every train doc, the fraction of its DISTINCT word
+    n-grams that appear anywhere in the eval set, and a contamination
+    flag at ``threshold``. Catches partial/rephrased leaks — an eval
+    passage quoted inside a larger train doc flags here while
+    whole-text equality misses it.
+
+    Scale shape (the p3 discipline at n-gram granularity): the eval
+    side collapses to its distinct n-gram set — eval suites are
+    orders of magnitude smaller than the corpus, so that set
+    broadcasts and the train side NEVER shuffles its text; per-doc
+    grams explode map-side, the broadcast LEFT SEMI-shaped join marks
+    hits, and one hash aggregate on the doc id yields the counts.
+    The fraction is one double division of exact integers (identical
+    both engines). Docs with fewer than ``n`` tokens are excluded
+    (no n-grams exist — the caller unions them back as clean if
+    wanted).
+
+    Returns ``(id, n_grams, n_matched, overlap_frac, contaminated)``.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = f"filter(split(trim({text_col}), '\\\\s+'), x -> x != '')"
+    parts = ", ".join(f"__a[i + {k}]" for k in range(n))
+    grams_expr = (
+        f"transform(sequence(0, size(__a) - {n}), "
+        f"i -> concat_ws(' ', {parts}))"
+    )
+
+    def grams(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.col(id_col), F.expr(toks).alias("__a"))
+            .filter(F.size("__a") >= n)
+            .select(
+                F.col(id_col),
+                F.explode(F.expr(grams_expr)).alias("gram"),
+            )
+            .distinct()
+        )
+
+    ev = grams(eval_df).select("gram").distinct()
+    tg = grams(train)
+    marked = tg.join(
+        F.broadcast(ev.withColumn("__hit", F.lit(1))), "gram", "left"
+    )
+    agg = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_matched"),
+    )
+    frac = F.expr("CAST(n_matched AS DOUBLE) / n_grams")
+    return agg.select(
+        id_col,
+        "n_grams",
+        "n_matched",
+        frac.alias("overlap_frac"),
+        (frac >= threshold).alias("contaminated"),
+    )

@@ -4461,3 +4461,55 @@ def mm19_jpeg_lossless_decode_real(
         F.col("feat")[2].alias("mean_r"),
         F.col("feat")[4].alias("mean_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# p34 — n-gram-level fuzzy decontamination (the GPT-3/Llama overlap
+# check): per train doc, the fraction of its DISTINCT word trigrams
+# that appear anywhere in the eval slice (doc_id ≡ 0 mod 17), with a
+# contamination flag at 0.5. Distinct from p3 (whole-text equality),
+# p5 (Bloom membership) and p17 (leak audit): this catches PARTIAL /
+# rephrased leakage. Scale: the eval trigram set broadcasts; the
+# corpus never shuffles text — grams explode map-side, one hash agg
+# on doc_id. Exact: counts are integers, the fraction one double
+# division of identical integers.
+# ---------------------------------------------------------------------------
+@register(
+    "p34_ngram_overlap",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS a
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(a) - 1),
+                    i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS gram
+      FROM toks WHERE len(a) >= 3
+    ),
+    dg AS (SELECT DISTINCT doc_id, gram FROM g),
+    ev AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 17 = 0),
+    agg AS (
+      SELECT dg.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_matched
+      FROM dg LEFT JOIN ev ON dg.gram = ev.gram
+      WHERE dg.doc_id % 17 <> 0
+      GROUP BY dg.doc_id
+    )
+    SELECT doc_id, n_grams, n_matched,
+           CAST(n_matched AS DOUBLE) / n_grams AS overlap_frac,
+           CAST(n_matched AS DOUBLE) / n_grams >= 0.5 AS contaminated
+    FROM agg
+    """,
+)
+def p34_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.dedup import ngram_overlap_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    return ngram_overlap_report(train, ev, n=3, threshold=0.5)

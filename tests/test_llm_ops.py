@@ -3423,3 +3423,58 @@ def test_jpeg_lossless_roundtrip_all_predictors_and_gates():
     good[i + 2 + ln - 3] = 0  # Ss byte -> predictor 0
     with _pytest.raises(ValueError, match="predictor"):
         _decode_image_bytes(bytes(good))
+
+
+def test_ngram_overlap_independent_reference(spark, sf_dir):
+    """p34: overlap fractions == a pure-python trigram set
+    computation (independent of both the Spark query and the SQL
+    oracle), and a planted partial leak flags while whole-text
+    equality would miss it."""
+    from sparkswift.operators.dedup import ngram_overlap_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = {r.doc_id: r.text for r in docs.collect()}
+
+    def grams(t: str) -> set:
+        w = [x for x in t.strip().split() if x]
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    ev_set = set()
+    for i, t in rows.items():
+        if i % 17 == 0:
+            ev_set |= grams(t)
+    want = {}
+    for i, t in rows.items():
+        if i % 17 == 0:
+            continue
+        g = grams(t)
+        if g:
+            want[i] = (len(g), len(g & ev_set))
+    ev = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    got = {
+        r.doc_id: (r.n_grams, r.n_matched, r.overlap_frac, r.contaminated)
+        for r in ngram_overlap_report(train, ev).collect()
+    }
+    assert set(got) == set(want)
+    for i, (ng, nm) in want.items():
+        g = got[i]
+        assert (g[0], g[1]) == (ng, nm), i
+        assert abs(g[2] - nm / ng) < 1e-15
+        assert g[3] == (nm / ng >= 0.5)
+
+    # planted PARTIAL leak: an eval doc quoted inside a longer train
+    # doc -> flags here, invisible to whole-text equality
+    evd = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    tr = spark.createDataFrame(
+        [
+            (2, "then alpha beta gamma delta epsilon zeta more"),
+            (3, "completely different content with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ngram_overlap_report(tr, evd).collect()}
+    assert out[2].contaminated and out[2].n_matched == 4
+    assert not out[3].contaminated and out[3].n_matched == 0
