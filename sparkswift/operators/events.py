@@ -318,3 +318,82 @@ def max_drawdown(
         ),
         F.min("__final").cast("bigint").alias("final_scaled"),
     )
+
+
+def bollinger_bands(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_col: str = "user_id",
+    tiebreak_col: str = "event_id",
+    periods: int = 20,
+    n_sigma: float = 2.0,
+    scale: int = 1000,
+) -> DataFrame:
+    """Bollinger bands over the time-ordered value series (the
+    rolling mean ± n·σ envelope — monitoring/trading's anomaly
+    corridor): per row, the trailing ``periods``-row population mean
+    and stddev, and the row's band position. Cross-engine-exact by
+    the agg26 trick applied to ROLLING windows: the window aggregates
+    are integer SUM and SUM-OF-SQUARES over milli-quantized values
+    (exact, order-free), and mean/σ/bands derive from those integers
+    through one shared expression tree (+ − * / sqrt only — all
+    IEEE-correctly-rounded). Rows earlier than a full window emit
+    NULL bands (the unambiguous warm-up rule).
+
+    Overflow budget: |v_milli| ≤ V needs periods·V² ≤ 2⁶³ — V = 10⁹
+    (values up to a million units) holds for any sane window.
+
+    Plan: ONE hash shuffle on the key; both window sums ride the same
+    ordered window frame. Returns ``(key, tiebreak, ts, v_scaled,
+    mean, sigma, upper, lower, above_upper)``.
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(key_col),
+        F.col(ts_col).alias("__t"),
+        F.col(tiebreak_col).alias("__tb"),
+        F.floor(F.col(value_col) * scale).cast("bigint").alias("v_scaled"),
+    )
+    w = (
+        W.partitionBy(key_col)
+        .orderBy("__t", "__tb")
+        .rowsBetween(-(periods - 1), W.currentRow)
+    )
+    wn = W.partitionBy(key_col).orderBy("__t", "__tb")
+    s = (
+        base.withColumn("__s1", F.sum("v_scaled").over(w))
+        .withColumn("__s2", F.sum(F.expr("v_scaled * v_scaled")).over(w))
+        .withColumn("__rn", F.row_number().over(wn))
+    )
+    # literals rendered as CAST(... AS DOUBLE): a bare `20.0` parses
+    # as DECIMAL in both engines and the decimal→double promotion
+    # rules need not agree — the explicit cast pins binary64 on both
+    p = f"CAST({periods} AS DOUBLE)"
+    ns = f"CAST({n_sigma} AS DOUBLE)"
+    mean = f"(CAST(__s1 AS DOUBLE) / {p})"
+    var = f"(CAST(__s2 AS DOUBLE) / {p} - {mean} * {mean})"
+    # clamp tiny negative var from cancellation: GREATEST is exact on
+    # both engines and keeps sqrt's domain safe
+    sig = f"SQRT(GREATEST({var}, CAST(0 AS DOUBLE)))"
+    upper = f"({mean} + {ns} * {sig})"
+    lower = f"({mean} - {ns} * {sig})"
+    full = F.col("__rn") >= periods
+    return s.select(
+        key_col,
+        F.col("__tb").alias(tiebreak_col),
+        F.col("__t").alias(ts_col),
+        "v_scaled",
+        F.when(full, F.expr(mean)).alias("mean"),
+        F.when(full, F.expr(sig)).alias("sigma"),
+        F.when(full, F.expr(upper)).alias("upper"),
+        F.when(full, F.expr(lower)).alias("lower"),
+        # warm-up rows say FALSE, not NULL: "no band yet ⇒ not above
+        # it" is the unambiguous rule, and nullable BOOLEANS are a
+        # cross-engine hash trap (None vs NaN stringify differently;
+        # NULL doubles are fine — both sides are NaN)
+        F.when(full, F.col("v_scaled") > F.expr(upper))
+        .otherwise(F.lit(False))
+        .alias("above_upper"),
+    )

@@ -3284,3 +3284,73 @@ def g9_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = nodes.filter(F.col("node") % 17 == 0).distinct()
     return sssp_distances(edges, seeds, max_cost=40)
+
+
+# ---------------------------------------------------------------------------
+# w9 — Bollinger bands (trailing 20-row mean ± 2σ envelope per user —
+# the monitoring/trading anomaly corridor). Cross-engine-exact by the
+# agg26 trick on ROLLING windows: the frame aggregates are integer
+# SUM / SUM-OF-SQUARES over milli values; mean/σ/bands derive through
+# one shared expression tree (+ − * / sqrt, literals pinned to DOUBLE
+# by explicit CASTs — a bare 20.0 parses as DECIMAL with
+# engine-specific promotion). Warm-up rows (< 20 in window) emit NULL
+# bands. ONE hash shuffle; both sums ride one ordered window frame.
+# ---------------------------------------------------------------------------
+@register(
+    "w9_bollinger_bands",
+    """
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id,
+             CAST(floor(value * 1000) AS BIGINT) AS v_scaled
+      FROM events
+    ),
+    win AS (
+      SELECT user_id, event_id, t, v_scaled,
+             CAST(SUM(v_scaled) OVER w AS BIGINT) AS s1,
+             CAST(SUM(v_scaled * v_scaled) OVER w AS BIGINT) AS s2,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY t, event_id) AS rn
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, make_timestamp(t) AS ts, v_scaled,
+           CASE WHEN rn >= 20 THEN
+             (CAST(s1 AS DOUBLE) / CAST(20 AS DOUBLE)) END AS mean,
+           CASE WHEN rn >= 20 THEN
+             SQRT(GREATEST(CAST(s2 AS DOUBLE) / CAST(20 AS DOUBLE)
+               - (CAST(s1 AS DOUBLE) / CAST(20 AS DOUBLE))
+               * (CAST(s1 AS DOUBLE) / CAST(20 AS DOUBLE)),
+               CAST(0 AS DOUBLE))) END AS sigma,
+           CASE WHEN rn >= 20 THEN
+             ((CAST(s1 AS DOUBLE) / CAST(20 AS DOUBLE))
+              + CAST(2.0 AS DOUBLE)
+              * SQRT(GREATEST(CAST(s2 AS DOUBLE) / CAST(20 AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) / CAST(20 AS DOUBLE))
+                  * (CAST(s1 AS DOUBLE) / CAST(20 AS DOUBLE)),
+                  CAST(0 AS DOUBLE)))) END AS upper,
+           CASE WHEN rn >= 20 THEN
+             ((CAST(s1 AS DOUBLE) / CAST(20 AS DOUBLE))
+              - CAST(2.0 AS DOUBLE)
+              * SQRT(GREATEST(CAST(s2 AS DOUBLE) / CAST(20 AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) / CAST(20 AS DOUBLE))
+                  * (CAST(s1 AS DOUBLE) / CAST(20 AS DOUBLE)),
+                  CAST(0 AS DOUBLE)))) END AS lower,
+           CASE WHEN rn >= 20 THEN
+             CAST(v_scaled AS DOUBLE) >
+             ((CAST(s1 AS DOUBLE) / CAST(20 AS DOUBLE))
+              + CAST(2.0 AS DOUBLE)
+              * SQRT(GREATEST(CAST(s2 AS DOUBLE) / CAST(20 AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) / CAST(20 AS DOUBLE))
+                  * (CAST(s1 AS DOUBLE) / CAST(20 AS DOUBLE)),
+                  CAST(0 AS DOUBLE))))
+           ELSE FALSE END AS above_upper
+    FROM win
+    """,
+)
+def w9_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.events import bollinger_bands
+
+    ev = load_table(spark, sf_dir, "events")
+    out = bollinger_bands(ev, periods=20, n_sigma=2.0)
+    return out

@@ -1041,3 +1041,46 @@ def test_group_moments_matches_numpy(spark, sf_dir):
         assert math.isclose(
             r.kurtosis_excess, m4 / m2**2 - 3, rel_tol=1e-6
         )
+
+
+def test_bollinger_bands_matches_numpy(spark, sf_dir):
+    """w9: bands == a numpy rolling-window reference over each user's
+    (ts, event_id)-ordered milli series; warm-up rows are NULL bands
+    + FALSE flag; flag law checked exactly."""
+    import math
+
+    import numpy as np
+
+    from sparkswift.operators.events import bollinger_bands
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = bollinger_bands(ev, periods=20, n_sigma=2.0).collect()
+    rows = ev.select("user_id", "ts", "event_id", "value").collect()
+    series = {}
+    for r in rows:
+        series.setdefault(r.user_id, []).append(
+            (r.ts, r.event_id, int(math.floor(r.value * 1000)))
+        )
+    for s in series.values():
+        s.sort()
+    got = {(r.user_id, r.event_id): r for r in out}
+    checked_warm = checked_full = 0
+    for u, seq in series.items():
+        vs = np.array([v for _, _, v in seq], dtype=np.int64)
+        for i, (_, eid, v) in enumerate(seq):
+            r = got[(u, eid)]
+            assert r.v_scaled == v
+            if i < 19:
+                assert r.mean is None and r.above_upper is False
+                checked_warm += 1
+                continue
+            win = vs[i - 19 : i + 1].astype(np.float64)
+            mu = win.mean()
+            sig = math.sqrt(max(win.var(), 0.0))
+            assert math.isclose(r.mean, mu, rel_tol=1e-12)
+            assert math.isclose(r.sigma, sig, rel_tol=1e-9, abs_tol=1e-9)
+            assert math.isclose(r.upper, mu + 2 * sig, rel_tol=1e-12)
+            assert math.isclose(r.lower, mu - 2 * sig, rel_tol=1e-12)
+            assert r.above_upper == (v > r.upper)
+            checked_full += 1
+    assert checked_warm and checked_full
