@@ -2269,7 +2269,11 @@ def extract_audio_features(
                     ]
                 )
             else:
-                decoded = payloads.map(_decode_wav)
+                decoded = payloads.map(
+                    lambda b: _decode_au(b)
+                    if b[:4] == b".snd"
+                    else _decode_wav(b)
+                )
                 out["duration_s"] = decoded.map(lambda d: d[0])
                 out["mfcc"] = decoded.map(
                     lambda d: [
@@ -4102,6 +4106,108 @@ def synth_jpeg_lossless_payload(
             (5 + F.col(id_col) % 8).cast("int").alias("width"),
             (4 + F.col(id_col) % 5).cast("int").alias("height"),
             F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# AU / Sun audio (the classic ".snd" container — public header
+# layout) with G.711 μ-law (the telephony companding codec, public
+# ITU formula): a SECOND real audio family next to RIFF/WAV, and the
+# first whose samples go through a nonlinear transcode rather than a
+# PCM reinterpret.
+# ---------------------------------------------------------------------------
+def _mulaw_decode_byte(u: int) -> int:
+    """G.711 μ-law byte → 14-bit linear sample (±8031): complement,
+    split sign/exponent/mantissa, expand ((2m+33)·2^e − 33)."""
+    u = ~u & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 1) + 33) << exp) - 33
+    return -mag if sign else mag
+
+
+_MULAW_TABLE = np.array(
+    [_mulaw_decode_byte(u) for u in range(256)], dtype=np.int64
+)
+
+
+def encode_au(
+    data: bytes | np.ndarray,
+    encoding: int = 1,
+    sample_rate: int = 8000,
+    channels: int = 1,
+) -> bytes:
+    """AU writer: raw payload bytes (already in the target encoding)
+    + the 24-byte big-endian header (magic, data offset, size,
+    encoding, rate, channels). Encoding 1 = 8-bit μ-law, 2 = 8-bit
+    linear (signed), 3 = 16-bit linear big-endian."""
+    if encoding not in (1, 2, 3):
+        raise ValueError("encoding must be 1 (mu-law), 2 or 3 (linear)")
+    raw = data.tobytes() if isinstance(data, np.ndarray) else bytes(data)
+    hdr = b".snd" + struct.pack(
+        ">IIIII", 24, len(raw), encoding, sample_rate, channels
+    )
+    return hdr + raw
+
+
+def _decode_au(b: bytes) -> tuple[float, np.ndarray]:
+    """Decode an AU payload → (duration seconds, mono float64
+    samples). μ-law expands through the G.711 table and normalizes by
+    8192 (dyadic — the division is exact); 8-bit linear is signed
+    int8 / 128; 16-bit linear big-endian / 32768. Other encodings
+    (A-law, float, ADPCM) raise loudly."""
+    if b[:4] != b".snd":
+        raise ValueError("not an AU payload")
+    off, size, enc, rate, nchan = struct.unpack(">IIIII", b[4:24])
+    raw = b[off : off + size] if size != 0xFFFFFFFF else b[off:]
+    if enc == 1:
+        s = _MULAW_TABLE[np.frombuffer(raw, np.uint8)].astype(np.float64)
+        s /= 8192.0
+    elif enc == 2:
+        s = np.frombuffer(raw, np.int8).astype(np.float64) / 128.0
+    elif enc == 3:
+        s = np.frombuffer(raw, ">i2").astype(np.float64) / 32768.0
+    else:
+        raise NotImplementedError(
+            f"AU encoding {enc} unsupported (1=mu-law, 2/3=linear PCM; "
+            "A-law/float/ADPCM need their own expanders)"
+        )
+    if nchan > 1:
+        s = s.reshape(-1, nchan).mean(axis=1)
+    return len(s) / float(rate), s
+
+
+def synth_au_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a VALID μ-law AU payload per row: n = 64 + 4·(id%16)
+    samples (divisible by the 4 feature bands, so band boundaries are
+    exact id arithmetic) of μ-law BYTES u_k = (3·id + 5k) % 256 at
+    8 kHz — every μ-law code word appears corpus-wide, and the
+    decoded band means are closed-form integer arithmetic the oracle
+    re-derives in SQL."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            n = 64 + 4 * (i % 16)
+            u = ((3 * i + 5 * np.arange(n, dtype=np.int64)) % 256).astype(
+                np.uint8
+            )
+            return encode_au(u, encoding=1, sample_rate=8000)
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("audio").alias("modality"),
+            F.lit("audio/basic").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(8000).alias("sample_rate"),
             F.lit(None).cast("int").alias("n_frames"),
         ),
     )

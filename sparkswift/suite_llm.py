@@ -4513,3 +4513,60 @@ def p34_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = docs.filter(F.col("doc_id") % 17 == 0)
     train = docs.filter(F.col("doc_id") % 17 != 0)
     return ngram_overlap_report(train, ev, n=3, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# mm20 — AU / Sun-audio decode with G.711 μ-law expansion (the
+# telephony companding codec, public ITU formula; the classic ".snd"
+# container): a SECOND real audio family next to mm5's RIFF/WAV, and
+# the first whose samples pass through a nonlinear transcode.
+# synth_au_payload writes μ-law bytes u_k = (3·id+5k) % 256 (every
+# code word appears corpus-wide) at n = 64+4·(id%16) samples — n
+# divisible by the 4 bands, so the band means are EXACT: each decoded
+# sample is (±((2m+33)·2^e − 33))/8192, a dyadic rational whose band
+# sums stay far inside 53 bits (order-free), and the oracle
+# re-derives the complement/sign/exponent/mantissa expansion in pure
+# integer SQL. Honest gates: A-law/float/ADPCM encodings raise.
+# ---------------------------------------------------------------------------
+@register(
+    "mm20_au_ulaw_decode_real",
+    """
+    WITH ks AS (SELECT unnest(range(128)) AS k),
+         p AS (SELECT doc_id,
+                      64 + 4 * (doc_id % 16) AS n
+               FROM documents),
+         s AS (
+           SELECT doc_id, n, k,
+                  255 - ((3 * doc_id + 5 * k) % 256) AS uc
+           FROM p JOIN ks ON k < n
+         ),
+         d AS (
+           SELECT doc_id, n, (4 * k) // n AS band,
+                  CAST(CASE WHEN uc // 128 = 1 THEN
+                    -((2 * (uc % 16) + 33) * (1 << ((uc // 16) % 8)) - 33)
+                  ELSE
+                    ((2 * (uc % 16) + 33) * (1 << ((uc // 16) % 8)) - 33)
+                  END AS DOUBLE) / CAST(8192 AS DOUBLE) AS sample
+           FROM s
+         )
+    SELECT doc_id AS id,
+           CAST(n AS DOUBLE) / CAST(8000 AS DOUBLE) AS duration_s,
+           AVG(CASE WHEN band = 0 THEN sample END) AS band_first,
+           AVG(CASE WHEN band = 3 THEN sample END) AS band_last
+    FROM d GROUP BY doc_id, n
+    """,
+)
+def mm20_au_ulaw_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    wp = mm.synth_au_payload(docs, "doc_id")
+    out = mm.extract_audio_features(wp, "doc_id", "payload", n_mfcc=4, fake=False)
+    return out.select(
+        "id",
+        "duration_s",
+        F.col("mfcc")[0].alias("band_first"),
+        F.col("mfcc")[3].alias("band_last"),
+    )

@@ -3478,3 +3478,44 @@ def test_ngram_overlap_independent_reference(spark, sf_dir):
     out = {r.doc_id: r for r in ngram_overlap_report(tr, evd).collect()}
     assert out[2].contaminated and out[2].n_matched == 4
     assert not out[3].contaminated and out[3].n_matched == 0
+
+
+def test_au_mulaw_decode_laws_and_container():
+    """mm20: G.711 μ-law expansion satisfies the spec anchors
+    (0x00 → −8031, 0x80 → +8031, 0xFF/0x7F → ±0), the complement
+    symmetry decode(u ^ 0x80) == −decode(u), and strict monotonicity
+    over each sign half; the AU container round-trips linear PCM
+    (encodings 2/3) bit-exactly and gates unknown encodings."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import (
+        _MULAW_TABLE,
+        _decode_au,
+        encode_au,
+    )
+
+    t = _MULAW_TABLE
+    assert t[0x00] == -8031 and t[0x80] == 8031
+    assert t[0xFF] == 0 and t[0x7F] == 0
+    for u in range(256):
+        assert t[u ^ 0x80] == -t[u], u
+    # positive half 0x80..0xFF decodes strictly decreasing to 0
+    pos = t[0x80:0x100]
+    assert (np.diff(pos) < 0).all() and pos[-1] == 0
+
+    s8 = np.arange(-60, 60, dtype=np.int8)
+    dur, back = _decode_au(encode_au(s8, encoding=2, sample_rate=8000))
+    assert dur == len(s8) / 8000.0
+    assert np.array_equal((back * 128.0).astype(np.int8), s8)
+    s16 = (np.arange(-300, 300, 7, dtype=np.int16)).astype(">i2")
+    dur, back = _decode_au(encode_au(s16, encoding=3, sample_rate=16000))
+    assert np.array_equal(
+        (back * 32768.0).astype(np.int16), s16.astype(np.int16)
+    )
+    bad = bytearray(encode_au(b"\x00" * 8, encoding=1))
+    bad[15] = 27  # A-law-ish encoding id
+    with _pytest.raises(NotImplementedError, match="AU encoding"):
+        _decode_au(bytes(bad))
+    with _pytest.raises(ValueError, match="not an AU"):
+        _decode_au(b"RIFFxxxx")
