@@ -572,3 +572,71 @@ def ewm_mean(
         return pdf
 
     return df.groupBy(*keys).applyInPandas(per_group, schema)
+
+
+def cusum_alerts(
+    df: DataFrame,
+    value_col: str = "value",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    allowance: int = 30_000,
+    threshold: int = 100_000,
+    scale: int = 1000,
+) -> DataFrame:
+    """One-sided CUSUM change detection per key (Page 1954 — the
+    classic sequential drift alarm monitoring pipelines run on
+    metrics): over the (ts, tiebreak)-ordered milli-quantized series,
+    ``s_t = max(0, s_{t-1} + v_t - allowance)``; when ``s_t``
+    crosses ``threshold`` the row alerts and the statistic RESETS to
+    0 (restart-after-signal, standard practice). The recurrence is
+    EXACT integer arithmetic end to end, so the distributed kernel
+    and a recursive-CTE oracle agree bit-for-bit — a stateful,
+    order-dependent computation that is still fully hash-certifiable
+    (the o9 discipline, integers instead of dyadic doubles).
+
+    Engine shape: ONE ``applyInPandas`` per key partition running a
+    vectorizable numpy int64 loop; per-key history must fit a task
+    (the ewm/o5 envelope). Returns the input key/ts/tiebreak plus
+    ``(v_scaled, cusum, alert)`` per row.
+    """
+    import numpy as np
+    import pandas as pd
+
+    schema = (
+        f"{key_col} bigint, {tiebreak_col} bigint, __t_us bigint, "
+        "v_scaled bigint, cusum bigint, alert boolean"
+    )
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__t_us", tiebreak_col]).reset_index(
+            drop=True
+        )
+        v = pdf["v_scaled"].to_numpy(np.int64)
+        s = np.zeros(len(v), dtype=np.int64)
+        alert = np.zeros(len(v), dtype=bool)
+        acc = 0
+        for i in range(len(v)):
+            acc = acc + int(v[i]) - allowance
+            if acc < 0:
+                acc = 0
+            if acc > threshold:
+                alert[i] = True
+                s[i] = acc
+                acc = 0
+            else:
+                s[i] = acc
+        pdf["cusum"] = s
+        pdf["alert"] = alert
+        return pdf[
+            [key_col, tiebreak_col, "__t_us", "v_scaled", "cusum", "alert"]
+        ]
+
+    base = df.select(
+        F.col(key_col).cast("bigint").alias(key_col),
+        F.col(tiebreak_col).cast("bigint").alias(tiebreak_col),
+        F.unix_micros(F.col(ts_col)).alias("__t_us"),
+        F.floor(F.col(value_col) * scale).cast("bigint").alias("v_scaled"),
+    )
+    out = base.groupBy(key_col).applyInPandas(per_group, schema)
+    return out.withColumnRenamed("__t_us", "t_us")

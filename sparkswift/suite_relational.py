@@ -3354,3 +3354,51 @@ def w9_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = bollinger_bands(ev, periods=20, n_sigma=2.0)
     return out
+
+
+# ---------------------------------------------------------------------------
+# w10 — one-sided CUSUM change detection (Page 1954) per user with
+# restart-after-signal: s = max(0, s_prev + v − allowance), alert +
+# reset when s crosses the threshold. A genuinely SEQUENTIAL stateful
+# computation (not window-expressible) that is still fully
+# hash-certifiable: the recurrence is exact int64 arithmetic end to
+# end, so the distributed numpy kernel and the depth-guarded
+# recursive-CTE oracle agree bit-for-bit (the o9 discipline with
+# integers instead of dyadic doubles). Allowance 60 000 milli sits
+# above the fixture mean (≈49 630) so the statistic drains between
+# bursts; ONE applyInPandas per user-key partition.
+# ---------------------------------------------------------------------------
+@register(
+    "w10_cusum_alerts",
+    """
+    WITH RECURSIVE s AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             CAST(floor(value * 1000) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, event_id, t, rn, v,
+             GREATEST(v - 60000, 0) AS cusum,
+             CASE WHEN GREATEST(v - 60000, 0) > 400000 THEN 0
+                  ELSE GREATEST(v - 60000, 0) END AS carry
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.t, s.rn, s.v,
+             GREATEST(r.carry + s.v - 60000, 0),
+             CASE WHEN GREATEST(r.carry + s.v - 60000, 0) > 400000 THEN 0
+                  ELSE GREATEST(r.carry + s.v - 60000, 0) END
+      FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, CAST(event_id AS BIGINT) AS event_id,
+           CAST(t AS BIGINT) AS t_us, CAST(v AS BIGINT) AS v_scaled,
+           CAST(cusum AS BIGINT) AS cusum, cusum > 400000 AS alert
+    FROM r
+    """,
+)
+def w10_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.rolling import cusum_alerts
+
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_alerts(ev, allowance=60_000, threshold=400_000)

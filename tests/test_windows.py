@@ -1084,3 +1084,56 @@ def test_bollinger_bands_matches_numpy(spark, sf_dir):
             assert r.above_upper == (v > r.upper)
             checked_full += 1
     assert checked_warm and checked_full
+
+
+def test_cusum_alerts_matches_pure_python(spark, sf_dir):
+    """w10: per-row cusum/alert == a sequential pure-python fold
+    (independent of both the numpy kernel and the SQL oracle);
+    restart-after-signal verified on a planted burst."""
+    from sparkswift.operators.rolling import cusum_alerts
+    from sparkswift.sources import load_table
+
+    # load_table, not read.parquet: unix_micros rejects the raw
+    # TIMESTAMP_NTZ scan (the verify-skill NTZ gotcha)
+    ev = load_table(spark, sf_dir, "events")
+    A, H = 60_000, 400_000
+    rows = ev.select("user_id", "ts", "event_id", "value").collect()
+    series = {}
+    for r in rows:
+        series.setdefault(r.user_id, []).append(
+            (r.ts, r.event_id, int(r.value * 1000 // 1))
+        )
+    want = {}
+    for u, seq in series.items():
+        seq.sort()
+        acc = 0
+        for _, eid, v in seq:
+            acc = max(0, acc + v - A)
+            alert = acc > H
+            want[(u, eid)] = (v, acc, alert)
+            if alert:
+                acc = 0
+    got = {
+        (r.user_id, r.event_id): (r.v_scaled, r.cusum, r.alert)
+        for r in cusum_alerts(ev, allowance=A, threshold=H).collect()
+    }
+    assert got == want
+    # (no alert fires at sf0.001 with the headline constants — the
+    # alert path is exercised by the planted burst below, and at the
+    # driver's sf0.01 the oracle counts 25 alerts, hash-load-bearing)
+
+    # planted burst: three 300k rows against allowance 100k must alert
+    # exactly once at the third row, then restart from zero
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    burst = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(seconds=i), i, 300.0) for i in range(4)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    out = sorted(
+        cusum_alerts(burst, allowance=100_000, threshold=500_000).collect(),
+        key=lambda r: r.event_id,
+    )
+    assert [r.cusum for r in out] == [200_000, 400_000, 600_000, 200_000]
+    assert [r.alert for r in out] == [False, False, True, False]
