@@ -776,3 +776,72 @@ def sssp_distances(
     if stats is not None:
         stats["rounds"] = rounds
     return dist
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity (Newman's mixing coefficient): the Pearson
+    correlation of endpoint degrees over every directed realization of
+    the undirected edge set — THE one-number answer to "do hubs link
+    to hubs?" (social graphs: positive; infrastructure/co-occurrence:
+    usually negative). Fully exact cross-engine: degrees and the four
+    correlation sums (n, Σx, Σx², Σxy — Σy ≡ Σx by symmetry) are
+    integer aggregates, and the final ratio is one shared expression
+    tree over them (products in double: identical correctly-rounded
+    ops on identical integers ⇒ identical result even past 53 bits).
+
+    Plan: one degree aggregate (node-sized), TWO broadcast joins of
+    the degree table onto the directed edge list, one global sum.
+    Returns ONE row ``(n_nodes, n_edges, n_endpoints, sx, sxx, sxy,
+    assortativity)``; NULL coefficient on a degree-regular graph
+    (zero variance — the guarded CASE on both engines).
+    """
+    # canonicalize to (min, max) BEFORE dedup: a reversed duplicate in
+    # the input would otherwise survive distinct() and double-count
+    # both endpoint degrees (harmless in BFS's re-deduped frontiers,
+    # corrupting here)
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("u").alias("__u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("__v"), F.col("d").alias("dv"))
+    pairs = adj.join(F.broadcast(du), adj.u == du.__u).join(
+        F.broadcast(dv), adj.v == dv.__v
+    )
+    sums = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_endpoints"),
+        F.sum("du").cast("bigint").alias("sx"),
+        F.sum(F.expr("du * du")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("du * dv")).cast("bigint").alias("sxy"),
+    )
+    nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    m = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    r = (
+        "CASE WHEN CAST(n_endpoints AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0 THEN"
+        " (CAST(n_endpoints AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " / (CAST(n_endpoints AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END"
+    )
+    return (
+        nodes.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(sums))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_endpoints",
+            "sx",
+            "sxx",
+            "sxy",
+            F.expr(r).alias("assortativity"),
+        )
+    )

@@ -3402,3 +3402,69 @@ def w10_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return cusum_alerts(ev, allowance=60_000, threshold=400_000)
+
+
+# ---------------------------------------------------------------------------
+# g10 — degree assortativity (Newman's mixing coefficient) of the
+# qty≤5 co-part graph: Pearson correlation of endpoint degrees over
+# every directed edge realization. Exact cross-engine: integer degree
+# sums (n, Σx, Σx², Σxy) + ONE shared ratio expression (identical
+# correctly-rounded double ops on identical integers). Zero-variance
+# (regular) graphs yield NULL on both engines. Plan: degree agg, two
+# broadcast joins, one global sum — no per-pair shuffle beyond the
+# edge list itself.
+# ---------------------------------------------------------------------------
+@register(
+    "g10_degree_assortativity",
+    """
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE l_quantity <= 5),
+    e AS (
+      SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS x,
+             GREATEST(a.l_partkey, b.l_partkey) AS y
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+    ),
+    adj AS (SELECT x AS u, y AS v FROM e UNION ALL SELECT y, x FROM e),
+    d AS (SELECT u, COUNT(*) AS dg FROM adj GROUP BY u),
+    pairs AS (
+      SELECT du.dg AS du, dv.dg AS dv
+      FROM adj JOIN d du ON du.u = adj.u JOIN d dv ON dv.u = adj.v
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_endpoints,
+             CAST(SUM(du) AS BIGINT) AS sx,
+             CAST(SUM(du * du) AS BIGINT) AS sxx,
+             CAST(SUM(du * dv) AS BIGINT) AS sxy
+      FROM pairs
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           n_endpoints, sx, sxx, sxy,
+           CASE WHEN CAST(n_endpoints AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0 THEN
+             (CAST(n_endpoints AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(n_endpoints AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END
+             AS assortativity
+    FROM sums
+    """,
+)
+def g10_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.graph import degree_assortativity
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") <= 5)
+        .select("l_orderkey", "l_partkey")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2")
+    )
+    edges = (
+        li.join(b, li.l_orderkey == b.k)
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+    )
+    return degree_assortativity(edges)

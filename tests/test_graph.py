@@ -633,3 +633,53 @@ def test_sssp_matches_dijkstra_and_caps_cost(spark):
     sdf = spark.createDataFrame([(0,)], "node long")
     with pytest.raises(RuntimeError, match="convergence"):
         sssp_distances(edf, sdf, max_cost=10, max_rounds=1)
+
+
+def test_degree_assortativity_matches_networkx_formula(spark):
+    """g10 == a pure-python Newman assortativity computation on random
+    graphs (including a star, strongly disassortative, and a cycle,
+    degree-regular -> NULL)."""
+    import random
+
+    from sparkswift.operators.graph import degree_assortativity
+
+    def ref(edges):
+        es = set()
+        for u, v in edges:
+            if u != v:
+                es.add((min(u, v), max(u, v)))
+        deg = {}
+        for u, v in es:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        pairs = [(deg[u], deg[v]) for u, v in es] + [
+            (deg[v], deg[u]) for u, v in es
+        ]
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        den = n * sxx - sx * sx
+        return None if den == 0 else (n * sxy - sx * sx) / den
+
+    rng = random.Random(31)
+    cases = [
+        [(0, i) for i in range(1, 8)],  # star: strongly negative
+        [(i, (i + 1) % 9) for i in range(9)],  # cycle: regular -> NULL
+        [(rng.randrange(15), rng.randrange(15)) for _ in range(30)],
+        [(rng.randrange(40), rng.randrange(40)) for _ in range(120)],
+    ]
+    for edges in cases:
+        edf = spark.createDataFrame(edges, "src long, dst long")
+        row = degree_assortativity(edf).collect()[0]
+        want = ref(edges)
+        if want is None:
+            assert row.assortativity is None, edges[:3]
+        else:
+            assert abs(row.assortativity - want) < 1e-12, (want, row)
+    # the star's coefficient is exactly -1 in the n>2 star? no: star
+    # endpoints pair (7,1) and (1,7) symmetric — assert it's negative
+    star = degree_assortativity(
+        spark.createDataFrame([(0, i) for i in range(1, 8)], "src long, dst long")
+    ).collect()[0]
+    assert star.assortativity < 0
