@@ -185,6 +185,19 @@ HEADLINE = [
     "st30_stream_compression_ratio",  # zlib signal on a stream (bit-equal)
     "agg25_exact_percentiles",  # nearest-rank exact percentiles per group
     "mm16_tiff_decode_real",  # baseline TIFF (strips, PackBits, both endians)
+    "w8_max_drawdown",       # running-peak drawdown (exact milli ints)
+    "agg26_group_moments",   # exact power sums + derived skew/kurtosis
+    "g9_sssp_weighted",      # bounded-cost Bellman-Ford (frontier relax)
+    "p33_length_buckets",    # length bucketing + sharded batch ids
+    "mm17_qoi_decode_real",  # QOI decode (contextual byte codec)
+    "mm18_tiff_lzw_decode_real",  # TIFF LZW + horizontal predictor
+    "mm19_jpeg_lossless_decode_real",  # SOF3 predictive lossless JPEG
+    "st31_stream_qoi_decode",  # streaming codec ingest (bit-equal)
+    "p34_ngram_overlap",     # trigram fuzzy decontamination report
+    "w9_bollinger_bands",    # rolling integer moments + shared bands
+    "mm20_au_ulaw_decode_real",  # AU container + G.711 mu-law expand
+    "w10_cusum_alerts",      # sequential CUSUM (int64 recurrence kernel)
+    "g10_degree_assortativity",  # endpoint-degree Pearson (one pass)
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their
