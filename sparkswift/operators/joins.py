@@ -307,3 +307,69 @@ def range_join_intervals(
         )
         .drop("__bkt")
     )
+
+
+def spatial_join(
+    points: DataFrame,
+    id_col: str = "vec_id",
+    x_col: str = "x",
+    y_col: str = "y",
+    radius: float = 0.02,
+) -> DataFrame:
+    """2-D fixed-radius SPATIAL self-join (all point pairs within
+    ``radius`` — geo near-neighbors, collision/dedup sweeps, cluster
+    seeding) via the standard GRID reduction: hash every point into a
+    radius-sized cell, probe each point against the 3×3 neighborhood
+    of its home cell, and verify the true distance. Any qualifying
+    pair's cells differ by ≤ 1 in each axis (|Δx| ≤ r ⇒
+    |floor(x₁/r) − floor(x₂/r)| ≤ 1), so the neighborhood probe is
+    EXHAUSTIVE — exact results, never all-pairs. Each unordered pair
+    is emitted exactly once: the probe side explodes its 9 neighbor
+    keys, the build side sits in its unique home cell, and
+    ``id_l < id_r`` keeps one direction.
+
+    Scale shape: ONE equi-join on the cell key (explode ×9 on the
+    probe side only — 24-byte rows), candidate volume bounded by
+    local density × 9 cells, never n². Skew = a dense cell; salt the
+    cell key or shrink ``radius`` (cells scale with it). Distances
+    compare as exact doubles (float coords widen losslessly; the
+    squared form avoids sqrt entirely).
+
+    Returns ``(id_l, id_r, dist_sq)``.
+    """
+    if radius <= 0:
+        raise ValueError("radius must be positive")
+    r = float(radius)
+    pts = points.select(
+        F.col(id_col).alias("__id"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+        F.floor(F.col(x_col).cast("double") / r).cast("bigint").alias("__cx"),
+        F.floor(F.col(y_col).cast("double") / r).cast("bigint").alias("__cy"),
+    )
+    probe = (
+        pts.withColumn("__dx", F.expr("explode(array(-1, 0, 1))"))
+        .withColumn("__dy", F.expr("explode(array(-1, 0, 1))"))
+        .select(
+            F.col("__id").alias("id_l"),
+            F.col("__x").alias("xl"),
+            F.col("__y").alias("yl"),
+            (F.col("__cx") + F.col("__dx")).alias("cx"),
+            (F.col("__cy") + F.col("__dy")).alias("cy"),
+        )
+    )
+    build = pts.select(
+        F.col("__id").alias("id_r"),
+        F.col("__x").alias("xr"),
+        F.col("__y").alias("yr"),
+        F.col("__cx").alias("cx"),
+        F.col("__cy").alias("cy"),
+    )
+    dist = "(xl - xr) * (xl - xr) + (yl - yr) * (yl - yr)"
+    thresh = f"CAST({r} AS DOUBLE) * CAST({r} AS DOUBLE)"
+    return (
+        probe.join(build, ["cx", "cy"])
+        .filter(F.col("id_l") < F.col("id_r"))
+        .filter(F.expr(f"{dist} <= {thresh}"))
+        .select("id_l", "id_r", F.expr(dist).alias("dist_sq"))
+    )

@@ -3468,3 +3468,39 @@ def g10_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
     )
     return degree_assortativity(edges)
+
+
+# ---------------------------------------------------------------------------
+# j13 — fixed-radius 2-D SPATIAL self-join over the embedding cloud's
+# first two coordinates (geo near-neighbors / collision sweeps): the
+# grid-cell reduction — radius-sized cells, 3×3 neighborhood probe,
+# true-distance verify — which is EXHAUSTIVE (|Δ| ≤ r bounds cell
+# deltas by 1) and never all-pairs; the oracle IS the all-pairs
+# definition (fine at gate scale, the point of the reduction at
+# 100 TB). Distances compare as exact doubles (float coords widen
+# losslessly; squared form — no sqrt).
+# ---------------------------------------------------------------------------
+@register(
+    "j13_spatial_join",
+    """
+    WITH pts AS (
+      SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_l, b.vec_id AS id_r,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist_sq
+    FROM pts a JOIN pts b ON a.vec_id < b.vec_id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= CAST(0.02 AS DOUBLE) * CAST(0.02 AS DOUBLE)
+    """,
+)
+def j13_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.joins import spatial_join
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding")[0].alias("x"),
+        F.col("embedding")[1].alias("y"),
+    )
+    return spatial_join(emb, id_col="vec_id", radius=0.02)

@@ -394,3 +394,36 @@ def test_scd2_pointintime_asof_equals_containment(ev):
     pd.testing.assert_frame_equal(a, b)
     # non-vacuous: some probes precede the user's first change point
     assert a["state"].isna().sum() > 0
+
+
+def test_spatial_join_exhaustive_vs_bruteforce(spark):
+    """j13: the grid 3x3 reduction finds EXACTLY the brute-force pair
+    set on random clouds (negative coords, cell-boundary straddles)
+    and each pair exactly once."""
+    import random
+
+    from sparkswift.operators.joins import spatial_join
+
+    rng = random.Random(41)
+    for trial in range(4):
+        n = 120
+        r = [0.05, 0.1, 0.25, 1.0][trial]
+        pts = [
+            (i, rng.uniform(-1, 1), rng.uniform(-1, 1)) for i in range(n)
+        ]
+        # plant exact-boundary and same-cell-edge cases
+        pts += [(n, 0.0, 0.0), (n + 1, r, 0.0), (n + 2, -r / 2, -r / 2)]
+        want = set()
+        for i, xi, yi in pts:
+            for j, xj, yj in pts:
+                if i < j and (xi - xj) ** 2 + (yi - yj) ** 2 <= r * r:
+                    want.add((i, j))
+        df = spark.createDataFrame(pts, "vec_id long, x double, y double")
+        rows = spatial_join(df, id_col="vec_id", radius=r).collect()
+        got = [(r_.id_l, r_.id_r) for r_ in rows]
+        assert len(got) == len(set(got)), "duplicate pair emitted"
+        assert set(got) == want, (trial, len(got), len(want))
+        for r_ in rows:
+            assert r_.dist_sq <= r * r + 1e-15
+    # the planted boundary pair (0,0)-(r,0) sits at dist == r exactly
+    assert (n, n + 1) in want
