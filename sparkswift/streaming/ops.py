@@ -758,3 +758,65 @@ def stream_funnel(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_cusum(
+    stream: DataFrame,
+    key: str = "user_id",
+    tiebreak: str = "event_id",
+    allowance: int = 60_000,
+    threshold: int = 400_000,
+) -> DataFrame:
+    """Streaming one-sided CUSUM with restart-after-signal — the
+    stateful twin of ``operators.rolling.cusum_alerts``: per key, the
+    exact int64 recurrence ``s = max(0, s + v − allowance)`` with
+    alert + reset at the threshold, the CARRY persisted across
+    micro-batches in one long per key (O(keys) state, not O(rows)).
+
+    Bit-equality law (certified in st32): when batches respect
+    per-key TIME order (each micro-batch holds a later time slice —
+    the CDC/ingest reality) and rows sort on (t, tiebreak) inside a
+    batch, the streamed fold is the batch fold — same integers, any
+    chop. Expects columns ``t_us`` (epoch micros) and ``v_scaled``
+    (milli ints) prepared upstream, so the quantization policy stays
+    in ONE place (the batch operator's).
+    """
+    import numpy as np
+
+    out_schema = (
+        f"{key} bigint, {tiebreak} bigint, t_us bigint, "
+        "v_scaled bigint, cusum bigint, alert boolean"
+    )
+
+    def update(
+        key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (carry,) = state.get if state.exists else (0,)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["t_us", tiebreak]).reset_index(drop=True)
+        v = pdf["v_scaled"].to_numpy(np.int64)
+        s = np.zeros(len(v), dtype=np.int64)
+        alert = np.zeros(len(v), dtype=bool)
+        acc = int(carry)
+        for i in range(len(v)):
+            acc = acc + int(v[i]) - allowance
+            if acc < 0:
+                acc = 0
+            if acc > threshold:
+                alert[i] = True
+                s[i] = acc
+                acc = 0
+            else:
+                s[i] = acc
+        state.update((acc,))
+        pdf["cusum"] = s
+        pdf["alert"] = alert
+        yield pdf[[key, tiebreak, "t_us", "v_scaled", "cusum", "alert"]]
+
+    return stream.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="carry long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

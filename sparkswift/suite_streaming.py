@@ -2067,3 +2067,81 @@ def st31_stream_qoi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_docs.crossJoin(F.broadcast(bad)).select(
         "n_docs", (F.col("n_bad") == 0).alias("stream_matches_batch")
     )
+
+
+# ---------------------------------------------------------------------------
+# st32 — streaming CUSUM (w10's stateful twin, applyInPandasWithState
+# with a one-long carry per key): events chop into THREE time-ordered
+# micro-batches (day ≤10 / ≤20 / rest, one file each,
+# maxFilesPerTrigger=1), so the carry genuinely persists across
+# batches — and because batches respect per-key time order and the
+# recurrence is exact int64, the streamed rows are BIT-equal to the
+# batch operator's on every (cusum, alert). That is the law this twin
+# certifies: a sequential stateful computation survives any
+# time-respecting chop with O(keys) state.
+# ---------------------------------------------------------------------------
+@register(
+    "st32_stream_cusum",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS stream_matches_batch
+    FROM events
+    """,
+)
+def st32_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sparkswift.operators.rolling import cusum_alerts
+    from sparkswift.streaming.ops import stream_cusum
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = cusum_alerts(ev, allowance=60_000, threshold=400_000)
+
+    prepared = ev.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.unix_micros("ts").alias("t_us"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v_scaled"),
+        F.dayofmonth("ts").alias("__day"),
+    )
+    base = tempfile.mkdtemp(prefix="cusum_stream_")
+    for i, cond in enumerate(
+        [F.col("__day") <= 10, (F.col("__day") > 10) & (F.col("__day") <= 20), F.col("__day") > 20]
+    ):
+        prepared.filter(cond).drop("__day").repartition(1).write.mode(
+            "append"
+        ).parquet(base)
+
+    schema = spark.read.parquet(base).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    s = run_stream_to_batch(
+        stream_cusum(src, allowance=60_000, threshold=400_000),
+        mode="append",
+    ).select(
+        F.col("user_id").alias("s_u"),
+        F.col("event_id").alias("s_e"),
+        F.col("cusum").alias("s_c"),
+        F.col("alert").alias("s_a"),
+    )
+    bad = (
+        batch.join(
+            s,
+            (batch.user_id == s.s_u) & (batch.event_id == s.s_e),
+            "full",
+        )
+        .filter(
+            F.col("user_id").isNull()
+            | F.col("s_u").isNull()
+            | (F.col("cusum") != F.col("s_c"))
+            | (F.col("alert") != F.col("s_a"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_bad"))
+    )
+    n = ev.agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    return n.crossJoin(F.broadcast(bad)).select(
+        "n_events", (F.col("n_bad") == 0).alias("stream_matches_batch")
+    )

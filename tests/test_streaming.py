@@ -591,3 +591,57 @@ def test_stream_pit_enrich_matches_batch_j12(spark, sf_dir):
     )
     pd.testing.assert_frame_equal(stream, batch)
     assert stream["state_30m_ago"].isna().sum() > 0
+
+
+def test_stream_cusum_carry_survives_chop(spark, sf_dir):
+    """st32's law at pytest scale: a planted two-batch chop where the
+    statistic is mid-accumulation at the boundary — the carry MUST
+    persist across micro-batches or batch 2's first rows fold from
+    zero and diverge."""
+    import tempfile
+
+    from sparkswift.operators.rolling import cusum_alerts
+    from sparkswift.sources import load_table
+    from sparkswift.streaming.ops import run_stream_to_batch, stream_cusum
+
+    ev = load_table(spark, sf_dir, "events")
+    A, H = 30_000, 200_000  # lower bar than the headline: more carry
+    batch = {
+        (r.user_id, r.event_id): (r.cusum, r.alert)
+        for r in cusum_alerts(ev, allowance=A, threshold=H).collect()
+    }
+    prepared = ev.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.unix_micros("ts").alias("t_us"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v_scaled"),
+        F.dayofmonth("ts").alias("__day"),
+    )
+    base = tempfile.mkdtemp(prefix="cusum_chop_")
+    for cond in (F.col("__day") <= 15, F.col("__day") > 15):
+        prepared.filter(cond).drop("__day").repartition(1).write.mode(
+            "append"
+        ).parquet(base)
+    src = (
+        spark.readStream.schema(spark.read.parquet(base).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    got = {
+        (r.user_id, r.event_id): (r.cusum, r.alert)
+        for r in run_stream_to_batch(
+            stream_cusum(src, allowance=A, threshold=H), mode="append"
+        ).collect()
+    }
+    assert got == batch
+    # non-vacuity: some user's statistic is nonzero entering batch 2
+    # (otherwise this test wouldn't distinguish carry from reset)
+    by_user_last_b1 = {}
+    for r in prepared.filter(F.col("__day") <= 15).collect():
+        k = r.user_id
+        cur = by_user_last_b1.get(k)
+        if cur is None or (r.t_us, r.event_id) > cur[0]:
+            by_user_last_b1[k] = ((r.t_us, r.event_id), r.event_id)
+    assert any(
+        batch[(u, eid)][0] > 0 for u, (_, eid) in by_user_last_b1.items()
+    ), "chop boundary carries no state — test is vacuous"

@@ -76,6 +76,7 @@ BNLJ_ALLOWED: dict[str, int] = {
     "st30_stream_compression_ratio": 1,  # one-row verdict fan-in
     "st31_stream_qoi_decode": 1,  # one-row verdict fan-in
     "g10_degree_assortativity": 2,  # one-row node/edge-count fan-in
+    "st32_stream_cusum": 1,  # one-row verdict fan-in
     "t18_bpe_decode_gate": 2,  # one-row verdict fan-in (docs x bad x planted)
     "t21_gate": 4,  # one-row verdict fan-in (rt/ids/re/planted)
     "t22_gate": 4,  # one-row verdict fan-in (rt/ids/re/planted)
