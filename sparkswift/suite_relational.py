@@ -3504,3 +3504,81 @@ def j13_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding")[1].alias("y"),
     )
     return spatial_join(emb, id_col="vec_id", radius=0.02)
+
+
+# ---------------------------------------------------------------------------
+# agg27 — exact per-group WEIGHTED lower median (robust aggregation
+# with importance weights — the quantity-weighted "typical price"):
+# the smallest value whose running weight reaches half the group
+# total, on the (value, tiebreak) total order. Same no-global-sort
+# shape as agg23: rows rank inside their group's hash partition; the
+# half-total comparison is exact integer arithmetic (2·cum ≥ total
+# avoids the fractional half). Weighted median of l_extendedprice by
+# l_quantity per (returnflag, linestatus).
+# ---------------------------------------------------------------------------
+@register(
+    "agg27_weighted_median",
+    """
+    WITH s AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS v_cents,
+             CAST(floor(l_quantity) AS BIGINT) AS w,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    c AS (
+      SELECT l_returnflag, l_linestatus, v_cents, w,
+             SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus
+                          ORDER BY v_cents, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus)
+               AS total
+      FROM s
+    ),
+    m AS (
+      SELECT l_returnflag, l_linestatus, total,
+             MIN(v_cents) AS wmedian_cents
+      FROM c WHERE 2 * cum >= total
+      GROUP BY l_returnflag, l_linestatus, total
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(total AS BIGINT) AS total_weight,
+           CAST(wmedian_cents AS BIGINT) AS wmedian_cents
+    FROM m
+    """,
+)
+def agg27_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        # explicit floor, never bare CAST: DuckDB's double->int cast
+        # ROUNDS while Spark's TRUNCATES — floor is identical on both
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("v_cents"),
+        F.floor(F.col("l_quantity")).cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wrun = (
+        W.partitionBy("l_returnflag", "l_linestatus")
+        .orderBy("v_cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("l_returnflag", "l_linestatus")
+    c = s.withColumn("cum", F.sum("w").over(wrun)).withColumn(
+        "total", F.sum("w").over(wall)
+    )
+    return (
+        c.filter(2 * F.col("cum") >= F.col("total"))
+        .groupBy("l_returnflag", "l_linestatus", "total")
+        .agg(F.min("v_cents").cast("bigint").alias("wmedian_cents"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("total").cast("bigint").alias("total_weight"),
+            "wmedian_cents",
+        )
+    )

@@ -1137,3 +1137,49 @@ def test_cusum_alerts_matches_pure_python(spark, sf_dir):
     )
     assert [r.cusum for r in out] == [200_000, 400_000, 600_000, 200_000]
     assert [r.alert for r in out] == [False, False, True, False]
+
+
+def test_weighted_median_matches_pure_python(spark, sf_dir):
+    """agg27: the weighted lower median == a pure-python cumulative
+    fold over the sorted (value, tiebreak) order."""
+    import math
+
+    from sparkswift.sources import load_table
+    from sparkswift.suite import _REGISTRY
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_extendedprice",
+        "l_quantity",
+        "l_orderkey",
+        "l_linenumber",
+    ).collect()
+    groups = {}
+    for r in rows:
+        k = (r.l_returnflag, r.l_linestatus)
+        groups.setdefault(k, []).append(
+            (
+                int(math.floor(r.l_extendedprice * 100)),
+                r.l_orderkey,
+                r.l_linenumber,
+                int(math.floor(r.l_quantity)),
+            )
+        )
+    want = {}
+    for k, items in groups.items():
+        items.sort()
+        total = sum(w for _, _, _, w in items)
+        cum = 0
+        for v, _, _, w in items:
+            cum += w
+            if 2 * cum >= total:
+                want[k] = (total, v)
+                break
+    fn = _REGISTRY["agg27_weighted_median"][0]
+    got = {
+        (r.l_returnflag, r.l_linestatus): (r.total_weight, r.wmedian_cents)
+        for r in fn(spark, sf_dir).collect()
+    }
+    assert got == want
