@@ -196,6 +196,44 @@ def main() -> None:
                 f"(rounds {r_1[2]}→{r_10[2]}, breaks {r_1[3]}→{r_10[3]})"
             )
 
+    # --- g9 weighted SSSP (the w/seed rule must derive from ORIGINAL
+    # ids on the copied graph — the %N-vs-id*16+r lesson, NOTES r12:
+    # per-copy rules use (node div 16), or totals won't scale x10) ---
+    from sparkswift.operators.graph import sssp_distances
+
+    e1 = canon(g7_edges).localCheckpoint()
+    e10 = copies(e1, 10).localCheckpoint()
+    results = {}
+    for tag, e, copied in (("1x", e1, False), ("10x", e10, True)):
+        q = "div 16" if copied else ""
+        we = e.withColumn("w", F.expr(f"1 + ((src {q}) + (dst {q})) % 7"))
+        nodes = e.select(F.col("src").alias("node")).unionAll(
+            e.select(F.col("dst").alias("node"))
+        )
+        seeds = nodes.filter(F.expr(f"(node {q}) % 17 = 0")).distinct()
+        stats: dict = {}
+        t0 = time.time()
+        out = sssp_distances(we, seeds, max_cost=40, stats=stats)
+        r = out.agg(
+            F.count(F.lit(1)), F.sum("dist"), F.max("dist")
+        ).collect()[0]
+        dt = time.time() - t0
+        results[tag] = (tuple(r), stats["rounds"], dt)
+        print(
+            f"  g9_sssp {tag}: {dt:.1f}s -> reached {r[0]}, "
+            f"sum_dist {r[1]}, max {r[2]}, rounds {stats['rounds']}"
+        )
+    (r1, rounds1, t1), (r10, rounds10, t10) = results["1x"], results["10x"]
+    assert r10[0] == 10 * r1[0] and r10[1] == 10 * r1[1] and r10[2] == r1[2], (
+        r1,
+        r10,
+    )
+    print(
+        f"  EXACTNESS: reached/sum_dist scale exactly 10x ✓ (max dist "
+        f"scale-invariant; rounds {rounds1}→{rounds10}; time ratio "
+        f"{t10 / max(t1, 1e-9):.2f})"
+    )
+
 
 if __name__ == "__main__":
     main()
