@@ -4570,3 +4570,41 @@ def mm20_au_ulaw_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mfcc")[0].alias("band_first"),
         F.col("mfcc")[3].alias("band_last"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e15 — FILTERED vector search (the "filtered ANN" pattern every
+# vector store ships: top-k restricted to a metadata predicate —
+# tenant, language, date). Pre-filter beats post-filter: the label
+# predicate applies AT THE SCAN (Catalyst pushes it into the parquet
+# read — no distance is ever computed for excluded vectors, and a
+# fixed k can't come back short the way filter-after-top-k does).
+# Same e1 integer-quantized cosine ⇒ exact hash. Scale: the filter
+# only shrinks the corpus side; the e3/e4 IVF path composes the same
+# way (probe lists, then filter before ranking).
+# ---------------------------------------------------------------------------
+@register(
+    "e15_filtered_topk",
+    """
+    WITH v AS (SELECT vec_id, label,
+                      list_transform(embedding,
+                                     x -> round(CAST(x AS DOUBLE) * 1000000)) AS q
+               FROM embeddings),
+    n AS (SELECT vec_id, label, q, list_inner_product(q, q) AS n2 FROM v),
+    p AS (SELECT qv.vec_id AS query_id, cv.vec_id AS corpus_id,
+                 list_inner_product(qv.q, cv.q)
+                   / (sqrt(qv.n2) * sqrt(cv.n2)) AS cos_sim
+          FROM n qv JOIN n cv ON cv.vec_id <> qv.vec_id
+          WHERE qv.label = 0 AND cv.label = 1),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, corpus_id) AS rnk
+          FROM p)
+    SELECT query_id, corpus_id, CAST(rnk AS BIGINT) AS rnk, cos_sim
+    FROM r WHERE rnk <= 5
+    """,
+)
+def e15_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0)
+    corpus = emb.filter(F.col("label") == 1)  # the metadata predicate
+    return sim.cosine_topk(corpus, queries, k=5)

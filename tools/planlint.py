@@ -39,6 +39,7 @@ BNLJ_ALLOWED: dict[str, int] = {
     "agg22_rolling_distinct": 1,  # one-row day-bounds clamp join
     "q22_sales_opportunity": 1,  # one-row balance threshold
     "e1_cosine_topk": 1,  # one-row query-norm
+    "e15_filtered_topk": 1,  # e1's broadcast query scan (by design)
     "e13_cosine_range": 1,  # broadcast query set x corpus scan (by design)
     "e14_gate": 4,  # e13's broadcast query scan + one-row verdict fan-in
     "e12_hybrid_rrf": 2,  # t12's one-row corpus stats + e1's one-row query
