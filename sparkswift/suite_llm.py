@@ -4608,3 +4608,65 @@ def e15_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("label") == 0)
     corpus = emb.filter(F.col("label") == 1)  # the metadata predicate
     return sim.cosine_topk(corpus, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# t24 — lexical diversity profile (type-token ratio + hapax fraction
+# per doc): the vocabulary-richness quality signal next to t1's
+# surface stats and t5's repetition — templated/boilerplate text
+# shows low TTR, spam keyword-stuffing shows high hapax mass. Pure
+# scan-stage native exprs + one explode/agg on (doc, token) — exact
+# integers and one shared double division.
+# ---------------------------------------------------------------------------
+@register(
+    "t24_lexical_diversity",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               x -> x <> '')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM toks GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(COUNT(*) AS DOUBLE) / SUM(n) AS type_token_ratio,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS hapax_frac
+    FROM tf GROUP BY doc_id
+    """,
+)
+def t24_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim("text")), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.expr("CAST(COUNT(*) AS DOUBLE) / SUM(n)").alias(
+            "type_token_ratio"
+        ),
+        F.expr(
+            "CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)"
+            " / COUNT(*)"
+        ).alias("hapax_frac"),
+    )
