@@ -164,24 +164,77 @@ def _parse_pbm(b: bytes) -> np.ndarray:
 
 
 def _parse_bmp(b: bytes) -> np.ndarray:
-    """Decode an uncompressed 24-bit BMP (BI_RGB) to (h, w, 3) uint8
-    RGB. Handles the 4-byte row padding and bottom-up row order."""
+    """Decode a BMP to (h, w, 3) uint8 RGB: uncompressed 24-bit
+    (BI_RGB), uncompressed 8-bit palettized, and RLE8-compressed
+    8-bit palettized (BI_RLE8 — run packets, absolute-mode packets
+    with word padding, EOL/EOB/delta escapes; delta-skipped pixels
+    read as palette index 0 per convention). Handles 4-byte row
+    padding and bottom-up row order; other depths raise loudly."""
     if b[:2] != b"BM":
         raise ValueError("not a BMP payload")
     data_off = struct.unpack_from("<I", b, 10)[0]
+    hdr_size = struct.unpack_from("<I", b, 14)[0]
     w, h = struct.unpack_from("<ii", b, 18)
     bpp = struct.unpack_from("<H", b, 28)[0]
     comp = struct.unpack_from("<I", b, 30)[0]
-    if bpp != 24 or comp != 0:
-        raise ValueError(f"BMP bpp={bpp} compression={comp} unsupported")
+    clr_used = struct.unpack_from("<I", b, 46)[0]
     bottom_up, h = h > 0, abs(h)
-    row = (w * 3 + 3) & ~3
-    px = (
-        np.frombuffer(b, np.uint8, count=row * h, offset=data_off)
-        .reshape(h, row)[:, : w * 3]
-        .reshape(h, w, 3)[..., ::-1]  # stored BGR → RGB
+    if bpp == 24 and comp == 0:
+        row = (w * 3 + 3) & ~3
+        px = (
+            np.frombuffer(b, np.uint8, count=row * h, offset=data_off)
+            .reshape(h, row)[:, : w * 3]
+            .reshape(h, w, 3)[..., ::-1]  # stored BGR → RGB
+        )
+        return px[::-1] if bottom_up else px
+    if bpp == 8 and comp in (0, 1):
+        n_pal = clr_used or 256
+        pal_off = 14 + hdr_size
+        quads = np.frombuffer(
+            b, np.uint8, count=4 * n_pal, offset=pal_off
+        ).reshape(n_pal, 4)
+        palette = quads[:, [2, 1, 0]]  # BGRA quads → RGB
+        if comp == 0:
+            row = (w + 3) & ~3
+            idx = (
+                np.frombuffer(b, np.uint8, count=row * h, offset=data_off)
+                .reshape(h, row)[:, :w]
+                .copy()
+            )
+        else:  # BI_RLE8
+            idx = np.zeros((h, w), dtype=np.uint8)
+            pos, x, y = data_off, 0, 0
+            while pos + 1 < len(b):
+                n, v = b[pos], b[pos + 1]
+                pos += 2
+                if n:  # run packet
+                    end = min(x + n, w)
+                    idx[y, x:end] = v
+                    x = end
+                elif v == 0:  # EOL
+                    x, y = 0, y + 1
+                    if y >= h:
+                        break
+                elif v == 1:  # EOB
+                    break
+                elif v == 2:  # delta: skipped pixels stay index 0
+                    x += b[pos]
+                    y += b[pos + 1]
+                    pos += 2
+                else:  # absolute mode: v literal indices, word-padded
+                    end = min(x + v, w)
+                    idx[y, x:end] = np.frombuffer(
+                        b, np.uint8, count=end - x, offset=pos
+                    )
+                    x = end
+                    pos += (v + 1) & ~1
+        px = palette[idx]
+        return px[::-1] if bottom_up else px
+    raise NotImplementedError(
+        f"BMP bpp={bpp} compression={comp} unsupported "
+        "(24-bit BI_RGB, 8-bit BI_RGB/BI_RLE8 implemented; "
+        "1/4/16/32-bit and RLE4 are honest gates)"
     )
-    return px[::-1] if bottom_up else px
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -4208,6 +4261,126 @@ def synth_au_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
             F.lit(8000).alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ),
+    )
+
+
+def encode_bmp8_rle(
+    idx: np.ndarray,
+    palette: np.ndarray,
+    rle: bool = True,
+) -> bytes:
+    """Palettized BMP writer — the synth + round-trip counterpart of
+    :func:`_parse_bmp`'s 8-bit paths: (h, w) uint8 indices + (n, 3)
+    RGB palette, stored bottom-up; ``rle=True`` emits BI_RLE8 (run
+    packets for repeats, absolute-mode packets — count ≥ 3,
+    word-padded — for literal stretches, EOL after every row, EOB at
+    the end), else uncompressed BI_RGB with 4-byte row padding."""
+    h, w = idx.shape
+    n_pal = len(palette)
+    if idx.dtype != np.uint8 or n_pal > 256:
+        raise ValueError("need uint8 indices and <=256 palette entries")
+    quads = bytearray()
+    for r, g, bl in palette[:, :3]:
+        quads += bytes((int(bl), int(g), int(r), 0))  # BGRA
+    if rle:
+        out = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up storage order
+            row = idx[y]
+            x = 0
+            lit: list[int] = []
+
+            def flush_lit():
+                nonlocal lit
+                while len(lit) >= 3:
+                    chunk = lit[:255]
+                    if len(lit) - len(chunk) in (1, 2):
+                        chunk = lit[:253]  # keep the tail escapable
+                    out.append(0)
+                    out.append(len(chunk))
+                    out.extend(chunk)
+                    if len(chunk) % 2:
+                        out.append(0)  # word padding
+                    lit = lit[len(chunk):]
+                for v in lit:  # 1-2 leftovers: run packets of 1
+                    out.extend((1, v))
+                lit = []
+
+            while x < w:
+                run = 1
+                while x + run < w and row[x + run] == row[x] and run < 255:
+                    run += 1
+                if run >= 2:
+                    flush_lit()
+                    out.extend((run, int(row[x])))
+                else:
+                    lit.append(int(row[x]))
+                x += run
+            flush_lit()
+            out.extend((0, 0))  # EOL
+        out.extend((0, 1))  # EOB
+        body = bytes(out)
+        comp = 1
+    else:
+        stride = (w + 3) & ~3
+        rows = []
+        for y in range(h - 1, -1, -1):
+            rows.append(idx[y].tobytes().ljust(stride, b"\x00"))
+        body = b"".join(rows)
+        comp = 0
+    data_off = 14 + 40 + len(quads)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, comp, len(body), 2835, 2835, n_pal, 0
+    )
+    hdr = b"BM" + struct.pack(
+        "<IHHI", data_off + len(body), 0, 0, data_off
+    )
+    return hdr + info + bytes(quads) + body
+
+
+def synth_bmp8_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a VALID palettized BMP per row (palette[k] =
+    ((3i+17k)%256, (7i+29k)%256, (13i+11k)%256), 16 entries): id
+    mod 3 -> 0: row-constant indices k=(y+i)%16, RLE8 (long runs);
+    1: diagonal k=(x+2y+i)%16, RLE8 (absolute-mode literals
+    dominate); 2: diagonal, UNCOMPRESSED 8-bit. All lossless id
+    arithmetic."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            w, h = 5 + i % 8, 4 + i % 5
+            mode = i % 3
+            k = np.arange(16, dtype=np.int64)
+            palette = np.stack(
+                [
+                    (3 * i + 17 * k) % 256,
+                    (7 * i + 29 * k) % 256,
+                    (13 * i + 11 * k) % 256,
+                ],
+                axis=1,
+            ).astype(np.uint8)
+            xx, yy = np.meshgrid(
+                np.arange(w, dtype=np.int64), np.arange(h, dtype=np.int64)
+            )
+            if mode == 0:
+                idx = ((yy + i) % 16).astype(np.uint8)
+            else:
+                idx = ((xx + 2 * yy + i) % 16).astype(np.uint8)
+            return encode_bmp8_rle(idx, palette, rle=mode != 2)
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("image/bmp").alias("mime"),
+            (5 + F.col(id_col) % 8).cast("int").alias("width"),
+            (4 + F.col(id_col) % 5).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
             F.lit(None).cast("int").alias("n_frames"),
         ),
     )

@@ -4670,3 +4670,52 @@ def t24_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / COUNT(*)"
         ).alias("hapax_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mm21 — palettized BMP with RLE8 compression (BI_RLE8 — the
+# Windows-bitmap corner next to mm4's 24-bit BI_RGB): run packets,
+# absolute-mode literal packets (count ≥ 3, word-padded), EOL/EOB
+# escapes, bottom-up rows, BGRA palette quads; plus the uncompressed
+# 8-bit palette path. Decoder also honors the delta escape (skipped
+# pixels read index 0 — hand-built-stream pytest, since the writer
+# never emits it). Lossless ⇒ exact id-arithmetic channel means.
+# Honest gates: 1/4/16/32-bit and RLE4.
+# ---------------------------------------------------------------------------
+@register(
+    "mm21_bmp_rle_decode_real",
+    """
+    WITH xs AS (SELECT unnest([0,1,2,3,4,5,6,7,8,9,10,11]) AS x),
+         ys AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS y),
+         p AS (SELECT doc_id,
+                      CAST(5 + doc_id % 8 AS INT) AS w,
+                      CAST(4 + doc_id % 5 AS INT) AS h,
+                      doc_id % 3 AS mode
+               FROM documents),
+         px AS (
+           SELECT doc_id, w, h,
+                  CASE WHEN mode = 0 THEN (y + doc_id) % 16
+                       ELSE (x + 2 * y + doc_id) % 16 END AS k
+           FROM p JOIN xs ON x < w JOIN ys ON y < h
+         )
+    SELECT doc_id AS id, w AS width, h AS height,
+           AVG(CAST((3 * doc_id + 17 * k) % 256 AS DOUBLE)) AS mean_r,
+           AVG(CAST((13 * doc_id + 11 * k) % 256 AS DOUBLE)) AS mean_b
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def mm21_bmp_rle_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    wp = mm.synth_bmp8_payload(docs, "doc_id")
+    out = mm.decode_image(wp, "doc_id", "payload", fake=False, feat_dim=5)
+    return out.select(
+        "id",
+        F.col("feat")[0].cast("int").alias("width"),
+        F.col("feat")[1].cast("int").alias("height"),
+        F.col("feat")[2].alias("mean_r"),
+        F.col("feat")[4].alias("mean_b"),
+    )

@@ -3519,3 +3519,71 @@ def test_au_mulaw_decode_laws_and_container():
         _decode_au(bytes(bad))
     with _pytest.raises(ValueError, match="not an AU"):
         _decode_au(b"RIFFxxxx")
+
+
+def test_bmp8_rle_roundtrip_and_handbuilt_delta():
+    """mm21: RLE8/uncompressed palettized BMP round-trips on
+    literal-heavy, run-heavy, diagonal and sparse-noise images plus
+    wide rows crossing the 253/255 absolute-chunk boundary; a
+    HAND-BUILT stream exercising the delta escape (which the writer
+    never emits) decodes with skipped pixels at palette index 0; the
+    depth gate raises loudly."""
+    import random
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import _parse_bmp, encode_bmp8_rle
+
+    rng = np.random.default_rng(13)
+    random.seed(13)
+    for trial in range(300):
+        h, w = random.randrange(1, 14), random.randrange(1, 14)
+        kind = trial % 4
+        if kind == 0:
+            idx = rng.integers(0, 16, (h, w), dtype=np.uint8)
+        elif kind == 1:
+            idx = np.tile(
+                rng.integers(0, 16, (h, 1), dtype=np.uint8), (1, w)
+            )
+        elif kind == 2:
+            idx = (
+                (np.arange(w)[None, :] + 2 * np.arange(h)[:, None]) % 16
+            ).astype(np.uint8)
+        else:
+            idx = np.full((h, w), 5, dtype=np.uint8)
+            for _ in range(3):
+                idx[random.randrange(h), random.randrange(w)] = (
+                    rng.integers(0, 16)
+                )
+        pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        for rle in (True, False):
+            back = _parse_bmp(encode_bmp8_rle(idx, pal, rle=rle))
+            assert (back == pal[idx]).all(), (trial, kind, rle)
+    wide = rng.integers(0, 16, (2, 600), dtype=np.uint8)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    assert (_parse_bmp(encode_bmp8_rle(wide, pal)) == pal[wide]).all()
+
+    # hand-built delta stream: 4x1 image (bottom-up = same row),
+    # run(1, idx 2), delta skip (+2, 0), run(1, idx 3), EOL, EOB
+    pal3 = np.array(
+        [[9, 9, 9], [1, 1, 1], [2, 2, 2], [3, 3, 3]], dtype=np.uint8
+    )
+    quads = b"".join(
+        bytes((int(b_), int(g), int(r), 0)) for r, g, b_ in pal3
+    )
+    body = bytes((1, 2, 0, 2, 2, 0, 1, 3, 0, 0, 0, 1))
+    info = _struct.pack(
+        "<IiiHHIIiiII", 40, 4, 1, 1, 8, 1, len(body), 0, 0, 4, 0
+    )
+    off = 14 + 40 + len(quads)
+    hdr = b"BM" + _struct.pack("<IHHI", off + len(body), 0, 0, off)
+    out = _parse_bmp(hdr + info + quads + body)
+    # pixel 0 = idx2, pixels 1-2 delta-skipped -> idx 0, pixel 3 = idx3
+    assert out[0].tolist() == [[2, 2, 2], [9, 9, 9], [9, 9, 9], [3, 3, 3]]
+
+    with _pytest.raises(NotImplementedError, match="BMP bpp"):
+        bad = bytearray(encode_bmp8_rle(wide, pal))
+        _struct.pack_into("<H", bad, 28, 4)  # 4-bit
+        _parse_bmp(bytes(bad))
