@@ -315,6 +315,7 @@ def spatial_join(
     x_col: str = "x",
     y_col: str = "y",
     radius: float = 0.02,
+    build: DataFrame | None = None,
 ) -> DataFrame:
     """2-D fixed-radius SPATIAL self-join (all point pairs within
     ``radius`` — geo near-neighbors, collision/dedup sweeps, cluster
@@ -335,18 +336,32 @@ def spatial_join(
     compare as exact doubles (float coords widen losslessly; the
     squared form avoids sqrt entirely).
 
+    ``build`` (default: ``points`` itself — the self-join) supplies a
+    separate build side; the probe side may then be a STREAM (the
+    grid keys and distance verify are stateless exprs, so the same
+    plan runs as a stream-static join — certified in st33).
+
     Returns ``(id_l, id_r, dist_sq)``.
     """
     if radius <= 0:
         raise ValueError("radius must be positive")
     r = float(radius)
-    pts = points.select(
-        F.col(id_col).alias("__id"),
-        F.col(x_col).cast("double").alias("__x"),
-        F.col(y_col).cast("double").alias("__y"),
-        F.floor(F.col(x_col).cast("double") / r).cast("bigint").alias("__cx"),
-        F.floor(F.col(y_col).cast("double") / r).cast("bigint").alias("__cy"),
-    )
+
+    def prep(df):
+        return df.select(
+            F.col(id_col).alias("__id"),
+            F.col(x_col).cast("double").alias("__x"),
+            F.col(y_col).cast("double").alias("__y"),
+            F.floor(F.col(x_col).cast("double") / r)
+            .cast("bigint")
+            .alias("__cx"),
+            F.floor(F.col(y_col).cast("double") / r)
+            .cast("bigint")
+            .alias("__cy"),
+        )
+
+    pts = prep(points)
+    bld = pts if build is None else prep(build)
     probe = (
         pts.withColumn("__dx", F.expr("explode(array(-1, 0, 1))"))
         .withColumn("__dy", F.expr("explode(array(-1, 0, 1))"))
@@ -358,7 +373,7 @@ def spatial_join(
             (F.col("__cy") + F.col("__dy")).alias("cy"),
         )
     )
-    build = pts.select(
+    bside = bld.select(
         F.col("__id").alias("id_r"),
         F.col("__x").alias("xr"),
         F.col("__y").alias("yr"),
@@ -368,7 +383,7 @@ def spatial_join(
     dist = "(xl - xr) * (xl - xr) + (yl - yr) * (yl - yr)"
     thresh = f"CAST({r} AS DOUBLE) * CAST({r} AS DOUBLE)"
     return (
-        probe.join(build, ["cx", "cy"])
+        probe.join(bside, ["cx", "cy"])
         .filter(F.col("id_l") < F.col("id_r"))
         .filter(F.expr(f"{dist} <= {thresh}"))
         .select("id_l", "id_r", F.expr(dist).alias("dist_sq"))

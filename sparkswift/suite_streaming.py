@@ -2145,3 +2145,60 @@ def st32_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.crossJoin(F.broadcast(bad)).select(
         "n_events", (F.col("n_bad") == 0).alias("stream_matches_batch")
     )
+
+
+# ---------------------------------------------------------------------------
+# st33 — STREAM-STATIC spatial enrichment: j13's grid reduction with
+# the probe side a stream (points arriving) against the static corpus
+# build — the geo-ingest shape ("which known sites is this new point
+# near?"). The grid keys and distance verify are stateless exprs, so
+# the same spatial_join plan runs under the streaming runner as a
+# stream-static equi-join on the composite (cx, cy) key; certified
+# BIT-equal to the batch self-join (same pairs, same exact dist_sq).
+# ---------------------------------------------------------------------------
+@register(
+    "st33_stream_spatial_join",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           TRUE AS stream_matches_batch
+    FROM embeddings
+    """,
+)
+def st33_stream_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.joins import spatial_join
+    from sparkswift.streaming.ops import table_stream
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding")[0].alias("x"),
+        F.col("embedding")[1].alias("y"),
+    )
+    batch = spatial_join(emb, id_col="vec_id", radius=0.02)
+    s_src = table_stream(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding")[0].alias("x"),
+        F.col("embedding")[1].alias("y"),
+    )
+    s = run_stream_to_batch(
+        spatial_join(s_src, id_col="vec_id", radius=0.02, build=emb),
+        mode="append",
+    ).select(
+        F.col("id_l").alias("s_l"),
+        F.col("id_r").alias("s_r"),
+        F.col("dist_sq").alias("s_d"),
+    )
+    bad = (
+        batch.join(
+            s, (batch.id_l == s.s_l) & (batch.id_r == s.s_r), "full"
+        )
+        .filter(
+            F.col("id_l").isNull()
+            | F.col("s_l").isNull()
+            | (F.col("dist_sq") != F.col("s_d"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_bad"))
+    )
+    n = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+    return n.crossJoin(F.broadcast(bad)).select(
+        "n_points", (F.col("n_bad") == 0).alias("stream_matches_batch")
+    )

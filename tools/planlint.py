@@ -78,6 +78,7 @@ BNLJ_ALLOWED: dict[str, int] = {
     "st31_stream_qoi_decode": 1,  # one-row verdict fan-in
     "g10_degree_assortativity": 2,  # one-row node/edge-count fan-in
     "st32_stream_cusum": 1,  # one-row verdict fan-in
+    "st33_stream_spatial_join": 1,  # one-row verdict fan-in
     "t18_bpe_decode_gate": 2,  # one-row verdict fan-in (docs x bad x planted)
     "t21_gate": 4,  # one-row verdict fan-in (rt/ids/re/planted)
     "t22_gate": 4,  # one-row verdict fan-in (rt/ids/re/planted)
