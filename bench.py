@@ -198,6 +198,13 @@ HEADLINE = [
     "mm20_au_ulaw_decode_real",  # AU container + G.711 mu-law expand
     "w10_cusum_alerts",      # sequential CUSUM (int64 recurrence kernel)
     "g10_degree_assortativity",  # endpoint-degree Pearson (one pass)
+    "j13_spatial_join",      # grid-cell fixed-radius spatial self-join
+    "e15_filtered_topk",     # pre-filter vector search (predicate at scan)
+    "agg27_weighted_median", # exact weighted lower median
+    "t24_lexical_diversity", # type-token ratio + hapax fraction
+    "mm21_bmp_rle_decode_real",  # palettized BMP + RLE8
+    "st32_stream_cusum",     # stateful streaming CUSUM (carry across batches)
+    "st33_stream_spatial_join",  # stream-static grid spatial join
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their
