@@ -205,6 +205,7 @@ HEADLINE = [
     "mm21_bmp_rle_decode_real",  # palettized BMP + RLE8
     "st32_stream_cusum",     # stateful streaming CUSUM (carry across batches)
     "st33_stream_spatial_join",  # stream-static grid spatial join
+    "w11_longest_streak",    # gaps-and-islands longest hot run
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

@@ -3582,3 +3582,84 @@ def agg27_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wmedian_cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# w11 — longest above-threshold streak per user (gaps-and-islands:
+# uptime runs, SLA breach spells, hot-hand sequences). Island id =
+# row_number − flagged_row_number (constant exactly within a
+# consecutive flagged run — the classic identity), then one
+# aggregate per island and an argmax per user on the (len, start)
+# order. Everything is exact integers on the (ts, event_id) total
+# order; TWO window passes + two aggregates on ONE user partitioning
+# (no self-join). Threshold: value ≥ 100 (fixture p90-ish — streaks
+# exist but are scarce).
+# ---------------------------------------------------------------------------
+@register(
+    "w11_longest_streak",
+    """
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id,
+             CASE WHEN value >= 100 THEN 1 ELSE 0 END AS hot
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, t, event_id, hot,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY t, event_id)
+             - row_number() OVER (PARTITION BY user_id, hot
+                                  ORDER BY t, event_id) AS island
+      FROM s
+    ),
+    runs AS (
+      SELECT user_id, island,
+             CAST(COUNT(*) AS BIGINT) AS len,
+             CAST(MIN(t) AS BIGINT) AS start_us
+      FROM r WHERE hot = 1
+      GROUP BY user_id, island
+    ),
+    best AS (
+      SELECT user_id, len, start_us,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, start_us) AS rk
+      FROM runs
+    )
+    SELECT user_id, len AS longest_streak, start_us AS streak_start_us
+    FROM best WHERE rk = 1
+    """,
+)
+def w11_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+        F.when(F.col("value") >= 100, 1).otherwise(0).alias("hot"),
+    )
+    w_all = W.partitionBy("user_id").orderBy("t", "event_id")
+    w_hot = W.partitionBy("user_id", "hot").orderBy("t", "event_id")
+    r = s.withColumn(
+        "island", F.row_number().over(w_all) - F.row_number().over(w_hot)
+    )
+    runs = (
+        r.filter(F.col("hot") == 1)
+        .groupBy("user_id", "island")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("len"),
+            F.min("t").cast("bigint").alias("start_us"),
+        )
+    )
+    w_best = W.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("start_us")
+    )
+    return (
+        runs.withColumn("rk", F.row_number().over(w_best))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("len").alias("longest_streak"),
+            F.col("start_us").alias("streak_start_us"),
+        )
+    )

@@ -1183,3 +1183,56 @@ def test_weighted_median_matches_pure_python(spark, sf_dir):
         for r in fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_longest_streak_matches_pure_python(spark, sf_dir):
+    """w11: longest above-threshold run per user == a sequential
+    pure-python scan of the (ts, event_id)-ordered series (argmax
+    tie to the earliest start)."""
+    from sparkswift.sources import load_table
+    from sparkswift.suite import _REGISTRY
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select("user_id", "ts", "event_id", "value").collect()
+    series = {}
+    for r in rows:
+        series.setdefault(r.user_id, []).append(
+            (r.ts, r.event_id, r.value >= 100)
+        )
+    want = {}
+    for u, seq in series.items():
+        seq.sort()
+        best = None  # (len, start_idx_ts)
+        cur = 0
+        cur_start = None
+        for ts, _eid, hot in seq:
+            if hot:
+                if cur == 0:
+                    cur_start = ts
+                cur += 1
+                cand = (cur, cur_start)
+                if (
+                    best is None
+                    or cand[0] > best[0]
+                    or (cand[0] == best[0] and cand[1] < best[1])
+                ):
+                    best = cand
+            else:
+                cur = 0
+        if best:
+            import datetime as dt
+
+            start_us = int(
+                best[1]
+                .replace(tzinfo=dt.timezone.utc)
+                .timestamp()
+                * 1_000_000
+            )
+            want[u] = (best[0], start_us)
+    fn = _REGISTRY["w11_longest_streak"][0]
+    got = {
+        r.user_id: (r.longest_streak, r.streak_start_us)
+        for r in fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert any(n > 1 for n, _ in got.values())  # real streaks exist
