@@ -219,7 +219,12 @@ def main() -> None:
 
     spark = get_spark("sparkswift-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = suite.queries()
+    # re-pointed names (suite._REPOINT) serve their verdict frame in
+    # the registry; bench times the RAW operator output — the frame
+    # re-runs the exact twin too, so it carries no throughput signal,
+    # and this keeps every row comparable to BENCH_r{1..12}.json
+    qs = dict(suite.queries())
+    qs.update(suite.raw_queries())
 
     # warm the JVM / codegen / parquet footer cache so per-query times
     # measure steady-state plan cost, not first-query startup

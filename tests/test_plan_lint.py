@@ -17,13 +17,11 @@ from sparkswift import suite  # noqa: E402
 # plan BUILD runs multi-second jobs (index/store seeding, streaming
 # harness) — linted by the tools/planlint.py full sweep instead
 HEAVY_BUILDS = {
-    "d14_gate",
     "d14_neardup_incremental",
     "st14_stream_crawl_ingest",
     "st13_stream_ivf_ingest",
     "e4_cosine_topk_ivf_persisted",
     "e7_cosine_topk_ivfpq_persisted",
-    "e7_gate",
     "st4_stream_join",
 }
 

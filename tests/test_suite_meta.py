@@ -1,7 +1,6 @@
 """Suite-registry invariants — structural guards that the driver
 contract stays whole as queries are added."""
 
-import re
 
 from sparkswift import suite
 
@@ -11,23 +10,21 @@ def _registry():
     return suite._REGISTRY
 
 
-def test_every_rows_only_query_has_a_gate_twin():
-    """Every no-oracle (sketch/ANN/hash) query must have a
-    `<prefix>_gate` self-verifying twin registered WITH an oracle, so
-    the driver always holds hash-matchable evidence for the family
-    (VERDICT r5 #4). New rows-only queries fail here until their gate
-    ships."""
+def test_every_registered_query_has_an_oracle():
+    """VERDICT r12 #1: since the re-point, EVERY registry entry must
+    carry a SQL oracle (the driver's hard channel can then never
+    sample an unverifiable row). Raw rows-only outputs live in
+    suite.raw_queries() instead — each must correspond to a
+    re-pointed registry name whose frame certifies it."""
     reg = _registry()
     rows_only = {n for n, (_f, o) in reg.items() if o is None}
-    missing = []
-    for n in sorted(rows_only):
-        if n.endswith("_gate"):
-            continue
-        prefix = re.match(r"([a-z]+\d+)", n)
-        gate = f"{prefix.group(1)}_gate" if prefix else None
-        if gate not in reg or reg[gate][1] is None:
-            missing.append((n, gate))
-    assert not missing, f"rows-only queries without an oracled gate: {missing}"
+    assert not rows_only, f"rows-only registry entries: {sorted(rows_only)}"
+    raw = suite.raw_queries()
+    assert set(raw) == set(suite._REPOINT)
+    for n in raw:
+        assert n in reg and reg[n][1] is not None, n
+        # the registry fn is the former gate, not the raw output
+        assert reg[n][0] is not raw[n], n
 
 
 def test_gate_oracle_placeholders_all_resolved():
