@@ -719,13 +719,18 @@ def sssp_distances(
     improvers; ``localCheckpoint`` cuts lineage and a one-row count
     probes convergence. Every shuffled row is (node, dist) — 16
     bytes, never input data. Rounds ≤ shortest-path hop count ≤
-    ``max_cost``/min_weight; the ``max_rounds`` cap (default
-    ``max_cost``, valid for weights ≥ 1) RAISES on overrun rather
-    than silently truncating (the g5/g6 runaway rule).
+    ``max_cost``/min_weight, and convergence DETECTION takes one
+    extra (non-improving) round — so the default cap is
+    ``max_cost + 1`` (ADVICE r12: a unit-weight chain of exactly
+    ``max_cost`` edges needs ``max_cost`` improving rounds plus the
+    empty detection round; valid for integer weights ≥ 1). An
+    explicit ``max_rounds`` must likewise exceed the worst-case hop
+    count by one; the cap RAISES on overrun rather than silently
+    truncating (the g5/g6 runaway rule).
     """
     if max_cost < 0:
         raise ValueError("max_cost must be >= 0")
-    cap = max_cost if max_rounds is None else max_rounds
+    cap = max_cost + 1 if max_rounds is None else max_rounds
     e = (
         edges.select(
             F.col(src).alias("u"),

@@ -341,6 +341,15 @@ def spatial_join(
     grid keys and distance verify are stateless exprs, so the same
     plan runs as a stream-static join — certified in st33).
 
+    Pair-direction semantics (ADVICE r12): the ``id_l < id_r``
+    dedup applies ONLY to the self-join — with a distinct ``build``
+    set ("which known sites is this new point near?") every
+    (probe, build) match is a distinct pair, so ALL matches are
+    emitted, including same-id ones if the id spaces overlap. A
+    caller passing ``build=points`` (same rows via a second scan)
+    gets each unordered pair twice plus self-matches — use
+    ``build=None`` for the self-join semantics.
+
     Returns ``(id_l, id_r, dist_sq)``.
     """
     if radius <= 0:
@@ -382,9 +391,10 @@ def spatial_join(
     )
     dist = "(xl - xr) * (xl - xr) + (yl - yr) * (yl - yr)"
     thresh = f"CAST({r} AS DOUBLE) * CAST({r} AS DOUBLE)"
-    return (
-        probe.join(bside, ["cx", "cy"])
-        .filter(F.col("id_l") < F.col("id_r"))
-        .filter(F.expr(f"{dist} <= {thresh}"))
-        .select("id_l", "id_r", F.expr(dist).alias("dist_sq"))
+    joined = probe.join(bside, ["cx", "cy"])
+    if build is None:
+        # self-join: keep one direction of each unordered pair
+        joined = joined.filter(F.col("id_l") < F.col("id_r"))
+    return joined.filter(F.expr(f"{dist} <= {thresh}")).select(
+        "id_l", "id_r", F.expr(dist).alias("dist_sq")
     )

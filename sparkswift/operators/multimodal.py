@@ -174,6 +174,14 @@ def _parse_bmp(b: bytes) -> np.ndarray:
         raise ValueError("not a BMP payload")
     data_off = struct.unpack_from("<I", b, 10)[0]
     hdr_size = struct.unpack_from("<I", b, 14)[0]
+    if hdr_size < 40:
+        # BITMAPCOREHEADER (12-byte OS/2 header): int16 dims at 18/20,
+        # bpp at 24, RGB-triple palette at 14+12 — every fixed offset
+        # below would misparse (ADVICE r12). Gate loudly.
+        raise NotImplementedError(
+            f"BMP core-header (hdr_size={hdr_size} < 40) unsupported; "
+            "need BITMAPINFOHEADER or later"
+        )
     w, h = struct.unpack_from("<ii", b, 18)
     bpp = struct.unpack_from("<H", b, 28)[0]
     comp = struct.unpack_from("<I", b, 30)[0]

@@ -258,16 +258,38 @@ def temperature_weights(
     The ONE transcendental (pow) floor-quantizes to integer micro-
     weights — floor, not round: no round-half rule in play — and
     everything downstream is the exact integer arithmetic of
-    :func:`_mixture_thresholds` (the t15 discipline: cross-engine
-    transcendental agreement is fixture-verified in pytest, and the
-    honest fallback if a boundary ever flips is rows-only)."""
+    :func:`_mixture_thresholds`. The quantization itself is delegated
+    to DuckDB's scalar engine when importable (see inline comment) so
+    engine and oracle share one pow bit pattern by construction."""
     if alpha < 0:
         raise ValueError("alpha must be >= 0")
-    return {
-        g: int(math.floor(scale * float(n) ** alpha))
-        for g, n in counts.items()
-        if n > 0
-    }
+    live = sorted((g, n) for g, n in counts.items() if n > 0)
+    # Structural cross-engine parity (ADVICE r12 / VERDICT r12 #2.4):
+    # pow is the one IEEE operation NOT required to be correctly
+    # rounded, so Python libm and the oracle's DuckDB libm could in
+    # principle differ by an ulp and flip a floor boundary on some
+    # platform. The weights can't be rendered as oracle literals (the
+    # oracle string is static; the counts are per-sf), so instead the
+    # ENGINE delegates this one bounded driver-side quantization (≤
+    # #groups rows) to DuckDB itself when available — both sides then
+    # share the identical pow bit pattern BY CONSTRUCTION. The Python
+    # fallback keeps the operator dependency-free; its agreement is
+    # densely fixture-pinned in pytest (every n ≤ 20k + log tail).
+    try:
+        import duckdb
+
+        con = duckdb.connect(":memory:")
+        out = {}
+        for g, n in live:
+            (w,) = con.execute(
+                "SELECT CAST(floor(? * pow(CAST(? AS DOUBLE), ?)) AS HUGEINT)",
+                [float(scale), float(n), float(alpha)],
+            ).fetchone()
+            out[g] = int(w)
+        con.close()
+        return out
+    except Exception:
+        return {g: int(math.floor(scale * float(n) ** alpha)) for g, n in live}
 
 
 def temperature_sample(
@@ -314,15 +336,16 @@ def temperature_sql(
     engine state — in HUGEINT arithmetic after the one quantized
     pow.
 
-    Why pow stays in-oracle (ADVICE r11 considered and decided): the
-    oracle string is static while the micro-weights depend on the
-    per-sf counts, so the engine's Python-computed weights cannot be
-    rendered as literals the way :func:`mixture_sql` renders its
-    (input) weights. The cross-engine floor(pow) agreement is instead
+    Why pow stays in-oracle (ADVICE r11/r12): the oracle string is
+    static while the micro-weights depend on the per-sf counts, so
+    the engine's weights cannot be rendered as literals the way
+    :func:`mixture_sql` renders its (input) weights. Instead the
+    ENGINE's quantization (:func:`temperature_weights`) delegates its
+    one pow to DuckDB when importable — the identical libm as this
+    oracle, so the floor boundary agrees BY CONSTRUCTION, on any
+    platform. The Python-pow fallback's agreement is additionally
     pinned densely in pytest (every n <= 20k + log tail to 1e9,
-    test_temperature_pow_agrees_with_duckdb_densely); the honest
-    fallback if an environment ever flips an ulp boundary is to
-    demote p30 to rows-only."""
+    test_temperature_pow_agrees_with_duckdb_densely)."""
     space = 16**_NIBBLES
     bucket = (
         f"substr(md5(concat_ws(':', '{seed}', CAST({id_sql} AS VARCHAR))),"

@@ -52,6 +52,27 @@ def table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return normalize_timestamps(src)
 
 
+def stamp_slice_order(base_dir: str, seen: set[str], slice_no: int) -> None:
+    """Pin a deterministic micro-batch order onto time-slice files
+    written into ``base_dir`` for a ``maxFilesPerTrigger=1`` file
+    stream. Spark's FileStreamSource orders new files by MODIFICATION
+    time; three slices appended back-to-back can land on the same
+    coarse mtime tick and be reordered, silently breaking any
+    stateful stream≡batch bit-equality certification (ADVICE r12,
+    st32). Call after writing each slice: every not-yet-seen data
+    file gets an explicit mtime of ``slice_no`` seconds past a fixed
+    epoch — strictly increasing per slice, so trigger order equals
+    write order on any filesystem."""
+    import os
+
+    t = 1_000_000_000 + slice_no
+    for name in sorted(os.listdir(base_dir)):
+        if name.startswith(("_", ".")) or name in seen:
+            continue
+        os.utime(os.path.join(base_dir, name), (t, t))
+        seen.add(name)
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture. Schema comes from a
     batch peek (file streams need an explicit schema); the ns-long ts

@@ -2092,7 +2092,7 @@ def st32_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from sparkswift.operators.rolling import cusum_alerts
-    from sparkswift.streaming.ops import stream_cusum
+    from sparkswift.streaming.ops import stamp_slice_order, stream_cusum
 
     ev = load_table(spark, sf_dir, "events")
     batch = cusum_alerts(ev, allowance=60_000, threshold=400_000)
@@ -2105,12 +2105,16 @@ def st32_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("ts").alias("__day"),
     )
     base = tempfile.mkdtemp(prefix="cusum_stream_")
+    seen: set[str] = set()
     for i, cond in enumerate(
         [F.col("__day") <= 10, (F.col("__day") > 10) & (F.col("__day") <= 20), F.col("__day") > 20]
     ):
         prepared.filter(cond).drop("__day").repartition(1).write.mode(
             "append"
         ).parquet(base)
+        # explicit increasing mtimes pin trigger order = slice order
+        # (ADVICE r12: coarse mtime ties could reorder micro-batches)
+        stamp_slice_order(base, seen, i)
 
     schema = spark.read.parquet(base).schema
     src = (
@@ -2179,8 +2183,15 @@ def st33_stream_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding")[0].alias("x"),
         F.col("embedding")[1].alias("y"),
     )
+    # with an explicit build side, spatial_join emits EVERY
+    # (probe, build) match (ADVICE r12 fix) — since this probe stream
+    # IS the build corpus, restore the self-join's unordered-pair
+    # canonicalization here, caller-side, where the shared id space
+    # is a known fact rather than an operator assumption
     s = run_stream_to_batch(
-        spatial_join(s_src, id_col="vec_id", radius=0.02, build=emb),
+        spatial_join(s_src, id_col="vec_id", radius=0.02, build=emb).filter(
+            F.col("id_l") < F.col("id_r")
+        ),
         mode="append",
     ).select(
         F.col("id_l").alias("s_l"),

@@ -634,6 +634,17 @@ def test_sssp_matches_dijkstra_and_caps_cost(spark):
     with pytest.raises(RuntimeError, match="convergence"):
         sssp_distances(edf, sdf, max_cost=10, max_rounds=1)
 
+    # ADVICE r12 off-by-one: a unit-weight chain of exactly max_cost
+    # edges takes max_cost improving rounds + 1 detection round — the
+    # DEFAULT cap must absorb it (it used to raise spuriously)
+    k = 5
+    edf = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(k)], "src long, dst long, w long"
+    )
+    sdf = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.dist for r in sssp_distances(edf, sdf, max_cost=k).collect()}
+    assert got == {i: i for i in range(k + 1)}
+
 
 def test_degree_assortativity_matches_networkx_formula(spark):
     """g10 == a pure-python Newman assortativity computation on random

@@ -427,3 +427,34 @@ def test_spatial_join_exhaustive_vs_bruteforce(spark):
             assert r_.dist_sq <= r * r + 1e-15
     # the planted boundary pair (0,0)-(r,0) sits at dist == r exactly
     assert (n, n + 1) in want
+
+
+def test_spatial_join_distinct_build_emits_all_matches(spark):
+    """ADVICE r12: with a genuinely different build set, NO pair may
+    be dropped by the self-join's id_l < id_r canonicalization — a
+    probe point must find every in-radius build site regardless of id
+    order (brute-force cross-set reference)."""
+    import random
+
+    from sparkswift.operators.joins import spatial_join
+
+    rng = random.Random(7)
+    r = 0.15
+    probes = [(i, rng.uniform(-1, 1), rng.uniform(-1, 1)) for i in range(60)]
+    # build ids deliberately INTERLEAVE and COLLIDE with probe ids so
+    # id-order filtering would visibly drop matches
+    sites = [(i // 2, rng.uniform(-1, 1), rng.uniform(-1, 1)) for i in range(80)]
+    want = set()
+    for i, xi, yi in probes:
+        for j, xj, yj in sites:
+            if (xi - xj) ** 2 + (yi - yj) ** 2 <= r * r:
+                want.add((i, j))
+    pdf = spark.createDataFrame(probes, "vec_id long, x double, y double")
+    bdf = spark.createDataFrame(sites, "vec_id long, x double, y double")
+    got = [
+        (r_.id_l, r_.id_r)
+        for r_ in spatial_join(pdf, id_col="vec_id", radius=r, build=bdf).collect()
+    ]
+    # sites list holds duplicate ids (j // 2) — multiplicity preserved
+    assert set(got) == want
+    assert any(a >= b for a, b in got), "fixture must exercise id_l >= id_r"

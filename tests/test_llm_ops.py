@@ -3587,3 +3587,13 @@ def test_bmp8_rle_roundtrip_and_handbuilt_delta():
         bad = bytearray(encode_bmp8_rle(wide, pal))
         _struct.pack_into("<H", bad, 28, 4)  # 4-bit
         _parse_bmp(bytes(bad))
+
+    # ADVICE r12: an OS/2 BITMAPCOREHEADER (hdr_size=12) must hit the
+    # explicit gate, not misparse with garbage offsets — build a
+    # minimal 1x1 8-bit core-header file (int16 dims, RGB triples)
+    core = _struct.pack("<IHHHH", 12, 1, 1, 1, 8)
+    pal_rgb = b"\x01\x02\x03" * 256
+    off2 = 14 + 12 + len(pal_rgb)
+    hdr2 = b"BM" + _struct.pack("<IHHI", off2 + 4, 0, 0, off2)
+    with _pytest.raises(NotImplementedError, match="core-header"):
+        _parse_bmp(hdr2 + core + pal_rgb + b"\x00\x00\x00\x00")

@@ -602,7 +602,11 @@ def test_stream_cusum_carry_survives_chop(spark, sf_dir):
 
     from sparkswift.operators.rolling import cusum_alerts
     from sparkswift.sources import load_table
-    from sparkswift.streaming.ops import run_stream_to_batch, stream_cusum
+    from sparkswift.streaming.ops import (
+        run_stream_to_batch,
+        stamp_slice_order,
+        stream_cusum,
+    )
 
     ev = load_table(spark, sf_dir, "events")
     A, H = 30_000, 200_000  # lower bar than the headline: more carry
@@ -618,10 +622,12 @@ def test_stream_cusum_carry_survives_chop(spark, sf_dir):
         F.dayofmonth("ts").alias("__day"),
     )
     base = tempfile.mkdtemp(prefix="cusum_chop_")
-    for cond in (F.col("__day") <= 15, F.col("__day") > 15):
+    seen: set[str] = set()
+    for i, cond in enumerate((F.col("__day") <= 15, F.col("__day") > 15)):
         prepared.filter(cond).drop("__day").repartition(1).write.mode(
             "append"
         ).parquet(base)
+        stamp_slice_order(base, seen, i)
     src = (
         spark.readStream.schema(spark.read.parquet(base).schema)
         .option("maxFilesPerTrigger", 1)
