@@ -2761,15 +2761,22 @@ def encode_avi(frames: list[np.ndarray], fps: int = 25) -> bytes:
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
+_MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
+
+
 def _parse_avi_frames(b: bytes) -> list[np.ndarray]:
-    """Decode an uncompressed RIFF/AVI to its frames as (h, w, 3)
-    uint8 RGB arrays: full RIFF grammar walk (fourcc + LE u32 size +
-    pad-to-even), BITMAPINFOHEADER from the first vids 'strf' for
-    geometry, '00db'/'00dB' movi chunks as bottom-up padded BGR DIB
-    rows (mm4's `_parse_bmp` row logic, headerless). Compressed
-    streams (biCompression != 0) raise — this is honestly the
-    uncompressed-DIB slice of video decode; everything else needs
-    ffmpeg."""
+    """Decode a RIFF/AVI to its frames as (h, w, 3) uint8 RGB arrays:
+    full RIFF grammar walk (fourcc + LE u32 size + pad-to-even),
+    BITMAPINFOHEADER from the first vids 'strf' for geometry. Two
+    stream codecs decode for real: uncompressed 24-bit DIB
+    (biCompression 0 — '00db'/'00dB' chunks as bottom-up padded BGR
+    rows, mm4's `_parse_bmp` row logic headerless) and MOTION JPEG
+    (biCompression 'MJPG' — each '00dc' chunk is one standalone
+    baseline/progressive JPEG image, VERDICT r12 #4, decoded by
+    `_parse_jpeg`; per the MJPEG-in-AVI convention frames are
+    independent keyframes, so stride/seek costs nothing). Any other
+    biCompression (vp8/h264/...) raises — interframe codecs honestly
+    need ffmpeg."""
     if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
 
@@ -2781,10 +2788,11 @@ def _parse_avi_frames(b: bytes) -> list[np.ndarray]:
             pos += 8 + size + (size % 2)
 
     geom: tuple[int, int] | None = None
+    mode: str | None = None
     frames: list[np.ndarray] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal geom
+        nonlocal geom, mode
         for fourcc, dpos, size in chunks(b, pos, end):
             if fourcc == b"LIST":
                 walk(dpos + 4, dpos + size)  # skip the list-type fourcc
@@ -2792,15 +2800,29 @@ def _parse_avi_frames(b: bytes) -> list[np.ndarray]:
                 _, w, h = struct.unpack_from("<Iii", b, dpos)
                 bpp = struct.unpack_from("<H", b, dpos + 14)[0]
                 (comp,) = struct.unpack_from("<I", b, dpos + 16)
-                if bpp != 24 or comp != 0:
+                if comp == _MJPG_FOURCC:
+                    mode = "mjpeg"
+                elif bpp == 24 and comp == 0:
+                    mode = "dib"
+                else:
                     raise ValueError(
                         f"AVI stream bpp={bpp} compression={comp} unsupported "
-                        "(only uncompressed 24-bit DIB; compressed video needs ffmpeg)"
+                        "(uncompressed 24-bit DIB or MJPG only; interframe "
+                        "codecs need ffmpeg)"
                     )
                 geom = (w, h)
-            elif fourcc[2:4] in (b"db", b"dB"):
+            elif fourcc[2:4] in (b"db", b"dB", b"dc", b"dC"):
                 if geom is None:
                     raise ValueError("AVI frame chunk before strf header")
+                if mode == "mjpeg":
+                    if fourcc[2:4] not in (b"dc", b"dC"):
+                        raise ValueError(
+                            "uncompressed frame chunk in an MJPG stream"
+                        )
+                    frames.append(_parse_jpeg(bytes(b[dpos : dpos + size])))
+                    continue
+                if fourcc[2:4] not in (b"db", b"dB"):
+                    raise ValueError("compressed frame chunk in a DIB stream")
                 w, h = geom
                 bottom_up, hh = h > 0, abs(h)
                 rowb = (w * 3 + 3) & ~3
@@ -3122,6 +3144,104 @@ def synth_avi_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             (4 + F.col(id_col) % 3).cast("int").alias("height"),
             F.lit(None).cast("int").alias("sample_rate"),
             (2 + F.col(id_col) % 4).cast("int").alias("n_frames"),
+        ),
+    )
+
+
+def encode_avi_mjpeg(
+    jpeg_frames: list[bytes], w: int, h: int, fps: int = 25
+) -> bytes:
+    """Encode pre-compressed JPEG images as a MOTION-JPEG RIFF/AVI-1.0
+    file (the OpenDML/MJPEG-in-AVI convention: strh fccHandler and
+    strf biCompression both 'MJPG', every frame an independent
+    keyframe in its own '00dc' chunk, idx1 index with AVIIF_KEYFRAME).
+    The JPEG payloads pass through byte-identical — pair with
+    :func:`encode_jpeg_gray` under the mm7 constant-block law and the
+    whole container decodes bit-exactly."""
+    if not jpeg_frames:
+        raise ValueError("encode_avi_mjpeg: need at least one frame")
+    max_bytes = max(len(j) for j in jpeg_frames)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,
+        max_bytes * fps,
+        0,
+        0x10,  # AVIF_HASINDEX
+        len(jpeg_frames),
+        0,
+        1,
+        max_bytes,
+        w,
+        h,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIIi4H",
+            0, 0, 0, 0, 1, fps, 0, len(jpeg_frames), max_bytes, 0, 0,
+            0, 0, w, h,
+        )
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, _MJPG_FOURCC, max_bytes, 0, 0, 0, 0
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(_riff_chunk(b"00dc", j) for j in jpeg_frames)
+    idx_entries, off = [], 4
+    for j in jpeg_frames:
+        idx_entries.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(j)))
+        off += 8 + len(j) + (len(j) % 2)
+    riff_body = (
+        b"AVI "
+        + hdrl
+        + _riff_list(b"movi", movi_body)
+        + _riff_chunk(b"idx1", b"".join(idx_entries))
+    )
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def synth_mjpeg_avi_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a VALID Motion-JPEG AVI per row: 2+id%3 frames of
+    8×8-block-constant grayscale JPEGs (the mm7 law — even levels,
+    Q=16 ⇒ DC quantization exact ⇒ bit-exact decode), block (bx, by)
+    of frame f of doc i holding gray ``28 + 2·((3i + 5bx + 7by + 9f)
+    % 100)`` at 1+id%3 × 1+id%2 blocks — so every per-frame channel
+    mean is exact id arithmetic the SQL oracle re-derives (gray
+    replicates to RGB: mean_r = mean_g = mean_b)."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            nbx, nby, nf = 1 + i % 3, 1 + i % 2, 2 + i % 3
+            jpegs = []
+            for f in range(nf):
+                px = np.empty((8 * nby, 8 * nbx), np.uint8)
+                for by in range(nby):
+                    for bx in range(nbx):
+                        px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            28 + 2 * ((3 * i + 5 * bx + 7 * by + 9 * f) % 100)
+                        )
+                jpegs.append(encode_jpeg_gray(px))
+            return encode_avi_mjpeg(jpegs, 8 * nbx, 8 * nby)
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("video").alias("modality"),
+            F.lit("video/x-msvideo").alias("mime"),
+            (8 * (1 + F.col(id_col) % 3)).cast("int").alias("width"),
+            (8 * (1 + F.col(id_col) % 2)).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            (2 + F.col(id_col) % 3).cast("int").alias("n_frames"),
         ),
     )
 

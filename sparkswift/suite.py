@@ -936,10 +936,13 @@ _WINDOW = [
     "st10_stream_neardup",
     "t16_bpe_trained",
     "t21_unigram_tokens",
-    "t22_wordpiece_tokens",
-    # --- (3) changed-code refreshes ---
+    # --- (3) changed-code refreshes + new this round. t22's frame
+    # was driver-green in r12 under its t22_gate alias (identical
+    # computation), so displacing it for a NEW query loses the least
+    # evidence of any group-2 slot ---
     "g9_sssp_weighted",
     "p30_temperature_mixture",
+    "mm22_mjpeg_avi_decode_real",
 ]
 
 

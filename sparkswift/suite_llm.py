@@ -4719,3 +4719,48 @@ def mm21_bmp_rle_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("feat")[2].alias("mean_r"),
         F.col("feat")[4].alias("mean_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mm22 — MOTION-JPEG AVI frame extraction (VERDICT r12 #4: the
+# feasible compressed-video slice — real web/capture corpora carry
+# MJPEG from webcams, DV cams and surveillance rigs): '00dc' chunks
+# route through the COMPLETE mm7 baseline JPEG decoder (Huffman →
+# dequant → IDCT), container walked by the same RIFF grammar as mm8.
+# The synth is 8×8-block-constant grayscale at even levels / Q=16, so
+# DC quantization is exact and every per-frame channel mean is id
+# arithmetic the oracle re-derives (gray ⇒ mean_r = mean_g = mean_b;
+# AVG over the block grid vs numpy mean over 64× pixels is the same
+# correctly-rounded double: the ×64 cancels). Interframe codecs
+# (vp8/h264) stay honestly gated behind ffmpeg. Scale: mapInPandas
+# decode, zero shuffle; frames parallelize across payload rows.
+# ---------------------------------------------------------------------------
+@register(
+    "mm22_mjpeg_avi_decode_real",
+    """
+    WITH fs AS (SELECT unnest([0, 1, 2, 3]) AS f),
+         bxs AS (SELECT unnest([0, 1, 2]) AS bx),
+         bys AS (SELECT unnest([0, 1]) AS by),
+         p AS (SELECT doc_id, 1 + doc_id % 3 AS nbx, 1 + doc_id % 2 AS nby,
+                      2 + doc_id % 3 AS nf
+               FROM documents)
+    SELECT doc_id AS id, CAST(f AS BIGINT) AS frame_idx,
+           CAST(8 * nbx AS INT) AS width, CAST(8 * nby AS INT) AS height,
+           AVG(CAST(28 + 2 * ((3 * doc_id + 5 * bx + 7 * by + 9 * f) % 100)
+                    AS DOUBLE)) AS mean_r,
+           AVG(CAST(28 + 2 * ((3 * doc_id + 5 * bx + 7 * by + 9 * f) % 100)
+                    AS DOUBLE)) AS mean_g,
+           AVG(CAST(28 + 2 * ((3 * doc_id + 5 * bx + 7 * by + 9 * f) % 100)
+                    AS DOUBLE)) AS mean_b
+    FROM p JOIN fs ON f < nf JOIN bxs ON bx < nbx JOIN bys ON by < nby
+    GROUP BY doc_id, f, nbx, nby
+    """,
+)
+def mm22_mjpeg_avi_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    wp = mm.synth_mjpeg_avi_payload(docs, "doc_id")
+    return mm.decode_video_frames(wp, "doc_id", "payload")

@@ -3597,3 +3597,57 @@ def test_bmp8_rle_roundtrip_and_handbuilt_delta():
     hdr2 = b"BM" + _struct.pack("<IHHI", off2 + 4, 0, 0, off2)
     with _pytest.raises(NotImplementedError, match="core-header"):
         _parse_bmp(hdr2 + core + pal_rgb + b"\x00\x00\x00\x00")
+
+
+def test_mjpeg_avi_roundtrip_and_gates():
+    """mm22: MJPEG-in-AVI decodes BIT-exactly under the mm7
+    constant-block law (even levels, Q=16); geometry and frame count
+    follow the container; interframe codecs and codec/chunk
+    mismatches raise loudly."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import (
+        _parse_avi_frames,
+        encode_avi_mjpeg,
+        encode_jpeg_gray,
+    )
+
+    for i in (0, 1, 2, 5, 17, 100, 999):
+        nbx, nby, nf = 1 + i % 3, 1 + i % 2, 2 + i % 3
+        jpegs, want = [], []
+        for f in range(nf):
+            px = np.empty((8 * nby, 8 * nbx), np.uint8)
+            for by in range(nby):
+                for bx in range(nbx):
+                    px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        28 + 2 * ((3 * i + 5 * bx + 7 * by + 9 * f) % 100)
+                    )
+            jpegs.append(encode_jpeg_gray(px))
+            want.append(px)
+        avi = encode_avi_mjpeg(jpegs, 8 * nbx, 8 * nby)
+        frames = _parse_avi_frames(avi)
+        assert len(frames) == nf
+        for got, w in zip(frames, want):
+            assert got.shape == (8 * nby, 8 * nbx, 3)
+            assert (got == w[:, :, None]).all()
+
+    # interframe codec → explicit refusal, never a misparse
+    bad = bytearray(avi)
+    off = avi.find(b"strf") + 8 + 16
+    bad[off : off + 4] = b"H264"
+    with _pytest.raises(ValueError, match="ffmpeg"):
+        _parse_avi_frames(bytes(bad))
+
+    # an uncompressed '00db' chunk inside an MJPG stream → refusal
+    mixed = bytearray(avi)
+    pos = mixed.find(b"00dc", mixed.find(b"movi"))
+    mixed[pos : pos + 4] = b"00db"
+    with _pytest.raises(ValueError, match="MJPG stream"):
+        _parse_avi_frames(bytes(mixed))
+
+    # empty frame list refused at encode time
+    with _pytest.raises(ValueError, match="at least one"):
+        encode_avi_mjpeg([], 8, 8)

@@ -25,11 +25,14 @@ def main() -> None:
     reps = int(os.environ.get("AB_REPS", "3"))
 
     from sparkswift.session import get_spark
-    from sparkswift.suite import queries
+    from sparkswift.suite import queries, raw_queries
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    qs = queries()
+    # raw twins take precedence: A/B is a THROUGHPUT protocol, and the
+    # re-pointed registry names serve verdict frames (bench.py rule)
+    qs = dict(queries())
+    qs.update(raw_queries())
     names = args or sorted(qs)
     missing = [n for n in names if n not in qs]
     if missing:
