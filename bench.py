@@ -206,6 +206,8 @@ HEADLINE = [
     "st32_stream_cusum",     # stateful streaming CUSUM (carry across batches)
     "st33_stream_spatial_join",  # stream-static grid spatial join
     "w11_longest_streak",    # gaps-and-islands longest hot run
+    "mm22_mjpeg_avi_decode_real",  # Motion-JPEG AVI frame extraction
+    "mm23_flac_decode_real",  # FLAC decode (Rice/LPC/CRC/MD5, real)
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

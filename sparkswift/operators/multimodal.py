@@ -2333,6 +2333,8 @@ def extract_audio_features(
                 decoded = payloads.map(
                     lambda b: _decode_au(b)
                     if b[:4] == b".snd"
+                    else _decode_flac(b)
+                    if b[:4] == b"fLaC"
                     else _decode_wav(b)
                 )
                 out["duration_s"] = decoded.map(lambda d: d[0])
@@ -4509,6 +4511,588 @@ def synth_bmp8_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             (5 + F.col(id_col) % 8).cast("int").alias("width"),
             (4 + F.col(id_col) % 5).cast("int").alias("height"),
             F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FLAC (RFC 9639 / flac format spec — public): the free lossless audio
+# codec. Pure stdlib/numpy: MSB-first bit I/O, CRC-8 (0x07) framed
+# headers, CRC-16 (0x8005) framed frames, UTF-8-style coded frame
+# numbers, Rice/Rice2 partitioned residuals, CONSTANT / VERBATIM /
+# FIXED(0-4) / LPC subframes, wasted bits, independent + left-side /
+# right-side / mid-side stereo decorrelation, and STREAMINFO MD5
+# verification of the decoded signal. Lossless by construction, so
+# decoded statistics are exact id arithmetic a SQL oracle re-derives.
+# ---------------------------------------------------------------------------
+_FLAC_BLOCK_SIZES = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096, 13: 8192,
+    14: 16384, 15: 32768,
+}
+_FLAC_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+_FLAC_BPS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+_FLAC_FIXED_COEFFS = {
+    0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1],
+}
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _FlacBitReader:
+    """MSB-first bit reader with byte-position access (CRC spans)."""
+
+    def __init__(self, b: bytes, pos: int = 0):
+        self.b = b
+        self.pos = pos  # next byte
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.b):
+                raise ValueError("FLAC bitstream truncated")
+            self.acc = (self.acc << 8) | self.b[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        out = (self.acc >> self.nbits) & ((1 << n) - 1) if n else 0
+        self.acc &= (1 << self.nbits) - 1
+        return out
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if n and v >= (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self.nbits = 0
+        self.acc = 0
+
+
+class _FlacBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, v: int, n: int) -> None:
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad_align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes_aligned(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.out)
+
+
+def _flac_utf8_encode(v: int) -> bytes:
+    if v < 0x80:
+        return bytes([v])
+    for nbytes in range(2, 8):
+        if v < (1 << (nbytes * 5 + 1)) or nbytes == 7:
+            lead = (0xFF << (8 - nbytes)) & 0xFF
+            parts = []
+            for _ in range(nbytes - 1):
+                parts.append(0x80 | (v & 0x3F))
+                v >>= 6
+            return bytes([lead | v]) + bytes(reversed(parts))
+    raise ValueError("coded number out of range")
+
+
+def _flac_utf8_decode(r: _FlacBitReader) -> int:
+    b0 = r.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    mask = 0x80
+    while b0 & mask:
+        nbytes += 1
+        mask >>= 1
+    if nbytes < 2 or nbytes > 7:
+        raise ValueError("invalid FLAC coded number")
+    v = b0 & (0x7F >> nbytes)
+    for _ in range(nbytes - 1):
+        c = r.read(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("invalid FLAC coded-number continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _flac_read_residual(r: _FlacBitReader, n: int, order: int) -> list[int]:
+    """Partitioned Rice residual (RFC 9639 §9.2.7): 2-bit method (4- or
+    5-bit params), 4-bit partition order; escape code = raw bits."""
+    method = r.read(2)
+    if method > 1:
+        raise ValueError(f"reserved residual method {method}")
+    pbits, escape = (4, 0xF) if method == 0 else (5, 0x1F)
+    po = r.read(4)
+    if n % (1 << po):
+        raise ValueError("partition order does not divide block size")
+    out: list[int] = []
+    for p in range(1 << po):
+        cnt = (n >> po) - (order if p == 0 else 0)
+        if cnt < 0:
+            raise ValueError("predictor order exceeds first partition")
+        param = r.read(pbits)
+        if param == escape:
+            width = r.read(5)
+            out.extend(r.read_signed(width) for _ in range(cnt))
+        else:
+            for _ in range(cnt):
+                q = r.unary()
+                v = (q << param) | r.read(param)
+                out.append((v >> 1) ^ -(v & 1))
+    return out
+
+
+def _flac_write_residual(
+    w: _FlacBitWriter, res: list[int], order: int
+) -> None:
+    """Single-partition Rice coding with a simple cost-optimal param
+    scan; escapes to raw if any value needs a huge quotient."""
+    zz = [2 * v if v >= 0 else -2 * v - 1 for v in res]
+    best_p, best_cost = None, None
+    for p in range(15):
+        cost = sum((z >> p) + 1 + p for z in zz)
+        if best_cost is None or cost < best_cost:
+            best_p, best_cost = p, cost
+        if max(zz, default=0) >> p == 0:
+            break
+    max_q = max(((z >> best_p) for z in zz), default=0)
+    w.write(0, 2)  # 4-bit rice params
+    w.write(0, 4)  # partition order 0
+    if max_q > 1 << 16:  # degenerate signal: raw escape
+        width = max(v.bit_length() + 1 for v in res) if res else 1
+        w.write(0xF, 4)
+        w.write(width, 5)
+        for v in res:
+            w.write(v & ((1 << width) - 1), width)
+        return
+    w.write(best_p, 4)
+    for z in zz:
+        w.write(1, (z >> best_p) + 1)  # q zeros then the stop 1
+        w.write(z & ((1 << best_p) - 1), best_p)
+
+
+def _flac_read_subframe(r: _FlacBitReader, n: int, bps: int) -> list[int]:
+    if r.read(1):
+        raise ValueError("subframe padding bit set")
+    ftype = r.read(6)
+    wasted = 0
+    if r.read(1):
+        wasted = 1 + r.unary()
+    eff = bps - wasted
+    if ftype == 0:  # CONSTANT
+        s = [r.read_signed(eff)] * n
+    elif ftype == 1:  # VERBATIM
+        s = [r.read_signed(eff) for _ in range(n)]
+    elif 8 <= ftype <= 12:  # FIXED
+        order = ftype - 8
+        s = [r.read_signed(eff) for _ in range(order)]
+        res = _flac_read_residual(r, n, order)
+        coeffs = _FLAC_FIXED_COEFFS[order]
+        for i, e in enumerate(res):
+            pred = sum(c * s[order + i - 1 - j] for j, c in enumerate(coeffs))
+            s.append(pred + e)
+    elif ftype >= 32:  # LPC
+        order = ftype - 31
+        s = [r.read_signed(eff) for _ in range(order)]
+        prec = r.read(4) + 1
+        if prec == 16:
+            raise ValueError("invalid LPC precision escape")
+        shift = r.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative LPC shift")
+        coeffs = [r.read_signed(prec) for _ in range(order)]
+        res = _flac_read_residual(r, n, order)
+        for i, e in enumerate(res):
+            pred = sum(
+                c * s[order + i - 1 - j] for j, c in enumerate(coeffs)
+            ) >> shift
+            s.append(pred + e)
+    else:
+        raise ValueError(f"reserved subframe type {ftype}")
+    if wasted:
+        s = [v << wasted for v in s]
+    return s
+
+
+def _flac_write_subframe(
+    w: _FlacBitWriter, s: list[int], bps: int, spec: str = "auto"
+) -> None:
+    """Encode one channel. ``spec``: 'auto' (CONSTANT if flat, else
+    best FIXED order by |residual| sum), 'verbatim', 'fixed:k', or
+    'lpc' (a fixed order-2 integer predictor 2·s[i-1] − s[i-2] + e
+    via qlp coeffs [2, -1] shift 0 — any predictor is lossless)."""
+    wasted = 0
+    if spec != "verbatim" and any(s):
+        tz = min((v & -v).bit_length() - 1 for v in s if v)
+        if tz > 0 and all(v % 2 == 0 for v in s):
+            wasted = tz
+            s = [v >> tz for v in s]
+    eff = bps - wasted
+    n = len(s)
+    if spec == "auto" and all(v == s[0] for v in s):
+        w.write(0, 1)
+        w.write(0, 6)
+        _flac_write_wasted(w, wasted)
+        w.write(s[0] & ((1 << eff) - 1), eff)
+        return
+    if spec == "verbatim":
+        w.write(0, 1)
+        w.write(1, 6)
+        _flac_write_wasted(w, wasted)
+        for v in s:
+            w.write(v & ((1 << eff) - 1), eff)
+        return
+    if spec == "lpc" and n > 2:
+        w.write(0, 1)
+        w.write(32 + (2 - 1), 6)
+        _flac_write_wasted(w, wasted)
+        for v in s[:2]:
+            w.write(v & ((1 << eff) - 1), eff)
+        w.write(3 - 1, 4)  # precision 3 bits (fits 2 and -1)
+        w.write(0, 5)  # shift 0
+        w.write(2 & 0x7, 3)
+        w.write(-1 & 0x7, 3)
+        res = [s[i] - (2 * s[i - 1] - s[i - 2]) for i in range(2, n)]
+        _flac_write_residual(w, res, 2)
+        return
+    if spec.startswith("fixed:"):
+        order = int(spec.split(":")[1])
+    else:  # auto FIXED: pick the cheapest order that fits
+        best, order = None, 0
+        for o in range(min(5, n + 1) if n else 1):
+            coeffs = _FLAC_FIXED_COEFFS[o]
+            cost = sum(
+                abs(s[i] - sum(c * s[i - 1 - j] for j, c in enumerate(coeffs)))
+                for i in range(o, n)
+            )
+            if best is None or cost < best:
+                best, order = cost, o
+    if order > n:
+        raise ValueError("fixed order exceeds block size")
+    w.write(0, 1)
+    w.write(8 + order, 6)
+    _flac_write_wasted(w, wasted)
+    coeffs = _FLAC_FIXED_COEFFS[order]
+    for v in s[:order]:
+        w.write(v & ((1 << eff) - 1), eff)
+    res = [
+        s[i] - sum(c * s[i - 1 - j] for j, c in enumerate(coeffs))
+        for i in range(order, n)
+    ]
+    _flac_write_residual(w, res, order)
+
+
+def _flac_write_wasted(w: _FlacBitWriter, wasted: int) -> None:
+    if wasted:
+        w.write(1, 1)
+        w.write(1, wasted)  # (wasted-1) zeros then the stop 1
+    else:
+        w.write(0, 1)
+
+
+def encode_flac(
+    samples: np.ndarray,
+    sample_rate: int = 8000,
+    bps: int = 16,
+    block_size: int = 64,
+    stereo_mode: str = "independent",
+    subframe_plan=None,
+) -> bytes:
+    """Encode int samples (shape (n,) mono or (n, ch)) as a FLAC
+    stream: fLaC marker + STREAMINFO (with the spec's MD5 of the
+    little-endian interleaved signal), then fixed-blocksize frames.
+    ``stereo_mode``: independent | left-side | right-side | mid-side
+    (2-channel only). ``subframe_plan(frame_idx) -> spec`` picks the
+    subframe encoding per frame (see :func:`_flac_write_subframe`)."""
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    if not (8 <= bps <= 32):
+        raise ValueError("bps out of range")
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    if s.min() < lo or s.max() > hi:
+        raise ValueError("samples exceed bps range")
+    if stereo_mode != "independent" and ch != 2:
+        raise ValueError("decorrelation needs exactly 2 channels")
+    if sample_rate <= 0 or n == 0:
+        raise ValueError("need samples and a positive rate")
+
+    # STREAMINFO md5: interleaved little-endian bytes-per-sample
+    width = (bps + 7) // 8
+    inter = s.reshape(-1)
+    md5 = hashlib.md5(
+        b"".join(
+            int(v).to_bytes(width, "little", signed=True) for v in inter
+        )
+    ).digest()
+    info = _FlacBitWriter()
+    info.write(block_size, 16)
+    info.write(block_size, 16)
+    info.write(0, 24)
+    info.write(0, 24)
+    info.write(sample_rate, 20)
+    info.write(ch - 1, 3)
+    info.write(bps - 1, 5)
+    info.write(n, 36)
+    stream_info = info.bytes_aligned() + md5
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + len(stream_info).to_bytes(3, "big") + stream_info
+
+    rate_code = next(
+        (c for c, v in _FLAC_RATES.items() if v == sample_rate), 0
+    )
+    bps_code = next((c for c, v in _FLAC_BPS.items() if v == bps), 0)
+    nframes = -(-n // block_size)
+    for f in range(nframes):
+        blk = s[f * block_size : (f + 1) * block_size]
+        bn = blk.shape[0]
+        w = _FlacBitWriter()
+        w.write(0x3FFE, 14)
+        w.write(0, 1)
+        w.write(0, 1)  # fixed block size strategy
+        # explicit 8/16-bit block size keeps short last frames honest
+        bs_code = 6 if bn <= 256 else 7
+        w.write(bs_code, 4)
+        w.write(rate_code, 4)
+        spec = subframe_plan(f) if subframe_plan else "auto"
+        if stereo_mode == "independent":
+            w.write(ch - 1, 4)
+            chans = [(blk[:, c].tolist(), bps) for c in range(ch)]
+        else:
+            l, r = blk[:, 0], blk[:, 1]
+            side = (l - r).tolist()
+            if stereo_mode == "left-side":
+                w.write(8, 4)
+                chans = [(l.tolist(), bps), (side, bps + 1)]
+            elif stereo_mode == "right-side":
+                w.write(9, 4)
+                chans = [(side, bps + 1), (r.tolist(), bps)]
+            elif stereo_mode == "mid-side":
+                w.write(10, 4)
+                chans = [(((l + r) >> 1).tolist(), bps), (side, bps + 1)]
+            else:
+                raise ValueError(f"unknown stereo mode {stereo_mode!r}")
+        w.write(bps_code, 3)
+        w.write(0, 1)
+        hdr = w.bytes_aligned() + _flac_utf8_encode(f)
+        hdr += (bn - 1).to_bytes(1 if bs_code == 6 else 2, "big")
+        hdr += bytes([_crc8(hdr)])
+        body = _FlacBitWriter()
+        for cs, cbps in chans:
+            _flac_write_subframe(body, cs, cbps, spec)
+        body.pad_align()
+        frame = hdr + body.bytes_aligned()
+        out += frame + _crc16(frame).to_bytes(2, "big")
+    return bytes(out)
+
+
+def _parse_flac(b: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode a FLAC stream → (samples int32 (n, ch), rate, bps).
+    Verifies frame-header CRC-8, frame CRC-16, and the STREAMINFO MD5
+    of the reconstructed signal (when present); raises on any
+    mismatch — silent corruption is the one unforgivable decoder sin
+    for an archival-grade lossless codec."""
+    if b[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload (missing fLaC marker)")
+    pos = 4
+    info = None
+    while True:
+        if pos + 4 > len(b):
+            raise ValueError("FLAC metadata truncated")
+        last, btype = b[pos] >> 7, b[pos] & 0x7F
+        ln = int.from_bytes(b[pos + 1 : pos + 4], "big")
+        if btype == 0:
+            r = _FlacBitReader(b, pos + 4)
+            min_bs, max_bs = r.read(16), r.read(16)
+            r.read(24), r.read(24)
+            rate = r.read(20)
+            ch = r.read(3) + 1
+            bps = r.read(5) + 1
+            total = r.read(36)
+            md5 = b[pos + 4 + 18 : pos + 4 + 34]
+            info = (rate, ch, bps, total, md5)
+        pos += 4 + ln
+        if last:
+            break
+    if info is None:
+        raise ValueError("FLAC stream has no STREAMINFO")
+    rate, ch, bps, total, md5 = info
+    chans: list[list[int]] = [[] for _ in range(ch)]
+    expect_frame = 0
+    while pos < len(b):
+        hdr_start = pos
+        r = _FlacBitReader(b, pos)
+        if r.read(14) != 0x3FFE:
+            raise ValueError("bad frame sync")
+        if r.read(1):
+            raise ValueError("reserved frame-header bit set")
+        variable = r.read(1)
+        bs_code = r.read(4)
+        rate_code = r.read(4)
+        ca = r.read(4)
+        bps_code = r.read(3)
+        if r.read(1):
+            raise ValueError("reserved frame-header bit set")
+        coded = _flac_utf8_decode(r)
+        if not variable and coded != expect_frame:
+            raise ValueError(f"frame number {coded} != {expect_frame}")
+        expect_frame += 1
+        if bs_code == 6:
+            bn = r.read(8) + 1
+        elif bs_code == 7:
+            bn = r.read(16) + 1
+        elif bs_code in _FLAC_BLOCK_SIZES:
+            bn = _FLAC_BLOCK_SIZES[bs_code]
+        else:
+            raise ValueError(f"reserved block-size code {bs_code}")
+        if rate_code == 12:
+            r.read(8)
+        elif rate_code in (13, 14):
+            r.read(16)
+        elif rate_code == 15:
+            raise ValueError("invalid sample-rate code")
+        fbps = bps if bps_code == 0 else _FLAC_BPS[bps_code]
+        hdr_end = r.pos  # every header field is byte-multiple so far
+        if _crc8(b[hdr_start:hdr_end]) != r.read(8):
+            raise ValueError("frame header CRC-8 mismatch")
+        if ca < 8:
+            nch = ca + 1
+            subs = [
+                _flac_read_subframe(r, bn, fbps) for _ in range(nch)
+            ]
+        elif ca in (8, 9, 10):
+            nch = 2
+            b0 = fbps + (1 if ca in (9,) else 0)
+            b1 = fbps + (1 if ca in (8, 10) else 0)
+            s0 = _flac_read_subframe(r, bn, b0)
+            s1 = _flac_read_subframe(r, bn, b1)
+            if ca == 8:  # left-side
+                subs = [s0, [l - d for l, d in zip(s0, s1)]]
+            elif ca == 9:  # side-right
+                subs = [[d + rr for d, rr in zip(s0, s1)], s1]
+            else:  # mid-side
+                left, right = [], []
+                for m, d in zip(s0, s1):
+                    mm2 = (m << 1) | (d & 1)
+                    left.append((mm2 + d) >> 1)
+                    right.append((mm2 - d) >> 1)
+                subs = [left, right]
+        else:
+            raise ValueError(f"reserved channel assignment {ca}")
+        if nch != ch:
+            raise ValueError("frame channel count != STREAMINFO")
+        r.align()
+        if _crc16(b[hdr_start : r.pos]) != int.from_bytes(
+            b[r.pos : r.pos + 2], "big"
+        ):
+            raise ValueError("frame CRC-16 mismatch")
+        pos = r.pos + 2
+        for c in range(ch):
+            chans[c].extend(subs[c])
+    out = np.array(chans, dtype=np.int64).T
+    if total and out.shape[0] != total:
+        raise ValueError("decoded sample count != STREAMINFO total")
+    if md5 != b"\x00" * 16:
+        width = (bps + 7) // 8
+        got = hashlib.md5(
+            b"".join(
+                int(v).to_bytes(width, "little", signed=True)
+                for v in out.reshape(-1)
+            )
+        ).digest()
+        if got != md5:
+            raise ValueError("decoded signal fails the STREAMINFO MD5")
+    return out.astype(np.int64), rate, bps
+
+
+def _decode_flac(b: bytes) -> tuple[float, np.ndarray]:
+    """FLAC → (duration seconds, mono float64 in [-1, 1)) — the
+    extract_audio_features contract (mm5/mm20 siblings)."""
+    s, rate, bps = _parse_flac(b)
+    mono = s.astype(np.float64).mean(axis=1) / float(1 << (bps - 1))
+    return s.shape[0] / float(rate), mono
+
+
+def synth_flac_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a VALID mono 16-bit FLAC per row whose decode is
+    exact id arithmetic: n = 128 + 8·(id%8) samples at 8 kHz in
+    64-sample frames (2-3 frames; short last frames exercise explicit
+    block sizes), signal s_k = ((3·id + 5k) % 4096) − 2048 — except
+    id%7==0 rows are CONSTANT (s_k = 3·id % 4096 − 2048) and id%11==0
+    rows carry two wasted bits (s_k = 4·(((3·id + 5k) % 1024) − 512)).
+    The per-frame subframe plan rotates auto-FIXED / VERBATIM / LPC /
+    forced-FIXED(1) so every decoder path is load-bearing corpus-wide;
+    n is divisible by 4, so band means are exact dyadic rationals."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            n = 128 + 8 * (i % 8)
+            k = np.arange(n, dtype=np.int64)
+            if i % 7 == 0:
+                s = np.full(n, (3 * i) % 4096 - 2048, dtype=np.int64)
+            elif i % 11 == 0:
+                s = 4 * (((3 * i + 5 * k) % 1024) - 512)
+            else:
+                s = ((3 * i + 5 * k) % 4096) - 2048
+            plan = ["auto", "verbatim", "lpc", "fixed:1"]
+            return encode_flac(
+                s,
+                sample_rate=8000,
+                bps=16,
+                block_size=64,
+                subframe_plan=lambda f: plan[(i + f) % 4],
+            )
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("audio").alias("modality"),
+            F.lit("audio/flac").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(8000).cast("int").alias("sample_rate"),
             F.lit(None).cast("int").alias("n_frames"),
         ),
     )

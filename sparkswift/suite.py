@@ -932,17 +932,17 @@ _WINDOW = [
     "p22_pack_bins",
     "p23_token_shards",
     "p24_token_chunks",
-    "p31_sft_export",
     "st10_stream_neardup",
     "t16_bpe_trained",
     "t21_unigram_tokens",
-    # --- (3) changed-code refreshes + new this round. t22's frame
-    # was driver-green in r12 under its t22_gate alias (identical
-    # computation), so displacing it for a NEW query loses the least
-    # evidence of any group-2 slot ---
+    # --- (3) changed-code refreshes + new this round. t22's and
+    # p31's frames were driver-green in r12 under their *_gate
+    # aliases (identical computations), so displacing them for NEW
+    # queries loses the least evidence of any group-2 slots ---
     "g9_sssp_weighted",
     "p30_temperature_mixture",
     "mm22_mjpeg_avi_decode_real",
+    "mm23_flac_decode_real",
 ]
 
 

@@ -3651,3 +3651,98 @@ def test_mjpeg_avi_roundtrip_and_gates():
     # empty frame list refused at encode time
     with _pytest.raises(ValueError, match="at least one"):
         encode_avi_mjpeg([], 8, 8)
+
+
+def test_flac_roundtrip_all_paths_and_gates():
+    """mm23: FLAC round-trips bit-exactly across every subframe type
+    (CONSTANT/VERBATIM/FIXED 0-4/LPC), wasted bits, bps 8/16/24, all
+    four stereo assignments, and multi-frame streams with short last
+    frames; CRC-8/CRC-16 use independently-known check vectors; a
+    HAND-BUILT fixed-order-2 frame decodes against hand-computed
+    samples (encoder-independent); corruption and MD5 mismatches
+    raise loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import (
+        _crc8,
+        _crc16,
+        _FlacBitReader,
+        _flac_read_subframe,
+        _FlacBitWriter,
+        _parse_flac,
+        encode_flac,
+    )
+
+    # independent CRC vectors (CRC-8/SMBUS and CRC-16/BUYPASS checks)
+    assert _crc8(b"123456789") == 0xF4
+    assert _crc16(b"123456789") == 0xFEE8
+
+    rng = np.random.default_rng(11)
+    # the synth law, every plan element exercised
+    for i in (0, 1, 2, 3, 7, 11, 14, 77, 100, 999):
+        n = 128 + 8 * (i % 8)
+        k = np.arange(n, dtype=np.int64)
+        if i % 7 == 0:
+            s = np.full(n, (3 * i) % 4096 - 2048, dtype=np.int64)
+        elif i % 11 == 0:
+            s = 4 * (((3 * i + 5 * k) % 1024) - 512)
+        else:
+            s = ((3 * i + 5 * k) % 4096) - 2048
+        plan = ["auto", "verbatim", "lpc", "fixed:1"]
+        b = encode_flac(
+            s, 8000, 16, 64, subframe_plan=lambda f: plan[(i + f) % 4]
+        )
+        out, rate, bps = _parse_flac(b)
+        assert (rate, bps) == (8000, 16) and (out[:, 0] == s).all()
+
+    # random stereo signals x bps x decorrelation mode
+    for bps in (8, 16, 24):
+        lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+        for mode in ("independent", "left-side", "right-side", "mid-side"):
+            s = rng.integers(lo, hi + 1, size=(200, 2), dtype=np.int64)
+            b = encode_flac(s, 44100, bps, 64, stereo_mode=mode)
+            out, _, _ = _parse_flac(b)
+            assert (out == s).all(), (bps, mode)
+    # forced FIXED orders 0-4 round-trip
+    s = rng.integers(-1000, 1000, size=100, dtype=np.int64)
+    for o in range(5):
+        out, _, _ = _parse_flac(
+            encode_flac(s, 8000, 16, 50, subframe_plan=lambda f: f"fixed:{o}")
+        )
+        assert (out[:, 0] == s).all(), o
+
+    # hand-built FIXED order-2 subframe: warmup 10, 13, residuals
+    # (+1, -2, 0) -> samples s[i] = 2 s[i-1] - s[i-2] + e
+    w = _FlacBitWriter()
+    w.write(0, 1)
+    w.write(8 + 2, 6)  # FIXED order 2
+    w.write(0, 1)  # no wasted bits
+    w.write(10, 16)
+    w.write(13, 16)
+    w.write(0, 2)  # rice 4-bit params
+    w.write(0, 4)  # partition order 0
+    w.write(1, 4)  # rice param 1
+    for e in (1, -2, 0):
+        z = 2 * e if e >= 0 else -2 * e - 1
+        w.write(1, (z >> 1) + 1)
+        w.write(z & 1, 1)
+    w.pad_align()
+    got = _flac_read_subframe(_FlacBitReader(w.bytes_aligned()), 5, 16)
+    # 2*13-10+1 = 17; 2*17-13-2 = 19; 2*19-17+0 = 21
+    assert got == [10, 13, 17, 19, 21]
+
+    # frame corruption -> CRC raise; STREAMINFO md5 patch -> MD5 raise
+    b = encode_flac(np.arange(-100, 100, dtype=np.int64), 8000, 16, 64)
+    bad = bytearray(b)
+    bad[-3] ^= 0x40
+    with _pytest.raises(ValueError, match="CRC"):
+        _parse_flac(bytes(bad))
+    badmd5 = bytearray(b)
+    badmd5[8 + 18] ^= 0xFF  # first md5 byte inside STREAMINFO
+    with _pytest.raises(ValueError, match="MD5"):
+        _parse_flac(bytes(badmd5))
+    with _pytest.raises(ValueError, match="fLaC"):
+        _parse_flac(b"RIFFxxxx")
+    with _pytest.raises(ValueError, match="bps range"):
+        encode_flac(np.array([300], dtype=np.int64), 8000, 8)
