@@ -208,6 +208,7 @@ HEADLINE = [
     "w11_longest_streak",    # gaps-and-islands longest hot run
     "mm22_mjpeg_avi_decode_real",  # Motion-JPEG AVI frame extraction
     "mm23_flac_decode_real",  # FLAC decode (Rice/LPC/CRC/MD5, real)
+    "mm24_gif_anim_composite_real",  # GIF89a animation compositing
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their
