@@ -209,6 +209,7 @@ HEADLINE = [
     "mm22_mjpeg_avi_decode_real",  # Motion-JPEG AVI frame extraction
     "mm23_flac_decode_real",  # FLAC decode (Rice/LPC/CRC/MD5, real)
     "mm24_gif_anim_composite_real",  # GIF89a animation compositing
+    "mm25_au_alaw_decode_real",  # G.711 A-law expansion (integer SQL twin)
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

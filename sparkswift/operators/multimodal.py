@@ -4364,6 +4364,25 @@ _MULAW_TABLE = np.array(
 )
 
 
+def _alaw_decode_byte(a: int) -> int:
+    """G.711 A-law byte → 16-bit-scaled linear sample (±32256): XOR
+    0x55 (even-bit inversion), split sign/segment/mantissa, expand —
+    the CCITT reference-code formula (segment 0: 16m+8; else
+    (16m+264)·2^(seg−1)); sign bit SET means positive in A-law."""
+    a ^= 0x55
+    mant = a & 0x0F
+    seg = (a >> 4) & 0x07
+    t = (mant << 4) + (8 if seg == 0 else 0x108)
+    if seg >= 2:
+        t <<= seg - 1
+    return t if a & 0x80 else -t
+
+
+_ALAW_TABLE = np.array(
+    [_alaw_decode_byte(a) for a in range(256)], dtype=np.int64
+)
+
+
 def encode_au(
     data: bytes | np.ndarray,
     encoding: int = 1,
@@ -4373,9 +4392,12 @@ def encode_au(
     """AU writer: raw payload bytes (already in the target encoding)
     + the 24-byte big-endian header (magic, data offset, size,
     encoding, rate, channels). Encoding 1 = 8-bit μ-law, 2 = 8-bit
-    linear (signed), 3 = 16-bit linear big-endian."""
-    if encoding not in (1, 2, 3):
-        raise ValueError("encoding must be 1 (mu-law), 2 or 3 (linear)")
+    linear (signed), 3 = 16-bit linear big-endian, 27 = 8-bit
+    A-law."""
+    if encoding not in (1, 2, 3, 27):
+        raise ValueError(
+            "encoding must be 1 (mu-law), 2/3 (linear), or 27 (A-law)"
+        )
     raw = data.tobytes() if isinstance(data, np.ndarray) else bytes(data)
     hdr = b".snd" + struct.pack(
         ">IIIII", 24, len(raw), encoding, sample_rate, channels
@@ -4386,9 +4408,10 @@ def encode_au(
 def _decode_au(b: bytes) -> tuple[float, np.ndarray]:
     """Decode an AU payload → (duration seconds, mono float64
     samples). μ-law expands through the G.711 table and normalizes by
-    8192 (dyadic — the division is exact); 8-bit linear is signed
-    int8 / 128; 16-bit linear big-endian / 32768. Other encodings
-    (A-law, float, ADPCM) raise loudly."""
+    8192 (dyadic — the division is exact); A-law (encoding 27)
+    through its reference-formula table / 32768; 8-bit linear is
+    signed int8 / 128; 16-bit linear big-endian / 32768. Other
+    encodings (float, ADPCM) raise loudly."""
     if b[:4] != b".snd":
         raise ValueError("not an AU payload")
     off, size, enc, rate, nchan = struct.unpack(">IIIII", b[4:24])
@@ -4400,10 +4423,13 @@ def _decode_au(b: bytes) -> tuple[float, np.ndarray]:
         s = np.frombuffer(raw, np.int8).astype(np.float64) / 128.0
     elif enc == 3:
         s = np.frombuffer(raw, ">i2").astype(np.float64) / 32768.0
+    elif enc == 27:  # G.711 A-law (the telephony sibling of mu-law)
+        s = _ALAW_TABLE[np.frombuffer(raw, np.uint8)].astype(np.float64)
+        s /= 32768.0
     else:
         raise NotImplementedError(
-            f"AU encoding {enc} unsupported (1=mu-law, 2/3=linear PCM; "
-            "A-law/float/ADPCM need their own expanders)"
+            f"AU encoding {enc} unsupported (1=mu-law, 2/3=linear PCM, "
+            "27=A-law; float/ADPCM need their own expanders)"
         )
     if nchan > 1:
         s = s.reshape(-1, nchan).mean(axis=1)
@@ -4427,6 +4453,39 @@ def synth_au_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 np.uint8
             )
             return encode_au(u, encoding=1, sample_rate=8000)
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("audio").alias("modality"),
+            F.lit("audio/basic").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(8000).alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ),
+    )
+
+
+def synth_au_alaw_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a VALID A-law AU payload per row (encoding 27, the
+    mm20 pattern with the other G.711 companding law): n = 64 +
+    4·(id%16) samples of A-law BYTES a_k = (5·id + 7k) % 256 at
+    8 kHz — every A-law code word appears corpus-wide, and the
+    decoded band means reduce to the XOR/segment/mantissa expansion
+    the oracle re-derives in integer SQL."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            n = 64 + 4 * (i % 16)
+            a = ((5 * i + 7 * np.arange(n, dtype=np.int64)) % 256).astype(
+                np.uint8
+            )
+            return encode_au(a, encoding=27, sample_rate=8000)
 
         return ids.map(one)
 

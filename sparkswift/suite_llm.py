@@ -4868,3 +4868,55 @@ def mm24_gif_anim_composite_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wp = mm.synth_gif_anim_payload(docs, "doc_id")
     return mm.decode_video_frames(wp, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
+# mm25 — AU A-LAW decode (G.711's OTHER companding law — European
+# telephony, the named mm20 gate closed): XOR-0x55 even-bit
+# inversion, segment/mantissa expansion per the CCITT reference
+# formula (A-law's sign bit SET means positive, unlike μ-law), /32768
+# dyadic normalization. Every A-law code word appears corpus-wide;
+# band sums are exact dyadic rationals the oracle re-derives in pure
+# integer SQL. Remaining honest AU gates: float/ADPCM.
+# ---------------------------------------------------------------------------
+@register(
+    "mm25_au_alaw_decode_real",
+    """
+    WITH ks AS (SELECT unnest(range(128)) AS k),
+         p AS (SELECT doc_id, 64 + 4 * (doc_id % 16) AS n FROM documents),
+         s AS (
+           SELECT doc_id, n, k,
+                  xor((5 * doc_id + 7 * k) % 256, 85) AS a
+           FROM p JOIN ks ON k < n
+         ),
+         d AS (
+           SELECT doc_id, n, (4 * k) // n AS band,
+                  CAST(CASE WHEN a // 128 = 1 THEN 1 ELSE -1 END
+                       * (((a % 16) * 16
+                           + CASE WHEN (a // 16) % 8 = 0 THEN 8 ELSE 264 END)
+                          * (1 << CASE WHEN (a // 16) % 8 <= 1 THEN 0
+                                       ELSE (a // 16) % 8 - 1 END))
+                       AS DOUBLE) / CAST(32768 AS DOUBLE) AS sample
+           FROM s
+         )
+    SELECT doc_id AS id,
+           CAST(n AS DOUBLE) / CAST(8000 AS DOUBLE) AS duration_s,
+           AVG(CASE WHEN band = 0 THEN sample END) AS band_first,
+           AVG(CASE WHEN band = 3 THEN sample END) AS band_last
+    FROM d GROUP BY doc_id, n
+    """,
+)
+def mm25_au_alaw_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    wp = mm.synth_au_alaw_payload(docs, "doc_id")
+    out = mm.extract_audio_features(wp, "doc_id", "payload", n_mfcc=4, fake=False)
+    return out.select(
+        "id",
+        "duration_s",
+        F.col("mfcc")[0].alias("band_first"),
+        F.col("mfcc")[3].alias("band_last"),
+    )

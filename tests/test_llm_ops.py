@@ -3796,3 +3796,37 @@ def test_flac_roundtrip_all_paths_and_gates():
         _parse_flac(b"RIFFxxxx")
     with _pytest.raises(ValueError, match="bps range"):
         encode_flac(np.array([300], dtype=np.int64), 8000, 8)
+
+
+def test_au_alaw_decode_matches_spec_and_roundtrip():
+    """mm25: the A-law table equals an independent from-spec segment
+    expansion for all 256 codes; _decode_au handles encoding 27 end
+    to end; float encoding still refuses."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import (
+        _ALAW_TABLE,
+        _decode_au,
+        encode_au,
+    )
+
+    def spec(a):
+        a ^= 0x55
+        sign = 1 if a & 0x80 else -1
+        seg, m = (a >> 4) & 7, a & 15
+        mag = (m << 4) + 8 if seg == 0 else ((m << 4) + 0x108) << max(seg - 1, 0)
+        return sign * mag
+
+    assert all(int(_ALAW_TABLE[a]) == spec(a) for a in range(256))
+    assert len({int(v) for v in _ALAW_TABLE}) == 256  # injective
+
+    codes = np.array([(5 * 3 + 7 * k) % 256 for k in range(64)], np.uint8)
+    dur, s = _decode_au(encode_au(codes, encoding=27, sample_rate=8000))
+    assert dur == 64 / 8000.0
+    want = np.array([spec(int(c)) for c in codes], np.float64) / 32768.0
+    assert (s == want).all()
+
+    au = encode_au(codes, encoding=1)
+    with _pytest.raises(NotImplementedError, match="AU encoding 6"):
+        _decode_au(au[:12] + b"\x00\x00\x00\x06" + au[16:])
