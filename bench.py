@@ -210,6 +210,7 @@ HEADLINE = [
     "mm23_flac_decode_real",  # FLAC decode (Rice/LPC/CRC/MD5, real)
     "mm24_gif_anim_composite_real",  # GIF89a animation compositing
     "mm25_au_alaw_decode_real",  # G.711 A-law expansion (integer SQL twin)
+    "mm26_mp3_census_real",  # MP3 framing census (sync walk + tag skips)
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

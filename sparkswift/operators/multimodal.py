@@ -5254,3 +5254,205 @@ def synth_gif_anim_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             (2 + F.col(id_col) % 3).cast("int").alias("n_frames"),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# MP3 frame-header census (ISO 11172-3 / 13818-3 framing — public).
+# Decoding MP3 AUDIO is out of scope (lossy — exactness unreachable
+# without a bit-exact reference lib), but the FRAMING layer is fully
+# deterministic: sync walk, version/layer/bitrate/samplerate fields,
+# padding, frame-size arithmetic, ID3v2 (syncsafe size) and ID3v1
+# tag skips. That census (duration, frame count, CBR/VBR, byte
+# accounting) is exactly what a corpus-triage pipeline needs from
+# audio it will never decode.
+# ---------------------------------------------------------------------------
+_MP3_BITRATE_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                     224, 256, 320]
+_MP3_BITRATE_V2L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
+                     128, 144, 160]
+_MP3_RATES = {  # version bits -> samplerate table
+    3: [44100, 48000, 32000],   # MPEG-1
+    2: [22050, 24000, 16000],   # MPEG-2
+    0: [11025, 12000, 8000],    # MPEG-2.5
+}
+
+
+def _parse_mp3_frames(b: bytes) -> list[tuple[int, int, int, int]]:
+    """Walk an MP3 (Layer III) stream's frame headers → a list of
+    (bitrate_kbps, samplerate_hz, samples_per_frame, frame_bytes).
+    Skips a leading ID3v2 tag (syncsafe 28-bit size) and a trailing
+    ID3v1 block; free-format (bitrate index 0), bad indices, Layer
+    I/II, and desynced bytes raise loudly."""
+    pos = 0
+    if b[:3] == b"ID3":
+        if len(b) < 10:
+            raise ValueError("truncated ID3v2 header")
+        sz = (
+            ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14)
+            | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
+        )
+        pos = 10 + sz
+    end = len(b)
+    if end - pos >= 128 and b[end - 128 : end - 125] == b"TAG":
+        end -= 128
+    frames: list[tuple[int, int, int, int]] = []
+    while pos < end:
+        if end - pos < 4:
+            raise ValueError("trailing garbage after last MP3 frame")
+        h = int.from_bytes(b[pos : pos + 4], "big")
+        if (h >> 21) & 0x7FF != 0x7FF:
+            raise ValueError(f"lost MP3 sync at byte {pos}")
+        version = (h >> 19) & 0x3
+        layer = (h >> 17) & 0x3
+        if version == 1:
+            raise ValueError("reserved MPEG version")
+        if layer != 1:  # 01 = Layer III
+            raise NotImplementedError(
+                "only Layer III framing supported (Layer I/II differ)"
+            )
+        bidx = (h >> 12) & 0xF
+        ridx = (h >> 10) & 0x3
+        padding = (h >> 9) & 0x1
+        if bidx == 0:
+            raise NotImplementedError("free-format MP3 (bitrate index 0)")
+        if bidx == 15 or ridx == 3:
+            raise ValueError("invalid MP3 bitrate/samplerate index")
+        if version == 3:  # MPEG-1
+            kbps = _MP3_BITRATE_V1L3[bidx]
+            spf, coef = 1152, 144
+        else:  # MPEG-2 / 2.5: half samples per frame
+            kbps = _MP3_BITRATE_V2L3[bidx]
+            spf, coef = 576, 72
+        rate = _MP3_RATES[version][ridx]
+        nbytes = (coef * kbps * 1000) // rate + padding
+        if pos + nbytes > end:
+            raise ValueError("truncated final MP3 frame")
+        frames.append((kbps, rate, spf, nbytes))
+        pos += nbytes
+    if not frames:
+        raise ValueError("MP3 stream has no frames")
+    return frames
+
+
+def encode_mp3_stream(
+    frame_specs: list[tuple[int, int]],
+    version: int = 3,
+    samplerate_idx: int = 0,
+    id3v2_bytes: int = 0,
+    id3v1: bool = False,
+) -> bytes:
+    """Author a VALID Layer-III framing stream (zeroed audio payloads
+    — the census never reads them): ``frame_specs[i] = (bitrate_idx,
+    padding)``; optional ID3v2 prefix of ``id3v2_bytes`` body bytes
+    and ID3v1 trailer, so the tag-skip paths are load-bearing."""
+    out = bytearray()
+    if id3v2_bytes:
+        out += b"ID3\x04\x00\x00" + bytes(
+            [
+                (id3v2_bytes >> 21) & 0x7F, (id3v2_bytes >> 14) & 0x7F,
+                (id3v2_bytes >> 7) & 0x7F, id3v2_bytes & 0x7F,
+            ]
+        )
+        out += bytes(id3v2_bytes)
+    table = _MP3_BITRATE_V1L3 if version == 3 else _MP3_BITRATE_V2L3
+    coef = 144 if version == 3 else 72
+    rate = _MP3_RATES[version][samplerate_idx]
+    for bidx, padding in frame_specs:
+        if not 1 <= bidx <= 14:
+            raise ValueError("bitrate index out of range")
+        h = (
+            (0x7FF << 21) | (version << 19) | (0x1 << 17)  # Layer III
+            | (0x1 << 16)  # no CRC
+            | (bidx << 12) | (samplerate_idx << 10) | (padding << 9)
+        )
+        nbytes = (coef * table[bidx] * 1000) // rate + padding
+        out += h.to_bytes(4, "big") + bytes(nbytes - 4)
+    if id3v1:
+        out += b"TAG" + bytes(125)
+    return bytes(out)
+
+
+def mp3_frame_census(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-payload MP3 framing census via mapInPandas (map-side only,
+    zero shuffle): frame count, total samples, EXACT duration in
+    integer microseconds (Σ spf·1_000_000 // rate per frame — integer
+    arithmetic, SQL-re-derivable), byte total, min/max bitrate and a
+    0/1 VBR flag (never a NULL boolean — the w9 hash rule)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                fr = _parse_mp3_frames(bytes(p))
+                n = len(fr)
+                samples = sum(f[2] for f in fr)
+                dur_us = sum(f[2] * 1_000_000 // f[1] for f in fr)
+                nbytes = sum(f[3] for f in fr)
+                rates = {f[0] for f in fr}
+                rows.append(
+                    (int(i), n, samples, dur_us, nbytes,
+                     min(rates), max(rates), int(len(rates) > 1))
+                )
+            cols = list(zip(*rows)) if rows else [[]] * 8
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(cols[0], dtype="int64"),
+                    "n_frames": pd.Series(cols[1], dtype="int64"),
+                    "total_samples": pd.Series(cols[2], dtype="int64"),
+                    "duration_us": pd.Series(cols[3], dtype="int64"),
+                    "stream_bytes": pd.Series(cols[4], dtype="int64"),
+                    "min_kbps": pd.Series(cols[5], dtype="int64"),
+                    "max_kbps": pd.Series(cols[6], dtype="int64"),
+                    "is_vbr": pd.Series(cols[7], dtype="int64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches,
+        "id bigint, n_frames bigint, total_samples bigint, "
+        "duration_us bigint, stream_bytes bigint, min_kbps bigint, "
+        "max_kbps bigint, is_vbr bigint",
+    )
+
+
+def synth_mp3_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a VALID MPEG-1 Layer-III framing stream per row:
+    3 + id%5 frames at 44.1 kHz, frame f's bitrate index
+    1 + (id + f) % 14 with padding (id + f) % 2 — except id%7==0
+    streams, which repeat index 1 + id%14 in every frame (true CBR,
+    so the VBR flag discriminates corpus-wide). Even ids carry an
+    ID3v2 tag of 10 + id%50 body bytes; ids % 3 == 0 an
+    ID3v1 trailer — both skip paths load-bearing corpus-wide. The
+    census reduces to pure id arithmetic over the public bitrate
+    table."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            n = 3 + i % 5
+            if i % 7 == 0:  # CBR stream
+                specs = [(1 + i % 14, (i + f) % 2) for f in range(n)]
+            else:
+                specs = [(1 + (i + f) % 14, (i + f) % 2) for f in range(n)]
+            return encode_mp3_stream(
+                specs,
+                id3v2_bytes=(10 + i % 50) if i % 2 == 0 else 0,
+                id3v1=(i % 3 == 0),
+            )
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("audio").alias("modality"),
+            F.lit("audio/mpeg").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(44100).cast("int").alias("sample_rate"),
+            (3 + F.col(id_col) % 5).cast("int").alias("n_frames"),
+        ),
+    )

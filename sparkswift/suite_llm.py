@@ -4920,3 +4920,52 @@ def mm25_au_alaw_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mfcc")[0].alias("band_first"),
         F.col("mfcc")[3].alias("band_last"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mm26 — MP3 FRAMING CENSUS (ISO 11172-3 framing, public; the
+# feasible slice of the MP3 gap): audio corpora get triaged by
+# duration/bitrate/VBR long before anything decodes them, and the
+# framing layer is exactly deterministic — sync walk, bitrate/
+# samplerate tables, padding arithmetic, ID3v2 syncsafe-size and
+# ID3v1 tag skips (both load-bearing corpus-wide here). Lossy AUDIO
+# decode stays honestly out of scope. Exact: duration is integer
+# microseconds (1152·10⁶ // 44100 per frame), byte totals are the
+# public table arithmetic the oracle re-derives; VBR flag
+# discriminates (id%7==0 streams are true CBR).
+# ---------------------------------------------------------------------------
+@register(
+    "mm26_mp3_census_real",
+    """
+    WITH fs AS (SELECT unnest(range(8)) AS f),
+         tbl AS (SELECT [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+                   AS t),
+         p AS (SELECT doc_id, 3 + doc_id % 5 AS n FROM documents),
+         fr AS (
+           SELECT doc_id, n, f,
+                  t[1 + CASE WHEN doc_id % 7 = 0 THEN doc_id % 14
+                             ELSE (doc_id + f) % 14 END] AS kbps,
+                  (doc_id + f) % 2 AS pad
+           FROM p JOIN fs ON f < n CROSS JOIN tbl
+         )
+    SELECT doc_id AS id,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(1152 * n AS BIGINT) AS total_samples,
+           CAST(n * (1152 * 1000000 // 44100) AS BIGINT) AS duration_us,
+           CAST(SUM(144 * kbps * 1000 // 44100 + pad) AS BIGINT)
+             AS stream_bytes,
+           CAST(MIN(kbps) AS BIGINT) AS min_kbps,
+           CAST(MAX(kbps) AS BIGINT) AS max_kbps,
+           CAST(CASE WHEN MIN(kbps) < MAX(kbps) THEN 1 ELSE 0 END AS BIGINT)
+             AS is_vbr
+    FROM fr GROUP BY doc_id, n
+    """,
+)
+def mm26_mp3_census_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    wp = mm.synth_mp3_payload(docs, "doc_id")
+    return mm.mp3_frame_census(wp, "doc_id", "payload")

@@ -3830,3 +3830,52 @@ def test_au_alaw_decode_matches_spec_and_roundtrip():
     au = encode_au(codes, encoding=1)
     with _pytest.raises(NotImplementedError, match="AU encoding 6"):
         _decode_au(au[:12] + b"\x00\x00\x00\x06" + au[16:])
+
+
+def test_mp3_framing_census_and_gates():
+    """mm26: framing round-trips against the public bitrate/size
+    arithmetic for MPEG-1 and MPEG-2 Layer III; ID3v2 syncsafe skip
+    and ID3v1 trailer skip; desync / free-format / Layer-II /
+    reserved-version / truncated-frame refusals."""
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import (
+        _parse_mp3_frames,
+        encode_mp3_stream,
+    )
+
+    v1 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+    for i in (0, 1, 2, 3, 6, 7, 14, 100, 999):
+        n = 3 + i % 5
+        if i % 7 == 0:
+            specs = [(1 + i % 14, (i + f) % 2) for f in range(n)]
+        else:
+            specs = [(1 + (i + f) % 14, (i + f) % 2) for f in range(n)]
+        b = encode_mp3_stream(
+            specs,
+            id3v2_bytes=(10 + i % 50) if i % 2 == 0 else 0,
+            id3v1=(i % 3 == 0),
+        )
+        fr = _parse_mp3_frames(b)
+        assert len(fr) == n
+        for (kbps, rate, spf, nb), (bidx, pad) in zip(fr, specs):
+            assert (kbps, rate, spf) == (v1[bidx], 44100, 1152)
+            assert nb == 144 * kbps * 1000 // 44100 + pad
+
+    # MPEG-2: half samples per frame, its own bitrate table
+    fr2 = _parse_mp3_frames(
+        encode_mp3_stream([(3, 0), (14, 1)], version=2, samplerate_idx=1)
+    )
+    assert fr2[0] == (24, 24000, 576, 72 * 24 * 1000 // 24000)
+
+    with _pytest.raises(ValueError, match="sync"):
+        _parse_mp3_frames(b"\x00\x00\x00\x00")
+    with _pytest.raises(NotImplementedError, match="free-format"):
+        _parse_mp3_frames(b"\xff\xfb\x00\x00")
+    with _pytest.raises(NotImplementedError, match="Layer"):
+        _parse_mp3_frames(b"\xff\xfd\x10\x00")  # Layer II bits
+    with _pytest.raises(ValueError, match="reserved MPEG"):
+        _parse_mp3_frames(b"\xff\xeb\x10\x00")  # version bits 01
+    good = encode_mp3_stream([(5, 0)])
+    with _pytest.raises(ValueError, match="truncated final"):
+        _parse_mp3_frames(good[:-10])
