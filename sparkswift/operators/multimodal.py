@@ -3572,9 +3572,12 @@ def _packbits_encode(b: bytes) -> bytes:
 def _parse_tiff(b: bytes) -> np.ndarray:
     """Decode a baseline TIFF to (h, w, 3) uint8: both byte orders,
     8-bit grayscale (photometric 0 WhiteIsZero inverted per spec, 1
-    BlackIsZero) and RGB, strip assembly via StripOffsets/ByteCounts,
-    compressions 1 (none) and 32773 (PackBits). LZW/CCITT/JPEG-in-
-    TIFF, tiles, and non-8-bit samples raise loudly."""
+    BlackIsZero) and RGB, STRIP layout (StripOffsets/ByteCounts) and
+    TILED layout (TIFF 6.0 §15: TileWidth/Length multiples of 16,
+    left-to-right top-to-bottom tile order, edge tiles padded to full
+    size and cropped on assembly; the horizontal predictor resets per
+    TILE row), compressions 1 (none), 5 (LZW) and 32773 (PackBits).
+    CCITT/JPEG-in-TIFF and non-8-bit samples raise loudly."""
     if b[:4] == b"II*\x00":
         e = "<"
     elif b[:4] == b"MM\x00*":
@@ -3597,7 +3600,6 @@ def _parse_tiff(b: bytes) -> np.ndarray:
     try:
         w, h = tags[256][0], tags[257][0]
         photo = tags[262][0]
-        offsets, counts = tags[273], tags[279]
     except KeyError as ex:
         raise ValueError(f"TIFF missing required tag {ex}") from None
     comp = tags.get(259, [1])[0]
@@ -3617,22 +3619,55 @@ def _parse_tiff(b: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"TIFF photometric {photo} with {spp} samples unsupported"
         )
-    rps = tags.get(278, [h])[0]
-    raw = bytearray()
-    for si, (o, c) in enumerate(zip(offsets, counts)):
-        strip = bytes(b[o : o + c])
-        rows_here = min(rps, h - si * rps)
+    def expand(chunk: bytes, want: int) -> bytes:
         if comp == 32773:
-            strip = _packbits_decode(strip, rows_here * w * spp)
-        elif comp == 5:
-            strip = _tiff_lzw_decode(strip, rows_here * w * spp)
-        raw += strip
-    px = np.frombuffer(bytes(raw), np.uint8, count=h * w * spp).reshape(
-        h, w, spp
-    )
-    if predictor == 2:  # horizontal differencing: per-row, per-channel
-        px = np.cumsum(px.astype(np.int64), axis=1, dtype=np.int64)
-        px = (px % 256).astype(np.uint8)
+            return _packbits_decode(chunk, want)
+        if comp == 5:
+            return _tiff_lzw_decode(chunk, want)
+        return chunk
+
+    if 322 in tags or 323 in tags:  # tiled layout (TIFF 6.0 §15)
+        try:
+            tw, tl = tags[322][0], tags[323][0]
+            offsets, counts = tags[324], tags[325]
+        except KeyError as ex:
+            raise ValueError(f"tiled TIFF missing tag {ex}") from None
+        if tw % 16 or tl % 16 or not tw or not tl:
+            raise ValueError("TIFF tile dims must be positive multiples of 16")
+        across, down = -(-w // tw), -(-h // tl)
+        if len(offsets) != across * down or len(counts) != across * down:
+            raise ValueError("TIFF tile count != tiles-across x tiles-down")
+        px = np.zeros((h, w, spp), np.uint8)
+        for ti, (o, c) in enumerate(zip(offsets, counts)):
+            t = np.frombuffer(
+                expand(bytes(b[o : o + c]), tl * tw * spp),
+                np.uint8,
+                count=tl * tw * spp,
+            ).reshape(tl, tw, spp)
+            if predictor == 2:  # differencing resets per TILE row
+                t = (np.cumsum(t.astype(np.int64), axis=1) % 256).astype(
+                    np.uint8
+                )
+            ty, tx = divmod(ti, across)
+            y0, x0 = ty * tl, tx * tw
+            ys, xs = min(tl, h - y0), min(tw, w - x0)
+            px[y0 : y0 + ys, x0 : x0 + xs] = t[:ys, :xs]
+    else:
+        try:
+            offsets, counts = tags[273], tags[279]
+        except KeyError as ex:
+            raise ValueError(f"TIFF missing required tag {ex}") from None
+        rps = tags.get(278, [h])[0]
+        raw = bytearray()
+        for si, (o, c) in enumerate(zip(offsets, counts)):
+            rows_here = min(rps, h - si * rps)
+            raw += expand(bytes(b[o : o + c]), rows_here * w * spp)
+        px = np.frombuffer(bytes(raw), np.uint8, count=h * w * spp).reshape(
+            h, w, spp
+        )
+        if predictor == 2:  # horizontal differencing: per-row, per-channel
+            px = np.cumsum(px.astype(np.int64), axis=1, dtype=np.int64)
+            px = (px % 256).astype(np.uint8)
     if photo == 2:
         return px[:, :, :3]  # extra samples (alpha) dropped per baseline
     g = px[:, :, 0]
@@ -3648,6 +3683,7 @@ def encode_tiff(
     rows_per_strip: int = 3,
     white_is_zero: bool = False,
     predictor: int = 1,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
     """Minimal baseline TIFF writer — the synth + round-trip
     counterpart of :func:`_parse_tiff`: (h, w, 1) gray or (h, w, 3)
@@ -3656,7 +3692,10 @@ def encode_tiff(
     photometric 0 (the fax polarity) so the decoder's re-inversion is
     load-bearing; ``predictor=2`` stores per-row horizontal
     differences (tag 317 — what real LZW writers emit, making LZW
-    strings out of gradients)."""
+    strings out of gradients); ``tile=(tw, tl)`` writes the TILED
+    layout instead of strips (dims must be multiples of 16; edge
+    tiles zero-padded to full size; the predictor diffs per padded
+    tile row, matching the decoder's per-tile reset)."""
     e = endian
     if e not in ("<", ">"):
         raise ValueError("endian must be '<' or '>'")
@@ -3672,19 +3711,36 @@ def encode_tiff(
     comp = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1 (none) or 2 (horizontal)")
-    if predictor == 2:
-        d = data.astype(np.int16)
-        data = np.concatenate(
-            [d[:, :1], (d[:, 1:] - d[:, :-1]) % 256], axis=1
+
+    def diff(d: np.ndarray) -> np.ndarray:
+        d16 = d.astype(np.int16)
+        return np.concatenate(
+            [d16[:, :1], (d16[:, 1:] - d16[:, :-1]) % 256], axis=1
         ).astype(np.uint8)
-    strips = []
-    for y0 in range(0, h, rows_per_strip):
-        sb = data[y0 : y0 + rows_per_strip].tobytes()
+
+    def squeeze(sb: bytes) -> bytes:
         if comp == 32773:
-            sb = _packbits_encode(sb)
-        elif comp == 5:
-            sb = _tiff_lzw_encode(sb)
-        strips.append(sb)
+            return _packbits_encode(sb)
+        if comp == 5:
+            return _tiff_lzw_encode(sb)
+        return sb
+
+    strips = []
+    if tile is not None:
+        tw, tl = tile
+        if tw % 16 or tl % 16 or not tw or not tl:
+            raise ValueError("tile dims must be positive multiples of 16")
+        for y0 in range(0, h, tl):
+            for x0 in range(0, w, tw):
+                t = np.zeros((tl, tw, spp), np.uint8)
+                ys, xs = min(tl, h - y0), min(tw, w - x0)
+                t[:ys, :xs] = data[y0 : y0 + ys, x0 : x0 + xs]
+                strips.append(squeeze((diff(t) if predictor == 2 else t).tobytes()))
+    else:
+        if predictor == 2:
+            data = diff(data)
+        for y0 in range(0, h, rows_per_strip):
+            strips.append(squeeze(data[y0 : y0 + rows_per_strip].tobytes()))
     hdr = (b"II*\x00" if e == "<" else b"MM\x00*") + struct.pack(e + "I", 8)
     body = bytearray(hdr)
     offsets = []
@@ -3698,7 +3754,7 @@ def encode_tiff(
 
     entries: list[bytes] = []
     extra = bytearray()
-    n_entries = 9 + (1 if predictor == 2 else 0)
+    n_entries = (10 if tile is not None else 9) + (1 if predictor == 2 else 0)
     extra_base = ifd_off + 2 + 12 * n_entries + 4
 
     def entry(tag: int, typ: int, vals: list[int]):
@@ -3722,12 +3778,22 @@ def encode_tiff(
     entry(258, 3, [8] * spp)
     entry(259, 3, [comp])
     entry(262, 3, [photo])
-    entry(273, 4, offsets)
-    entry(277, 3, [spp])
-    entry(278, 4, [rows_per_strip])
-    entry(279, 4, [len(s) for s in strips])
-    if predictor == 2:
-        entry(317, 3, [2])
+    # IFD entries stay in ascending tag order per spec
+    if tile is not None:
+        entry(277, 3, [spp])
+        if predictor == 2:
+            entry(317, 3, [2])
+        entry(322, 4, [tile[0]])
+        entry(323, 4, [tile[1]])
+        entry(324, 4, offsets)
+        entry(325, 4, [len(s) for s in strips])
+    else:
+        entry(273, 4, offsets)
+        entry(277, 3, [spp])
+        entry(278, 4, [rows_per_strip])
+        entry(279, 4, [len(s) for s in strips])
+        if predictor == 2:
+            entry(317, 3, [2])
     assert len(entries) == n_entries
     body += struct.pack(e + "H", len(entries))
     for en in entries:
@@ -4497,6 +4563,53 @@ def synth_au_alaw_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
             F.lit(8000).alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ),
+    )
+
+
+def synth_tiff_tiled_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a VALID TILED TIFF per row (TIFF 6.0 §15, the mm16
+    law under the tile layout): RGB px_c = (3i+17x+29y+7c) % 256 at
+    width 20+id%17 × height 18+id%13 with 16×16 tiles — every image
+    is multi-tile with ragged right/bottom edge tiles, so tile-order
+    assembly and edge cropping are load-bearing corpus-wide;
+    compression rotates none/LZW+predictor-2/PackBits by id%3 and
+    byte order by id%2 (the per-TILE predictor reset is what LZW
+    certifies)."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            w, h = 20 + i % 17, 18 + i % 13
+            xx, yy = np.meshgrid(
+                np.arange(w, dtype=np.int64), np.arange(h, dtype=np.int64)
+            )
+            c = np.arange(3, dtype=np.int64)[None, None, :]
+            px = (
+                (3 * i + 17 * xx[:, :, None] + 29 * yy[:, :, None] + 7 * c)
+                % 256
+            ).astype(np.uint8)
+            comp = ["none", "lzw", "packbits"][i % 3]
+            return encode_tiff(
+                px,
+                comp,
+                "<" if i % 2 == 0 else ">",
+                predictor=2 if comp == "lzw" else 1,
+                tile=(16, 16),
+            )
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("image/tiff").alias("mime"),
+            (20 + F.col(id_col) % 17).cast("int").alias("width"),
+            (18 + F.col(id_col) % 13).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
             F.lit(None).cast("int").alias("n_frames"),
         ),
     )

@@ -4969,3 +4969,47 @@ def mm26_mp3_census_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wp = mm.synth_mp3_payload(docs, "doc_id")
     return mm.mp3_frame_census(wp, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
+# mm27 — TILED TIFF decode (TIFF 6.0 §15 — the named mm16 gate
+# closed; tiles are how large scanned/satellite TIFFs actually ship):
+# TileWidth/Length tags, left-to-right top-to-bottom tile order,
+# edge tiles padded to full 16×16 and cropped on assembly, the
+# horizontal predictor resetting per TILE row (not per image row —
+# the corner that silently corrupts a strip-minded decoder), under
+# all three baseline compressions and both byte orders. Lossless ⇒
+# channel means are exact id arithmetic. Remaining honest TIFF
+# gates: CCITT/JPEG-in-TIFF, non-8-bit.
+# ---------------------------------------------------------------------------
+@register(
+    "mm27_tiff_tiled_decode_real",
+    """
+    WITH xs AS (SELECT unnest(range(37)) AS x),
+         ys AS (SELECT unnest(range(31)) AS y),
+         p AS (SELECT doc_id,
+                      CAST(20 + doc_id % 17 AS INT) AS w,
+                      CAST(18 + doc_id % 13 AS INT) AS h
+               FROM documents)
+    SELECT doc_id AS id, w AS width, h AS height,
+           AVG(CAST((3 * doc_id + 17 * x + 29 * y) % 256 AS DOUBLE)) AS mean_r,
+           AVG(CAST((3 * doc_id + 17 * x + 29 * y + 14) % 256 AS DOUBLE)) AS mean_b
+    FROM p JOIN xs ON x < w JOIN ys ON y < h
+    GROUP BY doc_id, w, h
+    """,
+)
+def mm27_tiff_tiled_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    wp = mm.synth_tiff_tiled_payload(docs, "doc_id")
+    out = mm.decode_image(wp, "doc_id", "payload", fake=False, feat_dim=5)
+    return out.select(
+        "id",
+        F.col("feat")[0].cast("int").alias("width"),
+        F.col("feat")[1].cast("int").alias("height"),
+        F.col("feat")[2].alias("mean_r"),
+        F.col("feat")[4].alias("mean_b"),
+    )

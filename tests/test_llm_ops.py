@@ -3879,3 +3879,47 @@ def test_mp3_framing_census_and_gates():
     good = encode_mp3_stream([(5, 0)])
     with _pytest.raises(ValueError, match="truncated final"):
         _parse_mp3_frames(good[:-10])
+
+
+def test_tiff_tiled_roundtrip_and_gates():
+    """mm27: the tiled layout round-trips bit-exactly across random
+    geometries (ragged edge tiles), both byte orders, all three
+    compressions, and the per-TILE predictor reset; strip files are
+    unaffected; bad tile dims refuse at both ends."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import _parse_tiff, encode_tiff
+
+    rng = np.random.default_rng(9)
+    for trial in range(45):
+        h, w = int(rng.integers(1, 70)), int(rng.integers(1, 70))
+        spp = int(rng.choice([1, 3]))
+        px = rng.integers(0, 256, (h, w, spp), dtype=np.uint8)
+        comp = ["none", "lzw", "packbits"][trial % 3]
+        e = "<" if trial % 2 else ">"
+        pred = 2 if trial % 5 == 0 and comp == "lzw" else 1
+        tile = (16, 16) if trial % 4 else (32, 16)
+        out = _parse_tiff(
+            encode_tiff(px, compression=comp, endian=e, predictor=pred, tile=tile)
+        )
+        want = px[:, :, :3] if spp == 3 else np.repeat(px[:, :, :1], 3, axis=2)
+        assert (out == want).all(), (trial, h, w, spp, comp, e, pred, tile)
+
+    px = rng.integers(0, 256, (11, 13, 3), dtype=np.uint8)
+    assert (_parse_tiff(encode_tiff(px, compression="lzw", predictor=2)) == px).all()
+    with _pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff(px, tile=(10, 16))
+    # decoder-side gate: corrupt TileWidth to a non-multiple of 16
+    good = bytearray(encode_tiff(px, tile=(16, 16)))
+    import struct as _struct
+    # find the 322 tag entry and overwrite its value with 10
+    ifd_off = _struct.unpack_from("<I", good, 4)[0]
+    (n_ent,) = _struct.unpack_from("<H", good, ifd_off)
+    for k in range(n_ent):
+        off = ifd_off + 2 + 12 * k
+        tag, typ, cnt = _struct.unpack_from("<HHI", good, off)
+        if tag == 322:
+            _struct.pack_into("<I", good, off + 8, 10)
+    with _pytest.raises(ValueError, match="multiples of 16"):
+        _parse_tiff(bytes(good))
