@@ -212,6 +212,7 @@ HEADLINE = [
     "mm25_au_alaw_decode_real",  # G.711 A-law expansion (integer SQL twin)
     "mm26_mp3_census_real",  # MP3 framing census (sync walk + tag skips)
     "mm27_tiff_tiled_decode_real",  # tiled TIFF (per-tile predictor reset)
+    "p35_url_canonicalize",  # URL canon + URL-level dedup (native exprs)
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

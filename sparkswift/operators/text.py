@@ -1954,3 +1954,119 @@ def compression_ratio(
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         batches, f"{id_col} long, n_bytes long, n_compressed long, ratio double"
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (the CommonCrawl-pipeline stage every web
+# corpus runs before URL-level dedup: RFC 3986 normalization + the
+# conventional crawl rules). ONE expression template rendered into
+# both dialects — the Spark query and the DuckDB oracle run the SAME
+# logic, so the string outputs are hash-exact by construction.
+# ---------------------------------------------------------------------------
+_URL_DIALECTS = {
+    "spark": {
+        "SPLIT_AMP": "split({x}, '&')",
+        "SPLIT_DOT": "split({x}, '\\\\.')",
+        "FILTER": "filter({l}, x -> {cond})",
+        "SORT": "array_sort({l})",
+        "JOINAMP": "array_join({l}, '&')",
+        "JOINDOT": "array_join({l}, '.')",
+        "SIZE": "size({l})",
+        "AT": "element_at({l}, {i})",
+        "SLICE": "slice({l}, {a}, {n})",
+        # Spark's SQL parser unescapes backslashes in string literals;
+        # a regex \. must be written \\. in the SQL text
+        "BS": "\\\\",
+    },
+    "duckdb": {
+        "SPLIT_AMP": "string_split({x}, '&')",
+        "SPLIT_DOT": "string_split({x}, '.')",
+        "FILTER": "list_filter({l}, x -> {cond})",
+        "SORT": "list_sort({l})",
+        "JOINAMP": "array_to_string({l}, '&')",
+        "JOINDOT": "array_to_string({l}, '.')",
+        "SIZE": "len({l})",
+        "AT": "list_extract({l}, {i})",
+        "SLICE": "list_slice({l}, {a}, {a} + {n} - 1)",
+        # DuckDB string literals take backslashes verbatim
+        "BS": "\\",
+    },
+}
+
+#: query parameters dropped during canonicalization (tracking noise —
+#: the conventional crawl-dedup list; extend per corpus)
+_URL_TRACKING_COND = (
+    "x <> '' AND substr(x, 1, 4) <> 'utm_' "
+    "AND substr(x, 1, 6) <> 'gclid=' AND substr(x, 1, 7) <> 'fbclid='"
+)
+
+
+def canonical_url_sql(url_sql: str, dialect: str) -> str:
+    """SQL expression for the canonical form of ``url_sql``:
+    lowercase scheme/host, strip a leading ``www.``, drop default
+    ports (80/http, 443/https), strip trailing path slashes, drop the
+    fragment, and keep the query as the SORTED non-tracking
+    parameters. Same template for Spark and DuckDB ⇒ identical
+    strings cross-engine."""
+    d = _URL_DIALECTS[dialect]
+    bs = d["BS"]
+    scheme = f"lower(regexp_extract({url_sql}, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1))"
+    host = (
+        f"regexp_replace(lower(regexp_extract({url_sql}, "
+        f"'^[^:]+://([^/?#:]*)', 1)), '^www{bs}.', '')"
+    )
+    port = f"regexp_extract({url_sql}, '^[^:]+://[^/?#]*?:([0-9]+)', 1)"
+    path = (
+        f"regexp_replace(regexp_extract({url_sql}, "
+        f"'^[^:]+://[^/?#]*([^?#]*)', 1), '/+$', '')"
+    )
+    query = f"regexp_extract({url_sql}, '{bs}?([^#]*)', 1)"
+    params = d["FILTER"].format(
+        l=d["SPLIT_AMP"].format(x=query), cond=_URL_TRACKING_COND
+    )
+    # DuckDB's array_to_string returns NULL for an EMPTY list (and
+    # its concat silently skips NULLs, yielding a stray '?') — pin ''
+    q = f"coalesce({d['JOINAMP'].format(l=d['SORT'].format(l=params))}, '')"
+    portseg = (
+        f"CASE WHEN ({scheme} = 'http' AND {port} = '80') "
+        f"OR ({scheme} = 'https' AND {port} = '443') "
+        f"OR {port} = '' THEN '' ELSE concat(':', {port}) END"
+    )
+    return (
+        f"concat({scheme}, '://', {host}, {portseg}, {path}, "
+        f"CASE WHEN {q} = '' THEN '' ELSE concat('?', {q}) END)"
+    )
+
+
+def registrable_domain_sql(url_sql: str, dialect: str) -> str:
+    """SQL expression for the last-two-label domain of the URL's
+    host (after the www. strip). A heuristic, documented as such: a
+    real public-suffix-list pass (co.uk, com.au, ...) needs the PSL
+    data file — out of scope under the zero-dependency rule; at 100
+    TB the PSL would broadcast as a small dim table and the
+    expression becomes a longest-suffix join against it."""
+    d = _URL_DIALECTS[dialect]
+    host = (
+        f"regexp_replace(lower(regexp_extract({url_sql}, "
+        f"'^[^:]+://([^/?#:]*)', 1)), '^www{d['BS']}.', '')"
+    )
+    labels = d["SPLIT_DOT"].format(x=host)
+    n = d["SIZE"].format(l=labels)
+    last2 = d["JOINDOT"].format(
+        l=d["SLICE"].format(l=labels, a=f"{n} - 1", n="2")
+    )
+    return f"CASE WHEN {n} < 2 THEN {host} ELSE {last2} END"
+
+
+def canonical_url(url_col: str):
+    """Spark Column: canonical URL (see :func:`canonical_url_sql`)."""
+    from pyspark.sql import functions as F
+
+    return F.expr(canonical_url_sql(url_col, "spark"))
+
+
+def registrable_domain(url_col: str):
+    """Spark Column: last-two-label registrable domain (heuristic)."""
+    from pyspark.sql import functions as F
+
+    return F.expr(registrable_domain_sql(url_col, "spark"))

@@ -876,7 +876,17 @@ def raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #    round cap, ADVICE r13 #1), p30 (DuckDB-libm quantization
 #    parity). j13/st33 (spatial_join build-side fix), mm21 (BMP
 #    core-header gate) and st32 (deterministic slice ordering) are
-#    already in-window via group 1.
+#    already in-window via group 1. mm22 (MJPEG AVI) and mm23 (FLAC)
+#    take the final two slots, displacing t22/p31 whose identical
+#    frames were r12-green under their *_gate aliases.
+#
+# Round-14 rotation seed, stalest first: the later r13 additions
+# that could not fit the window — mm24_gif_anim_composite_real,
+# mm25_au_alaw_decode_real, mm26_mp3_census_real,
+# mm27_tiff_tiled_decode_real (each locally exact at sf0.001 +
+# sf0.01) — then t22_wordpiece_tokens / p31_sft_export (displaced
+# above), then whatever `tools/ledger.py --markdown` lists as
+# oldest-evidence.
 #
 # st2b_stateful_totals_tws remains unregistered: the container lacks
 # protobuf so transformWithState cannot import (NOTES.md, re-checked

@@ -5013,3 +5013,73 @@ def mm27_tiff_tiled_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("feat")[2].alias("mean_r"),
         F.col("feat")[4].alias("mean_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# p35 — URL CANONICALIZATION + URL-level dedup (the CommonCrawl
+# pipeline stage before any content dedup: RFC 3986 normalization +
+# the conventional crawl rules — lowercase scheme/host, www. strip,
+# default-port drop, trailing-slash strip, fragment drop, tracking
+# params out, query params SORTED). One expression template rendered
+# into both dialects (operators/text.py:_URL_DIALECTS — including
+# the Spark-unescapes-backslashes / DuckDB-verbatim literal trap and
+# DuckDB's NULL-for-empty-list array_to_string, both pinned there),
+# so the canonical strings are hash-exact by construction. Synth raw
+# URLs differ in slash/fragment/utm/port spellings while their
+# canonical forms COLLIDE (~6 ids per class at sf0.01) — the
+# normalization, not the synth, produces the dedup signal. Scale:
+# canonicalization is scan-stage native exprs; the survivor pick is
+# one hash shuffle on the canonical key.
+# ---------------------------------------------------------------------------
+def _p35_url_sql() -> str:
+    return """concat(
+      CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END, '://',
+      'WWW.Site', CAST(doc_id % 40 AS STRING), '.Example.COM',
+      CASE WHEN doc_id % 3 = 0
+           THEN CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+           WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END,
+      '/a/b', CAST(doc_id % 7 AS STRING),
+      CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+      '?utm_source=feed&a=', CAST(doc_id % 4 AS STRING),
+      CASE WHEN doc_id % 4 = 0
+           THEN concat('#sec', CAST(doc_id % 3 AS STRING)) ELSE '' END
+    )"""
+
+
+def _p35_oracle() -> str:
+    from sparkswift.operators.text import (
+        canonical_url_sql,
+        registrable_domain_sql,
+    )
+
+    canon = canonical_url_sql("url", "duckdb")
+    dom = registrable_domain_sql("url", "duckdb")
+    return f"""
+    WITH u AS (SELECT doc_id, {_p35_url_sql()} AS url FROM documents),
+    c AS (SELECT doc_id, url, {canon} AS canon_url, {dom} AS domain FROM u)
+    SELECT doc_id, url, canon_url, domain,
+           CAST(CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY canon_url)
+                THEN 1 ELSE 0 END AS BIGINT) AS is_url_survivor
+    FROM c
+    """
+
+
+@register("p35_url_canonicalize", _p35_oracle())
+def p35_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from sparkswift.operators.text import canonical_url, registrable_domain
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    u = docs.withColumn("url", F.expr(_p35_url_sql()))
+    c = u.select(
+        "doc_id",
+        "url",
+        canonical_url("url").alias("canon_url"),
+        registrable_domain("url").alias("domain"),
+    )
+    w = W.partitionBy("canon_url")
+    return c.withColumn(
+        "is_url_survivor",
+        (F.col("doc_id") == F.min("doc_id").over(w)).cast("bigint"),
+    )

@@ -3923,3 +3923,55 @@ def test_tiff_tiled_roundtrip_and_gates():
             _struct.pack_into("<I", good, off + 8, 10)
     with _pytest.raises(ValueError, match="multiples of 16"):
         _parse_tiff(bytes(good))
+
+
+def test_canonical_url_cross_engine_and_cases(spark):
+    """p35: the one template renders to BOTH dialects and produces
+    IDENTICAL strings on Spark and DuckDB across the normalization
+    corners (default vs kept ports, www./case, trailing slashes,
+    fragments, tracking params, empty query, portless, one-label
+    host); the dedup law holds (distinct raw spellings merge)."""
+    import duckdb
+
+    from sparkswift.operators.text import (
+        canonical_url_sql,
+        registrable_domain_sql,
+    )
+
+    urls = [
+        "https://WWW.Site0.Example.COM:443/a/b0/?utm_source=feed&b=0&a=0#sec0",
+        "http://Host.co:8080/p?fbclid=zz&z=1&gclid=aa",
+        "https://single/",
+        "http://www.EXAMPLE.org/x/y/",
+        "https://a.b.c.d/deep/path?z=9&y=8&x=7",
+        "http://plain.net",
+        "https://keep.port.io:8443/s?one=1",
+    ]
+    con = duckdb.connect()
+    duck = con.sql(
+        f"SELECT {canonical_url_sql('url', 'duckdb')} AS c, "
+        f"{registrable_domain_sql('url', 'duckdb')} AS d "
+        "FROM (SELECT unnest(?) AS url)",
+        params=[urls],
+    ).fetchall()
+    sdf = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = sdf.selectExpr(
+        canonical_url_sql("url", "spark") + " AS c",
+        registrable_domain_sql("url", "spark") + " AS d",
+    ).collect()
+    for u, (dc, dd), row in zip(urls, duck, got):
+        assert row.c == dc, (u, row.c, dc)
+        assert row.d == dd, (u, row.d, dd)
+    # normalization merges distinct raw spellings
+    merged = {
+        "https://x.y/p", "https://X.Y:443/p/", "https://www.x.y/p#frag",
+        "https://x.y/p?utm_campaign=z",
+    }
+    sdf2 = spark.createDataFrame([(u,) for u in merged], "url string")
+    outs = {
+        r.c
+        for r in sdf2.selectExpr(
+            canonical_url_sql("url", "spark") + " AS c"
+        ).collect()
+    }
+    assert outs == {"https://x.y/p"}, outs
