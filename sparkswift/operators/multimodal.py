@@ -238,6 +238,52 @@ def _parse_bmp(b: bytes) -> np.ndarray:
                     pos += (v + 1) & ~1
         px = palette[idx]
         return px[::-1] if bottom_up else px
+    if bpp == 4 and comp in (0, 2):
+        n_pal = clr_used or 16
+        pal_off = 14 + hdr_size
+        quads = np.frombuffer(
+            b, np.uint8, count=4 * n_pal, offset=pal_off
+        ).reshape(n_pal, 4)
+        palette = quads[:, [2, 1, 0]]
+        if comp == 0:  # nibble-packed rows, 4-byte padded
+            stride = (((w + 1) // 2) + 3) & ~3
+            raw = np.frombuffer(
+                b, np.uint8, count=stride * h, offset=data_off
+            ).reshape(h, stride)
+            nibs = np.empty((h, stride * 2), np.uint8)
+            nibs[:, 0::2] = raw >> 4
+            nibs[:, 1::2] = raw & 0x0F
+            idx = nibs[:, :w].copy()
+        else:  # BI_RLE4: nibble-alternating runs / absolute packets
+            idx = np.zeros((h, w), dtype=np.uint8)
+            pos, x, y = data_off, 0, 0
+            while pos + 1 < len(b):
+                n, v = b[pos], b[pos + 1]
+                pos += 2
+                if n:  # run: pixels alternate the hi/lo nibbles of v
+                    end = min(x + n, w)
+                    for k in range(end - x):
+                        idx[y, x + k] = (v >> 4) if k % 2 == 0 else (v & 0x0F)
+                    x = end
+                elif v == 0:  # EOL
+                    x, y = 0, y + 1
+                    if y >= h:
+                        break
+                elif v == 1:  # EOB
+                    break
+                elif v == 2:  # delta: skipped pixels stay index 0
+                    x += b[pos]
+                    y += b[pos + 1]
+                    pos += 2
+                else:  # absolute: v nibble-packed pixels, word-padded
+                    end = min(x + v, w)
+                    for k in range(end - x):
+                        byte = b[pos + k // 2]
+                        idx[y, x + k] = (byte >> 4) if k % 2 == 0 else (byte & 0x0F)
+                    x = end
+                    pos += (((v + 1) // 2) + 1) & ~1
+        px = palette[idx]
+        return px[::-1] if bottom_up else px
     raise NotImplementedError(
         f"BMP bpp={bpp} compression={comp} unsupported "
         "(24-bit BI_RGB, 8-bit BI_RGB/BI_RLE8 implemented; "
@@ -4619,17 +4665,24 @@ def encode_bmp8_rle(
     idx: np.ndarray,
     palette: np.ndarray,
     rle: bool = True,
+    bits: int = 8,
 ) -> bytes:
     """Palettized BMP writer — the synth + round-trip counterpart of
-    :func:`_parse_bmp`'s 8-bit paths: (h, w) uint8 indices + (n, 3)
-    RGB palette, stored bottom-up; ``rle=True`` emits BI_RLE8 (run
-    packets for repeats, absolute-mode packets — count ≥ 3,
+    :func:`_parse_bmp`'s palettized paths: (h, w) uint8 indices +
+    (n, 3) RGB palette, stored bottom-up; ``rle=True`` emits BI_RLE8
+    (run packets for repeats, absolute-mode packets — count ≥ 3,
     word-padded — for literal stretches, EOL after every row, EOB at
-    the end), else uncompressed BI_RGB with 4-byte row padding."""
+    the end), else uncompressed BI_RGB with 4-byte row padding.
+    ``bits=4`` writes the 4-bit layout instead (nibble-packed rows /
+    BI_RLE4 with nibble-alternating run and absolute packets)."""
     h, w = idx.shape
     n_pal = len(palette)
     if idx.dtype != np.uint8 or n_pal > 256:
         raise ValueError("need uint8 indices and <=256 palette entries")
+    if bits not in (8, 4):
+        raise ValueError("bits must be 8 or 4")
+    if bits == 4 and (int(idx.max(initial=0)) > 15 or n_pal > 16):
+        raise ValueError("4-bit BMP needs indices and palette < 16")
     quads = bytearray()
     for r, g, bl in palette[:, :3]:
         quads += bytes((int(bl), int(g), int(r), 0))  # BGRA
@@ -4648,12 +4701,22 @@ def encode_bmp8_rle(
                         chunk = lit[:253]  # keep the tail escapable
                     out.append(0)
                     out.append(len(chunk))
-                    out.extend(chunk)
-                    if len(chunk) % 2:
-                        out.append(0)  # word padding
+                    if bits == 8:
+                        out.extend(chunk)
+                        if len(chunk) % 2:
+                            out.append(0)  # word padding
+                    else:  # nibble-pack, then word-pad the byte count
+                        packed = bytearray()
+                        for j in range(0, len(chunk), 2):
+                            hi = chunk[j] << 4
+                            lo = chunk[j + 1] if j + 1 < len(chunk) else 0
+                            packed.append(hi | lo)
+                        if len(packed) % 2:
+                            packed.append(0)
+                        out.extend(packed)
                     lit = lit[len(chunk):]
                 for v in lit:  # 1-2 leftovers: run packets of 1
-                    out.extend((1, v))
+                    out.extend((1, (v << 4) if bits == 4 else v))
                 lit = []
 
             while x < w:
@@ -4662,7 +4725,8 @@ def encode_bmp8_rle(
                     run += 1
                 if run >= 2:
                     flush_lit()
-                    out.extend((run, int(row[x])))
+                    p = int(row[x])
+                    out.extend((run, (p << 4) | p if bits == 4 else p))
                 else:
                     lit.append(int(row[x]))
                 x += run
@@ -4670,17 +4734,29 @@ def encode_bmp8_rle(
             out.extend((0, 0))  # EOL
         out.extend((0, 1))  # EOB
         body = bytes(out)
-        comp = 1
+        comp = 1 if bits == 8 else 2  # BI_RLE8 / BI_RLE4
     else:
-        stride = (w + 3) & ~3
-        rows = []
-        for y in range(h - 1, -1, -1):
-            rows.append(idx[y].tobytes().ljust(stride, b"\x00"))
+        if bits == 8:
+            stride = (w + 3) & ~3
+            rows = []
+            for y in range(h - 1, -1, -1):
+                rows.append(idx[y].tobytes().ljust(stride, b"\x00"))
+        else:
+            stride = (((w + 1) // 2) + 3) & ~3
+            rows = []
+            for y in range(h - 1, -1, -1):
+                rb = bytearray()
+                r = idx[y]
+                for j in range(0, w, 2):
+                    hi = int(r[j]) << 4
+                    lo = int(r[j + 1]) if j + 1 < w else 0
+                    rb.append(hi | lo)
+                rows.append(bytes(rb).ljust(stride, b"\x00"))
         body = b"".join(rows)
         comp = 0
     data_off = 14 + 40 + len(quads)
     info = struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 8, comp, len(body), 2835, 2835, n_pal, 0
+        "<IiiHHIIiiII", 40, w, h, 1, bits, comp, len(body), 2835, 2835, n_pal, 0
     )
     hdr = b"BM" + struct.pack(
         "<IHHI", data_off + len(body), 0, 0, data_off
@@ -4694,7 +4770,9 @@ def synth_bmp8_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     mod 3 -> 0: row-constant indices k=(y+i)%16, RLE8 (long runs);
     1: diagonal k=(x+2y+i)%16, RLE8 (absolute-mode literals
     dominate); 2: diagonal, UNCOMPRESSED 8-bit. All lossless id
-    arithmetic."""
+    arithmetic. Odd ids store the SAME pixels through the 4-BIT
+    layout (nibble rows / BI_RLE4) — the decode is identical, so the
+    oracle is depth-agnostic while both depths stay load-bearing."""
 
     @F.pandas_udf("binary")
     def make(ids: pd.Series) -> pd.Series:
@@ -4718,7 +4796,9 @@ def synth_bmp8_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 idx = ((yy + i) % 16).astype(np.uint8)
             else:
                 idx = ((xx + 2 * yy + i) % 16).astype(np.uint8)
-            return encode_bmp8_rle(idx, palette, rle=mode != 2)
+            return encode_bmp8_rle(
+                idx, palette, rle=mode != 2, bits=8 if i % 2 == 0 else 4
+            )
 
         return ids.map(one)
 

@@ -3577,7 +3577,8 @@ def test_bmp8_rle_roundtrip_and_handbuilt_delta():
     wide rows crossing the 253/255 absolute-chunk boundary; a
     HAND-BUILT stream exercising the delta escape (which the writer
     never emits) decodes with skipped pixels at palette index 0; the
-    depth gate raises loudly."""
+    depth gate raises loudly; 4-bit layouts (nibble rows + BI_RLE4
+    nibble-alternating packets) round-trip the same grid."""
     import random
     import struct as _struct
 
