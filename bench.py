@@ -213,6 +213,7 @@ HEADLINE = [
     "mm26_mp3_census_real",  # MP3 framing census (sync walk + tag skips)
     "mm27_tiff_tiled_decode_real",  # tiled TIFF (per-tile predictor reset)
     "p35_url_canonicalize",  # URL canon + URL-level dedup (native exprs)
+    "d19_image_dhash_pairs",  # perceptual image dedup (dHash equi-join)
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

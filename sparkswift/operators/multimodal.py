@@ -5649,3 +5649,94 @@ def synth_mp3_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             (3 + F.col(id_col) % 5).cast("int").alias("n_frames"),
         ),
     )
+
+
+def image_dhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    hash_w: int = 8,
+    hash_h: int = 8,
+) -> DataFrame:
+    """Perceptual DIFFERENCE HASH (dHash — the standard cheap
+    image-dedup fingerprint: Krawetz's hackerfactor writeup, public):
+    decode, grayscale, EXACT area-mean downsample to
+    (hash_h, hash_w+1) blocks, then bit (x, y) = block(y, x) >
+    block(y, x+1) — gradient direction survives uniform brightness
+    shifts and small noise, so re-encoded/brightness-shifted copies
+    collide. Exactness discipline: grayscale is the integer channel
+    SUM (monotone ×3 of the mean), the downsample is an integer
+    block SUM (dims must divide — raises otherwise; interpolating
+    resizes are float-ware and belong behind a lib), and the 64 bits
+    pack into two int32 halves ``(hash_hi, hash_lo)`` — every step
+    SQL-re-derivable. mapInPandas, zero shuffle; pair-finding is the
+    caller's equi-join on the halves."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                px = _decode_image_bytes(bytes(p))
+                h, w = px.shape[:2]
+                if h % hash_h or w % (hash_w + 1):
+                    raise ValueError(
+                        f"image {w}x{h} not divisible into "
+                        f"{hash_w + 1}x{hash_h} blocks (exact area-mean only)"
+                    )
+                gray = px.sum(axis=2, dtype=np.int64)
+                bh, bw = h // hash_h, w // (hash_w + 1)
+                s = gray.reshape(hash_h, bh, hash_w + 1, bw).sum(axis=(1, 3))
+                bits = (s[:, :-1] > s[:, 1:]).astype(np.int64)
+                flat = bits.reshape(-1)
+                hi = int((flat[:32] << np.arange(32, dtype=np.int64)).sum())
+                lo = int(
+                    (flat[32:64] << np.arange(len(flat) - 32, dtype=np.int64)).sum()
+                ) if len(flat) > 32 else 0
+                rows.append((int(i), w, h, hi, lo))
+            cols = list(zip(*rows)) if rows else [[]] * 5
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(cols[0], dtype="int64"),
+                    "width": pd.Series(cols[1], dtype="int32"),
+                    "height": pd.Series(cols[2], dtype="int32"),
+                    "hash_hi": pd.Series(cols[3], dtype="int64"),
+                    "hash_lo": pd.Series(cols[4], dtype="int64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches,
+        "id bigint, width int, height int, hash_hi bigint, hash_lo bigint",
+    )
+
+
+def synth_dhash_pgm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize an 18×16 grayscale PGM per row for the dHash family:
+    g(x, y) = (3i + 17x + 29y + 41·((i + x·y) % 7)) % 240 — the %7
+    texture term varies gradient signs PER id (a plain linear law
+    would give every image the same dHash), and the 240 cap leaves
+    +10 headroom so the planted copy (id + 100000, every pixel +10)
+    shifts brightness UNIFORMLY — block gradients, hence the hash,
+    are invariant, which is the dHash property the d19 query
+    certifies."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            orig = i if i < 100000 else i - 100000
+            shift = 0 if i < 100000 else 10
+            w, h = 18, 16
+            xx, yy = np.meshgrid(
+                np.arange(w, dtype=np.int64), np.arange(h, dtype=np.int64)
+            )
+            g = (
+                (3 * orig + 17 * xx + 29 * yy + 41 * ((orig + xx * yy) % 7))
+                % 240
+                + shift
+            ).astype(np.uint8)
+            return b"P5\n# dhash\n18 16\n255\n" + g.tobytes()
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col)))

@@ -5083,3 +5083,82 @@ def p35_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_url_survivor",
         (F.col("doc_id") == F.min("doc_id").over(w)).cast("bigint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d19 — PERCEPTUAL IMAGE DEDUP via dHash (the bridge between the
+# decode family and the dedup family — the cheap fingerprint image
+# pipelines actually run before any embedding model): decode →
+# integer grayscale → EXACT block-mean downsample → gradient-sign
+# bits packed into (hash_hi, hash_lo) → equi-join on the hash. The
+# planted copies are brightness-shifted (+10 every pixel) — dHash's
+# defining invariance, so every plant MUST pair with its original;
+# the %7 texture term varies gradients per id (a linear law would
+# hash every image identically). Every step is integer arithmetic
+# the oracle re-derives, pixel law through bit packing. Scale:
+# map-side decode+hash, ONE hash shuffle on the 64-bit key — image
+# near-dup without touching pixels twice.
+# ---------------------------------------------------------------------------
+@register(
+    "d19_image_dhash_pairs",
+    """
+    WITH ids AS (
+      SELECT doc_id, doc_id AS orig, 0 AS shift FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, doc_id, 10 FROM documents
+    ),
+    bx AS (SELECT unnest(range(9)) AS x),
+    by AS (SELECT unnest(range(8)) AS y),
+    d2 AS (SELECT unnest(range(2)) AS dx),
+    e2 AS (SELECT unnest(range(2)) AS dy),
+    blocks AS (
+      SELECT doc_id, x, y,
+             SUM((3 * orig + 17 * (2 * x + dx) + 29 * (2 * y + dy)
+                  + 41 * ((orig + (2 * x + dx) * (2 * y + dy)) % 7)) % 240
+                 + shift) AS s
+      FROM ids, bx, by, d2, e2
+      GROUP BY doc_id, x, y
+    ),
+    bits AS (
+      SELECT a.doc_id, a.y * 8 + a.x AS k,
+             CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+      FROM blocks a JOIN blocks b
+        ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+      WHERE a.x < 8
+    ),
+    hashes AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN k < 32 THEN bit * (1 << k) ELSE 0 END)
+                  AS BIGINT) AS hash_hi,
+             CAST(SUM(CASE WHEN k >= 32 THEN bit * (1 << (k - 32)) ELSE 0 END)
+                  AS BIGINT) AS hash_lo
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.hash_hi, a.hash_lo
+    FROM hashes a JOIN hashes b
+      ON a.hash_hi = b.hash_hi AND a.hash_lo = b.hash_lo
+     AND a.doc_id < b.doc_id
+    """,
+)
+def d19_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    both = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"))
+    ).repartition(spark.sparkContext.defaultParallelism)
+    wp = mm.synth_dhash_pgm_payload(both, "doc_id")
+    h = mm.image_dhash(wp, "doc_id", "payload")
+    a = h.select(
+        F.col("id").alias("id_a"), "hash_hi", "hash_lo"
+    )
+    b = h.select(
+        F.col("id").alias("id_b"),
+        F.col("hash_hi").alias("bh"),
+        F.col("hash_lo").alias("bl"),
+    )
+    return (
+        a.join(
+            b,
+            (a.hash_hi == b.bh) & (a.hash_lo == b.bl) & (a.id_a < b.id_b),
+        )
+        .select("id_a", "id_b", "hash_hi", "hash_lo")
+    )

@@ -3976,3 +3976,48 @@ def test_canonical_url_cross_engine_and_cases(spark):
         ).collect()
     }
     assert outs == {"https://x.y/p"}, outs
+
+
+def test_image_dhash_invariances_and_gates(spark):
+    """d19: dHash is invariant to uniform brightness shift and to
+    lossless RE-ENCODING of the same pixels (PGM vs PNG bytes hash
+    identically — the cross-format dedup property); a single flipped
+    gradient flips exactly the expected bit; non-divisible dims
+    refuse."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import encode_png, image_dhash
+
+    def pgm(g):
+        h, w = g.shape
+        return b"P5\n%d %d\n255\n" % (w, h) + g.astype(np.uint8).tobytes()
+
+    rng = np.random.default_rng(21)
+    g = rng.integers(0, 200, (16, 18), dtype=np.uint8)
+    rows = [
+        (0, pgm(g)),
+        (1, pgm(g + 10)),  # uniform shift
+        (2, encode_png(np.repeat(g[:, :, None], 3, axis=2))),  # re-encode
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.id: (r.hash_hi, r.hash_lo) for r in image_dhash(df).collect()}
+    assert got[0] == got[1] == got[2]
+
+    # flipping one gradient flips exactly one bit: craft block sums
+    flat = np.zeros((16, 18), dtype=np.uint8)
+    flat[:, 0:2] = 100  # block (x=0) > block (x=1) on every row
+    base = {r.id: (r.hash_hi, r.hash_lo) for r in image_dhash(
+        spark.createDataFrame([(0, pgm(flat))], "doc_id long, payload binary")
+    ).collect()}[0]
+    # bits k = y*8 + x with x=0 set for all y: hi has y=0..3, lo y=4..7
+    want_hi = sum(1 << (y * 8) for y in range(4))
+    want_lo = sum(1 << (y * 8) for y in range(4))
+    assert base == (want_hi, want_lo)
+
+    bad = spark.createDataFrame(
+        [(0, pgm(np.zeros((15, 18), dtype=np.uint8)))],
+        "doc_id long, payload binary",
+    )
+    with _pytest.raises(Exception, match="not divisible"):
+        image_dhash(bad).collect()
