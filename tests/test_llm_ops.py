@@ -3564,7 +3564,8 @@ def test_au_mulaw_decode_laws_and_container():
         (back * 32768.0).astype(np.int16), s16.astype(np.int16)
     )
     bad = bytearray(encode_au(b"\x00" * 8, encoding=1))
-    bad[15] = 27  # A-law-ish encoding id
+    bad[15] = 6  # 32-bit float encoding (still honestly gated; A-law
+    # graduated to a real decoder in r13 - see mm25's test)
     with _pytest.raises(NotImplementedError, match="AU encoding"):
         _decode_au(bytes(bad))
     with _pytest.raises(ValueError, match="not an AU"):
