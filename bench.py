@@ -214,6 +214,7 @@ HEADLINE = [
     "mm27_tiff_tiled_decode_real",  # tiled TIFF (per-tile predictor reset)
     "p35_url_canonicalize",  # URL canon + URL-level dedup (native exprs)
     "d19_image_dhash_pairs",  # perceptual image dedup (dHash equi-join)
+    "p36_negative_samples",  # deterministic ring negative sampling
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

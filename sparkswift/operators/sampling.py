@@ -853,3 +853,45 @@ def group_sample(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def ring_negative_samples(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic NEGATIVE SAMPLING for contrastive training (the
+    DPR/CLIP-style "k random negatives per query" step, made
+    reproducible): the corpus gets a global shuffle position from
+    :func:`deterministic_shuffle` (hash order — no global sort), each
+    query gets a start position on that ring from a Knuth
+    multiplicative mix of its id, and its negatives are the ``k``
+    consecutive ring positions (wrapping). Uniform-ish, collision-
+    free within a query, identical on every run and partitioning,
+    and NEVER quadratic: exactly k rows per query flow through ONE
+    equi-join on the ring position. Returns
+    ``(query_id, neg_rank, neg_id)``.
+
+    The start mix is (id · 2654435761) mod 2³² mod n — an integer
+    positional mixer chosen over md5 because the ORACLE needs the
+    same integer in portable SQL (hex→int conversion differs across
+    engines; the hash-grade md5 order already lives in the ring
+    positions themselves)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    ranked = deterministic_shuffle(corpus, id_col, seed=seed).select(
+        F.col(id_col).alias("neg_id"), F.col("shuffle_pos").alias("__pos")
+    )
+    n = ranked.count()
+    if n < k:
+        raise ValueError(f"corpus has {n} rows < k={k}")
+    q = queries.select(F.col(id_col).alias("query_id")).withColumn(
+        "neg_rank", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+    )
+    start = (F.col("query_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(n)
+    q = q.withColumn("__pos", (start + F.col("neg_rank")) % F.lit(n))
+    return q.join(ranked, "__pos").select(
+        "query_id", F.col("neg_rank").cast("bigint"), "neg_id"
+    )

@@ -5162,3 +5162,49 @@ def d19_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_a", "id_b", "hash_hi", "hash_lo")
     )
+
+
+# ---------------------------------------------------------------------------
+# p36 — DETERMINISTIC NEGATIVE SAMPLING (the contrastive-training
+# pair builder: k reproducible negatives per query, DPR/CLIP-style):
+# corpus → global hash-order ring via p8's bucketed rank (no global
+# sort, no single task), query start = Knuth multiplicative mix of
+# the id, negatives = k consecutive ring positions (wrapping) through
+# ONE equi-join on position — never an n_q × n_c cross. Collision-
+# free within a query (consecutive positions), uniform-ish across
+# the ring, identical on any partitioning. The oracle re-derives the
+# ring with a window rank over the same md5 total order and the same
+# integer mix — exact.
+# ---------------------------------------------------------------------------
+@register(
+    "p36_negative_samples",
+    """
+    WITH corpus AS (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY md5(concat_ws(':', '0', CAST(doc_id AS STRING))),
+                        doc_id) - 1 AS pos
+      FROM documents WHERE doc_id % 10 <> 0
+    ),
+    n AS (SELECT COUNT(*) AS n FROM corpus),
+    q AS (
+      SELECT doc_id AS query_id, j.neg_rank
+      FROM documents,
+           (SELECT unnest(range(4)) AS neg_rank) j
+      WHERE doc_id % 10 = 0
+    )
+    SELECT q.query_id, CAST(q.neg_rank AS BIGINT) AS neg_rank,
+           c.doc_id AS neg_id
+    FROM q, n
+    JOIN corpus c
+      ON c.pos = ((q.query_id * 2654435761) % 4294967296 % n.n
+                  + q.neg_rank) % n.n
+    """,
+)
+def p36_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.sampling import ring_negative_samples
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    queries = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return ring_negative_samples(queries, corpus, "doc_id", k=4)

@@ -1238,3 +1238,41 @@ def test_group_sample_laws(spark, sf_dir):
     assert other != again  # a different seed samples differently
     with _pytest.raises(ValueError, match="positive"):
         sp.group_sample(docs, "source", 0)
+
+
+def test_ring_negative_samples_laws(spark, sf_dir):
+    """p36: exactly k negatives per query, collision-free within a
+    query, never a positive (corpus excludes queries), deterministic
+    across reruns, and ring coverage is uniform-ish (no corpus doc
+    takes more than a small multiple of the mean load)."""
+    from sparkswift.operators.sampling import ring_negative_samples
+    from sparkswift.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    queries = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    k = 4
+    out = ring_negative_samples(queries, corpus, "doc_id", k=k).toPandas()
+    nq = queries.count()
+    assert len(out) == nq * k
+    per_q = out.groupby("query_id").agg(
+        n=("neg_id", "size"), uniq=("neg_id", "nunique")
+    )
+    assert (per_q.n == k).all() and (per_q.uniq == k).all()
+    assert (out.neg_id % 10 != 0).all()  # never a query/positive
+    # deterministic across reruns
+    out2 = ring_negative_samples(queries, corpus, "doc_id", k=k).toPandas()
+    key = ["query_id", "neg_rank"]
+    assert out.sort_values(key).reset_index(drop=True).equals(
+        out2.sort_values(key).reset_index(drop=True)
+    )
+    # load balance: consecutive-ring assignment keeps the max load
+    # within a small multiple of the mean (hash starts are uniform)
+    load = out.groupby("neg_id").size()
+    mean = nq * k / corpus.count()
+    assert load.max() <= max(8, 12 * mean), (load.max(), mean)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        ring_negative_samples(queries, corpus, "doc_id", k=0)
