@@ -4981,26 +4981,34 @@ def _flac_read_residual(r: _FlacBitReader, n: int, order: int) -> list[int]:
 def _flac_write_residual(
     w: _FlacBitWriter, res: list[int], order: int
 ) -> None:
-    """Single-partition Rice coding with a simple cost-optimal param
-    scan; escapes to raw if any value needs a huge quotient."""
+    """Single-partition Rice coding with a cost-optimal param scan;
+    uses the raw escape whenever it beats the best Rice cost (the
+    escape width field is 5 bits ⇒ raw residuals cap at 31 bits —
+    wider residuals RAISE; auto mode in _flac_write_subframe falls
+    back to VERBATIM before that can happen)."""
     zz = [2 * v if v >= 0 else -2 * v - 1 for v in res]
-    best_p, best_cost = None, None
+    best_p, best_cost = 0, None
     for p in range(15):
         cost = sum((z >> p) + 1 + p for z in zz)
         if best_cost is None or cost < best_cost:
             best_p, best_cost = p, cost
         if max(zz, default=0) >> p == 0:
             break
-    max_q = max(((z >> best_p) for z in zz), default=0)
+    width = max((v.bit_length() + 1 for v in res), default=1)
+    raw_cost = len(res) * width
     w.write(0, 2)  # 4-bit rice params
     w.write(0, 4)  # partition order 0
-    if max_q > 1 << 16:  # degenerate signal: raw escape
-        width = max(v.bit_length() + 1 for v in res) if res else 1
-        w.write(0xF, 4)
+    if width <= 31 and (raw_cost < best_cost or best_cost is None):
+        w.write(0xF, 4)  # escape
         w.write(width, 5)
         for v in res:
             w.write(v & ((1 << width) - 1), width)
         return
+    if width > 31 and max((z >> best_p for z in zz), default=0) > 1 << 20:
+        raise ValueError(
+            "residuals too wide for Rice-4bit and beyond the 31-bit raw "
+            "escape — encode this subframe VERBATIM"
+        )
     w.write(best_p, 4)
     for z in zz:
         w.write(1, (z >> best_p) + 1)  # q zeros then the stop 1
@@ -5065,6 +5073,24 @@ def _flac_write_subframe(
             s = [v >> tz for v in s]
     eff = bps - wasted
     n = len(s)
+    if spec == "auto":
+        # raw-escape residuals cap at 31 bits; if even the best FIXED
+        # order would exceed that AND Rice quotients explode, encode
+        # VERBATIM (lossless either way; real encoders do the same)
+        def _order_width(o: int) -> int:
+            coeffs = _FLAC_FIXED_COEFFS[o]
+            return max(
+                (
+                    (s[i] - sum(c * s[i - 1 - j] for j, c in enumerate(coeffs)))
+                    .bit_length()
+                    + 1
+                    for i in range(o, n)
+                ),
+                default=1,
+            )
+
+        if n and min(_order_width(o) for o in range(min(5, n + 1))) > 31:
+            spec = "verbatim"
     if spec == "auto" and all(v == s[0] for v in s):
         w.write(0, 1)
         w.write(0, 6)

@@ -3784,6 +3784,17 @@ def test_flac_roundtrip_all_paths_and_gates():
     # 2*13-10+1 = 17; 2*17-13-2 = 19; 2*19-17+0 = 21
     assert got == [10, 13, 17, 19, 21]
 
+    # raw-escape path (uniform wide residuals: raw beats Rice) and the
+    # 32-bit extreme-noise auto fallback to VERBATIM both round-trip
+    s2 = rng.integers(-(1 << 20), 1 << 20, size=128, dtype=np.int64)
+    out2, _, _ = _parse_flac(
+        encode_flac(s2, 8000, 24, 64, subframe_plan=lambda f: "fixed:0")
+    )
+    assert (out2[:, 0] == s2).all()
+    s3 = rng.integers(-(1 << 31), 1 << 31, size=150, dtype=np.int64)
+    out3, _, bps3 = _parse_flac(encode_flac(s3, 48000, 32, 64))
+    assert bps3 == 32 and (out3[:, 0] == s3).all()
+
     # frame corruption -> CRC raise; STREAMINFO md5 patch -> MD5 raise
     b = encode_flac(np.arange(-100, 100, dtype=np.int64), 8000, 16, 64)
     bad = bytearray(b)
