@@ -215,6 +215,7 @@ HEADLINE = [
     "p35_url_canonicalize",  # URL canon + URL-level dedup (native exprs)
     "d19_image_dhash_pairs",  # perceptual image dedup (dHash equi-join)
     "p36_negative_samples",  # deterministic ring negative sampling
+    "d20_image_dhash_incremental",  # perceptual dedup vs persisted hash store
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

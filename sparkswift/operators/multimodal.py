@@ -5766,3 +5766,89 @@ def synth_dhash_pgm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         return ids.map(one)
 
     return df.withColumn("payload", make(F.col(id_col)))
+
+
+def image_dhash_incremental(
+    new_imgs: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    update_store: bool = True,
+    num_buckets: int = 16,
+) -> DataFrame:
+    """Cross-batch PERCEPTUAL image dedup against a persisted dHash
+    store — the image sibling of d10/d14's crawl loop ("have we seen
+    a perceptual copy of this image in ANY earlier batch?"): one
+    bucketed catalog table ``<prefix>_hashes`` holds
+    (hash_hi, hash_lo, store_id) per surviving corpus image — 24
+    bytes/image, pixels never stored. Probe = this batch's hashes
+    equi-join the store on the 64-bit key; the store side reads
+    shuffle-free forever (bucketed on the key — the d10/d14 layout
+    rule), only the new batch hashes into the bucket layout. A new
+    image survives when no store hash matches AND it is the min-id
+    holder of its hash within the batch; survivors append
+    pre-bucketed. Unlike d14's signature store the probe is EXACT
+    arithmetic end-to-end, so the whole incremental result is
+    SQL-oracle-able (no gate needed).
+
+    Returns ``(id_col, in_batch_first, store_hit, survived)`` —
+    0/1 ints, eagerly localCheckpoint()ed so callers may drop the
+    store tables before collecting."""
+    from pyspark.sql import Window as W
+
+    from sparkswift.sources.store import Member, Store
+
+    spark = new_imgs.sparkSession
+    h = image_dhash(new_imgs, id_col, payload_col).select(
+        F.col("id"), F.col("hash_hi"), F.col("hash_lo")
+    )
+    st = Store(
+        spark,
+        store_path,
+        [Member("hashes", bucket_cols=("hash_hi", "hash_lo"))],
+        num_buckets=num_buckets,
+        label="image-dhash store",
+    )
+    if st.exists():
+        hits = (
+            st.read("hashes")
+            .select("hash_hi", "hash_lo")
+            .distinct()
+            .withColumn("__hit", F.lit(1))
+        )
+        probed = h.join(hits, ["hash_hi", "hash_lo"], "left").withColumn(
+            "store_hit", F.coalesce("__hit", F.lit(0)).cast("bigint")
+        ).drop("__hit")
+    else:
+        probed = h.withColumn("store_hit", F.lit(0).cast("bigint"))
+    w = W.partitionBy("hash_hi", "hash_lo")
+    out = (
+        probed.withColumn(
+            "in_batch_first",
+            (F.col("id") == F.min("id").over(w)).cast("bigint"),
+        )
+        .withColumn(
+            "survived",
+            ((F.col("store_hit") == 0) & (F.col("in_batch_first") == 1)).cast(
+                "bigint"
+            ),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "hash_hi",
+            "hash_lo",
+            "in_batch_first",
+            "store_hit",
+            "survived",
+        )
+        .localCheckpoint()
+    )
+    if update_store:
+        surv = out.filter(F.col("survived") == 1).select(
+            "hash_hi", "hash_lo", F.col(id_col).alias("store_id")
+        )
+        if st.exists():
+            st.append("hashes", surv)
+        else:
+            st.write_members({"hashes": surv})
+    return out.drop("hash_hi", "hash_lo")

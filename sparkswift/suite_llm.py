@@ -5208,3 +5208,114 @@ def p36_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     return ring_negative_samples(queries, corpus, "doc_id", k=4)
+
+
+# ---------------------------------------------------------------------------
+# d20 — INCREMENTAL perceptual image dedup (d19's crawl-loop form,
+# the d10/d14 store pattern on the dHash key): bootstrap the bucketed
+# hash store with the first half of the corpus, then probe one batch
+# holding (a) the second half — fresh content, (b) brightness-shifted
+# copies of the FIRST half — must hit the STORE, and (c) brightness-
+# shifted copies of the second half — must lose the IN-BATCH min-id
+# race to their originals. Unlike d14's signature estimator the probe
+# is exact integer arithmetic end-to-end, so the ENTIRE incremental
+# verdict is one SQL oracle (no gate): the oracle re-derives both
+# halves' hashes pixel-law-to-bit-packing and replays the store/batch
+# logic. Scale: store side bucketed on the 64-bit key — probe joins
+# read it shuffle-free forever; 24-byte store rows, pixels never
+# stored.
+# ---------------------------------------------------------------------------
+_D20_HASHES = """
+    ids AS ({ids_sql}),
+    bx AS (SELECT unnest(range(9)) AS x),
+    by AS (SELECT unnest(range(8)) AS y),
+    d2 AS (SELECT unnest(range(2)) AS dx),
+    e2 AS (SELECT unnest(range(2)) AS dy),
+    blocks AS (
+      SELECT doc_id, x, y,
+             SUM((3 * orig + 17 * (2 * x + dx) + 29 * (2 * y + dy)
+                  + 41 * ((orig + (2 * x + dx) * (2 * y + dy)) % 7)) % 240
+                 + shift) AS s
+      FROM ids, bx, by, d2, e2
+      GROUP BY doc_id, x, y
+    ),
+    bits AS (
+      SELECT a.doc_id, a.y * 8 + a.x AS k,
+             CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+      FROM blocks a JOIN blocks b
+        ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+      WHERE a.x < 8
+    ),
+    hashes AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN k < 32 THEN bit * (1 << k) ELSE 0 END)
+                  AS BIGINT) AS hash_hi,
+             CAST(SUM(CASE WHEN k >= 32 THEN bit * (1 << (k - 32)) ELSE 0 END)
+                  AS BIGINT) AS hash_lo
+      FROM bits GROUP BY doc_id
+    )
+"""
+
+_D20_IDS = """
+      SELECT doc_id, doc_id AS orig, 0 AS shift, 'store' AS part
+      FROM documents, (SELECT max(doc_id) // 2 AS mid FROM documents) m
+      WHERE doc_id <= m.mid
+      UNION ALL
+      SELECT doc_id, doc_id, 0, 'batch'
+      FROM documents, (SELECT max(doc_id) // 2 AS mid FROM documents) m
+      WHERE doc_id > m.mid
+      UNION ALL
+      SELECT doc_id + 100000, doc_id, 10, 'batch' FROM documents
+"""
+
+
+@register(
+    "d20_image_dhash_incremental",
+    f"""
+    WITH {_D20_HASHES.format(ids_sql=_D20_IDS)},
+    tagged AS (SELECT h.doc_id, h.hash_hi, h.hash_lo, i.part
+               FROM hashes h JOIN ids i ON h.doc_id = i.doc_id),
+    store_keys AS (SELECT DISTINCT hash_hi, hash_lo FROM tagged
+                   WHERE part = 'store'),
+    batch AS (SELECT * FROM tagged WHERE part = 'batch'),
+    flags AS (
+      SELECT b.doc_id,
+             CAST(CASE WHEN b.doc_id = MIN(b.doc_id) OVER
+                    (PARTITION BY b.hash_hi, b.hash_lo) THEN 1 ELSE 0 END
+                  AS BIGINT) AS in_batch_first,
+             CAST(CASE WHEN s.hash_hi IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS store_hit
+      FROM batch b LEFT JOIN store_keys s
+        ON b.hash_hi = s.hash_hi AND b.hash_lo = s.hash_lo
+    )
+    SELECT doc_id, in_batch_first, store_hit,
+           CAST(CASE WHEN store_hit = 0 AND in_batch_first = 1
+                THEN 1 ELSE 0 END AS BIGINT) AS survived
+    FROM flags
+    """,
+)
+def d20_image_dhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    mid = docs.agg((F.max("doc_id") / 2).cast("long").alias("m")).collect()[0].m
+    store_docs = docs.filter(F.col("doc_id") <= mid)
+    batch_docs = docs.filter(F.col("doc_id") > mid).unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"))
+    )
+    store = "dh_store_" + uuid.uuid4().hex[:12]
+    mm.image_dhash_incremental(
+        mm.synth_dhash_pgm_payload(store_docs, "doc_id"),
+        store,
+        update_store=True,
+    ).count()
+    out = mm.image_dhash_incremental(
+        mm.synth_dhash_pgm_payload(
+            batch_docs.repartition(spark.sparkContext.defaultParallelism),
+            "doc_id",
+        ),
+        store,
+        update_store=False,
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {store}_hashes")
+    return out.select("doc_id", "in_batch_first", "store_hit", "survived")

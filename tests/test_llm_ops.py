@@ -4033,3 +4033,68 @@ def test_image_dhash_invariances_and_gates(spark):
     )
     with _pytest.raises(Exception, match="not divisible"):
         image_dhash(bad).collect()
+
+
+def test_image_dhash_incremental_store_laws(spark):
+    """d20: a perceptual copy arriving in ANY later batch is dropped
+    by the store probe; in-batch copies lose the min-id race; fresh
+    content survives and its hash appends (three-batch chain); the
+    probe never mutates the store when update_store=False."""
+    import uuid
+
+    import numpy as np
+
+    from sparkswift.operators.multimodal import image_dhash_incremental
+
+    def pgm_df(specs):
+        # specs: (doc_id, base_seed, shift)
+        rows = []
+        for i, seed, shift in specs:
+            xx, yy = np.meshgrid(
+                np.arange(18, dtype=np.int64), np.arange(16, dtype=np.int64)
+            )
+            g = (
+                (3 * seed + 17 * xx + 29 * yy + 41 * ((seed + xx * yy) % 7))
+                % 240
+                + shift
+            ).astype(np.uint8)
+            rows.append((i, b"P5\n18 16\n255\n" + g.tobytes()))
+        return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    store = "dhtest_" + uuid.uuid4().hex[:10]
+    try:
+        # batch 1: seeds 0..9 — all survive
+        out1 = image_dhash_incremental(
+            pgm_df([(i, i, 0) for i in range(10)]), store
+        ).toPandas()
+        assert (out1.survived == 1).all()
+        # batch 2: copies of 0..4 (+10 shift), fresh 10..14, and an
+        # in-batch dup pair of seed 20
+        out2 = image_dhash_incremental(
+            pgm_df(
+                [(100 + i, i, 10) for i in range(5)]
+                + [(200 + i, 10 + i, 0) for i in range(5)]
+                + [(300, 20, 0), (301, 20, 10)]
+            ),
+            store,
+        ).toPandas().set_index("doc_id").sort_index()
+        assert (out2.loc[100:104].store_hit == 1).all()
+        assert (out2.loc[100:104].survived == 0).all()
+        assert (out2.loc[200:204].survived == 1).all()
+        assert out2.loc[300].survived == 1 and out2.loc[301].survived == 0
+        assert out2.loc[301].in_batch_first == 0
+        # batch 3: copies of batch-2 survivors must now hit the store;
+        # update_store=False must leave the store untouched
+        out3 = image_dhash_incremental(
+            pgm_df([(400 + i, 10 + i, 10) for i in range(5)]),
+            store,
+            update_store=False,
+        ).toPandas()
+        assert (out3.store_hit == 1).all() and (out3.survived == 0).all()
+        n_before = spark.table(f"{store}_hashes").count()
+        image_dhash_incremental(
+            pgm_df([(500, 99, 0)]), store, update_store=False
+        ).count()
+        assert spark.table(f"{store}_hashes").count() == n_before
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {store}_hashes")
