@@ -2213,3 +2213,101 @@ def st33_stream_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.crossJoin(F.broadcast(bad)).select(
         "n_points", (F.col("n_bad") == 0).alias("stream_matches_batch")
     )
+
+
+# ---------------------------------------------------------------------------
+# st34 — STREAMING perceptual image dedup at ingest: the crawler's
+# "is this image a perceptual copy of anything already in the
+# corpus?" check as a stream-static equi-join against d20's persisted
+# dHash store. decode→hash is stateless mapInPandas (streams
+# unchanged); the store side is the bucketed catalog table. Every
+# arriving image is a brightness-shifted copy of a corpus image, so
+# store_hit must be exactly (orig ≤ mid) — but the oracle does NOT
+# shortcut: it re-derives both halves' hashes pixel-law-to-bit-
+# packing and replays the join, certifying the full streaming decode
+# → hash → probe pipeline hash-exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "st34_stream_image_dedup",
+    """
+    WITH
+    ids AS (
+      SELECT doc_id, doc_id AS orig, 0 AS shift, 'store' AS part
+      FROM documents, (SELECT max(doc_id) // 2 AS mid FROM documents) m
+      WHERE doc_id <= m.mid
+      UNION ALL
+      SELECT doc_id + 100000, doc_id, 10, 'stream' FROM documents
+    ),
+    bx AS (SELECT unnest(range(9)) AS x),
+    by AS (SELECT unnest(range(8)) AS y),
+    d2 AS (SELECT unnest(range(2)) AS dx),
+    e2 AS (SELECT unnest(range(2)) AS dy),
+    blocks AS (
+      SELECT doc_id, x, y,
+             SUM((3 * orig + 17 * (2 * x + dx) + 29 * (2 * y + dy)
+                  + 41 * ((orig + (2 * x + dx) * (2 * y + dy)) % 7)) % 240
+                 + shift) AS s
+      FROM ids, bx, by, d2, e2
+      GROUP BY doc_id, x, y
+    ),
+    bits AS (
+      SELECT a.doc_id, a.y * 8 + a.x AS k,
+             CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+      FROM blocks a JOIN blocks b
+        ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+      WHERE a.x < 8
+    ),
+    hashes AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN k < 32 THEN bit * (1 << k) ELSE 0 END)
+                  AS BIGINT) AS hash_hi,
+             CAST(SUM(CASE WHEN k >= 32 THEN bit * (1 << (k - 32)) ELSE 0 END)
+                  AS BIGINT) AS hash_lo
+      FROM bits GROUP BY doc_id
+    ),
+    tagged AS (SELECT h.*, i.part FROM hashes h JOIN ids i USING (doc_id)),
+    store_keys AS (SELECT DISTINCT hash_hi, hash_lo FROM tagged
+                   WHERE part = 'store')
+    SELECT t.doc_id,
+           CAST(CASE WHEN s.hash_hi IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS store_hit
+    FROM tagged t LEFT JOIN store_keys s
+      ON t.hash_hi = s.hash_hi AND t.hash_lo = s.hash_lo
+    WHERE t.part = 'stream'
+    """,
+)
+def st34_stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from sparkswift.operators import multimodal as mm
+    from sparkswift.streaming.ops import table_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    mid = docs.agg((F.max("doc_id") / 2).cast("long").alias("m")).collect()[0].m
+    store = "dh_stream_" + uuid.uuid4().hex[:12]
+    mm.image_dhash_incremental(
+        mm.synth_dhash_pgm_payload(
+            docs.filter(F.col("doc_id") <= mid), "doc_id"
+        ),
+        store,
+        update_store=True,
+    ).count()
+    s_src = table_stream(spark, sf_dir, "documents").select(
+        (F.col("doc_id") + 100000).alias("doc_id")
+    )
+    h = mm.image_dhash(
+        mm.synth_dhash_pgm_payload(s_src, "doc_id"), "doc_id", "payload"
+    )
+    keys = (
+        spark.table(f"{store}_hashes")
+        .select("hash_hi", "hash_lo")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = h.join(keys, ["hash_hi", "hash_lo"], "left").select(
+        F.col("id").alias("doc_id"),
+        F.coalesce("__hit", F.lit(0)).cast("bigint").alias("store_hit"),
+    )
+    out = run_stream_to_batch(joined, mode="append").localCheckpoint()
+    spark.sql(f"DROP TABLE IF EXISTS {store}_hashes")
+    return out
