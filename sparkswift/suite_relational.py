@@ -3663,3 +3663,90 @@ def w11_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("start_us").alias("streak_start_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# w12 — EWM CROSSOVER SIGNALS (the MACD / golden-cross shape every
+# monitoring and market pipeline runs on its series): fast (α=1/2)
+# and slow (α=1/4) exponential averages per user, a signal row
+# wherever their difference strictly changes sign. BOTH alphas are
+# dyadic, so the o9 law applies twice: pandas' adjust=False
+# recurrence is BIT-identical to the recursive-CTE oracle, the
+# difference of two identical doubles is identical, and the sign
+# comparisons — hence the emitted event set — are hash-exact. Exact-
+# zero differences (every rn=1 row: fast=slow=value) carry no sign
+# and never cross. Scale: two chained per-key applyInPandas passes +
+# one lag window — all on ONE user_id partitioning (the o5/o9
+# envelope); a one-pass dual-α kernel is the micro-optimization if
+# the second shuffle ever shows up at scale.
+# ---------------------------------------------------------------------------
+@register(
+    "w12_ewm_crossover",
+    """
+    WITH RECURSIVE s AS (
+      SELECT event_id, user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT event_id, user_id, rn, value AS fast, value AS slow
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.event_id, s.user_id, s.rn,
+             0.5 * r.fast + 0.5 * s.value,
+             0.75 * r.slow + 0.25 * s.value
+      FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    ),
+    d AS (
+      SELECT user_id, event_id, rn, fast, slow, fast - slow AS diff
+      FROM r
+    ),
+    x AS (
+      SELECT *, lag(diff) OVER (PARTITION BY user_id ORDER BY rn) AS pdiff
+      FROM d
+    )
+    SELECT user_id, event_id, fast, slow,
+           CASE WHEN diff > 0 THEN 'golden' ELSE 'death' END AS direction
+    FROM x
+    WHERE pdiff IS NOT NULL
+      AND ((pdiff < 0 AND diff > 0) OR (pdiff > 0 AND diff < 0))
+    """,
+)
+def w12_ewm_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from sparkswift.operators.rolling import ewm_mean
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    f = ewm_mean(
+        ev, on="value", alpha=0.5,
+        partition_by=["user_id"], order_by=["ts", "event_id"],
+        output_col="fast",
+    )
+    fs = ewm_mean(
+        f, on="value", alpha=0.25,
+        partition_by=["user_id"], order_by=["ts", "event_id"],
+        output_col="slow",
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    d = fs.withColumn("diff", F.col("fast") - F.col("slow")).withColumn(
+        "pdiff", F.lag("diff").over(w)
+    )
+    return d.filter(
+        F.col("pdiff").isNotNull()
+        & (
+            ((F.col("pdiff") < 0) & (F.col("diff") > 0))
+            | ((F.col("pdiff") > 0) & (F.col("diff") < 0))
+        )
+    ).select(
+        "user_id",
+        "event_id",
+        "fast",
+        "slow",
+        F.when(F.col("diff") > 0, F.lit("golden"))
+        .otherwise(F.lit("death"))
+        .alias("direction"),
+    )

@@ -1236,3 +1236,67 @@ def test_longest_streak_matches_pure_python(spark, sf_dir):
     }
     assert got == want
     assert any(n > 1 for n, _ in got.values())  # real streaks exist
+
+
+def test_w12_ewm_crossover_matches_pandas_reference(spark):
+    """w12 == an independent pandas ewm + sign-change reference on a
+    crafted series with known golden/death crossings (and a flat
+    prefix whose zero diffs must not emit)."""
+    import pandas as pd
+
+    from sparkswift.suite_relational import w12_ewm_crossover  # noqa: F401
+    from sparkswift.operators.rolling import ewm_mean
+    from pyspark.sql import Window as W
+
+    rows = []
+    # user 1: flat 10s (diff exactly 0 - must stay silent), a decline
+    # (fast dives under slow), a surge (golden cross), a collapse
+    # (death cross)
+    vals = (
+        [10.0] * 3
+        + [8.0, 5.0, 2.0]
+        + [50.0, 50.0, 50.0, 50.0]
+        + [1.0, 1.0, 1.0, 1.0]
+    )
+    for i, v in enumerate(vals):
+        rows.append((1, i, f"2024-01-01 00:{i:02d}:00", v))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    f = ewm_mean(df, on="value", alpha=0.5,
+                 partition_by=["user_id"], order_by=["ts", "event_id"],
+                 output_col="fast")
+    fs = ewm_mean(f, on="value", alpha=0.25,
+                  partition_by=["user_id"], order_by=["ts", "event_id"],
+                  output_col="slow")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    d = fs.withColumn("diff", F.col("fast") - F.col("slow")).withColumn(
+        "pdiff", F.lag("diff").over(w)
+    )
+    got = {
+        (r.event_id, r.direction)
+        for r in d.filter(
+            F.col("pdiff").isNotNull()
+            & (((F.col("pdiff") < 0) & (F.col("diff") > 0))
+               | ((F.col("pdiff") > 0) & (F.col("diff") < 0)))
+        ).selectExpr(
+            "event_id",
+            "CASE WHEN diff > 0 THEN 'golden' ELSE 'death' END AS direction",
+        ).collect()
+    }
+
+    s = pd.Series(vals)
+    fast = s.ewm(alpha=0.5, adjust=False).mean()
+    slow = s.ewm(alpha=0.25, adjust=False).mean()
+    diff = fast - slow
+    want = set()
+    for i in range(1, len(vals)):
+        if diff[i - 1] < 0 and diff[i] > 0:
+            want.add((i, "golden"))
+        elif diff[i - 1] > 0 and diff[i] < 0:
+            want.add((i, "death"))
+    assert got == want
+    assert {d for _e, d in want} == {"golden", "death"}
+    # the flat prefix produced exact-zero diffs: no signal there
+    assert all(eid >= 3 for eid, _ in got)
