@@ -883,10 +883,12 @@ def raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Round-14 rotation seed, stalest first: the later r13 additions
 # that could not fit the window — mm24_gif_anim_composite_real,
 # mm25_au_alaw_decode_real, mm26_mp3_census_real,
-# mm27_tiff_tiled_decode_real (each locally exact at sf0.001 +
-# sf0.01) — then t22_wordpiece_tokens / p31_sft_export (displaced
-# above), then whatever `tools/ledger.py --markdown` lists as
-# oldest-evidence.
+# mm27_tiff_tiled_decode_real, p35_url_canonicalize,
+# d19_image_dhash_pairs, p36_negative_samples,
+# d20_image_dhash_incremental, st34_stream_image_dedup,
+# w12_ewm_crossover (each locally exact at sf0.001 + sf0.01) — then
+# t22_wordpiece_tokens / p31_sft_export (displaced above), then
+# whatever `tools/ledger.py --markdown` lists as oldest-evidence.
 #
 # st2b_stateful_totals_tws remains unregistered: the container lacks
 # protobuf so transformWithState cannot import (NOTES.md, re-checked
