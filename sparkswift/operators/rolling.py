@@ -574,6 +574,39 @@ def ewm_mean(
     return df.groupBy(*keys).applyInPandas(per_group, schema)
 
 
+def ewm_mean_multi(
+    df: DataFrame,
+    on: str,
+    alphas: dict[str, float],
+    partition_by: list[str],
+    order_by: list[str],
+    adjust: bool = False,
+) -> DataFrame:
+    """Several EWMs of the same column in ONE ``applyInPandas`` pass
+    (``alphas``: output_col → α) — the w12 crossover shape (fast +
+    slow) without paying the per-stage Arrow worker spin-up twice
+    (the o8 cost anatomy: each grouped-UDF stage costs ~seconds of
+    fixed overhead in this container). Same per-α semantics and
+    cross-engine determinism notes as :func:`ewm_mean`."""
+    import pandas as pd
+
+    keys = list(partition_by)
+    order = list(order_by)
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{c} double" for c in alphas]
+    )
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order).reset_index(drop=True)
+        base = pdf[on].astype("float64")
+        for col, a in alphas.items():
+            pdf[col] = base.ewm(alpha=a, adjust=adjust).mean()
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(per_group, schema)
+
+
 def cusum_alerts(
     df: DataFrame,
     value_col: str = "value",

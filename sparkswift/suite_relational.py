@@ -3675,10 +3675,11 @@ def w11_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
 # difference of two identical doubles is identical, and the sign
 # comparisons — hence the emitted event set — are hash-exact. Exact-
 # zero differences (every rn=1 row: fast=slow=value) carry no sign
-# and never cross. Scale: two chained per-key applyInPandas passes +
-# one lag window — all on ONE user_id partitioning (the o5/o9
-# envelope); a one-pass dual-α kernel is the micro-optimization if
-# the second shuffle ever shows up at scale.
+# and never cross. Scale: ONE per-key applyInPandas pass computes
+# both EWMs (ewm_mean_multi — measured 8.6 s → 4.4 s at sf0.1 vs the
+# chained two-pass form: each grouped-UDF stage pays the container's
+# fixed Arrow spin-up, the o8 anatomy) + one lag window, all on one
+# user_id partitioning (the o5/o9 envelope).
 # ---------------------------------------------------------------------------
 @register(
     "w12_ewm_crossover",
@@ -3716,20 +3717,14 @@ def w11_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w12_ewm_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    from sparkswift.operators.rolling import ewm_mean
+    from sparkswift.operators.rolling import ewm_mean_multi
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "value"
     )
-    f = ewm_mean(
-        ev, on="value", alpha=0.5,
+    fs = ewm_mean_multi(
+        ev, on="value", alphas={"fast": 0.5, "slow": 0.25},
         partition_by=["user_id"], order_by=["ts", "event_id"],
-        output_col="fast",
-    )
-    fs = ewm_mean(
-        f, on="value", alpha=0.25,
-        partition_by=["user_id"], order_by=["ts", "event_id"],
-        output_col="slow",
     )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     d = fs.withColumn("diff", F.col("fast") - F.col("slow")).withColumn(
