@@ -5696,7 +5696,10 @@ def image_dhash(
     resizes are float-ware and belong behind a lib), and the 64 bits
     pack into two int32 halves ``(hash_hi, hash_lo)`` — every step
     SQL-re-derivable. mapInPandas, zero shuffle; pair-finding is the
-    caller's equi-join on the halves."""
+    caller's equi-join on the halves. ``hash_w × hash_h`` is capped at
+    64 bits (two int32 halves) — larger grids would silently truncate."""
+    if hash_w < 1 or hash_h < 1 or hash_w * hash_h > 64:
+        raise ValueError("hash grid must be 1..64 bits (hash_w * hash_h)")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

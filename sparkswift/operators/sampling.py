@@ -878,7 +878,12 @@ def ring_negative_samples(
     positional mixer chosen over md5 because the ORACLE needs the
     same integer in portable SQL (hex→int conversion differs across
     engines; the hash-grade md5 order already lives in the ring
-    positions themselves)."""
+    positions themselves). Query ids must be NON-NEGATIVE (both
+    engines' % is a truncation remainder, so a negative id would mix
+    to a negative ring position and silently miss the join) —
+    enforced."""
+    if queries.filter(F.col(id_col) < 0).limit(1).count():
+        raise ValueError("ring_negative_samples: query ids must be >= 0")
     if k < 1:
         raise ValueError("k must be >= 1")
     ranked = deterministic_shuffle(corpus, id_col, seed=seed).select(

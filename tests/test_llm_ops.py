@@ -4033,6 +4033,8 @@ def test_image_dhash_invariances_and_gates(spark):
     )
     with _pytest.raises(Exception, match="not divisible"):
         image_dhash(bad).collect()
+    with _pytest.raises(ValueError, match="1..64 bits"):
+        image_dhash(bad, hash_w=16, hash_h=8)
 
 
 def test_image_dhash_incremental_store_laws(spark):

@@ -1276,3 +1276,6 @@ def test_ring_negative_samples_laws(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="k must be"):
         ring_negative_samples(queries, corpus, "doc_id", k=0)
+    neg = spark.createDataFrame([(-3,)], "doc_id long")
+    with _pytest.raises(ValueError, match=">= 0"):
+        ring_negative_samples(neg, corpus, "doc_id", k=2)
