@@ -494,6 +494,7 @@ def cosine_topk_ivf(
     seed: int = 42,
     max_iter: int = 8,
     range_threshold: float | None = None,
+    corpus_filter=None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse quantizer
     partitions the corpus into ``nlist`` lists; each query probes only
@@ -517,6 +518,14 @@ def cosine_topk_ivf(
     corpus would be written bucketed by list_id so probes are
     shuffle-free reads.
 
+    ``corpus_filter`` (a boolean Column over the corpus' columns)
+    implements FILTERED vector search over ONE shared index (the e15
+    pattern at the IVF scale path): the quantizer and list assignment
+    see the full corpus — one index serves every predicate — and the
+    filter applies to candidates inside the probed lists, before
+    ranking, so no distance is computed for excluded vectors and k
+    never comes back short the way filter-after-top-k does.
+
     Recall < 1 by design (ANN); measured against the exact operator in
     tests. Uniform-random vectors are IVF's worst case — real
     embedding corpora cluster far better than the fixture does.
@@ -524,7 +533,14 @@ def cosine_topk_ivf(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    c = _spread(corpus.select(F.col(id_col), F.col(vec_col))).withColumn(
+    keep = (
+        corpus.select(F.col(id_col), F.col(vec_col), F.lit(True).alias("__keep"))
+        if corpus_filter is None
+        else corpus.select(
+            F.col(id_col), F.col(vec_col), corpus_filter.alias("__keep")
+        )
+    )
+    c = _spread(keep).withColumn(
         "fv", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
     # a coarse quantizer doesn't need convergence — after kmeans|| init
@@ -533,11 +549,16 @@ def cosine_topk_ivf(
     model = KMeans(
         k=nlist, seed=seed, maxIter=max_iter, featuresCol="fv", predictionCol="list_id"
     ).fit(c)
-    assigned = model.transform(c).select(
-        F.col(id_col).alias("corpus_id"),
-        quantize(vec_col).alias("cv"),
-        F.col("list_id"),
-    ).withColumn("cn", norm2_long(F.col("cv")))
+    assigned = (
+        model.transform(c)
+        .filter(F.col("__keep"))  # post-assignment: one shared index
+        .select(
+            F.col(id_col).alias("corpus_id"),
+            quantize(vec_col).alias("cv"),
+            F.col("list_id"),
+        )
+        .withColumn("cn", norm2_long(F.col("cv")))
+    )
 
     centers = np.stack(model.clusterCenters())  # (nlist, dim) — tiny
 
@@ -644,7 +665,14 @@ def ivf_build(
 
     from sparkswift.sources.writers import write_table
 
-    c = _spread(corpus.select(F.col(id_col), F.col(vec_col))).withColumn(
+    keep = (
+        corpus.select(F.col(id_col), F.col(vec_col), F.lit(True).alias("__keep"))
+        if corpus_filter is None
+        else corpus.select(
+            F.col(id_col), F.col(vec_col), corpus_filter.alias("__keep")
+        )
+    )
+    c = _spread(keep).withColumn(
         "fv", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
     model = KMeans(

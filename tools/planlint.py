@@ -45,6 +45,7 @@ BNLJ_ALLOWED: dict[str, int] = {
     "e15_filtered_topk": 1,  # e1's broadcast query scan (by design)
     "e13_cosine_range": 1,  # broadcast query set x corpus scan (by design)
     "e14_cosine_range_ivf": 4,  # e13's broadcast query scan + one-row verdict fan-in
+    "e16_filtered_topk_ivf": 5,  # e2-shaped verdict fan-in + one-row leak check
     "e12_hybrid_rrf": 2,  # t12's one-row corpus stats + e1's one-row query
     "t7_tfidf_top_terms": 1,  # one-row doc-count
     "t12_bm25": 1,  # one-row corpus stats
