@@ -219,6 +219,7 @@ HEADLINE = [
     "st34_stream_image_dedup",  # streaming decode->hash->store probe at ingest
     "w12_ewm_crossover",  # MACD golden/death crossings (bit-exact dyadic EWMs)
     "e16_filtered_topk_ivf",  # filtered ANN over one shared IVF index
+    "t25_html_extract",  # HTML -> text extraction (scan-stage exprs)
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

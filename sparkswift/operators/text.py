@@ -2070,3 +2070,31 @@ def registrable_domain(url_col: str):
     from pyspark.sql import functions as F
 
     return F.expr(registrable_domain_sql(url_col, "spark"))
+
+
+def html_extract_text(html_col: str):
+    """HTML → text extraction as PURE scan-stage native expressions
+    (the first stage of every web-corpus pipeline). Order matters and
+    is the point: (1) drop the <head> BLOCK wholesale (title/script/
+    style content is not text, and script bodies legally contain bare
+    '<' that would corrupt a tag-only stripper), (2) drop <script>/
+    <style> blocks left in the body, (3) drop comments, (4) strip
+    remaining tags, (5) decode the core entities, (6) collapse
+    whitespace. This is the honest zero-dependency slice of
+    readability/trafilatura-class extraction — no DOM, no boilerplate
+    scoring; those need a real HTML parser. Case-insensitive tags via
+    (?i); non-greedy block matches keep multiple blocks independent."""
+    from pyspark.sql import functions as F
+
+    c = F.col(html_col)
+    c = F.regexp_replace(c, r"(?is)<head>.*?</head>", " ")
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, ch in (
+        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

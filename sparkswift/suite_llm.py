@@ -5319,3 +5319,47 @@ def d20_image_dhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.sql(f"DROP TABLE IF EXISTS {store}_hashes")
     return out.select("doc_id", "in_batch_first", "store_hit", "survived")
+
+
+# ---------------------------------------------------------------------------
+# t25 — HTML → TEXT EXTRACTION (the first stage of every web-corpus
+# pipeline, before any quality/dedup op sees a byte): block-first
+# stripping — the <head> (whose script body legally contains a bare
+# '<' that corrupts tag-only strippers), body <script>/<style>,
+# comments — then tags, entities, whitespace. The certification is
+# brutal by construction: the synth wraps each document's REAL text
+# in a full HTML page (head + title + script-with-bare-'<' + bold
+# first word + planted &amp; entity + comment), and the oracle
+# simply PREDICTS the recovered text — `text || ' & tail'` — so any
+# stripping mistake anywhere in the chain breaks the hash. Honest
+# scope note: readability/boilerplate scoring needs a DOM parser;
+# this is the zero-dependency slice. Scale: scan-stage native
+# exprs, zero shuffle, zero Python.
+# ---------------------------------------------------------------------------
+@register(
+    "t25_html_extract",
+    """
+    SELECT doc_id, text || ' & tail' AS clean_text,
+           CAST(length(text || ' & tail') AS BIGINT) AS n_clean_chars
+    FROM documents
+    """,
+)
+def t25_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.text import html_extract_text
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    html = docs.withColumn(
+        "html",
+        F.concat(
+            F.lit("<HTML><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit('</title><script>var p = 1 < 2; var s = "</p>";</script>'),
+            F.lit("<style>.a{color:red}</style></head><body><p>"),
+            F.regexp_replace("text", r"^(\w+)", "<b>$1</b>"),
+            F.lit(" &amp; tail</p><!-- crawler note --></body></HTML>"),
+        ),
+    )
+    return html.select(
+        "doc_id",
+        html_extract_text("html").alias("clean_text"),
+    ).withColumn("n_clean_chars", F.length("clean_text").cast("bigint"))

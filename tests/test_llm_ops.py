@@ -4131,3 +4131,39 @@ def test_filtered_ivf_shared_index_laws(spark, sf_dir):
 
     per_q = Counter(r.query_id for r in rows)
     assert min(per_q.values()) == 5
+
+
+def test_html_extract_text_corners(spark):
+    """t25's operator on handcrafted corners: bare '<' inside body
+    scripts, MULTIPLE script/style/comment blocks (non-greedy), mixed
+    tag case, all six entities, attribute-bearing tags, whitespace
+    collapse — and the extraction leaks nothing from head or code."""
+    from sparkswift.operators.text import html_extract_text
+
+    cases = [
+        (
+            "<html><head><title>T</title><script>if (1 < 2) { x = '</div>'; }"
+            "</script></head><body>Hello <B class='x'>world</B></body></html>",
+            "Hello world",
+        ),
+        (
+            "<body><script>a<b</script>one<style>.c{}</style>two"
+            "<script>d>e</script>three</body>",
+            "one two three",
+        ),
+        (
+            "<p>a&amp;b &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>",
+            "a&b <tag> \"q\" 's' end",
+        ),
+        ("<!-- a --><p>x</p><!-- b --><p>y</p>", "x y"),
+        ("plain   text\t with\nspace", "plain text with space"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, html string"
+    )
+    got = {
+        r.i: r.t
+        for r in df.select("i", html_extract_text("html").alias("t")).collect()
+    }
+    for i, (_h, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
