@@ -665,14 +665,7 @@ def ivf_build(
 
     from sparkswift.sources.writers import write_table
 
-    keep = (
-        corpus.select(F.col(id_col), F.col(vec_col), F.lit(True).alias("__keep"))
-        if corpus_filter is None
-        else corpus.select(
-            F.col(id_col), F.col(vec_col), corpus_filter.alias("__keep")
-        )
-    )
-    c = _spread(keep).withColumn(
+    c = _spread(corpus.select(F.col(id_col), F.col(vec_col))).withColumn(
         "fv", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
     model = KMeans(
