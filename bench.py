@@ -220,6 +220,7 @@ HEADLINE = [
     "w12_ewm_crossover",  # MACD golden/death crossings (bit-exact dyadic EWMs)
     "e16_filtered_topk_ivf",  # filtered ANN over one shared IVF index
     "t25_html_extract",  # HTML -> text extraction (scan-stage exprs)
+    "st35_stream_html_extract",  # the same chain under the streaming runner
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

@@ -886,8 +886,9 @@ def raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # mm27_tiff_tiled_decode_real, p35_url_canonicalize,
 # d19_image_dhash_pairs, p36_negative_samples,
 # d20_image_dhash_incremental, st34_stream_image_dedup,
-# w12_ewm_crossover, e16_filtered_topk_ivf, t25_html_extract (each
-# locally exact / verdict-green at sf0.001 + sf0.01) — then
+# w12_ewm_crossover, e16_filtered_topk_ivf, t25_html_extract,
+# st35_stream_html_extract (each locally exact / verdict-green at
+# sf0.001 + sf0.01) — then
 # t22_wordpiece_tokens / p31_sft_export (displaced above), then
 # whatever `tools/ledger.py --markdown` lists as oldest-evidence.
 #

@@ -2311,3 +2311,41 @@ def st34_stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_stream_to_batch(joined, mode="append").localCheckpoint()
     spark.sql(f"DROP TABLE IF EXISTS {store}_hashes")
     return out
+
+
+# ---------------------------------------------------------------------------
+# st35 — HTML → TEXT EXTRACTION AT INGEST (t25's crawl stage under
+# the streaming runner: raw pages arrive, clean text leaves — the
+# stateless stage every streaming crawl pipeline runs first). The
+# extraction chain is pure native exprs, so the same plan streams
+# unchanged; the oracle is t25's predict-the-output law, certifying
+# the full streamed chain hash-exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "st35_stream_html_extract",
+    """
+    SELECT doc_id, text || ' & tail' AS clean_text,
+           CAST(length(text || ' & tail') AS BIGINT) AS n_clean_chars
+    FROM documents
+    """,
+)
+def st35_stream_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.text import html_extract_text
+    from sparkswift.streaming.ops import table_stream
+
+    src = table_stream(spark, sf_dir, "documents").select("doc_id", "text")
+    html = src.withColumn(
+        "html",
+        F.concat(
+            F.lit("<HTML><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit('</title><script>var p = 1 < 2; var s = "</p>";</script>'),
+            F.lit("<style>.a{color:red}</style></head><body><p>"),
+            F.regexp_replace("text", r"^(\w+)", "<b>$1</b>"),
+            F.lit(" &amp; tail</p><!-- crawler note --></body></HTML>"),
+        ),
+    )
+    out = html.select(
+        "doc_id", html_extract_text("html").alias("clean_text")
+    ).withColumn("n_clean_chars", F.length("clean_text").cast("bigint"))
+    return run_stream_to_batch(out, mode="append")
