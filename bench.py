@@ -221,6 +221,7 @@ HEADLINE = [
     "e16_filtered_topk_ivf",  # filtered ANN over one shared IVF index
     "t25_html_extract",  # HTML -> text extraction (scan-stage exprs)
     "st35_stream_html_extract",  # the same chain under the streaming runner
+    "st36_stream_mp3_census",  # audio triage at ingest (mm26 streamed)
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

@@ -887,8 +887,8 @@ def raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # d19_image_dhash_pairs, p36_negative_samples,
 # d20_image_dhash_incremental, st34_stream_image_dedup,
 # w12_ewm_crossover, e16_filtered_topk_ivf, t25_html_extract,
-# st35_stream_html_extract (each locally exact / verdict-green at
-# sf0.001 + sf0.01) — then
+# st35_stream_html_extract, st36_stream_mp3_census (each locally
+# exact / verdict-green at sf0.001 + sf0.01) — then
 # t22_wordpiece_tokens / p31_sft_export (displaced above), then
 # whatever `tools/ledger.py --markdown` lists as oldest-evidence.
 #

@@ -2349,3 +2349,48 @@ def st35_stream_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", html_extract_text("html").alias("clean_text")
     ).withColumn("n_clean_chars", F.length("clean_text").cast("bigint"))
     return run_stream_to_batch(out, mode="append")
+
+
+# ---------------------------------------------------------------------------
+# st36 — MP3 FRAMING CENSUS AT INGEST (mm26 under the streaming
+# runner: the audio-triage numbers a streaming crawl computes before
+# deciding to keep a payload). The census is stateless mapInPandas,
+# so the same plan streams unchanged; mm26's exact table-arithmetic
+# oracle certifies the streamed chain directly — durations in
+# integer microseconds, byte accounting, CBR/VBR flags, hash-exact.
+# ---------------------------------------------------------------------------
+@register(
+    "st36_stream_mp3_census",
+    """
+    WITH fs AS (SELECT unnest(range(8)) AS f),
+         tbl AS (SELECT [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+                   AS t),
+         p AS (SELECT doc_id, 3 + doc_id % 5 AS n FROM documents),
+         fr AS (
+           SELECT doc_id, n, f,
+                  t[1 + CASE WHEN doc_id % 7 = 0 THEN doc_id % 14
+                             ELSE (doc_id + f) % 14 END] AS kbps,
+                  (doc_id + f) % 2 AS pad
+           FROM p JOIN fs ON f < n CROSS JOIN tbl
+         )
+    SELECT doc_id AS id,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(1152 * n AS BIGINT) AS total_samples,
+           CAST(n * (1152 * 1000000 // 44100) AS BIGINT) AS duration_us,
+           CAST(SUM(144 * kbps * 1000 // 44100 + pad) AS BIGINT)
+             AS stream_bytes,
+           CAST(MIN(kbps) AS BIGINT) AS min_kbps,
+           CAST(MAX(kbps) AS BIGINT) AS max_kbps,
+           CAST(CASE WHEN MIN(kbps) < MAX(kbps) THEN 1 ELSE 0 END AS BIGINT)
+             AS is_vbr
+    FROM fr GROUP BY doc_id, n
+    """,
+)
+def st36_stream_mp3_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators import multimodal as mm
+    from sparkswift.streaming.ops import table_stream
+
+    src = table_stream(spark, sf_dir, "documents").select("doc_id")
+    wp = mm.synth_mp3_payload(src, "doc_id")
+    out = mm.mp3_frame_census(wp, "doc_id", "payload")
+    return run_stream_to_batch(out, mode="append")
