@@ -5499,9 +5499,10 @@ _MP3_RATES = {  # version bits -> samplerate table
 def _parse_mp3_frames(b: bytes) -> list[tuple[int, int, int, int]]:
     """Walk an MP3 (Layer III) stream's frame headers → a list of
     (bitrate_kbps, samplerate_hz, samples_per_frame, frame_bytes).
-    Skips a leading ID3v2 tag (syncsafe 28-bit size) and a trailing
-    ID3v1 block; free-format (bitrate index 0), bad indices, Layer
-    I/II, and desynced bytes raise loudly."""
+    Skips a leading ID3v2 tag (syncsafe 28-bit size, v2.4
+    footer-aware) and a trailing ID3v1 block; free-format (bitrate
+    index 0), bad indices, Layer I/II, and desynced bytes raise
+    loudly."""
     pos = 0
     if b[:3] == b"ID3":
         if len(b) < 10:
@@ -5511,6 +5512,11 @@ def _parse_mp3_frames(b: bytes) -> list[tuple[int, int, int, int]]:
             | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
         )
         pos = 10 + sz
+        # ID3v2 footer flag (header byte 5 bit 0x10, v2.4 §3.1): a
+        # footered tag occupies 10 + size + 10 bytes — without this
+        # the walk lands 10 bytes early and falsely loses sync.
+        if b[5] & 0x10:
+            pos += 10
     end = len(b)
     if end - pos >= 128 and b[end - 128 : end - 125] == b"TAG":
         end -= 128
@@ -5559,20 +5565,31 @@ def encode_mp3_stream(
     samplerate_idx: int = 0,
     id3v2_bytes: int = 0,
     id3v1: bool = False,
+    id3v2_footer: bool = False,
 ) -> bytes:
     """Author a VALID Layer-III framing stream (zeroed audio payloads
     — the census never reads them): ``frame_specs[i] = (bitrate_idx,
     padding)``; optional ID3v2 prefix of ``id3v2_bytes`` body bytes
-    and ID3v1 trailer, so the tag-skip paths are load-bearing."""
+    (with a v2.4 footer when ``id3v2_footer`` — 10 extra trailing
+    bytes, flag 0x10) and ID3v1 trailer, so the tag-skip paths are
+    load-bearing."""
     out = bytearray()
-    if id3v2_bytes:
-        out += b"ID3\x04\x00\x00" + bytes(
+    if id3v2_bytes or id3v2_footer:
+        flags = 0x10 if id3v2_footer else 0x00
+        out += b"ID3\x04\x00" + bytes([flags]) + bytes(
             [
                 (id3v2_bytes >> 21) & 0x7F, (id3v2_bytes >> 14) & 0x7F,
                 (id3v2_bytes >> 7) & 0x7F, id3v2_bytes & 0x7F,
             ]
         )
         out += bytes(id3v2_bytes)
+        if id3v2_footer:
+            out += b"3DI\x04\x00\x10" + bytes(
+                [
+                    (id3v2_bytes >> 21) & 0x7F, (id3v2_bytes >> 14) & 0x7F,
+                    (id3v2_bytes >> 7) & 0x7F, id3v2_bytes & 0x7F,
+                ]
+            )
     table = _MP3_BITRATE_V1L3 if version == 3 else _MP3_BITRATE_V2L3
     coef = 144 if version == 3 else 72
     rate = _MP3_RATES[version][samplerate_idx]
@@ -5717,7 +5734,11 @@ def image_dhash(
                 s = gray.reshape(hash_h, bh, hash_w + 1, bw).sum(axis=(1, 3))
                 bits = (s[:, :-1] > s[:, 1:]).astype(np.int64)
                 flat = bits.reshape(-1)
-                hi = int((flat[:32] << np.arange(32, dtype=np.int64)).sum())
+                # arange sized to the slice, not a fixed 32: grids
+                # under 32 bits (e.g. 4x4) are part of the advertised
+                # 1..64 range and must not shape-mismatch.
+                head = flat[:32]
+                hi = int((head << np.arange(len(head), dtype=np.int64)).sum())
                 lo = int(
                     (flat[32:64] << np.arange(len(flat) - 32, dtype=np.int64)).sum()
                 ) if len(flat) > 32 else 0

@@ -277,8 +277,15 @@ def temperature_weights(
     # densely fixture-pinned in pytest (every n ≤ 20k + log tail).
     try:
         import duckdb
-
-        con = duckdb.connect(":memory:")
+    except ImportError:
+        # Only a MISSING duckdb selects the Python-pow fallback; a
+        # genuine defect in the delegation below must surface, not
+        # silently flip the engine to a different libm path (the
+        # exact divergence the delegation exists to eliminate —
+        # ADVICE r13).
+        return {g: int(math.floor(scale * float(n) ** alpha)) for g, n in live}
+    con = duckdb.connect(":memory:")
+    try:
         out = {}
         for g, n in live:
             (w,) = con.execute(
@@ -286,10 +293,9 @@ def temperature_weights(
                 [float(scale), float(n), float(alpha)],
             ).fetchone()
             out[g] = int(w)
-        con.close()
         return out
-    except Exception:
-        return {g: int(math.floor(scale * float(n) ** alpha)) for g, n in live}
+    finally:
+        con.close()
 
 
 def temperature_sample(
@@ -881,9 +887,19 @@ def ring_negative_samples(
     positions themselves). Query ids must be NON-NEGATIVE (both
     engines' % is a truncation remainder, so a negative id would mix
     to a negative ring position and silently miss the join) —
-    enforced."""
-    if queries.filter(F.col(id_col) < 0).limit(1).count():
-        raise ValueError("ring_negative_samples: query ids must be >= 0")
+    enforced — and bounded above by (2⁶³−1)//2654435761 ≈ 3.47e9
+    (beyond it the product overflows BIGINT: non-ANSI Spark would
+    WRAP silently to a negative ring position and short the
+    negatives while the oracle errors — an engine/oracle divergence,
+    ADVICE r13) — enforced."""
+    id_cap = (2**63 - 1) // 2654435761
+    if queries.filter(
+        (F.col(id_col) < 0) | (F.col(id_col) > F.lit(id_cap))
+    ).limit(1).count():
+        raise ValueError(
+            f"ring_negative_samples: query ids must be in [0, {id_cap}] "
+            "(the Knuth mix must not overflow BIGINT)"
+        )
     if k < 1:
         raise ValueError("k must be >= 1")
     ranked = deterministic_shuffle(corpus, id_col, seed=seed).select(

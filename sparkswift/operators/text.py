@@ -2087,14 +2087,19 @@ def html_extract_text(html_col: str):
     from pyspark.sql import functions as F
 
     c = F.col(html_col)
-    c = F.regexp_replace(c, r"(?is)<head>.*?</head>", " ")
+    c = F.regexp_replace(c, r"(?is)<head\b[^>]*>.*?</head\s*>", " ")
     c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
     c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
     c = F.regexp_replace(c, r"<[^>]+>", " ")
+    # Standard unescape order: &amp; LAST, or source '&amp;lt;'
+    # (which must render as the literal text '&lt;') double-decodes
+    # to '<'. The other entities can't be manufactured by any of the
+    # earlier replacements, so their relative order is free.
     for ent, ch in (
-        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&lt;", "<"), ("&gt;", ">"),
         ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "),
+        ("&amp;", "&"),
     ):
         c = F.replace(c, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(c, r"\s+", " "))

@@ -5339,8 +5339,8 @@ def d20_image_dhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t25_html_extract",
     """
-    SELECT doc_id, text || ' & tail' AS clean_text,
-           CAST(length(text || ' & tail') AS BIGINT) AS n_clean_chars
+    SELECT doc_id, text || ' &lt;3 & tail' AS clean_text,
+           CAST(length(text || ' &lt;3 & tail') AS BIGINT) AS n_clean_chars
     FROM documents
     """,
 )
@@ -5351,12 +5351,17 @@ def t25_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     html = docs.withColumn(
         "html",
         F.concat(
-            F.lit("<HTML><head><title>Doc "),
+            # <head profile=…> (legal, attribute-bearing) and the
+            # planted '&amp;lt;' (must decode to the LITERAL text
+            # '&lt;', not '<') are the two r13-judge-found defect
+            # probes — the predict-the-output oracle now catches
+            # both a tag-only head regex and entity double-decode.
+            F.lit('<HTML><head profile="https://example.org/p"><title>Doc '),
             F.col("doc_id").cast("string"),
             F.lit('</title><script>var p = 1 < 2; var s = "</p>";</script>'),
             F.lit("<style>.a{color:red}</style></head><body><p>"),
             F.regexp_replace("text", r"^(\w+)", "<b>$1</b>"),
-            F.lit(" &amp; tail</p><!-- crawler note --></body></HTML>"),
+            F.lit(" &amp;lt;3 &amp; tail</p><!-- crawler note --></body></HTML>"),
         ),
     )
     return html.select(

@@ -2324,8 +2324,8 @@ def st34_stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "st35_stream_html_extract",
     """
-    SELECT doc_id, text || ' & tail' AS clean_text,
-           CAST(length(text || ' & tail') AS BIGINT) AS n_clean_chars
+    SELECT doc_id, text || ' &lt;3 & tail' AS clean_text,
+           CAST(length(text || ' &lt;3 & tail') AS BIGINT) AS n_clean_chars
     FROM documents
     """,
 )
@@ -2337,12 +2337,14 @@ def st35_stream_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     html = src.withColumn(
         "html",
         F.concat(
-            F.lit("<HTML><head><title>Doc "),
+            # Same hardened fixture as t25: attribute-bearing <head>
+            # + planted '&amp;lt;' double-decode probe.
+            F.lit('<HTML><head profile="https://example.org/p"><title>Doc '),
             F.col("doc_id").cast("string"),
             F.lit('</title><script>var p = 1 < 2; var s = "</p>";</script>'),
             F.lit("<style>.a{color:red}</style></head><body><p>"),
             F.regexp_replace("text", r"^(\w+)", "<b>$1</b>"),
-            F.lit(" &amp; tail</p><!-- crawler note --></body></HTML>"),
+            F.lit(" &amp;lt;3 &amp; tail</p><!-- crawler note --></body></HTML>"),
         ),
     )
     out = html.select(

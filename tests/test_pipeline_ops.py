@@ -1277,5 +1277,16 @@ def test_ring_negative_samples_laws(spark, sf_dir):
     with _pytest.raises(ValueError, match="k must be"):
         ring_negative_samples(queries, corpus, "doc_id", k=0)
     neg = spark.createDataFrame([(-3,)], "doc_id long")
-    with _pytest.raises(ValueError, match=">= 0"):
+    with _pytest.raises(ValueError, match=r"in \[0,"):
         ring_negative_samples(neg, corpus, "doc_id", k=2)
+    # ADVICE r13: ids above (2^63-1)//2654435761 would overflow the
+    # Knuth-mix product (silent BIGINT wrap in non-ANSI Spark vs an
+    # oracle error) — the guard must refuse, and the largest legal
+    # id must pass the guard and produce k negatives.
+    cap = (2**63 - 1) // 2654435761
+    huge = spark.createDataFrame([(cap + 1,)], "doc_id long")
+    with _pytest.raises(ValueError, match="overflow"):
+        ring_negative_samples(huge, corpus, "doc_id", k=2)
+    edge = spark.createDataFrame([(cap,)], "doc_id long")
+    got = ring_negative_samples(edge, corpus, "doc_id", k=2).collect()
+    assert len(got) == 2 and all(r.neg_id >= 0 for r in got)
