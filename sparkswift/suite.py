@@ -860,37 +860,28 @@ def raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # Registration order. The correctness driver verifies the first 50
 # registrations, so the window below holds the 50 entries with the
-# highest evidence value THIS round (round 13). Rotation policy
+# highest evidence value THIS round (round 14). Rotation policy
 # (tools/ledger.py): oldest driver evidence first, new/changed code
 # always earns rows in its own round. Composition:
 #
-# 1. The 15 queries registered after the r12 driver snapshot —
-#    judge-verified 15/15 exact in the r12 session but never yet in a
-#    CORRECTNESS_r*.json (VERDICT r12 #5 says seed them here).
-# 2. The 33 re-pointed names (above): first driver rows under their
-#    new oracled verdict-frame identity — exactly the 13 slots that
-#    read err:no_oracle in r12 plus their 20 family twins. The frame
-#    each name now serves was already green in prior rounds under its
-#    *_gate alias, but the driver ledger starts fresh for the name.
-# 3. Changed-code refreshes for this round's fixes: g9 (sssp default
-#    round cap, ADVICE r13 #1), p30 (DuckDB-libm quantization
-#    parity). j13/st33 (spatial_join build-side fix), mm21 (BMP
-#    core-header gate) and st32 (deterministic slice ordering) are
-#    already in-window via group 1. mm22 (MJPEG AVI) and mm23 (FLAC)
-#    take the final two slots, displacing t22/p31 whose identical
-#    frames were r12-green under their *_gate aliases.
-#
-# Round-14 rotation seed, stalest first: the later r13 additions
-# that could not fit the window — mm24_gif_anim_composite_real,
-# mm25_au_alaw_decode_real, mm26_mp3_census_real,
-# mm27_tiff_tiled_decode_real, p35_url_canonicalize,
-# d19_image_dhash_pairs, p36_negative_samples,
-# d20_image_dhash_incremental, st34_stream_image_dedup,
-# w12_ewm_crossover, e16_filtered_topk_ivf, t25_html_extract,
-# st35_stream_html_extract, st36_stream_mp3_census (each locally
-# exact / verdict-green at sf0.001 + sf0.01) — then
-# t22_wordpiece_tokens / p31_sft_export (displaced above), then
-# whatever `tools/ledger.py --markdown` lists as oldest-evidence.
+# 1. The 14 r13-tail queries that have NEVER appeared in a
+#    CORRECTNESS_r*.json (VERDICT r13 #1 names them explicitly) —
+#    judge-swept 271/271 in the r13 session but still without a
+#    driver row: mm24-mm27, p35, p36, d19, d20, st34, st35, st36,
+#    w12, e16, t25. Four of these (t25/st35 hardened fixture +
+#    entity-order fix, mm26/st36 ID3v2-footer fix, p36 overflow
+#    guard, d19/d20/st34 dHash pack fix) are ALSO this round's
+#    changed code.
+# 2. Changed-code refresh: p30_temperature_mixture
+#    (temperature_weights fallback restructure, ADVICE r13) — plus
+#    t22_wordpiece_tokens / p31_sft_export, displaced from the r13
+#    window for mm22/mm23.
+# 3. This round's NEW operators (seated as they land, displacing the
+#    newest round-8-cohort fills below): d21_image_dhash_hamming,
+#    o9b_ewm_global, w10b_cusum_global.
+# 4. Oldest-evidence fill: the ENTIRE still-registered round-7
+#    cohort (last driver row 6 rounds ago), then the round-8 cohort
+#    alphabetically until the window is full.
 #
 # st2b_stateful_totals_tws remains unregistered: the container lacks
 # protobuf so transformWithState cannot import (NOTES.md, re-checked
@@ -901,62 +892,61 @@ def raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ledger" and `tools/ledger.py --markdown`.
 # ---------------------------------------------------------------------------
 _WINDOW = [
-    # --- (1) post-r12-snapshot queries, never driver-verified ---
-    "agg27_weighted_median",
-    "e15_filtered_topk",
-    "g10_degree_assortativity",
-    "j13_spatial_join",
-    "mm19_jpeg_lossless_decode_real",
-    "mm20_au_ulaw_decode_real",
-    "mm21_bmp_rle_decode_real",
-    "p34_ngram_overlap",
-    "st31_stream_qoi_decode",
-    "st32_stream_cusum",
-    "st33_stream_spatial_join",
-    "t24_lexical_diversity",
-    "w9_bollinger_bands",
-    "w10_cusum_alerts",
-    "w11_longest_streak",
-    # --- (2) the 33 re-pointed names ---
-    "agg2_approx_distinct",
-    "agg9_percentile_approx",
-    "agg11_sketch_union",
-    "d3_minhash_lsh",
-    "d4_simhash",
-    "d6_embedding_neardup_lsh",
-    "d8_neardup_pipeline",
-    "d12_semdedup",
-    "d14_neardup_incremental",
-    "d15_substring_dedup",
-    "d16_semdedup_incremental",
-    "e2_cosine_topk_lsh",
-    "e3_cosine_topk_ivf",
-    "e4_cosine_topk_ivf_persisted",
-    "e5_cosine_topk_pq",
-    "e6_cosine_topk_ivfpq",
-    "e7_cosine_topk_ivfpq_persisted",
-    "e10_cosine_topk_opq",
-    "e11_cosine_topk_sq",
-    "e14_cosine_range_ivf",
-    "g1_pagerank",
-    "g2_personalized_pagerank",
-    "g5_kcore",
-    "p5_decontaminate_bloom",
-    "p16_quality_bins_global",
-    "p22_pack_bins",
-    "p23_token_shards",
-    "p24_token_chunks",
-    "st10_stream_neardup",
-    "t16_bpe_trained",
-    "t21_unigram_tokens",
-    # --- (3) changed-code refreshes + new this round. t22's and
-    # p31's frames were driver-green in r12 under their *_gate
-    # aliases (identical computations), so displacing them for NEW
-    # queries loses the least evidence of any group-2 slots ---
-    "g9_sssp_weighted",
+    # --- (1) r13 tail, never driver-verified (incl. this round's fixes) ---
+    "t25_html_extract",
+    "st35_stream_html_extract",
+    "mm26_mp3_census_real",
+    "st36_stream_mp3_census",
+    "p36_negative_samples",
+    "d19_image_dhash_pairs",
+    "d20_image_dhash_incremental",
+    "st34_stream_image_dedup",
+    "mm24_gif_anim_composite_real",
+    "mm25_au_alaw_decode_real",
+    "mm27_tiff_tiled_decode_real",
+    "p35_url_canonicalize",
+    "w12_ewm_crossover",
+    "e16_filtered_topk_ivf",
+    # --- (2) changed-code refresh + r13-displaced ---
     "p30_temperature_mixture",
-    "mm22_mjpeg_avi_decode_real",
-    "mm23_flac_decode_real",
+    "t22_wordpiece_tokens",
+    "p31_sft_export",
+    # --- (4) round-7 cohort (stalest driver evidence, 6 behind) ---
+    "d13_line_dedup",
+    "j9_interval_overlap",
+    "j10_salted_join",
+    "j11_salted_join_skewed",
+    "mm3_audio_features",
+    "o1_apply_native",
+    "o6c_resample_interpolate",
+    "p18_dataset_diff",
+    "p19_preference_pairs",
+    "p20_dsir_select",
+    "q4_priority_check",
+    "q14_promo_effect",
+    "q19_disjunctive_revenue",
+    "set2_intersect",
+    "st11_stream_quality",
+    "st12_stream_chunk",
+    "st13_stream_ivf_ingest",
+    "t14_chunk_overlap",
+    "w4_distribution_windows",
+    # --- (4) round-8 cohort fill (5 behind; newest entries here are
+    # the displacement pool for group-3 operators landing this round) ---
+    "q1_pricing_summary",
+    "agg4_cube",
+    "d1_dedup_exact",
+    "d2_skew_gate",
+    "d5_embedding_neardup",
+    "j1_revenue_by_nation",
+    "j4_asof_join",
+    "j5_range_join",
+    "j6_asof_forward",
+    "st2_stateful_totals",
+    "o2_apply_rows",
+    "mm5_audio_decode_real",
+    "mm1_decode",
+    "mm2_frame_sample",
 ]
 
 
