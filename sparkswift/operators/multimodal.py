@@ -5876,3 +5876,146 @@ def image_dhash_incremental(
         else:
             st.write_members({"hashes": surv})
     return out.drop("hash_hi", "hash_lo")
+
+
+def dhash_hamming_pairs(
+    hashes: DataFrame,
+    radius: int,
+    id_col: str = "id",
+) -> DataFrame:
+    """All pairs of 64-bit dHashes within Hamming distance ``radius``
+    — the matching rule real perceptual dedup needs (a recompressed
+    JPEG flips a FEW gradient bits, so d19's exact-equality join
+    misses it; VERDICT r13 #3). Scale-safe standard trick, same shape
+    as the MinHash band join (dedup.py LSH banding): split the 64
+    bits into ``radius + 1`` disjoint bands — by pigeonhole, any pair
+    differing in ≤ radius bits agrees EXACTLY on at least one band —
+    equi-join per band (shuffle O(rows × bands), never all-pairs),
+    then verify the exact distance with native ``bit_count(a ^ b)``
+    expressions and dedup multi-band hits. Integer-exact end to end,
+    so the whole pipeline is SQL-oracle-able.
+
+    Input: ``(id_col, hash_hi, hash_lo)`` as produced by
+    :func:`image_dhash` (two NON-NEGATIVE int64 halves, 32 bits
+    each: hash_hi = bits 0..31, hash_lo = bits 32..63). Returns
+    ``(id_a, id_b, hamming)`` with id_a < id_b, hamming ≤ radius.
+
+    100 TB note: run d19's exact-equality dedup FIRST and feed one
+    representative per exact hash here — a viral image repeated 10⁶
+    times would otherwise make its band buckets quadratic (the same
+    hot-posting discipline as d3's caps)."""
+    if not 0 <= radius <= 63:
+        raise ValueError("radius must be in 0..63")
+    nb = radius + 1
+    # band b covers global bits [bounds[b], bounds[b+1]) — widths as
+    # even as possible (64 = nb*q + r: first r bands get q+1 bits)
+    q, r = divmod(64, nb)
+    bounds = [0]
+    for b in range(nb):
+        bounds.append(bounds[-1] + q + (1 if b < r else 0))
+
+    def band_val(lo: int, hi: int):
+        """Bits [lo, hi) of the 64-bit hash as a Column — assembled
+        from the two non-negative 32-bit halves with shift/mask only
+        (never composing a full 64-bit value, whose bit 63 would go
+        negative in a signed long)."""
+        parts = []
+        taken = 0
+        if lo < 32:
+            wl = min(hi, 32) - lo
+            parts.append(
+                F.shiftrightunsigned(F.col("hash_hi"), lo).bitwiseAND(
+                    F.lit((1 << wl) - 1)
+                )
+            )
+            taken = wl
+        if hi > 32:
+            hlo = max(lo, 32) - 32
+            wh = hi - max(lo, 32)
+            high = F.shiftrightunsigned(F.col("hash_lo"), hlo).bitwiseAND(
+                F.lit((1 << wh) - 1)
+            )
+            # compose with shiftleft, not multiply: the radius-0 band
+            # is the full 64 bits, whose top bit lands in the sign
+            # bit — a bitwise shift wraps deterministically (and the
+            # added low part occupies only the zeroed low bits, so
+            # the sum never carries), where ANSI `*` would overflow.
+            parts.append(F.shiftleft(high, taken) if taken else high)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out + p
+        return out
+
+    bands = hashes.select(
+        F.col(id_col).alias("__id"),
+        "hash_hi",
+        "hash_lo",
+        F.posexplode(
+            F.array(*[band_val(bounds[b], bounds[b + 1]) for b in range(nb)])
+        ).alias("band_id", "band_val"),
+    )
+    a = bands.select(
+        F.col("__id").alias("id_a"),
+        F.col("hash_hi").alias("__ah"),
+        F.col("hash_lo").alias("__al"),
+        "band_id",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("__id").alias("id_b"),
+        F.col("hash_hi").alias("__bh"),
+        F.col("hash_lo").alias("__bl"),
+        "band_id",
+        "band_val",
+    )
+    cand = a.join(b, ["band_id", "band_val"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    ham = F.expr("bit_count(__ah ^ __bh) + bit_count(__al ^ __bl)")
+    return (
+        cand.withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= radius)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
+def synth_dhash_noisy_pgm_payload(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize an 18×16 grayscale PGM per row for the
+    HAMMING-RADIUS dHash family (d21): base law g(x, y) = (3i + 17x
+    + 29y + 41·((i + x·y) % 7)) % 160 (the %7 texture term varies
+    gradient signs per id, as in :func:`synth_dhash_pgm_payload`);
+    the planted near-twin (id + 100000) bumps ONLY the four pixels
+    of 2×2 block (bx0, by0) = (i % 8, (i div 8) % 8) by +80 — a
+    LOCAL perturbation (the recompression model) that can disturb at
+    most the two gradient comparisons touching that block, so the
+    twin's dHash sits within Hamming ≤ 2 of the original by
+    construction — inside d21's radius-3 band recall guarantee while
+    exercising non-zero distances. The 160 cap leaves +95 headroom
+    so the bump never wraps a byte."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            orig = i if i < 100000 else i - 100000
+            w, h = 18, 16
+            xx, yy = np.meshgrid(
+                np.arange(w, dtype=np.int64), np.arange(h, dtype=np.int64)
+            )
+            g = (
+                3 * orig + 17 * xx + 29 * yy + 41 * ((orig + xx * yy) % 7)
+            ) % 160
+            if i >= 100000:
+                bx0, by0 = orig % 8, (orig // 8) % 8
+                mask = (xx // 2 == bx0) & (yy // 2 == by0)
+                g = g + 80 * mask
+            return b"P5\n# dhash-noisy\n18 16\n255\n" + g.astype(
+                np.uint8
+            ).tobytes()
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col)))

@@ -911,6 +911,8 @@ _WINDOW = [
     "p30_temperature_mixture",
     "t22_wordpiece_tokens",
     "p31_sft_export",
+    # --- (3) new this round ---
+    "d21_image_dhash_hamming",
     # --- (4) round-7 cohort (stalest driver evidence, 6 behind) ---
     "d13_line_dedup",
     "j9_interval_overlap",
@@ -946,7 +948,6 @@ _WINDOW = [
     "o2_apply_rows",
     "mm5_audio_decode_real",
     "mm1_decode",
-    "mm2_frame_sample",
 ]
 
 

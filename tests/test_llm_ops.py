@@ -4062,6 +4062,69 @@ def test_image_dhash_invariances_and_gates(spark):
     assert small == (sum(1 << (y * 4) for y in range(4)), 0)
 
 
+def test_dhash_hamming_pairs_vs_bruteforce(spark):
+    """d21's band join is EXACT vs an O(n²) popcount reference at
+    several radii (pigeonhole completeness — no pair within radius is
+    missed — and the bit_count verify admits no false positives),
+    including radii whose band widths straddle the 32-bit halves."""
+    import random
+
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import dhash_hamming_pairs
+
+    rng = random.Random(77)
+    hashes = [(i, rng.getrandbits(32), rng.getrandbits(32)) for i in range(48)]
+    # planted near pairs: flip 1..6 random bits of an existing hash
+    for j in range(20):
+        base = hashes[j]
+        full = base[1] | (base[2] << 32)
+        for b in rng.sample(range(64), 1 + j % 6):
+            full ^= 1 << b
+        hashes.append((100 + j, full & 0xFFFFFFFF, full >> 32))
+    df = spark.createDataFrame(
+        hashes, "id long, hash_hi long, hash_lo long"
+    )
+
+    def brute(radius):
+        out = set()
+        for i, (ia, ha, la) in enumerate(hashes):
+            for ib, hb, lb in hashes[i + 1 :]:
+                d = bin((ha ^ hb) | ((la ^ lb) << 32)).count("1")
+                if d <= radius:
+                    out.add((min(ia, ib), max(ia, ib), d))
+        return out
+
+    for radius in (0, 1, 3, 5, 13):
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dhash_hamming_pairs(df, radius).collect()
+        }
+        assert got == brute(radius), radius
+
+    with _pytest.raises(ValueError, match="0..63"):
+        dhash_hamming_pairs(df, 64)
+
+
+def test_d21_planted_twin_recall(spark, sf_dir):
+    """The d21 suite fixture's planted local-perturbation twins are
+    recalled at 100%: every (doc_id, doc_id+100000) pair appears,
+    each within Hamming ≤ 2 (the 2×2 block bump touches at most two
+    gradient comparisons), and the distances are non-vacuously > 0
+    for a healthy share of twins (a +80 bump over a %160 base must
+    actually flip comparisons somewhere)."""
+    from sparkswift.suite import queries
+    from sparkswift.sources import load_table
+
+    d21 = queries()["d21_image_dhash_hamming"]
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    pairs = d21(spark, sf_dir).toPandas()
+    twins = pairs[pairs.id_b == pairs.id_a + 100000]
+    assert len(twins) == n_docs  # 100% recall
+    assert (twins.hamming <= 2).all()
+    assert (twins.hamming > 0).sum() >= n_docs // 4  # non-vacuous
+
+
 def test_image_dhash_incremental_store_laws(spark):
     """d20: a perceptual copy arriving in ANY later batch is dropped
     by the store probe; in-batch copies lose the min-id race; fresh
