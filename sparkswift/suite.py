@@ -913,6 +913,8 @@ _WINDOW = [
     "p31_sft_export",
     # --- (3) new this round ---
     "d21_image_dhash_hamming",
+    "o9b_ewm_global",
+    "w10b_cusum_global",
     # --- (4) round-7 cohort (stalest driver evidence, 6 behind) ---
     "d13_line_dedup",
     "j9_interval_overlap",
@@ -946,8 +948,6 @@ _WINDOW = [
     "j6_asof_forward",
     "st2_stateful_totals",
     "o2_apply_rows",
-    "mm5_audio_decode_real",
-    "mm1_decode",
 ]
 
 

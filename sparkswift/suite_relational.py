@@ -3405,6 +3405,103 @@ def w10_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# o9b — EWM WITHOUT the per-key single-task envelope (VERDICT r13 #4:
+# o9 holds a key's whole history in one task — one hot key breaks at
+# 100 TB). Carry-chain distribution: the timeline splits into equal
+# slices, processed in order; each round is one applyInPandas across
+# ALL keys of that slice, continuing every key's recurrence from the
+# exact carried double of the previous round. Each round replays the
+# identical float64 ops in the identical order, so the result is
+# BIT-identical to o9's kernel (bucketing-invariance is a pytest
+# law) and o9's recursive-CTE oracle certifies it unchanged. Cost:
+# n_buckets sequential jobs, each fully parallel across keys, task
+# memory = one key's slice; carries are a key-count frame handed off
+# via localCheckpoint (the graph-loop rule).
+# ---------------------------------------------------------------------------
+@register(
+    "o9b_ewm_global",
+    """
+    WITH RECURSIVE s AS (
+      SELECT event_id, user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT event_id, user_id, rn, value AS ewm FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.event_id, s.user_id, s.rn, 0.75 * r.ewm + 0.25 * s.value
+      FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT event_id, user_id, ewm FROM r
+    """,
+)
+def o9b_ewm_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.rolling import ewm_mean_global
+
+    ev = load_table(spark, sf_dir, "events")
+    out = ewm_mean_global(
+        ev,
+        on="value",
+        alpha=0.25,
+        key_col="user_id",
+        order_by=["ts", "event_id"],
+        ts_col="ts",
+        n_buckets=4,
+    )
+    return out.select("event_id", "user_id", "ewm")
+
+
+# ---------------------------------------------------------------------------
+# w10b — CUSUM statistic as a ONE-PASS SEGMENTED SCAN (VERDICT r13
+# #4's second half): the NO-RESET Page statistic s = max(0, s_prev +
+# v − allowance) has the exact closed form s_i = P_i − min(0,
+# min_{j≤i} P_j) over prefix sums, so it distributes exactly —
+# per-(key, time-bucket) windowed prefix/running-min in parallel, a
+# tiny per-key fold over ≤ n_buckets (sum, min-prefix) summaries for
+# the carries, one native greatest() to finish each row. All int64:
+# any bucket count is bit-equal (pytest law). w10 keeps the
+# restart-after-signal flavor (path-dependent, chained instead);
+# this is the composable statistic monitoring pipelines also run.
+# The oracle IS the closed form — plain window SQL, no recursion.
+# ---------------------------------------------------------------------------
+@register(
+    "w10b_cusum_global",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             CAST(floor(value * 1000) AS BIGINT) AS v
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, event_id, t, v,
+             SUM(v - 60000) OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+      FROM s
+    ),
+    m AS (
+      SELECT user_id, event_id, t, v, pre,
+             MIN(pre) OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+      FROM p
+    )
+    SELECT user_id, CAST(event_id AS BIGINT) AS event_id,
+           CAST(t AS BIGINT) AS t_us, CAST(v AS BIGINT) AS v_scaled,
+           CAST(pre - LEAST(0, mn) AS BIGINT) AS cusum,
+           (pre - LEAST(0, mn)) > 400000 AS alert
+    FROM m
+    """,
+)
+def w10b_cusum_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.rolling import cusum_stat_global
+
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_stat_global(
+        ev, allowance=60_000, threshold=400_000, n_buckets=4
+    )
+
+
+# ---------------------------------------------------------------------------
 # g10 — degree assortativity (Newman's mixing coefficient) of the
 # qty≤5 co-part graph: Pearson correlation of endpoint degrees over
 # every directed edge realization. Exact cross-engine: integer degree

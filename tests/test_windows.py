@@ -1300,3 +1300,78 @@ def test_w12_ewm_crossover_matches_pandas_reference(spark):
     assert {d for _e, d in want} == {"golden", "death"}
     # the flat prefix produced exact-zero diffs: no signal there
     assert all(eid >= 3 for eid, _ in got)
+
+
+def test_ewm_mean_global_bit_identity(spark, sf_dir):
+    """o9b law: the carry-chain distribution is BIT-identical to the
+    single-task ewm kernel at EVERY bucket count — each round replays
+    the identical float64 ops in the identical order, continuing from
+    the exact carried double, so bucketing cannot perturb a single
+    ulp (unlike an algebraic (A, B) affine composition)."""
+    import pytest as _pytest
+
+    from sparkswift.operators.rolling import ewm_mean, ewm_mean_global
+    from sparkswift.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    base = {
+        r.event_id: r.ewm
+        for r in ewm_mean(
+            ev, on="value", alpha=0.25,
+            partition_by=["user_id"], order_by=["ts", "event_id"],
+        ).select("event_id", "ewm").collect()
+    }
+    for nb in (1, 3, 8):
+        got = {
+            r.event_id: r.ewm
+            for r in ewm_mean_global(
+                ev, on="value", alpha=0.25, key_col="user_id",
+                order_by=["ts", "event_id"], ts_col="ts", n_buckets=nb,
+            ).select("event_id", "ewm").collect()
+        }
+        assert got == base, nb  # exact float ==, not approx
+
+    with _pytest.raises(ValueError, match="alpha"):
+        ewm_mean_global(
+            ev, on="value", alpha=0.0, key_col="user_id",
+            order_by=["ts", "event_id"],
+        )
+    with _pytest.raises(ValueError, match="max_rounds"):
+        ewm_mean_global(
+            ev, on="value", alpha=0.25, key_col="user_id",
+            order_by=["ts", "event_id"], n_buckets=9, max_rounds=8,
+        )
+
+
+def test_cusum_stat_global_bucketing_invariance(spark, sf_dir):
+    """w10b laws: the segmented-scan CUSUM statistic (no-reset)
+    equals a sequential pure-python fold bit-for-bit at every bucket
+    count (exact int64 — the (sum, min-prefix) carry composition is
+    algebraically exact), and the threshold flag fires non-vacuously
+    at the test constants."""
+    from sparkswift.operators.rolling import cusum_stat_global
+    from sparkswift.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    A, H = 60_000, 150_000
+    series = {}
+    for r in ev.select("user_id", "ts", "event_id", "value").collect():
+        series.setdefault(r.user_id, []).append(
+            (r.ts, r.event_id, int(r.value * 1000 // 1))
+        )
+    want = {}
+    for u, seq in series.items():
+        seq.sort()
+        acc = 0
+        for _, eid, v in seq:
+            acc = max(0, acc + v - A)  # no reset-after-signal
+            want[(u, eid)] = (v, acc, acc > H)
+    for nb in (1, 4, 9):
+        got = {
+            (r.user_id, r.event_id): (r.v_scaled, r.cusum, r.alert)
+            for r in cusum_stat_global(
+                ev, allowance=A, threshold=H, n_buckets=nb
+            ).collect()
+        }
+        assert got == want, nb
+    assert any(a for (_, _, a) in want.values())  # alert path non-vacuous
