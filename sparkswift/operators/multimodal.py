@@ -3191,18 +3191,52 @@ def encode_gif(
     return bytes(out)
 
 
+def _decode_video_frames_av(b: bytes) -> list[np.ndarray]:
+    """ENV-GATED compressed-video decode via PyAV (ffmpeg bindings) —
+    the h264/vp8/vp9/mpeg4 path this container cannot serve (no av,
+    no ffmpeg; decision recorded in docs/ADR-001-compressed-video.md).
+    Where PyAV IS installed this decodes every packet of the first
+    video stream to RGB24 ndarrays. It must NEVER enter the SQL
+    oracle registry: ffmpeg's YUV→RGB and loop-filter output is
+    build-dependent, so results are not cross-engine-certifiable —
+    the st2b env-gating precedent applies (registered nowhere,
+    available as API surface where the dependency exists)."""
+    try:
+        import av  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "compressed video (h264/vp8/vp9/mpeg4...) needs PyAV/ffmpeg, "
+            "which is not installed; the zero-dependency engine decodes "
+            "uncompressed RIFF/AVI, MJPEG AVI and GIF87a/89a only "
+            "(docs/ADR-001-compressed-video.md)"
+        ) from e
+    import io
+
+    frames: list[np.ndarray] = []
+    with av.open(io.BytesIO(b)) as container:
+        stream = next(
+            (s for s in container.streams if s.type == "video"), None
+        )
+        if stream is None:
+            raise ValueError("payload has no video stream")
+        for frame in container.decode(stream):
+            frames.append(frame.to_ndarray(format="rgb24"))
+    if not frames:
+        raise ValueError("video stream decoded to zero frames")
+    return frames
+
+
 def _parse_video_frames(b: bytes) -> list[np.ndarray]:
     """Dispatch a video/animation payload to its real frame decoder:
-    RIFF/AVI (uncompressed DIB) or GIF (LZW). Everything else is the
-    honest ffmpeg gate."""
+    RIFF/AVI (uncompressed DIB or MJPEG) or GIF (LZW) — zero-dep,
+    exactness-certified. Any other container falls through to the
+    ENV-GATED PyAV path (:func:`_decode_video_frames_av`), which
+    raises a loud NotImplementedError where PyAV/ffmpeg is absent."""
     if b[:4] == b"RIFF":
         return _parse_avi_frames(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return _parse_gif_frames(b)
-    raise ValueError(
-        "undecodable video payload (real path supports uncompressed "
-        "RIFF/AVI and GIF87a/89a; compressed codecs need ffmpeg)"
-    )
+    return _decode_video_frames_av(b)
 
 
 def synth_avi_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

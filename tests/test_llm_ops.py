@@ -354,6 +354,28 @@ def test_avi_codec_pure_roundtrip():
             assert a.shape == b.shape and (a == b).all(), w
 
 
+def test_compressed_video_env_gate():
+    """ADR-001: a non-RIFF/non-GIF container (mp4 ftyp box) falls
+    through to the PyAV env gate — in this container (no av, no
+    ffmpeg) that is a loud NotImplementedError naming the ADR; on an
+    image that ships PyAV the same dispatcher decodes h264 with no
+    code change (and this pin is skipped)."""
+    import importlib.util
+
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import _parse_video_frames
+
+    mp4ish = (
+        b"\x00\x00\x00\x18ftypisom\x00\x00\x02\x00isomiso2avc1mp41"
+        + bytes(64)
+    )
+    if importlib.util.find_spec("av") is not None:
+        _pytest.skip("PyAV installed: the compressed path is live here")
+    with _pytest.raises(NotImplementedError, match="PyAV/ffmpeg"):
+        _parse_video_frames(mp4ish)
+
+
 def test_avi_parser_gates_and_sample_frames_real(spark):
     """Compressed streams and non-RIFF payloads refuse loudly; the
     real (fake=False) sample_frames path extracts strided AVI frames
