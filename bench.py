@@ -313,6 +313,17 @@ def main() -> None:
             for n in HEADLINE
             if timings2.get(n)
         }
+        # measured ANN recall per round (VERDICT r13 #9): the verdict
+        # frames only assert FLOORS — recording the numbers makes a
+        # silent recall drift (codebook seed change, quantizer edit)
+        # visible round-over-round before it trips a floor. Measured
+        # at the gate scale (sf2) where the oracle sweep runs.
+        try:
+            from sparkswift.suite_gates import measured_ann_recalls
+
+            detail["ann_recall_sf2"] = measured_ann_recalls(spark, SF2_DIR)
+        except Exception as e:  # never let telemetry sink the bench
+            detail["ann_recall_sf2"] = {"error": str(e)[:200]}
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
             "w",

@@ -1779,3 +1779,61 @@ def e16_filtered_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_leaked") == 0).alias("filter_ok"),
         (F.col("n_hit") >= 0.8 * F.col("n_exact")).alias("recall_ok"),
     )
+
+
+def measured_ann_recalls(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """MEASURED recall per ANN variant at the gates' own parameters —
+    the NUMBER, not the pass/fail verdict (VERDICT r13 #9: record it
+    per round in BENCH_DETAIL so a silent drift — e.g. a codebook
+    seed change — is visible before it trips a floor). One shared
+    exact top-k serves every variant; each recall is
+    |approx ∩ exact| / |exact| over (query_id, corpus_id) pairs.
+    e16's denominator is the exact FILTERED search (its own law)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0)
+    exact = (
+        sim.cosine_topk(emb, queries, k=5)
+        .select("query_id", "corpus_id")
+        .localCheckpoint()
+    )
+    n_exact = exact.count()
+    variants: dict[str, object] = {
+        "e2_lsh": lambda: sim.cosine_topk_lsh(
+            emb, k=5, bits=32, bands=8, query_filter=(F.col("label") == 0)
+        ),
+        "e3_ivf": lambda: sim.cosine_topk_ivf(
+            emb, queries, k=5, nlist=16, nprobe=8
+        ),
+        "e5_pq": lambda: sim.cosine_topk_pq(
+            emb, queries, k=5, train_size=2000, refine=8
+        ),
+        "e6_ivfpq": lambda: sim.cosine_topk_ivfpq(
+            emb, queries, k=5, train_size=2000, nprobe=12, refine=8
+        ),
+        "e10_opq": lambda: sim.cosine_topk_opq(
+            emb, queries, k=5, train_size=2000, refine=8
+        ),
+        "e11_sq": lambda: sim.cosine_topk_sq(emb, queries, k=5, refine=2),
+    }
+    out: dict[str, float] = {}
+    for name, make in variants.items():
+        approx = make().select("query_id", "corpus_id")
+        hit = approx.join(
+            exact, ["query_id", "corpus_id"], "left_semi"
+        ).count()
+        out[name] = round(hit / n_exact, 4)
+    # e16: filtered search — exact twin restricted to the predicate
+    exact_f = (
+        sim.cosine_topk(emb.filter(F.col("label") == 1), queries, k=5)
+        .select("query_id", "corpus_id")
+        .localCheckpoint()
+    )
+    n_exact_f = exact_f.count()
+    approx_f = sim.cosine_topk_ivf(
+        emb, queries, k=5, nprobe=12, corpus_filter=F.col("label") == 1
+    ).select("query_id", "corpus_id")
+    hit_f = approx_f.join(
+        exact_f, ["query_id", "corpus_id"], "left_semi"
+    ).count()
+    out["e16_filtered_ivf"] = round(hit_f / n_exact_f, 4)
+    return out
