@@ -607,6 +607,38 @@ def ewm_mean_multi(
     return df.groupBy(*keys).applyInPandas(per_group, schema)
 
 
+def _cusum_reset_scan(v, allowance: int, threshold: int, carry: int):
+    """Vectorized restart-after-signal CUSUM over an int64 value
+    array (VERDICT r13 "what's wrong" #3: the per-row Python loop).
+    Between resets the recurrence has the exact closed form
+    ``s_i = max(c + P_i, P_i − min_{j≤i} P_j)`` over prefix sums
+    (the w10b law), so each no-reset SEGMENT is three numpy passes;
+    the loop iterates once per ALERT, not per row — O(alerts)
+    segments of O(n) vector work, bit-identical to the sequential
+    fold (pure int64). Returns ``(s, alert, carry_out)``."""
+    import numpy as np
+
+    n = len(v)
+    s = np.empty(n, dtype=np.int64)
+    alert = np.zeros(n, dtype=bool)
+    w = v.astype(np.int64) - allowance
+    start, c = 0, int(carry)
+    while start < n:
+        P = np.cumsum(w[start:])
+        seg = np.maximum(c + P, P - np.minimum(np.minimum.accumulate(P), 0))
+        over = np.nonzero(seg > threshold)[0]
+        if over.size == 0:
+            s[start:] = seg
+            c = int(seg[-1]) if seg.size else c
+            break
+        j = int(over[0])
+        s[start : start + j + 1] = seg[: j + 1]
+        alert[start + j] = True
+        c = 0
+        start += j + 1
+    return s, alert, c
+
+
 def cusum_alerts(
     df: DataFrame,
     value_col: str = "value",
@@ -646,19 +678,7 @@ def cusum_alerts(
             drop=True
         )
         v = pdf["v_scaled"].to_numpy(np.int64)
-        s = np.zeros(len(v), dtype=np.int64)
-        alert = np.zeros(len(v), dtype=bool)
-        acc = 0
-        for i in range(len(v)):
-            acc = acc + int(v[i]) - allowance
-            if acc < 0:
-                acc = 0
-            if acc > threshold:
-                alert[i] = True
-                s[i] = acc
-                acc = 0
-            else:
-                s[i] = acc
+        s, alert, _ = _cusum_reset_scan(v, allowance, threshold, 0)
         pdf["cusum"] = s
         pdf["alert"] = alert
         return pdf[

@@ -816,20 +816,13 @@ def stream_cusum(
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf.sort_values(["t_us", tiebreak]).reset_index(drop=True)
         v = pdf["v_scaled"].to_numpy(np.int64)
-        s = np.zeros(len(v), dtype=np.int64)
-        alert = np.zeros(len(v), dtype=bool)
-        acc = int(carry)
-        for i in range(len(v)):
-            acc = acc + int(v[i]) - allowance
-            if acc < 0:
-                acc = 0
-            if acc > threshold:
-                alert[i] = True
-                s[i] = acc
-                acc = 0
-            else:
-                s[i] = acc
-        state.update((acc,))
+        # vectorized segment scan (one numpy pass per ALERT, not per
+        # row) — bit-identical to the sequential int64 fold; the
+        # batch kernel shares it, so stream≡batch stays structural
+        from sparkswift.operators.rolling import _cusum_reset_scan
+
+        s, alert, acc = _cusum_reset_scan(v, allowance, threshold, carry)
+        state.update((int(acc),))
         pdf["cusum"] = s
         pdf["alert"] = alert
         yield pdf[[key, tiebreak, "t_us", "v_scaled", "cusum", "alert"]]

@@ -1375,3 +1375,36 @@ def test_cusum_stat_global_bucketing_invariance(spark, sf_dir):
         }
         assert got == want, nb
     assert any(a for (_, _, a) in want.values())  # alert path non-vacuous
+
+
+def test_cusum_reset_scan_kernel_fuzz():
+    """_cusum_reset_scan (the vectorized segment kernel behind
+    w10/st32) == the sequential int64 fold over dense-alert fuzz:
+    random values around the allowance, thresholds low enough to
+    force MANY resets, nonzero carries — every (s, alert, carry_out)
+    triple bit-equal."""
+    import numpy as np
+
+    from sparkswift.operators.rolling import _cusum_reset_scan
+
+    rng = np.random.default_rng(5)
+    for trial in range(200):
+        n = int(rng.integers(0, 60))
+        v = rng.integers(-50, 120, n).astype(np.int64)
+        allowance = int(rng.integers(0, 40))
+        threshold = int(rng.integers(10, 120))
+        carry = int(rng.integers(0, threshold + 1))
+        s_ref = np.empty(n, dtype=np.int64)
+        alert_ref = np.zeros(n, dtype=bool)
+        acc = carry
+        for i in range(n):
+            acc = max(0, acc + int(v[i]) - allowance)
+            if acc > threshold:
+                alert_ref[i] = True
+                s_ref[i] = acc
+                acc = 0
+            else:
+                s_ref[i] = acc
+        s, alert, c = _cusum_reset_scan(v, allowance, threshold, carry)
+        assert (s == s_ref).all() and (alert == alert_ref).all(), trial
+        assert c == acc, trial
