@@ -6014,6 +6014,49 @@ def dhash_hamming_pairs(
     )
 
 
+def dhash_hamming_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius: int,
+    left_id: str = "id",
+    right_id: str = "id",
+) -> DataFrame:
+    """Cross-frame twin of :func:`dhash_hamming_pairs` — all
+    (left, right) pairs within Hamming ``radius``, same banded
+    pigeonhole join (the probe-a-store shape: a crawl batch's hashes
+    against the persisted catalog, d20's exact-equality probe widened
+    to a radius). Returns ``(id_l, id_r, hamming)``. Both inputs are
+    ``(id, hash_hi, hash_lo)`` frames; id spaces are independent."""
+    pairs = dhash_hamming_pairs(
+        left.select(
+            (F.col(left_id) * 2).alias("__pid"), "hash_hi", "hash_lo"
+        ).unionByName(
+            right.select(
+                (F.col(right_id) * 2 + 1).alias("__pid"),
+                "hash_hi",
+                "hash_lo",
+            )
+        ),
+        radius,
+        id_col="__pid",
+    )
+    # keep only cross-side pairs; strip the side tag. id_a < id_b in
+    # the tagged space fixes orientation, so recover sides by parity
+    # (ids are non-negative, so >> 1 is the exact untag).
+    cross = pairs.filter((F.col("id_a") % 2) != (F.col("id_b") % 2))
+    l_tag = F.when(F.col("id_a") % 2 == 0, F.col("id_a")).otherwise(
+        F.col("id_b")
+    )
+    r_tag = F.when(F.col("id_a") % 2 == 1, F.col("id_a")).otherwise(
+        F.col("id_b")
+    )
+    return cross.select(
+        F.shiftrightunsigned(l_tag, 1).cast("bigint").alias("id_l"),
+        F.shiftrightunsigned(r_tag, 1).cast("bigint").alias("id_r"),
+        "hamming",
+    )
+
+
 def synth_dhash_noisy_pgm_payload(
     df: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

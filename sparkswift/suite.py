@@ -915,6 +915,7 @@ _WINDOW = [
     "d21_image_dhash_hamming",
     "o9b_ewm_global",
     "w10b_cusum_global",
+    "st37_stream_dhash_hamming",
     # --- (4) round-7 cohort (stalest driver evidence, 6 behind) ---
     "d13_line_dedup",
     "j9_interval_overlap",
@@ -947,7 +948,6 @@ _WINDOW = [
     "j5_range_join",
     "j6_asof_forward",
     "st2_stateful_totals",
-    "o2_apply_rows",
 ]
 
 

@@ -2396,3 +2396,148 @@ def st36_stream_mp3_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     wp = mm.synth_mp3_payload(src, "doc_id")
     out = mm.mp3_frame_census(wp, "doc_id", "payload")
     return run_stream_to_batch(out, mode="append")
+
+
+# ---------------------------------------------------------------------------
+# st37 — HAMMING-RADIUS IMAGE DEDUP AT INGEST (d21's banded pairing
+# as a crawl-loop probe: st34 catches bit-identical recompressions,
+# this catches the few-bit-flip ones). Each micro-batch decodes +
+# hashes its images map-side, then probes the persisted hash catalog
+# through the banded pigeonhole join inside foreachBatch (the
+# st14/st16 ingest-loop shape — candidate dedup and per-doc
+# aggregation are batch-local, so no streaming state at all; the
+# catalog is the only standing structure). Output per ingested doc:
+# match count within Hamming ≤ 3 and the best distance (−1 = new).
+# The oracle re-derives pixels → hashes → bands → probe in pure
+# integer SQL — hash-exact end to end.
+# ---------------------------------------------------------------------------
+@register(
+    "st37_stream_dhash_hamming",
+    """
+    WITH ids AS (
+      SELECT doc_id, doc_id AS orig, 0 AS bump, 'store' AS part
+      FROM documents, (SELECT max(doc_id) // 2 AS mid FROM documents) m
+      WHERE doc_id <= m.mid
+      UNION ALL
+      SELECT doc_id + 100000, doc_id, 1, 'batch' FROM documents
+    ),
+    bx AS (SELECT unnest(range(9)) AS x),
+    by AS (SELECT unnest(range(8)) AS y),
+    d2 AS (SELECT unnest(range(2)) AS dx),
+    e2 AS (SELECT unnest(range(2)) AS dy),
+    blocks AS (
+      SELECT doc_id, x, y,
+             SUM((3 * orig + 17 * (2 * x + dx) + 29 * (2 * y + dy)
+                  + 41 * ((orig + (2 * x + dx) * (2 * y + dy)) % 7)) % 160
+                 + CASE WHEN bump = 1 AND x = orig % 8
+                         AND y = (orig // 8) % 8 THEN 80 ELSE 0 END) AS s
+      FROM ids, bx, by, d2, e2
+      GROUP BY doc_id, x, y
+    ),
+    bits AS (
+      SELECT a.doc_id, a.y * 8 + a.x AS k,
+             CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+      FROM blocks a JOIN blocks b
+        ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+      WHERE a.x < 8
+    ),
+    hashes AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN k < 32 THEN bit * (1 << k) ELSE 0 END)
+                  AS BIGINT) AS hash_hi,
+             CAST(SUM(CASE WHEN k >= 32 THEN bit * (1 << (k - 32)) ELSE 0 END)
+                  AS BIGINT) AS hash_lo
+      FROM bits GROUP BY doc_id
+    ),
+    tagged AS (SELECT h.*, i.part FROM hashes h JOIN ids i USING (doc_id)),
+    bands AS (
+      SELECT doc_id, part, hash_hi, hash_lo, b.band_id,
+             CASE b.band_id
+               WHEN 0 THEN hash_hi % 65536
+               WHEN 1 THEN hash_hi // 65536
+               WHEN 2 THEN hash_lo % 65536
+               ELSE hash_lo // 65536 END AS band_val
+      FROM tagged, (SELECT unnest(range(4)) AS band_id) b
+    ),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS bid, s.doc_id AS sid,
+             b.hash_hi AS bh, b.hash_lo AS bl,
+             s.hash_hi AS sh, s.hash_lo AS sl
+      FROM bands b JOIN bands s
+        ON b.band_id = s.band_id AND b.band_val = s.band_val
+      WHERE b.part = 'batch' AND s.part = 'store'
+    ),
+    m AS (
+      SELECT bid, COUNT(*) AS n_matches,
+             MIN(bit_count(xor(bh, sh)) + bit_count(xor(bl, sl))) AS best
+      FROM cand
+      WHERE bit_count(xor(bh, sh)) + bit_count(xor(bl, sl)) <= 3
+      GROUP BY bid
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(m.n_matches, 0) AS BIGINT) AS n_matches,
+           CAST(COALESCE(m.best, -1) AS BIGINT) AS best_hamming
+    FROM tagged t LEFT JOIN m ON t.doc_id = m.bid
+    WHERE t.part = 'batch'
+    """,
+)
+def st37_stream_dhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sparkswift.operators import multimodal as mm
+    from sparkswift.streaming.ops import stamp_slice_order, stream_to_parquet
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    mid = docs.agg((F.max("doc_id") / 2).cast("long").alias("m")).collect()[0].m
+    store_h = mm.image_dhash(
+        mm.synth_dhash_noisy_pgm_payload(
+            docs.filter(F.col("doc_id") <= mid), "doc_id"
+        ),
+        "doc_id",
+        "payload",
+    ).select("id", "hash_hi", "hash_lo").localCheckpoint()
+
+    base = tempfile.mkdtemp(prefix="dh37_")
+    src_dir, out_dir = f"{base}/src", f"{base}/out"
+    feed = docs.select((F.col("doc_id") + 100000).alias("doc_id"))
+    seen: set = set()
+    for i in range(3):  # three files -> three micro-batches
+        feed.filter(F.col("doc_id") % 3 == i).repartition(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        stamp_slice_order(src_dir, seen, i)
+    schema = spark.read.parquet(src_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def ingest(batch_df, _epoch_id):
+        h = mm.image_dhash(
+            mm.synth_dhash_noisy_pgm_payload(batch_df, "doc_id"),
+            "doc_id",
+            "payload",
+        ).select("id", "hash_hi", "hash_lo")
+        pairs = mm.dhash_hamming_join(h, store_h, radius=3)
+        per = pairs.groupBy("id_l").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+            F.min("hamming").cast("bigint").alias("best_hamming"),
+        )
+        out = (
+            h.select(F.col("id").alias("doc_id"))
+            .join(per, F.col("doc_id") == F.col("id_l"), "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_matches", F.lit(0)).cast("bigint").alias(
+                    "n_matches"
+                ),
+                F.coalesce("best_hamming", F.lit(-1)).cast("bigint").alias(
+                    "best_hamming"
+                ),
+            )
+        )
+        out.write.mode("append").parquet(out_dir)
+
+    stream_to_parquet(src, path=None, checkpoint=f"{base}/ck", merge_fn=ingest)
+    return spark.read.parquet(out_dir).localCheckpoint()

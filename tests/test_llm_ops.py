@@ -4128,6 +4128,41 @@ def test_dhash_hamming_pairs_vs_bruteforce(spark):
         dhash_hamming_pairs(df, 64)
 
 
+def test_dhash_hamming_join_vs_bruteforce(spark):
+    """st37's cross-frame probe == O(n·m) popcount brute force:
+    only cross-side pairs, correct side assignment after the parity
+    untag, exact distances — including ids that collide numerically
+    across the two id spaces (same integer on both sides)."""
+    import random
+
+    from sparkswift.operators.multimodal import dhash_hamming_join
+
+    rng = random.Random(31)
+    left = [(i, rng.getrandbits(32), rng.getrandbits(32)) for i in range(25)]
+    right = [(i, rng.getrandbits(32), rng.getrandbits(32)) for i in range(20)]
+    # plant near-twins of left rows on the right, reusing LEFT ids
+    for j in range(8):
+        _i, h, lo = left[j]
+        full = h | (lo << 32)
+        for b in rng.sample(range(64), j % 4):
+            full ^= 1 << b
+        right.append((1000 + j, full & 0xFFFFFFFF, full >> 32))
+    ldf = spark.createDataFrame(left, "id long, hash_hi long, hash_lo long")
+    rdf = spark.createDataFrame(right, "id long, hash_hi long, hash_lo long")
+    for radius in (0, 3, 6):
+        want = set()
+        for il, hl, ll in left:
+            for ir, hr, lr in right:
+                d = bin((hl ^ hr) | ((ll ^ lr) << 32)).count("1")
+                if d <= radius:
+                    want.add((il, ir, d))
+        got = {
+            (r.id_l, r.id_r, r.hamming)
+            for r in dhash_hamming_join(ldf, rdf, radius).collect()
+        }
+        assert got == want, radius
+
+
 def test_d21_planted_twin_recall(spark, sf_dir):
     """The d21 suite fixture's planted local-perturbation twins are
     recalled at 100%: every (doc_id, doc_id+100000) pair appears,
