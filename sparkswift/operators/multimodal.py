@@ -6096,3 +6096,196 @@ def synth_dhash_noisy_pgm_payload(
         return ids.map(one)
 
     return df.withColumn("payload", make(F.col(id_col)))
+
+
+# --- video: container-layer census (ANY codec, zero decode) ----------------
+# The ADR-001 consequence made real: compressed corpora (h264/vp8/...)
+# can't be pixel-decoded without ffmpeg, but the CONTAINER layer is
+# fully deterministic — codec fourcc, frame count, timing, byte
+# accounting — exactly what corpus triage needs before deciding to
+# keep a payload (the mm26 MP3-census model applied to video).
+
+
+def encode_avi_stub(
+    frame_sizes: list[int],
+    codec: bytes = b"H264",
+    fps: int = 25,
+    width: int = 320,
+    height: int = 240,
+    with_index: bool = True,
+) -> bytes:
+    """Author a VALID RIFF/AVI container whose '00dc' chunks carry
+    OPAQUE compressed payloads (zero bytes of the given sizes — the
+    census never reads them): real avih/strh/strf headers with the
+    given codec fourcc, real movi chunk framing, optional idx1. This
+    is how a census fixture stays honest: the bytes a real h264 AVI
+    puts on the wire at the container layer, without pretending to
+    encode video."""
+    if not frame_sizes:
+        raise ValueError("encode_avi_stub: need at least one frame")
+    if len(codec) != 4:
+        raise ValueError("codec must be a 4-byte fourcc")
+    n = len(frame_sizes)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,
+        sum(frame_sizes) * fps // max(1, n),
+        0,
+        0x10 if with_index else 0,
+        n,
+        0,
+        1,
+        max(frame_sizes),
+        width,
+        height,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids"
+        + codec
+        + struct.pack(
+            "<IHHIIIIIIIi4H",
+            0, 0, 0, 0,
+            1, fps,
+            0,
+            n,
+            max(frame_sizes),
+            0, 0,
+            0, 0, width, height,
+        )
+    )
+    (codec_u32,) = struct.unpack("<I", codec)
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, codec_u32,
+        max(frame_sizes), 0, 0, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(
+            b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
+        ),
+    )
+    movi_body = b"".join(_riff_chunk(b"00dc", bytes(s)) for s in frame_sizes)
+    out = b"AVI " + hdrl + _riff_list(b"movi", movi_body)
+    if with_index:
+        idx, off = [], 4
+        for s in frame_sizes:
+            idx.append(struct.pack("<4sIII", b"00dc", 0x10, off, s))
+            off += 8 + s + (s % 2)
+        out += _riff_chunk(b"idx1", b"".join(idx))
+    return b"RIFF" + struct.pack("<I", len(out)) + out
+
+
+def _parse_avi_container(b: bytes) -> dict:
+    """Header-only RIFF/AVI walk (NO payload decode — works for ANY
+    codec, h264 included): avih timing/geometry, the first vids
+    stream's handler fourcc, movi video-chunk count + byte total,
+    idx1 presence. Raises on non-RIFF or a missing avih."""
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    info = {
+        "us_per_frame": None, "width": None, "height": None,
+        "codec": None, "n_chunks": 0, "video_bytes": 0, "has_index": 0,
+    }
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            fourcc = b[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", b, pos + 4)
+            dpos = pos + 8
+            if fourcc == b"LIST":
+                walk(dpos + 4, dpos + size)
+            elif fourcc == b"avih":
+                (info["us_per_frame"],) = struct.unpack_from("<I", b, dpos)
+                info["width"], info["height"] = struct.unpack_from(
+                    "<II", b, dpos + 32
+                )
+            elif fourcc == b"strh" and info["codec"] is None:
+                if b[dpos : dpos + 4] == b"vids":
+                    info["codec"] = b[dpos + 4 : dpos + 8].decode(
+                        "ascii", "replace"
+                    )
+            elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
+                info["n_chunks"] += 1
+                info["video_bytes"] += size
+            elif fourcc == b"idx1":
+                info["has_index"] = 1
+            pos = dpos + size + (size % 2)
+
+    walk(12, len(b))
+    if info["us_per_frame"] is None:
+        raise ValueError("RIFF/AVI payload has no avih header")
+    return info
+
+
+def avi_container_census(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-payload AVI container census via mapInPandas (map-side
+    only, zero shuffle, zero decode): codec fourcc, geometry, video
+    chunk count, EXACT duration in integer microseconds (chunks ×
+    avih µs/frame), payload byte total, index presence. This is the
+    triage a 100 TB crawl runs on video it will never decode —
+    deterministic for every codec, so fully SQL-oracle-able."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                c = _parse_avi_container(bytes(p))
+                rows.append(
+                    (
+                        int(i), c["codec"] or "", c["width"], c["height"],
+                        c["n_chunks"], c["n_chunks"] * c["us_per_frame"],
+                        c["video_bytes"], c["has_index"],
+                    )
+                )
+            cols = list(zip(*rows)) if rows else [[]] * 8
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(cols[0], dtype="int64"),
+                    "codec": pd.Series(cols[1], dtype="object"),
+                    "width": pd.Series(cols[2], dtype="int64"),
+                    "height": pd.Series(cols[3], dtype="int64"),
+                    "n_frames": pd.Series(cols[4], dtype="int64"),
+                    "duration_us": pd.Series(cols[5], dtype="int64"),
+                    "video_bytes": pd.Series(cols[6], dtype="int64"),
+                    "has_index": pd.Series(cols[7], dtype="int64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches,
+        "id bigint, codec string, width bigint, height bigint, "
+        "n_frames bigint, duration_us bigint, video_bytes bigint, "
+        "has_index bigint",
+    )
+
+
+def synth_avi_stub_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a VALID compressed-codec AVI container per row
+    (opaque payload bytes — the census never reads them): codec cycles
+    H264/VP80/MP42/MJPG by id%4, 2+id%5 frames of 100+37·((id+f)%11)
+    bytes, fps 24/30 by id%2, width 320+16·(id%4), height 240 — all
+    exact id arithmetic a SQL oracle re-derives."""
+    codecs = [b"H264", b"VP80", b"MP42", b"MJPG"]
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            n = 2 + i % 5
+            sizes = [100 + 37 * ((i + f) % 11) for f in range(n)]
+            return encode_avi_stub(
+                sizes,
+                codec=codecs[i % 4],
+                fps=24 if i % 2 == 0 else 30,
+                width=320 + 16 * (i % 4),
+                height=240,
+                with_index=(i % 3 != 0),
+            )
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col)))

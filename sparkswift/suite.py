@@ -916,6 +916,7 @@ _WINDOW = [
     "o9b_ewm_global",
     "w10b_cusum_global",
     "st37_stream_dhash_hamming",
+    "mm28_video_container_census",
     # --- (4) round-7 cohort (stalest driver evidence, 6 behind) ---
     "d13_line_dedup",
     "j9_interval_overlap",
@@ -947,7 +948,6 @@ _WINDOW = [
     "j4_asof_join",
     "j5_range_join",
     "j6_asof_forward",
-    "st2_stateful_totals",
 ]
 
 

@@ -5016,6 +5016,49 @@ def mm27_tiff_tiled_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mm28 — COMPRESSED-VIDEO CONTAINER CENSUS (the ADR-001 consequence:
+# h264/vp8 pixels need ffmpeg, but the CONTAINER layer is fully
+# deterministic — codec fourcc, frame count, exact µs timing, byte
+# accounting, index presence — the triage a 100 TB crawl runs on
+# video it will never decode; the mm26 MP3-framing model applied to
+# RIFF/AVI). The synth authors VALID containers (real avih/strh/strf
+# + movi chunk framing) around opaque compressed payloads the census
+# never reads — honest certification of exactly the layer that is
+# exact. mapInPandas, zero shuffle, zero decode.
+# ---------------------------------------------------------------------------
+@register(
+    "mm28_video_container_census",
+    """
+    WITH p AS (SELECT doc_id, 2 + doc_id % 5 AS n FROM documents),
+    fs AS (SELECT unnest(range(7)) AS f),
+    fr AS (SELECT doc_id, n, f, 100 + 37 * ((doc_id + f) % 11) AS sz
+           FROM p JOIN fs ON f < n)
+    SELECT doc_id AS id,
+           CASE doc_id % 4 WHEN 0 THEN 'H264' WHEN 1 THEN 'VP80'
+                WHEN 2 THEN 'MP42' ELSE 'MJPG' END AS codec,
+           CAST(320 + 16 * (doc_id % 4) AS BIGINT) AS width,
+           CAST(240 AS BIGINT) AS height,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(n * (1000000 // CASE WHEN doc_id % 2 = 0
+                                     THEN 24 ELSE 30 END) AS BIGINT)
+             AS duration_us,
+           CAST(SUM(sz) AS BIGINT) AS video_bytes,
+           CAST(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS has_index
+    FROM fr GROUP BY doc_id, n
+    """,
+)
+def mm28_video_container_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    wp = mm.synth_avi_stub_payload(docs, "doc_id")
+    return mm.avi_container_census(wp, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
 # p35 — URL CANONICALIZATION + URL-level dedup (the CommonCrawl
 # pipeline stage before any content dedup: RFC 3986 normalization +
 # the conventional crawl rules — lowercase scheme/host, www. strip,

@@ -4328,3 +4328,53 @@ def test_html_extract_text_corners(spark):
     }
     for i, (_h, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_avi_container_census_and_gates():
+    """mm28: header-only census round-trips the stub encoder across
+    codecs/fps/index choices (independent reference: the python
+    arithmetic below), agrees with the REAL encoders' containers
+    (encode_avi DIB, n_frames from chunk walk), and refuses non-RIFF
+    and avih-less payloads loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import (
+        _parse_avi_container,
+        _riff_chunk,
+        _riff_list,
+        encode_avi,
+        encode_avi_stub,
+    )
+    import struct
+
+    for i in (0, 1, 2, 3, 6, 11, 100):
+        n = 2 + i % 5
+        sizes = [100 + 37 * ((i + f) % 11) for f in range(n)]
+        codec = [b"H264", b"VP80", b"MP42", b"MJPG"][i % 4]
+        fps = 24 if i % 2 == 0 else 30
+        c = _parse_avi_container(
+            encode_avi_stub(
+                sizes, codec=codec, fps=fps, width=320 + 16 * (i % 4),
+                height=240, with_index=(i % 3 != 0),
+            )
+        )
+        assert c["codec"] == codec.decode()
+        assert c["n_chunks"] == n and c["video_bytes"] == sum(sizes)
+        assert c["us_per_frame"] == 1_000_000 // fps
+        assert (c["width"], c["height"]) == (320 + 16 * (i % 4), 240)
+        assert c["has_index"] == (1 if i % 3 != 0 else 0)
+
+    # the REAL uncompressed encoder's container censuses consistently
+    frames = [np.zeros((4, 5, 3), np.uint8) for _ in range(3)]
+    c = _parse_avi_container(encode_avi(frames, fps=25))
+    assert c["codec"] == "DIB " and c["n_chunks"] == 3
+    assert c["us_per_frame"] == 40_000 and c["has_index"] == 1
+
+    with _pytest.raises(ValueError, match="not a RIFF"):
+        _parse_avi_container(b"\x00" * 32)
+    headerless = b"RIFF" + struct.pack("<I", 20) + b"AVI " + _riff_list(
+        b"movi", _riff_chunk(b"00dc", b"xx")
+    )
+    with _pytest.raises(ValueError, match="no avih"):
+        _parse_avi_container(headerless)
