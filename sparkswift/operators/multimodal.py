@@ -6289,3 +6289,218 @@ def synth_avi_stub_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         return ids.map(one)
 
     return df.withColumn("payload", make(F.col(id_col)))
+
+
+# --- video: MP4 / ISO-BMFF container census (the dominant wrapper) ---------
+
+
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    """One ISO-BMFF box: u32 BE size (incl. 8-byte header) + 4cc."""
+    return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+
+def encode_mp4_stub(
+    duration_ticks: int,
+    timescale: int,
+    tracks: list[tuple[bytes, bytes]],
+    mdat_bytes: int = 0,
+    brand: bytes = b"isom",
+) -> bytes:
+    """Author a VALID minimal ISO-BMFF (MP4) container around opaque
+    media (`mdat` of zeros the census never reads): ftyp, moov with a
+    version-0 mvhd and one trak per ``(handler, codec)`` pair —
+    handler ∈ {b'vide', b'soun'} in the hdlr box, codec as the first
+    stsd sample-entry fourcc (e.g. b'avc1', b'mp4a'). The box layout
+    follows the public ISO 14496-12 base spec; sample-entry bodies
+    are zeroed (the census reads only the fourcc), which keeps the
+    fixture honest: exactly the layer that is deterministic is the
+    layer that is real."""
+    if timescale <= 0:
+        raise ValueError("timescale must be positive")
+    ftyp = _box(b"ftyp", brand + struct.pack(">I", 0) + b"isom" + b"mp41")
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">B3x", 0)  # version 0, flags 0
+        + struct.pack(">IIII", 0, 0, timescale, duration_ticks)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)  # rate, volume, rsvd
+        + bytes(8)  # reserved[2]
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + bytes(24)  # pre_defined[6]
+        + struct.pack(">I", len(tracks) + 1),  # next_track_ID
+    )
+    traks = b""
+    for tid, (handler, codec) in enumerate(tracks, start=1):
+        if handler not in (b"vide", b"soun") or len(codec) != 4:
+            raise ValueError("tracks are (b'vide'|b'soun', 4cc) pairs")
+        tkhd = _box(
+            b"tkhd",
+            struct.pack(">B3x", 0)
+            + struct.pack(">IIIII", 0, 0, tid, 0, duration_ticks)
+            + bytes(8)  # reserved[2]
+            + struct.pack(">HHHH", 0, 0, 0, 0)
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", 0, 0),  # width/height (16.16)
+        )
+        mdhd = _box(
+            b"mdhd",
+            struct.pack(">B3x", 0)
+            + struct.pack(">IIII", 0, 0, timescale, duration_ticks)
+            + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+        )
+        hdlr = _box(
+            b"hdlr",
+            struct.pack(">B3x", 0) + bytes(4) + handler + bytes(12) + b"\x00",
+        )
+        # one sample entry: size + codec fourcc + zeroed body (6-byte
+        # reserved + u16 data_reference_index is the spec minimum)
+        entry = struct.pack(">I", 16) + codec + bytes(8)
+        stsd = _box(
+            b"stsd", struct.pack(">B3x", 0) + struct.pack(">I", 1) + entry
+        )
+        stbl = _box(b"stbl", stsd)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        traks += _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + traks)
+    out = ftyp + moov
+    if mdat_bytes:
+        out += _box(b"mdat", bytes(mdat_bytes))
+    return out
+
+
+def _parse_mp4_container(b: bytes) -> dict:
+    """Header-only ISO-BMFF walk (NO media decode — any codec):
+    ftyp brand, mvhd timescale/duration (versions 0 and 1), track
+    count, first video and audio codec fourccs (hdlr handler + stsd
+    first sample entry), mdat byte total (64-bit `largesize`
+    handled). Raises on a non-BMFF payload or a missing moov/mvhd."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF (MP4) payload: no leading ftyp")
+    info = {
+        "brand": b[8:12].decode("ascii", "replace"),
+        "timescale": None, "duration": None, "n_tracks": 0,
+        "video_codec": "", "audio_codec": "", "mdat_bytes": 0,
+    }
+    containers = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+    def walk(pos: int, end: int, track: dict | None) -> None:
+        while pos + 8 <= end:
+            (size,) = struct.unpack_from(">I", b, pos)
+            typ = b[pos + 4 : pos + 8]
+            dpos = pos + 8
+            if size == 1:  # 64-bit largesize follows the fourcc
+                (size,) = struct.unpack_from(">Q", b, dpos)
+                dpos += 8
+            elif size == 0:  # box extends to EOF (spec: last box)
+                size = end - pos
+            if size < 8 or pos + size > end:
+                raise ValueError(f"corrupt ISO-BMFF box at byte {pos}")
+            if typ == b"trak":
+                t: dict = {"handler": None, "codec": ""}
+                info["n_tracks"] += 1
+                walk(dpos, pos + size, t)
+                if t["handler"] == b"vide" and not info["video_codec"]:
+                    info["video_codec"] = t["codec"]
+                if t["handler"] == b"soun" and not info["audio_codec"]:
+                    info["audio_codec"] = t["codec"]
+            elif typ in containers:
+                walk(dpos, pos + size, track)
+            elif typ == b"mvhd":
+                ver = b[dpos]
+                if ver == 1:
+                    info["timescale"], info["duration"] = struct.unpack_from(
+                        ">IQ", b, dpos + 20
+                    )
+                else:
+                    _, _, info["timescale"], info["duration"] = (
+                        struct.unpack_from(">IIII", b, dpos + 4)
+                    )
+            elif typ == b"hdlr" and track is not None:
+                track["handler"] = b[dpos + 8 : dpos + 12]
+            elif typ == b"stsd" and track is not None:
+                (n_entries,) = struct.unpack_from(">I", b, dpos + 4)
+                if n_entries >= 1:
+                    track["codec"] = b[dpos + 12 : dpos + 16].decode(
+                        "ascii", "replace"
+                    )
+            elif typ == b"mdat":
+                info["mdat_bytes"] += size - (dpos - pos)
+            pos += size
+
+    walk(0, len(b), None)
+    if info["timescale"] is None:
+        raise ValueError("ISO-BMFF payload has no moov/mvhd")
+    return info
+
+
+def mp4_container_census(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-payload MP4/ISO-BMFF census via mapInPandas (map-side
+    only, zero shuffle, zero decode): brand, EXACT duration in
+    integer microseconds (ticks·1 000 000 // timescale), track count,
+    first video/audio codec fourccs, mdat byte total — the triage the
+    dominant web-video container gets at 100 TB, deterministic for
+    every codec, fully SQL-oracle-able (mm28's AVI story for MP4)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                c = _parse_mp4_container(bytes(p))
+                rows.append(
+                    (
+                        int(i), c["brand"], c["timescale"], c["duration"],
+                        c["duration"] * 1_000_000 // c["timescale"],
+                        c["n_tracks"], c["video_codec"], c["audio_codec"],
+                        c["mdat_bytes"],
+                    )
+                )
+            cols = list(zip(*rows)) if rows else [[]] * 9
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(cols[0], dtype="int64"),
+                    "brand": pd.Series(cols[1], dtype="object"),
+                    "timescale": pd.Series(cols[2], dtype="int64"),
+                    "duration_ticks": pd.Series(cols[3], dtype="int64"),
+                    "duration_us": pd.Series(cols[4], dtype="int64"),
+                    "n_tracks": pd.Series(cols[5], dtype="int64"),
+                    "video_codec": pd.Series(cols[6], dtype="object"),
+                    "audio_codec": pd.Series(cols[7], dtype="object"),
+                    "mdat_bytes": pd.Series(cols[8], dtype="int64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches,
+        "id bigint, brand string, timescale bigint, duration_ticks bigint, "
+        "duration_us bigint, n_tracks bigint, video_codec string, "
+        "audio_codec string, mdat_bytes bigint",
+    )
+
+
+def synth_mp4_stub_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a VALID minimal MP4 per row: timescale 600/1000 by
+    id%2, duration 600+37·(id%50) ticks, video codec avc1/hvc1/vp09
+    by id%3, an mp4a audio track iff id%4 ≠ 0, mdat of
+    200+13·(id%17) opaque bytes — all exact id arithmetic a SQL
+    oracle re-derives."""
+    vcodecs = [b"avc1", b"hvc1", b"vp09"]
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            tracks = [(b"vide", vcodecs[i % 3])]
+            if i % 4 != 0:
+                tracks.append((b"soun", b"mp4a"))
+            return encode_mp4_stub(
+                duration_ticks=600 + 37 * (i % 50),
+                timescale=600 if i % 2 == 0 else 1000,
+                tracks=tracks,
+                mdat_bytes=200 + 13 * (i % 17),
+            )
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col)))

@@ -917,6 +917,7 @@ _WINDOW = [
     "w10b_cusum_global",
     "st37_stream_dhash_hamming",
     "mm28_video_container_census",
+    "mm29_mp4_container_census",
     # --- (4) round-7 cohort (stalest driver evidence, 6 behind) ---
     "d13_line_dedup",
     "j9_interval_overlap",
@@ -939,7 +940,6 @@ _WINDOW = [
     "w4_distribution_windows",
     # --- (4) round-8 cohort fill (5 behind; newest entries here are
     # the displacement pool for group-3 operators landing this round) ---
-    "q1_pricing_summary",
     "agg4_cube",
     "d1_dedup_exact",
     "d2_skew_gate",

@@ -5059,6 +5059,46 @@ def mm28_video_container_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mm29 — MP4 / ISO-BMFF CONTAINER CENSUS (mm28's story for the
+# DOMINANT web-video wrapper): header-only box walk per the public
+# ISO 14496-12 base spec — ftyp brand, mvhd timescale/duration (v0
+# and v1), track count, first video/audio codec fourccs from
+# hdlr+stsd, mdat byte total (64-bit largesize handled) — exact
+# integer µs duration, any codec, zero decode. The synth authors
+# VALID minimal BMFF trees around opaque mdat bytes; the oracle is
+# pure id arithmetic. mapInPandas, zero shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "mm29_mp4_container_census",
+    """
+    SELECT doc_id AS id,
+           'isom' AS brand,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 600 ELSE 1000 END AS BIGINT)
+             AS timescale,
+           CAST(600 + 37 * (doc_id % 50) AS BIGINT) AS duration_ticks,
+           CAST((600 + 37 * (doc_id % 50)) * 1000000
+                // (CASE WHEN doc_id % 2 = 0 THEN 600 ELSE 1000 END)
+                AS BIGINT) AS duration_us,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 2 END AS BIGINT)
+             AS n_tracks,
+           CASE doc_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1'
+                ELSE 'vp09' END AS video_codec,
+           CASE WHEN doc_id % 4 = 0 THEN '' ELSE 'mp4a' END AS audio_codec,
+           CAST(200 + 13 * (doc_id % 17) AS BIGINT) AS mdat_bytes
+    FROM documents
+    """,
+)
+def mm29_mp4_container_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    wp = mm.synth_mp4_stub_payload(docs, "doc_id")
+    return mm.mp4_container_census(wp, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
 # p35 — URL CANONICALIZATION + URL-level dedup (the CommonCrawl
 # pipeline stage before any content dedup: RFC 3986 normalization +
 # the conventional crawl rules — lowercase scheme/host, www. strip,

@@ -4378,3 +4378,69 @@ def test_avi_container_census_and_gates():
     )
     with _pytest.raises(ValueError, match="no avih"):
         _parse_avi_container(headerless)
+
+
+def test_mp4_container_census_and_gates():
+    """mm29: the header-only BMFF walk round-trips the stub encoder
+    (independent reference: the python arithmetic), handles the v1
+    (64-bit) mvhd, the `largesize` mdat and the size=0
+    extends-to-EOF box, and refuses non-BMFF / corrupt payloads
+    loudly."""
+    import struct
+
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import (
+        _box,
+        _parse_mp4_container,
+        encode_mp4_stub,
+    )
+
+    for i in (0, 1, 2, 3, 4, 11, 49, 100):
+        tracks = [(b"vide", [b"avc1", b"hvc1", b"vp09"][i % 3])]
+        if i % 4:
+            tracks.append((b"soun", b"mp4a"))
+        c = _parse_mp4_container(
+            encode_mp4_stub(
+                600 + 37 * (i % 50),
+                600 if i % 2 == 0 else 1000,
+                tracks,
+                mdat_bytes=200 + 13 * (i % 17),
+            )
+        )
+        assert c["brand"] == "isom" and c["n_tracks"] == len(tracks)
+        assert c["duration"] == 600 + 37 * (i % 50)
+        assert c["timescale"] == (600 if i % 2 == 0 else 1000)
+        assert c["video_codec"] == [b"avc1", b"hvc1", b"vp09"][i % 3].decode()
+        assert c["audio_codec"] == ("mp4a" if i % 4 else "")
+        assert c["mdat_bytes"] == 200 + 13 * (i % 17)
+
+    # version-1 mvhd: 64-bit creation/modification/duration layout
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0))
+    mvhd_v1 = _box(
+        b"mvhd",
+        struct.pack(">B3x", 1)
+        + struct.pack(">QQIQ", 0, 0, 90000, 123456789)
+        + bytes(80),
+    )
+    c = _parse_mp4_container(ftyp + _box(b"moov", mvhd_v1))
+    assert (c["timescale"], c["duration"]) == (90000, 123456789)
+
+    # largesize mdat (size field = 1, u64 follows the fourcc)
+    big = b"\x00\x00\x00\x01mdat" + struct.pack(">Q", 16 + 40) + bytes(40)
+    c = _parse_mp4_container(ftyp + _box(b"moov", mvhd_v1) + big)
+    assert c["mdat_bytes"] == 40
+
+    # size=0: box extends to EOF (spec-legal for the last box)
+    tail = b"\x00\x00\x00\x00mdat" + bytes(24)
+    c = _parse_mp4_container(ftyp + _box(b"moov", mvhd_v1) + tail)
+    assert c["mdat_bytes"] == 24
+
+    with _pytest.raises(ValueError, match="no leading ftyp"):
+        _parse_mp4_container(b"\x00" * 32)
+    with _pytest.raises(ValueError, match="corrupt"):
+        _parse_mp4_container(
+            ftyp + struct.pack(">I", 3) + b"moov"  # size < 8
+        )
+    with _pytest.raises(ValueError, match="no moov/mvhd"):
+        _parse_mp4_container(ftyp + _box(b"free", bytes(4)))
