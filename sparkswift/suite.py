@@ -876,12 +876,15 @@ def raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #    (temperature_weights fallback restructure, ADVICE r13) — plus
 #    t22_wordpiece_tokens / p31_sft_export, displaced from the r13
 #    window for mm22/mm23.
-# 3. This round's NEW operators (seated as they land, displacing the
-#    newest round-8-cohort fills below): d21_image_dhash_hamming,
-#    o9b_ewm_global, w10b_cusum_global.
+# 3. This round's six NEW operators: d21_image_dhash_hamming,
+#    o9b_ewm_global, w10b_cusum_global, st37_stream_dhash_hamming,
+#    mm28_video_container_census, mm29_mp4_container_census. Each
+#    displaced the round-8 fill with the MOST prior driver evidence
+#    (mm2, mm1, mm5, o2_apply_rows, st2, q1 — q1 stays smoke-checked
+#    every round via __spark_entry__.entry()).
 # 4. Oldest-evidence fill: the ENTIRE still-registered round-7
 #    cohort (last driver row 6 rounds ago), then the round-8 cohort
-#    alphabetically until the window is full.
+#    until the window is full.
 #
 # st2b_stateful_totals_tws remains unregistered: the container lacks
 # protobuf so transformWithState cannot import (NOTES.md, re-checked
