@@ -222,6 +222,12 @@ HEADLINE = [
     "t25_html_extract",  # HTML -> text extraction (scan-stage exprs)
     "st35_stream_html_extract",  # the same chain under the streaming runner
     "st36_stream_mp3_census",  # audio triage at ingest (mm26 streamed)
+    "d21_image_dhash_hamming",  # Hamming-banded perceptual dedup
+    "o9b_ewm_global",  # carry-chain EWM (no per-key task envelope)
+    "w10b_cusum_global",  # segmented-scan CUSUM statistic (one pass)
+    "st37_stream_dhash_hamming",  # banded hash probe at ingest
+    "mm28_video_container_census",  # AVI header census (any codec)
+    "mm29_mp4_container_census",  # ISO-BMFF header census (any codec)
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

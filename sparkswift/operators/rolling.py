@@ -751,17 +751,29 @@ def ewm_mean_global(
     names = [f.name for f in base_fields]
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        # per-group cost is the clock here (1500 tiny groups = 1500
+        # Arrow batches — the o8 anatomy), so stay on pandas' C path:
+        # a continued recurrence y_new = (1-α)c + αx IS pandas
+        # ewm(adjust=False) over the series with the carry PREPENDED
+        # (its first output is exactly c), dropping that first row.
+        # Same float ops in the same order as ewm_mean's kernel —
+        # bit-identity is what the bucketing-invariance law pins.
         pdf = pdf.sort_values(order).reset_index(drop=True)
         x = pdf[on].to_numpy(np.float64)
-        y = np.empty(len(x), dtype=np.float64)
         c0 = pdf["__y0"].iloc[0]
-        acc = None if pd.isna(c0) else float(c0)
-        for i in range(len(x)):
-            acc = x[i] if acc is None else (1.0 - alpha) * acc + alpha * x[i]
-            y[i] = acc
+        if pd.isna(c0):
+            y = pd.Series(x).ewm(alpha=alpha, adjust=False).mean().to_numpy()
+        else:
+            y = (
+                pd.Series(np.concatenate(([float(c0)], x)))
+                .ewm(alpha=alpha, adjust=False)
+                .mean()
+                .to_numpy()[1:]
+            )
         pdf[output_col] = y
-        pdf["__last"] = False
-        pdf.loc[len(pdf) - 1, "__last"] = True
+        last = np.zeros(len(x), dtype=bool)
+        last[-1] = True
+        pdf["__last"] = last
         return pdf[names + [output_col, "__last"]]
 
     # equal-width time slices: two bounded scalars, then a pure
@@ -770,13 +782,27 @@ def ewm_mean_global(
     lohi = ev.agg(F.min("__t").alias("lo"), F.max("__t").alias("hi")).collect()[0]
     lo, hi = lohi["lo"], lohi["hi"]
     span = max(1, hi - lo + 1)
-    work = ev.withColumn(
-        "__bkt",
-        F.least(
-            F.lit(n_buckets - 1),
-            ((F.col("__t") - F.lit(lo)) * n_buckets / F.lit(span)).cast("long"),
-        ),
-    ).drop("__t").persist()
+    # ONE hash shuffle on the key for the whole chain: every round's
+    # groupBy(key) reuses this partitioning (no per-round exchange),
+    # and because no new shuffle is created per round, AQE cannot
+    # coalesce a small slice's grouped-UDF stage down to one task
+    # (measured: a quarter-slice round ran 2x slower than the FULL
+    # pass before this — 1500 groups serialized onto one core).
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    work = (
+        ev.withColumn(
+            "__bkt",
+            F.least(
+                F.lit(n_buckets - 1),
+                ((F.col("__t") - F.lit(lo)) * n_buckets / F.lit(span)).cast(
+                    "long"
+                ),
+            ),
+        )
+        .drop("__t")
+        .repartition(n_part, F.col(key_col))
+        .persist()
+    )
     try:
         carries: DataFrame | None = None
         outs: list[DataFrame] = []
@@ -809,7 +835,13 @@ def ewm_mean_global(
                         F.coalesce("__y0_new", "__y0").alias("__y0"),
                     )
                 )
-            carries = carries.localCheckpoint()
+            # res is already an eager checkpoint, so the carry plan is
+            # shallow (one filter + one join per round on top of
+            # checkpointed inputs) — cutting it EVERY round costs a
+            # whole job per round for nothing. Cut every 4th round to
+            # bound lineage depth on long chains.
+            if b % 4 == 3:
+                carries = carries.localCheckpoint()
         out = outs[0]
         for o in outs[1:]:
             out = out.unionByName(o)
