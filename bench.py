@@ -228,6 +228,7 @@ HEADLINE = [
     "st37_stream_dhash_hamming",  # banded hash probe at ingest
     "mm28_video_container_census",  # AVI header census (any codec)
     "mm29_mp4_container_census",  # ISO-BMFF header census (any codec)
+    "w10c_cusum_alerts_global",  # carry-chain restart CUSUM (w10 distributed)
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

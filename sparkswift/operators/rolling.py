@@ -943,3 +943,119 @@ def cusum_stat_global(
         "cusum",
         (F.col("cusum") > F.lit(threshold)).alias("alert"),
     )
+
+
+def cusum_alerts_global(
+    df: DataFrame,
+    value_col: str = "value",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    allowance: int = 30_000,
+    threshold: int = 100_000,
+    scale: int = 1000,
+    n_buckets: int = 8,
+    max_rounds: int = 512,
+) -> DataFrame:
+    """RESTART-after-signal CUSUM without the per-key single-task
+    envelope — the w10 semantics distributed by the o9b carry chain
+    (the reset makes the recurrence path-dependent, so it cannot
+    compose like :func:`cusum_stat_global`; it CAN chain): time
+    slices processed in order, each round one applyInPandas across
+    ALL keys of that slice running :func:`_cusum_reset_scan` from the
+    exact carried statistic (an int64 — the handoff is lossless by
+    construction, not merely bit-careful). Output and alert/reset
+    behavior are IDENTICAL to :func:`cusum_alerts` at any bucket
+    count (pytest law). One hash shuffle on the key for the whole
+    chain (each round's groupBy reuses it — the o9b AQE lesson);
+    carries are O(keys) rows, localCheckpointed every 4th round."""
+    import numpy as np
+
+    if n_buckets > max_rounds:
+        raise ValueError(f"n_buckets={n_buckets} > max_rounds={max_rounds}")
+
+    base = df.select(
+        F.col(key_col).cast("bigint").alias(key_col),
+        F.col(tiebreak_col).cast("bigint").alias(tiebreak_col),
+        F.unix_micros(F.col(ts_col)).alias("t_us"),
+        F.floor(F.col(value_col) * scale).cast("bigint").alias("v_scaled"),
+    )
+    lohi = base.agg(
+        F.min("t_us").alias("lo"), F.max("t_us").alias("hi")
+    ).collect()[0]
+    lo, span = lohi["lo"], max(1, lohi["hi"] - lohi["lo"] + 1)
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    work = (
+        base.withColumn(
+            "__bkt",
+            F.least(
+                F.lit(n_buckets - 1),
+                ((F.col("t_us") - F.lit(lo)) * n_buckets / F.lit(span)).cast(
+                    "long"
+                ),
+            ),
+        )
+        .repartition(n_part, F.col(key_col))
+        .persist()
+    )
+    out_schema = (
+        f"{key_col} bigint, {tiebreak_col} bigint, t_us bigint, "
+        "v_scaled bigint, cusum bigint, alert boolean, "
+        "__last boolean, __carry bigint"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t_us", tiebreak_col]).reset_index(drop=True)
+        c0 = pdf["__c0"].iloc[0]
+        carry_in = 0 if pd.isna(c0) else int(c0)
+        v = pdf["v_scaled"].to_numpy(np.int64)
+        s, alert, carry = _cusum_reset_scan(v, allowance, threshold, carry_in)
+        pdf["cusum"] = s
+        pdf["alert"] = alert
+        last = np.zeros(len(v), dtype=bool)
+        last[-1] = True
+        pdf["__last"] = last
+        # the carry is NOT the last row's statistic (an alerting last
+        # row resets to 0) — hand it off explicitly
+        pdf["__carry"] = np.int64(carry)
+        return pdf[
+            [key_col, tiebreak_col, "t_us", "v_scaled", "cusum", "alert",
+             "__last", "__carry"]
+        ]
+
+    try:
+        carries: DataFrame | None = None
+        outs: list[DataFrame] = []
+        for b in range(n_buckets):
+            sl = work.filter(F.col("__bkt") == b).drop("__bkt")
+            if carries is None:
+                sl = sl.withColumn("__c0", F.lit(None).cast("bigint"))
+            else:
+                sl = sl.join(carries, key_col, "left")
+            res = (
+                sl.groupBy(key_col)
+                .applyInPandas(kernel, out_schema)
+                .localCheckpoint()
+            )
+            outs.append(res.drop("__last", "__carry"))
+            round_carries = res.filter(F.col("__last")).select(
+                F.col(key_col), F.col("__carry").alias("__c0_new")
+            )
+            if carries is None:
+                carries = round_carries.withColumnRenamed("__c0_new", "__c0")
+            else:
+                carries = (
+                    carries.join(round_carries, key_col, "full")
+                    .select(
+                        F.col(key_col),
+                        F.coalesce("__c0_new", "__c0").alias("__c0"),
+                    )
+                )
+            if b % 4 == 3:
+                carries = carries.localCheckpoint()
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
+    finally:
+        work.unpersist()

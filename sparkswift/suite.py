@@ -921,6 +921,7 @@ _WINDOW = [
     "st37_stream_dhash_hamming",
     "mm28_video_container_census",
     "mm29_mp4_container_census",
+    "w10c_cusum_alerts_global",
     # --- (4) round-7 cohort (stalest driver evidence, 6 behind) ---
     "d13_line_dedup",
     "j9_interval_overlap",
@@ -944,7 +945,6 @@ _WINDOW = [
     # --- (4) round-8 cohort fill (5 behind; newest entries here are
     # the displacement pool for group-3 operators landing this round) ---
     "agg4_cube",
-    "d1_dedup_exact",
     "d2_skew_gate",
     "d5_embedding_neardup",
     "j1_revenue_by_nation",

@@ -3405,6 +3405,57 @@ def w10_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# w10c — RESTART-after-signal CUSUM distributed (w10's exact
+# semantics without the per-key single-task envelope): the reset
+# makes the recurrence path-dependent — it cannot compose like
+# w10b's no-reset statistic — but it CHAINS: o9b's carry-chain
+# rounds over time slices, each continuing every key's fold from the
+# exact carried int64 statistic (lossless handoff by construction;
+# note the carry is NOT the last row's value — an alerting last row
+# resets to 0, so the kernel hands it off explicitly). Output is
+# bit-identical to w10 at any bucket count (pytest law), so w10's
+# recursive-CTE oracle certifies it unchanged. One hash shuffle on
+# the key for the whole chain (the o9b AQE lesson).
+# ---------------------------------------------------------------------------
+@register(
+    "w10c_cusum_alerts_global",
+    """
+    WITH RECURSIVE s AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             CAST(floor(value * 1000) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, event_id, t, rn, v,
+             GREATEST(v - 60000, 0) AS cusum,
+             CASE WHEN GREATEST(v - 60000, 0) > 400000 THEN 0
+                  ELSE GREATEST(v - 60000, 0) END AS carry
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.t, s.rn, s.v,
+             GREATEST(r.carry + s.v - 60000, 0),
+             CASE WHEN GREATEST(r.carry + s.v - 60000, 0) > 400000 THEN 0
+                  ELSE GREATEST(r.carry + s.v - 60000, 0) END
+      FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, CAST(event_id AS BIGINT) AS event_id,
+           CAST(t AS BIGINT) AS t_us, CAST(v AS BIGINT) AS v_scaled,
+           CAST(cusum AS BIGINT) AS cusum, cusum > 400000 AS alert
+    FROM r
+    """,
+)
+def w10c_cusum_alerts_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators.rolling import cusum_alerts_global
+
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_alerts_global(
+        ev, allowance=60_000, threshold=400_000, n_buckets=4
+    )
+
+
+# ---------------------------------------------------------------------------
 # o9b — EWM WITHOUT the per-key single-task envelope (VERDICT r13 #4:
 # o9 holds a key's whole history in one task — one hot key breaks at
 # 100 TB). Carry-chain distribution: the timeline splits into equal

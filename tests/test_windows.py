@@ -1408,3 +1408,29 @@ def test_cusum_reset_scan_kernel_fuzz():
         s, alert, c = _cusum_reset_scan(v, allowance, threshold, carry)
         assert (s == s_ref).all() and (alert == alert_ref).all(), trial
         assert c == acc, trial
+
+
+def test_cusum_alerts_global_bit_identity(spark, sf_dir):
+    """w10c law: the carry-chain distribution of the RESTART CUSUM is
+    bit-identical to the single-task cusum_alerts at every bucket
+    count — including the reset-at-slice-boundary case the explicit
+    __carry handoff exists for (an alerting last row carries 0, not
+    its own statistic)."""
+    from sparkswift.operators.rolling import cusum_alerts, cusum_alerts_global
+    from sparkswift.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    A, H = 60_000, 150_000  # low threshold: alerts fire, resets real
+    base = {
+        (r.user_id, r.event_id): (r.v_scaled, r.cusum, r.alert)
+        for r in cusum_alerts(ev, allowance=A, threshold=H).collect()
+    }
+    assert any(a for (_, _, a) in base.values())  # non-vacuous
+    for nb in (1, 3, 8):
+        got = {
+            (r.user_id, r.event_id): (r.v_scaled, r.cusum, r.alert)
+            for r in cusum_alerts_global(
+                ev, allowance=A, threshold=H, n_buckets=nb
+            ).collect()
+        }
+        assert got == base, nb
