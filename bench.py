@@ -229,6 +229,11 @@ HEADLINE = [
     "mm28_video_container_census",  # AVI header census (any codec)
     "mm29_mp4_container_census",  # ISO-BMFF header census (any codec)
     "w10c_cusum_alerts_global",  # carry-chain restart CUSUM (w10 distributed)
+    "q2_min_cost_supplier",  # TPC-H Q2 shape (correlated min, top-100)
+    "q9_product_profit",     # TPC-H Q9 shape (6-table profit join)
+    "q11_important_stock",   # TPC-H Q11 shape (grouped threshold scalar)
+    "q16_supplier_relationship",  # TPC-H Q16 shape (anti-join count-distinct)
+    "q20_potential_promotion",  # TPC-H Q20 shape (nested semi-joins)
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

@@ -922,6 +922,11 @@ _WINDOW = [
     "mm28_video_container_census",
     "mm29_mp4_container_census",
     "w10c_cusum_alerts_global",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_supplier_relationship",
+    "q20_potential_promotion",
     # --- (4) round-7 cohort (stalest driver evidence, 6 behind) ---
     "d13_line_dedup",
     "j9_interval_overlap",
@@ -944,12 +949,7 @@ _WINDOW = [
     "w4_distribution_windows",
     # --- (4) round-8 cohort fill (5 behind; newest entries here are
     # the displacement pool for group-3 operators landing this round) ---
-    "agg4_cube",
     "d2_skew_gate",
-    "d5_embedding_neardup",
-    "j1_revenue_by_nation",
-    "j4_asof_join",
-    "j5_range_join",
     "j6_asof_forward",
 ]
 

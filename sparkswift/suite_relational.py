@@ -3893,3 +3893,360 @@ def w12_ewm_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("death"))
         .alias("direction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SYNTHESIZED PARTSUPP — unblocking the five partsupp-only TPC-H
+# shapes (Q2/Q9/Q11/Q16/Q20; NOTES r12 recorded them data-blocked).
+# The fixture ships no partsupp table, so both engines DERIVE the
+# same one deterministically: the official TPC-H supplier-assignment
+# law (4 suppliers per part, ps_suppkey = (p + i·(S/4 + p/S)) mod S —
+# public spec §4.2.3, adapted to the fixture's 0-based keys; verified
+# collision-free on the fixture) with integer-arithmetic availqty
+# and WHOLE-DOLLAR supplycost (keeping every downstream aggregate
+# decimal/integer-exact — the q1 discipline with no division
+# anywhere). The same honesty model as the multimodal synths: the
+# queries certify the SHAPES (correlated min, profit join, grouped
+# threshold, anti-join count-distinct, nested semis) end to end.
+# ---------------------------------------------------------------------------
+_PS_SQL = """ps AS (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey + i.i * (ns.s // 4 + p_partkey // ns.s)) % ns.s
+               AS ps_suppkey,
+             1 + (p_partkey * 7 + i.i * 13) % 9999 AS ps_availqty,
+             100 + (p_partkey * 31 + i.i * 17) % 900 AS ps_supplycost
+      FROM part, (SELECT unnest(range(4)) AS i) i,
+           (SELECT COUNT(*) AS s FROM supplier) ns
+    )"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized partsupp as a DataFrame (see _PS_SQL)."""
+    s = load_table(spark, sf_dir, "supplier").count()
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    return part.select(
+        F.col("p_partkey").alias("ps_partkey"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("__i"),
+    ).select(
+        "ps_partkey",
+        F.expr(
+            f"(ps_partkey + __i * ({s // 4} + ps_partkey div {s})) % {s}"
+        ).cast("bigint").alias("ps_suppkey"),
+        F.expr("1 + (ps_partkey * 7 + __i * 13) % 9999")
+        .cast("bigint")
+        .alias("ps_availqty"),
+        F.expr("100 + (ps_partkey * 31 + __i * 17) % 900")
+        .cast("bigint")
+        .alias("ps_supplycost"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q2 — TPC-H Q2 shape (minimum-cost supplier): the classic correlated
+# scalar subquery (cost = per-part MIN over the region's suppliers),
+# decorrelated as a grouped-min + equi-join re-attach on BOTH
+# engines; broadcast dim chain supplier⋈nation⋈region; TakeOrdered
+# top-100 over the (acctbal desc, n_name, s_name, partkey) TOTAL
+# order (unique per row — names are unique — so the LIMIT cutoff is
+# deterministic and hash-safe).
+# ---------------------------------------------------------------------------
+@register(
+    "q2_min_cost_supplier",
+    f"""
+    WITH {_PS_SQL},
+    supp AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier, nation, region
+      WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'EUROPE'
+    ),
+    cand AS (
+      SELECT ps_partkey, ps_supplycost, s_name, s_acctbal, n_name
+      FROM ps JOIN part ON p_partkey = ps_partkey
+              JOIN supp ON s_suppkey = ps_suppkey
+      WHERE p_type = 'SMALL' AND p_size > 10
+    ),
+    m AS (SELECT ps_partkey AS k, MIN(ps_supplycost) AS mc
+          FROM cand GROUP BY 1)
+    SELECT s_acctbal, s_name, n_name,
+           CAST(ps_partkey AS BIGINT) AS p_partkey,
+           CAST(ps_supplycost AS BIGINT) AS ps_supplycost
+    FROM cand JOIN m ON ps_partkey = k AND ps_supplycost = mc
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "SMALL") & (F.col("p_size") > 10))
+        .select("p_partkey")
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        ps.join(part, ps.ps_partkey == part.p_partkey)
+        .join(supp, ps.ps_suppkey == supp.s_suppkey)
+        .select("ps_partkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
+    )
+    mins = cand.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("__mc")
+    )
+    return (
+        cand.join(mins, "ps_partkey")
+        .filter(F.col("ps_supplycost") == F.col("__mc"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").cast("bigint").alias("p_partkey"),
+            F.col("ps_supplycost").cast("bigint").alias("ps_supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q9 — TPC-H Q9 shape (product-type profit by nation and year): the
+# 6-table profit join with amount = revenue − supply cost·qty, all
+# DECIMAL(18,4) (whole-dollar synthetic costs ⇒ no division
+# anywhere); sums cross engines via the q1 VARCHAR hop.
+# ---------------------------------------------------------------------------
+@register(
+    "q9_product_profit",
+    f"""
+    WITH {_PS_SQL}
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(CAST(SUM(
+             CAST(l_extendedprice AS {D}) * (1 - CAST(l_discount AS {D}))
+             - CAST(ps_supplycost AS {D}) * CAST(l_quantity AS {D})
+           ) AS VARCHAR) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = F.col("l_extendedprice").cast(D) * (
+        F.lit(1) - F.col("l_discount").cast(D)
+    ) - F.col("ps_supplycost").cast(D) * F.col("l_quantity").cast(D)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            ps,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11 — TPC-H Q11 shape (important stock): per-part inventory value
+# in one REGION (TPC-H filters a nation; the fixture's sf0.001 slice
+# has zero suppliers in any single nation, so the region keeps the
+# dim-filtered shape scale-robust) vs a global-threshold scalar.
+# value = Σ cost·qty is pure BIGINT (whole-dollar costs); the
+# threshold (total × fraction) is ONE broadcast row, the grouped
+# aggregate reuses the same pre-joined base — never a second scan of
+# partsupp.
+# ---------------------------------------------------------------------------
+@register(
+    "q11_important_stock",
+    f"""
+    WITH {_PS_SQL},
+    base AS (
+      SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+      FROM ps, supplier, nation, region
+      WHERE s_suppkey = ps_suppkey AND s_nationkey = n_nationkey
+        AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+    )
+    SELECT CAST(ps_partkey AS BIGINT) AS ps_partkey,
+           CAST(SUM(v) AS BIGINT) AS value
+    FROM base
+    GROUP BY ps_partkey
+    HAVING SUM(v) > (SELECT SUM(v) FROM base) * 0.002
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    reg = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    base = (
+        ps.join(F.broadcast(sup), ps.ps_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"),
+        )
+    )
+    vals = base.groupBy("ps_partkey").agg(
+        F.sum("v").cast("bigint").alias("value")
+    )
+    total = base.agg(F.sum("v").alias("__t"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("__t") * F.lit(0.002))
+        .select(F.col("ps_partkey").cast("bigint"), "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — TPC-H Q16 shape (parts/supplier relationship): grouped
+# COUNT(DISTINCT supplier) with a NOT-IN supplier exclusion (the
+# fixture has no s_comment, so the "complaints" set is acctbal < 0 —
+# same anti-join plan) and multi-predicate part filters incl. NOT
+# LIKE and IN-list (scan-stage).
+# ---------------------------------------------------------------------------
+@register(
+    "q16_supplier_relationship",
+    f"""
+    WITH {_PS_SQL}
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'ECONOMY%'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND ps_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("ECONOMY%"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("ps_suppkey"))
+    return (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(F.broadcast(bad), "ps_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(
+            F.countDistinct("ps_suppkey").cast("bigint").alias("supplier_cnt")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 — TPC-H Q20 shape (potential part promotion): nested
+# semi-joins — suppliers (in one nation) holding EXCESS stock of
+# name-prefixed parts, excess = availqty > half the 1995 shipped
+# quantity of that exact (part, supplier); the supplier filter is a
+# REGION (the q11 scale-robustness note). The half-compare is
+# division-free (2·availqty > Σqty, both DECIMAL-exact); the shipped
+# aggregate reduces lineitem BEFORE the join.
+# ---------------------------------------------------------------------------
+@register(
+    "q20_potential_promotion",
+    f"""
+    WITH {_PS_SQL},
+    agg AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS {D})) AS q
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    excess AS (
+      SELECT DISTINCT ps_suppkey
+      FROM ps
+      JOIN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%') p
+        ON p_partkey = ps_partkey
+      JOIN agg ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+      WHERE CAST(2 * ps_availqty AS {D}) > q
+    )
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name
+    FROM supplier
+    JOIN excess ON ps_suppkey = s_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(D)).alias("__q"))
+    )
+    parts = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    excess = (
+        ps.join(F.broadcast(parts), ps.ps_partkey == parts.p_partkey)
+        .join(
+            agg,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter((F.lit(2) * F.col("ps_availqty")).cast(D) > F.col("__q"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    reg = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(excess, F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("s_suppkey").cast("bigint").alias("s_suppkey"), "s_name")
+    )

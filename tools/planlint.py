@@ -41,6 +41,7 @@ BNLJ_ALLOWED: dict[str, int] = {
     "agg14_skew_report": 1,  # one-row total join
     "agg22_rolling_distinct": 1,  # one-row day-bounds clamp join
     "q22_sales_opportunity": 1,  # one-row balance threshold
+    "q11_important_stock": 1,  # one-row inventory-total threshold
     "e1_cosine_topk": 1,  # one-row query-norm
     "e15_filtered_topk": 1,  # e1's broadcast query scan (by design)
     "e13_cosine_range": 1,  # broadcast query set x corpus scan (by design)
