@@ -5808,6 +5808,15 @@ def synth_dhash_pgm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def make(ids: pd.Series) -> pd.Series:
         def one(i: int) -> bytes:
             i = int(i)
+            if i >= 200000:
+                raise ValueError(
+                    "dhash twin convention violated: id %d >= 200000 "
+                    "implies a REAL doc_id >= 100000 in the fixture, "
+                    "which the 'id >= 100000 means twin of id-100000' "
+                    "encoding would silently reinterpret as a twin "
+                    "(and twin ids would collide with real ids); "
+                    "regenerate twins with a larger offset" % i
+                )
             orig = i if i < 100000 else i - 100000
             shift = 0 if i < 100000 else 10
             w, h = 18, 16
@@ -6071,12 +6080,24 @@ def synth_dhash_noisy_pgm_payload(
     twin's dHash sits within Hamming ≤ 2 of the original by
     construction — inside d21's radius-3 band recall guarantee while
     exercising non-zero distances. The 160 cap leaves +95 headroom
-    so the bump never wraps a byte."""
+    so the bump never wraps a byte. Both synths
+    guard the twin encoding per row: any id >= 200000 (which can only
+    arise from a REAL fixture doc_id >= 100000 being bumped) raises
+    instead of silently corrupting the fixture."""
 
     @F.pandas_udf("binary")
     def make(ids: pd.Series) -> pd.Series:
         def one(i: int) -> bytes:
             i = int(i)
+            if i >= 200000:
+                raise ValueError(
+                    "dhash twin convention violated: id %d >= 200000 "
+                    "implies a REAL doc_id >= 100000 in the fixture, "
+                    "which the 'id >= 100000 means twin of id-100000' "
+                    "encoding would silently reinterpret as a twin "
+                    "(and twin ids would collide with real ids); "
+                    "regenerate twins with a larger offset" % i
+                )
             orig = i if i < 100000 else i - 100000
             w, h = 18, 16
             xx, yy = np.meshgrid(
@@ -6181,7 +6202,12 @@ def _parse_avi_container(b: bytes) -> dict:
     """Header-only RIFF/AVI walk (NO payload decode — works for ANY
     codec, h264 included): avih timing/geometry, the first vids
     stream's handler fourcc, movi video-chunk count + byte total,
-    idx1 presence. Raises on non-RIFF or a missing avih."""
+    idx1 presence. Raises ValueError on non-RIFF, a missing avih, or
+    a truncated/overrunning chunk — the walk is an explicit ITERATIVE
+    stack with bounds checks before every unpack, so adversarial
+    deeply-nested LIST chains or cut-off headers can never surface as
+    RecursionError/struct.error (they get the same loud ValueError as
+    every other parser here)."""
     if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     info = {
@@ -6189,19 +6215,35 @@ def _parse_avi_container(b: bytes) -> dict:
         "codec": None, "n_chunks": 0, "video_bytes": 0, "has_index": 0,
     }
 
-    def walk(pos: int, end: int) -> None:
+    stack = [(12, len(b))]
+    while stack:
+        pos, end = stack.pop()
         while pos + 8 <= end:
             fourcc = b[pos : pos + 4]
             (size,) = struct.unpack_from("<I", b, pos + 4)
             dpos = pos + 8
+            if dpos + size > end:
+                raise ValueError(
+                    "truncated RIFF/AVI chunk %r at %d" % (fourcc, pos)
+                )
             if fourcc == b"LIST":
-                walk(dpos + 4, dpos + size)
-            elif fourcc == b"avih":
+                if size < 4:
+                    raise ValueError("RIFF LIST chunk shorter than its type")
+                # resume the remainder of THIS level after the sublist
+                # (LIFO order: push the continuation first)
+                stack.append((dpos + size + (size % 2), end))
+                pos, end = dpos + 4, dpos + size
+                continue
+            if fourcc == b"avih":
+                if size < 40:
+                    raise ValueError("truncated avih header")
                 (info["us_per_frame"],) = struct.unpack_from("<I", b, dpos)
                 info["width"], info["height"] = struct.unpack_from(
                     "<II", b, dpos + 32
                 )
             elif fourcc == b"strh" and info["codec"] is None:
+                if size < 8:
+                    raise ValueError("truncated strh header")
                 if b[dpos : dpos + 4] == b"vids":
                     info["codec"] = b[dpos + 4 : dpos + 8].decode(
                         "ascii", "replace"
@@ -6212,8 +6254,6 @@ def _parse_avi_container(b: bytes) -> dict:
             elif fourcc == b"idx1":
                 info["has_index"] = 1
             pos = dpos + size + (size % 2)
-
-    walk(12, len(b))
     if info["us_per_frame"] is None:
         raise ValueError("RIFF/AVI payload has no avih header")
     return info

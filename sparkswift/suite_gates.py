@@ -1821,7 +1821,8 @@ def measured_ann_recalls(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         hit = approx.join(
             exact, ["query_id", "corpus_id"], "left_semi"
         ).count()
-        out[name] = round(hit / n_exact, 4)
+        # degenerate/empty fixture -> 0.0, never ZeroDivisionError
+        out[name] = round(hit / n_exact, 4) if n_exact else 0.0
     # e16: filtered search — exact twin restricted to the predicate
     exact_f = (
         sim.cosine_topk(emb.filter(F.col("label") == 1), queries, k=5)
@@ -1835,5 +1836,7 @@ def measured_ann_recalls(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     hit_f = approx_f.join(
         exact_f, ["query_id", "corpus_id"], "left_semi"
     ).count()
-    out["e16_filtered_ivf"] = round(hit_f / n_exact_f, 4)
+    out["e16_filtered_ivf"] = (
+        round(hit_f / n_exact_f, 4) if n_exact_f else 0.0
+    )
     return out

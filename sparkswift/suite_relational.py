@@ -4082,7 +4082,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # has zero suppliers in any single nation, so the region keeps the
 # dim-filtered shape scale-robust) vs a global-threshold scalar.
 # value = Σ cost·qty is pure BIGINT (whole-dollar costs); the
-# threshold (total × fraction) is ONE broadcast row, the grouped
+# threshold compare is float-free on BOTH engines (value > total
+# div 500 ≡ 500·value > total over integers), ONE broadcast row, the grouped
 # aggregate reuses the same pre-joined base — never a second scan of
 # partsupp.
 # ---------------------------------------------------------------------------
@@ -4100,7 +4101,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(v) AS BIGINT) AS value
     FROM base
     GROUP BY ps_partkey
-    HAVING SUM(v) > (SELECT SUM(v) FROM base) * 0.002
+    HAVING SUM(v) > (SELECT SUM(v) FROM base) // 500
     """,
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4126,10 +4127,13 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = base.groupBy("ps_partkey").agg(
         F.sum("v").cast("bigint").alias("value")
     )
-    total = base.agg(F.sum("v").alias("__t"))
+    total = base.agg(F.sum("v").cast("bigint").alias("__t"))
     return (
         vals.crossJoin(F.broadcast(total))
-        .filter(F.col("value") > F.col("__t") * F.lit(0.002))
+        # pure-BIGINT threshold: value > total div 500 is exactly
+        # equivalent to 500*value > total for integers (no float ulp,
+        # no 500x overflow headroom needed on either engine).
+        .filter(F.col("value") > F.expr("__t div 500"))
         .select(F.col("ps_partkey").cast("bigint"), "value")
     )
 

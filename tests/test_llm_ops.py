@@ -4084,6 +4084,31 @@ def test_image_dhash_invariances_and_gates(spark):
     assert small == (sum(1 << (y * 4) for y in range(4)), 0)
 
 
+def test_dhash_twin_synth_guards_headroom(spark):
+    """The dHash fixture synths encode 'id >= 100000 means twin of
+    id-100000'; that is only sound while real fixture ids stay below
+    100000 (otherwise real docs get reinterpreted as twins and twin
+    ids collide with real ids). Any id >= 200000 — which can only
+    arise from such a fixture being bumped — must fail LOUDLY, and
+    legitimate twin ids must keep working."""
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import (
+        synth_dhash_noisy_pgm_payload,
+        synth_dhash_pgm_payload,
+    )
+
+    ok = spark.createDataFrame([(7,), (100007,)], "doc_id long")
+    for synth in (synth_dhash_pgm_payload, synth_dhash_noisy_pgm_payload):
+        rows = synth(ok, "doc_id").collect()
+        assert len(rows) == 2 and all(
+            r.payload.startswith(b"P5") for r in rows
+        )
+        bad = spark.createDataFrame([(250000,)], "doc_id long")
+        with _pytest.raises(Exception, match="twin convention violated"):
+            synth(bad, "doc_id").collect()
+
+
 def test_dhash_hamming_pairs_vs_bruteforce(spark):
     """d21's band join is EXACT vs an O(n²) popcount reference at
     several radii (pigeonhole completeness — no pair within radius is
@@ -4378,6 +4403,34 @@ def test_avi_container_census_and_gates():
     )
     with _pytest.raises(ValueError, match="no avih"):
         _parse_avi_container(headerless)
+
+    # adversarial containers fail LOUDLY as ValueError, never as
+    # RecursionError (the walk is an iterative stack) or struct.error
+    # (bounds-checked before every unpack):
+    # 1) a chunk whose declared size overruns its parent
+    good = encode_avi_stub([100, 100], codec=b"H264", fps=25)
+    trunc = good[: len(good) // 2]
+    with _pytest.raises(ValueError, match="truncated|not a RIFF"):
+        _parse_avi_container(trunc)
+    # 2) an avih cut off mid-struct
+    short_avih = b"RIFF" + struct.pack("<I", 24) + b"AVI " + _riff_chunk(
+        b"avih", b"\x00" * 8
+    )
+    with _pytest.raises(ValueError, match="truncated avih"):
+        _parse_avi_container(short_avih)
+    # 3) LIST nesting far past any recursion limit
+    deep = _riff_chunk(b"avih", struct.pack("<I", 40_000) + b"\x00" * 52)
+    for _ in range(50_000):
+        deep = _riff_list(b"hdrl", deep)
+    payload = b"RIFF" + struct.pack("<I", 4 + len(deep)) + b"AVI " + deep
+    c = _parse_avi_container(payload)
+    assert c["us_per_frame"] == 40_000
+    # 4) a LIST too short to even hold its type fourcc
+    tiny_list = b"RIFF" + struct.pack("<I", 12) + b"AVI " + b"LIST" + (
+        struct.pack("<I", 2) + b"xx"
+    )
+    with _pytest.raises(ValueError, match="LIST chunk shorter"):
+        _parse_avi_container(tiny_list)
 
 
 def test_mp4_container_census_and_gates():
