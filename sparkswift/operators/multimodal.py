@@ -5530,6 +5530,40 @@ _MP3_RATES = {  # version bits -> samplerate table
 }
 
 
+def _decode_mp3_frame_header(h: int, pos: int) -> tuple[int, int, int, int]:
+    """Decode ONE 32-bit Layer-III frame header into (bitrate_kbps,
+    samplerate_hz, samples_per_frame, frame_bytes) — the single
+    source of truth for the public bitrate/samplerate table
+    arithmetic, shared by the in-memory walk below and the
+    ranged-read walk in sources/media_headers.py so the two ingest
+    paths can never drift. Raise semantics are _parse_mp3_frames'."""
+    if (h >> 21) & 0x7FF != 0x7FF:
+        raise ValueError(f"lost MP3 sync at byte {pos}")
+    version = (h >> 19) & 0x3
+    layer = (h >> 17) & 0x3
+    if version == 1:
+        raise ValueError("reserved MPEG version")
+    if layer != 1:  # 01 = Layer III
+        raise NotImplementedError(
+            "only Layer III framing supported (Layer I/II differ)"
+        )
+    bidx = (h >> 12) & 0xF
+    ridx = (h >> 10) & 0x3
+    padding = (h >> 9) & 0x1
+    if bidx == 0:
+        raise NotImplementedError("free-format MP3 (bitrate index 0)")
+    if bidx == 15 or ridx == 3:
+        raise ValueError("invalid MP3 bitrate/samplerate index")
+    if version == 3:  # MPEG-1
+        kbps = _MP3_BITRATE_V1L3[bidx]
+        spf, coef = 1152, 144
+    else:  # MPEG-2 / 2.5: half samples per frame
+        kbps = _MP3_BITRATE_V2L3[bidx]
+        spf, coef = 576, 72
+    rate = _MP3_RATES[version][ridx]
+    return kbps, rate, spf, (coef * kbps * 1000) // rate + padding
+
+
 def _parse_mp3_frames(b: bytes) -> list[tuple[int, int, int, int]]:
     """Walk an MP3 (Layer III) stream's frame headers → a list of
     (bitrate_kbps, samplerate_hz, samples_per_frame, frame_bytes).
@@ -5559,31 +5593,7 @@ def _parse_mp3_frames(b: bytes) -> list[tuple[int, int, int, int]]:
         if end - pos < 4:
             raise ValueError("trailing garbage after last MP3 frame")
         h = int.from_bytes(b[pos : pos + 4], "big")
-        if (h >> 21) & 0x7FF != 0x7FF:
-            raise ValueError(f"lost MP3 sync at byte {pos}")
-        version = (h >> 19) & 0x3
-        layer = (h >> 17) & 0x3
-        if version == 1:
-            raise ValueError("reserved MPEG version")
-        if layer != 1:  # 01 = Layer III
-            raise NotImplementedError(
-                "only Layer III framing supported (Layer I/II differ)"
-            )
-        bidx = (h >> 12) & 0xF
-        ridx = (h >> 10) & 0x3
-        padding = (h >> 9) & 0x1
-        if bidx == 0:
-            raise NotImplementedError("free-format MP3 (bitrate index 0)")
-        if bidx == 15 or ridx == 3:
-            raise ValueError("invalid MP3 bitrate/samplerate index")
-        if version == 3:  # MPEG-1
-            kbps = _MP3_BITRATE_V1L3[bidx]
-            spf, coef = 1152, 144
-        else:  # MPEG-2 / 2.5: half samples per frame
-            kbps = _MP3_BITRATE_V2L3[bidx]
-            spf, coef = 576, 72
-        rate = _MP3_RATES[version][ridx]
-        nbytes = (coef * kbps * 1000) // rate + padding
+        kbps, rate, spf, nbytes = _decode_mp3_frame_header(h, pos)
         if pos + nbytes > end:
             raise ValueError("truncated final MP3 frame")
         frames.append((kbps, rate, spf, nbytes))

@@ -1,0 +1,466 @@
+"""Bounded-read media-header ingestion — container censuses WITHOUT
+reading payload bytes.
+
+The ``binaryFile``-based path (sources/loaders.py:load_binary_files)
+materializes EVERY byte of every file before a census op sees it; for
+header-only facts (mm26 MP3 framing, mm28 AVI census, mm29 MP4/BMFF
+census) that is the difference between a metadata query and a full
+100 TB scan — an MP4 census needs ftyp + moov (KBs) and the mdat
+*size field*, roughly 0.1% of a video corpus's bytes.
+
+This source instead maps over the FILE LISTING (Spark's binaryFile
+reader with only ``path``/``length`` selected — column pruning means
+no content is read) and performs RANGED reads per file through
+pyarrow.fs (local now; the identical ``read_at`` calls become ranged
+GETs on S3/HDFS). Reads go through a block cache so header-dense
+regions cost one fetch per block, and every loader reports
+``header_bytes_read`` next to ``file_bytes`` so the saving is a
+measured column, not a claim.
+
+Field extraction is NOT re-implemented: the ranged walk only does
+size/seek arithmetic — the small header structures it fetches are fed
+verbatim to the SAME certified in-memory parsers
+(operators/multimodal.py: _parse_mp4_container, _parse_avi_container,
+_decode_mp3_frame_header), so the two ingest paths cannot drift on
+field semantics. A pytest equality law additionally pins ranged ==
+in-memory census rows across every synth-fixture branch.
+
+Scale notes: one listing row per file → one task per file batch;
+partition count follows the listing (cheap), not file bytes. Censuses
+are map-side only, zero shuffle. ``spark.sql.files.maxPartitionBytes``
+is irrelevant here — tasks never hold payloads, only headers.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Callable, Iterator
+from urllib.parse import unquote, urlparse
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkswift.operators.multimodal import (
+    _decode_mp3_frame_header,
+    _parse_avi_container,
+    _parse_mp4_container,
+)
+
+DEFAULT_BLOCK_BYTES = 65536
+
+
+class RangedReader:
+    """Block-cached ranged reader over a pyarrow NativeFile.
+
+    ``read_at(off, n)`` assembles the request from ``block_bytes``
+    aligned fetches (a tiny LRU — header walks are locally
+    sequential, so two live blocks suffice) and counts every byte
+    actually FETCHED from storage in ``bytes_fetched`` — the honest
+    cost metric: seeking past an mdat body costs nothing, while a
+    4-byte header read costs its enclosing block once.
+    """
+
+    def __init__(self, f, size: int, block_bytes: int = DEFAULT_BLOCK_BYTES):
+        self._f = f
+        self.size = int(size)
+        self._bs = max(1, int(block_bytes))
+        self._cache: dict[int, bytes] = {}
+        self.bytes_fetched = 0
+
+    def _block(self, idx: int) -> bytes:
+        blk = self._cache.get(idx)
+        if blk is None:
+            off = idx * self._bs
+            n = min(self._bs, self.size - off)
+            blk = self._f.read_at(n, off) if n > 0 else b""
+            self.bytes_fetched += len(blk)
+            if len(self._cache) >= 4:  # tiny LRU: drop oldest
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[idx] = blk
+        return blk
+
+    def read_at(self, off: int, n: int) -> bytes:
+        """Best-effort read of n bytes at off (short at EOF, like a
+        POSIX pread) — callers bounds-check against .size."""
+        off, n = int(off), int(n)
+        if off >= self.size or n <= 0:
+            return b""
+        n = min(n, self.size - off)
+        first, last = off // self._bs, (off + n - 1) // self._bs
+        parts = []
+        for idx in range(first, last + 1):
+            blk = self._block(idx)
+            lo = off - idx * self._bs if idx == first else 0
+            hi = off + n - idx * self._bs if idx == last else len(blk)
+            parts.append(blk[lo:hi])
+        return b"".join(parts)
+
+
+def open_ranged(
+    path: str, block_bytes: int = DEFAULT_BLOCK_BYTES
+) -> RangedReader:
+    """Open any file:/hdfs:/s3: URI (or a bare local path) for ranged
+    reads via pyarrow.fs — the one place the storage scheme is
+    resolved, so every census below is storage-agnostic."""
+    import pyarrow.fs as pafs
+
+    parsed = urlparse(path)
+    if parsed.scheme in ("", "file"):
+        local = unquote(parsed.path) if parsed.scheme else path
+        fs, where = pafs.LocalFileSystem(), local
+    else:
+        fs, where = pafs.FileSystem.from_uri(path)
+    f = fs.open_input_file(where)
+    return RangedReader(f, f.size(), block_bytes)
+
+
+# --- ranged census walks ---------------------------------------------------
+
+
+def census_mp4_ranged(r: RangedReader) -> dict:
+    """MP4/ISO-BMFF census from ranged reads: walk TOP-LEVEL box
+    headers only; fetch every non-mdat box verbatim (ftyp + moov +
+    stray free/skip — KBs) into a buffer that the certified
+    _parse_mp4_container walks for all field extraction; account each
+    mdat from its SIZE FIELD alone, never touching the body. Matches
+    the in-memory parser exactly, incl. 64-bit largesize and the
+    size=0 extends-to-EOF last box."""
+    end = r.size
+    hdr = bytearray()
+    mdat_bytes = 0
+    pos = 0
+    while pos + 8 <= end:
+        head = r.read_at(pos, 16)
+        if len(head) < 8:
+            raise ValueError(f"corrupt ISO-BMFF box at byte {pos}")
+        (size,) = struct.unpack_from(">I", head, 0)
+        typ = head[4:8]
+        hlen = 8
+        if size == 1:  # 64-bit largesize follows the fourcc
+            if len(head) < 16:
+                raise ValueError(f"corrupt ISO-BMFF box at byte {pos}")
+            (size,) = struct.unpack_from(">Q", head, 8)
+            hlen = 16
+        elif size == 0:  # box extends to EOF (spec: last box)
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError(f"corrupt ISO-BMFF box at byte {pos}")
+        if typ == b"mdat":
+            mdat_bytes += size - hlen
+        else:
+            body = r.read_at(pos, size)
+            if len(body) != size:
+                raise ValueError(f"corrupt ISO-BMFF box at byte {pos}")
+            hdr += body
+        pos += size
+    info = _parse_mp4_container(bytes(hdr))
+    info["mdat_bytes"] = mdat_bytes
+    return info
+
+
+def census_avi_ranged(r: RangedReader) -> dict:
+    """RIFF/AVI census from ranged reads: fetch the hdrl LIST
+    verbatim and feed it, rewrapped as a minimal RIFF, to the
+    certified _parse_avi_container for avih/strh field extraction;
+    count movi data chunks and their byte totals from 8-byte chunk
+    headers alone (8 bytes read per frame, bodies seeked past); idx1
+    noted from its header. Iterative stack walk, bounds-checked, same
+    ValueError surface as the in-memory parser."""
+    end = r.size
+    head12 = r.read_at(0, 12)
+    if head12[:4] != b"RIFF" or head12[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    hdrl: bytes | None = None
+    n_chunks = 0
+    video_bytes = 0
+    has_index = 0
+    stack = [(12, end)]
+    while stack:
+        pos, lim = stack.pop()
+        while pos + 8 <= lim:
+            head = r.read_at(pos, 12)
+            if len(head) < 8:
+                raise ValueError(
+                    f"truncated RIFF/AVI chunk {head[:4]!r} at {pos}"
+                )
+            fourcc = head[:4]
+            (size,) = struct.unpack_from("<I", head, 4)
+            dpos = pos + 8
+            if dpos + size > lim:
+                raise ValueError(
+                    f"truncated RIFF/AVI chunk {fourcc!r} at {pos}"
+                )
+            if fourcc == b"LIST":
+                if size < 4:
+                    raise ValueError("RIFF LIST chunk shorter than its type")
+                ltype = head[8:12]
+                if ltype == b"hdrl" and hdrl is None:
+                    body = r.read_at(pos, 8 + size)
+                    if len(body) != 8 + size:
+                        raise ValueError(
+                            f"truncated RIFF/AVI chunk {fourcc!r} at {pos}"
+                        )
+                    hdrl = bytes(body)
+                else:
+                    stack.append((dpos + size + (size % 2), lim))
+                    pos, lim = dpos + 4, dpos + size
+                    continue
+            elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
+                n_chunks += 1
+                video_bytes += size
+            elif fourcc == b"idx1":
+                has_index = 1
+            pos = dpos + size + (size % 2)
+    if hdrl is None:
+        raise ValueError("RIFF/AVI payload has no avih header")
+    mini = b"RIFF" + struct.pack("<I", 4 + len(hdrl)) + b"AVI " + hdrl
+    info = _parse_avi_container(mini)
+    info["n_chunks"] = n_chunks
+    info["video_bytes"] = video_bytes
+    info["has_index"] = has_index
+    return info
+
+
+def census_mp3_ranged(
+    r: RangedReader, max_frames: int | None = None
+) -> dict:
+    """MP3 framing census from ranged reads: ID3v2 skip from a
+    10-byte prefix (v2.4 footer-aware), ID3v1 trailer from one
+    128-byte tail read, then 4 bytes per frame header with the body
+    seeked past — header decode shared verbatim with the in-memory
+    walk (_decode_mp3_frame_header). ``max_frames`` bounds the walk
+    for triage-at-a-glance mode: the census then covers the first N
+    frames and sets ``truncated`` = 1 (exactness flag — duration/
+    byte totals are prefixes, not stream totals)."""
+    pos = 0
+    b10 = r.read_at(0, 10)
+    if b10[:3] == b"ID3":
+        if len(b10) < 10:
+            raise ValueError("truncated ID3v2 header")
+        sz = (
+            ((b10[6] & 0x7F) << 21) | ((b10[7] & 0x7F) << 14)
+            | ((b10[8] & 0x7F) << 7) | (b10[9] & 0x7F)
+        )
+        pos = 10 + sz
+        if b10[5] & 0x10:  # ID3v2.4 footer: 10 extra trailing bytes
+            pos += 10
+    end = r.size
+    if end - pos >= 128 and r.read_at(end - 128, 3) == b"TAG":
+        end -= 128
+    n = samples = dur_us = nbytes_total = 0
+    min_kbps = max_kbps = None
+    truncated = 0
+    while pos < end:
+        if max_frames is not None and n >= max_frames:
+            truncated = 1
+            break
+        if end - pos < 4:
+            raise ValueError("trailing garbage after last MP3 frame")
+        h = int.from_bytes(r.read_at(pos, 4), "big")
+        kbps, rate, spf, nbytes = _decode_mp3_frame_header(h, pos)
+        if pos + nbytes > end:
+            raise ValueError("truncated final MP3 frame")
+        n += 1
+        samples += spf
+        dur_us += spf * 1_000_000 // rate
+        nbytes_total += nbytes
+        min_kbps = kbps if min_kbps is None else min(min_kbps, kbps)
+        max_kbps = kbps if max_kbps is None else max(max_kbps, kbps)
+        pos += nbytes
+    if n == 0:
+        raise ValueError("MP3 stream has no frames")
+    return {
+        "n_frames": n,
+        "total_samples": samples,
+        "duration_us": dur_us,
+        "stream_bytes": nbytes_total,
+        "min_kbps": min_kbps,
+        "max_kbps": max_kbps,
+        "is_vbr": int(min_kbps < max_kbps),
+        "truncated": truncated,
+    }
+
+
+# --- Spark loaders ---------------------------------------------------------
+
+
+def list_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """The listing-only half of binaryFile: (path, file_bytes) with
+    NO content column selected — column pruning keeps this a pure
+    file-listing scan, zero payload bytes read."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path).select(
+        "path", F.col("length").cast("bigint").alias("file_bytes")
+    )
+
+
+def _header_loader(
+    listing: DataFrame,
+    census: Callable[[RangedReader], dict],
+    fields: list[tuple[str, str]],
+    block_bytes: int,
+) -> DataFrame:
+    """Shared mapInPandas shell: per listing row, open ranged, run
+    the census, emit census fields + header_bytes_read."""
+    schema = "path string, file_bytes bigint, " + ", ".join(
+        f"{n} {t}" for n, t in fields
+    ) + ", header_bytes_read bigint"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "path": [], "file_bytes": [],
+                **{n: [] for n, _ in fields}, "header_bytes_read": [],
+            }
+            for p, fb in zip(pdf["path"], pdf["file_bytes"]):
+                r = open_ranged(str(p), block_bytes)
+                c = census(r)
+                out["path"].append(str(p))
+                out["file_bytes"].append(int(fb))
+                for nm, _ in fields:
+                    out[nm].append(c[nm])
+                out["header_bytes_read"].append(r.bytes_fetched)
+            yield pd.DataFrame(out)
+
+    return listing.mapInPandas(batches, schema)
+
+
+def load_mp4_headers(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    block_bytes: int = DEFAULT_BLOCK_BYTES,
+) -> DataFrame:
+    """MP4/ISO-BMFF container census over a directory WITHOUT reading
+    media bytes — mm29's facts (brand, timescale/duration, exact µs,
+    track count, codec fourccs, mdat byte total) at listing+headers
+    cost."""
+
+    def census(r: RangedReader) -> dict:
+        c = census_mp4_ranged(r)
+        c["duration_ticks"] = c.pop("duration")
+        c["duration_us"] = c["duration_ticks"] * 1_000_000 // c["timescale"]
+        return c
+
+    return _header_loader(
+        list_files(spark, path, glob),
+        census,
+        [
+            ("brand", "string"), ("timescale", "bigint"),
+            ("duration_ticks", "bigint"), ("duration_us", "bigint"),
+            ("n_tracks", "bigint"), ("video_codec", "string"),
+            ("audio_codec", "string"), ("mdat_bytes", "bigint"),
+        ],
+        block_bytes,
+    )
+
+
+def load_avi_headers(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    block_bytes: int = DEFAULT_BLOCK_BYTES,
+) -> DataFrame:
+    """RIFF/AVI container census over a directory at headers-only
+    cost — mm28's facts (codec fourcc, geometry, frame count, exact
+    µs duration, video byte total, index presence)."""
+
+    def census(r: RangedReader) -> dict:
+        c = census_avi_ranged(r)
+        return {
+            "codec": c["codec"] or "", "width": c["width"],
+            "height": c["height"], "n_frames": c["n_chunks"],
+            "duration_us": c["n_chunks"] * c["us_per_frame"],
+            "video_bytes": c["video_bytes"], "has_index": c["has_index"],
+        }
+
+    return _header_loader(
+        list_files(spark, path, glob),
+        census,
+        [
+            ("codec", "string"), ("width", "bigint"), ("height", "bigint"),
+            ("n_frames", "bigint"), ("duration_us", "bigint"),
+            ("video_bytes", "bigint"), ("has_index", "bigint"),
+        ],
+        block_bytes,
+    )
+
+
+def load_mp3_headers(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_frames: int | None = None,
+    block_bytes: int = DEFAULT_BLOCK_BYTES,
+) -> DataFrame:
+    """MP3 framing census over a directory at 4-bytes-per-frame cost
+    — mm26's facts; ``max_frames`` switches to first-N-frames triage
+    with ``truncated`` = 1 flagging the inexact rows."""
+    return _header_loader(
+        list_files(spark, path, glob),
+        lambda r: census_mp3_ranged(r, max_frames),
+        [
+            ("n_frames", "bigint"), ("total_samples", "bigint"),
+            ("duration_us", "bigint"), ("stream_bytes", "bigint"),
+            ("min_kbps", "bigint"), ("max_kbps", "bigint"),
+            ("is_vbr", "bigint"), ("truncated", "bigint"),
+        ],
+        block_bytes,
+    )
+
+
+_SNIFF = (
+    ("mp4", lambda b: len(b) >= 12 and b[4:8] == b"ftyp"),
+    ("avi", lambda b: b[:4] == b"RIFF" and b[8:12] == b"AVI "),
+    ("mp3", lambda b: b[:3] == b"ID3" or (
+        len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
+    )),
+)
+
+
+def sniff_media_format(r: RangedReader) -> str:
+    """Magic-byte format sniff from the first 12 bytes."""
+    head = r.read_at(0, 12)
+    for name, pred in _SNIFF:
+        if pred(head):
+            return name
+    raise ValueError("unrecognized media container (want MP4/AVI/MP3)")
+
+
+def write_payload_files(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    ext: str = "bin",
+) -> int:
+    """Materialize a payload column as one file per row
+    (``doc_<id>.<ext>``) with DISTRIBUTED task-side writes — the
+    fixture bridge that turns the synth payload generators into an
+    on-disk corpus for the ranged loaders (local/shared FS; a real
+    crawl's corpus already is files). Returns the file count."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        for pdf in it:
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                name = os.path.join(out_dir, f"doc_{int(i):08d}.{ext}")
+                with open(name, "wb") as f:
+                    f.write(bytes(p))
+            n += len(pdf)
+        yield pd.DataFrame({"n": pd.Series([n], dtype="int64")})
+
+    return int(
+        df.select(id_col, payload_col)
+        .mapInPandas(write_part, "n bigint")
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )

@@ -513,3 +513,151 @@ def test_store_tiny_path_member_overwrites(spark, tmp_path):
     st.append("centers", spark.createDataFrame([(0, 2.0)], "c int, y double"))
     rows = st.read("centers").collect()
     assert len(rows) == 1 and rows[0]["y"] == 2.0
+
+
+# --- bounded-read media-header ingest (sources/media_headers.py) -----------
+
+
+def test_ranged_census_equals_inmemory_on_fixture(spark, tmp_path):
+    """THE equality law for the bounded-read ingest: for the same
+    synth corpora, the ranged loaders (file listing + ranged header
+    reads, never a full payload) produce row-identical censuses to
+    the certified in-memory mapInPandas path — across every fixture
+    branch (MP3 ID3v2/footer/ID3v1/CBR, AVI codec/fps/index, MP4
+    track/codec variants)."""
+    from pyspark.sql import functions as F
+
+    from sparkswift.operators import multimodal as mm
+    from sparkswift.sources import media_headers as mh
+
+    ids = spark.createDataFrame(
+        [(i,) for i in range(0, 60)], "doc_id long"
+    ).repartition(4)
+
+    cases = [
+        (
+            "mp3", mm.synth_mp3_payload,
+            lambda df: mm.mp3_frame_census(df, "doc_id", "payload"),
+            lambda d: mh.load_mp3_headers(spark, d, glob="*.mp3").drop(
+                "truncated"
+            ),
+        ),
+        (
+            "avi", mm.synth_avi_stub_payload,
+            lambda df: mm.avi_container_census(df, "doc_id", "payload"),
+            lambda d: mh.load_avi_headers(spark, d, glob="*.avi"),
+        ),
+        (
+            "mp4", mm.synth_mp4_stub_payload,
+            lambda df: mm.mp4_container_census(df, "doc_id", "payload"),
+            lambda d: mh.load_mp4_headers(spark, d, glob="*.mp4"),
+        ),
+    ]
+    for ext, synth, mem_census, ranged_load in cases:
+        d = str(tmp_path / ext)
+        n = mh.write_payload_files(synth(ids, "doc_id"), d, ext=ext)
+        assert n == 60
+        mem = {r["id"]: r.asDict() for r in mem_census(synth(ids, "doc_id")).collect()}
+        got = ranged_load(d).withColumn(
+            "id",
+            F.regexp_extract("path", r"doc_(\d+)\." + ext, 1).cast("bigint"),
+        )
+        rows = got.collect()
+        assert len(rows) == 60
+        for r in rows:
+            rd = r.asDict()
+            rid = rd.pop("id")
+            fb = rd.pop("file_bytes")
+            hb = rd.pop("header_bytes_read")
+            rd.pop("path")
+            expect = dict(mem[rid])
+            expect.pop("id")
+            assert rd == expect, (ext, rid, rd, expect)
+            assert 0 < hb and fb > 0
+
+
+def test_ranged_mp4_reads_tiny_fraction_of_big_mdat(tmp_path):
+    """The 100 TB point of the ranged ingest, measured: an MP4 whose
+    mdat dwarfs its headers censuses from a few KB of ranged reads —
+    bytes_fetched stays bounded by the header blocks while the
+    in-memory path would pay the full file."""
+    from sparkswift.operators.multimodal import (
+        _parse_mp4_container,
+        encode_mp4_stub,
+    )
+    from sparkswift.sources import media_headers as mh
+
+    payload = encode_mp4_stub(
+        7200, 600, [(b"vide", b"avc1"), (b"soun", b"mp4a")],
+        mdat_bytes=4_000_000,
+    )
+    p = tmp_path / "big.mp4"
+    p.write_bytes(payload)
+
+    r = mh.open_ranged(str(p), block_bytes=4096)
+    c = mh.census_mp4_ranged(r)
+    ref = _parse_mp4_container(payload)
+    assert c == ref
+    assert c["mdat_bytes"] == 4_000_000
+    # headers fit in a handful of 4 KB blocks; the 4 MB body is
+    # never fetched (seeked past via the mdat size field alone)
+    assert r.bytes_fetched < 32_768, r.bytes_fetched
+    assert r.bytes_fetched < len(payload) // 100
+
+
+def test_ranged_avi_skips_chunk_bodies(tmp_path):
+    """AVI's win is smaller (8 bytes per frame header) but real:
+    large opaque frame bodies are seeked past, so bytes_fetched stays
+    near the header size, not the video size."""
+    from sparkswift.operators.multimodal import (
+        _parse_avi_container,
+        encode_avi_stub,
+    )
+    from sparkswift.sources import media_headers as mh
+
+    payload = encode_avi_stub(
+        [200_000] * 20, codec=b"H264", fps=30, with_index=True
+    )
+    p = tmp_path / "big.avi"
+    p.write_bytes(payload)
+    r = mh.open_ranged(str(p), block_bytes=4096)
+    c = mh.census_avi_ranged(r)
+    ref = _parse_avi_container(payload)
+    assert c == ref and c["video_bytes"] == 4_000_000
+    assert r.bytes_fetched < len(payload) // 20, r.bytes_fetched
+
+
+def test_ranged_mp3_prefix_mode_and_gates(tmp_path):
+    """max_frames triage: the prefix census equals the full walk's
+    first-N sums with truncated=1 iff frames remain; corrupt and
+    unrecognized files fail loudly through the ranged path too."""
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import encode_mp3_stream
+    from sparkswift.sources import media_headers as mh
+
+    specs = [(1, 0), (5, 1), (9, 0), (14, 1), (3, 0)]
+    payload = encode_mp3_stream(specs, id3v2_bytes=33, id3v1=True)
+    p = tmp_path / "a.mp3"
+    p.write_bytes(payload)
+
+    full = mh.census_mp3_ranged(mh.open_ranged(str(p)))
+    assert full["n_frames"] == 5 and full["truncated"] == 0
+    pre = mh.census_mp3_ranged(mh.open_ranged(str(p)), max_frames=3)
+    assert pre["n_frames"] == 3 and pre["truncated"] == 1
+    assert pre["total_samples"] == 3 * 1152
+    assert pre["stream_bytes"] < full["stream_bytes"]
+    # prefix at exactly n frames is NOT truncated
+    exact = mh.census_mp3_ranged(mh.open_ranged(str(p)), max_frames=5)
+    assert exact == full
+
+    # sniff + loud gates
+    assert mh.sniff_media_format(mh.open_ranged(str(p))) == "mp3"
+    bad = tmp_path / "bad.mp4"
+    bad.write_bytes(b"\x00\x00\x00\x30ftypisom" + b"\x01" * 8)
+    with _pytest.raises(ValueError, match="corrupt ISO-BMFF"):
+        mh.census_mp4_ranged(mh.open_ranged(str(bad)))
+    junk = tmp_path / "junk.bin"
+    junk.write_bytes(b"\x01\x02\x03\x04" * 8)
+    with _pytest.raises(ValueError, match="unrecognized media"):
+        mh.sniff_media_format(mh.open_ranged(str(junk)))
