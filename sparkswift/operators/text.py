@@ -2103,3 +2103,216 @@ def html_extract_text(html_col: str):
     ):
         c = F.replace(c, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# t26 — TRAINED char-n-gram language ID (the model-based rung above
+# t2's stopword vote; public pattern: fastText/CLD-class lang-id is a
+# linear model over hashed character n-gram features — re-expressed
+# here with the engine's own exact-integer training machinery).
+# ---------------------------------------------------------------------------
+
+# one unambiguous article pair per language (each word appears in
+# exactly ONE language's STOPWORDS list, so a planted text votes for
+# exactly one language in lang_id's stopword argmax)
+LANGID_ARTICLES: dict[str, tuple[str, str]] = {
+    "en": ("the", "a"),
+    "de": ("der", "das"),
+    "es": ("el", "los"),
+    "fr": ("le", "les"),
+    "zh": ("的", "是"),
+}
+
+_LANGID_MULT = (7, 31, 101, 197, 499)  # n-gram hash multipliers
+
+
+def synth_langid_text(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    out_col: str = "txt",
+) -> DataFrame:
+    """Plant a per-language signal into the fixture's (all-English
+    vocabulary) text: replace the articles 'the'/'a' with the
+    language's own articles per ``LANGID_ARTICLES``, keyed by the
+    fixture's ``lang`` column — the t19 marker-supervision pattern
+    (the label-generating signal is real text the features can see).
+    Pure regexp expressions; the SQL oracle re-derives the same synth
+    with regexp_replace, so the weak-label counts are cross-engine
+    exact. \\b is ASCII-word-boundary in BOTH Java regex and RE2 —
+    consistent, including next to planted CJK characters."""
+    base = F.coalesce(F.col(text_col), F.lit(""))
+    expr = None
+    for lang, (x, y) in sorted(LANGID_ARTICLES.items()):
+        planted = F.regexp_replace(
+            F.regexp_replace(base, r"\bthe\b", x), r"\ba\b", y
+        )
+        expr = (
+            F.when(F.col(lang_col) == lang, planted)
+            if expr is None
+            else expr.when(F.col(lang_col) == lang, planted)
+        )
+    return df.withColumn(out_col, expr.otherwise(base))
+
+
+def langid_features(
+    df: DataFrame,
+    text_col: str = "txt",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+    ngrams: tuple[int, ...] = (3, 4, 5),
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Hashed char-n-gram frequency features, Arrow-batch vectorized
+    (mapInPandas — map-side only, zero shuffle): text is padded with
+    one space each side, every 3/4/5-gram hashes to
+    (Σ codepoint·multiplier) % n_buckets, and the feature vector is
+    the ENRICHMENT n_buckets·count/total (unit scale, so the Gramian
+    below is well-conditioned; an all-empty doc gets the zero
+    vector). Deterministic pure arithmetic — no interning, no
+    locale."""
+    import numpy as np
+    import pandas as pd
+
+    K = n_buckets
+    out_schema = (
+        f"{id_col} long, "
+        + "".join(f"{c} string, " for c in extra_cols)
+        + "feat array<double>"
+    )
+
+    def batches(it):
+        for pdf in it:
+            feats = []
+            for t in pdf[text_col]:
+                s = " " + (t or "") + " "
+                cs = np.frombuffer(
+                    s.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                cnt = np.zeros(K, dtype=np.int64)
+                for n in ngrams:
+                    if len(cs) >= n:
+                        win = np.lib.stride_tricks.sliding_window_view(cs, n)
+                        h = (win * np.array(_LANGID_MULT[:n])).sum(axis=1) % K
+                        np.add.at(cnt, h, 1)
+                tot = cnt.sum()
+                feats.append(
+                    (K * cnt / tot) if tot else np.zeros(K, dtype=np.float64)
+                )
+            out = {id_col: pdf[id_col]}
+            for c in extra_cols:
+                out[c] = pdf[c]
+            out["feat"] = pd.Series(list(feats))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, *extra_cols, text_col).mapInPandas(
+        batches, out_schema
+    )
+
+
+def train_langid_probe(
+    feat_df: DataFrame,
+    langs: list[str],
+    label_col: str = "weak",
+    feat_col: str = "feat",
+    n_buckets: int = 512,
+    ridge: float = 1e-3,
+):
+    """Train the multiclass linear probe in CLOSED FORM from one
+    exact-integer Gramian pass — the t19 quantization discipline
+    (per-row products floored to integer micro-units, summed as
+    BIGINT: bit-identical under any partition layout), upgraded from
+    iterated GD to the normal equations because hashed-frequency
+    features are too ill-conditioned for fixed-step GD to converge in
+    bounded iterations (measured: 40 GD steps sit at the class prior;
+    the closed form separates). One augmented vector
+    [1, x_1..x_K, y_1..y_C] per row makes a single pca_gram pass
+    yield X'X and X'Y together; the driver then solves C ridge
+    systems of size (K+1) — O(K²) driver state, corpus-free.
+
+    Returns ``(W, gram_key)`` where W is a (C, K+1) float64 weight
+    matrix (class order = ``langs``) and gram_key is a deterministic
+    digest of the INTEGER Gramian — two trainings agree on gram_key
+    iff they saw identical quantized sums, the layout-invariance
+    certificate. Quantization envelope: per-row products are O(K)
+    micro-units, so int64 holds ~1e10 training rows at K=512; past
+    that, train on a hash-sampled slice (standard practice for
+    lang-id probes) or raise the quantum."""
+    import hashlib
+
+    import numpy as np
+
+    from sparkswift.operators.pca import pca_gram
+
+    C = len(langs)
+    dim = 1 + n_buckets + C
+    onehots = [
+        F.when(F.col(label_col) == lang, 1.0).otherwise(0.0)
+        for lang in langs
+    ]
+    aug = feat_df.select(
+        F.concat(
+            F.array(F.lit(1.0)), F.col(feat_col), F.array(*onehots)
+        ).alias("aug")
+    )
+    rows = pca_gram(aug, "aug", dim).collect()
+    m2 = np.zeros((dim, dim), dtype=np.int64)
+    for r in rows:
+        if r.j != 0:
+            m2[r.i - 1, r.j - 1] = r.s
+            m2[r.j - 1, r.i - 1] = r.s
+    gram_key = hashlib.sha256(m2.tobytes()).hexdigest()
+    nf = 1 + n_buckets
+    gxx = m2[:nf, :nf] / 1e6
+    gxy = m2[:nf, nf:] / 1e6
+    W = np.linalg.solve(
+        gxx + ridge * np.eye(nf), gxy
+    ).T  # (C, K+1)
+    return W, gram_key
+
+
+def score_langid_probe(
+    df: DataFrame,
+    weights,
+    langs: list[str],
+    feat_col: str = "feat",
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
+    out_col: str = "lang_pred",
+) -> DataFrame:
+    """Score with the trained probe: per-class dot product + argmax,
+    Arrow-batch vectorized with the (tiny, broadcast-literal) weight
+    matrix; ties break to the first language in ``langs`` order —
+    deterministic."""
+    import numpy as np
+    import pandas as pd
+
+    W = np.asarray(weights, dtype=np.float64)
+    out_schema = (
+        f"{id_col} long, "
+        + "".join(f"{c} string, " for c in extra_cols)
+        + f"{out_col} string"
+    )
+    lang_arr = list(langs)
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf):
+                X = np.stack(
+                    [
+                        np.concatenate(([1.0], np.asarray(v)))
+                        for v in pdf[feat_col]
+                    ]
+                )
+                pred = [lang_arr[i] for i in (X @ W.T).argmax(axis=1)]
+            else:
+                pred = []
+            out = {id_col: pdf[id_col]}
+            for c in extra_cols:
+                out[c] = pdf[c]
+            out[out_col] = pd.Series(pred, dtype="object")
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, *extra_cols, feat_col).mapInPandas(
+        batches, out_schema
+    )

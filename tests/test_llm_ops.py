@@ -4497,3 +4497,93 @@ def test_mp4_container_census_and_gates():
         )
     with _pytest.raises(ValueError, match="no moov/mvhd"):
         _parse_mp4_container(ftyp + _box(b"free", bytes(4)))
+
+
+def test_langid_probe_independent_reference(spark):
+    """t26's derivation vs a PURE-PYTHON reference (the agg18 lesson:
+    engine+oracle sync is not derivation correctness): features,
+    quantized Gramian, ridge solve and argmax are all recomputed
+    from scratch here and must match the engine bit-for-bit
+    (features, integer Gramian) / to float64 determinism (weights)."""
+    import numpy as np
+
+    from sparkswift.operators import text as tx
+
+    K = 64
+    langs = ["de", "en"]
+    rows = [
+        (0, "der hund und das haus der der", "de"),
+        (1, "the cat and the hat a cat", "en"),
+        (2, "das boot der berg das das und", "de"),
+        (3, "a dog the fog the log a a", "en"),
+        (4, "der zug das tor und der damm", "de"),
+        (5, "the sun a moon the star a", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, txt string, weak string")
+    feat = tx.langid_features(df, "txt", n_buckets=K, extra_cols=("weak",))
+    got = {r["doc_id"]: np.asarray(r["feat"]) for r in feat.collect()}
+
+    # pure-python feature reference
+    def ref_feat(t):
+        s = " " + t + " "
+        cs = [ord(c) for c in s]
+        cnt = np.zeros(K)
+        for n in (3, 4, 5):
+            mult = tx._LANGID_MULT[:n]
+            for i in range(len(cs) - n + 1):
+                cnt[sum(c * m for c, m in zip(cs[i : i + n], mult)) % K] += 1
+        tot = cnt.sum()
+        return K * cnt / tot if tot else cnt
+
+    X = []
+    for i, t, _ in rows:
+        rf = ref_feat(t)
+        assert np.array_equal(got[i], rf), i
+        X.append(np.concatenate(([1.0], rf)))
+    X = np.array(X)
+
+    W, key1 = tx.train_langid_probe(feat, langs, n_buckets=K)
+    # reference: quantized Gramian + ridge solve, replicated exactly
+    Y = np.zeros((len(rows), 2))
+    for r, (_, _, wk) in enumerate(rows):
+        Y[r, langs.index(wk)] = 1.0
+    A = np.hstack([X, Y])
+    m2 = np.floor(
+        np.einsum("ni,nj->nij", A, A) * 1e6 + 0.5
+    ).astype(np.int64).sum(axis=0)
+    nf = 1 + K
+    Wref = np.linalg.solve(
+        m2[:nf, :nf] / 1e6 + 1e-3 * np.eye(nf), m2[:nf, nf:] / 1e6
+    ).T
+    assert np.allclose(W, Wref, rtol=0, atol=1e-12)
+
+    # layout invariance: integer Gramian digest identical at any bucketing
+    _, key2 = tx.train_langid_probe(feat.repartition(5), langs, n_buckets=K)
+    assert key1 == key2
+
+    # scoring: argmax with first-in-order tie-break; probe separates
+    scored = tx.score_langid_probe(feat, W, langs, extra_cols=("weak",))
+    for r in scored.collect():
+        assert r["lang_pred"] == r["weak"], r
+
+    # empty text -> zero vector, never a NaN
+    empty = spark.createDataFrame([(9, "", "de")], "doc_id long, txt string, weak string")
+    ef = tx.langid_features(empty, "txt", n_buckets=K).collect()[0]["feat"]
+    assert list(ef) == [0.0] * K
+
+
+def test_synth_langid_text_plants_unambiguous_articles(spark):
+    """The planted articles flip the stopword vote to exactly the
+    planted language (each article is unique to one language's
+    STOPWORDS), and unknown langs pass text through unchanged."""
+    from sparkswift.operators import text as tx
+
+    rows = [(i, "the spark a stream the merge a", l) for i, l in
+            enumerate(["en", "de", "es", "fr", "zh", "xx"])]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = tx.lang_id(tx.synth_langid_text(df), "txt", "weak").collect()
+    by_lang = {r["lang"]: r for r in out}
+    for lang in ("en", "de", "es", "fr", "zh"):
+        assert by_lang[lang]["weak"] == lang, by_lang[lang]
+    assert by_lang["xx"]["txt"] == "the spark a stream the merge a"
+    assert by_lang["xx"]["weak"] == "en"  # untouched text keeps en articles
