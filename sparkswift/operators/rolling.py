@@ -707,11 +707,40 @@ def ewm_mean_global(
     max_rounds: int = 512,
 ) -> DataFrame:
     """EWM mean WITHOUT the per-key single-task envelope (VERDICT r13
-    #4): :func:`ewm_mean` holds a key's whole history in one task, so
-    one hot key breaks at 100 TB. The recurrence
-    ``y_t = (1-α)·y_{t-1} + α·x_t`` (adjust=False, y_0 = x_0) is a
-    linear scan, so it distributes as a CARRY CHAIN over time
-    buckets: slice the timeline into ``n_buckets`` equal-width
+    #4) — the single-α face of :func:`ewm_mean_multi_global` (one
+    carry-chain implementation serves both; the per-column kernel is
+    unchanged, so the o9b bit-identity and bucketing-invariance laws
+    hold verbatim)."""
+    return ewm_mean_multi_global(
+        df,
+        on,
+        {output_col: alpha},
+        key_col,
+        order_by,
+        ts_col=ts_col,
+        n_buckets=n_buckets,
+        max_rounds=max_rounds,
+    )
+
+
+def ewm_mean_multi_global(
+    df: DataFrame,
+    on: str,
+    alphas: dict[str, float],
+    key_col: str,
+    order_by: list[str],
+    ts_col: str | None = None,
+    n_buckets: int = 8,
+    max_rounds: int = 512,
+) -> DataFrame:
+    """SEVERAL EWMs of one column (``alphas``: output_col → α)
+    WITHOUT the per-key single-task envelope — the w12 crossover
+    shape distributed the o9b way (VERDICT r14 next-round #3: the
+    last order-dependent kernel without a carry-chain twin). Each
+    recurrence ``y_t = (1-α)·y_{t-1} + α·x_t`` (adjust=False,
+    y_0 = x_0) is a linear scan, so ALL of them distribute together
+    as ONE carry chain over time buckets — the carry is simply one
+    float64 PER α per key, handed across rounds in one frame: slice the timeline into ``n_buckets`` equal-width
     slices of ``ts_col`` (the first of ``order_by`` when not given),
     then process slices IN ORDER — each round one distributed
     ``applyInPandas`` over (key × this slice) that continues every
@@ -736,17 +765,23 @@ def ewm_mean_global(
     pandas ewm and this kernel would disagree on NaN policy."""
     import numpy as np
 
-    if not 0.0 < alpha <= 1.0:
-        raise ValueError("alpha must be in (0, 1]")
+    if not alphas:
+        raise ValueError("alphas must be non-empty")
+    for a in alphas.values():
+        if not 0.0 < a <= 1.0:
+            raise ValueError("alpha must be in (0, 1]")
     if n_buckets > max_rounds:
         raise ValueError(f"n_buckets={n_buckets} > max_rounds={max_rounds}")
     tcol = ts_col or order_by[0]
     order = list(order_by)
 
+    out_cols = list(alphas)
+    carry_cols = [f"__y0_{c}" for c in out_cols]
     base_fields = df.schema.fields
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in base_fields]
-        + [f"{output_col} double", "__last boolean"]
+        + [f"{c} double" for c in out_cols]
+        + ["__last boolean"]
     )
     names = [f.name for f in base_fields]
 
@@ -756,25 +791,27 @@ def ewm_mean_global(
         # a continued recurrence y_new = (1-α)c + αx IS pandas
         # ewm(adjust=False) over the series with the carry PREPENDED
         # (its first output is exactly c), dropping that first row.
-        # Same float ops in the same order as ewm_mean's kernel —
-        # bit-identity is what the bucketing-invariance law pins.
+        # Same float ops in the same order as ewm_mean_multi's kernel
+        # — bit-identity is what the bucketing-invariance law pins.
         pdf = pdf.sort_values(order).reset_index(drop=True)
         x = pdf[on].to_numpy(np.float64)
-        c0 = pdf["__y0"].iloc[0]
-        if pd.isna(c0):
-            y = pd.Series(x).ewm(alpha=alpha, adjust=False).mean().to_numpy()
-        else:
-            y = (
-                pd.Series(np.concatenate(([float(c0)], x)))
-                .ewm(alpha=alpha, adjust=False)
-                .mean()
-                .to_numpy()[1:]
-            )
-        pdf[output_col] = y
+        for c, cc in zip(out_cols, carry_cols):
+            a = alphas[c]
+            c0 = pdf[cc].iloc[0]
+            if pd.isna(c0):
+                y = pd.Series(x).ewm(alpha=a, adjust=False).mean().to_numpy()
+            else:
+                y = (
+                    pd.Series(np.concatenate(([float(c0)], x)))
+                    .ewm(alpha=a, adjust=False)
+                    .mean()
+                    .to_numpy()[1:]
+                )
+            pdf[c] = y
         last = np.zeros(len(x), dtype=bool)
         last[-1] = True
         pdf["__last"] = last
-        return pdf[names + [output_col, "__last"]]
+        return pdf[names + out_cols + ["__last"]]
 
     # equal-width time slices: two bounded scalars, then a pure
     # per-row expression — monotone in the (ts, tiebreak) order
@@ -809,7 +846,8 @@ def ewm_mean_global(
         for b in range(n_buckets):
             sl = work.filter(F.col("__bkt") == b).drop("__bkt")
             if carries is None:
-                sl = sl.withColumn("__y0", F.lit(None).cast("double"))
+                for cc in carry_cols:
+                    sl = sl.withColumn(cc, F.lit(None).cast("double"))
             else:
                 sl = sl.join(carries, key_col, "left")
             res = (
@@ -821,18 +859,28 @@ def ewm_mean_global(
             # per key): it stays in the output AND seeds the carry
             outs.append(res.drop("__last"))
             round_carries = res.filter(F.col("__last")).select(
-                F.col(key_col), F.col(output_col).alias("__y0_new")
+                F.col(key_col),
+                *[F.col(c).alias(f"__new_{c}") for c in out_cols],
             )
             # keep the LAST carry per key across rounds: keys absent
             # from a slice retain their old carry
             if carries is None:
-                carries = round_carries.withColumnRenamed("__y0_new", "__y0")
+                carries = round_carries.select(
+                    F.col(key_col),
+                    *[
+                        F.col(f"__new_{c}").alias(cc)
+                        for c, cc in zip(out_cols, carry_cols)
+                    ],
+                )
             else:
                 carries = (
                     carries.join(round_carries, key_col, "full")
                     .select(
                         F.col(key_col),
-                        F.coalesce("__y0_new", "__y0").alias("__y0"),
+                        *[
+                            F.coalesce(f"__new_{c}", cc).alias(cc)
+                            for c, cc in zip(out_cols, carry_cols)
+                        ],
                     )
                 )
             # res is already an eager checkpoint, so the carry plan is

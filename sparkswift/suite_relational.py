@@ -3504,6 +3504,85 @@ def o9b_ewm_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# w12b — EWM CROSSOVER WITHOUT the per-key single-task envelope
+# (VERDICT r14 next-round #3: ewm_mean_multi was the last order-
+# dependent kernel without a carry-chain twin). o9b's round loop now
+# carries BOTH α states — one float64 per α per key in ONE carry
+# frame — so the fast/slow recurrences distribute together in a
+# single chain (same per-round shape: one applyInPandas across all
+# keys of the slice, one key-count carry join). Every per-column op
+# replays ewm_mean_multi's kernel bit-for-bit (bucketing-invariance
+# pytest law at any n_buckets), so w12's recursive-CTE oracle and
+# the crossing-event set certify it UNCHANGED.
+# ---------------------------------------------------------------------------
+@register(
+    "w12b_ewm_crossover_global",
+    """
+    WITH RECURSIVE s AS (
+      SELECT event_id, user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT event_id, user_id, rn, value AS fast, value AS slow
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.event_id, s.user_id, s.rn,
+             0.5 * r.fast + 0.5 * s.value,
+             0.75 * r.slow + 0.25 * s.value
+      FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    ),
+    d AS (
+      SELECT user_id, event_id, rn, fast, slow, fast - slow AS diff
+      FROM r
+    ),
+    x AS (
+      SELECT *, lag(diff) OVER (PARTITION BY user_id ORDER BY rn) AS pdiff
+      FROM d
+    )
+    SELECT user_id, event_id, fast, slow,
+           CASE WHEN diff > 0 THEN 'golden' ELSE 'death' END AS direction
+    FROM x
+    WHERE pdiff IS NOT NULL
+      AND ((pdiff < 0 AND diff > 0) OR (pdiff > 0 AND diff < 0))
+    """,
+)
+def w12b_ewm_crossover_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from sparkswift.operators.rolling import ewm_mean_multi_global
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    fs = ewm_mean_multi_global(
+        ev, on="value", alphas={"fast": 0.5, "slow": 0.25},
+        key_col="user_id", order_by=["ts", "event_id"], ts_col="ts",
+        n_buckets=4,
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    d = fs.withColumn("diff", F.col("fast") - F.col("slow")).withColumn(
+        "pdiff", F.lag("diff").over(w)
+    )
+    return d.filter(
+        F.col("pdiff").isNotNull()
+        & (
+            ((F.col("pdiff") < 0) & (F.col("diff") > 0))
+            | ((F.col("pdiff") > 0) & (F.col("diff") < 0))
+        )
+    ).select(
+        "user_id",
+        "event_id",
+        "fast",
+        "slow",
+        F.when(F.col("diff") > 0, F.lit("golden"))
+        .otherwise(F.lit("death"))
+        .alias("direction"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # w10b — CUSUM statistic as a ONE-PASS SEGMENTED SCAN (VERDICT r13
 # #4's second half): the NO-RESET Page statistic s = max(0, s_prev +
 # v − allowance) has the exact closed form s_i = P_i − min(0,

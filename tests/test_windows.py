@@ -1343,6 +1343,45 @@ def test_ewm_mean_global_bit_identity(spark, sf_dir):
         )
 
 
+def test_ewm_mean_multi_global_bit_identity(spark, sf_dir):
+    """w12b law: the DUAL-alpha carry chain is bit-identical to the
+    one-pass ewm_mean_multi kernel at every bucket count — both alpha
+    states ride the same carry frame, each column replaying the
+    identical float64 ops (the o9b law, applied per column)."""
+    import pytest as _pytest
+
+    from sparkswift.operators.rolling import (
+        ewm_mean_multi,
+        ewm_mean_multi_global,
+    )
+    from sparkswift.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    alphas = {"fast": 0.5, "slow": 0.25}
+    base = {
+        r.event_id: (r.fast, r.slow)
+        for r in ewm_mean_multi(
+            ev, on="value", alphas=alphas,
+            partition_by=["user_id"], order_by=["ts", "event_id"],
+        ).select("event_id", "fast", "slow").collect()
+    }
+    for nb in (1, 4):
+        got = {
+            r.event_id: (r.fast, r.slow)
+            for r in ewm_mean_multi_global(
+                ev, on="value", alphas=alphas, key_col="user_id",
+                order_by=["ts", "event_id"], ts_col="ts", n_buckets=nb,
+            ).select("event_id", "fast", "slow").collect()
+        }
+        assert got == base, nb  # exact float ==, not approx
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        ewm_mean_multi_global(
+            ev, on="value", alphas={}, key_col="user_id",
+            order_by=["ts", "event_id"],
+        )
+
+
 def test_cusum_stat_global_bucketing_invariance(spark, sf_dir):
     """w10b laws: the segmented-scan CUSUM statistic (no-reset)
     equals a sequential pure-python fold bit-for-bit at every bucket
