@@ -864,27 +864,18 @@ def raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (tools/ledger.py): oldest driver evidence first, new/changed code
 # always earns rows in its own round. Composition:
 #
-# 1. The 14 r13-tail queries that have NEVER appeared in a
-#    CORRECTNESS_r*.json (VERDICT r13 #1 names them explicitly) —
-#    judge-swept 271/271 in the r13 session but still without a
-#    driver row: mm24-mm27, p35, p36, d19, d20, st34, st35, st36,
-#    w12, e16, t25. Four of these (t25/st35 hardened fixture +
-#    entity-order fix, mm26/st36 ID3v2-footer fix, p36 overflow
-#    guard, d19/d20/st34 dHash pack fix) are ALSO this round's
-#    changed code.
-# 2. Changed-code refresh: p30_temperature_mixture
-#    (temperature_weights fallback restructure, ADVICE r13) — plus
-#    t22_wordpiece_tokens / p31_sft_export, displaced from the r13
-#    window for mm22/mm23.
-# 3. This round's six NEW operators: d21_image_dhash_hamming,
-#    o9b_ewm_global, w10b_cusum_global, st37_stream_dhash_hamming,
-#    mm28_video_container_census, mm29_mp4_container_census. Each
-#    displaced the round-8 fill with the MOST prior driver evidence
-#    (mm2, mm1, mm5, o2_apply_rows, st2, q1 — q1 stays smoke-checked
-#    every round via __spark_entry__.entry()).
-# 4. Oldest-evidence fill: the ENTIRE still-registered round-7
-#    cohort (last driver row 6 rounds ago), then the round-8 cohort
-#    until the window is full.
+# r15 rotation = PURE STALENESS (VERDICT r14 #7: every registered
+# name now has a historical driver row, so the window is simply the
+# 50 names whose most-recent green driver row is OLDEST, computed
+# from the CORRECTNESS_r*.json ledger; ties break alphabetically):
+# 1. This round's six NEW entries (no driver row yet): the four
+#    ranged-ingest census twins (mm26b/mm26c/mm28b/mm29b), the
+#    trained lang-id gate (t26), and the dual-alpha carry chain
+#    (w12b).
+# 2. The entire remaining round-7 cohort (last driver row 8 rounds
+#    ago): agg13-agg16.
+# 3. 40 of the 41-strong round-8 cohort (7 rounds stale) fills the
+#    window; t6_pii_redact (alphabetically last) waits for r16.
 #
 # st2b_stateful_totals_tws remains unregistered: the container lacks
 # protobuf so transformWithState cannot import (NOTES.md, re-checked
@@ -895,62 +886,59 @@ def raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ledger" and `tools/ledger.py --markdown`.
 # ---------------------------------------------------------------------------
 _WINDOW = [
-    # --- (1) r13 tail, never driver-verified (incl. this round's fixes) ---
-    "t25_html_extract",
-    "st35_stream_html_extract",
-    "mm26_mp3_census_real",
-    "st36_stream_mp3_census",
-    "p36_negative_samples",
-    "d19_image_dhash_pairs",
-    "d20_image_dhash_incremental",
-    "st34_stream_image_dedup",
-    "mm24_gif_anim_composite_real",
-    "mm25_au_alaw_decode_real",
-    "mm27_tiff_tiled_decode_real",
-    "p35_url_canonicalize",
-    "w12_ewm_crossover",
-    "e16_filtered_topk_ivf",
-    # --- (2) changed-code refresh + r13-displaced ---
-    "p30_temperature_mixture",
-    "t22_wordpiece_tokens",
-    "p31_sft_export",
-    # --- (3) new this round ---
-    "d21_image_dhash_hamming",
-    "o9b_ewm_global",
-    "w10b_cusum_global",
-    "st37_stream_dhash_hamming",
-    "mm28_video_container_census",
-    "mm29_mp4_container_census",
-    "w10c_cusum_alerts_global",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q16_supplier_relationship",
-    "q20_potential_promotion",
-    # --- (4) round-7 cohort (stalest driver evidence, 6 behind) ---
-    "d13_line_dedup",
-    "j9_interval_overlap",
-    "j10_salted_join",
-    "j11_salted_join_skewed",
-    "mm3_audio_features",
-    "o1_apply_native",
-    "o6c_resample_interpolate",
-    "p18_dataset_diff",
-    "p19_preference_pairs",
-    "p20_dsir_select",
-    "q4_priority_check",
-    "q14_promo_effect",
-    "q19_disjunctive_revenue",
-    "set2_intersect",
-    "st11_stream_quality",
-    "st12_stream_chunk",
-    "st13_stream_ivf_ingest",
-    "t14_chunk_overlap",
-    "w4_distribution_windows",
-    # --- (4) round-8 cohort fill (5 behind; newest entries here are
-    # the displacement pool for group-3 operators landing this round) ---
-    "d2_skew_gate",
-    "j6_asof_forward",
+    # --- (1) new this round (r15), never driver-verified ---
+    "mm26b_mp3_census_ranged",
+    "mm26c_mp3_census_prefix",
+    "mm28b_video_census_ranged",
+    "mm29b_mp4_census_ranged",
+    "t26_langid_trained_gate",
+    "w12b_ewm_crossover_global",
+    # --- (2) round-7 cohort (stalest driver evidence, 8 behind) ---
+    "agg13_bool_aggs",
+    "agg14_skew_report",
+    "agg15_histogram",
+    "agg16_heavy_hitters_gate",
+    # --- (3) round-8 cohort (7 behind; fills the window to 50) ---
+    "agg4_cube",
+    "d1_dedup_exact",
+    "d5_embedding_neardup",
+    "j1_revenue_by_nation",
+    "j4_asof_join",
+    "j5_range_join",
+    "mm1_decode",
+    "mm2_frame_sample",
+    "mm5_audio_decode_real",
+    "o1_apply_partitions",
+    "o1_apply_udf",
+    "o2_apply_columns",
+    "o2_apply_rows",
+    "o2_apply_rows_expand",
+    "o3_applymap",
+    "o4_groupby_agg_udf",
+    "o4_groupby_apply",
+    "o4_skew_giant_group",
+    "o5_rolling_sum_rows",
+    "o5_rolling_sum_time",
+    "o5_rolling_udf",
+    "o5_rolling_weighted",
+    "o6_resample_hourly",
+    "o6_resample_udf_median",
+    "o7_ps_apply",
+    "p2_hash_split",
+    "p4_stratified_sample",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "st1_stream_resample",
+    "st2_stateful_totals",
+    "st3_stream_sliding",
+    "st4_stream_join",
+    "st5_stream_dedup",
+    "st6_stream_sessions",
+    "sw1_session_window",
+    "t17_bpe_ids_gate",
+    "t2_lang_id",
 ]
 
 
