@@ -553,9 +553,9 @@ def e14_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e2_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     approx = sim.cosine_topk_lsh(
-        emb, k=5, bits=32, bands=8, query_filter=(F.col("label") == 0)
+        emb, k=5, bits=48, bands=12, query_filter=(F.col("label") == 0)
     )
-    return _topk_gate(spark, sf_dir, approx, 0.5)
+    return _topk_gate(spark, sf_dir, approx, 0.8)
 
 
 @register("e3_gate", _TOPK_ORACLE)
@@ -1799,7 +1799,7 @@ def measured_ann_recalls(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     n_exact = exact.count()
     variants: dict[str, object] = {
         "e2_lsh": lambda: sim.cosine_topk_lsh(
-            emb, k=5, bits=32, bands=8, query_filter=(F.col("label") == 0)
+            emb, k=5, bits=48, bands=12, query_filter=(F.col("label") == 0)
         ),
         "e3_ivf": lambda: sim.cosine_topk_ivf(
             emb, queries, k=5, nlist=16, nprobe=8

@@ -496,10 +496,14 @@ def e14_cosine_range_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("e2_cosine_topk_lsh", None)
 def e2_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # queries ⊂ corpus → query_filter derives the query side from the
-    # one materialized signature frame instead of re-signaturing
+    # one materialized signature frame instead of re-signaturing.
+    # bits/bands per the r15 sweep (NOTES): 48/12 lifts measured
+    # recall 0.676 → 0.836 at sf0.01; SRP selectivity is weak in this
+    # fixture's neighbor-angle regime (median cosine 0.32) — IVF/PQ
+    # are the production path, e2 certifies the mechanism.
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.cosine_topk_lsh(
-        emb, k=5, bits=32, bands=8, query_filter=(F.col("label") == 0)
+        emb, k=5, bits=48, bands=12, query_filter=(F.col("label") == 0)
     )
 
 
