@@ -47,7 +47,13 @@ def get_spark(app_name: str = "sparkswift", cpus: int | None = None) -> SparkSes
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (test noise); SPARK_GRAFT_UI=1 turns it on
+        # so scale-rehearsal tools can read spill/peak metrics from
+        # the status REST API
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
+        )
         # keep catalog tables (bucketed sinks) out of the repo tree
         .config("spark.sql.warehouse.dir", "/tmp/sparkswift-warehouse")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
