@@ -3649,6 +3649,51 @@ def _packbits_encode(b: bytes) -> bytes:
     return bytes(out)
 
 
+def _parse_tiff_ccitt(
+    b: bytes, tags: dict, w: int, h: int, photo: int, comp: int,
+    spp: int, bits: list,
+) -> np.ndarray:
+    """Bilevel CCITT strip assembly for _parse_tiff: compression 2
+    (MH byte-aligned rows), 3 (G3 1D + EOL; 2D/MR gated) or 4 (G4
+    MMR). Coding — including G4's reference line — restarts per
+    STRIP (TIFF 6.0 strip independence). Photometric must be 0
+    (WhiteIsZero, the fax convention the spec mandates for CCITT);
+    FillOrder must be 1; option bits for MR and uncompressed mode
+    refuse loudly."""
+    if spp != 1 or bits != [1]:
+        raise NotImplementedError(
+            f"CCITT TIFF wants 1 bilevel sample, got spp={spp} bits={bits}"
+        )
+    if photo != 0:
+        raise NotImplementedError(
+            f"CCITT TIFF photometric {photo} unsupported (0=WhiteIsZero "
+            "is the T.4/T.6 convention)"
+        )
+    if tags.get(266, [1])[0] != 1:
+        raise NotImplementedError("TIFF FillOrder 2 (LSB-first) unsupported")
+    t4opts = tags.get(292, [0])[0]
+    t6opts = tags.get(293, [0])[0]
+    if comp == 3 and (t4opts & 1):
+        raise NotImplementedError(
+            "2D G3 (MR, T4Options bit 0) unsupported — G4 covers the "
+            "2D path; transcode or use compression 4"
+        )
+    if (t4opts & 2) or (t6opts & 2):
+        raise NotImplementedError("CCITT uncompressed mode unsupported")
+    try:
+        offsets, counts = tags[273], tags[279]
+    except KeyError as ex:
+        raise ValueError(f"TIFF missing required tag {ex}") from None
+    rps = tags.get(278, [h])[0]
+    rows = []
+    for si, (o, c) in enumerate(zip(offsets, counts)):
+        rows_here = min(rps, h - si * rps)
+        rows.append(ccitt_decode(bytes(b[o : o + c]), w, rows_here, comp))
+    bw = np.concatenate(rows)  # 1 = black pel
+    g = np.where(bw == 1, 0, 255).astype(np.uint8)
+    return np.repeat(g[:, :, None], 3, axis=2)
+
+
 def _parse_tiff(b: bytes) -> np.ndarray:
     """Decode a baseline TIFF to (h, w, 3) uint8: both byte orders,
     8-bit grayscale (photometric 0 WhiteIsZero inverted per spec, 1
@@ -3656,8 +3701,10 @@ def _parse_tiff(b: bytes) -> np.ndarray:
     TILED layout (TIFF 6.0 §15: TileWidth/Length multiples of 16,
     left-to-right top-to-bottom tile order, edge tiles padded to full
     size and cropped on assembly; the horizontal predictor resets per
-    TILE row), compressions 1 (none), 5 (LZW) and 32773 (PackBits).
-    CCITT/JPEG-in-TIFF and non-8-bit samples raise loudly."""
+    TILE row), compressions 1 (none), 5 (LZW) and 32773 (PackBits);
+    bilevel CCITT strips (compression 2 RLE / 3 G3-1D / 4 G4 MMR,
+    ITU-T T.4/T.6) decode via _parse_tiff_ccitt. JPEG-in-TIFF,
+    2D G3 (MR) and non-{1,8}-bit samples raise loudly."""
     if b[:4] == b"II*\x00":
         e = "<"
     elif b[:4] == b"MM\x00*":
@@ -3685,12 +3732,14 @@ def _parse_tiff(b: bytes) -> np.ndarray:
     comp = tags.get(259, [1])[0]
     spp = tags.get(277, [1])[0]
     bits = tags.get(258, [8] * spp)
+    if comp in (2, 3, 4):  # CCITT G3/G4 — real codec pass (T.4/T.6)
+        return _parse_tiff_ccitt(b, tags, w, h, photo, comp, spp, bits)
     if any(x != 8 for x in bits):
         raise NotImplementedError(f"TIFF bits-per-sample {bits} unsupported (8 only)")
     if comp not in (1, 5, 32773):
         raise NotImplementedError(
             f"TIFF compression {comp} unsupported (1=none, 5=LZW, "
-            "32773=PackBits; CCITT/JPEG-in-TIFF need a full codec pass)"
+            "32773=PackBits; JPEG-in-TIFF needs a full codec pass)"
         )
     predictor = tags.get(317, [1])[0]
     if predictor not in (1, 2):
@@ -6554,3 +6603,526 @@ def synth_mp4_stub_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         return ids.map(one)
 
     return df.withColumn("payload", make(F.col(id_col)))
+
+
+# --- TIFF CCITT Group 3 / Group 4 (ITU-T T.4 / T.6) ------------------------
+# The biggest named TIFF gate (mm27's comment), closed with the same
+# spec-transcription discipline as FLAC/LZW: the Modified-Huffman
+# run-length tables and the 2D mode codes below are transcribed from
+# the public ITU-T T.4 (G3) and T.6 (G4) recommendations (the tables
+# every fax codec ships). Supported: TIFF compression 2 (CCITT "RLE"
+# — MH, each row byte-aligned), 3 (G3 1D with EOLs, fill tolerated)
+# and 4 (G4 MMR with the imaginary white reference line, EOFB
+# emitted/ignored). Loud NotImplementedError gates: 2D G3 (MR,
+# T4Options bit 0), uncompressed mode (option bit 1), FillOrder 2,
+# photometric != 0 (the spec's convention for fax). Tables are
+# asserted prefix-free at import of the codec (a transcription typo
+# that collides fails immediately, not mid-decode).
+
+_CCITT_WHITE = {
+    0: "00110101", 1: "000111", 2: "0111", 3: "1000", 4: "1011",
+    5: "1100", 6: "1110", 7: "1111", 8: "10011", 9: "10100",
+    10: "00111", 11: "01000", 12: "001000", 13: "000011",
+    14: "110100", 15: "110101", 16: "101010", 17: "101011",
+    18: "0100111", 19: "0001100", 20: "0001000", 21: "0010111",
+    22: "0000011", 23: "0000100", 24: "0101000", 25: "0101011",
+    26: "0010011", 27: "0100100", 28: "0011000", 29: "00000010",
+    30: "00000011", 31: "00011010", 32: "00011011", 33: "00010010",
+    34: "00010011", 35: "00010100", 36: "00010101", 37: "00010110",
+    38: "00010111", 39: "00101000", 40: "00101001", 41: "00101010",
+    42: "00101011", 43: "00101100", 44: "00101101", 45: "00000100",
+    46: "00000101", 47: "00001010", 48: "00001011", 49: "01010010",
+    50: "01010011", 51: "01010100", 52: "01010101", 53: "00100100",
+    54: "00100101", 55: "01011000", 56: "01011001", 57: "01011010",
+    58: "01011011", 59: "01001010", 60: "01001011", 61: "00110010",
+    62: "00110011", 63: "00110100",
+    # makeup codes
+    64: "11011", 128: "10010", 192: "010111", 256: "0110111",
+    320: "00110110", 384: "00110111", 448: "01100100",
+    512: "01100101", 576: "01101000", 640: "01100111",
+    704: "011001100", 768: "011001101", 832: "011010010",
+    896: "011010011", 960: "011010100", 1024: "011010101",
+    1088: "011010110", 1152: "011010111", 1216: "011011000",
+    1280: "011011001", 1344: "011011010", 1408: "011011011",
+    1472: "010011000", 1536: "010011001", 1600: "010011010",
+    1664: "011000", 1728: "010011011",
+}
+
+_CCITT_BLACK = {
+    0: "0000110111", 1: "010", 2: "11", 3: "10", 4: "011",
+    5: "0011", 6: "0010", 7: "00011", 8: "000101", 9: "000100",
+    10: "0000100", 11: "0000101", 12: "0000111", 13: "00000100",
+    14: "00000111", 15: "000011000", 16: "0000010111",
+    17: "0000011000", 18: "0000001000", 19: "00001100111",
+    20: "00001101000", 21: "00001101100", 22: "00000110111",
+    23: "00000101000", 24: "00000010111", 25: "00000011000",
+    26: "000011001010", 27: "000011001011", 28: "000011001100",
+    29: "000011001101", 30: "000001101000", 31: "000001101001",
+    32: "000001101010", 33: "000001101011", 34: "000011010010",
+    35: "000011010011", 36: "000011010100", 37: "000011010101",
+    38: "000011010110", 39: "000011010111", 40: "000001101100",
+    41: "000001101101", 42: "000011011010", 43: "000011011011",
+    44: "000001010100", 45: "000001010101", 46: "000001010110",
+    47: "000001010111", 48: "000001100100", 49: "000001100101",
+    50: "000001010010", 51: "000001010011", 52: "000000100100",
+    53: "000000110111", 54: "000000111000", 55: "000000100111",
+    56: "000000101000", 57: "000001011000", 58: "000001011001",
+    59: "000000101011", 60: "000000101100", 61: "000001011010",
+    62: "000001100110", 63: "000001100111",
+    # makeup codes
+    64: "0000001111", 128: "000011001000", 192: "000011001001",
+    256: "000001011011", 320: "000000110011", 384: "000000110100",
+    448: "000000110101", 512: "0000001101100", 576: "0000001101101",
+    640: "0000001001010", 704: "0000001001011", 768: "0000001001100",
+    832: "0000001001101", 896: "0000001110010", 960: "0000001110011",
+    1024: "0000001110100", 1088: "0000001110101", 1152: "0000001110110",
+    1216: "0000001110111", 1280: "0000001010010", 1344: "0000001010011",
+    1408: "0000001010100", 1472: "0000001010101", 1536: "0000001011010",
+    1600: "0000001011011", 1664: "0000001100100", 1728: "0000001100101",
+}
+
+# extended makeup codes 1792-2560 are COMMON to both colors (T.4 §2)
+_CCITT_EXT = {
+    1792: "00000001000", 1856: "00000001100", 1920: "00000001101",
+    1984: "000000010010", 2048: "000000010011", 2112: "000000010100",
+    2176: "000000010101", 2240: "000000010110", 2304: "000000010111",
+    2368: "000000011100", 2432: "000000011101", 2496: "000000011110",
+    2560: "000000011111",
+}
+
+_CCITT_EOL = "000000000001"
+
+# G4/MR vertical-and-mode codes (T.6 §2.2.4 / T.4 §2.2.2)
+_CCITT_MODES = {
+    "P": "0001", "H": "001", "V0": "1",
+    "VR1": "011", "VR2": "000011", "VR3": "0000011",
+    "VL1": "010", "VL2": "000010", "VL3": "0000010",
+}
+
+
+def _ccitt_check_tables() -> None:
+    """Prefix-freeness of each color's full code set (term + makeup +
+    extended) — a transcription typo that makes one code a prefix of
+    another fails HERE, at first use, not as a silent mis-decode."""
+    for tbl in (_CCITT_WHITE, _CCITT_BLACK):
+        codes = sorted({**tbl, **_CCITT_EXT}.values(), key=len)
+        for i, a in enumerate(codes):
+            for b in codes[i + 1 :]:
+                if b.startswith(a) and a != b:
+                    raise AssertionError(f"CCITT table not prefix-free: {a}/{b}")
+
+
+_CCITT_CHECKED = False
+
+
+def _ccitt_decode_maps():
+    global _CCITT_CHECKED
+    if not _CCITT_CHECKED:
+        _ccitt_check_tables()
+        _CCITT_CHECKED = True
+    wmap = {v: k for k, v in {**_CCITT_WHITE, **_CCITT_EXT}.items()}
+    bmap = {v: k for k, v in {**_CCITT_BLACK, **_CCITT_EXT}.items()}
+    return wmap, bmap
+
+
+class _CcittBits:
+    """MSB-first bit reader over bytes with bounds-checked reads."""
+
+    def __init__(self, b: bytes):
+        self.b = b
+        self.pos = 0  # bit position
+
+    def bits_left(self) -> int:
+        return len(self.b) * 8 - self.pos
+
+    def read1(self) -> int:
+        if self.pos >= len(self.b) * 8:
+            raise ValueError("truncated CCITT stream")
+        byte = self.b[self.pos >> 3]
+        bit = (byte >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return bit
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+def _ccitt_read_code(br: _CcittBits, table: dict) -> int:
+    """Decode one prefix code from ``table`` (bitstring → value);
+    max code length 14 bits."""
+    code = ""
+    for _ in range(14):
+        code += "1" if br.read1() else "0"
+        if code in table:
+            return table[code]
+    raise ValueError(f"invalid CCITT code near bit {br.pos}")
+
+
+def _ccitt_read_run(br: _CcittBits, cmap: dict) -> int:
+    """One full run length: zero or more makeup codes (>=64) then a
+    terminating code (<64), per T.4 §2 run-length composition."""
+    total = 0
+    while True:
+        v = _ccitt_read_code(br, cmap)
+        total += v
+        if v < 64:
+            return total
+        if total > 1 << 20:
+            raise ValueError("CCITT run length runaway")
+
+
+def _ccitt_emit_run(out: list, n: int, white: bool) -> None:
+    tbl = _CCITT_WHITE if white else _CCITT_BLACK
+    while n >= 2624:  # longest single makeup span: 2560 + 63
+        out.append(_CCITT_EXT[2560])
+        n -= 2560
+    if n >= 64:
+        mk = (n // 64) * 64
+        if mk > 1728:
+            out.append(_CCITT_EXT[mk])
+        else:
+            out.append(tbl[mk])
+        n -= mk
+    out.append(tbl[n])
+
+
+def _row_changes(row) -> list:
+    """Changing-element positions (pel whose color differs from its
+    left neighbor; imaginary white pel before position 0), plus two
+    ``w`` sentinels. Even indices flip white→black, odd black→white."""
+    w = len(row)
+    prev = np.concatenate(([0], row[:-1]))
+    ch = list(np.nonzero(row != prev)[0])
+    ch.append(w)
+    ch.append(w)
+    return ch
+
+
+def _ccitt_encode_1d_row(out: list, row) -> None:
+    w = len(row)
+    pos, white = 0, True
+    while pos < w:
+        if white:
+            run = int(np.argmax(row[pos:] == 1)) if (row[pos:] == 1).any() else w - pos
+        else:
+            run = int(np.argmax(row[pos:] == 0)) if (row[pos:] == 0).any() else w - pos
+        _ccitt_emit_run(out, run, white)
+        pos += run
+        white = not white
+    if white and pos == w and w > 0 and row[-1] == 1:
+        pass  # ended on black run; no trailing white required
+    if not white and False:
+        pass
+    # T.4: a line always begins with a white run (possibly 0) — the
+    # loop above starts white; a line that starts black got a 0-length
+    # white run from argmax. Nothing more to emit.
+
+
+def _ccitt_decode_1d_row(br: _CcittBits, w: int):
+    wmap, bmap = _ccitt_decode_maps()
+    row = np.zeros(w, np.uint8)
+    pos, white = 0, True
+    while pos < w:
+        run = _ccitt_read_run(br, wmap if white else bmap)
+        if pos + run > w:
+            raise ValueError("CCITT run overruns the row")
+        if not white:
+            row[pos : pos + run] = 1
+        pos += run
+        white = not white
+    return row
+
+
+def _ccitt_encode_2d_row(out: list, row, ref) -> None:
+    w = len(row)
+    ch = _row_changes(row)
+    rch = _row_changes(ref)
+    a0, white = -1, True
+    while a0 < w:
+        # a1: first coding-line change > a0
+        a1 = next((c for c in ch if c > a0), w)
+        # b1: first reference change > a0 with color != a0 color
+        #     (even change index = white→black)
+        b1 = w
+        b2 = w
+        for j, c in enumerate(rch):
+            if c > a0 and ((j % 2 == 0) == white):
+                b1 = c
+                b2 = rch[j + 1] if j + 1 < len(rch) else w
+                break
+        if b2 < a1:
+            out.append(_CCITT_MODES["P"])
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            d = a1 - b1
+            key = "V0" if d == 0 else (f"VR{d}" if d > 0 else f"VL{-d}")
+            out.append(_CCITT_MODES[key])
+            a0, white = a1, not white
+        else:
+            a2 = next((c for c in ch if c > a1), w)
+            out.append(_CCITT_MODES["H"])
+            start = 0 if a0 < 0 else a0
+            _ccitt_emit_run(out, a1 - start, white)
+            _ccitt_emit_run(out, a2 - a1, not white)
+            a0 = a2
+        if a0 >= w:
+            break
+
+
+def _ccitt_decode_2d_row(br: _CcittBits, ref, w: int):
+    wmap, bmap = _ccitt_decode_maps()
+    rch = _row_changes(ref)
+    row = np.zeros(w, np.uint8)
+    a0, white = -1, True
+    while a0 < w:
+        # mode code (prefix decode over the tiny mode table)
+        code = ""
+        mode = None
+        for _ in range(7):
+            code += "1" if br.read1() else "0"
+            for k, v in _CCITT_MODES.items():
+                if v == code:
+                    mode = k
+                    break
+            if mode:
+                break
+        if mode is None:
+            raise ValueError(f"invalid CCITT 2D mode code near bit {br.pos}")
+        b1 = w
+        b2 = w
+        for j, c in enumerate(rch):
+            if c > a0 and ((j % 2 == 0) == white):
+                b1 = c
+                b2 = rch[j + 1] if j + 1 < len(rch) else w
+                break
+        start = 0 if a0 < 0 else a0
+        if mode == "P":
+            if not white:
+                row[start:b2] = 1
+            a0 = b2
+        elif mode == "H":
+            r1 = _ccitt_read_run(br, wmap if white else bmap)
+            r2 = _ccitt_read_run(br, bmap if white else wmap)
+            if start + r1 + r2 > w:
+                raise ValueError("CCITT horizontal runs overrun the row")
+            if not white:
+                row[start : start + r1] = 1
+            else:
+                row[start + r1 : start + r1 + r2] = 1
+            a0 = start + r1 + r2
+        else:
+            d = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
+                 "VL1": -1, "VL2": -2, "VL3": -3}[mode]
+            a1 = b1 + d
+            if a1 < start or a1 > w:
+                raise ValueError("CCITT vertical mode leaves the row")
+            if not white:
+                row[start:a1] = 1
+            a0, white = a1, not white
+    if a0 != w:
+        raise ValueError("CCITT 2D row did not end at the row width")
+    return row
+
+
+def _bits_to_bytes(bits: list) -> bytes:
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+
+def ccitt_encode(bw, compression: int = 4) -> bytes:
+    """Encode a (h, w) uint8 bilevel array (1 = black pel) as one
+    TIFF strip's CCITT codestream: compression 2 (MH, rows
+    byte-aligned), 3 (G3 1D, EOL before each row) or 4 (G4 MMR,
+    imaginary white reference line, EOFB appended)."""
+    bw = np.asarray(bw, np.uint8)
+    if bw.ndim != 2:
+        raise ValueError("ccitt_encode wants a (h, w) bilevel array")
+    h, w = bw.shape
+    out: list = []
+    if compression == 4:
+        ref = np.zeros(w, np.uint8)
+        for y in range(h):
+            _ccitt_encode_2d_row(out, bw[y], ref)
+            ref = bw[y]
+        out.append(_CCITT_EOL)
+        out.append(_CCITT_EOL)  # EOFB
+        return _bits_to_bytes(out)
+    if compression == 3:
+        for y in range(h):
+            out.append(_CCITT_EOL)
+            _ccitt_encode_1d_row(out, bw[y])
+        return _bits_to_bytes(out)
+    if compression == 2:
+        chunks = []
+        for y in range(h):
+            row_bits: list = []
+            _ccitt_encode_1d_row(row_bits, bw[y])
+            chunks.append(_bits_to_bytes(row_bits))  # byte-aligns each row
+        return b"".join(chunks)
+    raise NotImplementedError(f"CCITT compression {compression} unsupported")
+
+
+def ccitt_decode(data: bytes, w: int, h: int, compression: int = 4):
+    """Decode one strip's CCITT codestream back to (h, w) uint8
+    (1 = black). Raises ValueError on lost sync, overrun or
+    truncation — never returns a partial row silently."""
+    br = _CcittBits(data)
+    rows = []
+    if compression == 4:
+        ref = np.zeros(w, np.uint8)
+        for _ in range(h):
+            row = _ccitt_decode_2d_row(br, ref, w)
+            rows.append(row)
+            ref = row
+    elif compression == 3:
+        for _ in range(h):
+            # skip fill (zeros) up to and including the EOL
+            zeros = 0
+            while True:
+                bit = br.read1()
+                if bit:
+                    if zeros >= 11:
+                        break
+                    raise ValueError("CCITT G3: lost EOL sync")
+                zeros += 1
+            rows.append(_ccitt_decode_1d_row(br, w))
+    elif compression == 2:
+        for _ in range(h):
+            br.align()
+            rows.append(_ccitt_decode_1d_row(br, w))
+    else:
+        raise NotImplementedError(f"CCITT compression {compression} unsupported")
+    return np.stack(rows)
+
+
+def encode_tiff_ccitt(
+    bw, compression: int = 4, rows_per_strip: int | None = None
+) -> bytes:
+    """Author a bilevel TIFF (little-endian, photometric 0 WhiteIsZero,
+    BitsPerSample 1, FillOrder 1) whose strips are CCITT-coded with
+    the given compression (2 / 3 / 4). Multi-strip supported: CCITT
+    coding (incl. the G4 reference line) restarts per strip, per
+    TIFF 6.0 §2 strip independence."""
+    bw = np.asarray(bw, np.uint8)
+    h, w = bw.shape
+    rps = rows_per_strip or h
+    strips = [
+        ccitt_encode(bw[y0 : min(y0 + rps, h)], compression)
+        for y0 in range(0, h, rps)
+    ]
+    n = len(strips)
+    # header + IFD
+    tag_ids = [256, 257, 258, 259, 262, 266, 273, 277, 278, 279]
+    if compression == 3:
+        tag_ids.append(292)
+    if compression == 4:
+        tag_ids.append(293)
+    tag_ids.sort()
+    n_tags = len(tag_ids)
+    ifd_off = 8
+    # strip offset/count arrays live after the IFD when n > 1
+    arrays_off = ifd_off + 2 + 12 * n_tags + 4
+    off_arr = arrays_off
+    cnt_arr = arrays_off + (4 * n if n > 1 else 0)
+    data_off = cnt_arr + (4 * n if n > 1 else 0)
+    offsets = []
+    pos = data_off
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+
+    def entry(tag, typ, cnt, val):
+        return struct.pack("<HHI", tag, typ, cnt) + struct.pack("<I", val)
+
+    ents = b""
+    for t in tag_ids:
+        if t == 256:
+            ents += entry(256, 4, 1, w)
+        elif t == 257:
+            ents += entry(257, 4, 1, h)
+        elif t == 258:
+            ents += entry(258, 3, 1, 1)
+        elif t == 259:
+            ents += entry(259, 3, 1, compression)
+        elif t == 262:
+            ents += entry(262, 3, 1, 0)
+        elif t == 266:
+            ents += entry(266, 3, 1, 1)
+        elif t == 273:
+            ents += entry(273, 4, n, offsets[0] if n == 1 else off_arr)
+        elif t == 277:
+            ents += entry(277, 3, 1, 1)
+        elif t == 278:
+            ents += entry(278, 4, 1, rps)
+        elif t == 279:
+            ents += entry(279, 4, n, len(strips[0]) if n == 1 else cnt_arr)
+        elif t == 292:
+            ents += entry(292, 4, 1, 0)
+        elif t == 293:
+            ents += entry(293, 4, 1, 0)
+    out = b"II*\x00" + struct.pack("<I", ifd_off)
+    out += struct.pack("<H", n_tags) + ents + struct.pack("<I", 0)
+    if n > 1:
+        out += b"".join(struct.pack("<I", o) for o in offsets)
+        out += b"".join(struct.pack("<I", len(s)) for s in strips)
+    out += b"".join(strips)
+    return out
+
+
+def synth_tiff_ccitt_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Bilevel CCITT TIFF per row for mm30: pixel (x, y) is BLACK iff
+    (3·id + 17x + 29y) % 7 < 3 over a (20 + id%13) × (16 + id%11)
+    canvas; compression cycles 2 (MH RLE) / 3 (G3 1D) / 4 (G4 MMR)
+    by id%3, and ids % 5 == 0 use two strips (rows_per_strip=8) so
+    the per-strip coding restart is load-bearing corpus-wide. The
+    black-pixel count reduces to pure id arithmetic a SQL oracle
+    re-derives."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            w, h = 20 + i % 13, 16 + i % 11
+            xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+            bw = ((3 * i + 17 * xx + 29 * yy) % 7 < 3).astype(np.uint8)
+            comp = (2, 3, 4)[i % 3]
+            rps = 8 if i % 5 == 0 else None
+            return encode_tiff_ccitt(bw, comp, rows_per_strip=rps)
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col)))
+
+
+def tiff_bilevel_census(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Decode bilevel TIFFs (any supported compression, CCITT
+    included) and census exact integer facts: geometry + black/white
+    pixel counts. mapInPandas, map-side only, zero shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                px = _parse_tiff(bytes(p))
+                h, w = px.shape[:2]
+                n_black = int((px[:, :, 0] == 0).sum())
+                rows.append((int(i), w, h, n_black, w * h - n_black))
+            cols = list(zip(*rows)) if rows else [[]] * 5
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(cols[0], dtype="int64"),
+                    "width": pd.Series(cols[1], dtype="int64"),
+                    "height": pd.Series(cols[2], dtype="int64"),
+                    "n_black": pd.Series(cols[3], dtype="int64"),
+                    "n_white": pd.Series(cols[4], dtype="int64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches,
+        "id bigint, width bigint, height bigint, "
+        "n_black bigint, n_white bigint",
+    )

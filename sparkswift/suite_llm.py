@@ -4984,7 +4984,7 @@ def mm26_mp3_census_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the corner that silently corrupts a strip-minded decoder), under
 # all three baseline compressions and both byte orders. Lossless ⇒
 # channel means are exact id arithmetic. Remaining honest TIFF
-# gates: CCITT/JPEG-in-TIFF, non-8-bit.
+# gates (post-mm30): JPEG-in-TIFF, MR (2D G3), non-{1,8}-bit.
 # ---------------------------------------------------------------------------
 @register(
     "mm27_tiff_tiled_decode_real",
@@ -5268,6 +5268,47 @@ def mm29b_mp4_census_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_us", "n_tracks", "video_codec", "audio_codec",
         "mdat_bytes",
     )
+
+
+# ---------------------------------------------------------------------------
+# mm30 — CCITT G3/G4 DECODE (ITU-T T.4/T.6 — the biggest named TIFF
+# gate, closed; VERDICT r14 next-round #9): real Modified-Huffman
+# run tables (prefix-freeness asserted at first use), G3 1D with
+# EOLs, and full G4 MMR with the imaginary white reference line —
+# the compression scanned/archival bilevel corpora actually ship.
+# The synth plants an exact-arithmetic bilevel law and cycles all
+# three compressions (plus two-strip layouts so the per-strip coding
+# restart is load-bearing); the census reduces to pure id arithmetic
+# the oracle re-derives. Round-trip + adversarial gates in pytest.
+# mapInPandas, zero shuffle, zero Python-per-row.
+# ---------------------------------------------------------------------------
+@register(
+    "mm30_tiff_ccitt_decode_real",
+    """
+    WITH xs AS (SELECT unnest(range(33)) AS x),
+         ys AS (SELECT unnest(range(27)) AS y),
+         p AS (SELECT doc_id,
+                      CAST(20 + doc_id % 13 AS INT) AS w,
+                      CAST(16 + doc_id % 11 AS INT) AS h
+               FROM documents)
+    SELECT doc_id AS id, CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(SUM(CASE WHEN (3 * doc_id + 17 * x + 29 * y) % 7 < 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_black,
+           CAST(SUM(CASE WHEN (3 * doc_id + 17 * x + 29 * y) % 7 < 3
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_white
+    FROM p JOIN xs ON x < w JOIN ys ON y < h
+    GROUP BY doc_id, w, h
+    """,
+)
+def mm30_tiff_ccitt_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    wp = mm.synth_tiff_ccitt_payload(docs, "doc_id")
+    return mm.tiff_bilevel_census(wp, "doc_id", "payload")
 
 
 # ---------------------------------------------------------------------------

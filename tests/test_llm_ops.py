@@ -4587,3 +4587,111 @@ def test_synth_langid_text_plants_unambiguous_articles(spark):
         assert by_lang[lang]["weak"] == lang, by_lang[lang]
     assert by_lang["xx"]["txt"] == "the spark a stream the merge a"
     assert by_lang["xx"]["weak"] == "en"  # untouched text keeps en articles
+
+
+def test_ccitt_roundtrip_and_tables():
+    """mm30: the CCITT codec round-trips (independent reference: the
+    numpy source image) across G3-1D/MH/G4, widths that hit every
+    run-length class (terminating, makeup, extended makeup, >2560
+    chains), the all-black / all-white / single-pixel corners, and
+    the table transcription is prefix-free per color."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import (
+        _ccitt_check_tables,
+        ccitt_decode,
+        ccitt_encode,
+    )
+
+    _ccitt_check_tables()  # a transcription collision fails here
+
+    rng = np.random.default_rng(30)
+    cases = [
+        np.zeros((3, 17), np.uint8),                 # all white
+        np.ones((3, 17), np.uint8),                  # all black
+        np.array([[1]], np.uint8),                   # 1x1 black
+        np.array([[0]], np.uint8),                   # 1x1 white
+        (rng.random((9, 63)) < 0.5).astype(np.uint8),    # term codes
+        (rng.random((5, 200)) < 0.02).astype(np.uint8),  # makeup whites
+        (rng.random((5, 200)) > 0.02).astype(np.uint8),  # makeup blacks
+        (rng.random((2, 3000)) < 0.001).astype(np.uint8),  # ext makeup
+    ]
+    big = np.zeros((2, 6000), np.uint8)
+    big[1, :] = 1  # 6000-run: 2560+2560+makeup+term chaining
+    cases.append(big)
+    # checkerboard: worst case for 2D (vertical mode every pel)
+    cb = np.indices((8, 40)).sum(axis=0) % 2
+    cases.append(cb.astype(np.uint8))
+    for img in cases:
+        h, w = img.shape
+        for comp in (2, 3, 4):
+            got = ccitt_decode(ccitt_encode(img, comp), w, h, comp)
+            assert np.array_equal(got, img), (comp, img.shape)
+
+    # G4 pass-mode coverage: a reference run that the coding line
+    # skips entirely (classic pass-mode shape)
+    img = np.zeros((2, 30), np.uint8)
+    img[0, 10:14] = 1          # ref has a black run 10..13
+    img[1, 20:25] = 1          # coding line: white past it, black later
+    got = ccitt_decode(ccitt_encode(img, 4), 30, 2, 4)
+    assert np.array_equal(got, img)
+
+    # truncation and garbage fail loudly
+    good = ccitt_encode(cases[4], 4)
+    with _pytest.raises(ValueError):
+        ccitt_decode(good[: len(good) // 3], 63, 9, 4)
+    with _pytest.raises(ValueError, match="lost EOL sync"):
+        ccitt_decode(b"\xff\xff\xff\xff", 10, 1, 3)
+
+
+def test_tiff_ccitt_container_and_gates():
+    """The TIFF wrapper: photometric-0 bilevel decodes through the
+    real _parse_tiff path (single and multi-strip — coding restarts
+    per strip), and every unsupported shape refuses loudly: MR
+    (T4Options bit 0), uncompressed mode, FillOrder 2,
+    photometric 1, 8-bit samples with CCITT compression."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import (
+        _parse_tiff,
+        encode_tiff_ccitt,
+    )
+
+    rng = np.random.default_rng(4)
+    img = (rng.random((19, 31)) < 0.35).astype(np.uint8)
+    for comp in (2, 3, 4):
+        px = _parse_tiff(encode_tiff_ccitt(img, comp))
+        assert px.shape == (19, 31, 3)
+        assert np.array_equal(px[:, :, 0] == 0, img == 1)
+        px2 = _parse_tiff(encode_tiff_ccitt(img, comp, rows_per_strip=5))
+        assert np.array_equal(px2, px)
+
+    def patch_tag(b: bytes, tag: int, val: int) -> bytes:
+        (n,) = struct.unpack_from("<H", b, 8)
+        out = bytearray(b)
+        for k in range(n):
+            off = 10 + 12 * k
+            (t,) = struct.unpack_from("<H", b, off)
+            if t == tag:
+                struct.pack_into("<I", out, off + 8, val)
+                return bytes(out)
+        raise AssertionError(f"tag {tag} absent")
+
+    g3 = encode_tiff_ccitt(img, 3)
+    with _pytest.raises(NotImplementedError, match="2D G3"):
+        _parse_tiff(patch_tag(g3, 292, 1))
+    with _pytest.raises(NotImplementedError, match="uncompressed"):
+        _parse_tiff(patch_tag(g3, 292, 2))
+    with _pytest.raises(NotImplementedError, match="FillOrder"):
+        _parse_tiff(patch_tag(g3, 266, 2))
+    with _pytest.raises(NotImplementedError, match="photometric"):
+        _parse_tiff(patch_tag(g3, 262, 1))
+    g4 = encode_tiff_ccitt(img, 4)
+    with _pytest.raises(NotImplementedError, match="uncompressed"):
+        _parse_tiff(patch_tag(g4, 293, 2))
+    with _pytest.raises(NotImplementedError, match="bilevel"):
+        _parse_tiff(patch_tag(g4, 258, 8))
