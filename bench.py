@@ -234,6 +234,13 @@ HEADLINE = [
     "q11_important_stock",   # TPC-H Q11 shape (grouped threshold scalar)
     "q16_supplier_relationship",  # TPC-H Q16 shape (anti-join count-distinct)
     "q20_potential_promotion",  # TPC-H Q20 shape (nested semi-joins)
+    "mm26b_mp3_census_ranged",  # bounded-read MP3 ingest (file listing)
+    "mm28b_video_census_ranged",  # bounded-read AVI header ingest
+    "mm29b_mp4_census_ranged",  # bounded-read BMFF header ingest (~0.2% bytes)
+    "t26_langid_trained_gate",  # trained char-n-gram lang-id (Gramian probe)
+    "w12b_ewm_crossover_global",  # dual-alpha carry-chain crossover
+    "mm30_tiff_ccitt_decode_real",  # CCITT G3/G4 fax decode (T.4/T.6)
+    "mm31_tiff_jpeg_decode_real",  # JPEG-in-TIFF strips (TN2 JPEGTables)
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

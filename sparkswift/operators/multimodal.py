@@ -3649,6 +3649,88 @@ def _packbits_encode(b: bytes) -> bytes:
     return bytes(out)
 
 
+def _split_jpeg_tables(full: bytes) -> tuple[bytes, bytes]:
+    """Split a complete JPEG stream into the TIFF Tech Note 2 pair:
+    (JPEGTables stream, abbreviated strip stream). The tables stream
+    is SOI + every DQT/DHT segment + EOI; the abbreviated stream is
+    the original with those segments removed — exactly the factoring
+    the JPEGTables tag (347) carries so N strips share one table
+    set."""
+    if full[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    tables = bytearray(b"\xff\xd8")
+    abbrev = bytearray(b"\xff\xd8")
+    pos = 2
+    while pos < len(full):
+        if full[pos] != 0xFF:
+            raise ValueError(f"expected JPEG marker at {pos}")
+        marker = full[pos + 1]
+        if marker == 0xD9:
+            break
+        if marker == 0xDA:  # SOS: entropy data through EOI stays
+            abbrev += full[pos:-2]
+            break
+        (seglen,) = struct.unpack_from(">H", full, pos + 2)
+        seg = full[pos : pos + 2 + seglen]
+        if marker in (0xDB, 0xC4):  # DQT / DHT → tables stream
+            tables += seg
+        else:
+            abbrev += seg
+        pos += 2 + seglen
+    tables += b"\xff\xd9"
+    abbrev += b"\xff\xd9"
+    return bytes(tables), bytes(abbrev)
+
+
+def _parse_tiff_jpeg(
+    b: bytes, tags: dict, w: int, h: int, photo: int, spp: int, bits: list
+) -> np.ndarray:
+    """JPEG-in-TIFF strip assembly (compression 7, TIFF Tech Note 2):
+    each strip is a JPEG stream — self-contained, or abbreviated with
+    its DQT/DHT factored into the JPEGTables tag (347), in which case
+    the tables stream (minus EOI) is spliced before the strip stream
+    (minus SOI) and the merged stream feeds the SAME _parse_jpeg the
+    standalone formats use (baseline, progressive and lossless SOF3
+    all work unchanged). Grayscale (photometric 1) and YCbCr
+    (photometric 6) supported; tiled JPEG and other photometrics
+    refuse loudly."""
+    if any(x != 8 for x in bits):
+        raise NotImplementedError(
+            f"JPEG-in-TIFF bits-per-sample {bits} unsupported (8 only)"
+        )
+    if photo not in (1, 6):
+        raise NotImplementedError(
+            f"JPEG-in-TIFF photometric {photo} unsupported (1=grayscale, "
+            "6=YCbCr; RGB-JPEG TIFFs are nonstandard)"
+        )
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled JPEG-in-TIFF unsupported (strips only)")
+    try:
+        offsets, counts = tags[273], tags[279]
+    except KeyError as ex:
+        raise ValueError(f"TIFF missing required tag {ex}") from None
+    rps = tags.get(278, [h])[0]
+    jt = bytes(tags[347]) if 347 in tags else None
+    if jt is not None and (jt[:2] != b"\xff\xd8" or jt[-2:] != b"\xff\xd9"):
+        raise ValueError("JPEGTables tag is not an SOI..EOI stream")
+    parts = []
+    for si, (o, c) in enumerate(zip(offsets, counts)):
+        strip = bytes(b[o : o + c])
+        if jt is not None:
+            if strip[:2] != b"\xff\xd8":
+                raise ValueError("abbreviated JPEG strip missing SOI")
+            strip = jt[:-2] + strip[2:]
+        px = _parse_jpeg(strip)
+        rows_here = min(rps, h - si * rps)
+        if px.shape[0] != rows_here or px.shape[1] != w:
+            raise ValueError(
+                f"JPEG strip {si} decodes to {px.shape[:2]}, wanted "
+                f"({rows_here}, {w})"
+            )
+        parts.append(px)
+    return np.concatenate(parts)
+
+
 def _parse_tiff_ccitt(
     b: bytes, tags: dict, w: int, h: int, photo: int, comp: int,
     spp: int, bits: list,
@@ -3703,8 +3785,10 @@ def _parse_tiff(b: bytes) -> np.ndarray:
     size and cropped on assembly; the horizontal predictor resets per
     TILE row), compressions 1 (none), 5 (LZW) and 32773 (PackBits);
     bilevel CCITT strips (compression 2 RLE / 3 G3-1D / 4 G4 MMR,
-    ITU-T T.4/T.6) decode via _parse_tiff_ccitt. JPEG-in-TIFF,
-    2D G3 (MR) and non-{1,8}-bit samples raise loudly."""
+    ITU-T T.4/T.6) decode via _parse_tiff_ccitt, and JPEG-in-TIFF
+    strips (compression 7, JPEGTables factoring included) via
+    _parse_tiff_jpeg. 2D G3 (MR), tiled JPEG and non-{1,8}-bit
+    samples raise loudly."""
     if b[:4] == b"II*\x00":
         e = "<"
     elif b[:4] == b"MM\x00*":
@@ -3717,10 +3801,10 @@ def _parse_tiff(b: bytes) -> np.ndarray:
     for k in range(n_ent):
         off = ifd_off + 2 + 12 * k
         tag, typ, cnt = struct.unpack_from(e + "HHI", b, off)
-        size = {1: 1, 3: 2, 4: 4}.get(typ)
+        size = {1: 1, 3: 2, 4: 4, 7: 1}.get(typ)
         if size is None:
             continue  # RATIONAL/ASCII tags are irrelevant here
-        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        fmt = {1: "B", 3: "H", 4: "I", 7: "B"}[typ]
         total = size * cnt
         voff = off + 8 if total <= 4 else struct.unpack_from(e + "I", b, off + 8)[0]
         tags[tag] = list(struct.unpack_from(e + fmt * cnt, b, voff))
@@ -3734,6 +3818,8 @@ def _parse_tiff(b: bytes) -> np.ndarray:
     bits = tags.get(258, [8] * spp)
     if comp in (2, 3, 4):  # CCITT G3/G4 — real codec pass (T.4/T.6)
         return _parse_tiff_ccitt(b, tags, w, h, photo, comp, spp, bits)
+    if comp == 7:  # JPEG-in-TIFF (TIFF Tech Note 2, new-style)
+        return _parse_tiff_jpeg(b, tags, w, h, photo, spp, bits)
     if any(x != 8 for x in bits):
         raise NotImplementedError(f"TIFF bits-per-sample {bits} unsupported (8 only)")
     if comp not in (1, 5, 32773):
@@ -7126,3 +7212,115 @@ def tiff_bilevel_census(
         "id bigint, width bigint, height bigint, "
         "n_black bigint, n_white bigint",
     )
+
+
+def encode_tiff_jpeg(
+    gray: np.ndarray,
+    rows_per_strip: int | None = None,
+    predictor: int = 1,
+    factor_tables: bool = False,
+) -> bytes:
+    """Author a grayscale JPEG-in-TIFF (compression 7, photometric 1):
+    each strip is a LOSSLESS SOF3 stream (pixel-exact, so downstream
+    censuses stay integer-certifiable) from :func:`encode_jpeg_lossless`
+    with the chosen Annex-H predictor. ``factor_tables=True``
+    exercises the TIFF Tech Note 2 mechanism: every strip's DQT/DHT
+    segments are factored into ONE shared JPEGTables tag (347) and
+    the strips ship abbreviated — the layout real camera/scanner
+    TIFFs use so N strips don't repeat the tables."""
+    gray = np.asarray(gray, np.uint8)
+    h, w = gray.shape
+    rps = rows_per_strip or h
+    fulls = [
+        encode_jpeg_lossless([gray[y0 : min(y0 + rps, h)]], predictor)
+        for y0 in range(0, h, rps)
+    ]
+    jt = None
+    if factor_tables:
+        split = [_split_jpeg_tables(f) for f in fulls]
+        jt = split[0][0]
+        if any(t != jt for t, _ in split):
+            raise ValueError("strips disagree on JPEG tables")
+        strips = [a for _, a in split]
+    else:
+        strips = fulls
+    n = len(strips)
+    tag_ids = [256, 257, 258, 259, 262, 273, 277, 278, 279]
+    if jt is not None:
+        tag_ids.append(347)
+    tag_ids.sort()
+    n_tags = len(tag_ids)
+    ifd_off = 8
+    arrays_off = ifd_off + 2 + 12 * n_tags + 4
+    off_arr = arrays_off
+    cnt_arr = off_arr + (4 * n if n > 1 else 0)
+    jt_off = cnt_arr + (4 * n if n > 1 else 0)
+    data_off = jt_off + (len(jt) if jt is not None else 0)
+    offsets = []
+    pos = data_off
+    for st in strips:
+        offsets.append(pos)
+        pos += len(st)
+
+    def entry(tag, typ, cnt, val):
+        return struct.pack("<HHI", tag, typ, cnt) + struct.pack("<I", val)
+
+    ents = b""
+    for t in tag_ids:
+        if t == 256:
+            ents += entry(256, 4, 1, w)
+        elif t == 257:
+            ents += entry(257, 4, 1, h)
+        elif t == 258:
+            ents += entry(258, 3, 1, 8)
+        elif t == 259:
+            ents += entry(259, 3, 1, 7)
+        elif t == 262:
+            ents += entry(262, 3, 1, 1)
+        elif t == 273:
+            ents += entry(273, 4, n, offsets[0] if n == 1 else off_arr)
+        elif t == 277:
+            ents += entry(277, 3, 1, 1)
+        elif t == 278:
+            ents += entry(278, 4, 1, rps)
+        elif t == 279:
+            ents += entry(279, 4, n, len(strips[0]) if n == 1 else cnt_arr)
+        elif t == 347:
+            ents += entry(347, 7, len(jt), jt_off)
+    out = b"II*\x00" + struct.pack("<I", ifd_off)
+    out += struct.pack("<H", n_tags) + ents + struct.pack("<I", 0)
+    if n > 1:
+        out += b"".join(struct.pack("<I", o) for o in offsets)
+        out += b"".join(struct.pack("<I", len(st)) for st in strips)
+    if jt is not None:
+        out += jt
+    out += b"".join(strips)
+    return out
+
+
+def synth_tiff_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Grayscale JPEG-in-TIFF per row for mm31: pixel law
+    g(x, y) = (3·id + 17x + 29y) % 256 over (20 + id%17) ×
+    (18 + id%13); lossless predictor 1 + id%7 by id; even ids factor
+    DQT/DHT into the shared JPEGTables tag (the TN2 layout) and odd
+    ids ship self-contained strips; ids % 3 == 0 use two strips
+    (rows_per_strip=10). Lossless ⇒ channel means are exact id
+    arithmetic for the oracle."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            w, h = 20 + i % 17, 18 + i % 13
+            xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+            g = ((3 * i + 17 * xx + 29 * yy) % 256).astype(np.uint8)
+            return encode_tiff_jpeg(
+                g,
+                rows_per_strip=10 if i % 3 == 0 else None,
+                predictor=1 + i % 7,
+                factor_tables=(i % 2 == 0),
+            )
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col)))

@@ -5312,6 +5312,51 @@ def mm30_tiff_ccitt_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mm31 — JPEG-IN-TIFF decode (compression 7, TIFF Tech Note 2 — the
+# second named TIFF gate closed this round): each strip is a JPEG
+# stream feeding the SAME _parse_jpeg as standalone files, with the
+# TN2 JPEGTables factoring (shared DQT/DHT in tag 347, abbreviated
+# strips) spliced back per strip. The synth uses LOSSLESS SOF3
+# strips so pixels — hence channel means — stay exact id arithmetic;
+# predictors 1-7, factored/self-contained and 1/2-strip layouts all
+# cycle corpus-wide. Round-trip + gates in pytest.
+# ---------------------------------------------------------------------------
+@register(
+    "mm31_tiff_jpeg_decode_real",
+    """
+    WITH xs AS (SELECT unnest(range(37)) AS x),
+         ys AS (SELECT unnest(range(31)) AS y),
+         p AS (SELECT doc_id,
+                      CAST(20 + doc_id % 17 AS INT) AS w,
+                      CAST(18 + doc_id % 13 AS INT) AS h
+               FROM documents)
+    SELECT doc_id AS id, w AS width, h AS height,
+           AVG(CAST((3 * doc_id + 17 * x + 29 * y) % 256 AS DOUBLE))
+             AS mean_r,
+           AVG(CAST((3 * doc_id + 17 * x + 29 * y) % 256 AS DOUBLE))
+             AS mean_b
+    FROM p JOIN xs ON x < w JOIN ys ON y < h
+    GROUP BY doc_id, w, h
+    """,
+)
+def mm31_tiff_jpeg_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    wp = mm.synth_tiff_jpeg_payload(docs, "doc_id")
+    out = mm.decode_image(wp, "doc_id", "payload", fake=False, feat_dim=5)
+    return out.select(
+        "id",
+        F.col("feat")[0].cast("int").alias("width"),
+        F.col("feat")[1].cast("int").alias("height"),
+        F.col("feat")[2].alias("mean_r"),
+        F.col("feat")[4].alias("mean_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # p35 — URL CANONICALIZATION + URL-level dedup (the CommonCrawl
 # pipeline stage before any content dedup: RFC 3986 normalization +
 # the conventional crawl rules — lowercase scheme/host, www. strip,

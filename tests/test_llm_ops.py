@@ -4695,3 +4695,68 @@ def test_tiff_ccitt_container_and_gates():
         _parse_tiff(patch_tag(g4, 293, 2))
     with _pytest.raises(NotImplementedError, match="bilevel"):
         _parse_tiff(patch_tag(g4, 258, 8))
+
+
+def test_tiff_jpeg_in_tiff_and_gates():
+    """mm31: JPEG-in-TIFF strips decode through the same _parse_jpeg
+    as standalone files — lossless SOF3 round-trips bit-exact across
+    all 7 predictors, JPEGTables factoring (TN2) and multi-strip
+    layouts; a BASELINE (lossy) strip also decodes and matches its
+    standalone decode exactly; unsupported shapes refuse loudly."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import (
+        _parse_jpeg,
+        _parse_tiff,
+        _split_jpeg_tables,
+        encode_jpeg_gray,
+        encode_tiff_jpeg,
+    )
+
+    rng = np.random.default_rng(31)
+    g = rng.integers(0, 256, (24, 33), np.uint8)
+    base = _parse_tiff(encode_tiff_jpeg(g))
+    assert np.array_equal(base[:, :, 0], g)
+    for pred in range(1, 8):
+        for ft in (False, True):
+            px = _parse_tiff(
+                encode_tiff_jpeg(g, rows_per_strip=7, predictor=pred,
+                                 factor_tables=ft)
+            )
+            assert np.array_equal(px[:, :, 0], g), (pred, ft)
+
+    # the split/merge is the identity on the decoder's view: a
+    # BASELINE gray stream split into (tables, abbreviated) and
+    # re-merged decodes identically to the full stream
+    full = encode_jpeg_gray((g // 4 * 4))
+    tables, abbrev = _split_jpeg_tables(full)
+    assert tables[:2] == b"\xff\xd8" and tables[-2:] == b"\xff\xd9"
+    merged = tables[:-2] + abbrev[2:]
+    assert np.array_equal(_parse_jpeg(merged), _parse_jpeg(full))
+
+    def patch_tag(b: bytes, tag: int, val: int) -> bytes:
+        (n,) = struct.unpack_from("<H", b, 8)
+        out = bytearray(b)
+        for k in range(n):
+            off = 10 + 12 * k
+            (t,) = struct.unpack_from("<H", b, off)
+            if t == tag:
+                struct.pack_into("<I", out, off + 8, val)
+                return bytes(out)
+        raise AssertionError(f"tag {tag} absent")
+
+    t = encode_tiff_jpeg(g)
+    with _pytest.raises(NotImplementedError, match="photometric"):
+        _parse_tiff(patch_tag(t, 262, 2))  # RGB-JPEG: nonstandard
+    with _pytest.raises(NotImplementedError, match="8 only"):
+        _parse_tiff(patch_tag(t, 258, 12))
+    # corrupt strip: JPEGTables present but strip missing SOI
+    # (flip the last strip's SOI bytes)
+    ft = encode_tiff_jpeg(g, factor_tables=True)
+    idx = ft.rindex(b"\xff\xd8")
+    bad = ft[:idx] + b"\x00\x00" + ft[idx + 2 :]
+    with _pytest.raises(ValueError, match="missing SOI"):
+        _parse_tiff(bytes(bad))
