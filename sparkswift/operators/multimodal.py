@@ -3736,9 +3736,10 @@ def _parse_tiff_ccitt(
     spp: int, bits: list,
 ) -> np.ndarray:
     """Bilevel CCITT strip assembly for _parse_tiff: compression 2
-    (MH byte-aligned rows), 3 (G3 1D + EOL; 2D/MR gated) or 4 (G4
-    MMR). Coding — including G4's reference line — restarts per
-    STRIP (TIFF 6.0 strip independence). Photometric must be 0
+    (MH byte-aligned rows), 3 (G3: 1D with EOLs, or MR 2D when
+    T4Options bit 0 is set — the tag bit after each EOL selects the
+    row coding) or 4 (G4 MMR). Coding — including the 2D reference
+    line — restarts per STRIP (TIFF 6.0 strip independence). Photometric must be 0
     (WhiteIsZero, the fax convention the spec mandates for CCITT);
     FillOrder must be 1; option bits for MR and uncompressed mode
     refuse loudly."""
@@ -3755,11 +3756,7 @@ def _parse_tiff_ccitt(
         raise NotImplementedError("TIFF FillOrder 2 (LSB-first) unsupported")
     t4opts = tags.get(292, [0])[0]
     t6opts = tags.get(293, [0])[0]
-    if comp == 3 and (t4opts & 1):
-        raise NotImplementedError(
-            "2D G3 (MR, T4Options bit 0) unsupported — G4 covers the "
-            "2D path; transcode or use compression 4"
-        )
+    t4_2d = bool(comp == 3 and (t4opts & 1))
     if (t4opts & 2) or (t6opts & 2):
         raise NotImplementedError("CCITT uncompressed mode unsupported")
     try:
@@ -3770,7 +3767,9 @@ def _parse_tiff_ccitt(
     rows = []
     for si, (o, c) in enumerate(zip(offsets, counts)):
         rows_here = min(rps, h - si * rps)
-        rows.append(ccitt_decode(bytes(b[o : o + c]), w, rows_here, comp))
+        rows.append(
+            ccitt_decode(bytes(b[o : o + c]), w, rows_here, comp, t4_2d)
+        )
     bw = np.concatenate(rows)  # 1 = black pel
     g = np.where(bw == 1, 0, 255).astype(np.uint8)
     return np.repeat(g[:, :, None], 3, axis=2)
@@ -3825,7 +3824,8 @@ def _parse_tiff(b: bytes) -> np.ndarray:
     if comp not in (1, 5, 32773):
         raise NotImplementedError(
             f"TIFF compression {comp} unsupported (1=none, 5=LZW, "
-            "32773=PackBits; JPEG-in-TIFF needs a full codec pass)"
+            "32773=PackBits, 2/3/4=CCITT, 7=JPEG; old-style JPEG (6) "
+            "is deprecated by TTN2 and unsupported)"
         )
     predictor = tags.get(317, [1])[0]
     if predictor not in (1, 2):
@@ -7016,10 +7016,13 @@ def _bits_to_bytes(bits: list) -> bytes:
     return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
 
 
-def ccitt_encode(bw, compression: int = 4) -> bytes:
+def ccitt_encode(bw, compression: int = 4, t4_2d: bool = False, k: int = 2) -> bytes:
     """Encode a (h, w) uint8 bilevel array (1 = black pel) as one
     TIFF strip's CCITT codestream: compression 2 (MH, rows
-    byte-aligned), 3 (G3 1D, EOL before each row) or 4 (G4 MMR,
+    byte-aligned), 3 (G3 — 1D with EOLs, or MR 2D when ``t4_2d``:
+    every EOL carries the T.4 tag bit, 1=next row 1D / 0=2D against
+    the previous row, with a 1D row at least every ``k`` rows — the
+    standard K-factor error-confinement discipline) or 4 (G4 MMR,
     imaginary white reference line, EOFB appended)."""
     bw = np.asarray(bw, np.uint8)
     if bw.ndim != 2:
@@ -7037,7 +7040,15 @@ def ccitt_encode(bw, compression: int = 4) -> bytes:
     if compression == 3:
         for y in range(h):
             out.append(_CCITT_EOL)
-            _ccitt_encode_1d_row(out, bw[y])
+            if t4_2d:
+                one_d = y % k == 0  # row 0 of each K-group is 1D
+                out.append("1" if one_d else "0")
+                if one_d:
+                    _ccitt_encode_1d_row(out, bw[y])
+                else:
+                    _ccitt_encode_2d_row(out, bw[y], bw[y - 1])
+            else:
+                _ccitt_encode_1d_row(out, bw[y])
         return _bits_to_bytes(out)
     if compression == 2:
         chunks = []
@@ -7049,10 +7060,13 @@ def ccitt_encode(bw, compression: int = 4) -> bytes:
     raise NotImplementedError(f"CCITT compression {compression} unsupported")
 
 
-def ccitt_decode(data: bytes, w: int, h: int, compression: int = 4):
+def ccitt_decode(data: bytes, w: int, h: int, compression: int = 4,
+                 t4_2d: bool = False):
     """Decode one strip's CCITT codestream back to (h, w) uint8
-    (1 = black). Raises ValueError on lost sync, overrun or
-    truncation — never returns a partial row silently."""
+    (1 = black); ``t4_2d`` selects MR (each EOL's tag bit chooses
+    1D or 2D-against-previous-row per T.4). Raises ValueError on
+    lost sync, overrun or truncation — never returns a partial row
+    silently."""
     br = _CcittBits(data)
     rows = []
     if compression == 4:
@@ -7062,7 +7076,7 @@ def ccitt_decode(data: bytes, w: int, h: int, compression: int = 4):
             rows.append(row)
             ref = row
     elif compression == 3:
-        for _ in range(h):
+        for y in range(h):
             # skip fill (zeros) up to and including the EOL
             zeros = 0
             while True:
@@ -7072,7 +7086,17 @@ def ccitt_decode(data: bytes, w: int, h: int, compression: int = 4):
                         break
                     raise ValueError("CCITT G3: lost EOL sync")
                 zeros += 1
-            rows.append(_ccitt_decode_1d_row(br, w))
+            if t4_2d:
+                if br.read1():
+                    rows.append(_ccitt_decode_1d_row(br, w))
+                else:
+                    if y == 0:
+                        raise ValueError(
+                            "CCITT MR: first row of a strip must be 1D"
+                        )
+                    rows.append(_ccitt_decode_2d_row(br, rows[-1], w))
+            else:
+                rows.append(_ccitt_decode_1d_row(br, w))
     elif compression == 2:
         for _ in range(h):
             br.align()
@@ -7083,7 +7107,8 @@ def ccitt_decode(data: bytes, w: int, h: int, compression: int = 4):
 
 
 def encode_tiff_ccitt(
-    bw, compression: int = 4, rows_per_strip: int | None = None
+    bw, compression: int = 4, rows_per_strip: int | None = None,
+    t4_2d: bool = False,
 ) -> bytes:
     """Author a bilevel TIFF (little-endian, photometric 0 WhiteIsZero,
     BitsPerSample 1, FillOrder 1) whose strips are CCITT-coded with
@@ -7094,7 +7119,7 @@ def encode_tiff_ccitt(
     h, w = bw.shape
     rps = rows_per_strip or h
     strips = [
-        ccitt_encode(bw[y0 : min(y0 + rps, h)], compression)
+        ccitt_encode(bw[y0 : min(y0 + rps, h)], compression, t4_2d=t4_2d)
         for y0 in range(0, h, rps)
     ]
     n = len(strips)
@@ -7144,7 +7169,7 @@ def encode_tiff_ccitt(
         elif t == 279:
             ents += entry(279, 4, n, len(strips[0]) if n == 1 else cnt_arr)
         elif t == 292:
-            ents += entry(292, 4, 1, 0)
+            ents += entry(292, 4, 1, 1 if t4_2d else 0)
         elif t == 293:
             ents += entry(293, 4, 1, 0)
     out = b"II*\x00" + struct.pack("<I", ifd_off)
@@ -7159,11 +7184,11 @@ def encode_tiff_ccitt(
 def synth_tiff_ccitt_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Bilevel CCITT TIFF per row for mm30: pixel (x, y) is BLACK iff
     (3·id + 17x + 29y) % 7 < 3 over a (20 + id%13) × (16 + id%11)
-    canvas; compression cycles 2 (MH RLE) / 3 (G3 1D) / 4 (G4 MMR)
-    by id%3, and ids % 5 == 0 use two strips (rows_per_strip=8) so
-    the per-strip coding restart is load-bearing corpus-wide. The
-    black-pixel count reduces to pure id arithmetic a SQL oracle
-    re-derives."""
+    canvas; compression cycles 2 (MH RLE) / 3 (G3 1D) / 4 (G4 MMR) /
+    3-with-MR (T4Options=1, the 2D tag-bit protocol) by id%4, and
+    ids % 5 == 0 use two strips (rows_per_strip=8) so the per-strip
+    coding restart is load-bearing corpus-wide. The black-pixel
+    count reduces to pure id arithmetic a SQL oracle re-derives."""
 
     @F.pandas_udf("binary")
     def make(ids: pd.Series) -> pd.Series:
@@ -7172,9 +7197,11 @@ def synth_tiff_ccitt_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame
             w, h = 20 + i % 13, 16 + i % 11
             xx, yy = np.meshgrid(np.arange(w), np.arange(h))
             bw = ((3 * i + 17 * xx + 29 * yy) % 7 < 3).astype(np.uint8)
-            comp = (2, 3, 4)[i % 3]
+            comp = (2, 3, 4, 3)[i % 4]
             rps = 8 if i % 5 == 0 else None
-            return encode_tiff_ccitt(bw, comp, rows_per_strip=rps)
+            return encode_tiff_ccitt(
+                bw, comp, rows_per_strip=rps, t4_2d=(i % 4 == 3)
+            )
 
         return ids.map(one)
 

@@ -3306,8 +3306,12 @@ def test_tiff_roundtrips_and_gates():
                 struct.pack_into("<H", out, off + 8, val)
         return bytes(out)
 
-    with _pytest.raises(NotImplementedError, match="compression 7"):
-        _parse_tiff(set_tag_value(base, 259, 7))  # JPEG-in-TIFF
+    # compression 7 is now a REAL path (mm31): a non-JPEG strip
+    # under it fails loudly at the JPEG layer, not silently
+    with _pytest.raises(ValueError, match="missing SOI"):
+        _parse_tiff(set_tag_value(base, 259, 7))
+    with _pytest.raises(NotImplementedError, match="compression 6"):
+        _parse_tiff(set_tag_value(base, 259, 6))  # old-style JPEG
     with _pytest.raises(NotImplementedError, match="bits-per-sample"):
         _parse_tiff(set_tag_value(base, 258, 16))
     with _pytest.raises(ValueError, match="not a TIFF"):
@@ -4681,9 +4685,23 @@ def test_tiff_ccitt_container_and_gates():
                 return bytes(out)
         raise AssertionError(f"tag {tag} absent")
 
+    # MR (2D G3): decodes through the real path at several K factors
+    from sparkswift.operators.multimodal import ccitt_decode, ccitt_encode
+
+    for k in (2, 4):
+        got = ccitt_decode(
+            ccitt_encode(img, 3, t4_2d=True, k=k), 31, 19, 3, t4_2d=True
+        )
+        assert np.array_equal(got, img), k
+    mr = encode_tiff_ccitt(img, 3, t4_2d=True)
+    assert np.array_equal(_parse_tiff(mr), _parse_tiff(encode_tiff_ccitt(img, 4)))
+    # a 2D tag bit on the very first row of a strip is a protocol error
+    with _pytest.raises(ValueError, match="first row.*must be 1D"):
+        bad_bits = ["000000000001", "0"]
+        from sparkswift.operators.multimodal import _bits_to_bytes
+        ccitt_decode(_bits_to_bytes(bad_bits), 31, 1, 3, t4_2d=True)
+
     g3 = encode_tiff_ccitt(img, 3)
-    with _pytest.raises(NotImplementedError, match="2D G3"):
-        _parse_tiff(patch_tag(g3, 292, 1))
     with _pytest.raises(NotImplementedError, match="uncompressed"):
         _parse_tiff(patch_tag(g3, 292, 2))
     with _pytest.raises(NotImplementedError, match="FillOrder"):
