@@ -464,3 +464,59 @@ def write_payload_files(
         .agg(F.sum("n"))
         .collect()[0][0]
     )
+
+
+def load_media_triage(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    mp3_max_frames: int | None = None,
+    block_bytes: int = DEFAULT_BLOCK_BYTES,
+) -> DataFrame:
+    """MIXED-corpus triage at headers-only cost — the real crawl
+    shape: one directory, whatever containers arrived. Per file:
+    magic-sniff the format from the first 12 bytes, dispatch to the
+    matching ranged census, and normalize to one schema —
+    ``media_format`` (mp3/avi/mp4), ``detail`` (codec fourcc where
+    the container names one), ``n_units`` (frames / video chunks /
+    tracks), ``duration_us`` (exact integer microseconds),
+    ``media_bytes`` (audio stream / video chunk / mdat bytes) — plus
+    the standard ``file_bytes`` and ``header_bytes_read`` cost
+    columns. Unrecognized files raise (triage must be loud, not
+    lossy); pre-filter with ``glob`` to quarantine junk."""
+
+    def census(r: RangedReader) -> dict:
+        fmt = sniff_media_format(r)
+        if fmt == "mp3":
+            c = census_mp3_ranged(r, mp3_max_frames)
+            return {
+                "media_format": "mp3", "detail": "",
+                "n_units": c["n_frames"], "duration_us": c["duration_us"],
+                "media_bytes": c["stream_bytes"],
+            }
+        if fmt == "avi":
+            c = census_avi_ranged(r)
+            return {
+                "media_format": "avi", "detail": c["codec"] or "",
+                "n_units": c["n_chunks"],
+                "duration_us": c["n_chunks"] * c["us_per_frame"],
+                "media_bytes": c["video_bytes"],
+            }
+        c = census_mp4_ranged(r)
+        return {
+            "media_format": "mp4", "detail": c["video_codec"],
+            "n_units": c["n_tracks"],
+            "duration_us": c["duration"] * 1_000_000 // c["timescale"],
+            "media_bytes": c["mdat_bytes"],
+        }
+
+    return _header_loader(
+        list_files(spark, path, glob),
+        census,
+        [
+            ("media_format", "string"), ("detail", "string"),
+            ("n_units", "bigint"), ("duration_us", "bigint"),
+            ("media_bytes", "bigint"),
+        ],
+        block_bytes,
+    )

@@ -5271,6 +5271,107 @@ def mm29b_mp4_census_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mm32 — MIXED-CORPUS MEDIA TRIAGE over the bounded-read ingest: the
+# real crawl shape (one directory, whatever containers arrived) in
+# ONE listing pass — per file, sniff the format from 12 magic bytes,
+# dispatch to the matching ranged census, normalize to one schema
+# (format / codec detail / unit count / exact µs duration / media
+# bytes). The fixture interleaves all three synth corpora by id%3 in
+# one directory; the oracle is a single CASE over the three formats'
+# id arithmetic. Zero payload bytes read beyond headers.
+# ---------------------------------------------------------------------------
+@register(
+    "mm32_media_triage_ranged",
+    """
+    WITH fs AS (SELECT unnest(range(8)) AS f),
+         tbl AS (SELECT [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+                   AS t),
+         mp3 AS (
+           SELECT p.doc_id,
+                  CAST(SUM(144 * t[1 + CASE WHEN p.doc_id % 7 = 0
+                                            THEN p.doc_id % 14
+                                            ELSE (p.doc_id + f) % 14 END]
+                           * 1000 // 44100 + (p.doc_id + f) % 2)
+                       AS BIGINT) AS stream_bytes
+           FROM (SELECT doc_id, 3 + doc_id % 5 AS n FROM documents
+                 WHERE doc_id % 3 = 0) p
+           JOIN fs ON f < p.n CROSS JOIN tbl
+           GROUP BY p.doc_id
+         ),
+         avi AS (
+           SELECT p.doc_id,
+                  CAST(SUM(100 + 37 * ((p.doc_id + f) % 11)) AS BIGINT)
+                    AS video_bytes
+           FROM (SELECT doc_id, 2 + doc_id % 5 AS n FROM documents
+                 WHERE doc_id % 3 = 1) p
+           JOIN fs ON f < p.n
+           GROUP BY p.doc_id
+         )
+    SELECT d.doc_id AS id,
+           CASE d.doc_id % 3 WHEN 0 THEN 'mp3' WHEN 1 THEN 'avi'
+                ELSE 'mp4' END AS media_format,
+           CASE d.doc_id % 3
+             WHEN 0 THEN ''
+             WHEN 1 THEN CASE d.doc_id % 4 WHEN 0 THEN 'H264'
+                              WHEN 1 THEN 'VP80' WHEN 2 THEN 'MP42'
+                              ELSE 'MJPG' END
+             ELSE 'vp09' END AS detail,
+           CAST(CASE d.doc_id % 3
+             WHEN 0 THEN 3 + d.doc_id % 5
+             WHEN 1 THEN 2 + d.doc_id % 5
+             ELSE CASE WHEN d.doc_id % 4 = 0 THEN 1 ELSE 2 END
+           END AS BIGINT) AS n_units,
+           CAST(CASE d.doc_id % 3
+             WHEN 0 THEN (3 + d.doc_id % 5) * (1152 * 1000000 // 44100)
+             WHEN 1 THEN (2 + d.doc_id % 5)
+                  * (1000000 // CASE WHEN d.doc_id % 2 = 0
+                                     THEN 24 ELSE 30 END)
+             ELSE (600 + 37 * (d.doc_id % 50)) * 1000000
+                  // (CASE WHEN d.doc_id % 2 = 0 THEN 600 ELSE 1000 END)
+           END AS BIGINT) AS duration_us,
+           CAST(CASE d.doc_id % 3
+             WHEN 0 THEN mp3.stream_bytes
+             WHEN 1 THEN avi.video_bytes
+             ELSE 200 + 13 * (d.doc_id % 17)
+           END AS BIGINT) AS media_bytes
+    FROM documents d
+    LEFT JOIN mp3 ON mp3.doc_id = d.doc_id
+    LEFT JOIN avi ON avi.doc_id = d.doc_id
+    """,
+)
+def mm32_media_triage_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sparkswift.sources import media_headers as mh
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    d = tempfile.mkdtemp(prefix="hdr_mixed_")
+    mh.write_payload_files(
+        mm.synth_mp3_payload(docs.filter(F.col("doc_id") % 3 == 0)),
+        d, ext="mp3",
+    )
+    mh.write_payload_files(
+        mm.synth_avi_stub_payload(docs.filter(F.col("doc_id") % 3 == 1)),
+        d, ext="avi",
+    )
+    mh.write_payload_files(
+        mm.synth_mp4_stub_payload(docs.filter(F.col("doc_id") % 3 == 2)),
+        d, ext="mp4",
+    )
+    out = mh.load_media_triage(spark, d)
+    return out.select(
+        F.regexp_extract("path", r"doc_(\d+)\.", 1)
+        .cast("bigint")
+        .alias("id"),
+        "media_format", "detail", "n_units", "duration_us", "media_bytes",
+    )
+
+
+# ---------------------------------------------------------------------------
 # mm30 — CCITT G3/G4 DECODE (ITU-T T.4/T.6 — the biggest named TIFF
 # gate, closed; VERDICT r14 next-round #9): real Modified-Huffman
 # run tables (prefix-freeness asserted at first use), G3 1D with

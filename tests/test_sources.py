@@ -661,3 +661,37 @@ def test_ranged_mp3_prefix_mode_and_gates(tmp_path):
     junk.write_bytes(b"\x01\x02\x03\x04" * 8)
     with _pytest.raises(ValueError, match="unrecognized media"):
         mh.sniff_media_format(mh.open_ranged(str(junk)))
+
+
+def test_media_triage_sniff_dispatch(spark, tmp_path):
+    """mm32's loader: one directory of mixed containers triages in a
+    single listing pass — sniff dispatch matches extensions, the
+    normalized fields match each format's dedicated loader, and an
+    unrecognized file fails loudly (triage must not be lossy)."""
+    from pyspark.sql import functions as F
+
+    from sparkswift.operators import multimodal as mm
+    from sparkswift.sources import media_headers as mh
+
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    d = str(tmp_path / "mixed")
+    mh.write_payload_files(
+        mm.synth_mp3_payload(ids.filter("doc_id % 3 = 0")), d, ext="mp3")
+    mh.write_payload_files(
+        mm.synth_avi_stub_payload(ids.filter("doc_id % 3 = 1")), d, ext="avi")
+    mh.write_payload_files(
+        mm.synth_mp4_stub_payload(ids.filter("doc_id % 3 = 2")), d, ext="mp4")
+    rows = mh.load_media_triage(spark, d).collect()
+    assert len(rows) == 12
+    for r in rows:
+        ext = r["path"].rsplit(".", 1)[1]
+        assert r["media_format"] == ext, r
+        assert r["duration_us"] > 0 and r["n_units"] > 0
+        assert 0 < r["header_bytes_read"]
+
+    junk = tmp_path / "mixed" / "doc_99999999.bin"
+    junk.write_bytes(b"\x01\x02\x03\x04" * 10)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="unrecognized media"):
+        mh.load_media_triage(spark, d).collect()
