@@ -242,6 +242,7 @@ HEADLINE = [
     "mm30_tiff_ccitt_decode_real",  # CCITT G3/G4 fax decode (T.4/T.6)
     "mm31_tiff_jpeg_decode_real",  # JPEG-in-TIFF strips (TN2 JPEGTables)
     "mm32_media_triage_ranged",  # mixed-corpus sniff-dispatch triage
+    "mm33_tiff_deep_decode_real",  # 16-bit + 1-bit TIFF strips
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

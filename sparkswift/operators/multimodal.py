@@ -3682,6 +3682,58 @@ def _split_jpeg_tables(full: bytes) -> tuple[bytes, bytes]:
     return bytes(tables), bytes(abbrev)
 
 
+def _parse_tiff_deep(
+    b: bytes, tags: dict, w: int, h: int, photo: int, e: str, depth: int
+) -> np.ndarray:
+    """Non-8-bit grayscale strips, uncompressed: 1-bit bilevel (rows
+    padded to byte boundaries, MSB-first — TIFF FillOrder 1) and
+    16-bit (either byte order; mapped to 8-bit output by the high
+    byte, the standard display reduction — callers needing full
+    precision read the strip bytes directly). Photometric 0 inverts
+    per spec."""
+    if tags.get(266, [1])[0] != 1:
+        raise NotImplementedError("TIFF FillOrder 2 (LSB-first) unsupported")
+    if photo not in (0, 1):
+        raise NotImplementedError(
+            f"TIFF photometric {photo} invalid for {depth}-bit grayscale"
+        )
+    try:
+        offsets, counts = tags[273], tags[279]
+    except KeyError as ex:
+        raise ValueError(f"TIFF missing required tag {ex}") from None
+    rps = tags.get(278, [h])[0]
+    rows = []
+    for si, (o, c) in enumerate(zip(offsets, counts)):
+        rows_here = min(rps, h - si * rps)
+        chunk = b[o : o + c]
+        if depth == 1:
+            stride = (w + 7) // 8
+            if len(chunk) < rows_here * stride:
+                raise ValueError("truncated 1-bit TIFF strip")
+            bits8 = np.unpackbits(
+                np.frombuffer(chunk, np.uint8, count=rows_here * stride)
+                .reshape(rows_here, stride),
+                axis=1,
+            )[:, :w]
+            # bit 1 = "one" sample value; photometric decides polarity
+            g = np.where(bits8 == 1, 255, 0).astype(np.uint8)
+            if photo == 0:  # WhiteIsZero: 0 -> white
+                g = (255 - g.astype(np.int16)).astype(np.uint8)
+        else:
+            need = rows_here * w * 2
+            if len(chunk) < need:
+                raise ValueError("truncated 16-bit TIFF strip")
+            g16 = np.frombuffer(chunk, e + "u2", count=rows_here * w).reshape(
+                rows_here, w
+            )
+            g = (g16 >> 8).astype(np.uint8)
+            if photo == 0:
+                g = (255 - g.astype(np.int16)).astype(np.uint8)
+        rows.append(g)
+    g = np.concatenate(rows)
+    return np.repeat(g[:, :, None], 3, axis=2)
+
+
 def _parse_tiff_jpeg(
     b: bytes, tags: dict, w: int, h: int, photo: int, spp: int, bits: list
 ) -> np.ndarray:
@@ -3786,8 +3838,10 @@ def _parse_tiff(b: bytes) -> np.ndarray:
     bilevel CCITT strips (compression 2 RLE / 3 G3-1D / 4 G4 MMR,
     ITU-T T.4/T.6) decode via _parse_tiff_ccitt, and JPEG-in-TIFF
     strips (compression 7, JPEGTables factoring included) via
-    _parse_tiff_jpeg. 2D G3 (MR), tiled JPEG and non-{1,8}-bit
-    samples raise loudly."""
+    _parse_tiff_jpeg. Uncompressed 1-bit bilevel and
+    16-bit grayscale strips decode via _parse_tiff_deep (16-bit
+    reduces by high byte). Tiled JPEG, compressed deep samples and
+    other depths raise loudly."""
     if b[:4] == b"II*\x00":
         e = "<"
     elif b[:4] == b"MM\x00*":
@@ -3819,8 +3873,13 @@ def _parse_tiff(b: bytes) -> np.ndarray:
         return _parse_tiff_ccitt(b, tags, w, h, photo, comp, spp, bits)
     if comp == 7:  # JPEG-in-TIFF (TIFF Tech Note 2, new-style)
         return _parse_tiff_jpeg(b, tags, w, h, photo, spp, bits)
+    if comp == 1 and spp == 1 and bits in ([1], [16]):
+        return _parse_tiff_deep(b, tags, w, h, photo, e, bits[0])
     if any(x != 8 for x in bits):
-        raise NotImplementedError(f"TIFF bits-per-sample {bits} unsupported (8 only)")
+        raise NotImplementedError(
+            f"TIFF bits-per-sample {bits} unsupported (8-bit any "
+            "layout; 1/16-bit grayscale uncompressed only)"
+        )
     if comp not in (1, 5, 32773):
         raise NotImplementedError(
             f"TIFF compression {comp} unsupported (1=none, 5=LZW, "
@@ -7347,6 +7406,82 @@ def synth_tiff_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 predictor=1 + i % 7,
                 factor_tables=(i % 2 == 0),
             )
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col)))
+
+
+def encode_tiff_deep(
+    gray: np.ndarray,
+    depth: int = 16,
+    byte_order: str = "<",
+    photometric: int = 1,
+) -> bytes:
+    """Author an uncompressed deep-grayscale TIFF: 1-bit bilevel
+    (input 0/1, rows byte-padded MSB-first) or 16-bit (input uint16,
+    either byte order), single strip — the counterpart fixture
+    authoring for :func:`_parse_tiff_deep`."""
+    gray = np.asarray(gray)
+    h, w = gray.shape
+    if depth == 1:
+        stride = (w + 7) // 8
+        data = np.packbits(gray.astype(np.uint8), axis=1)[:, :stride].tobytes()
+    elif depth == 16:
+        data = gray.astype(byte_order + "u2").tobytes()
+    else:
+        raise ValueError("depth must be 1 or 16")
+    e = byte_order
+    tag_ids = [256, 257, 258, 259, 262, 266, 273, 277, 278, 279]
+    n = len(tag_ids)
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n + 4
+
+    def entry(tag, typ, val):
+        if e == "<":
+            return struct.pack("<HHI", tag, typ, 1) + struct.pack("<I", val)
+        packed = val << 16 if typ == 3 else val
+        return struct.pack(">HHI", tag, typ, 1) + struct.pack(">I", packed)
+
+    vals = {
+        256: (4, w), 257: (4, h), 258: (3, depth), 259: (3, 1),
+        262: (3, photometric), 266: (3, 1), 273: (4, data_off),
+        277: (3, 1), 278: (4, h), 279: (4, len(data)),
+    }
+    ents = b"".join(entry(t, vals[t][0], vals[t][1]) for t in tag_ids)
+    if e == "<":
+        head = b"II*\x00" + struct.pack("<I", ifd_off) + struct.pack("<H", n)
+        tail = struct.pack("<I", 0)
+    else:
+        head = b"MM\x00*" + struct.pack(">I", ifd_off) + struct.pack(">H", n)
+        tail = struct.pack(">I", 0)
+    return head + ents + tail + data
+
+
+def synth_tiff_deep_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deep-grayscale TIFF per row for mm33: EVEN ids are 16-bit with
+    law v(x, y) = (257·id + 131x + 173y) % 65536 (byte order by
+    id%4 — 0 little, 2 big); ODD ids are 1-bit bilevel with law
+    black iff (3·id + 17x + 29y) % 5 < 2 (photometric 1 for id%4==1,
+    0 for id%4==3 — both polarities load-bearing). Canvas
+    (20 + id%11) × (14 + id%7). The decoded 8-bit channel value is
+    exact id arithmetic (16-bit reduces by high byte = v div 256)."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            w, h = 20 + i % 11, 14 + i % 7
+            xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+            if i % 2 == 0:
+                v = ((257 * i + 131 * xx + 173 * yy) % 65536).astype(
+                    np.uint16
+                )
+                return encode_tiff_deep(
+                    v, 16, "<" if i % 4 == 0 else ">", 1
+                )
+            bw = ((3 * i + 17 * xx + 29 * yy) % 5 < 2).astype(np.uint8)
+            return encode_tiff_deep(bw, 1, "<", 1 if i % 4 == 1 else 0)
 
         return ids.map(one)
 

@@ -4778,3 +4778,46 @@ def test_tiff_jpeg_in_tiff_and_gates():
     bad = ft[:idx] + b"\x00\x00" + ft[idx + 2 :]
     with _pytest.raises(ValueError, match="missing SOI"):
         _parse_tiff(bytes(bad))
+
+
+def test_tiff_deep_decode_and_gates():
+    """mm33: 16-bit grayscale (both byte orders, high-byte
+    reduction) and 1-bit bilevel (both photometric polarities)
+    round-trip through the real TIFF path; compressed deep samples
+    and other depths stay loud."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import (
+        _parse_tiff,
+        encode_tiff_deep,
+    )
+
+    rng = np.random.default_rng(33)
+    g16 = rng.integers(0, 65536, (11, 19)).astype(np.uint16)
+    for e in ("<", ">"):
+        px = _parse_tiff(encode_tiff_deep(g16, 16, e))
+        assert np.array_equal(px[:, :, 0], (g16 >> 8).astype(np.uint8)), e
+    bw = (rng.random((8, 18)) < 0.5).astype(np.uint8)
+    p1 = _parse_tiff(encode_tiff_deep(bw, 1, "<", photometric=1))
+    assert np.array_equal(p1[:, :, 0] == 255, bw == 1)
+    p0 = _parse_tiff(encode_tiff_deep(bw, 1, "<", photometric=0))
+    assert np.array_equal(p0[:, :, 0], 255 - p1[:, :, 0])
+
+    with _pytest.raises(ValueError, match="depth must be"):
+        encode_tiff_deep(g16, 12)
+    # compressed 16-bit still refuses (the deep path is comp-1 only)
+    import struct
+
+    t = encode_tiff_deep(g16, 16)
+    out = bytearray(t)
+    (n,) = struct.unpack_from("<H", t, 8)
+    for k in range(n):
+        off = 10 + 12 * k
+        if struct.unpack_from("<H", t, off)[0] == 259:
+            struct.pack_into("<I", out, off + 8, 5)  # LZW
+    with _pytest.raises(NotImplementedError, match="bits-per-sample"):
+        _parse_tiff(bytes(out))
+    # truncated strip
+    with _pytest.raises(ValueError, match="truncated 16-bit"):
+        _parse_tiff(t[:-20])
