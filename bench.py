@@ -243,6 +243,7 @@ HEADLINE = [
     "mm31_tiff_jpeg_decode_real",  # JPEG-in-TIFF strips (TN2 JPEGTables)
     "mm32_media_triage_ranged",  # mixed-corpus sniff-dispatch triage
     "mm33_tiff_deep_decode_real",  # 16-bit + 1-bit TIFF strips
+    "st38_stream_media_triage",  # crawl-loop triage at ingest
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

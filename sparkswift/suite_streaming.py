@@ -2399,6 +2399,131 @@ def st36_stream_mp3_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# st38 — STREAMING MEDIA TRIAGE AT INGEST (mm32 as a crawl loop):
+# each micro-batch's payloads land as FILES in a fresh arrival
+# directory, and the bounded-read triage loader (sniff → ranged
+# census, sources/media_headers.py) runs over that directory's
+# LISTING inside foreachBatch — the ingest never holds a payload in
+# memory and never reads media bytes beyond headers. Stateless
+# (batch-local triage, no standing store), so stream ≡ batch
+# row-for-row and mm32's exact CASE oracle certifies it unchanged.
+# ---------------------------------------------------------------------------
+@register(
+    "st38_stream_media_triage",
+    """
+    WITH fs AS (SELECT unnest(range(8)) AS f),
+         tbl AS (SELECT [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+                   AS t),
+         mp3 AS (
+           SELECT p.doc_id,
+                  CAST(SUM(144 * t[1 + CASE WHEN p.doc_id % 7 = 0
+                                            THEN p.doc_id % 14
+                                            ELSE (p.doc_id + f) % 14 END]
+                           * 1000 // 44100 + (p.doc_id + f) % 2)
+                       AS BIGINT) AS stream_bytes
+           FROM (SELECT doc_id, 3 + doc_id % 5 AS n FROM documents
+                 WHERE doc_id % 3 = 0) p
+           JOIN fs ON f < p.n CROSS JOIN tbl
+           GROUP BY p.doc_id
+         ),
+         avi AS (
+           SELECT p.doc_id,
+                  CAST(SUM(100 + 37 * ((p.doc_id + f) % 11)) AS BIGINT)
+                    AS video_bytes
+           FROM (SELECT doc_id, 2 + doc_id % 5 AS n FROM documents
+                 WHERE doc_id % 3 = 1) p
+           JOIN fs ON f < p.n
+           GROUP BY p.doc_id
+         )
+    SELECT d.doc_id AS id,
+           CASE d.doc_id % 3 WHEN 0 THEN 'mp3' WHEN 1 THEN 'avi'
+                ELSE 'mp4' END AS media_format,
+           CASE d.doc_id % 3
+             WHEN 0 THEN ''
+             WHEN 1 THEN CASE d.doc_id % 4 WHEN 0 THEN 'H264'
+                              WHEN 1 THEN 'VP80' WHEN 2 THEN 'MP42'
+                              ELSE 'MJPG' END
+             ELSE 'vp09' END AS detail,
+           CAST(CASE d.doc_id % 3
+             WHEN 0 THEN 3 + d.doc_id % 5
+             WHEN 1 THEN 2 + d.doc_id % 5
+             ELSE CASE WHEN d.doc_id % 4 = 0 THEN 1 ELSE 2 END
+           END AS BIGINT) AS n_units,
+           CAST(CASE d.doc_id % 3
+             WHEN 0 THEN (3 + d.doc_id % 5) * (1152 * 1000000 // 44100)
+             WHEN 1 THEN (2 + d.doc_id % 5)
+                  * (1000000 // CASE WHEN d.doc_id % 2 = 0
+                                     THEN 24 ELSE 30 END)
+             ELSE (600 + 37 * (d.doc_id % 50)) * 1000000
+                  // (CASE WHEN d.doc_id % 2 = 0 THEN 600 ELSE 1000 END)
+           END AS BIGINT) AS duration_us,
+           CAST(CASE d.doc_id % 3
+             WHEN 0 THEN mp3.stream_bytes
+             WHEN 1 THEN avi.video_bytes
+             ELSE 200 + 13 * (d.doc_id % 17)
+           END AS BIGINT) AS media_bytes
+    FROM documents d
+    LEFT JOIN mp3 ON mp3.doc_id = d.doc_id
+    LEFT JOIN avi ON avi.doc_id = d.doc_id
+    """,
+)
+def st38_stream_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sparkswift.operators import multimodal as mm
+    from sparkswift.sources import media_headers as mh
+    from sparkswift.streaming.ops import stamp_slice_order, stream_to_parquet
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    base = tempfile.mkdtemp(prefix="triage38_")
+    src_dir, out_dir = f"{base}/src", f"{base}/out"
+    seen: set = set()
+    for i in range(3):  # three files -> three micro-batches
+        # slice on (doc_id div 3) so every batch carries ALL THREE
+        # formats (format selection is doc_id % 3)
+        docs.filter((F.col("doc_id") / 3).cast("long") % 3 == i).repartition(
+            1
+        ).write.mode("append").parquet(src_dir)
+        stamp_slice_order(src_dir, seen, i)
+    schema = spark.read.parquet(src_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def ingest(batch_df, epoch_id):
+        d = tempfile.mkdtemp(prefix=f"triage38_b{epoch_id}_", dir=base)
+        mh.write_payload_files(
+            mm.synth_mp3_payload(batch_df.filter(F.col("doc_id") % 3 == 0)),
+            d, ext="mp3",
+        )
+        mh.write_payload_files(
+            mm.synth_avi_stub_payload(
+                batch_df.filter(F.col("doc_id") % 3 == 1)
+            ),
+            d, ext="avi",
+        )
+        mh.write_payload_files(
+            mm.synth_mp4_stub_payload(
+                batch_df.filter(F.col("doc_id") % 3 == 2)
+            ),
+            d, ext="mp4",
+        )
+        out = mh.load_media_triage(spark, d).select(
+            F.regexp_extract("path", r"doc_(\d+)\.", 1)
+            .cast("bigint")
+            .alias("id"),
+            "media_format", "detail", "n_units", "duration_us",
+            "media_bytes",
+        )
+        out.write.mode("append").parquet(out_dir)
+
+    stream_to_parquet(src, path=None, checkpoint=f"{base}/ck", merge_fn=ingest)
+    return spark.read.parquet(out_dir).localCheckpoint()
+
+
+# ---------------------------------------------------------------------------
 # st37 — HAMMING-RADIUS IMAGE DEDUP AT INGEST (d21's banded pairing
 # as a crawl-loop probe: st34 catches bit-identical recompressions,
 # this catches the few-bit-flip ones). Each micro-batch decodes +
