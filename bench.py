@@ -244,6 +244,7 @@ HEADLINE = [
     "mm32_media_triage_ranged",  # mixed-corpus sniff-dispatch triage
     "mm33_tiff_deep_decode_real",  # 16-bit + 1-bit TIFF strips
     "st38_stream_media_triage",  # crawl-loop triage at ingest
+    "mm34_au_float_decode_real",  # IEEE-float AU decode (dyadic-exact)
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

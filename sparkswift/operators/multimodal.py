@@ -4732,11 +4732,12 @@ def encode_au(
     """AU writer: raw payload bytes (already in the target encoding)
     + the 24-byte big-endian header (magic, data offset, size,
     encoding, rate, channels). Encoding 1 = 8-bit μ-law, 2 = 8-bit
-    linear (signed), 3 = 16-bit linear big-endian, 27 = 8-bit
-    A-law."""
-    if encoding not in (1, 2, 3, 27):
+    linear (signed), 3 = 16-bit linear big-endian, 6/7 = IEEE
+    float32/float64 big-endian, 27 = 8-bit A-law."""
+    if encoding not in (1, 2, 3, 6, 7, 27):
         raise ValueError(
-            "encoding must be 1 (mu-law), 2/3 (linear), or 27 (A-law)"
+            "encoding must be 1 (mu-law), 2/3 (linear), 6/7 (float), "
+            "or 27 (A-law)"
         )
     raw = data.tobytes() if isinstance(data, np.ndarray) else bytes(data)
     hdr = b".snd" + struct.pack(
@@ -4750,8 +4751,9 @@ def _decode_au(b: bytes) -> tuple[float, np.ndarray]:
     samples). μ-law expands through the G.711 table and normalizes by
     8192 (dyadic — the division is exact); A-law (encoding 27)
     through its reference-formula table / 32768; 8-bit linear is
-    signed int8 / 128; 16-bit linear big-endian / 32768. Other
-    encodings (float, ADPCM) raise loudly."""
+    signed int8 / 128; 16-bit linear big-endian / 32768; encodings
+    6/7 are IEEE float32/float64 big-endian taken as-is (float32
+    widens exactly to float64). ADPCM raises loudly."""
     if b[:4] != b".snd":
         raise ValueError("not an AU payload")
     off, size, enc, rate, nchan = struct.unpack(">IIIII", b[4:24])
@@ -4766,10 +4768,14 @@ def _decode_au(b: bytes) -> tuple[float, np.ndarray]:
     elif enc == 27:  # G.711 A-law (the telephony sibling of mu-law)
         s = _ALAW_TABLE[np.frombuffer(raw, np.uint8)].astype(np.float64)
         s /= 32768.0
+    elif enc == 6:  # IEEE float32 big-endian (widens exactly)
+        s = np.frombuffer(raw, ">f4").astype(np.float64)
+    elif enc == 7:  # IEEE float64 big-endian
+        s = np.frombuffer(raw, ">f8").astype(np.float64)
     else:
         raise NotImplementedError(
             f"AU encoding {enc} unsupported (1=mu-law, 2/3=linear PCM, "
-            "27=A-law; float/ADPCM need their own expanders)"
+            "6/7=float, 27=A-law; ADPCM needs its own expander)"
         )
     if nchan > 1:
         s = s.reshape(-1, nchan).mean(axis=1)
@@ -4807,6 +4813,31 @@ def synth_au_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             F.lit(None).cast("int").alias("n_frames"),
         ),
     )
+
+
+def synth_au_float_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a VALID IEEE-float AU payload per row (encodings
+    6/7 — the studio/DAW interchange flavor of .snd): n = 64 +
+    4·(id%16) samples with the DYADIC law s_k = ((3·id + 5k) % 512
+    − 256) / 256 — every value is a multiple of 2⁻⁸ inside [−1, 1),
+    exactly representable in float32 AND float64, so decoded sums
+    are order-free-exact (the o9 dyadic discipline) and band means
+    reduce to integer arithmetic / 256 the oracle re-derives. Even
+    ids ship float32 (enc 6), odd float64 (enc 7)."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            n = 64 + 4 * (i % 16)
+            v = ((3 * i + 5 * np.arange(n, dtype=np.int64)) % 512 - 256) / 256.0
+            if i % 2 == 0:
+                return encode_au(v.astype(">f4"), encoding=6, sample_rate=8000)
+            return encode_au(v.astype(">f8"), encoding=7, sample_rate=8000)
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col)))
 
 
 def synth_au_alaw_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

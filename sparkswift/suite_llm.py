@@ -4927,6 +4927,47 @@ def mm25_au_alaw_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mm34 — IEEE-FLOAT AU decode (encodings 6/7 — the named "AU float"
+# gate closed; ADPCM stays honestly out): float32 widens EXACTLY to
+# float64, and the synth's dyadic sample law (multiples of 2⁻⁸)
+# makes every partial sum exactly representable, so band means are
+# order-free cross-engine-exact without any quantization step.
+# ---------------------------------------------------------------------------
+@register(
+    "mm34_au_float_decode_real",
+    """
+    WITH ks AS (SELECT unnest(range(128)) AS k),
+         p AS (SELECT doc_id, 64 + 4 * (doc_id % 16) AS n FROM documents),
+         d AS (
+           SELECT doc_id, n, (4 * k) // n AS band,
+                  CAST((3 * doc_id + 5 * k) % 512 - 256 AS DOUBLE)
+                    / CAST(256 AS DOUBLE) AS sample
+           FROM p JOIN ks ON k < n
+         )
+    SELECT doc_id AS id,
+           CAST(n AS DOUBLE) / CAST(8000 AS DOUBLE) AS duration_s,
+           AVG(CASE WHEN band = 0 THEN sample END) AS band_first,
+           AVG(CASE WHEN band = 3 THEN sample END) AS band_last
+    FROM d GROUP BY doc_id, n
+    """,
+)
+def mm34_au_float_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    wp = mm.synth_au_float_payload(docs, "doc_id")
+    out = mm.extract_audio_features(wp, "doc_id", "payload", n_mfcc=4, fake=False)
+    return out.select(
+        "id",
+        "duration_s",
+        F.col("mfcc")[0].alias("band_first"),
+        F.col("mfcc")[3].alias("band_last"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # mm26 — MP3 FRAMING CENSUS (ISO 11172-3 framing, public; the
 # feasible slice of the MP3 gap): audio corpora get triaged by
 # duration/bitrate/VBR long before anything decodes them, and the

@@ -4821,3 +4821,25 @@ def test_tiff_deep_decode_and_gates():
     # truncated strip
     with _pytest.raises(ValueError, match="truncated 16-bit"):
         _parse_tiff(t[:-20])
+
+
+def test_au_float_decode_roundtrip_and_gates():
+    """mm34: AU encodings 6/7 (IEEE float32/64 BE) decode exactly
+    (float32 widens without rounding; dyadic fixtures sum order-free);
+    ADPCM stays a loud gate."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import _decode_au, encode_au
+
+    v = (np.arange(-8, 8, dtype=np.float64)) / 4.0
+    dur, s = _decode_au(encode_au(v.astype(">f4"), encoding=6, sample_rate=8))
+    assert dur == 2.0 and np.array_equal(s, v)
+    dur, s = _decode_au(encode_au(v.astype(">f8"), encoding=7, sample_rate=8))
+    assert np.array_equal(s, v)
+    # a float32 value with no short representation still widens exactly
+    x = np.array([np.float32(1.1)], ">f4")
+    _, s = _decode_au(encode_au(x, encoding=6, sample_rate=8))
+    assert s[0] == float(np.float32(1.1))
+    with _pytest.raises(NotImplementedError, match="AU encoding 23"):
+        _decode_au(encode_au(b"\x00\x00", 1, 8)[:8] + b"\x00" * 4 + b"\x00\x00\x00\x17" + b"\x00\x00\x1f\x40" + b"\x00\x00\x00\x01" + b"\x00\x00")
