@@ -3793,8 +3793,9 @@ def _parse_tiff_ccitt(
     row coding) or 4 (G4 MMR). Coding — including the 2D reference
     line — restarts per STRIP (TIFF 6.0 strip independence). Photometric must be 0
     (WhiteIsZero, the fax convention the spec mandates for CCITT);
-    FillOrder must be 1; option bits for MR and uncompressed mode
-    refuse loudly."""
+    FillOrder 2 (LSB-first bytes, common in fax-born files) is
+    handled by per-byte bit reversal; option bits for uncompressed
+    mode refuse loudly."""
     if spp != 1 or bits != [1]:
         raise NotImplementedError(
             f"CCITT TIFF wants 1 bilevel sample, got spp={spp} bits={bits}"
@@ -3804,8 +3805,9 @@ def _parse_tiff_ccitt(
             f"CCITT TIFF photometric {photo} unsupported (0=WhiteIsZero "
             "is the T.4/T.6 convention)"
         )
-    if tags.get(266, [1])[0] != 1:
-        raise NotImplementedError("TIFF FillOrder 2 (LSB-first) unsupported")
+    fill_order = tags.get(266, [1])[0]
+    if fill_order not in (1, 2):
+        raise ValueError(f"TIFF FillOrder {fill_order} invalid")
     t4opts = tags.get(292, [0])[0]
     t6opts = tags.get(293, [0])[0]
     t4_2d = bool(comp == 3 and (t4opts & 1))
@@ -3819,9 +3821,17 @@ def _parse_tiff_ccitt(
     rows = []
     for si, (o, c) in enumerate(zip(offsets, counts)):
         rows_here = min(rps, h - si * rps)
-        rows.append(
-            ccitt_decode(bytes(b[o : o + c]), w, rows_here, comp, t4_2d)
-        )
+        chunk = bytes(b[o : o + c])
+        if fill_order == 2:
+            # FillOrder 2 (common in fax-born TIFFs): bits of every
+            # byte are LSB-first on disk — reverse per byte, then the
+            # MSB-first walk below reads the spec bit order
+            chunk = np.packbits(
+                np.unpackbits(
+                    np.frombuffer(chunk, np.uint8), bitorder="little"
+                )
+            ).tobytes()
+        rows.append(ccitt_decode(chunk, w, rows_here, comp, t4_2d))
     bw = np.concatenate(rows)  # 1 = black pel
     g = np.where(bw == 1, 0, 255).astype(np.uint8)
     return np.repeat(g[:, :, None], 3, axis=2)

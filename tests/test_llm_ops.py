@@ -4704,8 +4704,28 @@ def test_tiff_ccitt_container_and_gates():
     g3 = encode_tiff_ccitt(img, 3)
     with _pytest.raises(NotImplementedError, match="uncompressed"):
         _parse_tiff(patch_tag(g3, 292, 2))
-    with _pytest.raises(NotImplementedError, match="FillOrder"):
-        _parse_tiff(patch_tag(g3, 266, 2))
+    # FillOrder 2 (LSB-first bytes) now DECODES via per-byte bit
+    # reversal: re-author the strip reversed and flip tag 266
+    import numpy as np_
+
+    t266 = patch_tag(g3, 266, 2)
+    (nt,) = struct.unpack_from("<H", g3, 8)
+    data_off = data_len = None
+    for k in range(nt):
+        off = 10 + 12 * k
+        (tg,) = struct.unpack_from("<H", g3, off)
+        if tg == 273:
+            (data_off,) = struct.unpack_from("<I", g3, off + 8)
+        if tg == 279:
+            (data_len,) = struct.unpack_from("<I", g3, off + 8)
+    rev = np_.packbits(
+        np_.unpackbits(
+            np_.frombuffer(g3[data_off : data_off + data_len], np_.uint8),
+            bitorder="little",
+        )
+    ).tobytes()
+    lsb = t266[:data_off] + rev + t266[data_off + data_len :]
+    assert np_.array_equal(_parse_tiff(lsb), _parse_tiff(g3))
     with _pytest.raises(NotImplementedError, match="photometric"):
         _parse_tiff(patch_tag(g3, 262, 1))
     g4 = encode_tiff_ccitt(img, 4)
