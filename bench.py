@@ -245,6 +245,7 @@ HEADLINE = [
     "mm33_tiff_deep_decode_real",  # 16-bit + 1-bit TIFF strips
     "st38_stream_media_triage",  # crawl-loop triage at ingest
     "mm34_au_float_decode_real",  # IEEE-float AU decode (dyadic-exact)
+    "mm35_wav_deep_decode_real",  # 24-bit PCM + float WAV decode
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

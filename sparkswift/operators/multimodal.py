@@ -2105,22 +2105,135 @@ def _decode_image_bytes(b: bytes) -> np.ndarray:
 
 
 def _decode_wav(b: bytes) -> tuple[float, np.ndarray]:
-    """Decode a WAV payload via the stdlib ``wave`` reader → (duration
-    seconds, mono float64 samples in [-1, 1)). 8-bit (unsigned) and
-    16-bit PCM; multi-channel folds to mono by mean."""
-    with wave.open(io.BytesIO(b), "rb") as w:
-        rate, nchan, sw = w.getframerate(), w.getnchannels(), w.getsampwidth()
-        nf = w.getnframes()
-        raw = w.readframes(nf)
+    """Decode a WAV payload → (duration seconds, mono float64 samples
+    in [-1, 1)). PCM 8-bit (unsigned) / 16-bit / 24-bit via the
+    stdlib ``wave`` reader; WAVE_FORMAT_IEEE_FLOAT (format tag 3,
+    float32/float64 LE — the DAW export flavor ``wave`` rejects) via
+    a manual RIFF fmt/data walk. Extensible (0xFFFE) and compressed
+    tags raise loudly; multi-channel folds to mono by mean."""
+    try:
+        with wave.open(io.BytesIO(b), "rb") as w:
+            rate, nchan, sw = (
+                w.getframerate(), w.getnchannels(), w.getsampwidth(),
+            )
+            nf = w.getnframes()
+            raw = w.readframes(nf)
+    except wave.Error:
+        return _decode_wav_float(b)
     if sw == 2:
         s = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
     elif sw == 1:
         s = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 3:  # 24-bit PCM (the studio depth): LE triplets
+        a = np.frombuffer(raw, np.uint8).reshape(-1, 3).astype(np.int64)
+        v = a[:, 0] | (a[:, 1] << 8) | (a[:, 2] << 16)
+        v -= (v >> 23) << 24  # sign-extend bit 23
+        s = v.astype(np.float64) / 8388608.0
     else:
         raise ValueError(f"WAV sample width {sw} unsupported")
     if nchan > 1:
         s = s.reshape(-1, nchan).mean(axis=1)
     return nf / float(rate), s
+
+
+def _decode_wav_float(b: bytes) -> tuple[float, np.ndarray]:
+    """WAVE_FORMAT_IEEE_FLOAT decode: manual RIFF chunk walk (fmt
+    tag 3, 32- or 64-bit LE floats; float32 widens exactly)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(b):
+        fourcc = b[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated WAVE chunk {fourcc!r}")
+        if fourcc == b"fmt ":
+            fmt = body
+        elif fourcc == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if fmt is None or data is None:
+        raise ValueError("WAVE payload missing fmt/data chunk")
+    tag, nchan, rate = struct.unpack_from("<HHI", fmt, 0)
+    (bits,) = struct.unpack_from("<H", fmt, 14)
+    if tag != 3:
+        raise NotImplementedError(
+            f"WAV format tag {tag} unsupported without stdlib wave "
+            "(1=PCM handled above; 3=IEEE float here; extensible/"
+            "compressed tags need their own parsers)"
+        )
+    if bits == 32:
+        s = np.frombuffer(data, "<f4").astype(np.float64)
+    elif bits == 64:
+        s = np.frombuffer(data, "<f8")
+    else:
+        raise ValueError(f"float WAV bit depth {bits} unsupported")
+    if nchan > 1:
+        s = s.reshape(-1, nchan).mean(axis=1)
+    return len(s) / float(rate), s
+
+
+def encode_wav_deep(
+    samples: np.ndarray, kind: str = "pcm24", sample_rate: int = 8000
+) -> bytes:
+    """Author the WAV flavors stdlib ``wave`` can't or won't:
+    ``pcm24`` (int32 input holding 24-bit values, LE triplets via the
+    stdlib writer's 3-byte path), ``f32`` / ``f64`` (format-tag-3
+    RIFF authored directly)."""
+    if kind == "pcm24":
+        v = np.asarray(samples, np.int64)
+        tri = np.empty((len(v), 3), np.uint8)
+        tri[:, 0] = v & 0xFF
+        tri[:, 1] = (v >> 8) & 0xFF
+        tri[:, 2] = (v >> 16) & 0xFF
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(3)
+            w.setframerate(sample_rate)
+            w.writeframes(tri.tobytes())
+        return buf.getvalue()
+    if kind in ("f32", "f64"):
+        bits = 32 if kind == "f32" else 64
+        data = np.asarray(samples).astype(
+            "<f4" if kind == "f32" else "<f8"
+        ).tobytes()
+        fmt = struct.pack(
+            "<HHIIHH", 3, 1, sample_rate,
+            sample_rate * bits // 8, bits // 8, bits,
+        )
+        out = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        out += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(out)) + out
+    raise ValueError("kind must be pcm24 / f32 / f64")
+
+
+def synth_wav_deep_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deep-WAV fixture for mm35: n = 64 + 4·(id%16) samples of the
+    dyadic law s_k = ((3·id + 5k) % 512 − 256) / 256 (order-free-
+    exact sums, the mm34 discipline); id%3 picks 24-bit PCM
+    (scaled by 2¹⁵ into the int24 range) / float32 / float64 — all
+    three decode to the IDENTICAL float64 series."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            n = 64 + 4 * (i % 16)
+            base = (3 * i + 5 * np.arange(n, dtype=np.int64)) % 512 - 256
+            if i % 3 == 0:
+                return encode_wav_deep(base * 32768, "pcm24", 8000)
+            v = base / 256.0
+            return encode_wav_deep(
+                v, "f32" if i % 3 == 1 else "f64", 8000
+            )
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col)))
 
 
 def synth_ppm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

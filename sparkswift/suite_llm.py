@@ -4968,6 +4968,47 @@ def mm34_au_float_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mm35 — DEEP-WAV decode (24-bit PCM + IEEE-float — the studio/DAW
+# flavors stdlib `wave` can't decode): 24-bit via the stdlib frame
+# reader + sign-extended LE triplets, float via a manual RIFF
+# fmt/data walk (format tag 3). One dyadic sample law across all
+# three encodings ⇒ identical float64 series ⇒ ONE oracle branch.
+# ---------------------------------------------------------------------------
+@register(
+    "mm35_wav_deep_decode_real",
+    """
+    WITH ks AS (SELECT unnest(range(128)) AS k),
+         p AS (SELECT doc_id, 64 + 4 * (doc_id % 16) AS n FROM documents),
+         d AS (
+           SELECT doc_id, n, (4 * k) // n AS band,
+                  CAST((3 * doc_id + 5 * k) % 512 - 256 AS DOUBLE)
+                    / CAST(256 AS DOUBLE) AS sample
+           FROM p JOIN ks ON k < n
+         )
+    SELECT doc_id AS id,
+           CAST(n AS DOUBLE) / CAST(8000 AS DOUBLE) AS duration_s,
+           AVG(CASE WHEN band = 0 THEN sample END) AS band_first,
+           AVG(CASE WHEN band = 3 THEN sample END) AS band_last
+    FROM d GROUP BY doc_id, n
+    """,
+)
+def mm35_wav_deep_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    wp = mm.synth_wav_deep_payload(docs, "doc_id")
+    out = mm.extract_audio_features(wp, "doc_id", "payload", n_mfcc=4, fake=False)
+    return out.select(
+        "id",
+        "duration_s",
+        F.col("mfcc")[0].alias("band_first"),
+        F.col("mfcc")[3].alias("band_last"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # mm26 — MP3 FRAMING CENSUS (ISO 11172-3 framing, public; the
 # feasible slice of the MP3 gap): audio corpora get triaged by
 # duration/bitrate/VBR long before anything decodes them, and the

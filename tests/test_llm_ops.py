@@ -4863,3 +4863,38 @@ def test_au_float_decode_roundtrip_and_gates():
     assert s[0] == float(np.float32(1.1))
     with _pytest.raises(NotImplementedError, match="AU encoding 23"):
         _decode_au(encode_au(b"\x00\x00", 1, 8)[:8] + b"\x00" * 4 + b"\x00\x00\x00\x17" + b"\x00\x00\x1f\x40" + b"\x00\x00\x00\x01" + b"\x00\x00")
+
+
+def test_wav_deep_decode_and_gates():
+    """mm35: 24-bit PCM (sign-extended LE triplets incl. negative
+    full-scale), float32/float64 WAVs decode to identical series from
+    one dyadic law; non-float non-PCM tags and odd float depths stay
+    loud."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import _decode_wav, encode_wav_deep
+
+    base = np.arange(-256, 256, dtype=np.int64)
+    ref = base / 256.0
+    d1, s1 = _decode_wav(encode_wav_deep(base * 32768, "pcm24", 8000))
+    d2, s2 = _decode_wav(encode_wav_deep(ref, "f32", 8000))
+    d3, s3 = _decode_wav(encode_wav_deep(ref, "f64", 8000))
+    assert d1 == d2 == d3
+    assert np.array_equal(s1, ref) and np.array_equal(s2, ref)
+    assert np.array_equal(s3, ref)
+    # 24-bit sign extension at the extremes
+    _, s = _decode_wav(encode_wav_deep(np.array([-(1 << 23), (1 << 23) - 1]),
+                                       "pcm24", 2))
+    assert s[0] == -1.0 and s[1] == (2**23 - 1) / 2**23
+
+    # unknown format tag through the manual walk
+    f32 = encode_wav_deep(ref, "f32", 8000)
+    idx = f32.index(b"fmt ") + 8
+    bad = f32[:idx] + struct.pack("<H", 85) + f32[idx + 2 :]  # MP3-in-WAV
+    with _pytest.raises(NotImplementedError, match="format tag 85"):
+        _decode_wav(bad)
+    with _pytest.raises(ValueError, match="kind must be"):
+        encode_wav_deep(ref, "f16")
