@@ -3312,8 +3312,13 @@ def test_tiff_roundtrips_and_gates():
         _parse_tiff(set_tag_value(base, 259, 7))
     with _pytest.raises(NotImplementedError, match="compression 6"):
         _parse_tiff(set_tag_value(base, 259, 6))  # old-style JPEG
-    with _pytest.raises(NotImplementedError, match="bits-per-sample"):
+    # 16-bit is now a real (uncompressed-grayscale) path — an 8-bit
+    # payload misdeclared as 16-bit fails at the strip length check;
+    # a genuinely unsupported depth still refuses up front
+    with _pytest.raises(ValueError, match="truncated 16-bit"):
         _parse_tiff(set_tag_value(base, 258, 16))
+    with _pytest.raises(NotImplementedError, match="bits-per-sample"):
+        _parse_tiff(set_tag_value(base, 258, 12))
     with _pytest.raises(ValueError, match="not a TIFF"):
         _parse_tiff(b"XX00" + base[4:])
 
@@ -3590,8 +3595,8 @@ def test_au_mulaw_decode_laws_and_container():
         (back * 32768.0).astype(np.int16), s16.astype(np.int16)
     )
     bad = bytearray(encode_au(b"\x00" * 8, encoding=1))
-    bad[15] = 6  # 32-bit float encoding (still honestly gated; A-law
-    # graduated to a real decoder in r13 - see mm25's test)
+    bad[15] = 23  # G.721 ADPCM — the one remaining gated AU encoding
+    # (A-law graduated in r13, float 6/7 graduated in r15 - mm34)
     with _pytest.raises(NotImplementedError, match="AU encoding"):
         _decode_au(bytes(bad))
     with _pytest.raises(ValueError, match="not an AU"):
@@ -3867,8 +3872,8 @@ def test_au_alaw_decode_matches_spec_and_roundtrip():
     assert (s == want).all()
 
     au = encode_au(codes, encoding=1)
-    with _pytest.raises(NotImplementedError, match="AU encoding 6"):
-        _decode_au(au[:12] + b"\x00\x00\x00\x06" + au[16:])
+    with _pytest.raises(NotImplementedError, match="AU encoding 23"):
+        _decode_au(au[:12] + b"\x00\x00\x00\x17" + au[16:])
 
 
 def test_mp3_framing_census_and_gates():
