@@ -246,6 +246,7 @@ HEADLINE = [
     "st38_stream_media_triage",  # crawl-loop triage at ingest
     "mm34_au_float_decode_real",  # IEEE-float AU decode (dyadic-exact)
     "mm35_wav_deep_decode_real",  # 24-bit PCM + float WAV decode
+    "mm36_webp_header_census",  # WebP variant/geometry/flags triage
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

@@ -7640,3 +7640,183 @@ def synth_tiff_deep_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         return ids.map(one)
 
     return df.withColumn("payload", make(F.col(id_col)))
+
+
+# --- WebP: container/header census (zero decode) ---------------------------
+# The web's other image wrapper (mm28/mm29's story for WebP): VP8/VP8L
+# pixel decode is ffmpeg/libwebp territory, but the HEADER layer —
+# variant, canvas geometry, alpha/animation flags, payload byte
+# accounting — is fully deterministic per the public WebP container
+# spec + RFC 6386 (VP8) / the VP8L bitstream spec.
+
+
+def encode_webp_stub(
+    width: int,
+    height: int,
+    variant: str = "lossy",
+    alpha: bool = False,
+    anim: bool = False,
+    payload_bytes: int = 64,
+) -> bytes:
+    """Author a VALID WebP container around an OPAQUE compressed
+    payload (zeros — the census never reads past the headers):
+    ``lossy`` = simple 'VP8 ' (RFC 6386 key-frame tag + 0x9D012A
+    start code + 14-bit dims), ``lossless`` = simple 'VP8L' (0x2F
+    signature + LSB-packed 14-bit dims + alpha bit), ``extended`` =
+    'VP8X' (flag byte + 24-bit LE canvas dims) wrapping a VP8
+    chunk (+ a minimal ANIM chunk when ``anim``)."""
+    if not (1 <= width <= 16384 and 1 <= height <= 16384):
+        raise ValueError("WebP dims must be in 1..16384")
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def vp8_body() -> bytes:
+        part = payload_bytes  # first-partition size: arbitrary, opaque
+        tag = (part << 5) | (1 << 4) | (3 << 1) | 0  # show, ver 3, key
+        return (
+            struct.pack("<I", tag)[:3]
+            + b"\x9d\x01\x2a"
+            + struct.pack("<HH", width, height)
+            + bytes(payload_bytes)
+        )
+
+    if variant == "lossy":
+        if alpha:
+            raise ValueError("simple lossy WebP carries no alpha")
+        inner = chunk(b"VP8 ", vp8_body())
+    elif variant == "lossless":
+        bits = (width - 1) | ((height - 1) << 14) | (int(alpha) << 28)
+        hdr = b"\x2f" + struct.pack("<I", bits)  # 28 bits dims+alpha, ver 0
+        inner = chunk(b"VP8L", hdr + bytes(payload_bytes))
+    elif variant == "extended":
+        flags = (int(alpha) << 4) | (int(anim) << 1)
+        body = bytes([flags]) + b"\x00\x00\x00"
+        body += struct.pack("<I", width - 1)[:3]
+        body += struct.pack("<I", height - 1)[:3]
+        inner = chunk(b"VP8X", body)
+        if anim:
+            inner += chunk(b"ANIM", struct.pack("<IH", 0xFFFFFFFF, 0))
+        inner += chunk(b"VP8 ", vp8_body())
+    else:
+        raise ValueError("variant must be lossy / lossless / extended")
+    return b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"WEBP" + inner
+
+
+def _parse_webp_header(b: bytes) -> dict:
+    """Header-only WebP walk: variant, canvas geometry, alpha/anim
+    flags, compressed-payload byte total. Raises ValueError on
+    non-WebP, truncation, or a malformed image chunk."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    info = {
+        "variant": None, "width": None, "height": None,
+        "has_alpha": 0, "has_anim": 0, "image_bytes": 0,
+    }
+    pos = 12
+    end = len(b)
+    while pos + 8 <= end:
+        fourcc = b[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        dpos = pos + 8
+        if dpos + size > end:
+            raise ValueError(f"truncated WebP chunk {fourcc!r}")
+        body = b[dpos : dpos + size]
+        if fourcc == b"VP8X":
+            if size < 10:
+                raise ValueError("truncated VP8X header")
+            info["variant"] = "extended"
+            info["has_alpha"] = (body[0] >> 4) & 1
+            info["has_anim"] = (body[0] >> 1) & 1
+            info["width"] = 1 + int.from_bytes(body[4:7], "little")
+            info["height"] = 1 + int.from_bytes(body[7:10], "little")
+        elif fourcc == b"VP8 ":
+            if size < 10:
+                raise ValueError("truncated VP8 frame header")
+            if body[0] & 1:
+                raise ValueError("WebP VP8 chunk must hold a key frame")
+            if body[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("bad VP8 key-frame start code")
+            info["image_bytes"] += size
+            if info["variant"] is None:
+                info["variant"] = "lossy"
+                w, h = struct.unpack_from("<HH", body, 6)
+                info["width"] = w & 0x3FFF
+                info["height"] = h & 0x3FFF
+        elif fourcc == b"VP8L":
+            if size < 5 or body[0] != 0x2F:
+                raise ValueError("bad VP8L signature")
+            info["image_bytes"] += size
+            if info["variant"] is None:
+                (bits,) = struct.unpack_from("<I", body, 1)
+                info["variant"] = "lossless"
+                info["width"] = 1 + (bits & 0x3FFF)
+                info["height"] = 1 + ((bits >> 14) & 0x3FFF)
+                info["has_alpha"] = (bits >> 28) & 1
+        pos = dpos + size + (size % 2)
+    if info["variant"] is None:
+        raise ValueError("WebP payload has no image chunk")
+    return info
+
+
+def webp_header_census(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-payload WebP header census via mapInPandas (map-side only,
+    zero shuffle, zero decode): variant, canvas geometry, alpha/anim
+    flags, compressed image bytes — the web-image triage facts."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                c = _parse_webp_header(bytes(p))
+                rows.append(
+                    (int(i), c["variant"], c["width"], c["height"],
+                     c["has_alpha"], c["has_anim"], c["image_bytes"])
+                )
+            cols = list(zip(*rows)) if rows else [[]] * 7
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(cols[0], dtype="int64"),
+                    "variant": pd.Series(cols[1], dtype="object"),
+                    "width": pd.Series(cols[2], dtype="int64"),
+                    "height": pd.Series(cols[3], dtype="int64"),
+                    "has_alpha": pd.Series(cols[4], dtype="int64"),
+                    "has_anim": pd.Series(cols[5], dtype="int64"),
+                    "image_bytes": pd.Series(cols[6], dtype="int64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches,
+        "id bigint, variant string, width bigint, height bigint, "
+        "has_alpha bigint, has_anim bigint, image_bytes bigint",
+    )
+
+
+def synth_webp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """WebP fixture for mm36: canvas (16 + id%50) × (12 + id%40),
+    variant lossy/lossless/extended by id%3, alpha = id%2 (lossless
+    and extended only — simple lossy carries none), anim on extended
+    ids with id%5 == 0, payload 40 + id%30 opaque bytes — all exact
+    id arithmetic for the oracle."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            variant = ("lossy", "lossless", "extended")[i % 3]
+            return encode_webp_stub(
+                16 + i % 50,
+                12 + i % 40,
+                variant,
+                alpha=(i % 2 == 1 and variant != "lossy"),
+                anim=(variant == "extended" and i % 5 == 0),
+                payload_bytes=40 + i % 30,
+            )
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col)))

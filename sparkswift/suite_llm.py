@@ -5501,6 +5501,46 @@ def mm33_tiff_deep_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mm36 — WEBP HEADER CENSUS (the web's other image wrapper; the
+# mm28/mm29 story for WebP): VP8/VP8L pixels are libwebp territory,
+# but the header layer — variant, canvas geometry, alpha/animation
+# flags, payload byte accounting — is deterministic per the public
+# container spec + RFC 6386 / the VP8L bitstream spec. The stub
+# authors VALID containers (real key-frame tags, start codes, packed
+# dims) around opaque payload bytes; all three variants, both alpha
+# polarities and the animation flag cycle corpus-wide.
+# ---------------------------------------------------------------------------
+@register(
+    "mm36_webp_header_census",
+    """
+    SELECT doc_id AS id,
+           CASE doc_id % 3 WHEN 0 THEN 'lossy' WHEN 1 THEN 'lossless'
+                ELSE 'extended' END AS variant,
+           CAST(16 + doc_id % 50 AS BIGINT) AS width,
+           CAST(12 + doc_id % 40 AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 1 AND doc_id % 3 <> 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS has_alpha,
+           CAST(CASE WHEN doc_id % 3 = 2 AND doc_id % 5 = 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS has_anim,
+           CAST(CASE doc_id % 3
+                  WHEN 0 THEN 10 + 40 + doc_id % 30
+                  WHEN 1 THEN 5 + 40 + doc_id % 30
+                  ELSE 10 + 40 + doc_id % 30
+                END AS BIGINT) AS image_bytes
+    FROM documents
+    """,
+)
+def mm36_webp_header_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    wp = mm.synth_webp_payload(docs, "doc_id")
+    return mm.webp_header_census(wp, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
 # mm30 — CCITT G3/G4 DECODE (ITU-T T.4/T.6 — the biggest named TIFF
 # gate, closed; VERDICT r14 next-round #9): real Modified-Huffman
 # run tables (prefix-freeness asserted at first use), G3 1D with

@@ -4903,3 +4903,49 @@ def test_wav_deep_decode_and_gates():
         _decode_wav(bad)
     with _pytest.raises(ValueError, match="kind must be"):
         encode_wav_deep(ref, "f16")
+
+
+def test_webp_header_census_and_gates():
+    """mm36: the stub encoder round-trips through the header walk for
+    every variant/flag combination (independent reference: the python
+    arguments), dimension extremes hold (14-bit ceiling), and
+    non-WebP / truncated / non-keyframe payloads refuse loudly."""
+    import struct
+
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import (
+        _parse_webp_header,
+        encode_webp_stub,
+    )
+
+    for w, h, v, a, an in (
+        (16, 12, "lossy", False, False),
+        (1, 1, "lossless", True, False),
+        (16384, 16384, "lossless", False, False),
+        (300, 40, "extended", True, True),
+        (77, 55, "extended", False, False),
+    ):
+        c = _parse_webp_header(encode_webp_stub(w, h, v, alpha=a, anim=an))
+        assert (
+            c["width"], c["height"], c["variant"],
+            c["has_alpha"], c["has_anim"],
+        ) == (w, h, v, int(a), int(an)), c
+        assert c["image_bytes"] > 0
+
+    with _pytest.raises(ValueError, match="not a WebP"):
+        _parse_webp_header(b"RIFF\x04\x00\x00\x00WAVE")
+    good = encode_webp_stub(20, 20, "lossy")
+    with _pytest.raises(ValueError, match="truncated WebP chunk"):
+        _parse_webp_header(good[:-10])
+    # flip the key-frame bit -> interframe, which a still image can't be
+    idx = good.index(b"\x9d\x01\x2a") - 3
+    bad = good[:idx] + bytes([good[idx] | 1]) + good[idx + 1 :]
+    with _pytest.raises(ValueError, match="key frame"):
+        _parse_webp_header(bad)
+    with _pytest.raises(ValueError, match="no image chunk"):
+        _parse_webp_header(b"RIFF\x04\x00\x00\x00WEBP")
+    with _pytest.raises(ValueError, match="dims"):
+        encode_webp_stub(0, 5)
+    with _pytest.raises(ValueError, match="no alpha"):
+        encode_webp_stub(5, 5, "lossy", alpha=True)
