@@ -45,6 +45,7 @@ from sparkswift.operators.multimodal import (
     _decode_mp3_frame_header,
     _parse_avi_container,
     _parse_mp4_container,
+    _parse_webp_header,
 )
 
 DEFAULT_BLOCK_BYTES = 65536
@@ -219,6 +220,48 @@ def census_avi_ranged(r: RangedReader) -> dict:
     info["n_chunks"] = n_chunks
     info["video_bytes"] = video_bytes
     info["has_index"] = has_index
+    return info
+
+
+def census_webp_ranged(r: RangedReader) -> dict:
+    """WebP header census from ranged reads: walk chunk headers with
+    seeks, fetching only the tiny header spans (VP8X 10 B, VP8
+    key-frame front 10 B, VP8L front 5 B) and rebuilding a minimal
+    container those fetched spans feed to the certified in-memory
+    _parse_webp_header — large ALPH/ANMF/image payloads are seeked
+    past, accounted from their size fields."""
+    end = r.size
+    head = r.read_at(0, 12)
+    if head[:4] != b"RIFF" or head[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    mini = bytearray()
+    image_bytes = 0
+    pos = 12
+    while pos + 8 <= end:
+        ch = r.read_at(pos, 8)
+        if len(ch) < 8:
+            raise ValueError(f"truncated WebP chunk {ch[:4]!r}")
+        fourcc = ch[:4]
+        (size,) = struct.unpack_from("<I", ch, 4)
+        dpos = pos + 8
+        if dpos + size > end:
+            raise ValueError(f"truncated WebP chunk {fourcc!r}")
+        if fourcc in (b"VP8X", b"VP8 ", b"VP8L"):
+            take = {b"VP8X": 10, b"VP8 ": 10, b"VP8L": 5}[fourcc]
+            take = min(take, size)
+            front = r.read_at(dpos, take)
+            if len(front) != take:
+                raise ValueError(f"truncated WebP chunk {fourcc!r}")
+            # re-declare the chunk at its REAL size with a zero-padded
+            # body so byte accounting in the shared parser is exact
+            mini += fourcc + struct.pack("<I", size)
+            mini += front + bytes(size - take) + (b"\x00" if size % 2 else b"")
+            if fourcc in (b"VP8 ", b"VP8L"):
+                image_bytes += size
+        pos = dpos + size + (size % 2)
+    payload = b"RIFF" + struct.pack("<I", 4 + len(mini)) + b"WEBP" + bytes(mini)
+    info = _parse_webp_header(payload)
+    info["image_bytes"] = image_bytes  # identical by construction
     return info
 
 
@@ -417,6 +460,7 @@ def load_mp3_headers(
 _SNIFF = (
     ("mp4", lambda b: len(b) >= 12 and b[4:8] == b"ftyp"),
     ("avi", lambda b: b[:4] == b"RIFF" and b[8:12] == b"AVI "),
+    ("webp", lambda b: b[:4] == b"RIFF" and b[8:12] == b"WEBP"),
     ("mp3", lambda b: b[:3] == b"ID3" or (
         len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
     )),
@@ -477,7 +521,7 @@ def load_media_triage(
     shape: one directory, whatever containers arrived. Per file:
     magic-sniff the format from the first 12 bytes, dispatch to the
     matching ranged census, and normalize to one schema —
-    ``media_format`` (mp3/avi/mp4), ``detail`` (codec fourcc where
+    ``media_format`` (mp3/avi/mp4/webp), ``detail`` (codec fourcc where
     the container names one), ``n_units`` (frames / video chunks /
     tracks), ``duration_us`` (exact integer microseconds),
     ``media_bytes`` (audio stream / video chunk / mdat bytes) — plus
@@ -501,6 +545,14 @@ def load_media_triage(
                 "n_units": c["n_chunks"],
                 "duration_us": c["n_chunks"] * c["us_per_frame"],
                 "media_bytes": c["video_bytes"],
+            }
+        if fmt == "webp":
+            c = census_webp_ranged(r)
+            return {
+                "media_format": "webp", "detail": c["variant"],
+                "n_units": 1 + c["has_anim"],  # still=1; animated >=2
+                "duration_us": 0,  # stills carry no timeline
+                "media_bytes": c["image_bytes"],
             }
         c = census_mp4_ranged(r)
         return {

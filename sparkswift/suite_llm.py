@@ -5376,7 +5376,7 @@ def mm29b_mp4_census_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
                            * 1000 // 44100 + (p.doc_id + f) % 2)
                        AS BIGINT) AS stream_bytes
            FROM (SELECT doc_id, 3 + doc_id % 5 AS n FROM documents
-                 WHERE doc_id % 3 = 0) p
+                 WHERE doc_id % 4 = 0) p
            JOIN fs ON f < p.n CROSS JOIN tbl
            GROUP BY p.doc_id
          ),
@@ -5385,36 +5385,45 @@ def mm29b_mp4_census_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
                   CAST(SUM(100 + 37 * ((p.doc_id + f) % 11)) AS BIGINT)
                     AS video_bytes
            FROM (SELECT doc_id, 2 + doc_id % 5 AS n FROM documents
-                 WHERE doc_id % 3 = 1) p
+                 WHERE doc_id % 4 = 1) p
            JOIN fs ON f < p.n
            GROUP BY p.doc_id
          )
     SELECT d.doc_id AS id,
-           CASE d.doc_id % 3 WHEN 0 THEN 'mp3' WHEN 1 THEN 'avi'
-                ELSE 'mp4' END AS media_format,
-           CASE d.doc_id % 3
+           CASE d.doc_id % 4 WHEN 0 THEN 'mp3' WHEN 1 THEN 'avi'
+                WHEN 2 THEN 'mp4' ELSE 'webp' END AS media_format,
+           CASE d.doc_id % 4
              WHEN 0 THEN ''
              WHEN 1 THEN CASE d.doc_id % 4 WHEN 0 THEN 'H264'
                               WHEN 1 THEN 'VP80' WHEN 2 THEN 'MP42'
                               ELSE 'MJPG' END
-             ELSE 'vp09' END AS detail,
-           CAST(CASE d.doc_id % 3
+             WHEN 2 THEN CASE d.doc_id % 3 WHEN 0 THEN 'avc1'
+                              WHEN 1 THEN 'hvc1' ELSE 'vp09' END
+             ELSE CASE d.doc_id % 3 WHEN 0 THEN 'lossy'
+                       WHEN 1 THEN 'lossless' ELSE 'extended' END
+           END AS detail,
+           CAST(CASE d.doc_id % 4
              WHEN 0 THEN 3 + d.doc_id % 5
              WHEN 1 THEN 2 + d.doc_id % 5
-             ELSE CASE WHEN d.doc_id % 4 = 0 THEN 1 ELSE 2 END
+             WHEN 2 THEN CASE WHEN d.doc_id % 4 = 0 THEN 1 ELSE 2 END
+             ELSE CASE WHEN d.doc_id % 3 = 2 AND d.doc_id % 5 = 0
+                       THEN 2 ELSE 1 END
            END AS BIGINT) AS n_units,
-           CAST(CASE d.doc_id % 3
+           CAST(CASE d.doc_id % 4
              WHEN 0 THEN (3 + d.doc_id % 5) * (1152 * 1000000 // 44100)
              WHEN 1 THEN (2 + d.doc_id % 5)
                   * (1000000 // CASE WHEN d.doc_id % 2 = 0
                                      THEN 24 ELSE 30 END)
-             ELSE (600 + 37 * (d.doc_id % 50)) * 1000000
+             WHEN 2 THEN (600 + 37 * (d.doc_id % 50)) * 1000000
                   // (CASE WHEN d.doc_id % 2 = 0 THEN 600 ELSE 1000 END)
+             ELSE 0
            END AS BIGINT) AS duration_us,
-           CAST(CASE d.doc_id % 3
+           CAST(CASE d.doc_id % 4
              WHEN 0 THEN mp3.stream_bytes
              WHEN 1 THEN avi.video_bytes
-             ELSE 200 + 13 * (d.doc_id % 17)
+             WHEN 2 THEN 200 + 13 * (d.doc_id % 17)
+             ELSE CASE d.doc_id % 3 WHEN 1 THEN 5 + 40 + d.doc_id % 30
+                       ELSE 10 + 40 + d.doc_id % 30 END
            END AS BIGINT) AS media_bytes
     FROM documents d
     LEFT JOIN mp3 ON mp3.doc_id = d.doc_id
@@ -5433,16 +5442,20 @@ def mm32_media_triage_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = tempfile.mkdtemp(prefix="hdr_mixed_")
     mh.write_payload_files(
-        mm.synth_mp3_payload(docs.filter(F.col("doc_id") % 3 == 0)),
+        mm.synth_mp3_payload(docs.filter(F.col("doc_id") % 4 == 0)),
         d, ext="mp3",
     )
     mh.write_payload_files(
-        mm.synth_avi_stub_payload(docs.filter(F.col("doc_id") % 3 == 1)),
+        mm.synth_avi_stub_payload(docs.filter(F.col("doc_id") % 4 == 1)),
         d, ext="avi",
     )
     mh.write_payload_files(
-        mm.synth_mp4_stub_payload(docs.filter(F.col("doc_id") % 3 == 2)),
+        mm.synth_mp4_stub_payload(docs.filter(F.col("doc_id") % 4 == 2)),
         d, ext="mp4",
+    )
+    mh.write_payload_files(
+        mm.synth_webp_payload(docs.filter(F.col("doc_id") % 4 == 3)),
+        d, ext="webp",
     )
     out = mh.load_media_triage(spark, d)
     return out.select(
