@@ -247,6 +247,7 @@ HEADLINE = [
     "mm34_au_float_decode_real",  # IEEE-float AU decode (dyadic-exact)
     "mm35_wav_deep_decode_real",  # 24-bit PCM + float WAV decode
     "mm36_webp_header_census",  # WebP variant/geometry/flags triage
+    "mm37_ogg_vorbis_census",  # Ogg/Vorbis page walk + CRC + granule
 ]
 # The *_gate verdict twins (suite_gates.py) are deliberately NOT
 # benched: each one re-runs its operator AND the exact twin — their

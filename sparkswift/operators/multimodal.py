@@ -7820,3 +7820,201 @@ def synth_webp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         return ids.map(one)
 
     return df.withColumn("payload", make(F.col(id_col)))
+
+
+# --- Ogg/Vorbis: container census (zero decode) ----------------------------
+# The open web-audio wrapper (RFC 3533 Ogg framing + the public
+# Vorbis I spec's identification header): audio payload decode is
+# MDCT territory, but the container layer — page framing with CRCs,
+# BOS/EOS flags, granule positions (absolute sample counts), and the
+# id header's rate/channels — is exactly deterministic, which is all
+# duration/byte triage needs.
+
+_OGG_CRC_TABLE = None
+
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg page CRC: CRC-32 poly 0x04C11DB7, init 0, no reflection,
+    no final xor (RFC 3533 §6)."""
+    global _OGG_CRC_TABLE
+    if _OGG_CRC_TABLE is None:
+        tbl = []
+        for i in range(256):
+            r = i << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7) if (r & 0x80000000) else (r << 1)
+            tbl.append(r & 0xFFFFFFFF)
+        _OGG_CRC_TABLE = tbl
+    crc = 0
+    for byte in data:
+        crc = ((crc << 8) ^ _OGG_CRC_TABLE[((crc >> 24) & 0xFF) ^ byte]) & 0xFFFFFFFF
+    return crc
+
+
+def _ogg_page(
+    payload: bytes, granule: int, serial: int, seq: int, htype: int
+) -> bytes:
+    """One Ogg page around ``payload`` (single packet, lacing split
+    into 255-byte segments + terminator), real CRC."""
+    n_full, rem = divmod(len(payload), 255)
+    lacing = bytes([255] * n_full + [rem])
+    head = (
+        b"OggS\x00"
+        + bytes([htype])
+        + struct.pack("<q", granule)
+        + struct.pack("<III", serial, seq, 0)
+        + bytes([len(lacing)])
+        + lacing
+    )
+    page = bytearray(head + payload)
+    crc = _ogg_crc(bytes(page))
+    struct.pack_into("<I", page, 22, crc)
+    return bytes(page)
+
+
+def encode_ogg_vorbis_stub(
+    sample_rate: int,
+    channels: int,
+    page_sizes: list[int],
+    final_granule: int,
+    serial: int = 1,
+) -> bytes:
+    """Author a VALID Ogg/Vorbis container around OPAQUE audio pages:
+    a BOS page carrying a REAL Vorbis identification header (packet
+    type 1, 'vorbis', version 0, channels, rate, blocksizes, framing
+    bit), then one page per ``page_sizes`` entry of zero bytes with
+    monotone granule positions ending at ``final_granule`` (EOS on
+    the last). Page CRCs are computed for real — a census that
+    verifies them verifies against the RFC polynomial."""
+    ident = (
+        b"\x01vorbis"
+        + struct.pack("<I", 0)
+        + bytes([channels])
+        + struct.pack("<I", sample_rate)
+        + struct.pack("<iii", 0, 0, 0)
+        + bytes([0xB8])  # blocksizes 256/1024 (exp 8 / 11)
+        + b"\x01"  # framing bit
+    )
+    out = _ogg_page(ident, 0, serial, 0, 0x02)  # BOS
+    n = len(page_sizes)
+    for k, sz in enumerate(page_sizes):
+        gr = final_granule * (k + 1) // n
+        htype = 0x04 if k == n - 1 else 0x00  # EOS on the last
+        out += _ogg_page(bytes(sz), gr, serial, k + 1, htype)
+    return out
+
+
+def _parse_ogg_vorbis(b: bytes, verify_crc: bool = True) -> dict:
+    """Header-only Ogg/Vorbis walk: page framing (magic, lacing,
+    optional CRC verification against the RFC polynomial), BOS/EOS
+    accounting, the Vorbis identification header's rate/channels,
+    the last granule position (absolute sample count → exact
+    duration), and audio payload byte totals. Raises ValueError on
+    non-Ogg, truncation, CRC mismatch, or a missing/alien id
+    header."""
+    if b[:4] != b"OggS":
+        raise ValueError("not an Ogg payload")
+    info = {
+        "sample_rate": None, "channels": None, "n_pages": 0,
+        "last_granule": 0, "audio_bytes": 0, "has_eos": 0,
+    }
+    pos = 0
+    end = len(b)
+    while pos + 27 <= end:
+        if b[pos : pos + 4] != b"OggS" or b[pos + 4] != 0:
+            raise ValueError(f"lost Ogg page sync at byte {pos}")
+        htype = b[pos + 5]
+        (granule,) = struct.unpack_from("<q", b, pos + 6)
+        (crc_stored,) = struct.unpack_from("<I", b, pos + 22)
+        nseg = b[pos + 26]
+        lace_end = pos + 27 + nseg
+        if lace_end > end:
+            raise ValueError("truncated Ogg lacing table")
+        body_len = sum(b[pos + 27 : lace_end])
+        page_end = lace_end + body_len
+        if page_end > end:
+            raise ValueError("truncated Ogg page body")
+        if verify_crc:
+            page = bytearray(b[pos:page_end])
+            struct.pack_into("<I", page, 22, 0)
+            if _ogg_crc(bytes(page)) != crc_stored:
+                raise ValueError(f"Ogg page CRC mismatch at byte {pos}")
+        info["n_pages"] += 1
+        if htype & 0x02:  # BOS: first packet must be the Vorbis id
+            body = b[lace_end:page_end]
+            if body[:7] != b"\x01vorbis" or len(body) < 30:
+                raise ValueError("Ogg BOS page lacks a Vorbis id header")
+            info["channels"] = body[11]
+            (info["sample_rate"],) = struct.unpack_from("<I", body, 12)
+        else:
+            info["audio_bytes"] += body_len
+            if granule >= 0:
+                info["last_granule"] = max(info["last_granule"], granule)
+        if htype & 0x04:
+            info["has_eos"] = 1
+        pos = page_end
+    if pos != end:
+        raise ValueError("trailing garbage after last Ogg page")
+    if info["sample_rate"] is None:
+        raise ValueError("Ogg stream has no Vorbis id header")
+    return info
+
+
+def ogg_vorbis_census(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-payload Ogg/Vorbis census via mapInPandas (map-side only,
+    zero shuffle, zero decode, CRCs verified): rate, channels, page
+    count, EXACT duration in integer microseconds (last granule ·
+    10⁶ // rate), audio byte total, EOS presence."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                c = _parse_ogg_vorbis(bytes(p))
+                rows.append(
+                    (int(i), c["sample_rate"], c["channels"], c["n_pages"],
+                     c["last_granule"] * 1_000_000 // c["sample_rate"],
+                     c["audio_bytes"], c["has_eos"])
+                )
+            cols = list(zip(*rows)) if rows else [[]] * 7
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(cols[0], dtype="int64"),
+                    "sample_rate": pd.Series(cols[1], dtype="int64"),
+                    "channels": pd.Series(cols[2], dtype="int64"),
+                    "n_pages": pd.Series(cols[3], dtype="int64"),
+                    "duration_us": pd.Series(cols[4], dtype="int64"),
+                    "audio_bytes": pd.Series(cols[5], dtype="int64"),
+                    "has_eos": pd.Series(cols[6], dtype="int64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches,
+        "id bigint, sample_rate bigint, channels bigint, n_pages bigint, "
+        "duration_us bigint, audio_bytes bigint, has_eos bigint",
+    )
+
+
+def synth_ogg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Ogg/Vorbis fixture for mm37: rate 8000/44100 by id%2, channels
+    1 + id%2, 2 + id%4 audio pages of 50 + (id + k)%40 opaque bytes,
+    final granule 1000 + 37·(id%100) — all exact id arithmetic."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            n = 2 + i % 4
+            return encode_ogg_vorbis_stub(
+                8000 if i % 2 == 0 else 44100,
+                1 + i % 2,
+                [50 + (i + k) % 40 for k in range(n)],
+                1000 + 37 * (i % 100),
+            )
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col)))

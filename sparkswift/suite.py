@@ -868,20 +868,21 @@ def raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # name now has a historical driver row, so the window is simply the
 # 50 names whose most-recent green driver row is OLDEST, computed
 # from the CORRECTNESS_r*.json ledger; ties break alphabetically):
-# 1. This round's fourteen NEW entries (no driver row yet): the five
+# 1. This round's fifteen NEW entries (no driver row yet): the five
 #    ranged-ingest queries (mm26b/mm26c/mm28b/mm29b + the mm32 mixed
 #    triage), the trained lang-id gate (t26), the dual-alpha carry
 #    chain (w12b), the three closed TIFF gates (mm30 CCITT, mm31
 #    JPEG-in-TIFF, mm33 deep grayscale), the streaming triage twin
 #    (st38), the deep-audio decodes (mm34 AU float, mm35 WAV
-#    24-bit/float), and the WebP header census (mm36).
+#    24-bit/float), and the WebP + Ogg/Vorbis header censuses
+#    (mm36, mm37).
 # 2. The entire remaining round-7 cohort (last driver row 8 rounds
 #    ago): agg13-agg16.
-# 3. 32 of the 41-strong round-8 cohort (7 rounds stale) fills the
-#    window; st2_stateful_totals, st3_stream_sliding,
-#    st4_stream_join, st5_stream_dedup, st6_stream_sessions,
-#    sw1_session_window, t17_bpe_ids_gate, t2_lang_id and
-#    t6_pii_redact wait for r16.
+# 3. 31 of the 41-strong round-8 cohort (7 rounds stale) fills the
+#    window; st1_stream_resample, st2_stateful_totals,
+#    st3_stream_sliding, st4_stream_join, st5_stream_dedup,
+#    st6_stream_sessions, sw1_session_window, t17_bpe_ids_gate,
+#    t2_lang_id and t6_pii_redact wait for r16.
 #
 # st2b_stateful_totals_tws remains unregistered: the container lacks
 # protobuf so transformWithState cannot import (NOTES.md, re-checked
@@ -907,6 +908,7 @@ _WINDOW = [
     "mm34_au_float_decode_real",
     "mm35_wav_deep_decode_real",
     "mm36_webp_header_census",
+    "mm37_ogg_vorbis_census",
     # --- (2) round-7 cohort (stalest driver evidence, 8 behind) ---
     "agg13_bool_aggs",
     "agg14_skew_report",
@@ -944,7 +946,6 @@ _WINDOW = [
     "q17_small_quantity_revenue",
     "q1_pricing_summary",
     "q5_local_supplier_volume",
-    "st1_stream_resample",
 ]
 
 
