@@ -45,6 +45,7 @@ from sparkswift.operators.multimodal import (
     _decode_mp3_frame_header,
     _parse_avi_container,
     _parse_mp4_container,
+    _parse_ogg_vorbis,
     _parse_webp_header,
 )
 
@@ -265,6 +266,57 @@ def census_webp_ranged(r: RangedReader) -> dict:
     return info
 
 
+def census_ogg_ranged(r: RangedReader) -> dict:
+    """Ogg/Vorbis census from ranged reads: 27-byte page headers +
+    lacing tables + the BOS body (the Vorbis id header) are fetched;
+    audio page BODIES are seeked past and accounted from the lacing
+    sums. NOTE: page CRC verification requires the full page bytes,
+    so this bounded path does NOT verify CRCs (the in-memory
+    `_parse_ogg_vorbis` does — run it on suspect corpora); framing
+    sync, truncation and id-header checks still apply."""
+    end = r.size
+    if r.read_at(0, 4) != b"OggS":
+        raise ValueError("not an Ogg payload")
+    info = {
+        "sample_rate": None, "channels": None, "n_pages": 0,
+        "last_granule": 0, "audio_bytes": 0, "has_eos": 0,
+    }
+    pos = 0
+    while pos + 27 <= end:
+        head = r.read_at(pos, 27)
+        if head[:4] != b"OggS" or head[4] != 0:
+            raise ValueError(f"lost Ogg page sync at byte {pos}")
+        htype = head[5]
+        (granule,) = struct.unpack_from("<q", head, 6)
+        nseg = head[26]
+        lacing = r.read_at(pos + 27, nseg)
+        if len(lacing) != nseg:
+            raise ValueError("truncated Ogg lacing table")
+        body_len = sum(lacing)
+        page_end = pos + 27 + nseg + body_len
+        if page_end > end:
+            raise ValueError("truncated Ogg page body")
+        info["n_pages"] += 1
+        if htype & 0x02:
+            body = r.read_at(pos + 27 + nseg, body_len)
+            if body[:7] != b"\x01vorbis" or len(body) < 30:
+                raise ValueError("Ogg BOS page lacks a Vorbis id header")
+            info["channels"] = body[11]
+            (info["sample_rate"],) = struct.unpack_from("<I", body, 12)
+        else:
+            info["audio_bytes"] += body_len
+            if granule >= 0:
+                info["last_granule"] = max(info["last_granule"], granule)
+        if htype & 0x04:
+            info["has_eos"] = 1
+        pos = page_end
+    if pos != end:
+        raise ValueError("trailing garbage after last Ogg page")
+    if info["sample_rate"] is None:
+        raise ValueError("Ogg stream has no Vorbis id header")
+    return info
+
+
 def census_mp3_ranged(
     r: RangedReader, max_frames: int | None = None
 ) -> dict:
@@ -461,6 +513,7 @@ _SNIFF = (
     ("mp4", lambda b: len(b) >= 12 and b[4:8] == b"ftyp"),
     ("avi", lambda b: b[:4] == b"RIFF" and b[8:12] == b"AVI "),
     ("webp", lambda b: b[:4] == b"RIFF" and b[8:12] == b"WEBP"),
+    ("ogg", lambda b: b[:4] == b"OggS"),
     ("mp3", lambda b: b[:3] == b"ID3" or (
         len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
     )),
@@ -521,7 +574,7 @@ def load_media_triage(
     shape: one directory, whatever containers arrived. Per file:
     magic-sniff the format from the first 12 bytes, dispatch to the
     matching ranged census, and normalize to one schema —
-    ``media_format`` (mp3/avi/mp4/webp), ``detail`` (codec fourcc where
+    ``media_format`` (mp3/avi/mp4/webp/ogg), ``detail`` (codec fourcc where
     the container names one), ``n_units`` (frames / video chunks /
     tracks), ``duration_us`` (exact integer microseconds),
     ``media_bytes`` (audio stream / video chunk / mdat bytes) — plus
@@ -553,6 +606,15 @@ def load_media_triage(
                 "n_units": 1 + c["has_anim"],  # still=1; animated >=2
                 "duration_us": 0,  # stills carry no timeline
                 "media_bytes": c["image_bytes"],
+            }
+        if fmt == "ogg":
+            c = census_ogg_ranged(r)
+            return {
+                "media_format": "ogg", "detail": "vorbis",
+                "n_units": c["n_pages"],
+                "duration_us": c["last_granule"] * 1_000_000
+                // c["sample_rate"],
+                "media_bytes": c["audio_bytes"],
             }
         c = census_mp4_ranged(r)
         return {

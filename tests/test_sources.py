@@ -695,3 +695,51 @@ def test_media_triage_sniff_dispatch(spark, tmp_path):
 
     with _pytest.raises(Exception, match="unrecognized media"):
         mh.load_media_triage(spark, d).collect()
+
+
+def test_ranged_ogg_and_webp_census_equal_inmemory():
+    """The two r15-late ranged censuses against their certified
+    in-memory parsers on authored containers, with bounded
+    bytes_fetched; Ogg's ranged path skips CRC verification by
+    documented design (needs full-page bytes), but still enforces
+    framing sync / truncation / id-header checks."""
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import (
+        _parse_ogg_vorbis,
+        _parse_webp_header,
+        encode_ogg_vorbis_stub,
+        encode_webp_stub,
+    )
+    from sparkswift.sources.media_headers import (
+        RangedReader,
+        census_ogg_ranged,
+        census_webp_ranged,
+    )
+
+    class MemReader(RangedReader):
+        def __init__(self, b):
+            class _F:
+                def __init__(s2, bb):
+                    s2.b = bb
+
+                def read_at(s2, n, off):
+                    return s2.b[off : off + n]
+
+            super().__init__(_F(b), len(b), 512)
+
+    for args in ((16, 12, "lossy", False, False),
+                 (300, 40, "extended", True, True)):
+        w, h, v, a, an = args
+        b = encode_webp_stub(w, h, v, alpha=a, anim=an, payload_bytes=20000)
+        rr = MemReader(b)
+        assert census_webp_ranged(rr) == _parse_webp_header(b)
+        assert rr.bytes_fetched < len(b) // 4
+
+    b = encode_ogg_vorbis_stub(8000, 1, [5000, 5000, 123], 999)
+    rr = MemReader(b)
+    assert census_ogg_ranged(rr) == _parse_ogg_vorbis(b)
+    assert rr.bytes_fetched < len(b) // 3
+
+    with _pytest.raises(ValueError, match="truncated Ogg"):
+        census_ogg_ranged(MemReader(b[:-50]))
