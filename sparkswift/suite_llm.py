@@ -5597,6 +5597,79 @@ def mm37_ogg_vorbis_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mm38 — IMA/DVI ADPCM DECODE (WAVE tag 0x11; the first LOSSY audio
+# decode rung, closing the named WAV-side ADPCM gate): the engine
+# runs the real 4-bit expander (public IMA 1992 tables, the same ones
+# RFC 3551 prints for DVI4) over authored single-block WAVs whose
+# nibble stream is pure id arithmetic — and the oracle re-runs the
+# SPEC RECURRENCE ITSELF in DuckDB via WITH RECURSIVE with the
+# step/index tables inlined as literals. Engine and oracle share no
+# code: one is numpy over RIFF bytes, the other is SQL over the
+# recurrence — agreement certifies both against ITU-grade arithmetic.
+# All-integer outputs ⇒ hash-exact. (AU's ADPCM is G.721/G.726 — an
+# adaptive pole/zero predictor, a genuinely different codec — and
+# stays honestly gated; see _decode_au.)
+# ---------------------------------------------------------------------------
+_IMA_STEP_SQL = (
+    "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,"
+    "60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,"
+    "307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,"
+    "1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,"
+    "4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,"
+    "12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767]"
+)
+_IMA_INDEX_SQL = "[-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8]"
+
+
+@register(
+    "mm38_wav_adpcm_decode_real",
+    f"""
+    WITH RECURSIVE
+    p AS (SELECT doc_id, 8 + doc_id % 8 AS m,
+                 CAST((doc_id * 37) % 4096 - 2048 AS BIGINT) AS p0,
+                 CAST(doc_id % 89 AS BIGINT) AS i0
+          FROM documents),
+    dec AS (
+      SELECT doc_id, m, 0 AS k, p0 AS val, i0 AS idx FROM p
+      UNION ALL
+      SELECT doc_id, m, k + 1,
+        GREATEST(-32768, LEAST(32767,
+          val + CASE WHEN ((7*doc_id + 3*k) % 16) & 8 = 8
+                     THEN -1 ELSE 1 END *
+            ( step // 8
+              + CASE WHEN ((7*doc_id + 3*k) % 16) & 4 = 4
+                     THEN step ELSE 0 END
+              + CASE WHEN ((7*doc_id + 3*k) % 16) & 2 = 2
+                     THEN step // 2 ELSE 0 END
+              + CASE WHEN ((7*doc_id + 3*k) % 16) & 1 = 1
+                     THEN step // 4 ELSE 0 END ))) AS val,
+        GREATEST(0, LEAST(88,
+          idx + ({_IMA_INDEX_SQL})[((7*doc_id + 3*k) % 16) + 1])) AS idx
+      FROM (SELECT dec.*, ({_IMA_STEP_SQL})[idx + 1] AS step FROM dec)
+      WHERE k < 2 * m
+    )
+    SELECT doc_id AS id,
+           CAST(1 + 2*m AS BIGINT) AS n_samples,
+           CAST((1 + 2*m) * 125 AS BIGINT) AS duration_us,
+           CAST(SUM(val) AS BIGINT) AS sum_q,
+           CAST(MIN(val) AS BIGINT) AS min_q,
+           CAST(MAX(val) AS BIGINT) AS max_q,
+           CAST(MAX(CASE WHEN k = 2*m THEN val END) AS BIGINT) AS last_q,
+           CAST(MAX(CASE WHEN k = 2*m THEN idx END) AS BIGINT) AS end_index
+    FROM dec GROUP BY doc_id, m
+    """,
+)
+def mm38_wav_adpcm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    wp = mm.synth_wav_ima_adpcm_payload(docs, "doc_id")
+    return mm.wav_adpcm_census(wp, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
 # mm30 — CCITT G3/G4 DECODE (ITU-T T.4/T.6 — the biggest named TIFF
 # gate, closed; VERDICT r14 next-round #9): real Modified-Huffman
 # run tables (prefix-freeness asserted at first use), G3 1D with

@@ -4993,3 +4993,70 @@ def test_ogg_vorbis_census_and_gates():
     # is also loud — assert either message
     with _pytest.raises(ValueError, match="CRC mismatch|Vorbis id"):
         _parse_ogg_vorbis(bytes(nonv))
+
+
+def test_ima_adpcm_decode_and_gates():
+    """mm38: the spec recurrence against a hand-run reference; the
+    REAL encoder round-trips within the step-size error law; block
+    re-seeding, fact-chunk short-final-block honoring, and the loud
+    gates (stereo, bad index, truncation)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import (
+        IMA_STEP_TABLE,
+        _decode_wav,
+        _decode_wav_ima_adpcm,
+        _ima_decode_codes,
+        encode_wav_ima_adpcm,
+        synth_wav_ima_adpcm_payload,  # noqa: F401 (registry wiring)
+    )
+
+    # hand-run spec reference: pred 0, index 0 (step 7), nibbles 2, 9
+    # nib 2: vpdiff = 7>>3 + 7>>1 = 0 + 3 → val 3; index -1 clamps to 0
+    # nib 9 (bit3 neg, bit0): step 7; vpdiff = 7>>3 + 7>>2 = 0 + 1
+    #   → val 2; index -1 clamps to 0
+    samples, end = _ima_decode_codes(0, 0, np.array([2, 9], np.uint8))
+    assert samples == [0, 3, 2] and end == 0
+
+    # clamp laws at both rails
+    s_hi, _ = _ima_decode_codes(32767, 88, np.array([7] * 4, np.uint8))
+    s_lo, _ = _ima_decode_codes(-32768, 88, np.array([15] * 4, np.uint8))
+    assert max(s_hi) == 32767 and min(s_lo) == -32768
+
+    # encoder round-trip: error bounded by the local step size
+    rng = np.random.RandomState(7)
+    truth = (
+        8000 * np.sin(np.arange(1001) / 20.0) + rng.randint(-300, 300, 1001)
+    ).astype(np.int64)
+    wav = encode_wav_ima_adpcm(truth, 8000, block_samples=201)
+    rate, dec, _ = _decode_wav_ima_adpcm(wav)
+    assert rate == 8000 and dec.size == truth.size
+    # per-sample error ≤ max step the encoder could have been at
+    assert np.abs(dec - truth).max() < int(IMA_STEP_TABLE[-1]) >> 2
+    # and tight in the quiet mid-band (greedy quantizer tracks)
+    assert np.abs(dec - truth).mean() < 200
+
+    # the generic WAV entry point expands tag 0x11 too
+    dur, f = _decode_wav(wav)
+    assert dur == truth.size / 8000.0
+    assert np.array_equal(f, dec.astype(np.float64) / 32768.0)
+
+    # fact chunk honors a short final block (1001 % 201 != 0)
+    assert truth.size % 201 != 0
+
+    # loud gates
+    stereo = bytearray(wav)
+    fpos = wav.index(b"fmt ") + 8
+    stereo[fpos + 2] = 2  # nchan = 2
+    with _pytest.raises(NotImplementedError, match="channel IMA"):
+        _decode_wav_ima_adpcm(bytes(stereo))
+    with _pytest.raises(ValueError, match="truncated"):
+        _decode_wav_ima_adpcm(wav[: len(wav) - 5])
+    bad_idx = bytearray(wav)
+    dpos = wav.index(b"data") + 8
+    bad_idx[dpos + 2] = 99  # step index > 88
+    with _pytest.raises(ValueError, match="step index 99"):
+        _decode_wav_ima_adpcm(bytes(bad_idx))
+    with _pytest.raises(ValueError, match="block_samples"):
+        encode_wav_ima_adpcm(truth, 8000, block_samples=10)
