@@ -2162,10 +2162,13 @@ def _decode_wav_float(b: bytes) -> tuple[float, np.ndarray]:
     if tag == 0x11:  # IMA/DVI ADPCM — real expander below (mm38)
         arate, s, _ = _decode_wav_ima_adpcm(b)
         return len(s) / float(arate), s.astype(np.float64) / 32768.0
+    if tag == 0x02:  # MS ADPCM — real expander below (mm39)
+        arate, s, _ = _decode_wav_ms_adpcm(b)
+        return len(s) / float(arate), s.astype(np.float64) / 32768.0
     if tag != 3:
         raise NotImplementedError(
             f"WAV format tag {tag} unsupported without stdlib wave "
-            "(1=PCM handled above; 3=IEEE float here; 0x11=IMA ADPCM "
+            "(1=PCM handled above; 3=IEEE float here; 2/0x11=ADPCM "
             "expanded above; other compressed tags need their own "
             "parsers)"
         )
@@ -8298,4 +8301,258 @@ def wav_adpcm_census(
         batches,
         "id bigint, n_samples bigint, duration_us bigint, sum_q bigint, "
         "min_q bigint, max_q bigint, last_q bigint, end_index bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# MS ADPCM (WAVE format tag 0x02) — the OTHER classic 4-bit WAV
+# codec: a 2-tap linear predictor chosen per block from 7 public
+# coefficient pairs, plus a multiplicative delta adaptation table
+# (both printed in Microsoft's public WAVE format documentation and
+# reproduced across open decoders' format notes). Block layout
+# (mono): uint8 predictor index, int16 initial delta, int16 sample1
+# (the NEWER seed), int16 sample2 (the older — emitted FIRST), then
+# 4-bit codes HIGH nibble first (opposite of IMA). Per code c
+# (two's-complement signed 4-bit):
+#   predictor = (sample1·coef1 + sample2·coef2) >> 8   (arithmetic)
+#   sample    = clamp16(predictor + c·delta)
+#   delta     = max(16, (adapt[c]·delta) >> 8)
+# Pure integers ⇒ the same WITH RECURSIVE oracle discipline as mm38.
+# ---------------------------------------------------------------------------
+MS_ADPCM_COEFFS = (
+    (256, 0), (512, -256), (0, 0), (192, 64),
+    (240, 0), (460, -208), (392, -232),
+)
+MS_ADPCM_ADAPT = (
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+)
+
+
+def _ms_adpcm_decode_codes(
+    coef_idx: int, delta: int, s1: int, s2: int, codes: "np.ndarray"
+) -> tuple[list[int], int]:
+    """Run the MS-ADPCM recurrence over a block's 4-bit codes.
+    Returns the full sample list (sample2 then sample1 first, per the
+    block layout) and the final delta."""
+    c1, c2 = MS_ADPCM_COEFFS[coef_idx]
+    out = [int(s2), int(s1)]
+    s1, s2, delta = int(s1), int(s2), int(delta)
+    for c in codes:
+        c = int(c)
+        signed = c - 16 if c >= 8 else c
+        pred = ((s1 * c1 + s2 * c2) >> 8) + signed * delta
+        pred = max(-32768, min(32767, pred))
+        s2, s1 = s1, pred
+        delta = max(16, (MS_ADPCM_ADAPT[c] * delta) >> 8)
+        out.append(pred)
+    return out, delta
+
+
+def _decode_wav_ms_adpcm(b: bytes) -> tuple[int, "np.ndarray", int]:
+    """Decode a mono WAVE-format-tag-2 payload → (sample rate,
+    int16-range int64 sample array, final delta). Honors the fact
+    chunk's count for short final blocks; multi-channel raises."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data, fact = 12, None, None, None
+    while pos + 8 <= len(b):
+        fourcc = b[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated WAVE chunk {fourcc!r}")
+        if fourcc == b"fmt ":
+            fmt = body
+        elif fourcc == b"data":
+            data = body
+        elif fourcc == b"fact":
+            fact = body
+        pos += 8 + size + (size % 2)
+    if fmt is None or data is None:
+        raise ValueError("WAVE payload missing fmt/data chunk")
+    tag, nchan, rate = struct.unpack_from("<HHI", fmt, 0)
+    block_align, bits = struct.unpack_from("<HH", fmt, 12)
+    if tag != 0x02:
+        raise ValueError(f"format tag {tag} is not MS ADPCM (2)")
+    if nchan != 1:
+        raise NotImplementedError(
+            f"{nchan}-channel MS ADPCM unsupported (mono only)"
+        )
+    if bits != 4 or block_align < 8:
+        raise ValueError(f"MS ADPCM bits={bits} block_align={block_align}")
+    total = None
+    if fact is not None and len(fact) >= 4:
+        (total,) = struct.unpack_from("<I", fact, 0)
+    samples: list[int] = []
+    end_delta = 0
+    for bpos in range(0, len(data), block_align):
+        block = data[bpos : bpos + block_align]
+        if len(block) < 7:
+            raise ValueError("truncated MS ADPCM block header")
+        coef_idx, delta, s1, s2 = struct.unpack_from("<Bhhh", block, 0)
+        if coef_idx >= len(MS_ADPCM_COEFFS):
+            raise ValueError(f"MS ADPCM predictor {coef_idx} out of range")
+        payload = np.frombuffer(block[7:], np.uint8)
+        codes = np.empty(payload.size * 2, np.uint8)
+        codes[0::2] = payload >> 4          # HIGH nibble first (spec order)
+        codes[1::2] = payload & 0x0F
+        want = None
+        if total is not None:
+            remaining = total - len(samples)
+            if remaining <= 0:
+                break
+            want = min(codes.size, max(0, remaining - 2))
+        block_samples, end_delta = _ms_adpcm_decode_codes(
+            coef_idx, delta, s1, s2,
+            codes[:want] if want is not None else codes,
+        )
+        samples.extend(block_samples)
+    if total is not None and len(samples) != total:
+        raise ValueError(
+            f"MS ADPCM fact count {total} != decoded {len(samples)}"
+        )
+    return int(rate), np.asarray(samples, np.int64), end_delta
+
+
+def encode_wav_ms_adpcm(
+    samples: "np.ndarray", sample_rate: int = 8000, block_samples: int = 502
+) -> bytes:
+    """REAL MS-ADPCM encoder (greedy, per-block best-of-7 predictor
+    by seed error): emits the code minimizing the reconstruction
+    error the DECODER recurrence tracks. block_samples must be even
+    (2 seeds + 2 codes/byte). Round-trip error pinned by pytest."""
+    if block_samples % 2 != 0 or block_samples < 4:
+        raise ValueError("block_samples must be even and >= 4")
+    v = np.asarray(samples, np.int64)
+    if v.size < 2:
+        raise ValueError("need at least 2 samples")
+    blocks = []
+    codes_per_block = block_samples - 2
+    for start in range(0, v.size, block_samples):
+        chunk = v[start : start + block_samples]
+        if chunk.size < 2:
+            chunk = np.concatenate([chunk, chunk[-1:]])
+        s2, s1 = int(chunk[0]), int(chunk[1])
+        # pick the predictor that best extrapolates the first step
+        best, best_err = 0, None
+        for ci, (c1, c2) in enumerate(MS_ADPCM_COEFFS):
+            tgt = int(chunk[2]) if chunk.size > 2 else s1
+            err = abs(((s1 * c1 + s2 * c2) >> 8) - tgt)
+            if best_err is None or err < best_err:
+                best, best_err = ci, err
+        c1, c2 = MS_ADPCM_COEFFS[best]
+        delta = max(16, int(np.abs(np.diff(chunk)).mean()) // 4 or 16)
+        blocks.append(struct.pack("<Bhhh", best, delta, s1, s2))
+        codes = []
+        ps1, ps2 = s1, s2
+        for s in chunk[2:]:
+            predv = (ps1 * c1 + ps2 * c2) >> 8
+            c = int(round((int(s) - predv) / delta)) if delta else 0
+            c = max(-8, min(7, c))
+            cu = c + 16 if c < 0 else c
+            rec = max(-32768, min(32767, predv + c * delta))
+            ps2, ps1 = ps1, rec
+            delta = max(16, (MS_ADPCM_ADAPT[cu] * delta) >> 8)
+            codes.append(cu)
+        codes += [0] * (codes_per_block - len(codes))
+        arr = np.asarray(codes, np.uint8)
+        blocks.append(((arr[0::2] << 4) | arr[1::2]).tobytes())
+    block_align = 7 + codes_per_block // 2
+    ncoef = len(MS_ADPCM_COEFFS)
+    ext = struct.pack("<HH", block_samples, ncoef) + b"".join(
+        struct.pack("<hh", a, b_) for a, b_ in MS_ADPCM_COEFFS
+    )
+    fmt = struct.pack(
+        "<HHIIHHH", 0x02, 1, sample_rate,
+        sample_rate * block_align // block_samples, block_align, 4,
+        len(ext),
+    ) + ext
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, v.size)
+    data = b"".join(blocks)
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synth_wav_ms_adpcm_payload(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """MS-ADPCM fixture for mm39: ONE mono block at 8 kHz, predictor
+    index id mod 7, initial delta 16 + (13·id) mod 1000, seeds
+    sample1 = (29·id) mod 4096 − 2048 / sample2 = (17·id) mod 4096 −
+    2048, and 2·(8 + id mod 8) codes following c_k = (5·id + 7k) mod
+    16 — authored directly (no encoder) so engine decode and the
+    recursive-CTE oracle share no code path."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            m = 8 + i % 8
+            cs = np.array(
+                [(5 * i + 7 * k) % 16 for k in range(2 * m)], np.uint8
+            )
+            packed = ((cs[0::2] << 4) | cs[1::2]).tobytes()
+            n_samples = 2 + 2 * m
+            block_align = 7 + m
+            ext = struct.pack("<HH", n_samples, 7) + b"".join(
+                struct.pack("<hh", a, b_) for a, b_ in MS_ADPCM_COEFFS
+            )
+            fmt = struct.pack(
+                "<HHIIHHH", 0x02, 1, 8000,
+                8000 * block_align // n_samples, block_align, 4, len(ext),
+            ) + ext
+            body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            body += b"fact" + struct.pack("<II", 4, n_samples)
+            data = struct.pack(
+                "<Bhhh", i % 7, 16 + (13 * i) % 1000,
+                (29 * i) % 4096 - 2048, (17 * i) % 4096 - 2048,
+            ) + packed
+            body += b"data" + struct.pack("<I", len(data)) + data
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col)))
+
+
+def wav_ms_adpcm_census(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """mm39 census op: REAL MS-ADPCM decode per row (mapInPandas,
+    map-side only) → exact integer facts: count, µs duration,
+    sum/min/max/last sample, final delta. Hash-exact vs the
+    recursive-CTE oracle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, cols = [], [[] for _ in range(7)]
+            for i, raw in zip(pdf[id_col], pdf[payload_col]):
+                rate, s, end_delta = _decode_wav_ms_adpcm(bytes(raw))
+                ids.append(int(i))
+                cols[0].append(int(s.size))
+                cols[1].append(int(s.size) * 1_000_000 // rate)
+                cols[2].append(int(s.sum()))
+                cols[3].append(int(s.min()))
+                cols[4].append(int(s.max()))
+                cols[5].append(int(s[-1]))
+                cols[6].append(int(end_delta))
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(cols[0], dtype="int64"),
+                    "duration_us": pd.Series(cols[1], dtype="int64"),
+                    "sum_q": pd.Series(cols[2], dtype="int64"),
+                    "min_q": pd.Series(cols[3], dtype="int64"),
+                    "max_q": pd.Series(cols[4], dtype="int64"),
+                    "last_q": pd.Series(cols[5], dtype="int64"),
+                    "end_delta": pd.Series(cols[6], dtype="int64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches,
+        "id bigint, n_samples bigint, duration_us bigint, sum_q bigint, "
+        "min_q bigint, max_q bigint, last_q bigint, end_delta bigint",
     )

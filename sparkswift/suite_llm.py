@@ -5670,6 +5670,86 @@ def mm38_wav_adpcm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mm39 — MS ADPCM DECODE (WAVE tag 2; mm38's sibling and the other
+# half of the classic WAV-ADPCM pair): 2-tap linear predictor from 7
+# public coefficient pairs + multiplicative delta adaptation, codes
+# HIGH nibble first (the opposite bit order from IMA — a corpus-wide
+# trap the pair of ops pins from both sides). Same certification
+# shape: the oracle re-runs the spec recurrence in a recursive CTE
+# carrying (sample1, sample2, delta); the >> 8 predictor shift is
+# arithmetic/floor in BOTH DuckDB and Python (pinned in pytest).
+# ---------------------------------------------------------------------------
+_MS_ADAPT_SQL = (
+    "[230,230,230,230,307,409,512,614,768,614,512,409,307,230,230,230]"
+)
+_MS_C1_SQL = "[256,512,0,192,240,460,392]"
+_MS_C2_SQL = "[0,-256,0,64,0,-208,-232]"
+
+
+@register(
+    "mm39_wav_ms_adpcm_decode_real",
+    f"""
+    WITH RECURSIVE
+    p AS (SELECT doc_id, 8 + doc_id % 8 AS m,
+                 ({_MS_C1_SQL})[doc_id % 7 + 1] AS c1,
+                 ({_MS_C2_SQL})[doc_id % 7 + 1] AS c2,
+                 CAST(16 + (doc_id * 13) % 1000 AS BIGINT) AS d0,
+                 CAST((doc_id * 29) % 4096 - 2048 AS BIGINT) AS s1_0,
+                 CAST((doc_id * 17) % 4096 - 2048 AS BIGINT) AS s2_0
+          FROM documents),
+    dec AS (
+      SELECT doc_id, m, c1, c2, 0 AS k, s1_0 AS s1, s2_0 AS s2,
+             d0 AS dlt, s2_0 AS emitted
+      FROM p
+      UNION ALL
+      SELECT doc_id, m, c1, c2, k + 1,
+        CASE WHEN k = 0 THEN s1 ELSE
+          GREATEST(-32768, LEAST(32767,
+            ((s1*c1 + s2*c2) >> 8)
+            + (CASE WHEN (5*doc_id + 7*(k-1)) % 16 >= 8
+                    THEN (5*doc_id + 7*(k-1)) % 16 - 16
+                    ELSE (5*doc_id + 7*(k-1)) % 16 END) * dlt))
+        END AS s1,
+        CASE WHEN k = 0 THEN s2 ELSE s1 END AS s2,
+        CASE WHEN k = 0 THEN dlt ELSE
+          GREATEST(16,
+            (({_MS_ADAPT_SQL})[(5*doc_id + 7*(k-1)) % 16 + 1] * dlt) >> 8)
+        END AS dlt,
+        CASE WHEN k = 0 THEN s1 ELSE
+          GREATEST(-32768, LEAST(32767,
+            ((s1*c1 + s2*c2) >> 8)
+            + (CASE WHEN (5*doc_id + 7*(k-1)) % 16 >= 8
+                    THEN (5*doc_id + 7*(k-1)) % 16 - 16
+                    ELSE (5*doc_id + 7*(k-1)) % 16 END) * dlt))
+        END AS emitted
+      FROM dec WHERE k < 1 + 2*m
+    )
+    SELECT doc_id AS id,
+           CAST(2 + 2*m AS BIGINT) AS n_samples,
+           CAST((2 + 2*m) * 125 AS BIGINT) AS duration_us,
+           CAST(SUM(emitted) AS BIGINT) AS sum_q,
+           CAST(MIN(emitted) AS BIGINT) AS min_q,
+           CAST(MAX(emitted) AS BIGINT) AS max_q,
+           CAST(MAX(CASE WHEN k = 1 + 2*m THEN emitted END) AS BIGINT)
+             AS last_q,
+           CAST(MAX(CASE WHEN k = 1 + 2*m THEN dlt END) AS BIGINT)
+             AS end_delta
+    FROM dec GROUP BY doc_id, m
+    """,
+)
+def mm39_wav_ms_adpcm_decode_real(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    wp = mm.synth_wav_ms_adpcm_payload(docs, "doc_id")
+    return mm.wav_ms_adpcm_census(wp, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
 # mm30 — CCITT G3/G4 DECODE (ITU-T T.4/T.6 — the biggest named TIFF
 # gate, closed; VERDICT r14 next-round #9): real Modified-Huffman
 # run tables (prefix-freeness asserted at first use), G3 1D with

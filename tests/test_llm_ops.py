@@ -5060,3 +5060,61 @@ def test_ima_adpcm_decode_and_gates():
         _decode_wav_ima_adpcm(bytes(bad_idx))
     with _pytest.raises(ValueError, match="block_samples"):
         encode_wav_ima_adpcm(truth, 8000, block_samples=10)
+
+
+def test_ms_adpcm_decode_and_gates():
+    """mm39: hand-run spec reference; the arithmetic (floor) >>8
+    predictor-shift law that the recursive-CTE oracle depends on;
+    encoder round-trip error law; nibble ORDER (high-first, the
+    anti-IMA trap); loud gates."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import (
+        _decode_wav_ms_adpcm,
+        _ms_adpcm_decode_codes,
+        encode_wav_ms_adpcm,
+        synth_wav_ms_adpcm_payload,  # noqa: F401 (registry wiring)
+    )
+
+    # hand-run: coef pair 0 (256, 0) ⇒ predictor = s1. delta 16.
+    # seeds s2=100 (emitted first), s1=200. code 1: 200 + 16 = 216.
+    # delta → max(16, (230·16)>>8) = 14 → 16. code 9 (signed −7):
+    # 216 − 7·16 = 104; delta → (adapt[9]=614 · 16)>>8 = 38.
+    samples, end = _ms_adpcm_decode_codes(
+        0, 16, 200, 100, np.array([1, 9], np.uint8)
+    )
+    assert samples == [100, 200, 216, 104] and end == 38
+
+    # the >>8 shift is FLOOR on negatives (must match DuckDB's >>):
+    # coef 1 (512, -256), s1=0, s2=1 → (0·512 − 256)>>8 = −1 (not 0)
+    samples, _ = _ms_adpcm_decode_codes(1, 16, 0, 1, np.array([0], np.uint8))
+    assert samples[-1] == -1
+
+    # encoder round-trip tracks a real waveform
+    rng = np.random.RandomState(11)
+    truth = (
+        6000 * np.sin(np.arange(1000) / 15.0) + rng.randint(-200, 200, 1000)
+    ).astype(np.int64)
+    wav = encode_wav_ms_adpcm(truth, 8000, block_samples=250)
+    rate, dec, _ = _decode_wav_ms_adpcm(wav)
+    assert rate == 8000 and dec.size == truth.size
+    # seeds are verbatim; decoded tail tracks within delta dynamics
+    assert dec[0] == truth[0] and dec[1] == truth[1]
+    assert np.abs(dec - truth).mean() < 400
+
+    # loud gates
+    stereo = bytearray(wav)
+    fpos = wav.index(b"fmt ") + 8
+    stereo[fpos + 2] = 2
+    with _pytest.raises(NotImplementedError, match="channel MS"):
+        _decode_wav_ms_adpcm(bytes(stereo))
+    bad_pred = bytearray(wav)
+    dpos = wav.index(b"data") + 8
+    bad_pred[dpos] = 7  # predictor index out of range
+    with _pytest.raises(ValueError, match="predictor 7"):
+        _decode_wav_ms_adpcm(bytes(bad_pred))
+    with _pytest.raises(ValueError, match="block_samples"):
+        encode_wav_ms_adpcm(truth, 8000, block_samples=5)
+    with _pytest.raises(ValueError, match="truncated"):
+        _decode_wav_ms_adpcm(wav[: len(wav) - 9])
