@@ -8556,3 +8556,315 @@ def wav_ms_adpcm_census(
         "id bigint, n_samples bigint, duration_us bigint, sum_q bigint, "
         "min_q bigint, max_q bigint, last_q bigint, end_delta bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Matroska / EBML (mkv + WebM — the open web-video wrapper; mm28/29's
+# story for the third major container family). EBML is public (RFC
+# 8794) and the Matroska element IDs are in the public Matroska spec:
+# everything is (vint ID, vint size, payload), so a header census —
+# DocType, TimestampScale, Duration, per-track type/codec/dimensions,
+# Cluster payload byte totals — is exact integer/string arithmetic
+# with ZERO codec work: Clusters are skipped by size like mdat.
+# The walk is ITERATIVE with explicit bounds checks (the ADVICE r14
+# AVI lesson: no recursion, no unchecked unpack_from).
+# ---------------------------------------------------------------------------
+_MKV_MASTERS = {
+    0x1A45DFA3,  # EBML header
+    0x18538067,  # Segment
+    0x1549A966,  # Info
+    0x1654AE6B,  # Tracks
+    0xAE,        # TrackEntry
+    0xE0,        # Video
+    0xE1,        # Audio
+}
+
+
+def _ebml_vint_size(n: int) -> bytes:
+    """Encode an EBML size vint (RFC 8794 §4): marker bit at position
+    7·length, value in the remaining bits, minimal length."""
+    for ln in range(1, 9):
+        if n < (1 << (7 * ln)) - 1:  # all-ones is reserved (unknown)
+            return (n | (1 << (7 * ln))).to_bytes(ln, "big")
+    raise ValueError(f"EBML size {n} too large")
+
+
+def _ebml_el(eid: int, payload: bytes) -> bytes:
+    """Author one EBML element: raw class ID bytes + size vint + body."""
+    nid = max(1, (eid.bit_length() + 7) // 8)
+    return eid.to_bytes(nid, "big") + _ebml_vint_size(len(payload)) + payload
+
+
+def _ebml_uint(n: int) -> bytes:
+    return n.to_bytes(max(1, (n.bit_length() + 7) // 8), "big")
+
+
+def _read_ebml_id(b: bytes, pos: int) -> tuple[int, int]:
+    """Read an element ID (returned with its marker bits, as the spec
+    tables print them). Returns (id, new_pos)."""
+    if pos >= len(b):
+        raise ValueError("truncated EBML (no ID byte)")
+    first = b[pos]
+    if first == 0:
+        raise ValueError("invalid EBML ID leading byte 0")
+    ln = 9 - first.bit_length()
+    if ln > 4 or pos + ln > len(b):
+        raise ValueError("truncated/overlong EBML ID")
+    return int.from_bytes(b[pos : pos + ln], "big"), pos + ln
+
+
+def _read_ebml_size(b: bytes, pos: int) -> tuple[int, int]:
+    """Read a size vint (marker bit masked off). Unknown-size
+    (all value bits set) raises loudly — streamed Matroska needs a
+    resync walk this census honestly doesn't do."""
+    if pos >= len(b):
+        raise ValueError("truncated EBML (no size byte)")
+    first = b[pos]
+    if first == 0:
+        raise ValueError("invalid EBML size leading byte 0")
+    ln = 9 - first.bit_length()
+    if pos + ln > len(b):
+        raise ValueError("truncated EBML size")
+    val = int.from_bytes(b[pos : pos + ln], "big") - (1 << (7 * ln))
+    if val == (1 << (7 * ln)) - 1:
+        raise NotImplementedError("unknown-size EBML element unsupported")
+    return val, pos + ln
+
+
+def _parse_matroska(b: bytes) -> dict:
+    """Iterative EBML walk → census dict. Only the master elements the
+    census needs are descended into; everything else (Clusters above
+    all) is skipped by size."""
+    facts = {
+        "doc_type": "", "timestamp_scale": 1000000, "duration_ticks": -1,
+        "n_tracks": 0, "n_video": 0, "n_audio": 0,
+        "video_codec": "", "audio_codec": "", "width": 0, "height": 0,
+        "cluster_bytes": 0,
+    }
+    # stack of (end_offset, inside_track_type) contexts; track ctx is
+    # mutated per TrackEntry
+    stack: list[int] = []
+    pos = 0
+    eid0, p = _read_ebml_id(b, 0)
+    if eid0 != 0x1A45DFA3:
+        raise ValueError("not an EBML/Matroska payload")
+    cur_track: dict | None = None
+    track_depth = -1
+    while pos < len(b):
+        while stack and pos >= stack[-1]:
+            if len(stack) - 1 == track_depth and cur_track is not None:
+                facts["n_tracks"] += 1
+                if cur_track.get("type") == 1:
+                    facts["n_video"] += 1
+                    if not facts["video_codec"]:
+                        facts["video_codec"] = cur_track.get("codec", "")
+                elif cur_track.get("type") == 2:
+                    facts["n_audio"] += 1
+                    if not facts["audio_codec"]:
+                        facts["audio_codec"] = cur_track.get("codec", "")
+                cur_track, track_depth = None, -1
+            stack.pop()
+        if pos >= len(b):
+            break
+        eid, p = _read_ebml_id(b, pos)
+        size, p = _read_ebml_size(b, p)
+        end = p + size
+        if end > (stack[-1] if stack else len(b)):
+            raise ValueError(f"EBML element 0x{eid:X} overruns container")
+        if eid in _MKV_MASTERS:
+            if eid == 0xAE:
+                cur_track, track_depth = {}, len(stack)
+            stack.append(end)
+            pos = p
+            continue
+        body = b[p:end]
+        if eid == 0x4282:                      # DocType
+            facts["doc_type"] = body.decode("ascii", "replace")
+        elif eid == 0x2AD7B1:                  # TimestampScale
+            facts["timestamp_scale"] = int.from_bytes(body, "big")
+        elif eid == 0x4489:                    # Duration (float)
+            if len(body) == 4:
+                facts["duration_ticks"] = struct.unpack(">f", body)[0]
+            elif len(body) == 8:
+                facts["duration_ticks"] = struct.unpack(">d", body)[0]
+            else:
+                raise ValueError(f"Duration float of {len(body)} bytes")
+        elif eid == 0x83 and cur_track is not None:   # TrackType
+            cur_track["type"] = int.from_bytes(body, "big")
+        elif eid == 0x86 and cur_track is not None:   # CodecID
+            cur_track["codec"] = body.decode("ascii", "replace")
+        elif eid == 0xB0:                      # PixelWidth
+            facts["width"] = int.from_bytes(body, "big")
+        elif eid == 0xBA:                      # PixelHeight
+            facts["height"] = int.from_bytes(body, "big")
+        elif eid == 0x1F43B675:                # Cluster
+            facts["cluster_bytes"] += size
+        pos = end
+    while stack and len(stack) - 1 >= 0:
+        if len(stack) - 1 == track_depth and cur_track is not None:
+            facts["n_tracks"] += 1
+            if cur_track.get("type") == 1:
+                facts["n_video"] += 1
+                if not facts["video_codec"]:
+                    facts["video_codec"] = cur_track.get("codec", "")
+            elif cur_track.get("type") == 2:
+                facts["n_audio"] += 1
+                if not facts["audio_codec"]:
+                    facts["audio_codec"] = cur_track.get("codec", "")
+            cur_track, track_depth = None, -1
+        stack.pop()
+    return facts
+
+
+def encode_matroska_stub(
+    doc_type: str,
+    timestamp_scale: int,
+    duration_ticks: float,
+    video_codec: str,
+    width: int,
+    height: int,
+    audio_codec: str | None,
+    audio_rate: float,
+    audio_channels: int,
+    cluster_sizes: list[int],
+) -> bytes:
+    """Author a minimal VALID Matroska/WebM container: EBML header,
+    Segment{Info, Tracks, Cluster···} with opaque cluster bodies
+    (SimpleBlock territory — census skips them by size, like mdat)."""
+    ebml = _ebml_el(0x1A45DFA3, b"".join([
+        _ebml_el(0x4286, _ebml_uint(1)),        # EBMLVersion
+        _ebml_el(0x42F7, _ebml_uint(1)),        # EBMLReadVersion
+        _ebml_el(0x42F2, _ebml_uint(4)),        # EBMLMaxIDLength
+        _ebml_el(0x42F3, _ebml_uint(8)),        # EBMLMaxSizeLength
+        _ebml_el(0x4282, doc_type.encode()),    # DocType
+        _ebml_el(0x4287, _ebml_uint(4)),        # DocTypeVersion
+        _ebml_el(0x4285, _ebml_uint(2)),        # DocTypeReadVersion
+    ]))
+    info = _ebml_el(0x1549A966, b"".join([
+        _ebml_el(0x2AD7B1, _ebml_uint(timestamp_scale)),
+        _ebml_el(0x4489, struct.pack(">d", float(duration_ticks))),
+        _ebml_el(0x4D80, b"sparkswift"),        # MuxingApp
+        _ebml_el(0x5741, b"sparkswift"),        # WritingApp
+    ]))
+    video_entry = _ebml_el(0xAE, b"".join([
+        _ebml_el(0xD7, _ebml_uint(1)),          # TrackNumber
+        _ebml_el(0x73C5, _ebml_uint(0x1234)),   # TrackUID
+        _ebml_el(0x83, _ebml_uint(1)),          # TrackType video
+        _ebml_el(0x86, video_codec.encode()),
+        _ebml_el(0xE0, b"".join([
+            _ebml_el(0xB0, _ebml_uint(width)),
+            _ebml_el(0xBA, _ebml_uint(height)),
+        ])),
+    ]))
+    entries = [video_entry]
+    if audio_codec is not None:
+        entries.append(_ebml_el(0xAE, b"".join([
+            _ebml_el(0xD7, _ebml_uint(2)),
+            _ebml_el(0x73C5, _ebml_uint(0x5678)),
+            _ebml_el(0x83, _ebml_uint(2)),      # TrackType audio
+            _ebml_el(0x86, audio_codec.encode()),
+            _ebml_el(0xE1, b"".join([
+                _ebml_el(0xB5, struct.pack(">d", float(audio_rate))),
+                _ebml_el(0x9F, _ebml_uint(audio_channels)),
+            ])),
+        ])))
+    tracks = _ebml_el(0x1654AE6B, b"".join(entries))
+    clusters = b"".join(
+        _ebml_el(
+            0x1F43B675,
+            _ebml_el(0xE7, _ebml_uint(j))       # Timestamp
+            + bytes((7 * j + k) % 256 for k in range(sz - 3)),
+        )
+        for j, sz in enumerate(cluster_sizes)
+    )
+    segment = _ebml_el(0x18538067, info + tracks + clusters)
+    return ebml + segment
+
+
+def synth_mkv_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Matroska fixture for mm40: doc_type webm/matroska by id%2,
+    TimestampScale 1 ms / 0.5 ms by id%3, integral Duration
+    600 + 37·(id%50) ticks, video V_VP9/V_VP8/V_AV1 by id%3 at
+    (320+16·(id%8)) × (240+8·(id%5)), audio track present when
+    id%3 ≠ 0 (A_OPUS/A_VORBIS by id%2), 1 + id%3 clusters whose
+    BODY sizes are 40 + (id+j)%25 + 3 vint-accounting bytes — all
+    exact id arithmetic for the oracle."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            return encode_matroska_stub(
+                "webm" if i % 2 == 0 else "matroska",
+                1000000 if i % 3 != 1 else 500000,
+                600 + 37 * (i % 50),
+                ("V_VP9", "V_VP8", "V_AV1")[i % 3],
+                320 + 16 * (i % 8),
+                240 + 8 * (i % 5),
+                None if i % 3 == 0 else ("A_OPUS" if i % 2 == 0 else "A_VORBIS"),
+                48000.0 if i % 2 == 0 else 44100.0,
+                1 + i % 2,
+                [43 + (i + j) % 25 for j in range(1 + i % 3)],
+            )
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col)))
+
+
+def matroska_census(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """mm40 census op: REAL EBML walk per row (mapInPandas, map-side
+    only) → doc_type, timestamp scale, exact integer-µs duration
+    (integral Duration ticks by construction), track counts/codecs,
+    video dimensions, cluster payload bytes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, raw in zip(pdf[id_col], pdf[payload_col]):
+                f = _parse_matroska(bytes(raw))
+                dur_ticks = f["duration_ticks"]
+                if dur_ticks != int(dur_ticks):
+                    raise ValueError(
+                        f"non-integral Duration {dur_ticks} (census "
+                        "emits exact integer µs only)"
+                    )
+                rows.append({
+                    "id": int(i),
+                    "doc_type": f["doc_type"],
+                    "timestamp_scale": int(f["timestamp_scale"]),
+                    "duration_us": int(dur_ticks)
+                    * int(f["timestamp_scale"]) // 1000,
+                    "n_tracks": f["n_tracks"],
+                    "n_video": f["n_video"],
+                    "n_audio": f["n_audio"],
+                    "video_codec": f["video_codec"],
+                    "audio_codec": f["audio_codec"],
+                    "width": f["width"],
+                    "height": f["height"],
+                    "cluster_bytes": f["cluster_bytes"],
+                })
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "doc_type", "timestamp_scale", "duration_us",
+                    "n_tracks", "n_video", "n_audio", "video_codec",
+                    "audio_codec", "width", "height", "cluster_bytes",
+                ],
+            )
+            for c in (
+                "id", "timestamp_scale", "duration_us", "n_tracks",
+                "n_video", "n_audio", "width", "height", "cluster_bytes",
+            ):
+                out[c] = out[c].astype("int64")
+            yield out
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches,
+        "id bigint, doc_type string, timestamp_scale bigint, "
+        "duration_us bigint, n_tracks bigint, n_video bigint, "
+        "n_audio bigint, video_codec string, audio_codec string, "
+        "width bigint, height bigint, cluster_bytes bigint",
+    )

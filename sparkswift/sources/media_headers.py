@@ -43,10 +43,14 @@ from pyspark.sql import functions as F
 
 from sparkswift.operators.multimodal import (
     _decode_mp3_frame_header,
+    _ebml_el,
     _parse_avi_container,
+    _parse_matroska,
     _parse_mp4_container,
     _parse_ogg_vorbis,
     _parse_webp_header,
+    _read_ebml_id,
+    _read_ebml_size,
 )
 
 DEFAULT_BLOCK_BYTES = 65536
@@ -317,6 +321,58 @@ def census_ogg_ranged(r: RangedReader) -> dict:
     return info
 
 
+def census_mkv_ranged(r: RangedReader) -> dict:
+    """Matroska/WebM census from ranged reads (the mp4 pattern for
+    EBML): fetch the EBML header element verbatim, then walk the
+    Segment's TOP-LEVEL children fetching every non-Cluster element
+    (SeekHead/Info/Tracks/Tags — KBs) into a rebuilt mini-container
+    that the certified in-memory _parse_matroska walks for all field
+    extraction; Clusters — the payload, mdat's analog — are accounted
+    from their SIZE VINTS alone and seeked past."""
+    end = r.size
+    head = r.read_at(0, 12)
+    if head[:4] != b"\x1aE\xdf\xa3":
+        raise ValueError("not an EBML/Matroska payload")
+
+    def read_header(pos: int) -> tuple[int, int, int]:
+        span = r.read_at(pos, 24)
+        eid, p = _read_ebml_id(span, 0)
+        size, p = _read_ebml_size(span, p)
+        return eid, size, pos + p
+
+    eid, size, body0 = read_header(0)
+    if body0 + size > end:
+        raise ValueError("truncated EBML header element")
+    mini = bytearray(r.read_at(0, body0 + size))
+    pos = body0 + size
+    cluster_bytes = 0
+    seg_children = bytearray()
+    while pos < end:
+        eid, size, bpos = read_header(pos)
+        if bpos + size > end:
+            raise ValueError(f"EBML element 0x{eid:X} overruns file")
+        if eid != 0x18538067:  # only Segment is walked at top level
+            mini += r.read_at(pos, bpos - pos + size)
+            pos = bpos + size
+            continue
+        cpos, cend = bpos, bpos + size
+        while cpos < cend:
+            ceid, csize, cbpos = read_header(cpos)
+            if cbpos + csize > cend:
+                raise ValueError(
+                    f"EBML element 0x{ceid:X} overruns Segment"
+                )
+            if ceid == 0x1F43B675:  # Cluster: account size, seek past
+                cluster_bytes += csize
+            else:
+                seg_children += r.read_at(cpos, cbpos - cpos + csize)
+            cpos = cbpos + csize
+        pos = cend
+    info = _parse_matroska(bytes(mini + _ebml_el(0x18538067, bytes(seg_children))))
+    info["cluster_bytes"] = cluster_bytes  # from size vints alone
+    return info
+
+
 def census_mp3_ranged(
     r: RangedReader, max_frames: int | None = None
 ) -> dict:
@@ -486,6 +542,46 @@ def load_avi_headers(
     )
 
 
+def load_mkv_headers(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    block_bytes: int = DEFAULT_BLOCK_BYTES,
+) -> DataFrame:
+    """Matroska/WebM container census over a directory at
+    headers-only cost — mm40's facts with Cluster payloads accounted
+    from size vints, never fetched."""
+
+    def census(r: RangedReader) -> dict:
+        c = census_mkv_ranged(r)
+        dur = c.pop("duration_ticks")
+        if dur != int(dur):
+            raise ValueError(f"non-integral Matroska Duration {dur}")
+        return {
+            "doc_type": c["doc_type"],
+            "timestamp_scale": c["timestamp_scale"],
+            "duration_us": int(dur) * c["timestamp_scale"] // 1000,
+            "n_tracks": c["n_tracks"], "n_video": c["n_video"],
+            "n_audio": c["n_audio"], "video_codec": c["video_codec"],
+            "audio_codec": c["audio_codec"], "width": c["width"],
+            "height": c["height"], "cluster_bytes": c["cluster_bytes"],
+        }
+
+    return _header_loader(
+        list_files(spark, path, glob),
+        census,
+        [
+            ("doc_type", "string"), ("timestamp_scale", "bigint"),
+            ("duration_us", "bigint"), ("n_tracks", "bigint"),
+            ("n_video", "bigint"), ("n_audio", "bigint"),
+            ("video_codec", "string"), ("audio_codec", "string"),
+            ("width", "bigint"), ("height", "bigint"),
+            ("cluster_bytes", "bigint"),
+        ],
+        block_bytes,
+    )
+
+
 def load_mp3_headers(
     spark: SparkSession,
     path: str,
@@ -511,6 +607,7 @@ def load_mp3_headers(
 
 _SNIFF = (
     ("mp4", lambda b: len(b) >= 12 and b[4:8] == b"ftyp"),
+    ("mkv", lambda b: b[:4] == b"\x1aE\xdf\xa3"),
     ("avi", lambda b: b[:4] == b"RIFF" and b[8:12] == b"AVI "),
     ("webp", lambda b: b[:4] == b"RIFF" and b[8:12] == b"WEBP"),
     ("ogg", lambda b: b[:4] == b"OggS"),
@@ -574,7 +671,7 @@ def load_media_triage(
     shape: one directory, whatever containers arrived. Per file:
     magic-sniff the format from the first 12 bytes, dispatch to the
     matching ranged census, and normalize to one schema —
-    ``media_format`` (mp3/avi/mp4/webp/ogg), ``detail`` (codec fourcc where
+    ``media_format`` (mp3/avi/mp4/webp/ogg/mkv), ``detail`` (codec fourcc where
     the container names one), ``n_units`` (frames / video chunks /
     tracks), ``duration_us`` (exact integer microseconds),
     ``media_bytes`` (audio stream / video chunk / mdat bytes) — plus
@@ -606,6 +703,19 @@ def load_media_triage(
                 "n_units": 1 + c["has_anim"],  # still=1; animated >=2
                 "duration_us": 0,  # stills carry no timeline
                 "media_bytes": c["image_bytes"],
+            }
+        if fmt == "mkv":
+            c = census_mkv_ranged(r)
+            if c["duration_ticks"] != int(c["duration_ticks"]):
+                raise ValueError(
+                    f"non-integral Matroska Duration {c['duration_ticks']}"
+                )
+            return {
+                "media_format": "mkv", "detail": c["video_codec"],
+                "n_units": c["n_tracks"],
+                "duration_us": int(c["duration_ticks"])
+                * c["timestamp_scale"] // 1000,
+                "media_bytes": c["cluster_bytes"],
             }
         if fmt == "ogg":
             c = census_ogg_ranged(r)

@@ -6273,3 +6273,112 @@ def t25_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         html_extract_text("html").alias("clean_text"),
     ).withColumn("n_clean_chars", F.length("clean_text").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# mm40 — MATROSKA/WEBM CONTAINER CENSUS (EBML per RFC 8794 + the
+# public Matroska element IDs; the third major video container after
+# AVI/mm28 and MP4/mm29, and the open web's default): DocType,
+# TimestampScale, integral Duration → exact integer µs, per-track
+# type/codec census, video dimensions, Cluster payload byte totals —
+# Clusters skipped by size exactly like mdat, zero codec work. The
+# EBML walk is iterative with bounds checks (the r14 AVI ADVICE
+# discipline applied from birth). Oracle: pure id arithmetic.
+# ---------------------------------------------------------------------------
+@register(
+    "mm40_matroska_census",
+    """
+    WITH js AS (SELECT unnest(range(3)) AS j),
+         p AS (SELECT doc_id, 1 + doc_id % 3 AS ncl FROM documents),
+         cl AS (
+           SELECT p.doc_id,
+                  CAST(SUM(43 + (p.doc_id + j) % 25) AS BIGINT) AS cb
+           FROM p JOIN js ON j < p.ncl GROUP BY p.doc_id
+         )
+    SELECT d.doc_id AS id,
+           CASE WHEN d.doc_id % 2 = 0 THEN 'webm' ELSE 'matroska' END
+             AS doc_type,
+           CAST(CASE WHEN d.doc_id % 3 <> 1 THEN 1000000 ELSE 500000 END
+                AS BIGINT) AS timestamp_scale,
+           CAST((600 + 37 * (d.doc_id % 50))
+                * CASE WHEN d.doc_id % 3 <> 1 THEN 1000 ELSE 500 END
+                AS BIGINT) AS duration_us,
+           CAST(CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 2 END AS BIGINT)
+             AS n_tracks,
+           CAST(1 AS BIGINT) AS n_video,
+           CAST(CASE WHEN d.doc_id % 3 = 0 THEN 0 ELSE 1 END AS BIGINT)
+             AS n_audio,
+           CASE d.doc_id % 3 WHEN 0 THEN 'V_VP9' WHEN 1 THEN 'V_VP8'
+                ELSE 'V_AV1' END AS video_codec,
+           CASE WHEN d.doc_id % 3 = 0 THEN ''
+                WHEN d.doc_id % 2 = 0 THEN 'A_OPUS'
+                ELSE 'A_VORBIS' END AS audio_codec,
+           CAST(320 + 16 * (d.doc_id % 8) AS BIGINT) AS width,
+           CAST(240 + 8 * (d.doc_id % 5) AS BIGINT) AS height,
+           cl.cb AS cluster_bytes
+    FROM documents d JOIN cl ON cl.doc_id = d.doc_id
+    """,
+)
+def mm40_matroska_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    wp = mm.synth_mkv_payload(docs, "doc_id")
+    return mm.matroska_census(wp, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
+# mm40b — the bounded-read twin of mm40 over the FILE LISTING:
+# identical census rows (same oracle) with Cluster payloads accounted
+# from their size vints alone, never fetched — at 100 TB of WebM the
+# headers are KBs per file while Clusters are everything else. The
+# pytest equality law additionally pins ranged == in-memory rows.
+# ---------------------------------------------------------------------------
+@register(
+    "mm40b_matroska_census_ranged",
+    """
+    WITH js AS (SELECT unnest(range(3)) AS j),
+         p AS (SELECT doc_id, 1 + doc_id % 3 AS ncl FROM documents),
+         cl AS (
+           SELECT p.doc_id,
+                  CAST(SUM(43 + (p.doc_id + j) % 25) AS BIGINT) AS cb
+           FROM p JOIN js ON j < p.ncl GROUP BY p.doc_id
+         )
+    SELECT d.doc_id AS id,
+           CASE WHEN d.doc_id % 2 = 0 THEN 'webm' ELSE 'matroska' END
+             AS doc_type,
+           CAST(CASE WHEN d.doc_id % 3 <> 1 THEN 1000000 ELSE 500000 END
+                AS BIGINT) AS timestamp_scale,
+           CAST((600 + 37 * (d.doc_id % 50))
+                * CASE WHEN d.doc_id % 3 <> 1 THEN 1000 ELSE 500 END
+                AS BIGINT) AS duration_us,
+           CAST(CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 2 END AS BIGINT)
+             AS n_tracks,
+           CAST(1 AS BIGINT) AS n_video,
+           CAST(CASE WHEN d.doc_id % 3 = 0 THEN 0 ELSE 1 END AS BIGINT)
+             AS n_audio,
+           CASE d.doc_id % 3 WHEN 0 THEN 'V_VP9' WHEN 1 THEN 'V_VP8'
+                ELSE 'V_AV1' END AS video_codec,
+           CASE WHEN d.doc_id % 3 = 0 THEN ''
+                WHEN d.doc_id % 2 = 0 THEN 'A_OPUS'
+                ELSE 'A_VORBIS' END AS audio_codec,
+           CAST(320 + 16 * (d.doc_id % 8) AS BIGINT) AS width,
+           CAST(240 + 8 * (d.doc_id % 5) AS BIGINT) AS height,
+           cl.cb AS cluster_bytes
+    FROM documents d JOIN cl ON cl.doc_id = d.doc_id
+    """,
+)
+def mm40b_matroska_census_ranged(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sparkswift.sources import media_headers as mh
+
+    d = _media_files(spark, sf_dir, mm.synth_mkv_payload, "mkv")
+    out = mh.load_mkv_headers(spark, d, glob="*.mkv")
+    return out.select(
+        _id_from_path("mkv"), "doc_type", "timestamp_scale", "duration_us",
+        "n_tracks", "n_video", "n_audio", "video_codec", "audio_codec",
+        "width", "height", "cluster_bytes",
+    )

@@ -743,3 +743,80 @@ def test_ranged_ogg_and_webp_census_equal_inmemory():
 
     with _pytest.raises(ValueError, match="truncated Ogg"):
         census_ogg_ranged(MemReader(b[:-50]))
+
+
+def test_matroska_census_and_ranged_equal_inmemory():
+    """mm40/mm40b: EBML vint encode/decode laws at length boundaries;
+    the census across every fixture branch; ranged == in-memory rows
+    with Cluster bodies never fetched; loud gates (unknown-size vint,
+    overrun child, truncation, non-EBML)."""
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import (
+        _ebml_vint_size,
+        _parse_matroska,
+        _read_ebml_id,
+        _read_ebml_size,
+        encode_matroska_stub,
+    )
+    from sparkswift.sources.media_headers import (
+        RangedReader,
+        census_mkv_ranged,
+        sniff_media_format,
+    )
+
+    class MemReader(RangedReader):
+        def __init__(self, b):
+            class _F:
+                def __init__(s2, bb):
+                    s2.b = bb
+
+                def read_at(s2, n, off):
+                    return s2.b[off : off + n]
+
+            super().__init__(_F(b), len(b), 512)
+
+    # vint round-trip at every length boundary (RFC 8794 §4)
+    for n in (0, 126, 127, 128, 16382, 16383, 16384, 2**21 - 2, 2**21):
+        enc = _ebml_vint_size(n)
+        val, pos = _read_ebml_size(enc, 0)
+        assert val == n and pos == len(enc)
+    # 0x7F as a 1-byte size is the reserved unknown-size pattern —
+    # the encoder must widen to 2 bytes, the reader must reject 0xFF
+    assert len(_ebml_vint_size(127)) == 2
+    with _pytest.raises(NotImplementedError, match="unknown-size"):
+        _read_ebml_size(b"\xff", 0)
+    # IDs keep their marker bits (spec-table form)
+    eid, _ = _read_ebml_id(b"\x1a\x45\xdf\xa3", 0)
+    assert eid == 0x1A45DFA3
+
+    # census across fixture branches: audio/no-audio, both scales,
+    # multi-cluster; ranged row == in-memory row; clusters not fetched
+    cases = [
+        ("webm", 1000000, 600, "V_VP9", 320, 240, None, 48000.0, 1, [4000]),
+        ("matroska", 500000, 637, "V_VP8", 336, 248, "A_OPUS",
+         44100.0, 2, [4000, 5000, 43]),
+        ("webm", 1000000, 1200, "V_AV1", 432, 272, "A_VORBIS",
+         48000.0, 1, [9000, 9000]),
+    ]
+    for args in cases:
+        b = encode_matroska_stub(*args)
+        mem = _parse_matroska(b)
+        rr = MemReader(b)
+        assert census_mkv_ranged(rr) == mem
+        assert mem["cluster_bytes"] == sum(args[9])
+        assert mem["n_audio"] == (0 if args[6] is None else 1)
+        # ranged read cost is bounded by headers, not clusters
+        assert rr.bytes_fetched < len(b)
+        assert sniff_media_format(MemReader(b)) == "mkv"
+
+    # gates
+    with _pytest.raises(ValueError, match="EBML"):
+        _parse_matroska(b"\x00\x00\x00\x00")
+    with _pytest.raises(ValueError, match="not an EBML"):
+        _parse_matroska(b"\x42\x86\x81\x01")
+    b = encode_matroska_stub(*cases[1])
+    with _pytest.raises(ValueError, match="truncated|overruns"):
+        _parse_matroska(b[:-30])
+    with _pytest.raises(ValueError, match="truncated|overruns"):
+        census_mkv_ranged(MemReader(b[:-30]))
