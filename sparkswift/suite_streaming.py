@@ -2681,3 +2681,61 @@ def st37_stream_dhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream_to_parquet(src, path=None, checkpoint=f"{base}/ck", merge_fn=ingest)
     return spark.read.parquet(out_dir).localCheckpoint()
+
+
+# ---------------------------------------------------------------------------
+# st39 — STREAMING ADPCM DECODE AT INGEST (mm38 under the streaming
+# runner: the first LOSSY decode certified stream ≡ batch). The IMA
+# expander is stateless mapInPandas, so the identical plan streams
+# unchanged; the recursive-CTE spec oracle certifies the streamed
+# chain directly — every decoded-sample statistic hash-exact.
+# ---------------------------------------------------------------------------
+from sparkswift.suite_llm import _IMA_INDEX_SQL, _IMA_STEP_SQL  # noqa: E402
+
+
+@register(
+    "st39_stream_adpcm_decode",
+    f"""
+    WITH RECURSIVE
+    p AS (SELECT doc_id, 8 + doc_id % 8 AS m,
+                 CAST((doc_id * 37) % 4096 - 2048 AS BIGINT) AS p0,
+                 CAST(doc_id % 89 AS BIGINT) AS i0
+          FROM documents),
+    dec AS (
+      SELECT doc_id, m, 0 AS k, p0 AS val, i0 AS idx FROM p
+      UNION ALL
+      SELECT doc_id, m, k + 1,
+        GREATEST(-32768, LEAST(32767,
+          val + CASE WHEN ((7*doc_id + 3*k) % 16) & 8 = 8
+                     THEN -1 ELSE 1 END *
+            ( step // 8
+              + CASE WHEN ((7*doc_id + 3*k) % 16) & 4 = 4
+                     THEN step ELSE 0 END
+              + CASE WHEN ((7*doc_id + 3*k) % 16) & 2 = 2
+                     THEN step // 2 ELSE 0 END
+              + CASE WHEN ((7*doc_id + 3*k) % 16) & 1 = 1
+                     THEN step // 4 ELSE 0 END ))) AS val,
+        GREATEST(0, LEAST(88,
+          idx + ({_IMA_INDEX_SQL})[((7*doc_id + 3*k) % 16) + 1])) AS idx
+      FROM (SELECT dec.*, ({_IMA_STEP_SQL})[idx + 1] AS step FROM dec)
+      WHERE k < 2 * m
+    )
+    SELECT doc_id AS id,
+           CAST(1 + 2*m AS BIGINT) AS n_samples,
+           CAST((1 + 2*m) * 125 AS BIGINT) AS duration_us,
+           CAST(SUM(val) AS BIGINT) AS sum_q,
+           CAST(MIN(val) AS BIGINT) AS min_q,
+           CAST(MAX(val) AS BIGINT) AS max_q,
+           CAST(MAX(CASE WHEN k = 2*m THEN val END) AS BIGINT) AS last_q,
+           CAST(MAX(CASE WHEN k = 2*m THEN idx END) AS BIGINT) AS end_index
+    FROM dec GROUP BY doc_id, m
+    """,
+)
+def st39_stream_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkswift.operators import multimodal as mm
+    from sparkswift.streaming.ops import table_stream
+
+    src = table_stream(spark, sf_dir, "documents").select("doc_id")
+    wp = mm.synth_wav_ima_adpcm_payload(src, "doc_id")
+    out = mm.wav_adpcm_census(wp, "doc_id", "payload")
+    return run_stream_to_batch(out, mode="append")

@@ -1,15 +1,17 @@
-"""x30 scale rehearsal with spill/peak-memory capture (VERDICT r14
-"Next round" #4: push the rehearsal program past x10 on the
+"""x30/x100 scale rehearsal with spill/peak-memory capture (VERDICT
+r14 "Next round" #4: push the rehearsal program past x10 on the
 shuffle-heaviest families and one ANN build, recording measured
 exponents and memory behavior, not just wall ratios).
 
 Methodology = tools/family_scale.py's disjoint-copy self-check,
-generalized: k copies with id stride 32 (so k<=32 never collides) and
-every token suffixed with the copy id — all counted totals must scale
-exactly xk or the run fails loudly. New here:
+generalized: k copies with id stride 128 (so k<=128 never collides)
+and every token suffixed with the copy id — all counted totals must
+scale exactly xk or the run fails loudly. New here:
 
-* k in (1, 10, 30) and a fitted exponent e = log(w30/w1)/log(30) per
-  family (e<=1 = no superlinear term at x30).
+* k in (1, 10, 30) by default — override with
+  SPARK_GRAFT_SCALE_KS=1,10,100 for the x100 rung — and a fitted
+  exponent e = log(w_kmax/w_1)/log(kmax) per family (e<=1 = no
+  superlinear term).
 * spill + peak memory: run with SPARK_GRAFT_UI=1 and this tool sums
   memoryBytesSpilled/diskBytesSpilled across completed stages from
   the status REST API between marks, and reads the JVM's VmHWM from
@@ -35,11 +37,11 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
-STRIDE = 32  # id stride: copies k<=32 never collide
+STRIDE = 128  # id stride: copies k<=128 never collide
 
 
 def doc_copies(docs: DataFrame, k: int) -> DataFrame:
-    """k disjoint copies: ids id*32+r, every TOKEN suffixed with the
+    """k disjoint copies: ids id*128+r, every TOKEN suffixed with the
     copy id (units never match across copies; within-copy structure
     untouched — the 1x baseline applies the same r=0 suffix)."""
     c = docs.select(
@@ -216,18 +218,23 @@ def main() -> None:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     which = set(sys.argv[2:]) or {"d13", "d15", "d11", "e6"}
+    ks = tuple(
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_SCALE_KS", "1,10,30").split(",")
+    )
+    assert max(ks) <= STRIDE, (ks, STRIDE)
     if os.environ.get("SPARK_GRAFT_UI") != "1":
         print("hint: SPARK_GRAFT_UI=1 enables spill capture")
     spark = get_spark("family-scale30")
     spark.sparkContext.setLogLevel("ERROR")
     if "d13" in which:
-        rehearse_d13(spark, sf_dir)
+        rehearse_d13(spark, sf_dir, ks)
     if "d15" in which:
-        rehearse_d15(spark, sf_dir)
+        rehearse_d15(spark, sf_dir, ks)
     if "d11" in which:
-        rehearse_d11(spark, sf_dir)
+        rehearse_d11(spark, sf_dir, ks)
     if "e6" in which:
-        rehearse_e6(spark, sf_dir)
+        rehearse_e6(spark, sf_dir, ks)
 
 
 if __name__ == "__main__":
