@@ -8868,3 +8868,242 @@ def matroska_census(
         "n_audio bigint, video_codec string, audio_codec string, "
         "width bigint, height bigint, cluster_bytes bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# AIFF (Audio IFF — EA-85 IFF chunks, the classic Mac/pro-audio
+# container; completes the uncompressed-audio container set next to
+# WAV/AU/FLAC). The one genuinely tricky field is COMM's sample rate:
+# an 80-bit IEEE 754 EXTENDED float (1 sign + 15 exponent + 64
+# mantissa bits with an EXPLICIT integer bit) — decoded here with
+# exact integer arithmetic, no float80 support needed, loud on
+# non-integral rates. Samples are big-endian signed PCM 8/16/24/32
+# in the SSND chunk after its offset/blockSize prelude. AIFC
+# compression types raise loudly.
+# ---------------------------------------------------------------------------
+def _decode_f80(b: bytes) -> int:
+    """Decode a big-endian 80-bit extended float that holds an exact
+    nonnegative integer (the only thing a sane AIFF rate field is).
+    Raises on negatives, non-integral values, and specials."""
+    if len(b) != 10:
+        raise ValueError("extended float must be 10 bytes")
+    se = int.from_bytes(b[:2], "big")
+    mant = int.from_bytes(b[2:], "big")
+    if se & 0x8000:
+        raise ValueError("negative AIFF sample rate")
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0
+    if exp == 0x7FFF:
+        raise ValueError("non-finite AIFF sample rate")
+    # value = mant · 2^(exp − 16383 − 63); integral iff shift ≥ 0 or
+    # the dropped low bits are zero
+    shift = exp - 16383 - 63
+    if shift >= 0:
+        return mant << shift
+    if mant & ((1 << -shift) - 1):
+        raise ValueError("non-integral AIFF sample rate")
+    return mant >> -shift
+
+
+def _encode_f80(n: int) -> bytes:
+    """Author the 80-bit extended-float encoding of a positive
+    integer (explicit integer bit, normalized)."""
+    if n <= 0:
+        raise ValueError("rate must be positive")
+    bl = n.bit_length()
+    exp = 16383 + bl - 1
+    mant = n << (64 - bl)
+    return exp.to_bytes(2, "big") + mant.to_bytes(8, "big")
+
+
+def _decode_aiff(b: bytes) -> tuple[int, "np.ndarray"]:
+    """Decode an AIFF payload → (sample rate, int64 sample array at
+    native depth). IFF chunk walk with bounds checks; COMM parsed for
+    channels/frames/depth/rate; SSND honors its offset field.
+    Multi-channel folds by exact integer mean only when exact
+    (mono fixture — stereo raises for now, loudly)."""
+    if len(b) < 12 or b[:4] != b"FORM" or b[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF payload")
+    (form_size,) = struct.unpack_from(">I", b, 4)
+    end = min(len(b), 8 + form_size)
+    is_aifc = b[8:12] == b"AIFC"
+    pos = 12
+    comm = ssnd = None
+    while pos + 8 <= end:
+        fourcc = b[pos : pos + 4]
+        (size,) = struct.unpack_from(">I", b, pos + 4)
+        body = b[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated AIFF chunk {fourcc!r}")
+        if fourcc == b"COMM":
+            comm = body
+        elif fourcc == b"SSND":
+            ssnd = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF payload missing COMM/SSND chunk")
+    if len(comm) < 18:
+        raise ValueError("truncated COMM chunk")
+    nchan, nframes, bits = struct.unpack_from(">HIH", comm, 0)
+    rate = _decode_f80(comm[8:18])
+    if is_aifc:
+        ctype = comm[18:22]
+        if ctype not in (b"NONE", b"sowt"):
+            raise NotImplementedError(
+                f"AIFC compression {ctype!r} unsupported (NONE only; "
+                "sowt = little-endian PCM handled)"
+            )
+    if nchan != 1:
+        raise NotImplementedError(f"{nchan}-channel AIFF unsupported")
+    if len(ssnd) < 8:
+        raise ValueError("truncated SSND chunk")
+    offset, _block = struct.unpack_from(">II", ssnd, 0)
+    data = ssnd[8 + offset :]
+    bo = "<" if (is_aifc and comm[18:22] == b"sowt") else ">"
+    if bits == 8:
+        s = np.frombuffer(data[:nframes], np.int8).astype(np.int64)
+    elif bits == 16:
+        s = np.frombuffer(data[: 2 * nframes], f"{bo}i2").astype(np.int64)
+    elif bits == 24:
+        a = (
+            np.frombuffer(data[: 3 * nframes], np.uint8)
+            .reshape(-1, 3)
+            .astype(np.int64)
+        )
+        if bo == ">":
+            v = (a[:, 0] << 16) | (a[:, 1] << 8) | a[:, 2]
+        else:
+            v = (a[:, 2] << 16) | (a[:, 1] << 8) | a[:, 0]
+        s = v - ((v >> 23) << 24)  # sign-extend bit 23
+    elif bits == 32:
+        s = np.frombuffer(data[: 4 * nframes], f"{bo}i4").astype(np.int64)
+    else:
+        raise NotImplementedError(f"AIFF bit depth {bits} unsupported")
+    if s.size != nframes:
+        raise ValueError(f"AIFF frame count {nframes} != data {s.size}")
+    return rate, s
+
+
+def encode_aiff(
+    samples: "np.ndarray",
+    sample_rate: int = 8000,
+    bits: int = 16,
+    little_endian: bool = False,
+) -> bytes:
+    """Author a valid mono AIFF (or AIFC/sowt when little_endian)
+    payload at 8/16/24/32-bit depth with the exact 80-bit extended
+    rate field."""
+    v = np.asarray(samples, np.int64)
+    if little_endian and bits == 8:
+        raise ValueError("sowt is for multi-byte depths")
+    if bits == 8:
+        data = v.astype(np.int8).tobytes()
+    elif bits == 16:
+        data = v.astype("<i2" if little_endian else ">i2").tobytes()
+    elif bits == 24:
+        u = (v & 0xFFFFFF).astype(np.int64)
+        tri = np.empty((v.size, 3), np.uint8)
+        if little_endian:
+            tri[:, 0], tri[:, 1], tri[:, 2] = (
+                u & 0xFF, (u >> 8) & 0xFF, (u >> 16) & 0xFF,
+            )
+        else:
+            tri[:, 0], tri[:, 1], tri[:, 2] = (
+                (u >> 16) & 0xFF, (u >> 8) & 0xFF, u & 0xFF,
+            )
+        data = tri.tobytes()
+    elif bits == 32:
+        data = v.astype("<i4" if little_endian else ">i4").tobytes()
+    else:
+        raise ValueError(f"bits must be 8/16/24/32, got {bits}")
+    comm = struct.pack(">HIH", 1, v.size, bits) + _encode_f80(sample_rate)
+    if little_endian:
+        comm += b"sowt" + b"\x0enot compressed\x00"
+    form_type = b"AIFC" if little_endian else b"AIFF"
+    chunks = b""
+    if little_endian:
+        chunks += b"FVER" + struct.pack(">II", 4, 0xA2805140)
+    chunks += b"COMM" + struct.pack(">I", len(comm)) + comm
+    if len(comm) % 2:
+        chunks += b"\x00"
+    ssnd = struct.pack(">II", 0, 0) + data
+    chunks += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    if len(ssnd) % 2:
+        chunks += b"\x00"
+    return b"FORM" + struct.pack(">I", 4 + len(chunks)) + form_type + chunks
+
+
+def synth_aiff_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """AIFF fixture for mm41: n = 64 + 4·(id%16) samples of the
+    int8-range dyadic law s_k = (3·id + 5k) % 256 − 128, scaled to
+    the depth cycle 8/16/24/32-bit by id%4 (×1 / ×2⁸ / ×2¹⁶ / ×2²⁴)
+    with id%8 ≥ 4 picking AIFC/sowt little-endian for the multi-byte
+    depths — every decoded series normalizes to the SAME integers
+    after dividing the depth scale, so ONE oracle branch covers all
+    variants. Rate 8000/11025/22050/44100 by id%4 via the exact
+    80-bit extended field."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            n = 64 + 4 * (i % 16)
+            base = (3 * i + 5 * np.arange(n, dtype=np.int64)) % 256 - 128
+            bits = (8, 16, 24, 32)[i % 4]
+            scale = {8: 1, 16: 1 << 8, 24: 1 << 16, 32: 1 << 24}[bits]
+            rate = (8000, 11025, 22050, 44100)[i % 4]
+            le = bits != 8 and i % 8 >= 4
+            return encode_aiff(base * scale, rate, bits, little_endian=le)
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col)))
+
+
+def aiff_census(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """mm41 census op: REAL AIFF decode per row (mapInPandas,
+    map-side only) → exact integer facts of the depth-normalized
+    stream: count, µs duration, sum/min/max/first of sample//scale
+    (exact — the synth scales by the depth factor, so the division
+    reconstructs the dyadic law integers)."""
+
+    _SCALE = {8: 1, 16: 1 << 8, 24: 1 << 16, 32: 1 << 24}
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, cols = [], [[] for _ in range(6)]
+            for i, raw in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(raw)
+                rate, s = _decode_aiff(raw)
+                # depth from the COMM chunk, not the data
+                comm_at = raw.index(b"COMM")
+                (bits,) = struct.unpack_from(">H", raw, comm_at + 8 + 6)
+                sc = _SCALE[bits]
+                q = s // sc
+                ids.append(int(i))
+                cols[0].append(int(s.size))
+                cols[1].append(int(s.size) * 1_000_000 // rate)
+                cols[2].append(int(q.sum()))
+                cols[3].append(int(q.min()))
+                cols[4].append(int(q.max()))
+                cols[5].append(int(q[0]))
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(cols[0], dtype="int64"),
+                    "duration_us": pd.Series(cols[1], dtype="int64"),
+                    "sum_q": pd.Series(cols[2], dtype="int64"),
+                    "min_q": pd.Series(cols[3], dtype="int64"),
+                    "max_q": pd.Series(cols[4], dtype="int64"),
+                    "first_q": pd.Series(cols[5], dtype="int64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches,
+        "id bigint, n_samples bigint, duration_us bigint, sum_q bigint, "
+        "min_q bigint, max_q bigint, first_q bigint",
+    )

@@ -6382,3 +6382,46 @@ def mm40b_matroska_census_ranged(
         "n_tracks", "n_video", "n_audio", "video_codec", "audio_codec",
         "width", "height", "cluster_bytes",
     )
+
+
+# ---------------------------------------------------------------------------
+# mm41 — AIFF DECODE (EA IFF-85 chunks; completes the classic
+# uncompressed-audio container set beside WAV/AU/FLAC — the Mac/
+# pro-audio interchange shape): COMM's 80-bit IEEE EXTENDED sample
+# rate decoded with exact integer arithmetic (explicit integer bit —
+# no float80 anywhere), big-endian PCM at the full 8/16/24/32 depth
+# cycle PLUS AIFC/sowt byte-swapped variants, SSND offset honored.
+# One dyadic sample law scaled per depth ⇒ depth-normalized stats
+# are identical integers ⇒ ONE oracle branch covers all 7 container
+# variants. AIFC compression types refuse loudly.
+# ---------------------------------------------------------------------------
+@register(
+    "mm41_aiff_decode_real",
+    """
+    WITH ks AS (SELECT unnest(range(128)) AS k),
+         p AS (SELECT doc_id, 64 + 4 * (doc_id % 16) AS n FROM documents),
+         d AS (
+           SELECT doc_id, n, k,
+                  (3 * doc_id + 5 * k) % 256 - 128 AS sample
+           FROM p JOIN ks ON k < n
+         )
+    SELECT doc_id AS id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * 1000000 // (CASE doc_id % 4 WHEN 0 THEN 8000
+                WHEN 1 THEN 11025 WHEN 2 THEN 22050 ELSE 44100 END)
+                AS BIGINT) AS duration_us,
+           CAST(SUM(sample) AS BIGINT) AS sum_q,
+           CAST(MIN(sample) AS BIGINT) AS min_q,
+           CAST(MAX(sample) AS BIGINT) AS max_q,
+           CAST(MAX(CASE WHEN k = 0 THEN sample END) AS BIGINT) AS first_q
+    FROM d GROUP BY doc_id, n
+    """,
+)
+def mm41_aiff_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    wp = mm.synth_aiff_payload(docs, "doc_id")
+    return mm.aiff_census(wp, "doc_id", "payload")

@@ -5118,3 +5118,69 @@ def test_ms_adpcm_decode_and_gates():
         encode_wav_ms_adpcm(truth, 8000, block_samples=5)
     with _pytest.raises(ValueError, match="truncated"):
         _decode_wav_ms_adpcm(wav[: len(wav) - 9])
+
+
+def test_aiff_decode_and_gates():
+    """mm41: 80-bit extended-float rate field round-trip + rejection
+    laws (the field nobody gets right); all depth/endianness
+    variants bit-exact; SSND offset honored; loud gates (AIFC
+    compression, stereo, truncation, bad frame count)."""
+    import numpy as np
+    import pytest as _pytest
+    import struct as _struct
+
+    from sparkswift.operators.multimodal import (
+        _decode_aiff,
+        _decode_f80,
+        _encode_f80,
+        encode_aiff,
+        synth_aiff_payload,  # noqa: F401 (registry wiring)
+    )
+
+    # f80: exact integers round-trip, incl. non-powers and huge rates
+    for n in (1, 7, 8000, 11025, 44100, 96000, 192000, 2**40 + 3):
+        assert _decode_f80(_encode_f80(n)) == n
+    # known bit pattern: 44100 = 0x400E AC44 << 48 form (the value
+    # every AIFF spec appendix prints)
+    assert _encode_f80(44100) == bytes.fromhex("400eac44000000000000")
+    with _pytest.raises(ValueError, match="negative"):
+        _decode_f80(bytes.fromhex("c00eac44000000000000"))
+    with _pytest.raises(ValueError, match="non-finite"):
+        _decode_f80(bytes.fromhex("7fff8000000000000000"))
+    with _pytest.raises(ValueError, match="non-integral"):
+        # 44100.5: mantissa gains a low bit below the integer point
+        _decode_f80(bytes.fromhex("400eac44200000000000"))
+
+    # depth × endianness matrix, bit-exact incl. int24 sign corners
+    v = np.array([-(1 << 23), (1 << 23) - 1, -1, 0, 1], np.int64)
+    for le in (False, True):
+        rate, s = _decode_aiff(encode_aiff(v, 8000, 24, little_endian=le))
+        assert rate == 8000 and np.array_equal(s, v)
+
+    # SSND offset is honored
+    b = encode_aiff(np.array([5, -6], np.int64), 8000, 16)
+    at = b.index(b"SSND")
+    (sz,) = _struct.unpack_from(">I", b, at + 4)
+    patched = (
+        b[: at + 4]
+        + _struct.pack(">III", sz + 4, 4, 0)
+        + b"\xde\xad\xbe\xef"
+        + b[at + 16 :]
+    )
+    _, s = _decode_aiff(patched)
+    assert list(s) == [5, -6]
+
+    # gates
+    with _pytest.raises(ValueError, match="not an AIFF"):
+        _decode_aiff(b"FORMxxxxWAVE")
+    with _pytest.raises(ValueError, match="truncated AIFF chunk"):
+        _decode_aiff(b[:-3])
+    comm_at = b.index(b"COMM")
+    stereo = bytearray(b)
+    stereo[comm_at + 9] = 2
+    with _pytest.raises(NotImplementedError, match="channel AIFF"):
+        _decode_aiff(bytes(stereo))
+    aifc = encode_aiff(v, 8000, 16, little_endian=True)
+    bad = aifc.replace(b"sowt", b"ima4")
+    with _pytest.raises(NotImplementedError, match="AIFC compression"):
+        _decode_aiff(bad)
