@@ -9107,3 +9107,188 @@ def aiff_census(
         "id bigint, n_samples bigint, duration_us bigint, sum_q bigint, "
         "min_q bigint, max_q bigint, first_q bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# ID3v2 TEXT-FRAME METADATA (the id3.org informal standard, v2.3 +
+# v2.4 — the metadata layer mm26's census deliberately SKIPS): real
+# audio curation reads title/artist/album/track/year tags corpus-wide
+# before anything decodes. Structure per spec: 10-byte header with a
+# 28-bit SYNCSAFE tag size; frames of (4-char ID, size — PLAIN
+# big-endian in v2.3, SYNCSAFE in v2.4 (the cross-version trap), 2
+# flag bytes); text frames carry an encoding byte (0 latin-1,
+# 1 UTF-16 w/BOM, 2 UTF-16BE, 3 UTF-8) then the text. Padding (a
+# zero byte where a frame ID should start) ends the walk.
+# ---------------------------------------------------------------------------
+_ID3_TEXT_FRAMES = {
+    "TIT2": "title", "TPE1": "artist", "TALB": "album",
+    "TRCK": "track", "TYER": "year", "TDRC": "year",
+}
+
+
+def _syncsafe(n: int) -> bytes:
+    return bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+
+
+def _id3_text_bytes(text: str, encoding: int) -> bytes:
+    if encoding == 0:
+        return text.encode("latin-1")
+    if encoding == 1:
+        return text.encode("utf-16")       # LE with BOM (codec default)
+    if encoding == 2:
+        return text.encode("utf-16-be")
+    if encoding == 3:
+        return text.encode("utf-8")
+    raise ValueError(f"ID3 text encoding {encoding} invalid")
+
+
+def encode_id3v2(
+    frames: list[tuple[str, str]], version: int = 3, encoding: int = 0
+) -> bytes:
+    """Author a real ID3v2.{3,4} tag: text frames with the given
+    encoding; v2.4 uses syncsafe FRAME sizes, v2.3 plain big-endian
+    (the trap the parser must honor per version)."""
+    if version not in (3, 4):
+        raise ValueError("ID3v2 version must be 3 or 4")
+    body = bytearray()
+    for fid, text in frames:
+        payload = bytes([encoding]) + _id3_text_bytes(text, encoding)
+        size = (
+            _syncsafe(len(payload)) if version == 4
+            else struct.pack(">I", len(payload))
+        )
+        body += fid.encode("ascii") + size + b"\x00\x00" + payload
+    return (
+        b"ID3" + bytes([version, 0, 0]) + _syncsafe(len(body)) + bytes(body)
+    )
+
+
+def _parse_id3v2(b: bytes) -> dict:
+    """Parse a leading ID3v2 tag → {version, tag_bytes, n_frames,
+    title, artist, album, track, year}. Unsynchronisation and
+    extended headers refuse loudly (rare in the wild, and silently
+    mis-skipping them corrupts every later offset)."""
+    if b[:3] != b"ID3":
+        raise ValueError("no ID3v2 tag")
+    if len(b) < 10:
+        raise ValueError("truncated ID3v2 header")
+    version, rev, flags = b[3], b[4], b[5]
+    if version not in (3, 4):
+        raise NotImplementedError(f"ID3v2.{version} unsupported (2.3/2.4)")
+    if flags & 0x80:
+        raise NotImplementedError("ID3v2 unsynchronisation unsupported")
+    if flags & 0x40:
+        raise NotImplementedError("ID3v2 extended header unsupported")
+    if any(x & 0x80 for x in b[6:10]):
+        raise ValueError("ID3v2 size bytes must be syncsafe")
+    size = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+    end = 10 + size
+    if end > len(b):
+        raise ValueError("truncated ID3v2 tag body")
+    out = {
+        "version": version, "tag_bytes": size, "n_frames": 0,
+        "title": "", "artist": "", "album": "", "track": "", "year": "",
+    }
+    pos = 10
+    while pos + 10 <= end:
+        if b[pos] == 0:        # padding starts
+            break
+        fid = b[pos : pos + 4].decode("ascii", "replace")
+        if version == 4:
+            if any(x & 0x80 for x in b[pos + 4 : pos + 8]):
+                raise ValueError(f"non-syncsafe v2.4 frame size in {fid}")
+            fsize = (
+                (b[pos + 4] << 21) | (b[pos + 5] << 14)
+                | (b[pos + 6] << 7) | b[pos + 7]
+            )
+        else:
+            (fsize,) = struct.unpack_from(">I", b, pos + 4)
+        fpos = pos + 10
+        if fpos + fsize > end:
+            raise ValueError(f"ID3v2 frame {fid} overruns tag")
+        out["n_frames"] += 1
+        if fid in _ID3_TEXT_FRAMES and fsize >= 1:
+            enc = b[fpos]
+            raw = b[fpos + 1 : fpos + fsize]
+            if enc == 0:
+                text = raw.decode("latin-1")
+            elif enc == 1:
+                text = raw.decode("utf-16")
+            elif enc == 2:
+                text = raw.decode("utf-16-be")
+            elif enc == 3:
+                text = raw.decode("utf-8")
+            else:
+                raise ValueError(f"ID3 text encoding {enc} invalid")
+            out[_ID3_TEXT_FRAMES[fid]] = text.rstrip("\x00")
+        pos = fpos + fsize
+    return out
+
+
+def synth_id3_mp3_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """ID3v2 fixture for mm42: a real tagged MP3 — version 2.3/2.4 by
+    id%2, text encoding latin-1/UTF-16/UTF-8 by id%3, five frames
+    (title 'Title <id>', artist 'Artist <id%100>', album 'Album
+    <id%10>', track 1+id%20, year 1990+id%35 as TYER/TDRC per
+    version) followed by two real framing frames — tag size becomes
+    exact LENGTH() arithmetic the oracle re-derives."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            i = int(i)
+            version = 3 if i % 2 == 0 else 4
+            enc = (0, 1, 3)[i % 3]
+            year_fid = "TYER" if version == 3 else "TDRC"
+            tag = encode_id3v2(
+                [
+                    ("TIT2", f"Title {i}"),
+                    ("TPE1", f"Artist {i % 100}"),
+                    ("TALB", f"Album {i % 10}"),
+                    ("TRCK", str(1 + i % 20)),
+                    (year_fid, str(1990 + i % 35)),
+                ],
+                version=version,
+                encoding=enc,
+            )
+            audio = encode_mp3_stream([(9, 0), (9, 1)])
+            return tag + audio
+
+        return ids.map(one)
+
+    return df.withColumn("payload", make(F.col(id_col)))
+
+
+def id3_tags_census(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """mm42 census op: REAL ID3v2 parse per row (mapInPandas,
+    map-side only) → version, declared tag bytes, frame count, and
+    the five canonical text tags."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, raw in zip(pdf[id_col], pdf[payload_col]):
+                f = _parse_id3v2(bytes(raw))
+                f["id"] = int(i)
+                rows.append(f)
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "version", "tag_bytes", "n_frames",
+                    "title", "artist", "album", "track", "year",
+                ],
+            )
+            for c in ("id", "version", "tag_bytes", "n_frames"):
+                out[c] = out[c].astype("int64")
+            yield out
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches,
+        "id bigint, version bigint, tag_bytes bigint, n_frames bigint, "
+        "title string, artist string, album string, track string, "
+        "year string",
+    )

@@ -879,7 +879,8 @@ def raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # 2. The entire remaining round-7 cohort (last driver row 8 rounds
 #    ago): agg13-agg16.
 # 3. 30 of the 41-strong round-8 cohort (7 rounds stale) fills the
-#    window; p2_hash_split, p4_stratified_sample, q1_pricing_summary,
+#    window; o7_ps_apply, p2_hash_split, p4_stratified_sample,
+#    q1_pricing_summary,
 #    q5_local_supplier_volume,
 #    q10_returned_items, q17_small_quantity_revenue, st1_stream_resample,
 #    st2_stateful_totals, st3_stream_sliding, st4_stream_join,
@@ -917,6 +918,7 @@ _WINDOW = [
     "mm40b_matroska_census_ranged",
     "st39_stream_adpcm_decode",
     "mm41_aiff_decode_real",
+    "mm42_id3_tags_census",
     # --- (2) round-7 cohort (stalest driver evidence, 8 behind) ---
     "agg13_bool_aggs",
     "agg14_skew_report",
@@ -947,7 +949,6 @@ _WINDOW = [
     "o5_rolling_weighted",
     "o6_resample_hourly",
     "o6_resample_udf_median",
-    "o7_ps_apply",
 ]
 
 

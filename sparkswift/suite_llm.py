@@ -6425,3 +6425,49 @@ def mm41_aiff_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wp = mm.synth_aiff_payload(docs, "doc_id")
     return mm.aiff_census(wp, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
+# mm42 — ID3v2 TEXT-TAG CENSUS (id3.org v2.3 + v2.4 — the metadata
+# layer mm26's framing census deliberately skips past): real audio
+# curation reads title/artist/album/track/year corpus-wide before
+# any decode. The parser honors the cross-version frame-size trap
+# (v2.3 plain big-endian vs v2.4 SYNCSAFE), three text encodings
+# (latin-1 / UTF-16-with-BOM / UTF-8), per-version year frames
+# (TYER vs TDRC), and padding; unsynchronisation and extended
+# headers refuse loudly. The tag size is exact LENGTH() arithmetic
+# (UTF-16 frames cost 2 BOM bytes + 2 bytes/char) the oracle
+# re-derives — a byte-accounting law over string encodings.
+# ---------------------------------------------------------------------------
+@register(
+    "mm42_id3_tags_census",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             24 + length(CAST(doc_id AS VARCHAR))
+                + length(CAST(doc_id % 100 AS VARCHAR))
+                + length(CAST(1 + doc_id % 20 AS VARCHAR)) AS tc
+      FROM documents
+    )
+    SELECT doc_id AS id,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS BIGINT)
+             AS version,
+           CAST(55 + CASE WHEN doc_id % 3 = 1 THEN 10 + 2 * tc ELSE tc END
+                AS BIGINT) AS tag_bytes,
+           CAST(5 AS BIGINT) AS n_frames,
+           'Title ' || CAST(doc_id AS VARCHAR) AS title,
+           'Artist ' || CAST(doc_id % 100 AS VARCHAR) AS artist,
+           'Album ' || CAST(doc_id % 10 AS VARCHAR) AS album,
+           CAST(1 + doc_id % 20 AS VARCHAR) AS track,
+           CAST(1990 + doc_id % 35 AS VARCHAR) AS year
+    FROM p
+    """,
+)
+def mm42_id3_tags_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    wp = mm.synth_id3_mp3_payload(docs, "doc_id")
+    return mm.id3_tags_census(wp, "doc_id", "payload")

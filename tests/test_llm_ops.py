@@ -5184,3 +5184,73 @@ def test_aiff_decode_and_gates():
     bad = aifc.replace(b"sowt", b"ima4")
     with _pytest.raises(NotImplementedError, match="AIFC compression"):
         _decode_aiff(bad)
+
+
+def test_id3v2_tags_and_gates():
+    """mm42: cross-version frame-size law (v2.3 plain vs v2.4
+    syncsafe — sizes >= 128 diverge), all three text encodings,
+    padding stop, and the loud gates (unsync flag, extended header,
+    overrun frame, bad encoding byte)."""
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import (
+        _parse_id3v2,
+        encode_id3v2,
+        synth_id3_mp3_payload,  # noqa: F401 (registry wiring)
+    )
+
+    # the size law actually diverges: a 200-char title's frame body is
+    # 201 bytes — v2.3 stores 0x000000C9, v2.4 stores syncsafe 0x0149.
+    long_title = "X" * 200
+    for version in (3, 4):
+        tag = encode_id3v2([("TIT2", long_title)], version=version)
+        f = _parse_id3v2(tag)
+        assert f["version"] == version and f["title"] == long_title
+    # byte-level check of the divergence
+    t3 = encode_id3v2([("TIT2", long_title)], 3)
+    t4 = encode_id3v2([("TIT2", long_title)], 4)
+    assert t3[14:18] == bytes([0, 0, 0, 201])
+    assert t4[14:18] == bytes([0, 0, 1, 73])  # 201 = (1<<7) + 73
+
+    # encodings: non-ASCII round-trips in latin-1 / UTF-16 / UTF-8
+    for enc in (0, 1, 3):
+        text = "Caf\xe9 7"
+        f = _parse_id3v2(encode_id3v2([("TPE1", text)], 4, enc))
+        assert f["artist"] == text
+    # UTF-16BE (enc 2) parses too (we never author it)
+    body = b"\x02" + "Hi".encode("utf-16-be")
+    fr = b"TIT2" + bytes([0, 0, 0, len(body)]) + b"\x00\x00" + body
+    tag = b"ID3\x03\x00\x00" + bytes(
+        [0, 0, len(fr) >> 7, len(fr) & 0x7F]
+    ) + fr
+    assert _parse_id3v2(tag)["title"] == "Hi"
+
+    # padding ends the walk without error
+    padded = encode_id3v2([("TALB", "A")], 3)
+    grown = (
+        padded[:6]
+        + bytes([0, 0, (len(padded) - 10 + 8) >> 7,
+                 (len(padded) - 10 + 8) & 0x7F])
+        + padded[10:]
+        + bytes(8)
+    )
+    f = _parse_id3v2(grown)
+    assert f["album"] == "A" and f["n_frames"] == 1
+
+    # gates
+    with _pytest.raises(NotImplementedError, match="unsynchronisation"):
+        _parse_id3v2(b"ID3\x04\x00\x80\x00\x00\x00\x00")
+    with _pytest.raises(NotImplementedError, match="extended header"):
+        _parse_id3v2(b"ID3\x04\x00\x40\x00\x00\x00\x00")
+    with _pytest.raises(NotImplementedError, match="ID3v2.2"):
+        _parse_id3v2(b"ID3\x02\x00\x00\x00\x00\x00\x00")
+    bad = bytearray(encode_id3v2([("TIT2", "x")], 3))
+    bad[14:18] = bytes([0, 0, 0, 99])  # frame overruns tag
+    with _pytest.raises(ValueError, match="overruns"):
+        _parse_id3v2(bytes(bad))
+    with _pytest.raises(ValueError, match="encoding 9"):
+        body = b"\x09hi"
+        fr = b"TIT2" + bytes([0, 0, 0, len(body)]) + b"\x00\x00" + body
+        _parse_id3v2(
+            b"ID3\x03\x00\x00" + bytes([0, 0, 0, len(fr)]) + fr
+        )
