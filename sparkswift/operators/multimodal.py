@@ -3803,13 +3803,18 @@ def _split_jpeg_tables(full: bytes) -> tuple[bytes, bytes]:
 
 
 def _parse_tiff_deep(
-    b: bytes, tags: dict, w: int, h: int, photo: int, e: str, depth: int
+    b: bytes, tags: dict, w: int, h: int, photo: int, e: str, depth: int,
+    comp: int = 1,
 ) -> np.ndarray:
-    """Non-8-bit grayscale strips, uncompressed: 1-bit bilevel (rows
-    padded to byte boundaries, MSB-first — TIFF FillOrder 1) and
-    16-bit (either byte order; mapped to 8-bit output by the high
-    byte, the standard display reduction — callers needing full
-    precision read the strip bytes directly). Photometric 0 inverts
+    """Non-8-bit grayscale strips: 1-bit bilevel (rows padded to byte
+    boundaries, MSB-first — TIFF FillOrder 1) and 16-bit (either
+    byte order; mapped to 8-bit output by the high byte, the
+    standard display reduction — callers needing full precision read
+    the strip bytes directly). Compression 1/5/32773 (none, LZW,
+    PackBits); the horizontal PREDICTOR (tag 317 = 2) applies at
+    16-BIT SAMPLE granularity per TIFF 6.0 §14 — differencing
+    happens on sample values before byte-order serialization, the
+    corner an 8-bit-minded decoder gets wrong. Photometric 0 inverts
     per spec."""
     if tags.get(266, [1])[0] != 1:
         raise NotImplementedError("TIFF FillOrder 2 (LSB-first) unsupported")
@@ -3817,6 +3822,11 @@ def _parse_tiff_deep(
         raise NotImplementedError(
             f"TIFF photometric {photo} invalid for {depth}-bit grayscale"
         )
+    predictor = tags.get(317, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
+    if predictor == 2 and depth == 1:
+        raise NotImplementedError("TIFF predictor 2 on 1-bit is invalid")
     try:
         offsets, counts = tags[273], tags[279]
     except KeyError as ex:
@@ -3828,10 +3838,18 @@ def _parse_tiff_deep(
         chunk = b[o : o + c]
         if depth == 1:
             stride = (w + 7) // 8
-            if len(chunk) < rows_here * stride:
+            want = rows_here * stride
+        else:
+            want = rows_here * w * 2
+        if comp == 5:
+            chunk = _tiff_lzw_decode(chunk, want)
+        elif comp == 32773:
+            chunk = _packbits_decode(chunk, want)
+        if depth == 1:
+            if len(chunk) < want:
                 raise ValueError("truncated 1-bit TIFF strip")
             bits8 = np.unpackbits(
-                np.frombuffer(chunk, np.uint8, count=rows_here * stride)
+                np.frombuffer(chunk, np.uint8, count=want)
                 .reshape(rows_here, stride),
                 axis=1,
             )[:, :w]
@@ -3840,12 +3858,14 @@ def _parse_tiff_deep(
             if photo == 0:  # WhiteIsZero: 0 -> white
                 g = (255 - g.astype(np.int16)).astype(np.uint8)
         else:
-            need = rows_here * w * 2
-            if len(chunk) < need:
+            if len(chunk) < want:
                 raise ValueError("truncated 16-bit TIFF strip")
             g16 = np.frombuffer(chunk, e + "u2", count=rows_here * w).reshape(
                 rows_here, w
             )
+            if predictor == 2:  # undo per-row sample differencing
+                g16 = np.cumsum(g16.astype(np.int64), axis=1) % 65536
+                g16 = g16.astype(np.uint16)
             g = (g16 >> 8).astype(np.uint8)
             if photo == 0:
                 g = (255 - g.astype(np.int16)).astype(np.uint8)
@@ -3970,7 +3990,8 @@ def _parse_tiff(b: bytes) -> np.ndarray:
     strips (compression 7, JPEGTables factoring included) via
     _parse_tiff_jpeg. Uncompressed 1-bit bilevel and
     16-bit grayscale strips decode via _parse_tiff_deep (16-bit
-    reduces by high byte). Tiled JPEG, compressed deep samples and
+    reduces by high byte; none/LZW/PackBits with the sample-level
+    horizontal predictor). Tiled JPEG and
     other depths raise loudly."""
     if b[:4] == b"II*\x00":
         e = "<"
@@ -4003,12 +4024,12 @@ def _parse_tiff(b: bytes) -> np.ndarray:
         return _parse_tiff_ccitt(b, tags, w, h, photo, comp, spp, bits)
     if comp == 7:  # JPEG-in-TIFF (TIFF Tech Note 2, new-style)
         return _parse_tiff_jpeg(b, tags, w, h, photo, spp, bits)
-    if comp == 1 and spp == 1 and bits in ([1], [16]):
-        return _parse_tiff_deep(b, tags, w, h, photo, e, bits[0])
+    if comp in (1, 5, 32773) and spp == 1 and bits in ([1], [16]):
+        return _parse_tiff_deep(b, tags, w, h, photo, e, bits[0], comp)
     if any(x != 8 for x in bits):
         raise NotImplementedError(
             f"TIFF bits-per-sample {bits} unsupported (8-bit any "
-            "layout; 1/16-bit grayscale uncompressed only)"
+            "layout; 1/16-bit grayscale none/LZW/PackBits only)"
         )
     if comp not in (1, 5, 32773):
         raise NotImplementedError(
@@ -7578,22 +7599,41 @@ def encode_tiff_deep(
     depth: int = 16,
     byte_order: str = "<",
     photometric: int = 1,
+    compression: int = 1,
+    predictor: int = 1,
 ) -> bytes:
-    """Author an uncompressed deep-grayscale TIFF: 1-bit bilevel
-    (input 0/1, rows byte-padded MSB-first) or 16-bit (input uint16,
-    either byte order), single strip — the counterpart fixture
-    authoring for :func:`_parse_tiff_deep`."""
+    """Author a deep-grayscale TIFF: 1-bit bilevel (input 0/1, rows
+    byte-padded MSB-first) or 16-bit (input uint16, either byte
+    order), single strip, compression 1/5/32773 and the 16-bit
+    horizontal predictor (per-SAMPLE differencing before byte-order
+    serialization, TIFF 6.0 §14) — the counterpart fixture authoring
+    for :func:`_parse_tiff_deep`."""
     gray = np.asarray(gray)
     h, w = gray.shape
+    if predictor == 2 and depth != 16:
+        raise ValueError("predictor 2 is for 16-bit only here")
     if depth == 1:
         stride = (w + 7) // 8
         data = np.packbits(gray.astype(np.uint8), axis=1)[:, :stride].tobytes()
     elif depth == 16:
-        data = gray.astype(byte_order + "u2").tobytes()
+        g16 = gray.astype(np.uint16)
+        if predictor == 2:
+            d = g16.astype(np.int64)
+            d[:, 1:] = (d[:, 1:] - d[:, :-1]) % 65536
+            g16 = d.astype(np.uint16)
+        data = g16.astype(byte_order + "u2").tobytes()
     else:
         raise ValueError("depth must be 1 or 16")
+    if compression == 5:
+        data = _tiff_lzw_encode(data)
+    elif compression == 32773:
+        data = _packbits_encode(data)
+    elif compression != 1:
+        raise ValueError(f"compression {compression} unsupported here")
     e = byte_order
     tag_ids = [256, 257, 258, 259, 262, 266, 273, 277, 278, 279]
+    if predictor == 2:
+        tag_ids = sorted(tag_ids + [317])
     n = len(tag_ids)
     ifd_off = 8
     data_off = ifd_off + 2 + 12 * n + 4
@@ -7605,9 +7645,9 @@ def encode_tiff_deep(
         return struct.pack(">HHI", tag, typ, 1) + struct.pack(">I", packed)
 
     vals = {
-        256: (4, w), 257: (4, h), 258: (3, depth), 259: (3, 1),
+        256: (4, w), 257: (4, h), 258: (3, depth), 259: (3, compression),
         262: (3, photometric), 266: (3, 1), 273: (4, data_off),
-        277: (3, 1), 278: (4, h), 279: (4, len(data)),
+        277: (3, 1), 278: (4, h), 279: (4, len(data)), 317: (3, predictor),
     }
     ents = b"".join(entry(t, vals[t][0], vals[t][1]) for t in tag_ids)
     if e == "<":
@@ -7624,25 +7664,33 @@ def synth_tiff_deep_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     law v(x, y) = (257·id + 131x + 173y) % 65536 (byte order by
     id%4 — 0 little, 2 big); ODD ids are 1-bit bilevel with law
     black iff (3·id + 17x + 29y) % 5 < 2 (photometric 1 for id%4==1,
-    0 for id%4==3 — both polarities load-bearing). Canvas
-    (20 + id%11) × (14 + id%7). The decoded 8-bit channel value is
-    exact id arithmetic (16-bit reduces by high byte = v div 256)."""
+    0 for id%4==3 — both polarities load-bearing). Since r15's gate
+    closure the corpus also cycles COMPRESSION none/LZW/PackBits by
+    (id div 2) mod 3 and, on 16-bit, the sample-level horizontal
+    predictor by (id div 4) mod 2 — all lossless, so the oracle is
+    unchanged. Canvas (20 + id%11) × (14 + id%7). The decoded 8-bit
+    channel value is exact id arithmetic (16-bit reduces by high
+    byte = v div 256)."""
 
     @F.pandas_udf("binary")
     def make(ids: pd.Series) -> pd.Series:
         def one(i: int) -> bytes:
             i = int(i)
             w, h = 20 + i % 11, 14 + i % 7
+            comp = (1, 5, 32773)[(i // 2) % 3]
             xx, yy = np.meshgrid(np.arange(w), np.arange(h))
             if i % 2 == 0:
                 v = ((257 * i + 131 * xx + 173 * yy) % 65536).astype(
                     np.uint16
                 )
                 return encode_tiff_deep(
-                    v, 16, "<" if i % 4 == 0 else ">", 1
+                    v, 16, "<" if i % 4 == 0 else ">", 1,
+                    comp, 1 + (i // 4) % 2,
                 )
             bw = ((3 * i + 17 * xx + 29 * yy) % 5 < 2).astype(np.uint8)
-            return encode_tiff_deep(bw, 1, "<", 1 if i % 4 == 1 else 0)
+            return encode_tiff_deep(
+                bw, 1, "<", 1 if i % 4 == 1 else 0, comp, 1
+            )
 
         return ids.map(one)
 

@@ -38,10 +38,24 @@ def get_spark(app_name: str = "sparkswift", cpus: int | None = None) -> SparkSes
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(n))
+        # partitions ∝ shuffle volume is the documented scale rule
+        # (docs/SCALE.md): the env override is how rehearsals at x100
+        # volume (and real clusters without AQE) apply it.
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(n)),
+        )
         .config("spark.default.parallelism", str(n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # under AQE the post-shuffle task size is governed by the
+        # ADVISORY size, not the initial partition count (AQE
+        # coalesces the latter away) — the x100 rehearsal's measured
+        # spill knob (docs/SCALE.md)
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "64MB"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

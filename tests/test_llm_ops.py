@@ -4831,19 +4831,37 @@ def test_tiff_deep_decode_and_gates():
 
     with _pytest.raises(ValueError, match="depth must be"):
         encode_tiff_deep(g16, 12)
-    # compressed 16-bit still refuses (the deep path is comp-1 only)
-    import struct
-
-    t = encode_tiff_deep(g16, 16)
-    out = bytearray(t)
-    (n,) = struct.unpack_from("<H", t, 8)
-    for k in range(n):
-        off = 10 + 12 * k
-        if struct.unpack_from("<H", t, off)[0] == 259:
-            struct.pack_into("<I", out, off + 8, 5)  # LZW
-    with _pytest.raises(NotImplementedError, match="bits-per-sample"):
-        _parse_tiff(bytes(out))
+    # COMPRESSED deep strips decode bit-exactly (the r15 gate
+    # closure): LZW and PackBits at both byte orders, and the 16-bit
+    # horizontal predictor (per-SAMPLE differencing, TIFF 6.0 §14)
+    for comp in (5, 32773):
+        for e in ("<", ">"):
+            for pred in (1, 2):
+                px = _parse_tiff(
+                    encode_tiff_deep(g16, 16, e, 1, comp, pred)
+                )
+                assert np.array_equal(
+                    px[:, :, 0], (g16 >> 8).astype(np.uint8)
+                ), (comp, e, pred)
+        pb = _parse_tiff(encode_tiff_deep(bw, 1, "<", 1, comp, 1))
+        assert np.array_equal(pb[:, :, 0] == 255, bw == 1), comp
+    # the predictor-vs-serialization corner is REAL: the
+    # differenced byte stream differs from the plain one, yet both
+    # decode to the same pixels through the sample-level undo
+    lzw = encode_tiff_deep(g16, 16, "<", 1, 5, 2)
+    raw_pred = encode_tiff_deep(g16, 16, "<", 1, 1, 2)
+    assert raw_pred != encode_tiff_deep(g16, 16, "<", 1, 1, 1)
+    assert np.array_equal(
+        _parse_tiff(lzw)[:, :, 0], (g16 >> 8).astype(np.uint8)
+    )
+    assert np.array_equal(
+        _parse_tiff(raw_pred)[:, :, 0], (g16 >> 8).astype(np.uint8)
+    )
+    # predictor 2 on 1-bit refuses at the encoder gate
+    with _pytest.raises(ValueError, match="predictor 2 is for 16-bit"):
+        encode_tiff_deep(bw, 1, "<", 1, 1, 2)
     # truncated strip
+    t = encode_tiff_deep(g16, 16)
     with _pytest.raises(ValueError, match="truncated 16-bit"):
         _parse_tiff(t[:-20])
 
