@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparkswift.operators.multimodal import (
+    _decode_f80,
     _decode_mp3_frame_header,
     _ebml_el,
     _parse_avi_container,
@@ -373,6 +374,47 @@ def census_mkv_ranged(r: RangedReader) -> dict:
     return info
 
 
+def census_aiff_ranged(r: RangedReader) -> dict:
+    """AIFF/AIFC census from ranged reads: IFF chunk headers walked
+    with seeks, COMM fetched (tiny — the 80-bit extended rate field
+    decodes through the same certified _decode_f80), SSND body
+    accounted from its size field alone. Duration is exact integer
+    µs from COMM's frame count and integral rate."""
+    end = r.size
+    head = r.read_at(0, 12)
+    if head[:4] != b"FORM" or head[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF payload")
+    is_aifc = head[8:12] == b"AIFC"
+    pos = 12
+    comm = None
+    ssnd_bytes = 0
+    while pos + 8 <= end:
+        ch = r.read_at(pos, 8)
+        if len(ch) < 8:
+            raise ValueError("truncated AIFF chunk header")
+        fourcc = ch[:4]
+        (size,) = struct.unpack_from(">I", ch, 4)
+        if pos + 8 + size > end:
+            raise ValueError(f"truncated AIFF chunk {fourcc!r}")
+        if fourcc == b"COMM":
+            comm = r.read_at(pos + 8, size)
+        elif fourcc == b"SSND":
+            ssnd_bytes = max(0, size - 8)  # minus offset/blockSize
+        pos += 8 + size + (size % 2)
+    if comm is None or len(comm) < 18:
+        raise ValueError("AIFF payload missing/short COMM chunk")
+    nchan, nframes, bits = struct.unpack_from(">HIH", comm, 0)
+    rate = _decode_f80(comm[8:18])
+    ctype = comm[18:22] if (is_aifc and len(comm) >= 22) else b"NONE"
+    return {
+        "n_channels": int(nchan), "n_frames": int(nframes),
+        "bits": int(bits), "sample_rate": int(rate),
+        "duration_us": int(nframes) * 1_000_000 // int(rate),
+        "audio_bytes": int(ssnd_bytes),
+        "compression": ctype.decode("ascii", "replace"),
+    }
+
+
 def census_mp3_ranged(
     r: RangedReader, max_frames: int | None = None
 ) -> dict:
@@ -608,6 +650,7 @@ def load_mp3_headers(
 _SNIFF = (
     ("mp4", lambda b: len(b) >= 12 and b[4:8] == b"ftyp"),
     ("mkv", lambda b: b[:4] == b"\x1aE\xdf\xa3"),
+    ("aiff", lambda b: b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC")),
     ("avi", lambda b: b[:4] == b"RIFF" and b[8:12] == b"AVI "),
     ("webp", lambda b: b[:4] == b"RIFF" and b[8:12] == b"WEBP"),
     ("ogg", lambda b: b[:4] == b"OggS"),
@@ -671,7 +714,7 @@ def load_media_triage(
     shape: one directory, whatever containers arrived. Per file:
     magic-sniff the format from the first 12 bytes, dispatch to the
     matching ranged census, and normalize to one schema —
-    ``media_format`` (mp3/avi/mp4/webp/ogg/mkv), ``detail`` (codec fourcc where
+    ``media_format`` (mp3/avi/mp4/webp/ogg/mkv/aiff), ``detail`` (codec fourcc where
     the container names one), ``n_units`` (frames / video chunks /
     tracks), ``duration_us`` (exact integer microseconds),
     ``media_bytes`` (audio stream / video chunk / mdat bytes) — plus
@@ -703,6 +746,17 @@ def load_media_triage(
                 "n_units": 1 + c["has_anim"],  # still=1; animated >=2
                 "duration_us": 0,  # stills carry no timeline
                 "media_bytes": c["image_bytes"],
+            }
+        if fmt == "aiff":
+            c = census_aiff_ranged(r)
+            return {
+                "media_format": "aiff",
+                "detail": f"pcm{c['bits']}"
+                if c["compression"] in ("NONE", "sowt")
+                else c["compression"],
+                "n_units": c["n_frames"],
+                "duration_us": c["duration_us"],
+                "media_bytes": c["audio_bytes"],
             }
         if fmt == "mkv":
             c = census_mkv_ranged(r)

@@ -820,3 +820,46 @@ def test_matroska_census_and_ranged_equal_inmemory():
         _parse_matroska(b[:-30])
     with _pytest.raises(ValueError, match="truncated|overruns"):
         census_mkv_ranged(MemReader(b[:-30]))
+
+
+def test_aiff_ranged_census_and_sniff():
+    """AIFF joins the triage sniff: ranged census fetches COMM (and
+    the 80-bit rate field through the certified decoder) while SSND
+    bodies are accounted from size fields; sowt/AIFC flagged."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkswift.operators.multimodal import encode_aiff
+    from sparkswift.sources.media_headers import (
+        RangedReader,
+        census_aiff_ranged,
+        sniff_media_format,
+    )
+
+    class MemReader(RangedReader):
+        def __init__(self, b, bs=512):
+            class _F:
+                def __init__(s2, bb):
+                    s2.b = bb
+
+                def read_at(s2, n, off):
+                    return s2.b[off : off + n]
+
+            super().__init__(_F(b), len(b), bs)
+
+    v = (np.arange(8000, dtype=np.int64) % 200 - 100) * 256
+    b = encode_aiff(v, 8000, 16)
+    rr = MemReader(b, bs=256)
+    c = census_aiff_ranged(rr)
+    assert c == {
+        "n_channels": 1, "n_frames": 8000, "bits": 16,
+        "sample_rate": 8000, "duration_us": 1_000_000,
+        "audio_bytes": 16000, "compression": "NONE",
+    }
+    # SSND body (16 KB) not fetched: headers fit in a few blocks
+    assert rr.bytes_fetched < len(b) // 8
+    assert sniff_media_format(MemReader(b)) == "aiff"
+    c2 = census_aiff_ranged(MemReader(encode_aiff(v, 44100, 24, True)))
+    assert c2["compression"] == "sowt" and c2["bits"] == 24
+    with _pytest.raises(ValueError, match="truncated AIFF"):
+        census_aiff_ranged(MemReader(b[:-9]))
