@@ -26,6 +26,7 @@ def pagerank(
     tol: float | None = None,
     stats: dict | None = None,
     seeds: DataFrame | None = None,
+    rank_broadcast_limit: int = 2_000_000,
 ) -> DataFrame:
     """PageRank by power iteration over an edge list.
 
@@ -111,7 +112,30 @@ def pagerank(
     n = nodes.count()
     # static per-iteration inputs, built once: edges with their source
     # degree attached, and the (possibly empty) dangling-node set
-    e_deg = e.join(out_deg, "src").localCheckpoint()
+    # Pre-partition the loop-static edge frame ONCE so no iteration
+    # re-exchanges it (guide §2.4: operations keyed the same way share
+    # one exchange). Two regimes, decided from the bounded node count
+    # already in hand (the same driver-side plan choice as
+    # triangle_count's broadcast_edge_limit):
+    #  * n ≤ rank_broadcast_limit — the rank frame is broadcast-sized,
+    #    so the per-iteration join ships ranks and the ONLY exchange
+    #    left would be the inflow groupBy(dst). Partitioning e_deg by
+    #    dst removes that too (broadcast joins preserve the stream
+    #    side's partitioning, and Project is alias-aware): ZERO
+    #    data-sized exchanges per iteration.
+    #  * n > rank_broadcast_limit — ranks must shuffle; partition
+    #    e_deg by src so the join reuses the static exchange and only
+    #    node-sized frames move per iteration.
+    # Explicit partition count (not AQE-advisory): AQE would coalesce
+    # a small edge frame to ONE partition and serialize the loop (the
+    # o9b lesson, NOTES r14).
+    n_part = edges.sparkSession.sparkContext.defaultParallelism
+    loop_key = "dst" if n <= rank_broadcast_limit else "src"
+    e_deg = (
+        e.join(out_deg, "src")
+        .repartition(n_part, F.col(loop_key))
+        .localCheckpoint()
+    )
     if seeds is not None:
         seed_nodes = (
             seeds.select(F.col(seeds.columns[0]).alias("node"))
@@ -133,8 +157,9 @@ def pagerank(
 
     iters_run = 0
     for _ in range(max_iter):
+        rside = F.broadcast(ranks) if loop_key == "dst" else ranks
         contribs = (
-            e_deg.join(ranks, e_deg["src"] == ranks["node"])
+            e_deg.join(rside, e_deg["src"] == rside["node"])
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
@@ -270,10 +295,15 @@ def triangle_count(
     lt = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
+    # materialized: reused by BOTH wedge sides and the closing set —
+    # without the cut the union-of-projections plan below re-ran the
+    # whole orientation join subtree per consumer (measured: the g3
+    # physical plan held THREE copies of the wedge join, ~280
+    # operators; guide §2.4 "remove shuffles outright")
     oriented = keyed.select(
         F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lt, F.col("b")).otherwise(F.col("a")).alias("v"),
-    )
+    ).localCheckpoint()
     o1 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("x"))
     o2 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("y"))
     wedges = o1.join(o2, "apex").filter(F.col("x") < F.col("y"))
@@ -284,10 +314,14 @@ def triangle_count(
     if m_edges <= broadcast_edge_limit:
         closing = F.broadcast(closing)
     tri = wedges.join(closing, ["x", "y"]).select("apex", "x", "y")
-    members = (
-        tri.select(F.col("apex").alias("node"))
-        .unionAll(tri.select(F.col("x").alias("node")))
-        .unionAll(tri.select(F.col("y").alias("node")))
+    # ONE wedge enumeration: explode the 3 corners of each triangle
+    # instead of unioning three projections of `tri` — the union plan
+    # executed the wedge join (the whole cost of the operator) once
+    # PER BRANCH, three times in total (no subtree reuse across union
+    # branches; only exchanges are reused, and the join itself sits
+    # above them). Same multiset of (node) rows — counts identical.
+    members = tri.select(
+        F.explode(F.array("apex", "x", "y")).alias("node")
     )
     return members.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
@@ -610,6 +644,11 @@ def kcore(
         .localCheckpoint()
     )
     cur = e
+    # carry the edge count across rounds: cur is always the previous
+    # round's nxt (already counted), so re-counting it cost one whole
+    # job per round for a number already in hand (guide §1.2 —
+    # remove work before tuning it)
+    n_cur = e.count()
     for it in range(max_iter):
         deg = (
             cur.select(F.col("a").alias("n"))
@@ -624,9 +663,10 @@ def kcore(
             .select("a", "b")
             .localCheckpoint()
         )
-        n_cur, n_nxt = cur.count(), nxt.count()
-        cur = nxt
-        if n_nxt == n_cur:
+        n_nxt = nxt.count()
+        converged = n_nxt == n_cur
+        cur, n_cur = nxt, n_nxt
+        if converged:
             break
     else:
         raise RuntimeError(f"kcore did not converge in {max_iter} rounds")
