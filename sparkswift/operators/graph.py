@@ -454,6 +454,7 @@ def label_propagation(
     dst: str = "dst",
     max_iter: int = 50,
     stats: dict | None = None,
+    label_broadcast_limit: int = 2_000_000,
 ) -> DataFrame:
     """COMMUNITY DETECTION by label propagation (Raghavan, Albert &
     Kumara 2007): labels initialize to the node id; each round every
@@ -500,23 +501,43 @@ def label_propagation(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
+    # Loop-static adjacency, pre-partitioned ONCE (guide §2.4) under
+    # the same bounded two-regime decision as pagerank's e_deg:
+    #  * label frame broadcast-sized — partition adj by NODE: the
+    #    per-round join ships labels, and both vote aggregates group
+    #    by node (HashPartitioning(node) satisfies the clustered
+    #    distribution of (node, __nl) too) → zero edge-sized
+    #    exchanges per round.
+    #  * otherwise partition by NBR so the per-round label join
+    #    reuses the static exchange. Explicit partition count — AQE
+    #    would coalesce a small frame to one task (o9b lesson).
+    n_part = edges.sparkSession.sparkContext.defaultParallelism
+    n_nodes = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .distinct()
+        .count()
+    )
+    loop_key = "node" if n_nodes <= label_broadcast_limit else "nbr"
     adj = (
         e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
         .unionAll(e.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .repartition(n_part, F.col(loop_key))
         .localCheckpoint()
     )
 
     def winner(frame: DataFrame, lbl_col: str) -> DataFrame:
         """argmax (count desc, label asc) of neighbor labels, as one
         join + two aggregates — (node, __win)."""
+        lbls = frame.select(
+            F.col("node").alias("nbr"), F.col(lbl_col).alias("__nl")
+        )
+        if loop_key == "node":
+            lbls = F.broadcast(lbls)
         votes = (
-            adj.join(
-                frame.select(
-                    F.col("node").alias("nbr"), F.col(lbl_col).alias("__nl")
-                ),
-                "nbr",
-            )
+            adj.join(lbls, "nbr")
             .groupBy("node", "__nl")
             .agg(F.count(F.lit(1)).alias("__c"))
         )
@@ -718,9 +739,17 @@ def bfs_distances(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    adj = e.unionAll(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    # loop-static adjacency pre-partitioned by the join key once —
+    # when the frontier is not broadcast-sized, every round's join
+    # reuses this partitioning instead of re-exchanging the edge list
+    # (guide §2.4); explicit count so AQE can't coalesce to one task
+    adj = (
+        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition(
+            edges.sparkSession.sparkContext.defaultParallelism, F.col("u")
+        )
+        .localCheckpoint()
+    )
     dist = (
         sources.select(F.col("node").cast("bigint").alias("node"))
         .distinct()
@@ -794,8 +823,14 @@ def sssp_distances(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    adj = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
-    adj = adj.localCheckpoint()
+    # same loop-static pre-partitioning as bfs_distances (guide §2.4)
+    adj = (
+        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+        .repartition(
+            edges.sparkSession.sparkContext.defaultParallelism, F.col("u")
+        )
+        .localCheckpoint()
+    )
     dist = (
         sources.select(F.col("node").cast("bigint").alias("node"))
         .distinct()

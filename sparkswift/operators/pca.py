@@ -59,7 +59,12 @@ def pca_gram(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
         # int64 accumulator per chunk — the same overflow envelope as
         # the old per-row int64 adds. Bit-identity asserted in pytest
         # and re-verified vs the e8/agg18/st18 oracles.
-        chunk = 32
+        # block ≈ 2 MB: measured optimum moves with dim (d=64 → 32
+        # rows ≈ 1 MB, the r9 sweep; d=518 → 32 rows is a 68 MB block
+        # and 2-8 rows run 1.8× faster — r15 sweep). Chunk size never
+        # changes values: flooring stays per-row and the chunk-sum is
+        # a float sum of ≤32 exact per-row integers (< 2⁵³).
+        chunk = max(2, min(32, (2 << 20) // (dim * dim * 8)))
         for pdf in batches:
             vals = [
                 np.asarray(v, dtype=np.float64)

@@ -1924,10 +1924,19 @@ def t26_langid_trained_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         weak, "txt", extra_cols=("lang", "weak")
     ).localCheckpoint()  # one feature pass feeds train x2 + score
     trainable = feat.filter(F.col("weak") != "und")
-    w1, key1 = tx.train_langid_probe(trainable, langs)
-    _, key2 = tx.train_langid_probe(
-        trainable.repartition(7), langs
-    )  # layout-invariance certificate: integer Gramians must match
+    # the two trainings are independent jobs over the same checkpointed
+    # features — overlap them (guide §2.6) instead of paying two full
+    # sequential Gramian passes; results are integer-exact and
+    # layout-deterministic, so concurrency cannot change either key
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut1 = pool.submit(tx.train_langid_probe, trainable, langs)
+        fut2 = pool.submit(
+            tx.train_langid_probe, trainable.repartition(7), langs
+        )  # layout-invariance certificate: integer Gramians must match
+        w1, key1 = fut1.result()
+        _, key2 = fut2.result()
     scored = tx.score_langid_probe(
         feat, w1, langs, extra_cols=("lang", "weak")
     )
