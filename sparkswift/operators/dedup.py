@@ -270,9 +270,18 @@ def ngram_jaccard_pairs(
     ``None`` for the uncapped exact semantics.
     """
     mk = hashed_shingles if hashed else word_shingles
-    sh = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
-        "id", mk(text_col, k).alias("sh")
-    ).withColumn("n_sh", F.size("sh").cast("bigint"))
+    # materialized ONCE: the posting list is consumed by the hot-key
+    # census, its anti-join, and BOTH sides of the candidate self-join
+    # — without the cut each consumer re-ran the whole shingling
+    # expression tree (observed: 4-8 copies of it in the physical
+    # plan; guide §2.4). Exploding the checkpointed arrays per
+    # consumer is cheap; re-hashing the text is not.
+    sh = (
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", mk(text_col, k).alias("sh"))
+        .withColumn("n_sh", F.size("sh").cast("bigint"))
+        .localCheckpoint()
+    )
     posting = sh.select("id", "n_sh", F.explode("sh").alias("s"))
     if max_posting is not None:
         # drop stop-shingles: posting lists longer than max_posting are
@@ -333,9 +342,18 @@ def containment_pairs(
     side — directed, so (x, y) and (y, x) can both appear.
     """
     mk = hashed_shingles if hashed else word_shingles
-    sh = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
-        "id", mk(text_col, k).alias("sh")
-    ).withColumn("n_sh", F.size("sh").cast("bigint"))
+    # materialized ONCE: the posting list is consumed by the hot-key
+    # census, its anti-join, and BOTH sides of the candidate self-join
+    # — without the cut each consumer re-ran the whole shingling
+    # expression tree (observed: 4-8 copies of it in the physical
+    # plan; guide §2.4). Exploding the checkpointed arrays per
+    # consumer is cheap; re-hashing the text is not.
+    sh = (
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", mk(text_col, k).alias("sh"))
+        .withColumn("n_sh", F.size("sh").cast("bigint"))
+        .localCheckpoint()
+    )
     posting = sh.select("id", "n_sh", F.explode("sh").alias("s"))
     if max_posting is not None:
         hot = posting.groupBy("s").count().filter(F.col("count") > max_posting)
@@ -353,21 +371,38 @@ def containment_pairs(
         .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
     )
     num, den = int(round(threshold * 10000)), 10000
-    fwd = inter.filter(F.col("inter") * den >= num * F.col("n_a")).select(
-        "id_a",
-        "id_b",
-        (F.col("inter").cast("double") / F.col("n_a").cast("double")).alias(
+    # ONE pass over the intersection aggregate: explode each unordered
+    # pair into its two directed candidates and filter once — the old
+    # fwd.unionAll(rev) re-executed the whole inverted-index join +
+    # aggregate per branch (the g3 union pathology; guide §2.4). Same
+    # rows: direction (x→y) appears iff inter·den ≥ num·n_x, with the
+    # identical double division.
+    both = inter.select(
+        "inter",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("ca"),
+                    F.col("id_b").alias("cb"),
+                    F.col("n_a").alias("n"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("ca"),
+                    F.col("id_a").alias("cb"),
+                    F.col("n_b").alias("n"),
+                ),
+            )
+        ).alias("p"),
+    )
+    return both.filter(
+        F.col("inter") * den >= num * F.col("p.n")
+    ).select(
+        F.col("p.ca").alias("id_a"),
+        F.col("p.cb").alias("id_b"),
+        (F.col("inter").cast("double") / F.col("p.n").cast("double")).alias(
             "containment"
         ),
     )
-    rev = inter.filter(F.col("inter") * den >= num * F.col("n_b")).select(
-        F.col("id_b").alias("id_a"),
-        F.col("id_a").alias("id_b"),
-        (F.col("inter").cast("double") / F.col("n_b").cast("double")).alias(
-            "containment"
-        ),
-    )
-    return fwd.unionAll(rev)
 
 
 # ---------------------------------------------------------------------------

@@ -365,6 +365,11 @@ def jaccard_link_prediction(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # materialized: consumed by the adjacency union (both
+        # directions), the degree aggregate, and the existing-edge
+        # anti-join — each re-ran the full canonicalizing distinct
+        # otherwise (guide §2.4)
+        .localCheckpoint()
     )
     adj = e.select(F.col("a").alias("c"), F.col("b").alias("n")).unionAll(
         e.select(F.col("b").alias("c"), F.col("a").alias("n"))
@@ -902,6 +907,11 @@ def degree_assortativity(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # materialized: consumed by both directions of the adjacency
+        # union (hence the degree agg and the endpoint join) plus the
+        # edge count — each re-ran the canonicalizing distinct
+        # otherwise (guide §2.4)
+        .localCheckpoint()
     )
     adj = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))

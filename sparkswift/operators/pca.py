@@ -177,10 +177,16 @@ def corr_matrix(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     Returns ``(i, j, corr_micro)`` for the upper triangle i <= j,
     1-based; the diagonal lands at exactly 1e6.
     """
-    g = pca_gram(df, vec_col, dim)
+    # materialized ONCE: the summary feeds m1, m2 (plus its two m1
+    # joins) and diag — without the cut the data-sized Gramian pass
+    # (the mapInPandas + its exchange) re-executed up to 7× in one
+    # plan (agg18's 564-line explain, 7 ArrowEvalPython/MapInPandas
+    # nodes; guide §2.4). The checkpointed frame is d(d+1)/2 + d
+    # summary rows — tiny at any corpus size.
+    g = pca_gram(df, vec_col, dim).localCheckpoint()
     n = df.filter(F.col(vec_col).isNotNull()).agg(
         F.count(F.lit(1)).cast("bigint").alias("__n")
-    )
+    ).localCheckpoint()
     m1 = g.filter(F.col("j") == 0).select(
         F.col("i").alias("__k"), F.col("s").alias("__s1")
     )

@@ -57,18 +57,31 @@ def _set_compare(
     exact: DataFrame, approx: DataFrame, keys: list[str]
 ) -> DataFrame:
     """One-row frame: n_exact, n_hit (|approx ∩ exact|), n_extra
-    (|approx \\ exact|) over the key tuple — two aggregates, no
-    driver-side set arithmetic."""
+    (|approx \\ exact|) over the key tuple — ONE full-outer join +
+    one aggregate, no driver-side set arithmetic. The single-pass
+    shape matters: the old left-join + anti-join pair consumed each
+    input subtree twice, re-executing whatever expensive search
+    produced it (guide §2.4 — e16's exact brute-force scan ran 2× and
+    its IVF search 3× in one 930-line plan). Each key appears exactly
+    once per side after the dedup, so the counts are identical."""
     e = exact.select(*keys).dropDuplicates(keys)
     a = approx.select(*keys).dropDuplicates(keys)
-    hit = e.join(a.withColumn("__hit", F.lit(1)), keys, "left").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
-        F.coalesce(F.sum("__hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+    fo = e.withColumn("__e", F.lit(1)).join(
+        a.withColumn("__a", F.lit(1)), keys, "full_outer"
     )
-    extra = a.join(e, keys, "left_anti").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_extra")
+    return fo.agg(
+        F.coalesce(F.sum("__e"), F.lit(0)).cast("bigint").alias("n_exact"),
+        F.coalesce(
+            F.sum(F.when(F.col("__a").isNotNull(), F.col("__e"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_hit"),
+        F.coalesce(
+            F.sum(F.when(F.col("__e").isNull(), F.lit(1))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_extra"),
     )
-    return _one_row_join(hit, extra)
 
 
 def _count_sql(inner: str, alias_extra: str) -> str:
