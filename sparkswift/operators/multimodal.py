@@ -6375,8 +6375,16 @@ def dhash_hamming_pairs(
             out = out + p
         return out
 
-    bands = hashes.select(
-        F.col(id_col).alias("__id"),
+    # materialized ONCE: the banded frame feeds BOTH sides of the
+    # candidate self-join — without the cut the caller's whole
+    # hash-production subtree (synth + decode + dHash Arrow chain in
+    # d21/st37) re-executed per side (guide §2.4). The cut frame is
+    # 3 ints per row; band extraction over it is scan-cheap.
+    hs = hashes.select(
+        F.col(id_col).alias("__id"), "hash_hi", "hash_lo"
+    ).localCheckpoint()
+    bands = hs.select(
+        "__id",
         "hash_hi",
         "hash_lo",
         F.posexplode(

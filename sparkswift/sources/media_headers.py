@@ -675,12 +675,19 @@ def write_payload_files(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     ext: str = "bin",
+    ext_col: str | None = None,
 ) -> int:
     """Materialize a payload column as one file per row
     (``doc_<id>.<ext>``) with DISTRIBUTED task-side writes — the
     fixture bridge that turns the synth payload generators into an
     on-disk corpus for the ranged loaders (local/shared FS; a real
-    crawl's corpus already is files). Returns the file count."""
+    crawl's corpus already is files). Returns the file count.
+
+    ``ext_col`` names a per-row extension column: a MIXED corpus
+    (several formats unioned into one frame) then lands in ONE Spark
+    job instead of one job per format — the mm32/st38 call sites went
+    from 4 jobs + 4 driver collects to 1 + 1 (guide §1.2: fixed
+    per-job overhead dominates small-task work)."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
@@ -688,15 +695,18 @@ def write_payload_files(
     def write_part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = 0
         for pdf in it:
-            for i, p in zip(pdf[id_col], pdf[payload_col]):
-                name = os.path.join(out_dir, f"doc_{int(i):08d}.{ext}")
+            exts = pdf[ext_col] if ext_col is not None else None
+            for row, (i, p) in enumerate(zip(pdf[id_col], pdf[payload_col])):
+                e = exts.iloc[row] if exts is not None else ext
+                name = os.path.join(out_dir, f"doc_{int(i):08d}.{e}")
                 with open(name, "wb") as f:
                     f.write(bytes(p))
             n += len(pdf)
         yield pd.DataFrame({"n": pd.Series([n], dtype="int64")})
 
+    cols = [id_col, payload_col] + ([ext_col] if ext_col is not None else [])
     return int(
-        df.select(id_col, payload_col)
+        df.select(*cols)
         .mapInPandas(write_part, "n bigint")
         .agg(F.sum("n"))
         .collect()[0][0]

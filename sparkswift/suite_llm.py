@@ -5441,22 +5441,20 @@ def mm32_media_triage_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
     )
     d = tempfile.mkdtemp(prefix="hdr_mixed_")
-    mh.write_payload_files(
-        mm.synth_mp3_payload(docs.filter(F.col("doc_id") % 4 == 0)),
-        d, ext="mp3",
-    )
-    mh.write_payload_files(
-        mm.synth_avi_stub_payload(docs.filter(F.col("doc_id") % 4 == 1)),
-        d, ext="avi",
-    )
-    mh.write_payload_files(
-        mm.synth_mp4_stub_payload(docs.filter(F.col("doc_id") % 4 == 2)),
-        d, ext="mp4",
-    )
-    mh.write_payload_files(
-        mm.synth_webp_payload(docs.filter(F.col("doc_id") % 4 == 3)),
-        d, ext="webp",
-    )
+    # all four formats in ONE distributed write job (per-row ext):
+    # 4 jobs + 4 driver collects -> 1 + 1, identical files on disk
+    mixed = None
+    for synth, r, ext in (
+        (mm.synth_mp3_payload, 0, "mp3"),
+        (mm.synth_avi_stub_payload, 1, "avi"),
+        (mm.synth_mp4_stub_payload, 2, "mp4"),
+        (mm.synth_webp_payload, 3, "webp"),
+    ):
+        part = synth(docs.filter(F.col("doc_id") % 4 == r)).select(
+            "doc_id", "payload", F.lit(ext).alias("__ext")
+        )
+        mixed = part if mixed is None else mixed.unionByName(part)
+    mh.write_payload_files(mixed, d, ext_col="__ext")
     out = mh.load_media_triage(spark, d)
     return out.select(
         F.regexp_extract("path", r"doc_(\d+)\.", 1)
@@ -5966,7 +5964,10 @@ def d19_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select((F.col("doc_id") + 100000).alias("doc_id"))
     ).repartition(spark.sparkContext.defaultParallelism)
     wp = mm.synth_dhash_pgm_payload(both, "doc_id")
-    h = mm.image_dhash(wp, "doc_id", "payload")
+    # materialized: h feeds both sides of the exact-equality
+    # self-join — the synth + decode + dHash Arrow chain ran twice
+    # otherwise (guide §2.4)
+    h = mm.image_dhash(wp, "doc_id", "payload").localCheckpoint()
     a = h.select(
         F.col("id").alias("id_a"), "hash_hi", "hash_lo"
     )

@@ -2503,28 +2503,20 @@ def st38_stream_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def ingest(batch_df, epoch_id):
         d = tempfile.mkdtemp(prefix=f"triage38_b{epoch_id}_", dir=base)
-        mh.write_payload_files(
-            mm.synth_mp3_payload(batch_df.filter(F.col("doc_id") % 4 == 0)),
-            d, ext="mp3",
-        )
-        mh.write_payload_files(
-            mm.synth_avi_stub_payload(
-                batch_df.filter(F.col("doc_id") % 4 == 1)
-            ),
-            d, ext="avi",
-        )
-        mh.write_payload_files(
-            mm.synth_mp4_stub_payload(
-                batch_df.filter(F.col("doc_id") % 4 == 2)
-            ),
-            d, ext="mp4",
-        )
-        mh.write_payload_files(
-            mm.synth_webp_payload(
-                batch_df.filter(F.col("doc_id") % 4 == 3)
-            ),
-            d, ext="webp",
-        )
+        # one distributed write job for all four formats (per-row
+        # ext): 4 jobs + 4 collects per micro-batch -> 1 + 1
+        mixed = None
+        for synth, r, ext in (
+            (mm.synth_mp3_payload, 0, "mp3"),
+            (mm.synth_avi_stub_payload, 1, "avi"),
+            (mm.synth_mp4_stub_payload, 2, "mp4"),
+            (mm.synth_webp_payload, 3, "webp"),
+        ):
+            part = synth(batch_df.filter(F.col("doc_id") % 4 == r)).select(
+                "doc_id", "payload", F.lit(ext).alias("__ext")
+            )
+            mixed = part if mixed is None else mixed.unionByName(part)
+        mh.write_payload_files(mixed, d, ext_col="__ext")
         out = mh.load_media_triage(spark, d).select(
             F.regexp_extract("path", r"doc_(\d+)\.", 1)
             .cast("bigint")
@@ -2654,11 +2646,15 @@ def st37_stream_dhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ingest(batch_df, _epoch_id):
+        # materialized: h feeds BOTH the pigeonhole probe and the
+        # final left join — without the cut the per-batch synth +
+        # decode + dhash Arrow chain ran twice per micro-batch
+        # (guide §2.4)
         h = mm.image_dhash(
             mm.synth_dhash_noisy_pgm_payload(batch_df, "doc_id"),
             "doc_id",
             "payload",
-        ).select("id", "hash_hi", "hash_lo")
+        ).select("id", "hash_hi", "hash_lo").localCheckpoint()
         pairs = mm.dhash_hamming_join(h, store_h, radius=3)
         per = pairs.groupBy("id_l").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_matches"),
