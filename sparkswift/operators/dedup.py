@@ -98,16 +98,20 @@ def fuzzy_join(
     caveat as ngram_jaccard_pairs, same "boilerplate, not identity"
     justification.
     """
+    # each side materialized ONCE: its posting list feeds the hot-key
+    # census, the anti-join and the cross join — the shingling
+    # expression tree re-ran per consumer otherwise (the d2/d18
+    # pathology; guide §2.4)
     sl = _spread(
         left.select(F.col(left_id).alias("id_l"), F.col(left_text).alias("__t"))
     ).select("id_l", hashed_shingles("__t", k).alias("sh")).withColumn(
         "n_l", F.size("sh").cast("bigint")
-    )
+    ).localCheckpoint()
     sr = _spread(
         right.select(F.col(right_id).alias("id_r"), F.col(right_text).alias("__t"))
     ).select("id_r", hashed_shingles("__t", k).alias("sh")).withColumn(
         "n_r", F.size("sh").cast("bigint")
-    )
+    ).localCheckpoint()
     pl = sl.select("id_l", "n_l", F.explode("sh").alias("s"))
     pr = sr.select("id_r", "n_r", F.explode("sh").alias("s"))
     if max_posting is not None:

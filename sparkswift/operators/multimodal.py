@@ -66,6 +66,26 @@ METADATA_SCHEMA = T.StructType(
 )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread the synth input across the cluster before the
+    per-row-heavy payload/encode Arrow stage: the documents fixture is
+    ONE parquet file -> one scan partition, and pandas_udf/mapInPandas
+    preserve partitioning, so without this every synth + decode chain
+    ran as a SINGLE task (measured: t26's sibling pattern spent 6 s
+    single-core on a 32-core host; guide §2.3). No-op when the caller
+    already spread (d19/d21/mm32 repartition upstream). Values are
+    per-row id arithmetic — layout cannot change them. Streaming
+    inputs (st31/st36/st39 run synth inside the streaming plan) pass
+    through untouched: micro-batch parallelism comes from the source,
+    and `.rdd` is illegal on a streaming frame."""
+    if df.isStreaming:
+        return df
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def attach_payload(
     df: DataFrame, source_col: str, modality: str = "image", mime: str = "image/png"
 ) -> DataFrame:
@@ -2240,7 +2260,7 @@ def synth_wav_deep_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col)))
+    return _spread(df).withColumn("payload", make(F.col(id_col)))
 
 
 def synth_ppm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -2262,7 +2282,7 @@ def synth_ppm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+    return _spread(df).withColumn("payload", make(F.col(id_col))).withColumn(
         "media_meta",
         F.struct(
             F.lit("image").alias("modality"),
@@ -2297,7 +2317,7 @@ def synth_wav_payload(
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+    return _spread(df).withColumn("payload", make(F.col(id_col))).withColumn(
         "media_meta",
         F.struct(
             F.lit("audio").alias("modality"),
@@ -2541,7 +2561,7 @@ def synth_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+    return _spread(df).withColumn("payload", make(F.col(id_col))).withColumn(
         "media_meta",
         F.struct(
             F.lit("image").alias("modality"),
@@ -2583,7 +2603,7 @@ def synth_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+    return _spread(df).withColumn("payload", make(F.col(id_col))).withColumn(
         "media_meta",
         F.struct(
             F.lit("image").alias("modality"),
@@ -2655,7 +2675,7 @@ def synth_jpeg420_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+    return _spread(df).withColumn("payload", make(F.col(id_col))).withColumn(
         "media_meta",
         F.struct(
             F.lit("image").alias("modality"),
@@ -2705,7 +2725,7 @@ def synth_png_palette_payload(
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+    return _spread(df).withColumn("payload", make(F.col(id_col))).withColumn(
         "media_meta",
         F.struct(
             F.lit("image").alias("modality"),
@@ -2780,7 +2800,7 @@ def synth_png_mixed_payload(
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+    return _spread(df).withColumn("payload", make(F.col(id_col))).withColumn(
         "media_meta",
         F.struct(
             F.lit("image").alias("modality"),
@@ -2828,7 +2848,7 @@ def synth_jpeg_prog_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+    return _spread(df).withColumn("payload", make(F.col(id_col))).withColumn(
         "media_meta",
         F.struct(
             F.lit("image").alias("modality"),
@@ -3384,7 +3404,7 @@ def synth_avi_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+    return _spread(df).withColumn("payload", make(F.col(id_col))).withColumn(
         "media_meta",
         F.struct(
             F.lit("video").alias("modality"),
@@ -3482,7 +3502,7 @@ def synth_mjpeg_avi_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+    return _spread(df).withColumn("payload", make(F.col(id_col))).withColumn(
         "media_meta",
         F.struct(
             F.lit("video").alias("modality"),
@@ -3581,7 +3601,7 @@ def synth_netpbm_payload(
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+    return _spread(df).withColumn("payload", make(F.col(id_col))).withColumn(
         "media_meta",
         F.struct(
             F.lit("image").alias("modality"),
@@ -3633,7 +3653,7 @@ def synth_gif_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+    return _spread(df).withColumn("payload", make(F.col(id_col))).withColumn(
         "media_meta",
         F.struct(
             F.lit("video").alias("modality"),
@@ -3704,7 +3724,7 @@ def synth_png_gray_payload(
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+    return _spread(df).withColumn("payload", make(F.col(id_col))).withColumn(
         "media_meta",
         F.struct(
             F.lit("image").alias("modality"),
@@ -4271,7 +4291,7 @@ def synth_tiff_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+    return _spread(df).withColumn("payload", make(F.col(id_col))).withColumn(
         "media_meta",
         F.struct(
             F.lit("image").alias("modality"),
@@ -4449,7 +4469,7 @@ def synth_qoi_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+    return _spread(df).withColumn("payload", make(F.col(id_col))).withColumn(
         "media_meta",
         F.struct(
             F.lit("image").alias("modality"),
@@ -4775,7 +4795,7 @@ def synth_tiff_lzw_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+    return _spread(df).withColumn("payload", make(F.col(id_col))).withColumn(
         "media_meta",
         F.struct(
             F.lit("image").alias("modality"),
@@ -4819,7 +4839,7 @@ def synth_jpeg_lossless_payload(
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+    return _spread(df).withColumn("payload", make(F.col(id_col))).withColumn(
         "media_meta",
         F.struct(
             F.lit("image").alias("modality"),
@@ -4953,7 +4973,7 @@ def synth_au_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+    return _spread(df).withColumn("payload", make(F.col(id_col))).withColumn(
         "media_meta",
         F.struct(
             F.lit("audio").alias("modality"),
@@ -4988,7 +5008,7 @@ def synth_au_float_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col)))
+    return _spread(df).withColumn("payload", make(F.col(id_col)))
 
 
 def synth_au_alaw_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -5011,7 +5031,7 @@ def synth_au_alaw_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+    return _spread(df).withColumn("payload", make(F.col(id_col))).withColumn(
         "media_meta",
         F.struct(
             F.lit("audio").alias("modality"),
@@ -5058,7 +5078,7 @@ def synth_tiff_tiled_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+    return _spread(df).withColumn("payload", make(F.col(id_col))).withColumn(
         "media_meta",
         F.struct(
             F.lit("image").alias("modality"),
@@ -5212,7 +5232,7 @@ def synth_bmp8_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+    return _spread(df).withColumn("payload", make(F.col(id_col))).withColumn(
         "media_meta",
         F.struct(
             F.lit("image").alias("modality"),
@@ -5820,7 +5840,7 @@ def synth_flac_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+    return _spread(df).withColumn("payload", make(F.col(id_col))).withColumn(
         "media_meta",
         F.struct(
             F.lit("audio").alias("modality"),
@@ -5872,7 +5892,7 @@ def synth_gif_anim_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+    return _spread(df).withColumn("payload", make(F.col(id_col))).withColumn(
         "media_meta",
         F.struct(
             F.lit("video").alias("modality"),
@@ -6101,7 +6121,7 @@ def synth_mp3_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col))).withColumn(
+    return _spread(df).withColumn("payload", make(F.col(id_col))).withColumn(
         "media_meta",
         F.struct(
             F.lit("audio").alias("modality"),
@@ -6218,7 +6238,7 @@ def synth_dhash_pgm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col)))
+    return _spread(df).withColumn("payload", make(F.col(id_col)))
 
 
 def image_dhash_incremental(
@@ -6510,7 +6530,7 @@ def synth_dhash_noisy_pgm_payload(
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col)))
+    return _spread(df).withColumn("payload", make(F.col(id_col)))
 
 
 # --- video: container-layer census (ANY codec, zero decode) ----------------
@@ -6722,7 +6742,7 @@ def synth_avi_stub_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col)))
+    return _spread(df).withColumn("payload", make(F.col(id_col)))
 
 
 # --- video: MP4 / ISO-BMFF container census (the dominant wrapper) ---------
@@ -6937,7 +6957,7 @@ def synth_mp4_stub_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col)))
+    return _spread(df).withColumn("payload", make(F.col(id_col)))
 
 
 # --- TIFF CCITT Group 3 / Group 4 (ITU-T T.4 / T.6) ------------------------
@@ -7454,7 +7474,7 @@ def synth_tiff_ccitt_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col)))
+    return _spread(df).withColumn("payload", make(F.col(id_col)))
 
 
 def tiff_bilevel_census(
@@ -7599,7 +7619,7 @@ def synth_tiff_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col)))
+    return _spread(df).withColumn("payload", make(F.col(id_col)))
 
 
 def encode_tiff_deep(
@@ -7702,7 +7722,7 @@ def synth_tiff_deep_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col)))
+    return _spread(df).withColumn("payload", make(F.col(id_col)))
 
 
 # --- WebP: container/header census (zero decode) ---------------------------
@@ -7882,7 +7902,7 @@ def synth_webp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col)))
+    return _spread(df).withColumn("payload", make(F.col(id_col)))
 
 
 # --- Ogg/Vorbis: container census (zero decode) ----------------------------
@@ -8080,7 +8100,7 @@ def synth_ogg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col)))
+    return _spread(df).withColumn("payload", make(F.col(id_col)))
 
 
 # ---------------------------------------------------------------------------
@@ -8315,7 +8335,7 @@ def synth_wav_ima_adpcm_payload(
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col)))
+    return _spread(df).withColumn("payload", make(F.col(id_col)))
 
 
 def wav_adpcm_census(
@@ -8570,7 +8590,7 @@ def synth_wav_ms_adpcm_payload(
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col)))
+    return _spread(df).withColumn("payload", make(F.col(id_col)))
 
 
 def wav_ms_adpcm_census(
@@ -8865,7 +8885,7 @@ def synth_mkv_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col)))
+    return _spread(df).withColumn("payload", make(F.col(id_col)))
 
 
 def matroska_census(
@@ -9114,7 +9134,7 @@ def synth_aiff_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col)))
+    return _spread(df).withColumn("payload", make(F.col(id_col)))
 
 
 def aiff_census(
@@ -9314,7 +9334,7 @@ def synth_id3_mp3_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return df.withColumn("payload", make(F.col(id_col)))
+    return _spread(df).withColumn("payload", make(F.col(id_col)))
 
 
 def id3_tags_census(

@@ -797,11 +797,17 @@ def dsir_logratio(
     r_f = feats(docs).groupBy("__f").agg(
         F.count(F.lit(1)).cast("bigint").alias("__cr")
     )
+    # materialized ONCE: the merged feature table feeds BOTH the
+    # one-row smoothing constant and the per-feature weights — without
+    # the cut the two full n-gram count shuffles (t_f, r_f) and their
+    # full-outer merge re-executed per consumer (guide §2.4; observed
+    # twice in p20's plan). The cut frame is vocabulary-sized —
+    # bucket-bounded under hash_buckets at scale.
     u = r_f.join(t_f, "__f", "full_outer").select(
         "__f",
         F.coalesce("__ct", F.lit(0)).alias("__ct"),
         F.coalesce("__cr", F.lit(0)).alias("__cr"),
-    )
+    ).localCheckpoint()
     const = u.agg(
         F.round(
             (

@@ -1928,8 +1928,16 @@ def _t26_oracle() -> str:
 @register("t26_langid_trained_gate", _t26_oracle())
 def t26_langid_trained_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     langs = sorted(tx.STOPWORDS)
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "lang"
+    # spread BEFORE the per-row-heavy Arrow chain: the documents
+    # fixture is one parquet file -> ONE scan partition, and
+    # mapInPandas preserves partitioning — synth + lang_id + the
+    # char-n-gram feature pass and the downstream Gramian all ran as
+    # single tasks (measured: feat 6.0 s, train1 8.7 s on one core;
+    # guide §2.3 — parallelism follows the scan unless you spread)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     synth = tx.synth_langid_text(docs)
     weak = tx.lang_id(synth, "txt", "weak")

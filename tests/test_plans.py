@@ -350,12 +350,20 @@ def test_p19_pairs_single_exchange_for_both_windows(plans):
 
 
 def test_mm_real_decodes_are_map_side_only(plans):
-    # decode runs as one Arrow mapInPandas pass at the scan stage —
-    # no Exchange anywhere, payload bytes never shuffle
+    # decode runs as one Arrow mapInPandas pass; payload bytes never
+    # shuffle. The ONLY exchange allowed is _spread's round-robin of
+    # the 8-byte id column BELOW payload synthesis (the one-file scan
+    # otherwise pins the whole decode chain to a single task) — never
+    # a hash/range exchange, and never one above the synth where rows
+    # carry payload bytes.
     for q in ("mm4_image_decode_real", "mm5_audio_decode_real",
               "mm6_png_decode_real"):
         p = plans(q)
-        assert "Exchange" not in p, (q, p)
+        exchanges = [ln for ln in p.splitlines() if "Exchange" in ln]
+        assert all("RoundRobinPartitioning" in ln for ln in exchanges), (q, p)
+        assert len(exchanges) <= 1, (q, p)
+        assert "Exchange hashpartitioning" not in p, (q, p)
+        assert "Exchange rangepartitioning" not in p, (q, p)
         assert "MapInPandas" in p or "mapInPandas" in p.lower(), q
 
 
