@@ -73,6 +73,62 @@ def stamp_slice_order(base_dir: str, seen: set[str], slice_no: int) -> None:
         seen.add(name)
 
 
+def write_slices(
+    df: DataFrame,
+    slice_col: Column,
+    src_dir: str,
+    n: int = 3,
+    keep: list[str] | None = None,
+) -> None:
+    """Write the ``n`` micro-batch slice files a ``maxFilesPerTrigger=1``
+    file stream consumes — in ONE Spark job instead of ``n`` sequential
+    ``filter → repartition(1) → write`` jobs that each re-execute the
+    whole feed subtree (guide §1.2 job overhead; §2.4 repeated
+    subtrees: the n-slice loop paid n full feed computations for one
+    feed's worth of rows). One single-task dynamic-partition write
+    produces exactly one file per slice value; the files are then
+    renamed into the flat ``src_dir`` layout the call sites already
+    use (partition columns are not stored in the data files, so the
+    per-file schema is identical to the old per-slice writes) with
+    strictly increasing mtimes so trigger order == slice order on any
+    filesystem (the stamp_slice_order guarantee, applied always — it
+    only pins what coarse mtime ticks left arbitrary).
+
+    ``slice_col`` must evaluate to an int in [0, n) against ``df``'s
+    columns; ``keep`` selects which columns land in the files (default
+    all of ``df``'s — chop helper columns are excluded either way). A
+    slice with zero rows raises (the old path wrote an empty file; an
+    absent file would silently change the micro-batch count).
+    """
+    import os
+    import shutil
+
+    tmp = src_dir.rstrip("/") + "__slices"
+    cols = keep if keep is not None else list(df.columns)
+    (
+        df.select(*cols, slice_col.cast("int").alias("__sl"))
+        .repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("__sl")
+        .parquet(tmp)
+    )
+    os.makedirs(src_dir, exist_ok=True)
+    t0 = 1_000_000_000
+    for i in range(n):
+        d = os.path.join(tmp, f"__sl={i}")
+        if not os.path.isdir(d):
+            raise ValueError(f"write_slices: slice {i} of {n} is empty")
+        files = [
+            f for f in os.listdir(d) if not f.startswith(("_", "."))
+        ]
+        if len(files) != 1:  # single-task write → one file per value
+            raise ValueError(f"write_slices: slice {i} has {files}")
+        dst = os.path.join(src_dir, f"slice-{i}.parquet")
+        os.rename(os.path.join(d, files[0]), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+    shutil.rmtree(tmp)
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture. Schema comes from a
     batch peek (file streams need an explicit schema); the ns-long ts

@@ -14,6 +14,7 @@ from sparkswift.streaming.ops import (
     run_stream_to_batch,
     sessionize,
     stream_resample,
+    write_slices,
 )
 from sparkswift.suite import D, register
 
@@ -328,10 +329,8 @@ def st16_stream_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed = second.unionByName(
             first.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
         )
-        for i in range(3):  # three files → three micro-batches
-            feed.filter(F.col("vec_id") % 3 == i).repartition(1).write.mode(
-                "append"
-            ).parquet(src_dir)
+        # three files → three micro-batches, ONE write job
+        write_slices(feed, F.col("vec_id") % 3, src_dir)
         schema = spark.read.parquet(src_dir).schema
         src = (
             spark.readStream.schema(schema)
@@ -804,10 +803,8 @@ def st14_stream_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed = second.unionByName(
             first.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
         )
-        for i in range(3):  # three files → three micro-batches
-            feed.filter(F.col("doc_id") % 3 == i).repartition(1).write.mode(
-                "append"
-            ).parquet(src_dir)
+        # three files → three micro-batches, ONE write job
+        write_slices(feed, F.col("doc_id") % 3, src_dir)
 
         schema = spark.read.parquet(src_dir).schema
         src = (
@@ -903,10 +900,8 @@ def st17_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = tempfile.mkdtemp(prefix="hh_stream_")
     src_dir, summ_dir, cnt_dir = f"{base}/src", f"{base}/summ", f"{base}/cnt"
-    for i in range(3):  # three files → three micro-batches
-        li.filter(F.abs(F.col("__chop")) == i).select("key").repartition(
-            1
-        ).write.mode("append").parquet(src_dir)
+    # three files → three micro-batches, ONE write job
+    write_slices(li, F.abs(F.col("__chop")), src_dir, keep=["key"])
 
     schema = spark.read.parquet(src_dir).schema
     src = (
@@ -995,10 +990,8 @@ def st18_stream_pca_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = tempfile.mkdtemp(prefix="gram_stream_")
     src_dir, summ_dir = f"{base}/src", f"{base}/summ"
-    for i in range(3):  # three files → three micro-batches
-        emb.filter(F.abs(F.xxhash64("vec_id") % 3) == i).repartition(
-            1
-        ).write.mode("append").parquet(src_dir)
+    # three files → three micro-batches, ONE write job
+    write_slices(emb, F.abs(F.xxhash64("vec_id") % 3), src_dir)
 
     schema = spark.read.parquet(src_dir).schema
     src = (
@@ -1095,10 +1088,8 @@ def st19_stream_quantile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = tempfile.mkdtemp(prefix="qtl_stream_")
     src_dir, summ_dir = f"{base}/src", f"{base}/summ"
-    for i in range(3):  # three files → three micro-batches
-        li.filter(F.abs(F.col("__chop")) == i).select("value").repartition(
-            1
-        ).write.mode("append").parquet(src_dir)
+    # three files → three micro-batches, ONE write job
+    write_slices(li, F.abs(F.col("__chop")), src_dir, keep=["value"])
 
     schema = spark.read.parquet(src_dir).schema
     src = (
@@ -1201,10 +1192,13 @@ def st20_stream_drift_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = tempfile.mkdtemp(prefix="drift_stream_")
     src_dir, summ_dir = f"{base}/src", f"{base}/summ"
-    for i in range(3):  # three files → three micro-batches
-        docs.filter(F.abs(F.col("__chop")) == i).drop("__chop").repartition(
-            1
-        ).write.mode("append").parquet(src_dir)
+    # three files → three micro-batches, ONE write job
+    write_slices(
+        docs,
+        F.abs(F.col("__chop")),
+        src_dir,
+        keep=[c for c in docs.columns if c != "__chop"],
+    )
 
     schema = spark.read.parquet(src_dir).schema
     src = (
@@ -1296,10 +1290,8 @@ def st21_stream_distinct_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = tempfile.mkdtemp(prefix="hll_stream_")
     src_dir, summ_dir = f"{base}/src", f"{base}/summ"
-    for i in range(3):  # three files → three micro-batches
-        li.filter(F.abs(F.col("__chop")) == i).select("l_partkey").repartition(
-            1
-        ).write.mode("append").parquet(src_dir)
+    # three files → three micro-batches, ONE write job
+    write_slices(li, F.abs(F.col("__chop")), src_dir, keep=["l_partkey"])
 
     schema = spark.read.parquet(src_dir).schema
     src = (
@@ -1449,10 +1441,8 @@ def st23_stream_countmin_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = tempfile.mkdtemp(prefix="cm_stream_")
     src_dir, summ_dir, cnt_dir = f"{base}/src", f"{base}/summ", f"{base}/cnt"
-    for i in range(3):  # three files → three micro-batches
-        ev.filter(F.abs(F.col("__chop")) == i).select("user_id").repartition(
-            1
-        ).write.mode("append").parquet(src_dir)
+    # three files → three micro-batches, ONE write job
+    write_slices(ev, F.abs(F.col("__chop")), src_dir, keep=["user_id"])
 
     schema = spark.read.parquet(src_dir).schema
     src = (
@@ -1901,11 +1891,8 @@ def st29_stream_ohlc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     base = tempfile.mkdtemp(prefix="ohlc_stream_")
     src_dir, summ_dir = f"{base}/src", f"{base}/summ"
-    chopped = ev.withColumn("__chop", F.abs(F.xxhash64("event_id") % 3))
-    for i in range(3):  # three files -> three micro-batches
-        chopped.filter(F.col("__chop") == i).drop("__chop").repartition(
-            1
-        ).write.mode("append").parquet(src_dir)
+    # three files -> three micro-batches, ONE write job
+    write_slices(ev, F.abs(F.xxhash64("event_id") % 3), src_dir)
 
     schema = spark.read.parquet(src_dir).schema
     src = (
@@ -2092,7 +2079,7 @@ def st32_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from sparkswift.operators.rolling import cusum_alerts
-    from sparkswift.streaming.ops import stamp_slice_order, stream_cusum
+    from sparkswift.streaming.ops import stream_cusum
 
     ev = load_table(spark, sf_dir, "events")
     batch = cusum_alerts(ev, allowance=60_000, threshold=400_000)
@@ -2105,16 +2092,18 @@ def st32_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("ts").alias("__day"),
     )
     base = tempfile.mkdtemp(prefix="cusum_stream_")
-    seen: set[str] = set()
-    for i, cond in enumerate(
-        [F.col("__day") <= 10, (F.col("__day") > 10) & (F.col("__day") <= 20), F.col("__day") > 20]
-    ):
-        prepared.filter(cond).drop("__day").repartition(1).write.mode(
-            "append"
-        ).parquet(base)
-        # explicit increasing mtimes pin trigger order = slice order
-        # (ADVICE r12: coarse mtime ties could reorder micro-batches)
-        stamp_slice_order(base, seen, i)
+    # three day-range slices → three micro-batches in ONE write job;
+    # write_slices stamps explicit increasing mtimes so trigger order
+    # = slice order (ADVICE r12: coarse mtime ties could reorder
+    # micro-batches)
+    write_slices(
+        prepared,
+        F.when(F.col("__day") <= 10, 0)
+        .when(F.col("__day") <= 20, 1)
+        .otherwise(2),
+        base,
+        keep=[c for c in prepared.columns if c != "__day"],
+    )
 
     schema = spark.read.parquet(base).schema
     src = (
@@ -2617,7 +2606,7 @@ def st37_stream_dhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from sparkswift.operators import multimodal as mm
-    from sparkswift.streaming.ops import stamp_slice_order, stream_to_parquet
+    from sparkswift.streaming.ops import stream_to_parquet
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     mid = docs.agg((F.max("doc_id") / 2).cast("long").alias("m")).collect()[0].m
@@ -2632,12 +2621,9 @@ def st37_stream_dhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="dh37_")
     src_dir, out_dir = f"{base}/src", f"{base}/out"
     feed = docs.select((F.col("doc_id") + 100000).alias("doc_id"))
-    seen: set = set()
-    for i in range(3):  # three files -> three micro-batches
-        feed.filter(F.col("doc_id") % 3 == i).repartition(1).write.mode(
-            "append"
-        ).parquet(src_dir)
-        stamp_slice_order(src_dir, seen, i)
+    # three files -> three micro-batches, ONE write job (mtime-stamped
+    # inside write_slices: trigger order == slice order)
+    write_slices(feed, F.col("doc_id") % 3, src_dir)
     schema = spark.read.parquet(src_dir).schema
     src = (
         spark.readStream.schema(schema)
