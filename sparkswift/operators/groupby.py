@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from sparkswift.operators.rolling import _prepart
 from sparkswift.plans.inference import schema_from_pandas
 
 
@@ -151,7 +152,10 @@ def groupby_apply(
     elif isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
 
-    out = work.groupBy(*keys).applyInPandas(_run_one, schema)
+    # explicit key-repartition: the groupBy reuses it (no second
+    # exchange) and AQE cannot coalesce the grouped-UDF stage into
+    # one serialized task (the o9b lesson — see rolling._prepart)
+    out = _prepart(work, keys).groupBy(*keys).applyInPandas(_run_one, schema)
     return out.orderBy(*keys) if sort_output else out
 
 
@@ -289,9 +293,13 @@ def cogroup_apply(
     elif isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
 
+    # both sides explicitly key-repartitioned: cogroup's clustered
+    # distribution is satisfied (no extra exchange) and AQE cannot
+    # coalesce the cogrouped stage to one task (o8 measured 12.2 s on
+    # 3 tasks before this — the o9b lesson's cogroup face)
     out = (
-        lwork.groupBy(*keys)
-        .cogroup(rwork.groupBy(*keys))
+        _prepart(lwork, keys).groupBy(*keys)
+        .cogroup(_prepart(rwork, keys).groupBy(*keys))
         .applyInPandas(_run_one, schema)
     )
     return out.orderBy(*keys) if sort_output else out

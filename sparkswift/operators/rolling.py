@@ -45,6 +45,20 @@ _BUILTIN = {
 }
 
 
+def _prepart(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Explicit hash-repartition on the group key before a grouped
+    Arrow UDF. The following ``groupBy(keys)`` reuses the partitioning
+    (HashPartitioning satisfies the UDF's clustered distribution — no
+    second exchange), and because the partition count is explicit AQE
+    cannot coalesce the tiny post-shuffle stage into one task and
+    serialize every per-group kernel on one core (the o9b lesson,
+    NOTES r14: a bare grouped UDF fed by a small shuffle ran 1500
+    groups on a single task). ``defaultParallelism`` tracks the
+    cluster size, so the same code is right at 100 TB."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(k) for k in keys])
+
+
 def _parse_duration_us(window: str) -> int:
     """'1 day' / '30 minutes' / '10 seconds' → microseconds."""
     qty, unit = window.strip().split()
@@ -496,7 +510,9 @@ def rolling_apply_udf(
                 )
             return pdf
 
-        return df.groupBy(*partition_by).applyInPandas(_per_entity, schema)
+        return _prepart(df, list(partition_by)).groupBy(
+            *partition_by
+        ).applyInPandas(_per_entity, schema)
 
     frame, _ = _frame(ord_cols if isinstance(window, int) else ord_cols[0], window, False, None)
     # collect_list silently DROPS null elements; wrapping each value in
@@ -571,7 +587,7 @@ def ewm_mean(
         )
         return pdf
 
-    return df.groupBy(*keys).applyInPandas(per_group, schema)
+    return _prepart(df, keys).groupBy(*keys).applyInPandas(per_group, schema)
 
 
 def ewm_mean_multi(
@@ -604,7 +620,7 @@ def ewm_mean_multi(
             pdf[col] = base.ewm(alpha=a, adjust=adjust).mean()
         return pdf
 
-    return df.groupBy(*keys).applyInPandas(per_group, schema)
+    return _prepart(df, keys).groupBy(*keys).applyInPandas(per_group, schema)
 
 
 def _cusum_reset_scan(v, allowance: int, threshold: int, carry: int):
@@ -691,7 +707,9 @@ def cusum_alerts(
         F.unix_micros(F.col(ts_col)).alias("__t_us"),
         F.floor(F.col(value_col) * scale).cast("bigint").alias("v_scaled"),
     )
-    out = base.groupBy(key_col).applyInPandas(per_group, schema)
+    out = _prepart(base, [key_col]).groupBy(key_col).applyInPandas(
+        per_group, schema
+    )
     return out.withColumnRenamed("__t_us", "t_us")
 
 
@@ -976,7 +994,9 @@ def cusum_stat_global(
         pdf["__cin"] = cins
         return pdf[[key_col, "__bkt", "__cin"]]
 
-    carries = summ.groupBy(key_col).applyInPandas(fold, fold_schema)
+    carries = _prepart(summ, [key_col]).groupBy(key_col).applyInPandas(
+        fold, fold_schema
+    )
     out = rows.join(carries, [key_col, "__bkt"]).withColumn(
         "cusum",
         F.greatest(

@@ -57,6 +57,20 @@ def get_spark(app_name: str = "sparkswift", cpus: int | None = None) -> SparkSes
             os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "64MB"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Spark 4.1 writes a checksum twin for every streaming
+        # checkpoint file (spark.sql.streaming.checkpoint.fileChecksum
+        # default flipped to true); the ChecksumCheckpointFileManager
+        # awaits those writes inside state-store commit, and thread
+        # dumps show stateful tasks parked seconds per micro-batch in
+        # awaitResult on this filesystem (measured st24: 29-60 s with
+        # checksums, 10-13 s without; all other results identical —
+        # checkpoints here are per-run temp dirs, never reloaded).
+        # Long-lived production checkpoints on object storage DO want
+        # the integrity layer: env-gate restores it fleet-wide.
+        .config(
+            "spark.sql.streaming.checkpoint.fileChecksum.enabled",
+            os.environ.get("SPARK_GRAFT_CKPT_CHECKSUM", "false"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
