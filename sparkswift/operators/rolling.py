@@ -59,6 +59,29 @@ def _prepart(df: DataFrame, keys: list[str]) -> DataFrame:
     return df.repartition(n, *[F.col(k) for k in keys])
 
 
+def _chain_rounds(df: DataFrame, floor_: int = 2, cap: int = 64) -> int:
+    """Scale-adaptive carry-chain round count (``n_buckets=None``).
+
+    Rounds are SEQUENTIAL — each is a full job barrier — so fewer is
+    strictly faster; the only reason to add rounds is bounding one
+    key's slice to task memory at scale. One round per
+    ``SPARK_GRAFT_CHAIN_ROUND_BYTES`` (default 256 MB) of
+    optimizer-estimated input, floored at 2 so the continued-carry
+    path is always exercised (the bucketing-invariance law makes any
+    count bit-identical — pytest-pinned). On a cluster raise the env
+    only if per-key slice volume outgrows task memory."""
+    import os
+
+    budget = int(
+        os.environ.get("SPARK_GRAFT_CHAIN_ROUND_BYTES", str(256 << 20))
+    )
+    try:
+        sz = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 8
+    return max(floor_, min(cap, -(-sz // budget)))
+
+
 def _parse_duration_us(window: str) -> int:
     """'1 day' / '30 minutes' / '10 seconds' → microseconds."""
     qty, unit = window.strip().split()
@@ -720,7 +743,7 @@ def ewm_mean_global(
     key_col: str,
     order_by: list[str],
     ts_col: str | None = None,
-    n_buckets: int = 8,
+    n_buckets: int | None = 8,
     output_col: str = "ewm",
     max_rounds: int = 512,
 ) -> DataFrame:
@@ -748,7 +771,7 @@ def ewm_mean_multi_global(
     key_col: str,
     order_by: list[str],
     ts_col: str | None = None,
-    n_buckets: int = 8,
+    n_buckets: int | None = 8,
     max_rounds: int = 512,
 ) -> DataFrame:
     """SEVERAL EWMs of one column (``alphas``: output_col → α)
@@ -788,6 +811,8 @@ def ewm_mean_multi_global(
     for a in alphas.values():
         if not 0.0 < a <= 1.0:
             raise ValueError("alpha must be in (0, 1]")
+    if n_buckets is None:
+        n_buckets = _chain_rounds(df)
     if n_buckets > max_rounds:
         raise ValueError(f"n_buckets={n_buckets} > max_rounds={max_rounds}")
     tcol = ts_col or order_by[0]
@@ -1022,7 +1047,7 @@ def cusum_alerts_global(
     allowance: int = 30_000,
     threshold: int = 100_000,
     scale: int = 1000,
-    n_buckets: int = 8,
+    n_buckets: int | None = 8,
     max_rounds: int = 512,
 ) -> DataFrame:
     """RESTART-after-signal CUSUM without the per-key single-task
@@ -1039,6 +1064,8 @@ def cusum_alerts_global(
     carries are O(keys) rows, localCheckpointed every 4th round."""
     import numpy as np
 
+    if n_buckets is None:
+        n_buckets = _chain_rounds(df)
     if n_buckets > max_rounds:
         raise ValueError(f"n_buckets={n_buckets} > max_rounds={max_rounds}")
 

@@ -3451,7 +3451,7 @@ def w10c_cusum_alerts_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return cusum_alerts_global(
-        ev, allowance=60_000, threshold=400_000, n_buckets=4
+        ev, allowance=60_000, threshold=400_000, n_buckets=None
     )
 
 
@@ -3498,7 +3498,7 @@ def o9b_ewm_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="user_id",
         order_by=["ts", "event_id"],
         ts_col="ts",
-        n_buckets=4,
+        n_buckets=None,
     )
     return out.select("event_id", "user_id", "ewm")
 
@@ -3559,7 +3559,7 @@ def w12b_ewm_crossover_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     fs = ewm_mean_multi_global(
         ev, on="value", alphas={"fast": 0.5, "slow": 0.25},
         key_col="user_id", order_by=["ts", "event_id"], ts_col="ts",
-        n_buckets=4,
+        n_buckets=None,
     )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     d = fs.withColumn("diff", F.col("fast") - F.col("slow")).withColumn(

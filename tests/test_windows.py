@@ -1343,6 +1343,44 @@ def test_ewm_mean_global_bit_identity(spark, sf_dir):
         )
 
 
+def test_chain_rounds_adaptive(spark, sf_dir, monkeypatch):
+    """n_buckets=None derives the round count from the
+    optimizer-estimated input size (sequential rounds are pure
+    overhead until per-key slice volume outgrows task memory):
+    floored at 2 so the continued-carry path is always exercised,
+    one round per SPARK_GRAFT_CHAIN_ROUND_BYTES, capped at 64 — and
+    the adaptive result is bit-identical to any explicit count (the
+    bucketing-invariance law)."""
+    from sparkswift.operators.rolling import _chain_rounds, ewm_mean_global
+    from sparkswift.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    # tiny fixture -> the floor
+    assert _chain_rounds(ev) == 2
+    # one round per budget byte-chunk, env-parameterised for clusters
+    monkeypatch.setenv("SPARK_GRAFT_CHAIN_ROUND_BYTES", "1024")
+    assert _chain_rounds(ev) > 2  # grows with input/budget ratio
+    monkeypatch.setenv("SPARK_GRAFT_CHAIN_ROUND_BYTES", "1")
+    assert _chain_rounds(ev) == 64  # capped
+    monkeypatch.delenv("SPARK_GRAFT_CHAIN_ROUND_BYTES")
+
+    base = {
+        r.event_id: r.ewm
+        for r in ewm_mean_global(
+            ev, on="value", alpha=0.25, key_col="user_id",
+            order_by=["ts", "event_id"], ts_col="ts", n_buckets=4,
+        ).select("event_id", "ewm").collect()
+    }
+    auto = {
+        r.event_id: r.ewm
+        for r in ewm_mean_global(
+            ev, on="value", alpha=0.25, key_col="user_id",
+            order_by=["ts", "event_id"], ts_col="ts", n_buckets=None,
+        ).select("event_id", "ewm").collect()
+    }
+    assert auto == base  # exact float ==, not approx
+
+
 def test_ewm_mean_multi_global_bit_identity(spark, sf_dir):
     """w12b law: the DUAL-alpha carry chain is bit-identical to the
     one-pass ewm_mean_multi kernel at every bucket count — both alpha
