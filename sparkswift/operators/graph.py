@@ -519,12 +519,18 @@ def label_propagation(
     #    reuses the static exchange. Explicit partition count — AQE
     #    would coalesce a small frame to one task (o9b lesson).
     n_part = edges.sparkSession.sparkContext.defaultParallelism
-    n_nodes = (
-        e.select(F.col("a").alias("n"))
-        .unionAll(e.select(F.col("b").alias("n")))
+    # ONE node-distinct job serves both the regime decision and the
+    # label init (it used to run twice: a count-only distinct here
+    # and a second distinct for labels — guide §1.2, don't compute
+    # things twice); the count on the checkpointed frame is ~free
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .repartition(n_part, F.col("node"))
         .distinct()
-        .count()
+        .localCheckpoint()
     )
+    n_nodes = nodes.count()
     loop_key = "node" if n_nodes <= label_broadcast_limit else "nbr"
     adj = (
         e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
@@ -556,14 +562,12 @@ def label_propagation(
             .select("node", (-F.col("__w.neg")).alias("__win"))
         )
 
-    labels = (
-        adj.select("node")
-        .distinct()
-        .select("node", F.col("node").alias("lbl"))
-        # __p2 = labels(t-2); starts NULL so the cycle probe cannot
-        # fire before two real rounds exist
-        .withColumn("__p2", F.lit(None).cast("long"))
-        .localCheckpoint()
+    # __p2 = labels(t-2); starts NULL so the cycle probe cannot
+    # fire before two real rounds exist. A projection of the
+    # checkpointed nodes frame — no second distinct, no second
+    # checkpoint job (partitioning by node is preserved)
+    labels = nodes.select("node", F.col("node").alias("lbl")).withColumn(
+        "__p2", F.lit(None).cast("long")
     )
     iters = 0
     breaks = 0
