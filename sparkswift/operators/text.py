@@ -68,10 +68,29 @@ def non_alpha_space_count(col: str | Column) -> Column:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the cluster before a heavy
+    per-row expression chain: the single-file fixtures scan as ONE
+    partition (one row group → one task), so token explodes and
+    regex-arithmetic chains otherwise run on a single core of a
+    32-core host (measured: t1 1.6 s, t15 1.0 s, p20 3.9 s
+    single-task jobs — guide §2.3). No-op for streaming inputs
+    (micro-batch parallelism comes from the source) and whenever the
+    scan already has >= defaultParallelism partitions — always true
+    at real scale, so cluster plans are unchanged."""
+    if df.isStreaming:
+        return df
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
+
+
 def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / token / punctuation / stopword quality metrics — the
     standard pre-training filter features (C4/Gopher-style rules),
     computed natively."""
+    df = _spread(df)
     n_tok = token_count(text_col)
     n_char = char_count(text_col)
     return df.withColumns(
@@ -714,7 +733,9 @@ def unigram_logprob(
 
     Returns ``(id_col, n_tokens, sum_surprisal, avg_nll)``.
     """
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
+    toks = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
+    )
     vocab = toks.groupBy("__tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("__freq")
     )
@@ -778,6 +799,12 @@ def dsir_logratio(
 
     Returns ``(id_col, n_feats, logratio_unats, avg_logratio)``.
     """
+    # spread the one-file fixture scans before the n-gram explode
+    # chains: the raw-corpus explode runs TWICE (count model + score
+    # pass) and each inherited a single scan partition — measured as
+    # 3.9 s + 3.4 s single-task jobs on a 32-core host (guide §2.3)
+    docs = _spread(docs.select(id_col, text_col))
+    target = _spread(target.select(text_col))
     feat = word_ngrams_all(text_col, k)
     if hash_buckets is not None:
         fcol = F.explode(feat).alias("__f0")
@@ -1830,6 +1857,10 @@ def bigram_logprob(
         raise ValueError("alpha_tenths must be in [0, 10]")
     alpha = alpha_tenths / 10.0
     beta = (10 - alpha_tenths) / 10.0
+    # both slices feed token/pair explodes (train twice: bigram +
+    # unigram counts) — spread the one-file scans before that work
+    train = _spread(train.select(F.col(id_col), F.col(text_col)))
+    score = _spread(score.select(F.col(id_col), F.col(text_col)))
 
     def pairs_of(df: DataFrame) -> DataFrame:
         toks = tokens(text_col)
