@@ -96,6 +96,19 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(par)
 
 
+def _prepart(df: DataFrame, *keys: str) -> DataFrame:
+    """Explicit hash-repartition on the group key before a grouped
+    Arrow UDF: the following ``groupBy(keys)`` reuses the partitioning
+    (no second exchange), and because the count is explicit AQE cannot
+    coalesce the small post-shuffle stage into ONE task and serialize
+    every per-group kernel on a single core (the o9b lesson — measured
+    here as e6's 3.5 s one-task ADC reduce over ~1000 query groups).
+    ``defaultParallelism`` tracks the cluster, so the same code is
+    right at scale."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par, *[F.col(k) for k in keys])
+
+
 def quantize(col: str | Column, scale: int = QUANT) -> Column:
     """array<float> → array<long> on a 1/scale grid (exact integer
     domain for all downstream arithmetic)."""
@@ -1555,14 +1568,14 @@ def cosine_topk_pq(
 
     # exact integer-grid re-rank of the candidate set (same arithmetic
     # as cosine_topk → emitted cos_sim is engine-exact)
-    cvec = corpus.select(
+    cvec = _spread(corpus.select(F.col(id_col), F.col(vec_col))).select(
         F.col(id_col).alias("corpus_id"), quantize(vec_col).alias("cv")
     ).withColumn("cn", norm2_long(F.col("cv")))
     qvec = queries.select(
         F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv")
     ).withColumn("qn", norm2_long(F.col("qv")))
     scored = (
-        cands.join(cvec, "corpus_id")
+        cvec.join(F.broadcast(cands), "corpus_id")
         .join(F.broadcast(qvec), "query_id")
         .select(
             "query_id",
@@ -1683,19 +1696,23 @@ def cosine_topk_ivfpq(
         return pd.DataFrame({"query_id": qid, "corpus_id": cid[order]})
 
     cand = (
-        codes.join(F.broadcast(probes), "list_id")
+        _prepart(codes.join(F.broadcast(probes), "list_id"), "query_id")
         .groupBy("query_id")
         .applyInPandas(adc_topk, "query_id long, corpus_id long")
     )
 
-    cvec = corpus.select(
+    # exact re-rank runs ON the spread corpus scan with the bounded
+    # (queries × k·refine) candidate set broadcast — the quantize +
+    # integer-cosine work parallelizes across the corpus partitioning
+    # instead of collapsing into one AQE-coalesced join task
+    cvec = _spread(corpus.select(F.col(id_col), F.col(vec_col))).select(
         F.col(id_col).alias("corpus_id"), quantize(vec_col).alias("cv")
     ).withColumn("cn", norm2_long(F.col("cv")))
     qvec = queries.select(
         F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv")
     ).withColumn("qn", norm2_long(F.col("qv")))
     scored = (
-        cand.join(cvec, "corpus_id")
+        cvec.join(F.broadcast(cand), "corpus_id")
         .join(F.broadcast(qvec), "query_id")
         .select(
             "query_id",
@@ -1865,19 +1882,23 @@ def ivfpq_search(
         return pd.DataFrame({"query_id": qid, "corpus_id": cid[order]})
 
     cand = (
-        codes.join(F.broadcast(probes), "list_id")
+        _prepart(codes.join(F.broadcast(probes), "list_id"), "query_id")
         .groupBy("query_id")
         .applyInPandas(adc_topk, "query_id long, corpus_id long")
     )
 
-    cvec = corpus.select(
+    # exact re-rank runs ON the spread corpus scan with the bounded
+    # (queries × k·refine) candidate set broadcast — the quantize +
+    # integer-cosine work parallelizes across the corpus partitioning
+    # instead of collapsing into one AQE-coalesced join task
+    cvec = _spread(corpus.select(F.col(id_col), F.col(vec_col))).select(
         F.col(id_col).alias("corpus_id"), quantize(vec_col).alias("cv")
     ).withColumn("cn", norm2_long(F.col("cv")))
     qvec = queries.select(
         F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv")
     ).withColumn("qn", norm2_long(F.col("qv")))
     scored = (
-        cand.join(cvec, "corpus_id")
+        cvec.join(F.broadcast(cand), "corpus_id")
         .join(F.broadcast(qvec), "query_id")
         .select(
             "query_id",
@@ -2222,7 +2243,7 @@ def mmr_diversify(
             rows, columns=["query_id", "step", "cand_id", "score10"]
         )
 
-    return full.groupBy("query_id").applyInPandas(
+    return _prepart(full, "query_id").groupBy("query_id").applyInPandas(
         greedy, "query_id long, step long, cand_id long, score10 long"
     )
 
@@ -2460,14 +2481,14 @@ def cosine_topk_sq(
         .filter(F.col("crnk") <= kr)
         .select("query_id", "corpus_id")
     )
-    cvec = corpus.select(
+    cvec = _spread(corpus.select(F.col(id_col), F.col(vec_col))).select(
         F.col(id_col).alias("corpus_id"), quantize(vec_col).alias("cv")
     ).withColumn("cn", norm2_long(F.col("cv")))
     qvec = queries.select(
         F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv")
     ).withColumn("qn", norm2_long(F.col("qv")))
     scored = (
-        cands.join(cvec, "corpus_id")
+        cvec.join(F.broadcast(cands), "corpus_id")
         .join(F.broadcast(qvec), "query_id")
         .select(
             "query_id",
