@@ -696,12 +696,11 @@ def connected_components(
             F.least(
                 F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
             ).alias("component"),
-        ).localCheckpoint()
-        changed = (
+        ).localCheckpoint(eager=False)  # change probe materializes
+        changed = (  # full parallel probe - materializes the lazy cut
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
             .count()
         )
         labels = new_labels
@@ -980,7 +979,9 @@ def connected_components_star(
 
     sig = _checksum(edges)
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        # lazy cut: the checksum probe materializes the round's edge
+        # set in the same job (one barrier per round, not two)
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         new_sig = _checksum(edges)
         if new_sig == sig:
             break

@@ -580,7 +580,10 @@ def label_propagation(
                 "__p2",
                 F.coalesce(F.col("__win"), F.col("lbl")).alias("lbl"),
             )
-            .localCheckpoint()
+            # lazy cut: the probe aggregate below materializes the
+            # checkpoint in the SAME job (one barrier per round, not
+            # two - guide §1.2)
+            .localCheckpoint(eager=False)
         )
         iters += 1
         probe = stepped.agg(
@@ -686,12 +689,17 @@ def kcore(
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("d"))
         )
+        # keep stays EAGER: two semi-join branches consume it in one
+        # job - a lazy cut would let both branches race-compute the
+        # degree aggregate before the cache lands
         keep = deg.filter(F.col("d") >= k).select("n").localCheckpoint()
         nxt = (
             cur.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
             .select("a", "b")
-            .localCheckpoint()
+            # lazy cut: the carried-count probe materializes it in the
+            # same job - one barrier per peel round instead of three
+            .localCheckpoint(eager=False)
         )
         n_nxt = nxt.count()
         converged = n_nxt == n_cur
@@ -775,11 +783,14 @@ def bfs_distances(
         )
         new = cand.join(dist.select("node"), "node", "left_anti").select(
             "node", F.lit(h).cast("int").alias("dist")
-        ).localCheckpoint()
-        if new.limit(1).count() == 0:
+        ).localCheckpoint(eager=False)  # emptiness probe materializes
+        # full count, not limit(1): CollectLimit over a lazy cut scans
+        # partitions serially in growing waves; count() is one
+        # parallel job and materializes the checkpoint as it goes
+        if new.count() == 0:
             break
         hops = h
-        dist = dist.unionAll(new).localCheckpoint()
+        dist = dist.unionAll(new).localCheckpoint(eager=False)
         frontier = new.select("node")
     if stats is not None:
         stats["hops"] = hops
@@ -860,15 +871,15 @@ def sssp_distances(
             cand.join(dist.withColumnRenamed("dist", "old"), "node", "left")
             .filter(F.col("old").isNull() | (F.col("nd") < F.col("old")))
             .select("node", F.col("nd").alias("dist"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # emptiness probe materializes
         )
-        if improved.limit(1).count() == 0:
+        if improved.count() == 0:  # full parallel probe (see bfs note)
             break
         rounds += 1
         dist = (
             dist.join(improved.select("node"), "node", "left_anti")
             .unionAll(improved)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # next round's join materializes
         )
         frontier = improved
     else:
