@@ -896,7 +896,10 @@ def ewm_mean_multi_global(
             res = (
                 sl.groupBy(key_col)
                 .applyInPandas(kernel, out_schema)
-                .localCheckpoint()
+                # lazy cut: the next round's kernel job (via the carry
+                # join) or the final union write materializes it - one
+                # barrier per round instead of two
+                .localCheckpoint(eager=False)
             )
             # the flagged row is a real data row (the slice's last
             # per key): it stays in the output AND seeds the carry
@@ -1130,7 +1133,10 @@ def cusum_alerts_global(
             res = (
                 sl.groupBy(key_col)
                 .applyInPandas(kernel, out_schema)
-                .localCheckpoint()
+                # lazy cut: the next round's kernel job (via the carry
+                # join) or the final union write materializes it - one
+                # barrier per round instead of two
+                .localCheckpoint(eager=False)
             )
             outs.append(res.drop("__last", "__carry"))
             round_carries = res.filter(F.col("__last")).select(
