@@ -271,6 +271,7 @@ def triangle_count(
     returns to AQE — the same bounded driver-side plan choice as the
     agg14 salt-or-not rule, never a blind hint.
     """
+    n_part = edges.sparkSession.sparkContext.defaultParallelism
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -278,6 +279,10 @@ def triangle_count(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # explicit width: AQE coalesces the small distinct shuffle to
+        # a handful of partitions, and every downstream stage (degree
+        # agg, orientation join) inherits that width
+        .repartition(n_part, F.col("a"), F.col("b"))
         .localCheckpoint()  # reused 4x: degrees, both attaches, closing
     )
     m_edges = e.count()
@@ -300,10 +305,22 @@ def triangle_count(
     # whole orientation join subtree per consumer (measured: the g3
     # physical plan held THREE copies of the wedge join, ~280
     # operators; guide §2.4 "remove shuffles outright")
-    oriented = keyed.select(
-        F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(lt, F.col("b")).otherwise(F.col("a")).alias("v"),
-    ).localCheckpoint()
+    # partitioned by the wedge apex at full width: BOTH self-join
+    # sides project apex=u from this one checkpoint, so the wedge
+    # join - the operator's entire cost - runs exchange-free at
+    # defaultParallelism instead of over the handful of partitions
+    # AQE sizes from the join's (small) INPUT bytes. The join output
+    # explodes ~30x (41M wedges from 1.2M edges at sf0.1), which
+    # AQE's input-byte advisory cannot see - measured 6.2 s at 9
+    # tasks before, the whole probe+count at 32 after.
+    oriented = (
+        keyed.select(
+            F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lt, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+        .repartition(n_part, F.col("u"))
+        .localCheckpoint()
+    )
     o1 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("x"))
     o2 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("y"))
     wedges = o1.join(o2, "apex").filter(F.col("x") < F.col("y"))
