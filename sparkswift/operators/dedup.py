@@ -37,13 +37,16 @@ from sparkswift.operators.text import fingerprint
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition to the session's parallelism before compute-heavy
-    per-row expression work. Small/single-file inputs otherwise arrive
-    as ONE partition (one row group -> one task) and the whole shingle/
-    signature computation runs on a single core; at real scale inputs
-    already have many partitions and AQE coalesces any excess."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(par)
+    """Repartition before compute-heavy per-row expression work.
+    Small/single-file inputs otherwise arrive as ONE partition (one
+    row group -> one task) and the whole shingle/signature computation
+    runs on a single core; the width is input-size-adaptive
+    (operators.spread — tiny frames stop paying a full 32-task wave of
+    serialized task overhead) and at real scale inputs already have
+    many partitions, so cluster plans are unchanged."""
+    from sparkswift.operators.spread import spread
+
+    return spread(df)
 
 
 def dedup_exact(

@@ -78,12 +78,9 @@ def _spread(df: DataFrame) -> DataFrame:
     inputs (st31/st36/st39 run synth inside the streaming plan) pass
     through untouched: micro-batch parallelism comes from the source,
     and `.rdd` is illegal on a streaming frame."""
-    if df.isStreaming:
-        return df
-    n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
-        return df
-    return df.repartition(n)
+    from sparkswift.operators.spread import spread
+
+    return spread(df)
 
 
 def attach_payload(

@@ -91,9 +91,10 @@ from sparkswift.sources.store import staged_publish as _staged_dir  # noqa: E402
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition the corpus before per-row signature/dot-product
     work — single-row-group parquet otherwise pins everything to one
-    task (see dedup._spread)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(par)
+    task; input-size-adaptive width (see operators.spread)."""
+    from sparkswift.operators.spread import spread
+
+    return spread(df)
 
 
 def _prepart(df: DataFrame, *keys: str) -> DataFrame:

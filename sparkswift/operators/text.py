@@ -78,12 +78,9 @@ def _spread(df: DataFrame) -> DataFrame:
     (micro-batch parallelism comes from the source) and whenever the
     scan already has >= defaultParallelism partitions — always true
     at real scale, so cluster plans are unchanged."""
-    if df.isStreaming:
-        return df
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= par:
-        return df
-    return df.repartition(par)
+    from sparkswift.operators.spread import spread
+
+    return spread(df)
 
 
 def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:

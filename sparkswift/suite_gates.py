@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sparkswift.scratch import mkscratch
 from sparkswift.operators import dedup as dd
 from sparkswift.operators import similarity as sim
 from sparkswift.operators import text as tx
@@ -1331,7 +1332,7 @@ def p23_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = tx.bpe_train(docs, num_merges=100)
     bins = pack_token_bins(docs, merges, budget=512, n_packers=8)
-    path = tempfile.mkdtemp(prefix="p23_gate_")
+    path = mkscratch("p23_gate_")
     man = write_token_shards(bins, path, n_shards=4)
 
     n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
@@ -1433,7 +1434,7 @@ def p31_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     enc = sft_encode_masks(convs, merges)
     bins = sft_pack_bins(convs, merges, budget=512, n_packers=8)
-    path = tempfile.mkdtemp(prefix="p31_gate_")
+    path = mkscratch("p31_gate_")
     man = write_token_shards(bins, path, n_shards=4, mask_col="loss_mask")
 
     # --- independent per-turn expectation ---

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sparkswift.scratch import mkscratch
 from sparkswift.operators import dedup as dd
 from sparkswift.operators import multimodal as mm
 from sparkswift.operators import similarity as sim
@@ -1513,7 +1514,7 @@ def d10_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     mid = docs.agg((F.max("doc_id") / 2).cast("long").alias("m")).collect()[0].m
-    store = tempfile.mkdtemp(prefix="fp_store_") + "/fps"
+    store = mkscratch("fp_store_") + "/fps"
     first = docs.filter(F.col("doc_id") <= mid)
     second = docs.filter(F.col("doc_id") > mid)
     dd.dedup_incremental(first, store, update_store=True).count()  # seed store
@@ -1673,7 +1674,7 @@ def p12_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled = sp.deterministic_shuffle(docs, "doc_id").select(
         "doc_id", "shuffle_pos", tx.token_count("text").alias("ws_tokens")
     )
-    out_dir = tempfile.mkdtemp(prefix="shards_")
+    out_dir = mkscratch("shards_")
     return export_shards(
         shuffled, out_dir, pos_col="shuffle_pos", n_shards=8, token_col="ws_tokens"
     )
@@ -2713,7 +2714,7 @@ def p23_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = tx.bpe_train(docs, num_merges=100)
     bins = pack_token_bins(docs, merges, budget=512, n_packers=8)
-    path = tempfile.mkdtemp(prefix="p23_shards_")
+    path = mkscratch("p23_shards_")
     return write_token_shards(bins, path, n_shards=4)
 
 
@@ -2848,7 +2849,7 @@ def p25_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     merges = tx.bpe_train(selected, num_merges=100)
     bins = pack_token_bins(selected, merges, budget=512, n_packers=8)
-    path = tempfile.mkdtemp(prefix="p25_artifact_")
+    path = mkscratch("p25_artifact_")
     man = write_token_shards(bins, path, n_shards=4)
 
     n_sel = selected.agg(F.count(F.lit(1)).cast("bigint").alias("n_selected"))
@@ -3097,7 +3098,7 @@ def p26_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_chars"), F.lit(0)),
         ).alias("meta"),
     )
-    base = tempfile.mkdtemp(prefix="wds_")
+    base = mkscratch("wds_")
     manifest = write_webdataset_shards(
         docs, base, "doc_id", {"txt": "txt", "json": "meta"},
         n_shards=n_shards,
@@ -5233,12 +5234,10 @@ def _media_files(
 
     from sparkswift.sources import media_headers as mh
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    d = tempfile.mkdtemp(prefix=f"hdr_{ext}_")
+    from sparkswift.operators.spread import spread as _sp
+
+    docs = _sp(load_table(spark, sf_dir, "documents").select("doc_id"))
+    d = mkscratch(f"hdr_{ext}_")
     mh.write_payload_files(synth(docs, "doc_id"), d, ext=ext)
     return d
 
@@ -5249,6 +5248,28 @@ def _id_from_path(ext: str):
         .cast("bigint")
         .alias("id")
     )
+
+
+def _finish_ranged(df: DataFrame, *dirs: str) -> DataFrame:
+    """Materialize a ranged-census result, then delete its file-corpus
+    scaffolding. Every census query materializes a synth corpus as
+    one file per doc; left behind, a full sweep accumulates hundreds
+    of thousands of dead files whose writeback/inode pressure slows
+    every LATER query's I/O (measured: st38 medians drifted 11.6 →
+    17.2 s as /tmp grew to ~590 k files; guide §6 file-layout
+    hygiene). The result is node-count-sized, so the localCheckpoint
+    is cheap; the delete runs on a background thread so the unlink
+    syscalls overlap the next query instead of extending this one."""
+    import shutil
+    import threading
+
+    out = df.localCheckpoint()
+    for d in dirs:
+        threading.Thread(
+            target=shutil.rmtree, args=(d,), kwargs={"ignore_errors": True},
+            daemon=True,
+        ).start()
+    return out
 
 
 @register(
@@ -5262,10 +5283,10 @@ def mm26b_mp3_census_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _media_files(spark, sf_dir, mm.synth_mp3_payload, "mp3")
     out = mh.load_mp3_headers(spark, d, glob="*.mp3")
-    return out.select(
+    return _finish_ranged(out.select(
         _id_from_path("mp3"), "n_frames", "total_samples", "duration_us",
         "stream_bytes", "min_kbps", "max_kbps", "is_vbr", "truncated",
-    )
+    ), d)
 
 
 @register(
@@ -5281,10 +5302,10 @@ def mm26c_mp3_census_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _media_files(spark, sf_dir, mm.synth_mp3_payload, "mp3")
     out = mh.load_mp3_headers(spark, d, glob="*.mp3", max_frames=4)
-    return out.select(
+    return _finish_ranged(out.select(
         _id_from_path("mp3"), "n_frames", "total_samples", "duration_us",
         "stream_bytes", "min_kbps", "max_kbps", "is_vbr", "truncated",
-    )
+    ), d)
 
 
 @register(
@@ -5314,10 +5335,10 @@ def mm28b_video_census_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _media_files(spark, sf_dir, mm.synth_avi_stub_payload, "avi")
     out = mh.load_avi_headers(spark, d, glob="*.avi")
-    return out.select(
+    return _finish_ranged(out.select(
         _id_from_path("avi"), "codec", "width", "height", "n_frames",
         "duration_us", "video_bytes", "has_index",
-    )
+    ), d)
 
 
 @register(
@@ -5345,11 +5366,11 @@ def mm29b_mp4_census_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _media_files(spark, sf_dir, mm.synth_mp4_stub_payload, "mp4")
     out = mh.load_mp4_headers(spark, d, glob="*.mp4")
-    return out.select(
+    return _finish_ranged(out.select(
         _id_from_path("mp4"), "brand", "timescale", "duration_ticks",
         "duration_us", "n_tracks", "video_codec", "audio_codec",
         "mdat_bytes",
-    )
+    ), d)
 
 
 # ---------------------------------------------------------------------------
@@ -5435,12 +5456,10 @@ def mm32_media_triage_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sparkswift.sources import media_headers as mh
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    d = tempfile.mkdtemp(prefix="hdr_mixed_")
+    from sparkswift.operators.spread import spread as _sp
+
+    docs = _sp(load_table(spark, sf_dir, "documents").select("doc_id"))
+    d = mkscratch("hdr_mixed_")
     # all four formats in ONE distributed write job (per-row ext):
     # 4 jobs + 4 driver collects -> 1 + 1, identical files on disk
     mixed = None
@@ -5456,12 +5475,12 @@ def mm32_media_triage_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
         mixed = part if mixed is None else mixed.unionByName(part)
     mh.write_payload_files(mixed, d, ext_col="__ext")
     out = mh.load_media_triage(spark, d)
-    return out.select(
+    return _finish_ranged(out.select(
         F.regexp_extract("path", r"doc_(\d+)\.", 1)
         .cast("bigint")
         .alias("id"),
         "media_format", "detail", "n_units", "duration_us", "media_bytes",
-    )
+    ), d)
 
 
 # ---------------------------------------------------------------------------
@@ -6378,11 +6397,11 @@ def mm40b_matroska_census_ranged(
 
     d = _media_files(spark, sf_dir, mm.synth_mkv_payload, "mkv")
     out = mh.load_mkv_headers(spark, d, glob="*.mkv")
-    return out.select(
+    return _finish_ranged(out.select(
         _id_from_path("mkv"), "doc_type", "timestamp_scale", "duration_us",
         "n_tracks", "n_video", "n_audio", "video_codec", "audio_codec",
         "width", "height", "cluster_bytes",
-    )
+    ), d)
 
 
 # ---------------------------------------------------------------------------

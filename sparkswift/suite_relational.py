@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sparkswift.scratch import mkscratch
 from sparkswift.operators.layout import zorder_sql
 from sparkswift.sources import load_table
 from sparkswift.suite import D, register
@@ -2688,7 +2689,7 @@ def p29_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         "c_acctbal",
     )
-    path = tempfile.mkdtemp(prefix="merge_store_") + "/t"
+    path = mkscratch("merge_store_") + "/t"
     write_table(base, path, partition_by=["nation"])
 
     upd = base.filter(F.col("c_custkey") % 10 == 0).withColumn(

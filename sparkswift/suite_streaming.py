@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sparkswift.scratch import mkscratch
 from sparkswift.sources import load_table
 from sparkswift.streaming.ops import (
     events_stream,
@@ -324,7 +325,7 @@ def st16_stream_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         stored = seed.filter(F.col("keep")).select(
             (F.col("vec_id") + 100000).alias("vec_id")
         )
-        base = tempfile.mkdtemp(prefix="sd_stream_")
+        base = mkscratch("sd_stream_")
         src_dir, out_dir = f"{base}/src", f"{base}/decisions"
         feed = second.unionByName(
             first.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
@@ -715,7 +716,7 @@ def st13_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    base = tempfile.mkdtemp(prefix="ivf_stream_")
+    base = mkscratch("ivf_stream_")
     idx = f"{base}/idx"
     sim.ivf_build(emb, idx, nlist=16)
 
@@ -798,7 +799,7 @@ def st14_stream_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 100000).alias("doc_id")
         )
 
-        base = tempfile.mkdtemp(prefix="crawl_stream_")
+        base = mkscratch("crawl_stream_")
         src_dir, out_dir = f"{base}/src", f"{base}/decisions"
         feed = second.unionByName(
             first.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
@@ -898,7 +899,7 @@ def st17_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("__chop"),
     )
 
-    base = tempfile.mkdtemp(prefix="hh_stream_")
+    base = mkscratch("hh_stream_")
     src_dir, summ_dir, cnt_dir = f"{base}/src", f"{base}/summ", f"{base}/cnt"
     # three files → three micro-batches, ONE write job
     write_slices(li, F.abs(F.col("__chop")), src_dir, keep=["key"])
@@ -988,7 +989,7 @@ def st18_stream_pca_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = 64
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    base = tempfile.mkdtemp(prefix="gram_stream_")
+    base = mkscratch("gram_stream_")
     src_dir, summ_dir = f"{base}/src", f"{base}/summ"
     # three files → three micro-batches, ONE write job
     write_slices(emb, F.abs(F.xxhash64("vec_id") % 3), src_dir)
@@ -1086,7 +1087,7 @@ def st19_stream_quantile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.xxhash64("l_orderkey", "l_linenumber") % 3).alias("__chop"),
     )
 
-    base = tempfile.mkdtemp(prefix="qtl_stream_")
+    base = mkscratch("qtl_stream_")
     src_dir, summ_dir = f"{base}/src", f"{base}/summ"
     # three files → three micro-batches, ONE write job
     write_slices(li, F.abs(F.col("__chop")), src_dir, keep=["value"])
@@ -1190,7 +1191,7 @@ def st20_stream_drift_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_a = hash_bucket_hex("doc_id", 0) < F.lit(hex_threshold(0.5))
 
-    base = tempfile.mkdtemp(prefix="drift_stream_")
+    base = mkscratch("drift_stream_")
     src_dir, summ_dir = f"{base}/src", f"{base}/summ"
     # three files → three micro-batches, ONE write job
     write_slices(
@@ -1288,7 +1289,7 @@ def st21_stream_distinct_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.xxhash64("l_orderkey", "l_linenumber") % 3).alias("__chop"),
     )
 
-    base = tempfile.mkdtemp(prefix="hll_stream_")
+    base = mkscratch("hll_stream_")
     src_dir, summ_dir = f"{base}/src", f"{base}/summ"
     # three files → three micro-batches, ONE write job
     write_slices(li, F.abs(F.col("__chop")), src_dir, keep=["l_partkey"])
@@ -1439,7 +1440,7 @@ def st23_stream_countmin_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", (F.xxhash64("event_id") % 3).alias("__chop")
     )
-    base = tempfile.mkdtemp(prefix="cm_stream_")
+    base = mkscratch("cm_stream_")
     src_dir, summ_dir, cnt_dir = f"{base}/src", f"{base}/summ", f"{base}/cnt"
     # three files → three micro-batches, ONE write job
     write_slices(ev, F.abs(F.col("__chop")), src_dir, keep=["user_id"])
@@ -1889,7 +1890,7 @@ def st29_stream_ohlc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkswift.streaming.ops import stream_to_parquet
 
     ev = load_table(spark, sf_dir, "events")
-    base = tempfile.mkdtemp(prefix="ohlc_stream_")
+    base = mkscratch("ohlc_stream_")
     src_dir, summ_dir = f"{base}/src", f"{base}/summ"
     # three files -> three micro-batches, ONE write job
     write_slices(ev, F.abs(F.xxhash64("event_id") % 3), src_dir)
@@ -2091,7 +2092,7 @@ def st32_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 1000).cast("bigint").alias("v_scaled"),
         F.dayofmonth("ts").alias("__day"),
     )
-    base = tempfile.mkdtemp(prefix="cusum_stream_")
+    base = mkscratch("cusum_stream_")
     # three day-range slices → three micro-batches in ONE write job;
     # write_slices stamps explicit increasing mtimes so trigger order
     # = slice order (ADVICE r12: coarse mtime ties could reorder
@@ -2473,7 +2474,7 @@ def st38_stream_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkswift.streaming.ops import stamp_slice_order, stream_to_parquet
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    base = tempfile.mkdtemp(prefix="triage38_")
+    base = mkscratch("triage38_")
     src_dir, out_dir = f"{base}/src", f"{base}/out"
     seen: set = set()
     for i in range(3):  # three files -> three micro-batches
@@ -2492,6 +2493,14 @@ def st38_stream_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def ingest(batch_df, epoch_id):
         d = tempfile.mkdtemp(prefix=f"triage38_b{epoch_id}_", dir=base)
+        # spread ONCE before the four-way fan-out (the mm32 shape):
+        # each branch's own _spread then no-ops and all four branches
+        # share ONE reused exchange instead of re-scanning and
+        # re-exchanging the batch file per format (guide §2.4); width
+        # is input-size-adaptive (operators.spread)
+        from sparkswift.operators.spread import spread as _sp
+
+        spread = _sp(batch_df)
         # one distributed write job for all four formats (per-row
         # ext): 4 jobs + 4 collects per micro-batch -> 1 + 1
         mixed = None
@@ -2501,7 +2510,7 @@ def st38_stream_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (mm.synth_mp4_stub_payload, 2, "mp4"),
             (mm.synth_webp_payload, 3, "webp"),
         ):
-            part = synth(batch_df.filter(F.col("doc_id") % 4 == r)).select(
+            part = synth(spread.filter(F.col("doc_id") % 4 == r)).select(
                 "doc_id", "payload", F.lit(ext).alias("__ext")
             )
             mixed = part if mixed is None else mixed.unionByName(part)
@@ -2516,7 +2525,19 @@ def st38_stream_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.write.mode("append").parquet(out_dir)
 
     stream_to_parquet(src, path=None, checkpoint=f"{base}/ck", merge_fn=ingest)
-    return spark.read.parquet(out_dir).localCheckpoint()
+    out = spark.read.parquet(out_dir).localCheckpoint()
+    # corpus scaffolding cleanup (see suite_llm._finish_ranged): the
+    # three per-batch file corpora + slices are dead once the result
+    # is checkpointed; background-delete them so /tmp never
+    # accumulates across runs
+    import shutil
+    import threading
+
+    threading.Thread(
+        target=shutil.rmtree, args=(base,), kwargs={"ignore_errors": True},
+        daemon=True,
+    ).start()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -2618,7 +2639,7 @@ def st37_stream_dhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         "payload",
     ).select("id", "hash_hi", "hash_lo").localCheckpoint()
 
-    base = tempfile.mkdtemp(prefix="dh37_")
+    base = mkscratch("dh37_")
     src_dir, out_dir = f"{base}/src", f"{base}/out"
     feed = docs.select((F.col("doc_id") + 100000).alias("doc_id"))
     # three files -> three micro-batches, ONE write job (mtime-stamped
