@@ -32,6 +32,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from sparkswift.localdf import local_df
 
 from sparkswift.operators.text import fingerprint
 
@@ -1296,9 +1297,7 @@ def neardup_incremental(
         if len(pair_rows) <= pair_cap:
             comp = minid_components((r.id_a, r.id_b) for r in pair_rows)
             comp_rows = list(comp.items())
-            comp_df = spark.createDataFrame(
-                comp_rows, "id long, component long"
-            ) if comp_rows else spark.createDataFrame([], "id long, component long")
+            comp_df = local_df(spark, comp_rows, "id long, component long")
             in_batch = (
                 new_docs.select(F.col(id_col).alias("id"))
                 .join(F.broadcast(comp_df), "id", "left")

@@ -25,6 +25,7 @@ import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from sparkswift.localdf import local_df
 
 _NIBBLES = 8
 
@@ -140,7 +141,7 @@ def deterministic_shuffle(
     for b in sorted(counts):
         rows.append((b, acc))
         acc += counts[b]
-    offsets = df.sparkSession.createDataFrame(rows, "__b string, __off bigint")
+    offsets = local_df(df.sparkSession, rows, "__b string, __off bigint")
     from pyspark.sql import Window
 
     w = Window.partitionBy("__b").orderBy("__h", id_col)
@@ -554,8 +555,8 @@ def interleave_order(
         for b, n in sorted(bs):
             rows.append((g, b, off))
             off += n
-    offsets = df.sparkSession.createDataFrame(
-        rows, f"{group_col} string, __b string, __off bigint"
+    offsets = local_df(
+        df.sparkSession, rows, f"{group_col} string, __b string, __off bigint"
     )
     from pyspark.sql import Window
 

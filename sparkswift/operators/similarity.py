@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from sparkswift.localdf import local_df
 
 QUANT = 1_000_000
 
@@ -696,7 +697,8 @@ def ivf_build(
     )
     centers = model.clusterCenters()
     spark = corpus.sparkSession
-    cdf = spark.createDataFrame(
+    cdf = local_df(
+        spark,
         [(i, [float(x) for x in v]) for i, v in enumerate(centers)],
         "list_id int, center array<double>",
     )
@@ -822,8 +824,8 @@ def ivf_rebalance(
         else:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
 
-    cdf = spark.createDataFrame(
-        sorted(centers.items()), "list_id int, center array<double>"
+    cdf = local_df(
+        spark, sorted(centers.items()), "list_id int, center array<double>"
     )
     cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centers")
     return len(oversized)
@@ -1196,7 +1198,8 @@ def semdedup_store_build(
         .localCheckpoint()
     )
     flagged = _semdedup_batch_flags(assigned, threshold).localCheckpoint()
-    cdf = spark.createDataFrame(
+    cdf = local_df(
+        spark,
         [(i, [float(x) for x in row]) for i, row in enumerate(centers)],
         "list_id int, center array<double>",
     )
@@ -1675,7 +1678,8 @@ def cosine_topk_ivfpq(
     qrow = {int(qid): i for i, qid in enumerate(qids)}
     d2 = ((qxn[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
     probe_idx = np.argsort(d2, axis=1)[:, :nprobe]
-    probes = corpus.sparkSession.createDataFrame(
+    probes = local_df(
+        corpus.sparkSession,
         [
             (int(qid), int(lid))
             for qid, row in zip(qids, probe_idx)
@@ -1792,12 +1796,14 @@ def ivfpq_build(
         assigned, codebooks, id_col=id_col, vec_col=vec_col, keep_cols=("list_id",)
     )
     spark = corpus.sparkSession
-    cdf = spark.createDataFrame(
+    cdf = local_df(
+        spark,
         [(i, [float(x) for x in v]) for i, v in enumerate(centers_np)],
         "list_id int, center array<double>",
     )
     mm, kk, dsub = codebooks.shape
-    cbdf = spark.createDataFrame(
+    cbdf = local_df(
+        spark,
         [
             (j, c_i, [float(x) for x in codebooks[j, c_i]])
             for j in range(mm)
@@ -1857,7 +1863,8 @@ def ivfpq_search(
     d2 = ((qxn[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
     probe_idx = np.argsort(d2, axis=1)[:, :nprobe]
     probed_lists = sorted({int(l) for row in probe_idx for l in row})
-    probes = spark.createDataFrame(
+    probes = local_df(
+        spark,
         [
             (int(qid), int(lid))
             for qid, row in zip(qids, probe_idx)
@@ -2107,7 +2114,8 @@ def ivfpq_rebalance(
             # the next rebalance) — never code rows assigned to a
             # list_id that no center references, which would be
             # silently unreachable by ivfpq_search.
-            cdf = spark.createDataFrame(
+            cdf = local_df(
+                spark,
                 sorted((int(k), v) for k, v in centers.items()),
                 "list_id int, center array<double>",
             )

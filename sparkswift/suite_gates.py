@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from sparkswift.localdf import local_df
 
 from sparkswift.scratch import mkscratch
 from sparkswift.operators import dedup as dd
@@ -1452,7 +1453,8 @@ def p31_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="content",
         id_col="tid",
     ).select("tid", F.col("token_ids").alias("c_ids"))
-    frame = spark.createDataFrame(
+    frame = local_df(
+        spark,
         [(r, f"{SFT_BOS} {r}") for r in ("system", "user", "assistant")]
         + [("__eos__", SFT_EOS)],
         "role string, text string",
@@ -1650,7 +1652,8 @@ def e8_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             var_ok = False
     if topk_var > stats["total_var"] + 5e-4:
         bounded = False
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(stats["n"], orth, eig_sorted, var_ok, bounded)],
         "n_vecs bigint, orthonormal boolean, eig_sorted boolean,"
         " var_matches_eig boolean, var_bounded boolean",

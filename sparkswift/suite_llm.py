@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from sparkswift.localdf import local_df
 
 from sparkswift.scratch import mkscratch
 from sparkswift.operators import dedup as dd
@@ -1245,7 +1246,8 @@ def t22_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("reencode_consistent"),
     )
     agg = ids_ok.crossJoin(F.broadcast(re_ok))
-    planted = spark.createDataFrame(
+    planted = local_df(
+        spark,
         [(9_200_000, "ordinary words then §§ weird")],
         "doc_id long, text string",
     )
@@ -1333,7 +1335,8 @@ def t23_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_bad_identity"),
         F.count(F.lit(1)).alias("n_bad_any"),
     )
-    planted = spark.createDataFrame(
+    planted = local_df(
+        spark,
         [
             (9_300_000, "spam " * 500),
             (
@@ -2493,7 +2496,8 @@ def t18_bpe_decode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = tx.bpe_train(docs, num_merges=100)
     unk = tx.bpe_vocab(merges)["<unk>"]
-    planted = spark.createDataFrame(
+    planted = local_df(
+        spark,
         [(9_000_000, "ordinary words then §§ weird")],
         "doc_id long, text string",
     )
@@ -2604,7 +2608,8 @@ def t21_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("reencode_consistent"),
     )
     agg = ids_ok.crossJoin(F.broadcast(re_ok))
-    planted = spark.createDataFrame(
+    planted = local_df(
+        spark,
         [(9_100_000, "ordinary words then §§ weird")],
         "doc_id long, text string",
     )

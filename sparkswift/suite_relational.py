@@ -17,6 +17,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from sparkswift.localdf import local_df
 
 from sparkswift.scratch import mkscratch
 from sparkswift.operators.layout import zorder_sql
@@ -249,7 +250,8 @@ def j7_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j5_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(
+    bands = local_df(
+        spark,
         [("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0),
          ("high", 150000.0, 1000000000.0)],
         "band string, lo double, hi double",
@@ -3038,7 +3040,8 @@ def g5_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nontrivial = bool(0 < n_core < int(counts["n_all"]))
     membership_total = bool(int(counts["n_all"]) == int(counts["n_distinct"]))
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [
             (
                 int(counts["n_all"]),

@@ -82,7 +82,7 @@ def main() -> None:
                 ).total_seconds()
                 total += d
                 dur = f"{d:6.2f}s"
-            desc = (j.get("description") or j.get("name") or "")[:100]
+            desc = (j.get("name") or j.get("description") or "")[:140]
             print(
                 f"  job {j['jobId']:>4} {dur} tasks={j['numTasks']:>5} "
                 f"stages={len(j['stageIds'])} {desc}"
