@@ -2763,7 +2763,7 @@ def g3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2")
     )
     edges = (
-        li.join(b, li.l_orderkey == b.k)
+        li.hint("merge").join(b, li.l_orderkey == b.k)
         .filter(F.col("l_partkey") < F.col("p2"))
         .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
     )
@@ -2825,7 +2825,7 @@ def g7_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2")
     )
     edges = (
-        li.join(b, li.l_orderkey == b.k)
+        li.hint("merge").join(b, li.l_orderkey == b.k)
         .filter(F.col("l_partkey") < F.col("p2"))
         .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
     )
@@ -2881,7 +2881,7 @@ def g8_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2")
     )
     edges = (
-        li.join(b, li.l_orderkey == b.k)
+        li.hint("merge").join(b, li.l_orderkey == b.k)
         .filter(F.col("l_partkey") < F.col("p2"))
         .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
     )
@@ -2940,7 +2940,7 @@ def g4_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2")
     )
     edges = (
-        li.join(b, li.l_orderkey == b.k)
+        li.hint("merge").join(b, li.l_orderkey == b.k)
         .filter(F.col("l_partkey") < F.col("p2"))
         .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
     )
@@ -2970,7 +2970,7 @@ def _copart_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2")
     )
     return (
-        li.join(b, li.l_orderkey == b.k)
+        li.hint("merge").join(b, li.l_orderkey == b.k)
         .filter(F.col("l_partkey") < F.col("p2"))
         .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
     )
@@ -3089,7 +3089,7 @@ def g6_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("k"), F.col("o_orderkey").alias("o2")
     )
     edges = (
-        o.join(b, o.o_custkey == b.k)
+        o.hint("merge").join(b, o.o_custkey == b.k)
         .filter(F.col("o_orderkey") < F.col("o2"))
         .select(F.col("o_orderkey").alias("src"), F.col("o2").alias("dst"))
     )
@@ -3277,7 +3277,7 @@ def g9_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2")
     )
     edges = (
-        li.join(b, li.l_orderkey == b.k)
+        li.hint("merge").join(b, li.l_orderkey == b.k)
         .filter(F.col("l_partkey") < F.col("p2"))
         .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
         .distinct()
@@ -3694,7 +3694,7 @@ def g10_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2")
     )
     edges = (
-        li.join(b, li.l_orderkey == b.k)
+        li.hint("merge").join(b, li.l_orderkey == b.k)
         .filter(F.col("l_partkey") < F.col("p2"))
         .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
     )

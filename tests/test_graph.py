@@ -266,6 +266,14 @@ def test_triangle_count_pure_python_reference(spark):
     for n in range(100, 104):
         assert got[n] == 3
     assert all(n not in got for n in range(200, 206))
+    # both bounded regimes agree: broadcast-adjacency intersection
+    # (default here — m is tiny) vs the wedge-join path it replaces
+    # under the limit (forced with broadcast_edge_limit=0)
+    wedge = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_count(df, broadcast_edge_limit=0).collect()
+    }
+    assert wedge == want
 
 
 def test_clustering_coefficient_known_shapes(spark):
