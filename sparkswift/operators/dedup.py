@@ -1126,12 +1126,17 @@ def leak_report(
     is 1 when ``leak_frac >= threshold``.
     """
     mk = hashed_shingles if hashed else word_shingles
+    # spread both sides before the shingle explodes: the one-file
+    # documents scan otherwise pins each side's whole shingle + join
+    # work to a single task (measured: 3.45 s one-task job in p17;
+    # guide §2.3)
     bench_sh = (
-        benchmark.select(F.explode(mk(text_col, k)).alias("s"))
+        _spread(benchmark.select(F.col(text_col)))
+        .select(F.explode(mk(text_col, k)).alias("s"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    doc_sh = docs.select(
+    doc_sh = _spread(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(F.array_distinct(mk(text_col, k))).alias("s")
     )
     per_doc = (
