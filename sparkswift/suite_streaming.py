@@ -900,7 +900,7 @@ def st17_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     base = mkscratch("hh_stream_")
-    src_dir, summ_dir, cnt_dir = f"{base}/src", f"{base}/summ", f"{base}/cnt"
+    src_dir, summ_dir = f"{base}/src", f"{base}/summ"
     # three files → three micro-batches, ONE write job
     write_slices(li, F.abs(F.col("__chop")), src_dir, keep=["key"])
 
@@ -912,21 +912,25 @@ def st17_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ingest(batch_df, _epoch_id):
-        heavy_hitters(batch_df, "key", k=k).write.mode("append").parquet(
-            summ_dir
+        # summary rows + the batch row count land in ONE write job
+        # (count rides as an item=-1 sentinel — every real key here
+        # is >= 0; guide §1.2: two jobs per micro-batch -> one)
+        hh = heavy_hitters(batch_df, "key", k=k)
+        cnt = batch_df.agg(
+            F.lit(-1).cast("bigint").alias("item"),
+            F.count(F.lit(1)).cast("bigint").alias("est"),
         )
-        batch_df.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n")
-        ).write.mode("append").parquet(cnt_dir)
+        hh.unionByName(cnt).write.mode("append").parquet(summ_dir)
 
     stream_to_parquet(src, path=None, checkpoint=f"{base}/ck", merge_fn=ingest)
 
-    cand = merge_heavy_hitters(spark.read.parquet(summ_dir), k=k)
+    summ = spark.read.parquet(summ_dir).localCheckpoint()
+    cand = merge_heavy_hitters(summ.filter(F.col("item") >= 0), k=k)
     exact = li.groupBy(F.col("key").alias("item")).agg(
         F.count(F.lit(1)).cast("bigint").alias("true_cnt")
     )
-    n_df = spark.read.parquet(cnt_dir).agg(
-        F.sum("n").cast("bigint").alias("n_rows")
+    n_df = summ.filter(F.col("item") == -1).agg(
+        F.sum("est").cast("bigint").alias("n_rows")
     )
     bound = F.col("n_rows").cast("double") / (k + 1)
     heavy = exact.crossJoin(F.broadcast(n_df)).filter(F.col("true_cnt") > bound)
@@ -1441,7 +1445,7 @@ def st23_stream_countmin_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", (F.xxhash64("event_id") % 3).alias("__chop")
     )
     base = mkscratch("cm_stream_")
-    src_dir, summ_dir, cnt_dir = f"{base}/src", f"{base}/summ", f"{base}/cnt"
+    src_dir, summ_dir = f"{base}/src", f"{base}/summ"
     # three files → three micro-batches, ONE write job
     write_slices(ev, F.abs(F.col("__chop")), src_dir, keep=["user_id"])
 
@@ -1453,16 +1457,21 @@ def st23_stream_countmin_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ingest(batch_df, _epoch_id):
-        countmin_sketch(batch_df, "user_id", width=w, depth=d, seed=seed).write.mode(
-            "append"
-        ).parquet(summ_dir)
-        batch_df.agg(F.count(F.lit(1)).cast("bigint").alias("n")).write.mode(
-            "append"
-        ).parquet(cnt_dir)
+        # sketch cells + the batch row count land in ONE write job
+        # (the count rides as a row=-1 sentinel cell — guide §1.2:
+        # two sequential jobs per micro-batch halved to one)
+        sk = countmin_sketch(batch_df, "user_id", width=w, depth=d, seed=seed)
+        cnt = batch_df.agg(
+            F.lit(-1).alias("row"),
+            F.lit(0).alias("bucket"),
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+        )
+        sk.unionByName(cnt).write.mode("append").parquet(summ_dir)
 
     stream_to_parquet(src, path=None, checkpoint=f"{base}/ck", merge_fn=ingest)
 
-    merged = countmin_merge(spark.read.parquet(summ_dir)).localCheckpoint()
+    cells = spark.read.parquet(summ_dir).localCheckpoint()
+    merged = countmin_merge(cells.filter(F.col("row") >= 0)).localCheckpoint()
     batch_sk = countmin_sketch(
         load_table(spark, sf_dir, "events"), "user_id", width=w, depth=d, seed=seed
     )
@@ -1488,8 +1497,8 @@ def st23_stream_countmin_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est") < F.col("true_cnt"))
         .agg(F.count(F.lit(1)).alias("n_under"))
     )
-    n_rows = spark.read.parquet(cnt_dir).agg(
-        F.sum("n").cast("bigint").alias("n_rows")
+    n_rows = cells.filter(F.col("row") == -1).agg(
+        F.sum("c").cast("bigint").alias("n_rows")
     )
     shape = merged.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
