@@ -272,6 +272,17 @@ def main() -> None:
     # measure steady-state plan cost, not first-query startup
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
     spark.range(1_000_000).selectExpr("sum(id * 2)").collect()
+    # ... and the Python worker pool: the first Arrow stage of the run
+    # otherwise pays the 32-worker spawn inside whichever recorded row
+    # hits it first (same rationale as the unrecorded q1 warmup below —
+    # measurement hygiene, noted in OPTIMIZATION_r15.md)
+    def _ident(it):
+        for pdf in it:
+            yield pdf
+
+    spark.range(10_000, numPartitions=32).mapInPandas(
+        _ident, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     def drop_persistent_blocks() -> None:
         # operators localCheckpoint intermediates (LSH signatures,
