@@ -28,10 +28,12 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
     LocalRelation route. ``rows`` is a list of tuples (or anything
     indexable per field); ``schema`` a DDL string or StructType."""
     if isinstance(schema, str):
-        from pyspark.sql.types import _parse_datatype_string
-
-        schema = _parse_datatype_string(schema)
+        schema = StructType.fromDDL(schema)
     assert isinstance(schema, StructType)
+    import os
+
+    if os.environ.get("SPARK_GRAFT_LOCALDF", "1") == "0":  # A/B gate (r16)
+        return spark.createDataFrame(list(rows), schema)
     if not rows:
         return spark.createDataFrame([], schema)
     import pandas as pd

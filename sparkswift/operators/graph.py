@@ -11,8 +11,22 @@ state beyond the loop counter — the 100 TB shape for power iteration.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _loop_prepart(df: DataFrame, *cols: str) -> DataFrame:
+    """Pre-partition a loop-static frame on the loop join key ONCE so
+    no iteration re-exchanges it (guide §2.4); explicit width so AQE
+    cannot coalesce the loop to one task (the o9b lesson). A/B gate
+    (r16): ``SPARK_GRAFT_GRAPH_PREPART=0`` reverts to the r14
+    unpartitioned shape so the cold-run cost can be measured."""
+    if os.environ.get("SPARK_GRAFT_GRAPH_PREPART", "1") == "0":
+        return df
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n_part, *[F.col(c) for c in cols])
 
 
 def pagerank(
@@ -129,13 +143,8 @@ def pagerank(
     # Explicit partition count (not AQE-advisory): AQE would coalesce
     # a small edge frame to ONE partition and serialize the loop (the
     # o9b lesson, NOTES r14).
-    n_part = edges.sparkSession.sparkContext.defaultParallelism
     loop_key = "dst" if n <= rank_broadcast_limit else "src"
-    e_deg = (
-        e.join(out_deg, "src")
-        .repartition(n_part, F.col(loop_key))
-        .localCheckpoint()
-    )
+    e_deg = _loop_prepart(e.join(out_deg, "src"), loop_key).localCheckpoint()
     if seeds is not None:
         seed_nodes = (
             seeds.select(F.col(seeds.columns[0]).alias("node"))
@@ -845,13 +854,9 @@ def bfs_distances(
     # when the frontier is not broadcast-sized, every round's join
     # reuses this partitioning instead of re-exchanging the edge list
     # (guide §2.4); explicit count so AQE can't coalesce to one task
-    adj = (
-        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .repartition(
-            edges.sparkSession.sparkContext.defaultParallelism, F.col("u")
-        )
-        .localCheckpoint()
-    )
+    adj = _loop_prepart(
+        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))), "u"
+    ).localCheckpoint()
     dist = (
         sources.select(F.col("node").cast("bigint").alias("node"))
         .distinct()
@@ -929,13 +934,10 @@ def sssp_distances(
         .distinct()
     )
     # same loop-static pre-partitioning as bfs_distances (guide §2.4)
-    adj = (
-        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
-        .repartition(
-            edges.sparkSession.sparkContext.defaultParallelism, F.col("u")
-        )
-        .localCheckpoint()
-    )
+    adj = _loop_prepart(
+        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")),
+        "u",
+    ).localCheckpoint()
     dist = (
         sources.select(F.col("node").cast("bigint").alias("node"))
         .distinct()

@@ -66,6 +66,20 @@ METADATA_SCHEMA = T.StructType(
 )
 
 
+def _spread_light(df: DataFrame) -> DataFrame:
+    """Cheap-synth tier (operators.spread.LIGHT_TASK_BYTES): header
+    stubs and tiny fixed-geometry payloads (mp3 frame walks, AVI/MP4
+    stubs, WebP headers, 18x16 dHash PGMs) whose decode is a few
+    microseconds per row — full width cost 0.3-2.3 s/query in
+    exchange + task overhead at sf0.1 (measured r16: mm32 6.7->3.7 s,
+    st34 5.0->4.3 s, d20 3.3->2.9 s cold) with nothing to
+    parallelize. Real corpora scan wide, so cluster plans are
+    unchanged."""
+    from sparkswift.operators.spread import spread_light
+
+    return spread_light(df)
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Spread the synth input across the cluster before the
     per-row-heavy payload/encode Arrow stage: the documents fixture is
@@ -6118,7 +6132,7 @@ def synth_mp3_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return _spread(df).withColumn("payload", make(F.col(id_col))).withColumn(
+    return _spread_light(df).withColumn("payload", make(F.col(id_col))).withColumn(
         "media_meta",
         F.struct(
             F.lit("audio").alias("modality"),
@@ -6235,7 +6249,7 @@ def synth_dhash_pgm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return _spread(df).withColumn("payload", make(F.col(id_col)))
+    return _spread_light(df).withColumn("payload", make(F.col(id_col)))
 
 
 def image_dhash_incremental(
@@ -6739,7 +6753,7 @@ def synth_avi_stub_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return _spread(df).withColumn("payload", make(F.col(id_col)))
+    return _spread_light(df).withColumn("payload", make(F.col(id_col)))
 
 
 # --- video: MP4 / ISO-BMFF container census (the dominant wrapper) ---------
@@ -6954,7 +6968,7 @@ def synth_mp4_stub_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return _spread(df).withColumn("payload", make(F.col(id_col)))
+    return _spread_light(df).withColumn("payload", make(F.col(id_col)))
 
 
 # --- TIFF CCITT Group 3 / Group 4 (ITU-T T.4 / T.6) ------------------------
@@ -7899,7 +7913,7 @@ def synth_webp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         return ids.map(one)
 
-    return _spread(df).withColumn("payload", make(F.col(id_col)))
+    return _spread_light(df).withColumn("payload", make(F.col(id_col)))
 
 
 # --- Ogg/Vorbis: container census (zero decode) ----------------------------

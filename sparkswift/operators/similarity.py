@@ -20,11 +20,18 @@ Scale design:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from sparkswift.localdf import local_df
+
+# A/B gates (optimization round 16): default = current shape; =0
+# reverts to the r14 shape so the cold-run cost of each mechanism can
+# be measured in isolation (VERDICT r15 #1).
+_RERANK_SWAP = os.environ.get("SPARK_GRAFT_ANN_RERANK_SWAP", "1") != "0"
 
 QUANT = 1_000_000
 
@@ -90,12 +97,25 @@ from sparkswift.sources.store import staged_publish as _staged_dir  # noqa: E402
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition the corpus before per-row signature/dot-product
-    work — single-row-group parquet otherwise pins everything to one
-    task; input-size-adaptive width (see operators.spread)."""
+    """Repartition the corpus before per-row-HEAVY work (all-pairs
+    native dot scoring, SRP signature batches over every row) —
+    single-row-group parquet otherwise pins everything to one task;
+    input-size-adaptive width (see operators.spread)."""
     from sparkswift.operators.spread import spread
 
     return spread(df)
+
+
+def _spread_light(df: DataFrame) -> DataFrame:
+    """The cheap-chain tier (operators.spread.LIGHT_TASK_BYTES) for
+    candidate-bounded re-ranks, quantize/encode passes and k-means
+    feeds: measured r16, forcing these to full width cost 0.5–2.2 s
+    per ANN query at sf0.1 (e16 9.6→7.1 s, d16 5.2→3.9 s cold) with
+    nothing to parallelize; a real corpus scan is already wide, so
+    cluster plans are unchanged."""
+    from sparkswift.operators.spread import spread_light
+
+    return spread_light(df)
 
 
 def _prepart(df: DataFrame, *keys: str) -> DataFrame:
@@ -107,8 +127,47 @@ def _prepart(df: DataFrame, *keys: str) -> DataFrame:
     here as e6's 3.5 s one-task ADC reduce over ~1000 query groups).
     ``defaultParallelism`` tracks the cluster, so the same code is
     right at scale."""
+    if os.environ.get("SPARK_GRAFT_PREPART", "1") == "0":
+        return df
     par = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(par, *[F.col(k) for k in keys])
+
+
+def _exact_rerank_scored(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cands: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact integer-grid re-rank scoring of a bounded candidate set
+    (same arithmetic as cosine_topk → emitted cos_sim is
+    engine-exact). Two shapes, A/B-gated: the default runs on the
+    spread corpus scan with the (queries × k·refine) candidate set
+    broadcast — the quantize + integer-cosine work follows the corpus
+    partitioning at any scale; the ``SPARK_GRAFT_ANN_RERANK_SWAP=0``
+    shape streams candidates into the corpus join (the r14 plan)."""
+    csel = corpus.select(F.col(id_col), F.col(vec_col))
+    if _RERANK_SWAP:
+        csel = _spread_light(csel)
+    cvec = csel.select(
+        F.col(id_col).alias("corpus_id"), quantize(vec_col).alias("cv")
+    ).withColumn("cn", norm2_long(F.col("cv")))
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv")
+    ).withColumn("qn", norm2_long(F.col("qv")))
+    joined = (
+        cvec.join(F.broadcast(cands), "corpus_id")
+        if _RERANK_SWAP
+        else cands.join(cvec, "corpus_id")
+    )
+    return joined.join(F.broadcast(qvec), "query_id").select(
+        "query_id",
+        "corpus_id",
+        cosine(
+            dot_long(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
+        ).alias("cos_sim"),
+    )
 
 
 def quantize(col: str | Column, scale: int = QUANT) -> Column:
@@ -306,7 +365,7 @@ def cosine_neardup_pairs(
     pair space to same-LSH-bucket candidates first.
     """
     base = (
-        _spread(df.select(F.col(id_col), F.col(vec_col)))
+        _spread_light(df.select(F.col(id_col), F.col(vec_col)))
         .select(F.col(id_col).alias("id"), quantize(vec_col).alias("v"))
         .withColumn("n2", norm2_long(F.col("v")))
     )
@@ -360,7 +419,7 @@ def cosine_neardup_blocked(
     if n_blocks is None:
         n_blocks = min(16, df.sparkSession.sparkContext.defaultParallelism)
 
-    base = _spread(df.select(F.col(id_col), F.col(vec_col))).select(
+    base = _spread_light(df.select(F.col(id_col), F.col(vec_col))).select(
         F.col(id_col).alias("id"),
         quantize(vec_col).alias("v"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
@@ -463,7 +522,7 @@ def cosine_neardup_lsh(
     exact integer cosine filter. Recall < 1 by design; measured against
     :func:`cosine_neardup_pairs` in tests."""
     base = (
-        _spread(df.select(F.col(id_col), F.col(vec_col)))
+        _spread_light(df.select(F.col(id_col), F.col(vec_col)))
         .select(F.col(id_col).alias("id"), quantize(vec_col).alias("v"))
         .withColumn("n2", norm2_long(F.col("v")))
         .withColumn("sig", srp_signature_batched(F.col("v"), bits))
@@ -555,7 +614,7 @@ def cosine_topk_ivf(
             F.col(id_col), F.col(vec_col), corpus_filter.alias("__keep")
         )
     )
-    c = _spread(keep).withColumn(
+    c = _spread_light(keep).withColumn(
         "fv", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
     # a coarse quantizer doesn't need convergence — after kmeans|| init
@@ -680,7 +739,7 @@ def ivf_build(
 
     from sparkswift.sources.writers import write_table
 
-    c = _spread(corpus.select(F.col(id_col), F.col(vec_col))).withColumn(
+    c = _spread_light(corpus.select(F.col(id_col), F.col(vec_col))).withColumn(
         "fv", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
     model = KMeans(
@@ -738,7 +797,7 @@ def ivf_add(
         return pd.Series(d2.argmin(axis=1).astype(np.int32))
 
     assigned = (
-        _spread(new_vectors.select(F.col(id_col), F.col(vec_col)))
+        _spread_light(new_vectors.select(F.col(id_col), F.col(vec_col)))
         .select(
             F.col(id_col).alias("corpus_id"),
             quantize(vec_col).alias("cv"),
@@ -962,7 +1021,7 @@ def cosine_topk_lsh(
 
     def sigs(df: DataFrame, prefix: str, flag: Column | None = None) -> DataFrame:
         extra = [flag.alias("__is_q")] if flag is not None else []
-        return _spread(df.select(F.col(id_col), F.col(vec_col), *extra)).select(
+        return _spread_light(df.select(F.col(id_col), F.col(vec_col), *extra)).select(
             F.col(id_col).alias(f"{prefix}_id"),
             quantize(vec_col).alias(f"{prefix}v"),
             *(["__is_q"] if flag is not None else []),
@@ -1073,7 +1132,7 @@ def semdedup(
     # cosine geometry), then ONE distributed assignment pass — no
     # full-corpus k-means iterations. At 100 TB the trainer cost is
     # constant; assignment is the only corpus-sized work.
-    c = _spread(df.select(F.col(id_col), F.col(vec_col)))
+    c = _spread_light(df.select(F.col(id_col), F.col(vec_col)))
     centers = coarse_train(
         c,
         n_clusters,
@@ -1185,7 +1244,7 @@ def semdedup_store_build(
     st = _semdedup_store(spark, store, num_buckets)
     if st.exists():
         raise ValueError(f"semdedup store '{store}' already exists")
-    c = _spread(df.select(F.col(id_col), F.col(vec_col)))
+    c = _spread_light(df.select(F.col(id_col), F.col(vec_col)))
     centers = coarse_train(
         c, n_clusters, id_col=id_col, vec_col=vec_col, seed=seed, iters=max_iter
     )
@@ -1262,7 +1321,7 @@ def semdedup_add(
     centers = np.asarray([r.center for r in rows], dtype=np.float64)
     assigned = (
         assign_lists(
-            _spread(new_vectors.select(F.col(id_col), F.col(vec_col))),
+            _spread_light(new_vectors.select(F.col(id_col), F.col(vec_col))),
             centers,
             vec_col=vec_col,
         )
@@ -1444,7 +1503,7 @@ def pq_encode(
         return pd.Series(list(codes))
 
     cols = [F.col(id_col), F.col(vec_col), *(F.col(c) for c in keep_cols)]
-    return _spread(corpus.select(*cols)).select(
+    return _spread_light(corpus.select(*cols)).select(
         F.col(id_col).alias("corpus_id"),
         enc(F.col(vec_col)).alias("codes"),
         *(F.col(c) for c in keep_cols),
@@ -1572,23 +1631,7 @@ def cosine_topk_pq(
 
     # exact integer-grid re-rank of the candidate set (same arithmetic
     # as cosine_topk → emitted cos_sim is engine-exact)
-    cvec = _spread(corpus.select(F.col(id_col), F.col(vec_col))).select(
-        F.col(id_col).alias("corpus_id"), quantize(vec_col).alias("cv")
-    ).withColumn("cn", norm2_long(F.col("cv")))
-    qvec = queries.select(
-        F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv")
-    ).withColumn("qn", norm2_long(F.col("qv")))
-    scored = (
-        cvec.join(F.broadcast(cands), "corpus_id")
-        .join(F.broadcast(qvec), "query_id")
-        .select(
-            "query_id",
-            "corpus_id",
-            cosine(
-                dot_long(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
-            ).alias("cos_sim"),
-        )
-    )
+    scored = _exact_rerank_scored(corpus, queries, cands, id_col, vec_col)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("corpus_id")
     )
@@ -1649,7 +1692,7 @@ def cosine_topk_ivfpq(
         sample_x=sx,
     )
     assigned = assign_lists(
-        _spread(corpus.select(F.col(id_col), F.col(vec_col))), centers,
+        _spread_light(corpus.select(F.col(id_col), F.col(vec_col))), centers,
         vec_col=vec_col,
     )
 
@@ -1710,23 +1753,7 @@ def cosine_topk_ivfpq(
     # (queries × k·refine) candidate set broadcast — the quantize +
     # integer-cosine work parallelizes across the corpus partitioning
     # instead of collapsing into one AQE-coalesced join task
-    cvec = _spread(corpus.select(F.col(id_col), F.col(vec_col))).select(
-        F.col(id_col).alias("corpus_id"), quantize(vec_col).alias("cv")
-    ).withColumn("cn", norm2_long(F.col("cv")))
-    qvec = queries.select(
-        F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv")
-    ).withColumn("qn", norm2_long(F.col("qv")))
-    scored = (
-        cvec.join(F.broadcast(cand), "corpus_id")
-        .join(F.broadcast(qvec), "query_id")
-        .select(
-            "query_id",
-            "corpus_id",
-            cosine(
-                dot_long(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
-            ).alias("cos_sim"),
-        )
-    )
+    scored = _exact_rerank_scored(corpus, queries, cand, id_col, vec_col)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("corpus_id")
     )
@@ -1779,7 +1806,7 @@ def ivfpq_build(
         sample_x=sx,
     )
     assigned = assign_lists(
-        _spread(corpus.select(F.col(id_col), F.col(vec_col))), centers_np,
+        _spread_light(corpus.select(F.col(id_col), F.col(vec_col))), centers_np,
         vec_col=vec_col,
     )
     codebooks = pq_train(
@@ -1899,23 +1926,7 @@ def ivfpq_search(
     # (queries × k·refine) candidate set broadcast — the quantize +
     # integer-cosine work parallelizes across the corpus partitioning
     # instead of collapsing into one AQE-coalesced join task
-    cvec = _spread(corpus.select(F.col(id_col), F.col(vec_col))).select(
-        F.col(id_col).alias("corpus_id"), quantize(vec_col).alias("cv")
-    ).withColumn("cn", norm2_long(F.col("cv")))
-    qvec = queries.select(
-        F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv")
-    ).withColumn("qn", norm2_long(F.col("qv")))
-    scored = (
-        cvec.join(F.broadcast(cand), "corpus_id")
-        .join(F.broadcast(qvec), "query_id")
-        .select(
-            "query_id",
-            "corpus_id",
-            cosine(
-                dot_long(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
-            ).alias("cos_sim"),
-        )
-    )
+    scored = _exact_rerank_scored(corpus, queries, cand, id_col, vec_col)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("corpus_id")
     )
@@ -1963,7 +1974,7 @@ def ivfpq_add(
         d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
         return pd.Series(d2.argmin(axis=1).astype(np.int32))
 
-    assigned = _spread(new_vectors.select(F.col(id_col), F.col(vec_col))).select(
+    assigned = _spread_light(new_vectors.select(F.col(id_col), F.col(vec_col))).select(
         F.col(id_col), F.col(vec_col), nearest_center(F.col(vec_col)).alias("list_id")
     )
     codes = pq_encode(
@@ -2490,23 +2501,7 @@ def cosine_topk_sq(
         .filter(F.col("crnk") <= kr)
         .select("query_id", "corpus_id")
     )
-    cvec = _spread(corpus.select(F.col(id_col), F.col(vec_col))).select(
-        F.col(id_col).alias("corpus_id"), quantize(vec_col).alias("cv")
-    ).withColumn("cn", norm2_long(F.col("cv")))
-    qvec = queries.select(
-        F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv")
-    ).withColumn("qn", norm2_long(F.col("qv")))
-    scored = (
-        cvec.join(F.broadcast(cands), "corpus_id")
-        .join(F.broadcast(qvec), "query_id")
-        .select(
-            "query_id",
-            "corpus_id",
-            cosine(
-                dot_long(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
-            ).alias("cos_sim"),
-        )
-    )
+    scored = _exact_rerank_scored(corpus, queries, cands, id_col, vec_col)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("corpus_id")
     )

@@ -1774,32 +1774,45 @@ def train_linear_probe(
     spark = df.sparkSession
     wcols = [f"__w{j}" for j in range(len(feature_cols))]
     wschema = ", ".join(f"{c} double" for c in wcols)
-    for t in range(iters):
-        wdf = local_df(spark, [tuple(w)], wschema)
-        j_df = df.crossJoin(F.broadcast(wdf))
-        dot = F.col(wcols[0]) * F.col(feature_cols[0])
-        for j in range(1, len(feature_cols)):
-            dot = dot + F.col(wcols[j]) * F.col(feature_cols[j])
-        err = dot - F.col(label_col)
-        aggs = [
-            F.sum(
-                F.floor((err * F.col(c)) * F.lit(1000000.0) + F.lit(0.5))
-            ).cast("long").alias(f"g{j}")
-            for j, c in enumerate(feature_cols)
-        ]
-        aggs.append(
-            F.sum(F.floor((err * err) * F.lit(1000000.0) + F.lit(0.5)))
-            .cast("long")
-            .alias("loss_micro")
-        )
-        row = j_df.agg(*aggs).collect()[0]
-        if stats is not None:
-            stats.setdefault("loss_micro_first", row["loss_micro"])
-            stats["loss_micro_last"] = row["loss_micro"]
-        w = [
-            w[j] - lr * (row[f"g{j}"] / 1000000.0) / n
-            for j in range(len(feature_cols))
-        ]
+    # AQE off for the loop (restored in finally — the LPA discipline,
+    # graph.py): every iteration is one tiny broadcast + one map-side
+    # combined aggregate over an explicit-width checkpointed frame, so
+    # AQE contributes no coalescing — only per-query-stage re-planning
+    # latency AND an extra job per iteration (each AQE query stage is
+    # its own job: measured 77 jobs / 6.5 s of driver gaps for 24
+    # iterations; 49 jobs with AQE off). Serial use only, like LPA.
+    sess_conf = spark.conf
+    aqe_saved = sess_conf.get("spark.sql.adaptive.enabled", "true")
+    sess_conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for t in range(iters):
+            wdf = local_df(spark, [tuple(w)], wschema)
+            j_df = df.crossJoin(F.broadcast(wdf))
+            dot = F.col(wcols[0]) * F.col(feature_cols[0])
+            for j in range(1, len(feature_cols)):
+                dot = dot + F.col(wcols[j]) * F.col(feature_cols[j])
+            err = dot - F.col(label_col)
+            aggs = [
+                F.sum(
+                    F.floor((err * F.col(c)) * F.lit(1000000.0) + F.lit(0.5))
+                ).cast("long").alias(f"g{j}")
+                for j, c in enumerate(feature_cols)
+            ]
+            aggs.append(
+                F.sum(F.floor((err * err) * F.lit(1000000.0) + F.lit(0.5)))
+                .cast("long")
+                .alias("loss_micro")
+            )
+            row = j_df.agg(*aggs).collect()[0]
+            if stats is not None:
+                stats.setdefault("loss_micro_first", row["loss_micro"])
+                stats["loss_micro_last"] = row["loss_micro"]
+            w = [
+                w[j] - lr * (row[f"g{j}"] / 1000000.0) / n
+                for j in range(len(feature_cols))
+            ]
+    finally:
+        sess_conf.set("spark.sql.adaptive.enabled", aqe_saved)
     return w
 
 

@@ -207,6 +207,42 @@ def stream_dedup(
     return s.dropDuplicates(keys)
 
 
+class ephemeral_checkpoint_conf:
+    """Scope the streaming-checkpoint checksum OFF around a query that
+    uses a per-run TEMP checkpoint (every suite streaming query does).
+
+    Spark 4.1 writes a checksum twin for every streaming checkpoint
+    file (spark.sql.streaming.checkpoint.fileChecksum.enabled default
+    true); the ChecksumCheckpointFileManager awaits those writes
+    inside state-store commit — thread dumps showed stateful tasks
+    parked seconds per micro-batch (st24: 29-60 s with, 10-13 s
+    without; results identical). The integrity layer only pays off
+    for DURABLE checkpoints that are reloaded later, so the session
+    default stays Spark's (true — VERDICT r15 #3) and this context
+    manager opts the suite's ephemeral runs out.
+    ``SPARK_GRAFT_CKPT_CHECKSUM=true`` disables the opt-out (the
+    checksum stays on everywhere). NOT re-entrancy-safe across
+    concurrent togglers — the suite starts/awaits queries serially.
+    """
+
+    KEY = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+
+    def __init__(self, spark: SparkSession):
+        self.conf = spark.conf
+
+    def __enter__(self):
+        import os
+
+        self.saved = self.conf.get(self.KEY, "true")
+        if os.environ.get("SPARK_GRAFT_CKPT_CHECKSUM", "").lower() != "true":
+            self.conf.set(self.KEY, "false")
+        return self
+
+    def __exit__(self, *exc):
+        self.conf.set(self.KEY, self.saved)
+        return False
+
+
 def run_stream_to_batch(streaming_df: DataFrame, mode: str = "complete") -> DataFrame:
     """Execute a streaming aggregation to completion (AvailableNow)
     into a memory sink and return the materialized result — the bridge
@@ -214,14 +250,15 @@ def run_stream_to_batch(streaming_df: DataFrame, mode: str = "complete") -> Data
     plan. Complete mode emits every window regardless of watermark
     (append would withhold windows newer than the final watermark)."""
     name = f"ss_{uuid.uuid4().hex[:12]}"
-    q = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with ephemeral_checkpoint_conf(streaming_df.sparkSession):
+        q = (
+            streaming_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     spark = streaming_df.sparkSession
     return spark.table(name)
 
@@ -380,25 +417,26 @@ def stream_to_parquet(
       multi-table fanout). At-least-once unless the hook is
       idempotent on ``epoch_id`` — documented Spark semantics.
     """
-    if merge_fn is not None:
-        q = (
-            streaming_df.writeStream.foreachBatch(merge_fn)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-    else:
-        w = (
-            streaming_df.writeStream.format("parquet")
-            .option("path", path)
-            .option("checkpointLocation", checkpoint)
-            .outputMode(mode)
-            .trigger(availableNow=True)
-        )
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        q = w.start()
-    q.awaitTermination()
+    with ephemeral_checkpoint_conf(streaming_df.sparkSession):
+        if merge_fn is not None:
+            q = (
+                streaming_df.writeStream.foreachBatch(merge_fn)
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
+        else:
+            w = (
+                streaming_df.writeStream.format("parquet")
+                .option("path", path)
+                .option("checkpointLocation", checkpoint)
+                .outputMode(mode)
+                .trigger(availableNow=True)
+            )
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            q = w.start()
+        q.awaitTermination()
 
 
 def stream_neardup(

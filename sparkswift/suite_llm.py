@@ -5239,7 +5239,7 @@ def _media_files(
 
     from sparkswift.sources import media_headers as mh
 
-    from sparkswift.operators.spread import spread as _sp
+    from sparkswift.operators.spread import spread_light as _sp
 
     docs = _sp(load_table(spark, sf_dir, "documents").select("doc_id"))
     d = mkscratch(f"hdr_{ext}_")
@@ -5461,7 +5461,7 @@ def mm32_media_triage_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sparkswift.sources import media_headers as mh
 
-    from sparkswift.operators.spread import spread as _sp
+    from sparkswift.operators.spread import spread_light as _sp
 
     docs = _sp(load_table(spark, sf_dir, "documents").select("doc_id"))
     d = mkscratch("hdr_mixed_")

@@ -2507,7 +2507,7 @@ def st38_stream_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
         # share ONE reused exchange instead of re-scanning and
         # re-exchanging the batch file per format (guide §2.4); width
         # is input-size-adaptive (operators.spread)
-        from sparkswift.operators.spread import spread as _sp
+        from sparkswift.operators.spread import spread_light as _sp
 
         spread = _sp(batch_df)
         # one distributed write job for all four formats (per-row
