@@ -986,18 +986,21 @@ def _jextend(raw: int, cat: int) -> int:
 
 def _jencode_block(
     bw: _JBitWriter,
-    blk: np.ndarray,
-    qmat: np.ndarray,
+    zz: np.ndarray,
     dc_tab: dict,
     ac_tab: dict,
     pred: int,
 ) -> int:
-    """FDCT + quantize + zigzag + Huffman-encode one level-shifted 8×8
-    block; returns the new DC predictor. Shared by the grayscale and
-    color writers."""
-    coef = _JDCT @ blk @ _JDCT.T
-    zq = np.round(coef / qmat).astype(np.int64)
-    zz = zq.reshape(64)[_JZZ]
+    """Huffman-encode one PRE-QUANTIZED zigzag-order coefficient block
+    (int64[64] from :func:`_jquant_zigzag`); returns the new DC
+    predictor. Shared by the grayscale and color writers. Taking
+    coefficients instead of pixels keeps every encoder on ONE float
+    path (`_jquant_zigzag`'s batched einsum): a per-block `A @ blk @
+    A.T` sums in a different order, and a quantization tie (|coef/q|
+    exactly .5) then rounds differently between the baseline and
+    progressive writers depending on the BLAS — the
+    progressive-equals-baseline decode law broke on exactly such a
+    tie (coef 56.0 ± 1 ulp at q=16)."""
     diff = int(zz[0]) - pred
     pred = int(zz[0])
     cat = _jmagnitude(diff)
@@ -1067,7 +1070,7 @@ def encode_jpeg_gray(
     ac_tab = _jhuff_encode_table(_JAC_BITS, _JAC_VALS)
     bw = _JBitWriter()
     scan_parts: list[bytes] = []
-    qmat = q.reshape(8, 8)
+    zqs = _jquant_zigzag(padded, q.reshape(8, 8))
     pred = 0
     mcu = 0
     for by in range(ph // 8):
@@ -1080,8 +1083,7 @@ def encode_jpeg_gray(
                 bw = _JBitWriter()
                 pred = 0
             mcu += 1
-            blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-            pred = _jencode_block(bw, blk, qmat, dc_tab, ac_tab, pred)
+            pred = _jencode_block(bw, zqs[by, bx], dc_tab, ac_tab, pred)
     scan_parts.append(bw.flush())
     scan = b"".join(scan_parts)
 
@@ -1167,6 +1169,10 @@ def encode_jpeg_ycbcr(
     ac_c = _jhuff_encode_table(_JAC_C_BITS, _JAC_C_VALS)
     tabs = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
     qmats = [ql.reshape(8, 8), qc.reshape(8, 8), qc.reshape(8, 8)]
+    # one shared FDCT/quantize float path with the progressive writer
+    # (see _jencode_block) — and one batched einsum per plane instead
+    # of a python-loop matmul per block
+    zqs = [_jquant_zigzag(p, qm) for p, qm in zip(planes, qmats)]
 
     bw = _JBitWriter()
     scan_parts: list[bytes] = []
@@ -1185,13 +1191,11 @@ def encode_jpeg_ycbcr(
             for ci, (sh, sv) in enumerate(sampling):
                 for byi in range(sv):
                     for bxi in range(sh):
-                        py = (my * sv + byi) * 8
-                        px = (mx * sh + bxi) * 8
-                        blk = (
-                            planes[ci][py : py + 8, px : px + 8] - 128.0
-                        )
                         preds[ci] = _jencode_block(
-                            bw, blk, qmats[ci], *tabs[ci], preds[ci]
+                            bw,
+                            zqs[ci][my * sv + byi, mx * sh + bxi],
+                            *tabs[ci],
+                            preds[ci],
                         )
     scan_parts.append(bw.flush())
     scan = b"".join(scan_parts)
@@ -1991,7 +1995,7 @@ def _jpeg_scan(
         # own block grid, sampling factors ignored (T.81 A.2.2)
         mcux, mcuy = -(-comps[0]["x"] // 8), -(-comps[0]["y"] // 8)
         blocks_per_mcu = [(0, 0, 0)]
-        planes = [np.zeros((mcuy * 8, mcux * 8), dtype=np.float64)]
+        coefs = [np.zeros((mcuy, mcux, 64), dtype=np.int64)]
         grids = [(1, 1)]
     else:
         # interleaved: each MCU carries h_i x v_i blocks per component
@@ -2002,10 +2006,8 @@ def _jpeg_scan(
             for byi in range(c["v"])
             for bxi in range(c["h"])
         ]
-        planes = [
-            np.zeros(
-                (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64
-            )
+        coefs = [
+            np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
             for c in comps
         ]
         grids = [(c["h"], c["v"]) for c in comps]
@@ -2025,7 +2027,6 @@ def _jpeg_scan(
     def decode_block(ci: int) -> np.ndarray:
         comp = comps[ci]
         dct, act = htabs[(0, sel[comp["id"]][0])], htabs[(1, sel[comp["id"]][1])]
-        q = qtabs[comp["tq"]]
         zz = np.zeros(64, dtype=np.int64)
         cat = huffval(dct)
         diff = _jextend(rd.bits(cat), cat) if cat else 0
@@ -2045,10 +2046,7 @@ def _jpeg_scan(
                 raise ValueError("AC run past block end")
             zz[i] = _jextend(rd.bits(s), s)
             i += 1
-        coef = np.zeros(64, dtype=np.float64)
-        coef[_JZZ] = zz  # de-zigzag to natural order
-        coef = coef.reshape(8, 8) * q
-        return _JDCT.T @ coef @ _JDCT + 128.0
+        return zz
 
     mcu = 0
     for my in range(mcuy):
@@ -2065,12 +2063,27 @@ def _jpeg_scan(
                     rd.align_after_restart()
                     preds[:] = [0] * nc
             for ci, byi, bxi in blocks_per_mcu:
-                blk = decode_block(ci)
                 gh, gv = grids[ci]
-                py = (my * gv + byi) * 8
-                px = (mx * gh + bxi) * 8
-                planes[ci][py : py + 8, px : px + 8] = blk
+                coefs[ci][my * gv + byi, mx * gh + bxi] = decode_block(ci)
             mcu += 1
+
+    # dequantize + IDCT every block in ONE batched einsum per plane —
+    # the identical float path _jprog_finish uses, so a progressive
+    # and a baseline file carrying the same quantized coefficients
+    # decode to bit-identical pixels on any BLAS (the same tie-break
+    # unification as _jencode_block, decoder side) — and no
+    # per-block python-loop matmul
+    planes = []
+    for ci, c in enumerate(comps):
+        zz = coefs[ci]
+        nby, nbx = zz.shape[0], zz.shape[1]
+        q = qtabs[c["tq"]].reshape(64)
+        nat = np.zeros((nby, nbx, 64), dtype=np.float64)
+        nat[:, :, _JZZ] = zz
+        nat *= q[None, None, :]
+        blocks = nat.reshape(nby, nbx, 8, 8)
+        out = np.einsum("ij,yxjk,kl->yxil", _JDCT.T, blocks, _JDCT) + 128.0
+        planes.append(out.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8))
 
     return _jplanes_to_rgb(planes, comps, h, w, hmax, vmax)
 

@@ -913,25 +913,28 @@ def st17_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def ingest(batch_df, _epoch_id):
         # summary rows + the batch row count land in ONE write job
-        # (count rides as an item=-1 sentinel — every real key here
-        # is >= 0; guide §1.2: two jobs per micro-batch -> one)
+        # (count rides as an item=BATCH_COUNT_SENTINEL row — the
+        # documented store contract in streaming/ops.py; every real
+        # key here is >= 0; guide §1.2: two jobs per micro-batch -> 1)
+        from sparkswift.streaming.ops import BATCH_COUNT_SENTINEL
+
         hh = heavy_hitters(batch_df, "key", k=k)
         cnt = batch_df.agg(
-            F.lit(-1).cast("bigint").alias("item"),
+            F.lit(BATCH_COUNT_SENTINEL).cast("bigint").alias("item"),
             F.count(F.lit(1)).cast("bigint").alias("est"),
         )
         hh.unionByName(cnt).write.mode("append").parquet(summ_dir)
 
     stream_to_parquet(src, path=None, checkpoint=f"{base}/ck", merge_fn=ingest)
 
+    from sparkswift.streaming.ops import batch_counts, summary_rows
+
     summ = spark.read.parquet(summ_dir).localCheckpoint()
-    cand = merge_heavy_hitters(summ.filter(F.col("item") >= 0), k=k)
+    cand = merge_heavy_hitters(summary_rows(summ, "item"), k=k)
     exact = li.groupBy(F.col("key").alias("item")).agg(
         F.count(F.lit(1)).cast("bigint").alias("true_cnt")
     )
-    n_df = summ.filter(F.col("item") == -1).agg(
-        F.sum("est").cast("bigint").alias("n_rows")
-    )
+    n_df = batch_counts(summ, "item", "est")
     bound = F.col("n_rows").cast("double") / (k + 1)
     heavy = exact.crossJoin(F.broadcast(n_df)).filter(F.col("true_cnt") > bound)
     n_heavy = heavy.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_heavy"))
@@ -1458,11 +1461,14 @@ def st23_stream_countmin_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def ingest(batch_df, _epoch_id):
         # sketch cells + the batch row count land in ONE write job
-        # (the count rides as a row=-1 sentinel cell — guide §1.2:
+        # (the count rides as a row=BATCH_COUNT_SENTINEL cell — the
+        # documented store contract in streaming/ops.py; guide §1.2:
         # two sequential jobs per micro-batch halved to one)
+        from sparkswift.streaming.ops import BATCH_COUNT_SENTINEL
+
         sk = countmin_sketch(batch_df, "user_id", width=w, depth=d, seed=seed)
         cnt = batch_df.agg(
-            F.lit(-1).alias("row"),
+            F.lit(BATCH_COUNT_SENTINEL).alias("row"),
             F.lit(0).alias("bucket"),
             F.count(F.lit(1)).cast("bigint").alias("c"),
         )
@@ -1470,8 +1476,10 @@ def st23_stream_countmin_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream_to_parquet(src, path=None, checkpoint=f"{base}/ck", merge_fn=ingest)
 
+    from sparkswift.streaming.ops import batch_counts, summary_rows
+
     cells = spark.read.parquet(summ_dir).localCheckpoint()
-    merged = countmin_merge(cells.filter(F.col("row") >= 0)).localCheckpoint()
+    merged = countmin_merge(summary_rows(cells, "row")).localCheckpoint()
     batch_sk = countmin_sketch(
         load_table(spark, sf_dir, "events"), "user_id", width=w, depth=d, seed=seed
     )
@@ -1497,9 +1505,7 @@ def st23_stream_countmin_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est") < F.col("true_cnt"))
         .agg(F.count(F.lit(1)).alias("n_under"))
     )
-    n_rows = cells.filter(F.col("row") == -1).agg(
-        F.sum("c").cast("bigint").alias("n_rows")
-    )
+    n_rows = batch_counts(cells, "row", "c")
     shape = merged.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
         F.sum("c").cast("bigint").alias("total_mass"),
