@@ -17,15 +17,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _loop_prepart(df: DataFrame, *cols: str) -> DataFrame:
+def _loop_width_rows(df: DataFrame, n_rows: int, floor: int = 2) -> int:
+    """Scale-adaptive width for iterative-loop frames, derived from a
+    KNOWN row count (guide §2: partitioning follows data volume, never
+    a constant tuned for either local mode or the cluster; optimizer
+    size ESTIMATES are useless here — a join output estimates in the
+    TBs for sub-million-row frames). Every loop job pays the measured
+    ~10-12 ms/task serialized scheduling floor PER ROUND, so a
+    fixture-scale edge frame at defaultParallelism burns ~0.35 s of
+    pure task overhead per job × 2-3 jobs × rounds with nothing to
+    parallelize (PERF r15: g6/g5/g2 ran up to 30% FASTER on 8 cores
+    than 32 at sf0.1). A real corpus's count pins the cap, so cluster
+    plans are unchanged. All loop operators using this are
+    integer-exact or invariant-gated (pagerank's mass/zero laws hold
+    under any summation order), so width never changes a declared
+    result. ``SPARK_GRAFT_LOOP_ROWS_PER_TASK`` tunes the per-task row
+    budget (default 100k ≈ several ms of join+agg work per task —
+    the r16 warm-median sweep: 100k beat 250k and full width on
+    g1/g6, ~flat on g2)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    rpt = int(os.environ.get("SPARK_GRAFT_LOOP_ROWS_PER_TASK", "100000"))
+    return max(floor, min(n, -(-n_rows // rpt)))
+
+
+def _loop_prepart(df: DataFrame, *cols: str, n_rows: int | None = None) -> DataFrame:
     """Pre-partition a loop-static frame on the loop join key ONCE so
     no iteration re-exchanges it (guide §2.4); explicit width so AQE
-    cannot coalesce the loop to one task (the o9b lesson). A/B gate
-    (r16): ``SPARK_GRAFT_GRAPH_PREPART=0`` reverts to the r14
-    unpartitioned shape so the cold-run cost can be measured."""
+    cannot coalesce the loop to one task (the o9b lesson). When the
+    caller has the frame's row count in hand the width is
+    scale-adaptive (:func:`_loop_width_rows`); otherwise full cluster
+    width. A/B gate (r16): ``SPARK_GRAFT_GRAPH_PREPART=0`` reverts to
+    the r14 unpartitioned shape so the cold-run cost can be
+    measured."""
     if os.environ.get("SPARK_GRAFT_GRAPH_PREPART", "1") == "0":
         return df
-    n_part = df.sparkSession.sparkContext.defaultParallelism
+    n_part = (
+        _loop_width_rows(df, n_rows)
+        if n_rows is not None
+        else df.sparkSession.sparkContext.defaultParallelism
+    )
     return df.repartition(n_part, *[F.col(c) for c in cols])
 
 
@@ -144,7 +174,12 @@ def pagerank(
     # a small edge frame to ONE partition and serialize the loop (the
     # o9b lesson, NOTES r14).
     loop_key = "dst" if n <= rank_broadcast_limit else "src"
-    e_deg = _loop_prepart(e.join(out_deg, "src"), loop_key).localCheckpoint()
+    # e_deg has exactly e's rows (deg attach is 1:1); e is
+    # materialized, so the count is a cheap in-memory scan that buys
+    # the row-count-honest loop width for every iteration's jobs
+    e_deg = _loop_prepart(
+        e.join(out_deg, "src"), loop_key, n_rows=e.count()
+    ).localCheckpoint()
     if seeds is not None:
         seed_nodes = (
             seeds.select(F.col(seeds.columns[0]).alias("node"))
@@ -529,6 +564,7 @@ def label_propagation(
     max_iter: int = 50,
     stats: dict | None = None,
     label_broadcast_limit: int = 2_000_000,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """COMMUNITY DETECTION by label propagation (Raghavan, Albert &
     Kumara 2007): labels initialize to the node id; each round every
@@ -583,7 +619,8 @@ def label_propagation(
     sess_conf.set("spark.sql.adaptive.enabled", "false")
     try:
         labels, iters, breaks = _lpa_body(
-            edges, src, dst, max_iter, label_broadcast_limit
+            edges, src, dst, max_iter, label_broadcast_limit,
+            assume_canonical,
         )
     finally:
         sess_conf.set("spark.sql.adaptive.enabled", aqe_saved)
@@ -593,18 +630,32 @@ def label_propagation(
     return labels.select("node", F.col("lbl").alias("label"))
 
 
-def _lpa_body(edges, src, dst, max_iter, label_broadcast_limit):
+def _lpa_body(edges, src, dst, max_iter, label_broadcast_limit,
+              assume_canonical=False):
     """Setup + round loop of :func:`label_propagation` (split out so
-    the AQE toggle wraps exactly this body's job submissions)."""
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
+    the AQE toggle wraps exactly this body's job submissions).
+
+    ``assume_canonical=True`` declares the input already canonical
+    (every edge once, as (src, dst) with src < dst, no self-loops) —
+    the caller's guarantee skips the least/greatest re-canonicalize
+    AND the full distinct exchange (guide §2.4: a distinct on data
+    that is already unique is an accidental shuffle). g6's edge build
+    emits exactly this shape (self-join filtered to o_orderkey < o2,
+    pairs unique by construction)."""
+    if assume_canonical:
+        e = edges.select(
+            F.col(src).alias("a"), F.col(dst).alias("b")
+        ).localCheckpoint()
+    else:
+        e = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("a"),
+                F.greatest(F.col(src), F.col(dst)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
         )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
-    )
     # Loop-static adjacency, pre-partitioned ONCE (guide §2.4) under
     # the same bounded two-regime decision as pagerank's e_deg:
     #  * label frame broadcast-sized — partition adj by NODE: the
@@ -615,26 +666,33 @@ def _lpa_body(edges, src, dst, max_iter, label_broadcast_limit):
     #  * otherwise partition by NBR so the per-round label join
     #    reuses the static exchange. Explicit partition count — AQE
     #    would coalesce a small frame to one task (o9b lesson).
-    n_part = edges.sparkSession.sparkContext.defaultParallelism
-    # ONE node-distinct job serves both the regime decision and the
-    # label init (it used to run twice: a count-only distinct here
-    # and a second distinct for labels — guide §1.2, don't compute
-    # things twice); the count on the checkpointed frame is ~free
-    nodes = (
-        e.select(F.col("a").alias("node"))
-        .unionAll(e.select(F.col("b").alias("node")))
-        .repartition(n_part, F.col("node"))
-        .distinct()
-        .localCheckpoint()
-    )
-    n_nodes = nodes.count()
-    loop_key = "node" if n_nodes <= label_broadcast_limit else "nbr"
+    # Build adj FIRST, optimistically partitioned by node (the common
+    # regime), and derive nodes from it: the distinct then reuses
+    # adj's hash(node) partitioning — no exchange, and the old
+    # separate union-over-e pass for nodes disappears (guide §1.2 /
+    # §2.4; measured r16: the nodes job dropped from a 96-task union
+    # + exchange to a 32-task scan of the adj checkpoint). Width is
+    # input-size-adaptive (_loop_width): every round pays the per-task
+    # scheduling floor on 2-3 jobs over these frames.
+    # e is materialized (localCheckpoint above), so this count is a
+    # cheap in-memory scan — it buys the row-count-honest loop width
+    # for every round's jobs (adj holds both directions: 2× e's rows)
+    n_part = _loop_width_rows(e, 2 * e.count())
     adj = (
         e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
         .unionAll(e.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
-        .repartition(n_part, F.col(loop_key))
+        .repartition(n_part, F.col("node"))
         .localCheckpoint()
     )
+    nodes = adj.select("node").distinct().localCheckpoint()
+    n_nodes = nodes.count()
+    loop_key = "node" if n_nodes <= label_broadcast_limit else "nbr"
+    if loop_key == "nbr":
+        # big regime: the per-round label join keys on nbr — repartition
+        # the checkpointed adj once (one edge-sized exchange, amortized
+        # over every round; the node-keyed build above cost nothing
+        # extra because nodes/labels needed hash(node) anyway)
+        adj = adj.repartition(n_part, F.col("nbr")).localCheckpoint()
 
     def winner(frame: DataFrame, lbl_col: str) -> DataFrame:
         """argmax (count desc, label asc) of neighbor labels, as one

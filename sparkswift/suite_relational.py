@@ -3093,7 +3093,11 @@ def g6_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") < F.col("o2"))
         .select(F.col("o_orderkey").alias("src"), F.col("o2").alias("dst"))
     )
-    lp = label_propagation(edges)
+    # assume_canonical: the build above emits each undirected edge
+    # exactly once as (src < dst) — the o_orderkey < o2 filter over a
+    # join of distinct orderkeys — so LPA can skip its re-canonicalize
+    # + distinct exchange (guide §2.4)
+    lp = label_propagation(edges, assume_canonical=True)
     comm = lp.groupBy("label").agg(F.min("node").alias("community"))
     return lp.join(comm, "label").select("node", "community")
 
