@@ -1407,8 +1407,18 @@ def neardup_incremental(
                 F.col("id").alias("store_id"),
             )
         )
-        st.append("sigs", new_sigs)
-        st.append("buckets", new_buckets)
+        # the two member appends are independent scans of the same
+        # checkpointed frames — overlap them (guide §2.6) instead of
+        # paying two sequential write jobs; crash-consistency is
+        # unchanged (a crash between sequential appends left the same
+        # torn pair exists() raises on)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f1 = pool.submit(st.append, "sigs", new_sigs)
+            f2 = pool.submit(st.append, "buckets", new_buckets)
+            f1.result()
+            f2.result()
     return out
 
 

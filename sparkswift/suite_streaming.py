@@ -2486,19 +2486,19 @@ def st38_stream_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sparkswift.operators import multimodal as mm
     from sparkswift.sources import media_headers as mh
-    from sparkswift.streaming.ops import stamp_slice_order, stream_to_parquet
+    from sparkswift.streaming.ops import stream_to_parquet, write_slices
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     base = mkscratch("triage38_")
     src_dir, out_dir = f"{base}/src", f"{base}/out"
-    seen: set = set()
-    for i in range(3):  # three files -> three micro-batches
-        # slice on (doc_id div 4) so every batch carries ALL FOUR
-        # formats (format selection is doc_id % 4)
-        docs.filter((F.col("doc_id") / 4).cast("long") % 3 == i).repartition(
-            1
-        ).write.mode("append").parquet(src_dir)
-        stamp_slice_order(src_dir, seen, i)
+    # three files -> three micro-batches, ONE write job (was three
+    # sequential filter+repartition(1) writes re-scanning docs each);
+    # slice on (doc_id div 4) so every batch carries ALL FOUR formats
+    # (format selection is doc_id % 4)
+    write_slices(
+        docs, (F.col("doc_id") / 4).cast("long") % 3, src_dir,
+        keep=["doc_id"],
+    )
     schema = spark.read.parquet(src_dir).schema
     src = (
         spark.readStream.schema(schema)
