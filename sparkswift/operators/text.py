@@ -2245,6 +2245,11 @@ def langid_features(
 
     def batches(it):
         for pdf in it:
+            # per-row loop kept deliberately: a whole-batch
+            # concatenate + masked scatter-add variant was measured
+            # 5.7× SLOWER (np.add.at over a (rows·K) flat array
+            # dominates; per-row np.add.at on K=512 is ~0.13 ms/row
+            # and is NOT the t26 bottleneck — r16 A/B)
             feats = []
             for t in pdf[text_col]:
                 s = " " + (t or "") + " "

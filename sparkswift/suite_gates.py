@@ -1957,9 +1957,19 @@ def t26_langid_trained_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with ThreadPoolExecutor(max_workers=2) as pool:
         fut1 = pool.submit(tx.train_langid_probe, trainable, langs)
+        # layout-invariance certificate: integer Gramians must match
+        # under a DIFFERENT layout. Hash-by-doc_id at full width is as
+        # different from the round-robin layout as repartition(7) was,
+        # but keeps the twin's per-task work equal to the first
+        # training's — the 7-partition twin was a 4.6× straggler that
+        # alone set t26's wall time (guide §2.5)
         fut2 = pool.submit(
-            tx.train_langid_probe, trainable.repartition(7), langs
-        )  # layout-invariance certificate: integer Gramians must match
+            tx.train_langid_probe,
+            trainable.repartition(
+                spark.sparkContext.defaultParallelism, F.col("doc_id")
+            ),
+            langs,
+        )
         w1, key1 = fut1.result()
         _, key2 = fut2.result()
     scored = tx.score_langid_probe(
