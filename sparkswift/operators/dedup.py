@@ -197,6 +197,11 @@ def dedup_incremental(
     from sparkswift.sources.store import Member, Store
 
     spark = new_docs.sparkSession
+    # NO spread here (r16 A/B): the fingerprint pass is regex+md5 —
+    # cheap per row — and repartitioning the batch text cost more
+    # than the one-task serialization it removed (d10 warm medians
+    # 4.6 s unspread vs 7.6 s spread). Real crawl batches scan wide
+    # anyway.
     fp = fingerprint(new_docs, text_col, "__fp")
     firsts = fp.groupBy("__fp").agg(F.min(F.col(id_col)).alias(id_col))
     # single-member store through the shared lifecycle contract:

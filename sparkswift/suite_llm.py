@@ -1128,7 +1128,14 @@ def p8_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p9_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    from sparkswift.operators.spread import spread as _sp
+
+    # spread before the per-row-heavy text chain (tokenize + line
+    # chunk + C4 rules + shingles): the single-file fixture scans as
+    # ONE partition and the whole pipeline ran as 1-task jobs
+    # (guide §2.3; qjobs r16: 4.9 s + 4.4 s single-task). No-op on
+    # real (wide) corpora.
+    docs = _sp(load_table(spark, sf_dir, "documents"))
 
     # 1. line-ify (same deterministic chunking as t8) + C4 filter
     words = tx.tokens("text")
