@@ -56,9 +56,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(dst, exist_ok=True)
 
+    import shutil
+
     for t in DIMS:
-        df = spark.read.parquet(os.path.join(src, f"{t}.parquet"))
-        df.write.mode("overwrite").parquet(os.path.join(dst, f"{t}.parquet"))
+        p = os.path.join(src, f"{t}.parquet")
+        final = os.path.join(dst, f"{t}.parquet")
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        shutil.copyfile(p, final)  # fixtures are single files
         print(f"{t}: copied")
 
     for t, keys in KEYS.items():
@@ -78,15 +83,28 @@ def main() -> None:
             out = out.withColumn(
                 tc, F.concat(F.col(tc), F.lit(" zq"), F.col("__r"))
             )
-        (
-            out.drop("__r")
-            .repartition(32)
-            .write.mode("overwrite")
-            .parquet(os.path.join(dst, f"{t}.parquet"))
-        )
-        n0, n1 = df.count(), spark.read.parquet(
-            os.path.join(dst, f"{t}.parquet")
-        ).count()
+        # SINGLE-FILE layout, exactly like the driver's fixtures: the
+        # streaming sources glob "<t>.parquet" as a file, and the
+        # one-partition scan shape is part of what the suite's
+        # adaptive spreads are built for — the x10 dir must not
+        # change the layout contract, only the volume
+        tmp = os.path.join(dst, f"__{t}_tmp")
+        out.drop("__r").coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [
+            f for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+        assert len(part) == 1, part
+        final = os.path.join(dst, f"{t}.parquet")
+        if os.path.isdir(final):
+            import shutil
+
+            shutil.rmtree(final)
+        os.replace(os.path.join(tmp, part[0]), final)
+        import shutil
+
+        shutil.rmtree(tmp)
+        n0, n1 = df.count(), spark.read.parquet(final).count()
         assert n1 == k * n0, (t, n0, n1)
         print(f"{t}: {n0} -> {n1} rows")
 
